@@ -1,13 +1,566 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.dedup.Dedup
+import graft.embed.DeterministicEmbedder
+import graft.functions.{Hyperplanes, TextFunctions, VectorFunctions}
+import graft.search.{HybridSearch, TextSearch, VectorSearch}
+import graft.text.TextAnalysis
+
+/** Driver contract — the registry of every implemented operator
+  * (SURVEY.md §2) with a DuckDB-oracle SQL equivalent per query.
+  *
+  * Parity rules used throughout (driver hash-compares values + schema):
+  *  - every computed/aggregated column is aliased identically in Spark
+  *    and SQL;
+  *  - every query has a deterministic total ORDER BY (unique tiebreak);
+  *  - money/metric aggregations go through DECIMAL(18,4) (the fixture
+  *    doubles are exact 2-dp values) and cast back to DOUBLE — exact on
+  *    both engines, no FP-association drift;
+  *  - scores (cosine/BM25/jaccard/quality) are `round(x, 6)` on both
+  *    sides — double association differences (~1e-15) can't cross a 1e-6
+  *    rounding boundary in practice;
+  *  - integer aggregates are cast to BIGINT on both sides (DuckDB
+  *    `sum(int)` would otherwise return HUGEINT);
+  *  - md5-derived hashing everywhere (portable across engines).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  // ---- shared constants (both the Spark plan and the oracle SQL are
+  // generated from these, so they cannot drift) ---------------------------
+
+  val QueryText  = "spark join merge sort window"
+  val EmbedDim   = 64
+  val Embedder   = DeterministicEmbedder(EmbedDim)
+  val QueryVec: Array[Float] = Embedder.embed(QueryText)
+  val QueryTerms: Array[String] =
+    QueryText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+
+  /** Exact decimal rendering of a double — parses back to the identical
+    * double in DuckDB. */
+  private def dec(x: Double): String = new java.math.BigDecimal(x).toPlainString
+
+  /** Query-vector L2 norm, computed with the same left-fold the Spark
+    * expression uses so the inlined constant matches bit-for-bit. */
+  val QueryNorm: Double =
+    math.sqrt(QueryVec.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+
+  private val qvSql = QueryVec.map(f => dec(f.toDouble))
+    .mkString("[", ",", "]::DOUBLE[]")
+  private val qtermsSql = QueryTerms.map(t => s"'$t'").mkString("[", ",", "]")
+
+  /** Shared DuckDB fragments mirroring TextFunctions. */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private def md5LongSql(e: String) =
+    s"(('0x' || substr(md5($e),1,15))::UBIGINT)::BIGINT"
+  private val shinglesSql = // 3-token shingles over alias l
+    "[l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l)-1)]"
+
+  /** DuckDB cosine vs the query vector (doc side `embedding`). */
+  private val cosSql = {
+    val dot = s"list_dot_product(embedding::DOUBLE[], $qvSql)"
+    val na  = "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    s"(CASE WHEN $na = 0 OR ${dec(QueryNorm)} = 0 THEN 0.0 " +
+      s"ELSE $dot / ($na * ${dec(QueryNorm)}) END)"
+  }
+
+  /** DuckDB LSH bucket expression over column `embedding` — generated from
+    * the same hyperplanes as VectorFunctions.lshSignature (left-assoc sum,
+    * identical arithmetic order → identical sign decisions). */
+  private def lshBucketSql(nBits: Int = 8, col: String = "embedding"): String = {
+    val planes = Hyperplanes.planes(EmbedDim, nBits, 42L)
+    (0 until nBits).map { i =>
+      val proj = (0 until EmbedDim)
+        .map(j => s"$col[${j + 1}]::DOUBLE * ${dec(planes(i)(j))}")
+        .mkString(" + ")
+      s"(CASE WHEN ($proj) > 0.0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  // ---- driver contract ---------------------------------------------------
+
+  /** Flagship: hybrid BM25+kNN search (reference E3) on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    HybridSearch.search(Tables.documents(spark, d),
+      Tables.embeddings(spark, d), QueryText, Embedder)
+  }
+
+  private type QFn = (SparkSession, String) => DataFrame
+  private final case class Q(name: String, fn: QFn, sql: String)
+
+  private def d184(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  private val registry: Seq[Q] = Seq(
+
+    // ==== relational core (SURVEY §2.2–§2.5) ============================
+
+    Q("q01_pricing_summary",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(d184(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(d184(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(d184(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 4)) - d184(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          (sum(d184(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)))::DOUBLE AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))::DOUBLE AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE / count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    Q("q02_filter_project",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber").limit(100),
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount > 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+
+    Q("q03_top_orders",
+      (s, dir) => Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(10),
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    Q("q04_distinct_segments",
+      (s, dir) => Tables.customer(s, dir)
+        .select("c_mktsegment").distinct().orderBy("c_mktsegment"),
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"),
+
+    Q("q05_revenue_by_nation",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o  = Tables.orders(s, dir)
+        val c  = Tables.customer(s, dir)
+        val n  = Tables.nation(s, dir)
+        val r  = Tables.region(s, dir)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(d184(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 4)) - d184(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      """SELECT r_name, n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))::DOUBLE AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+
+    Q("q06_forecast_revenue",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(d184(col("l_extendedprice")) * d184(col("l_discount")))
+          .cast("double").as("revenue")),
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           CAST(l_discount AS DECIMAL(18,4)))::DOUBLE AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin),
+
+    Q("q07_priority_demand",
+      (s, dir) => {
+        val o  = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey").as("o_orderkey"))
+        o.join(li, Seq("o_orderkey"), "left_semi")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    Q("q08_customers_no_orders",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+        c.join(o, Seq("c_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey").limit(100)
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey LIMIT 100""".stripMargin),
+
+    Q("q09_top2_orders_per_customer",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin),
+
+    Q("q10_browse",
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey").limit(10),
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, o_orderpriority
+        |FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin),
+
+    Q("q11_events_hourly",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(d184(col("value"))).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type"),
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,4)))::DOUBLE AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+
+    Q("q12_events_json",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type"),
+      """SELECT event_type, count(*) AS n,
+        |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ==== text pipeline scalar ops (SURVEY §2.6) ========================
+
+    Q("q13_doc_hashes",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_md5"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("len_chars"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id, md5(text) AS content_md5,
+         |  len($toksSql)::BIGINT AS n_tokens,
+         |  length(text)::BIGINT AS len_chars
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    Q("q14_lang_stats",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang"),
+      s"""SELECT lang, count(*) AS n_docs,
+         |  sum(len($toksSql))::BIGINT AS sum_tokens,
+         |  sum(n_chars)::BIGINT AS sum_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q("q15_quality_scores",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id,
+         |  round(0.25 * least(length(text)::DOUBLE / 200.0, 1.0)
+         |      + 0.25 * (CASE WHEN length(text) = 0 THEN 0.0
+         |          ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE END)
+         |      + 0.25 * (CASE WHEN length(text) = 0 THEN 0.0
+         |          ELSE 1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |                           / greatest(len($toksSql)::DOUBLE, 1.0), 1.0) END)
+         |      + 0.25 * (1.0 - least(abs((CASE WHEN len($toksSql) = 0 THEN 0.0
+         |          ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / len($toksSql)::DOUBLE END) - 5.0) / 5.0, 1.0)), 6)
+         |  AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    Q("q16_lang_id",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
+        .orderBy("doc_id"),
+      { // mirror TextAnalysis.langId: per-language stopword-hit ratios,
+        // argmax with code-order tie-break, 'und' when all zero.
+        val scoreExprs = TextAnalysis.Stopwords.map { case (lang, mk) =>
+          val mkSql = mk.map(m => s"'$m'").mkString("[", ",", "]")
+          s"(CASE WHEN len(toks) = 0 THEN 0.0 ELSE " +
+            s"len(list_intersect(toks, $mkSql))::DOUBLE / " +
+            s"len(list_distinct(toks))::DOUBLE END) AS s_$lang"
+        }.mkString(", ")
+        val langs = TextAnalysis.Stopwords.map(_._1)
+        val bestExpr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+        val caseArms = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+        s"""SELECT doc_id, (CASE WHEN best <= 0.0 THEN 'und' $caseArms ELSE 'und' END) AS lang_id
+           |FROM (SELECT doc_id, $bestExpr AS best, s_${langs.mkString(", s_")}
+           |      FROM (SELECT doc_id, $scoreExprs
+           |            FROM (SELECT doc_id, $toksSql AS toks FROM documents)))
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("q17_fingerprints",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id,
+         |  (CASE WHEN length(norm) < 8 THEN ${md5LongSql("norm")}
+         |   ELSE list_min([${md5LongSql("substr(norm, i, 8)")}
+         |                  for i in range(1, length(norm) - 6)]) END) AS fp
+         |FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+         |      FROM documents) ORDER BY doc_id""".stripMargin),
+
+    // ==== dedup family ===================================================
+
+    Q("q18_exact_dedup_groups",
+      (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("content_hash"),
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin),
+
+    Q("q19_minhash_signatures",
+      (s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir),
+        "doc_id", "text").orderBy("doc_id"),
+      {
+        val hs = (0 until Dedup.NumHashes).map(i =>
+          s"list_min([md5('$i:' || s) for s in sh]) AS h$i").mkString(",\n  ")
+        s"""SELECT doc_id, $hs
+           |FROM (SELECT doc_id, $shinglesSql AS sh
+           |      FROM (SELECT doc_id, $toksSql AS l FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("q20_minhash_near_dup_pairs",
+      (s, dir) => Dedup.minhashCandidatePairs(Tables.documents(s, dir),
+        "doc_id", "text").orderBy("a", "b"),
+      {
+        val nBands = Dedup.NumHashes / Dedup.BandSize
+        val hs = (0 until Dedup.NumHashes).map(i =>
+          s"list_min([md5('$i:' || s) for s in sh]) AS h$i").mkString(", ")
+        val bands = (0 until nBands).map { b =>
+          val cols = (0 until Dedup.BandSize)
+            .map(j => s"h${b * Dedup.BandSize + j}").mkString(" || '|' || ")
+          s"md5($cols) AS b$b"
+        }.mkString(", ")
+        val bandArr = (0 until nBands).map(i => s"b$i").mkString("[", ",", "]")
+        s"""WITH sigs AS (
+           |  SELECT doc_id, $hs
+           |  FROM (SELECT doc_id, $shinglesSql AS sh
+           |        FROM (SELECT doc_id, $toksSql AS l FROM documents))),
+           |bands AS (SELECT doc_id, $bands FROM sigs),
+           |exploded AS (SELECT doc_id, unnest($bandArr) AS band FROM bands)
+           |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |FROM exploded l JOIN exploded r ON l.band = r.band
+           |WHERE l.doc_id < r.doc_id ORDER BY a, b""".stripMargin
+      }),
+
+    Q("q21_ngram_jaccard_pairs",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", 0.05).orderBy("a", "b"),
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS shingle
+         |  FROM (SELECT doc_id, $toksSql AS l FROM documents)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*)::DOUBLE AS n_common
+         |  FROM sh l JOIN sh r ON l.shingle = r.shingle
+         |  WHERE l.doc_id < r.doc_id GROUP BY l.doc_id, r.doc_id)
+         |SELECT a, b, jaccard FROM (
+         |  SELECT a, b, round(n_common /
+         |    (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes sa ON sa.doc_id = a
+         |  JOIN sizes sb ON sb.doc_id = b)
+         |WHERE jaccard >= 0.05 ORDER BY a, b""".stripMargin),
+
+    Q("q22_simhash",
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      {
+        val bits = (0 until Dedup.SimHashBits).map { i =>
+          s"(CASE WHEN list_sum([((h >> $i) & 1) * 2 - 1 for h in hs])" +
+            s" > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END)"
+        }.mkString(" + ")
+        s"""SELECT doc_id, ($bits)::BIGINT AS simhash
+           |FROM (SELECT doc_id, [${md5LongSql("t")} for t in $toksSql] AS hs
+           |      FROM documents) ORDER BY doc_id""".stripMargin
+      }),
+
+    // ==== vector search family ==========================================
+
+    Q("q24_knn_bruteforce",
+      (s, dir) => VectorSearch.topK(Tables.embeddings(s, dir),
+        "vec_id", "embedding", QueryVec, 10),
+      s"""SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
+         |FROM embeddings ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin),
+
+    Q("q25_knn_ann_lsh",
+      (s, dir) => VectorSearch.annTopK(Tables.embeddings(s, dir),
+        "vec_id", "embedding", QueryVec, 10, EmbedDim,
+        nBits = 8, probeHammingRadius = 1),
+      {
+        val qSig = VectorSearch.querySignature(QueryVec, EmbedDim, 8)
+        val probes = (0L until 256L)
+          .filter(b => java.lang.Long.bitCount(b ^ qSig) <= 1)
+          .mkString(", ")
+        s"""SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
+           |FROM embeddings
+           |WHERE ${lshBucketSql()} IN ($probes)
+           |ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+    Q("q26_embedding_near_dup",
+      (s, dir) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", EmbedDim, 0.2).orderBy("a", "b"),
+      {
+        val cosAB = {
+          val dot = "list_dot_product(va::DOUBLE[], vb::DOUBLE[])"
+          val na  = "sqrt(list_dot_product(va::DOUBLE[], va::DOUBLE[]))"
+          val nb  = "sqrt(list_dot_product(vb::DOUBLE[], vb::DOUBLE[]))"
+          s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END)"
+        }
+        s"""WITH bucketed AS (
+           |  SELECT vec_id AS id, embedding AS v, ${lshBucketSql()} AS bucket
+           |  FROM embeddings)
+           |SELECT DISTINCT a, b, cos FROM (
+           |  SELECT l.id AS a, r.id AS b, l.v AS va, r.v AS vb,
+           |    round($cosAB, 6) AS cos
+           |  FROM bucketed l JOIN bucketed r ON l.bucket = r.bucket
+           |  WHERE l.id < r.id)
+           |WHERE cos >= 0.2 ORDER BY a, b""".stripMargin
+      }),
+
+    // ==== retrieval (reference Q1–Q6) ====================================
+
+    Q("q27_hybrid_search",
+      (s, dir) => HybridSearch.search(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), QueryText, Embedder)
+        .select("doc_id", "score", "lang", "source", "n_chars"),
+      s"""WITH text_s AS (
+         |  SELECT doc_id,
+         |    round(len(list_intersect($toksSql, $qtermsSql))::DOUBLE
+         |          / ${QueryTerms.length}.0, 6) AS text_score
+         |  FROM documents
+         |  WHERE len(list_intersect($toksSql, $qtermsSql)) > 0),
+         |vec_s AS (
+         |  SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
+         |  FROM embeddings
+         |  ORDER BY vec_score DESC, doc_id LIMIT ${HybridSearch.numCandidates(10)}),
+         |fused AS (
+         |  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+         |    round(coalesce(t.text_score, 0.0) * ${dec(HybridSearch.TextBoost)}
+         |        + coalesce(v.vec_score, 0.0) * ${dec(HybridSearch.VectorBoost)}, 6) AS score
+         |  FROM text_s t FULL OUTER JOIN vec_s v ON t.doc_id = v.doc_id)
+         |SELECT f.doc_id, f.score, d.lang, d.source, d.n_chars
+         |FROM (SELECT * FROM fused WHERE score >= ${dec(HybridSearch.DefaultMinScore)}
+         |      ORDER BY score DESC, doc_id LIMIT ${HybridSearch.DefaultSize}) f
+         |JOIN documents d ON d.doc_id = f.doc_id
+         |ORDER BY f.score DESC, f.doc_id""".stripMargin),
+
+    Q("q28_bm25",
+      (s, dir) => {
+        val scored = TextSearch.bm25(Tables.documents(s, dir),
+          "doc_id", "text", QueryText)
+        scored.select(col("doc_id"), round(col("text_score"), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+      },
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |posting AS (
+         |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+         |       FROM posting GROUP BY doc_id, term, dl),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         |  FROM tf WHERE term IN (SELECT unnest($qtermsSql)) GROUP BY term),
+         |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+         |  FROM dfreq, stats)
+         |SELECT doc_id, round(sum(term_score), 6) AS bm25 FROM (
+         |  SELECT tf.doc_id,
+         |    idf.idf * tf.tf * (1.2 + 1.0) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS term_score
+         |  FROM tf JOIN idf ON tf.term = idf.term, stats)
+         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
+
+    Q("q29_exact_match",
+      (s, dir) => TextSearch.exactMatch(
+        Tables.documents(s, dir).orderBy("doc_id"), "source", "src5")
+        .select("doc_id", "lang", "source", "n_chars"),
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE source = 'src5' ORDER BY doc_id LIMIT 10000""".stripMargin),
+
+    // ==== path/category scalar ops (reference F5/F8/F9/F13) =============
+
+    Q("q30_category_paths",
+      (s, dir) => {
+        val p = concat(lit("docs\\uploaded\\"), col("source"), lit("\\"),
+          col("lang"), lit("\\doc_"), col("doc_id"), lit(".pdf"))
+        Tables.documents(s, dir)
+          .filter(col("source").startsWith("src1"))
+          .select(col("doc_id"),
+            TextFunctions.normalizePath(p).as("path"),
+            TextFunctions.categoryLevel(p, 1).as("lv1_cat"),
+            TextFunctions.categoryLevel(p, 2).as("lv2_cat"),
+            TextFunctions.categoryLevel(p, 3).as("lv3_cat"),
+            TextFunctions.pathStem(p).as("stem"),
+            md5(TextFunctions.normalizePath(p)).as("hashed_filepath"))
+          .orderBy("doc_id")
+      },
+      { // NB: backslash via interpolation — a literal `\u` inside a
+        // triple-quoted Scala string is parsed as a unicode escape.
+        val bs = "\\"
+        s"""SELECT doc_id, path,
+           |  coalesce(string_split(path, '/')[2], '') AS lv1_cat,
+           |  coalesce(string_split(path, '/')[3], '') AS lv2_cat,
+           |  coalesce(string_split(path, '/')[4], '') AS lv3_cat,
+           |  regexp_extract(path, '([^/]+?)($bs.[^./]*)?$$', 1) AS stem,
+           |  md5(path) AS hashed_filepath
+           |FROM (SELECT doc_id, replace('docs${bs}uploaded$bs' || source || '$bs' || lang
+           |        || '${bs}doc_' || doc_id || '.pdf', '$bs', '/') AS path
+           |      FROM documents WHERE source LIKE 'src1%')
+           |ORDER BY doc_id""".stripMargin
+      })
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, QFn] =
+    registry.map(q => q.name -> q.fn).toMap
+
+  /** DuckDB-runnable oracle per query (same column names, same ordering). */
+  def oracleSql: Map[String, String] =
+    registry.filter(_.sql != null).map(q => q.name -> q.sql).toMap
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text/string/hash functions (SURVEY.md §2.6, F1–F13) as pure
+  * `org.apache.spark.sql.functions` compositions — codegen'd, no UDFs.
+  *
+  * Tokenization and hashing are deliberately md5-based so every operator
+  * built on them (MinHash, SimHash, BM25, fingerprints) has an exact
+  * DuckDB-SQL equivalent for the correctness oracle.
+  */
+object TextFunctions {
+
+  /** F1 — newline normalize: `\r\n<digits>` → `\n`
+    * (reference `backend/process/parsing.py:34,56-59`). */
+  def normalizeNewlines(c: Column): Column =
+    regexp_replace(c, "\\r\\n\\d+", "\n")
+
+  /** F2 — strip image markers (`parsing.py:105`). */
+  def stripImageMarkers(c: Column): Column =
+    regexp_replace(c, "<!-- image -->", "")
+
+  /** F1+F2 composed — the reference's page-content cleaning path. */
+  def cleanText(c: Column): Column = stripImageMarkers(normalizeNewlines(c))
+
+  /** F4 — join non-empty category levels with "," (`parsing.py:191-192`). */
+  def joinCategories(cats: Column*): Column = concat_ws(",", cats: _*)
+
+  /** F3 — context prefix prepended to each page (`parsing.py:190-193`). */
+  def contextPrefix(stem: Column, cats: Column): Column =
+    concat(lit("This page explains "), stem, lit(" that belongs to "),
+      cats, lit(" categories.\n"))
+
+  /** F9 — windows path normalize (`postgres.py:231`). */
+  def normalizePath(c: Column): Column = translate(c, "\\", "/")
+
+  /** F8 — path → category level i (1..4), "" when absent
+    * (`parsing.py:266-276`). element_at on a split path, null-safed. */
+  def categoryLevel(path: Column, level: Int): Column = {
+    val parts = split(normalizePath(path), "/")
+    coalesce(element_at(parts, level + 1), lit("")) // skip leading root seg
+  }
+
+  /** F13 — filename stem (basename without last extension). */
+  def pathStem(c: Column): Column =
+    regexp_extract(normalizePath(c), "([^/]+?)(\\.[^./]*)?$", 1)
+
+  /** Lowercase alnum tokens; empties removed. Matches the DuckDB oracle
+    * `list_filter(string_split_regex(lower(t),'[^a-z0-9]+'), x -> x <> '')`.
+    */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Token count (whitespace-word definition). */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** A BPE-ish sub-word proxy: count of alnum runs + punctuation marks —
+    * an upper bound on byte-pair tokens used for budget estimates. */
+  def bpeishTokenCount(c: Column): Column =
+    (size(filter(split(c, "[^A-Za-z0-9]+"), t => t =!= "")) +
+      length(regexp_replace(c, "[A-Za-z0-9\\s]", ""))).cast("long")
+
+  /** Stable 60-bit hash of a string via md5 (first 15 hex chars). Fits a
+    * signed long on both Spark (`conv(...,16,10)`) and DuckDB
+    * (`('0x'||substr(md5(x),1,15))::UBIGINT`). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles of size n over the token array. Guarded:
+    * `sequence(1, 0)` would count DOWN in Spark, so short docs get []. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+}

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` columns, built from Spark's
+  * higher-order functions (`zip_with` / `aggregate` / `transform`) so the
+  * whole computation stays inside whole-stage codegen — no Scala UDF, no
+  * serialization boundary in the hot path.
+  *
+  * Mirrors the reference's dense-vector semantics (cosine kNN over a
+  * 1024-dim `dense_vector`, `/root/reference/backend/process/
+  * elasticsearch_index.py:261-277`); dimensionality is a parameter here,
+  * fixtures use 64 (FIXTURES.md §A).
+  *
+  * All accumulation is done in DOUBLE, left-to-right over the array, which
+  * matches DuckDB's `list_dot_product` on `DOUBLE[]` — that keeps the
+  * DuckDB oracle bit-compatible with the Spark plan.
+  */
+object VectorFunctions {
+
+  /** Cast an array<float> column to array<double> for stable accumulation. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Dot product: sum_i a_i * b_i, double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity in [-1, 1]; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d  = dot(a, b)
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Squared euclidean distance. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Embedding-dimension guard (reference enforces dims==1024 at index and
+    * query time, `elasticsearch_index.py:263-265`). */
+  def hasDim(v: Column, dim: Int): Column = size(v) === dim
+
+  /** Lenient parse of a stringified vector `'{-0.07,0.12,...}'` (the
+    * reference stores embeddings as TEXT in the RDB and re-parses,
+    * `backend/utils/schema.py:14`, `elasticsearch_index.py:84-111`).
+    * Empty / null strings yield an empty array.
+    */
+  def parseVectorString(c: Column): Column = {
+    val stripped = regexp_replace(c, "[\\[\\]{}\\s]", "")
+    when(c.isNull || stripped === "", array().cast("array<float>"))
+      .otherwise(transform(split(stripped, ","), _.cast("float")))
+  }
+
+  /** Random-hyperplane LSH signature: sign bits of `nBits` fixed seeded
+    * projections, packed into a long. Buckets embeddings so ANN search
+    * touches one bucket instead of the full table — the 100 TB scale path
+    * (an IVF-style partition prune; brute force stays the correctness
+    * baseline). Hyperplanes are deterministic from (seed, bit, dim).
+    */
+  def lshSignature(v: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val planes = Hyperplanes.planes(dim, nBits, seed)
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val proj = (0 until dim).map(j => element_at(v, j + 1) * lit(plane(j)))
+        .reduce(_ + _)
+      when(proj > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}
+
+/** Deterministic pseudo-random hyperplanes shared by the LSH signature
+  * expression and any driver-side query planning. Values derived from
+  * MD5 — portable and stable across JVMs.
+  */
+object Hyperplanes {
+  def planes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { j =>
+        val h  = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$b:$j".getBytes("UTF-8"))
+        val u  = java.nio.ByteBuffer.wrap(h).getInt(0)
+        u.toDouble / Int.MaxValue.toDouble // roughly uniform in [-1, 1]
+      }
+    }
+}

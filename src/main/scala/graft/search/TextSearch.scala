@@ -1,0 +1,73 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Full-text relevance (reference Q1: Elasticsearch BM25 `match` on
+  * `page_content`, `/root/reference/backend/process/
+  * elasticsearch_index.py:249-258`). ES did the scoring inside its own
+  * engine; here it's declarative DataFrame algebra over a postings table,
+  * so Catalyst plans it: one shuffle to build per-(doc,term) TFs, a
+  * broadcast of the (tiny) query-term relation, partial aggregation for
+  * the per-doc score.
+  *
+  * At 100 TB the postings/stats tables are built ONCE as the index
+  * (`buildPostings` result persisted, partitioned by term bucket) and each
+  * query only scans the partitions holding its terms.
+  */
+object TextSearch {
+
+  /** Postings: one row per (doc, term) with term frequency and doc length.
+    * This is the engine's inverted-index build (reference S8/E2). */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    toks
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+  }
+
+  /** Lucene-style BM25 scores for one query string; returns
+    * (doc_id, text_score). k1/b are the standard defaults.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, query: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val postings = buildPostings(docs, idCol, textCol)
+    val n        = docs.count().toDouble
+    val avgdl    = postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(avg("dl")).head().getDouble(0)
+    val qTerms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+
+    val dfStats = postings.filter(col("term").isin(qTerms: _*))
+      .groupBy("term").agg(countDistinct("doc_id").cast("double").as("df"))
+    // idf_Lucene = ln(1 + (N - df + 0.5)/(df + 0.5))
+    val withIdf = dfStats.withColumn("idf",
+      log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)))
+
+    postings.filter(col("term").isin(qTerms: _*))
+      .join(broadcast(withIdf), "term")
+      .withColumn("term_score",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy("doc_id")
+      .agg(sum("term_score").as("text_score"))
+  }
+
+  /** Simple token-overlap relevance (v1 of Q1): |distinct doc tokens ∩
+    * query tokens| / |query tokens|. Cheap, shuffle-free scoring pass. */
+  def tokenOverlapScore(textCol: Column, query: String): Column = {
+    val qTerms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+    size(array_intersect(TextFunctions.tokens(textCol),
+      typedLit(qTerms))).cast("double") / qTerms.length.toDouble
+  }
+
+  /** Q4 — exact-match retrieval by key, capped at 10000 hits (all pages of
+    * one file, `elasticsearch_index.py:174-211`). */
+  def exactMatch(docs: DataFrame, keyCol: String, key: String,
+      cap: Int = 10000): DataFrame =
+    docs.filter(col(keyCol) === lit(key)).limit(cap)
+}
