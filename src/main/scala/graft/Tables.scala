@@ -30,6 +30,21 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** The text/vector tables ship as one parquet row group, so Spark scans
+    * them as ONE partition — and every per-row-heavy operator (minhash,
+    * simhash, cosine, fingerprints) would run single-threaded. Spread them
+    * across the cluster when the scan has fewer partitions than cores.
+    * The shuffle cost is one pass over the raw column data — trivially
+    * repaid by parallelizing the downstream hashing; on a real 100 TB
+    * table the scan already has thousands of splits and this is a no-op.
+    */
+  private def spread(df: DataFrame, s: SparkSession): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame  =
+    spread(load(s, d, "documents"), s)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(load(s, d, "embeddings"), s)
 }

@@ -55,11 +55,17 @@ object Dedup {
     * array expressions — no explode, no shuffle. */
   def minhashSignatures(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val sh = TextFunctions.shingles(TextFunctions.tokens(col(textCol)),
-      ShingleSize)
+    // Two projection stages so the shingle array is computed ONCE per row
+    // and the 8 min-hash expressions read the materialized column —
+    // Catalyst keeps the barrier because duplicating a non-cheap
+    // expression into 8 consumers fails CollapseProject's cost check.
+    val sh = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)),
+        ShingleSize).as("sh"))
     val hashes = (0 until NumHashes).map(i =>
-      array_min(transform(sh, s => md5(concat(lit(s"$i:"), s)))).as(s"h$i"))
-    docs.select((col(idCol).as("doc_id") +: hashes): _*)
+      array_min(transform(col("sh"), s => md5(concat(lit(s"$i:"), s))))
+        .as(s"h$i"))
+    sh.select((col("doc_id") +: hashes): _*)
   }
 
   /** LSH band keys: md5 over each band's concatenated minhashes. */
@@ -76,19 +82,37 @@ object Dedup {
     sigs.select((col("doc_id") +: bands): _*)
   }
 
+  /** All (x, y) pairs with x < y from a sorted array column, as an array
+    * of structs `(_1, _2)`. Caller must guarantee `size(ids) >= 2` —
+    * `sequence(0, -1)` would count DOWN for singleton groups. */
+  private def pairsAsc(ids: Column): Column =
+    flatten(transform(sequence(lit(0), size(ids) - 2), i =>
+      transform(slice(ids, i + 2, size(ids) - i - 1), b =>
+        struct(element_at(ids, i + 1).as("_1"), b.as("_2")))))
+
   /** Candidate near-dup pairs: docs sharing at least one LSH band.
-    * Returns distinct (a, b) with a < b. The band join is an equality
-    * join → hash-partitioned, scales linearly in candidate count. */
+    * Returns distinct (a, b) with a < b.
+    *
+    * Shape: groupBy(band) + in-group combinations, NOT a self-join — a
+    * self-join recomputes the whole minhash lineage on both sides (the
+    * signatures are far more expensive than the shuffle), while this
+    * computes signatures once and shuffles only (band, doc_id) rows.
+    * Null bands (docs too short for any shingle) are dropped — an
+    * equi-join would never match them, but groupBy would collect them
+    * into one spurious group. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val nBands = NumHashes / BandSize
     val bands  = minhashBands(minhashSignatures(docs, idCol, textCol))
     val exploded = bands.select(col("doc_id"),
       explode(array((0 until nBands).map(i => col(s"b$i")): _*)).as("band"))
-    val l = exploded.select(col("doc_id").as("a"), col("band"))
-    val r = exploded.select(col("doc_id").as("b"), col("band"))
-    l.join(r, Seq("band")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .filter(col("band").isNotNull)
+    exploded.groupBy("band")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairsAsc(col("ids"))).as("p"))
+      .select(col("p._1").as("a"), col("p._2").as("b"))
+      .distinct()
   }
 
   // ---- n-gram jaccard (verified similarity on candidates) ---------------
@@ -99,19 +123,26 @@ object Dedup {
     * jaccard) for pairs with at least one shared shingle. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(TextFunctions.shingles(
-        TextFunctions.tokens(col(textCol)), ShingleSize))).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val l = sh.select(col("doc_id").as("a"), col("shingle"))
-    val r = sh.select(col("doc_id").as("b"), col("shingle"))
-    val common = l.join(r, Seq("shingle")).filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).cast("double").as("n_common"))
-    common
-      .join(broadcast(sizes.select(col("doc_id").as("a"),
-        col("n_sh").as("na"))), Seq("a"))
-      .join(broadcast(sizes.select(col("doc_id").as("b"),
-        col("n_sh").as("nb"))), Seq("b"))
+    // One pass over the corpus: each exploded (shingle, doc) row carries
+    // the doc's distinct-shingle count, so no per-doc sizes relation and
+    // no join back — the old 3-subplan self-join recomputed the shingle
+    // lineage three times. groupBy(shingle) + in-group combinations, then
+    // count shared shingles per pair.
+    val shd = docs.select(col(idCol).as("doc_id"),
+      array_distinct(TextFunctions.shingles(
+        TextFunctions.tokens(col(textCol)), ShingleSize)).as("shd"))
+    val ex = shd.filter(size(col("shd")) > 0)
+      .select(col("doc_id"), size(col("shd")).as("n_sh"),
+        explode(col("shd")).as("shingle"))
+    ex.groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(pairsAsc(col("ds"))).as("p"))
+      .select(col("p._1.doc_id").as("a"), col("p._1.n_sh").as("na"),
+        col("p._2.doc_id").as("b"), col("p._2.n_sh").as("nb"))
+      .groupBy("a", "b", "na", "nb")
+      .agg(count(lit(1)).cast("double").as("n_common"))
       .withColumn("jaccard", round(col("n_common") /
         (col("na") + col("nb") - col("n_common")), 6))
       .filter(col("jaccard") >= minJaccard)
@@ -143,10 +174,12 @@ object Dedup {
       (0 until 4).map(q => struct(lit(q).as("q"),
         shiftright(col("simhash"), q * 15).bitwiseAND(lit((1L << 15) - 1))
           .as("v"))): _*)).as("quarter"))
-    val l = quarters.select(col("doc_id").as("a"), col("quarter"))
-    val r = quarters.select(col("doc_id").as("b"), col("quarter"))
-    l.join(r, Seq("quarter")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    quarters.groupBy("quarter")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairsAsc(col("ids"))).as("p"))
+      .select(col("p._1").as("a"), col("p._2").as("b"))
+      .distinct()
   }
 
   // ---- embedding near-dup ------------------------------------------------
@@ -156,13 +189,20 @@ object Dedup {
     * Returns (a, b, cos) with cos ≥ minCosine, a < b. */
   def embeddingNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double, nBits: Int = 8): DataFrame = {
+    // groupBy(bucket) + in-group combinations: LSH signatures computed
+    // once (a self-join would evaluate them on both sides). Each doc
+    // lands in exactly one bucket, so pairs are unique — no distinct.
+    // At 100 TB raise nBits so per-bucket collect_list stays bounded.
     val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.lshSignature(col(vecCol), dim, nBits).as("bucket"))
-    val l = bucketed.select(col("id").as("a"), col("v").as("va"), col("bucket"))
-    val r = bucketed.select(col("id").as("b"), col("v").as("vb"), col("bucket"))
-    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+    bucketed.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(explode(pairsAsc(col("xs"))).as("p"))
+      .select(col("p._1.id").as("a"), col("p._1.v").as("va"),
+        col("p._2.id").as("b"), col("p._2.v").as("vb"))
       .withColumn("cos", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= minCosine)
-      .select("a", "b", "cos").distinct()
+      .select("a", "b", "cos")
   }
 }

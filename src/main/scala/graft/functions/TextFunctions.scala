@@ -67,10 +67,20 @@ object TextFunctions {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Let-binding for column expressions: evaluate `e` ONCE and pass it to
+    * `body` as a lambda variable. Spark has no `let`, but a one-element
+    * array `transform` is exactly that. Crucial inside higher-order
+    * functions: they run interpreted (no codegen subexpression
+    * elimination), so an expression referenced inside a lambda is
+    * re-evaluated at EVERY lambda invocation — e.g. un-bound shingles
+    * re-ran the token regex split ~3×|shingles| times per row. */
+  def bind(e: Column, body: Column => Column): Column =
+    element_at(transform(array(e), body), 1)
+
   /** Word n-gram shingles of size n over the token array. Guarded:
     * `sequence(1, 0)` would count DOWN in Spark, so short docs get []. */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+  def shingles(toks: Column, n: Int): Column = bind(toks, ts =>
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*))))
 }

@@ -67,9 +67,16 @@ object VectorFunctions {
     */
   def lshSignature(v: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
     val planes = Hyperplanes.planes(dim, nBits, seed)
+    // Each plane is a single array LITERAL (one tree node), and the dot
+    // product is a zip_with/aggregate fold — the whole signature is ~8
+    // small expressions instead of dim*nBits inlined multiplies, which
+    // kept the plan under the whole-stage-codegen size limit. The fold is
+    // left-to-right like the hand-rolled sum (0.0+x == x exactly), so
+    // sign decisions — and the DuckDB oracle — are unchanged.
     val bits = planes.zipWithIndex.map { case (plane, i) =>
-      val proj = (0 until dim).map(j => element_at(v, j + 1) * lit(plane(j)))
-        .reduce(_ + _)
+      val proj = aggregate(
+        zip_with(v, typedLit(plane.toSeq), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, t) => acc + t)
       when(proj > 0.0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -30,46 +30,56 @@ object TextAnalysis {
         size(array_distinct(toks)).cast("double"))
 
   /** Argmax language with deterministic tie-break (first in code order
-    * wins); "und" (undetermined) when no marker hits at all. */
-  def langId(textCol: Column): Column = {
-    val toks   = TextFunctions.tokens(textCol)
-    val scores = Stopwords.map { case (lang, mk) => lang -> langScore(toks, mk) }
-    val best   = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(when(best <= 0.0, lit("und"))) {
-      case (acc, (lang, s)) => acc.when(s === best, lit(lang))
-    }.otherwise(lit("und"))
-  }
+    * wins); "und" (undetermined) when no marker hits at all.
+    * Tokens and the score vector are let-bound (TextFunctions.bind) so
+    * the regex split runs once per row, not once per CASE arm. */
+  def langId(textCol: Column): Column =
+    TextFunctions.bind(TextFunctions.tokens(textCol), toks =>
+      TextFunctions.bind(
+        array(Stopwords.map { case (_, mk) => langScore(toks, mk) }: _*),
+        ss => {
+          val best = array_max(ss)
+          Stopwords.map(_._1).zipWithIndex
+            .foldLeft(when(best <= 0.0, lit("und"))) {
+              case (acc, (lang, i)) =>
+                acc.when(element_at(ss, i + 1) === best, lit(lang))
+            }.otherwise(lit("und"))
+        }))
 
   /** Heuristic quality score in [0,1]: weighted mix of length fitness,
     * alphanumeric density, punctuation restraint and mean word length
     * fitness. Deterministic, documented, and reproduced verbatim in the
     * DuckDB oracle (SparkEntry.oracleSql). */
-  def qualityScore(textCol: Column): Column = {
-    val len      = length(textCol).cast("double")
-    val alnum    = length(regexp_replace(textCol, "[^A-Za-z0-9]", "")).cast("double")
-    val punct    = length(regexp_replace(textCol, "[^.,;:!?]", "")).cast("double")
-    val nTok     = TextFunctions.tokenCount(textCol).cast("double")
-    val lenFit   = least(len / 200.0, lit(1.0))                 // reward ≥200 chars
-    val alnumR   = when(len === 0, 0.0).otherwise(alnum / len)
-    val punctOk  = when(len === 0, 0.0)
-      .otherwise(lit(1.0) - least(punct / greatest(nTok, lit(1.0)), lit(1.0)))
-    val meanWl   = when(nTok === 0, 0.0).otherwise(alnum / nTok)
-    val wlFit    = lit(1.0) - least(abs(meanWl - 5.0) / 5.0, lit(1.0))
-    round(lit(0.25) * lenFit + lit(0.25) * alnumR +
-      lit(0.25) * punctOk + lit(0.25) * wlFit, 6)
-  }
+  def qualityScore(textCol: Column): Column =
+    TextFunctions.bind(
+      array(length(textCol).cast("double"),
+        length(regexp_replace(textCol, "[^A-Za-z0-9]", "")).cast("double"),
+        length(regexp_replace(textCol, "[^.,;:!?]", "")).cast("double"),
+        TextFunctions.tokenCount(textCol).cast("double")),
+      m => {
+        val len      = element_at(m, 1)
+        val alnum    = element_at(m, 2)
+        val punct    = element_at(m, 3)
+        val nTok     = element_at(m, 4)
+        val lenFit   = least(len / 200.0, lit(1.0))             // reward ≥200 chars
+        val alnumR   = when(len === 0, 0.0).otherwise(alnum / len)
+        val punctOk  = when(len === 0, 0.0)
+          .otherwise(lit(1.0) - least(punct / greatest(nTok, lit(1.0)), lit(1.0)))
+        val meanWl   = when(nTok === 0, 0.0).otherwise(alnum / nTok)
+        val wlFit    = lit(1.0) - least(abs(meanWl - 5.0) / 5.0, lit(1.0))
+        round(lit(0.25) * lenFit + lit(0.25) * alnumR +
+          lit(0.25) * punctOk + lit(0.25) * wlFit, 6)
+      })
 
   /** Rolling-hash document fingerprint: minimum 60-bit md5 hash over
     * 8-char sliding windows of the normalized text (MinHash-of-char-
     * shingles; robust to word reordering at the edges, cheap to compare).
     * Docs shorter than 8 chars fall back to the hash of the whole text. */
-  def fingerprint(textCol: Column): Column = {
-    val norm = lower(regexp_replace(textCol, "\\s+", " "))
-    val grams = transform(sequence(lit(1), length(norm) - 7),
-      i => norm.substr(i, lit(8)))
-    when(length(norm) < 8, TextFunctions.md5Long(norm))
-      .otherwise(array_min(transform(grams, g => TextFunctions.md5Long(g))))
-  }
+  def fingerprint(textCol: Column): Column =
+    TextFunctions.bind(lower(regexp_replace(textCol, "\\s+", " ")), norm =>
+      when(length(norm) < 8, TextFunctions.md5Long(norm))
+        .otherwise(array_min(transform(sequence(lit(1), length(norm) - 7),
+          i => TextFunctions.md5Long(norm.substr(i, lit(8)))))))
 
   /** Full per-document stats relation: the one-pass profile a pipeline
     * computes before filtering (tokens, bpe-ish tokens, lang, quality,
