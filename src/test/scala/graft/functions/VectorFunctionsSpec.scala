@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eps = 1e-9
+
+  private def calc(a: Seq[Float], b: Seq[Float],
+      f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Double =
+    Seq((a, b)).toDF("a", "b").select(f(col("a"), col("b")).as("r"))
+      .head().getDouble(0)
+
+  test("dot / l2Norm / cosine on known vectors") {
+    assert(math.abs(calc(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f),
+      VectorFunctions.dot) - 32.0) < eps)
+    val n = Seq(Seq(3f, 4f)).toDF("a")
+      .select(VectorFunctions.l2Norm(col("a"))).head().getDouble(0)
+    assert(math.abs(n - 5.0) < eps)
+    assert(math.abs(calc(Seq(1f, 0f), Seq(0f, 1f), VectorFunctions.cosine)) < eps)
+    assert(math.abs(calc(Seq(1f, 1f), Seq(1f, 1f),
+      VectorFunctions.cosine) - 1.0) < eps)
+    // zero vector → 0.0, not NaN
+    assert(calc(Seq(0f, 0f), Seq(1f, 1f), VectorFunctions.cosine) === 0.0)
+  }
+
+  test("sqDist") {
+    assert(math.abs(calc(Seq(1f, 2f), Seq(4f, 6f),
+      VectorFunctions.sqDist) - 25.0) < eps)
+  }
+
+  test("parseVectorString: reference TEXT-stored vectors round-trip (F10)") {
+    def p(s: String): Any = Seq(s).toDF("t")
+      .select(VectorFunctions.parseVectorString(col("t")).as("r")).head().get(0)
+    assert(p("{-0.07,0.12,3.5}") === Seq(-0.07f, 0.12f, 3.5f))
+    assert(p("[1.0, 2.0]") === Seq(1f, 2f))
+    assert(p("") === Seq.empty)
+  }
+
+  test("hasDim guard (reference dims==1024 check)") {
+    val df = Seq(Seq(1f, 2f), Seq(1f, 2f, 3f)).toDF("v")
+    assert(df.filter(VectorFunctions.hasDim(col("v"), 2)).count() === 1L)
+  }
+
+  test("lshSignature expression matches driver-side querySignature") {
+    val vecs = Seq(
+      Array(0.5f, -0.25f, 1f, 0.1f) ++ Array.fill(60)(0.01f),
+      Array.fill(64)(-0.3f),
+      Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f))
+    val df = vecs.map(_.toSeq).toDF("v")
+    val got = df.select(
+      VectorFunctions.lshSignature(col("v"), 64, 8).as("sig"))
+      .collect().map(_.getLong(0))
+    val want = vecs.map(v =>
+      graft.search.VectorSearch.querySignature(v, 64, 8))
+    assert(got.toSeq === want)
+  }
+
+  test("hyperplanes are deterministic and in [-1, 1]") {
+    val p1 = Hyperplanes.planes(64, 8, 42L)
+    val p2 = Hyperplanes.planes(64, 8, 42L)
+    assert(p1.map(_.toSeq).toSeq === p2.map(_.toSeq).toSeq)
+    assert(p1.flatten.forall(x => x >= -1.0 && x <= 1.0))
+    assert(Hyperplanes.planes(64, 8, 7L).map(_.toSeq).toSeq !=
+      p1.map(_.toSeq).toSeq)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.embed.DeterministicEmbedder
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark spark spark join window"),
+    (2L, "spark join"),
+    (3L, "window sort merge"),
+    (4L, "nothing relevant whatsoever"),
+    (5L, "spark")
+  ).toDF("doc_id", "text")
+
+  test("bm25: docs with more query-term mass rank higher; irrelevant docs absent") {
+    val scored = TextSearch.bm25(docs, "doc_id", "text", "spark join")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!scored.contains(4L))
+    assert(scored(1L) > scored(5L)) // doc 1 has join too
+    assert(!scored.contains(3L))    // matches no query term
+  }
+
+  test("bm25 idf: rarer terms contribute more") {
+    val d = Seq((1L, "common rare"), (2L, "common"), (3L, "common"),
+      (4L, "common")).toDF("doc_id", "text")
+    val s = TextSearch.bm25(d, "doc_id", "text", "common rare")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) > 2 * s(2L))
+  }
+
+  test("tokenOverlapScore: fraction of query terms present") {
+    val r = docs.select(col("doc_id"),
+      TextSearch.tokenOverlapScore(col("text"), "spark join xyz").as("s"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(2L) - 2.0 / 3.0) < 1e-9)
+    assert(r(4L) === 0.0)
+  }
+
+  test("exactMatch caps results (reference 10000-hit cap)") {
+    val d = (1 to 50).map(i => (i.toLong, "k")).toDF("doc_id", "key")
+    assert(TextSearch.exactMatch(d, "key", "k", cap = 7).count() === 7L)
+    assert(TextSearch.exactMatch(d, "key", "nope").count() === 0L)
+  }
+
+  test("vector topK: exact brute force returns k best by cosine") {
+    val e = DeterministicEmbedder(64)
+    val q = e.embed("spark join merge")
+    val vecs = Seq(
+      (1L, e.embed("spark join merge").toSeq),
+      (2L, e.embed("spark join other").toSeq),
+      (3L, e.embed("unrelated stuff entirely").toSeq),
+      (4L, Seq.fill(64)(0f))
+    ).toDF("vec_id", "embedding")
+    val top = VectorSearch.topK(vecs, "vec_id", "embedding", q, 2).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-5)
+  }
+
+  test("ann topK: subset of brute-force results, query's own bucket probed") {
+    val e = DeterministicEmbedder(64)
+    val q = e.embed("spark join merge")
+    val vecs = (1 to 100).map(i =>
+      (i.toLong, e.embed(s"doc number $i about topic ${i % 7}").toSeq)) :+
+      (999L, e.embed("spark join merge").toSeq)
+    val df = vecs.toDF("vec_id", "embedding")
+    val ann = VectorSearch.annTopK(df, "vec_id", "embedding", q, 5, 64,
+      nBits = 8, probeHammingRadius = 8) // radius=nBits ⇒ exact
+    val exact = VectorSearch.topK(df, "vec_id", "embedding", q, 5)
+    assert(ann.collect().map(_.getLong(0)).toSeq ===
+      exact.collect().map(_.getLong(0)).toSeq)
+    // tight radius still finds the identical vector (same bucket as query)
+    val tight = VectorSearch.annTopK(df, "vec_id", "embedding", q, 5, 64,
+      nBits = 8, probeHammingRadius = 0)
+    assert(tight.collect().map(_.getLong(0)).contains(999L))
+  }
+
+  test("hybrid search: fuses boosts, applies min_score and size (reference Q3)") {
+    val e = DeterministicEmbedder(64)
+    val d = Seq(
+      (1L, "spark join merge sort window", "en", "s", 10L),
+      (2L, "spark join", "en", "s", 10L),
+      (3L, "zzz", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v = d.select(col("doc_id").as("vec_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, e.embed(t).toSeq) }.toDF("vec_id", "embedding")
+    val res = HybridSearch.search(d, v, "spark join merge sort window", e)
+      .collect()
+    assert(res.head.getAs[Long]("doc_id") === 1L)
+    // doc 1: text 1.0*1.0 + vec 0.8*1.0 = 1.8
+    assert(math.abs(res.head.getAs[Double]("score") - 1.8) < 1e-5)
+    // doc 3 scores ~0 < min_score 0.5 → excluded
+    assert(!res.map(_.getAs[Long]("doc_id")).contains(3L))
+  }
+}
