@@ -420,6 +420,26 @@ object SparkEntry {
            |      FROM documents) ORDER BY doc_id""".stripMargin
       }),
 
+    Q("q23_simhash_near_dup_pairs",
+      (s, dir) => Dedup.simhashCandidatePairs(Tables.documents(s, dir),
+        "doc_id", "text").orderBy("a", "b"),
+      {
+        val bits = (0 until Dedup.SimHashBits).map { i =>
+          s"(CASE WHEN list_sum([((h >> $i) & 1) * 2 - 1 for h in hs])" +
+            s" > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END)"
+        }.mkString(" + ")
+        s"""WITH sigs AS (
+           |  SELECT doc_id, ($bits)::BIGINT AS sim
+           |  FROM (SELECT doc_id, [${md5LongSql("t")} for t in $toksSql] AS hs
+           |        FROM documents)),
+           |quarters AS (
+           |  SELECT doc_id, q, (sim >> (q * 15)) & ${(1L << 15) - 1} AS v
+           |  FROM sigs, unnest([0, 1, 2, 3]) AS t(q))
+           |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |FROM quarters l JOIN quarters r ON l.q = r.q AND l.v = r.v
+           |WHERE l.doc_id < r.doc_id ORDER BY a, b""".stripMargin
+      }),
+
     // ==== vector search family ==========================================
 
     Q("q24_knn_bruteforce",
@@ -554,6 +574,91 @@ object SparkEntry {
            |      FROM documents WHERE source LIKE 'src1%')
            |ORDER BY doc_id""".stripMargin
       })
+    ,
+
+    // ==== ingest pipeline (reference E1, deterministic slice) ============
+
+    Q("q31_ingest_enrich",
+      (s, dir) => {
+        import graft.ingest.{Ingest, TextPageExtractor}
+        val files = Tables.documents(s, dir).select(
+          concat(lit("/ing/"), col("source"), lit("/"), col("lang"),
+            lit("/doc_"), col("doc_id"), lit(".txt")).as("path"),
+          col("text").cast("binary").as("content"))
+        Ingest.enrich(Ingest.explodePages(files, TextPageExtractor()), "/ing")
+          .select("filepath", "filename", "page", "lv1_cat", "lv2_cat",
+            "lv3_cat", "status", "hashed_filepath", "hashed_page_content")
+          .orderBy("filepath", "page")
+      },
+      """SELECT path AS filepath,
+        |  'doc_' || doc_id || '.txt' AS filename, 1 AS page,
+        |  source AS lv1_cat, lang AS lv2_cat, '' AS lv3_cat,
+        |  'success' AS status, md5(path) AS hashed_filepath,
+        |  md5('This page explains doc_' || doc_id || ' that belongs to '
+        |      || source || ',' || lang || ' categories.' || chr(10) || text)
+        |    AS hashed_page_content
+        |FROM (SELECT *, '/ing/' || source || '/' || lang || '/doc_'
+        |        || doc_id || '.txt' AS path FROM documents)
+        |ORDER BY filepath, page""".stripMargin),
+
+    // ==== multimodal stubs (rows-only check: hash not SQL-expressible) ===
+
+    Q("q32_media_meta",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val media = Tables.documents(s, dir).select(col("doc_id"),
+          lit("text/plain").as("mime"), col("text").cast("binary").as("media"))
+        Multimodal.withMediaFeatures(
+          Multimodal.withDecodedMeta(media, "media", "mime"), "media")
+          .select(col("doc_id"), col("meta.width"), col("meta.height"),
+            col("media_features"))
+          .orderBy("doc_id")
+      },
+      null),
+
+    // ==== event-stream analytics =========================================
+
+    Q("q33_event_gaps",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("gap_s",
+            (unix_timestamp(date_trunc("second", col("ts"))) -
+              unix_timestamp(date_trunc("second", col("prev_ts"))))
+              .cast("long"))
+          .select("user_id", "event_id", "gap_s")
+          .orderBy("user_id", "event_id").limit(5000)
+      },
+      """SELECT user_id, event_id,
+        |  date_diff('second',
+        |    date_trunc('second',
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),
+        |    date_trunc('second', ts))::BIGINT AS gap_s
+        |FROM events ORDER BY user_id, event_id LIMIT 5000""".stripMargin),
+
+    Q("q34_brand_revenue",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val p  = Tables.part(s, dir)
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy("p_brand")
+          .agg(sum(d184(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 4)) - d184(col("l_discount"))))
+            .cast("double").as("revenue"),
+            sum(d184(col("l_quantity"))).cast("double").as("sum_qty"),
+            count(lit(1)).as("n_items"))
+          .orderBy("p_brand")
+      },
+      """SELECT p_brand,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))::DOUBLE AS revenue,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

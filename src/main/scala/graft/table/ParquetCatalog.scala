@@ -1,0 +1,121 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference's RDB surface (create/drop/list/insert/select/distinct/
+  * delete — `/root/reference/backend/process/postgres.py`,
+  * `backend/process/maria.py`) re-expressed as a parquet-backed catalog:
+  * one directory per table under `baseDir`.
+  *
+  * Scale notes: selects are lazy DataFrames, so Catalyst pushes filters
+  * and projections into the parquet scan (the reference always
+  * `SELECT *`s and filters client-side). DELETE is an anti-join plus an
+  * atomic directory swap — full-partition rewrite, the documented
+  * trade-off vs a Delta-style log at 100 TB (SURVEY.md §7.4 risk 4).
+  */
+final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
+
+  private def dir(name: String) = s"$baseDir/$name"
+  private def validate(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_]+"), s"bad table name: $name")
+
+  /** D1 — CREATE TABLE IF NOT EXISTS from a runtime schema (the reference
+    * takes a List[{name,type}] column config, `postgres.py:95-145`). */
+  def createTable(name: String, schema: StructType): Unit = {
+    validate(name)
+    if (!tableExists(name))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.parquet(dir(name))
+  }
+
+  /** D2 — DROP TABLE IF EXISTS. */
+  def dropTable(name: String): Unit = {
+    validate(name)
+    val p = Paths.get(dir(name))
+    if (Files.exists(p)) deleteRec(p)
+  }
+
+  /** D3/D6 — list tables, sorted (reference ORDER BY table_name). */
+  def listTables(): Seq[String] = {
+    val base = Paths.get(baseDir)
+    if (!Files.exists(base)) Seq.empty
+    else {
+      val s = Files.list(base)
+      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+  private implicit class IterOps[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+
+  /** D5 — existence check. */
+  def tableExists(name: String): Boolean = Files.exists(Paths.get(dir(name)))
+
+  /** S6 sink — append rows (the reference's batch insert; parquet files
+    * are the commit unit, mirroring per-chunk commit isolation). */
+  def insert(name: String, df: DataFrame): Unit = {
+    validate(name)
+    df.write.mode(SaveMode.Append).parquet(dir(name))
+  }
+
+  /** S7 — CSV ingest: header row, nulls → "" on string columns
+    * (reference `pd.read_csv(...).fillna('')`, `postgres.py:148-224`). */
+  def insertFromCsv(name: String, csvPath: String): Long = {
+    val df = spark.read.option("header", "true").csv(csvPath).na.fill("")
+    insert(name, df)
+    df.count()
+  }
+
+  /** Lazy full-table frame — filters/projections compose and push down. */
+  def table(name: String): DataFrame = spark.read.parquet(dir(name))
+
+  /** O1 — SELECT * ORDER BY col LIMIT n (defaults id/10, reference
+    * `postgres.py:292-319`). Plans as TakeOrderedAndProject. */
+  def select(name: String, orderBy: String = "id",
+      limit: Option[Int] = Some(10)): DataFrame = {
+    val sorted = table(name).orderBy(col(orderBy))
+    limit.map(sorted.limit).getOrElse(sorted)
+  }
+
+  /** S9/P1 — key lookup; the filter reaches the parquet scan. */
+  def selectByKey(name: String, keyCol: String, value: String): DataFrame =
+    table(name).filter(col(keyCol) === lit(value))
+
+  /** A1 — distinct values of one projected column (reference does this
+    * client-side over a full fetch, `postgres.py:343-363`). */
+  def distinctValues(name: String, column: String): DataFrame =
+    table(name).select(column).distinct()
+
+  /** D4 — DELETE WHERE idCol IN ids. Anti-join rewrite + atomic swap;
+    * returns deleted-row count (reference returns cursor rowcount). */
+  def deleteByIds(name: String, idCol: String, ids: Seq[String]): Long = {
+    validate(name)
+    val t      = table(name)
+    val before = t.count()
+    val kept   = t.filter(!col(idCol).isInCollection(ids))
+    val tmp    = dir(name) + "__tmp_delete"
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val keptCount = spark.read.parquet(tmp).count()
+    val target = Paths.get(dir(name))
+    deleteRec(target)
+    Files.move(Paths.get(tmp), target)
+    before - keptCount
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+    finally s.close()
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.embed.DeterministicEmbedder
+
+class IngestSpec extends SparkSpec {
+
+  private def mkTree(): String = {
+    val base = Files.createTempDirectory("ingest").toString
+    def w(rel: String, text: String): Unit = {
+      val p = Paths.get(base, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, text.getBytes("UTF-8"))
+    }
+    w("cat1/sub1/doc_a.txt", "page one text\fpage two text")
+    w("cat1/doc_b.txt", "single page<!-- image -->with marker")
+    w("cat2/doc_c.txt", "another doc")
+    w("cat2/skip.bin", "binary noise")
+    base
+  }
+
+  test("scanBinaryFiles: recursive with glob (S1/S3/P5)") {
+    val base = mkTree()
+    val files = Ingest.scanBinaryFiles(spark, base, "*.txt")
+    assert(files.count() === 3)
+    assert(files.columns.contains("content"))
+  }
+
+  test("explodePages: one row per page, fail-soft extractor (S4)") {
+    val base  = mkTree()
+    val files = Ingest.scanBinaryFiles(spark, base, "*.txt")
+    val pages = Ingest.explodePages(files, TextPageExtractor())
+    assert(pages.count() === 4) // 2 + 1 + 1
+    assert(pages.filter(col("status") === "success").count() === 4)
+
+    val failing = new PageExtractor {
+      def extract(path: String, content: Array[Byte]) =
+        if (path.contains("doc_b")) throw new RuntimeException("boom")
+        else TextPageExtractor().extract(path, content)
+    }
+    val safe = new PageExtractor {
+      def extract(path: String, content: Array[Byte]) =
+        try failing.extract(path, content)
+        catch { case e: Exception => Seq(PageText(0, "", Some(e.getMessage))) }
+    }
+    val withFail = Ingest.explodePages(files, safe)
+    assert(withFail.filter(col("status") === "fail").count() === 1)
+    assert(withFail.count() === 4) // failed file still yields its row
+  }
+
+  test("enrich: categories from path, hashes, context prefix (F3/F5/F8)") {
+    val base = mkTree()
+    val pages = Ingest.explodePages(
+      Ingest.scanBinaryFiles(spark, base, "*.txt"), TextPageExtractor())
+    val e = Ingest.enrich(pages, base)
+    val a = e.filter(col("filename") === "doc_a.txt")
+      .orderBy("page").collect()
+    assert(a.length === 2)
+    assert(a(0).getAs[String]("lv1_cat") === "cat1")
+    assert(a(0).getAs[String]("lv2_cat") === "sub1")
+    assert(a(0).getAs[String]("lv3_cat") === "")
+    assert(a(0).getAs[String]("page_content").startsWith(
+      "This page explains doc_a that belongs to cat1,sub1 categories.\n"))
+    assert(a(0).getAs[String]("hashed_filepath").length === 32)
+    assert(a(0).getAs[String]("id").length === 36) // uuid
+    val b = e.filter(col("filename") === "doc_b.txt").head()
+    assert(!b.getAs[String]("page_content").contains("<!-- image -->"))
+    assert(b.getAs[String]("lv2_cat") === "")
+  }
+
+  test("pipeline: end-to-end to partitioned parquet with embeddings (E1)") {
+    val base = mkTree()
+    val out  = Files.createTempDirectory("ingest_out").toString
+    Ingest.pipeline(spark, base, out, DeterministicEmbedder(16),
+      glob = "*.txt")
+    val back = spark.read.parquet(out)
+    assert(back.count() === 4)
+    assert(back.select("lv1_cat").distinct().count() === 2) // partition col
+    assert(back.head().getAs[Seq[Float]]("embeddings").length === 16)
+    // partition pruning works on the category layout
+    assert(Files.exists(Paths.get(out, "lv1_cat=cat1")))
+  }
+}

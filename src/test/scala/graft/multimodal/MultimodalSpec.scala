@@ -1,0 +1,46 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val media = Seq(
+    (1L, "image/png", "fake png bytes here".getBytes("UTF-8")),
+    (2L, "video/mp4", ("x" * 1000).getBytes("UTF-8")),
+    (3L, "image/png", Array.empty[Byte])
+  ).toDF("media_id", "mime", "media")
+
+  test("withDecodedMeta: typed meta struct, fail-soft on empty media") {
+    val d = Multimodal.withDecodedMeta(media, "media", "mime")
+    assert(d.schema("meta").dataType.typeName === "struct")
+    val rows = d.orderBy("media_id").collect()
+    assert(rows(0).getStruct(3).getAs[String]("mime") === "image/png")
+    assert(rows(0).getStruct(3).getAs[Int]("width") > 0)
+    assert(rows(2).getStruct(3).getAs[String]("decode_error") === "empty media")
+    // deterministic
+    val again = Multimodal.withDecodedMeta(media, "media", "mime")
+      .orderBy("media_id").collect()
+    assert(again(0).getStruct(3) === rows(0).getStruct(3))
+  }
+
+  test("sampleFrames: n rows per media row, non-empty frame bytes") {
+    val f = Multimodal.sampleFrames(media.filter(col("media_id") === 2L),
+      "media", 4)
+    val rows = f.collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[Int]("frame_no")).sorted === Array(0, 1, 2, 3))
+    assert(rows.forall(_.getAs[Array[Byte]]("frame_bytes").length === 250))
+  }
+
+  test("withMediaFeatures: unit-norm fixed-dim vector; zero for empty") {
+    val f = Multimodal.withMediaFeatures(media, "media", dim = 32)
+      .orderBy("media_id").collect()
+    val v1 = f(0).getSeq[Float](3)
+    assert(v1.length === 32)
+    assert(math.abs(math.sqrt(v1.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+    assert(f(2).getSeq[Float](3).forall(_ == 0f))
+  }
+}

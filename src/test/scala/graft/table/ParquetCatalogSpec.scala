@@ -1,0 +1,67 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class ParquetCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCatalog() =
+    ParquetCatalog(spark, Files.createTempDirectory("cat").toString)
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("page_content", StringType),
+    StructField("page", IntegerType)))
+
+  test("create / exists / list / drop (D1/D2/D3/D5)") {
+    val c = freshCatalog()
+    assert(c.listTables() === Seq.empty)
+    c.createTable("docs", schema)
+    c.createTable("docs", schema) // IF NOT EXISTS: idempotent
+    c.createTable("aux", schema)
+    assert(c.listTables() === Seq("aux", "docs"))
+    assert(c.tableExists("docs"))
+    c.dropTable("docs")
+    assert(!c.tableExists("docs"))
+    assert(c.listTables() === Seq("aux"))
+    c.dropTable("docs") // IF EXISTS: idempotent
+    intercept[IllegalArgumentException](c.createTable("../evil", schema))
+  }
+
+  test("insert / select order-limit / selectByKey / distinct (S6/O1/P1/A1)") {
+    val c = freshCatalog()
+    c.createTable("docs", schema)
+    c.insert("docs", Seq(("c", "x", 1), ("a", "y", 2), ("b", "y", 3))
+      .toDF("id", "page_content", "page"))
+    c.insert("docs", Seq(("d", "z", 4)).toDF("id", "page_content", "page"))
+    assert(c.table("docs").count() === 4)
+    val top2 = c.select("docs", "id", Some(2)).collect().map(_.getString(0))
+    assert(top2 === Array("a", "b"))
+    assert(c.selectByKey("docs", "page_content", "y").count() === 2)
+    assert(c.distinctValues("docs", "page_content").count() === 3)
+  }
+
+  test("deleteByIds: anti-join + atomic swap, returns count (D4)") {
+    val c = freshCatalog()
+    c.createTable("docs", schema)
+    c.insert("docs", Seq(("a", "x", 1), ("b", "y", 2), ("c", "z", 3))
+      .toDF("id", "page_content", "page"))
+    assert(c.deleteByIds("docs", "id", Seq("a", "c", "nope")) === 2L)
+    assert(c.table("docs").select("id").as[String].collect().toSeq === Seq("b"))
+    assert(c.deleteByIds("docs", "id", Seq("zzz")) === 0L)
+  }
+
+  test("insertFromCsv: header + null fill (S7)") {
+    val c = freshCatalog()
+    val csv = Files.createTempFile("in", ".csv")
+    Files.write(csv, "id,page_content,page\n1,hello,1\n2,,2\n".getBytes)
+    val n = c.insertFromCsv("fromcsv", csv.toString)
+    assert(n === 2L)
+    val rows = c.table("fromcsv").orderBy("id").collect()
+    assert(rows(1).getString(1) === "") // fillna('')
+  }
+}
