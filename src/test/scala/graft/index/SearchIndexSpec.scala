@@ -1,0 +1,83 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.embed.DeterministicEmbedder
+import graft.search.{TextSearch, VectorSearch}
+
+class SearchIndexSpec extends SparkSpec {
+
+  private lazy val indexDir = {
+    val d = Files.createTempDirectory("index").toString
+    SearchIndex.build(Tables.documents(spark, SfDir),
+      Tables.embeddings(spark, SfDir), d)
+    d
+  }
+
+  test("build lays out partition-pruned tables") {
+    assert(Files.exists(Paths.get(indexDir, "stats")))
+    val pDirs = Files.list(Paths.get(indexDir, "postings")).toArray
+      .map(_.toString).count(_.contains("term_bucket="))
+    assert(pDirs > 10) // bucketed layout exists
+    val vDirs = Files.list(Paths.get(indexDir, "vectors")).toArray
+      .map(_.toString).count(_.contains("lsh_bucket="))
+    assert(vDirs > 2)
+  }
+
+  test("termBucket expression matches driver-side termBucketOf") {
+    import spark.implicits._
+    val terms = Seq("spark", "join", "merge", "window", "zzz9")
+    val got = terms.toDF("t")
+      .select(SearchIndex.termBucket(col("t")).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === terms.map(SearchIndex.termBucketOf))
+  }
+
+  test("indexed bm25 matches from-scratch bm25 (same scores)") {
+    val q = "spark join merge sort window"
+    val fresh = TextSearch.bm25(Tables.documents(spark, SfDir),
+      "doc_id", "text", q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val idx = SearchIndex.bm25(spark, indexDir, q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(idx.keySet === fresh.keySet)
+    idx.foreach { case (k, v) => assert(math.abs(v - fresh(k)) < 1e-9) }
+  }
+
+  test("indexed knn at full probe radius equals brute force") {
+    val e = DeterministicEmbedder(64)
+    val qv = e.embed("spark join merge sort window")
+    val brute = VectorSearch.topK(Tables.embeddings(spark, SfDir),
+      "vec_id", "embedding", qv, 10).collect().map(_.getLong(0)).toSeq
+    val idx = SearchIndex.knn(spark, indexDir, qv, 10,
+      probeHammingRadius = SearchIndex.LshBits)
+      .collect().map(_.getLong(0)).toSeq
+    assert(idx === brute)
+    // tight probe returns a subset of plausible candidates, still k rows
+    // or fewer, all from nearby buckets
+    val tight = SearchIndex.knn(spark, indexDir, qv, 10,
+      probeHammingRadius = 1).collect()
+    assert(tight.length <= 10 && tight.nonEmpty)
+  }
+
+  test("indexed hybrid returns top-k above min_score, sorted") {
+    val res = SearchIndex.hybrid(spark, indexDir,
+      "spark join merge sort window", DeterministicEmbedder(64)).collect()
+    assert(res.nonEmpty && res.length <= 10)
+    val scores = res.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse)
+    assert(scores.forall(_ >= 0.5))
+  }
+
+  test("knn probe scan is partition-pruned (reads only probed buckets)") {
+    val e  = DeterministicEmbedder(64)
+    val qv = e.embed("spark join merge sort window")
+    val plan = SearchIndex.knn(spark, indexDir, qv, 10, probeHammingRadius = 0)
+      .queryExecution.executedPlan.toString
+    // the scan must carry a partition filter on lsh_bucket, not a full scan
+    assert(plan.contains("lsh_bucket"))
+  }
+}
