@@ -666,6 +666,12 @@ object SparkEntry {
   /** One prebuilt index per fixture dir per JVM (the index IS the point:
     * build once, query many — queries must not pay the build). */
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build any one-time infrastructure (search index) ahead of query
+    * timing — the bench warm-up calls this so indexed queries measure
+    * query latency, not the build. */
+  def prepare(s: SparkSession, dir: String): Unit = { indexFor(s, dir); () }
+
   private def indexFor(s: SparkSession, dir: String): String =
     indexCache.computeIfAbsent(dir, d => {
       val out = java.nio.file.Files.createTempDirectory("graft_index_").toString
@@ -685,7 +691,88 @@ object SparkEntry {
       (s, dir) => graft.index.SearchIndex.knn(s, indexFor(s, dir), QueryVec,
         10, EmbedDim, probeHammingRadius = LshFullRadius),
       s"""SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
-         |FROM embeddings ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin)
+         |FROM embeddings ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin),
+
+    Q("q37_indexed_hybrid",
+      (s, dir) => graft.index.SearchIndex.hybrid(s, indexFor(s, dir),
+        QueryText, Embedder, probeHammingRadius = 2),
+      {
+        val qSig = VectorSearch.querySignature(QueryVec, EmbedDim, 8)
+        val probes = (0L until 256L)
+          .filter(b => java.lang.Long.bitCount(b ^ qSig) <= 2)
+          .mkString(", ")
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+           |posting AS (
+           |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+           |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+           |       FROM posting GROUP BY doc_id, term, dl),
+           |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+           |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+           |dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+           |  FROM tf WHERE term IN (SELECT unnest($qtermsSql)) GROUP BY term),
+           |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+           |  FROM dfreq, stats),
+           |text_s AS (
+           |  SELECT doc_id, sum(term_score) AS text_score FROM (
+           |    SELECT tf.doc_id,
+           |      idf.idf * tf.tf * (1.2 + 1.0) /
+           |        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS term_score
+           |    FROM tf JOIN idf ON tf.term = idf.term, stats)
+           |  GROUP BY doc_id),
+           |vec_s AS (
+           |  SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
+           |  FROM embeddings
+           |  WHERE ${lshBucketSql()} IN ($probes)
+           |  ORDER BY vec_score DESC, doc_id LIMIT ${HybridSearch.numCandidates(10)}),
+           |fused AS (
+           |  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+           |    round(coalesce(t.text_score, 0.0) * 1.0
+           |        + coalesce(v.vec_score, 0.0) * 0.8, 6) AS score
+           |  FROM text_s t FULL OUTER JOIN vec_s v ON t.doc_id = v.doc_id)
+           |SELECT doc_id, score FROM fused WHERE score >= 0.5
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+    Q("q38_parse_vector_strings",
+      (s, dir) => {
+        // F10: the reference stores embeddings as TEXT in the RDB and
+        // re-parses ('{-0.07,...}' → floats). Round-trip through the
+        // string form with integer-valued components (exact in float32
+        // on both engines).
+        val asIntStr = transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6).cast("long").cast("string"))
+        val vecStr = concat(lit("{"), concat_ws(",", asIntStr), lit("}"))
+        val parsed = VectorFunctions.parseVectorString(vecStr)
+        Tables.embeddings(s, dir).select(col("vec_id"),
+          size(parsed).as("n_dims"),
+          array_min(parsed).cast("long").as("min_c"),
+          array_max(parsed).cast("long").as("max_c"))
+          .orderBy("vec_id")
+      },
+      """SELECT vec_id,
+        |  len(ints)::INT AS n_dims,
+        |  list_min(ints)::BIGINT AS min_c,
+        |  list_max(ints)::BIGINT AS max_c
+        |FROM (SELECT vec_id,
+        |        list_transform(embedding::DOUBLE[],
+        |                       x -> floor(x * 1000000)::BIGINT) AS ints
+        |      FROM embeddings) ORDER BY vec_id""".stripMargin),
+
+    Q("q39_catalog_roundtrip",
+      (s, dir) => {
+        // D1/D4/S6/O1 as one deterministic flow: load documents into a
+        // fresh catalog table, delete three ids, read back top-10 by id.
+        import graft.table.ParquetCatalog
+        val base = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+        val c = ParquetCatalog(s, base)
+        val docs = Tables.documents(s, dir).select("doc_id", "lang", "source")
+        c.createTable("docs", docs.schema)
+        c.insert("docs", docs)
+        c.deleteByIds("docs", "doc_id", Seq(1L, 3L, 5L))
+        c.select("docs", "doc_id", Some(10))
+      },
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (1, 3, 5) ORDER BY doc_id LIMIT 10""".stripMargin)
   )
   private def LshFullRadius = graft.index.SearchIndex.LshBits // == exact
 

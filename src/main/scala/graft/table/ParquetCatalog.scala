@@ -98,7 +98,7 @@ final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
 
   /** D4 — DELETE WHERE idCol IN ids. Anti-join rewrite + atomic swap;
     * returns deleted-row count (reference returns cursor rowcount). */
-  def deleteByIds(name: String, idCol: String, ids: Seq[String]): Long = {
+  def deleteByIds(name: String, idCol: String, ids: Seq[Any]): Long = {
     validate(name)
     val t      = table(name)
     val before = t.count()
