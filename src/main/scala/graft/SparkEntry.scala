@@ -758,6 +758,90 @@ object SparkEntry {
         |                       x -> floor(x * 1000000)::BIGINT) AS ints
         |      FROM embeddings) ORDER BY vec_id""".stripMargin),
 
+    // ==== custom operators: as-of / range join / sampling ===============
+
+    Q("q40_asof_last_event",
+      (s, dir) => {
+        // for each order: the customer's latest event at or before the
+        // order date (second-truncated ts on both engines — the fixture
+        // stores ns, Spark reads µs; truncation makes compares identical)
+        import graft.operators.AsOfJoin
+        val ev = Tables.events(s, dir)
+          .withColumn("ts", date_trunc("second", col("ts")))
+          .withColumnRenamed("user_id", "o_custkey")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        AsOfJoin.asOf(o, ev, Seq("o_custkey"), "o_orderdate", "ts",
+          Seq("event_id"), tiebreak = "event_id")
+          .select(col("o_orderkey"), col("event_id").as("last_event_id"))
+          .orderBy("o_orderkey").limit(2000)
+      },
+      """SELECT o_orderkey,
+        |  (SELECT max(e.event_id) FROM events e
+        |   WHERE e.user_id = o.o_custkey
+        |     AND date_trunc('second', e.ts) <= o.o_orderdate
+        |     AND date_trunc('second', e.ts) =
+        |         (SELECT max(date_trunc('second', e2.ts)) FROM events e2
+        |          WHERE e2.user_id = o.o_custkey
+        |            AND date_trunc('second', e2.ts) <= o.o_orderdate)
+        |  ) AS last_event_id
+        |FROM orders o ORDER BY o_orderkey LIMIT 2000""".stripMargin),
+
+    Q("q41_range_join_events",
+      (s, dir) => {
+        // events within [orderdate, orderdate + 1 day) per order
+        import graft.operators.RangeJoin
+        val ev = Tables.events(s, dir)
+          .withColumn("ts", date_trunc("second", col("ts")))
+          .withColumnRenamed("user_id", "o_custkey")
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").as("start"),
+            (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("end"))
+        RangeJoin.byTime(o, ev, Seq("o_custkey"), "start", "end", "ts",
+          bucketSeconds = 86400)
+          .groupBy("o_orderkey").agg(count(lit(1)).as("n_ev"))
+          .orderBy("o_orderkey").limit(2000)
+      },
+      """SELECT o_orderkey, count(*) AS n_ev
+        |FROM orders JOIN events
+        |  ON user_id = o_custkey
+        | AND date_trunc('second', ts) >= o_orderdate
+        | AND date_trunc('second', ts) < o_orderdate + INTERVAL 1 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 2000""".stripMargin),
+
+    Q("q42_hash_sample",
+      (s, dir) => graft.pipeline.Sampling.hashSample(
+        Tables.documents(s, dir), "doc_id", 0.25)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${md5LongSql("doc_id::VARCHAR")} % 1000000 < 250000
+         |ORDER BY doc_id""".stripMargin),
+
+    Q("q43_token_budget",
+      (s, dir) => graft.pipeline.Sampling.tokenBudget(
+        Tables.documents(s, dir)
+          .withColumn("n_tokens", TextFunctions.tokenCount(col("text"))),
+        "lang", "doc_id", "n_tokens", 5000L)
+        .select("doc_id", "lang", "n_tokens").orderBy("doc_id"),
+      s"""SELECT doc_id, lang, n_tokens FROM (
+         |  SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY ${md5LongSql("doc_id::VARCHAR")}, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM (SELECT doc_id, lang, len($toksSql)::BIGINT AS n_tokens
+         |        FROM documents))
+         |WHERE cum <= 5000 ORDER BY doc_id""".stripMargin),
+
+    Q("q44_stratified_take",
+      (s, dir) => graft.pipeline.Sampling.stratifiedTake(
+        Tables.documents(s, dir), "lang", "doc_id", 7)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${md5LongSql("doc_id::VARCHAR")}, doc_id) AS rn
+         |  FROM documents) WHERE rn <= 7 ORDER BY doc_id""".stripMargin),
+
     Q("q39_catalog_roundtrip",
       (s, dir) => {
         // D1/D4/S6/O1 as one deterministic flow: load documents into a

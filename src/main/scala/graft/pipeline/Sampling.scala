@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deterministic sampling / selection operators for training-data
+  * curation. All decisions derive from md5 of the row's id — stable
+  * across runs, engines and partitionings (a `rand()` sample is neither
+  * reproducible nor oracle-checkable), and shuffle-free where possible.
+  */
+object Sampling {
+
+  private val M = 1000000L
+
+  /** Keep ≈`rate` of rows, decided per-row by id hash — no shuffle, no
+    * RNG state, refreshable incrementally (new rows get the same rule). */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(pmod(TextFunctions.md5Long(col(idCol).cast("string")), lit(M))
+      < lit((rate * M).toLong))
+
+  /** At most `n` rows per stratum, chosen by id-hash order (deterministic
+    * "random" representative set). One shuffle on the stratum key. */
+  def stratifiedTake(df: DataFrame, stratumCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(TextFunctions.md5Long(col(idCol).cast("string")).asc,
+        col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Greedy per-stratum token budget: admit rows in id-hash order while
+    * the stratum's running token total stays within `budget`. The
+    * standard "N tokens per language" curation step as one window pass. */
+  def tokenBudget(df: DataFrame, stratumCol: String, idCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(TextFunctions.md5Long(col(idCol).cast("string")).asc,
+        col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .filter(col("__cum") <= budget).drop("__cum")
+  }
+
+  /** Quality-gated corpus: the full curation chain (dedup → quality floor
+    * → per-language budget) as one declarative plan. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, minQuality: Double, tokensPerLang: Long): DataFrame = {
+    val deduped = graft.dedup.Dedup.exactDedup(docs, idCol, textCol)
+    val scored = deduped
+      .withColumn("__q", graft.text.TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("__tok", TextFunctions.tokenCount(col(textCol)))
+      .filter(col("__q") >= minQuality)
+    tokenBudget(scored, langCol, idCol, "__tok", tokensPerLang)
+      .drop("__q", "__tok")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100.0, 11L),
+    (1L, ts("2024-01-01 11:00:00"), 110.0, 12L),
+    (1L, ts("2024-01-01 11:00:00"), 115.0, 13L), // same time, higher id wins
+    (2L, ts("2024-01-01 10:30:00"), 200.0, 21L)
+  ).toDF("key", "qts", "price", "qid")
+
+  private val trades = Seq(
+    (1L, ts("2024-01-01 10:30:00"), "t1"), // after 10:00 quote
+    (1L, ts("2024-01-01 11:00:00"), "t2"), // equal time: inclusive, id 13
+    (1L, ts("2024-01-01 09:00:00"), "t3"), // before any quote → null
+    (2L, ts("2024-01-01 12:00:00"), "t4"),
+    (3L, ts("2024-01-01 12:00:00"), "t5")  // key with no quotes → null
+  ).toDF("key", "tts", "trade_id")
+
+  test("asOf: latest carrier at or before probe time, per key") {
+    val r = AsOfJoin.asOf(trades, quotes, Seq("key"), "tts", "qts",
+      Seq("price", "qid"), tiebreak = "qid")
+      .collect().map(x => x.getAs[String]("trade_id") ->
+        (Option(x.getAs[Any]("price")), Option(x.getAs[Any]("qid")))).toMap
+    assert(r("t1") === (Some(100.0), Some(11L)))
+    assert(r("t2") === (Some(115.0), Some(13L))) // inclusive + tiebreak
+    assert(r("t3") === (None, None))
+    assert(r("t4") === (Some(200.0), Some(21L)))
+    assert(r("t5") === (None, None))
+    assert(r.size === 5) // left join semantics: every probe kept
+  }
+
+  test("rangeJoin.byTime: exact [start, end) semantics across buckets") {
+    val intervals = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "w1"),
+      (1L, ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00"), "w2"), // crosses bucket
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), "w3")  // empty
+    ).toDF("key", "start", "end", "win")
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "inside-at-start"),
+      (1L, ts("2024-01-01 11:00:00"), "at-end-excluded"),
+      (1L, ts("2024-01-02 00:30:00"), "inside-cross"),
+      (2L, ts("2024-01-01 10:00:00"), "empty-interval")
+    ).toDF("key", "pts", "label")
+    val got = RangeJoin.byTime(intervals, points, Seq("key"),
+      "start", "end", "pts", bucketSeconds = 3600)
+      .select("win", "label").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("w1", "inside-at-start"), ("w2", "inside-cross")))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSample: deterministic, rate-proportional, no shuffle decision") {
+    val docs = Tables.documents(spark, SfDir)
+    val s1 = Sampling.hashSample(docs, "doc_id", 0.3)
+    val s2 = Sampling.hashSample(docs, "doc_id", 0.3)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      s2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    val n = s1.count().toDouble / docs.count()
+    assert(n > 0.2 && n < 0.4)
+    // monotone: a larger rate strictly contains the smaller sample
+    val big = Sampling.hashSample(docs, "doc_id", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).forall(big))
+  }
+
+  test("stratifiedTake: at most n per stratum, deterministic choice") {
+    val docs = Tables.documents(spark, SfDir)
+    val t = Sampling.stratifiedTake(docs, "lang", "doc_id", 7)
+    val per = t.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(per.forall(_ <= 7))
+    assert(t.count() ===
+      Sampling.stratifiedTake(docs, "lang", "doc_id", 7).count())
+  }
+
+  test("tokenBudget: per-stratum running total within budget") {
+    val df = Seq(
+      ("en", 1L, 50L), ("en", 2L, 60L), ("en", 3L, 70L),
+      ("fr", 10L, 100L), ("fr", 11L, 100L)
+    ).toDF("lang", "doc_id", "n_tok")
+    val kept = Sampling.tokenBudget(df, "lang", "doc_id", "n_tok", 120L)
+    val perLang = kept.groupBy("lang").agg(sum("n_tok").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.values.forall(_ <= 120L))
+    assert(kept.count() >= 2) // at least one admitted per stratum
+  }
+
+  test("curate: dedup + quality floor + budget compose") {
+    val docs = Tables.documents(spark, SfDir)
+    val c = Sampling.curate(docs, "doc_id", "text", "lang", 0.1, 2000L)
+    assert(c.count() > 0)
+    assert(c.columns.toSeq === docs.columns.toSeq)
+  }
+}
