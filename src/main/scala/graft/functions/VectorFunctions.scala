@@ -31,8 +31,16 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity in [-1, 1]; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity in [-1, 1]; 0.0 when either vector has zero norm.
+    * Backed by the native codegen expression [[CosineSimilarityExpr]]
+    * (primitive float loop inside whole-stage codegen); numerically
+    * identical to the HOF composition [[cosineHof]]. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftext.CosineSimilarityExpr.cosineFast(a, b)
+
+  /** Reference HOF formulation of cosine (kept for cross-checking the
+    * native expression; same left-to-right double accumulation). */
+  def cosineHof(a: Column, b: Column): Column = {
     val d  = dot(a, b)
     val na = l2Norm(a)
     val nb = l2Norm(b)

@@ -27,6 +27,27 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(calc(Seq(0f, 0f), Seq(1f, 1f), VectorFunctions.cosine) === 0.0)
   }
 
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val e = graft.embed.DeterministicEmbedder(64)
+    val pairs = (1 to 50).map(i =>
+      (e.embed(s"doc $i topic ${i % 5}").toSeq, e.embed(s"query ${i % 3}").toSeq))
+    val df = pairs.toDF("a", "b")
+    val both = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("fast"),
+      VectorFunctions.cosineHof(col("a"), col("b")).as("hof")).collect()
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // exact ==
+    // codegen path actually exercised on a real scan (a local literal
+    // relation short-circuits to LocalTableScan with no codegen stage)
+    val emb = graft.Tables.embeddings(spark, SfDir)
+    val scored = emb.select(VectorFunctions.cosine(col("embedding"),
+      typedLit(e.embed("q").toSeq)))
+    scored.collect() // finalize the adaptive plan before inspecting it
+    // "*(n)" prefix marks whole-stage-codegen stages in the plan string;
+    // the project computing the cosine must be inside one
+    assert(scored.queryExecution.executedPlan.toString
+      .linesIterator.exists(l => l.contains("*(") && l.contains("Project")))
+  }
+
   test("sqDist") {
     assert(math.abs(calc(Seq(1f, 2f), Seq(4f, 6f),
       VectorFunctions.sqDist) - 25.0) < eps)
