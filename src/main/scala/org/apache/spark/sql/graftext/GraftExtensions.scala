@@ -1,0 +1,71 @@
+// Same private[sql]-bridge rationale as CosineSimilarityExpr.
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ColumnNodeToExpressionConverter
+import org.apache.spark.sql.classic.ExpressionUtils.column
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.text.TextAnalysis
+
+/** SQL surface for the engine's functions. Two ways in:
+  *  - config: `spark.sql.extensions=org.apache.spark.sql.graftext.GraftExtensions`
+  *  - programmatic: `GraftFunctions.register(spark)` on a live session.
+  * After either, `spark.sql("SELECT graft_cosine(a, b) ...")` etc. work —
+  * the reference's users talk SQL to Postgres; ours can talk SQL to Spark.
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(getClass.getName, null, name, usage, "")
+
+  /** EAGER Column→Expression conversion. `ExpressionUtils.expression`
+    * returns a lazy ColumnNodeExpression wrapper that the analyzer
+    * treats as a leaf — nested unresolved functions inside it never get
+    * resolved when returned from a FunctionRegistry builder. Converting
+    * the node up front yields a plain catalyst tree the analyzer
+    * resolves normally. */
+  private def expression(c: org.apache.spark.sql.Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "_FUNC_(a, b) - cosine similarity of two float vectors"),
+      (cs: Seq[Expression]) => CosineSimilarityExpr(cs(0), cs(1))),
+    (FunctionIdentifier("graft_tokens"),
+      info("graft_tokens", "_FUNC_(text) - lowercase alnum tokens"),
+      (cs: Seq[Expression]) => expression(TextFunctions.tokens(column(cs(0))))),
+    (FunctionIdentifier("graft_md5long"),
+      info("graft_md5long", "_FUNC_(s) - stable 60-bit md5-derived hash"),
+      (cs: Seq[Expression]) => expression(TextFunctions.md5Long(column(cs(0))))),
+    (FunctionIdentifier("graft_quality"),
+      info("graft_quality", "_FUNC_(text) - heuristic quality score in [0,1]"),
+      (cs: Seq[Expression]) => expression(TextAnalysis.qualityScore(column(cs(0))))),
+    (FunctionIdentifier("graft_lang_id"),
+      info("graft_lang_id", "_FUNC_(text) - stopword-ratio language id"),
+      (cs: Seq[Expression]) => expression(TextAnalysis.langId(column(cs(0))))),
+    (FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "_FUNC_(text) - rolling-hash document fingerprint"),
+      (cs: Seq[Expression]) => expression(TextAnalysis.fingerprint(column(cs(0))))),
+    (FunctionIdentifier("graft_lsh_bucket"),
+      info("graft_lsh_bucket",
+        "_FUNC_(vec, dim, nBits) - random-hyperplane LSH signature"),
+      (cs: Seq[Expression]) => {
+        val dim   = cs(1).eval().asInstanceOf[Number].intValue()
+        val nBits = cs(2).eval().asInstanceOf[Number].intValue()
+        expression(VectorFunctions.lshSignature(column(cs(0)), dim, nBits))
+      }))
+
+  /** Register into a live session (tests, notebooks). */
+  def register(spark: SparkSession): Unit = all.foreach { case (id, fi, b) =>
+    spark.sessionState.functionRegistry.registerFunction(id, fi, b)
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

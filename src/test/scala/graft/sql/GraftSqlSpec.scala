@@ -1,0 +1,55 @@
+package graft.sql
+
+import org.apache.spark.sql.graftext.GraftFunctions
+
+import graft.{SparkSpec, Tables}
+import graft.embed.DeterministicEmbedder
+
+class GraftSqlSpec extends SparkSpec {
+
+  private lazy val ready: Unit = {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, SfDir).createOrReplaceTempView("documents")
+    Tables.embeddings(spark, SfDir).createOrReplaceTempView("embeddings")
+  }
+
+  test("graft functions callable from SQL (extension surface)") {
+    ready
+    val r = spark.sql(
+      """SELECT doc_id, graft_quality(text) AS q, graft_lang_id(text) AS l,
+        |  graft_fingerprint(text) AS fp, size(graft_tokens(text)) AS n
+        |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5)
+    assert(r.forall(x => x.getDouble(1) >= 0 && x.getDouble(1) <= 1))
+    assert(r.forall(_.getAs[Int]("n") > 0))
+  }
+
+  test("graft_cosine in a SQL top-k matches the DataFrame path") {
+    ready
+    val e  = DeterministicEmbedder(64)
+    val qv = e.embed("spark join merge sort window")
+    val lit = qv.map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")
+    val viaSql = spark.sql(
+      s"""SELECT vec_id, round(graft_cosine(embedding, $lit), 6) AS s
+         |FROM embeddings ORDER BY s DESC, vec_id LIMIT 5""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val viaDf = graft.search.VectorSearch.topK(
+      Tables.embeddings(spark, SfDir), "vec_id", "embedding", qv, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql === viaDf)
+  }
+
+  test("graft_lsh_bucket agrees with the driver-side signature") {
+    ready
+    val rows = spark.sql(
+      """SELECT vec_id, graft_lsh_bucket(embedding, 64, 8) AS b
+        |FROM embeddings ORDER BY vec_id LIMIT 20""".stripMargin).collect()
+    val embs = Tables.embeddings(spark, SfDir).orderBy("vec_id").limit(20)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) ===
+        graft.search.VectorSearch.querySignature(embs(r.getLong(0)), 64, 8))
+    }
+  }
+}

@@ -32,6 +32,51 @@ class StreamIngestSpec extends SparkSpec {
     assert(back.filter(col("lv1_cat") === "catA").count() === 3)
   }
 
+  test("dedupStream: first writer wins per content hash") {
+    val in = Files.createTempDirectory("dedup_in")
+    import spark.implicits._
+    Seq(
+      (1L, "same text", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, "same text", java.sql.Timestamp.valueOf("2024-01-01 10:01:00")),
+      (3L, "other text", java.sql.Timestamp.valueOf("2024-01-01 10:02:00"))
+    ).toDF("doc_id", "text", "ts").write.parquet(in.toString + "/batch1")
+    val stream = StreamIngest.parquetStream(spark, in.toString + "/batch1",
+      spark.read.parquet(in.toString + "/batch1").schema)
+    val q = StreamIngest.dedupStream(stream, "text", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val ids = spark.sql("SELECT doc_id FROM dedup_out ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.size === 2)          // one of the dupes dropped
+    assert(ids.contains(3L))        // unique doc kept
+    assert(ids.intersect(Set(1L, 2L)).size === 1)
+  }
+
+  test("runningUserStats: mapGroupsWithState accumulates per user") {
+    val in = Files.createTempDirectory("stats_in")
+    import spark.implicits._
+    Seq(
+      (10L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.5),
+      (10L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2.5),
+      (20L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 4.0)
+    ).toDF("user_id", "ts", "value").write.parquet(in.toString + "/b")
+    val stream = StreamIngest.parquetStream(spark, in.toString + "/b",
+      spark.read.parquet(in.toString + "/b").schema)
+    val q = StreamIngest.runningUserStats(stream)
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val m = spark.sql("SELECT user_id, n_events, sum_value FROM user_stats")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(10L) === ((2L, 4.0)))
+    assert(m(20L) === ((1L, 4.0)))
+  }
+
   test("eventCountsByWindow over a streamed events fixture matches batch") {
     val events = Tables.events(spark, SfDir) // also sets nanosAsLong conf
     // the file-stream source wants a directory, not a single file
