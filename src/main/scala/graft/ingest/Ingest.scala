@@ -75,6 +75,13 @@ object Ingest {
       .toDF("filepath", "page", "page_content", "error", "status")
   }
 
+  /** A4 — pages per source file (reference `len(pdf.pages)`,
+    * `parsing.py:200-202`). */
+  def pageCounts(pages: DataFrame): DataFrame =
+    pages.groupBy("filepath")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_pages"))
+
   /** Reference metadata enrichment (F1–F6, F8, F9, F12, F13): clean the
     * page text, prepend the context sentence, derive category levels from
     * the path relative to `baseDir`, hash everything with md5, mint a
