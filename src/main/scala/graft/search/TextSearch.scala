@@ -37,22 +37,30 @@ object TextSearch {
   def bm25(docs: DataFrame, idCol: String, textCol: String, query: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val postings = buildPostings(docs, idCol, textCol)
-    val n        = docs.count().toDouble
-    val avgdl    = postings.select(col("doc_id"), col("dl")).distinct()
-      .agg(avg("dl")).head().getDouble(0)
     val qTerms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+
+    // Corpus stats stay INSIDE the plan as broadcast 1-row relations —
+    // no count()/head() driver actions at query time, so composing bm25
+    // into a larger plan stays fully lazy. N counts all docs (matching
+    // the oracle); avgdl averages docs that produced postings.
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val avgDl = postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(avg("dl").as("avgdl"))
 
     val dfStats = postings.filter(col("term").isin(qTerms: _*))
       .groupBy("term").agg(countDistinct("doc_id").cast("double").as("df"))
-    // idf_Lucene = ln(1 + (N - df + 0.5)/(df + 0.5))
-    val withIdf = dfStats.withColumn("idf",
-      log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)))
 
     postings.filter(col("term").isin(qTerms: _*))
-      .join(broadcast(withIdf), "term")
+      .join(broadcast(dfStats), "term")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgDl))
+      // idf_Lucene = ln(1 + (N - df + 0.5)/(df + 0.5))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("term_score",
         col("idf") * col("tf") * (k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg(sum("term_score").as("text_score"))
   }

@@ -39,6 +39,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r.size === 5) // left join semantics: every probe kept
   }
 
+  test("saltedJoin: identical result set to the plain join") {
+    val big = (1 to 500).map(i =>
+      (if (i % 10 == 0) "hot" else s"k$i", i.toLong)).toDF("key", "v")
+    val dim = Seq(("hot", "H"), ("k3", "A"), ("k7", "B")).toDF("key", "label")
+    val plain = big.join(dim, Seq("key"))
+      .select("key", "v", "label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val salted = SkewJoin.saltedJoin(big, dim, Seq("key"),
+      saltFactor = 8, saltSource = "v")
+      .select("key", "v", "label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted === plain)
+    assert(plain.count(_._1 == "hot") === 50)
+  }
+
   test("rangeJoin.byTime: exact [start, end) semantics across buckets") {
     val intervals = Seq(
       (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "w1"),
