@@ -1,0 +1,73 @@
+package graft.index
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) vector index: k-means cells instead of LSH
+  * hyperplanes. Build fits MLlib KMeans (seeded, deterministic), assigns
+  * every vector to its nearest centroid, and writes the corpus
+  * `partitionBy("ivf_cell")` plus a tiny `centroids/` table. A query
+  * ranks centroids driver-side (index metadata, k rows), probes the
+  * `nProbe` nearest cells — a partition-pruned scan — and runs exact
+  * cosine inside the candidates.
+  *
+  * Complements [[SearchIndex]]'s LSH path: IVF adapts to the data
+  * distribution (cells are balanced where the data is), LSH is
+  * data-independent and engine-reproducible. Both bound the scan at
+  * 100 TB; `nProbe` is the recall/latency knob (ES `num_candidates`).
+  */
+object IvfIndex {
+
+  def build(embs: DataFrame, indexDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", nCells: Int = 16,
+      seed: Long = 42L): Unit = {
+    val withVec = embs.select(col(idCol).as("doc_id"),
+      col(vecCol).as("embedding"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("ivf_cell")
+      .fit(withVec)
+    model.transform(withVec)
+      .select(col("doc_id"), col("embedding"), col("ivf_cell"))
+      .repartition(col("ivf_cell"))
+      .write.mode("overwrite").partitionBy("ivf_cell")
+      .parquet(s"$indexDir/ivf_vectors")
+
+    val spark = embs.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Exact cosine top-k within the nProbe nearest cells. */
+  def knn(spark: SparkSession, indexDir: String, queryVec: Array[Float],
+      k: Int, nProbe: Int = 2): DataFrame = {
+    // centroid ranking is driver-side: the centroid table IS the index
+    // metadata (nCells rows), not corpus data
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    val q = queryVec.map(_.toDouble)
+    val cells = centroids.toSeq
+      .map { case (cell, c) =>
+        val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+        (cell, d)
+      }
+      .sortBy { case (cell, d) => (d, cell) }
+      .take(nProbe).map(_._1)
+
+    spark.read.parquet(s"$indexDir/ivf_vectors")
+      .filter(col("ivf_cell").isin(cells: _*))
+      .select(col("doc_id"),
+        round(VectorFunctions.cosine(col("embedding"), typedLit(queryVec)), 6)
+          .as("vec_score"))
+      .orderBy(col("vec_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

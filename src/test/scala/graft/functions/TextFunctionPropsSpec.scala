@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** ScalaCheck-generated property tests for the scalar layer (SURVEY.md
+  * §5), evaluated through Spark one-row frames so the properties hold
+  * for the actual engine semantics. Fixed seed → deterministic. */
+class TextFunctionPropsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c.as("r")).head().get(0)
+
+  /** n deterministic samples from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val texts: Gen[String] = Gen.listOfN(12,
+    Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.oneOf(" ", "\t", ",", "!",
+      "<!-- image -->", "\r\n3"))).map(_.mkString(" ")).map(_.take(120))
+
+  test("tokens: always lowercase alnum, never empty strings") {
+    samples(texts, 15).foreach { s =>
+      val toks = one(TextFunctions.tokens(col("t")), s)
+        .asInstanceOf[scala.collection.Seq[String]]
+      assert(toks.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")), s"in: $s")
+    }
+  }
+
+  test("shingles: count = max(0, n_tokens - 2); each has exactly 3 tokens") {
+    samples(texts, 15).foreach { s =>
+      val toks = one(TextFunctions.tokens(col("t")), s)
+        .asInstanceOf[scala.collection.Seq[String]]
+      val sh = one(TextFunctions.shingles(
+        TextFunctions.tokens(col("t")), 3), s).asInstanceOf[scala.collection.Seq[String]]
+      assert(sh.length === math.max(0, toks.length - 2), s"in: $s")
+      assert(sh.forall(_.split(" ").length === 3), s"in: $s")
+    }
+  }
+
+  test("cleanText is idempotent") {
+    samples(texts, 15).foreach { s =>
+      val once  = one(TextFunctions.cleanText(col("t")), s).asInstanceOf[String]
+      val twice = one(TextFunctions.cleanText(lit(once)), "x").asInstanceOf[String]
+      assert(twice === once, s"in: $s")
+    }
+  }
+
+  test("md5Long: stable and non-negative") {
+    samples(texts, 10).foreach { s =>
+      val a = one(TextFunctions.md5Long(col("t")), s).asInstanceOf[Long]
+      val b = one(TextFunctions.md5Long(col("t")), s).asInstanceOf[Long]
+      assert(a === b)
+      assert(a >= 0)
+    }
+  }
+
+  test("parseVectorString round-trips integer-component vectors") {
+    val vecs = Gen.listOfN(8, Gen.choose(-1000000, 1000000))
+    samples(vecs, 10).foreach { v =>
+      val s = v.mkString("{", ",", "}")
+      val parsed = one(VectorFunctions.parseVectorString(col("t")), s)
+        .asInstanceOf[scala.collection.Seq[Float]]
+      assert(parsed === v.map(_.toFloat), s"in: $s")
+    }
+  }
+
+  test("categoryLevel never throws on arbitrary paths, '' when absent") {
+    val paths = Gen.listOf(Gen.oneOf("a", "b\\c", "", "d/e"))
+      .map(_.mkString("/"))
+    samples(paths, 10).foreach { p =>
+      (1 to 4).foreach { lvl =>
+        val r = one(TextFunctions.categoryLevel(lit(p), lvl), "x")
+        assert(r.isInstanceOf[String], s"in: $p lvl $lvl")
+      }
+    }
+  }
+}
