@@ -776,6 +776,36 @@ object SparkEntry {
         |                       x -> floor(x * 1000000)::BIGINT) AS ints
         |      FROM embeddings) ORDER BY vec_id""".stripMargin),
 
+    Q("q47_kmv_distinct_parts",
+      (s, dir) => {
+        val est = graft.functions.Sketches.kmvDistinct(
+          Tables.lineitem(s, dir), "l_returnflag", "l_partkey", 64)
+        val exact = Tables.lineitem(s, dir).groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").as("exact_distinct"))
+        est.join(exact, "l_returnflag").orderBy("l_returnflag")
+      },
+      s"""WITH hashed AS (
+         |  SELECT DISTINCT l_returnflag,
+         |    ${md5LongSql("l_partkey::VARCHAR")} AS h
+         |  FROM lineitem),
+         |topk AS (
+         |  SELECT l_returnflag, h,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         |  FROM hashed),
+         |kmv AS (
+         |  SELECT l_returnflag, max(h) AS hk, count(*) AS k
+         |  FROM topk WHERE rn <= 64 GROUP BY l_returnflag)
+         |SELECT kmv.l_returnflag,
+         |  round(CASE WHEN k < 64 THEN k::DOUBLE
+         |        ELSE (k - 1)::DOUBLE * 1152921504606846976.0 / hk::DOUBLE
+         |        END, 4) AS est_distinct,
+         |  exact.exact_distinct
+         |FROM kmv JOIN (
+         |  SELECT l_returnflag,
+         |    count(DISTINCT l_partkey)::BIGINT AS exact_distinct
+         |  FROM lineitem GROUP BY l_returnflag) exact USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin),
+
     Q("q45_revenue_rollup",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engine-reproducible sketches. Spark's `approx_count_distinct` (HLL++)
+  * is the production choice at 100 TB, but its estimate is
+  * implementation-specific — no cross-engine oracle can check it. KMV
+  * (k-minimum-values) over the md5 hash space is deterministic on ANY
+  * engine: the k smallest 60-bit hashes of the distinct values determine
+  * the estimate `(k-1) * 2^60 / h_k` exactly.
+  */
+object Sketches {
+
+  val HashSpace: Double = math.pow(2.0, 60) // md5Long range [0, 2^60)
+
+  /** Per-group KMV distinct-count estimate.
+    * Returns (groupCols*, est_distinct). Groups with fewer than k
+    * distinct values report the exact count. The DF-algebra shape
+    * (distinct → per-group top-k by hash → max) demonstrates the
+    * semantics; a production TypedImperativeAggregate would keep only a
+    * k-sized heap per group instead of the distinct shuffle. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    val hashed = df.select(col(groupCol),
+      TextFunctions.md5Long(col(valueCol).cast("string")).as("__h"))
+      .distinct()
+    val w = Window.partitionBy(groupCol).orderBy(col("__h").asc)
+    hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(groupCol)
+      .agg(max(col("__h")).as("__hk"), count(lit(1)).as("__k"))
+      .select(col(groupCol),
+        round(when(col("__k") < k, col("__k").cast("double"))
+          .otherwise((col("__k") - 1).cast("double") * HashSpace /
+            col("__hk").cast("double")), 4).as("est_distinct"))
+  }
+}
