@@ -26,8 +26,15 @@ object Sketches {
     val hashed = df.select(col(groupCol),
       TextFunctions.md5Long(col(valueCol).cast("string")).as("__h"))
       .distinct()
+    // two-phase top-k: a single window per group would sort the whole
+    // group's hash set on one task; salting first keeps every sort small
+    // (≤ |group|/32), then the global pass ranks ≤ 32*k survivors.
+    val wLocal = Window.partitionBy(col(groupCol), pmod(col("__h"), lit(32L)))
+      .orderBy(col("__h").asc)
+    val local = hashed.withColumn("__rl", row_number().over(wLocal))
+      .filter(col("__rl") <= k).drop("__rl")
     val w = Window.partitionBy(groupCol).orderBy(col("__h").asc)
-    hashed.withColumn("__rn", row_number().over(w))
+    local.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .groupBy(groupCol)
       .agg(max(col("__h")).as("__hk"), count(lit(1)).as("__k"))
