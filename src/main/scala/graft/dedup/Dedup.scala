@@ -151,18 +151,17 @@ object Dedup {
 
   // ---- simhash -----------------------------------------------------------
 
-  /** 60-bit SimHash per doc, computed entirely with array expressions
-    * (token hashes once, then 60 per-bit majority sums) — shuffle-free. */
+  /** 60-bit SimHash per doc: token hashes once (array expression), then
+    * the native codegen expression computes all 60 majority votes in one
+    * primitive loop (the HOF formulation dispatched 60 interpreted
+    * aggregate-lambdas per row). Shuffle-free. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = docs.select(col(idCol).as("doc_id"),
       transform(TextFunctions.tokens(col(textCol)),
         t => TextFunctions.md5Long(t)).as("hs"))
-    val bitCols = (0 until SimHashBits).map { i =>
-      val vote = aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)) * 2L - 1L)
-      when(vote > 0L, lit(1L << i)).otherwise(lit(0L))
-    }
-    hashed.select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
+    hashed.select(col("doc_id"),
+      org.apache.spark.sql.graftext.SimHashExpr.simhash(col("hs"),
+        SimHashBits).as("simhash"))
   }
 
   /** SimHash near-dup candidates: equal 15-bit quarter (Hamming ≤ 3 over
