@@ -83,12 +83,11 @@ object Dedup {
   }
 
   /** All (x, y) pairs with x < y from a sorted array column, as an array
-    * of structs `(_1, _2)`. Caller must guarantee `size(ids) >= 2` —
-    * `sequence(0, -1)` would count DOWN for singleton groups. */
+    * of structs `(_1, _2)` — native expression, one primitive loop per
+    * group (the HOF formulation dispatched an interpreted lambda per
+    * produced pair: quadratic dispatch on hot LSH bands / shingles). */
   private def pairsAsc(ids: Column): Column =
-    flatten(transform(sequence(lit(0), size(ids) - 2), i =>
-      transform(slice(ids, i + 2, size(ids) - i - 1), b =>
-        struct(element_at(ids, i + 1).as("_1"), b.as("_2")))))
+    org.apache.spark.sql.graftext.PairsAscExpr.pairsAsc(ids)
 
   /** Candidate near-dup pairs: docs sharing at least one LSH band.
     * Returns distinct (a, b) with a < b.
