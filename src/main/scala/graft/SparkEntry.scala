@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.dedup.Dedup
 import graft.embed.DeterministicEmbedder
 import graft.functions.{Hyperplanes, TextFunctions, VectorFunctions}
+import graft.operators.Sessionize
 import graft.search.{HybridSearch, TextSearch, VectorSearch}
 import graft.text.TextAnalysis
 
@@ -805,6 +806,48 @@ object SparkEntry {
          |    count(DISTINCT l_partkey)::BIGINT AS exact_distinct
          |  FROM lineitem GROUP BY l_returnflag) exact USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin),
+
+    Q("q48_sessions",
+      (s, dir) => graft.operators.Sessionize
+        .sessions(Tables.events(s, dir),
+          graft.operators.Sessionize.DefaultGapSeconds)
+        .orderBy("user_id", "session_idx"),
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value,
+         |    epoch(date_trunc('second', ts))::BIGINT AS s FROM events),
+         |m AS (
+         |  SELECT *, CASE WHEN lag(s) OVER w IS NULL
+         |      OR s - lag(s) OVER w > ${Sessionize.DefaultGapSeconds}
+         |    THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+         |x AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY s,
+         |    event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+         |  FROM m)
+         |SELECT user_id, session_idx, min(s)::BIGINT AS start_s,
+         |  max(s)::BIGINT AS end_s, count(*) AS n_events,
+         |  sum(CAST(value AS DECIMAL(18,4)))::DOUBLE AS sum_value
+         |FROM x GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin),
+
+    Q("q49_quantity_percentiles",
+      // exact percentiles (sort-based); at 100 TB switch the same query
+      // shape to approx_percentile — the oracle pins the exact semantics
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+          .as("p"))
+        .select(col("l_returnflag"),
+          round(element_at(col("p"), 1), 6).as("p25"),
+          round(element_at(col("p"), 2), 6).as("p50"),
+          round(element_at(col("p"), 3), 6).as("p75"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, [0.25,0.5,0.75])[1], 6) AS p25,
+        |  round(quantile_cont(l_quantity, [0.25,0.5,0.75])[2], 6) AS p50,
+        |  round(quantile_cont(l_quantity, [0.25,0.5,0.75])[3], 6) AS p75
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
 
     Q("q45_revenue_rollup",
       (s, dir) => {
