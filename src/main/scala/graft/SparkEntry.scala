@@ -849,6 +849,32 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
 
+    Q("q50_bloom_semi_revenue",
+      // bloom pre-filter cuts the big side before the join shuffle; the
+      // exact semi join removes false positives, so results are exact
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        graft.operators.BloomPrune.semiJoin(
+          Tables.lineitem(s, dir), "l_orderkey", urgent, "o_orderkey")
+          .groupBy("l_returnflag")
+          .agg(sum(d184(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 4)) - d184(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))::DOUBLE AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem SEMI JOIN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT') o
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     Q("q45_revenue_rollup",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)

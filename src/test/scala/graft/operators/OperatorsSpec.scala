@@ -54,6 +54,18 @@ class OperatorsSpec extends SparkSpec {
     assert(plain.count(_._1 == "hot") === 50)
   }
 
+  test("bloomPrune.semiJoin: identical result to a plain left-semi join") {
+    val big = (1 to 2000).map(i => (i.toLong % 97, i.toLong)).toDF("k", "v")
+    val small = Seq(3L, 17L, 42L, 96L, 1234L).toDF("sk") // 1234 matches nothing
+    val plain = big.join(small.select(col("sk").as("k")), Seq("k"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloomed = BloomPrune.semiJoin(big, "k", small, "sk",
+      expectedItems = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloomed === plain)
+    assert(plain.nonEmpty)
+  }
+
   test("rangeJoin.byTime: exact [start, end) semantics across buckets") {
     val intervals = Seq(
       (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "w1"),
