@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape regression guard: pins the properties that make the
+  * headline queries scale — filter pushdown into the parquet scan,
+  * column pruning, broadcast on the dimension side, bloom pruning
+  * before the join — so a refactor that silently loses one fails CI,
+  * not the 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  // explainString(formatted) renders the full initial plan even under
+  // AQE (the unexecuted AdaptiveSparkPlanExec is a leaf — tree traversal
+  // would stop at it)
+  private def fmtOf(name: String): String =
+    SparkEntry.queries(name)(spark, SfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02: predicates and column pruning reach the parquet scan") {
+    val s = fmtOf("q02_filter_project")
+    assert(s.contains("PushedFilters:"), s)
+    // all three pushable predicates present in some pushed form
+    assert(s.contains("GreaterThanOrEqual(l_shipdate") &&
+      s.contains("LessThan(l_quantity") && s.contains("GreaterThan(l_discount"),
+      "date/qty predicates not pushed:\n" + s)
+    val scanLine = s.linesIterator.find(_.contains("ReadSchema")).get
+    // 4 projected + 3 filter columns and nothing else (16-col table)
+    assert(!scanLine.contains("l_comment") && !scanLine.contains("l_tax"),
+      "scan reads columns the query never touches: " + scanLine)
+  }
+
+  test("q05: all dimension joins are broadcast, no cartesian") {
+    val s = fmtOf("q05_revenue_by_nation")
+    assert(!s.contains("CartesianProduct"))
+    // customer/nation/region sides must be broadcast (explicit hints)
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 3,
+      "expected >=3 broadcast joins:\n" + s)
+  }
+
+  test("q50: bloom might_contain filters the big side before the join") {
+    val s = fmtOf("q50_bloom_semi_revenue")
+    val filterIdx = s.indexOf("might_contain")
+    val joinIdx   = s.indexOf("LeftSemi")
+    assert(filterIdx >= 0, "bloom filter missing from plan:\n" + s)
+    assert(joinIdx >= 0, "semi join missing from plan:\n" + s)
+  }
+
+  test("q24: brute-force knn has no shuffle before the top-k") {
+    // cosine + TakeOrdered: per-partition local top-k, single exchange
+    val s = fmtOf("q24_knn_bruteforce")
+    assert(s.contains("TakeOrderedAndProject"),
+      "top-k not planned as TakeOrderedAndProject:\n" + s)
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the exchange") {
+    val s = fmtOf("q01_pricing_summary")
+    val nAggs = "HashAggregate".r.findAllIn(s).size
+    assert(nAggs >= 2, s"expected partial+final HashAggregate:\n$s")
+  }
+}
