@@ -92,6 +92,29 @@ object StreamIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_hash")
 
+  /** Stream-stream inner join with a time bound: for each left event,
+    * right events of the same user within `[l.ts, l.ts + within]`.
+    * Both sides carry watermarks, and the range condition bounds the
+    * join state on BOTH sides — without it Spark must buffer either
+    * stream forever. This is the attribution-join shape (click →
+    * purchase) of a behavioral pipeline.
+    */
+  def correlate(left: DataFrame, right: DataFrame,
+      within: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_id").as("l_event"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_event"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("l_user") === col("r_user") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("l_user").as("user_id"), col("l_event"), col("r_event"),
+        col("l_ts"), col("r_ts"), col("r_value"))
+  }
+
   /** Custom stateful operator (reference has nothing like it; a 100 TB
     * pipeline needs it): running per-user event statistics maintained
     * with mapGroupsWithState — count, value sum and last-seen time per

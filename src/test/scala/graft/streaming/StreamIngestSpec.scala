@@ -77,6 +77,35 @@ class StreamIngestSpec extends SparkSpec {
     assert(m(20L) === ((1L, 4.0)))
   }
 
+  test("correlate: stream-stream join within time bound matches batch join") {
+    val in = Files.createTempDirectory("corr_in")
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, 0.0),
+      (2L, ts("2024-01-01 10:00:00"), 101L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val buys = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 200L, 9.5),  // within 1 h of click 100
+      (1L, ts("2024-01-01 12:30:00"), 201L, 3.0),  // outside the bound
+      (2L, ts("2024-01-01 09:30:00"), 202L, 1.0))  // before the click
+      .toDF("user_id", "ts", "event_id", "value")
+    clicks.write.parquet(in.toString + "/l")
+    buys.write.parquet(in.toString + "/r")
+    val schema = spark.read.parquet(in.toString + "/l").schema
+    val q = StreamIngest.correlate(
+      StreamIngest.parquetStream(spark, in.toString + "/l", schema),
+      StreamIngest.parquetStream(spark, in.toString + "/r", schema))
+      .writeStream.format("memory").queryName("corr_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT l_event, r_event, r_value FROM corr_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((100L, 200L, 9.5)))
+  }
+
   test("eventCountsByWindow over a streamed events fixture matches batch") {
     val events = Tables.events(spark, SfDir) // also sets nanosAsLong conf
     // the file-stream source wants a directory, not a single file
