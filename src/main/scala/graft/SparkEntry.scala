@@ -875,6 +875,56 @@ object SparkEntry {
         |  ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    Q("q51_small_quantity_revenue",
+      // TPC-H Q17 shape: per-part average joined back (broadcast — the
+      // aggregate side is |parts|, tiny next to lineitem), threshold on
+      // a derived per-group statistic
+      // threshold `qty < 0.5*avg` is cross-multiplied (`2*qty*cnt <
+      // sum`) so the comparison is exact integer/decimal arithmetic on
+      // both engines — decimal-DIVISION scale rules differ and could
+      // flip boundary rows
+      (s, dir) => {
+        val li  = Tables.lineitem(s, dir)
+        val avg = li.groupBy(col("l_partkey").as("p_key"))
+          .agg(sum(d184(col("l_quantity"))).as("sum_qty"),
+            count(lit(1)).as("cnt"))
+        li.join(broadcast(avg), li("l_partkey") === avg("p_key"))
+          .filter(d184(col("l_quantity")) * lit(2) * col("cnt") <
+            col("sum_qty"))
+          .agg((sum(d184(col("l_extendedprice"))).cast("double") / 7.0)
+            .as("avg_yearly"),
+            count(lit(1)).as("n_items"))
+      },
+      """SELECT
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)))::DOUBLE / 7.0 AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN (
+        |  SELECT l_partkey AS p_key,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey) a
+        |  ON l_partkey = p_key
+        |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 2 * cnt < sum_qty""".stripMargin),
+
+    Q("q52_user_moving_avg",
+      // per-user 3-event moving average — windowed analytics over events
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-2, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("mov_avg",
+            round(avg(d184(col("value"))).over(w), 6).cast("double"))
+          .select("user_id", "event_id", "mov_avg")
+          .orderBy("user_id", "event_id").limit(5000)
+      },
+      """SELECT user_id, event_id,
+        |  round(avg(CAST(value AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+        |FROM events ORDER BY user_id, event_id LIMIT 5000""".stripMargin),
+
     Q("q45_revenue_rollup",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)

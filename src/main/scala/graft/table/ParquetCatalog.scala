@@ -112,6 +112,29 @@ final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
     before - keptCount
   }
 
+  /** MERGE/upsert by key: incoming rows replace same-key rows, new keys
+    * append. Anti-join rewrite + atomic swap like [[deleteByIds]] — at
+    * 100 TB the same statement targets a transaction-log table format,
+    * but the join shape (existing ANTI incoming, then union) is
+    * identical. Returns (updated, inserted) counts. */
+  def upsert(name: String, idCol: String, incoming: DataFrame)
+      : (Long, Long) = {
+    validate(name)
+    val t        = table(name)
+    val before   = t.count()
+    val nIn      = incoming.count()
+    val kept     = t.join(incoming.select(idCol), Seq(idCol), "left_anti")
+    val merged   = kept.unionByName(incoming)
+    val tmp      = dir(name) + "__tmp_upsert"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val after    = spark.read.parquet(tmp).count()
+    val target   = Paths.get(dir(name))
+    deleteRec(target)
+    Files.move(Paths.get(tmp), target)
+    val inserted = after - before
+    (nIn - inserted, inserted)
+  }
+
   private def deleteRec(p: java.nio.file.Path): Unit = {
     val s = Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder())

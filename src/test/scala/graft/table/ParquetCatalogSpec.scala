@@ -55,6 +55,20 @@ class ParquetCatalogSpec extends SparkSpec {
     assert(c.deleteByIds("docs", "id", Seq("zzz")) === 0L)
   }
 
+  test("upsert: same-key rows replaced, new keys appended") {
+    val c = freshCatalog()
+    c.createTable("docs", schema)
+    c.insert("docs", Seq(("a", "old", 1), ("b", "keep", 2))
+      .toDF("id", "page_content", "page"))
+    val (updated, inserted) = c.upsert("docs", "id",
+      Seq(("a", "new", 9), ("c", "fresh", 3))
+        .toDF("id", "page_content", "page"))
+    assert((updated, inserted) === ((1L, 1L)))
+    val rows = c.table("docs").orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows === Seq(("a", "new", 9), ("b", "keep", 2), ("c", "fresh", 3)))
+  }
+
   test("insertFromCsv: header + null fill (S7)") {
     val c = freshCatalog()
     val csv = Files.createTempFile("in", ".csv")
