@@ -906,6 +906,38 @@ object SparkEntry {
         |  ON l_partkey = p_key
         |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 2 * cnt < sum_qty""".stripMargin),
 
+    Q("q53_repetition_stats",
+      // Gopher-style repetition signals: type-token ratio (array
+      // expressions, shuffle-free) + top-2-gram fraction (one shuffle
+      // on (doc, gram) with map-side partial counts)
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("tk"))
+          .select(col("doc_id"),
+            round(size(array_distinct(col("tk"))) / size(col("tk")), 6)
+              .as("ttr"),
+            TextFunctions.shingles(col("tk"), 2).as("g2"))
+          .filter(size(col("g2")) > 0)
+        base.select(col("doc_id"), col("ttr"), explode(col("g2")).as("g"))
+          .groupBy("doc_id", "ttr", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "ttr")
+          .agg(round(max(col("c")) / sum(col("c")), 6).as("top_gram_frac"),
+            sum(col("c")).cast("long").as("n_grams"))
+          .orderBy("doc_id")
+      },
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |    round(len(list_distinct(l))::DOUBLE / len(l), 6) AS ttr,
+         |    unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS g
+         |  FROM tk WHERE len(l) >= 2),
+         |cnt AS (SELECT doc_id, ttr, g, count(*) AS c
+         |        FROM base GROUP BY doc_id, ttr, g)
+         |SELECT doc_id, ttr,
+         |  round(max(c)::DOUBLE / sum(c), 6) AS top_gram_frac,
+         |  sum(c)::BIGINT AS n_grams
+         |FROM cnt GROUP BY doc_id, ttr ORDER BY doc_id""".stripMargin),
+
     Q("q52_user_moving_avg",
       // per-user 3-event moving average — windowed analytics over events
       (s, dir) => {

@@ -66,9 +66,13 @@ object SearchIndex {
       .repartition(col("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$indexDir/docfreq")
+    // sum_dl is kept alongside avgdl so incremental update can merge
+    // stats EXACTLY: dl values are integer-valued doubles, so their sum
+    // is order-independent and avgdl' = sum'/n' is bit-identical to a
+    // full rebuild (n*avgdl would NOT reconstruct the sum exactly)
     built.select("doc_id", "dl").distinct()
       .agg(count(lit(1)).cast("double").as("n_docs"),
-        avg("dl").as("avgdl"))
+        avg("dl").as("avgdl"), sum("dl").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
 
     embs.select(col(vecIdCol).as("doc_id"), col(vecCol).as("embedding"))
@@ -77,6 +81,74 @@ object SearchIndex {
       .repartition(col("lsh_bucket"))
       .write.mode("overwrite").partitionBy("lsh_bucket")
       .parquet(s"$indexDir/vectors")
+  }
+
+  /** Incremental index maintenance: fold a batch of NEW docs (disjoint
+    * doc_ids from what's indexed) into an existing index without a
+    * rebuild. Postings and vectors are pure partition-local appends;
+    * docfreq and stats are exact merges (disjoint doc sets → df adds,
+    * integer-valued dl sums add) — query results after update are
+    * bit-identical to a full rebuild over the union (SearchIndexSpec).
+    * At 100 TB this is the difference between touching |batch| data and
+    * touching the corpus. */
+  def update(newDocs: DataFrame, newEmbs: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): Unit = {
+    val spark = newDocs.sparkSession
+
+    val delta = TextSearch.buildPostings(newDocs, idCol, textCol)
+      .withColumn("term_bucket", termBucket(col("term")))
+      .persist()
+    try {
+      delta.repartition(col("term_bucket"))
+        .write.mode("append").partitionBy("term_bucket")
+        .parquet(s"$indexDir/postings")
+
+      // merge docfreq: new docs are disjoint, so counts simply add
+      val deltaDf = delta.groupBy("term_bucket", "term")
+        .agg(countDistinct("doc_id").cast("double").as("df"))
+      val mergedDf = spark.read.parquet(s"$indexDir/docfreq")
+        .select("term_bucket", "term", "df")
+        .unionByName(deltaDf)
+        .groupBy("term_bucket", "term").agg(sum("df").as("df"))
+      writeSwap(mergedDf.repartition(col("term_bucket")),
+        s"$indexDir/docfreq", partitionCol = Some("term_bucket"))
+
+      // merge stats: n adds; sum_dl adds exactly (integer-valued dl)
+      val deltaStats = delta.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).cast("double").as("d_n"), sum("dl").as("d_sum"))
+      val mergedStats = spark.read.parquet(s"$indexDir/stats")
+        .crossJoin(deltaStats)
+        .select((col("n_docs") + col("d_n")).as("n_docs"),
+          ((col("sum_dl") + col("d_sum")) / (col("n_docs") + col("d_n")))
+            .as("avgdl"),
+          (col("sum_dl") + col("d_sum")).as("sum_dl"))
+      writeSwap(mergedStats, s"$indexDir/stats", partitionCol = None)
+    } finally delta.unpersist()
+
+    newEmbs.select(col(vecIdCol).as("doc_id"), col(vecCol).as("embedding"))
+      .withColumn("lsh_bucket",
+        VectorFunctions.lshSignature(col("embedding"), dim, LshBits))
+      .repartition(col("lsh_bucket"))
+      .write.mode("append").partitionBy("lsh_bucket")
+      .parquet(s"$indexDir/vectors")
+  }
+
+  /** Write `df` to a staging dir then atomically swap it in — Spark
+    * cannot overwrite a parquet dir that feeds the running plan. */
+  private def writeSwap(df: DataFrame, dir: String,
+      partitionCol: Option[String]): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = dir + "__tmp"
+    val w = df.write.mode("overwrite")
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp)
+    val target = Paths.get(dir)
+    val s = Files.walk(target)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().forEachRemaining(p => Files.delete(p))
+    finally s.close()
+    Files.move(Paths.get(tmp), target)
   }
 
   /** BM25 over the prebuilt index: reads only the query terms' buckets

@@ -36,6 +36,47 @@ class SearchIndexSpec extends SparkSpec {
     assert(got === terms.map(SearchIndex.termBucketOf))
   }
 
+  test("incremental update equals full rebuild (bm25 + knn + hybrid)") {
+    val docs = Tables.documents(spark, SfDir)
+    val embs = Tables.embeddings(spark, SfDir)
+    val firstHalf  = docs.filter(col("doc_id") % 2 === 0)
+    val secondHalf = docs.filter(col("doc_id") % 2 === 1)
+    val embA = embs.filter(col("vec_id") % 2 === 0)
+    val embB = embs.filter(col("vec_id") % 2 === 1)
+
+    val incDir = Files.createTempDirectory("index_inc").toString
+    SearchIndex.build(firstHalf, embA, incDir)
+    SearchIndex.update(secondHalf, embB, incDir)
+
+    val q = "spark join merge sort window"
+    val emb = DeterministicEmbedder(64)
+
+    // index TABLES merge exactly (disjoint docs: df adds, integer dl
+    // sums add); per-doc score sums re-associate over the appended file
+    // layout, so compare with the same 1e-9 tolerance the from-scratch
+    // bm25 test uses
+    val fullBm = SearchIndex.bm25(spark, indexDir, q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val incBm = SearchIndex.bm25(spark, incDir, q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(incBm.keySet === fullBm.keySet)
+    incBm.foreach { case (k, v) => assert(math.abs(v - fullBm(k)) < 1e-9) }
+
+    // knn scores are per-row cosines (fixed fold order) — exact
+    val fullKnn = SearchIndex.knn(spark, indexDir, emb.embed(q), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val incKnn = SearchIndex.knn(spark, incDir, emb.embed(q), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(incKnn === fullKnn)
+
+    val fullHy = SearchIndex.hybrid(spark, indexDir, q, emb)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val incHy = SearchIndex.hybrid(spark, incDir, q, emb)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(incHy.keySet === fullHy.keySet)
+    incHy.foreach { case (k, v) => assert(math.abs(v - fullHy(k)) < 1e-5) }
+  }
+
   test("indexed bm25 matches from-scratch bm25 (same scores)") {
     val q = "spark join merge sort window"
     val fresh = TextSearch.bm25(Tables.documents(spark, SfDir),
