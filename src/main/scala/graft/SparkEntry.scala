@@ -938,6 +938,31 @@ object SparkEntry {
          |  sum(c)::BIGINT AS n_grams
          |FROM cnt GROUP BY doc_id, ttr ORDER BY doc_id""".stripMargin),
 
+    Q("q54_customer_set_ops",
+      // EXCEPT / INTERSECT over per-year customer sets (both plan as
+      // hash-partitioned distinct joins — same shuffle shape at any SF)
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        def custs(y: Int) = o.filter(year(col("o_orderdate")) === y)
+          .select("o_custkey").distinct()
+        custs(1995).except(custs(1996))
+          .withColumn("set_op", lit("1995_only"))
+          .unionByName(custs(1995).intersect(custs(1996))
+            .withColumn("set_op", lit("both_years")))
+          .orderBy("set_op", "o_custkey")
+      },
+      """SELECT * FROM (
+        |  SELECT o_custkey, '1995_only' AS set_op FROM (
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |    EXCEPT
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |  UNION ALL
+        |  SELECT o_custkey, 'both_years' AS set_op FROM (
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996))
+        |ORDER BY set_op, o_custkey""".stripMargin),
+
     Q("q52_user_moving_avg",
       // per-user 3-event moving average — windowed analytics over events
       (s, dir) => {
