@@ -79,10 +79,9 @@ object TextFunctions {
   def bind(e: Column, body: Column => Column): Column =
     element_at(transform(array(e), body), 1)
 
-  /** Word n-gram shingles of size n over the token array. Guarded:
-    * `sequence(1, 0)` would count DOWN in Spark, so short docs get []. */
-  def shingles(toks: Column, n: Int): Column = bind(toks, ts =>
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*))))
+  /** Word n-gram shingles of size n over the token array; docs shorter
+    * than n get []. Native expression — the HOF formulation dispatched
+    * one interpreted lambda (doing n `element_at` probes) per shingle. */
+  def shingles(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graftext.ShinglesExpr.shingles(toks, n)
 }
