@@ -56,7 +56,20 @@ object GraftFunctions {
         val dim   = cs(1).eval().asInstanceOf[Number].intValue()
         val nBits = cs(2).eval().asInstanceOf[Number].intValue()
         expression(VectorFunctions.lshSignature(column(cs(0)), dim, nBits))
-      }))
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "_FUNC_(hashes, nBits) - SimHash signature over array<long> token hashes"),
+      (cs: Seq[Expression]) =>
+        SimHashExpr(cs(0), cs(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "_FUNC_(tokens, n) - word n-gram shingles"),
+      (cs: Seq[Expression]) =>
+        ShinglesExpr(cs(0), cs(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_pairs_asc"),
+      info("graft_pairs_asc",
+        "_FUNC_(xs) - all ascending (i<j) element pairs as array<struct<_1,_2>>"),
+      (cs: Seq[Expression]) => PairsAscExpr(cs(0))))
 
   /** Register into a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, fi, b) =>

@@ -24,6 +24,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.forall(_.getAs[Int]("n") > 0))
   }
 
+  test("graft_simhash / graft_shingles / graft_pairs_asc from SQL") {
+    ready
+    val r = spark.sql(
+      """SELECT doc_id,
+        |  graft_simhash(transform(graft_tokens(text), t -> graft_md5long(t)), 60) AS sh,
+        |  size(graft_shingles(graft_tokens(text), 3)) AS n_sh
+        |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5)
+    assert(r.forall(_.getAs[Int]("n_sh") > 0))
+    val viaDf = graft.dedup.Dedup.simhash(
+      Tables.documents(spark, SfDir), "doc_id", "text")
+      .orderBy("doc_id").limit(5).collect().map(_.getLong(1)).toSeq
+    assert(r.map(_.getLong(1)).toSeq === viaDf)
+
+    val pairs = spark.sql(
+      "SELECT graft_pairs_asc(array('a','b','c')) AS p").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(pairs === Seq(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
   test("graft_cosine in a SQL top-k matches the DataFrame path") {
     ready
     val e  = DeterministicEmbedder(64)
