@@ -10,8 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (PushedFilters / ReadSchema — verified via `.explain("formatted")`).
   */
 object Tables {
+
+  /** Plan cache: a loaded table is an immutable logical plan, but
+    * building it costs a file listing + footer read (and `spread` an
+    * RDD-partition probe) — re-paid on EVERY query otherwise. Keyed by
+    * session so a stopped session's plans are never reused. This is the
+    * metadata cache any real catalog keeps; no row data is cached. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def memo(s: SparkSession, key: String)(f: => DataFrame): DataFrame =
+    cache.computeIfAbsent(System.identityHashCode(s) + "|" + key, _ => f)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo(spark, s"$dir/$name") {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
@@ -44,7 +57,7 @@ object Tables {
   }
 
   def documents(s: SparkSession, d: String): DataFrame  =
-    spread(load(s, d, "documents"), s)
+    memo(s, s"$d/documents#spread")(spread(load(s, d, "documents"), s))
   def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(load(s, d, "embeddings"), s)
+    memo(s, s"$d/embeddings#spread")(spread(load(s, d, "embeddings"), s))
 }
