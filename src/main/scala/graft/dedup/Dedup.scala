@@ -55,16 +55,15 @@ object Dedup {
     * array expressions — no explode, no shuffle. */
   def minhashSignatures(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    // Two projection stages so the shingle array is computed ONCE per row
-    // and the 8 min-hash expressions read the materialized column —
-    // Catalyst keeps the barrier because duplicating a non-cheap
-    // expression into 8 consumers fails CollapseProject's cost check.
+    // Native expression computes ALL seed minima in one pass over the
+    // shingles (the HOF formulation ran NumHashes interpreted
+    // transforms, one fresh MessageDigest per element each).
     val sh = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.shingles(TextFunctions.tokens(col(textCol)),
-        ShingleSize).as("sh"))
+      org.apache.spark.sql.graftext.MinHashExpr.minhash(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)),
+          ShingleSize), NumHashes).as("mh"))
     val hashes = (0 until NumHashes).map(i =>
-      array_min(transform(col("sh"), s => md5(concat(lit(s"$i:"), s))))
-        .as(s"h$i"))
+      element_at(col("mh"), i + 1).as(s"h$i"))
     sh.select((col("doc_id") +: hashes): _*)
   }
 
