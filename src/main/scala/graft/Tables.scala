@@ -14,12 +14,37 @@ object Tables {
   /** Plan cache: a loaded table is an immutable logical plan, but
     * building it costs a file listing + footer read (and `spread` an
     * RDD-partition probe) — re-paid on EVERY query otherwise. Keyed by
-    * session so a stopped session's plans are never reused. This is the
-    * metadata cache any real catalog keeps; no row data is cached. */
+    * `sessionUUID` (unique and stable — identity hashes can be reused
+    * after GC and would let a new session see another session's plans).
+    * This is the metadata cache any real catalog keeps; no row data is
+    * cached. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def memo(s: SparkSession, key: String)(f: => DataFrame): DataFrame =
-    cache.computeIfAbsent(System.identityHashCode(s) + "|" + key, _ => f)
+  private[graft] def memo(s: SparkSession, key: String)(f: => DataFrame)
+      : DataFrame = {
+    // NOT computeIfAbsent: memoized builders call other memoized builders
+    // (documents → load), and a nested compute on the same CHM throws
+    // "Recursive update" whenever the two keys land in the same bin.
+    // get/putIfAbsent tolerates recursion; a lost race merely builds the
+    // same immutable plan twice.
+    val k = org.apache.spark.sql.graftext.SessionUtils.uuid(s) + "|" + key
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
+      val built = f
+      val prev  = cache.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Memoized parquet load of an arbitrary path (index tables, catalog
+    * tables). `invalidate` after overwriting the path. */
+  private[graft] def loadPath(s: SparkSession, path: String): DataFrame =
+    memo(s, path)(s.read.parquet(path))
+
+  private[graft] def invalidate(s: SparkSession, path: String): Unit = {
+    cache.remove(org.apache.spark.sql.graftext.SessionUtils.uuid(s) + "|" + path); ()
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     memo(spark, s"$dir/$name") {

@@ -22,6 +22,9 @@ import graft.functions.VectorFunctions
   */
 object IvfIndex {
 
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Array[Double]]]()
+
   def build(embs: DataFrame, indexDir: String, idCol: String = "vec_id",
       vecCol: String = "embedding", nCells: Int = 16,
       seed: Long = 42L): Unit = {
@@ -49,10 +52,13 @@ object IvfIndex {
   def knn(spark: SparkSession, indexDir: String, queryVec: Array[Float],
       k: Int, nProbe: Int = 2): DataFrame = {
     // centroid ranking is driver-side: the centroid table IS the index
-    // metadata (nCells rows), not corpus data
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
-      .collect().map(r => r.getInt(0) ->
-        r.getSeq[Double](1).toArray).toMap
+    // metadata (nCells rows), not corpus data — collected once per
+    // session+index, not once per query
+    val centroids = centroidCache.computeIfAbsent(
+      org.apache.spark.sql.graftext.SessionUtils.uuid(spark) + "|" + indexDir,
+      _ => graft.Tables.loadPath(spark, s"$indexDir/centroids")
+        .collect().map(r => r.getInt(0) ->
+          r.getSeq[Double](1).toArray).toMap)
     val q = queryVec.map(_.toDouble)
     val cells = centroids.toSeq
       .map { case (cell, c) =>
@@ -62,7 +68,7 @@ object IvfIndex {
       .sortBy { case (cell, d) => (d, cell) }
       .take(nProbe).map(_._1)
 
-    spark.read.parquet(s"$indexDir/ivf_vectors")
+    graft.Tables.loadPath(spark, s"$indexDir/ivf_vectors")
       .filter(col("ivf_cell").isin(cells: _*))
       .select(col("doc_id"),
         round(VectorFunctions.cosine(col("embedding"), typedLit(queryVec)), 6)

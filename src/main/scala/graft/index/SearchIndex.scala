@@ -81,7 +81,19 @@ object SearchIndex {
       .repartition(col("lsh_bucket"))
       .write.mode("overwrite").partitionBy("lsh_bucket")
       .parquet(s"$indexDir/vectors")
+    invalidateAll(postings.sparkSession, indexDir)
   }
+
+  /** Query-side reads go through the session plan cache (file listing +
+    * footer reads over ~320 bucket dirs are paid once, not per query);
+    * any mutation invalidates the four table plans. */
+  private def cachedTable(spark: SparkSession, indexDir: String,
+      name: String): DataFrame =
+    graft.Tables.loadPath(spark, s"$indexDir/$name")
+
+  private def invalidateAll(spark: SparkSession, indexDir: String): Unit =
+    Seq("postings", "docfreq", "stats", "vectors")
+      .foreach(t => graft.Tables.invalidate(spark, s"$indexDir/$t"))
 
   /** Incremental index maintenance: fold a batch of NEW docs (disjoint
     * doc_ids from what's indexed) into an existing index without a
@@ -133,6 +145,7 @@ object SearchIndex {
       .repartition(col("lsh_bucket"))
       .write.mode("append").partitionBy("lsh_bucket")
       .parquet(s"$indexDir/vectors")
+    invalidateAll(spark, indexDir)
   }
 
   /** Write `df` to a staging dir then atomically swap it in — Spark
@@ -160,13 +173,13 @@ object SearchIndex {
     val qTerms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
     val buckets = qTerms.map(termBucketOf).distinct.toSeq
 
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postings = cachedTable(spark, indexDir, "postings")
       .filter(col("term_bucket").isin(buckets: _*) &&
         col("term").isin(qTerms.toSeq: _*))
-    val dfreq = spark.read.parquet(s"$indexDir/docfreq")
+    val dfreq = cachedTable(spark, indexDir, "docfreq")
       .filter(col("term_bucket").isin(buckets: _*) &&
         col("term").isin(qTerms.toSeq: _*))
-    val stats = spark.read.parquet(s"$indexDir/stats")
+    val stats = cachedTable(spark, indexDir, "stats")
 
     postings
       .join(broadcast(dfreq.select("term", "df")), "term")
@@ -188,7 +201,7 @@ object SearchIndex {
     val qSig = graft.search.VectorSearch.querySignature(queryVec, dim, LshBits)
     val probes = (0L until (1L << LshBits))
       .filter(bkt => java.lang.Long.bitCount(bkt ^ qSig) <= probeHammingRadius)
-    val cands = spark.read.parquet(s"$indexDir/vectors")
+    val cands = cachedTable(spark, indexDir, "vectors")
       .filter(col("lsh_bucket").isin(probes: _*))
     cands.select(col("doc_id"),
       round(VectorFunctions.cosine(col("embedding"), typedLit(queryVec)), 6)
