@@ -15,13 +15,23 @@ object Sketches {
 
   val HashSpace: Double = math.pow(2.0, 60) // md5Long range [0, 2^60)
 
-  /** Per-group KMV distinct-count estimate.
-    * Returns (groupCols*, est_distinct). Groups with fewer than k
-    * distinct values report the exact count. The DF-algebra shape
-    * (distinct → per-group top-k by hash → max) demonstrates the
-    * semantics; a production TypedImperativeAggregate would keep only a
-    * k-sized heap per group instead of the distinct shuffle. */
+  /** Per-group KMV distinct-count estimate — single pass, no distinct
+    * shuffle, no windows: a [[org.apache.spark.sql.graftext.KmvSketchAgg]]
+    * TypedImperativeAggregate keeps a bounded k-element hash set per
+    * group on the map side; only k longs per group cross the wire.
+    * Returns (groupCol, est_distinct); groups with fewer than k distinct
+    * values report the exact count. Bit-identical to [[kmvDistinctDf]]
+    * (SketchesSpec proves it). */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame =
+    df.groupBy(groupCol)
+      .agg(round(org.apache.spark.sql.graftext.KmvSketchAgg.kmvDistinct(
+        col(valueCol).cast("string"), k), 4).as("est_distinct"))
+
+  /** DF-algebra formulation of [[kmvDistinct]] (distinct → per-group
+    * top-k by hash → max) — kept as the cross-check reference for the
+    * native aggregate; the native form is the production path. */
+  def kmvDistinctDf(df: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame = {
     val hashed = df.select(col(groupCol),
       TextFunctions.md5Long(col(valueCol).cast("string")).as("__h"))

@@ -20,6 +20,15 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("native aggregate is bit-identical to the DF-algebra form") {
+    val li = Tables.lineitem(spark, SfDir)
+    val native = Sketches.kmvDistinct(li, "l_returnflag", "l_partkey", 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val algebra = Sketches.kmvDistinctDf(li, "l_returnflag", "l_partkey", 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(native === algebra)
+  }
+
   test("kmv is exact below k and deterministic") {
     val small = Seq(("a", 1), ("a", 2), ("a", 2), ("b", 9))
       .toDF("g", "v")
