@@ -97,42 +97,58 @@ final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
     table(name).select(column).distinct()
 
   /** D4 — DELETE WHERE idCol IN ids. Anti-join rewrite + atomic swap;
-    * returns deleted-row count (reference returns cursor rowcount). */
+    * returns deleted-row count (reference returns cursor rowcount).
+    * Row counts come from `observe` metrics collected DURING the single
+    * rewrite pass — no extra table scans (a mutation used to cost three
+    * full passes: count, write, count-back). */
   def deleteByIds(name: String, idCol: String, ids: Seq[Any]): Long = {
     validate(name)
-    val t      = table(name)
-    val before = t.count()
-    val kept   = t.filter(!col(idCol).isInCollection(ids))
-    val tmp    = dir(name) + "__tmp_delete"
-    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val keptCount = spark.read.parquet(tmp).count()
-    val target = Paths.get(dir(name))
-    deleteRec(target)
-    Files.move(Paths.get(tmp), target)
-    before - keptCount
+    val all  = org.apache.spark.sql.Observation()
+    val kept = org.apache.spark.sql.Observation()
+    val rewritten = table(name)
+      .observe(all, count(lit(1)).as("n"))
+      .filter(!col(idCol).isInCollection(ids))
+      .observe(kept, count(lit(1)).as("n"))
+    val tmp = dir(name) + "__tmp_delete"
+    rewritten.write.mode(SaveMode.Overwrite).parquet(tmp)
+    swapIn(tmp, dir(name))
+    metric(all) - metric(kept)
   }
 
   /** MERGE/upsert by key: incoming rows replace same-key rows, new keys
     * append. Anti-join rewrite + atomic swap like [[deleteByIds]] — at
     * 100 TB the same statement targets a transaction-log table format,
     * but the join shape (existing ANTI incoming, then union) is
-    * identical. Returns (updated, inserted) counts. */
+    * identical. Returns (updated, inserted) counts, again from observe
+    * metrics of the one rewrite pass. */
   def upsert(name: String, idCol: String, incoming: DataFrame)
       : (Long, Long) = {
     validate(name)
-    val t        = table(name)
-    val before   = t.count()
-    val nIn      = incoming.count()
-    val kept     = t.join(incoming.select(idCol), Seq(idCol), "left_anti")
-    val merged   = kept.unionByName(incoming)
-    val tmp      = dir(name) + "__tmp_upsert"
+    val beforeObs = org.apache.spark.sql.Observation()
+    val keptObs   = org.apache.spark.sql.Observation()
+    val inObs     = org.apache.spark.sql.Observation()
+    val existing  = table(name).observe(beforeObs, count(lit(1)).as("n"))
+    val kept      = existing
+      .join(incoming.select(idCol), Seq(idCol), "left_anti")
+      .observe(keptObs, count(lit(1)).as("n"))
+    val merged    = kept.unionByName(
+      incoming.observe(inObs, count(lit(1)).as("n")))
+    val tmp = dir(name) + "__tmp_upsert"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val after    = spark.read.parquet(tmp).count()
-    val target   = Paths.get(dir(name))
-    deleteRec(target)
-    Files.move(Paths.get(tmp), target)
-    val inserted = after - before
-    (nIn - inserted, inserted)
+    swapIn(tmp, dir(name))
+    val updated = metric(beforeObs) - metric(keptObs)
+    (updated, metric(inObs) - updated)
+  }
+
+  /** A pass that produces zero rows may report no metric at all — an
+    * empty input table is a count of 0, not an error. */
+  private def metric(o: org.apache.spark.sql.Observation): Long =
+    o.get.getOrElse("n", 0L).asInstanceOf[Long]
+
+  private def swapIn(tmp: String, target: String): Unit = {
+    val t = Paths.get(target)
+    deleteRec(t)
+    Files.move(Paths.get(tmp), t)
   }
 
   private def deleteRec(p: java.nio.file.Path): Unit = {
