@@ -602,7 +602,10 @@ object SparkEntry {
         |        || doc_id || '.txt' AS path FROM documents)
         |ORDER BY filepath, page""".stripMargin),
 
-    // ==== multimodal stubs (rows-only check: hash not SQL-expressible) ===
+    // ==== multimodal (stub decode is md5-derived → fully oracle-checked:
+    // meta from md5/length of the bytes, features pinned via the integer
+    // histogram digest — float formatting is engine-specific, counts are
+    // not) ===
 
     Q("q32_media_meta",
       (s, dir) => {
@@ -611,11 +614,30 @@ object SparkEntry {
           lit("text/plain").as("mime"), col("text").cast("binary").as("media"))
         Multimodal.withMediaFeatures(
           Multimodal.withDecodedMeta(media, "media", "mime"), "media")
-          .select(col("doc_id"), col("meta.width"), col("meta.height"),
-            col("media_features"))
+          .select(col("doc_id"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            col("meta.n_frames").as("n_frames"),
+            col("meta.duration_ms").as("duration_ms"),
+            col("media_features_sig"))
           .orderBy("doc_id")
       },
-      null),
+      s"""SELECT doc_id,
+         |  (CASE WHEN length(text) = 0 THEN NULL
+         |   ELSE 16 + (h % 4080) END)::INT AS width,
+         |  (CASE WHEN length(text) = 0 THEN NULL
+         |   ELSE 16 + ((h // 128) % 2160) END)::INT AS height,
+         |  (CASE WHEN length(text) = 0 THEN NULL
+         |   ELSE 1 + (length(text) % 240) END)::INT AS n_frames,
+         |  (CASE WHEN length(text) = 0 THEN NULL
+         |   ELSE length(text) * 2 END)::BIGINT AS duration_ms,
+         |  md5(array_to_string(
+         |    [len(list_filter(cs, c -> c = i)) for i in range(0, 64)], ','))
+         |    AS media_features_sig
+         |FROM (SELECT doc_id, text, ${md5LongSql("text")} AS h,
+         |        [unicode(substr(text, i, 1)) % 64
+         |         for i in range(1, length(text) + 1)] AS cs
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin),
 
     // ==== event-stream analytics =========================================
 
@@ -707,10 +729,21 @@ object SparkEntry {
       null), // oracle assigned below: identical to q28's
 
     Q("q36_indexed_knn",
+      // pruned probe: Hamming radius 2 over the 8-bit LSH signature reads
+      // 37 of 256 bucket dirs (partition pruning) — the production knob,
+      // not the exact-but-exhaustive full-radius probe
       (s, dir) => graft.index.SearchIndex.knn(s, indexFor(s, dir), QueryVec,
-        10, EmbedDim, probeHammingRadius = LshFullRadius),
-      s"""SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
-         |FROM embeddings ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin),
+        10, EmbedDim, probeHammingRadius = 2),
+      {
+        val qSig = VectorSearch.querySignature(QueryVec, EmbedDim, 8)
+        val probes = (0L until 256L)
+          .filter(b => java.lang.Long.bitCount(b ^ qSig) <= 2)
+          .mkString(", ")
+        s"""SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
+           |FROM embeddings
+           |WHERE ${lshBucketSql()} IN ($probes)
+           |ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin
+      }),
 
     Q("q37_indexed_hybrid",
       (s, dir) => graft.index.SearchIndex.hybrid(s, indexFor(s, dir),
@@ -856,8 +889,12 @@ object SparkEntry {
         val urgent = Tables.orders(s, dir)
           .filter(col("o_orderpriority") === "1-URGENT")
           .select("o_orderkey")
+        // bloom sized to the build side (~30k urgent orders at sf0.1 →
+        // 64k items / 64 KB), not the 1M-item default: an oversized bloom
+        // costs more to build/broadcast than the shuffle it saves
         graft.operators.BloomPrune.semiJoin(
-          Tables.lineitem(s, dir), "l_orderkey", urgent, "o_orderkey")
+          Tables.lineitem(s, dir), "l_orderkey", urgent, "o_orderkey",
+          expectedItems = 65536L)
           .groupBy("l_returnflag")
           .agg(sum(d184(col("l_extendedprice")) *
             (lit(1).cast(DecimalType(18, 4)) - d184(col("l_discount"))))
@@ -1115,8 +1152,6 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (1, 3, 5) ORDER BY doc_id LIMIT 10""".stripMargin)
   )
-  private def LshFullRadius = graft.index.SearchIndex.LshBits // == exact
-
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
     // the index is an execution strategy, not a semantics change).

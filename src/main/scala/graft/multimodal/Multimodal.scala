@@ -28,17 +28,27 @@ object Multimodal {
     StructField("duration_ms", LongType),
     StructField("decode_error", StringType)))
 
-  /** STUB decode: derives deterministic pseudo-metadata from the byte
-    * content (size/first bytes). Replace the body with a real decoder
-    * (e.g. javax.imageio / ffmpeg bindings) — the signature, batching
-    * and error handling are the production shape. */
+  /** First 60 bits of md5(bytes) — identical to the portable SQL form
+    * `('0x' || substr(md5(x),1,15))::UBIGINT` (TextFunctions.md5Long),
+    * so stub metadata derived from it is oracle-checkable. */
+  private def md5Long60(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
+  }
+
+  /** STUB decode: derives deterministic pseudo-metadata from md5 of the
+    * byte content (md5, not JVM hashCode — any engine can reproduce it).
+    * Replace the body with a real decoder (e.g. javax.imageio / ffmpeg
+    * bindings) — the signature, batching and error handling are the
+    * production shape. */
   private def stubDecode(bytes: Array[Byte], mime: String): Row =
     if (bytes == null || bytes.isEmpty)
       Row(mime, null, null, null, null, "empty media")
     else {
-      val w = 16 + math.floorMod(java.util.Arrays.hashCode(bytes), 4080)
-      val h = 16 + math.floorMod(java.util.Arrays.hashCode(bytes) >> 7, 2160)
-      val frames = 1 + math.floorMod(bytes.length, 240)
+      val h60 = md5Long60(bytes)
+      val w = 16 + (h60 % 4080L).toInt
+      val h = 16 + ((h60 / 128L) % 2160L).toInt
+      val frames = 1 + bytes.length % 240
       Row(mime, w, h, frames, bytes.length.toLong * 2, null)
     }
 
@@ -72,23 +82,35 @@ object Multimodal {
           s"greatest(length($binCol) div $n, 1))"))
   }
 
-  /** Feature extraction: media bytes → fixed-dim float vector. STUB uses
-    * a hashed byte histogram (deterministic); a real embedding model
-    * plugs into the same per-partition batch slot. */
+  /** Feature extraction: media bytes → fixed-dim float vector (L2
+    * normalized byte-bucket histogram — a deterministic STUB; a real
+    * embedding model plugs into the same per-partition batch slot).
+    * Also emits `<outCol>_sig`: md5 of the raw integer histogram — the
+    * digest an external oracle can reproduce (float formatting is
+    * engine-specific, integer counts are not), pinning the feature
+    * computation end-to-end. */
   def withMediaFeatures(df: DataFrame, binCol: String, dim: Int = 64,
       outCol: String = "media_features"): DataFrame = {
-    val schema = df.schema.add(StructField(outCol, ArrayType(FloatType)))
+    val schema = df.schema
+      .add(StructField(outCol, ArrayType(FloatType)))
+      .add(StructField(outCol + "_sig", StringType))
     val enc    = org.apache.spark.sql.Encoders.row(schema)
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](binIdx)
-        val v = new Array[Float](dim)
+        val bytes  = r.getAs[Array[Byte]](binIdx)
+        val counts = new Array[Long](dim)
         if (bytes != null)
-          bytes.foreach(b => v(math.floorMod(b.toInt, dim)) += 1f)
-        val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
-        val out = if (norm == 0) v else v.map(x => (x / norm).toFloat)
-        Row.fromSeq(r.toSeq :+ out.toSeq)
+          bytes.foreach(b => counts(math.floorMod(b.toInt, dim)) += 1L)
+        val norm = math.sqrt(counts.foldLeft(0.0)((a, c) =>
+          a + c.toDouble * c.toDouble))
+        val feats = counts.map(c =>
+          if (norm == 0) 0f else (c.toDouble / norm).toFloat).toSeq
+        md.reset()
+        val sig = md.digest(counts.mkString(",").getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        Row.fromSeq(r.toSeq :+ feats :+ sig)
       }
     }(enc)
   }
