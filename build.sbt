@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g of the machine's 128 GiB: local[32] shares one heap across 32
+  // task threads — window/aggregate-heavy stages at sf0.1 fit in 8g but
+  // sit close enough to the execution-memory waterline that a contended
+  // run starts spilling; headroom is cheap insurance.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
