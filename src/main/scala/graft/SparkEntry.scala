@@ -383,10 +383,13 @@ object SparkEntry {
            |  FROM (SELECT doc_id, $shinglesSql AS sh
            |        FROM (SELECT doc_id, $toksSql AS l FROM documents))),
            |bands AS (SELECT doc_id, $bands FROM sigs),
-           |exploded AS (SELECT doc_id, unnest($bandArr) AS band FROM bands)
+           |exploded AS (SELECT doc_id, unnest($bandArr) AS band FROM bands),
+           |ok AS (SELECT band FROM exploded GROUP BY band
+           |       HAVING count(DISTINCT doc_id) <= ${Dedup.MaxGroupSize})
            |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
            |FROM exploded l JOIN exploded r ON l.band = r.band
-           |WHERE l.doc_id < r.doc_id ORDER BY a, b""".stripMargin
+           |WHERE l.doc_id < r.doc_id
+           |  AND l.band IN (SELECT band FROM ok) ORDER BY a, b""".stripMargin
       }),
 
     Q("q21_ngram_jaccard_pairs",
@@ -396,10 +399,14 @@ object SparkEntry {
          |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS shingle
          |  FROM (SELECT doc_id, $toksSql AS l FROM documents)),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |ok AS (SELECT shingle FROM sh GROUP BY shingle
+         |       HAVING count(*) <= ${Dedup.MaxGroupSize}),
          |common AS (
          |  SELECT l.doc_id AS a, r.doc_id AS b, count(*)::DOUBLE AS n_common
          |  FROM sh l JOIN sh r ON l.shingle = r.shingle
-         |  WHERE l.doc_id < r.doc_id GROUP BY l.doc_id, r.doc_id)
+         |  WHERE l.doc_id < r.doc_id
+         |    AND l.shingle IN (SELECT shingle FROM ok)
+         |  GROUP BY l.doc_id, r.doc_id)
          |SELECT a, b, jaccard FROM (
          |  SELECT a, b, round(n_common /
          |    (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
@@ -435,9 +442,12 @@ object SparkEntry {
            |        FROM documents)),
            |quarters AS (
            |  SELECT doc_id, q, (sim >> (q * 15)) & ${(1L << 15) - 1} AS v
-           |  FROM sigs, unnest([0, 1, 2, 3]) AS t(q))
+           |  FROM sigs, unnest([0, 1, 2, 3]) AS t(q)),
+           |ok AS (SELECT q, v FROM quarters GROUP BY q, v
+           |       HAVING count(DISTINCT doc_id) <= ${Dedup.MaxGroupSize})
            |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
            |FROM quarters l JOIN quarters r ON l.q = r.q AND l.v = r.v
+           |JOIN ok ON ok.q = l.q AND ok.v = l.v
            |WHERE l.doc_id < r.doc_id ORDER BY a, b""".stripMargin
       }),
 
@@ -476,12 +486,15 @@ object SparkEntry {
         }
         s"""WITH bucketed AS (
            |  SELECT vec_id AS id, embedding AS v, ${lshBucketSql()} AS bucket
-           |  FROM embeddings)
+           |  FROM embeddings),
+           |ok AS (SELECT bucket FROM bucketed GROUP BY bucket
+           |       HAVING count(*) <= ${Dedup.MaxGroupSize})
            |SELECT DISTINCT a, b, cos FROM (
            |  SELECT l.id AS a, r.id AS b, l.v AS va, r.v AS vb,
            |    round($cosAB, 6) AS cos
            |  FROM bucketed l JOIN bucketed r ON l.bucket = r.bucket
-           |  WHERE l.id < r.id)
+           |  WHERE l.id < r.id
+           |    AND l.bucket IN (SELECT bucket FROM ok))
            |WHERE cos >= 0.2 ORDER BY a, b""".stripMargin
       }),
 

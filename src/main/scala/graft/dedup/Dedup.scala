@@ -33,6 +33,22 @@ object Dedup {
   val BandSize     = 2  // → 4 bands
   val SimHashBits  = 60 // md5-derived 60-bit token hashes
 
+  /** Hot-key guard for every pair generator: an LSH group (band /
+    * shingle / quarter / bucket) with more than this many members is
+    * dropped — it carries no similarity signal (a stop-shingle, a
+    * degenerate band) and would cost O(n²) pairs plus an unbounded
+    * per-group collect. Enforced by a memory-bounded aggregate
+    * ([[org.apache.spark.sql.graftext.BoundedCollectAgg]]) whose buffer
+    * never exceeds the cap, and mirrored in every oracle as
+    * `HAVING count(...) <= cap`. Doubles as the document-frequency
+    * filter for shingles. */
+  val MaxGroupSize = 10000
+
+  private def boundedSet(c: Column, cap: Int): Column =
+    org.apache.spark.sql.graftext.BoundedCollectAgg.boundedCollectSet(c, cap)
+  private def boundedList(c: Column, cap: Int): Column =
+    org.apache.spark.sql.graftext.BoundedCollectAgg.boundedCollectList(c, cap)
+
   // ---- exact -------------------------------------------------------------
 
   /** Exact dedup groups: content hash → representative (min id) + count. */
@@ -99,15 +115,15 @@ object Dedup {
     * equi-join would never match them, but groupBy would collect them
     * into one spurious group. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, maxGroupSize: Int = MaxGroupSize): DataFrame = {
     val nBands = NumHashes / BandSize
     val bands  = minhashBands(minhashSignatures(docs, idCol, textCol))
     val exploded = bands.select(col("doc_id"),
       explode(array((0 until nBands).map(i => col(s"b$i")): _*)).as("band"))
       .filter(col("band").isNotNull)
     exploded.groupBy("band")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .agg(sort_array(boundedSet(col("doc_id"), maxGroupSize)).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(pairsAsc(col("ids"))).as("p"))
       .select(col("p._1").as("a"), col("p._2").as("b"))
       .distinct()
@@ -120,7 +136,7 @@ object Dedup {
     * [[minhashCandidatePairs]] instead of all pairs). Returns (a, b,
     * jaccard) for pairs with at least one shared shingle. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, maxGroupSize: Int = MaxGroupSize): DataFrame = {
     // One pass over the corpus: each exploded (shingle, doc) row carries
     // the doc's distinct-shingle count, so no per-doc sizes relation and
     // no join back — the old 3-subplan self-join recomputed the shingle
@@ -133,9 +149,9 @@ object Dedup {
       .select(col("doc_id"), size(col("shd")).as("n_sh"),
         explode(col("shd")).as("shingle"))
     ex.groupBy("shingle")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"))))
-        .as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .agg(sort_array(boundedList(struct(col("doc_id"), col("n_sh")),
+        maxGroupSize)).as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
       .select(explode(pairsAsc(col("ds"))).as("p"))
       .select(col("p._1.doc_id").as("a"), col("p._1.n_sh").as("na"),
         col("p._2.doc_id").as("b"), col("p._2.n_sh").as("nb"))
@@ -165,15 +181,15 @@ object Dedup {
   /** SimHash near-dup candidates: equal 15-bit quarter (Hamming ≤ 3 over
     * 60 bits guarantees one equal quarter — pigeonhole). */
   def simhashCandidatePairs(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, maxGroupSize: Int = MaxGroupSize): DataFrame = {
     val sigs = simhash(docs, idCol, textCol)
     val quarters = sigs.select(col("doc_id"), explode(array(
       (0 until 4).map(q => struct(lit(q).as("q"),
         shiftright(col("simhash"), q * 15).bitwiseAND(lit((1L << 15) - 1))
           .as("v"))): _*)).as("quarter"))
     quarters.groupBy("quarter")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .agg(sort_array(boundedSet(col("doc_id"), maxGroupSize)).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(pairsAsc(col("ids"))).as("p"))
       .select(col("p._1").as("a"), col("p._2").as("b"))
       .distinct()
@@ -185,16 +201,19 @@ object Dedup {
     * equality join — the scale path; a full cross join never happens).
     * Returns (a, b, cos) with cos ≥ minCosine, a < b. */
   def embeddingNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
-      dim: Int, minCosine: Double, nBits: Int = 8): DataFrame = {
+      dim: Int, minCosine: Double, nBits: Int = 8,
+      maxGroupSize: Int = MaxGroupSize): DataFrame = {
     // groupBy(bucket) + in-group combinations: LSH signatures computed
     // once (a self-join would evaluate them on both sides). Each doc
     // lands in exactly one bucket, so pairs are unique — no distinct.
-    // At 100 TB raise nBits so per-bucket collect_list stays bounded.
+    // At 100 TB raise nBits so buckets stay small; maxGroupSize bounds
+    // the collect regardless.
     val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.lshSignature(col(vecCol), dim, nBits).as("bucket"))
     bucketed.groupBy("bucket")
-      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("xs"))
-      .filter(size(col("xs")) >= 2)
+      .agg(sort_array(boundedList(struct(col("id"), col("v")),
+        maxGroupSize)).as("xs"))
+      .filter(col("xs").isNotNull && size(col("xs")) >= 2)
       .select(explode(pairsAsc(col("xs"))).as("p"))
       .select(col("p._1.id").as("a"), col("p._1.v").as("va"),
         col("p._2.id").as("b"), col("p._2.v").as("vb"))

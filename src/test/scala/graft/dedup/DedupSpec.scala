@@ -67,6 +67,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("hot key: an over-cap LSH group is dropped, small groups survive") {
+    // 10k docs sharing one text → every band is a 10k-member hot group;
+    // two near-dup docs with distinct text form a small group. With the
+    // cap the hot group yields ZERO pairs (not ~50M) and the buffer never
+    // exceeds cap+1 elements, while the small group still pairs up.
+    val hot = (1L to 10000L).map(i => (i, "spam spam spam spam wonderful spam spam spam"))
+    // identical text → identical signatures: guaranteed to pair under
+    // all three generators (a near-dup's quarter match is data-dependent)
+    val fine = Seq(
+      (20001L, "a genuinely unique document about distributed query engines"),
+      (20002L, "a genuinely unique document about distributed query engines"))
+    val all = (hot ++ fine).toDF("doc_id", "text").repartition(8)
+    val pairs = Dedup.minhashCandidatePairs(all, "doc_id", "text",
+        maxGroupSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((20001L, 20002L)))
+    val sim = Dedup.simhashCandidatePairs(all, "doc_id", "text",
+        maxGroupSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.contains((20001L, 20002L)))
+    assert(!sim.exists { case (a, b) => a <= 10000L || b <= 10000L })
+    val jac = Dedup.ngramJaccardPairs(all, "doc_id", "text", 0.01,
+        maxGroupSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac === Set((20001L, 20002L)))
+  }
+
+  test("bounded collect: cap exactly at group size keeps the group") {
+    val docs3 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(docs3, "doc_id", "text",
+        maxGroupSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // group of exactly 3 is NOT dropped
+  }
+
   test("embedding near-dup pairs: identical vectors found with cos 1.0") {
     val e = graft.embed.DeterministicEmbedder(64)
     val vecs = Seq(
