@@ -1163,7 +1163,65 @@ object SparkEntry {
         c.select("docs", "doc_id", Some(10))
       },
       """SELECT doc_id, lang, source FROM documents
-        |WHERE doc_id NOT IN (1, 3, 5) ORDER BY doc_id LIMIT 10""".stripMargin)
+        |WHERE doc_id NOT IN (1, 3, 5) ORDER BY doc_id LIMIT 10""".stripMargin),
+
+    Q("q55_rrf_fusion",
+      (s, dir) => HybridSearch.searchRrf(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), QueryText, Embedder)
+        .select("doc_id", "score", "lang", "source", "n_chars"),
+      {
+        val nCand = HybridSearch.numCandidates(HybridSearch.DefaultSize)
+        s"""WITH text_s AS (
+           |  SELECT doc_id,
+           |    round(len(list_intersect($toksSql, $qtermsSql))::DOUBLE
+           |          / ${QueryTerms.length}.0, 6) AS text_score
+           |  FROM documents
+           |  WHERE len(list_intersect($toksSql, $qtermsSql)) > 0
+           |  ORDER BY text_score DESC, doc_id LIMIT $nCand),
+           |tr AS (SELECT doc_id, row_number() OVER
+           |         (ORDER BY text_score DESC, doc_id) AS tr FROM text_s),
+           |vec_s AS (
+           |  SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
+           |  FROM embeddings ORDER BY vec_score DESC, doc_id LIMIT $nCand),
+           |vr AS (SELECT doc_id, row_number() OVER
+           |         (ORDER BY vec_score DESC, doc_id) AS vr FROM vec_s),
+           |fused AS (
+           |  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+           |    round(coalesce(1.0::DOUBLE / (60 + t.tr), 0.0)
+           |        + coalesce(1.0::DOUBLE / (60 + v.vr), 0.0), 6) AS score
+           |  FROM tr t FULL OUTER JOIN vr v ON t.doc_id = v.doc_id)
+           |SELECT f.doc_id, f.score, d.lang, d.source, d.n_chars
+           |FROM (SELECT * FROM fused
+           |      ORDER BY score DESC, doc_id LIMIT ${HybridSearch.DefaultSize}) f
+           |JOIN documents d ON d.doc_id = f.doc_id
+           |ORDER BY f.score DESC, f.doc_id""".stripMargin
+      }),
+
+    Q("q56_simhash_verified",
+      (s, dir) => Dedup.simhashVerifiedPairs(Tables.documents(s, dir),
+        "doc_id", "text").orderBy("a", "b"),
+      {
+        val bits = (0 until Dedup.SimHashBits).map { i =>
+          s"(CASE WHEN list_sum([((h >> $i) & 1) * 2 - 1 for h in hs])" +
+            s" > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END)"
+        }.mkString(" + ")
+        s"""WITH sigs AS (
+           |  SELECT doc_id, ($bits)::BIGINT AS sim
+           |  FROM (SELECT doc_id, [${md5LongSql("t")} for t in $toksSql] AS hs
+           |        FROM documents)),
+           |quarters AS (
+           |  SELECT doc_id, sim, q, (sim >> (q * 15)) & ${(1L << 15) - 1} AS v
+           |  FROM sigs, unnest([0, 1, 2, 3]) AS t(q)),
+           |ok AS (SELECT q, v FROM quarters GROUP BY q, v
+           |       HAVING count(DISTINCT doc_id) <= ${Dedup.MaxGroupSize})
+           |SELECT a, b, hamming FROM (
+           |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+           |    bit_count(xor(l.sim, r.sim))::INT AS hamming
+           |  FROM quarters l JOIN quarters r ON l.q = r.q AND l.v = r.v
+           |  JOIN ok ON ok.q = l.q AND ok.v = l.v
+           |  WHERE l.doc_id < r.doc_id)
+           |WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+      })
   )
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -195,6 +195,33 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-dups VERIFIED by exact Hamming distance — completes
+    * the candidate stage the way Jaccard verifies minhash candidates:
+    * quarter-banding guarantees recall for distance ≤ 3 (pigeonhole),
+    * the `bit_count(xor)` filter removes the false positives banding
+    * lets through. Signatures ride along in the group collect, so no
+    * join back to the signature relation. Returns (a, b, hamming). */
+  def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxGroupSize: Int = MaxGroupSize): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol)
+    val quarters = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(q => struct(lit(q).as("q"),
+        shiftright(col("simhash"), q * 15).bitwiseAND(lit((1L << 15) - 1))
+          .as("v"))): _*)).as("quarter"))
+    quarters.groupBy("quarter")
+      .agg(sort_array(boundedList(struct(col("doc_id"), col("simhash")),
+        maxGroupSize)).as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+      .select(explode(pairsAsc(col("ds"))).as("p"))
+      .select(col("p._1.doc_id").as("a"), col("p._1.simhash").as("sa"),
+        col("p._2.doc_id").as("b"), col("p._2.simhash").as("sb"))
+      .distinct() // same pair can surface from several quarters
+      .withColumn("hamming",
+        expr("cast(bit_count(sa ^ sb) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
   // ---- embedding near-dup ------------------------------------------------
 
   /** Embedding-cosine near-dup pairs, restricted to LSH buckets (bucket

@@ -58,4 +58,45 @@ object HybridSearch {
     fused.join(docs, Seq("doc_id"), "inner")
       .orderBy(col("score").desc, col("doc_id").asc)
   }
+
+  /** Reciprocal-rank fusion — the alternative the reference's own
+    * comments name next to its boosted-bool implementation
+    * (`elasticsearch_index.py:235-246`): `score = Σ 1/(k0 + rank)` over
+    * the text and vector candidate lists. Rank-based, so the two score
+    * scales never need calibrating — no boosts, no min_score floor.
+    *
+    * Scale shape: both candidate lists are cut to `nCand` rows by
+    * top-k (TakeOrderedAndProject) BEFORE ranking, so the global
+    * `row_number` window runs on ≤ nCand rows — a single tiny partition
+    * by construction, bounded by the knob and not by the corpus. */
+  def searchRrf(docs: DataFrame, embs: DataFrame, queryText: String,
+      embedder: Embedder, size: Int = DefaultSize, k0: Int = 60,
+      nCand: Int = numCandidates(DefaultSize)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queryVec = embedder.embed(queryText)
+    val text = docs.select(col("doc_id"),
+      round(TextSearch.tokenOverlapScore(col("text"), queryText), 6)
+        .as("text_score"))
+      .filter(col("text_score") > 0.0)
+      .orderBy(col("text_score").desc, col("doc_id").asc).limit(nCand)
+      .withColumn("tr", row_number().over(
+        Window.orderBy(col("text_score").desc, col("doc_id").asc)))
+    val vec = VectorSearch.topK(
+      embs.withColumnRenamed("vec_id", "doc_id"), "doc_id", "embedding",
+      queryVec, nCand)
+      .withColumn("vr", row_number().over(
+        Window.orderBy(col("vec_score").desc, col("doc_id").asc)))
+
+    val fused = text.select("doc_id", "tr")
+      .join(vec.select("doc_id", "vr"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(k0) + col("tr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("vr")), lit(0.0)), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(size)
+
+    fused.join(docs, Seq("doc_id"), "inner")
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
 }

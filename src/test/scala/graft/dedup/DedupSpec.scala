@@ -105,6 +105,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // group of exactly 3 is NOT dropped
   }
 
+  test("simhash verified pairs: exact dups at hamming 0; candidates past the distance are cut") {
+    val verified = Dedup.simhashVerifiedPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(verified((1L, 2L)) === 0)
+    assert(verified.values.forall(_ <= 3))
+    // candidate stage alone admits more pairs than the verify lets through
+    val candidates = Dedup.simhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.keySet.subsetOf(candidates))
+  }
+
   test("embedding near-dup pairs: identical vectors found with cos 1.0") {
     val e = graft.embed.DeterministicEmbedder(64)
     val vecs = Seq(

@@ -95,4 +95,22 @@ class SearchSpec extends SparkSpec {
     // doc 3 scores ~0 < min_score 0.5 → excluded
     assert(!res.map(_.getAs[Long]("doc_id")).contains(3L))
   }
+
+  test("rrf fusion: rank-1 in both lists tops; score is sum of reciprocals") {
+    val e = DeterministicEmbedder(64)
+    val d = Seq(
+      (1L, "spark join merge sort window", "en", "s", 10L),
+      (2L, "spark join", "en", "s", 10L),
+      (3L, "zzz", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v = d.select(col("doc_id").as("vec_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, e.embed(t).toSeq) }.toDF("vec_id", "embedding")
+    val res = HybridSearch.searchRrf(d, v, "spark join merge sort window", e)
+      .collect()
+    assert(res.head.getAs[Long]("doc_id") === 1L)
+    // doc 1 is rank 1 on both lists: 1/61 + 1/61
+    assert(math.abs(res.head.getAs[Double]("score") - 2.0 / 61.0) < 1e-5)
+    // rank-based: doc 3 still appears (vector list has no floor) but last
+    assert(res.last.getAs[Long]("doc_id") === 3L)
+  }
 }
