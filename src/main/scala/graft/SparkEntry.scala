@@ -1221,8 +1221,53 @@ object SparkEntry {
            |  JOIN ok ON ok.q = l.q AND ok.v = l.v
            |  WHERE l.doc_id < r.doc_id)
            |WHERE hamming <= 3 ORDER BY a, b""".stripMargin
-      })
+      }),
+
+    Q("q57_tfidf_embed_profile",
+      (s, dir) => graft.embed.TfIdfEmbed.profile(
+        Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, ${md5LongSql("tok")} % 64 AS bucket,
+         |       count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, bucket),
+         |mm AS (SELECT count(*)::DOUBLE AS m FROM documents),
+         |dfreq AS (SELECT bucket, count(*)::DOUBLE AS df FROM tf GROUP BY bucket),
+         |w AS (SELECT doc_id, tf.bucket, tf.tf * ln((mm.m + 1) / (dfreq.df + 1)) AS wr
+         |      FROM tf JOIN dfreq ON tf.bucket = dfreq.bucket CROSS JOIN mm),
+         |n AS (SELECT doc_id, sqrt(sum(wr * wr)) AS norm FROM w GROUP BY doc_id),
+         |nw AS (SELECT w.doc_id, bucket, wr / n.norm AS wn, n.norm AS norm
+         |       FROM w JOIN n ON w.doc_id = n.doc_id)
+         |SELECT doc_id, count(*)::BIGINT AS nnz, round(any_value(norm), 4) AS l2_raw,
+         |  md5(string_agg(bucket || ':' || round(wn * 10000)::BIGINT, ','
+         |      ORDER BY bucket)) AS sig
+         |FROM nw GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // MLlib TF-IDF pipeline end-to-end: one IDF fit over the corpus, a
+    // per-partition streaming corpus embed through the Embedder trait,
+    // query embedded driver-side in the same space, brute-force top-10.
+    // murmur3 (HashingTF) has no SQL form → rows-only driver check; the
+    // math is oracle-checked via its md5 twin q57 and pinned by
+    // MlEmbedderSpec.
+    Q("q58_mllib_knn",
+      (s, dir) => {
+        val docs   = Tables.documents(s, dir)
+        val fitted = mlFitted(s, dir)
+        val emb = graft.embed.BatchEmbed.withEmbedding(
+          docs.select("doc_id", "text"), "text", "ml_vec", fitted)
+        graft.search.VectorSearch.topK(emb, "doc_id", "ml_vec",
+          fitted.embed(QueryText), 10)
+      },
+      null)
   )
+
+  /** One MLlib IDF fit per (session, sf dir) — the fitted state is a
+    * dim-length idf array, the per-query refit would be a full corpus
+    * pass. */
+  private val mlFitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.embed.MlEmbedder.Fitted]()
+  private def mlFitted(s: SparkSession, dir: String): graft.embed.MlEmbedder.Fitted =
+    mlFitCache.computeIfAbsent(
+      org.apache.spark.sql.graftext.SessionUtils.uuid(s) + "|" + dir,
+      _ => graft.embed.MlEmbedder.fit(Tables.documents(s, dir), "text", 64))
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
     // the index is an execution strategy, not a semantics change).
