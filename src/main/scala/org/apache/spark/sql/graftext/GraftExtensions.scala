@@ -30,46 +30,103 @@ object GraftFunctions {
   private def expression(c: org.apache.spark.sql.Column): Expression =
     ColumnNodeToExpressionConverter(c.node)
 
+  /** Arity + literal-argument validation: a wrong argument count or a
+    * non-foldable value where a constant knob is required (nBits, n, dim)
+    * must be a proper AnalysisException naming the signature, not an
+    * IndexOutOfBounds / eval-on-unresolved crash from inside the
+    * builder. */
+  private def checkArity(name: String, sig: String, cs: Seq[Expression],
+      n: Int): Unit =
+    if (cs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3088",
+        messageParameters = Map("msg" ->
+          s"$name expects $n argument(s): $sig; got ${cs.length}"))
+
+  private def litInt(name: String, sig: String, cs: Seq[Expression],
+      i: Int): Int = {
+    val e = cs(i)
+    if (!e.foldable || !e.resolved)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3088",
+        messageParameters = Map("msg" ->
+          s"$name: argument ${i + 1} of $sig must be an integer literal"))
+    e.eval() match {
+      case x: Number => x.intValue()
+      case other => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3088",
+        messageParameters = Map("msg" ->
+          (s"$name: argument ${i + 1} of $sig must be an integer literal, " +
+            s"got $other")))
+    }
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "_FUNC_(a, b) - cosine similarity of two float vectors"),
-      (cs: Seq[Expression]) => CosineSimilarityExpr(cs(0), cs(1))),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_cosine", "(a, b)", cs, 2)
+        CosineSimilarityExpr(cs(0), cs(1))
+      }),
     (FunctionIdentifier("graft_tokens"),
       info("graft_tokens", "_FUNC_(text) - lowercase alnum tokens"),
-      (cs: Seq[Expression]) => expression(TextFunctions.tokens(column(cs(0))))),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_tokens", "(text)", cs, 1)
+        expression(TextFunctions.tokens(column(cs(0))))
+      }),
     (FunctionIdentifier("graft_md5long"),
       info("graft_md5long", "_FUNC_(s) - stable 60-bit md5-derived hash"),
-      (cs: Seq[Expression]) => expression(TextFunctions.md5Long(column(cs(0))))),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_md5long", "(s)", cs, 1)
+        expression(TextFunctions.md5Long(column(cs(0))))
+      }),
     (FunctionIdentifier("graft_quality"),
       info("graft_quality", "_FUNC_(text) - heuristic quality score in [0,1]"),
-      (cs: Seq[Expression]) => expression(TextAnalysis.qualityScore(column(cs(0))))),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_quality", "(text)", cs, 1)
+        expression(TextAnalysis.qualityScore(column(cs(0))))
+      }),
     (FunctionIdentifier("graft_lang_id"),
       info("graft_lang_id", "_FUNC_(text) - stopword-ratio language id"),
-      (cs: Seq[Expression]) => expression(TextAnalysis.langId(column(cs(0))))),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_lang_id", "(text)", cs, 1)
+        expression(TextAnalysis.langId(column(cs(0))))
+      }),
     (FunctionIdentifier("graft_fingerprint"),
       info("graft_fingerprint", "_FUNC_(text) - rolling-hash document fingerprint"),
-      (cs: Seq[Expression]) => expression(TextAnalysis.fingerprint(column(cs(0))))),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_fingerprint", "(text)", cs, 1)
+        expression(TextAnalysis.fingerprint(column(cs(0))))
+      }),
     (FunctionIdentifier("graft_lsh_bucket"),
       info("graft_lsh_bucket",
         "_FUNC_(vec, dim, nBits) - random-hyperplane LSH signature"),
       (cs: Seq[Expression]) => {
-        val dim   = cs(1).eval().asInstanceOf[Number].intValue()
-        val nBits = cs(2).eval().asInstanceOf[Number].intValue()
+        checkArity("graft_lsh_bucket", "(vec, dim, nBits)", cs, 3)
+        val dim   = litInt("graft_lsh_bucket", "(vec, dim, nBits)", cs, 1)
+        val nBits = litInt("graft_lsh_bucket", "(vec, dim, nBits)", cs, 2)
         expression(VectorFunctions.lshSignature(column(cs(0)), dim, nBits))
       }),
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash",
         "_FUNC_(hashes, nBits) - SimHash signature over array<long> token hashes"),
-      (cs: Seq[Expression]) =>
-        SimHashExpr(cs(0), cs(1).eval().asInstanceOf[Number].intValue())),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_simhash", "(hashes, nBits)", cs, 2)
+        SimHashExpr(cs(0), litInt("graft_simhash", "(hashes, nBits)", cs, 1))
+      }),
     (FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "_FUNC_(tokens, n) - word n-gram shingles"),
-      (cs: Seq[Expression]) =>
-        ShinglesExpr(cs(0), cs(1).eval().asInstanceOf[Number].intValue())),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_shingles", "(tokens, n)", cs, 2)
+        ShinglesExpr(cs(0), litInt("graft_shingles", "(tokens, n)", cs, 1))
+      }),
     (FunctionIdentifier("graft_pairs_asc"),
       info("graft_pairs_asc",
         "_FUNC_(xs) - all ascending (i<j) element pairs as array<struct<_1,_2>>"),
-      (cs: Seq[Expression]) => PairsAscExpr(cs(0))))
+      (cs: Seq[Expression]) => {
+        checkArity("graft_pairs_asc", "(xs)", cs, 1)
+        PairsAscExpr(cs(0))
+      }))
 
   /** Register into a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, fi, b) =>

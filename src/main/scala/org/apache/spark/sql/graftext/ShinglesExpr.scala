@@ -38,7 +38,10 @@ case class ShinglesExpr(child: Expression, n: Int)
     val out = new Array[Any](len - n + 1)
     i = 0
     while (i <= len - n) {
-      if (n == 1) out(i) = ts(i)
+      // n==1: null token → "" — concat_ws yields "" for an all-null
+      // window, never null, and the output type promises containsNull=false
+      if (n == 1) out(i) =
+        if (ts(i) == null) UTF8String.EMPTY_UTF8 else ts(i)
       else {
         // mirror concat_ws(" ", ...): nulls are skipped by concatWs
         val window = new Array[UTF8String](n)

@@ -27,6 +27,19 @@ class SearchIndexSpec extends SparkSpec {
     assert(vDirs > 2)
   }
 
+  test("compact layout: exactly one parquet file per bucket dir") {
+    // repartition(bucketCol) before partitionBy sends each bucket to ONE
+    // shuffle partition → one file per dir. More files per dir = the
+    // tiny-file tax per probe, times every query.
+    def maxFiles(table: String, prefix: String): Int =
+      Files.list(Paths.get(indexDir, table)).toArray.map(_.toString)
+        .filter(_.contains(prefix))
+        .map(d => Files.list(Paths.get(d)).toArray.map(_.toString)
+          .count(_.endsWith(".parquet"))).max
+    assert(maxFiles("postings", "term_bucket=") === 1)
+    assert(maxFiles("vectors", "lsh_bucket=") === 1)
+  }
+
   test("termBucket expression matches driver-side termBucketOf") {
     import spark.implicits._
     val terms = Seq("spark", "join", "merge", "window", "zzz9")

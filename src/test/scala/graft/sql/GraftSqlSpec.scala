@@ -24,6 +24,34 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.forall(_.getAs[Int]("n") > 0))
   }
 
+  test("wrong arity / non-literal knob → AnalysisException naming the signature") {
+    ready
+    // the registry may wrap the builder's AnalysisException — assert on
+    // the full cause chain's message
+    def fullMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(embedding) FROM embeddings").collect()
+    }
+    assert(fullMsg(e1).contains("graft_cosine expects 2"))
+    val e2 = intercept[Exception] {
+      // nBits is a plan-time knob: a column there must be a clear error
+      spark.sql(
+        "SELECT graft_shingles(graft_tokens(text), doc_id) FROM documents")
+        .collect()
+    }
+    assert(fullMsg(e2).contains("integer literal"))
+  }
+
+  test("graft_shingles n=1 maps null tokens to empty string (concat_ws parity)") {
+    ready
+    val r = spark.sql(
+      "SELECT graft_shingles(array('a', CAST(NULL AS STRING), 'b'), 1) AS s")
+      .collect().head.getAs[scala.collection.Seq[String]]("s")
+    assert(r === Seq("a", "", "b"))
+  }
+
   test("graft_simhash / graft_shingles / graft_pairs_asc from SQL") {
     ready
     val r = spark.sql(
