@@ -703,11 +703,11 @@ object SparkEntry {
     * build once, query many — queries must not pay the build). */
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Build any one-time infrastructure (search index) ahead of query
-    * timing — the bench warm-up calls this so indexed queries measure
-    * query latency, not the build. */
+  /** Build any one-time infrastructure (search index, fitted IDF model)
+    * ahead of query timing — the bench warm-up calls this so indexed /
+    * model queries measure query latency, not the build/fit. */
   def prepare(s: SparkSession, dir: String): Unit = {
-    indexFor(s, dir); ivfFor(s, dir); ()
+    indexFor(s, dir); ivfFor(s, dir); mlFitted(s, dir); ()
   }
 
   private def indexFor(s: SparkSession, dir: String): String =
@@ -1256,7 +1256,28 @@ object SparkEntry {
         graft.search.VectorSearch.topK(emb, "doc_id", "ml_vec",
           fitted.embed(QueryText), 10)
       },
-      null)
+      null),
+
+    Q("q59_frame_samples",
+      (s, dir) => {
+        val media = Tables.documents(s, dir).select(col("doc_id"),
+          col("text").cast("binary").as("media"))
+        graft.multimodal.Multimodal.withFrameSamples(media, "media", n = 4)
+          .select(col("doc_id"), explode(col("frames")).as("f"))
+          .select(col("doc_id"), col("f.frame_idx"), col("f.frame_off"),
+            col("f.frame_len"), col("f.frame_md5"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      // fixture text is ASCII (q32 relies on the same byte==char
+      // equivalence), so substr-by-char mirrors the byte slicing
+      s"""SELECT doc_id, i AS frame_idx,
+         |  (i * L) // 4 AS frame_off,
+         |  ((i + 1) * L) // 4 - (i * L) // 4 AS frame_len,
+         |  md5(substr(text, (i * L) // 4 + 1,
+         |      ((i + 1) * L) // 4 - (i * L) // 4)) AS frame_md5
+         |FROM (SELECT doc_id, text, length(text)::BIGINT AS L FROM documents),
+         |  unnest([0, 1, 2, 3]) AS t(i)
+         |WHERE L > 0 ORDER BY doc_id, frame_idx""".stripMargin)
   )
 
   /** One MLlib IDF fit per (session, sf dir) — the fitted state is a

@@ -114,4 +114,47 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Digest manifest companion to [[sampleFrames]]: where that emits the
+    * raw frame bytes for downstream decode, this slices the stream into
+    * `n` spans covering ALL of it (`i*L/n` boundaries) and emits
+    * `(frame_idx, frame_off, frame_len, frame_md5)` — the shape for
+    * per-frame dedup / integrity checks. Integer offsets + md5 are
+    * exactly reproducible by an external engine, so the sampling stage
+    * is oracle-checkable end-to-end (q59). Empty media → empty array;
+    * `n` is the knob, so per-row output is bounded by construction. */
+  def withFrameSamples(df: DataFrame, binCol: String, n: Int = 4,
+      outCol: String = "frames"): DataFrame = {
+    require(n >= 1, s"frame sample count must be >= 1, got $n")
+    val frameType = ArrayType(StructType(Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_off", LongType, nullable = false),
+      StructField("frame_len", LongType, nullable = false),
+      StructField("frame_md5", StringType, nullable = false))),
+      containsNull = false)
+    val schema = df.schema.add(StructField(outCol, frameType))
+    val enc    = org.apache.spark.sql.Encoders.row(schema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val frames =
+          if (bytes == null || bytes.isEmpty) Seq.empty[Row]
+          else {
+            val len = bytes.length.toLong
+            (0 until n).map { i =>
+              val off = i.toLong * len / n
+              val end = (i + 1).toLong * len / n
+              md.reset()
+              val dg = md.digest(
+                java.util.Arrays.copyOfRange(bytes, off.toInt, end.toInt))
+                .map(b => f"$b%02x").mkString
+              Row(i, off, end - off, dg)
+            }
+          }
+        Row.fromSeq(r.toSeq :+ frames)
+      }
+    }(enc)
+  }
 }

@@ -35,6 +35,26 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Array[Byte]]("frame_bytes").length === 250))
   }
 
+  test("withFrameSamples: spans tile the stream; digests match direct md5") {
+    val f = Multimodal.withFrameSamples(media, "media", n = 4)
+      .orderBy("media_id").collect()
+    val frames1 = f(0).getSeq[org.apache.spark.sql.Row](3)
+    assert(frames1.length === 4)
+    // spans are contiguous and cover every byte exactly once
+    val total = "fake png bytes here".getBytes("UTF-8").length.toLong
+    assert(frames1.map(_.getAs[Long]("frame_len")).sum === total)
+    assert(frames1.head.getAs[Long]("frame_off") === 0L)
+    // digest of the first span equals a directly computed md5
+    val bytes = "fake png bytes here".getBytes("UTF-8")
+    val l0 = frames1.head.getAs[Long]("frame_len").toInt
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.util.Arrays.copyOfRange(bytes, 0, l0))
+      .map(b => f"$b%02x").mkString
+    assert(frames1.head.getAs[String]("frame_md5") === expect)
+    // empty media → no frames
+    assert(f(2).getSeq[org.apache.spark.sql.Row](3).isEmpty)
+  }
+
   test("withMediaFeatures: unit-norm fixed-dim vector; zero for empty") {
     val f = Multimodal.withMediaFeatures(media, "media", dim = 32)
       .orderBy("media_id").collect()
