@@ -126,6 +126,32 @@ object GraftFunctions {
       (cs: Seq[Expression]) => {
         checkArity("graft_pairs_asc", "(xs)", cs, 1)
         PairsAscExpr(cs(0))
+      }),
+    (FunctionIdentifier("graft_kmv_distinct"),
+      info("graft_kmv_distinct",
+        "_FUNC_(s, k) - KMV distinct-count estimate (aggregate, k-bounded buffer)"),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_kmv_distinct", "(s, k)", cs, 2)
+        KmvSketchAgg(cs(0), litInt("graft_kmv_distinct", "(s, k)", cs, 1))
+          .toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_bounded_collect_set"),
+      info("graft_bounded_collect_set",
+        "_FUNC_(x, maxSize) - collect_set that yields NULL past maxSize (bounded buffer)"),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_bounded_collect_set", "(x, maxSize)", cs, 2)
+        BoundedCollectAgg(cs(0),
+          litInt("graft_bounded_collect_set", "(x, maxSize)", cs, 1),
+          distinct = true).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_bounded_collect_list"),
+      info("graft_bounded_collect_list",
+        "_FUNC_(x, maxSize) - collect_list that yields NULL past maxSize (bounded buffer)"),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_bounded_collect_list", "(x, maxSize)", cs, 2)
+        BoundedCollectAgg(cs(0),
+          litInt("graft_bounded_collect_list", "(x, maxSize)", cs, 1),
+          distinct = false).toAggregateExpression()
       }))
 
   /** Register into a live session (tests, notebooks). */

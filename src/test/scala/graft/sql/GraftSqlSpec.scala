@@ -52,6 +52,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(r === Seq("a", "", "b"))
   }
 
+  test("aggregates from SQL: kmv estimate and bounded collects") {
+    ready
+    val kmv = spark.sql(
+      """SELECT lang, graft_kmv_distinct(CAST(doc_id AS STRING), 64) AS est
+        |FROM documents GROUP BY lang""".stripMargin).collect()
+    assert(kmv.nonEmpty)
+    assert(kmv.forall(_.getDouble(1) > 0))
+    val bc = spark.sql(
+      """SELECT lang, graft_bounded_collect_set(doc_id, 3) AS ids,
+        |  graft_bounded_collect_list(doc_id, 100000) AS all_ids
+        |FROM documents GROUP BY lang""".stripMargin).collect()
+    // every lang has >3 docs → capped set is NULL, roomy list is not
+    assert(bc.forall(_.isNullAt(1)))
+    assert(bc.forall(r => !r.isNullAt(2) &&
+      r.getSeq[Long](2).nonEmpty))
+  }
+
   test("graft_simhash / graft_shingles / graft_pairs_asc from SQL") {
     ready
     val r = spark.sql(
