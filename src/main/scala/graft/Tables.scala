@@ -43,7 +43,16 @@ object Tables {
     memo(s, path)(s.read.parquet(path))
 
   private[graft] def invalidate(s: SparkSession, path: String): Unit = {
-    cache.remove(org.apache.spark.sql.graftext.SessionUtils.uuid(s) + "|" + path); ()
+    // Drop the path's plans for EVERY session, not just the caller's:
+    // foreachBatch (and thriftserver etc.) run in CLONED sessions, so a
+    // mutation inside a micro-batch must also evict the outer session's
+    // memoized plan — whose FileIndex still lists the deleted files
+    // (FAILED_READ_FILE.FILE_NOT_EXIST on next use otherwise).
+    val suffix = "|" + path
+    cache.keySet.removeIf(_.endsWith(suffix))
+    // also drop cached-plan data for the path in this session's shared
+    // CacheManager (covers .cache()d frames over the dir)
+    s.catalog.refreshByPath(path)
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -28,7 +28,19 @@ object StreamIngest {
   def watchFolder(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, embedder: Embedder,
       extractor: PageExtractor = TextPageExtractor(),
-      glob: String = "*"): StreamingQuery = {
+      glob: String = "*"): StreamingQuery =
+    embeddedStream(spark, inDir, embedder, extractor, glob).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("lv1_cat")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Shared source→parse→enrich→embed stages of the streaming E1. */
+  private def embeddedStream(spark: SparkSession, inDir: String,
+      embedder: Embedder, extractor: PageExtractor,
+      glob: String): DataFrame = {
     // streaming sources require an explicit schema; binaryFile's is fixed
     val binarySchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("path",
@@ -46,16 +58,44 @@ object StreamIngest {
       .load(inDir)
     val enriched = Ingest.enrich(
       Ingest.explodePages(files, extractor), inDir)
-    val embedded = BatchEmbed.withEmbedding(
+    BatchEmbed.withEmbedding(
       enriched, "page_content", "embeddings", embedder)
-    embedded.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .partitionBy("lv1_cat")
-      .trigger(Trigger.AvailableNow())
-      .start()
   }
+
+  /** The reference's WHOLE product as one streaming pipeline: watch a
+    * folder, parse/enrich/embed new files, and fold each micro-batch
+    * into the persisted search index (first batch builds, later batches
+    * run [[graft.index.SearchIndex.update]] — touching |batch|, not the
+    * corpus). Page identity is `md5(filepath)#page` — deterministic
+    * under task retry, and the file source's exactly-once tracking makes
+    * batches disjoint, which is precisely update's contract. Search
+    * queries over the index see new files after the next trigger: the
+    * reference needs an upload API + parse button + ES bulk call for the
+    * same loop. */
+  def indexPipeline(spark: SparkSession, inDir: String, indexDir: String,
+      checkpointDir: String, embedder: Embedder,
+      extractor: PageExtractor = TextPageExtractor(),
+      glob: String = "*"): StreamingQuery =
+    embeddedStream(spark, inDir, embedder, extractor, glob).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val pages = batch.withColumn("page_id",
+          concat(col("hashed_filepath"), lit("#"), col("page")))
+        val docs = pages.select(col("page_id").as("doc_id"),
+          col("page_content").as("text"))
+        val embs = pages.select(col("page_id").as("vec_id"),
+          col("embeddings").as("embedding"))
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(indexDir, "stats")))
+          graft.index.SearchIndex.update(docs, embs, indexDir,
+            dim = embedder.dim)
+        else
+          graft.index.SearchIndex.build(docs, embs, indexDir,
+            dim = embedder.dim)
+      }
+      .start()
 
   /** Windowed event aggregation with a watermark: per (window, type)
     * counts/sums, late data beyond `watermark` dropped. State is bounded

@@ -149,6 +149,9 @@ final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
     val t = Paths.get(target)
     deleteRec(t)
     Files.move(Paths.get(tmp), t)
+    // drop the session-shared file-listing cache for the rewritten dir,
+    // or later reads resolve to the deleted files
+    spark.catalog.refreshByPath(target)
   }
 
   private def deleteRec(p: java.nio.file.Path): Unit = {

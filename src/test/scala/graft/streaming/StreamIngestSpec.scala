@@ -32,6 +32,39 @@ class StreamIngestSpec extends SparkSpec {
     assert(back.filter(col("lv1_cat") === "catA").count() === 3)
   }
 
+  test("indexPipeline: stream batches fold into a queryable search index") {
+    val in  = Files.createTempDirectory("idx_in").toString
+    val idx = Files.createTempDirectory("idx_out").toString + "/index"
+    val ckp = Files.createTempDirectory("idx_ckp").toString
+    Files.createDirectories(Paths.get(in, "catA"))
+    Files.write(Paths.get(in, "catA/alpha.txt"),
+      "grumpy wizards make toxic brew".getBytes)
+    val emb = DeterministicEmbedder(16)
+
+    val q1 = StreamIngest.indexPipeline(spark, in, idx, ckp, emb,
+      glob = "*.txt")
+    q1.awaitTermination(60000)
+    val hit1 = graft.index.SearchIndex.bm25(spark, idx, "wizards").collect()
+    assert(hit1.length === 1)
+
+    // a later file is folded in incrementally and becomes searchable;
+    // the first doc's results are unchanged
+    Files.write(Paths.get(in, "catA/beta.txt"),
+      "calm librarians shelve quiet books".getBytes)
+    val q2 = StreamIngest.indexPipeline(spark, in, idx, ckp, emb,
+      glob = "*.txt")
+    q2.awaitTermination(60000)
+    assert(graft.index.SearchIndex.bm25(spark, idx, "librarians")
+      .collect().length === 1)
+    assert(graft.index.SearchIndex.bm25(spark, idx, "wizards")
+      .collect().length === 1)
+    // knn over the same index sees both pages
+    val knn = graft.index.SearchIndex.knn(spark, idx,
+      emb.embed("quiet books"), 2, dim = 16,
+      probeHammingRadius = graft.index.SearchIndex.LshBits)
+    assert(knn.collect().length === 2)
+  }
+
   test("dedupStream: first writer wins per content hash") {
     val in = Files.createTempDirectory("dedup_in")
     import spark.implicits._
