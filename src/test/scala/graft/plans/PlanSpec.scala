@@ -61,4 +61,31 @@ class PlanSpec extends SparkSpec {
     val nAggs = "HashAggregate".r.findAllIn(s).size
     assert(nAggs >= 2, s"expected partial+final HashAggregate:\n$s")
   }
+
+  test("q47: KMV is one partial-aggregate pass — no distinct, no windows") {
+    val s = fmtOf("q47_kmv_distinct_parts")
+    assert(s.contains("kmv_distinct"), "native aggregate not in plan:\n" + s)
+    // partial + final of the typed aggregate (map-side k-heap)
+    assert("ObjectHashAggregate".r.findAllIn(s).size >= 2,
+      "expected partial+final ObjectHashAggregate:\n" + s)
+    assert(!s.contains("Window"), "windows crept back into KMV:\n" + s)
+  }
+
+  test("q45: dimension joins stay broadcast under rollup") {
+    val s = fmtOf("q45_revenue_rollup")
+    assert(s.contains("Expand"), "rollup not planned via Expand:\n" + s)
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 3,
+      "broadcast hints lost under rollup:\n" + s)
+    assert(!s.contains("SortMergeJoin"),
+      "dimension join degraded to SMJ under rollup:\n" + s)
+  }
+
+  test("q20: pair generation is bounded-collect groupBy, not a self-join") {
+    val s = fmtOf("q20_minhash_near_dup_pairs")
+    assert(s.contains("bounded_collect_set"),
+      "hot-key-capped collect missing:\n" + s)
+    // one scan lineage: signatures are computed once, not on both join sides
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"),
+      "pair generation regressed to a join:\n" + s)
+  }
 }
