@@ -61,6 +61,35 @@ object SparkEntry {
   private val shinglesSql = // 3-token shingles over alias l
     "[l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l)-1)]"
 
+  /** Shared DuckDB CTE chain ending in `pairs(a, b)` — the minhash-LSH
+    * candidate pairs with the hot-key cap, mirrored from
+    * [[Dedup.minhashCandidatePairs]]. Used by q20 (the pairs themselves)
+    * and q60 (connected components over them). */
+  private lazy val minhashPairCtes: String = {
+    val nBands = Dedup.NumHashes / Dedup.BandSize
+    val hs = (0 until Dedup.NumHashes).map(i =>
+      s"list_min([md5('$i:' || s) for s in sh]) AS h$i").mkString(", ")
+    val bands = (0 until nBands).map { b =>
+      val cols = (0 until Dedup.BandSize)
+        .map(j => s"h${b * Dedup.BandSize + j}").mkString(" || '|' || ")
+      s"md5($cols) AS b$b"
+    }.mkString(", ")
+    val bandArr = (0 until nBands).map(i => s"b$i").mkString("[", ",", "]")
+    s"""sigs AS (
+       |  SELECT doc_id, $hs
+       |  FROM (SELECT doc_id, $shinglesSql AS sh
+       |        FROM (SELECT doc_id, $toksSql AS l FROM documents))),
+       |bands AS (SELECT doc_id, $bands FROM sigs),
+       |exploded AS (SELECT doc_id, unnest($bandArr) AS band FROM bands),
+       |ok AS (SELECT band FROM exploded GROUP BY band
+       |       HAVING count(DISTINCT doc_id) <= ${Dedup.MaxGroupSize}),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM exploded l JOIN exploded r ON l.band = r.band
+       |  WHERE l.doc_id < r.doc_id
+       |    AND l.band IN (SELECT band FROM ok))""".stripMargin
+  }
+
   /** DuckDB cosine vs the query vector (doc side `embedding`). */
   private val cosSql = {
     val dot = s"list_dot_product(embedding::DOUBLE[], $qvSql)"
@@ -368,29 +397,8 @@ object SparkEntry {
     Q("q20_minhash_near_dup_pairs",
       (s, dir) => Dedup.minhashCandidatePairs(Tables.documents(s, dir),
         "doc_id", "text").orderBy("a", "b"),
-      {
-        val nBands = Dedup.NumHashes / Dedup.BandSize
-        val hs = (0 until Dedup.NumHashes).map(i =>
-          s"list_min([md5('$i:' || s) for s in sh]) AS h$i").mkString(", ")
-        val bands = (0 until nBands).map { b =>
-          val cols = (0 until Dedup.BandSize)
-            .map(j => s"h${b * Dedup.BandSize + j}").mkString(" || '|' || ")
-          s"md5($cols) AS b$b"
-        }.mkString(", ")
-        val bandArr = (0 until nBands).map(i => s"b$i").mkString("[", ",", "]")
-        s"""WITH sigs AS (
-           |  SELECT doc_id, $hs
-           |  FROM (SELECT doc_id, $shinglesSql AS sh
-           |        FROM (SELECT doc_id, $toksSql AS l FROM documents))),
-           |bands AS (SELECT doc_id, $bands FROM sigs),
-           |exploded AS (SELECT doc_id, unnest($bandArr) AS band FROM bands),
-           |ok AS (SELECT band FROM exploded GROUP BY band
-           |       HAVING count(DISTINCT doc_id) <= ${Dedup.MaxGroupSize})
-           |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-           |FROM exploded l JOIN exploded r ON l.band = r.band
-           |WHERE l.doc_id < r.doc_id
-           |  AND l.band IN (SELECT band FROM ok) ORDER BY a, b""".stripMargin
-      }),
+      s"""WITH $minhashPairCtes
+         |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin),
 
     Q("q21_ngram_jaccard_pairs",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir),
@@ -1277,7 +1285,26 @@ object SparkEntry {
          |      ((i + 1) * L) // 4 - (i * L) // 4)) AS frame_md5
          |FROM (SELECT doc_id, text, length(text)::BIGINT AS L FROM documents),
          |  unnest([0, 1, 2, 3]) AS t(i)
-         |WHERE L > 0 ORDER BY doc_id, frame_idx""".stripMargin)
+         |WHERE L > 0 ORDER BY doc_id, frame_idx""".stripMargin),
+
+    Q("q60_near_dup_clusters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.nearDupClusters(docs, "doc_id",
+          Dedup.minhashCandidatePairs(docs, "doc_id", "text"))
+          .orderBy("doc_id")
+      },
+      // oracle: transitive closure as a recursive CTE — min reachable id
+      // over the undirected pair graph; singletons label themselves
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |cc(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src)
+         |SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
+         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin)
   )
 
   /** One MLlib IDF fit per (session, sf dir) — the fitted state is a

@@ -222,6 +222,48 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
+  /** Near-dup CLUSTERS from candidate pairs: connected components by
+    * iterative min-label propagation — each doc's cluster id converges
+    * to the minimum doc id reachable through the pair graph, singletons
+    * label themselves. This is the canonicalization step after
+    * candidates+verify: keep `cluster_id`, drop the rest.
+    *
+    * Shape: the pregel/GraphFrames loop — per iteration one equi-join of
+    * (edges × labels) + a min-aggregate, labels localCheckpointed so the
+    * plan lineage stays flat. Iterations ≤ graph diameter (near-dup
+    * clusters are shallow; `maxIter` guards pathological chains — docs
+    * still unconverged after it keep a non-minimal but consistent
+    * label... none at any tested scale). Convergence is detected by a
+    * changed-count action per iteration, exactly what a pregel step
+    * costs at 100 TB. */
+  def nearDupClusters(allDocs: DataFrame, idCol: String,
+      pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = allDocs.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "n_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_label")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("n_min"), col("label")))
+            .as("label"),
+          (col("n_min") < col("label")).as("chg"))
+      val step = next.localCheckpoint(true)
+      changed = step.filter(col("chg")).count()
+      labels = step.select("id", "label")
+      i += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   // ---- embedding near-dup ------------------------------------------------
 
   /** Embedding-cosine near-dup pairs, restricted to LSH buckets (bucket

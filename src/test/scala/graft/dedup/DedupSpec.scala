@@ -116,6 +116,27 @@ class DedupSpec extends SparkSpec {
     assert(verified.keySet.subsetOf(candidates))
   }
 
+  test("nearDupClusters: chains collapse to min id, singletons label themselves") {
+    import spark.implicits._
+    val ids = (1L to 8L).map(Tuple1(_)).toDF("doc_id")
+    // chain 1-2-3 (transitive through 2), pair 5-6, singletons 4,7,8
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.nearDupClusters(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("nearDupClusters on real candidate pairs: labels are cluster minima") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    val got = Dedup.nearDupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L) // dup pair collapses
+    assert(got(4L) === 4L)                   // unrelated doc stays itself
+    // every label is itself labeled by itself (fixpoint reached)
+    got.values.foreach(l => assert(got(l) === l))
+  }
+
   test("embedding near-dup pairs: identical vectors found with cos 1.0") {
     val e = graft.embed.DeterministicEmbedder(64)
     val vecs = Seq(
