@@ -140,6 +140,33 @@ final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
     (updated, metric(inObs) - updated)
   }
 
+  /** Maintenance — compact a table's small files into
+    * `ceil(bytes / targetFileBytes)` files (the OPTIMIZE of log-based
+    * table formats; here a rewrite + atomic swap). Streaming appends and
+    * incremental inserts accrete small files whose per-file open/footer
+    * cost eventually dominates scans; compaction restores the scan to
+    * full-bandwidth sequential reads. Returns (filesBefore, filesAfter).
+    */
+  def compact(name: String, targetFileBytes: Long = 128L << 20)
+      : (Long, Long) = {
+    validate(name)
+    val p = Paths.get(dir(name))
+    def parquetFiles: Seq[java.nio.file.Path] = {
+      val s = Files.walk(p)
+      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    val before = parquetFiles
+    val bytes  = before.map(Files.size).sum
+    val nOut   = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val tmp    = dir(name) + "__tmp_compact"
+    table(name).repartition(nOut.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    swapIn(tmp, dir(name))
+    (before.length.toLong, parquetFiles.length.toLong)
+  }
+
   /** A pass that produces zero rows may report no metric at all — an
     * empty input table is a count of 0, not an error. */
   private def metric(o: org.apache.spark.sql.Observation): Long =

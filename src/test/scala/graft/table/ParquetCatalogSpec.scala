@@ -69,6 +69,21 @@ class ParquetCatalogSpec extends SparkSpec {
     assert(rows === Seq(("a", "new", 9), ("b", "keep", 2), ("c", "fresh", 3)))
   }
 
+  test("compact: many small files become few, rows unchanged") {
+    import spark.implicits._
+    val c = freshCatalog()
+    val df = (1L to 1000L).map(i => (i, s"row$i")).toDF("id", "v")
+    c.createTable("frag", df.schema)
+    // simulate accreted appends: 16-way write = 16 small files
+    c.insert("frag", df.repartition(16))
+    val (before, after) = c.compact("frag")
+    assert(before >= 16L)
+    assert(after === 1L) // 1000 tiny rows << target file size
+    assert(c.table("frag").count() === 1000L)
+    assert(c.table("frag").agg(org.apache.spark.sql.functions.sum("id"))
+      .head().getLong(0) === 500500L)
+  }
+
   test("insertFromCsv: header + null fill (S7)") {
     val c = freshCatalog()
     val csv = Files.createTempFile("in", ".csv")
