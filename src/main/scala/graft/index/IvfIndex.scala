@@ -48,6 +48,40 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
+  /** Incremental maintenance: assign NEW vectors to their nearest
+    * EXISTING centroid and append partition-locally — centroids stay
+    * fixed (the production IVF pattern: assignment is cheap and
+    * append-only; re-training centroids is a separate, rarer rebuild
+    * when drift degrades cell balance). Touches |batch| data, not the
+    * corpus.
+    *
+    * Assignment is DF algebra: broadcast-crossJoin the nCells-row
+    * centroid table, squared-L2 per (vector, centroid) via a zip_with
+    * fold, `min_by` picks the cell (cell id as tiebreak). nCells rows
+    * per new vector is the worked set — bounded by the knob. */
+  def update(newEmbs: DataFrame, indexDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = newEmbs.sparkSession
+    val cents = graft.Tables.loadPath(spark, s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"))
+    val dist = aggregate(
+      zip_with(col(vecCol).cast("array<double>"), col("centroid"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    newEmbs.select(col(idCol).as("doc_id"), col(vecCol).as("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .groupBy("doc_id")
+      .agg(
+        min_by(col("cell"), struct(col("dist"), col("cell"))).as("ivf_cell"),
+        first(col("embedding")).as("embedding"))
+      .select(col("doc_id"), col("embedding"), col("ivf_cell"))
+      .repartition(col("ivf_cell"))
+      .write.mode("append").partitionBy("ivf_cell")
+      .parquet(s"$indexDir/ivf_vectors")
+    graft.Tables.invalidate(spark, s"$indexDir/ivf_vectors")
+  }
+
   /** Exact cosine top-k within the nProbe nearest cells. */
   def knn(spark: SparkSession, indexDir: String, queryVec: Array[Float],
       k: Int, nProbe: Int = 2): DataFrame = {

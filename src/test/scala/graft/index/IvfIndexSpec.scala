@@ -31,6 +31,40 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("incremental update: new vectors land in nearest cell, knn sees the union") {
+    import org.apache.spark.sql.functions.col
+    val d = Files.createTempDirectory("ivf_upd").toString
+    val all   = Tables.embeddings(spark, SfDir)
+    val first = all.filter(col("vec_id") % 2 === 0)
+    val later = all.filter(col("vec_id") % 2 === 1)
+    IvfIndex.build(first, d, nCells = 8)
+
+    IvfIndex.update(later, d)
+    // full probe over build+update equals brute force over the union —
+    // cell membership cannot change full-probe results
+    val e  = DeterministicEmbedder(64)
+    val qv = e.embed("spark join merge sort window")
+    val brute = VectorSearch.topK(all, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val ivf = IvfIndex.knn(spark, d, qv, 10, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf === brute)
+
+    // spot-check assignment: an updated vector's cell is the argmin
+    // distance over the FIXED centroid table
+    val cents = spark.read.parquet(s"$d/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val probe = later.orderBy("vec_id").head()
+    val pv = probe.getSeq[Float](1).map(_.toDouble).toArray
+    val want = cents.toSeq.map { case (cell, c) =>
+      (cell, c.zip(pv).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.minBy { case (cell, dist) => (dist, cell) }._1
+    val got = spark.read.parquet(s"$d/ivf_vectors")
+      .filter(col("doc_id") === probe.getLong(0))
+      .select("ivf_cell").head().getInt(0)
+    assert(got === want)
+  }
+
   test("tight probe returns candidates from the query's own cell") {
     val e  = DeterministicEmbedder(64)
     // use an actual corpus vector as the query: must be in the probed cell
