@@ -1304,8 +1304,61 @@ object SparkEntry {
          |  UNION
          |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src)
          |SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
-         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin)
+         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin),
+
+    // deterministic synthetic PII injected per row so redaction does
+    // real work on the fixture (which contains none) — both engines
+    // build the identical dirty string, then run the same RE2-safe
+    // pattern chain from TextFunctions.PiiPatterns
+    Q("q61_redact_pii",
+      (s, dir) => {
+        val dirty = concat(col("text"), lit(" contact doc"), col("doc_id"),
+          lit("@example.com via http://ex.org/d/"), col("doc_id"),
+          lit(" call 555-123-4567"))
+        Tables.documents(s, dir).select(col("doc_id"),
+            md5(TextFunctions.redactPii(dirty)).as("red_md5"),
+            (length(dirty) - length(TextFunctions.redactPii(dirty)))
+              .cast("long").as("removed_chars"))
+          .orderBy("doc_id")
+      },
+      {
+        val chain = TextFunctions.PiiPatterns.foldLeft("d") {
+          case (acc, (pat, tag)) =>
+            s"regexp_replace($acc, '$pat', '$tag', 'g')"
+        }
+        s"""WITH dirty AS (
+           |  SELECT doc_id, text || ' contact doc' || doc_id
+           |    || '@example.com via http://ex.org/d/' || doc_id
+           |    || ' call 555-123-4567' AS d FROM documents),
+           |red AS (SELECT doc_id, d, $chain AS r FROM dirty)
+           |SELECT doc_id, md5(r) AS red_md5,
+           |  (length(d) - length(r))::BIGINT AS removed_chars
+           |FROM red ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("q62_decontaminate",
+      (s, dir) => graft.pipeline.Decontaminate.contaminated(
+        Tables.documents(s, dir), "doc_id", "text", BenchmarkPhrases)
+        .orderBy("doc_id"),
+      {
+        val shingles = graft.pipeline.Decontaminate
+          .phraseShingles(BenchmarkPhrases)
+          .map(sh => s"'$sh'").mkString(", ")
+        s"""SELECT doc_id, count(*)::BIGINT AS n_contaminated
+           |FROM (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS shingle
+           |      FROM (SELECT doc_id, $toksSql AS l FROM documents))
+           |WHERE shingle IN ($shingles)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      })
   )
+
+  /** Stand-in benchmark/eval phrases for q62 — sequences that DO occur
+    * in the fixture corpus, so decontamination flags real rows. (lazy:
+    * referenced by the registry val declared above it) */
+  private lazy val BenchmarkPhrases = Seq(
+    "table scan merge part",
+    "batch batch batch stream",
+    "slow small filter customer")
 
   /** One MLlib IDF fit per (session, sf dir) — the fitted state is a
     * dim-length idf array, the per-query refit would be a full corpus

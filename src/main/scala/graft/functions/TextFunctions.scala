@@ -69,6 +69,23 @@ object TextFunctions {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** PII scrub patterns (ordered: URLs first so an address inside a URL
+    * is not half-redacted). Conservative RE2-compatible syntax so the
+    * same strings run in Java regex AND DuckDB/RE2 — no lookarounds, no
+    * \\b. Public so oracle SQL is generated from the same constants. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+"                                  -> "[URL]",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"   -> "[EMAIL]",
+    "\\+?[0-9]{3}[-. ]?[0-9]{3,4}[-. ]?[0-9]{4}"        -> "[PHONE]")
+
+  /** Training-data curation: redact emails/URLs/phone-shaped spans with
+    * typed placeholders. Per-row, shuffle-free, codegen'd
+    * `regexp_replace` chain. */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
   /** Let-binding for column expressions: evaluate `e` ONCE and pass it to
     * `body` as a lambda variable. Spark has no `let`, but a one-element
     * array `transform` is exactly that. Crucial inside higher-order

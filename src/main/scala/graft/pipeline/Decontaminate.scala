@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination — the training-data hygiene step: flag
+  * documents sharing word n-gram shingles with a benchmark/eval set so
+  * they can be dropped before training (the standard n-gram-overlap
+  * decontamination used for public eval suites).
+  *
+  * Scale shape: the benchmark side (test sets — thousands of shingles,
+  * not corpus-scale) becomes a broadcast relation; the corpus explodes
+  * its distinct shingles once and hash-joins against it — one shuffle
+  * for the per-doc count, corpus scanned once. At 100 TB the benchmark
+  * side stays broadcast-size by construction.
+  */
+object Decontaminate {
+
+  /** Distinct n-gram shingles of each phrase, driver-side, with the same
+    * tokenize+shingle definition the corpus side uses. */
+  def phraseShingles(phrases: Seq[String], n: Int = 3): Seq[String] =
+    phrases.flatMap { p =>
+      val toks = p.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      toks.sliding(n).filter(_.length == n).map(_.mkString(" "))
+    }.distinct
+
+  /** Docs sharing at least one shingle with the benchmark phrases:
+    * (doc_id, n_contaminated) — the count of DISTINCT shingles hit.
+    * Clean docs are absent (drop = anti-join on this result). */
+  def contaminated(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bench = phraseShingles(phrases, n).toDF("shingle")
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.shingles(
+          TextFunctions.tokens(col(textCol)), n))).as("shingle"))
+      .join(broadcast(bench), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  /** The keep-side: `docs` minus contaminated ones (left-anti). */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], n: Int = 3): DataFrame =
+    docs.join(
+      contaminated(docs, idCol, textCol, phrases, n)
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -40,6 +40,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(v1 === java.lang.Long.parseLong("5d41402abc4b2a7", 16))
   }
 
+  test("redactPii: emails, urls, phone-shaped spans become placeholders") {
+    import spark.implicits._
+    val r = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "see https://a.example.com/p?q=1 for details",
+      "call 555-123-4567 or 555 1234 5678",
+      "no pii in this one at all"
+    ).toDF("t").select(TextFunctions.redactPii(col("t")).as("r"))
+      .as[String].collect()
+    assert(r(0) === "mail [EMAIL] now")
+    assert(r(1) === "see [URL] for details")
+    assert(r(2) === "call [PHONE] or [PHONE]")
+    assert(r(3) === "no pii in this one at all")
+  }
+
   test("normalizePath + categoryLevel + pathStem (reference F8/F9/F13)") {
     val p = lit("docs\\uploaded\\cat1\\cat2\\file name_v2.pdf")
     assert(one(TextFunctions.normalizePath(p), "x") ===

@@ -42,6 +42,24 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() >= 2) // at least one admitted per stratum
   }
 
+  test("decontaminate: flags docs sharing benchmark shingles, keeps the rest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox appears in this training document"),
+      (3L, "nothing in common with any benchmark at all here")
+    ).toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox") // shingles: 2 of them
+    val hits = Decontaminate.contaminated(docs, "doc_id", "text", bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(1L) === 2L) // "the quick brown" + "quick brown fox"
+    assert(hits(2L) === 1L) // "quick brown fox" only
+    assert(!hits.contains(3L))
+    val kept = Decontaminate.decontaminate(docs, "doc_id", "text", bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L))
+  }
+
   test("curate: dedup + quality floor + budget compose") {
     val docs = Tables.documents(spark, SfDir)
     val c = Sampling.curate(docs, "doc_id", "text", "lang", 0.1, 2000L)
