@@ -80,6 +80,25 @@ class PlanSpec extends SparkSpec {
       "dimension join degraded to SMJ under rollup:\n" + s)
   }
 
+  test("q48: session groupBy reuses the window's exchange (one shuffle)") {
+    val s = fmtOf("q48_sessions")
+    // the per-user window and the per-(user, session) aggregate share the
+    // user_id hash partitioning: the second must reuse, not re-shuffle
+    assert(s.contains("ReusedExchange") ||
+      "Exchange hashpartitioning".r.findAllIn(s).size <= 1,
+      "session aggregate re-shuffles after the window:\n" + s)
+  }
+
+  test("q57: tf-idf scan reads only the two columns it needs") {
+    val s = fmtOf("q57_tfidf_embed_profile")
+    val scanLines = s.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scanLines.nonEmpty)
+    scanLines.foreach { l =>
+      assert(!l.contains("lang") && !l.contains("source") && !l.contains("n_chars"),
+        "tf-idf scan reads unused columns: " + l)
+    }
+  }
+
   test("q20: pair generation is bounded-collect groupBy, not a self-join") {
     val s = fmtOf("q20_minhash_near_dup_pairs")
     assert(s.contains("bounded_collect_set"),
