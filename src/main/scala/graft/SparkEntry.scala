@@ -1102,6 +1102,35 @@ object SparkEntry {
         |  ) AS last_event_id
         |FROM orders o ORDER BY o_orderkey LIMIT 2000""".stripMargin),
 
+    Q("q63_asof_next_event",
+      (s, dir) => {
+        // forward as-of with tolerance: for each order, the customer's
+        // FIRST event at/after the order date, but only within 7 days
+        import graft.operators.AsOfJoin
+        val ev = Tables.events(s, dir)
+          .withColumn("ts", date_trunc("second", col("ts")))
+          .withColumnRenamed("user_id", "o_custkey")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        AsOfJoin.asOf(o, ev, Seq("o_custkey"), "o_orderdate", "ts",
+          Seq("event_id"), tiebreak = "event_id", direction = "forward",
+          toleranceSec = Some(7L * 24 * 3600))
+          .select(col("o_orderkey"), col("event_id").as("next_event_id"))
+          .orderBy("o_orderkey").limit(2000)
+      },
+      """SELECT o_orderkey,
+        |  (SELECT min(e.event_id) FROM events e
+        |   WHERE e.user_id = o.o_custkey
+        |     AND date_trunc('second', e.ts) >= o.o_orderdate
+        |     AND date_trunc('second', e.ts) <= o.o_orderdate + INTERVAL 7 DAY
+        |     AND date_trunc('second', e.ts) =
+        |         (SELECT min(date_trunc('second', e2.ts)) FROM events e2
+        |          WHERE e2.user_id = o.o_custkey
+        |            AND date_trunc('second', e2.ts) >= o.o_orderdate
+        |            AND date_trunc('second', e2.ts) <= o.o_orderdate + INTERVAL 7 DAY)
+        |  ) AS next_event_id
+        |FROM orders o ORDER BY o_orderkey LIMIT 2000""".stripMargin),
+
     Q("q41_range_join_events",
       (s, dir) => {
         // events within [orderdate, orderdate + 1 day) per order

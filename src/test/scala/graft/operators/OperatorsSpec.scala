@@ -39,6 +39,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r.size === 5) // left join semantics: every probe kept
   }
 
+  test("asOf forward: earliest carrier at or after; min tiebreak at equal time") {
+    val r = AsOfJoin.asOf(trades, quotes, Seq("key"), "tts", "qts",
+      Seq("price", "qid"), tiebreak = "qid", direction = "forward")
+      .collect().map(x => x.getAs[String]("trade_id") ->
+        (Option(x.getAs[Any]("price")), Option(x.getAs[Any]("qid")))).toMap
+    assert(r("t1") === (Some(110.0), Some(12L))) // next is 11:00, min id 12
+    assert(r("t2") === (Some(110.0), Some(12L))) // inclusive at equal time
+    assert(r("t3") === (Some(100.0), Some(11L))) // first quote of the day
+    assert(r("t4") === (None, None))             // nothing after 12:00
+    assert(r("t5") === (None, None))
+  }
+
+  test("asOf tolerance: matches farther than the window become null") {
+    // backward, 30 min tolerance: t1 (10:30 vs 10:00) is exactly at the
+    // edge and kept; tightening to 29 min drops it
+    val keep = AsOfJoin.asOf(trades, quotes, Seq("key"), "tts", "qts",
+      Seq("qid"), tiebreak = "qid", toleranceSec = Some(1800L))
+      .collect().map(x => x.getAs[String]("trade_id") ->
+        Option(x.getAs[Any]("qid"))).toMap
+    assert(keep("t1") === Some(11L))
+    assert(keep("t4") === None) // 12:00 vs 10:30 = 90 min > 30 min
+    val tight = AsOfJoin.asOf(trades, quotes, Seq("key"), "tts", "qts",
+      Seq("qid"), tiebreak = "qid", toleranceSec = Some(1740L))
+      .collect().map(x => x.getAs[String]("trade_id") ->
+        Option(x.getAs[Any]("qid"))).toMap
+    assert(tight("t1") === None)
+    assert(tight("t2") === Some(13L)) // equal time: gap 0
+  }
+
   test("saltedJoin: identical result set to the plain join") {
     val big = (1 to 500).map(i =>
       (if (i % 10 == 0) "hot" else s"k$i", i.toLong)).toDF("key", "v")
