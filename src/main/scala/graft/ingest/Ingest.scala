@@ -38,6 +38,66 @@ final case class TextPageExtractor(maxPages: Int = 10000) extends PageExtractor 
     }
 }
 
+/** Docling-export semantics on text stand-ins (reference S4: Docling
+  * exports each PDF page as MARKDOWN with table structure,
+  * `/root/reference/backend/process/parsing.py:98-133`): pages split on
+  * form-feed, contiguous runs of tab-delimited lines with equal arity
+  * become markdown tables (header + `---` separator + rows), and byte
+  * decoding falls back from strict UTF-8 to Latin-1 instead of emitting
+  * replacement chars — the decode-fallback behavior a real parser chain
+  * has. The OCR leg of the reference needs a model runtime and stays out
+  * of this build; everything up to it is real and tested. */
+final case class MarkdownPageExtractor(maxPages: Int = 10000)
+    extends PageExtractor {
+
+  private def decode(b: Array[Byte]): String = {
+    val strict = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try strict.decode(java.nio.ByteBuffer.wrap(b)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        new String(b, "ISO-8859-1")
+    }
+  }
+
+  private def cells(line: String): Array[String] =
+    line.split("\t", -1).map(_.trim)
+
+  private def toMarkdown(page: String): String = {
+    val lines = page.split("\n", -1)
+    val out   = new StringBuilder
+    var i = 0
+    while (i < lines.length) {
+      val arity = cells(lines(i)).length
+      var j = i
+      if (arity >= 2) {
+        while (j < lines.length && cells(lines(j)).length == arity) j += 1
+      }
+      if (arity >= 2 && j - i >= 2) { // header + at least one data row
+        val header = cells(lines(i))
+        out ++= header.mkString("| ", " | ", " |\n")
+        out ++= header.map(_ => "---").mkString("| ", " | ", " |\n")
+        (i + 1 until j).foreach { k =>
+          out ++= cells(lines(k)).mkString("| ", " | ", " |\n")
+        }
+        i = j
+      } else {
+        out ++= lines(i); out += '\n'; i += 1
+      }
+    }
+    out.toString.stripLineEnd
+  }
+
+  def extract(path: String, content: Array[Byte]): Seq[PageText] =
+    try {
+      decode(content).split("\f", -1).take(maxPages).zipWithIndex
+        .map { case (t, i) => PageText(i + 1, toMarkdown(t), None) }.toSeq
+    } catch {
+      case e: Exception => Seq(PageText(0, "", Some(e.getMessage)))
+    }
+}
+
 /** E1 ingest pipeline: binary scan → page explode → clean/hash/uuid/
   * category enrichment → batch embed → partitioned parquet (reference
   * upload→parse→embed→pickle→RDB flow, SURVEY.md §3 E1).

@@ -52,6 +52,28 @@ class IngestSpec extends SparkSpec {
     assert(withFail.count() === 4) // failed file still yields its row
   }
 
+  test("markdown extractor: tab runs become tables, decode falls back, pages split") {
+    val e = MarkdownPageExtractor()
+    val page1 = "Intro line\ncol_a\tcol_b\tcol_c\n1\t2\t3\n4\t5\t6\nAfter."
+    val page2 = "plain second page"
+    val pages = e.extract("x.txt", s"$page1\f$page2".getBytes("UTF-8"))
+    assert(pages.length === 2)
+    val md = pages.head.text
+    assert(md.contains("| col_a | col_b | col_c |"))
+    assert(md.contains("| --- | --- | --- |"))
+    assert(md.contains("| 4 | 5 | 6 |"))
+    assert(md.startsWith("Intro line"))
+    assert(md.endsWith("After."))
+    assert(pages(1).text === "plain second page")
+    // a lone delimited line is NOT a table (no data row)
+    val single = e.extract("y.txt", "a\tb\nplain".getBytes("UTF-8")).head.text
+    assert(!single.contains("| --- |"))
+    // invalid UTF-8 decodes via Latin-1 instead of replacement chars
+    val latin = e.extract("z.txt", Array[Byte]('c', 'a', 'f', 0xE9.toByte))
+    assert(latin.head.text === "café")
+    assert(latin.head.error.isEmpty)
+  }
+
   test("enrich: categories from path, hashes, context prefix (F3/F5/F8)") {
     val base = mkTree()
     val pages = Ingest.explodePages(
