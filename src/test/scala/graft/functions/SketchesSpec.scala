@@ -29,6 +29,35 @@ class SketchesSpec extends SparkSpec {
     assert(native === algebra)
   }
 
+  test("typed aggregates survive the sort-based fallback (serialize/merge path)") {
+    // ObjectHashAggregate falls back to sort-based aggregation past the
+    // fallback threshold — that path exercises serialize/deserialize/
+    // merge of the custom buffers. Force it and require identical
+    // results to the hash path.
+    val li = Tables.lineitem(spark, SfDir)
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    val hashPath = Sketches.kmvDistinct(li, "l_returnflag", "l_partkey", 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val boundedHash = li.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.graftext.BoundedCollectAgg.boundedCollectSet(
+          org.apache.spark.sql.functions.col("l_linenumber"), 100))
+        .as("n")).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    try {
+      spark.conf.set(key, "1") // every group falls back immediately
+      val sortPath = Sketches.kmvDistinct(li, "l_returnflag", "l_partkey", 64)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(sortPath === hashPath)
+      val boundedSort = li.groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.graftext.BoundedCollectAgg.boundedCollectSet(
+            org.apache.spark.sql.functions.col("l_linenumber"), 100))
+          .as("n")).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(boundedSort === boundedHash)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("kmv is exact below k and deterministic") {
     val small = Seq(("a", 1), ("a", 2), ("a", 2), ("b", 9))
       .toDF("g", "v")

@@ -70,6 +70,42 @@ class TextFunctionPropsSpec extends SparkSpec {
     }
   }
 
+  test("native ShinglesExpr ≡ HOF shingles on arbitrary token arrays") {
+    // the native expression claims byte-identity with the HOF
+    // formulation it replaced — hold it to that on generated inputs
+    val hof: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      toks => filter(
+        transform(sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+          i => concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))),
+        s => s =!= "" || lit(true)) // identity filter, keeps types aligned
+    samples(texts, 15).foreach { s =>
+      val native = one(TextFunctions.shingles(
+        TextFunctions.tokens(col("t")), 3), s)
+        .asInstanceOf[scala.collection.Seq[String]]
+      val viaHof = one(hof(TextFunctions.tokens(col("t"))), s)
+        .asInstanceOf[scala.collection.Seq[String]]
+      assert(native === viaHof, s"in: $s")
+    }
+  }
+
+  test("native SimHashExpr ≡ per-bit HOF majority vote") {
+    samples(texts, 10).foreach { s =>
+      val hashes = TextFunctions.tokens(col("t"))
+      val hs = transform(hashes, t => TextFunctions.md5Long(t))
+      val native = one(
+        org.apache.spark.sql.graftext.SimHashExpr.simhash(hs, 12), s)
+        .asInstanceOf[Long]
+      val toks = one(hs, s).asInstanceOf[scala.collection.Seq[Long]]
+      val expected = (0 until 12).map { i =>
+        val vote = toks.map(h => if (((h >> i) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) 1L << i else 0L
+      }.sum
+      assert(native === expected, s"in: $s")
+    }
+  }
+
   test("categoryLevel never throws on arbitrary paths, '' when absent") {
     val paths = Gen.listOf(Gen.oneOf("a", "b\\c", "", "d/e"))
       .map(_.mkString("/"))
