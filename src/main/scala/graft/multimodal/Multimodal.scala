@@ -115,6 +115,47 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize stage: media bytes → smaller media bytes targeting
+    * `targetW x targetH` (STUB: deterministic byte decimation at the
+    * pixel-count ratio — a real impl decodes, resamples, and re-encodes
+    * in this same per-partition slot, decoder state initialized once).
+    * Emits `<binCol>_resized` plus a `(width, height)` struct so
+    * downstream stages see the post-resize geometry. Empty/null media
+    * pass through as empty with null geometry (fail-soft, like decode).
+    */
+  def withResizedMedia(df: DataFrame, binCol: String, targetW: Int,
+      targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val outCol = binCol + "_resized"
+    val schema = df.schema
+      .add(StructField(outCol, BinaryType))
+      .add(StructField(outCol + "_dims", StructType(Seq(
+        StructField("width", IntegerType), StructField("height", IntegerType)))))
+    val enc    = org.apache.spark.sql.Encoders.row(schema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      // real impl: decoder/encoder context opened HERE, once per partition
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null || bytes.isEmpty)
+          Row.fromSeq(r.toSeq :+ Array.empty[Byte] :+ Row(null, null))
+        else {
+          val h60 = md5Long60(bytes)
+          val w   = 16 + (h60 % 4080L).toInt          // stubDecode geometry
+          val h   = 16 + ((h60 / 128L) % 2160L).toInt
+          val ratio = math.min(1.0,
+            targetW.toLong * targetH / (w.toDouble * h))
+          val step = math.max(1, math.round(1.0 / math.max(ratio, 1e-9)).toInt)
+          val out  = bytes.indices.collect {
+            case i if i % step == 0 => bytes(i)
+          }.toArray
+          Row.fromSeq(r.toSeq :+ out :+
+            Row(math.min(w, targetW), math.min(h, targetH)))
+        }
+      }
+    }(enc)
+  }
+
   /** Digest manifest companion to [[sampleFrames]]: where that emits the
     * raw frame bytes for downstream decode, this slices the stream into
     * `n` spans covering ALL of it (`i*L/n` boundaries) and emits

@@ -35,6 +35,29 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Array[Byte]]("frame_bytes").length === 250))
   }
 
+  test("withResizedMedia: deterministic, never grows, capped dims, empty-safe") {
+    val r1 = Multimodal.withResizedMedia(media, "media", 64, 64)
+      .orderBy("media_id").collect()
+    val r2 = Multimodal.withResizedMedia(media, "media", 64, 64)
+      .orderBy("media_id").collect()
+    r1.zip(r2).foreach { case (a, b) =>
+      assert(a.getAs[Array[Byte]]("media_resized").toSeq ===
+        b.getAs[Array[Byte]]("media_resized").toSeq)
+    }
+    r1.take(2).foreach { r =>
+      val orig    = r.getAs[Array[Byte]]("media")
+      val resized = r.getAs[Array[Byte]]("media_resized")
+      assert(resized.length <= orig.length && resized.nonEmpty)
+      val dims = r.getAs[org.apache.spark.sql.Row]("media_resized_dims")
+      assert(dims.getInt(0) <= 64 && dims.getInt(1) <= 64)
+    }
+    // empty media → empty output, null geometry
+    val empty = r1(2)
+    assert(empty.getAs[Array[Byte]]("media_resized").isEmpty)
+    assert(empty.getAs[org.apache.spark.sql.Row]("media_resized_dims")
+      .isNullAt(0))
+  }
+
   test("withFrameSamples: spans tile the stream; digests match direct md5") {
     val f = Multimodal.withFrameSamples(media, "media", n = 4)
       .orderBy("media_id").collect()
