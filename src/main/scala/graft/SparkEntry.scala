@@ -1365,6 +1365,21 @@ object SparkEntry {
            |FROM red ORDER BY doc_id""".stripMargin
       }),
 
+    Q("q64_mixture_sample",
+      (s, dir) => graft.pipeline.Sampling.mixtureTake(
+        Tables.documents(s, dir), "lang", "doc_id", MixtureRecipe)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      {
+        val cases = MixtureRecipe.toSeq.sortBy(_._1)
+          .map { case (l, n) => s"WHEN lang = '$l' THEN $n" }
+          .mkString(" ")
+        s"""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+           |    ORDER BY ${md5LongSql("doc_id::VARCHAR")}, doc_id) AS rn
+           |  FROM documents)
+           |WHERE rn <= (CASE $cases ELSE 0 END) ORDER BY doc_id""".stripMargin
+      }),
+
     Q("q62_decontaminate",
       (s, dir) => graft.pipeline.Decontaminate.contaminated(
         Tables.documents(s, dir), "doc_id", "text", BenchmarkPhrases)
@@ -1380,6 +1395,12 @@ object SparkEntry {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       })
   )
+
+  /** Mixture recipe for q64: a deliberately non-uniform language mix —
+    * zh absent (dropped entirely), en dominant. (lazy: referenced by the
+    * registry val declared above it) */
+  private lazy val MixtureRecipe =
+    Map("en" -> 40, "ko" -> 10, "de" -> 15, "fr" -> 5, "es" -> 25)
 
   /** Stand-in benchmark/eval phrases for q62 — sequences that DO occur
     * in the fixture corpus, so decontamination flags real rows. (lazy:

@@ -32,6 +32,24 @@ object Sampling {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Mixture sampling — the data-MIXING step: per-stratum target counts
+    * (e.g. rebalance languages to a prescribed recipe) instead of one
+    * uniform cap. Rows are chosen in id-hash order like
+    * [[stratifiedTake]]; strata absent from `targets` are dropped. Same
+    * one-shuffle window shape; the recipe rides along as a map literal,
+    * so no second input or join. */
+  def mixtureTake(df: DataFrame, stratumCol: String, idCol: String,
+      targets: Map[String, Int]): DataFrame = {
+    require(targets.nonEmpty, "mixture recipe must not be empty")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(TextFunctions.md5Long(col(idCol).cast("string")).asc,
+        col(idCol).asc)
+    val quota = coalesce(
+      element_at(typedLit(targets), col(stratumCol).cast("string")), lit(0))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota).drop("__rn")
+  }
+
   /** Greedy per-stratum token budget: admit rows in id-hash order while
     * the stratum's running token total stays within `budget`. The
     * standard "N tokens per language" curation step as one window pass. */

@@ -42,6 +42,24 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() >= 2) // at least one admitted per stratum
   }
 
+  test("mixtureTake: per-stratum quotas enforced, absent strata dropped") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "ko" else "zh"))
+      .toDF("doc_id", "lang")
+    val got = Sampling.mixtureTake(docs, "lang", "doc_id",
+      Map("en" -> 5, "ko" -> 2))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("en" -> 5L, "ko" -> 2L)) // zh absent → dropped
+    // deterministic pick
+    val a = Sampling.mixtureTake(docs, "lang", "doc_id", Map("en" -> 5))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.mixtureTake(docs, "lang", "doc_id", Map("en" -> 5))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
   test("decontaminate: flags docs sharing benchmark shingles, keeps the rest") {
     import spark.implicits._
     val docs = Seq(
