@@ -1393,7 +1393,22 @@ object SparkEntry {
            |      FROM (SELECT doc_id, $toksSql AS l FROM documents))
            |WHERE shingle IN ($shingles)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Space-Saving heavy hitters: capacity 32 >= the fixture's 20
+    // distinct sources per lang, so the sketch is in its exact regime
+    // and the oracle is plain top-3-by-count (ties broken term-asc).
+    Q("q65_topk_frequent_sources",
+      (s, dir) => graft.functions.Sketches.topKFrequent(
+        Tables.documents(s, dir), "lang", "source", capacity = 32, topN = 3)
+        .select(col("lang"), col("term"),
+          col("cnt").cast("long").as("cnt"))
+        .orderBy(col("lang"), col("cnt").desc, col("term")),
+      """SELECT lang, source AS term, count(*)::BIGINT AS cnt
+        |FROM documents GROUP BY lang, source
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY count(*) DESC, source) <= 3
+        |ORDER BY lang, cnt DESC, term""".stripMargin)
   )
 
   /** Mixture recipe for q64: a deliberately non-uniform language mix —

@@ -28,6 +28,22 @@ object Sketches {
       .agg(round(org.apache.spark.sql.graftext.KmvSketchAgg.kmvDistinct(
         col(valueCol).cast("string"), k), 4).as("est_distinct"))
 
+  /** Per-group heavy hitters — single pass, no per-term groupBy shuffle:
+    * a Space-Saving [[org.apache.spark.sql.graftext.TopKFreqAgg]] keeps a
+    * `capacity`-bounded (term, count) map per group on the map side; at
+    * most `capacity` entries per group cross the wire. Exact top-`topN`
+    * whenever `capacity >=` the group's distinct cardinality (the regime
+    * the oracle checks); bounded over-estimates under adversarial skew.
+    * Returns (groupCol, term, cnt) rows, (cnt DESC, term ASC) within each
+    * group. */
+  def topKFrequent(df: DataFrame, groupCol: String, valueCol: String,
+      capacity: Int, topN: Int): DataFrame =
+    df.groupBy(groupCol)
+      .agg(org.apache.spark.sql.graftext.TopKFreqAgg.topKFreq(
+        col(valueCol).cast("string"), capacity, topN).as("__top"))
+      .select(col(groupCol), explode(col("__top")).as("__e"))
+      .select(col(groupCol), col("__e.term").as("term"), col("__e.cnt").as("cnt"))
+
   /** DF-algebra formulation of [[kmvDistinct]] (distinct → per-group
     * top-k by hash → max) — kept as the cross-check reference for the
     * native aggregate; the native form is the production path. */

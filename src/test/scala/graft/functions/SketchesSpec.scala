@@ -58,6 +58,49 @@ class SketchesSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("topk_freq: exact top-n when capacity covers distinct cardinality") {
+    val docs = Tables.documents(spark, SfDir)
+    val got = Sketches.topKFrequent(docs, "lang", "source", 64, 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val exact = docs.groupBy("lang", "source").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(3).toSeq
+      }.toSet
+    assert(got.toSet === exact)
+    // per-group output ordering is (cnt desc, term asc)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.sortBy(t => (-t._3, t._2)).toSeq === rows.toSeq)
+    }
+  }
+
+  test("topk_freq: bounded buffer keeps the heavy hitter under skew") {
+    // 1000 occurrences of "hot" interleaved with 500 singletons; a
+    // capacity-8 Space-Saving buffer must still report "hot" first with
+    // count >= its true count (over-estimate only, never under).
+    val rows = (0 until 1000).map(i => ("g", "hot")) ++
+      (0 until 500).map(i => ("g", s"rare$i"))
+    val df = rows.toDF("g", "v").repartition(7) // force partial merges
+    val top = Sketches.topKFrequent(df, "g", "v", 8, 1).collect()
+    assert(top.length === 1)
+    assert(top.head.getString(1) === "hot")
+    assert(top.head.getLong(2) >= 1000L)
+  }
+
+  test("topk_freq: sort-based fallback path matches hash path") {
+    val docs = Tables.documents(spark, SfDir)
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    val hashPath = Sketches.topKFrequent(docs, "lang", "source", 64, 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    try {
+      spark.conf.set(key, "1")
+      val sortPath = Sketches.topKFrequent(docs, "lang", "source", 64, 3)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(sortPath === hashPath)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("kmv is exact below k and deterministic") {
     val small = Seq(("a", 1), ("a", 2), ("a", 2), ("b", 9))
       .toDF("g", "v")
