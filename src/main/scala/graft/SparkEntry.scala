@@ -1408,7 +1408,43 @@ object SparkEntry {
         |FROM documents GROUP BY lang, source
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY count(*) DESC, source) <= 3
-        |ORDER BY lang, cnt DESC, term""".stripMargin)
+        |ORDER BY lang, cnt DESC, term""".stripMargin),
+
+    // Int8 scalar-quantized ANN + exact rerank. Both engines derive the
+    // per-dim (min,max) codebook from the corpus, quantize docs AND the
+    // query with floor((x-mn)*255/(mx-mn))-128 (floor: identical across
+    // engines, unlike round), rank by integer dot product, and rerank
+    // the top-50 candidates with exact cosine.
+    Q("q66_quantized_knn",
+      (s, dir) => VectorSearch.quantizedTopK(Tables.embeddings(s, dir),
+        "vec_id", "embedding", QueryVec, 10, EmbedDim, numCandidates = 50),
+      {
+        val qd = (i: String) => // quantize embedding[i] with the codebook
+          s"(CASE WHEN mxs[$i] = mns[$i] THEN 0 ELSE " +
+            s"floor((embedding[$i]::DOUBLE - mns[$i]) * 255.0 / " +
+            s"(mxs[$i] - mns[$i]))::BIGINT - 128 END)"
+        s"""WITH pe AS (
+           |  SELECT unnest(embedding)::DOUBLE AS v,
+           |         generate_subscripts(embedding, 1) AS pos
+           |  FROM embeddings),
+           |mm AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM pe GROUP BY pos),
+           |arrs AS (SELECT list(mn ORDER BY pos) AS mns,
+           |                list(mx ORDER BY pos) AS mxs FROM mm),
+           |qq AS (
+           |  SELECT [CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
+           |            floor((($qvSql)[i] - mns[i]) * 255.0 /
+           |              (mxs[i] - mns[i]))::BIGINT - 128 END
+           |          for i in range(1, ${EmbedDim + 1})] AS qv FROM arrs),
+           |cand AS (
+           |  SELECT vec_id, embedding,
+           |    list_sum([${qd("i")} * qv[i]
+           |              for i in range(1, ${EmbedDim + 1})])::BIGINT AS qscore
+           |  FROM embeddings, arrs, qq
+           |  ORDER BY qscore DESC, vec_id LIMIT 50)
+           |SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
+           |FROM cand
+           |ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin
+      })
   )
 
   /** Mixture recipe for q64: a deliberately non-uniform language mix —

