@@ -1444,8 +1444,44 @@ object SparkEntry {
            |SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
            |FROM cand
            |ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+    // ES match_phrase over positional postings: a doc matches where the
+    // phrase tokens sit at consecutive positions (per-start
+    // count(DISTINCT idx) == m). Both engines run the identical
+    // start = pos - idx algebra (off-by-one in pos base cancels in the
+    // grouping).
+    Q("q67_phrase_match",
+      (s, dir) => TextSearch.phraseMatch(
+        Tables.documents(s, dir), "doc_id", "text", PhraseQuery)
+        .select(col("doc_id"), col("n_occurrences").cast("long")
+          .as("n_occurrences"))
+        .orderBy("doc_id"),
+      {
+        val terms = PhraseQuery.toLowerCase.split("[^a-z0-9]+")
+          .filter(_.nonEmpty)
+        val vals = terms.zipWithIndex
+          .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+        s"""WITH pp AS (
+           |  SELECT doc_id, unnest(l) AS term,
+           |         generate_subscripts(l, 1) AS pos
+           |  FROM (SELECT doc_id, $toksSql AS l FROM documents)),
+           |ph(term, idx) AS (VALUES $vals),
+           |starts AS (
+           |  SELECT doc_id, pos - idx AS s, count(DISTINCT idx) AS m
+           |  FROM pp JOIN ph USING (term)
+           |  GROUP BY doc_id, pos - idx)
+           |SELECT doc_id, count(*)::BIGINT AS n_occurrences
+           |FROM starts WHERE m = ${terms.length}
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       })
   )
+
+  /** Phrase for q67 — adjacency, not bag-of-words (both terms are
+    * individually frequent; only consecutive hits count). ~34 matches at
+    * sf0.01. Repeated-term phrases are pinned by SearchSpec. (lazy:
+    * referenced by the registry val declared above it) */
+  private lazy val PhraseQuery = "table scan"
 
   /** Mixture recipe for q64: a deliberately non-uniform language mix —
     * zh absent (dropped entirely), en dominant. (lazy: referenced by the

@@ -73,6 +73,42 @@ object TextSearch {
       typedLit(qTerms))).cast("double") / qTerms.length.toDouble
   }
 
+  /** Positional postings: one row per (doc, term, pos) — the index shape
+    * behind phrase/proximity queries (at scale: persisted once,
+    * partitioned by term bucket like [[buildPostings]]). */
+  def positionalPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+
+  /** ES `match_phrase` semantics: docs where the phrase's tokens occur at
+    * CONSECUTIVE positions, with occurrence counts.
+    *
+    * Shape: instead of an m-way self-join of the postings (one join per
+    * phrase term), each posting row joined to the (tiny, broadcast)
+    * phrase relation contributes a candidate start = pos - idx; a true
+    * occurrence at start s is a (doc, s) group covering ALL m phrase
+    * indexes. One broadcast join + one shuffle regardless of phrase
+    * length, and the postings scan is pruned to the phrase's terms.
+    * Handles repeated phrase terms ("batch batch") correctly: each
+    * occurrence must cover every idx, so "batch x batch" cannot fake
+    * adjacency. */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    require(terms.nonEmpty, "phraseMatch needs a non-empty phrase")
+    import docs.sparkSession.implicits._
+    val ph = terms.toSeq.zipWithIndex.toDF("term", "idx")
+    positionalPostings(docs, idCol, textCol)
+      .filter(col("term").isin(terms.distinct.toSeq: _*))
+      .join(broadcast(ph), "term")
+      .groupBy(col("doc_id"), (col("pos") - col("idx")).as("start"))
+      .agg(countDistinct("idx").as("m"))
+      .filter(col("m") === terms.length)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Q4 — exact-match retrieval by key, capped at 10000 hits (all pages of
     * one file, `elasticsearch_index.py:174-211`). */
   def exactMatch(docs: DataFrame, keyCol: String, key: String,

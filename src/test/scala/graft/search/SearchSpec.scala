@@ -78,6 +78,25 @@ class SearchSpec extends SparkSpec {
     assert(tight.collect().map(_.getLong(0)).contains(999L))
   }
 
+  test("phraseMatch: consecutive positions only; repeated terms exact; counts occurrences") {
+    val d = Seq(
+      (1L, "x alpha beta y"),          // match
+      (2L, "alpha x beta"),            // terms present, not adjacent
+      (3L, "alpha beta z alpha beta"), // two occurrences
+      (4L, "beta alpha"),              // wrong order
+      (5L, "nothing here")
+    ).toDF("doc_id", "text")
+    val m = TextSearch.phraseMatch(d, "doc_id", "text", "alpha beta")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 1L, 3L -> 2L))
+    // repeated phrase term: "go go" must not match "go x go"
+    val rep = Seq((1L, "go go now"), (2L, "go x go"), (3L, "go go go"))
+      .toDF("doc_id", "text")
+    val mr = TextSearch.phraseMatch(rep, "doc_id", "text", "go go")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mr === Map(1L -> 1L, 3L -> 2L)) // "go go go" has starts 0 and 1
+  }
+
   test("quantized topK: codebook quantization recovers brute-force top-k") {
     val e = DeterministicEmbedder(64)
     val q = e.embed("spark join merge")
