@@ -90,6 +90,18 @@ object SparkEntry {
        |    AND l.band IN (SELECT band FROM ok))""".stripMargin
   }
 
+  /** DuckDB mirror of TextAnalysis.qualityScore over column `text`
+    * (shared by q15 and q68). */
+  private val qualitySql =
+    s"""round(0.25 * least(length(text)::DOUBLE / 200.0, 1.0)
+       |      + 0.25 * (CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE END)
+       |      + 0.25 * (CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE 1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+       |                           / greatest(len($toksSql)::DOUBLE, 1.0), 1.0) END)
+       |      + 0.25 * (1.0 - least(abs((CASE WHEN len($toksSql) = 0 THEN 0.0
+       |          ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / len($toksSql)::DOUBLE END) - 5.0) / 5.0, 1.0)), 6)""".stripMargin
+
   /** DuckDB cosine vs the query vector (doc side `embedding`). */
   private val cosSql = {
     val dot = s"list_dot_product(embedding::DOUBLE[], $qvSql)"
@@ -328,16 +340,7 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id"),
-      s"""SELECT doc_id,
-         |  round(0.25 * least(length(text)::DOUBLE / 200.0, 1.0)
-         |      + 0.25 * (CASE WHEN length(text) = 0 THEN 0.0
-         |          ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE END)
-         |      + 0.25 * (CASE WHEN length(text) = 0 THEN 0.0
-         |          ELSE 1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
-         |                           / greatest(len($toksSql)::DOUBLE, 1.0), 1.0) END)
-         |      + 0.25 * (1.0 - least(abs((CASE WHEN len($toksSql) = 0 THEN 0.0
-         |          ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / len($toksSql)::DOUBLE END) - 5.0) / 5.0, 1.0)), 6)
-         |  AS quality
+      s"""SELECT doc_id, $qualitySql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin),
 
     Q("q16_lang_id",
@@ -1474,7 +1477,26 @@ object SparkEntry {
            |SELECT doc_id, count(*)::BIGINT AS n_occurrences
            |FROM starts WHERE m = ${terms.length}
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Rank-based quality deciles: bucket = 1 + (10 * |rows strictly
+    // below|) div n — all-integer, tie-stable, no percentile
+    // interpolation (whose FP association differs across engines).
+    Q("q68_quality_deciles",
+      (s, dir) => graft.pipeline.Sampling.qualityDeciles(
+        Tables.documents(s, dir), "text")
+        .select(col("decile"), col("n_docs").cast("long").as("n_docs"),
+          col("min_q"), col("max_q"))
+        .orderBy("decile"),
+      s"""WITH scored AS (SELECT doc_id, $qualitySql AS q FROM documents),
+         |vc AS (SELECT q, count(*) AS cnt FROM scored GROUP BY q),
+         |cum AS (SELECT q, sum(cnt) OVER (ORDER BY q) - cnt AS cb FROM vc),
+         |tot AS (SELECT count(*) AS n FROM scored)
+         |SELECT (1 + (10 * cb) // n)::INT AS decile,
+         |  count(*)::BIGINT AS n_docs,
+         |  round(min(q), 6) AS min_q, round(max(q), 6) AS max_q
+         |FROM scored JOIN cum USING (q) CROSS JOIN tot
+         |GROUP BY decile ORDER BY decile""".stripMargin)
   )
 
   /** Phrase for q67 — adjacency, not bag-of-words (both terms are

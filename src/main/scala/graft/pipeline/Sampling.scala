@@ -63,6 +63,46 @@ object Sampling {
       .filter(col("__cum") <= budget).drop("__cum")
   }
 
+  /** Rank-based quantile buckets (ntile semantics with tie stability):
+    * rows with equal `valueCol` always land in the same bucket — the
+    * bucket of a value is `1 + (nBuckets * |rows strictly below|) div n`.
+    *
+    * Scale shape: NO global-sort window over the data (ntile/percent_rank
+    * would move every row to one task). The only window runs over the
+    * DISTINCT values (metadata-sized: quality scores are 6-dp bounded),
+    * and the per-row assignment is a broadcast join back. All-integer
+    * arithmetic — no percentile interpolation, so the result is
+    * bit-identical on any engine. */
+  def quantileBuckets(df: DataFrame, valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val vc = df.groupBy(valueCol).agg(count(lit(1)).as("__cnt"))
+    val w = Window.orderBy(col(valueCol).asc) // distinct values only
+    val cum = vc
+      .withColumn("__cb", sum("__cnt").over(w) - col("__cnt"))
+      .select(col(valueCol), col("__cb"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    df.join(broadcast(cum), Seq(valueCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        (lit(1) + expr(s"($nBuckets * __cb) div __n")).cast("int"))
+      .drop("__cb", "__n")
+  }
+
+  /** Quality-decile histogram of a corpus — the "inspect before you cut"
+    * curation step: score every doc, bucket into deciles, report each
+    * decile's population and score range. Filtering to `bucket >= k` is
+    * then the quality gate. */
+  def qualityDeciles(docs: DataFrame, textCol: String): DataFrame = {
+    val scored = docs.withColumn("__q",
+      graft.text.TextAnalysis.qualityScore(col(textCol)))
+    quantileBuckets(scored, "__q", 10)
+      .groupBy(col("bucket").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("__q")), 6).as("min_q"),
+        round(max(col("__q")), 6).as("max_q"))
+  }
+
   /** Quality-gated corpus: the full curation chain (dedup → quality floor
     * → per-language budget) as one declarative plan. */
   def curate(docs: DataFrame, idCol: String, textCol: String,

@@ -84,4 +84,36 @@ class SamplingSpec extends SparkSpec {
     assert(c.count() > 0)
     assert(c.columns.toSeq === docs.columns.toSeq)
   }
+
+  test("quantileBuckets: ntile-like sizes, ties share a bucket, monotone") {
+    // 100 distinct values → exact decile split, 10 per bucket
+    val even = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val b = Sampling.quantileBuckets(even, "v", 10)
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((1 to 100).forall(i => b(i.toLong) === (i - 1) / 10 + 1))
+    // ties: all equal values land in ONE bucket (ntile would split them)
+    val tied = (1 to 90).map(i => (i.toLong, 1.0)) ++
+      Seq((91L, 0.5), (92L, 2.0))
+    val tb = Sampling.quantileBuckets(tied.toDF("id", "v"), "v", 10)
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((1 to 90).map(i => tb(i.toLong)).toSet.size === 1)
+    assert(tb(91L) === 1)        // below the tie mass
+    assert(tb(92L) === 10)       // above: 91 rows below → 1+910/92 = 10
+  }
+
+  test("qualityDeciles: full partition of the corpus, ranges ordered") {
+    val d = Sampling.qualityDeciles(Tables.documents(spark, SfDir), "text")
+      .orderBy("decile").collect()
+    assert(d.map(_.getLong(1)).sum ===
+      Tables.documents(spark, SfDir).count())
+    val ranges = d.map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3)))
+    ranges.foreach { case (_, mn, mx) => assert(mn <= mx) }
+    // deciles are ordered by score range
+    ranges.sliding(2).foreach {
+      case Array((_, _, mx1), (_, mn2, _)) => assert(mx1 <= mn2)
+      case _ =>
+    }
+  }
 }
