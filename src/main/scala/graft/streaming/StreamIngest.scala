@@ -132,6 +132,29 @@ object StreamIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_hash")
 
+  /** Dedup an incoming stream against a STATIC historical corpus as well
+    * as within itself: the gate a continuously-fed training corpus needs
+    * (new crawl batches must not re-admit documents already ingested).
+    * The corpus side is a lazy batch frame of content hashes — Spark
+    * plans a stream-static left_anti join per micro-batch, re-reading
+    * only the corpus partitions a predicate allows; at 100 TB the hash
+    * table is the dedup INDEX (narrow: one md5 per doc), not the corpus
+    * itself. In-stream duplicates are then dropped by watermarked state
+    * as in [[dedupStream]]. */
+  def dedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
+      textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val corpusHashes = corpus.select(
+      org.apache.spark.sql.functions.md5(col(textCol)).as("content_hash"))
+      .distinct()
+    incoming
+      .withColumn("content_hash", org.apache.spark.sql.functions.md5(
+        col(textCol)))
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("content_hash")
+  }
+
   /** Stream-stream inner join with a time bound: for each left event,
     * right events of the same user within `[l.ts, l.ts + within]`.
     * Both sides carry watermarks, and the range condition bounds the

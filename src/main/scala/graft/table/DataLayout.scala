@@ -30,6 +30,55 @@ object DataLayout {
     df.groupBy(input_file_name().as("file"))
       .agg(min(col(column)).as("lo"), max(col(column)).as("hi"))
 
+  /** Bits of z-resolution per dimension (21 bits × 2 dims = 42-bit
+    * z-value, safely inside a long). */
+  val ZBits = 21
+
+  /** Morton/Z-order interleave of two already-normalized integer columns
+    * (each in [0, 2^21)): bit i of `a` lands at position 2i, bit i of
+    * `b` at 2i+1. Pure bit algebra — stays inside whole-stage codegen. */
+  def zInterleave(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Normalize a numeric column to [0, 2^21) given its (min, max) —
+    * linear scaling is layout-only (query results never depend on it),
+    * so double rounding here is harmless. */
+  def zNormalize(c: org.apache.spark.sql.Column, lo: Double,
+      hi: Double): org.apache.spark.sql.Column = {
+    val span = if (hi > lo) hi - lo else 1.0
+    least(lit((1L << ZBits) - 1), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo)) / lit(span) * lit((1L << ZBits) - 1))
+        .cast("long")))
+  }
+
+  /** Write `df` Z-ORDER clustered on two columns: rows are range-
+    * partitioned by their Morton code, so every file covers a compact
+    * RECTANGLE in (c1, c2) space instead of a thin slab in c1 only —
+    * selective predicates on EITHER column (or both) prune files by
+    * zone map. This is the multi-dimensional upgrade of [[clusterWrite]]
+    * (which only helps its leading column); log-based table formats ship
+    * the same op as OPTIMIZE ZORDER BY. The (min, max) per dimension is
+    * one metadata aggregate over the input. */
+  def zorderWrite(df: DataFrame, dir: String, c1: String, c2: String,
+      nFiles: Int): Unit = {
+    val mm = df.agg(
+      min(col(c1).cast("double")), max(col(c1).cast("double")),
+      min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    val z = zInterleave(
+      zNormalize(col(c1), mm.getDouble(0), mm.getDouble(1)),
+      zNormalize(col(c2), mm.getDouble(2), mm.getDouble(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** Bucketed catalog table for CO-LOCATED joins: rows hash-partitioned
     * into `nBuckets` files on `bucketCols` at write time, so two tables
     * bucketed the same way join with NO exchange — the shuffle was paid

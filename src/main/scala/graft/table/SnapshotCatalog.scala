@@ -1,0 +1,117 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned tables with snapshot isolation and time travel — the
+  * capability the reference's delete/replace flows approximate by
+  * re-uploading (`/root/reference/backend/process/postgres.py:196-210`
+  * rolls back a failed batch; here every write IS a recoverable version).
+  *
+  * Layout: `baseDir/<table>/v=N/` immutable version directories plus a
+  * `_CURRENT` pointer file. A write lands in a NEW directory and then
+  * atomically moves the pointer — readers that resolved the old pointer
+  * keep reading intact files (the rewrite-and-swap in [[ParquetCatalog]]
+  * deletes data a concurrent reader may still hold). Rollback is a
+  * pointer move — O(1) regardless of table size, the property that makes
+  * this the 100 TB shape (a log-based table format is this plus a
+  * manifest per version; versions here are directory-granular).
+  */
+final case class SnapshotCatalog(spark: SparkSession, baseDir: String) {
+
+  private def tdir(name: String): Path = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad table name: $name")
+    Paths.get(baseDir, name)
+  }
+  private def vdir(name: String, v: Long): Path =
+    tdir(name).resolve(s"v=$v")
+  private def pointer(name: String): Path = tdir(name).resolve("_CURRENT")
+
+  /** Committed version numbers, ascending (uncommitted/garbage dirs are
+    * invisible — only the pointer makes a version real... but listed
+    * versions are readable snapshots regardless). */
+  def versions(name: String): Seq[Long] = {
+    val t = tdir(name)
+    if (!Files.exists(t)) Seq.empty
+    else {
+      val s = Files.list(t)
+      try {
+        val it = s.iterator()
+        val buf = Seq.newBuilder[Long]
+        while (it.hasNext) {
+          val p = it.next().getFileName.toString
+          if (p.startsWith("v=")) buf += p.stripPrefix("v=").toLong
+        }
+        buf.result().sorted
+      } finally s.close()
+    }
+  }
+
+  /** Current committed version, if any. */
+  def currentVersion(name: String): Option[Long] = {
+    val p = pointer(name)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .trim.toLong)
+  }
+
+  /** Commit `df` as the next version and move the pointer. Returns the
+    * new version number. The data write happens entirely before the
+    * pointer move, so a crash mid-write leaves the table at the old
+    * version with an orphan directory (cleaned by [[vacuum]]) — never a
+    * torn table. */
+  def write(name: String, df: DataFrame): Long = {
+    val next = versions(name).lastOption.getOrElse(0L) + 1L
+    df.write.parquet(vdir(name, next).toString)
+    commitPointer(name, next)
+    next
+  }
+
+  /** Read the current snapshot (lazy frame — pushdown applies). */
+  def read(name: String): DataFrame =
+    readAt(name, currentVersion(name).getOrElse(
+      sys.error(s"no committed version for table $name")))
+
+  /** Time travel: read an immutable historical snapshot. */
+  def readAt(name: String, version: Long): DataFrame = {
+    val d = vdir(name, version)
+    require(Files.exists(d), s"version $version of $name does not exist")
+    spark.read.parquet(d.toString)
+  }
+
+  /** Roll the table back to `version` — a pointer move, no data motion.
+    * The abandoned newer versions stay readable until [[vacuum]]. */
+  def rollback(name: String, version: Long): Unit = {
+    require(Files.exists(vdir(name, version)),
+      s"cannot rollback $name to missing version $version")
+    commitPointer(name, version)
+  }
+
+  /** Drop all versions except the newest `keep` and the current pointer
+    * target (time-travel retention). Returns dropped version numbers. */
+  def vacuum(name: String, keep: Int = 1): Seq[Long] = {
+    val all  = versions(name)
+    val cur  = currentVersion(name)
+    val drop = all.dropRight(keep).filterNot(cur.contains)
+    drop.foreach { v =>
+      val s = Files.walk(vdir(name, v))
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().forEachRemaining(Files.delete(_))
+      finally s.close()
+    }
+    drop
+  }
+
+  /** Atomic pointer update: write a temp file, then ATOMIC_MOVE over the
+    * pointer — readers see either the old or the new version, never a
+    * partial write. */
+  private def commitPointer(name: String, v: Long): Unit = {
+    Files.createDirectories(tdir(name))
+    val tmp = tdir(name).resolve(s"_CURRENT.tmp.$v")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -88,6 +88,32 @@ class StreamIngestSpec extends SparkSpec {
     assert(ids.intersect(Set(1L, 2L)).size === 1)
   }
 
+  test("dedupAgainstCorpus: historical + in-stream duplicates both dropped") {
+    val in = Files.createTempDirectory("cdedup_in")
+    import spark.implicits._
+    // historical corpus already contains "seen before"
+    val corpus = Seq((100L, "seen before")).toDF("doc_id", "text")
+    Seq(
+      (1L, "seen before", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, "brand new", java.sql.Timestamp.valueOf("2024-01-01 10:01:00")),
+      (3L, "brand new", java.sql.Timestamp.valueOf("2024-01-01 10:02:00")),
+      (4L, "also new", java.sql.Timestamp.valueOf("2024-01-01 10:03:00"))
+    ).toDF("doc_id", "text", "ts").write.parquet(in.toString + "/b1")
+    val stream = StreamIngest.parquetStream(spark, in.toString + "/b1",
+      spark.read.parquet(in.toString + "/b1").schema)
+    val q = StreamIngest.dedupAgainstCorpus(stream, corpus, "text", "ts")
+      .writeStream.format("memory").queryName("cdedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val ids = spark.sql("SELECT doc_id FROM cdedup_out")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L))                      // already in corpus
+    assert(ids.contains(4L))                       // genuinely new
+    assert(ids.intersect(Set(2L, 3L)).size === 1)  // in-stream dupe dropped
+  }
+
   test("runningUserStats: mapGroupsWithState accumulates per user") {
     val in = Files.createTempDirectory("stats_in")
     import spark.implicits._
