@@ -1496,7 +1496,52 @@ object SparkEntry {
          |  count(*)::BIGINT AS n_docs,
          |  round(min(q), 6) AS min_q, round(max(q), 6) AS max_q
          |FROM scored JOIN cum USING (q) CROSS JOIN tot
-         |GROUP BY decile ORDER BY decile""".stripMargin)
+         |GROUP BY decile ORDER BY decile""".stripMargin),
+
+    // Multi-vector (late-interaction) retrieval: each label is an entity
+    // owning many vectors; best-matching member scores the entity.
+    Q("q69_maxsim_groups",
+      (s, dir) => VectorSearch.maxSimTopK(Tables.embeddings(s, dir),
+        "label", "embedding", QueryVec, 5)
+        .select(col("group_id").cast("int").as("group_id"), col("max_sim")),
+      s"""SELECT label AS group_id, max(round($cosSql, 6)) AS max_sim
+         |FROM embeddings GROUP BY label
+         |ORDER BY max_sim DESC, group_id LIMIT 5""".stripMargin),
+
+    // TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions.
+    // The plan must (a) broadcast part, (b) push the OR-reduced bounds
+    // (quantity BETWEEN overall min..max, size <= 15) into BOTH scans
+    // while the full disjunction evaluates post-join (PlanSpec pins the
+    // broadcast; Catalyst's constraint propagation handles the rest).
+    Q("q70_disjunctive_revenue",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val p  = Tables.part(s, dir)
+        val joined = li.join(broadcast(p),
+          col("l_partkey") === col("p_partkey"))
+        val pred =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))
+        joined.filter(pred)
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+            count(lit(1)).as("n_rows"))
+      },
+      """SELECT
+        |  (sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4)))::DOUBLE
+        |    AS revenue,
+        |  count(*)::BIGINT AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
   )
 
   /** Phrase for q67 — adjacency, not bag-of-words (both terms are

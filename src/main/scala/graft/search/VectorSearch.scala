@@ -115,6 +115,24 @@ object VectorSearch {
     topK(cands, idCol, vecCol, queryVec, k)
   }
 
+  /** Multi-vector (late-interaction) retrieval: entities are GROUPS of
+    * vectors (a doc's passage embeddings, an image's patch embeddings —
+    * ColBERT-style), scored by the best-matching member vector
+    * (max-sim). One scan + one partial-aggregated groupBy (max is
+    * algebraic: map-side combine sends one double per group per
+    * partition), then TakeOrderedAndProject for the top-k — no row-level
+    * shuffle of scores. */
+  def maxSimTopK(embs: DataFrame, groupCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int): DataFrame = {
+    val cos = VectorFunctions.cosine(col(vecCol), typedLit(queryVec))
+    embs
+      .select(col(groupCol).as("group_id"), round(cos, 6).as("s"))
+      .groupBy("group_id")
+      .agg(max(col("s")).as("max_sim"))
+      .orderBy(col("max_sim").desc, col("group_id").asc)
+      .limit(k)
+  }
+
   /** Driver-side signature of the query vector (same hyperplanes). */
   def querySignature(v: Array[Float], dim: Int, nBits: Int,
       seed: Long = 42L): Long = {

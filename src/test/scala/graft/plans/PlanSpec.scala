@@ -99,6 +99,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q70: disjunctive join broadcasts part; quantity bounds pushed") {
+    val s = fmtOf("q70_disjunctive_revenue")
+    assert(s.contains("BroadcastHashJoin"),
+      "part side not broadcast:\n" + s)
+    assert(!s.contains("CartesianProduct"))
+    // the OR-of-ANDs must not defeat scan-level pruning: BOTH scans
+    // carry a pushed Or(...) over their own columns (quantity ranges on
+    // lineitem, brand/size on part)
+    val pushed = s.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.count(_.contains("Or(")) >= 2,
+      "disjunction not pushed to both scans:\n" + pushed.mkString("\n"))
+  }
+
+  test("q69: max-sim is partial-aggregated and top-k'd without global sort") {
+    val s = fmtOf("q69_maxsim_groups")
+    assert(s.contains("TakeOrderedAndProject"),
+      "top-k not TakeOrderedAndProject:\n" + s)
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "max-sim aggregate not partial (map-side combine):\n" + s)
+  }
+
   test("q20: pair generation is bounded-collect groupBy, not a self-join") {
     val s = fmtOf("q20_minhash_near_dup_pairs")
     assert(s.contains("bounded_collect_set"),

@@ -118,6 +118,23 @@ class SearchSpec extends SparkSpec {
     assert(math.abs(narrow.head.getDouble(1) - 1.0) < 1e-5)
   }
 
+  test("maxSimTopK: group scored by its best member vector") {
+    val e = DeterministicEmbedder(64)
+    val q = e.embed("spark join merge")
+    // group 1 has one great vector among noise; group 2 only mediocre
+    val vecs = Seq(
+      (1, e.embed("spark join merge").toSeq),
+      (1, e.embed("noise noise noise").toSeq),
+      (2, e.embed("spark join other").toSeq),
+      (3, e.embed("unrelated entirely").toSeq)
+    ).toDF("label", "embedding")
+    val top = VectorSearch.maxSimTopK(vecs, "label", "embedding", q, 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+    assert(top.head._1 === 1)
+    assert(math.abs(top.head._2 - 1.0) < 1e-5) // best member, not average
+    assert(top(1)._1 === 2)
+  }
+
   test("quantizeVec: int8 range, floor semantics, degenerate dims to 0") {
     val mn = Array(0.0, -1.0, 5.0)
     val mx = Array(1.0, 1.0, 5.0)
