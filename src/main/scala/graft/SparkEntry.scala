@@ -1541,7 +1541,29 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
         |        AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+
+    // Incremental dedup: even doc_ids play the indexed corpus, odd ids
+    // the incoming batch. Only the batch is signed; the corpus side is
+    // its persisted band index, hot-band-capped on the corpus side.
+    Q("q71_incremental_dedup_pairs",
+      (s, dir) => {
+        val docs   = Tables.documents(s, dir)
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val batch  = docs.filter(col("doc_id") % 2 === 1)
+        val idx    = Dedup.minhashBandIndex(corpus, "doc_id", "text")
+        Dedup.incrementalCandidatePairs(idx, batch, "doc_id", "text")
+          .orderBy("a", "b")
+      },
+      s"""WITH $minhashPairCtes,
+         |okc AS (SELECT band FROM exploded WHERE doc_id % 2 = 0
+         |        GROUP BY band
+         |        HAVING count(DISTINCT doc_id) <= ${Dedup.MaxGroupSize})
+         |SELECT DISTINCT c.doc_id AS a, n.doc_id AS b
+         |FROM exploded c JOIN exploded n ON c.band = n.band
+         |WHERE c.doc_id % 2 = 0 AND n.doc_id % 2 = 1
+         |  AND c.band IN (SELECT band FROM okc)
+         |ORDER BY a, b""".stripMargin)
   )
 
   /** Phrase for q67 — adjacency, not bag-of-words (both terms are

@@ -97,6 +97,39 @@ object Dedup {
     sigs.select((col("doc_id") +: bands): _*)
   }
 
+  /** Persistable minhash BAND INDEX of a corpus: one (doc_id, band) row
+    * per non-null band — the artifact an incremental dedup pipeline
+    * stores (partitioned by band prefix at scale) so the corpus is
+    * signed exactly once, ever. */
+  def minhashBandIndex(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val nBands = NumHashes / BandSize
+    minhashBands(minhashSignatures(docs, idCol, textCol))
+      .select(col("doc_id"),
+        explode(array((0 until nBands).map(i => col(s"b$i")): _*)).as("band"))
+      .filter(col("band").isNotNull)
+  }
+
+  /** Incremental near-dup gate: candidate pairs between a NEW batch and
+    * an already-indexed corpus. Signs ONLY the batch — the corpus side
+    * is the persisted [[minhashBandIndex]], so per-batch cost is
+    * O(|batch| + matched bands), independent of corpus size. Hot bands
+    * are capped on the CORPUS side (a degenerate band shared by millions
+    * of docs must not explode the join); the batch side is a batch.
+    * Returns distinct (a = corpus id, b = batch id). */
+  def incrementalCandidatePairs(bandIndex: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String,
+      maxGroupSize: Int = MaxGroupSize): DataFrame = {
+    val newBands = minhashBandIndex(newDocs, idCol, textCol)
+      .withColumnRenamed("doc_id", "new_id")
+    val corpusByBand = bandIndex.groupBy("band")
+      .agg(sort_array(boundedSet(col("doc_id"), maxGroupSize)).as("ids"))
+      .filter(col("ids").isNotNull)
+    newBands.join(corpusByBand, "band")
+      .select(explode(col("ids")).as("a"), col("new_id").as("b"))
+      .distinct()
+  }
+
   /** All (x, y) pairs with x < y from a sorted array column, as an array
     * of structs `(_1, _2)` — native expression, one primitive loop per
     * group (the HOF formulation dispatched an interpreted lambda per

@@ -43,6 +43,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("incremental gate: batch dup of an indexed doc is caught; new content passes") {
+    // corpus = ids 1,4 (indexed once); batch = 2 (dup of 1), 3 (near-dup
+    // of 1), 6 (genuinely new)
+    val corpus = docs.filter(col("doc_id").isin(1L, 4L))
+    val batch  = docs.filter(col("doc_id").isin(2L, 3L))
+      .union(Seq((6L, "entirely novel text that matches no indexed band at all ok"))
+        .toDF("doc_id", "text"))
+    val idx = Dedup.minhashBandIndex(corpus, "doc_id", "text")
+    val pairs = Dedup.incrementalCandidatePairs(idx, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))        // exact dup flagged
+    assert(!pairs.exists(_._2 == 6L))       // new content not flagged
+    assert(!pairs.exists { case (a, _) => a == 2L || a == 3L || a == 6L })
+    // equivalence: incremental == full-corpus pairs restricted to
+    // corpus x batch (caps not binding at this size)
+    val full = Dedup.minhashCandidatePairs(docs.union(
+      Seq((6L, "entirely novel text that matches no indexed band at all ok"))
+        .toDF("doc_id", "text")), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val restricted = full.filter { case (a, b) =>
+      Set(1L, 4L).contains(a) && Set(2L, 3L, 6L).contains(b) }
+    assert(pairs === restricted)
+  }
+
   test("ngram jaccard: identical docs = 1.0; near-dups in (0,1); thresholded") {
     val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.01)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
