@@ -1563,8 +1563,48 @@ object SparkEntry {
          |FROM exploded c JOIN exploded n ON c.band = n.band
          |WHERE c.doc_id % 2 = 0 AND n.doc_id % 2 = 1
          |  AND c.band IN (SELECT band FROM okc)
-         |ORDER BY a, b""".stripMargin)
+         |ORDER BY a, b""".stripMargin),
+
+    // Pivot (long→wide): per-user event-type counts as columns. The
+    // explicit value list keeps the plan a single pass (no values-
+    // discovery job) — at scale ALWAYS pass the list.
+    Q("q72_event_pivot",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, EventTypes)
+        .select(col("user_id") +: EventTypes.map(t =>
+          col(t).cast("long").as(s"n_$t")): _*)
+        .orderBy("user_id"),
+      {
+        val cols = EventTypes.map(t =>
+          s"count(*) FILTER (WHERE event_type = '$t')::BIGINT AS n_$t")
+          .mkString(", ")
+        s"""SELECT user_id, $cols
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+      }),
+
+    // Fixed-width histogram: integer bucket arithmetic (floor — portable)
+    // over event values; one partial-aggregated pass.
+    Q("q73_value_histogram",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(least(floor(col("value") / 50.0), lit(9L)).cast("int")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(d184(col("value"))).cast("double").as("sum_value"))
+        .orderBy("bucket"),
+      """SELECT least(floor(value / 50.0), 9)::INT AS bucket,
+        |  count(*)::BIGINT AS n,
+        |  sum(CAST(value AS DECIMAL(18,4)))::DOUBLE AS sum_value
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin)
   )
+
+  /** Pivot value list for q72 (both the Spark plan and the oracle are
+    * generated from it). (lazy: referenced by the registry val declared
+    * above it) */
+  private lazy val EventTypes =
+    Seq("click", "error", "purchase", "signup", "view")
 
   /** Phrase for q67 — adjacency, not bag-of-words (both terms are
     * individually frequent; only consecutive hits count). ~34 matches at

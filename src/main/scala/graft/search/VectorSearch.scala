@@ -133,6 +133,19 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Recall@k of an approximate result against the exact one: the ANN
+    * quality metric every index knob (probe radius, nCandidates, IVF
+    * nProbe) trades against latency. Both inputs are (doc_id, ...) top-k
+    * frames; computed with a semi-join + counts, so it composes into an
+    * evaluation pipeline without collecting either side. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val hit = approx.select("doc_id")
+      .join(exact.select("doc_id"), Seq("doc_id"), "left_semi")
+      .count()
+    val n = exact.count()
+    if (n == 0) 1.0 else hit.toDouble / n.toDouble
+  }
+
   /** Driver-side signature of the query vector (same hyperplanes). */
   def querySignature(v: Array[Float], dim: Int, nBits: Int,
       seed: Long = 42L): Long = {

@@ -152,6 +152,16 @@ object GraftFunctions {
         BoundedCollectAgg(cs(0),
           litInt("graft_bounded_collect_list", "(x, maxSize)", cs, 1),
           distinct = false).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_topk_freq"),
+      info("graft_topk_freq",
+        "_FUNC_(x, capacity, topN) - Space-Saving heavy hitters: top-N (term, cnt) structs, capacity-bounded buffer"),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_topk_freq", "(x, capacity, topN)", cs, 3)
+        TopKFreqAgg(cs(0),
+          litInt("graft_topk_freq", "(x, capacity, topN)", cs, 1),
+          litInt("graft_topk_freq", "(x, capacity, topN)", cs, 2))
+          .toAggregateExpression()
       }))
 
   /** Register into a live session (tests, notebooks). */

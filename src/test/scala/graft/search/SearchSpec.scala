@@ -135,6 +135,26 @@ class SearchSpec extends SparkSpec {
     assert(top(1)._1 === 2)
   }
 
+  test("recallAtK: exact self-recall 1.0; ANN knobs trade recall measurably") {
+    val embs = graft.Tables.embeddings(spark, SfDir)
+    val q = graft.SparkEntry.QueryVec
+    val exact = VectorSearch.topK(embs, "vec_id", "embedding", q, 10)
+    assert(VectorSearch.recallAtK(exact, exact) === 1.0)
+    // full-candidate quantized rerank recovers everything
+    val quant = VectorSearch.quantizedTopK(embs, "vec_id", "embedding",
+      q, 10, 64, numCandidates = 1000)
+    assert(VectorSearch.recallAtK(quant, exact) === 1.0)
+    // a radius-0 probe is a strict subset: recall in [0, 1]
+    val tight = VectorSearch.annTopK(embs, "vec_id", "embedding", q, 10, 64,
+      nBits = 8, probeHammingRadius = 0)
+    val r = VectorSearch.recallAtK(tight, exact)
+    assert(r >= 0.0 && r <= 1.0)
+    // widening the probe can only help (monotone knob)
+    val wide = VectorSearch.annTopK(embs, "vec_id", "embedding", q, 10, 64,
+      nBits = 8, probeHammingRadius = 8)
+    assert(VectorSearch.recallAtK(wide, exact) >= r)
+  }
+
   test("quantizeVec: int8 range, floor semantics, degenerate dims to 0") {
     val mn = Array(0.0, -1.0, 5.0)
     val mx = Array(1.0, 1.0, 5.0)

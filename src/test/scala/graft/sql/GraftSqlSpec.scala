@@ -69,6 +69,18 @@ class GraftSqlSpec extends SparkSpec {
       r.getSeq[Long](2).nonEmpty))
   }
 
+  test("graft_topk_freq from SQL matches the DataFrame path") {
+    ready
+    val viaSql = spark.sql(
+      """SELECT lang, inline(graft_topk_freq(source, 32, 3))
+        |FROM documents GROUP BY lang""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val viaDf = graft.functions.Sketches.topKFrequent(
+      Tables.documents(spark, SfDir), "lang", "source", 32, 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaSql === viaDf)
+  }
+
   test("graft_simhash / graft_shingles / graft_pairs_asc from SQL") {
     ready
     val r = spark.sql(
