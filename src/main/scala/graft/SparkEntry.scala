@@ -1597,8 +1597,62 @@ object SparkEntry {
       """SELECT least(floor(value / 50.0), 9)::INT AS bucket,
         |  count(*)::BIGINT AS n,
         |  sum(CAST(value AS DECIMAL(18,4)))::DOUBLE AS sum_value
-        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin)
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    // Proximity (ES match + slop): every term within `slop` positions of
+    // an anchor-term occurrence — exact, no bucketing approximation.
+    Q("q74_proximity_match",
+      (s, dir) => TextSearch.proximityMatch(
+        Tables.documents(s, dir), "doc_id", "text",
+        ProximityQuery, ProximitySlop)
+        .select(col("doc_id"),
+          col("n_windows").cast("long").as("n_windows"))
+        .orderBy("doc_id"),
+      {
+        val terms = ProximityQuery.toLowerCase.split("[^a-z0-9]+")
+          .filter(_.nonEmpty).distinct
+        val chain = terms.tail.zipWithIndex.map { case (t, i) =>
+          val prev = if (i == 0) "anchor" else s"m$i"
+          s"""m${i + 1} AS (
+             |  SELECT DISTINCT a.doc_id, a.p0 FROM $prev a
+             |  JOIN pp t ON t.doc_id = a.doc_id AND t.term = '$t'
+             |   AND abs(t.pos - a.p0) <= $ProximitySlop)""".stripMargin
+        }.mkString(",\n")
+        val last = s"m${terms.length - 1}"
+        s"""WITH pp AS (
+           |  SELECT doc_id, unnest(l) AS term,
+           |         generate_subscripts(l, 1) AS pos
+           |  FROM (SELECT doc_id, $toksSql AS l FROM documents)),
+           |anchor AS (SELECT doc_id, pos AS p0 FROM pp
+           |           WHERE term = '${terms.head}'),
+           |$chain
+           |SELECT doc_id, count(DISTINCT p0)::BIGINT AS n_windows
+           |FROM $last GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // CUBE: all grouping-set combinations in one pass ((all) label keeps
+    // the compare deterministic — fixture keys are never null).
+    Q("q75_returns_cube",
+      (s, dir) => Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+          .as("sum_qty"), count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy("rf", "ls"),
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |  coalesce(l_linestatus, '(all)') AS ls,
+        |  sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
+        |  count(*)::BIGINT AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin)
   )
+
+  /** Proximity query + slop for q74. (lazy: referenced by the registry
+    * val declared above it) */
+  private lazy val ProximityQuery = "table merge"
+  private lazy val ProximitySlop  = 3
 
   /** Pivot value list for q72 (both the Spark plan and the oracle are
     * generated from it). (lazy: referenced by the registry val declared

@@ -109,6 +109,36 @@ object TextSearch {
       .agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Proximity search (ES `match` with slop): docs where EVERY query
+    * term occurs within `slop` positions of an occurrence of the first
+    * term (the anchor). Returns (doc_id, n_windows = matching anchor
+    * count). Exact semantics — no bucketing approximation.
+    *
+    * Shape: postings pruned to the query's terms, then one equi-join on
+    * doc_id per non-anchor term with the |p - anchor| <= slop range as
+    * the join residual. Query terms are few, so the join chain is short;
+    * each join shuffles only term-pruned postings. */
+  def proximityMatch(docs: DataFrame, idCol: String, textCol: String,
+      query: String, slop: Int): DataFrame = {
+    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "proximityMatch needs at least one term")
+    val pp = positionalPostings(docs, idCol, textCol)
+      .filter(col("term").isin(terms.toSeq: _*))
+    val anchor = pp.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val matched = terms.tail.zipWithIndex.foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        val other = pp.filter(col("term") === t)
+          .select(col("doc_id"), col("pos").as(s"p${i + 1}"))
+        acc.join(other, Seq("doc_id"))
+          .filter(abs(col(s"p${i + 1}") - col("p0")) <= slop)
+          // many in-slop occurrences of t must not multiply anchors
+          .select(col("doc_id"), col("p0")).distinct()
+    }
+    matched.groupBy("doc_id")
+      .agg(countDistinct("p0").as("n_windows"))
+  }
+
   /** Q4 — exact-match retrieval by key, capped at 10000 hits (all pages of
     * one file, `elasticsearch_index.py:174-211`). */
   def exactMatch(docs: DataFrame, keyCol: String, key: String,

@@ -132,6 +132,26 @@ object StreamIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_hash")
 
+  /** Exactly-once streaming sink into a [[graft.table.SnapshotCatalog]]
+    * table: each micro-batch commits as a tagged version
+    * (`batch=<epoch id>`), so a restarted query replaying a batch that
+    * already committed re-points instead of double-writing — foreachBatch
+    * alone is at-least-once; the tagged commit makes it exactly-once.
+    * Every batch is also a time-travelable snapshot for free. */
+  def versionedSink(stream: DataFrame, cat: graft.table.SnapshotCatalog,
+      table: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        cat.commitTagged(table, df, s"batch=$batchId")
+        ()
+      }
+      .start()
+
   /** Dedup an incoming stream against a STATIC historical corpus as well
     * as within itself: the gate a continuously-fed training corpus needs
     * (new crawl batches must not re-admit documents already ingested).

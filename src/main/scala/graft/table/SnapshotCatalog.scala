@@ -81,6 +81,35 @@ final case class SnapshotCatalog(spark: SparkSession, baseDir: String) {
     spark.read.parquet(d.toString)
   }
 
+  /** Idempotent tagged commit — the exactly-once primitive: if a version
+    * carrying `tag` already exists (a replayed streaming micro-batch, a
+    * retried job), NO data is rewritten; the pointer is just re-pointed
+    * at it. Otherwise commits `df` as a new version and records the tag
+    * INSIDE the version directory before the pointer moves, so a crash
+    * between data-write and pointer-move is healed by the replay instead
+    * of double-writing. Spark ignores the underscore-prefixed tag file
+    * when reading the directory. */
+  def commitTagged(name: String, df: DataFrame, tag: String): Long =
+    taggedVersion(name, tag) match {
+      case Some(v) =>
+        commitPointer(name, v); v
+      case None =>
+        val next = versions(name).lastOption.getOrElse(0L) + 1L
+        df.write.parquet(vdir(name, next).toString)
+        Files.write(vdir(name, next).resolve("_TAG"),
+          tag.getBytes(StandardCharsets.UTF_8))
+        commitPointer(name, next)
+        next
+    }
+
+  /** The version committed under `tag`, if any. */
+  def taggedVersion(name: String, tag: String): Option[Long] =
+    versions(name).find { v =>
+      val t = vdir(name, v).resolve("_TAG")
+      Files.exists(t) &&
+        new String(Files.readAllBytes(t), StandardCharsets.UTF_8) == tag
+    }
+
   /** Roll the table back to `version` — a pointer move, no data motion.
     * The abandoned newer versions stay readable until [[vacuum]]. */
   def rollback(name: String, version: Long): Unit = {

@@ -97,6 +97,19 @@ class SearchSpec extends SparkSpec {
     assert(mr === Map(1L -> 1L, 3L -> 2L)) // "go go go" has starts 0 and 1
   }
 
+  test("proximityMatch: slop-bounded co-occurrence, anchors counted once") {
+    val d = Seq(
+      (1L, "table x y merge"),          // distance 3 — in slop
+      (2L, "table a b c d merge"),      // distance 5 — out of slop 3
+      (3L, "merge near table here"),    // order-free: distance 2
+      (4L, "table only"),               // missing term
+      (5L, "table merge table zz merge") // two anchors, both matched
+    ).toDF("doc_id", "text")
+    val m = TextSearch.proximityMatch(d, "doc_id", "text", "table merge", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 1L, 3L -> 1L, 5L -> 2L))
+  }
+
   test("quantized topK: codebook quantization recovers brute-force top-k") {
     val e = DeterministicEmbedder(64)
     val q = e.embed("spark join merge")

@@ -114,6 +114,38 @@ class StreamIngestSpec extends SparkSpec {
     assert(ids.intersect(Set(2L, 3L)).size === 1)  // in-stream dupe dropped
   }
 
+  test("versionedSink: micro-batches become versions; replay never double-writes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("vsink")
+    val in = root.toString + "/in"
+    val ckpt = root.toString + "/ckpt"
+    val cat = graft.table.SnapshotCatalog(spark, root.toString + "/cat")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val q1 = StreamIngest.versionedSink(
+      StreamIngest.parquetStream(spark, in, schema), cat, "t", ckpt)
+    q1.awaitTermination(60000)
+    val v1 = cat.currentVersion("t").get
+    assert(cat.read("t").count() === 2L)
+    // restart with the SAME checkpoint and new input: only the new batch
+    // commits; the old one is not replayed into a duplicate version
+    Seq((3L, "c")).toDF("id", "s").write.mode("append").parquet(in)
+    val q2 = StreamIngest.versionedSink(
+      StreamIngest.parquetStream(spark, in, schema), cat, "t", ckpt)
+    q2.awaitTermination(60000)
+    assert(cat.read("t").count() === 1L) // append-mode batch = the delta
+    assert(cat.versions("t").size === v1.toInt + 1)
+    // simulated replay of an already-committed batch: pointer moves,
+    // no new version, no rewrite
+    val before = cat.versions("t")
+    val replayed = cat.commitTagged("t",
+      Seq((9L, "zz")).toDF("id", "s"), "batch=0")
+    assert(replayed === 1L)              // resolves to the original commit
+    assert(cat.versions("t") === before)
+    assert(cat.readAt("t", replayed).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))         // original data, not the replay's
+  }
+
   test("runningUserStats: mapGroupsWithState accumulates per user") {
     val in = Files.createTempDirectory("stats_in")
     import spark.implicits._
