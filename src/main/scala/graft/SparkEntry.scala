@@ -63,9 +63,10 @@ object SparkEntry {
 
   /** Shared DuckDB CTE chain ending in `pairs(a, b)` — the minhash-LSH
     * candidate pairs with the hot-key cap, mirrored from
-    * [[Dedup.minhashCandidatePairs]]. Used by q20 (the pairs themselves)
-    * and q60 (connected components over them). */
-  private lazy val minhashPairCtes: String = {
+    * [[Dedup.minhashCandidatePairs]] over source relation `src`. Used by
+    * q20 (the pairs themselves), q60 (connected components over them),
+    * q71 (incremental split) and q76 (the curation pipeline). */
+  private def minhashPairCtes(src: String = "documents"): String = {
     val nBands = Dedup.NumHashes / Dedup.BandSize
     val hs = (0 until Dedup.NumHashes).map(i =>
       s"list_min([md5('$i:' || s) for s in sh]) AS h$i").mkString(", ")
@@ -78,7 +79,7 @@ object SparkEntry {
     s"""sigs AS (
        |  SELECT doc_id, $hs
        |  FROM (SELECT doc_id, $shinglesSql AS sh
-       |        FROM (SELECT doc_id, $toksSql AS l FROM documents))),
+       |        FROM (SELECT doc_id, $toksSql AS l FROM $src))),
        |bands AS (SELECT doc_id, $bands FROM sigs),
        |exploded AS (SELECT doc_id, unnest($bandArr) AS band FROM bands),
        |ok AS (SELECT band FROM exploded GROUP BY band
@@ -400,7 +401,7 @@ object SparkEntry {
     Q("q20_minhash_near_dup_pairs",
       (s, dir) => Dedup.minhashCandidatePairs(Tables.documents(s, dir),
         "doc_id", "text").orderBy("a", "b"),
-      s"""WITH $minhashPairCtes
+      s"""WITH ${minhashPairCtes()}
          |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin),
 
     Q("q21_ngram_jaccard_pairs",
@@ -1328,7 +1329,7 @@ object SparkEntry {
       },
       // oracle: transitive closure as a recursive CTE — min reachable id
       // over the undirected pair graph; singletons label themselves
-      s"""WITH RECURSIVE $minhashPairCtes,
+      s"""WITH RECURSIVE ${minhashPairCtes()},
          |edges AS (SELECT a AS src, b AS dst FROM pairs
          |          UNION SELECT b, a FROM pairs),
          |cc(node, label) AS (
@@ -1555,7 +1556,7 @@ object SparkEntry {
         Dedup.incrementalCandidatePairs(idx, batch, "doc_id", "text")
           .orderBy("a", "b")
       },
-      s"""WITH $minhashPairCtes,
+      s"""WITH ${minhashPairCtes()},
          |okc AS (SELECT band FROM exploded WHERE doc_id % 2 = 0
          |        GROUP BY band
          |        HAVING count(DISTINCT doc_id) <= ${Dedup.MaxGroupSize})
@@ -1654,6 +1655,64 @@ object SparkEntry {
   private lazy val ProximityQuery = "table merge"
   private lazy val ProximitySlop  = 3
 
+  /** Curation knobs for q76 — every stage must do real work on the
+    * fixture. (lazy: referenced by the registry val declared above it) */
+  private lazy val CurationCfg = graft.pipeline.TrainingCorpus.Config(
+    minQuality = 0.5, tokensPerLang = 4000L,
+    mixture = Map("en" -> 30, "ko" -> 8, "de" -> 12, "fr" -> 6, "es" -> 20),
+    benchmarkPhrases = BenchmarkPhrases)
+
+  /** The whole curation product as ONE oracled query: exact dedup →
+    * near-dup canonicalization → decontamination → quality floor →
+    * token budget → mixture. Both engines run the identical chain.
+    * (lazy: referenced by the registry val declared above it) */
+  private lazy val q76 = Q("q76_training_corpus",
+    (s, dir) => graft.pipeline.TrainingCorpus.build(
+      Tables.documents(s, dir), "doc_id", "text", "lang", CurationCfg)
+      .orderBy("doc_id"),
+    {
+      val shingleList = graft.pipeline.Decontaminate
+        .phraseShingles(BenchmarkPhrases).map(sh => s"'$sh'").mkString(", ")
+      val mixCases = CurationCfg.mixture.toSeq.sortBy(_._1)
+        .map { case (l, n) => s"WHEN lang = '$l' THEN $n" }.mkString(" ")
+      s"""WITH RECURSIVE
+         |d1 AS (SELECT * FROM documents
+         |       QUALIFY row_number() OVER (PARTITION BY md5(text)
+         |         ORDER BY doc_id) = 1),
+         |${minhashPairCtes("d1")},
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |cc(node, label) AS (
+         |  SELECT doc_id, doc_id FROM d1
+         |  UNION
+         |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+         |labels AS (SELECT node AS doc_id, min(label) AS cl
+         |           FROM cc GROUP BY node),
+         |canon AS (SELECT d.* FROM d1 d JOIN labels l USING (doc_id)
+         |          WHERE l.cl = d.doc_id),
+         |contam AS (
+         |  SELECT DISTINCT doc_id
+         |  FROM (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS shingle
+         |        FROM (SELECT doc_id, $toksSql AS l FROM canon))
+         |  WHERE shingle IN ($shingleList)),
+         |d3 AS (SELECT * FROM canon
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |scored AS (SELECT doc_id, lang, $qualitySql AS q,
+         |                  len($toksSql)::BIGINT AS n_tokens
+         |           FROM d3),
+         |qual AS (SELECT * FROM scored WHERE q >= ${dec(CurationCfg.minQuality)}),
+         |budget AS (SELECT * FROM (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+         |    ORDER BY ${md5LongSql("doc_id::VARCHAR")}, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM qual)
+         |  WHERE cum <= ${CurationCfg.tokensPerLang}),
+         |mix AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${md5LongSql("doc_id::VARCHAR")}, doc_id) AS rn
+         |  FROM budget) WHERE rn <= (CASE $mixCases ELSE 0 END))
+         |SELECT doc_id, lang, n_tokens FROM mix ORDER BY doc_id""".stripMargin
+    })
+
   /** Pivot value list for q72 (both the Spark plan and the oracle are
     * generated from it). (lazy: referenced by the registry val declared
     * above it) */
@@ -1693,8 +1752,8 @@ object SparkEntry {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
     // the index is an execution strategy, not a semantics change).
     val q28Sql = registry.find(_.name == "q28_bm25").get.sql
-    registry ++ indexedRegistry.map(q =>
-      if (q.name == "q35_indexed_bm25") q.copy(sql = q28Sql) else q)
+    (registry ++ indexedRegistry.map(q =>
+      if (q.name == "q35_indexed_bm25") q.copy(sql = q28Sql) else q)) :+ q76
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
