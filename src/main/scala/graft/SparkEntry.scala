@@ -1647,8 +1647,65 @@ object SparkEntry {
         |  sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
         |  count(*)::BIGINT AS n_rows
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY rf, ls""".stripMargin)
+        |ORDER BY rf, ls""".stripMargin),
+
+    // RAG chunking: 64-token windows, 16-token overlap (step 48). Chunk
+    // boundaries are pure token arithmetic — identical in both engines.
+    Q("q77_doc_chunks",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(TextFunctions.chunkTokens(
+          TextFunctions.tokens(col("text")), ChunkSize, ChunkOverlap))
+          .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"),
+          length(col("chunk")).cast("long").as("n_chars"))
+        .orderBy("doc_id", "chunk_idx"),
+      {
+        val step = ChunkSize - ChunkOverlap
+        s"""SELECT doc_id,
+           |  generate_subscripts(ch, 1)::BIGINT - 1 AS chunk_idx,
+           |  md5(unnest(ch)) AS chunk_md5,
+           |  length(unnest(ch))::BIGINT AS n_chars
+           |FROM (SELECT doc_id,
+           |        [array_to_string(l[s:s + ${ChunkSize - 1}], ' ')
+           |         for s in range(1, len(l) + 1, $step)] AS ch
+           |      FROM (SELECT doc_id, $toksSql AS l FROM documents))
+           |ORDER BY doc_id, chunk_idx""".stripMargin
+      }),
+
+    // Ordered funnel: users reaching each step having done the previous
+    // steps in order (strictly-later seconds).
+    Q("q78_event_funnel",
+      (s, dir) => graft.operators.Funnel.funnelCounts(
+        Tables.events(s, dir), "user_id", "event_type", "ts", FunnelSteps),
+      {
+        val chain = FunnelSteps.tail.zipWithIndex.map { case (t, i) =>
+          val prev = if (i == 0) "u1" else s"u${i + 1}"
+          s"""u${i + 2} AS (
+             |  SELECT e.user_id, min(e.s) AS t FROM ev e
+             |  JOIN $prev p ON e.user_id = p.user_id
+             |  WHERE e.event_type = '$t' AND e.s > p.t
+             |  GROUP BY e.user_id)""".stripMargin
+        }.mkString(",\n")
+        val unions = FunnelSteps.zipWithIndex.map { case (name, i) =>
+          s"SELECT 'step${i + 1}_$name' AS step, count(*)::BIGINT AS n_users FROM u${i + 1}"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ev AS (
+           |  SELECT user_id, event_type,
+           |         epoch(date_trunc('second', ts))::BIGINT AS s
+           |  FROM events),
+           |u1 AS (SELECT user_id, min(s) AS t FROM ev
+           |       WHERE event_type = '${FunnelSteps.head}' GROUP BY user_id),
+           |$chain
+           |SELECT step, n_users FROM ($unions) ORDER BY step""".stripMargin
+      })
   )
+
+  /** Chunking + funnel constants (lazy: referenced by the registry val
+    * declared above them). */
+  private lazy val ChunkSize    = 64
+  private lazy val ChunkOverlap = 16
+  private lazy val FunnelSteps  = Seq("view", "click", "purchase")
 
   /** Proximity query + slop for q74. (lazy: referenced by the registry
     * val declared above it) */

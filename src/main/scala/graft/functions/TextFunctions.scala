@@ -57,6 +57,22 @@ object TextFunctions {
   /** Token count (whitespace-word definition). */
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** Overlapping token-window chunks — the RAG ingest primitive (split a
+    * document into `size`-token windows advancing by `size - overlap`):
+    * chunk i covers tokens [1 + i*step, i*step + size]. Pure array
+    * algebra (sequence → slice → join), shuffle-free, mirrored 1:1 by a
+    * DuckDB list comprehension. Empty docs produce an empty chunk array.
+    */
+  def chunkTokens(toks: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got size=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    when(size(toks) > 0,
+      transform(sequence(lit(1), size(toks), lit(step)),
+        s => array_join(slice(toks, s, lit(chunkSize)), " ")))
+      .otherwise(typedLit(Array.empty[String]))
+  }
+
   /** A BPE-ish sub-word proxy: count of alnum runs + punctuation marks —
     * an upper bound on byte-pair tokens used for budget estimates. */
   def bpeishTokenCount(c: Column): Column =

@@ -10,6 +10,21 @@ class TextFunctionsSpec extends SparkSpec {
   private def one(c: org.apache.spark.sql.Column, text: String): Any =
     Seq(text).toDF("t").select(c.as("r")).head().get(0)
 
+  test("chunkTokens: overlapping windows, tail chunk short, empty doc empty") {
+    val chunk = (t: String) => one(TextFunctions.chunkTokens(
+      TextFunctions.tokens(col("t")), 4, 1), t)
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    // 7 tokens, size 4, overlap 1 → starts 1, 4, 7
+    assert(chunk("a b c d e f g") ===
+      Seq("a b c d", "d e f g", "g"))
+    // chunk boundary tokens repeat (the overlap)
+    assert(chunk("a b c d e") === Seq("a b c d", "d e"))
+    assert(chunk("x") === Seq("x"))
+    assert(chunk("") === Seq.empty)
+    intercept[IllegalArgumentException](
+      TextFunctions.chunkTokens(col("t"), 4, 4))
+  }
+
   test("tokens: lowercase alnum runs, empties dropped") {
     assert(one(TextFunctions.tokens(col("t")), "Hello, World! 42x ") ===
       Seq("hello", "world", "42x"))

@@ -113,4 +113,24 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got === Set(("w1", "inside-at-start"), ("w2", "inside-cross")))
   }
+
+  test("funnel: order matters, each stage a subset of the previous") {
+    // u1: full ordered funnel; u2: purchase BEFORE click (breaks order);
+    // u3: view only
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      (2L, "purchase", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 10:05:00")),
+      (3L, "view", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val f = Funnel.funnelCounts(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f("step1_view") === 3L)
+    assert(f("step2_click") === 2L)     // users 1 and 2
+    assert(f("step3_purchase") === 1L)  // only user 1 purchased AFTER click
+  }
 }
