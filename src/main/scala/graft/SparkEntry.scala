@@ -1707,6 +1707,28 @@ object SparkEntry {
   private lazy val ChunkOverlap = 16
   private lazy val FunnelSteps  = Seq("view", "click", "purchase")
 
+  /** Per-label centroids (first 3 dims): decimal-exact means — a plain
+    * double avg would sum in partition-arrival order and never
+    * hash-match. (lazy: referenced by the registry val above) */
+  private lazy val q79 = Q("q79_label_centroids",
+    (s, dir) => graft.functions.VectorFunctions.centroidComponents(
+      Tables.embeddings(s, dir), "label", "embedding")
+      .filter(col("pos") < 3)
+      .select(col("label").cast("int").as("label"),
+        col("pos").cast("int").as("pos"), col("c"),
+        col("n_vecs").cast("long").as("n_vecs"))
+      .orderBy("label", "pos"),
+    """SELECT label, pos::INT - 1 AS pos,
+      |  round(s::DOUBLE / n, 6) AS c, n::BIGINT AS n_vecs
+      |FROM (
+      |  SELECT label, pos,
+      |    sum(round(v::DOUBLE, 6)::DECIMAL(18,10)) AS s, count(*) AS n
+      |  FROM (SELECT label, unnest(embedding) AS v,
+      |               generate_subscripts(embedding, 1) AS pos
+      |        FROM embeddings)
+      |  GROUP BY label, pos)
+      |WHERE pos <= 3 ORDER BY label, pos""".stripMargin)
+
   /** Proximity query + slop for q74. (lazy: referenced by the registry
     * val declared above it) */
   private lazy val ProximityQuery = "table merge"
@@ -1810,7 +1832,8 @@ object SparkEntry {
     // the index is an execution strategy, not a semantics change).
     val q28Sql = registry.find(_.name == "q28_bm25").get.sql
     (registry ++ indexedRegistry.map(q =>
-      if (q.name == "q35_indexed_bm25") q.copy(sql = q28Sql) else q)) :+ q76
+      if (q.name == "q35_indexed_bm25") q.copy(sql = q28Sql) else q)) :+
+      q76 :+ q79
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -22,6 +22,35 @@ object VectorFunctions {
   /** Cast an array<float> column to array<double> for stable accumulation. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Per-group centroid components: (group, pos, c, n_vecs) — the
+    * index-build primitive behind IVF cell centers / class prototypes.
+    * Components are 6-dp-rounded then summed as DECIMAL, so the mean is
+    * EXACT and partition-order-free (a plain double `avg` sums in
+    * shuffle arrival order — unreproducible across engines or even
+    * runs). One posexplode + one partial-aggregated groupBy. */
+  def centroidComponents(embs: org.apache.spark.sql.DataFrame,
+      groupCol: String, vecCol: String): org.apache.spark.sql.DataFrame =
+    embs
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(
+        sum(round(col("v").cast("double"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 10))).as("s"),
+        count(lit(1)).as("n_vecs"))
+      .select(col(groupCol), col("pos"),
+        round(col("s").cast("double") / col("n_vecs"), 6).as("c"),
+        col("n_vecs"))
+
+  /** Per-group centroid as an array column (group, centroid, n_vecs). */
+  def centroids(embs: org.apache.spark.sql.DataFrame, groupCol: String,
+      vecCol: String): org.apache.spark.sql.DataFrame =
+    centroidComponents(embs, groupCol, vecCol)
+      .groupBy(col(groupCol))
+      .agg(
+        transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+          p => p.getField("c")).as("centroid"),
+        max(col("n_vecs")).as("n_vecs"))
+
   /** Dot product: sum_i a_i * b_i, double accumulation. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),

@@ -116,4 +116,56 @@ class TextFunctionPropsSpec extends SparkSpec {
       }
     }
   }
+
+  test("chunkTokens: every token covered; adjacent chunks share `overlap` tokens") {
+    val sizes = Gen.zip(Gen.choose(2, 8), Gen.choose(0, 3))
+      .suchThat { case (sz, ov) => ov < sz }
+    samples(Gen.zip(texts, sizes), 15).foreach { case (s, (sz, ov)) =>
+      val toks = one(TextFunctions.tokens(col("t")), s)
+        .asInstanceOf[scala.collection.Seq[String]]
+      val chunks = one(TextFunctions.chunkTokens(
+        TextFunctions.tokens(col("t")), sz, ov), s)
+        .asInstanceOf[scala.collection.Seq[String]]
+      // coverage: concatenation of step-prefixes reconstructs the doc
+      val step = sz - ov
+      val rebuilt = chunks.zipWithIndex.flatMap { case (c, i) =>
+        val ts = if (c.isEmpty) Seq.empty else c.split(" ").toSeq
+        if (i == chunks.length - 1) ts else ts.take(step)
+      }
+      assert(rebuilt === toks, s"in: $s size=$sz overlap=$ov")
+      // overlap: consecutive chunks share exactly the overlap suffix/prefix
+      chunks.sliding(2).foreach {
+        case scala.collection.Seq(a, b) =>
+          val at = a.split(" ").toSeq
+          if (at.length == sz) { // a full chunk overlaps into the next
+            assert(at.drop(step) === b.split(" ").toSeq.take(ov),
+              s"in: $s size=$sz overlap=$ov")
+          }
+        case _ =>
+      }
+    }
+  }
+
+  test("zInterleave is a bijection on the sampled grid (no code collisions)") {
+    val pts = for {
+      a <- Gen.choose(0L, 1000L); b <- Gen.choose(0L, 1000L)
+    } yield (a, b)
+    val ps = samples(pts, 40).distinct
+    val codes = ps.toDF("a", "b")
+      .select(graft.table.DataLayout.zInterleave(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    assert(codes.distinct.length === ps.length)
+  }
+
+  test("topk_freq counts are exact under any partitioning when capacity suffices") {
+    val words = Gen.listOfN(60, Gen.oneOf("a", "b", "c", "d", "e"))
+    samples(words, 5).zipWithIndex.foreach { case (ws, i) =>
+      val df = ws.zipWithIndex.map { case (w, j) => ("g", w) }
+        .toDF("g", "v").repartition(3 + i) // vary merge topology
+      val got = graft.functions.Sketches.topKFrequent(df, "g", "v", 8, 5)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      val exact = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got === exact, s"sample $i")
+    }
+  }
 }

@@ -80,6 +80,25 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("centroids: exact means per group, partition-order-free") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1, Seq(1.0f, 0.0f, 2.0f)),
+      (1, Seq(3.0f, 0.0f, 4.0f)),
+      (2, Seq(5.0f, 5.0f, 5.0f))
+    ).toDF("label", "embedding")
+    val c = VectorFunctions.centroids(vecs, "label", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        (r.getSeq[Double](1).toSeq, r.getLong(2))).toMap
+    assert(c(1) === (Seq(2.0, 0.0, 3.0), 2L))
+    assert(c(2) === (Seq(5.0, 5.0, 5.0), 1L))
+    // repartitioning must not change a single component (decimal sums)
+    val c7 = VectorFunctions.centroids(vecs.repartition(7),
+      "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(c7 === c.view.mapValues(_._1).toMap)
+  }
+
   test("hyperplanes are deterministic and in [-1, 1]") {
     val p1 = Hyperplanes.planes(64, 8, 42L)
     val p2 = Hyperplanes.planes(64, 8, 42L)
