@@ -153,6 +153,15 @@ object GraftFunctions {
           litInt("graft_bounded_collect_list", "(x, maxSize)", cs, 1),
           distinct = false).toAggregateExpression()
       }),
+    (FunctionIdentifier("graft_chunk_tokens"),
+      info("graft_chunk_tokens",
+        "_FUNC_(toks, size, overlap) - overlapping token-window chunks (RAG split)"),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_chunk_tokens", "(toks, size, overlap)", cs, 3)
+        expression(TextFunctions.chunkTokens(column(cs(0)),
+          litInt("graft_chunk_tokens", "(toks, size, overlap)", cs, 1),
+          litInt("graft_chunk_tokens", "(toks, size, overlap)", cs, 2)))
+      }),
     (FunctionIdentifier("graft_topk_freq"),
       info("graft_topk_freq",
         "_FUNC_(x, capacity, topN) - Space-Saving heavy hitters: top-N (term, cnt) structs, capacity-bounded buffer"),

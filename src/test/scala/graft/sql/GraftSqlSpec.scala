@@ -69,6 +69,17 @@ class GraftSqlSpec extends SparkSpec {
       r.getSeq[Long](2).nonEmpty))
   }
 
+  test("graft_chunk_tokens from SQL matches the Column path") {
+    ready
+    val viaSql = spark.sql(
+      """SELECT graft_chunk_tokens(graft_tokens('a b c d e f g'), 4, 1)"""
+    ).head().getSeq[String](0).toSeq
+    assert(viaSql === Seq("a b c d", "d e f g", "g"))
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_chunk_tokens(graft_tokens('a'), 4)").collect())
+    assert(e.getMessage.contains("graft_chunk_tokens"))
+  }
+
   test("graft_topk_freq from SQL matches the DataFrame path") {
     ready
     val viaSql = spark.sql(
