@@ -810,6 +810,16 @@ object SparkEntry {
            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
       }),
 
+    Q("q80_indexed_phrase",
+      // persisted positional postings, term-bucket-pruned probe — same
+      // semantics as the q67 scan path (oracle assigned below: q67's)
+      (s, dir) => graft.index.SearchIndex.phrase(s, indexFor(s, dir),
+        PhraseQuery)
+        .select(col("doc_id"),
+          col("n_occurrences").cast("long").as("n_occurrences"))
+        .orderBy("doc_id"),
+      null),
+
     Q("q38_parse_vector_strings",
       (s, dir) => {
         // F10: the reference stores embeddings as TEXT in the RDB and
@@ -1830,10 +1840,14 @@ object SparkEntry {
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
     // the index is an execution strategy, not a semantics change).
-    val q28Sql = registry.find(_.name == "q28_bm25").get.sql
-    (registry ++ indexedRegistry.map(q =>
-      if (q.name == "q35_indexed_bm25") q.copy(sql = q28Sql) else q)) :+
-      q76 :+ q79
+    val base = registry ++ indexedRegistry
+    val q28Sql = base.find(_.name == "q28_bm25").get.sql
+    val q67Sql = base.find(_.name == "q67_phrase_match").get.sql
+    (registry ++ indexedRegistry.map { q =>
+      if (q.name == "q35_indexed_bm25") q.copy(sql = q28Sql)
+      else if (q.name == "q80_indexed_phrase") q.copy(sql = q67Sql)
+      else q
+    }) :+ q76 :+ q79
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -60,6 +60,12 @@ object SearchIndex {
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$indexDir/postings")
 
+    TextSearch.positionalPostings(docs, idCol, textCol)
+      .withColumn("term_bucket", termBucket(col("term")))
+      .repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$indexDir/positions")
+
     val built = postings.sparkSession.read.parquet(s"$indexDir/postings")
     built.groupBy("term_bucket", "term")
       .agg(countDistinct("doc_id").cast("double").as("df"))
@@ -92,7 +98,7 @@ object SearchIndex {
     graft.Tables.loadPath(spark, s"$indexDir/$name")
 
   private def invalidateAll(spark: SparkSession, indexDir: String): Unit =
-    Seq("postings", "docfreq", "stats", "vectors")
+    Seq("postings", "positions", "docfreq", "stats", "vectors")
       .foreach(t => graft.Tables.invalidate(spark, s"$indexDir/$t"))
 
   /** Incremental index maintenance: fold a batch of NEW docs (disjoint
@@ -116,6 +122,13 @@ object SearchIndex {
       delta.repartition(col("term_bucket"))
         .write.mode("append").partitionBy("term_bucket")
         .parquet(s"$indexDir/postings")
+
+      // positions append mirrors postings: new docs are disjoint
+      TextSearch.positionalPostings(newDocs, idCol, textCol)
+        .withColumn("term_bucket", termBucket(col("term")))
+        .repartition(col("term_bucket"))
+        .write.mode("append").partitionBy("term_bucket")
+        .parquet(s"$indexDir/positions")
 
       // merge docfreq: new docs are disjoint, so counts simply add
       val deltaDf = delta.groupBy("term_bucket", "term")
@@ -196,6 +209,23 @@ object SearchIndex {
 
   /** ANN over the prebuilt vector index: partition-pruned bucket probe
     * then exact cosine within candidates. */
+  /** Phrase query over the persisted positional postings (ES
+    * `match_phrase` on the index): the scan is pruned to the phrase's
+    * term buckets (partition pruning) and terms, then the same
+    * start-alignment algebra as [[TextSearch.phraseMatch]] — identical
+    * semantics, index-probe cost. */
+  def phrase(spark: SparkSession, indexDir: String,
+      phraseText: String): DataFrame = {
+    val terms = TextSearch.phraseTerms(phraseText)
+    val buckets = terms.map(termBucketOf).distinct.toSeq
+    TextSearch.phraseAlign(
+      cachedTable(spark, indexDir, "positions")
+        .filter(col("term_bucket").isin(buckets: _*) &&
+          col("term").isin(terms.distinct.toSeq: _*))
+        .select("doc_id", "pos", "term"),
+      terms)
+  }
+
   def knn(spark: SparkSession, indexDir: String, queryVec: Array[Float],
       k: Int, dim: Int = 64, probeHammingRadius: Int = 1): DataFrame = {
     val qSig = graft.search.VectorSearch.querySignature(queryVec, dim, LshBits)

@@ -95,13 +95,27 @@ object TextSearch {
     * adjacency. */
   def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
       phrase: String): DataFrame = {
-    val terms = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-    require(terms.nonEmpty, "phraseMatch needs a non-empty phrase")
-    import docs.sparkSession.implicits._
+    val terms = phraseTerms(phrase)
+    phraseAlign(
+      positionalPostings(docs, idCol, textCol)
+        .filter(col("term").isin(terms.distinct.toSeq: _*)),
+      terms)
+  }
+
+  /** Phrase token sequence (empty-token-free, order preserved). */
+  def phraseTerms(phrase: String): Array[String] = {
+    val t = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    require(t.nonEmpty, "phrase must contain at least one token")
+    t
+  }
+
+  /** The start-alignment algebra over any (doc_id, pos, term) relation —
+    * shared by the scan path ([[phraseMatch]]) and the persisted-index
+    * path ([[graft.index.SearchIndex.phrase]]). */
+  def phraseAlign(pp: DataFrame, terms: Array[String]): DataFrame = {
+    import pp.sparkSession.implicits._
     val ph = terms.toSeq.zipWithIndex.toDF("term", "idx")
-    positionalPostings(docs, idCol, textCol)
-      .filter(col("term").isin(terms.distinct.toSeq: _*))
-      .join(broadcast(ph), "term")
+    pp.join(broadcast(ph), "term")
       .groupBy(col("doc_id"), (col("pos") - col("idx")).as("start"))
       .agg(countDistinct("idx").as("m"))
       .filter(col("m") === terms.length)

@@ -88,6 +88,22 @@ class SearchIndexSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(incHy.keySet === fullHy.keySet)
     incHy.foreach { case (k, v) => assert(math.abs(v - fullHy(k)) < 1e-5) }
+
+    // phrase counts are integers — exact across layouts
+    val fullPh = SearchIndex.phrase(spark, indexDir, "table scan")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incPh = SearchIndex.phrase(spark, incDir, "table scan")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incPh === fullPh)
+  }
+
+  test("indexed phrase equals the scan-path phraseMatch") {
+    val viaIndex = SearchIndex.phrase(spark, indexDir, "table scan")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaScan = graft.search.TextSearch.phraseMatch(
+      Tables.documents(spark, SfDir), "doc_id", "text", "table scan")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaIndex === viaScan)
   }
 
   test("indexed bm25 matches from-scratch bm25 (same scores)") {
