@@ -1711,6 +1711,40 @@ object SparkEntry {
       })
   )
 
+  /** Fuzzy dedup: simhash candidates verified by Levenshtein over the
+    * first 80 chars (standard DP edit distance — identical integers in
+    * any engine). (lazy: referenced by the registry val above) */
+  private lazy val q81 = Q("q81_fuzzy_verified_pairs",
+    (s, dir) => Dedup.editDistanceVerifiedPairs(Tables.documents(s, dir),
+      "doc_id", "text", prefixLen = 80, maxDist = 20).orderBy("a", "b"),
+    {
+      val bits = (0 until Dedup.SimHashBits).map { i =>
+        s"(CASE WHEN list_sum([((h >> $i) & 1) * 2 - 1 for h in hs])" +
+          s" > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString(" + ")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ($bits)::BIGINT AS sim
+         |  FROM (SELECT doc_id, [${md5LongSql("t")} for t in $toksSql] AS hs
+         |        FROM documents)),
+         |quarters AS (
+         |  SELECT doc_id, sim, q, (sim >> (q * 15)) & ${(1L << 15) - 1} AS v
+         |  FROM sigs, unnest([0, 1, 2, 3]) AS t(q)),
+         |ok AS (SELECT q, v FROM quarters GROUP BY q, v
+         |       HAVING count(DISTINCT doc_id) <= ${Dedup.MaxGroupSize}),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM quarters l JOIN quarters r ON l.q = r.q AND l.v = r.v
+         |  JOIN ok ON ok.q = l.q AND ok.v = l.v
+         |  WHERE l.doc_id < r.doc_id),
+         |pref AS (SELECT doc_id, substr(text, 1, 80) AS p FROM documents)
+         |SELECT a, b, levenshtein(pa.p, pb.p)::INT AS edit_dist
+         |FROM cand
+         |JOIN pref pa ON pa.doc_id = a
+         |JOIN pref pb ON pb.doc_id = b
+         |WHERE levenshtein(pa.p, pb.p) <= 20
+         |ORDER BY a, b""".stripMargin
+    })
+
   /** Chunking + funnel constants (lazy: referenced by the registry val
     * declared above them). */
   private lazy val ChunkSize    = 64
@@ -1847,7 +1881,7 @@ object SparkEntry {
       if (q.name == "q35_indexed_bm25") q.copy(sql = q28Sql)
       else if (q.name == "q80_indexed_phrase") q.copy(sql = q67Sql)
       else q
-    }) :+ q76 :+ q79
+    }) :+ q76 :+ q79 :+ q81
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

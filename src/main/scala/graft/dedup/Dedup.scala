@@ -228,6 +228,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Fuzzy near-dups: simhash candidates VERIFIED by edit distance over
+    * a text prefix — the verify stage for boilerplate-shifted copies
+    * (date stamps, inserted bylines) that hash-exact dedup misses and
+    * Jaccard under-weights. Levenshtein runs ONLY on candidate pairs
+    * (never all pairs) and only on `prefixLen` chars: O(prefixLen²) per
+    * candidate, bounded regardless of document length. Returns
+    * (a, b, edit_dist). */
+  def editDistanceVerifiedPairs(docs: DataFrame, idCol: String,
+      textCol: String, prefixLen: Int = 80, maxDist: Int = 20,
+      maxGroupSize: Int = MaxGroupSize): DataFrame = {
+    val cands = simhashCandidatePairs(docs, idCol, textCol, maxGroupSize)
+    val pref = docs.select(col(idCol).as("__id"),
+      substring(col(textCol), 1, prefixLen).as("__p"))
+    cands
+      .join(pref.select(col("__id").as("a"), col("__p").as("__pa")), Seq("a"))
+      .join(pref.select(col("__id").as("b"), col("__p").as("__pb")), Seq("b"))
+      .withColumn("edit_dist",
+        levenshtein(col("__pa"), col("__pb")).cast("int"))
+      .filter(col("edit_dist") <= maxDist)
+      .select("a", "b", "edit_dist")
+  }
+
   /** SimHash near-dups VERIFIED by exact Hamming distance — completes
     * the candidate stage the way Jaccard verifies minhash candidates:
     * quarter-banding guarantees recall for distance ≤ 3 (pigeonhole),
