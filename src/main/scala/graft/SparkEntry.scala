@@ -810,6 +810,13 @@ object SparkEntry {
            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
       }),
 
+    Q("q82_ivf_sq8_knn",
+      // full probe + the same frozen codebook ⇒ identical semantics to
+      // the corpus-scan quantized path (oracle assigned below: q66's)
+      (s, dir) => graft.index.IvfIndex.knnQuantized(s, ivfFor(s, dir),
+        QueryVec, 10, nProbe = 8, numCandidates = 50),
+      null),
+
     Q("q80_indexed_phrase",
       // persisted positional postings, term-bucket-pruned probe — same
       // semantics as the q67 scan path (oracle assigned below: q67's)
@@ -1435,8 +1442,9 @@ object SparkEntry {
       {
         val qd = (i: String) => // quantize embedding[i] with the codebook
           s"(CASE WHEN mxs[$i] = mns[$i] THEN 0 ELSE " +
+            s"least(127, greatest(-128, " +
             s"floor((embedding[$i]::DOUBLE - mns[$i]) * 255.0 / " +
-            s"(mxs[$i] - mns[$i]))::BIGINT - 128 END)"
+            s"(mxs[$i] - mns[$i]))::BIGINT - 128)) END)"
         s"""WITH pe AS (
            |  SELECT unnest(embedding)::DOUBLE AS v,
            |         generate_subscripts(embedding, 1) AS pos
@@ -1446,8 +1454,9 @@ object SparkEntry {
            |                list(mx ORDER BY pos) AS mxs FROM mm),
            |qq AS (
            |  SELECT [CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
-           |            floor((($qvSql)[i] - mns[i]) * 255.0 /
-           |              (mxs[i] - mns[i]))::BIGINT - 128 END
+           |            least(127, greatest(-128,
+           |              floor((($qvSql)[i] - mns[i]) * 255.0 /
+           |                (mxs[i] - mns[i]))::BIGINT - 128)) END
            |          for i in range(1, ${EmbedDim + 1})] AS qv FROM arrs),
            |cand AS (
            |  SELECT vec_id, embedding,
@@ -1877,9 +1886,11 @@ object SparkEntry {
     val base = registry ++ indexedRegistry
     val q28Sql = base.find(_.name == "q28_bm25").get.sql
     val q67Sql = base.find(_.name == "q67_phrase_match").get.sql
+    val q66Sql = base.find(_.name == "q66_quantized_knn").get.sql
     (registry ++ indexedRegistry.map { q =>
       if (q.name == "q35_indexed_bm25") q.copy(sql = q28Sql)
       else if (q.name == "q80_indexed_phrase") q.copy(sql = q67Sql)
+      else if (q.name == "q82_ivf_sq8_knn") q.copy(sql = q66Sql)
       else q
     }) :+ q76 :+ q79 :+ q81
   }

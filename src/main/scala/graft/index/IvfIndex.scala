@@ -46,6 +46,16 @@ object IvfIndex {
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+
+    // SQ8 codebook: per-dim (min, max) over the build corpus — like the
+    // centroids, this is frozen index metadata (incremental updates do
+    // NOT refit it; out-of-range values clamp during quantization, the
+    // standard scalar-quantization trade-off)
+    val dim = embs.select(size(col(vecCol))).head().getInt(0)
+    val (mn, mx) = graft.search.VectorSearch.quantizeStats(
+      embs.select(col(vecCol)), vecCol, dim)
+    Seq((mn.toSeq, mx.toSeq)).toDF("mns", "mxs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/sq_stats")
   }
 
   /** Incremental maintenance: assign NEW vectors to their nearest
@@ -82,26 +92,29 @@ object IvfIndex {
     graft.Tables.invalidate(spark, s"$indexDir/ivf_vectors")
   }
 
-  /** Exact cosine top-k within the nProbe nearest cells. */
-  def knn(spark: SparkSession, indexDir: String, queryVec: Array[Float],
-      k: Int, nProbe: Int = 2): DataFrame = {
-    // centroid ranking is driver-side: the centroid table IS the index
-    // metadata (nCells rows), not corpus data — collected once per
-    // session+index, not once per query
+  /** Driver-side nProbe nearest cells (centroid table = index metadata,
+    * nCells rows, collected once per session+index). */
+  private def probeCells(spark: SparkSession, indexDir: String,
+      queryVec: Array[Float], nProbe: Int): Seq[Int] = {
     val centroids = centroidCache.computeIfAbsent(
       org.apache.spark.sql.graftext.SessionUtils.uuid(spark) + "|" + indexDir,
       _ => graft.Tables.loadPath(spark, s"$indexDir/centroids")
         .collect().map(r => r.getInt(0) ->
           r.getSeq[Double](1).toArray).toMap)
     val q = queryVec.map(_.toDouble)
-    val cells = centroids.toSeq
+    centroids.toSeq
       .map { case (cell, c) =>
         val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
         (cell, d)
       }
       .sortBy { case (cell, d) => (d, cell) }
       .take(nProbe).map(_._1)
+  }
 
+  /** Exact cosine top-k within the nProbe nearest cells. */
+  def knn(spark: SparkSession, indexDir: String, queryVec: Array[Float],
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val cells = probeCells(spark, indexDir, queryVec, nProbe)
     graft.Tables.loadPath(spark, s"$indexDir/ivf_vectors")
       .filter(col("ivf_cell").isin(cells: _*))
       .select(col("doc_id"),
@@ -110,4 +123,40 @@ object IvfIndex {
       .orderBy(col("vec_score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** IVF-SQ8 (the FAISS `IVF*,SQ8` shape): probe the nProbe nearest
+    * cells, rank candidates by int8-quantized dot product against the
+    * frozen build-time codebook, exact-cosine rerank only the top
+    * `numCandidates`. At 100 TB this is the memory/bandwidth path: the
+    * probed partitions scan as int8 (4× less data) and float math runs
+    * on `numCandidates` rows, not the cell population. */
+  def knnQuantized(spark: SparkSession, indexDir: String,
+      queryVec: Array[Float], k: Int, nProbe: Int = 2,
+      numCandidates: Int = 50): DataFrame = {
+    val cells = probeCells(spark, indexDir, queryVec, nProbe)
+    val sq = sqCache.computeIfAbsent(
+      org.apache.spark.sql.graftext.SessionUtils.uuid(spark) + "|" + indexDir,
+      _ => {
+        val r = graft.Tables.loadPath(spark, s"$indexDir/sq_stats").head()
+        (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)
+      })
+    val (mn, mx) = sq
+    val qInt = graft.search.VectorSearch.quantizeVec(queryVec, mn, mx)
+    val cands = graft.Tables.loadPath(spark, s"$indexDir/ivf_vectors")
+      .filter(col("ivf_cell").isin(cells: _*))
+      .select(col("doc_id"), col("embedding"),
+        graft.search.VectorSearch.quantizedScore(
+          col("embedding"), mn, mx, qInt).as("qscore"))
+      .orderBy(col("qscore").desc, col("doc_id").asc)
+      .limit(numCandidates)
+    cands
+      .select(col("doc_id"),
+        round(VectorFunctions.cosine(col("embedding"), typedLit(queryVec)), 6)
+          .as("vec_score"))
+      .orderBy(col("vec_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  private val sqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
 }

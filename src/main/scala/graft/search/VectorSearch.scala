@@ -80,7 +80,9 @@ object VectorSearch {
       : Array[Long] =
     v.indices.map { i =>
       if (mx(i) == mn(i)) 0L
-      else math.floor((v(i).toDouble - mn(i)) * 255.0 / (mx(i) - mn(i))).toLong - 128L
+      else math.min(127L, math.max(-128L,
+        math.floor((v(i).toDouble - mn(i)) * 255.0 / (mx(i) - mn(i))).toLong
+          - 128L))
     }.toArray
 
   /** Int8-quantized ANN with exact rerank — the memory-bound scale path:
@@ -91,25 +93,35 @@ object VectorSearch {
     * With numCandidates >= k/recall-slack this matches brute force on
     * realistic data (spec measures recall; the oracle pins the full
     * pipeline bit-for-bit). */
+  /** Integer dot-product score of a vector column against the quantized
+    * query, under codebook (mn, mx) — shared by the corpus-scan path
+    * ([[quantizedTopK]]) and the IVF-cell path
+    * ([[graft.index.IvfIndex.knnQuantized]]). */
+  def quantizedScore(vecCol: org.apache.spark.sql.Column,
+      mn: Array[Double], mx: Array[Double],
+      qInt: Array[Long]): org.apache.spark.sql.Column = {
+    val mnLit = typedLit(mn)
+    val mxLit = typedLit(mx)
+    val docQ = transform(vecCol, (x, i) => {
+      val m = element_at(mnLit, (i + 1).cast("int"))
+      val M = element_at(mxLit, (i + 1).cast("int"))
+      when(M === m, lit(0L))
+        .otherwise(least(lit(127L), greatest(lit(-128L),
+          (floor((x.cast("double") - m) * lit(255.0) / (M - m))
+            - lit(128L)).cast("long"))))
+    })
+    aggregate(zip_with(docQ, typedLit(qInt), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+  }
+
   def quantizedTopK(embs: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Float], k: Int, dim: Int,
       numCandidates: Int): DataFrame = {
     val (mn, mx) = quantizeStats(embs, vecCol, dim)
     val qInt = quantizeVec(queryVec, mn, mx)
-    val mnLit = typedLit(mn)
-    val mxLit = typedLit(mx)
-    val docQ = transform(col(vecCol), (x, i) => {
-      val m = element_at(mnLit, (i + 1).cast("int"))
-      val M = element_at(mxLit, (i + 1).cast("int"))
-      when(M === m, lit(0L))
-        .otherwise((floor((x.cast("double") - m) * lit(255.0) / (M - m))
-          - lit(128L)).cast("long"))
-    })
-    val qscore = aggregate(
-      zip_with(docQ, typedLit(qInt), (a, b) => a * b),
-      lit(0L), (acc, v) => acc + v)
     val cands = embs
-      .select(col(idCol), col(vecCol), qscore.as("qscore"))
+      .select(col(idCol), col(vecCol),
+        quantizedScore(col(vecCol), mn, mx, qInt).as("qscore"))
       .orderBy(col("qscore").desc, col(idCol).asc)
       .limit(numCandidates)
     topK(cands, idCol, vecCol, queryVec, k)

@@ -31,6 +31,21 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("IVF-SQ8: full probe + wide rerank equals exact; narrow rerank keeps rank 1") {
+    val e  = DeterministicEmbedder(64)
+    val qv = e.embed("spark join merge sort window")
+    val exact = IvfIndex.knn(spark, dir, qv, 10, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    // rerank over everything ⇒ exact
+    val wide = IvfIndex.knnQuantized(spark, dir, qv, 10, nProbe = 8,
+      numCandidates = 10000).collect().map(_.getLong(0)).toSeq
+    assert(wide === exact)
+    // narrow candidate set still has the true best first
+    val narrow = IvfIndex.knnQuantized(spark, dir, qv, 10, nProbe = 8,
+      numCandidates = 20).collect().map(_.getLong(0)).toSeq
+    assert(narrow.head === exact.head)
+  }
+
   test("incremental update: new vectors land in nearest cell, knn sees the union") {
     import org.apache.spark.sql.functions.col
     val d = Files.createTempDirectory("ivf_upd").toString
