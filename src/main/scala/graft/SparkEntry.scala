@@ -1744,7 +1744,8 @@ object SparkEntry {
          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |  FROM quarters l JOIN quarters r ON l.q = r.q AND l.v = r.v
          |  JOIN ok ON ok.q = l.q AND ok.v = l.v
-         |  WHERE l.doc_id < r.doc_id),
+         |  WHERE l.doc_id < r.doc_id
+         |    AND bit_count(xor(l.sim, r.sim)) <= 3),
          |pref AS (SELECT doc_id, substr(text, 1, 80) AS p FROM documents)
          |SELECT a, b, levenshtein(pa.p, pb.p)::INT AS edit_dist
          |FROM cand

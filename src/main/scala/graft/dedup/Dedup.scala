@@ -231,14 +231,16 @@ object Dedup {
   /** Fuzzy near-dups: simhash candidates VERIFIED by edit distance over
     * a text prefix — the verify stage for boilerplate-shifted copies
     * (date stamps, inserted bylines) that hash-exact dedup misses and
-    * Jaccard under-weights. Levenshtein runs ONLY on candidate pairs
-    * (never all pairs) and only on `prefixLen` chars: O(prefixLen²) per
-    * candidate, bounded regardless of document length. Returns
-    * (a, b, edit_dist). */
+    * Jaccard under-weights. Filter ladder, cheapest first: LSH banding
+    * prunes to candidates, the O(1) `bit_count(xor)` Hamming cut prunes
+    * candidates to near-signatures, and only THOSE pay the O(prefixLen²)
+    * Levenshtein — without the Hamming rung the DP dominates (measured
+    * 17 s vs 2 s at sf0.1). Returns (a, b, edit_dist). */
   def editDistanceVerifiedPairs(docs: DataFrame, idCol: String,
       textCol: String, prefixLen: Int = 80, maxDist: Int = 20,
-      maxGroupSize: Int = MaxGroupSize): DataFrame = {
-    val cands = simhashCandidatePairs(docs, idCol, textCol, maxGroupSize)
+      maxHamming: Int = 3, maxGroupSize: Int = MaxGroupSize): DataFrame = {
+    val cands = simhashVerifiedPairs(docs, idCol, textCol, maxHamming,
+      maxGroupSize).select("a", "b")
     val pref = docs.select(col(idCol).as("__id"),
       substring(col(textCol), 1, prefixLen).as("__p"))
     cands

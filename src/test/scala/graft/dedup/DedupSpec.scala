@@ -74,17 +74,23 @@ class DedupSpec extends SparkSpec {
       (3L, "the quick brown fox jumps over the lazy cat again and again"),
       (4L, "completely different content with nothing shared at all here")
     ).toDF("doc_id", "text")
+    // wide hamming rung: the edit-distance semantics alone
     val ps = Dedup.editDistanceVerifiedPairs(d, "doc_id", "text",
-      prefixLen = 80, maxDist = 5)
+      prefixLen = 80, maxDist = 5, maxHamming = Dedup.SimHashBits)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(ps((1L, 2L)) === 0)           // exact dup
     assert(ps.get((1L, 3L)).exists(x => x > 0 && x <= 5)) // dog→cat
     assert(!ps.keySet.exists { case (a, b) => a == 4L || b == 4L })
-    // tight threshold cuts the near-dup but keeps the exact dup
+    // tight edit threshold cuts the near-dup but keeps the exact dup
     val tight = Dedup.editDistanceVerifiedPairs(d, "doc_id", "text",
-      prefixLen = 80, maxDist = 0)
+      prefixLen = 80, maxDist = 0, maxHamming = Dedup.SimHashBits)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(tight === Set((1L, 2L)))
+    // the default hamming rung still admits exact dups (hamming 0)
+    val ladder = Dedup.editDistanceVerifiedPairs(d, "doc_id", "text",
+      prefixLen = 80, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ladder.contains((1L, 2L)))
   }
 
   test("ngram jaccard: identical docs = 1.0; near-dups in (0,1); thresholded") {
