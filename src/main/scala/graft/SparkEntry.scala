@@ -1755,6 +1755,54 @@ object SparkEntry {
          |ORDER BY a, b""".stripMargin
     })
 
+  /** Hopping-window (1 h length, 30 min hop) distinct users per window —
+    * exact count next to the KMV estimate: the shape a streaming
+    * dashboard runs at 100 TB, where exact per-window distinct is the
+    * thing you replace with the sketch. Every event lands in exactly two
+    * windows (explode of two grid starts); all arithmetic is integer
+    * epoch seconds. (lazy: referenced by the registry val above) */
+  private lazy val q83 = Q("q83_hopping_distinct_users",
+    (s, dir) => {
+      val sec = unix_timestamp(date_trunc("second", col("ts")))
+      val w0  = (sec.cast("long") / 1800L).cast("long") * 1800L
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          explode(array(w0, w0 - 1800L)).as("window_start"))
+        .groupBy("window_start")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("exact_users"),
+          round(org.apache.spark.sql.graftext.KmvSketchAgg.kmvDistinct(
+            col("user_id").cast("string"), 64), 4).as("est_users"))
+        .orderBy("window_start")
+    },
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    unnest([w0, w0 - 1800]) AS window_start
+      |  FROM (SELECT user_id,
+      |          (epoch(date_trunc('second', ts))::BIGINT // 1800) * 1800 AS w0
+      |        FROM events)),
+      |hashed AS (
+      |  SELECT DISTINCT window_start,
+      |    (('0x' || substr(md5(user_id::VARCHAR),1,15))::UBIGINT)::BIGINT AS h
+      |  FROM ev),
+      |topk AS (
+      |  SELECT window_start, h,
+      |    row_number() OVER (PARTITION BY window_start ORDER BY h) AS rn
+      |  FROM hashed),
+      |kmv AS (
+      |  SELECT window_start, max(h) AS hk, count(*) AS k
+      |  FROM topk WHERE rn <= 64 GROUP BY window_start),
+      |base AS (
+      |  SELECT window_start, count(*)::BIGINT AS n_events,
+      |    count(DISTINCT user_id)::BIGINT AS exact_users
+      |  FROM ev GROUP BY window_start)
+      |SELECT base.window_start, base.n_events, base.exact_users,
+      |  round(CASE WHEN k < 64 THEN k::DOUBLE
+      |        ELSE (k - 1)::DOUBLE * 1152921504606846976.0 / hk::DOUBLE
+      |        END, 4) AS est_users
+      |FROM base JOIN kmv USING (window_start)
+      |ORDER BY window_start""".stripMargin)
+
   /** Chunking + funnel constants (lazy: referenced by the registry val
     * declared above them). */
   private lazy val ChunkSize    = 64
@@ -1893,7 +1941,7 @@ object SparkEntry {
       else if (q.name == "q80_indexed_phrase") q.copy(sql = q67Sql)
       else if (q.name == "q82_ivf_sq8_knn") q.copy(sql = q66Sql)
       else q
-    }) :+ q76 :+ q79 :+ q81
+    }) :+ q76 :+ q79 :+ q81 :+ q83
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -48,6 +48,18 @@ class SnapshotCatalogSpec extends SparkSpec {
       Set((2L, "v2")))
   }
 
+  test("diff classifies inserted / deleted / updated between versions") {
+    val c = fresh()
+    c.write("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    c.write("t", Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "s"))
+    val d = c.diff("t", 1L, 2L, "id")
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1))).toSet
+    assert(d === Set(
+      ("inserted", 4L, "d"),
+      ("deleted", 3L, "c"),
+      ("updated", 2L, "B"))) // updated carries the NEW value
+  }
+
   test("a new write after rollback branches forward from the newest id") {
     val c = fresh()
     c.write("t", Seq(1L).toDF("id"))
