@@ -146,6 +146,40 @@ class StreamIngestSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))         // original data, not the replay's
   }
 
+  test("watermark: an event later than the delay is dropped from its closed window") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("late_in")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: one event in the 10:00 window, one at 11:45 that pushes
+    // the watermark to 11:15 (> the 10:00 window's end)
+    Seq((1L, ts("2024-01-01 10:15:00"), 1.0),
+      (2L, ts("2024-01-01 11:45:00"), 1.0))
+      .toDF("event_id", "ts", "value").withColumn("event_type", lit("view"))
+      .write.parquet(in.toString + "/b1")
+    Thread.sleep(1100) // distinct mtimes → deterministic file order
+    // batch 2: a LATE event for the already-finalized 10:00 window
+    Seq((3L, ts("2024-01-01 10:20:00"), 1.0))
+      .toDF("event_id", "ts", "value").withColumn("event_type", lit("view"))
+      .write.parquet(in.toString + "/b2")
+    val schema = spark.read.parquet(in.toString + "/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch:
+      .parquet(in.toString + "/*")       // watermark advances between them
+    val q = StreamIngest.eventCountsByWindow(stream,
+      windowLen = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val w10 = spark.sql(
+      """SELECT n_events FROM late_out
+        |WHERE window_start = timestamp'2024-01-01 10:00:00'""".stripMargin)
+      .collect().map(_.getLong(0))
+    // the late event (id 3) must NOT be in the finalized 10:00 window
+    assert(w10.toSeq === Seq(1L))
+  }
+
   test("runningUserStats: mapGroupsWithState accumulates per user") {
     val in = Files.createTempDirectory("stats_in")
     import spark.implicits._
