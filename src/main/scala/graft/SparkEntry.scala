@@ -1803,6 +1803,43 @@ object SparkEntry {
       |FROM base JOIN kmv USING (window_start)
       |ORDER BY window_start""".stripMargin)
 
+  /** TPC-H Q21 shape (EXISTS + NOT EXISTS double correlation), adapted
+    * to this schema: suppliers whose returned line ('R') sits on a
+    * multi-supplier order where NO other supplier also returned. Both
+    * correlations plan as one semi + one anti join on the same key —
+    * no correlated re-execution. (lazy: referenced by the registry val
+    * above) */
+  private lazy val q84 = Q("q84_sole_blame_suppliers",
+    (s, dir) => {
+      val l  = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val lr = l.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val al = l.select("l_orderkey", "l_suppkey").distinct()
+      val hasOther = lr.as("a").join(al.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"), "left_semi")
+      val soleBlame = hasOther.as("a").join(lr.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"), "left_anti")
+      soleBlame.groupBy(col("l_suppkey").as("suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("suppkey").asc)
+        .limit(20)
+    },
+    """WITH lr AS (SELECT DISTINCT l_orderkey, l_suppkey
+      |            FROM lineitem WHERE l_returnflag = 'R'),
+      |al AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      |SELECT s.l_suppkey AS suppkey, count(*)::BIGINT AS numwait
+      |FROM lr s
+      |WHERE EXISTS (SELECT 1 FROM al o
+      |              WHERE o.l_orderkey = s.l_orderkey
+      |                AND o.l_suppkey <> s.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lr r
+      |                  WHERE r.l_orderkey = s.l_orderkey
+      |                    AND r.l_suppkey <> s.l_suppkey)
+      |GROUP BY 1 ORDER BY numwait DESC, suppkey LIMIT 20""".stripMargin)
+
   /** Chunking + funnel constants (lazy: referenced by the registry val
     * declared above them). */
   private lazy val ChunkSize    = 64
@@ -1941,7 +1978,7 @@ object SparkEntry {
       else if (q.name == "q80_indexed_phrase") q.copy(sql = q67Sql)
       else if (q.name == "q82_ivf_sq8_knn") q.copy(sql = q66Sql)
       else q
-    }) :+ q76 :+ q79 :+ q81 :+ q83
+    }) :+ q76 :+ q79 :+ q81 :+ q83 :+ q84
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

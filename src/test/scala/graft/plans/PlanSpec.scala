@@ -120,6 +120,15 @@ class PlanSpec extends SparkSpec {
       "max-sim aggregate not partial (map-side combine):\n" + s)
   }
 
+  test("q84: exists/not-exists plan as one semi + one anti join, no nested loop") {
+    val s = fmtOf("q84_sole_blame_suppliers")
+    assert(s.contains("LeftSemi"), "EXISTS not planned as semi join:\n" + s)
+    assert(s.contains("LeftAnti"), "NOT EXISTS not planned as anti join:\n" + s)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "correlation fell back to a nested loop:\n" + s)
+  }
+
   test("q20: pair generation is bounded-collect groupBy, not a self-join") {
     val s = fmtOf("q20_minhash_near_dup_pairs")
     assert(s.contains("bounded_collect_set"),
