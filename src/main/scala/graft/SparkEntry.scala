@@ -1840,6 +1840,29 @@ object SparkEntry {
       |                    AND r.l_suppkey <> s.l_suppkey)
       |GROUP BY 1 ORDER BY numwait DESC, suppkey LIMIT 20""".stripMargin)
 
+  /** Rank-family window functions (percent_rank / cume_dist), collapsed
+    * to the distinct value grid — value ties share a rank, so the
+    * distinct projection is deterministic in both engines. (lazy:
+    * referenced by the registry val above) */
+  private lazy val q85 = Q("q85_quantity_rank_profile",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .distinct()
+        .orderBy("l_returnflag", "l_quantity")
+    },
+    """SELECT DISTINCT l_returnflag, l_quantity,
+      |  round(percent_rank() OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_quantity), 6) AS pr,
+      |  round(cume_dist() OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_quantity), 6) AS cd
+      |FROM lineitem
+      |ORDER BY l_returnflag, l_quantity""".stripMargin)
+
   /** Chunking + funnel constants (lazy: referenced by the registry val
     * declared above them). */
   private lazy val ChunkSize    = 64
@@ -1978,7 +2001,7 @@ object SparkEntry {
       else if (q.name == "q80_indexed_phrase") q.copy(sql = q67Sql)
       else if (q.name == "q82_ivf_sq8_knn") q.copy(sql = q66Sql)
       else q
-    }) :+ q76 :+ q79 :+ q81 :+ q83 :+ q84
+    }) :+ q76 :+ q79 :+ q81 :+ q83 :+ q84 :+ q85
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

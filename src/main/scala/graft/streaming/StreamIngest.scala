@@ -198,6 +198,30 @@ object StreamIngest {
         col("l_ts"), col("r_ts"), col("r_value"))
   }
 
+  /** LEFT OUTER variant of [[correlate]]: every left event emits, with
+    * null right columns when nothing matched inside the window. The
+    * null rows are emitted only once the WATERMARK proves no match can
+    * still arrive — the state-cleanup semantics that make outer
+    * stream-stream joins subtle (an inner join can discard state as soon
+    * as it matches; the outer side must hold each left row until its
+    * window is provably closed). Unmatched-click attribution in one
+    * operator. */
+  def correlateOuter(left: DataFrame, right: DataFrame,
+      within: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_id").as("l_event"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_event"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("l_user") === col("r_user") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"), "left_outer")
+      .select(col("l_user").as("user_id"), col("l_event"), col("r_event"),
+        col("l_ts"), col("r_ts"), col("r_value"))
+  }
+
   /** Custom stateful operator (reference has nothing like it; a 100 TB
     * pipeline needs it): running per-user event statistics maintained
     * with mapGroupsWithState — count, value sum and last-seen time per

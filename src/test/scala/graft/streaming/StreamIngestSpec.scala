@@ -146,21 +146,24 @@ class StreamIngestSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))         // original data, not the replay's
   }
 
-  test("watermark: an event later than the delay is dropped from its closed window") {
+  test("watermark: a late event cannot re-open an already-emitted window") {
     import spark.implicits._
     val in = Files.createTempDirectory("late_in")
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
-    // batch 1: one event in the 10:00 window, one at 11:45 that pushes
-    // the watermark to 11:15 (> the 10:00 window's end)
-    Seq((1L, ts("2024-01-01 10:15:00"), 1.0),
+    def write(dir: String, rows: (Long, java.sql.Timestamp, Double)*): Unit = {
+      rows.toSeq.toDF("event_id", "ts", "value")
+        .withColumn("event_type", lit("view"))
+        .coalesce(1).write.parquet(in.toString + "/" + dir)
+      Thread.sleep(1100) // distinct mtimes -> deterministic batch order
+    }
+    // b1 pushes the watermark to 11:15 (30 min delay); during b2 the
+    // 10:00 window finalizes and emits; b3's 10:20 event is later than
+    // the watermark AND its window is gone — it must not re-open it
+    // (append mode emits each window exactly once).
+    write("b1", (1L, ts("2024-01-01 10:15:00"), 1.0),
       (2L, ts("2024-01-01 11:45:00"), 1.0))
-      .toDF("event_id", "ts", "value").withColumn("event_type", lit("view"))
-      .write.parquet(in.toString + "/b1")
-    Thread.sleep(1100) // distinct mtimes → deterministic file order
-    // batch 2: a LATE event for the already-finalized 10:00 window
-    Seq((3L, ts("2024-01-01 10:20:00"), 1.0))
-      .toDF("event_id", "ts", "value").withColumn("event_type", lit("view"))
-      .write.parquet(in.toString + "/b2")
+    write("b2", (3L, ts("2024-01-01 12:30:00"), 1.0))
+    write("b3", (4L, ts("2024-01-01 10:20:00"), 1.0)) // LATE
     val schema = spark.read.parquet(in.toString + "/b1").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // one file per micro-batch:
@@ -176,8 +179,51 @@ class StreamIngestSpec extends SparkSpec {
       """SELECT n_events FROM late_out
         |WHERE window_start = timestamp'2024-01-01 10:00:00'""".stripMargin)
       .collect().map(_.getLong(0))
-    // the late event (id 3) must NOT be in the finalized 10:00 window
+    // exactly ONE emission of the 10:00 window, without the late event
     assert(w10.toSeq === Seq(1L))
+  }
+
+  test("correlateOuter: unmatched clicks emit null once the watermark closes them") {
+    val in = Files.createTempDirectory("corro_in")
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-01-01 10:00:00"), 100L, 0.0),
+      (2L, ts("2024-01-01 10:00:00"), 101L, 0.0)) // user 2 never buys
+      .toDF("user_id", "ts", "event_id", "value")
+      .coalesce(1).write.parquet(in.toString + "/l/b1")
+    Thread.sleep(1100)
+    // sentinel batch pushes the watermark to 21:00 (2 h delay), proving
+    // the 10:00 clicks' match windows closed → null rows may emit
+    Seq((9L, ts("2024-01-01 23:00:00"), 999L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+      .coalesce(1).write.parquet(in.toString + "/l/b2")
+    Thread.sleep(1100)
+    // a third batch runs AFTER the watermark advanced — outer nulls are
+    // flushed by the next trigger, not by the batch that moved the mark
+    Seq((9L, ts("2024-01-01 23:30:00"), 998L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+      .coalesce(1).write.parquet(in.toString + "/l/b3")
+    // the join watermark is the MIN across both streams — the right
+    // side needs its own late sentinel or the left rows never close
+    Seq((1L, ts("2024-01-01 10:30:00"), 200L, 9.5),
+      (9L, ts("2024-01-01 23:00:00"), 997L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+      .write.parquet(in.toString + "/r")
+    val schema = spark.read.parquet(in.toString + "/r").schema
+    val l = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString + "/l/*")
+    val q = StreamIngest.correlateOuter(l,
+      StreamIngest.parquetStream(spark, in.toString + "/r", schema))
+      .writeStream.format("memory").queryName("corro_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT l_event, r_event FROM corro_out")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(100L) === Some(200L))  // matched inside the window
+    assert(got.get(101L) === Some(None)) // unmatched → null row emitted
   }
 
   test("runningUserStats: mapGroupsWithState accumulates per user") {
