@@ -719,7 +719,8 @@ object SparkEntry {
     * ahead of query timing — the bench warm-up calls this so indexed /
     * model queries measure query latency, not the build/fit. */
   def prepare(s: SparkSession, dir: String): Unit = {
-    indexFor(s, dir); ivfFor(s, dir); mlFitted(s, dir); ()
+    indexFor(s, dir); ivfFor(s, dir); mlFitted(s, dir)
+    bucketedFor(s, dir); ()
   }
 
   private def indexFor(s: SparkSession, dir: String): String =
@@ -1863,6 +1864,70 @@ object SparkEntry {
       |FROM lineitem
       |ORDER BY l_returnflag, l_quantity""".stripMargin)
 
+  /** Bucketed catalog tables, one pair per (session, sf dir) — built in
+    * [[prepare]] warm-up like the search index: the layout shuffle is
+    * infrastructure, not query cost. */
+  private val bucketCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedFor(s: SparkSession, dir: String): (String, String) =
+    bucketCache.computeIfAbsent(
+      org.apache.spark.sql.graftext.SessionUtils.uuid(s) + "|" + dir, _ => {
+        val tag = java.lang.Long.toHexString(
+          java.lang.Integer.toUnsignedLong(dir.hashCode))
+        val li = s"graft_li_bkt_$tag"
+        val o  = s"graft_o_bkt_$tag"
+        graft.table.DataLayout.bucketWrite(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          li, Seq("l_orderkey"), nBuckets = 8)
+        graft.table.DataLayout.bucketWrite(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+          o, Seq("o_orderkey"), nBuckets = 8)
+        (li, o)
+      })
+
+  /** Fact-to-fact revenue over the BUCKETED tables: both sides were
+    * hash-bucketed on the order key at layout time, so the join itself
+    * needs no exchange (DataLayoutSpec pins the shuffle-free plan; this
+    * entry runs the same layout through the correctness gate). (lazy:
+    * referenced by the registry val above) */
+  private lazy val q86 = Q("q86_bucketed_join_revenue",
+    (s, dir) => {
+      val (li, o) = bucketedFor(s, dir)
+      s.table(li).join(s.table(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    },
+    """SELECT o_orderpriority,
+      |  (sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4)))::DOUBLE
+      |    AS revenue,
+      |  count(*)::BIGINT AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  /** Salted skew join through the correctness gate: the salt is plan
+    * plumbing only — results must equal the plain join the oracle runs.
+    * (lazy: referenced by the registry val above) */
+  private lazy val q87 = Q("q87_salted_join_priority",
+    (s, dir) => graft.operators.SkewJoin.saltedJoin(
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_linenumber"),
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), saltFactor = 7, saltSource = "l_linenumber")
+      .groupBy("o_orderpriority")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+        .as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority"),
+    """SELECT o_orderpriority,
+      |  sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
+      |  count(*)::BIGINT AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
   /** Chunking + funnel constants (lazy: referenced by the registry val
     * declared above them). */
   private lazy val ChunkSize    = 64
@@ -2001,7 +2066,7 @@ object SparkEntry {
       else if (q.name == "q80_indexed_phrase") q.copy(sql = q67Sql)
       else if (q.name == "q82_ivf_sq8_knn") q.copy(sql = q66Sql)
       else q
-    }) :+ q76 :+ q79 :+ q81 :+ q83 :+ q84 :+ q85
+    }) :+ q76 :+ q79 :+ q81 :+ q83 :+ q84 :+ q85 :+ q86 :+ q87
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
