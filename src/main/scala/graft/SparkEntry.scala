@@ -1841,19 +1841,34 @@ object SparkEntry {
       |                    AND r.l_suppkey <> s.l_suppkey)
       |GROUP BY 1 ORDER BY numwait DESC, suppkey LIMIT 20""".stripMargin)
 
-  /** Rank-family window functions (percent_rank / cume_dist), collapsed
-    * to the distinct value grid — value ties share a rank, so the
-    * distinct projection is deterministic in both engines. (lazy:
-    * referenced by the registry val above) */
+  /** Rank-family profile (percent_rank / cume_dist semantics) computed
+    * on the DISTINCT value grid, not with a window over the base table:
+    * `partitionBy(l_returnflag)` has 3 values, so a real window would
+    * sort each flag's ENTIRE row set in one task (~200M rows/task at
+    * 100×). Instead one partial-agg shuffle builds the
+    * (flag, quantity, cnt) grid (metadata-sized: 3×50 rows) and the
+    * rank algebra is integer arithmetic on it: with ties sharing a rank,
+    * pr = below/(n-1) and cd = (below+cnt)/n, where `below` counts rows
+    * strictly below the value. Same trick as
+    * [[graft.pipeline.Sampling.quantileBuckets]]. (lazy: referenced by
+    * the registry val above) */
   private lazy val q85 = Q("q85_quantity_rank_profile",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-      Tables.lineitem(s, dir)
+      val grid = Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("__cnt"))
+      // both windows run over the distinct grid only (150 rows)
+      val wCum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("l_returnflag")
+      grid
+        .withColumn("__n", sum("__cnt").over(wAll))
+        .withColumn("__below", sum("__cnt").over(wCum) - col("__cnt"))
         .select(col("l_returnflag"), col("l_quantity"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
-        .distinct()
+          round(col("__below").cast("double") / (col("__n") - 1), 6).as("pr"),
+          round((col("__below") + col("__cnt")).cast("double") / col("__n"), 6)
+            .as("cd"))
         .orderBy("l_returnflag", "l_quantity")
     },
     """SELECT DISTINCT l_returnflag, l_quantity,

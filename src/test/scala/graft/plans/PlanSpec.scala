@@ -129,6 +129,19 @@ class PlanSpec extends SparkSpec {
       "correlation fell back to a nested loop:\n" + s)
   }
 
+  test("q85: rank profile runs NO window over the base table") {
+    val s = fmtOf("q85_quantity_rank_profile")
+    // the scale-killer shape is percent_rank/cume_dist over a 3-value
+    // partition key (one task sorts a flag's entire row set); the fixed
+    // plan aggregates first and does integer rank algebra on the grid
+    assert(!s.contains("percent_rank") && !s.contains("cume_dist"),
+      "rank functions crept back over the base table:\n" + s)
+    assert(s.contains("sum(__cnt"),
+      "window does not run over the aggregated grid:\n" + s)
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "grid aggregate not partial (map-side combine):\n" + s)
+  }
+
   test("q20: pair generation is bounded-collect groupBy, not a self-join") {
     val s = fmtOf("q20_minhash_near_dup_pairs")
     assert(s.contains("bounded_collect_set"),
