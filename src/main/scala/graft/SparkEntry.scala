@@ -1923,25 +1923,53 @@ object SparkEntry {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
-  /** Salted skew join through the correctness gate: the salt is plan
-    * plumbing only — results must equal the plain join the oracle runs.
-    * (lazy: referenced by the registry val above) */
-  private lazy val q87 = Q("q87_salted_join_priority",
-    (s, dir) => graft.operators.SkewJoin.saltedJoin(
-      Tables.lineitem(s, dir)
-        .select("l_orderkey", "l_quantity", "l_linenumber"),
-      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
-        .withColumnRenamed("o_orderkey", "l_orderkey"),
-      Seq("l_orderkey"), saltFactor = 7, saltSource = "l_linenumber")
-      .groupBy("o_orderpriority")
-      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
-        .as("sum_qty"), count(lit(1)).as("n_items"))
-      .orderBy("o_orderpriority"),
-    """SELECT o_orderpriority,
-      |  sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
-      |  count(*)::BIGINT AS n_items
-      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  /** Salted skew join over a GENUINELY skewed key: the derived key `sk`
+    * lands 60% of lineitem rows on one hot value (partkey residues
+    * 0..59 → 0), so a plain shuffle join would send 60% of the fact
+    * table to ONE reducer (≈60 TB of a 100 TB table in one task). The
+    * big side is salted (saltFactor 8 sized to the 60%-vs-1% skew:
+    * hot shards ≈7.5% ≈ tail keys), and only the 41-row dim is
+    * replicated — replication cost is 41×8 rows, not 7× the orders
+    * table as in the round-2 registration. The dim carries a
+    * shuffle_hash hint to model the 100 TB regime where the dimension
+    * is broadcast-ineligible (that is the regime this operator exists
+    * for; with a broadcastable dim you would not salt). Results must
+    * equal the plain join the oracle runs; OperatorsSpec pins that the
+    * salted plan's max reducer partition drops ≥4× vs the plain
+    * shuffle on the same skew. (lazy: referenced by the registry val
+    * above) */
+  private lazy val q87 = Q("q87_salted_skew_join",
+    (s, dir) => {
+      val skOf = (c: Column) => when(pmod(c, lit(100L)) < 60, lit(0L))
+        .otherwise(pmod(c, lit(100L)))
+      val li = Tables.lineitem(s, dir)
+        .select(skOf(col("l_partkey")).as("sk"),
+          col("l_quantity"), col("l_orderkey"))
+      val dim = Tables.part(s, dir)
+        .groupBy(skOf(col("p_partkey")).as("sk"))
+        .agg(count(lit(1)).as("n_parts"))
+        .hint("shuffle_hash") // model the broadcast-ineligible dim
+      graft.operators.SkewJoin.saltedJoin(li, dim, Seq("sk"),
+        saltFactor = 8, saltSource = "l_orderkey")
+        .groupBy("sk")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+          .as("sum_qty"), count(lit(1)).as("n_items"),
+          max("n_parts").as("n_parts"))
+        .orderBy("sk")
+    },
+    """WITH li AS (
+      |  SELECT CASE WHEN l_partkey % 100 < 60 THEN 0
+      |              ELSE l_partkey % 100 END AS sk, l_quantity
+      |  FROM lineitem),
+      |dim AS (
+      |  SELECT CASE WHEN p_partkey % 100 < 60 THEN 0
+      |              ELSE p_partkey % 100 END AS sk,
+      |         count(*) AS np
+      |  FROM part GROUP BY 1)
+      |SELECT sk, sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
+      |  count(*)::BIGINT AS n_items, max(np)::BIGINT AS n_parts
+      |FROM li JOIN dim USING (sk)
+      |GROUP BY sk ORDER BY sk""".stripMargin)
 
   /** Chunking + funnel constants (lazy: referenced by the registry val
     * declared above them). */

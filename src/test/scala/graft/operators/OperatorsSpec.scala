@@ -83,6 +83,39 @@ class OperatorsSpec extends SparkSpec {
     assert(plain.count(_._1 == "hot") === 50)
   }
 
+  test("saltedJoin: balances reducer partitions on a skewed key") {
+    // 60% of the big side shares one hot key. With AQE off and broadcast
+    // disabled (the regime the operator exists for — AQE skew handling
+    // unavailable, dim broadcast-ineligible) the plain shuffle join puts
+    // the whole hot key in ONE reducer; salting spreads it saltFactor
+    // ways. Measured as max rows in any post-join partition.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.shuffle.partitions", "32")
+      val big = spark.range(0, 100000).select(
+        when(col("id") % 10 < 6, lit(0L)).otherwise(col("id") % 1000)
+          .as("key"), col("id").as("v"))
+      val dim = spark.range(0, 1000).select(col("id").as("key"),
+        (col("id") * 2).as("payload")).hint("shuffle_hash")
+      def maxPart(df: org.apache.spark.sql.DataFrame): Int =
+        df.rdd.mapPartitions(it => Iterator(it.size)).collect().max
+      val plainMax = maxPart(big.join(dim, Seq("key")))
+      val saltedMax = maxPart(SkewJoin.saltedJoin(big, dim, Seq("key"),
+        saltFactor = 16, saltSource = "v"))
+      // hot key = 60k rows: plain keeps them in one reducer (max ≥ 60k);
+      // salted shards are ~3.75k each — even with two shards hashing to
+      // the same reducer the max partition drops ≥ 4×
+      assert(plainMax >= 60000, s"hot key not concentrated: $plainMax")
+      assert(saltedMax * 4 <= plainMax,
+        s"salting did not balance reducers: plain=$plainMax salted=$saltedMax")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("bloomPrune.semiJoin: identical result to a plain left-semi join") {
     val big = (1 to 2000).map(i => (i.toLong % 97, i.toLong)).toDF("k", "v")
     val small = Seq(3L, 17L, 42L, 96L, 1234L).toDF("sk") // 1234 matches nothing
