@@ -719,7 +719,7 @@ object SparkEntry {
     * ahead of query timing — the bench warm-up calls this so indexed /
     * model queries measure query latency, not the build/fit. */
   def prepare(s: SparkSession, dir: String): Unit = {
-    indexFor(s, dir); ivfFor(s, dir); mlFitted(s, dir)
+    indexFor(s, dir); ivfFor(s, dir); mlFitted(s, dir); mlFittedMd5(s, dir)
     bucketedFor(s, dir); ()
   }
 
@@ -1300,22 +1300,64 @@ object SparkEntry {
          |      ORDER BY bucket)) AS sig
          |FROM nw GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
-    // MLlib TF-IDF pipeline end-to-end: one IDF fit over the corpus, a
-    // per-partition streaming corpus embed through the Embedder trait,
+    // MLlib TF-IDF pipeline end-to-end, FULLY oracled: RegexTokenizer →
+    // Md5HashingTF (md5 bucketing — the SQL-expressible drop-in for
+    // murmur3 HashingTF) → IDF fit over the corpus → L2 Normalizer,
     // query embedded driver-side in the same space, brute-force top-10.
-    // murmur3 (HashingTF) has no SQL form → rows-only driver check; the
-    // math is oracle-checked via its md5 twin q57 and pinned by
-    // MlEmbedderSpec.
+    // The oracle recomputes everything — doc weights, query idf
+    // weighting, both normalizations, the dot product — from the raw
+    // text, so tokenize/tf/idf/normalize/score are all checked. Doubles
+    // end-to-end (doubleOut) so 6dp rounding is stable cross-engine.
+    // The murmur3 production path is pinned by MlEmbedderSpec's
+    // injective-dim isomorphism test (same neighborhoods once the hash
+    // stops colliding — the hash is the only difference).
     Q("q58_mllib_knn",
       (s, dir) => {
-        val docs   = Tables.documents(s, dir)
-        val fitted = mlFitted(s, dir)
-        val emb = graft.embed.BatchEmbed.withEmbedding(
-          docs.select("doc_id", "text"), "text", "ml_vec", fitted)
-        graft.search.VectorSearch.topK(emb, "doc_id", "ml_vec",
-          fitted.embed(QueryText), 10)
+        val docs   = Tables.documents(s, dir).select("doc_id", "text")
+        val fitted = mlFittedMd5(s, dir)
+        val emb = graft.embed.MlEmbedder.transformCorpus(docs, "text",
+          "ml_vec", EmbedDim, hash = "md5", doubleOut = true)
+        // dot against the ≤|query tokens| nonzero query buckets only —
+        // a short codegen'd expression, no HOF over all 64 dims
+        val q = fitted.embedDouble(QueryText)
+        val score = q.toSeq.zipWithIndex
+          .collect { case (w, i) if w != 0.0 =>
+            element_at(col("ml_vec"), i + 1) * lit(w) }
+          .reduce(_ + _)
+        emb.select(col("doc_id"), round(score, 6).as("vec_score"))
+          .filter(col("vec_score") > 0)
+          .orderBy(col("vec_score").desc, col("doc_id"))
+          .limit(10)
       },
-      null),
+      {
+        // query term counts per md5 bucket are corpus-independent
+        // constants; idf-weighting and normalization of the query stay
+        // in SQL so the oracle checks them too
+        val qtfRows = QueryText.toLowerCase.split("[^a-z0-9]+")
+          .filter(_.nonEmpty).toSeq
+          .groupBy(t => graft.embed.Md5HashingTF.bucket(t, EmbedDim))
+          .toSeq.sortBy(_._1)
+          .map { case (b, ts) => s"($b, ${ts.size}.0)" }.mkString(", ")
+        s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+           |tf AS (SELECT doc_id, ${md5LongSql("tok")} % $EmbedDim AS bucket,
+           |       count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, bucket),
+           |mm AS (SELECT count(*)::DOUBLE AS m FROM documents),
+           |dfreq AS (SELECT bucket, count(*)::DOUBLE AS df FROM tf GROUP BY bucket),
+           |w AS (SELECT doc_id, tf.bucket, tf.tf * ln((mm.m + 1) / (dfreq.df + 1)) AS wr
+           |      FROM tf JOIN dfreq ON tf.bucket = dfreq.bucket CROSS JOIN mm),
+           |n AS (SELECT doc_id, sqrt(sum(wr * wr)) AS norm FROM w GROUP BY doc_id),
+           |nw AS (SELECT w.doc_id, bucket, wr / n.norm AS wn
+           |       FROM w JOIN n ON w.doc_id = n.doc_id),
+           |qtf AS (SELECT * FROM (VALUES $qtfRows) AS t(bucket, qtf)),
+           |qw AS (SELECT q.bucket, q.qtf * ln((mm.m + 1) / (coalesce(d.df, 0) + 1)) AS qwr
+           |       FROM qtf q LEFT JOIN dfreq d ON q.bucket = d.bucket CROSS JOIN mm),
+           |qn AS (SELECT sqrt(sum(qwr * qwr)) AS qnorm FROM qw),
+           |qv2 AS (SELECT bucket, qwr / qnorm AS qwn FROM qw CROSS JOIN qn),
+           |scores AS (SELECT nw.doc_id, round(sum(nw.wn * qv2.qwn), 6) AS vec_score
+           |           FROM nw JOIN qv2 ON nw.bucket = qv2.bucket GROUP BY nw.doc_id)
+           |SELECT doc_id, vec_score FROM scores WHERE vec_score > 0
+           |ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin
+      }),
 
     Q("q59_frame_samples",
       (s, dir) => {
@@ -2097,6 +2139,12 @@ object SparkEntry {
     mlFitCache.computeIfAbsent(
       org.apache.spark.sql.graftext.SessionUtils.uuid(s) + "|" + dir,
       _ => graft.embed.MlEmbedder.fit(Tables.documents(s, dir), "text", 64))
+
+  private def mlFittedMd5(s: SparkSession, dir: String): graft.embed.MlEmbedder.Fitted =
+    mlFitCache.computeIfAbsent(
+      "md5|" + org.apache.spark.sql.graftext.SessionUtils.uuid(s) + "|" + dir,
+      _ => graft.embed.MlEmbedder.fit(Tables.documents(s, dir), "text", 64,
+        hash = "md5"))
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
     // the index is an execution strategy, not a semantics change).
