@@ -240,6 +240,100 @@ object SearchIndex {
       .limit(k)
   }
 
+  /** Batch BM25: score N queries in ONE pass over the index. The
+    * reference serves one query per HTTP request
+    * (`backend/routers/es_index.py:90-131`); at pipeline scale you
+    * broadcast the whole (query_id, term) relation into a single
+    * partition-pruned postings probe, score every (query_id, doc_id)
+    * pair in one shuffle, and take top-k per query with the
+    * k-bounded [[org.apache.spark.sql.graftext.TopKByScoreAgg]] —
+    * NOT a `row_number over (partition by query_id)` window, which
+    * would sort each query's entire candidate set in one task.
+    * Result ≡ running [[bm25]] once per query, top-k'd
+    * (SearchIndexSpec pins the equivalence).
+    *
+    * Returns (query_id, doc_id, text_score, rank), rank 1-based per
+    * query by (score DESC, doc_id ASC).
+    */
+  def bm25Batch(spark: SparkSession, indexDir: String,
+      queries: Seq[(Long, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val qTerms = queries.flatMap { case (qid, text) =>
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }
+    val allTerms = qTerms.map(_._2).distinct
+    val buckets = allTerms.map(termBucketOf).distinct
+
+    val postings = cachedTable(spark, indexDir, "postings")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(allTerms: _*))
+    val dfreq = cachedTable(spark, indexDir, "docfreq")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(allTerms: _*))
+    val stats = cachedTable(spark, indexDir, "stats")
+
+    postings
+      // fan out each posting to every query containing its term
+      .join(broadcast(qTerms.toDF("query_id", "term")), "term")
+      .join(broadcast(dfreq.select("term", "df")), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("term_score",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      // round BEFORE ranking: ordering on the rounded score (doc_id
+      // tiebreak) is reproducible across engines; raw-double ordering
+      // is not (summation-order FP noise can flip near-ties)
+      .agg(round(sum("term_score"), 6).as("text_score"))
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graftext.TopKByScoreAgg.topKByScore(
+        col("text_score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rk", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.score").as("text_score"),
+        (col("rk") + 1).cast("long").as("rank"))
+  }
+
+  /** Batch ANN: N query vectors in ONE pass over the vector index. Each
+    * query probes its own Hamming ball; the union of probed buckets is
+    * partition-pruned once, the (query_id → bucket) probe relation and
+    * the (query_id → qvec) relation are broadcast, and top-k per query
+    * comes from the k-bounded aggregate (same rationale as
+    * [[bm25Batch]]). Result ≡ running [[knn]] once per query. */
+  def knnBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[(Long, Array[Float])], k: Int, dim: Int = 64,
+      probeHammingRadius: Int = 1): DataFrame = {
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, v) =>
+      val sig = graft.search.VectorSearch.querySignature(v, dim, LshBits)
+      (0L until (1L << LshBits))
+        .filter(bkt => java.lang.Long.bitCount(bkt ^ sig) <= probeHammingRadius)
+        .map(bkt => (qid, bkt))
+    }
+    val buckets = probeRows.map(_._2).distinct
+
+    cachedTable(spark, indexDir, "vectors")
+      .filter(col("lsh_bucket").isin(buckets: _*))
+      .join(broadcast(probeRows.toDF("query_id", "lsh_bucket")), "lsh_bucket")
+      .join(broadcast(queries.map { case (qid, v) => (qid, v.toSeq) }
+        .toDF("query_id", "qvec")), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        round(VectorFunctions.cosine(col("embedding"), col("qvec")), 6)
+          .as("vec_score"))
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graftext.TopKByScoreAgg.topKByScore(
+        col("vec_score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rk", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.score").as("vec_score"),
+        (col("rk") + 1).cast("long").as("rank"))
+  }
+
   /** Hybrid search over the prebuilt index (reference Q3 semantics:
     * boosts 1.0/0.8, min_score, top-k). */
   def hybrid(spark: SparkSession, indexDir: String, query: String,

@@ -171,6 +171,15 @@ object GraftFunctions {
           litInt("graft_topk_freq", "(x, capacity, topN)", cs, 1),
           litInt("graft_topk_freq", "(x, capacity, topN)", cs, 2))
           .toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_topk_by_score"),
+      info("graft_topk_by_score",
+        "_FUNC_(score, id, k) - k best (score, id) structs per group, (score DESC, id ASC); k-bounded buffer"),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_topk_by_score", "(score, id, k)", cs, 3)
+        TopKByScoreAgg(cs(0), cs(1),
+          litInt("graft_topk_by_score", "(score, id, k)", cs, 2))
+          .toAggregateExpression()
       }))
 
   /** Register into a live session (tests, notebooks). */

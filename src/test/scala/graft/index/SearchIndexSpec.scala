@@ -142,6 +142,52 @@ class SearchIndexSpec extends SparkSpec {
     assert(scores.forall(_ >= 0.5))
   }
 
+  test("batch bm25 equals N single searches, top-k'd") {
+    val queries = Seq(1L -> "spark join merge sort window",
+      2L -> "filter group data stream customer",
+      3L -> "table scan part order key")
+    val batch = SearchIndex.bm25Batch(spark, indexDir, queries, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    queries.foreach { case (qid, text) =>
+      // single path: raw scores, rounded the same way batch rounds, then
+      // the same (score DESC, doc_id ASC) top-10
+      val single = SearchIndex.bm25(spark, indexDir, text)
+        .select(col("doc_id"), round(col("text_score"), 6).as("s"))
+        .orderBy(col("s").desc, col("doc_id").asc).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      single.zipWithIndex.foreach { case ((docId, s), i) =>
+        assert(batch((qid, i + 1L)) === ((docId, s)),
+          s"query $qid rank ${i + 1}")
+      }
+    }
+  }
+
+  test("batch knn equals N single probes, and plans no per-query window") {
+    val e = DeterministicEmbedder(64)
+    val queries = Seq(1L -> e.embed("spark join merge sort window"),
+      2L -> e.embed("filter group data stream customer"),
+      3L -> e.embed("table scan part order key"))
+    val batchDf = SearchIndex.knnBatch(spark, indexDir, queries, k = 10)
+    // scale shape: per-query top-k must come from the bounded aggregate,
+    // not a window sort over each query's whole candidate set
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "per-query window sort crept in:\n" + plan)
+    assert(plan.contains("topk_by_score"), plan)
+    val batch = batchDf.collect()
+      .map(r => (r.getLong(0), r.getLong(3)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    queries.foreach { case (qid, qv) =>
+      val single = SearchIndex.knn(spark, indexDir, qv, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      single.zipWithIndex.foreach { case ((docId, s), i) =>
+        assert(batch((qid, i + 1L)) === ((docId, s)),
+          s"query $qid rank ${i + 1}")
+      }
+    }
+  }
+
   test("knn probe scan is partition-pruned (reads only probed buckets)") {
     val e  = DeterministicEmbedder(64)
     val qv = e.embed("spark join merge sort window")

@@ -92,6 +92,22 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql === viaDf)
   }
 
+  test("graft_topk_by_score from SQL matches a sort-and-limit") {
+    ready
+    val viaSql = spark.sql(
+      """SELECT lang, inline(graft_topk_by_score(n_chars::DOUBLE, doc_id, 3))
+        |FROM documents GROUP BY lang""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val viaSort = spark.sql(
+      """SELECT lang, score, doc_id FROM (
+        |  SELECT lang, n_chars::DOUBLE AS score, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 3""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaSql === viaSort && viaSql.nonEmpty)
+  }
+
   test("graft_simhash / graft_shingles / graft_pairs_asc from SQL") {
     ready
     val r = spark.sql(
