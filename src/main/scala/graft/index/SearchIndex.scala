@@ -161,20 +161,19 @@ object SearchIndex {
     invalidateAll(spark, indexDir)
   }
 
-  /** Write `df` to a staging dir then atomically swap it in — Spark
-    * cannot overwrite a parquet dir that feeds the running plan. */
+  /** Write `df` to a staging dir then swap it in through the
+    * [[graft.table.CommitStore]] commit primitive (Spark cannot
+    * overwrite a parquet dir that feeds the running plan). The local
+    * store's swap is rename-based; an object-store deployment swaps the
+    * store implementation (manifest commit), not this code. */
   private def writeSwap(df: DataFrame, dir: String,
-      partitionCol: Option[String]): Unit = {
-    import java.nio.file.{Files, Paths}
+      partitionCol: Option[String],
+      store: graft.table.CommitStore = graft.table.LocalCommitStore): Unit = {
+    import java.nio.file.Paths
     val tmp = dir + "__tmp"
     val w = df.write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp)
-    val target = Paths.get(dir)
-    val s = Files.walk(target)
-    try s.sorted(java.util.Comparator.reverseOrder())
-      .iterator().forEachRemaining(p => Files.delete(p))
-    finally s.close()
-    Files.move(Paths.get(tmp), target)
+    store.swapDir(Paths.get(tmp), Paths.get(dir))
   }
 
   /** BM25 over the prebuilt index: reads only the query terms' buckets

@@ -37,7 +37,7 @@ final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
   def dropTable(name: String): Unit = {
     validate(name)
     val p = Paths.get(dir(name))
-    if (Files.exists(p)) deleteRec(p)
+    if (Files.exists(p)) LocalCommitStore.deleteRecursive(p)
   }
 
   /** D3/D6 — list tables, sorted (reference ORDER BY table_name). */
@@ -173,18 +173,11 @@ final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
     o.get.getOrElse("n", 0L).asInstanceOf[Long]
 
   private def swapIn(tmp: String, target: String): Unit = {
-    val t = Paths.get(target)
-    deleteRec(t)
-    Files.move(Paths.get(tmp), t)
+    // through the CommitStore commit primitive (trash-rename locally;
+    // an object-store deployment swaps the store, not this code)
+    LocalCommitStore.swapDir(Paths.get(tmp), Paths.get(target))
     // drop the session-shared file-listing cache for the rewritten dir,
     // or later reads resolve to the deleted files
     spark.catalog.refreshByPath(target)
-  }
-
-  private def deleteRec(p: java.nio.file.Path): Unit = {
-    val s = Files.walk(p)
-    try s.sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(Files.delete)
-    finally s.close()
   }
 }

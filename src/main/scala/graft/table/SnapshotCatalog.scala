@@ -19,7 +19,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * this the 100 TB shape (a log-based table format is this plus a
   * manifest per version; versions here are directory-granular).
   */
-final case class SnapshotCatalog(spark: SparkSession, baseDir: String) {
+final case class SnapshotCatalog(spark: SparkSession, baseDir: String,
+    store: CommitStore = LocalCommitStore) {
 
   private def tdir(name: String): Path = {
     require(name.matches("[A-Za-z0-9_]+"), s"bad table name: $name")
@@ -50,12 +51,8 @@ final case class SnapshotCatalog(spark: SparkSession, baseDir: String) {
   }
 
   /** Current committed version, if any. */
-  def currentVersion(name: String): Option[Long] = {
-    val p = pointer(name)
-    if (!Files.exists(p)) None
-    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .trim.toLong)
-  }
+  def currentVersion(name: String): Option[Long] =
+    store.readPointer(pointer(name)).map(_.trim.toLong)
 
   /** Commit `df` as the next version and move the pointer. Returns the
     * new version number. The data write happens entirely before the
@@ -148,23 +145,14 @@ final case class SnapshotCatalog(spark: SparkSession, baseDir: String) {
     val all  = versions(name)
     val cur  = currentVersion(name)
     val drop = all.dropRight(keep).filterNot(cur.contains)
-    drop.foreach { v =>
-      val s = Files.walk(vdir(name, v))
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().forEachRemaining(Files.delete(_))
-      finally s.close()
-    }
+    drop.foreach(v => store.deleteRecursive(vdir(name, v)))
     drop
   }
 
-  /** Atomic pointer update: write a temp file, then ATOMIC_MOVE over the
-    * pointer — readers see either the old or the new version, never a
-    * partial write. */
-  private def commitPointer(name: String, v: Long): Unit = {
-    Files.createDirectories(tdir(name))
-    val tmp = tdir(name).resolve(s"_CURRENT.tmp.$v")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Pointer update through the [[CommitStore]] commit primitive —
+    * readers see either the old or the new version, never a partial
+    * write. (Local store: atomic rename; object store: conditional
+    * put.) */
+  private def commitPointer(name: String, v: Long): Unit =
+    store.putPointer(pointer(name), v.toString)
 }

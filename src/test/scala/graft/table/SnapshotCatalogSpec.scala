@@ -69,4 +69,79 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(v3 === 3L) // version ids never collide with history
     assert(c.read("t").as[Long].collect().toSeq === Seq(3L))
   }
+
+  /** CommitStore that dies on the Nth pointer publish — simulates a
+    * crash in the window between data-write and pointer-move. */
+  private final class DyingStore(dieOnPut: Int) extends CommitStore {
+    private var puts = 0
+    override def putPointer(p: java.nio.file.Path, c: String): Unit = {
+      puts += 1
+      if (puts == dieOnPut) sys.error("crash before pointer move")
+      LocalCommitStore.putPointer(p, c)
+    }
+    override def readPointer(p: java.nio.file.Path) =
+      LocalCommitStore.readPointer(p)
+    override def swapDir(s: java.nio.file.Path, t: java.nio.file.Path) =
+      LocalCommitStore.swapDir(s, t)
+    override def healSwap(t: java.nio.file.Path) = LocalCommitStore.healSwap(t)
+    override def deleteRecursive(p: java.nio.file.Path) =
+      LocalCommitStore.deleteRecursive(p)
+  }
+
+  test("crash between data-write and pointer-move leaves the old version serving") {
+    val base = Files.createTempDirectory("snap").toString
+    val good = SnapshotCatalog(spark, base)
+    good.write("t", Seq(1L).toDF("id"))
+    // second write dies after its data lands but before the pointer moves
+    val dying = SnapshotCatalog(spark, base, new DyingStore(dieOnPut = 1))
+    intercept[RuntimeException](dying.write("t", Seq(2L).toDF("id")))
+    // restart: table still serves v1; the orphan v2 is invisible to read
+    assert(good.currentVersion("t") === Some(1L))
+    assert(good.read("t").as[Long].collect().toSeq === Seq(1L))
+    // the orphan is listed as a directory and vacuumable
+    assert(good.versions("t") === Seq(1L, 2L))
+    val v3 = good.write("t", Seq(3L).toDF("id")) // next commit skips past it
+    assert(v3 === 3L)
+    assert(good.read("t").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("tagged replay heals the crash window without double-writing data") {
+    val base = Files.createTempDirectory("snap").toString
+    val good = SnapshotCatalog(spark, base)
+    good.write("t", Seq(1L).toDF("id"))
+    // tagged commit dies between _TAG write and pointer move
+    val dying = SnapshotCatalog(spark, base, new DyingStore(dieOnPut = 1))
+    intercept[RuntimeException](
+      dying.commitTagged("t", Seq(2L).toDF("id"), tag = "batch-7"))
+    assert(good.currentVersion("t") === Some(1L)) // old version intact
+    val dataFiles = Files.walk(java.nio.file.Paths.get(base, "t", "v=2"))
+    val nFilesBefore =
+      try dataFiles.filter(_.toString.endsWith(".parquet")).count()
+      finally dataFiles.close()
+    // replay (the streaming sink's retry) finds the tag and only
+    // re-points — no data rewrite
+    val healed = good.commitTagged("t", Seq(2L).toDF("id"), tag = "batch-7")
+    assert(healed === 2L)
+    assert(good.currentVersion("t") === Some(2L))
+    assert(good.read("t").as[Long].collect().toSeq === Seq(2L))
+    val dataFiles2 = Files.walk(java.nio.file.Paths.get(base, "t", "v=2"))
+    val nFilesAfter =
+      try dataFiles2.filter(_.toString.endsWith(".parquet")).count()
+      finally dataFiles2.close()
+    assert(nFilesAfter === nFilesBefore, "replay rewrote data files")
+  }
+
+  test("swapDir crash window heals: target restored from trash") {
+    val dir = Files.createTempDirectory("swap")
+    val target = dir.resolve("table")
+    Files.createDirectories(target)
+    Files.write(target.resolve("data"), "old".getBytes)
+    // simulate a crash between the two renames: target moved to trash,
+    // staged never moved in
+    Files.move(target, dir.resolve("table__old"))
+    assert(!Files.exists(target))
+    assert(LocalCommitStore.healSwap(target))
+    assert(Files.exists(target.resolve("data")))
+    assert(!LocalCommitStore.healSwap(target)) // idempotent no-op now
+  }
 }
