@@ -130,15 +130,27 @@ object SearchIndex {
         .write.mode("append").partitionBy("term_bucket")
         .parquet(s"$indexDir/positions")
 
-      // merge docfreq: new docs are disjoint, so counts simply add
+      // merge docfreq PARTITION-LOCALLY: new docs are disjoint, so
+      // counts simply add — but only the term_buckets present in the
+      // delta need re-merging. Untouched buckets are neither read
+      // (partition-pruned scan) nor rewritten (their files stay
+      // byte-identical; spec pins this). Term dictionaries grow with
+      // corpus vocabulary, so a full-dictionary rewrite per micro-batch
+      // would make update cost O(vocab) instead of O(|batch vocab|).
       val deltaDf = delta.groupBy("term_bucket", "term")
         .agg(countDistinct("doc_id").cast("double").as("df"))
+        .persist()
+      // bounded by TermBuckets (64) values — driver-side list is metadata
+      val touched = deltaDf.select("term_bucket").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
       val mergedDf = spark.read.parquet(s"$indexDir/docfreq")
+        .filter(col("term_bucket").isin(touched: _*))
         .select("term_bucket", "term", "df")
         .unionByName(deltaDf)
         .groupBy("term_bucket", "term").agg(sum("df").as("df"))
-      writeSwap(mergedDf.repartition(col("term_bucket")),
-        s"$indexDir/docfreq", partitionCol = Some("term_bucket"))
+      writeSwapBuckets(mergedDf.repartition(col("term_bucket")),
+        s"$indexDir/docfreq", "term_bucket", touched)
+      deltaDf.unpersist()
 
       // merge stats: n adds; sum_dl adds exactly (integer-valued dl)
       val deltaStats = delta.select("doc_id", "dl").distinct()
@@ -174,6 +186,24 @@ object SearchIndex {
     val w = df.write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp)
     store.swapDir(Paths.get(tmp), Paths.get(dir))
+  }
+
+  /** Partition-local swap: write the merged buckets to a staging dir,
+    * then swap ONLY the touched `bucketCol=v` subdirectories into the
+    * live table — every other bucket directory is untouched (same
+    * files, same bytes). Each subdirectory swap goes through the same
+    * [[graft.table.CommitStore]] primitive as [[writeSwap]]. */
+  private def writeSwapBuckets(df: DataFrame, dir: String,
+      bucketCol: String, buckets: Seq[Int],
+      store: graft.table.CommitStore = graft.table.LocalCommitStore): Unit = {
+    import java.nio.file.Paths
+    val tmp = dir + "__tmp"
+    df.write.mode("overwrite").partitionBy(bucketCol).parquet(tmp)
+    buckets.foreach { b =>
+      store.swapDir(Paths.get(tmp, s"$bucketCol=$b"),
+        Paths.get(dir, s"$bucketCol=$b"))
+    }
+    store.deleteRecursive(Paths.get(tmp))
   }
 
   /** BM25 over the prebuilt index: reads only the query terms' buckets

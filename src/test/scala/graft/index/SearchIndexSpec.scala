@@ -196,4 +196,54 @@ class SearchIndexSpec extends SparkSpec {
     // the scan must carry a partition filter on lsh_bucket, not a full scan
     assert(plan.contains("lsh_bucket"))
   }
+
+  test("update rewrites only the delta's docfreq buckets (others byte-identical)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SfDir)
+    val embs = Tables.embeddings(spark, SfDir)
+    val d = Files.createTempDirectory("index_pl").toString
+    SearchIndex.build(docs, embs, d)
+
+    // fingerprint every docfreq bucket dir: file name → md5(bytes)
+    def fingerprint(): Map[String, Map[String, String]] = {
+      val root = Paths.get(d, "docfreq")
+      Files.list(root).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("term_bucket="))
+        .map { bdir =>
+          val files = Files.list(bdir).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.toString.endsWith(".parquet"))
+            .map { f =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              f.getFileName.toString ->
+                md.digest(Files.readAllBytes(f)).map(b => f"$b%02x").mkString
+            }.toMap
+          bdir.getFileName.toString -> files
+        }.toMap
+    }
+    val before = fingerprint()
+
+    // a delta with a tiny controlled vocabulary → touches few buckets
+    val batch = Seq((900001L, "alpha beta alpha"), (900002L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val batchEmb = Seq((900001L, Array.fill(64)(0.1f).toSeq),
+      (900002L, Array.fill(64)(0.2f).toSeq)).toDF("vec_id", "embedding")
+    val touched = Seq("alpha", "beta", "gamma")
+      .map(SearchIndex.termBucketOf).distinct
+      .map(b => s"term_bucket=$b").toSet
+    SearchIndex.update(batch, batchEmb, d)
+
+    val after = fingerprint()
+    assert(touched.subsetOf(after.keySet))
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty, "fixture vocabulary hit every bucket")
+    untouched.foreach { b =>
+      assert(after(b) === before(b), s"untouched bucket $b was rewritten")
+    }
+    // and the touched buckets really merged: df for a delta term grew
+    val dfreq = spark.read.parquet(s"$d/docfreq")
+    val alphaDf = dfreq.filter(col("term") === "alpha")
+      .agg(sum("df")).collect()(0).getDouble(0)
+    assert(alphaDf >= 1.0)
+  }
 }
