@@ -92,6 +92,80 @@ object IvfIndex {
     graft.Tables.invalidate(spark, s"$indexDir/ivf_vectors")
   }
 
+  /** Cell-population imbalance: max(|cell|) / mean(|cell|), over the
+    * FULL cell grid (an empty cell counts as 0 — assignment never fills
+    * it, so it drags the mean down and shows up as drift). 1.0 is
+    * perfectly balanced. One count per cell crosses the wire — index
+    * metadata, not data. */
+  def imbalance(spark: SparkSession, indexDir: String): Double = {
+    val nCells = graft.Tables.loadPath(spark, s"$indexDir/centroids").count()
+    val counts = graft.Tables.loadPath(spark, s"$indexDir/ivf_vectors")
+      .groupBy("ivf_cell").count()
+      .agg(max("count").cast("double").as("mx"),
+        sum("count").cast("double").as("total"))
+      .head()
+    counts.getDouble(0) / (counts.getDouble(1) / nCells)
+  }
+
+  /** Drift-triggered retrain ([[update]] assigns to frozen centroids;
+    * this is the "separate, rarer rebuild" it defers to). If
+    * [[imbalance]] exceeds `threshold`, refit k-means over the CURRENT
+    * index contents (self-contained — no external corpus input),
+    * reassign every vector, refit the SQ8 codebook, and publish all
+    * three tables via staged-directory swaps through the
+    * [[graft.table.CommitStore]] primitive. Returns true iff a retrain
+    * happened. At 100 TB this is one corpus pass, paid only when the
+    * balance metric says the probe-cost bound has degraded. */
+  def rebalance(spark: SparkSession, indexDir: String,
+      threshold: Double = 3.0, seed: Long = 42L,
+      store: graft.table.CommitStore = graft.table.LocalCommitStore): Boolean = {
+    if (imbalance(spark, indexDir) <= threshold) return false
+    import java.nio.file.Paths
+    import spark.implicits._
+    val nCells = graft.Tables.loadPath(spark, s"$indexDir/centroids")
+      .count().toInt
+    val current = graft.Tables.loadPath(spark, s"$indexDir/ivf_vectors")
+      .select(col("doc_id"), col("embedding"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("ivf_cell")
+      .fit(current)
+    // stage everything before any swap: reads of the live dirs feed the
+    // staged writes, so the live tables must stay in place until done
+    model.transform(current)
+      .select(col("doc_id"), col("embedding"), col("ivf_cell"))
+      .repartition(col("ivf_cell"))
+      .write.mode("overwrite").partitionBy("ivf_cell")
+      .parquet(s"$indexDir/ivf_vectors__stage")
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids__stage")
+    val dim = model.clusterCenters.head.size
+    val (mn, mx) = graft.search.VectorSearch.quantizeStats(
+      graft.Tables.loadPath(spark, s"$indexDir/ivf_vectors")
+        .select(col("embedding")), "embedding", dim)
+    Seq((mn.toSeq, mx.toSeq)).toDF("mns", "mxs")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/sq_stats__stage")
+
+    Seq("ivf_vectors", "centroids", "sq_stats").foreach { t =>
+      store.swapDir(Paths.get(s"$indexDir/${t}__stage"),
+        Paths.get(s"$indexDir/$t"))
+      graft.Tables.invalidate(spark, s"$indexDir/$t")
+    }
+    dropMetadataCaches(indexDir)
+    true
+  }
+
+  /** Drop the per-session driver-side metadata caches for `indexDir`
+    * (centroids + SQ codebook) after a mutation. */
+  private def dropMetadataCaches(indexDir: String): Unit = {
+    centroidCache.keySet.removeIf(_.endsWith("|" + indexDir))
+    sqCache.keySet.removeIf(_.endsWith("|" + indexDir))
+  }
+
   /** Driver-side nProbe nearest cells (centroid table = index metadata,
     * nCells rows, collected once per session+index). */
   private def probeCells(spark: SparkSession, indexDir: String,

@@ -80,6 +80,46 @@ class IvfIndexSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("skewed appends degrade cell balance; rebalance restores it") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val d = Files.createTempDirectory("ivf_reb").toString
+    val base = Tables.embeddings(spark, SfDir)
+    IvfIndex.build(base, d, nCells = 8)
+    val before = IvfIndex.imbalance(spark, d)
+
+    // skewed drift: a pile of near-identical vectors, all landing in ONE
+    // cell (copies of one corpus vector, slightly perturbed)
+    val seedVec = base.orderBy("vec_id").head().getSeq[Float](1).toArray
+    val n = base.count()
+    val skew = (0 until 2000).map { i =>
+      val v = seedVec.clone(); v(0) = v(0) + (i % 7) * 1e-4f
+      (1000000L + i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    IvfIndex.update(skew, d)
+    val drifted = IvfIndex.imbalance(spark, d)
+    assert(drifted > before, "skewed appends did not degrade balance")
+
+    // below-threshold call is a no-op; above-threshold call retrains
+    assert(!IvfIndex.rebalance(spark, d, threshold = drifted + 1))
+    assert(IvfIndex.rebalance(spark, d, threshold = math.max(before, 1.5)))
+    val after = IvfIndex.imbalance(spark, d)
+    assert(after < drifted, s"rebalance did not improve balance: $drifted -> $after")
+
+    // the retrained index still answers exactly at full probe
+    val e  = DeterministicEmbedder(64)
+    val qv = e.embed("spark join merge sort window")
+    val brute = VectorSearch.topK(
+      base.select(col("vec_id"), col("embedding")).unionByName(
+        skew.select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))),
+      "vec_id", "embedding", qv, 10).collect().map(_.getLong(0)).toSeq
+    val ivf = IvfIndex.knn(spark, d, qv, 10, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf === brute)
+    assert(spark.read.parquet(s"$d/centroids").count() === 8)
+  }
+
   test("tight probe returns candidates from the query's own cell") {
     val e  = DeterministicEmbedder(64)
     // use an actual corpus vector as the query: must be in the probed cell
