@@ -1308,6 +1308,66 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (1, 3, 5) ORDER BY doc_id LIMIT 10""".stripMargin),
 
+    Q("q90_cdc_scd2_history",
+      (s, dir) => {
+        // CDC composed with SCD2 as ONE flow: two snapshot versions of a
+        // customer dimension, SnapshotCatalog.diff classifies the delta
+        // (anti/anti/filtered-inner, no window), and the non-deleted
+        // changes drive Scd2.merge as the incoming batch — versioned
+        // dimension history without rewriting closed rows.
+        import graft.table.{Scd2, SnapshotCatalog}
+        val base =
+          java.nio.file.Files.createTempDirectory("graft_snap_").toString
+        val cat = SnapshotCatalog(s, base)
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            col("c_acctbal"))
+        // v1: every tenth key missing; v2: full, every seventh acctbal
+        // bumped (+100.0 is the same IEEE add in both engines)
+        val v1 = cat.write("dim", cust.filter(col("c_custkey") % 10 =!= 0))
+        val v2 = cat.write("dim", cust.withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal"))))
+        val incoming = cat.diff("dim", v1, v2, "c_custkey")
+          .filter(col("change") =!= "deleted").drop("change")
+        Scd2.merge(Scd2.init(cat.readAt("dim", v1), 1000L),
+            incoming, "c_custkey", 2000L)
+          .orderBy("c_custkey", "valid_from")
+      },
+      """WITH v1 AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 10 <> 0),
+        |v2 AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer),
+        |changed AS (
+        |  SELECT n.c_custkey FROM v2 n JOIN v1 o USING (c_custkey)
+        |  WHERE n.c_acctbal IS DISTINCT FROM o.c_acctbal
+        |     OR n.c_name IS DISTINCT FROM o.c_name
+        |     OR n.c_mktsegment IS DISTINCT FROM o.c_mktsegment),
+        |ins AS (
+        |  SELECT c_custkey FROM v2
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM v1))
+        |SELECT * FROM (
+        |  SELECT o.c_custkey, o.c_name, o.c_mktsegment, o.c_acctbal,
+        |    1000::BIGINT AS valid_from, 2000::BIGINT AS valid_to,
+        |    FALSE AS is_current
+        |  FROM v1 o JOIN changed USING (c_custkey)
+        |  UNION ALL
+        |  SELECT o.c_custkey, o.c_name, o.c_mktsegment, o.c_acctbal,
+        |    1000::BIGINT, NULL::BIGINT, TRUE
+        |  FROM v1 o
+        |  WHERE o.c_custkey NOT IN (SELECT c_custkey FROM changed)
+        |  UNION ALL
+        |  SELECT n.c_custkey, n.c_name, n.c_mktsegment, n.c_acctbal,
+        |    2000::BIGINT, NULL::BIGINT, TRUE
+        |  FROM v2 n
+        |  WHERE n.c_custkey IN (SELECT c_custkey FROM changed
+        |                        UNION ALL SELECT c_custkey FROM ins))
+        |ORDER BY c_custkey, valid_from""".stripMargin),
+
     Q("q55_rrf_fusion",
       (s, dir) => HybridSearch.searchRrf(Tables.documents(s, dir),
         Tables.embeddings(s, dir), QueryText, Embedder)
