@@ -1,0 +1,96 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** Golden-file pin against the reference's OWN committed parse outputs
+  * (the .pkl files under `/root/reference/backend/docs/parsed/google_openpaper/`, 303
+  * Docling-parsed pages across 5 PDFs, extracted to
+  * `src/test/resources/golden/google_openpaper.jsonl`). No PDF codec
+  * exists in this build, so the page CONTENT is taken as given — what
+  * these tests pin is that every metadata/cleaning contract this engine
+  * implements (F1–F5, F8, F9, F13 and the full [[Ingest.enrich]]
+  * composition) reproduces the reference's real-world outputs exactly,
+  * not just the synthetic fixtures. */
+class IngestGoldenSpec extends SparkSpec {
+
+  private lazy val golden = {
+    val url = getClass.getResource("/golden/google_openpaper.jsonl")
+    assert(url != null, "golden fixture missing")
+    spark.read.json(url.toString).cache()
+  }
+
+  test("md5 contracts: page content and filename hashes match the reference") {
+    // F5 — the reference hashes page_content and filename with md5
+    // (`backend/process/parsing.py:178-189`); same builtin here.
+    val bad = golden.filter(
+      md5(col("page_content")) =!= col("hashed_page_content") ||
+        md5(col("filename")) =!= col("hashed_filename"))
+    assert(bad.count() === 0)
+    assert(golden.count() === 303)
+  }
+
+  test("F9 path normalize: native path -> stored filepath; hash is pre-normalization") {
+    // The reference stores the forward-slash form but hashes the
+    // OS-native (backslash) path (`backend/process/postgres.py:231`) —
+    // the fixture carries both so the order of operations is pinned.
+    val bad = golden.filter(
+      TextFunctions.normalizePath(col("native_filepath")) =!= col("filepath") ||
+        md5(col("native_filepath")) =!= col("hashed_filepath"))
+    assert(bad.count() === 0)
+  }
+
+  test("F3/F4/F13 context prefix built from this engine's functions matches") {
+    val prefix = TextFunctions.contextPrefix(
+      TextFunctions.pathStem(col("filepath")),
+      TextFunctions.joinCategories(col("lv1_cat")))
+    val bad = golden.filter(!col("page_content").startsWith(prefix))
+    assert(bad.count() === 0)
+  }
+
+  test("F1/F2 cleaning is idempotent on the reference's cleaned output") {
+    // the reference applied its cleaning before committing the parse;
+    // re-applying this engine's cleanText must be a no-op
+    val bad = golden.filter(
+      TextFunctions.cleanText(col("page_content")) =!= col("page_content"))
+    assert(bad.count() === 0)
+  }
+
+  test("Ingest.enrich reproduces the reference's page_content end-to-end") {
+    // strip the reference's context sentence to recover the raw page
+    // body, run it back through enrich, and require byte-identical
+    // page_content (prefix + cleaning + categories + hashing)
+    val prefix = TextFunctions.contextPrefix(
+      TextFunctions.pathStem(col("filepath")),
+      TextFunctions.joinCategories(col("lv1_cat")))
+    val withPre = golden
+      .withColumn("pre", prefix)
+      .select(col("filepath"), col("page").cast("int").as("page"),
+        expr("substring(page_content, length(pre) + 1)").as("page_content"),
+        lit(null).cast("string").as("error"), col("status"),
+        col("page_content").as("want"),
+        col("hashed_page_content").as("want_hash"))
+    // enrich strips the drive-letter "scheme": D:/auto_vectordb/... →
+    // /auto_vectordb/..., so the category base is the schemeless form
+    val out = Ingest.enrich(withPre, "/auto_vectordb/backend/docs/uploaded")
+    val bad = out.filter(col("page_content") =!= col("want") ||
+      col("hashed_page_content") =!= col("want_hash") ||
+      col("lv1_cat") =!= "google_openpaper" || col("lv2_cat") =!= "")
+    assert(bad.count() === 0)
+  }
+
+  test("MarkdownPageExtractor passes real markdown pages through unchanged") {
+    // the golden bodies are already Docling markdown: re-extraction must
+    // not mangle them (decode is strict UTF-8; no false table detection)
+    val ex = MarkdownPageExtractor()
+    val rows = golden.select("page_content").collect()
+    rows.foreach { r =>
+      val body = r.getString(0)
+      val got = ex.extract("x.md", body.getBytes("UTF-8"))
+      assert(got.length === 1)
+      assert(got.head.text === body)
+    }
+  }
+}
