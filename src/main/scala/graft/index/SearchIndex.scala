@@ -286,6 +286,26 @@ object SearchIndex {
     */
   def bm25Batch(spark: SparkSession, indexDir: String,
       queries: Seq[(Long, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25BatchScores(spark, indexDir, queries, k1, b)
+      // round BEFORE ranking: ordering on the rounded score (doc_id
+      // tiebreak) is reproducible across engines; raw-double ordering
+      // is not (summation-order FP noise can flip near-ties)
+      .withColumn("text_score", round(col("text_score"), 6))
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graftext.TopKByScoreAgg.topKByScore(
+        col("text_score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rk", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.score").as("text_score"),
+        (col("rk") + 1).cast("long").as("rank"))
+
+  /** The scoring core of [[bm25Batch]]: every (query_id, doc_id) pair's
+    * RAW BM25 sum, un-rounded and un-ranked — [[hybridBatch]] fuses
+    * these with vector scores exactly the way single-query [[hybrid]]
+    * consumes [[bm25]] (raw text side, rounding at fuse time). */
+  private def bm25BatchScores(spark: SparkSession, indexDir: String,
+      queries: Seq[(Long, String)],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
     val qTerms = queries.flatMap { case (qid, text) =>
@@ -315,17 +335,7 @@ object SearchIndex {
           (col("tf") + lit(k1) *
             (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("query_id", "doc_id")
-      // round BEFORE ranking: ordering on the rounded score (doc_id
-      // tiebreak) is reproducible across engines; raw-double ordering
-      // is not (summation-order FP noise can flip near-ties)
-      .agg(round(sum("term_score"), 6).as("text_score"))
-      .groupBy("query_id")
-      .agg(org.apache.spark.sql.graftext.TopKByScoreAgg.topKByScore(
-        col("text_score"), col("doc_id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("rk", "t")))
-      .select(col("query_id"), col("t.id").as("doc_id"),
-        col("t.score").as("text_score"),
-        (col("rk") + 1).cast("long").as("rank"))
+      .agg(sum("term_score").as("text_score"))
   }
 
   /** Batch ANN: N query vectors in ONE pass over the vector index. Each
@@ -379,5 +389,36 @@ object SearchIndex {
       .filter(col("score") >= minScore)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(size)
+  }
+
+  /** Batch hybrid: N queries fused in ONE pass over both index legs —
+    * the batch composition of [[bm25Batch]]'s text scores (raw, like
+    * single-query [[hybrid]] consumes [[bm25]]) with [[knnBatch]]'s
+    * per-query top-candidates, full-outer on (query_id, doc_id), the
+    * same boost/min_score/top-k semantics per query. Per-query top-k is
+    * the k-bounded aggregate, never a window over the fused set.
+    * Result ≡ running [[hybrid]] once per query (SearchIndexSpec). */
+  def hybridBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[(Long, String)], embedder: Embedder, size: Int = 10,
+      minScore: Double = 0.5, textBoost: Double = 1.0,
+      vectorBoost: Double = 0.8, probeHammingRadius: Int = 2): DataFrame = {
+    val nCand = math.max(size * 10, 50)
+    val text = bm25BatchScores(spark, indexDir, queries)
+    val vec = knnBatch(spark, indexDir,
+      queries.map { case (qid, t) => qid -> embedder.embed(t) },
+      nCand, embedder.dim, probeHammingRadius)
+      .select(col("query_id"), col("doc_id"), col("vec_score"))
+    text.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(coalesce(col("text_score"), lit(0.0)) * textBoost +
+          coalesce(col("vec_score"), lit(0.0)) * vectorBoost, 6).as("score"))
+      .filter(col("score") >= minScore)
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graftext.TopKByScoreAgg.topKByScore(
+        col("score"), col("doc_id"), size).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rk", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.score").as("score"),
+        (col("rk") + 1).cast("long").as("rank"))
   }
 }

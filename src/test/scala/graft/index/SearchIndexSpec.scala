@@ -188,6 +188,26 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
 
+  test("batch hybrid equals N single hybrids, and plans no per-query window") {
+    val e = DeterministicEmbedder(64)
+    val queries = Seq(1L -> "spark join merge sort window",
+      2L -> "filter group data stream customer",
+      3L -> "table scan part order key")
+    val batchDf = SearchIndex.hybridBatch(spark, indexDir, queries, e)
+    assert(!batchDf.queryExecution.executedPlan.toString.contains("Window"))
+    val batch = batchDf.collect()
+      .map(r => (r.getLong(0), r.getLong(3)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    queries.foreach { case (qid, q) =>
+      val single = SearchIndex.hybrid(spark, indexDir, q, e)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(batch.count(_._1._1 == qid) === single.length, s"query $qid size")
+      single.zipWithIndex.foreach { case ((docId, s), i) =>
+        assert(batch((qid, i + 1L)) === ((docId, s)), s"query $qid rank ${i + 1}")
+      }
+    }
+  }
+
   test("knn probe scan is partition-pruned (reads only probed buckets)") {
     val e  = DeterministicEmbedder(64)
     val qv = e.embed("spark join merge sort window")
