@@ -9,10 +9,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     // extra confs for local profiling runs: "k=v;k=v" (driver never sets it)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
-    })
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val eq = kv.indexOf('=')
+        require(eq > 0, s"SPARK_GRAFT_CONF segment '$kv' is not key=value")
+        builder.config(kv.take(eq), kv.drop(eq + 1))
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: exercise scan + shuffle + codegen paths once so per-query

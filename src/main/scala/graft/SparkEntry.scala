@@ -2052,7 +2052,11 @@ object SparkEntry {
         .withColumn("__n", sum("__cnt").over(wAll))
         .withColumn("__below", sum("__cnt").over(wCum) - col("__cnt"))
         .select(col("l_returnflag"), col("l_quantity"),
-          round(col("__below").cast("double") / (col("__n") - 1), 6).as("pr"),
+          // percent_rank defines a single-row partition as 0.0; the raw
+          // below/(n-1) algebra would divide by zero there
+          round(when(col("__n") > 1,
+            col("__below").cast("double") / (col("__n") - 1))
+            .otherwise(lit(0.0)), 6).as("pr"),
           round((col("__below") + col("__cnt")).cast("double") / col("__n"), 6)
             .as("cd"))
         .orderBy("l_returnflag", "l_quantity")

@@ -38,9 +38,17 @@ object Tables {
   }
 
   /** Memoized parquet load of an arbitrary path (index tables, catalog
-    * tables). `invalidate` after overwriting the path. */
+    * tables). `invalidate` after overwriting the path. Heals any
+    * interrupted commit-swap at/under the path first (crash between
+    * swapDir's two renames — see CommitStore.healSwapsUnder), so a
+    * half-swapped table recovers on first read instead of surfacing a
+    * missing dir or a `__old` garbage partition. Memoization bounds the
+    * heal's directory listing to once per (session, path). */
   private[graft] def loadPath(s: SparkSession, path: String): DataFrame =
-    memo(s, path)(s.read.parquet(path))
+    memo(s, path) {
+      graft.table.LocalCommitStore.healSwapsUnder(java.nio.file.Paths.get(path))
+      s.read.parquet(path)
+    }
 
   private[graft] def invalidate(s: SparkSession, path: String): Unit = {
     // Drop the path's plans for EVERY session, not just the caller's:

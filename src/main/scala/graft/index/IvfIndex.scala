@@ -1,11 +1,14 @@
 package graft.index
 
+import java.nio.file.Paths
+
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.table.{CommitStore, LocalCommitStore}
 
 /** IVF (inverted-file) vector index: k-means cells instead of LSH
   * hyperplanes. Build fits MLlib KMeans (seeded, deterministic), assigns
@@ -19,43 +22,96 @@ import graft.functions.VectorFunctions
   * distribution (cells are balanced where the data is), LSH is
   * data-independent and engine-reproducible. Both bound the scan at
   * 100 TB; `nProbe` is the recall/latency knob (ES `num_candidates`).
+  *
+  * Publication: the three tables (`ivf_vectors`, `centroids`,
+  * `sq_stats`) are one consistent unit — assignments computed against
+  * one set of centroids must never pair with another, or probeCells
+  * probes the wrong cells and recall silently degrades. They therefore
+  * live together in a VERSIONED directory (`v00000/`, `v00001/`, …)
+  * and the live version is named by a single `CURRENT` pointer file
+  * flipped atomically via [[CommitStore.putPointer]]. [[build]] and
+  * [[rebalance]] stage a complete new version before the flip; a crash
+  * mid-stage leaves the pointer on the old, fully consistent version
+  * (the half-written dir is an invisible, vacuumable orphan).
   */
 object IvfIndex {
 
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Array[Double]]]()
+  private val sqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
+
+  private def pointer(indexDir: String) = Paths.get(indexDir, "CURRENT")
+
+  /** The live version's directory (all three tables live under it).
+    * Public so tests/tools can inspect the physical layout. */
+  def currentDir(indexDir: String,
+      store: CommitStore = LocalCommitStore): String = {
+    val v = store.readPointer(pointer(indexDir)).getOrElse(
+      throw new IllegalStateException(
+        s"no IVF index at $indexDir (missing CURRENT pointer)"))
+    s"$indexDir/$v"
+  }
+
+  private def nextVersion(indexDir: String, store: CommitStore): String = {
+    val n = store.readPointer(pointer(indexDir))
+      .map(_.stripPrefix("v").toInt + 1).getOrElse(0)
+    f"v$n%05d"
+  }
+
+  /** Stage all three tables under a fresh version dir, then flip the
+    * pointer (the ONE atomic publish) and vacuum the previous version. */
+  private def publish(spark: SparkSession, indexDir: String, store: CommitStore)
+      (stage: String => Unit): Unit = {
+    val prev = store.readPointer(pointer(indexDir))
+    val v = nextVersion(indexDir, store)
+    stage(s"$indexDir/$v")
+    store.putPointer(pointer(indexDir), v)
+    dropMetadataCaches(indexDir)
+    // vacuum: the old version is unreachable once the pointer moved; a
+    // crash before this delete leaves it as inspectable/vacuumable
+    // garbage, never as serving state
+    prev.foreach { old =>
+      Seq("ivf_vectors", "centroids", "sq_stats").foreach(t =>
+        graft.Tables.invalidate(spark, s"$indexDir/$old/$t"))
+      store.deleteRecursive(Paths.get(s"$indexDir/$old"))
+    }
+  }
 
   def build(embs: DataFrame, indexDir: String, idCol: String = "vec_id",
       vecCol: String = "embedding", nCells: Int = 16,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L,
+      store: CommitStore = LocalCommitStore): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
     val withVec = embs.select(col(idCol).as("doc_id"),
       col(vecCol).as("embedding"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("ivf_cell")
       .fit(withVec)
-    model.transform(withVec)
-      .select(col("doc_id"), col("embedding"), col("ivf_cell"))
-      .repartition(col("ivf_cell"))
-      .write.mode("overwrite").partitionBy("ivf_cell")
-      .parquet(s"$indexDir/ivf_vectors")
+    publish(spark, indexDir, store) { vDir =>
+      model.transform(withVec)
+        .select(col("doc_id"), col("embedding"), col("ivf_cell"))
+        .repartition(col("ivf_cell"))
+        .write.mode("overwrite").partitionBy("ivf_cell")
+        .parquet(s"$vDir/ivf_vectors")
 
-    val spark = embs.sparkSession
-    import spark.implicits._
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vDir/centroids")
 
-    // SQ8 codebook: per-dim (min, max) over the build corpus — like the
-    // centroids, this is frozen index metadata (incremental updates do
-    // NOT refit it; out-of-range values clamp during quantization, the
-    // standard scalar-quantization trade-off)
-    val dim = embs.select(size(col(vecCol))).head().getInt(0)
-    val (mn, mx) = graft.search.VectorSearch.quantizeStats(
-      embs.select(col(vecCol)), vecCol, dim)
-    Seq((mn.toSeq, mx.toSeq)).toDF("mns", "mxs")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/sq_stats")
+      // SQ8 codebook: per-dim (min, max) over the build corpus — like the
+      // centroids, this is frozen index metadata (incremental updates do
+      // NOT refit it; out-of-range values clamp during quantization, the
+      // standard scalar-quantization trade-off)
+      val dim = embs.select(size(col(vecCol))).head().getInt(0)
+      val (mn, mx) = graft.search.VectorSearch.quantizeStats(
+        embs.select(col(vecCol)), vecCol, dim)
+      Seq((mn.toSeq, mx.toSeq)).toDF("mns", "mxs")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vDir/sq_stats")
+    }
   }
 
   /** Incremental maintenance: assign NEW vectors to their nearest
@@ -63,16 +119,19 @@ object IvfIndex {
     * fixed (the production IVF pattern: assignment is cheap and
     * append-only; re-training centroids is a separate, rarer rebuild
     * when drift degrades cell balance). Touches |batch| data, not the
-    * corpus.
+    * corpus. Appends land inside the CURRENT version dir — they extend
+    * the live consistent unit, they don't create a new one.
     *
     * Assignment is DF algebra: broadcast-crossJoin the nCells-row
     * centroid table, squared-L2 per (vector, centroid) via a zip_with
     * fold, `min_by` picks the cell (cell id as tiebreak). nCells rows
     * per new vector is the worked set — bounded by the knob. */
   def update(newEmbs: DataFrame, indexDir: String, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      store: CommitStore = LocalCommitStore): Unit = {
     val spark = newEmbs.sparkSession
-    val cents = graft.Tables.loadPath(spark, s"$indexDir/centroids")
+    val vDir = currentDir(indexDir, store)
+    val cents = graft.Tables.loadPath(spark, s"$vDir/centroids")
       .select(col("cell"), col("centroid"))
     val dist = aggregate(
       zip_with(col(vecCol).cast("array<double>"), col("centroid"),
@@ -88,8 +147,8 @@ object IvfIndex {
       .select(col("doc_id"), col("embedding"), col("ivf_cell"))
       .repartition(col("ivf_cell"))
       .write.mode("append").partitionBy("ivf_cell")
-      .parquet(s"$indexDir/ivf_vectors")
-    graft.Tables.invalidate(spark, s"$indexDir/ivf_vectors")
+      .parquet(s"$vDir/ivf_vectors")
+    graft.Tables.invalidate(spark, s"$vDir/ivf_vectors")
   }
 
   /** Cell-population imbalance: max(|cell|) / mean(|cell|), over the
@@ -97,9 +156,11 @@ object IvfIndex {
     * it, so it drags the mean down and shows up as drift). 1.0 is
     * perfectly balanced. One count per cell crosses the wire — index
     * metadata, not data. */
-  def imbalance(spark: SparkSession, indexDir: String): Double = {
-    val nCells = graft.Tables.loadPath(spark, s"$indexDir/centroids").count()
-    val counts = graft.Tables.loadPath(spark, s"$indexDir/ivf_vectors")
+  def imbalance(spark: SparkSession, indexDir: String,
+      store: CommitStore = LocalCommitStore): Double = {
+    val vDir = currentDir(indexDir, store)
+    val nCells = graft.Tables.loadPath(spark, s"$vDir/centroids").count()
+    val counts = graft.Tables.loadPath(spark, s"$vDir/ivf_vectors")
       .groupBy("ivf_cell").count()
       .agg(max("count").cast("double").as("mx"),
         sum("count").cast("double").as("total"))
@@ -112,50 +173,47 @@ object IvfIndex {
     * [[imbalance]] exceeds `threshold`, refit k-means over the CURRENT
     * index contents (self-contained — no external corpus input),
     * reassign every vector, refit the SQ8 codebook, and publish all
-    * three tables via staged-directory swaps through the
-    * [[graft.table.CommitStore]] primitive. Returns true iff a retrain
-    * happened. At 100 TB this is one corpus pass, paid only when the
-    * balance metric says the probe-cost bound has degraded. */
+    * three tables as ONE new version flipped by a single pointer write —
+    * a crash or concurrent reader can never pair new cell assignments
+    * with stale centroids. Returns true iff a retrain happened. At
+    * 100 TB this is one corpus pass, paid only when the balance metric
+    * says the probe-cost bound has degraded. */
   def rebalance(spark: SparkSession, indexDir: String,
       threshold: Double = 3.0, seed: Long = 42L,
-      store: graft.table.CommitStore = graft.table.LocalCommitStore): Boolean = {
-    if (imbalance(spark, indexDir) <= threshold) return false
-    import java.nio.file.Paths
+      store: CommitStore = LocalCommitStore): Boolean = {
+    if (imbalance(spark, indexDir, store) <= threshold) return false
     import spark.implicits._
-    val nCells = graft.Tables.loadPath(spark, s"$indexDir/centroids")
+    val liveDir = currentDir(indexDir, store)
+    val nCells = graft.Tables.loadPath(spark, s"$liveDir/centroids")
       .count().toInt
-    val current = graft.Tables.loadPath(spark, s"$indexDir/ivf_vectors")
+    val current = graft.Tables.loadPath(spark, s"$liveDir/ivf_vectors")
       .select(col("doc_id"), col("embedding"),
         array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("ivf_cell")
       .fit(current)
-    // stage everything before any swap: reads of the live dirs feed the
-    // staged writes, so the live tables must stay in place until done
-    model.transform(current)
-      .select(col("doc_id"), col("embedding"), col("ivf_cell"))
-      .repartition(col("ivf_cell"))
-      .write.mode("overwrite").partitionBy("ivf_cell")
-      .parquet(s"$indexDir/ivf_vectors__stage")
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexDir/centroids__stage")
-    val dim = model.clusterCenters.head.size
-    val (mn, mx) = graft.search.VectorSearch.quantizeStats(
-      graft.Tables.loadPath(spark, s"$indexDir/ivf_vectors")
-        .select(col("embedding")), "embedding", dim)
-    Seq((mn.toSeq, mx.toSeq)).toDF("mns", "mxs")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexDir/sq_stats__stage")
-
-    Seq("ivf_vectors", "centroids", "sq_stats").foreach { t =>
-      store.swapDir(Paths.get(s"$indexDir/${t}__stage"),
-        Paths.get(s"$indexDir/$t"))
-      graft.Tables.invalidate(spark, s"$indexDir/$t")
+    // stage everything into the next version before the flip: reads of
+    // the live dirs feed the staged writes, so the live version must
+    // stay in place (and keeps serving) until the pointer moves
+    publish(spark, indexDir, store) { vDir =>
+      model.transform(current)
+        .select(col("doc_id"), col("embedding"), col("ivf_cell"))
+        .repartition(col("ivf_cell"))
+        .write.mode("overwrite").partitionBy("ivf_cell")
+        .parquet(s"$vDir/ivf_vectors")
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$vDir/centroids")
+      val dim = model.clusterCenters.head.size
+      val (mn, mx) = graft.search.VectorSearch.quantizeStats(
+        graft.Tables.loadPath(spark, s"$liveDir/ivf_vectors")
+          .select(col("embedding")), "embedding", dim)
+      Seq((mn.toSeq, mx.toSeq)).toDF("mns", "mxs")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$vDir/sq_stats")
     }
-    dropMetadataCaches(indexDir)
     true
   }
 
@@ -169,10 +227,10 @@ object IvfIndex {
   /** Driver-side nProbe nearest cells (centroid table = index metadata,
     * nCells rows, collected once per session+index). */
   private def probeCells(spark: SparkSession, indexDir: String,
-      queryVec: Array[Float], nProbe: Int): Seq[Int] = {
+      queryVec: Array[Float], nProbe: Int, store: CommitStore): Seq[Int] = {
     val centroids = centroidCache.computeIfAbsent(
       org.apache.spark.sql.graftext.SessionUtils.uuid(spark) + "|" + indexDir,
-      _ => graft.Tables.loadPath(spark, s"$indexDir/centroids")
+      _ => graft.Tables.loadPath(spark, s"${currentDir(indexDir, store)}/centroids")
         .collect().map(r => r.getInt(0) ->
           r.getSeq[Double](1).toArray).toMap)
     val q = queryVec.map(_.toDouble)
@@ -187,9 +245,10 @@ object IvfIndex {
 
   /** Exact cosine top-k within the nProbe nearest cells. */
   def knn(spark: SparkSession, indexDir: String, queryVec: Array[Float],
-      k: Int, nProbe: Int = 2): DataFrame = {
-    val cells = probeCells(spark, indexDir, queryVec, nProbe)
-    graft.Tables.loadPath(spark, s"$indexDir/ivf_vectors")
+      k: Int, nProbe: Int = 2,
+      store: CommitStore = LocalCommitStore): DataFrame = {
+    val cells = probeCells(spark, indexDir, queryVec, nProbe, store)
+    graft.Tables.loadPath(spark, s"${currentDir(indexDir, store)}/ivf_vectors")
       .filter(col("ivf_cell").isin(cells: _*))
       .select(col("doc_id"),
         round(VectorFunctions.cosine(col("embedding"), typedLit(queryVec)), 6)
@@ -206,17 +265,20 @@ object IvfIndex {
     * on `numCandidates` rows, not the cell population. */
   def knnQuantized(spark: SparkSession, indexDir: String,
       queryVec: Array[Float], k: Int, nProbe: Int = 2,
-      numCandidates: Int = 50): DataFrame = {
-    val cells = probeCells(spark, indexDir, queryVec, nProbe)
+      numCandidates: Int = 50,
+      store: CommitStore = LocalCommitStore): DataFrame = {
+    val cells = probeCells(spark, indexDir, queryVec, nProbe, store)
     val sq = sqCache.computeIfAbsent(
       org.apache.spark.sql.graftext.SessionUtils.uuid(spark) + "|" + indexDir,
       _ => {
-        val r = graft.Tables.loadPath(spark, s"$indexDir/sq_stats").head()
+        val r = graft.Tables.loadPath(
+          spark, s"${currentDir(indexDir, store)}/sq_stats").head()
         (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)
       })
     val (mn, mx) = sq
     val qInt = graft.search.VectorSearch.quantizeVec(queryVec, mn, mx)
-    val cands = graft.Tables.loadPath(spark, s"$indexDir/ivf_vectors")
+    val cands = graft.Tables.loadPath(
+        spark, s"${currentDir(indexDir, store)}/ivf_vectors")
       .filter(col("ivf_cell").isin(cells: _*))
       .select(col("doc_id"), col("embedding"),
         graft.search.VectorSearch.quantizedScore(
@@ -230,7 +292,4 @@ object IvfIndex {
       .orderBy(col("vec_score").desc, col("doc_id").asc)
       .limit(k)
   }
-
-  private val sqCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
 }

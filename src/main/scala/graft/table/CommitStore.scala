@@ -44,6 +44,19 @@ trait CommitStore extends Serializable {
     * Returns true if a heal happened. */
   def healSwap(target: Path): Boolean
 
+  /** Heal every interrupted [[swapDir]] under `dir`: the dir itself
+    * (via [[healSwap]]) plus its DIRECT children — a swap target inside
+    * a partitioned table (e.g. `term_bucket=N`) leaves its trash twin
+    * as a sibling, which partition discovery would otherwise pick up as
+    * a garbage partition. Trash whose twin exists is a completed swap's
+    * leftover and is deleted; trash whose twin is missing is restored.
+    * Called from read entry points ([[graft.Tables.loadPath]],
+    * [[ParquetCatalog.table]]/`listTables`) so recovery is automatic,
+    * not manual. Cost: one directory listing — metadata-scale. Returns
+    * the number of heals/cleanups. Default no-op for stores whose
+    * swap primitive has no crash window (manifest-log commit). */
+  def healSwapsUnder(dir: Path): Int = 0
+
   /** Recursive delete (vacuum / trash cleanup). */
   def deleteRecursive(path: Path): Unit
 }
@@ -79,6 +92,30 @@ object LocalCommitStore extends CommitStore {
     if (!Files.exists(target) && Files.exists(trash)) {
       Files.move(trash, target); true
     } else false
+  }
+
+  override def healSwapsUnder(dir: Path): Int = {
+    var acted = if (healSwap(dir)) 1 else 0
+    if (Files.isDirectory(dir)) {
+      val s = Files.list(dir)
+      val trashes = try {
+        val b = Seq.newBuilder[Path]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith("__old")) b += p
+        }
+        b.result()
+      } finally s.close()
+      trashes.foreach { trash =>
+        val name = trash.getFileName.toString
+        val twin = trash.resolveSibling(name.dropRight("__old".length))
+        if (!Files.exists(twin)) Files.move(trash, twin)
+        else deleteRecursive(trash) // completed swap, crash before cleanup
+        acted += 1
+      }
+    }
+    acted
   }
 
   override def deleteRecursive(path: Path): Unit = {

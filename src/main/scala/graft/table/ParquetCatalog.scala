@@ -40,15 +40,21 @@ final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
     if (Files.exists(p)) LocalCommitStore.deleteRecursive(p)
   }
 
-  /** D3/D6 — list tables, sorted (reference ORDER BY table_name). */
+  /** D3/D6 — list tables, sorted (reference ORDER BY table_name).
+    * Heals interrupted swaps first and hides staging dirs (`__tmp_*`
+    * from a crashed rewrite — invisible, vacuumable orphans), so a
+    * crash never surfaces phantom tables. */
   def listTables(): Seq[String] = {
     val base = Paths.get(baseDir)
     if (!Files.exists(base)) Seq.empty
     else {
+      LocalCommitStore.healSwapsUnder(base)
       val s = Files.list(base)
       try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
         .asScala.filter(Files.isDirectory(_))
-        .map(_.getFileName.toString).toSeq.sorted
+        .map(_.getFileName.toString)
+        .filterNot(n => n.contains("__tmp_") || n.endsWith("__old"))
+        .toSeq.sorted
       finally s.close()
     }
   }
@@ -76,8 +82,12 @@ final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
     df.count()
   }
 
-  /** Lazy full-table frame — filters/projections compose and push down. */
-  def table(name: String): DataFrame = spark.read.parquet(dir(name))
+  /** Lazy full-table frame — filters/projections compose and push down.
+    * Self-heals an interrupted delete/upsert/compact swap on access. */
+  def table(name: String): DataFrame = {
+    LocalCommitStore.healSwap(Paths.get(dir(name)))
+    spark.read.parquet(dir(name))
+  }
 
   /** O1 — SELECT * ORDER BY col LIMIT n (defaults id/10, reference
     * `postgres.py:292-319`). Plans as TakeOrderedAndProject. */

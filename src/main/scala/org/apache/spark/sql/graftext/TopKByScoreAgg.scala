@@ -26,6 +26,12 @@ import org.apache.spark.sql.types._
   * k-bounded heap union. State is exact (not a sketch): top-k is
   * distributive, so the result is identical to the global sort's.
   *
+  * Multiset semantics: the buffer keeps a COUNT per distinct
+  * (score, id) pair, so an input where the same id recurs with an equal
+  * score yields that pair repeated — exactly what `ORDER BY score DESC,
+  * id ASC LIMIT k` returns (a plain set buffer would silently dedupe
+  * and backfill with the next-best pair).
+  *
   * Determinism: ties in score break by id ASC in both the buffer
   * eviction and the final output, so partial-aggregation topology
   * cannot change the result.
@@ -39,7 +45,7 @@ case class TopKByScoreAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]]
+    extends TypedImperativeAggregate[TopKByScoreAgg.Buf]
     with ExpectsInputTypes {
 
   require(k >= 1, s"topk_by_score needs k >= 1, got $k")
@@ -54,17 +60,27 @@ case class TopKByScoreAgg(
     containsNull = false)
   override def prettyName: String = "topk_by_score"
 
-  type Buf = java.util.TreeSet[(Double, Long)]
+  import TopKByScoreAgg.Buf
 
-  // (score DESC, id ASC): first() is the best, last() the worst kept
+  // (score DESC, id ASC): firstKey() is the best, lastKey() the worst kept
   private def cmp = TopKByScoreAgg.Cmp
 
   override def createAggregationBuffer(): Buf = new Buf(cmp)
 
   private def offer(buf: Buf, score: Double, id: Long): Unit = {
-    if (buf.size < k) { buf.add((score, id)); () }
-    else if (cmp.compare((score, id), buf.last()) < 0) {
-      buf.pollLast(); buf.add((score, id)); ()
+    val key = (score, id)
+    if (buf.n < k) {
+      val prev = buf.m.get(key)
+      buf.m.put(key, if (prev == null) 1 else prev + 1)
+      buf.n += 1
+    } else {
+      val worst = buf.m.lastKey()
+      if (cmp.compare(key, worst) < 0) {
+        val wc = buf.m.get(worst)
+        if (wc == 1) buf.m.remove(worst) else buf.m.put(worst, wc - 1)
+        val prev = buf.m.get(key)
+        buf.m.put(key, if (prev == null) 1 else prev + 1)
+      }
     }
   }
 
@@ -77,28 +93,39 @@ case class TopKByScoreAgg(
   }
 
   override def merge(buf: Buf, other: Buf): Buf = {
-    val it = other.iterator()
-    while (it.hasNext) { val e = it.next(); offer(buf, e._1, e._2) }
+    val it = other.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      var c = e.getValue.intValue()
+      while (c > 0) { offer(buf, e.getKey._1, e.getKey._2); c -= 1 }
+    }
     buf
   }
 
   override def eval(buf: Buf): Any = {
-    val rows = new Array[Any](buf.size)
-    val it = buf.iterator()
+    val rows = new Array[Any](buf.n)
+    val it = buf.m.entrySet().iterator()
     var i = 0
     while (it.hasNext) {
       val e = it.next()
-      rows(i) = new GenericInternalRow(Array[Any](e._1, e._2))
-      i += 1
+      var c = e.getValue.intValue()
+      while (c > 0) {
+        rows(i) = new GenericInternalRow(Array[Any](e.getKey._1, e.getKey._2))
+        i += 1; c -= 1
+      }
     }
     new GenericArrayData(rows)
   }
 
   override def serialize(buf: Buf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 16)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) { val e = it.next(); bb.putDouble(e._1); bb.putLong(e._2) }
+    val bb = ByteBuffer.allocate(4 + buf.m.size * 20)
+    bb.putInt(buf.m.size)
+    val it = buf.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putDouble(e.getKey._1); bb.putLong(e.getKey._2)
+      bb.putInt(e.getValue.intValue())
+    }
     bb.array()
   }
 
@@ -107,7 +134,13 @@ case class TopKByScoreAgg(
     val n = bb.getInt
     val buf = new Buf(cmp)
     var i = 0
-    while (i < n) { buf.add((bb.getDouble, bb.getLong)); i += 1 }
+    while (i < n) {
+      val key = (bb.getDouble, bb.getLong)
+      val c = bb.getInt
+      buf.m.put(key, c)
+      buf.n += c
+      i += 1
+    }
     buf
   }
 
@@ -121,6 +154,14 @@ case class TopKByScoreAgg(
 }
 
 object TopKByScoreAgg {
+
+  /** Count-per-pair buffer: `m` maps each kept (score, id) to its
+    * multiplicity, `n` is the total kept count (sum of values, ≤ k). */
+  final class Buf(cmp: java.util.Comparator[(Double, Long)]) {
+    val m = new java.util.TreeMap[(Double, Long), Integer](cmp)
+    var n: Int = 0
+  }
+
   /** Serializable (score DESC, id ASC) comparator — the agg instance
     * ships to executors inside the physical plan. */
   object Cmp extends java.util.Comparator[(Double, Long)] with Serializable {

@@ -15,10 +15,13 @@ class IvfIndexSpec extends SparkSpec {
   }
 
   test("build lays out cell-partitioned vectors and a centroid table") {
-    val cells = Files.list(Paths.get(dir, "ivf_vectors")).toArray
+    val vDir = IvfIndex.currentDir(dir)
+    val cells = Files.list(Paths.get(vDir, "ivf_vectors")).toArray
       .map(_.toString).count(_.contains("ivf_cell="))
     assert(cells === 8)
-    assert(spark.read.parquet(s"$dir/centroids").count() === 8)
+    assert(spark.read.parquet(s"$vDir/centroids").count() === 8)
+    // the three tables are one versioned unit named by the pointer
+    assert(vDir.endsWith("v00000"))
   }
 
   test("full-probe IVF knn equals brute force") {
@@ -67,14 +70,15 @@ class IvfIndexSpec extends SparkSpec {
 
     // spot-check assignment: an updated vector's cell is the argmin
     // distance over the FIXED centroid table
-    val cents = spark.read.parquet(s"$d/centroids").collect()
+    val vDir = IvfIndex.currentDir(d)
+    val cents = spark.read.parquet(s"$vDir/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
     val probe = later.orderBy("vec_id").head()
     val pv = probe.getSeq[Float](1).map(_.toDouble).toArray
     val want = cents.toSeq.map { case (cell, c) =>
       (cell, c.zip(pv).map { case (a, b) => (a - b) * (a - b) }.sum)
     }.minBy { case (cell, dist) => (dist, cell) }._1
-    val got = spark.read.parquet(s"$d/ivf_vectors")
+    val got = spark.read.parquet(s"$vDir/ivf_vectors")
       .filter(col("doc_id") === probe.getLong(0))
       .select("ivf_cell").head().getInt(0)
     assert(got === want)
@@ -101,8 +105,16 @@ class IvfIndexSpec extends SparkSpec {
     assert(drifted > before, "skewed appends did not degrade balance")
 
     // below-threshold call is a no-op; above-threshold call retrains
+    val preVersion = IvfIndex.currentDir(d)
     assert(!IvfIndex.rebalance(spark, d, threshold = drifted + 1))
+    assert(IvfIndex.currentDir(d) === preVersion) // no-op didn't publish
     assert(IvfIndex.rebalance(spark, d, threshold = math.max(before, 1.5)))
+    // atomic publish: ONE pointer flip to a fresh version dir holding all
+    // three tables; the superseded version is vacuumed
+    val postVersion = IvfIndex.currentDir(d)
+    assert(postVersion !== preVersion)
+    assert(!Files.exists(Paths.get(preVersion)),
+      s"old version $preVersion not vacuumed")
     val after = IvfIndex.imbalance(spark, d)
     assert(after < drifted, s"rebalance did not improve balance: $drifted -> $after")
 
@@ -117,7 +129,8 @@ class IvfIndexSpec extends SparkSpec {
     val ivf = IvfIndex.knn(spark, d, qv, 10, nProbe = 8)
       .collect().map(_.getLong(0)).toSeq
     assert(ivf === brute)
-    assert(spark.read.parquet(s"$d/centroids").count() === 8)
+    assert(spark.read.parquet(s"${IvfIndex.currentDir(d)}/centroids")
+      .count() === 8)
   }
 
   test("tight probe returns candidates from the query's own cell") {

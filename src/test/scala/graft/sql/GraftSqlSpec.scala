@@ -108,6 +108,18 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql === viaSort && viaSql.nonEmpty)
   }
 
+  test("graft_topk_by_score keeps duplicate (score, id) pairs — true LIMIT k multiset") {
+    ready
+    // a set buffer would dedupe the repeated (10.0, 1) and backfill with
+    // (7.0, 4); ORDER BY score DESC, id LIMIT 4 keeps both copies
+    val rows = spark.sql(
+      """SELECT inline(graft_topk_by_score(score, id, 4)) FROM VALUES
+        |  (10.0D, 1L), (10.0D, 1L), (9.0D, 2L), (8.0D, 3L), (7.0D, 4L)
+        |  AS t(score, id)""".stripMargin)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(rows === Seq((10.0, 1L), (10.0, 1L), (9.0, 2L), (8.0, 3L)))
+  }
+
   test("graft_simhash / graft_shingles / graft_pairs_asc from SQL") {
     ready
     val r = spark.sql(

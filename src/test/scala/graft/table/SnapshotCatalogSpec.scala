@@ -144,4 +144,47 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(Files.exists(target.resolve("data")))
     assert(!LocalCommitStore.healSwap(target)) // idempotent no-op now
   }
+
+  test("healSwapsUnder restores half-swapped children and clears leftover trash") {
+    val root = Files.createTempDirectory("healunder")
+    // child A: crash BETWEEN the renames — trash exists, twin missing
+    Files.createDirectories(root.resolve("bucket=1__old"))
+    Files.write(root.resolve("bucket=1__old").resolve("data"), "a".getBytes)
+    // child B: crash AFTER the second rename — both twin and trash exist
+    Files.createDirectories(root.resolve("bucket=2"))
+    Files.createDirectories(root.resolve("bucket=2__old"))
+    // child C: untouched
+    Files.createDirectories(root.resolve("bucket=3"))
+    assert(LocalCommitStore.healSwapsUnder(root) === 2)
+    assert(Files.exists(root.resolve("bucket=1").resolve("data"))) // restored
+    assert(!Files.exists(root.resolve("bucket=1__old")))
+    assert(!Files.exists(root.resolve("bucket=2__old"))) // trash cleared
+    assert(Files.exists(root.resolve("bucket=2")))
+    assert(LocalCommitStore.healSwapsUnder(root) === 0) // idempotent
+  }
+
+  test("a read through Tables.loadPath self-heals an interrupted swap") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("healread")
+    val target = root.resolve("t")
+    Seq(1L, 2L).toDF("id").write.parquet(target.toString)
+    // crash between swapDir's renames: live dir gone, only trash left
+    Files.move(target, root.resolve("t__old"))
+    assert(!Files.exists(target))
+    val got = graft.Tables.loadPath(spark, target.toString)
+      .as[Long].collect().sorted
+    assert(got === Seq(1L, 2L)) // healed, not FileNotFound
+  }
+
+  test("listTables heals crash leftovers and hides staging dirs") {
+    val base = Files.createTempDirectory("cat")
+    val cat = ParquetCatalog(spark, base.toString)
+    import spark.implicits._
+    cat.insert("live", Seq(1L).toDF("id"))
+    // a crashed deleteByIds: staged rewrite present, target mid-swap
+    Files.createDirectories(base.resolve("live2__tmp_delete"))
+    Files.createDirectories(base.resolve("gone__old"))
+    assert(cat.listTables() === Seq("gone", "live")) // healed + filtered
+    assert(Files.exists(base.resolve("gone")))
+  }
 }
