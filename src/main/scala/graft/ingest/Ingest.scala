@@ -17,12 +17,12 @@ final case class PageText(page: Int, text: String, error: Option[String])
   * the reference's parser-instance reuse, `parsing.py:49`), never per
   * row, and never on the driver loop.
   *
-  * A production implementation would wrap a JVM PDF library (PDFBox /
-  * Tika class of tooling) here; that dependency is not available in this
-  * build, so [[TextPageExtractor]] is the deterministic stand-in: it
-  * treats the bytes as UTF-8 text and splits pages on form-feed. The
-  * Spark-side plumbing (binary scan, per-partition amortization, fail-soft
-  * rows, page explode) is the real, tested design. */
+  * Three implementations: [[PdfPageExtractor]] parses real PDFs
+  * (pure-JVM, no dependency — see [[Pdf]]; pinned against the
+  * reference's committed PDFs in IngestGoldenSpec);
+  * [[TextPageExtractor]] treats bytes as UTF-8 text with form-feed
+  * pages; [[MarkdownPageExtractor]] adds Docling-style markdown table
+  * export on top of the text shape. */
 trait PageExtractor extends Serializable {
   def extract(path: String, content: Array[Byte]): Seq[PageText]
 }

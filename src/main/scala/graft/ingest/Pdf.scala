@@ -1,0 +1,895 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Inflater
+
+import scala.collection.mutable
+
+/** Minimal pure-JVM PDF text extraction — no dependencies, built from
+  * the public PDF 32000-1:2008 format spec. Closes SURVEY §2 S4: the
+  * reference parses PDFs per page with Docling
+  * (`/root/reference/backend/process/parsing.py:98-133`); this extractor
+  * produces one text per page from the raw bytes so [[Ingest.explodePages]]
+  * can run on real PDFs, not only text stand-ins.
+  *
+  * Scope (deliberate): text content only — `Tj`/`TJ`/`'`/`"` operators
+  * inside `BT..ET`, decoded per-font via ToUnicode CMaps, WinAnsi or
+  * encoding /Differences; Form XObjects are recursed so header/body text
+  * drawn indirectly is not lost. Structure recovered: classic xref
+  * tables, xref STREAMS (PDF 1.5 `/W`+`/Index`), hybrid files
+  * (`/XRefStm`), object streams (`/ObjStm`), FlateDecode with PNG
+  * predictors. NOT in scope (documented, like the reference's OCR leg):
+  * raster/OCR text, table-structure reconstruction, CID-to-glyph
+  * fallback when a Type0 font ships no ToUnicode map (such codes are
+  * dropped rather than emitted as garbage).
+  *
+  * Everything here is driver-free and allocation-local: one [[Pdf.Doc]]
+  * per file inside a `mapPartitions` iterator — the same executor-side
+  * amortization contract as every other [[PageExtractor]].
+  */
+private[ingest] object Pdf {
+
+  // ---------------------------------------------------------------- model
+
+  sealed trait Obj
+  final case class PNum(v: Double) extends Obj { def toInt: Int = v.toInt }
+  final case class PBool(b: Boolean) extends Obj
+  final case class PStr(bytes: Array[Byte]) extends Obj
+  final case class PName(s: String) extends Obj
+  final case class PArr(items: Vector[Obj]) extends Obj
+  final case class PDict(m: Map[String, Obj]) extends Obj {
+    def get(k: String): Option[Obj] = m.get(k)
+  }
+  final case class PRef(num: Int, gen: Int) extends Obj
+  final case class PStream(dict: PDict, raw: Array[Byte]) extends Obj
+  case object PNull extends Obj
+
+  sealed trait Tok
+  final case class TObj(o: Obj) extends Tok
+  final case class TOp(op: String) extends Tok
+
+  // ---------------------------------------------------------------- lexer
+
+  /** Byte-level tokenizer for both object syntax and content streams. */
+  final class Lex(val buf: Array[Byte], var pos: Int = 0,
+      val allowRefs: Boolean = true) {
+
+    private def isWs(c: Int) =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+    private def isDelim(c: Int) =
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+        c == '{' || c == '}' || c == '/' || c == '%'
+
+    def eof: Boolean = pos >= buf.length
+    def peek: Int = if (eof) -1 else buf(pos) & 0xff
+
+    def skipWs(): Unit = {
+      while (!eof) {
+        val c = peek
+        if (isWs(c)) pos += 1
+        else if (c == '%') { // comment to EOL
+          while (!eof && peek != '\n' && peek != '\r') pos += 1
+        } else return
+      }
+    }
+
+    def startsWith(s: String): Boolean = {
+      if (pos + s.length > buf.length) return false
+      var i = 0
+      while (i < s.length) {
+        if (buf(pos + i) != s.charAt(i)) return false
+        i += 1
+      }
+      true
+    }
+
+    /** Bare keyword: run of non-ws non-delimiter bytes. */
+    def readKeyword(): String = {
+      val start = pos
+      while (!eof && !isWs(peek) && !isDelim(peek)) pos += 1
+      new String(buf, start, pos - start, StandardCharsets.ISO_8859_1)
+    }
+
+    private def readName(): PName = {
+      pos += 1 // '/'
+      val sb = new StringBuilder
+      while (!eof && !isWs(peek) && !isDelim(peek)) {
+        val c = peek
+        if (c == '#' && pos + 2 < buf.length) {
+          val h = Integer.parseInt(
+            new String(buf, pos + 1, 2, StandardCharsets.ISO_8859_1), 16)
+          sb.append(h.toChar); pos += 3
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def readLiteralString(): PStr = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (!eof && depth > 0) {
+        val c = peek; pos += 1
+        c match {
+          case '(' => depth += 1; out.write(c)
+          case ')' => depth -= 1; if (depth > 0) out.write(c)
+          case '\\' if !eof =>
+            val e = peek; pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' => out.write('(')
+              case ')' => out.write(')')
+              case '\\' => out.write('\\')
+              case '\r' => if (peek == '\n') pos += 1 // line continuation
+              case '\n' => // line continuation
+              case d if d >= '0' && d <= '7' => // octal, up to 3 digits
+                var v = d - '0'
+                var n = 1
+                while (n < 3 && peek >= '0' && peek <= '7') {
+                  v = v * 8 + (peek - '0'); pos += 1; n += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other)
+            }
+          case _ => out.write(c)
+        }
+      }
+      PStr(out.toByteArray)
+    }
+
+    private def readHexString(): PStr = {
+      pos += 1 // '<'
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      while (!eof && peek != '>') {
+        val c = peek; pos += 1
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out.write((hi << 4) | d); hi = -1 }
+        }
+      }
+      if (hi >= 0) out.write(hi << 4) // odd digit: trailing 0
+      if (!eof) pos += 1 // '>'
+      PStr(out.toByteArray)
+    }
+
+    private def readNumber(): PNum = {
+      val start = pos
+      if (peek == '+' || peek == '-') pos += 1
+      while (!eof && ((peek >= '0' && peek <= '9') || peek == '.')) pos += 1
+      val s = new String(buf, start, pos - start, StandardCharsets.ISO_8859_1)
+      PNum(if (s.isEmpty || s == "-" || s == "+") 0.0 else s.toDouble)
+    }
+
+    /** Parse one object. With `allowRefs`, `N G R` collapses to [[PRef]]. */
+    def parseObject(): Obj = {
+      skipWs()
+      if (eof) return PNull
+      peek match {
+        case '<' =>
+          if (startsWith("<<")) {
+            pos += 2
+            val m = Map.newBuilder[String, Obj]
+            var done = false
+            while (!done) {
+              skipWs()
+              if (eof || startsWith(">>")) { pos = math.min(pos + 2, buf.length); done = true }
+              else if (peek == '/') {
+                val k = readName().s
+                m += k -> parseObject()
+              } else { parseObject(); () } // tolerate junk key
+            }
+            PDict(m.result())
+          } else readHexString()
+        case '(' => readLiteralString()
+        case '/' => readName()
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[Obj]
+          var done = false
+          while (!done) {
+            skipWs()
+            if (eof || peek == ']') { if (!eof) pos += 1; done = true }
+            else items += parseObject()
+          }
+          PArr(items.result())
+        case c if (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.' =>
+          val n = readNumber()
+          if (allowRefs && n.v >= 0 && n.v == math.floor(n.v)) {
+            val save = pos
+            skipWs()
+            if (!eof && peek >= '0' && peek <= '9') {
+              val g = readNumber()
+              skipWs()
+              if (!eof && peek == 'R' &&
+                  (pos + 1 >= buf.length || isWs(buf(pos + 1) & 0xff) ||
+                    isDelim(buf(pos + 1) & 0xff))) {
+                pos += 1
+                return PRef(n.toInt, g.toInt)
+              }
+            }
+            pos = save
+          }
+          n
+        case _ =>
+          readKeyword() match {
+            case "true"  => PBool(true)
+            case "false" => PBool(false)
+            case "null"  => PNull
+            case ""      => pos += 1; PNull // unknown delimiter: skip a byte
+            case _       => PNull
+          }
+      }
+    }
+
+    /** Content-stream / CMap token: object or bare operator. */
+    def nextToken(): Option[Tok] = {
+      skipWs()
+      if (eof) return None
+      val c = peek
+      if (c == '<' || c == '(' || c == '/' || c == '[' ||
+          (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.')
+        Some(TObj(parseObject()))
+      else if (c == ']' || c == '>' || c == ')' || c == '{' || c == '}') {
+        pos += 1; nextToken() // stray close: skip
+      } else {
+        val kw = readKeyword()
+        if (kw.isEmpty) { pos += 1; nextToken() }
+        else Some(TOp(kw))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- filters
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+    val chunk = new Array[Byte](8192)
+    try {
+      var n = inf.inflate(chunk)
+      while (n > 0 || (!inf.finished() && !inf.needsInput())) {
+        if (n > 0) out.write(chunk, 0, n)
+        n = inf.inflate(chunk)
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => // keep partial output
+    } finally inf.end()
+    out.toByteArray
+  }
+
+  /** PNG predictors (the only ones PDF writers use for xref/obj streams). */
+  private def unpredict(data: Array[Byte], parms: PDict,
+      resolve: Obj => Obj): Array[Byte] = {
+    val pred = parms.get("Predictor").map(resolve).collect {
+      case PNum(v) => v.toInt }.getOrElse(1)
+    if (pred < 10) return data
+    val columns = parms.get("Columns").map(resolve).collect {
+      case PNum(v) => v.toInt }.getOrElse(1)
+    val colors = parms.get("Colors").map(resolve).collect {
+      case PNum(v) => v.toInt }.getOrElse(1)
+    val bpc = parms.get("BitsPerComponent").map(resolve).collect {
+      case PNum(v) => v.toInt }.getOrElse(8)
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (columns * colors * bpc + 7) / 8
+    val nRows = data.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    val prev = new Array[Byte](rowLen)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val raw = data(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = prev(i) & 0xff
+        val ul = if (i >= bpp) prev(i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) / 2)
+          case 4 => // Paeth
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => raw
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(out, dst, prev, 0, rowLen)
+      r += 1
+    }
+    out
+  }
+
+  // ----------------------------------------------------------------- doc
+
+  /** One parsed PDF file: xref resolution, object loading, page walk,
+    * per-page text. Instances are single-threaded and short-lived. */
+  final class Doc(bytes: Array[Byte]) {
+
+    private sealed trait XEntry
+    private final case class XOff(off: Long) extends XEntry
+    private final case class XInStm(stm: Int, idx: Int) extends XEntry
+
+    private val xref = mutable.Map.empty[Int, XEntry]
+    private var rootRef: Obj = PNull
+    private val objCache = mutable.Map.empty[Int, Obj]
+    private val objStmCache =
+      mutable.Map.empty[Int, (Array[Byte], Vector[(Int, Int)], Int)]
+
+    locally {
+      val tailStart = math.max(0, bytes.length - 2048)
+      val tail = new String(bytes, tailStart, bytes.length - tailStart,
+        StandardCharsets.ISO_8859_1)
+      val i = tail.lastIndexOf("startxref")
+      require(i >= 0, "no startxref")
+      val lex = new Lex(bytes, tailStart + i + "startxref".length)
+      val off = lex.parseObject() match {
+        case PNum(v) => v.toLong
+        case other   => sys.error(s"bad startxref: $other")
+      }
+      readXrefChain(off, mutable.Set.empty)
+      require(rootRef != PNull, "no /Root in any trailer")
+    }
+
+    private def readXrefChain(off: Long, seen: mutable.Set[Long]): Unit = {
+      if (off < 0 || off >= bytes.length || !seen.add(off)) return
+      val lex = new Lex(bytes, off.toInt)
+      lex.skipWs()
+      if (lex.startsWith("xref")) readClassicXref(lex, seen)
+      else readXrefStream(lex, seen)
+    }
+
+    /** Classic cross-reference table + trailer (PDF 1.0 format). */
+    private def readClassicXref(lex: Lex, seen: mutable.Set[Long]): Unit = {
+      lex.pos += "xref".length
+      var done = false
+      while (!done) {
+        lex.skipWs()
+        if (lex.startsWith("trailer")) {
+          lex.pos += "trailer".length
+          lex.parseObject() match {
+            case d: PDict =>
+              if (rootRef == PNull) d.get("Root").foreach(rootRef = _)
+              // hybrid file: the xref STREAM carries the ObjStm entries;
+              // spec order is XRefStm before Prev
+              d.get("XRefStm").collect { case PNum(v) =>
+                readXrefChain(v.toLong, seen) }
+              d.get("Prev").collect { case PNum(v) =>
+                readXrefChain(v.toLong, seen) }
+            case _ =>
+          }
+          done = true
+        } else if (lex.peek >= '0' && lex.peek <= '9') {
+          val start = lex.parseObject().asInstanceOf[PNum].toInt
+          val count = lex.parseObject().asInstanceOf[PNum].toInt
+          var i = 0
+          while (i < count) {
+            lex.skipWs()
+            val o = lex.readKeyword() // 10-digit offset
+            lex.skipWs()
+            lex.readKeyword() // 5-digit gen (unused)
+            lex.skipWs()
+            val flag = lex.readKeyword()
+            val num = start + i
+            if (flag == "n" && !xref.contains(num))
+              xref(num) = XOff(o.toLong)
+            i += 1
+          }
+        } else done = true // malformed: stop this section
+      }
+    }
+
+    /** PDF 1.5 cross-reference stream (`/Type /XRef`, `/W`, `/Index`). */
+    private def readXrefStream(lex: Lex, seen: mutable.Set[Long]): Unit = {
+      val (dict, data) = parseIndirectAt(lex) match {
+        case PStream(d, raw) => (d, decodeStream(d, raw))
+        case other           => sys.error(s"expected xref stream, got $other")
+      }
+      if (rootRef == PNull) dict.get("Root").foreach(rootRef = _)
+      val w = dict.get("W") match {
+        case Some(PArr(items)) => items.collect { case PNum(v) => v.toInt }
+        case _                 => sys.error("xref stream missing /W")
+      }
+      val size = dict.get("Size").collect { case PNum(v) => v.toInt }.getOrElse(0)
+      val index = dict.get("Index") match {
+        case Some(PArr(items)) =>
+          items.collect { case PNum(v) => v.toInt }.grouped(2).toSeq
+        case _ => Seq(Seq(0, size))
+      }
+      val entryLen = w.sum
+      var p = 0
+      def field(width: Int): Long = {
+        var v = 0L
+        var i = 0
+        while (i < width) { v = (v << 8) | (data(p) & 0xff); p += 1; i += 1 }
+        v
+      }
+      index.foreach {
+        case Seq(start, count) =>
+          var i = 0
+          while (i < count && p + entryLen <= data.length) {
+            val t = if (w(0) == 0) 1L else field(w(0))
+            val f2 = field(w(1))
+            val f3 = field(w(2))
+            val num = start + i
+            if (!xref.contains(num)) t match {
+              case 1 => xref(num) = XOff(f2)
+              case 2 => xref(num) = XInStm(f2.toInt, f3.toInt)
+              case _ => // free
+            }
+            i += 1
+          }
+        case _ =>
+      }
+      dict.get("Prev").collect { case PNum(v) => readXrefChain(v.toLong, seen) }
+    }
+
+    /** Parse `N G obj <object> [stream...endstream]` at the lexer. */
+    private def parseIndirectAt(lex: Lex): Obj = {
+      lex.skipWs()
+      lex.parseObject() // object number (as plain num: "N G obj" not an R)
+      lex.skipWs()
+      lex.parseObject() // generation
+      lex.skipWs()
+      require(lex.readKeyword() == "obj", "expected 'obj'")
+      val o = lex.parseObject()
+      lex.skipWs()
+      o match {
+        case d: PDict if lex.startsWith("stream") =>
+          lex.pos += "stream".length
+          if (lex.peek == '\r') lex.pos += 1
+          if (lex.peek == '\n') lex.pos += 1
+          val len = resolve(d.get("Length").getOrElse(PNull)) match {
+            case PNum(v) => v.toInt
+            case _ => // damaged Length: scan for endstream
+              val hay = new String(bytes, lex.pos,
+                math.min(bytes.length - lex.pos, bytes.length),
+                StandardCharsets.ISO_8859_1)
+              math.max(0, hay.indexOf("endstream"))
+          }
+          val end = math.min(lex.pos + len, bytes.length)
+          PStream(d, java.util.Arrays.copyOfRange(bytes, lex.pos, end))
+        case other => other
+      }
+    }
+
+    def resolve(o: Obj): Obj = o match {
+      case PRef(n, _) => resolve(obj(n))
+      case x          => x
+    }
+
+    def obj(num: Int): Obj = objCache.getOrElseUpdate(num, loadObj(num))
+
+    private def loadObj(num: Int): Obj = xref.get(num) match {
+      case Some(XOff(off)) if off >= 0 && off < bytes.length =>
+        parseIndirectAt(new Lex(bytes, off.toInt))
+      case Some(XInStm(stm, idx)) => objFromStream(stm, idx)
+      case _ => PNull
+    }
+
+    /** Load from an object stream (`/Type /ObjStm`): header is N pairs of
+      * (objnum, relative offset), bodies start at /First. */
+    private def objFromStream(stmNum: Int, idx: Int): Obj = {
+      val (data, pairs, first) = objStmCache.getOrElseUpdate(stmNum, {
+        obj(stmNum) match {
+          case PStream(d, raw) =>
+            val data = decodeStream(d, raw)
+            val n = resolve(d.get("N").getOrElse(PNull)) match {
+              case PNum(v) => v.toInt; case _ => 0 }
+            val first = resolve(d.get("First").getOrElse(PNull)) match {
+              case PNum(v) => v.toInt; case _ => 0 }
+            val lex = new Lex(data, 0, allowRefs = false)
+            val pairs = Vector.newBuilder[(Int, Int)]
+            var i = 0
+            while (i < n) {
+              val on = lex.parseObject().asInstanceOf[PNum].toInt
+              val off = lex.parseObject().asInstanceOf[PNum].toInt
+              pairs += ((on, off))
+              i += 1
+            }
+            (data, pairs.result(), first)
+          case _ => (Array.empty[Byte], Vector.empty[(Int, Int)], 0)
+        }
+      })
+      if (idx < 0 || idx >= pairs.length) return PNull
+      val lex = new Lex(data, first + pairs(idx)._2)
+      lex.parseObject()
+    }
+
+    def decodeStream(dict: PDict, raw: Array[Byte]): Array[Byte] = {
+      val filters = resolve(dict.get("Filter").getOrElse(PNull)) match {
+        case PName(f)   => Seq(f)
+        case PArr(fs)   => fs.collect { case PName(f) => f }
+        case _          => Seq.empty
+      }
+      val parms = resolve(dict.get("DecodeParms").getOrElse(PNull)) match {
+        case d: PDict => Seq(Some(d))
+        case PArr(ps) => ps.map(resolve).map {
+          case d: PDict => Some(d); case _ => None }
+        case _ => Seq.empty
+      }
+      filters.zipWithIndex.foldLeft(raw) { case (data, (f, i)) =>
+        f match {
+          case "FlateDecode" | "Fl" =>
+            val d = inflate(data)
+            parms.lift(i).flatten.map(unpredict(d, _, resolve)).getOrElse(d)
+          case _ => data // DCTDecode etc: images, never text
+        }
+      }
+    }
+
+    // ------------------------------------------------------------- pages
+
+    /** Page dicts in document order with inherited /Resources. */
+    def pages: Vector[(PDict, PDict)] = {
+      val root = resolve(rootRef) match {
+        case d: PDict => d; case _ => return Vector.empty
+      }
+      val out = Vector.newBuilder[(PDict, PDict)]
+      val seen = mutable.Set.empty[Obj]
+      def walk(node: Obj, inherited: PDict, depth: Int): Unit = {
+        if (depth > 64 || !seen.add(node)) return
+        resolve(node) match {
+          case d: PDict =>
+            val res = resolve(d.get("Resources").getOrElse(PNull)) match {
+              case r: PDict => r; case _ => inherited
+            }
+            d.get("Type").map(resolve) match {
+              case Some(PName("Page")) => out += ((d, res))
+              case _ => d.get("Kids").map(resolve) match {
+                case Some(PArr(kids)) =>
+                  kids.foreach(walk(_, res, depth + 1))
+                case _ =>
+              }
+            }
+          case _ =>
+        }
+      }
+      walk(root.get("Pages").getOrElse(PNull), PDict(Map.empty), 0)
+      out.result()
+    }
+
+    /** Concatenated decoded content streams of a page. */
+    def pageContent(page: PDict): Array[Byte] = {
+      def streamBytes(o: Obj): Seq[Array[Byte]] = resolve(o) match {
+        case PStream(d, raw) => Seq(decodeStream(d, raw))
+        case PArr(items)     => items.flatMap(streamBytes)
+        case _               => Seq.empty
+      }
+      val parts = streamBytes(page.get("Contents").getOrElse(PNull))
+      if (parts.isEmpty) Array.empty
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        parts.foreach { p => out.write(p); out.write('\n') }
+        out.toByteArray
+      }
+    }
+
+    // ------------------------------------------------------------- fonts
+
+    /** Per-font byte→text decoder. */
+    final class Font(toUni: Map[Int, String], codeBytes: Int,
+        simpleTable: Array[String]) {
+      def decode(s: Array[Byte]): String = {
+        val sb = new StringBuilder(s.length)
+        if (codeBytes == 2) {
+          var i = 0
+          while (i + 1 < s.length) {
+            val code = ((s(i) & 0xff) << 8) | (s(i + 1) & 0xff)
+            // no ToUnicode entry for a CID → drop: emitting the raw glyph
+            // id would be garbage text, worse than a gap
+            toUni.get(code).foreach(sb ++= _)
+            i += 2
+          }
+        } else {
+          var i = 0
+          while (i < s.length) {
+            val code = s(i) & 0xff
+            toUni.get(code) match {
+              case Some(u) => sb ++= u
+              case None =>
+                val t = simpleTable(code)
+                if (t != null) sb ++= t
+            }
+            i += 1
+          }
+        }
+        sb.toString
+      }
+    }
+
+    private val fontCache = mutable.Map.empty[Obj, Font]
+
+    def fontFor(fontRef: Obj): Font =
+      fontCache.getOrElseUpdate(fontRef, buildFont(fontRef))
+
+    private def buildFont(fontRef: Obj): Font = {
+      val fd = resolve(fontRef) match {
+        case d: PDict => d
+        case _        => return new Font(Map.empty, 1, winAnsiTable())
+      }
+      val isType0 = fd.get("Subtype").map(resolve).contains(PName("Type0"))
+      val toUni = resolve(fd.get("ToUnicode").getOrElse(PNull)) match {
+        case PStream(d, raw) => parseToUnicode(decodeStream(d, raw))
+        case _               => Map.empty[Int, String]
+      }
+      if (isType0) new Font(toUni, 2, Array.empty)
+      else {
+        val table = winAnsiTable()
+        resolve(fd.get("Encoding").getOrElse(PNull)) match {
+          case PName("MacRomanEncoding") => // ASCII part identical; accept
+          case d: PDict =>
+            resolve(d.get("Differences").getOrElse(PNull)) match {
+              case PArr(items) =>
+                var code = 0
+                items.foreach {
+                  case PNum(v)  => code = v.toInt
+                  case PName(g) =>
+                    if (code >= 0 && code < 256)
+                      table(code) = Agl.toUnicode(g)
+                    code += 1
+                  case _ =>
+                }
+              case _ =>
+            }
+          case _ => // WinAnsi or absent: table as built
+        }
+        new Font(toUni, 1, table)
+      }
+    }
+
+    /** bfchar/bfrange sections of a ToUnicode CMap. */
+    private def parseToUnicode(data: Array[Byte]): Map[Int, String] = {
+      val lex = new Lex(data, 0, allowRefs = false)
+      val m = Map.newBuilder[Int, String]
+      def codeOf(o: Obj): Int = o match {
+        case PStr(b) =>
+          var v = 0
+          b.foreach(x => v = (v << 8) | (x & 0xff))
+          v
+        case PNum(v) => v.toInt
+        case _       => -1
+      }
+      def strOf(o: Obj): String = o match {
+        case PStr(b) => new String(b, StandardCharsets.UTF_16BE)
+        case _       => ""
+      }
+      val pending = mutable.ArrayBuffer.empty[Obj]
+      var tok = lex.nextToken()
+      while (tok.isDefined) {
+        tok.get match {
+          case TOp("beginbfchar") =>
+            var t = lex.nextToken()
+            val buf = mutable.ArrayBuffer.empty[Obj]
+            while (t.isDefined && t.get != TOp("endbfchar")) {
+              t.get match { case TObj(o) => buf += o; case _ => }
+              t = lex.nextToken()
+            }
+            buf.grouped(2).foreach {
+              case mutable.ArrayBuffer(src, dst) =>
+                val c = codeOf(src)
+                if (c >= 0) m += c -> strOf(dst)
+              case _ =>
+            }
+          case TOp("beginbfrange") =>
+            var t = lex.nextToken()
+            val buf = mutable.ArrayBuffer.empty[Obj]
+            while (t.isDefined && t.get != TOp("endbfrange")) {
+              t.get match { case TObj(o) => buf += o; case _ => }
+              t = lex.nextToken()
+            }
+            buf.grouped(3).foreach {
+              case mutable.ArrayBuffer(lo, hi, dst) =>
+                val l = codeOf(lo); val h = codeOf(hi)
+                dst match {
+                  case PArr(items) =>
+                    items.zipWithIndex.foreach { case (d, i) =>
+                      if (l + i <= h) m += (l + i) -> strOf(d)
+                    }
+                  case PStr(b) =>
+                    val base = strOf(PStr(b))
+                    if (base.nonEmpty) {
+                      var c = l
+                      while (c <= h && c - l < 65536) {
+                        val incremented = base.dropRight(1) +
+                          (base.last + (c - l)).toChar
+                        m += c -> incremented
+                        c += 1
+                      }
+                    }
+                  case _ =>
+                }
+              case _ =>
+            }
+          case TObj(o) => pending += o
+          case _       => pending.clear()
+        }
+        tok = lex.nextToken()
+      }
+      m.result()
+    }
+
+    // -------------------------------------------------------------- text
+
+    /** Text of one page: BT..ET runs through Tj/TJ/'/" with per-font
+      * decoding; Td, TD, T-star, Tm and ET breaks become newlines; Form
+      * XObjects (`Do`) recurse with their own resources. */
+    def pageText(page: PDict, resources: PDict): String = {
+      val sb = new StringBuilder
+      extractText(pageContent(page), resources, sb, 0)
+      // normalize: collapse blank runs the line-break heuristic produces
+      sb.toString
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .mkString("\n")
+    }
+
+    private def extractText(content: Array[Byte], resources: PDict,
+        sb: StringBuilder, depth: Int): Unit = {
+      if (depth > 8) return
+      val fonts = resolve(resources.get("Font").getOrElse(PNull)) match {
+        case d: PDict => d.m; case _ => Map.empty[String, Obj]
+      }
+      val xobjects = resolve(resources.get("XObject").getOrElse(PNull)) match {
+        case d: PDict => d.m; case _ => Map.empty[String, Obj]
+      }
+      val lex = new Lex(content, 0, allowRefs = false)
+      val operands = mutable.ArrayBuffer.empty[Obj]
+      var font: Font = null
+      def show(o: Obj): Unit = o match {
+        case PStr(b) =>
+          if (font != null) sb ++= font.decode(b)
+          else sb ++= new String(b, StandardCharsets.ISO_8859_1)
+        case _ =>
+      }
+      var tok = lex.nextToken()
+      while (tok.isDefined) {
+        tok.get match {
+          case TObj(o) => operands += o
+          case TOp(op) =>
+            op match {
+              case "Tf" =>
+                operands.headOption.collect { case PName(n) =>
+                  fonts.get(n).foreach(f => font = fontFor(f))
+                }
+              case "Tj" => operands.lastOption.foreach(show)
+              case "'" =>
+                sb += '\n'; operands.lastOption.foreach(show)
+              case "\"" =>
+                sb += '\n'; operands.lastOption.foreach(show)
+              case "TJ" =>
+                operands.lastOption.collect { case PArr(items) =>
+                  items.foreach {
+                    case s: PStr => show(s)
+                    case PNum(v) =>
+                      // big negative kern = inter-word gap (thousandths
+                      // of an em; -180 is the usual space threshold)
+                      if (v < -180) sb += ' '
+                    case _ =>
+                  }
+                }
+              case "Td" | "TD" | "T*" | "Tm" | "ET" => sb += '\n'
+              case "Do" =>
+                operands.headOption.collect { case PName(n) =>
+                  xobjects.get(n).map(resolve).collect {
+                    case PStream(d, raw)
+                        if d.get("Subtype").map(resolve)
+                          .contains(PName("Form")) =>
+                      val res = resolve(d.get("Resources")
+                        .getOrElse(PNull)) match {
+                        case r: PDict => r; case _ => resources
+                      }
+                      sb += '\n'
+                      extractText(decodeStream(d, raw), res, sb, depth + 1)
+                  }
+                }
+              case "BI" =>
+                // inline image: scan past binary payload to EI
+                var done = false
+                while (!done && !lex.eof) {
+                  if (lex.startsWith("EI") &&
+                      (lex.pos + 2 >= content.length ||
+                        (content(lex.pos + 2) & 0xff) <= ' ')) {
+                    lex.pos += 2; done = true
+                  } else lex.pos += 1
+                }
+              case _ => // graphics operators: irrelevant to text
+            }
+            operands.clear()
+        }
+        tok = lex.nextToken()
+      }
+    }
+  }
+
+  // ---------------------------------------------------- encoding tables
+
+  /** WinAnsiEncoding → Unicode (Latin-1 plus the 0x80–0x9F overrides). */
+  private def winAnsiTable(): Array[String] = {
+    val t = new Array[String](256)
+    var i = 32
+    while (i < 256) { t(i) = i.toChar.toString; i += 1 }
+    val over = Map(
+      0x80 -> "€", 0x82 -> "‚", 0x83 -> "ƒ", 0x84 -> "„",
+      0x85 -> "…", 0x86 -> "†", 0x87 -> "‡", 0x88 -> "ˆ",
+      0x89 -> "‰", 0x8a -> "Š", 0x8b -> "‹", 0x8c -> "Œ",
+      0x8e -> "Ž", 0x91 -> "‘", 0x92 -> "’", 0x93 -> "“",
+      0x94 -> "”", 0x95 -> "•", 0x96 -> "–", 0x97 -> "—",
+      0x98 -> "˜", 0x99 -> "™", 0x9a -> "š", 0x9b -> "›",
+      0x9c -> "œ", 0x9e -> "ž", 0x9f -> "Ÿ")
+    over.foreach { case (c, s) => t(c) = s }
+    Seq(0x81, 0x8d, 0x8f, 0x90, 0x9d).foreach(c => t(c) = null)
+    t
+  }
+
+  /** Small Adobe-Glyph-List subset for /Differences tables: the glyph
+    * names LaTeX/Office writers actually emit for Latin text. */
+  private object Agl {
+    private val named = Map(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+      "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+      "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+      "parenright" -> ")", "asterisk" -> "*", "plus" -> "+", "comma" -> ",",
+      "hyphen" -> "-", "period" -> ".", "slash" -> "/", "zero" -> "0",
+      "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+      "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8",
+      "nine" -> "9", "colon" -> ":", "semicolon" -> ";", "less" -> "<",
+      "equal" -> "=", "greater" -> ">", "question" -> "?", "at" -> "@",
+      "bracketleft" -> "[", "backslash" -> "\\", "bracketright" -> "]",
+      "asciicircum" -> "^", "underscore" -> "_", "grave" -> "`",
+      "braceleft" -> "{", "bar" -> "|", "braceright" -> "}",
+      "asciitilde" -> "~", "quoteleft" -> "‘",
+      "quoteright" -> "’", "quotedblleft" -> "“",
+      "quotedblright" -> "”", "endash" -> "–",
+      "emdash" -> "—", "bullet" -> "•", "ellipsis" -> "…",
+      "fi" -> "ﬁ", "fl" -> "ﬂ", "ff" -> "ﬀ",
+      "ffi" -> "ﬃ", "ffl" -> "ﬄ", "trademark" -> "™",
+      "copyright" -> "©", "registered" -> "®",
+      "degree" -> "°", "multiply" -> "×", "divide" -> "÷")
+    def toUnicode(glyph: String): String =
+      if (glyph.length == 1) glyph // a, A, 0 …
+      else named.getOrElse(glyph,
+        // uniXXXX / uXXXX[XX] forms
+        if (glyph.startsWith("uni") && glyph.length >= 7)
+          try String.valueOf(
+            Integer.parseInt(glyph.substring(3, 7), 16).toChar)
+          catch { case _: NumberFormatException => "?" }
+        else "?")
+  }
+}
+
+/** S4 — real PDF page extraction, pure JVM (see [[Pdf]] for scope).
+  * One [[Pdf.Doc]] per file; per-page failures degrade to an error row
+  * for that page, whole-file failures to a single `status="fail"` row —
+  * the same fail-soft contract as the other extractors
+  * (reference `parsing.py:134-155`). */
+final case class PdfPageExtractor(maxPages: Int = 10000)
+    extends PageExtractor {
+  def extract(path: String, content: Array[Byte]): Seq[PageText] =
+    try {
+      val doc = new Pdf.Doc(content)
+      val pages = doc.pages.take(maxPages)
+      if (pages.isEmpty) Seq(PageText(0, "", Some("no pages")))
+      else pages.zipWithIndex.map { case ((page, res), i) =>
+        try PageText(i + 1, doc.pageText(page, res), None)
+        catch {
+          case e: Exception =>
+            PageText(i + 1, "", Some(s"page ${i + 1}: ${e.getMessage}"))
+        }
+      }
+    } catch {
+      case e: Exception => Seq(PageText(0, "", Some(e.getMessage)))
+    }
+}
