@@ -733,7 +733,7 @@ object SparkEntry {
     * model queries measure query latency, not the build/fit. */
   def prepare(s: SparkSession, dir: String): Unit = {
     indexFor(s, dir); ivfFor(s, dir); mlFitted(s, dir); mlFittedMd5(s, dir)
-    bucketedFor(s, dir); ()
+    bucketedFor(s, dir); deletedIndexFor(s, dir); ()
   }
 
   private def indexFor(s: SparkSession, dir: String): String =
@@ -749,6 +749,24 @@ object SparkEntry {
     ivfCache.computeIfAbsent(dir, d => {
       val out = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
       graft.index.IvfIndex.build(Tables.embeddings(s, d), out, nCells = 8)
+      out
+    })
+
+  /** Index that had a doc-level retraction applied (q92): built over the
+    * full corpus, then `doc_id % 37 == 0` deleted through
+    * [[graft.index.SearchIndex.delete]] — queries must behave as if
+    * those docs were never indexed (the oracle scores a corpus that
+    * excludes them). */
+  private val delIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deletedIndexFor(s: SparkSession, dir: String): String =
+    delIndexCache.computeIfAbsent(dir, d => {
+      val out = java.nio.file.Files.createTempDirectory("graft_index_del_").toString
+      graft.index.SearchIndex.build(Tables.documents(s, d),
+        Tables.embeddings(s, d), out)
+      val victims = Tables.documents(s, d)
+        .filter(col("doc_id") % 37 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      graft.index.SearchIndex.delete(s, out, victims)
       out
     })
 
@@ -909,6 +927,100 @@ object SparkEntry {
            |    ORDER BY vec_score DESC, doc_id) AS rank
            |  FROM cands)
            |SELECT query_id, doc_id, vec_score, rank::BIGINT AS rank
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      }),
+
+    Q("q92_index_doc_delete",
+      // PII/takedown flow: the persisted index after SearchIndex.delete
+      // must score exactly like an index that never held the victims —
+      // the oracle computes BM25 over the corpus MINUS the deleted docs
+      (s, dir) => graft.index.SearchIndex.bm25(s, deletedIndexFor(s, dir),
+        QueryText)
+        .select(col("doc_id"), round(col("text_score"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(20),
+      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0),
+         |toks AS (SELECT doc_id, $toksSql AS l FROM docs),
+         |posting AS (
+         |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+         |       FROM posting GROUP BY doc_id, term, dl),
+         |stats AS (SELECT (SELECT count(*) FROM docs)::DOUBLE AS n,
+         |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         |  FROM tf WHERE term IN (SELECT unnest($qtermsSql)) GROUP BY term),
+         |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+         |  FROM dfreq, stats)
+         |SELECT doc_id, round(sum(term_score), 6) AS bm25 FROM (
+         |  SELECT tf.doc_id,
+         |    idf.idf * tf.tf * (1.2 + 1.0) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS term_score
+         |  FROM tf JOIN idf ON tf.term = idf.term, stats)
+         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
+
+    Q("q91_batch_hybrid",
+      // the full production serving shape: N queries, BOTH index legs in
+      // one pass each (raw text scores like single-query hybrid, top-100
+      // vector candidates per query), full-outer fuse on (query_id,
+      // doc_id), boosts 1.0/0.8, min_score 0.5, per-query top-10 via the
+      // k-bounded agg. Composes q88's and q89's oracle algebra.
+      (s, dir) => graft.index.SearchIndex.hybridBatch(s, indexFor(s, dir),
+        BatchQueries, Embedder, 10)
+        .orderBy("query_id", "rank"),
+      {
+        val qtRows = BatchQueries.flatMap { case (qid, text) =>
+          text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+            .map(t => s"($qid, '$t')")
+        }.mkString(", ")
+        val vecBranches = BatchQueries.map { case (qid, t) =>
+          val qv   = Embedder.embed(t)
+          val qSig = VectorSearch.querySignature(qv, EmbedDim, 8)
+          val probes = (0L until 256L)
+            .filter(b => java.lang.Long.bitCount(b ^ qSig) <= 2)
+            .mkString(", ")
+          s"""SELECT $qid::BIGINT AS query_id, vec_id AS doc_id,
+             |    round(${cosSqlFor(qv)}, 6) AS vec_score
+             |  FROM embeddings WHERE ${lshBucketSql()} IN ($probes)""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+           |posting AS (
+           |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+           |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+           |       FROM posting GROUP BY doc_id, term, dl),
+           |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+           |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+           |qt AS (SELECT * FROM (VALUES $qtRows) AS t(query_id, term)),
+           |dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+           |  FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+           |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+           |  FROM dfreq, stats),
+           |text_s AS (
+           |  SELECT qt.query_id::BIGINT AS query_id, tf.doc_id, sum(
+           |    idf.idf * tf.tf * (1.2 + 1.0) /
+           |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)))
+           |    AS text_score
+           |  FROM tf JOIN idf ON tf.term = idf.term
+           |       JOIN qt ON qt.term = tf.term, stats
+           |  GROUP BY qt.query_id, tf.doc_id),
+           |cands AS (
+           |$vecBranches),
+           |vec_rk AS (SELECT query_id, doc_id, vec_score,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY vec_score DESC, doc_id) AS rk
+           |  FROM cands),
+           |vec_s AS (SELECT query_id, doc_id, vec_score
+           |  FROM vec_rk WHERE rk <= 100),
+           |fused AS (
+           |  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+           |    coalesce(t.doc_id, v.doc_id) AS doc_id,
+           |    round(coalesce(t.text_score, 0.0) * 1.0
+           |        + coalesce(v.vec_score, 0.0) * 0.8, 6) AS score
+           |  FROM text_s t FULL OUTER JOIN vec_s v
+           |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id),
+           |ranked AS (SELECT query_id, doc_id, score,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY score DESC, doc_id) AS rank
+           |  FROM fused WHERE score >= 0.5)
+           |SELECT query_id, doc_id, score, rank::BIGINT AS rank
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
       }),
 

@@ -112,7 +112,8 @@ object SearchIndex {
   def update(newDocs: DataFrame, newEmbs: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       vecIdCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64): Unit = {
+      dim: Int = 64,
+      store: graft.table.CommitStore = graft.table.LocalCommitStore): Unit = {
     val spark = newDocs.sparkSession
 
     val delta = TextSearch.buildPostings(newDocs, idCol, textCol)
@@ -149,7 +150,7 @@ object SearchIndex {
         .unionByName(deltaDf)
         .groupBy("term_bucket", "term").agg(sum("df").as("df"))
       writeSwapBuckets(mergedDf.repartition(col("term_bucket")),
-        s"$indexDir/docfreq", "term_bucket", touched)
+        s"$indexDir/docfreq", "term_bucket", touched, store)
       deltaDf.unpersist()
 
       // merge stats: n adds; sum_dl adds exactly (integer-valued dl)
@@ -161,7 +162,7 @@ object SearchIndex {
           ((col("sum_dl") + col("d_sum")) / (col("n_docs") + col("d_n")))
             .as("avgdl"),
           (col("sum_dl") + col("d_sum")).as("sum_dl"))
-      writeSwap(mergedStats, s"$indexDir/stats", partitionCol = None)
+      writeSwap(mergedStats, s"$indexDir/stats", partitionCol = None, store)
     } finally delta.unpersist()
 
     newEmbs.select(col(vecIdCol).as("doc_id"), col(vecCol).as("embedding"))
@@ -192,18 +193,169 @@ object SearchIndex {
     * then swap ONLY the touched `bucketCol=v` subdirectories into the
     * live table — every other bucket directory is untouched (same
     * files, same bytes). Each subdirectory swap goes through the same
-    * [[graft.table.CommitStore]] primitive as [[writeSwap]]. */
+    * [[graft.table.CommitStore]] primitive as [[writeSwap]]. A bucket
+    * the rewrite emptied (no staged dir) is deleted from the live
+    * table — that's what a rebuild without its rows would produce. */
   private def writeSwapBuckets(df: DataFrame, dir: String,
-      bucketCol: String, buckets: Seq[Int],
+      bucketCol: String, buckets: Seq[Any],
       store: graft.table.CommitStore = graft.table.LocalCommitStore): Unit = {
-    import java.nio.file.Paths
+    import java.nio.file.{Files, Paths}
     val tmp = dir + "__tmp"
     df.write.mode("overwrite").partitionBy(bucketCol).parquet(tmp)
     buckets.foreach { b =>
-      store.swapDir(Paths.get(tmp, s"$bucketCol=$b"),
-        Paths.get(dir, s"$bucketCol=$b"))
+      val staged = Paths.get(tmp, s"$bucketCol=$b")
+      val live   = Paths.get(dir, s"$bucketCol=$b")
+      if (Files.exists(staged)) store.swapDir(staged, live)
+      else store.deleteRecursive(live)
     }
     store.deleteRecursive(Paths.get(tmp))
+  }
+
+  /** Doc-level retraction (PII / takedown): remove `ids` from postings,
+    * positions and vectors, decrement docfreq (terms whose df reaches 0
+    * disappear, as a rebuild would have it), and subtract the victims
+    * from stats — so every query AFTER delete behaves exactly as if the
+    * index had been built without those docs (SearchIndexSpec pins
+    * delete ≡ rebuild). The reference can only drop a whole index
+    * (`elasticsearch_index.py:325-350`); an LLM-pipeline index needs the
+    * per-doc form.
+    *
+    * Scale shape: ONE pruned-column scan over postings/vectors finds the
+    * victims' rows and their touched buckets (a doc's terms hash across
+    * the bucket space, so no tighter bound exists without a doc→terms
+    * sidecar); rewrites then touch ONLY those buckets, partition-locally,
+    * through the same staged-swap commit as [[update]]. Untouched bucket
+    * dirs keep their exact bytes. */
+  def delete(spark: SparkSession, indexDir: String, ids: Seq[Long],
+      store: graft.table.CommitStore = graft.table.LocalCommitStore): Unit = {
+    if (ids.isEmpty) return
+    val isVictim = col("doc_id").isInCollection(ids)
+
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val victims = postings.filter(isVictim).persist()
+    try {
+      // force materialization BEFORE any swap: later stages (docfreq,
+      // stats) read the victim rows after their source files were swapped
+      victims.count()
+      // bounded by TermBuckets — metadata-scale collect
+      val touched = victims.select("term_bucket").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      if (touched.nonEmpty) {
+        writeSwapBuckets(
+          postings.filter(col("term_bucket").isin(touched: _*) && !isVictim)
+            .repartition(col("term_bucket")),
+          s"$indexDir/postings", "term_bucket", touched, store)
+
+        val positions = spark.read.parquet(s"$indexDir/positions")
+        val touchedPos = positions
+          .filter(isVictim).select("term_bucket").distinct()
+          .collect().map(_.getInt(0)).sorted.toSeq
+        if (touchedPos.nonEmpty) writeSwapBuckets(
+          positions.filter(col("term_bucket").isin(touchedPos: _*) && !isVictim)
+            .repartition(col("term_bucket")),
+          s"$indexDir/positions", "term_bucket", touchedPos, store)
+
+        // docfreq: per-term decrement by the victims' distinct-doc count;
+        // df exhausted ⇒ the term leaves the dictionary
+        val dec = victims.groupBy("term_bucket", "term")
+          .agg(countDistinct("doc_id").cast("double").as("ddf"))
+        val mergedDf = spark.read.parquet(s"$indexDir/docfreq")
+          .filter(col("term_bucket").isin(touched: _*))
+          .join(dec, Seq("term_bucket", "term"), "left")
+          .select(col("term_bucket"), col("term"),
+            (col("df") - coalesce(col("ddf"), lit(0.0))).as("df"))
+          .filter(col("df") > 0)
+        writeSwapBuckets(mergedDf.repartition(col("term_bucket")),
+          s"$indexDir/docfreq", "term_bucket", touched, store)
+
+        // stats: subtract the victims actually present (integer-valued
+        // dl sums subtract exactly, mirroring update's exact merge)
+        val vStats = victims.select("doc_id", "dl").distinct()
+          .agg(count(lit(1)).cast("double").as("d_n"),
+            sum("dl").as("d_sum"))
+        val mergedStats = spark.read.parquet(s"$indexDir/stats")
+          .crossJoin(vStats)
+          .select((col("n_docs") - col("d_n")).as("n_docs"),
+            ((col("sum_dl") - col("d_sum")) / (col("n_docs") - col("d_n")))
+              .as("avgdl"),
+            (col("sum_dl") - col("d_sum")).as("sum_dl"))
+        writeSwap(mergedStats, s"$indexDir/stats", partitionCol = None,
+          store)
+      }
+    } finally victims.unpersist()
+
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    // partition-column type inference may narrow lsh_bucket to int —
+    // cast so the collected probe list is stable
+    val touchedV = vectors.filter(isVictim)
+      .select(col("lsh_bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (touchedV.nonEmpty) writeSwapBuckets(
+      vectors.filter(col("lsh_bucket").isin(touchedV: _*) && !isVictim)
+        .repartition(col("lsh_bucket")),
+      s"$indexDir/vectors", "lsh_bucket", touchedV, store)
+    invalidateAll(spark, indexDir)
+  }
+
+  /** Maintenance — merge the small files that incremental [[update]]s
+    * accrete inside each bucket dir back to one file per bucket (the
+    * per-bucket form of [[graft.table.ParquetCatalog.compact]]): after
+    * thousands of micro-batches a probe pays |files| opens per bucket,
+    * not 1. Only FRAGMENTED buckets (>1 parquet file) are rewritten,
+    * through the same staged swap as [[update]] — results are
+    * bit-identical rows, untouched buckets keep their exact bytes.
+    * Returns (filesBefore, filesAfter) summed over rewritten buckets. */
+  def compact(spark: SparkSession, indexDir: String,
+      store: graft.table.CommitStore = graft.table.LocalCommitStore)
+      : (Long, Long) = {
+    import java.nio.file.{Files, Paths}
+    var before = 0L
+    var after = 0L
+    Seq("postings" -> "term_bucket", "positions" -> "term_bucket",
+      "docfreq" -> "term_bucket", "vectors" -> "lsh_bucket")
+      .foreach { case (table, bucketCol) =>
+        val root = Paths.get(s"$indexDir/$table")
+        if (Files.isDirectory(root)) {
+          def filesIn(p: java.nio.file.Path): Int = {
+            val s = Files.list(p)
+            try {
+              var n = 0
+              val it = s.iterator()
+              while (it.hasNext)
+                if (it.next().toString.endsWith(".parquet")) n += 1
+              n
+            } finally s.close()
+          }
+          val ls = Files.list(root)
+          val fragmented = try {
+            val b = Seq.newBuilder[String]
+            val it = ls.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val name = p.getFileName.toString
+              if (name.startsWith(s"$bucketCol=") && filesIn(p) > 1) {
+                b += name.stripPrefix(s"$bucketCol=")
+                before += filesIn(p)
+              }
+            }
+            b.result()
+          } finally ls.close()
+          if (fragmented.nonEmpty) {
+            val vals: Seq[Any] =
+              if (bucketCol == "lsh_bucket") fragmented.map(_.toLong)
+              else fragmented.map(_.toInt)
+            val df = spark.read.parquet(s"$indexDir/$table")
+              .filter(col(bucketCol).isin(vals: _*))
+              .repartition(col(bucketCol))
+            writeSwapBuckets(df, s"$indexDir/$table", bucketCol, vals,
+              store)
+            vals.foreach(v =>
+              after += filesIn(root.resolve(s"$bucketCol=$v")))
+          }
+        }
+      }
+    invalidateAll(spark, indexDir)
+    (before, after)
   }
 
   /** BM25 over the prebuilt index: reads only the query terms' buckets

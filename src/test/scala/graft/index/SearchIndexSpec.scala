@@ -217,6 +217,176 @@ class SearchIndexSpec extends SparkSpec {
     assert(plan.contains("lsh_bucket"))
   }
 
+  /** file name → md5(bytes) per bucket dir of `root`. */
+  private def fingerprintDir(root: java.nio.file.Path, prefix: String)
+      : Map[String, Map[String, String]] =
+    Files.list(root).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith(prefix))
+      .map { bdir =>
+        val files = Files.list(bdir).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.toString.endsWith(".parquet"))
+          .map { f =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            f.getFileName.toString ->
+              md.digest(Files.readAllBytes(f)).map(b => f"$b%02x").mkString
+          }.toMap
+        bdir.getFileName.toString -> files
+      }.toMap
+
+  test("delete ≡ rebuild without the docs; untouched buckets byte-identical") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+    val embs = Tables.embeddings(spark, SfDir).select("vec_id", "embedding")
+    // victims with a controlled vocabulary → few touched term buckets
+    val vDocs = Seq((910001L, "qqalpha qqbeta qqalpha"),
+      (910002L, "qqbeta qqgamma")).toDF("doc_id", "text")
+    val vEmbs = Seq((910001L, Array.fill(64)(0.1f).toSeq),
+      (910002L, Array.fill(64)(0.2f).toSeq)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+
+    val dA = Files.createTempDirectory("index_del").toString
+    SearchIndex.build(docs.unionByName(vDocs), embs.unionByName(vEmbs), dA)
+    val beforeP = fingerprintDir(Paths.get(dA, "postings"), "term_bucket=")
+    val beforeD = fingerprintDir(Paths.get(dA, "docfreq"), "term_bucket=")
+
+    SearchIndex.delete(spark, dA, Seq(910001L, 910002L))
+
+    // only the victims' term buckets were rewritten
+    val touched = Seq("qqalpha", "qqbeta", "qqgamma")
+      .map(SearchIndex.termBucketOf).distinct
+      .map(b => s"term_bucket=$b").toSet
+    val afterP = fingerprintDir(Paths.get(dA, "postings"), "term_bucket=")
+    (beforeP.keySet -- touched).foreach { b =>
+      assert(afterP(b) === beforeP(b), s"untouched postings $b rewritten")
+    }
+    val afterD = fingerprintDir(Paths.get(dA, "docfreq"), "term_bucket=")
+    (beforeD.keySet -- touched).foreach { b =>
+      assert(afterD(b) === beforeD(b), s"untouched docfreq $b rewritten")
+    }
+
+    // delete ≡ rebuild-without-docs: `indexDir` IS the fixture-only build
+    val q = "spark join merge sort window"
+    val delBm = SearchIndex.bm25(spark, dA, q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rebBm = SearchIndex.bm25(spark, indexDir, q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(delBm.keySet === rebBm.keySet)
+    delBm.foreach { case (k, v) => assert(math.abs(v - rebBm(k)) < 1e-9) }
+
+    // the victims' private terms left the dictionary entirely
+    assert(SearchIndex.bm25(spark, dA, "qqalpha qqbeta").count() === 0)
+    val dfA = spark.read.parquet(s"$dA/docfreq")
+      .select("term", "df").as[(String, Double)].collect().toSet
+    val dfB = spark.read.parquet(s"$indexDir/docfreq")
+      .select("term", "df").as[(String, Double)].collect().toSet
+    assert(dfA === dfB)
+
+    // stats subtract back exactly (integer-valued dl sums)
+    val sA = spark.read.parquet(s"$dA/stats").head()
+    val sB = spark.read.parquet(s"$indexDir/stats").head()
+    assert(sA === sB)
+
+    // vectors: the victims are gone, knn equals the rebuilt index exactly
+    val e = DeterministicEmbedder(64)
+    val delKnn = SearchIndex.knn(spark, dA, e.embed(q), 10,
+      probeHammingRadius = SearchIndex.LshBits)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebKnn = SearchIndex.knn(spark, indexDir, e.embed(q), 10,
+      probeHammingRadius = SearchIndex.LshBits)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(delKnn === rebKnn)
+    assert(spark.read.parquet(s"$dA/vectors")
+      .filter(col("doc_id").isin(910001L, 910002L)).count() === 0)
+
+    // phrase postings agree too
+    val delPh = SearchIndex.phrase(spark, dA, "table scan")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebPh = SearchIndex.phrase(spark, indexDir, "table scan")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(delPh === rebPh)
+  }
+
+  test("compact merges fragmented buckets; results and untouched bytes identical") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+    val embs = Tables.embeddings(spark, SfDir).select("vec_id", "embedding")
+    val d = Files.createTempDirectory("index_cmp").toString
+    SearchIndex.build(docs, embs, d)
+    // two micro-batch updates with a controlled vocabulary: their term
+    // buckets accrete one extra file per batch, everything else is clean
+    (0 until 2).foreach { i =>
+      val batch = Seq((920001L + i * 10, "qqdelta qqeps"))
+        .toDF("doc_id", "text")
+      val bEmb = Seq((920001L + i * 10, Array.fill(64)(0.3f + i).toSeq))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+      SearchIndex.update(batch, bEmb, d)
+    }
+    def maxFiles(table: String, prefix: String): Int =
+      Files.list(Paths.get(d, table)).toArray.map(_.toString)
+        .filter(_.contains(prefix))
+        .map(p => Files.list(Paths.get(p)).toArray.map(_.toString)
+          .count(_.endsWith(".parquet"))).max
+    assert(maxFiles("postings", "term_bucket=") > 1, "updates did not fragment")
+
+    val q = "spark join merge sort window qqdelta"
+    val bmBefore = SearchIndex.bm25(spark, d, q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val beforeFp = fingerprintDir(Paths.get(d, "postings"), "term_bucket=")
+    val fragmented = beforeFp.filter(_._2.size > 1).keySet
+    assert(fragmented.nonEmpty)
+
+    val (nBefore, nAfter) = SearchIndex.compact(spark, d)
+    assert(nBefore > nAfter, s"no compaction: $nBefore -> $nAfter")
+    assert(maxFiles("postings", "term_bucket=") === 1)
+    assert(maxFiles("vectors", "lsh_bucket=") === 1)
+
+    // untouched (already-compact) buckets keep their exact bytes
+    val afterFp = fingerprintDir(Paths.get(d, "postings"), "term_bucket=")
+    (beforeFp.keySet -- fragmented).foreach { b =>
+      assert(afterFp(b) === beforeFp(b), s"clean bucket $b rewritten")
+    }
+    // results identical after the rewrite
+    val bmAfter = SearchIndex.bm25(spark, d, q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bmAfter.keySet === bmBefore.keySet)
+    bmAfter.foreach { case (k, v) => assert(math.abs(v - bmBefore(k)) < 1e-9) }
+  }
+
+  test("incremental update commits through the manifest store; torn view heals on read") {
+    import spark.implicits._
+    import graft.table.ManifestCommitStore
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+    val embs = Tables.embeddings(spark, SfDir).select("vec_id", "embedding")
+    val d = Files.createTempDirectory("index_ms").toString
+    SearchIndex.build(docs, embs, d)
+
+    val batch = Seq((930001L, "qqzeta qqeta qqzeta")).toDF("doc_id", "text")
+    val bEmb = Seq((930001L, Array.fill(64)(0.4f).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    SearchIndex.update(batch, bEmb, d, store = ManifestCommitStore)
+
+    // the touched docfreq bucket is now manifest-committed: a symlinked
+    // read view over an immutable version — no live data was renamed
+    val bucket = SearchIndex.termBucketOf("qqzeta")
+    val live = Paths.get(d, "docfreq", s"term_bucket=$bucket")
+    assert(Files.isSymbolicLink(live))
+    val hits = SearchIndex.bm25(spark, d, "qqzeta qqeta")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits === Seq(930001L))
+
+    // crash window: manifest committed but the link flip was lost —
+    // the plain read path (Tables.loadPath) heals it from the log
+    Files.delete(live)
+    graft.Tables.invalidate(spark, s"$d/docfreq")
+    val healed = SearchIndex.bm25(spark, d, "qqzeta qqeta")
+      .collect().map(_.getLong(0)).toSeq
+    assert(healed === Seq(930001L))
+    assert(Files.isSymbolicLink(live), "read path did not re-link")
+  }
+
   test("update rewrites only the delta's docfreq buckets (others byte-identical)") {
     import spark.implicits._
     val docs = Tables.documents(spark, SfDir)
