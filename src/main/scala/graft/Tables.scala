@@ -46,7 +46,10 @@ object Tables {
     * heal's directory listing to once per (session, path). */
   private[graft] def loadPath(s: SparkSession, path: String): DataFrame =
     memo(s, path) {
-      graft.table.LocalCommitStore.healSwapsUnder(java.nio.file.Paths.get(path))
+      // both protocols' heals are cheap no-ops on dirs the other owns
+      val p = java.nio.file.Paths.get(path)
+      graft.table.LocalCommitStore.healSwapsUnder(p)
+      graft.table.ManifestCommitStore.healSwapsUnder(p)
       s.read.parquet(path)
     }
 

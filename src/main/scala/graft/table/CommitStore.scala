@@ -61,6 +61,188 @@ trait CommitStore extends Serializable {
   def deleteRecursive(path: Path): Unit
 }
 
+/** Manifest-log implementation — the object-store commit protocol
+  * (S3-class stores have no atomic rename), emulated on a local
+  * filesystem so the whole engine can run and be crash-tested against
+  * it.
+  *
+  * Protocol (per pointer path / swap target `X`):
+  *  - an append-only manifest log lives in the hidden dir `.X.mlog/`:
+  *    files `m00000000`, `m00000001`, … — committed state = the
+  *    HIGHEST manifest. Appending uses create-if-absent semantics
+  *    (`Files.move` without REPLACE_EXISTING — the local stand-in for a
+  *    conditional put / `If-None-Match`): two racing committers cannot
+  *    both win one sequence number.
+  *  - [[swapDir]] never renames live data: the staged dir is promoted
+  *    to an immutable version under `.X.versions/` (on a real object
+  *    store the staged write targets that immutable name directly),
+  *    then ONE manifest append commits it. A crash anywhere leaves the
+  *    previous version fully serving — there is no torn window to heal.
+  *  - read view: `X` itself is a SYMLINK to the committed version
+  *    (local stand-in for "readers resolve the manifest"), flipped
+  *    atomically after the commit; [[healSwap]] realigns a link that a
+  *    crash left behind the manifest head, and read paths invoke it via
+  *    [[healSwapsUnder]].
+  *
+  * The auxiliary dirs are dot-prefixed so Spark/Hadoop file listing and
+  * partition discovery never see them (a visible `term_bucket=3.versions`
+  * sibling would read as a phantom partition value). */
+object ManifestCommitStore extends CommitStore {
+
+  private def mlogOf(path: Path): Path =
+    path.resolveSibling("." + path.getFileName.toString + ".mlog")
+  private def versionsOf(target: Path): Path =
+    target.resolveSibling("." + target.getFileName.toString + ".versions")
+  private def vname(seq: Int): String = f"v$seq%08d"
+
+  private def lastManifest(mlog: Path): Option[Path] =
+    if (!Files.isDirectory(mlog)) None
+    else {
+      val s = Files.list(mlog)
+      try {
+        var best: Path = null
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith("m") &&
+              (best == null ||
+                n.compareTo(best.getFileName.toString) > 0)) best = p
+        }
+        Option(best)
+      } finally s.close()
+    }
+
+  private def nextSeq(mlog: Path): Int =
+    lastManifest(mlog)
+      .map(_.getFileName.toString.stripPrefix("m").toInt + 1).getOrElse(0)
+
+  /** Append `content` as the next manifest; the move-without-replace is
+    * the CAS — on a lost race, retry with the next sequence number. */
+  override def putPointer(path: Path, content: String): Unit = {
+    val mlog = mlogOf(path)
+    Files.createDirectories(mlog)
+    val tmp = Files.createTempFile(mlog, ".stage", "")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    var seq = nextSeq(mlog)
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      try {
+        Files.move(tmp, mlog.resolve("m" + f"$seq%08d"),
+          StandardCopyOption.ATOMIC_MOVE)
+        committed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          seq += 1; attempts += 1
+          require(attempts < (1 << 20), s"manifest CAS livelock at $path")
+      }
+    }
+  }
+
+  override def readPointer(path: Path): Option[String] =
+    lastManifest(mlogOf(path)).map(p =>
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+
+  override def swapDir(staged: Path, target: Path): Unit = {
+    val versions = versionsOf(target)
+    Files.createDirectories(versions)
+    healSwap(target) // finish any crashed adoption/flip before committing
+    // one-time adoption of a pre-store plain directory: commit it as a
+    // version FIRST (manifest before move — heal can then always finish)
+    if (Files.isDirectory(target) && !Files.isSymbolicLink(target) &&
+        readPointer(target).isEmpty) {
+      val v0 = vname(0)
+      putPointer(target, v0)
+      Files.move(target, versions.resolve(v0))
+      relink(target, versions.resolve(v0))
+    }
+    // promote the staged dir to the next immutable version (CAS move:
+    // nothing reads it yet, so this is "write to final location")
+    var seq = math.max(nextVersionSeq(versions), 1)
+    var promoted: Path = null
+    while (promoted == null) {
+      try {
+        val dst = versions.resolve(vname(seq))
+        Files.move(staged, dst, StandardCopyOption.ATOMIC_MOVE)
+        promoted = dst
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => seq += 1
+      }
+    }
+    val prev = readPointer(target)
+    putPointer(target, promoted.getFileName.toString) // THE commit
+    relink(target, promoted)                          // read view
+    // vacuum superseded versions (crash before this leaves inspectable,
+    // never-serving orphans)
+    prev.filter(_ != promoted.getFileName.toString)
+      .foreach(v => deleteRecursive(versions.resolve(v)))
+  }
+
+  private def nextVersionSeq(versions: Path): Int = {
+    val s = Files.list(versions)
+    try {
+      var mx = -1
+      val it = s.iterator()
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("v"))
+          mx = math.max(mx, n.stripPrefix("v").toInt)
+      }
+      mx + 1
+    } finally s.close()
+  }
+
+  private def relink(target: Path, dst: Path): Unit = {
+    val tmp = Files.createTempFile(dst.getParent, ".lnk", "")
+    Files.delete(tmp) // need the unique name, not the file
+    Files.createSymbolicLink(tmp, dst.toAbsolutePath)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Realign the read view with the manifest head (crash between commit
+    * and link flip, or an unfinished adoption). */
+  override def healSwap(target: Path): Boolean =
+    readPointer(target) match {
+      case Some(v) =>
+        val want = versionsOf(target).resolve(v).toAbsolutePath
+        if (Files.isDirectory(target) && !Files.isSymbolicLink(target)) {
+          // adoption committed but the plain dir never moved
+          if (!Files.exists(want)) Files.move(target, want)
+          relink(target, want); true
+        } else if (!Files.isSymbolicLink(target) ||
+            Files.readSymbolicLink(target) != want) {
+          if (Files.exists(want)) { relink(target, want); true }
+          else false // manifest names a vacuumed version: nothing to do
+        } else false
+      case None => false
+    }
+
+  override def healSwapsUnder(dir: Path): Int = {
+    var acted = if (healSwap(dir)) 1 else 0
+    if (Files.isDirectory(dir)) {
+      val s = Files.list(dir)
+      val targets = try {
+        val b = Seq.newBuilder[Path]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith(".") && n.endsWith(".mlog"))
+            b += dir.resolve(n.stripPrefix(".").stripSuffix(".mlog"))
+        }
+        b.result()
+      } finally s.close()
+      targets.foreach(t => if (healSwap(t)) acted += 1)
+    }
+    acted
+  }
+
+  override def deleteRecursive(path: Path): Unit =
+    LocalCommitStore.deleteRecursive(path)
+}
+
 /** POSIX-rename implementation — correct on local FS and HDFS. */
 object LocalCommitStore extends CommitStore {
 

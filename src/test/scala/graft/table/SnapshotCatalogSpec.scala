@@ -71,64 +71,128 @@ class SnapshotCatalogSpec extends SparkSpec {
   }
 
   /** CommitStore that dies on the Nth pointer publish — simulates a
-    * crash in the window between data-write and pointer-move. */
-  private final class DyingStore(dieOnPut: Int) extends CommitStore {
+    * crash in the window between data-write and pointer-move. Wraps
+    * either production store, so the crash contract is pinned under
+    * BOTH commit protocols. */
+  private final class DyingStore(dieOnPut: Int,
+      base: CommitStore) extends CommitStore {
     private var puts = 0
     override def putPointer(p: java.nio.file.Path, c: String): Unit = {
       puts += 1
       if (puts == dieOnPut) sys.error("crash before pointer move")
-      LocalCommitStore.putPointer(p, c)
+      base.putPointer(p, c)
     }
-    override def readPointer(p: java.nio.file.Path) =
-      LocalCommitStore.readPointer(p)
+    override def readPointer(p: java.nio.file.Path) = base.readPointer(p)
     override def swapDir(s: java.nio.file.Path, t: java.nio.file.Path) =
-      LocalCommitStore.swapDir(s, t)
-    override def healSwap(t: java.nio.file.Path) = LocalCommitStore.healSwap(t)
+      base.swapDir(s, t)
+    override def healSwap(t: java.nio.file.Path) = base.healSwap(t)
+    override def healSwapsUnder(d: java.nio.file.Path) = base.healSwapsUnder(d)
     override def deleteRecursive(p: java.nio.file.Path) =
-      LocalCommitStore.deleteRecursive(p)
+      base.deleteRecursive(p)
   }
 
-  test("crash between data-write and pointer-move leaves the old version serving") {
-    val base = Files.createTempDirectory("snap").toString
-    val good = SnapshotCatalog(spark, base)
-    good.write("t", Seq(1L).toDF("id"))
-    // second write dies after its data lands but before the pointer moves
-    val dying = SnapshotCatalog(spark, base, new DyingStore(dieOnPut = 1))
-    intercept[RuntimeException](dying.write("t", Seq(2L).toDF("id")))
-    // restart: table still serves v1; the orphan v2 is invisible to read
-    assert(good.currentVersion("t") === Some(1L))
-    assert(good.read("t").as[Long].collect().toSeq === Seq(1L))
-    // the orphan is listed as a directory and vacuumable
-    assert(good.versions("t") === Seq(1L, 2L))
-    val v3 = good.write("t", Seq(3L).toDF("id")) // next commit skips past it
-    assert(v3 === 3L)
-    assert(good.read("t").as[Long].collect().toSeq === Seq(3L))
+  private val bothStores: Seq[(String, CommitStore)] =
+    Seq("local" -> LocalCommitStore, "manifest" -> ManifestCommitStore)
+
+  bothStores.foreach { case (storeName, st) =>
+    test(s"[$storeName] crash between data-write and pointer-move leaves the old version serving") {
+      val base = Files.createTempDirectory("snap").toString
+      val good = SnapshotCatalog(spark, base, st)
+      good.write("t", Seq(1L).toDF("id"))
+      // second write dies after its data lands but before the pointer moves
+      val dying = SnapshotCatalog(spark, base, new DyingStore(1, st))
+      intercept[RuntimeException](dying.write("t", Seq(2L).toDF("id")))
+      // restart: table still serves v1; the orphan v2 is invisible to read
+      assert(good.currentVersion("t") === Some(1L))
+      assert(good.read("t").as[Long].collect().toSeq === Seq(1L))
+      // the orphan is listed as a directory and vacuumable
+      assert(good.versions("t") === Seq(1L, 2L))
+      val v3 = good.write("t", Seq(3L).toDF("id")) // next commit skips past it
+      assert(v3 === 3L)
+      assert(good.read("t").as[Long].collect().toSeq === Seq(3L))
+    }
+
+    test(s"[$storeName] tagged replay heals the crash window without double-writing data") {
+      val base = Files.createTempDirectory("snap").toString
+      val good = SnapshotCatalog(spark, base, st)
+      good.write("t", Seq(1L).toDF("id"))
+      // tagged commit dies between _TAG write and pointer move
+      val dying = SnapshotCatalog(spark, base, new DyingStore(1, st))
+      intercept[RuntimeException](
+        dying.commitTagged("t", Seq(2L).toDF("id"), tag = "batch-7"))
+      assert(good.currentVersion("t") === Some(1L)) // old version intact
+      val dataFiles = Files.walk(java.nio.file.Paths.get(base, "t", "v=2"))
+      val nFilesBefore =
+        try dataFiles.filter(_.toString.endsWith(".parquet")).count()
+        finally dataFiles.close()
+      // replay (the streaming sink's retry) finds the tag and only
+      // re-points — no data rewrite
+      val healed = good.commitTagged("t", Seq(2L).toDF("id"), tag = "batch-7")
+      assert(healed === 2L)
+      assert(good.currentVersion("t") === Some(2L))
+      assert(good.read("t").as[Long].collect().toSeq === Seq(2L))
+      val dataFiles2 = Files.walk(java.nio.file.Paths.get(base, "t", "v=2"))
+      val nFilesAfter =
+        try dataFiles2.filter(_.toString.endsWith(".parquet")).count()
+        finally dataFiles2.close()
+      assert(nFilesAfter === nFilesBefore, "replay rewrote data files")
+    }
+
+    test(s"[$storeName] full snapshot flow: versions, rollback, vacuum") {
+      val c = SnapshotCatalog(spark,
+        Files.createTempDirectory("snap").toString, st)
+      (1 to 3).foreach(i =>
+        c.write("t", Seq((i.toLong, s"v$i")).toDF("id", "s")))
+      assert(c.currentVersion("t") === Some(3L))
+      c.rollback("t", 2L)
+      assert(c.read("t").as[(Long, String)].collect().toSet ===
+        Set((2L, "v2")))
+      assert(c.vacuum("t", keep = 1) === Seq(1L))
+      assert(c.versions("t") === Seq(2L, 3L))
+    }
   }
 
-  test("tagged replay heals the crash window without double-writing data") {
-    val base = Files.createTempDirectory("snap").toString
-    val good = SnapshotCatalog(spark, base)
-    good.write("t", Seq(1L).toDF("id"))
-    // tagged commit dies between _TAG write and pointer move
-    val dying = SnapshotCatalog(spark, base, new DyingStore(dieOnPut = 1))
-    intercept[RuntimeException](
-      dying.commitTagged("t", Seq(2L).toDF("id"), tag = "batch-7"))
-    assert(good.currentVersion("t") === Some(1L)) // old version intact
-    val dataFiles = Files.walk(java.nio.file.Paths.get(base, "t", "v=2"))
-    val nFilesBefore =
-      try dataFiles.filter(_.toString.endsWith(".parquet")).count()
-      finally dataFiles.close()
-    // replay (the streaming sink's retry) finds the tag and only
-    // re-points — no data rewrite
-    val healed = good.commitTagged("t", Seq(2L).toDF("id"), tag = "batch-7")
-    assert(healed === 2L)
-    assert(good.currentVersion("t") === Some(2L))
-    assert(good.read("t").as[Long].collect().toSeq === Seq(2L))
-    val dataFiles2 = Files.walk(java.nio.file.Paths.get(base, "t", "v=2"))
-    val nFilesAfter =
-      try dataFiles2.filter(_.toString.endsWith(".parquet")).count()
-      finally dataFiles2.close()
-    assert(nFilesAfter === nFilesBefore, "replay rewrote data files")
+  test("manifest putPointer is an append-only CAS log; last manifest wins") {
+    val dir = Files.createTempDirectory("mlog")
+    val ptr = dir.resolve("PTR")
+    assert(ManifestCommitStore.readPointer(ptr) === None)
+    ManifestCommitStore.putPointer(ptr, "a")
+    ManifestCommitStore.putPointer(ptr, "b")
+    ManifestCommitStore.putPointer(ptr, "c")
+    assert(ManifestCommitStore.readPointer(ptr) === Some("c"))
+    // the log is append-only: all three manifests exist
+    val mlog = dir.resolve(".PTR.mlog")
+    val n = Files.list(mlog)
+    val manifests =
+      try {
+        val b = Seq.newBuilder[String]
+        n.forEach(p => if (p.getFileName.toString.startsWith("m"))
+          b += p.getFileName.toString)
+        b.result().sorted
+      } finally n.close()
+    assert(manifests === Seq("m00000000", "m00000001", "m00000002"))
+  }
+
+  test("manifest swapDir: no live rename; a torn read view heals from the log") {
+    import org.apache.spark.sql.SaveMode
+    val root = Files.createTempDirectory("mswap")
+    val target = root.resolve("table")
+    // pre-store plain dir (adoption case)
+    Seq(1L, 2L).toDF("id").write.parquet(target.toString)
+    // staged replacement
+    val staged = root.resolve("staged")
+    Seq(3L, 4L, 5L).toDF("id").write.mode(SaveMode.Overwrite)
+      .parquet(staged.toString)
+    ManifestCommitStore.swapDir(staged, target)
+    assert(Files.isSymbolicLink(target), "read view should be a symlink")
+    assert(spark.read.parquet(target.toString).count() === 3)
+    // committed state lives in the manifest, not the link: simulate the
+    // crash window (commit landed, flip didn't) by destroying the link
+    Files.delete(target)
+    assert(ManifestCommitStore.healSwap(target))
+    assert(spark.read.parquet(target.toString)
+      .as[Long].collect().sorted === Seq(3L, 4L, 5L))
+    assert(!ManifestCommitStore.healSwap(target)) // aligned: no-op now
   }
 
   test("swapDir crash window heals: target restored from trash") {
