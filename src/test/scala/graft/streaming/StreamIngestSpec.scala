@@ -65,6 +65,70 @@ class StreamIngestSpec extends SparkSpec {
     assert(knn.collect().length === 2)
   }
 
+  test("cdcIndexPipeline: insert/update/delete exactly-once; index ≡ rebuild per version") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val emb = DeterministicEmbedder(16)
+    val idx = Files.createTempDirectory("cdc_idx").toString + "/index"
+
+    val cat = graft.table.SnapshotCatalog(spark,
+      Files.createTempDirectory("cdc_cat").toString)
+    val v1 = Seq((1L, "grumpy wizards make toxic brew"),
+      (2L, "calm librarians shelve quiet books"),
+      (3L, "secret takedown target document")).toDF("doc_id", "text")
+    cat.write("docs", v1)
+    val v2 = Seq((1L, "grumpy wizards make toxic brew"),
+      (2L, "calm librarians shelve loud books"), // updated
+      (4L, "fresh crawl page about wizards")     // inserted; 3 deleted
+    ).toDF("doc_id", "text")
+    cat.write("docs", v2)
+
+    // reference point: an index rebuilt from scratch over a version
+    def rebuilt(df: org.apache.spark.sql.DataFrame): String = {
+      val d = Files.createTempDirectory("cdc_reb").toString + "/index"
+      val we = graft.embed.BatchEmbed.withEmbedding(df, "text", "embedding", emb)
+      graft.index.SearchIndex.build(we.select("doc_id", "text"),
+        we.select(col("doc_id").as("vec_id"), col("embedding")), d,
+        dim = emb.dim)
+      d
+    }
+    // full table-content comparison — stronger than comparing one query
+    def tableSets(d: String) = (
+      spark.read.parquet(s"$d/postings").select("term", "doc_id", "tf", "dl")
+        .collect().map(_.toSeq).toSet,
+      spark.read.parquet(s"$d/docfreq").select("term", "df")
+        .collect().map(_.toSeq).toSet,
+      spark.read.parquet(s"$d/stats").collect().map(_.toSeq).toSet,
+      spark.read.parquet(s"$d/vectors").select("doc_id")
+        .collect().map(_.toSeq).toSet)
+
+    // batch 0: initial corpus arrives as inserts → index ≡ rebuild(v1)
+    StreamIngest.applyCdcBatch(
+      v1.withColumn("change", lit("inserted")), idx, emb)
+    assert(tableSets(idx) === tableSets(rebuilt(v1)))
+
+    // batch 1: the v1→v2 CDC diff through the real streaming path
+    val in = Files.createTempDirectory("cdc_in").toString + "/b0"
+    cat.diff("docs", 1L, 2L, "doc_id")
+      .select("doc_id", "text", "change").write.parquet(in)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("change", StringType)))
+    val q = StreamIngest.cdcIndexPipeline(
+      StreamIngest.parquetStream(spark, in, schema), idx,
+      Files.createTempDirectory("cdc_ckp").toString, emb)
+    q.awaitTermination(60000)
+    val want = tableSets(rebuilt(v2))
+    assert(tableSets(idx) === want)
+    // the deleted doc is unfindable through every leg
+    assert(graft.index.SearchIndex.bm25(spark, idx, "takedown secret")
+      .count() === 0)
+
+    // replay the SAME batch (a restarted at-least-once sink): retract-
+    // then-insert makes it a no-op — no double-add, no double-delete
+    StreamIngest.applyCdcBatch(spark.read.parquet(in), idx, emb)
+    assert(tableSets(idx) === want)
+  }
+
   test("dedupStream: first writer wins per content hash") {
     val in = Files.createTempDirectory("dedup_in")
     import spark.implicits._
