@@ -18,23 +18,45 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
+  /** Explicit duplicate-key policy: a batch carrying the same key twice
+    * is REJECTED up front — silently merging it would open two
+    * concurrent `is_current` rows for one key, corrupting the dimension
+    * invariant for every later batch. A caller that wants last-wins
+    * semantics must pre-dedup with its own explicit ordering (e.g.
+    * `max_by(struct(*), event_ts)` per key) — unordered DataFrames have
+    * no "last", so this library refuses to invent one. Cost: one
+    * batch-sized aggregate per merge. */
+  private def requireUniqueKeys(incoming: DataFrame, keyCol: String): Unit = {
+    val dups = incoming.groupBy(keyCol).count()
+      .filter(col("count") > 1).select(keyCol).head(3)
+    require(dups.isEmpty,
+      s"SCD2 batch has duplicate keys for '$keyCol' (e.g. " +
+        dups.map(_.get(0)).mkString(", ") +
+        "): pre-dedup with an explicit ordering before merging")
+  }
+
   /** Bootstrap a history from the first batch. */
-  def init(incoming: DataFrame, batchTs: Long): DataFrame =
+  def init(incoming: DataFrame, batchTs: Long,
+      keyCol: Option[String] = None): DataFrame = {
+    keyCol.foreach(requireUniqueKeys(incoming, _))
     incoming
       .withColumn("valid_from", lit(batchTs))
       .withColumn("valid_to", lit(null).cast("long"))
       .withColumn("is_current", lit(true))
+  }
 
   /** Merge a batch at `batchTs`: new keys open rows; changed attributes
     * close the current row and open a new one; unchanged rows are
     * untouched; keys absent from the batch are left open (SCD2 has no
-    * implicit deletes). */
+    * implicit deletes). Duplicate-key batches are rejected — see
+    * [[requireUniqueKeys]]. */
   def merge(history: DataFrame, incoming: DataFrame, keyCol: String,
       batchTs: Long): DataFrame = {
     val attrCols = incoming.columns.filterNot(_ == keyCol).toSeq
     val meta = Seq("valid_from", "valid_to", "is_current")
     require(history.columns.toSet == (incoming.columns ++ meta).toSet,
       "history schema must be incoming schema + valid_from/valid_to/is_current")
+    requireUniqueKeys(incoming, keyCol)
 
     val cur    = history.filter(col("is_current"))
     val closed = history.filter(!col("is_current"))

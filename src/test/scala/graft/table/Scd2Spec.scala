@@ -41,6 +41,26 @@ class Scd2Spec extends SparkSpec {
     assert(h2.collect().toSet === h1.collect().toSet)
   }
 
+  test("duplicate-key batch is rejected with an explicit policy error") {
+    val h = Scd2.init(Seq((1L, "a")).toDF("id", "v"), 1L)
+    // silently merging (2L, "x") twice would open TWO current rows for
+    // key 2 — the library refuses instead of inventing an order
+    val dup = Seq((2L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      Scd2.merge(h, dup, "id", 2L).collect())
+    assert(e.getMessage.contains("duplicate keys"))
+    assert(e.getMessage.contains("pre-dedup"))
+    // init validates too when given the key
+    val e2 = intercept[IllegalArgumentException](
+      Scd2.init(dup, 1L, keyCol = Some("id")))
+    assert(e2.getMessage.contains("duplicate keys"))
+    // the caller's explicit last-wins pre-dedup then merges cleanly
+    val deduped = dup.groupBy("id")
+      .agg(max_by(col("v"), col("v")).as("v"))
+    val h2 = Scd2.merge(h, deduped, "id", 2L)
+    assert(h2.filter(col("is_current") && col("id") === 2L).count() === 1L)
+  }
+
   test("composes with SnapshotCatalog for versioned dimension history") {
     val cat = SnapshotCatalog(spark,
       java.nio.file.Files.createTempDirectory("scd2").toString)
