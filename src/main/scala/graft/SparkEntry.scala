@@ -1024,6 +1024,31 @@ object SparkEntry {
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
       }),
 
+    Q("q93_ivf_batch_knn",
+      // N query vectors, one partition-pruned pass over the IVF cells,
+      // per-query top-k via the bounded agg. Full probe (nProbe = all 8
+      // cells) ⇒ the oracle is per-query brute-force cosine top-k.
+      (s, dir) => graft.index.IvfIndex.knnBatch(s, ivfFor(s, dir),
+        BatchQueries.map { case (qid, t) => qid -> Embedder.embed(t) },
+        10, nProbe = 8)
+        .orderBy("query_id", "rank"),
+      {
+        val branches = BatchQueries.map { case (qid, t) =>
+          val qv = Embedder.embed(t)
+          s"""SELECT $qid::BIGINT AS query_id, vec_id AS doc_id,
+             |    round(${cosSqlFor(qv)}, 6) AS vec_score
+             |  FROM embeddings""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        s"""WITH cands AS (
+           |$branches),
+           |ranked AS (SELECT query_id, doc_id, vec_score,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY vec_score DESC, doc_id) AS rank
+           |  FROM cands)
+           |SELECT query_id, doc_id, vec_score, rank::BIGINT AS rank
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      }),
+
     Q("q38_parse_vector_strings",
       (s, dir) => {
         // F10: the reference stores embeddings as TEXT in the RDB and

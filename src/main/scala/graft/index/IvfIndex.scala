@@ -151,6 +151,60 @@ object IvfIndex {
     graft.Tables.invalidate(spark, s"$vDir/ivf_vectors")
   }
 
+  /** Maintenance — merge the small files [[update]] appends into each
+    * touched cell dir (one per micro-batch) back to one file per cell:
+    * the IVF twin of [[SearchIndex.compact]]. Only fragmented cells are
+    * rewritten, through per-cell staged swaps — untouched cells keep
+    * their exact bytes, results are bit-identical rows. Returns
+    * (filesBefore, filesAfter) over the rewritten cells. */
+  def compact(spark: SparkSession, indexDir: String,
+      store: CommitStore = LocalCommitStore): (Long, Long) = {
+    import java.nio.file.Files
+    val vDir = currentDir(indexDir, store)
+    val root = Paths.get(s"$vDir/ivf_vectors")
+    if (!Files.isDirectory(root)) return (0L, 0L)
+    def filesIn(p: java.nio.file.Path): Int = {
+      val s = Files.list(p)
+      try {
+        var n = 0
+        val it = s.iterator()
+        while (it.hasNext)
+          if (it.next().toString.endsWith(".parquet")) n += 1
+        n
+      } finally s.close()
+    }
+    val ls = Files.list(root)
+    var before = 0L
+    val fragmented = try {
+      val b = Seq.newBuilder[Int]
+      val it = ls.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.startsWith("ivf_cell=") && filesIn(p) > 1) {
+          b += name.stripPrefix("ivf_cell=").toInt
+          before += filesIn(p)
+        }
+      }
+      b.result()
+    } finally ls.close()
+    if (fragmented.isEmpty) return (0L, 0L)
+    val tmp = s"$vDir/ivf_vectors__tmp"
+    graft.Tables.loadPath(spark, s"$vDir/ivf_vectors")
+      .filter(col("ivf_cell").isin(fragmented: _*))
+      .repartition(col("ivf_cell"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp)
+    fragmented.foreach { c =>
+      store.swapDir(Paths.get(tmp, s"ivf_cell=$c"),
+        Paths.get(s"$vDir/ivf_vectors", s"ivf_cell=$c"))
+    }
+    store.deleteRecursive(Paths.get(tmp))
+    graft.Tables.invalidate(spark, s"$vDir/ivf_vectors")
+    var after = 0L
+    fragmented.foreach(c => after += filesIn(root.resolve(s"ivf_cell=$c")))
+    (before, after)
+  }
+
   /** Cell-population imbalance: max(|cell|) / mean(|cell|), over the
     * FULL cell grid (an empty cell counts as 0 — assignment never fills
     * it, so it drags the mean down and shows up as drift). 1.0 is
@@ -255,6 +309,40 @@ object IvfIndex {
           .as("vec_score"))
       .orderBy(col("vec_score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Batch IVF kNN: N query vectors in ONE pass over the index — the
+    * IVF twin of [[SearchIndex.knnBatch]]. Each query ranks centroids
+    * driver-side (index metadata) and probes its own nProbe cells; the
+    * union of probed cells is partition-pruned once, the (query_id →
+    * cell) probe relation and the query vectors are broadcast, and
+    * per-query top-k comes from the k-bounded
+    * [[org.apache.spark.sql.graftext.TopKByScoreAgg]] — never a window
+    * over each query's candidate set. Result ≡ running [[knn]] once per
+    * query. Returns (query_id, doc_id, vec_score, rank). */
+  def knnBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int = 2,
+      store: CommitStore = LocalCommitStore): DataFrame = {
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, v) =>
+      probeCells(spark, indexDir, v, nProbe, store).map(c => (qid, c))
+    }
+    val cells = probeRows.map(_._2).distinct
+    graft.Tables.loadPath(spark, s"${currentDir(indexDir, store)}/ivf_vectors")
+      .filter(col("ivf_cell").isin(cells: _*))
+      .join(broadcast(probeRows.toDF("query_id", "ivf_cell")), "ivf_cell")
+      .join(broadcast(queries.map { case (qid, v) => (qid, v.toSeq) }
+        .toDF("query_id", "qvec")), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        round(VectorFunctions.cosine(col("embedding"), col("qvec")), 6)
+          .as("vec_score"))
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graftext.TopKByScoreAgg.topKByScore(
+        col("vec_score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rk", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.score").as("vec_score"),
+        (col("rk") + 1).cast("long").as("rank"))
   }
 
   /** IVF-SQ8 (the FAISS `IVF*,SQ8` shape): probe the nProbe nearest

@@ -239,8 +239,15 @@ object ManifestCommitStore extends CommitStore {
     acted
   }
 
-  override def deleteRecursive(path: Path): Unit =
+  override def deleteRecursive(path: Path): Unit = {
+    // a symlinked target deletes as just the link (walk doesn't follow);
+    // dropping a protocol-managed path must also drop its manifest log
+    // and version store, or a later re-create would resolve the STALE
+    // manifest and adopt the old data. No-ops for plain paths.
     LocalCommitStore.deleteRecursive(path)
+    LocalCommitStore.deleteRecursive(mlogOf(path))
+    LocalCommitStore.deleteRecursive(versionsOf(path))
+  }
 }
 
 /** POSIX-rename implementation — correct on local FS and HDFS. */

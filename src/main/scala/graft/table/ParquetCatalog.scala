@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.StructType
   * atomic directory swap — full-partition rewrite, the documented
   * trade-off vs a Delta-style log at 100 TB (SURVEY.md §7.4 risk 4).
   */
-final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
+final case class ParquetCatalog(spark: SparkSession, baseDir: String,
+    store: CommitStore = LocalCommitStore) {
 
   private def dir(name: String) = s"$baseDir/$name"
   private def validate(name: String): Unit =
@@ -37,7 +38,7 @@ final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
   def dropTable(name: String): Unit = {
     validate(name)
     val p = Paths.get(dir(name))
-    if (Files.exists(p)) LocalCommitStore.deleteRecursive(p)
+    if (Files.exists(p)) store.deleteRecursive(p)
   }
 
   /** D3/D6 — list tables, sorted (reference ORDER BY table_name).
@@ -48,12 +49,15 @@ final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
     val base = Paths.get(baseDir)
     if (!Files.exists(base)) Seq.empty
     else {
-      LocalCommitStore.healSwapsUnder(base)
+      store.healSwapsUnder(base)
       val s = Files.list(base)
       try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
         .asScala.filter(Files.isDirectory(_))
         .map(_.getFileName.toString)
-        .filterNot(n => n.contains("__tmp_") || n.endsWith("__old"))
+        // hide crashed staging, trash twins, and the manifest store's
+        // dot-prefixed protocol dirs
+        .filterNot(n => n.contains("__tmp_") || n.endsWith("__old") ||
+          n.startsWith("."))
         .toSeq.sorted
       finally s.close()
     }
@@ -85,7 +89,7 @@ final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
   /** Lazy full-table frame — filters/projections compose and push down.
     * Self-heals an interrupted delete/upsert/compact swap on access. */
   def table(name: String): DataFrame = {
-    LocalCommitStore.healSwap(Paths.get(dir(name)))
+    store.healSwap(Paths.get(dir(name)))
     spark.read.parquet(dir(name))
   }
 
@@ -162,7 +166,9 @@ final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
     validate(name)
     val p = Paths.get(dir(name))
     def parquetFiles: Seq[java.nio.file.Path] = {
-      val s = Files.walk(p)
+      // under the manifest store the live dir is a symlink; walk the
+      // real dir (walk never descends through a symlinked start)
+      val s = Files.walk(p.toRealPath())
       try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
         .asScala.filter(_.toString.endsWith(".parquet")).toSeq
       finally s.close()
@@ -183,9 +189,9 @@ final case class ParquetCatalog(spark: SparkSession, baseDir: String) {
     o.get.getOrElse("n", 0L).asInstanceOf[Long]
 
   private def swapIn(tmp: String, target: String): Unit = {
-    // through the CommitStore commit primitive (trash-rename locally;
-    // an object-store deployment swaps the store, not this code)
-    LocalCommitStore.swapDir(Paths.get(tmp), Paths.get(target))
+    // through the injected CommitStore commit primitive (trash-rename
+    // under the local store; manifest commit under the object store)
+    store.swapDir(Paths.get(tmp), Paths.get(target))
     // drop the session-shared file-listing cache for the rewritten dir,
     // or later reads resolve to the deleted files
     spark.catalog.refreshByPath(target)

@@ -133,6 +133,59 @@ class IvfIndexSpec extends SparkSpec {
       .count() === 8)
   }
 
+  test("compact merges update-fragmented cells; knn results identical") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val d = Files.createTempDirectory("ivf_cmp").toString
+    val all = Tables.embeddings(spark, SfDir)
+    IvfIndex.build(all.filter(col("vec_id") % 2 === 0), d, nCells = 8)
+    // two micro-batches fragment the touched cells
+    IvfIndex.update(all.filter(col("vec_id") % 4 === 1), d)
+    IvfIndex.update(all.filter(col("vec_id") % 4 === 3), d)
+    val root = Paths.get(IvfIndex.currentDir(d), "ivf_vectors")
+    def maxFiles: Int = Files.list(root).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith("ivf_cell="))
+      .map(p => Files.list(p).toArray.map(_.toString)
+        .count(_.endsWith(".parquet"))).max
+    assert(maxFiles > 1, "updates did not fragment cells")
+
+    val e  = DeterministicEmbedder(64)
+    val qv = e.embed("spark join merge sort window")
+    val beforeKnn = IvfIndex.knn(spark, d, qv, 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (nb, na) = IvfIndex.compact(spark, d)
+    assert(nb > na, s"no compaction: $nb -> $na")
+    assert(maxFiles === 1)
+    val afterKnn = IvfIndex.knn(spark, d, qv, 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterKnn === beforeKnn)
+    // idempotent: nothing left to merge
+    assert(IvfIndex.compact(spark, d) === ((0L, 0L)))
+  }
+
+  test("batch knn equals N single probes at the same nProbe; no per-query window") {
+    val e = DeterministicEmbedder(64)
+    val queries = Seq(1L -> e.embed("spark join merge sort window"),
+      2L -> e.embed("filter group data stream customer"),
+      3L -> e.embed("table scan part order key"))
+    val batchDf = IvfIndex.knnBatch(spark, dir, queries, 10, nProbe = 2)
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "per-query window sort crept in")
+    assert(plan.contains("topk_by_score"), plan)
+    val batch = batchDf.collect()
+      .map(r => (r.getLong(0), r.getLong(3)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    queries.foreach { case (qid, qv) =>
+      val single = IvfIndex.knn(spark, dir, qv, 10, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(batch.count(_._1._1 == qid) === single.length, s"query $qid size")
+      single.zipWithIndex.foreach { case ((docId, s), i) =>
+        assert(batch((qid, i + 1L)) === ((docId, s)), s"query $qid rank ${i + 1}")
+      }
+    }
+  }
+
   test("tight probe returns candidates from the query's own cell") {
     val e  = DeterministicEmbedder(64)
     // use an actual corpus vector as the query: must be in the probed cell

@@ -150,4 +150,25 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"),
       "pair generation regressed to a join:\n" + s)
   }
+
+  test("q91/q93: batch serving fuses with k-bounded aggs, no per-query window") {
+    // a hot query matching 100M docs must never become a single-task
+    // window sort; both batch paths rank per query with the k-bounded
+    // aggregate and broadcast their tiny probe/query relations
+    Seq("q91_batch_hybrid", "q93_ivf_batch_knn").foreach { q =>
+      val s = fmtOf(q)
+      assert(!s.contains("Window"), s"$q plans a window:\n" + s)
+      assert(s.contains("topk_by_score"), s"$q lost the bounded agg:\n" + s)
+      assert(s.contains("BroadcastHashJoin"),
+        s"$q probe relation not broadcast:\n" + s)
+    }
+  }
+
+  test("q92: delete-then-search probe stays partition-pruned") {
+    val s = fmtOf("q92_index_doc_delete")
+    // the post-delete index serves exactly like a fresh one: the scan
+    // carries the term_bucket partition filter, not a corpus scan
+    assert(s.contains("term_bucket"), "bucket pruning lost:\n" + s)
+    assert(!s.contains("Window"), "window crept into bm25:\n" + s)
+  }
 }

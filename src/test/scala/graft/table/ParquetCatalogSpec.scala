@@ -84,6 +84,39 @@ class ParquetCatalogSpec extends SparkSpec {
       .head().getLong(0) === 500500L)
   }
 
+  test("full mutation flow under the manifest commit store") {
+    // the catalog's swap-based mutations (delete/upsert/compact) run
+    // unchanged over the object-store protocol: data never renamed live,
+    // every publish is a manifest append + link flip
+    val c = ParquetCatalog(spark,
+      Files.createTempDirectory("cat_ms").toString, ManifestCommitStore)
+    c.createTable("docs", schema)
+    c.insert("docs", Seq(("a", "x", 1), ("b", "y", 2), ("c", "z", 3))
+      .toDF("id", "page_content", "page"))
+    assert(c.deleteByIds("docs", "id", Seq("a")) === 1L)
+    assert(Files.isSymbolicLink(
+      java.nio.file.Paths.get(c.baseDir, "docs")))
+    val (up, ins) = c.upsert("docs", "id",
+      Seq(("b", "Y2", 2), ("d", "w", 4)).toDF("id", "page_content", "page"))
+    assert((up, ins) === ((1L, 1L)))
+    assert(c.table("docs").select("id").as[String].collect().sorted ===
+      Seq("b", "c", "d"))
+    val (nb, na) = c.compact("docs")
+    assert(nb >= na && na >= 1)
+    assert(c.table("docs").count() === 3)
+    assert(c.listTables() === Seq("docs")) // no protocol dirs leak through
+
+    // drop removes the manifest log too: a recreated table must NOT
+    // resolve the stale manifest and adopt the dropped data
+    c.dropTable("docs")
+    assert(c.listTables() === Seq.empty)
+    c.createTable("docs", schema)
+    c.insert("docs", Seq(("z", "fresh", 9)).toDF("id", "page_content", "page"))
+    assert(c.deleteByIds("docs", "id", Seq("none")) === 0L) // forces a swap
+    assert(c.table("docs").select("id").as[String].collect().toSeq ===
+      Seq("z"))
+  }
+
   test("insertFromCsv: header + null fill (S7)") {
     val c = freshCatalog()
     val csv = Files.createTempFile("in", ".csv")
