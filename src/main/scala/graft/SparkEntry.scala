@@ -761,8 +761,18 @@ object SparkEntry {
   private def deletedIndexFor(s: SparkSession, dir: String): String =
     delIndexCache.computeIfAbsent(dir, d => {
       val out = java.nio.file.Files.createTempDirectory("graft_index_del_").toString
-      graft.index.SearchIndex.build(Tables.documents(s, d),
-        Tables.embeddings(s, d), out)
+      // index files are immutable once written: a file-level copy of the
+      // shared index is the cheap way to a second instance (no second
+      // build pass over the corpus in warm-up)
+      val src = java.nio.file.Paths.get(indexFor(s, d))
+      val dst = java.nio.file.Paths.get(out)
+      val walk = java.nio.file.Files.walk(src)
+      try walk.forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      } finally walk.close()
       val victims = Tables.documents(s, d)
         .filter(col("doc_id") % 37 === 0)
         .select("doc_id").collect().map(_.getLong(0)).toSeq

@@ -75,12 +75,12 @@ object StreamIngest {
   def indexPipeline(spark: SparkSession, inDir: String, indexDir: String,
       checkpointDir: String, embedder: Embedder,
       extractor: PageExtractor = TextPageExtractor(),
-      glob: String = "*"): StreamingQuery =
+      glob: String = "*", compactEvery: Int = 0): StreamingQuery =
     embeddedStream(spark, inDir, embedder, extractor, glob).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+          org.apache.spark.sql.Row], batchId: Long) =>
         val pages = batch.withColumn("page_id",
           concat(col("hashed_filepath"), lit("#"), col("page")))
         val docs = pages.select(col("page_id").as("doc_id"),
@@ -94,6 +94,37 @@ object StreamIngest {
         else
           graft.index.SearchIndex.build(docs, embs, indexDir,
             dim = embedder.dim)
+        // operational hygiene: every update appends a file per touched
+        // bucket, so a long-lived pipeline periodically folds them back
+        // to one (results identical — SearchIndexSpec). Idempotent, so
+        // a replayed batch re-compacting is harmless.
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          { graft.index.SearchIndex.compact(spark, indexDir); () }
+      }
+      .start()
+
+  /** Online batch serving: a stream of (query_id, text) queries answered
+    * per micro-batch with ONE [[graft.index.SearchIndex.hybridBatch]]
+    * pass over the index, appended to `outDir` tagged by batch. The
+    * query relation is micro-batch-sized (collected driver-side, like
+    * any serving frontend holds its in-flight requests); the index scan
+    * stays partition-pruned and the per-query top-k k-bounded. */
+  def searchServe(queries: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, embedder: Embedder, k: Int = 10,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = df.sparkSession
+        val qs = df.select(col("query_id").cast("long"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        if (qs.nonEmpty)
+          graft.index.SearchIndex.hybridBatch(spark, indexDir, qs,
+            embedder, size = k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
       }
       .start()
 

@@ -48,12 +48,19 @@ class StreamIngestSpec extends SparkSpec {
     assert(hit1.length === 1)
 
     // a later file is folded in incrementally and becomes searchable;
-    // the first doc's results are unchanged
+    // the first doc's results are unchanged. compactEvery=1 exercises
+    // the in-pipeline maintenance hook: buckets stay one file each.
     Files.write(Paths.get(in, "catA/beta.txt"),
       "calm librarians shelve quiet books".getBytes)
     val q2 = StreamIngest.indexPipeline(spark, in, idx, ckp, emb,
-      glob = "*.txt")
+      glob = "*.txt", compactEvery = 1)
     q2.awaitTermination(60000)
+    val maxFiles = Files.list(Paths.get(idx, "postings")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith("term_bucket="))
+      .map(p => Files.list(p).toArray.map(_.toString)
+        .count(_.endsWith(".parquet"))).max
+    assert(maxFiles === 1, "auto-compaction left fragmented buckets")
     assert(graft.index.SearchIndex.bm25(spark, idx, "librarians")
       .collect().length === 1)
     assert(graft.index.SearchIndex.bm25(spark, idx, "wizards")
@@ -63,6 +70,38 @@ class StreamIngestSpec extends SparkSpec {
       emb.embed("quiet books"), 2, dim = 16,
       probeHammingRadius = graft.index.SearchIndex.LshBits)
     assert(knn.collect().length === 2)
+  }
+
+  test("searchServe: streamed queries answered per micro-batch from the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val emb = DeterministicEmbedder(16)
+    val idx = Files.createTempDirectory("serve_idx").toString + "/index"
+    val docs = Seq((1L, "grumpy wizards make toxic brew"),
+      (2L, "calm librarians shelve quiet books")).toDF("doc_id", "text")
+    val we = graft.embed.BatchEmbed.withEmbedding(docs, "text", "embedding", emb)
+    graft.index.SearchIndex.build(we.select("doc_id", "text"),
+      we.select(col("doc_id").as("vec_id"), col("embedding")), idx,
+      dim = emb.dim)
+
+    val in = Files.createTempDirectory("serve_in").toString
+    Seq((10L, "wizards brew"), (20L, "quiet librarians"))
+      .toDF("query_id", "text").write.parquet(in + "/b0")
+    val out = Files.createTempDirectory("serve_out").toString + "/results"
+    val schema = StructType(Seq(StructField("query_id", LongType),
+      StructField("text", StringType)))
+    val q = StreamIngest.searchServe(
+      StreamIngest.parquetStream(spark, in + "/b0", schema), idx, out,
+      Files.createTempDirectory("serve_ckp").toString, emb, k = 2)
+    q.awaitTermination(60000)
+
+    val res = spark.read.parquet(out)
+    // each query answered; rank-1 hits the right doc
+    val top = res.filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("doc_id")).toMap
+    assert(top === Map(10L -> 1L, 20L -> 2L))
+    assert(res.columns.contains("batch_id"))
   }
 
   test("cdcIndexPipeline: insert/update/delete exactly-once; index ≡ rebuild per version") {
