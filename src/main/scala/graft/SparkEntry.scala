@@ -1059,6 +1059,115 @@ object SparkEntry {
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
       }),
 
+    Q("q94_rerank_chain",
+      // the full serving chain LLM retrieval actually runs: hybrid
+      // retrieve top-50 from the index (partition-pruned), then RERANK
+      // the candidate set with a second, finer scorer — here a
+      // deterministic token-set jaccard standing in the cross-encoder
+      // slot (the model call is a per-candidate scalar; the CHAIN shape
+      // — cheap wide retrieve, expensive narrow rerank — is the point).
+      // Rerank cost is 50 rows, never the corpus.
+      (s, dir) => {
+        val cands = graft.index.SearchIndex.hybrid(s, indexFor(s, dir),
+          QueryText, Embedder, size = 50, probeHammingRadius = 2)
+        val qlit = lit(QueryTerms)
+        val toks = array_distinct(TextFunctions.tokens(col("text")))
+        Tables.documents(s, dir).join(cands, "doc_id")
+          .select(col("doc_id"),
+            round(size(array_intersect(toks, qlit)).cast("double") /
+              size(array_union(toks, qlit)).cast("double"), 6).as("rerank"),
+            col("score"))
+          .orderBy(col("rerank").desc, col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      {
+        val qSig = VectorSearch.querySignature(QueryVec, EmbedDim, 8)
+        val probes = (0L until 256L)
+          .filter(b => java.lang.Long.bitCount(b ^ qSig) <= 2)
+          .mkString(", ")
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+           |posting AS (
+           |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+           |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+           |       FROM posting GROUP BY doc_id, term, dl),
+           |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+           |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+           |dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+           |  FROM tf WHERE term IN (SELECT unnest($qtermsSql)) GROUP BY term),
+           |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+           |  FROM dfreq, stats),
+           |text_s AS (
+           |  SELECT doc_id, sum(term_score) AS text_score FROM (
+           |    SELECT tf.doc_id,
+           |      idf.idf * tf.tf * (1.2 + 1.0) /
+           |        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS term_score
+           |    FROM tf JOIN idf ON tf.term = idf.term, stats)
+           |  GROUP BY doc_id),
+           |vec_s AS (
+           |  SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
+           |  FROM embeddings
+           |  WHERE ${lshBucketSql()} IN ($probes)
+           |  ORDER BY vec_score DESC, doc_id LIMIT ${HybridSearch.numCandidates(50)}),
+           |fused AS (
+           |  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+           |    round(coalesce(t.text_score, 0.0) * 1.0
+           |        + coalesce(v.vec_score, 0.0) * 0.8, 6) AS score
+           |  FROM text_s t FULL OUTER JOIN vec_s v ON t.doc_id = v.doc_id),
+           |top50 AS (SELECT doc_id, score FROM fused WHERE score >= 0.5
+           |          ORDER BY score DESC, doc_id LIMIT 50),
+           |rr AS (
+           |  SELECT t.doc_id,
+           |    round(len(list_distinct(list_intersect(k.l, $qtermsSql)))::DOUBLE /
+           |          len(list_distinct(k.l || $qtermsSql))::DOUBLE, 6) AS rerank,
+           |    t.score
+           |  FROM top50 t JOIN toks k ON k.doc_id = t.doc_id)
+           |SELECT doc_id, rerank, score FROM rr
+           |ORDER BY rerank DESC, score DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+    Q("q95_sequence_packing",
+      // training-batch sequence packing: concatenate documents in a
+      // deterministic order and cut fixed token-budget sequences — the
+      // GPT-style packing pass, computed WITHOUT materializing the
+      // concatenation: a doc's sequence id is floor(preceding-tokens /
+      // budget). Streams are (lang, shard) with shard = md5(doc_id) % 8,
+      // so the per-stream window is bounded by design at 100 TB (packing
+      // order is inherently per-stream sequential; the shard count is
+      // the parallelism knob).
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 512.0
+        val ntok = size(TextFunctions.tokens(col("text")))
+        val shard =
+          (TextFunctions.md5Long(col("doc_id").cast("string")) % 8).cast("int")
+        val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        Tables.documents(s, dir)
+          .select(col("lang"), shard.as("shard"), col("doc_id"),
+            ntok.cast("long").as("n_tok"))
+          .withColumn("cum", sum("n_tok").over(w))
+          .withColumn("seq_id",
+            floor((col("cum") - col("n_tok")).cast("double") / budget)
+              .cast("long"))
+          .groupBy("lang", "shard", "seq_id")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_tok").cast("long").as("n_tokens"))
+          .orderBy("lang", "shard", "seq_id")
+      },
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    ${md5LongSql("doc_id::VARCHAR")} % 8 AS shard,
+         |    doc_id, len($toksSql)::BIGINT AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, shard, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum
+         |  FROM d)
+         |SELECT lang, shard::INT AS shard,
+         |  floor((cum - n_tok)::DOUBLE / 512.0)::BIGINT AS seq_id,
+         |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+         |FROM c GROUP BY lang, shard, seq_id
+         |ORDER BY lang, shard, seq_id""".stripMargin),
+
     Q("q38_parse_vector_strings",
       (s, dir) => {
         // F10: the reference stores embeddings as TEXT in the RDB and
