@@ -8,16 +8,157 @@ import org.apache.spark.sql.types._
   * `binary` with typed metadata, plus decode / feature-extract /
   * frame-sample stages.
   *
-  * The actual codecs (image/audio/video decoding) are NOT available in
-  * this build — every `decode*` here is a clearly-marked deterministic
-  * STUB that a production deployment replaces with a real library call
-  * inside the same `mapPartitions` slot. What IS real and tested is the
-  * Spark-side design: schema, batch shape (per-partition iterator —
-  * decoder state initialized once per partition, rows streamed through),
-  * fail-soft error rows, and bounded memory (never materialize a
-  * partition's media in a list).
+  * IMAGES are decoded for real — `javax.imageio` ships in the JDK
+  * (PNG/JPEG/BMP/GIF/WBMP), so [[withImageMeta]], [[withImageResized]]
+  * and [[withImageFeatures]] run true decode / resample / pixel-feature
+  * stages with no external dependency. Audio/video codecs are NOT in
+  * the JDK, so those `decode*` stages remain clearly-marked
+  * deterministic STUBS that a production deployment replaces with a
+  * real library call inside the same `mapPartitions` slot. In both
+  * cases the Spark-side design is real and tested: schema, batch shape
+  * (per-partition iterator — decoder state initialized once per
+  * partition, rows streamed through), fail-soft error rows, and bounded
+  * memory (never materialize a partition's media in a list).
   */
 object Multimodal {
+
+  // ------------------------------------------------------ real image leg
+
+  /** Image metadata struct for [[withImageMeta]]. */
+  val ImageMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("decode_error", StringType)))
+
+  /** Sniff + decode one image; fail-soft. Runs executor-side. */
+  private def decodeImage(bytes: Array[Byte])
+      : Either[String, (String, java.awt.image.BufferedImage)] =
+    if (bytes == null || bytes.isEmpty) Left("empty media")
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Left("no decoder for content")
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Right((r.getFormatName.toLowerCase, r.read(0)))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+
+  /** REAL image decode: appends a `(format, width, height, decode_error)`
+    * struct from the actual bytes. */
+  def withImageMeta(df: DataFrame, binCol: String,
+      outCol: String = "image_meta"): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, ImageMetaSchema))
+    val enc    = org.apache.spark.sql.Encoders.row(schema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp files on executors
+      rows.map { r =>
+        val meta = decodeImage(r.getAs[Array[Byte]](binIdx)) match {
+          case Right((fmt, img)) => Row(fmt, img.getWidth, img.getHeight, null)
+          case Left(err)         => Row(null, null, null, err)
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** REAL resample: decode, aspect-preserving fit into `maxW x maxH`
+    * (never upscales), bilinear redraw, PNG re-encode. Emits
+    * `<binCol>_resized` + post-resize dims; undecodable media fail soft
+    * to empty bytes + null dims. */
+  def withImageResized(df: DataFrame, binCol: String, maxW: Int,
+      maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, "target dims must be positive")
+    val outCol = binCol + "_resized"
+    val schema = df.schema
+      .add(StructField(outCol, BinaryType))
+      .add(StructField(outCol + "_dims", StructType(Seq(
+        StructField("width", IntegerType), StructField("height", IntegerType)))))
+    val enc    = org.apache.spark.sql.Encoders.row(schema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        decodeImage(r.getAs[Array[Byte]](binIdx)) match {
+          case Right((_, img)) =>
+            val scale = math.min(1.0, math.min(
+              maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+            val w = math.max(1, math.round(img.getWidth * scale).toInt)
+            val h = math.max(1, math.round(img.getHeight * scale).toInt)
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null); ()
+            } finally g.dispose()
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", baos)
+            Row.fromSeq(r.toSeq :+ baos.toByteArray :+ Row(w, h))
+          case Left(_) =>
+            Row.fromSeq(r.toSeq :+ Array.empty[Byte] :+ Row(null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL pixel features: L2-normalized luminance histogram over the
+    * decoded pixels (the no-model image feature), plus an integer-count
+    * md5 signature like [[withMediaFeatures]]. Undecodable media → zero
+    * vector + null signature. */
+  def withImageFeatures(df: DataFrame, binCol: String, bins: Int = 64,
+      outCol: String = "image_features"): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val schema = df.schema
+      .add(StructField(outCol, ArrayType(FloatType)))
+      .add(StructField(outCol + "_sig", StringType))
+    val enc    = org.apache.spark.sql.Encoders.row(schema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        decodeImage(r.getAs[Array[Byte]](binIdx)) match {
+          case Right((_, img)) =>
+            val counts = new Array[Long](bins)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                // ITU-R BT.601 integer luma
+                val luma = (299 * ((rgb >> 16) & 0xff) +
+                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                counts(math.min(bins - 1, luma * bins / 256)) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            val norm = math.sqrt(counts.foldLeft(0.0)((a, c) =>
+              a + c.toDouble * c.toDouble))
+            val feats = counts.map(c =>
+              if (norm == 0) 0f else (c.toDouble / norm).toFloat).toSeq
+            md.reset()
+            val sig = md.digest(counts.mkString(",").getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+            Row.fromSeq(r.toSeq :+ feats :+ sig)
+          case Left(_) =>
+            Row.fromSeq(r.toSeq :+
+              Seq.fill(bins)(0f) :+ null.asInstanceOf[String])
+        }
+      }
+    }(enc)
+  }
 
   /** Typed metadata carried next to the opaque media bytes. */
   val MetaSchema: StructType = StructType(Seq(

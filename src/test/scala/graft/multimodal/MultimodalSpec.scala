@@ -26,6 +26,70 @@ class MultimodalSpec extends SparkSpec {
     assert(again(0).getStruct(3) === rows(0).getStruct(3))
   }
 
+  // ---- real image codec (pure JDK javax.imageio) ----------------------
+
+  /** A real encoded image: solid color with one distinct corner pixel. */
+  private def png(w: Int, h: Int, rgb: Int, format: String = "png")
+      : Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    img.setRGB(0, 0, 0xffffff ^ rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  private lazy val images = Seq(
+    (1L, png(40, 20, 0x336699)),
+    (2L, png(8, 8, 0x000000, format = "jpg")),
+    (3L, "not an image at all".getBytes("UTF-8")),
+    (4L, Array.empty[Byte])
+  ).toDF("media_id", "media")
+
+  test("withImageMeta: REAL decode — true formats and dimensions, fail-soft") {
+    val rows = Multimodal.withImageMeta(images, "media")
+      .orderBy("media_id").collect()
+    val m1 = rows(0).getStruct(2)
+    assert((m1.getAs[String]("format"), m1.getAs[Int]("width"),
+      m1.getAs[Int]("height")) === (("png", 40, 20)))
+    assert(rows(1).getStruct(2).getAs[String]("format")
+      .matches("jpe?g"))
+    assert(rows(2).getStruct(2).getAs[String]("decode_error") != null)
+    assert(rows(3).getStruct(2).getAs[String]("decode_error") === "empty media")
+  }
+
+  test("withImageResized: REAL resample — aspect-preserving fit, decodable output") {
+    val rows = Multimodal.withImageResized(images, "media", 16, 16)
+      .orderBy("media_id").collect()
+    // 40x20 fits 16x16 at scale 0.4 → 16x8
+    assert(rows(0).getStruct(3) === org.apache.spark.sql.Row(16, 8))
+    val outBytes = rows(0).getAs[Array[Byte]](2)
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(outBytes))
+    assert((round.getWidth, round.getHeight) === ((16, 8)))
+    // small images never upscale
+    assert(rows(1).getStruct(3) === org.apache.spark.sql.Row(8, 8))
+    // undecodable/empty fail soft
+    assert(rows(2).getAs[Array[Byte]](2).isEmpty)
+    assert(rows(3).getStruct(3) === org.apache.spark.sql.Row(null, null))
+  }
+
+  test("withImageFeatures: REAL luminance histogram — unit norm, mass where expected") {
+    val rows = Multimodal.withImageFeatures(images, "media", bins = 16)
+      .orderBy("media_id").collect()
+    val f1 = rows(0).getSeq[Float](2)
+    val norm = math.sqrt(f1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // solid 0x336699: luma = (299*0x33 + 587*0x66 + 114*0x99)/1000 = 92
+    // → bin 92*16/256 = 5 holds nearly all mass (one corner pixel apart)
+    assert(f1(5) > 0.99f, f1.toString)
+    assert(rows(0).getString(3) != null) // integer-count signature present
+    // undecodable → zero vector, null signature
+    assert(rows(2).getSeq[Float](2).forall(_ === 0f))
+    assert(rows(2).getString(3) == null)
+  }
+
   test("sampleFrames: n rows per media row, non-empty frame bytes") {
     val f = Multimodal.sampleFrames(media.filter(col("media_id") === 2L),
       "media", 4)
