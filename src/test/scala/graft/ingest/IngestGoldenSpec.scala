@@ -154,6 +154,21 @@ class IngestGoldenSpec extends SparkSpec {
     }
   }
 
+  test("E1 pipeline end-to-end on the real PDFs: scan → parse → enrich → embed → write") {
+    import graft.embed.DeterministicEmbedder
+    val out = java.nio.file.Files.createTempDirectory("pdf_e1").toString
+    val df = Ingest.pipeline(spark, pdfDir, out,
+      DeterministicEmbedder(16), PdfPageExtractor(), glob = "*.pdf")
+    val written = spark.read.parquet(out)
+    // 69 + 52 pages, all parsed successfully, all embedded + enriched
+    assert(written.count() === 121)
+    assert(written.filter(col("status") =!= "success").count() === 0)
+    assert(written.filter(size(col("embeddings")) =!= 16).count() === 0)
+    assert(written.filter(col("page_content")
+      .startsWith("This page explains ")).count() === 121)
+    assert(df.columns.contains("hashed_page_content"))
+  }
+
   test("MarkdownPageExtractor passes real markdown pages through unchanged") {
     // the golden bodies are already Docling markdown: re-extraction must
     // not mangle them (decode is strict UTF-8; no false table detection)
