@@ -164,6 +164,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q94: rerank joins the candidate side broadcast (corpus streams)") {
+    val s = fmtOf("q94_rerank_chain")
+    // the 50-candidate relation must be the build side; the documents
+    // scan streams through — never a shuffle join keyed on the corpus
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q95: packing runs on ONE data shuffle; groupBy reuses the window partitioning") {
+    val s = fmtOf("q95_sequence_packing")
+    // tree nodes: spread repartition + the (lang, shard) hash for the
+    // window + the final presentation sort — and NOTHING between the
+    // window and its aggregate (same keys ⇒ exchange-free groupBy)
+    val exchanges = s.linesIterator
+      .count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 3, s"extra exchange crept in ($exchanges):\n" + s)
+    assert(s.contains("Window"), s)
+  }
+
   test("q92: delete-then-search probe stays partition-pruned") {
     val s = fmtOf("q92_index_doc_delete")
     // the post-delete index serves exactly like a fresh one: the scan
