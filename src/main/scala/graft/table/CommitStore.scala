@@ -69,10 +69,12 @@ trait CommitStore extends Serializable {
   * Protocol (per pointer path / swap target `X`):
   *  - an append-only manifest log lives in the hidden dir `.X.mlog/`:
   *    files `m00000000`, `m00000001`, … — committed state = the
-  *    HIGHEST manifest. Appending uses create-if-absent semantics
-  *    (`Files.move` without REPLACE_EXISTING — the local stand-in for a
-  *    conditional put / `If-None-Match`): two racing committers cannot
-  *    both win one sequence number.
+  *    HIGHEST manifest. Appending uses genuinely conditional primitives
+  *    (`link(2)` for manifest files, `open(O_CREAT|O_EXCL)` claim
+  *    markers for version dirs — the local stand-ins for a conditional
+  *    put / `If-None-Match`; NOT `rename(2)`, which silently replaces
+  *    on POSIX): two racing committers cannot both win one sequence
+  *    number.
   *  - [[swapDir]] never renames live data: the staged dir is promoted
   *    to an immutable version under `.X.versions/` (on a real object
   *    store the staged write targets that immutable name directly),
@@ -117,8 +119,13 @@ object ManifestCommitStore extends CommitStore {
     lastManifest(mlog)
       .map(_.getFileName.toString.stripPrefix("m").toInt + 1).getOrElse(0)
 
-  /** Append `content` as the next manifest; the move-without-replace is
-    * the CAS — on a lost race, retry with the next sequence number. */
+  /** Append `content` as the next manifest. The CAS is a HARD LINK to
+    * the fully-written temp file: `link(2)` fails with EEXIST when the
+    * name is taken (unlike `rename(2)`, which silently replaces — a
+    * move here would let two racing committers both claim one sequence
+    * number and lose a manifest). The content is complete before the
+    * name appears, so a concurrent reader never sees a torn manifest.
+    * On a lost race, retry with the next sequence number. */
   override def putPointer(path: Path, content: String): Unit = {
     val mlog = mlogOf(path)
     Files.createDirectories(mlog)
@@ -128,17 +135,27 @@ object ManifestCommitStore extends CommitStore {
     var committed = false
     var attempts = 0
     while (!committed) {
-      try {
-        Files.move(tmp, mlog.resolve("m" + f"$seq%08d"),
-          StandardCopyOption.ATOMIC_MOVE)
-        committed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          seq += 1; attempts += 1
-          require(attempts < (1 << 20), s"manifest CAS livelock at $path")
+      committed = linkIfAbsent(mlog.resolve("m" + f"$seq%08d"), tmp)
+      if (!committed) {
+        seq += 1; attempts += 1
+        require(attempts < (1 << 20), s"manifest CAS livelock at $path")
       }
     }
+    Files.delete(tmp) // the committed name keeps the inode alive
   }
+
+  /** The conditional-put primitive (local stand-in for If-None-Match):
+    * true iff `dst` did not exist and now carries `src`'s content. */
+  private[table] def linkIfAbsent(dst: Path, src: Path): Boolean =
+    try { Files.createLink(dst, src); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  /** Claim a name with `open(O_CREAT|O_EXCL)` semantics — the
+    * conditional primitive for names that will hold a DIRECTORY (hard
+    * links can't target dirs): true iff this caller created the claim. */
+  private[table] def claimIfAbsent(claim: Path): Boolean =
+    try { Files.createFile(claim); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
 
   override def readPointer(path: Path): Option[String] =
     lastManifest(mlogOf(path)).map(p =>
@@ -154,21 +171,24 @@ object ManifestCommitStore extends CommitStore {
         readPointer(target).isEmpty) {
       val v0 = vname(0)
       putPointer(target, v0)
+      claimIfAbsent(versions.resolve(claimName(0)))
       Files.move(target, versions.resolve(v0))
       relink(target, versions.resolve(v0))
     }
-    // promote the staged dir to the next immutable version (CAS move:
-    // nothing reads it yet, so this is "write to final location")
+    // promote the staged dir to the next immutable version. The name is
+    // claimed FIRST via a create-exclusive marker file (rename alone
+    // would silently replace a racing committer's version on POSIX);
+    // once claimed the name is uniquely ours and the move cannot race.
+    // Claim markers persist so a vacuumed version's number is never
+    // reused (nextVersionSeq counts them).
     var seq = math.max(nextVersionSeq(versions), 1)
     var promoted: Path = null
     while (promoted == null) {
-      try {
+      if (claimIfAbsent(versions.resolve(claimName(seq)))) {
         val dst = versions.resolve(vname(seq))
         Files.move(staged, dst, StandardCopyOption.ATOMIC_MOVE)
         promoted = dst
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => seq += 1
-      }
+      } else seq += 1
     }
     val prev = readPointer(target)
     putPointer(target, promoted.getFileName.toString) // THE commit
@@ -179,6 +199,8 @@ object ManifestCommitStore extends CommitStore {
       .foreach(v => deleteRecursive(versions.resolve(v)))
   }
 
+  private def claimName(seq: Int): String = "." + vname(seq) + ".claim"
+
   private def nextVersionSeq(versions: Path): Int = {
     val s = Files.list(versions)
     try {
@@ -186,8 +208,14 @@ object ManifestCommitStore extends CommitStore {
       val it = s.iterator()
       while (it.hasNext) {
         val n = it.next().getFileName.toString
-        if (n.startsWith("v"))
-          mx = math.max(mx, n.stripPrefix("v").toInt)
+        // count claim markers too: a vacuumed version leaves its claim
+        // behind, and its sequence number must never be reissued
+        val core =
+          if (n.startsWith(".") && n.endsWith(".claim"))
+            n.stripPrefix(".").stripSuffix(".claim")
+          else n
+        if (core.startsWith("v") && core.drop(1).forall(_.isDigit))
+          mx = math.max(mx, core.stripPrefix("v").toInt)
       }
       mx + 1
     } finally s.close()
