@@ -233,56 +233,68 @@ object SearchIndex {
 
     val postings = spark.read.parquet(s"$indexDir/postings")
     val victims = postings.filter(isVictim).persist()
-    try {
-      // force materialization BEFORE any swap: later stages (docfreq,
-      // stats) read the victim rows after their source files were swapped
-      victims.count()
-      // bounded by TermBuckets — metadata-scale collect
+    // Every victim-derived aggregate is MATERIALIZED ON THE DRIVER before
+    // the first swap. A persist() is not durable: cache eviction or
+    // executor loss recomputes the lineage, and after the postings swap
+    // that lineage re-reads the already-rewritten files — zero victim
+    // rows, so docfreq/stats would silently diverge from the postings
+    // (corrupted BM25 idf/avgdl, no error). All three collects are
+    // metadata-scale: touched buckets ≤ TermBuckets; df decrements ≤
+    // |victim docs| × their distinct terms (a takedown batch, not the
+    // corpus); the stats delta is one row.
+    val (touched, decRows, dN, dSum) = try {
       val touched = victims.select("term_bucket").distinct()
         .collect().map(_.getInt(0)).sorted.toSeq
-      if (touched.nonEmpty) {
-        writeSwapBuckets(
-          postings.filter(col("term_bucket").isin(touched: _*) && !isVictim)
-            .repartition(col("term_bucket")),
-          s"$indexDir/postings", "term_bucket", touched, store)
-
-        val positions = spark.read.parquet(s"$indexDir/positions")
-        val touchedPos = positions
-          .filter(isVictim).select("term_bucket").distinct()
-          .collect().map(_.getInt(0)).sorted.toSeq
-        if (touchedPos.nonEmpty) writeSwapBuckets(
-          positions.filter(col("term_bucket").isin(touchedPos: _*) && !isVictim)
-            .repartition(col("term_bucket")),
-          s"$indexDir/positions", "term_bucket", touchedPos, store)
-
-        // docfreq: per-term decrement by the victims' distinct-doc count;
-        // df exhausted ⇒ the term leaves the dictionary
-        val dec = victims.groupBy("term_bucket", "term")
-          .agg(countDistinct("doc_id").cast("double").as("ddf"))
-        val mergedDf = spark.read.parquet(s"$indexDir/docfreq")
-          .filter(col("term_bucket").isin(touched: _*))
-          .join(dec, Seq("term_bucket", "term"), "left")
-          .select(col("term_bucket"), col("term"),
-            (col("df") - coalesce(col("ddf"), lit(0.0))).as("df"))
-          .filter(col("df") > 0)
-        writeSwapBuckets(mergedDf.repartition(col("term_bucket")),
-          s"$indexDir/docfreq", "term_bucket", touched, store)
-
-        // stats: subtract the victims actually present (integer-valued
-        // dl sums subtract exactly, mirroring update's exact merge)
-        val vStats = victims.select("doc_id", "dl").distinct()
-          .agg(count(lit(1)).cast("double").as("d_n"),
-            sum("dl").as("d_sum"))
-        val mergedStats = spark.read.parquet(s"$indexDir/stats")
-          .crossJoin(vStats)
-          .select((col("n_docs") - col("d_n")).as("n_docs"),
-            ((col("sum_dl") - col("d_sum")) / (col("n_docs") - col("d_n")))
-              .as("avgdl"),
-            (col("sum_dl") - col("d_sum")).as("sum_dl"))
-        writeSwap(mergedStats, s"$indexDir/stats", partitionCol = None,
-          store)
-      }
+      val decRows = victims.groupBy("term_bucket", "term")
+        .agg(countDistinct("doc_id").cast("double").as("ddf"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+        .toSeq
+      // integer-valued dl sums subtract exactly, mirroring update's merge
+      val s = victims.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).cast("double").as("d_n"), sum("dl").as("d_sum"))
+        .collect()(0)
+      (touched, decRows, s.getDouble(0), if (s.isNullAt(1)) 0.0 else s.getDouble(1))
     } finally victims.unpersist()
+
+    if (touched.nonEmpty) {
+      val positions = spark.read.parquet(s"$indexDir/positions")
+      val touchedPos = positions
+        .filter(isVictim).select("term_bucket").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+
+      writeSwapBuckets(
+        postings.filter(col("term_bucket").isin(touched: _*) && !isVictim)
+          .repartition(col("term_bucket")),
+        s"$indexDir/postings", "term_bucket", touched, store)
+
+      if (touchedPos.nonEmpty) writeSwapBuckets(
+        positions.filter(col("term_bucket").isin(touchedPos: _*) && !isVictim)
+          .repartition(col("term_bucket")),
+        s"$indexDir/positions", "term_bucket", touchedPos, store)
+
+      // docfreq: per-term decrement by the victims' distinct-doc count
+      // (from the pre-swap driver copy); df exhausted ⇒ the term leaves
+      // the dictionary
+      import spark.implicits._
+      val dec = decRows.toDF("term_bucket", "term", "ddf")
+      val mergedDf = spark.read.parquet(s"$indexDir/docfreq")
+        .filter(col("term_bucket").isin(touched: _*))
+        .join(broadcast(dec), Seq("term_bucket", "term"), "left")
+        .select(col("term_bucket"), col("term"),
+          (col("df") - coalesce(col("ddf"), lit(0.0))).as("df"))
+        .filter(col("df") > 0)
+      writeSwapBuckets(mergedDf.repartition(col("term_bucket")),
+        s"$indexDir/docfreq", "term_bucket", touched, store)
+
+      // stats: subtract the pre-swap scalar delta
+      val mergedStats = spark.read.parquet(s"$indexDir/stats")
+        .select((col("n_docs") - lit(dN)).as("n_docs"),
+          ((col("sum_dl") - lit(dSum)) / (col("n_docs") - lit(dN)))
+            .as("avgdl"),
+          (col("sum_dl") - lit(dSum)).as("sum_dl"))
+      writeSwap(mergedStats, s"$indexDir/stats", partitionCol = None,
+        store)
+    }
 
     val vectors = spark.read.parquet(s"$indexDir/vectors")
     // partition-column type inference may narrow lsh_bucket to int —
