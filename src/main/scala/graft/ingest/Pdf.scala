@@ -166,6 +166,18 @@ private[ingest] object Pdf {
       PNum(if (s.isEmpty || s == "-" || s == "+") 0.0 else s.toDouble)
     }
 
+    /** Container-nesting depth guard: a file of 100k `[` bytes would
+      * otherwise recurse parseObject to StackOverflowError (an Error —
+      * it escapes the Exception-based fail-soft guards). 256 is far
+      * beyond any legitimate document; past it the parse aborts with a
+      * plain Exception the extractors already catch per page/file. */
+    private var nest = 0
+    private def enterNest(): Unit = {
+      nest += 1
+      if (nest > 256) throw new IllegalStateException(
+        s"container nesting deeper than 256 at byte $pos")
+    }
+
     /** Parse one object. With `allowRefs`, `N G R` collapses to [[PRef]]. */
     def parseObject(): Obj = {
       skipWs()
@@ -173,6 +185,7 @@ private[ingest] object Pdf {
       peek match {
         case '<' =>
           if (startsWith("<<")) {
+            enterNest()
             pos += 2
             val m = Map.newBuilder[String, Obj]
             var done = false
@@ -184,11 +197,13 @@ private[ingest] object Pdf {
                 m += k -> parseObject()
               } else { parseObject(); () } // tolerate junk key
             }
+            nest -= 1
             PDict(m.result())
           } else readHexString()
         case '(' => readLiteralString()
         case '/' => readName()
         case '[' =>
+          enterNest()
           pos += 1
           val items = Vector.newBuilder[Obj]
           var done = false
@@ -197,6 +212,7 @@ private[ingest] object Pdf {
             if (eof || peek == ']') { if (!eof) pos += 1; done = true }
             else items += parseObject()
           }
+          nest -= 1
           PArr(items.result())
         case c if (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.' =>
           val n = readNumber()
@@ -317,6 +333,25 @@ private[ingest] object Pdf {
 
   /** One parsed PDF file: xref resolution, object loading, page walk,
     * per-page text. Instances are single-threaded and short-lived. */
+  private val EndstreamMarker: Array[Byte] =
+    "endstream".getBytes(StandardCharsets.ISO_8859_1)
+
+  /** First index of `marker` in `buf` at/after `from`, RELATIVE to
+    * `from`; -1 if absent. A raw byte scan — no String copy of the
+    * remaining file. */
+  private def indexOfBytes(buf: Array[Byte], from: Int,
+      marker: Array[Byte]): Int = {
+    var i = math.max(0, from)
+    val last = buf.length - marker.length
+    while (i <= last) {
+      var j = 0
+      while (j < marker.length && buf(i + j) == marker(j)) j += 1
+      if (j == marker.length) return i - from
+      i += 1
+    }
+    -1
+  }
+
   final class Doc(bytes: Array[Byte]) {
 
     private sealed trait XEntry
@@ -454,11 +489,12 @@ private[ingest] object Pdf {
           if (lex.peek == '\n') lex.pos += 1
           val len = resolve(d.get("Length").getOrElse(PNull)) match {
             case PNum(v) => v.toInt
-            case _ => // damaged Length: scan for endstream
-              val hay = new String(bytes, lex.pos,
-                math.min(bytes.length - lex.pos, bytes.length),
-                StandardCharsets.ISO_8859_1)
-              math.max(0, hay.indexOf("endstream"))
+            case _ =>
+              // damaged Length: scan the raw bytes for "endstream" —
+              // building a String of the whole remaining file here would
+              // cost ~2× the file size in allocation per damaged stream,
+              // on the executor hot path
+              math.max(0, indexOfBytes(bytes, lex.pos, EndstreamMarker))
           }
           val end = math.min(lex.pos + len, bytes.length)
           PStream(d, java.util.Arrays.copyOfRange(bytes, lex.pos, end))
@@ -466,9 +502,20 @@ private[ingest] object Pdf {
       }
     }
 
-    def resolve(o: Obj): Obj = o match {
-      case PRef(n, _) => resolve(obj(n))
-      case x          => x
+    /** Follow indirect references, DEPTH-BOUNDED: a malformed or
+      * adversarial file can contain a reference cycle (`1 0 obj 1 0 R
+      * endobj`), and unbounded recursion would raise StackOverflowError
+      * — an Error, not an Exception, which would escape the fail-soft
+      * guards and kill the Spark task. Real chains are 1–2 hops; past
+      * 32 the chain is garbage and resolves to null. */
+    def resolve(o: Obj): Obj = {
+      var cur = o
+      var hops = 0
+      while (cur.isInstanceOf[PRef] && hops < 32) {
+        cur = obj(cur.asInstanceOf[PRef].num)
+        hops += 1
+      }
+      if (cur.isInstanceOf[PRef]) PNull else cur
     }
 
     def obj(num: Int): Obj = objCache.getOrElseUpdate(num, loadObj(num))
@@ -877,6 +924,8 @@ private[ingest] object Pdf {
   * (reference `parsing.py:134-155`). */
 final case class PdfPageExtractor(maxPages: Int = 10000)
     extends PageExtractor {
+  import PdfPageExtractor.FailSoft
+
   def extract(path: String, content: Array[Byte]): Seq[PageText] =
     try {
       val doc = new Pdf.Doc(content)
@@ -885,11 +934,29 @@ final case class PdfPageExtractor(maxPages: Int = 10000)
       else pages.zipWithIndex.map { case ((page, res), i) =>
         try PageText(i + 1, doc.pageText(page, res), None)
         catch {
-          case e: Exception =>
-            PageText(i + 1, "", Some(s"page ${i + 1}: ${e.getMessage}"))
+          case FailSoft(msg) =>
+            PageText(i + 1, "", Some(s"page ${i + 1}: $msg"))
         }
       }
     } catch {
-      case e: Exception => Seq(PageText(0, "", Some(e.getMessage)))
+      case FailSoft(msg) => Seq(PageText(0, "", Some(msg)))
     }
+}
+
+object PdfPageExtractor {
+  /** The fail-soft net for untrusted bytes: NonFatal covers ordinary
+    * parse failures; StackOverflowError is included EXPLICITLY because
+    * a malformed file can still blow the stack somewhere the depth
+    * guards don't reach, and SOE is an Error that `case e: Exception`
+    * would let escape — killing the whole Spark task for one bad file.
+    * Genuine VM-fatal errors (OOM, internal) still propagate. */
+  private[ingest] object FailSoft {
+    def unapply(t: Throwable): Option[String] = t match {
+      case e if scala.util.control.NonFatal(e) =>
+        Some(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+      case e: StackOverflowError =>
+        Some("StackOverflowError: runaway recursion in malformed file")
+      case _ => None
+    }
+  }
 }

@@ -104,4 +104,63 @@ class PdfSpec extends AnyFunSuite {
     val pages = ex.extract("t.pdf", pdf)
     assert(pages.head.text === "indirect length")
   }
+
+  test("a reference cycle fails soft instead of overflowing the stack") {
+    // 6 0 obj is `6 0 R` — a self-cycle; it is the page's /Contents, so
+    // pageText must resolve it. Unbounded resolve() would recurse to
+    // StackOverflowError (an Error — it used to escape the fail-soft
+    // guard and kill the task); the depth bound turns it into null.
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      "<< /Length 4 >>\nstream\nnope\nendstream",
+      "6 0 R"))
+    val pages = ex.extract("t.pdf", pdf)
+    // no crash; the cyclic contents yield an empty page or a soft error
+    assert(pages.nonEmpty)
+    assert(pages.forall(p => p.error.isDefined || p.text.isEmpty))
+  }
+
+  test("two-object reference cycles and cyclic /Length fail soft") {
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      // /Contents chain 5 -> 6 -> 5; /Length of a real stream also cyclic
+      "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+      "<< /Type /Font >>",
+      "6 0 R",
+      "5 0 R"))
+    val pages = ex.extract("t.pdf", pdf)
+    assert(pages.forall(p => p.error.isDefined || p.text.isEmpty))
+  }
+
+  test("pathological container nesting fails soft, not StackOverflowError") {
+    // a content-free page whose /Contents object is 100k nested arrays:
+    // parse aborts via the nesting guard with a catchable Exception
+    val deep = "[" * 100000 + "]" * 100000
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+      "<< /Type /Font >>",
+      deep))
+    val pages = ex.extract("t.pdf", pdf)
+    assert(pages.forall(p => p.error.isDefined || p.text.isEmpty))
+  }
+
+  test("damaged /Length falls back to a raw endstream scan") {
+    val content = "BT /F1 12 Tf (damaged length) Tj ET"
+    val pdf = classicPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      // /Length points at a non-numeric object → the scan finds endstream
+      s"<< /Length 6 0 R >>\nstream\n$content\nendstream",
+      "/NotANumber"))
+    val pages = ex.extract("t.pdf", pdf)
+    assert(pages.head.text === "damaged length")
+  }
 }
