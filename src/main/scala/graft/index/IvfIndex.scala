@@ -60,22 +60,50 @@ object IvfIndex {
   }
 
   /** Stage all three tables under a fresh version dir, then flip the
-    * pointer (the ONE atomic publish) and vacuum the previous version. */
+    * pointer (the ONE atomic publish). The superseded version is NOT
+    * deleted here: an in-flight query (or another session's memoized
+    * plan) may still be resolving file paths under it, and an immediate
+    * delete would kill it mid-scan with FileNotFoundException. Instead
+    * [[vacuum]] runs with `keep = 1` — the previous version survives
+    * one full publish cycle (the Iceberg/Delta shape: vacuum is
+    * separate from commit), so storage is bounded at ≤2 versions while
+    * readers get a grace window of an entire publish interval. */
   private def publish(spark: SparkSession, indexDir: String, store: CommitStore)
       (stage: String => Unit): Unit = {
-    val prev = store.readPointer(pointer(indexDir))
     val v = nextVersion(indexDir, store)
     stage(s"$indexDir/$v")
     store.putPointer(pointer(indexDir), v)
     dropMetadataCaches(indexDir)
-    // vacuum: the old version is unreachable once the pointer moved; a
-    // crash before this delete leaves it as inspectable/vacuumable
-    // garbage, never as serving state
-    prev.foreach { old =>
+    vacuum(spark, indexDir, keep = 1, store)
+  }
+
+  /** Delete unreachable versions, RETAINING the pointer target plus the
+    * `keep` newest superseded versions (grace window for in-flight
+    * readers). Returns the deleted version names. A crash mid-vacuum
+    * leaves inspectable garbage, never serving state. */
+  def vacuum(spark: SparkSession, indexDir: String, keep: Int = 1,
+      store: CommitStore = LocalCommitStore): Seq[String] = {
+    val current = store.readPointer(pointer(indexDir)).getOrElse(return Nil)
+    val root = Paths.get(indexDir)
+    if (!java.nio.file.Files.isDirectory(root)) return Nil
+    val s = java.nio.file.Files.list(root)
+    val versions = try {
+      val b = Seq.newBuilder[String]
+      val it = s.iterator()
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n != current)
+          b += n
+      }
+      b.result()
+    } finally s.close()
+    val victims = versions.sorted.dropRight(math.max(0, keep))
+    victims.foreach { old =>
       Seq("ivf_vectors", "centroids", "sq_stats").foreach(t =>
         graft.Tables.invalidate(spark, s"$indexDir/$old/$t"))
       store.deleteRecursive(Paths.get(s"$indexDir/$old"))
     }
+    victims
   }
 
   def build(embs: DataFrame, indexDir: String, idCol: String = "vec_id",

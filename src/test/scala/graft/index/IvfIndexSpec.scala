@@ -109,12 +109,19 @@ class IvfIndexSpec extends SparkSpec {
     assert(!IvfIndex.rebalance(spark, d, threshold = drifted + 1))
     assert(IvfIndex.currentDir(d) === preVersion) // no-op didn't publish
     assert(IvfIndex.rebalance(spark, d, threshold = math.max(before, 1.5)))
-    // atomic publish: ONE pointer flip to a fresh version dir holding all
-    // three tables; the superseded version is vacuumed
+    // atomic publish: ONE pointer flip to a fresh version dir holding
+    // all three tables; the superseded version is RETAINED for a grace
+    // window (in-flight readers resolving paths under it must not die
+    // mid-scan) and reclaimed either by the next publish or explicitly
     val postVersion = IvfIndex.currentDir(d)
     assert(postVersion !== preVersion)
-    assert(!Files.exists(Paths.get(preVersion)),
-      s"old version $preVersion not vacuumed")
+    assert(Files.exists(Paths.get(preVersion)),
+      s"superseded version $preVersion deleted with no grace window")
+    assert(IvfIndex.vacuum(spark, d, keep = 0) ===
+      Seq(Paths.get(preVersion).getFileName.toString))
+    assert(!Files.exists(Paths.get(preVersion)))
+    assert(Files.exists(Paths.get(postVersion))) // never the pointer target
+    assert(IvfIndex.vacuum(spark, d, keep = 0) === Seq.empty)
     val after = IvfIndex.imbalance(spark, d)
     assert(after < drifted, s"rebalance did not improve balance: $drifted -> $after")
 
@@ -131,6 +138,20 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf === brute)
     assert(spark.read.parquet(s"${IvfIndex.currentDir(d)}/centroids")
       .count() === 8)
+  }
+
+  test("publish retains one superseded version; the next publish reclaims it") {
+    val d = Files.createTempDirectory("ivf_vac").toString
+    val embs = Tables.embeddings(spark, SfDir)
+    IvfIndex.build(embs, d, nCells = 4) // v00000
+    val v0 = IvfIndex.currentDir(d)
+    IvfIndex.build(embs, d, nCells = 4) // v00001: v0 enters its grace window
+    assert(Files.exists(Paths.get(v0)))
+    val v1 = IvfIndex.currentDir(d)
+    IvfIndex.build(embs, d, nCells = 4) // v00002: reclaims v0, retains v1
+    assert(!Files.exists(Paths.get(v0)))
+    assert(Files.exists(Paths.get(v1)))
+    assert(IvfIndex.currentDir(d).endsWith("v00002"))
   }
 
   test("compact merges update-fragmented cells; knn results identical") {
