@@ -11,14 +11,18 @@ import org.apache.spark.sql.types._
   * IMAGES are decoded for real — `javax.imageio` ships in the JDK
   * (PNG/JPEG/BMP/GIF/WBMP), so [[withImageMeta]], [[withImageResized]]
   * and [[withImageFeatures]] run true decode / resample / pixel-feature
-  * stages with no external dependency. Audio/video codecs are NOT in
-  * the JDK, so those `decode*` stages remain clearly-marked
-  * deterministic STUBS that a production deployment replaces with a
-  * real library call inside the same `mapPartitions` slot. In both
-  * cases the Spark-side design is real and tested: schema, batch shape
-  * (per-partition iterator — decoder state initialized once per
-  * partition, rows streamed through), fail-soft error rows, and bounded
-  * memory (never materialize a partition's media in a list).
+  * stages with no external dependency. AUDIO is likewise real —
+  * `javax.sound.sampled` ships in the JDK (WAV/AIFF/AU, PCM + u-law/
+  * a-law), so [[withAudioMeta]] and [[withAudioFeatures]] parse true
+  * headers and compute time-domain features over actual PCM samples.
+  * Video codecs are NOT in the JDK, so the video `decode*` stages
+  * remain clearly-marked deterministic STUBS that a production
+  * deployment replaces with a real library call inside the same
+  * `mapPartitions` slot. In all cases the Spark-side design is real
+  * and tested: schema, batch shape (per-partition iterator — decoder
+  * state initialized once per partition, rows streamed through),
+  * fail-soft error rows, and bounded memory (never materialize a
+  * partition's media in a list).
   */
 object Multimodal {
 
@@ -156,6 +160,151 @@ object Multimodal {
             Row.fromSeq(r.toSeq :+
               Seq.fill(bins)(0f) :+ null.asInstanceOf[String])
         }
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------ real audio leg
+
+  /** Audio metadata struct for [[withAudioMeta]]. */
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("encoding", StringType),
+    StructField("sample_rate", FloatType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", LongType),
+    StructField("decode_error", StringType)))
+
+  /** Audio feature struct for [[withAudioFeatures]]: time-domain
+    * features over the decoded, mono-mixed PCM samples in [-1, 1]. */
+  val AudioFeatureSchema: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("rms", DoubleType),          // sqrt(mean(s^2))
+    StructField("peak", DoubleType),         // max |s|
+    StructField("zcr", DoubleType),          // zero crossings / (n-1)
+    StructField("silence_ratio", DoubleType), // frac of 20ms wins, rms<1%
+    StructField("decode_error", StringType)))
+
+  /** Decode one audio file to mono-mixed double samples in [-1, 1];
+    * fail-soft. Non-PCM encodings (u-law/a-law) are transcoded to
+    * 16-bit signed PCM by the JDK first. Runs executor-side. */
+  private def decodeAudio(bytes: Array[Byte])
+      : Either[String, (javax.sound.sampled.AudioFormat, Array[Double])] =
+    if (bytes == null || bytes.isEmpty) Left("empty media")
+    else try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val src = in.getFormat
+        val pcm = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          2 * src.getChannels, src.getSampleRate, false)
+        val dec = AudioSystem.getAudioInputStream(pcm, in)
+        try {
+          val raw = dec.readAllBytes()
+          val ch  = pcm.getChannels
+          val n   = raw.length / (2 * ch)
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var sum = 0.0
+            var c = 0
+            while (c < ch) {
+              val o  = (i * ch + c) * 2
+              val s  = ((raw(o) & 0xff) | (raw(o + 1) << 8)).toShort
+              sum += s / 32768.0
+              c += 1
+            }
+            out(i) = sum / ch
+            i += 1
+          }
+          Right((src, out))
+        } finally dec.close()
+      } finally in.close()
+    } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+
+  /** REAL audio metadata: header-only parse (no sample decode) of the
+    * actual bytes via `javax.sound.sampled` — WAV/AIFF/AU. Appends an
+    * [[AudioMetaSchema]] struct; undecodable media fail soft. */
+  def withAudioMeta(df: DataFrame, binCol: String,
+      outCol: String = "audio_meta"): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, AudioMetaSchema))
+    val enc    = org.apache.spark.sql.Encoders.row(schema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val meta =
+          if (bytes == null || bytes.isEmpty)
+            Row(null, null, null, null, null, null, "empty media")
+          else try {
+            // header-only: AudioFileFormat never reads the sample data
+            val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(bytes))
+            val f  = ff.getFormat
+            val nf = ff.getFrameLength.toLong
+            val durMs =
+              if (nf >= 0 && f.getFrameRate > 0)
+                math.round(nf * 1000.0 / f.getFrameRate)
+              else null.asInstanceOf[Long]
+            Row(f.getEncoding.toString, f.getSampleRate, f.getChannels,
+              f.getSampleSizeInBits, nf, durMs, null)
+          } catch {
+            case e: Exception =>
+              Row(null, null, null, null, null, null,
+                String.valueOf(e.getMessage))
+          }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** REAL audio features over decoded PCM: RMS energy, peak, zero-
+    * crossing rate, and silence ratio (fraction of 20 ms windows whose
+    * RMS is below 1% full scale) — the no-model audio quality/content
+    * signals (speech-band ZCR separates tone from noise; silence ratio
+    * flags dead air). Mono-mixed before measuring, like production
+    * loudness pipelines. Undecodable media fail soft. */
+  def withAudioFeatures(df: DataFrame, binCol: String,
+      outCol: String = "audio_features"): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, AudioFeatureSchema))
+    val enc    = org.apache.spark.sql.Encoders.row(schema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val feat = decodeAudio(r.getAs[Array[Byte]](binIdx)) match {
+          case Right((fmt, s)) if s.nonEmpty =>
+            var sq = 0.0; var peak = 0.0; var zc = 0L
+            var i = 0
+            while (i < s.length) {
+              val v = s(i)
+              sq += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (i > 0 && (v > 0) != (s(i - 1) > 0)) zc += 1
+              i += 1
+            }
+            val win = math.max(1, (fmt.getSampleRate * 0.02).toInt)
+            var silent = 0L; var wins = 0L
+            var off = 0
+            while (off < s.length) {
+              val end = math.min(off + win, s.length)
+              var wsq = 0.0
+              var j = off
+              while (j < end) { wsq += s(j) * s(j); j += 1 }
+              if (math.sqrt(wsq / (end - off)) < 0.01) silent += 1
+              wins += 1
+              off = end
+            }
+            Row(s.length.toLong, math.sqrt(sq / s.length), peak,
+              if (s.length > 1) zc.toDouble / (s.length - 1) else 0.0,
+              silent.toDouble / wins, null)
+          case Right(_) => Row(0L, 0.0, 0.0, 0.0, 0.0, null)
+          case Left(err) =>
+            Row(null, null, null, null, null, err)
+        }
+        Row.fromSeq(r.toSeq :+ feat)
       }
     }(enc)
   }

@@ -150,4 +150,82 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(math.sqrt(v1.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
     assert(f(2).getSeq[Float](3).forall(_ == 0f))
   }
+
+  // ---- real audio codec (pure JDK javax.sound.sampled) ----------------
+
+  /** A real encoded WAV: 16-bit signed PCM, sample-by-sample from `gen`
+    * (values in [-1, 1]), `channels`-way duplicated. */
+  private def wav(sampleRate: Float, nFrames: Int, channels: Int = 1)
+      (gen: Int => Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate,
+      16, channels, 2 * channels, sampleRate, false)
+    val raw = new Array[Byte](nFrames * 2 * channels)
+    (0 until nFrames).foreach { i =>
+      val s = math.max(-32768, math.min(32767,
+        math.round(gen(i) * 32767).toInt)).toShort
+      (0 until channels).foreach { c =>
+        val o = (i * channels + c) * 2
+        raw(o) = (s & 0xff).toByte
+        raw(o + 1) = ((s >> 8) & 0xff).toByte
+      }
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, nFrames)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  // 440 Hz sine, half a second at 8 kHz
+  private def sine(i: Int): Double =
+    0.8 * math.sin(2 * math.Pi * 440 * i / 8000.0)
+
+  private lazy val audio = Seq(
+    (1L, wav(8000f, 4000)(sine)),                       // pure tone
+    (2L, wav(8000f, 4000)(i => if (i < 2000) sine(i) else 0.0)), // half dead air
+    (3L, wav(16000f, 1600, channels = 2)(_ => 0.25)),   // stereo DC
+    (4L, "not audio".getBytes("UTF-8")),
+    (5L, Array.empty[Byte])
+  ).toDF("media_id", "media")
+
+  test("withAudioMeta: REAL header parse — rate/channels/frames/duration") {
+    val rows = Multimodal.withAudioMeta(audio, "media")
+      .orderBy("media_id").collect()
+    val m1 = rows(0).getStruct(2)
+    assert(m1.getAs[String]("encoding") === "PCM_SIGNED")
+    assert(m1.getAs[Float]("sample_rate") === 8000f)
+    assert(m1.getAs[Int]("channels") === 1)
+    assert(m1.getAs[Int]("bits") === 16)
+    assert(m1.getAs[Long]("n_frames") === 4000L)
+    assert(m1.getAs[Long]("duration_ms") === 500L)
+    val m3 = rows(2).getStruct(2)
+    assert(m3.getAs[Int]("channels") === 2)
+    assert(m3.getAs[Float]("sample_rate") === 16000f)
+    assert(rows(3).getStruct(2).getAs[String]("decode_error") != null)
+    assert(rows(4).getStruct(2).getAs[String]("decode_error") === "empty media")
+  }
+
+  test("withAudioFeatures: RMS/peak/ZCR/silence over real PCM samples") {
+    val rows = Multimodal.withAudioFeatures(audio, "media")
+      .orderBy("media_id").collect()
+    val f1 = rows(0).getStruct(2)
+    assert(f1.getAs[Long]("n_samples") === 4000L)
+    // full-scale*0.8 sine: rms = 0.8/sqrt(2), peak ~ 0.8
+    assert(math.abs(f1.getAs[Double]("rms") - 0.8 / math.sqrt(2)) < 0.01)
+    assert(math.abs(f1.getAs[Double]("peak") - 0.8) < 0.01)
+    // 440 Hz at 8 kHz crosses zero 2*440 times/sec → zcr ~ 0.11
+    assert(math.abs(f1.getAs[Double]("zcr") - 2 * 440 / 8000.0) < 0.01)
+    assert(f1.getAs[Double]("silence_ratio") === 0.0)
+    // half the windows are dead air (25 windows of 160 samples; the one
+    // straddling the tone/silence boundary can land either side → ±1 win)
+    val f2 = rows(1).getStruct(2)
+    assert(math.abs(f2.getAs[Double]("silence_ratio") - 0.5) <= 0.04 + 1e-9)
+    // stereo DC mixes to 0.25 constant: rms = peak = 0.25, zcr = 0
+    val f3 = rows(2).getStruct(2)
+    assert(math.abs(f3.getAs[Double]("rms") - 0.25) < 0.01)
+    assert(f3.getAs[Double]("zcr") === 0.0)
+    assert(rows(3).getStruct(2).getAs[String]("decode_error") != null)
+    assert(rows(4).getStruct(2).getAs[String]("decode_error") === "empty media")
+  }
 }
