@@ -732,7 +732,8 @@ object SparkEntry {
     * ahead of query timing — the bench warm-up calls this so indexed /
     * model queries measure query latency, not the build/fit. */
   def prepare(s: SparkSession, dir: String): Unit = {
-    indexFor(s, dir); ivfFor(s, dir); mlFitted(s, dir); mlFittedMd5(s, dir)
+    indexFor(s, dir); ivfFor(s, dir); pqFor(s, dir)
+    mlFitted(s, dir); mlFittedMd5(s, dir)
     bucketedFor(s, dir); deletedIndexFor(s, dir); ()
   }
 
@@ -749,6 +750,15 @@ object SparkEntry {
     ivfCache.computeIfAbsent(dir, d => {
       val out = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
       graft.index.IvfIndex.build(Tables.embeddings(s, d), out, nCells = 8)
+      out
+    })
+
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqFor(s: SparkSession, dir: String): String =
+    pqCache.computeIfAbsent(dir, d => {
+      val out = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+      graft.index.PqIndex.build(Tables.embeddings(s, d), out,
+        m = 8, nCodes = 16)
       out
     })
 
@@ -1167,6 +1177,81 @@ object SparkEntry {
          |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
          |FROM c GROUP BY lang, shard, seq_id
          |ORDER BY lang, shard, seq_id""".stripMargin),
+
+    Q("q96_substring_dup_spans",
+      // exact substring dedup: maximal per-doc spans of 8-token windows
+      // that occur verbatim in more than one document — the curation
+      // stage that CUTS duplicated passages rather than dropping docs.
+      // No pair generation anywhere: dup-ness is min(doc) != max(doc)
+      // per window hash (partial-agg friendly), then a semi-join back.
+      (s, dir) => Dedup.substringDupSpans(
+          Tables.documents(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc", "span_start"),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |w AS (
+         |  SELECT doc_id AS doc, pos,
+         |    md5(array_to_string(l[pos:pos+7], ' ')) AS h
+         |  FROM (SELECT doc_id, l,
+         |          unnest(range(1, greatest(len(l) - 6, 1))) AS pos
+         |        FROM t)),
+         |d AS (SELECT h FROM w GROUP BY h HAVING min(doc) <> max(doc)),
+         |dw AS (SELECT doc, pos FROM w WHERE h IN (SELECT h FROM d)),
+         |g AS (SELECT doc, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc ORDER BY pos) = 1
+         |         THEN 0 ELSE 1 END AS gap
+         |  FROM dw),
+         |i AS (SELECT doc, pos,
+         |    sum(gap) OVER (PARTITION BY doc ORDER BY pos) AS island
+         |  FROM g)
+         |SELECT doc, min(pos)::BIGINT AS span_start,
+         |  (max(pos) + 7)::BIGINT AS span_end,
+         |  count(*)::BIGINT AS n_windows
+         |FROM i GROUP BY doc, island
+         |ORDER BY doc, span_start""".stripMargin),
+
+    Q("q100_cut_dup_spans",
+      // the APPLY side of q96: rewrite every document with its
+      // cross-doc-duplicated token spans cut out — detect AND act, the
+      // full curation flow. Spans can overlap (islands closer than k
+      // tokens), so membership is a boolean exists, never a join fanout.
+      (s, dir) => Dedup.cutDupSpans(
+          Tables.documents(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc"),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |w AS (
+         |  SELECT doc_id AS doc, pos,
+         |    md5(array_to_string(l[pos:pos+7], ' ')) AS h
+         |  FROM (SELECT doc_id, l,
+         |          unnest(range(1, greatest(len(l) - 6, 1))) AS pos
+         |        FROM t)),
+         |d AS (SELECT h FROM w GROUP BY h HAVING min(doc) <> max(doc)),
+         |dw AS (SELECT doc, pos FROM w WHERE h IN (SELECT h FROM d)),
+         |g AS (SELECT doc, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc ORDER BY pos) = 1
+         |         THEN 0 ELSE 1 END AS gap
+         |  FROM dw),
+         |isl AS (SELECT doc, pos,
+         |    sum(gap) OVER (PARTITION BY doc ORDER BY pos) AS island
+         |  FROM g),
+         |spans AS (SELECT doc, min(pos) AS s, max(pos) + 7 AS e
+         |  FROM isl GROUP BY doc, island),
+         |toks2 AS (SELECT doc_id, pos, l[pos] AS tok
+         |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS pos
+         |        FROM t)),
+         |cut AS (SELECT DISTINCT tk.doc_id, tk.pos
+         |  FROM toks2 tk JOIN spans s
+         |    ON tk.doc_id = s.doc AND tk.pos BETWEEN s.s AND s.e),
+         |kept AS (SELECT tk.doc_id, tk.pos, tk.tok
+         |  FROM toks2 tk ANTI JOIN cut c
+         |    ON tk.doc_id = c.doc_id AND tk.pos = c.pos),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos)
+         |    AS clean_text FROM kept GROUP BY doc_id),
+         |cutn AS (SELECT doc_id, count(*)::BIGINT AS n
+         |  FROM cut GROUP BY doc_id)
+         |SELECT t.doc_id AS doc, coalesce(agg.clean_text, '') AS clean_text,
+         |  coalesce(cutn.n, 0)::BIGINT AS n_tokens_cut
+         |FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN cutn USING (doc_id)
+         |ORDER BY doc""".stripMargin),
 
     Q("q38_parse_vector_strings",
       (s, dir) => {
@@ -2160,7 +2245,130 @@ object SparkEntry {
            |       WHERE event_type = '${FunnelSteps.head}' GROUP BY user_id),
            |$chain
            |SELECT step, n_users FROM ($unions) ORDER BY step""".stripMargin
-      })
+      }),
+
+    Q("q97_faceted_search",
+      // ES-style faceted search: the per-facet breakdown of EVERY doc
+      // matching the query (not just the top page) alongside its best
+      // score — one partition-pruned index probe, one GROUPING SETS
+      // pass (single shuffle for both facets; no union-of-groupBys).
+      (s, dir) => {
+        val hits = graft.index.SearchIndex.bm25(s, indexFor(s, dir),
+          QueryText)
+          .select(col("doc_id"), round(col("text_score"), 6).as("score"))
+        val meta = Tables.documents(s, dir).select("doc_id", "lang", "source")
+        hits.join(meta, "doc_id")
+          .groupingSets(Seq(Seq(col("lang")), Seq(col("source"))),
+            col("lang"), col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            max("score").as("top_score"))
+          .select(
+            when(col("lang").isNotNull, "lang").otherwise("source")
+              .as("facet"),
+            coalesce(col("lang"), col("source")).as("value"),
+            col("n_docs"), col("top_score"))
+          .orderBy("facet", "value")
+      },
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |posting AS (
+         |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+         |       FROM posting GROUP BY doc_id, term, dl),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         |  FROM tf WHERE term IN (SELECT unnest($qtermsSql)) GROUP BY term),
+         |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+         |  FROM dfreq, stats),
+         |hits AS (
+         |  SELECT doc_id, round(sum(
+         |    idf.idf * tf.tf * (1.2 + 1.0) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6)
+         |    AS score
+         |  FROM tf JOIN idf ON tf.term = idf.term, stats
+         |  GROUP BY doc_id),
+         |j AS (SELECT h.doc_id, h.score, d.lang, d.source
+         |      FROM hits h JOIN documents d USING (doc_id))
+         |SELECT CASE WHEN lang IS NOT NULL THEN 'lang' ELSE 'source' END
+         |    AS facet,
+         |  coalesce(lang, source) AS value,
+         |  count(*)::BIGINT AS n_docs, max(score) AS top_score
+         |FROM j GROUP BY GROUPING SETS ((lang), (source))
+         |ORDER BY facet, value""".stripMargin),
+
+    Q("q98_hard_negatives",
+      // contrastive-training pair mining: per query, the top BM25 hits
+      // that are NOT labeled positives — the canonical hard-negative
+      // set. Positives are a deterministic synthetic label (2% of
+      // (query, doc) pairs via md5) standing in for a human-labeled
+      // relation; the anti-join + re-rank runs over the k-bounded
+      // candidate set (30 rows/query), never the corpus.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val isPos = TextFunctions.md5Long(
+          concat(col("query_id").cast("string"), lit(":"),
+            col("doc_id").cast("string"))) % 20 === 0
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("text_score").desc, col("doc_id"))
+        graft.index.SearchIndex.bm25Batch(s, indexFor(s, dir),
+          BatchQueries, 30)
+          .filter(!isPos)
+          .withColumn("neg_rank", row_number().over(w).cast("long"))
+          .filter(col("neg_rank") <= 10)
+          .select("query_id", "doc_id", "text_score", "neg_rank")
+          .orderBy("query_id", "neg_rank")
+      },
+      {
+        val qtRows = BatchQueries.flatMap { case (qid, text) =>
+          text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+            .map(t => s"($qid, '$t')")
+        }.mkString(", ")
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+           |posting AS (
+           |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+           |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+           |       FROM posting GROUP BY doc_id, term, dl),
+           |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+           |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+           |qt AS (SELECT * FROM (VALUES $qtRows) AS t(query_id, term)),
+           |dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+           |  FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+           |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+           |  FROM dfreq, stats),
+           |scored AS (
+           |  SELECT qt.query_id, tf.doc_id, round(sum(
+           |    idf.idf * tf.tf * (1.2 + 1.0) /
+           |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6)
+           |    AS text_score
+           |  FROM tf JOIN idf ON tf.term = idf.term
+           |       JOIN qt ON qt.term = tf.term, stats
+           |  GROUP BY qt.query_id, tf.doc_id),
+           |cand AS (SELECT query_id, doc_id, text_score FROM (
+           |  SELECT query_id, doc_id, text_score,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY text_score DESC, doc_id) AS rank
+           |  FROM scored) WHERE rank <= 30),
+           |neg AS (SELECT * FROM cand
+           |  WHERE ${md5LongSql("query_id::VARCHAR || ':' || doc_id::VARCHAR")} % 20 <> 0),
+           |rr AS (SELECT query_id, doc_id, text_score,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY text_score DESC, doc_id) AS neg_rank
+           |  FROM neg)
+           |SELECT query_id::BIGINT AS query_id, doc_id, text_score,
+           |  neg_rank::BIGINT AS neg_rank
+           |FROM rr WHERE neg_rank <= 10 ORDER BY query_id, neg_rank""".stripMargin
+      }),
+
+    Q("q99_pq_knn",
+      // product-quantized ANN: ADC shortlist over the 8-codes-per-vector
+      // column (the fat embedding column is never read in the scan),
+      // exact-cosine rerank over 128 candidates. With rerank the final
+      // top-10 is exact — same oracle as brute force (q24's shape);
+      // RecallFloorSpec separately gates the shortlist recall.
+      (s, dir) => graft.index.PqIndex.knn(s, pqFor(s, dir), QueryVec,
+        10, numCandidates = 128),
+      s"""SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
+         |FROM embeddings ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin)
   )
 
   /** Fuzzy dedup: simhash candidates verified by Levenshtein over the

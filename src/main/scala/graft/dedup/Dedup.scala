@@ -326,6 +326,94 @@ object Dedup {
   /** Embedding-cosine near-dup pairs, restricted to LSH buckets (bucket
     * equality join — the scale path; a full cross join never happens).
     * Returns (a, b, cos) with cos ≥ minCosine, a < b. */
+  // ---- exact substring dedup --------------------------------------------
+
+  /** Exact substring dedup spans (the "Deduplicating Training Data Makes
+    * Language Models Better" pass, re-shaped for Spark): find every
+    * maximal run of `k`-token windows whose window text occurs verbatim
+    * in MORE THAN ONE document, and emit it as a per-document span
+    * `(doc, span_start, span_end, n_windows)` in token positions —
+    * exactly what a cut-duplicated-spans curation stage consumes.
+    *
+    * Scale design (100 TB): the suffix-array formulation is inherently
+    * global; this one never materializes pairs at all —
+    *  1. per-row window explode (no shuffle; output is Σ doc_len rows),
+    *  2. ONE groupBy on the 128-bit window hash where "duplicated across
+    *     docs" is decided by `min(doc) != max(doc)` — partial-agg
+    *     friendly (two longs per hash map-side), never a distinct-count
+    *     or a collected group,
+    *  3. semi-join windows against duplicated hashes (shuffle on the
+    *     same hash key — AQE coalesces; no row ever fans out),
+    *  4. merge adjacent positions into maximal spans with a per-document
+    *     islands-and-gaps window (bounded by doc length, never global).
+    * A boilerplate window shared by millions of docs costs its row count
+    * ONCE in step 2-3, not the quadratic pair blow-up of the LSH path —
+    * no hot-key cap is needed. */
+  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"window size must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFunctions.tokens(col(textCol))
+    // window start positions 1 .. len-k+1; docs shorter than k windows
+    // vanish (explode of the empty array drops the row). The guard
+    // matters: Spark's sequence(1, 0) yields a DESCENDING [1, 0].
+    val wins = docs
+      .select(col(idCol).as("doc"), toks.as("l"))
+      .select(col("doc"),
+        explode(when(size(col("l")) >= k,
+          sequence(lit(1), size(col("l")) - (k - 1)))
+          .otherwise(typedLit(Array.empty[Int]))).as("pos"),
+        col("l"))
+      .select(col("doc"), col("pos"),
+        md5(array_join(slice(col("l"), col("pos"), lit(k)), " ")).as("h"))
+    val dupHashes = wins.groupBy("h")
+      .agg(min("doc").as("mn"), max("doc").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("h")
+    val dupWins = wins.join(dupHashes, Seq("h"), "left_semi")
+    val byDoc  = Window.partitionBy("doc").orderBy("pos")
+    dupWins
+      // first-in-doc row: lag is null, the === test is null → ELSE 1,
+      // opening an island (matches SQL CASE semantics exactly)
+      .withColumn("gap",
+        when(col("pos") - lag("pos", 1).over(byDoc) === 1, 0)
+          .otherwise(1))
+      .withColumn("island", sum("gap").over(byDoc))
+      .groupBy("doc", "island")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).cast("long").as("n_windows"))
+      .drop("island")
+  }
+
+  /** The APPLY side of [[substringDupSpans]]: rewrite each document with
+    * its duplicated token spans CUT OUT (the curation action the spans
+    * feed), emitting the cleaned text and the number of tokens removed.
+    * Span membership is tested with an indexed array filter against the
+    * doc's own collected span list — per-row work bounded by doc length
+    * × its span count, no shuffle beyond the one spans join. */
+  def cutDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val spans = substringDupSpans(docs, idCol, textCol, k)
+      .groupBy(col("doc"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    val toks = docs.select(col(idCol).as("doc"),
+      TextFunctions.tokens(col(textCol)).as("l"))
+    val inSpan = (i: Column) => exists(col("spans"),
+      sp => i >= sp.getField("s") && i <= sp.getField("e"))
+    toks.join(spans, Seq("doc"), "left")
+      .select(col("doc"),
+        when(col("spans").isNull, array_join(col("l"), " "))
+          .otherwise(array_join(
+            filter(col("l"), (t, i) => !inSpan(i + 1)), " "))
+          .as("clean_text"),
+        when(col("spans").isNull, lit(0L))
+          .otherwise(size(filter(col("l"), (t, i) => inSpan(i + 1)))
+            .cast("long"))
+          .as("n_tokens_cut"))
+  }
+
   def embeddingNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double, nBits: Int = 8,
       maxGroupSize: Int = MaxGroupSize): DataFrame = {

@@ -199,4 +199,61 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(_._1).toSet === Set((1L, 2L)))
     assert(math.abs(pairs.head._2 - 1.0) < 1e-6)
   }
+
+  test("substringDupSpans: maximal shared-window spans, merged and bounded") {
+    // docs 1 and 2 share a 10-token passage (→ 3 windows at k=8, one
+    // merged span of length 10); doc 3 is unique; doc 4 is too short
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val d = Seq(
+      (1L, s"$shared unique tail one two three four five six seven eight"),
+      (2L, s"prefix0 prefix1 $shared other ending words entirely different"),
+      (3L, "nothing here repeats anywhere else in this corpus at all okay"),
+      (4L, "short")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(d, "doc_id", "text", k = 8)
+      .orderBy("doc", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: passage at tokens 1..10; doc 2: at tokens 3..12
+    assert(spans === Array((1L, 1L, 10L, 3L), (2L, 3L, 12L, 3L)))
+  }
+
+  test("cutDupSpans: duplicated spans removed, unique docs untouched") {
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val d = Seq(
+      (1L, s"$shared unique tail one two three four five six seven eight"),
+      (2L, s"prefix0 prefix1 $shared other ending words entirely different"),
+      (3L, "nothing here repeats anywhere else in this corpus at all okay")
+    ).toDF("doc_id", "text")
+    val cut = Dedup.cutDupSpans(d, "doc_id", "text", k = 8)
+      .orderBy("doc").collect()
+    // doc 1: tokens 1-10 (the shared passage) cut, the tail kept
+    assert(cut(0).getAs[String]("clean_text") ===
+      "unique tail one two three four five six seven eight")
+    assert(cut(0).getAs[Long]("n_tokens_cut") === 10L)
+    // doc 2: passage at tokens 3-12 cut, prefix + ending kept
+    assert(cut(1).getAs[String]("clean_text") ===
+      "prefix0 prefix1 other ending words entirely different")
+    assert(cut(1).getAs[Long]("n_tokens_cut") === 10L)
+    // doc 3: nothing shared — byte-identical token stream, zero cut
+    assert(cut(2).getAs[String]("clean_text") ===
+      "nothing here repeats anywhere else in this corpus at all okay")
+    assert(cut(2).getAs[Long]("n_tokens_cut") === 0L)
+  }
+
+  test("substringDupSpans: repeated passage in one doc yields both spans") {
+    // doc 1 contains the cross-doc-shared passage TWICE (tokens 1-10 and
+    // 11-20). Cross-doc duplicated window starts are 1,2,3 and 11,12,13
+    // (seam windows exist only in doc 1, so they are not duplicated) —
+    // two islands, two maximal spans. Within-one-doc repeats alone never
+    // count: dup-ness requires min(doc) != max(doc).
+    val p = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val d = Seq(
+      (1L, s"$p $p"),
+      (2L, s"lead-in words $p and a tail after")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(d, "doc_id", "text", k = 8)
+      .filter(col("doc") === 1L).orderBy("span_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans === Array((1L, 10L, 3L), (11L, 20L, 3L)))
+  }
 }

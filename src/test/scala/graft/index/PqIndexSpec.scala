@@ -1,0 +1,71 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+
+import graft.{SparkSpec, Tables}
+import graft.embed.DeterministicEmbedder
+import graft.search.VectorSearch
+
+class PqIndexSpec extends SparkSpec {
+
+  private val e  = DeterministicEmbedder(64)
+  private val qv = e.embed("spark join merge sort window")
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("pq").toString
+    PqIndex.build(Tables.embeddings(spark, SfDir), d, m = 8, nCodes = 16)
+    d
+  }
+
+  test("build lays out codes + codebooks as one versioned unit") {
+    val vDir = PqIndex.currentDir(dir)
+    assert(vDir.endsWith("v00000"))
+    val n   = Tables.embeddings(spark, SfDir).count()
+    val pqv = spark.read.parquet(s"$vDir/pq_vectors")
+    assert(pqv.count() === n)
+    // every vector carries exactly m codes, each within the codebook
+    val codes = pqv.selectExpr("explode(codes) AS c")
+    assert(pqv.selectExpr("size(codes) AS s").where("s <> 8").count() === 0)
+    assert(codes.where("c < 0 OR c >= 16").count() === 0)
+    // m × nCodes codebook rows, centroids of the subspace dimension
+    val cb = spark.read.parquet(s"$vDir/pq_codebooks")
+    assert(cb.count() === 8 * 16)
+    assert(cb.selectExpr("size(centroid) AS s").where("s <> 8").count() === 0)
+  }
+
+  test("ADC with rerank over everything equals exact brute force") {
+    val brute = VectorSearch.topK(Tables.embeddings(spark, SfDir),
+      "vec_id", "embedding", qv, 10).collect().toSeq
+    val pq = PqIndex.knn(spark, dir, qv, 10, numCandidates = 1000000)
+      .collect().toSeq
+    assert(pq === brute)
+  }
+
+  test("narrow ADC shortlist still ranks the true best first") {
+    val exact = VectorSearch.topK(Tables.embeddings(spark, SfDir),
+      "vec_id", "embedding", qv, 10).collect().map(_.getLong(0)).toSeq
+    val narrow = PqIndex.knn(spark, dir, qv, 10, numCandidates = 32)
+      .collect().map(_.getLong(0)).toSeq
+    assert(narrow.head === exact.head)
+  }
+
+  test("rebuild publishes a new version; superseded version survives one cycle") {
+    val d = Files.createTempDirectory("pq_v").toString
+    val embs = Tables.embeddings(spark, SfDir).limit(50)
+    PqIndex.build(embs, d, m = 8, nCodes = 4)
+    assert(PqIndex.currentDir(d).endsWith("v00000"))
+    PqIndex.build(embs, d, m = 8, nCodes = 4)
+    // grace window: v00000 retained after the flip to v00001
+    assert(PqIndex.currentDir(d).endsWith("v00001"))
+    assert(Files.isDirectory(Paths.get(d, "v00000")))
+    PqIndex.build(embs, d, m = 8, nCodes = 4)
+    // one more cycle: v00000 vacuumed, v00001 in its grace window
+    assert(PqIndex.currentDir(d).endsWith("v00002"))
+    assert(!Files.isDirectory(Paths.get(d, "v00000")))
+    assert(Files.isDirectory(Paths.get(d, "v00001")))
+    // explicit vacuum(keep = 0) clears the grace window too
+    PqIndex.vacuum(spark, d, keep = 0)
+    assert(!Files.isDirectory(Paths.get(d, "v00001")))
+    assert(Files.isDirectory(Paths.get(d, "v00002")))
+  }
+}

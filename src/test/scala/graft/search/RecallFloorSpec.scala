@@ -100,4 +100,18 @@ class RecallFloorSpec extends SparkSpec {
     info(f"quantizedTopK 50 candidates: $r%.3f")
     assert(r >= 0.9, f"quantizedTopK recall $r%.3f below 0.9")
   }
+
+  test("PQ ADC-then-rerank (q99 knobs: 128 candidates) holds recall@10 >= 0.9") {
+    val d = Files.createTempDirectory("recall_pq").toString
+    graft.index.PqIndex.build(embs, d, m = 8, nCodes = 16)
+    val r128 = recallOf(graft.index.PqIndex.knn(spark, d, qv, 10,
+      numCandidates = 128))
+    val r32 = recallOf(graft.index.PqIndex.knn(spark, d, qv, 10,
+      numCandidates = 32))
+    info(f"PqIndex.knn 128 candidates: $r128%.3f, 32: $r32%.3f")
+    assert(r128 >= 0.9, f"PQ 128-candidate recall $r128%.3f below 0.9")
+    // tighter-knob floor: 8-subspace/16-code ADC on the structureless
+    // fixture — a drop means the codebook/encode pipeline regressed
+    assert(r32 >= 0.5, f"PQ 32-candidate recall $r32%.3f regressed below 0.5")
+  }
 }
