@@ -182,14 +182,22 @@ object GraftFunctions {
           .toAggregateExpression()
       }))
 
-  /** Register into a live session (tests, notebooks). */
-  def register(spark: SparkSession): Unit = all.foreach { case (id, fi, b) =>
-    spark.sessionState.functionRegistry.registerFunction(id, fi, b)
+  /** Register into a live session (tests, notebooks): the SQL functions
+    * plus the [[InferTermBucketFilter]] optimizer rule (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    all.foreach { case (id, fi, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, fi, b)
+    }
+    if (!spark.experimental.extraOptimizations.contains(InferTermBucketFilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ InferTermBucketFilter
   }
 }
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => InferTermBucketFilter)
+  }
 }
