@@ -1,0 +1,62 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Hand-computed pins for BPE training (the Sennrich et al. worked
+  * example: word freqs low:5 lower:2 newest:6 widest:3) — training is an
+  * iterative fixpoint, not SQL-expressible, so the spec IS the oracle. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one word per row keeps the hand-computed frequencies exact
+  private lazy val corpus = (
+    Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+  ).toDF("text")
+
+  test("train learns the textbook merge sequence, ties broken lexicographically") {
+    val m = Bpe.train(corpus, "text", numMerges = 5)
+    // iteration-by-iteration by hand:
+    //  1: (e,s)=9 ties (s,t),(t,</w>) → lexicographic min (e,s)
+    //  2: (es,t)=9 beats (t,</w>) lexicographically
+    //  3: (est,</w>)=9
+    //  4: (l,o)=7 ties (o,w) → (l,o)
+    //  5: (lo,w)=7
+    assert(m.merges === Seq(("e", "s"), ("es", "t"), ("est", Bpe.EndOfWord),
+      ("l", "o"), ("lo", "w")))
+  }
+
+  test("train is deterministic and stops early when counts fall below the floor") {
+    val m1 = Bpe.train(corpus, "text", numMerges = 5)
+    val m2 = Bpe.train(corpus, "text", numMerges = 5)
+    assert(m1.merges === m2.merges)
+    // a floor of 8 stops after the three 9-count est merges: the next
+    // best is (l,o) at 7 — (w,e) fell to 2 once newest became
+    // n·e·w·est</w>
+    val floored = Bpe.train(corpus, "text", numMerges = 10,
+      minPairCount = 8L)
+    assert(floored.merges ===
+      Seq(("e", "s"), ("es", "t"), ("est", Bpe.EndOfWord)))
+  }
+
+  test("encodeWord: greedy lowest-rank-first, unseen words fall back to chars") {
+    val m = Bpe.train(corpus, "text", numMerges = 5)
+    assert(m.encodeWord("lowest") === Seq("low", "est" + Bpe.EndOfWord))
+    assert(m.encodeWord("low") === Seq("low", Bpe.EndOfWord))
+    assert(m.encodeWord("xyz") === Seq("x", "y", "z", Bpe.EndOfWord))
+  }
+
+  test("encode and tokenCount run per-partition over a text column") {
+    val m = Bpe.train(corpus, "text", numMerges = 5)
+    val enc = Bpe.encode(Seq((1L, "newest lowest"), (2L, ""))
+      .toDF("id", "text"), "text", m)
+      .orderBy("id").collect()
+    assert(enc(0).getSeq[String](2) ===
+      Seq("n", "e", "w", "est" + Bpe.EndOfWord, "low", "est" + Bpe.EndOfWord))
+    assert(enc(1).getSeq[String](2) === Seq.empty)
+    val counts = Bpe.tokenCount(Seq((1L, "newest lowest"))
+      .toDF("id", "text"), "text", m)
+      .collect()
+    assert(counts(0).getAs[Long]("n_bpe") === 6L)
+  }
+}
