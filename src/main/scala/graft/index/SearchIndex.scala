@@ -174,6 +174,56 @@ object SearchIndex {
     invalidateAll(spark, indexDir)
   }
 
+  /** Shard merge: fold the index at `srcDir` into the index at `dstDir`
+    * (disjoint doc sets — the shard-per-partition build pattern, e.g.
+    * one index per ingest slice merged into the serving index). Both
+    * sides bucket with the same [[termBucket]]/LSH expressions, so
+    * postings/positions/vectors fold as partition-local appends and
+    * docfreq/stats as the exact merges [[update]] uses — query results
+    * after merge are bit-identical to one build over the union
+    * (SearchIndexSpec). Touches src-sized data plus the touched
+    * docfreq buckets, never dst's postings. */
+  def merge(spark: SparkSession, srcDir: String, dstDir: String,
+      store: graft.table.CommitStore = graft.table.LocalCommitStore): Unit = {
+    spark.read.parquet(s"$srcDir/postings")
+      .repartition(col("term_bucket"))
+      .write.mode("append").partitionBy("term_bucket")
+      .parquet(s"$dstDir/postings")
+    spark.read.parquet(s"$srcDir/positions")
+      .repartition(col("term_bucket"))
+      .write.mode("append").partitionBy("term_bucket")
+      .parquet(s"$dstDir/positions")
+
+    val srcDf = spark.read.parquet(s"$srcDir/docfreq")
+      .select("term_bucket", "term", "df")
+    // bounded by TermBuckets (64) — driver-side list is metadata
+    val touched = srcDf.select("term_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val mergedDf = spark.read.parquet(s"$dstDir/docfreq")
+      .filter(col("term_bucket").isin(touched: _*))
+      .select("term_bucket", "term", "df")
+      .unionByName(srcDf)
+      .groupBy("term_bucket", "term").agg(sum("df").as("df"))
+    writeSwapBuckets(mergedDf.repartition(col("term_bucket")),
+      s"$dstDir/docfreq", "term_bucket", touched, store)
+
+    val srcStats = spark.read.parquet(s"$srcDir/stats")
+      .select(col("n_docs").as("d_n"), col("sum_dl").as("d_sum"))
+    val mergedStats = spark.read.parquet(s"$dstDir/stats")
+      .crossJoin(srcStats) // 1-row × 1-row
+      .select((col("n_docs") + col("d_n")).as("n_docs"),
+        ((col("sum_dl") + col("d_sum")) / (col("n_docs") + col("d_n")))
+          .as("avgdl"),
+        (col("sum_dl") + col("d_sum")).as("sum_dl"))
+    writeSwap(mergedStats, s"$dstDir/stats", partitionCol = None, store)
+
+    spark.read.parquet(s"$srcDir/vectors")
+      .repartition(col("lsh_bucket"))
+      .write.mode("append").partitionBy("lsh_bucket")
+      .parquet(s"$dstDir/vectors")
+    invalidateAll(spark, dstDir)
+  }
+
   /** Write `df` to a staging dir then swap it in through the
     * [[graft.table.CommitStore]] commit primitive (Spark cannot
     * overwrite a parquet dir that feeds the running plan). The local

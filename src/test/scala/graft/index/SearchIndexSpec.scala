@@ -97,6 +97,53 @@ class SearchIndexSpec extends SparkSpec {
     assert(incPh === fullPh)
   }
 
+  test("shard merge equals full rebuild (bm25 + knn + phrase + docfreq)") {
+    val docs = Tables.documents(spark, SfDir)
+    val embs = Tables.embeddings(spark, SfDir)
+
+    // two disjoint shard indexes, merged into the first
+    val shardA = Files.createTempDirectory("index_sha").toString
+    val shardB = Files.createTempDirectory("index_shb").toString
+    SearchIndex.build(docs.filter(col("doc_id") % 2 === 0),
+      embs.filter(col("vec_id") % 2 === 0), shardA)
+    SearchIndex.build(docs.filter(col("doc_id") % 2 === 1),
+      embs.filter(col("vec_id") % 2 === 1), shardB)
+    SearchIndex.merge(spark, shardB, shardA)
+
+    val q = "spark join merge sort window"
+    val emb = DeterministicEmbedder(64)
+
+    // same tolerance rationale as the update≡rebuild test: table merges
+    // are exact, per-doc sums re-associate over the merged file layout
+    val fullBm = SearchIndex.bm25(spark, indexDir, q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mrgBm = SearchIndex.bm25(spark, shardA, q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mrgBm.keySet === fullBm.keySet)
+    mrgBm.foreach { case (k, v) => assert(math.abs(v - fullBm(k)) < 1e-9) }
+
+    val fullKnn = SearchIndex.knn(spark, indexDir, emb.embed(q), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mrgKnn = SearchIndex.knn(spark, shardA, emb.embed(q), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mrgKnn === fullKnn)
+
+    val fullPh = SearchIndex.phrase(spark, indexDir, "table scan")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mrgPh = SearchIndex.phrase(spark, shardA, "table scan")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mrgPh === fullPh)
+
+    // the merged dictionary is EXACTLY the rebuild's (df is integer math)
+    val fullDict = spark.read.parquet(s"$indexDir/docfreq")
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Double]("df")))
+      .toMap
+    val mrgDict = spark.read.parquet(s"$shardA/docfreq")
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Double]("df")))
+      .toMap
+    assert(mrgDict === fullDict)
+  }
+
   test("indexed phrase equals the scan-path phraseMatch") {
     val viaIndex = SearchIndex.phrase(spark, indexDir, "table scan")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
