@@ -110,6 +110,23 @@ object PqIndex {
     transform(sequence(lit(0), lit(m - 1)),
       i => slice(VectorFunctions.asDouble(vec), i * subDim + 1, lit(subDim)))
 
+  /** `(doc_id, sub_id, subvec)` rows → `(doc_id, codes)`: nearest
+    * codebook centroid per subspace (squared-L2, code id as tiebreak),
+    * codes ordered by sub_id. Worked set m × nCodes rows per vector. */
+  private def assignCodes(subs: DataFrame, codebooks: DataFrame): DataFrame = {
+    val sqd = aggregate(
+      zip_with(col("subvec"), col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    subs
+      .join(broadcast(codebooks), "sub_id")
+      .withColumn("d", sqd)
+      .groupBy("doc_id", "sub_id")
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        x => x.getField("code")).as("codes"))
+  }
+
   /** Train per-subspace codebooks and encode the corpus. */
   def build(embs: DataFrame, indexDir: String, idCol: String = "vec_id",
       vecCol: String = "embedding", m: Int = 8, nCodes: Int = 16,
@@ -137,17 +154,7 @@ object PqIndex {
         }
       }.toDF("sub_id", "code", "centroid")
 
-      val sqd = aggregate(
-        zip_with(col("subvec"), col("centroid"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-      val codes = subs
-        .join(broadcast(codebooks), "sub_id")
-        .withColumn("d", sqd)
-        .groupBy("doc_id", "sub_id")
-        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
-        .groupBy("doc_id")
-        .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
-          x => x.getField("code")).as("codes"))
+      val codes = assignCodes(subs, codebooks)
 
       publish(spark, indexDir, store) { vDir =>
         codes
@@ -158,6 +165,34 @@ object PqIndex {
           .parquet(s"$vDir/pq_codebooks")
       }
     } finally subs.unpersist()
+  }
+
+  /** Incremental maintenance: encode NEW vectors against the FROZEN
+    * codebooks and append — the same pattern as [[IvfIndex.update]]
+    * (codebooks are training-frozen metadata; re-training is a rebuild,
+    * published as a new version). Touches |batch| data, not the corpus;
+    * appends extend the CURRENT version's consistent unit. */
+  def update(newEmbs: DataFrame, indexDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      store: CommitStore = LocalCommitStore): Unit = {
+    val spark = newEmbs.sparkSession
+    import spark.implicits._
+    val vDir = currentDir(indexDir, store)
+    val cbs  = codebooksOf(spark, vDir)
+    val m = cbs.length
+    val subDim = cbs(0)(0).length
+    val codebooks = (for {
+      i <- 0 until m
+      (cent, code) <- cbs(i).zipWithIndex
+    } yield (i, code, cent.toSeq)).toDF("sub_id", "code", "centroid")
+    val subs = newEmbs.select(col(idCol).as("doc_id"),
+      posexplode(subVectors(col(vecCol), m, subDim))
+        .as(Seq("sub_id", "subvec")))
+    assignCodes(subs, codebooks)
+      .join(newEmbs.select(col(idCol).as("doc_id"),
+        col(vecCol).as("embedding")), "doc_id")
+      .write.mode("append").parquet(s"$vDir/pq_vectors")
+    graft.Tables.invalidate(spark, s"$vDir/pq_vectors")
   }
 
   /** Codebooks as `[sub_id][code] -> centroid` (m × nCodes rows — index

@@ -2,6 +2,8 @@ package graft.index
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+
 import graft.{SparkSpec, Tables}
 import graft.embed.DeterministicEmbedder
 import graft.search.VectorSearch
@@ -47,6 +49,28 @@ class PqIndexSpec extends SparkSpec {
     val narrow = PqIndex.knn(spark, dir, qv, 10, numCandidates = 32)
       .collect().map(_.getLong(0)).toSeq
     assert(narrow.head === exact.head)
+  }
+
+  test("incremental update: frozen-codebook encode + append, exact after rerank") {
+    val d = Files.createTempDirectory("pq_upd").toString
+    val embs = Tables.embeddings(spark, SfDir)
+    PqIndex.build(embs.filter(col("vec_id") % 2 === 0), d, m = 8, nCodes = 16)
+    PqIndex.update(embs.filter(col("vec_id") % 2 === 1), d)
+    val vDir = PqIndex.currentDir(d)
+    // still v00000: update extends the current version, never republishes
+    assert(vDir.endsWith("v00000"))
+    assert(spark.read.parquet(s"$vDir/pq_vectors").count() === embs.count())
+    // full-rerank query over the updated index equals brute force over
+    // the union — codes only shortlist, the rerank is exact
+    val brute = VectorSearch.topK(embs, "vec_id", "embedding", qv, 10)
+      .collect().toSeq
+    val pq = PqIndex.knn(spark, d, qv, 10, numCandidates = 1000000)
+      .collect().toSeq
+    assert(pq === brute)
+    // appended vectors carry well-formed codes from the FROZEN codebooks
+    val bad = spark.read.parquet(s"$vDir/pq_vectors")
+      .selectExpr("size(codes) AS s").where("s <> 8").count()
+    assert(bad === 0)
   }
 
   test("rebuild publishes a new version; superseded version survives one cycle") {
