@@ -1253,6 +1253,76 @@ object SparkEntry {
          |FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN cutn USING (doc_id)
          |ORDER BY doc""".stripMargin),
 
+    Q("q101_source_boilerplate",
+      // C4/RefinedWeb-style per-domain boilerplate detection: 5-token
+      // shingles appearing in >= 8% of a source's documents (nav bars,
+      // footers, license blurbs). Per-doc DISTINCT before counting so a
+      // shingle repeated inside one doc counts once; the source dim
+      // (20 rows) broadcasts onto the aggregate.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = docs.select(col("source"), col("doc_id"),
+          explode(TextFunctions.shingles(
+            TextFunctions.tokens(col("text")), 5)).as("shingle"))
+          .distinct()
+        val src = docs.groupBy("source")
+          .agg(countDistinct("doc_id").as("nd"))
+        sh.groupBy("source", "shingle")
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+          .join(src, "source")
+          .filter(col("n_docs").cast("double") / col("nd") >= 0.08)
+          .select(col("source"), col("shingle"), col("n_docs"),
+            round(col("n_docs").cast("double") / col("nd"), 6).as("frac"))
+          .orderBy("source", "shingle")
+      },
+      s"""WITH t AS (SELECT source, doc_id, $toksSql AS l FROM documents),
+         |sh AS (SELECT DISTINCT source, doc_id, shingle FROM (
+         |  SELECT source, doc_id,
+         |    unnest([array_to_string(l[i:i+4], ' ')
+         |            for i in range(1, greatest(len(l) - 3, 1))]) AS shingle
+         |  FROM t)),
+         |src AS (SELECT source, count(DISTINCT doc_id) AS nd
+         |  FROM documents GROUP BY source),
+         |bp AS (SELECT source, shingle, count(*)::BIGINT AS n_docs
+         |  FROM sh GROUP BY source, shingle)
+         |SELECT bp.source, shingle, n_docs,
+         |  round(n_docs::DOUBLE / src.nd, 6) AS frac
+         |FROM bp JOIN src USING (source)
+         |WHERE n_docs::DOUBLE / src.nd >= 0.08
+         |ORDER BY source, shingle""".stripMargin),
+
+    Q("q102_unigram_logprob",
+      // perplexity-proxy quality score: train a corpus unigram LM (one
+      // token-count groupBy — the LM *is* aggregate state), score every
+      // doc by its mean token log-probability. The standard cheap
+      // LM-based quality filter (low avg logprob = gibberish / rare-
+      // token soup). Self-contained: both engines fit the same LM from
+      // the same corpus, so the oracle needs no external model state.
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("term"))
+        val cnt = toks.groupBy("term")
+          .agg(count(lit(1)).cast("double").as("c"))
+        val tot = toks.agg(count(lit(1)).cast("double").as("n"))
+        val lp = cnt.crossJoin(tot) // vocab × 1 row
+          .select(col("term"), log(col("c") / col("n")).as("lp"))
+        toks.join(lp, "term")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_tok"),
+            round(avg("lp"), 6).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term
+         |  FROM documents),
+         |cnt AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY term),
+         |tot AS (SELECT count(*)::DOUBLE AS n FROM toks),
+         |lp AS (SELECT term, ln(c / tot.n) AS lp FROM cnt, tot)
+         |SELECT t.doc_id, count(*)::BIGINT AS n_tok,
+         |  round(avg(lp.lp), 6) AS avg_logprob
+         |FROM toks t JOIN lp ON t.term = lp.term
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+
     Q("q38_parse_vector_strings",
       (s, dir) => {
         // F10: the reference stores embeddings as TEXT in the RDB and
