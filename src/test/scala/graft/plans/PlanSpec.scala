@@ -190,4 +190,25 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("term_bucket"), "bucket pruning lost:\n" + s)
     assert(!s.contains("Window"), "window crept into bm25:\n" + s)
   }
+
+  test("q96: dup decision is partial-agg min/max — no distinct-count, no pairs") {
+    val s = fmtOf("q96_substring_dup_spans")
+    // the 100 TB property: "window occurs in >1 doc" must be decided by
+    // two longs per hash map-side (partial_min/partial_max), never a
+    // count(DISTINCT doc) shuffle of raw rows or a pair self-join
+    assert(s.contains("partial_min") && s.contains("partial_max"),
+      "min/max dup decision lost partial aggregation:\n" + s)
+    assert(!s.contains("distinct"), "distinct crept into dup decision:\n" + s)
+    // the only window is the per-doc islands merge (bounded by doc len)
+    val winArgs = s.linesIterator.filter(_.contains("partitionBy")).toSeq
+    assert(winArgs.isEmpty || !s.contains("No Partition Defined"), s)
+  }
+
+  test("q97: facets plan as ONE Expand pass over one probe, not unioned groupBys") {
+    val s = fmtOf("q97_faceted_search")
+    assert(s.contains("Expand"), "grouping sets not planned via Expand:\n" + s)
+    assert(!s.contains("Union"), "facets degraded to unioned groupBys:\n" + s)
+    // the hits side comes off the pruned index probe
+    assert(s.contains("term_bucket"), "bucket pruning lost:\n" + s)
+  }
 }
