@@ -1323,6 +1323,72 @@ object SparkEntry {
          |FROM toks t JOIN lp ON t.term = lp.term
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
 
+    // Incremental substring dedup: even doc_ids play the indexed
+    // corpus, odd ids the incoming batch (the q71 pattern at substring
+    // granularity). Only the batch is hashed; the dup test is one
+    // semi-join against the corpus's persisted window-hash index.
+    Q("q103_incremental_substring_spans",
+      (s, dir) => {
+        val docs   = Tables.documents(s, dir)
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val batch  = docs.filter(col("doc_id") % 2 === 1)
+        val idx = Dedup.substringHashIndex(corpus, "doc_id", "text", 8)
+        Dedup.incrementalSubstringSpans(idx, batch, "doc_id", "text", 8)
+          .orderBy("doc", "span_start")
+      },
+      s"""WITH t AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |w AS (
+         |  SELECT doc_id AS doc, pos,
+         |    md5(array_to_string(l[pos:pos+7], ' ')) AS h
+         |  FROM (SELECT doc_id, l,
+         |          unnest(range(1, greatest(len(l) - 6, 1))) AS pos
+         |        FROM t)),
+         |idx AS (SELECT DISTINCT h FROM w WHERE doc % 2 = 0),
+         |dw AS (SELECT doc, pos FROM w
+         |  WHERE doc % 2 = 1 AND h IN (SELECT h FROM idx)),
+         |g AS (SELECT doc, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc ORDER BY pos) = 1
+         |         THEN 0 ELSE 1 END AS gap
+         |  FROM dw),
+         |isl AS (SELECT doc, pos,
+         |    sum(gap) OVER (PARTITION BY doc ORDER BY pos) AS island
+         |  FROM g)
+         |SELECT doc, min(pos)::BIGINT AS span_start,
+         |  (max(pos) + 7)::BIGINT AS span_end,
+         |  count(*)::BIGINT AS n_windows
+         |FROM isl GROUP BY doc, island
+         |ORDER BY doc, span_start""".stripMargin),
+
+    Q("q104_sketch_percentiles",
+      // mergeable quantile sketch (KLL-shape compactor ladder): the
+      // bounded-memory distributed percentile — no global sort, partial
+      // buffers merge map-side, only ~capacity doubles cross the wire.
+      // Unsaturated (capacity > n) it reproduces exact percentile()
+      // semantics bit-for-bit, which is what the oracle pins; the
+      // saturated approximation path is gated by SketchesSpec's rank-
+      // error bound instead (per-doc-corpus stats like these are the
+      // telemetry shape this serves at 100 TB).
+      (s, dir) => {
+        val ps = Seq(0.25, 0.5, 0.75, 0.9)
+        Tables.documents(s, dir)
+          .groupBy("lang")
+          .agg(org.apache.spark.sql.graftext.QuantileSketchAgg
+            .quantileSketch(col("n_chars").cast("double"), 4096, ps)
+            .as("q"))
+          .select(col("lang"),
+            round(element_at(col("q"), 1), 6).as("p25"),
+            round(element_at(col("q"), 2), 6).as("p50"),
+            round(element_at(col("q"), 3), 6).as("p75"),
+            round(element_at(col("q"), 4), 6).as("p90"))
+          .orderBy("lang")
+      },
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, [0.25,0.5,0.75,0.9])[1], 6) AS p25,
+        |  round(quantile_cont(n_chars, [0.25,0.5,0.75,0.9])[2], 6) AS p50,
+        |  round(quantile_cont(n_chars, [0.25,0.5,0.75,0.9])[3], 6) AS p75,
+        |  round(quantile_cont(n_chars, [0.25,0.5,0.75,0.9])[4], 6) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
     Q("q38_parse_vector_strings",
       (s, dir) => {
         // F10: the reference stores embeddings as TEXT in the RDB and

@@ -349,15 +349,14 @@ object Dedup {
     * A boilerplate window shared by millions of docs costs its row count
     * ONCE in step 2-3, not the quadratic pair blow-up of the LSH path —
     * no hot-key cap is needed. */
-  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
-    require(k >= 2, s"window size must be >= 2, got $k")
-    import org.apache.spark.sql.expressions.Window
+  /** `(doc, pos, h)` — every k-token window's start position and md5.
+    * Window start positions run 1 .. len-k+1; docs shorter than k
+    * windows vanish (explode of the empty array drops the row). The
+    * guard matters: Spark's sequence(1, 0) yields a DESCENDING [1, 0]. */
+  private def windowHashes(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    // window start positions 1 .. len-k+1; docs shorter than k windows
-    // vanish (explode of the empty array drops the row). The guard
-    // matters: Spark's sequence(1, 0) yields a DESCENDING [1, 0].
-    val wins = docs
+    docs
       .select(col(idCol).as("doc"), toks.as("l"))
       .select(col("doc"),
         explode(when(size(col("l")) >= k,
@@ -366,12 +365,13 @@ object Dedup {
         col("l"))
       .select(col("doc"), col("pos"),
         md5(array_join(slice(col("l"), col("pos"), lit(k)), " ")).as("h"))
-    val dupHashes = wins.groupBy("h")
-      .agg(min("doc").as("mn"), max("doc").as("mx"))
-      .filter(col("mn") =!= col("mx"))
-      .select("h")
-    val dupWins = wins.join(dupHashes, Seq("h"), "left_semi")
-    val byDoc  = Window.partitionBy("doc").orderBy("pos")
+  }
+
+  /** Merge `(doc, pos)` duplicated-window rows into maximal spans via a
+    * per-doc islands-and-gaps window (bounded by doc length). */
+  private def mergeSpans(dupWins: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc").orderBy("pos")
     dupWins
       // first-in-doc row: lag is null, the === test is null → ELSE 1,
       // opening an island (matches SQL CASE semantics exactly)
@@ -384,6 +384,39 @@ object Dedup {
         (max("pos") + (k - 1)).cast("long").as("span_end"),
         count(lit(1)).cast("long").as("n_windows"))
       .drop("island")
+  }
+
+  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"window size must be >= 2, got $k")
+    val wins = windowHashes(docs, idCol, textCol, k)
+    val dupHashes = wins.groupBy("h")
+      .agg(min("doc").as("mn"), max("doc").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("h")
+    mergeSpans(wins.join(dupHashes, Seq("h"), "left_semi"), k)
+  }
+
+  /** The INDEX side of incremental substring dedup: the corpus's
+    * distinct window hashes — what a pipeline persists between batches
+    * (hash-partitioned parquet at scale, exactly like the minhash band
+    * index of [[minhashBandIndex]]). */
+  def substringHashIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame =
+    windowHashes(docs, idCol, textCol, k).select("h").distinct()
+
+  /** Incremental twin of [[substringDupSpans]]: spans of BATCH documents
+    * whose windows occur verbatim in the INDEXED corpus. Only the batch
+    * is hashed (|batch| work, not the corpus); the dup test is one
+    * semi-join against the persisted hash index. Batch-internal
+    * duplication is deliberately out of scope here — run the batch
+    * through [[substringDupSpans]] for that, then union. */
+  def incrementalSubstringSpans(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window size must be >= 2, got $k")
+    mergeSpans(
+      windowHashes(batch, idCol, textCol, k)
+        .join(index, Seq("h"), "left_semi"), k)
   }
 
   /** The APPLY side of [[substringDupSpans]]: rewrite each document with
