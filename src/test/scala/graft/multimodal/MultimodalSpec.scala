@@ -151,6 +151,62 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2).getSeq[Float](3).forall(_ == 0f))
   }
 
+  // ---- perceptual hash (real pixels) ----------------------------------
+
+  /** Gradient image (luma rises left→right) with an optional corner
+    * blemish — dHash of the clean and blemished variants differ in only
+    * a few gradient bits, while an inverted gradient flips ~all bits. */
+  private def gradientPng(w: Int, h: Int, invert: Boolean = false,
+      blemish: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val v = if (invert) 255 - x * 255 / w else x * 255 / w
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    if (blemish)
+      (0 until h / 8).foreach(y => (0 until w / 8).foreach(x =>
+        img.setRGB(x, y, 0xffffff)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("withImageDHash: deterministic, re-encode-stable, gradient-sensitive") {
+    val d = Seq(
+      (1L, gradientPng(64, 64)),
+      (2L, gradientPng(96, 96)),             // same content, other size
+      (3L, gradientPng(64, 64, blemish = true)),
+      (4L, gradientPng(64, 64, invert = true)),
+      (5L, "not an image".getBytes("UTF-8"))
+    ).toDF("img_id", "media")
+    val hs = Multimodal.withImageDHash(d, "media")
+      .orderBy("img_id").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // same gradient at two sizes → identical area-mean grid → same hash
+    assert(hs(0).get === hs(1).get)
+    // small blemish → few bits flip
+    assert(ham(hs(0).get, hs(2).get) > 0 && ham(hs(0).get, hs(2).get) <= 10)
+    // inverted gradient → nearly all gradient bits flip
+    assert(ham(hs(0).get, hs(3).get) > 32)
+    assert(hs(4).isEmpty) // fail-soft
+  }
+
+  test("imageDHashPairs: finds the near-dup pair, skips the inverse") {
+    val d = Multimodal.withImageDHash(Seq(
+      (1L, gradientPng(64, 64)),
+      (2L, gradientPng(64, 64, blemish = true)),
+      (3L, gradientPng(64, 64, invert = true)),
+      (4L, Array.empty[Byte])
+    ).toDF("img_id", "media"), "media")
+    val pairs = Multimodal.imageDHashPairs(d, "img_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+
   // ---- real audio codec (pure JDK javax.sound.sampled) ----------------
 
   /** A real encoded WAV: 16-bit signed PCM, sample-by-sample from `gen`
