@@ -180,6 +180,32 @@ object GraftFunctions {
         TopKByScoreAgg(cs(0), cs(1),
           litInt("graft_topk_by_score", "(score, id, k)", cs, 2))
           .toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_quantile_sketch"),
+      info("graft_quantile_sketch",
+        "_FUNC_(x, capacity, p) - mergeable quantile sketch estimate of the p-quantile; exact percentile() semantics while under capacity"),
+      (cs: Seq[Expression]) => {
+        checkArity("graft_quantile_sketch", "(x, capacity, p)", cs, 3)
+        val p = cs(2) match {
+          case e if e.foldable && e.resolved => e.eval() match {
+            case x: Number => x.doubleValue()
+            // SQL decimal literals (0.5) eval to Spark's Decimal
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case other => throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "_LEGACY_ERROR_TEMP_3088",
+              messageParameters = Map("msg" ->
+                s"graft_quantile_sketch: p must be a numeric literal, got $other"))
+          }
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_3088",
+            messageParameters = Map("msg" ->
+              "graft_quantile_sketch: p must be a numeric literal"))
+        }
+        expression(org.apache.spark.sql.functions.element_at(
+          column(QuantileSketchAgg(cs(0),
+            litInt("graft_quantile_sketch", "(x, capacity, p)", cs, 1),
+            Seq(p)).toAggregateExpression()),
+          1))
       }))
 
   /** Register into a live session (tests, notebooks): the SQL functions

@@ -112,4 +112,57 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(again === est)
   }
+
+  // ---- quantile sketch ---------------------------------------------------
+
+  private def qsketch(df: org.apache.spark.sql.DataFrame, colName: String,
+      cap: Int, ps: Seq[Double]): Seq[Double] =
+    df.agg(org.apache.spark.sql.graftext.QuantileSketchAgg
+        .quantileSketch(col(colName).cast("double"), cap, ps).as("q"))
+      .collect()(0).getSeq[Double](0)
+
+  test("quantile sketch unsaturated = exact percentile() bit-for-bit") {
+    val li = Tables.lineitem(spark, SfDir)
+    val n = li.count().toInt
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val exact = li.agg(expr(
+      "percentile(cast(l_quantity AS double), array(0.0D,0.25D,0.5D,0.75D,0.9D,1.0D))").as("p"))
+      .collect()(0).getSeq[Double](0)
+    val sk = qsketch(li, "l_quantity", n + 10, ps)
+    assert(sk === exact)
+  }
+
+  test("quantile sketch saturated: bounded rank error, deterministic, merge-safe") {
+    val li = Tables.lineitem(spark, SfDir).select(
+      col("l_extendedprice").cast("double").as("v"))
+    val ps = Seq(0.1, 0.5, 0.9)
+    val exact = li.agg(expr(
+      "percentile(v, array(0.1D, 0.5D, 0.9D))").as("p"))
+      .collect()(0).getSeq[Double](0)
+    // capacity far below n: compaction engaged; results must stay close
+    // in RANK (compare via the exact CDF) and be run-to-run stable
+    val sk = qsketch(li, "v", 256, ps)
+    val n = li.count().toDouble
+    ps.indices.foreach { i =>
+      val rankOfEstimate =
+        li.filter(col("v") <= sk(i)).count().toDouble / n
+      assert(math.abs(rankOfEstimate - ps(i)) < 0.1,
+        s"p=${ps(i)}: estimate ${sk(i)} sits at rank $rankOfEstimate")
+    }
+    assert(qsketch(li, "v", 256, ps) === sk)
+    // quantiles are monotone in p
+    assert(sk === sk.sorted)
+    info(s"exact $exact vs sketch $sk (capacity 256, n=${n.toInt})")
+  }
+
+  test("quantile sketch groups independently and handles tiny groups") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))
+      .toDF("g", "v")
+    val r = df.groupBy("g")
+      .agg(org.apache.spark.sql.graftext.QuantileSketchAgg
+        .quantileSketch(col("v"), 64, Seq(0.5)).as("q"))
+      .collect().map(x => x.getString(0) -> x.getSeq[Double](1).head).toMap
+    assert(r("a") === 2.0)
+    assert(r("b") === 10.0)
+  }
 }

@@ -169,4 +169,18 @@ class GraftSqlSpec extends SparkSpec {
         graft.search.VectorSearch.querySignature(embs(r.getLong(0)), 64, 8))
     }
   }
+
+  test("graft_quantile_sketch from SQL: exact percentile under capacity") {
+    ready
+    val got = spark.sql(
+      """SELECT lang,
+        |  graft_quantile_sketch(CAST(n_chars AS DOUBLE), 4096, 0.5) AS med
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = spark.sql(
+      """SELECT lang, percentile(CAST(n_chars AS DOUBLE), 0.5D) AS med
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === exact)
+  }
 }
