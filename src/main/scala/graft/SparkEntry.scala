@@ -2495,6 +2495,96 @@ object SparkEntry {
            |FROM rr WHERE neg_rank <= 10 ORDER BY query_id, neg_rank""".stripMargin
       }),
 
+    Q("q105_fuzzy_bm25",
+      // ES fuzziness=1: typo'd query terms expand against the index
+      // DICTIONARY (vocabulary-scale scan, never the postings) within
+      // Levenshtein 1, then score through the standard partition-pruned
+      // BM25 path. "sparc merg windw" → spark, merge, window (+ any
+      // other vocab within one edit).
+      (s, dir) => graft.index.SearchIndex.bm25Fuzzy(s, indexFor(s, dir),
+        "sparc merg windw", maxEdits = 1)
+        .select(col("doc_id"), round(col("text_score"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(20),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |posting AS (
+         |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+         |       FROM posting GROUP BY doc_id, term, dl),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+         |dict AS (SELECT DISTINCT term FROM posting),
+         |qt AS (SELECT unnest(['sparc', 'merg', 'windw']) AS qterm),
+         |exp AS (SELECT DISTINCT term FROM dict JOIN qt
+         |        ON levenshtein(term, qterm) <= 1),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         |  FROM tf WHERE term IN (SELECT term FROM exp) GROUP BY term),
+         |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+         |  FROM dfreq, stats),
+         |scored AS (
+         |  SELECT doc_id, round(sum(
+         |    idf.idf * tf.tf * (1.2 + 1.0) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6)
+         |    AS bm25
+         |  FROM tf JOIN idf ON tf.term = idf.term, stats
+         |  GROUP BY doc_id)
+         |SELECT doc_id, bm25 FROM scored
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
+
+    Q("q106_highlights",
+      // ES-style highlighting: for each top-10 BM25 hit, the snippet
+      // around the FIRST occurrence of any query term (±3/+4 token
+      // window) plus its position — computed with pure array algebra on
+      // the hit rows only (10 docs), never a corpus pass. try_element_at
+      // / nullif(array_position, 0): ANSI-safe absent-term handling.
+      (s, dir) => {
+        val qterms = QueryTerms.toSeq
+        val hits = graft.index.SearchIndex.bm25(s, indexFor(s, dir),
+          QueryText)
+          .select(col("doc_id"), round(col("text_score"), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("l"))
+        val firstPos = qterms.map(t =>
+            nullif(array_position(col("l"), lit(t)), lit(0L)))
+          .reduce((a, b) => least(a, b))
+        hits.join(toks, "doc_id")
+          .withColumn("pos", firstPos.cast("long"))
+          .select(col("doc_id"), col("bm25"), col("pos"),
+            array_join(slice(col("l"),
+              greatest(col("pos").cast("int") - 3, lit(1)), lit(8)), " ")
+              .as("snippet"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+      },
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |posting AS (
+         |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+         |       FROM posting GROUP BY doc_id, term, dl),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         |  FROM tf WHERE term IN (SELECT unnest($qtermsSql)) GROUP BY term),
+         |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+         |  FROM dfreq, stats),
+         |scored AS (
+         |  SELECT doc_id, round(sum(
+         |    idf.idf * tf.tf * (1.2 + 1.0) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6)
+         |    AS bm25
+         |  FROM tf JOIN idf ON tf.term = idf.term, stats
+         |  GROUP BY doc_id),
+         |hits AS (SELECT doc_id, bm25 FROM scored
+         |         ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |pos AS (SELECT h.doc_id, h.bm25, t.l,
+         |    list_min([p for p in [list_position(t.l, q)
+         |                          for q in $qtermsSql] if p IS NOT NULL])
+         |      AS pos
+         |  FROM hits h JOIN toks t USING (doc_id))
+         |SELECT doc_id, bm25, pos::BIGINT AS pos,
+         |  array_to_string(l[greatest(pos - 3, 1):greatest(pos - 3, 1) + 7],
+         |    ' ') AS snippet
+         |FROM pos ORDER BY bm25 DESC, doc_id""".stripMargin),
+
     Q("q99_pq_knn",
       // product-quantized ANN: ADC shortlist over the 8-codes-per-vector
       // column (the fat embedding column is never read in the scan),

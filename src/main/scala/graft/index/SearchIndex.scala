@@ -174,6 +174,35 @@ object SearchIndex {
     invalidateAll(spark, indexDir)
   }
 
+  /** Fuzzy query-term expansion (ES `fuzziness: 1`): match each query
+    * term against the index DICTIONARY (docfreq — vocabulary-scale, not
+    * the postings) within Levenshtein distance `maxEdits`, and return
+    * the matched index terms. The scan is the dictionary, bounded by
+    * vocabulary size; the result is metadata-scale (a few terms per
+    * query term), so callers collect it and feed [[bm25]]. */
+  def fuzzyExpandTerms(spark: SparkSession, indexDir: String,
+      query: String, maxEdits: Int = 1): Seq[String] = {
+    import spark.implicits._
+    val qTerms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .distinct.toSeq
+    if (qTerms.isEmpty) return Nil
+    val qdf = qTerms.toDF("qterm")
+    cachedTable(spark, indexDir, "docfreq")
+      .select("term").distinct()
+      .join(broadcast(qdf),
+        levenshtein(col("term"), col("qterm")) <= maxEdits)
+      .select("term").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  /** Fuzzy BM25: expand, then score the expanded terms through the
+    * standard partition-pruned [[bm25]] path. */
+  def bm25Fuzzy(spark: SparkSession, indexDir: String, query: String,
+      maxEdits: Int = 1): DataFrame = {
+    val terms = fuzzyExpandTerms(spark, indexDir, query, maxEdits)
+    bm25(spark, indexDir, terms.mkString(" "))
+  }
+
   /** Shard merge: fold the index at `srcDir` into the index at `dstDir`
     * (disjoint doc sets — the shard-per-partition build pattern, e.g.
     * one index per ingest slice merged into the serving index). Both

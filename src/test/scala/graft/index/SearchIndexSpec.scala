@@ -144,6 +144,33 @@ class SearchIndexSpec extends SparkSpec {
     assert(mrgDict === fullDict)
   }
 
+  test("fuzzy expansion: dictionary terms within one edit; scores via plain bm25") {
+    val terms = SearchIndex.fuzzyExpandTerms(spark, indexDir,
+      "sparc merg windw", maxEdits = 1)
+    assert(Seq("spark", "merge", "window").forall(terms.contains),
+      s"expected typo targets in $terms")
+    // every expansion is actually within one edit of some query term
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    terms.foreach(t => assert(
+      Seq("sparc", "merg", "windw").exists(q => lev(t, q) <= 1), t))
+    // fuzzy scoring IS bm25 over the expanded terms — no separate scorer
+    val viaFuzzy = SearchIndex.bm25Fuzzy(spark, indexDir, "sparc merg windw")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaPlain = SearchIndex.bm25(spark, indexDir, terms.mkString(" "))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaFuzzy === viaPlain)
+    // maxEdits = 0 degenerates to the exact vocabulary intersection
+    assert(SearchIndex.fuzzyExpandTerms(spark, indexDir,
+      "spark nosuchterm", maxEdits = 0) === Seq("spark"))
+  }
+
   test("indexed phrase equals the scan-path phraseMatch") {
     val viaIndex = SearchIndex.phrase(spark, indexDir, "table scan")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
