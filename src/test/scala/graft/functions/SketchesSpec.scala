@@ -155,6 +155,19 @@ class SketchesSpec extends SparkSpec {
     info(s"exact $exact vs sketch $sk (capacity 256, n=${n.toInt})")
   }
 
+  test("property: saturated sketch stays within [min, max] and monotone") {
+    val rnd = new scala.util.Random(42)
+    val ps = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    (1 to 5).foreach { trial =>
+      val vals = Seq.fill(2000)(rnd.nextDouble() * math.pow(10, trial))
+      val df = vals.toDF("v")
+      val sk = qsketch(df, "v", 64, ps)
+      assert(sk === sk.sorted, s"trial $trial: not monotone: $sk")
+      assert(sk.head >= vals.min - 1e-9 && sk.last <= vals.max + 1e-9,
+        s"trial $trial: out of range")
+    }
+  }
+
   test("quantile sketch groups independently and handles tiny groups") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))
       .toDF("g", "v")

@@ -46,6 +46,20 @@ class BpeSpec extends SparkSpec {
     assert(m.encodeWord("xyz") === Seq("x", "y", "z", Bpe.EndOfWord))
   }
 
+  test("property: encode is lossless — symbols rejoin to the word, any merges") {
+    val m = Bpe.train(corpus, "text", numMerges = 5)
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val syms = m.encodeWord(w)
+      // concatenating the symbols and dropping the end marker must give
+      // the word back exactly — merges never lose or reorder characters
+      assert(syms.mkString.stripSuffix(Bpe.EndOfWord) === w, w)
+      assert(syms.last.endsWith(Bpe.EndOfWord), w)
+    }
+  }
+
   test("encode and tokenCount run per-partition over a text column") {
     val m = Bpe.train(corpus, "text", numMerges = 5)
     val enc = Bpe.encode(Seq((1L, "newest lowest"), (2L, ""))
