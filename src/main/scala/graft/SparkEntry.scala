@@ -2133,11 +2133,6 @@ object SparkEntry {
            |ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin
       }),
 
-    // ES match_phrase over positional postings: a doc matches where the
-    // phrase tokens sit at consecutive positions (per-start
-    // count(DISTINCT idx) == m). Both engines run the identical
-    // start = pos - idx algebra (off-by-one in pos base cancels in the
-    // grouping).
     Q("q67_phrase_match",
       (s, dir) => TextSearch.phraseMatch(
         Tables.documents(s, dir), "doc_id", "text", PhraseQuery)
@@ -2584,6 +2579,118 @@ object SparkEntry {
          |  array_to_string(l[greatest(pos - 3, 1):greatest(pos - 3, 1) + 7],
          |    ' ') AS snippet
          |FROM pos ORDER BY bm25 DESC, doc_id""".stripMargin),
+
+    Q("q107_significant_terms",
+      // ES significant_terms: terms over-represented in the docs
+      // matching 'dup' (foreground found by a pruned postings probe;
+      // term vectors re-read for |fg| docs only via broadcast join)
+      // vs the corpus background (index dictionary + stats — no second
+      // corpus pass). JLH lift, positive-lift terms only.
+      (s, dir) => graft.index.SearchIndex.significantTerms(
+        s, indexFor(s, dir), Tables.documents(s, dir), "dup", topN = 10),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |p AS (SELECT DISTINCT doc_id, unnest(l) AS term FROM toks),
+         |fg AS (SELECT DISTINCT doc_id FROM p WHERE term = 'dup'),
+         |fgv AS (SELECT p.term, count(*) AS fg_df
+         |        FROM p JOIN fg USING (doc_id) GROUP BY p.term),
+         |nn AS (SELECT (SELECT count(*) FROM fg) AS fg_n,
+         |       (SELECT count(*) FROM documents)::DOUBLE AS n_docs),
+         |bg AS (SELECT term, count(*)::DOUBLE AS bg_df FROM p GROUP BY term)
+         |SELECT term, fg_df::BIGINT AS fg_df, bg_df::BIGINT AS bg_df,
+         |  round((fg_df / fg_n - bg_df / n_docs) * (fg_df / fg_n)
+         |        / (bg_df / n_docs), 6) AS sig
+         |FROM fgv JOIN bg USING (term), nn
+         |WHERE term <> 'dup' AND fg_df / fg_n > bg_df / n_docs
+         |ORDER BY sig DESC, term LIMIT 10""".stripMargin),
+
+    Q("q108_more_like_this",
+      // ES more_like_this: seed doc 1's top-5 tf·idf terms (driver-side
+      // planning over ONE doc + a bucket-pruned dictionary lookup) feed
+      // the standard indexed BM25, seed excluded from results.
+      (s, dir) => graft.index.SearchIndex.moreLikeThis(
+        s, indexFor(s, dir), Tables.documents(s, dir), seedDocId = 1L,
+        maxTerms = 5)
+        .select(col("doc_id"), round(col("text_score"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(10),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |posting AS (
+         |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+         |       FROM posting GROUP BY doc_id, term, dl),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+         |seed AS (SELECT term, count(*)::DOUBLE AS tf FROM posting
+         |         WHERE doc_id = 1 GROUP BY term),
+         |bgdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         |         FROM posting GROUP BY term),
+         |sel AS (SELECT s.term FROM seed s JOIN bgdf d USING (term), stats
+         |        ORDER BY s.tf * ln(1 + (stats.n - d.df + 0.5) / (d.df + 0.5))
+         |          DESC, s.term LIMIT 5),
+         |dfreq AS (SELECT term, df FROM bgdf
+         |          WHERE term IN (SELECT term FROM sel)),
+         |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+         |  FROM dfreq, stats),
+         |scored AS (
+         |  SELECT doc_id, round(sum(
+         |    idf.idf * tf.tf * (1.2 + 1.0) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6)
+         |    AS bm25
+         |  FROM tf JOIN idf ON tf.term = idf.term, stats
+         |  GROUP BY doc_id)
+         |SELECT doc_id, bm25 FROM scored WHERE doc_id <> 1
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin),
+
+    Q("q109_search_after",
+      // ES search_after keyset pagination: page 3 (ranks 21-30) of the
+      // standard ranking via the (bm25, doc_id) cursor of rank 20 —
+      // page cost independent of depth (same pruned probe + one
+      // TakeOrdered of pageSize; no OFFSET prefix materialization).
+      // The cursor fetch is a driver-side 20-row TakeOrdered, i.e. the
+      // client handing back the last row of the previous page.
+      (s, dir) => {
+        val idx = indexFor(s, dir)
+        val cur = graft.index.SearchIndex.bm25(s, idx, QueryText)
+          .select(col("doc_id"), round(col("text_score"), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+          .collect().last
+        graft.index.SearchIndex.searchAfter(s, idx, QueryText,
+          cur.getDouble(1), cur.getLong(0), pageSize = 10)
+      },
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |posting AS (
+         |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+         |       FROM posting GROUP BY doc_id, term, dl),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         |  FROM tf WHERE term IN (SELECT unnest($qtermsSql)) GROUP BY term),
+         |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+         |  FROM dfreq, stats),
+         |ranked AS (
+         |  SELECT doc_id, round(sum(
+         |    idf.idf * tf.tf * (1.2 + 1.0) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6)
+         |    AS bm25
+         |  FROM tf JOIN idf ON tf.term = idf.term, stats
+         |  GROUP BY doc_id),
+         |cur AS (SELECT bm25, doc_id FROM ranked
+         |        ORDER BY bm25 DESC, doc_id LIMIT 1 OFFSET 19)
+         |SELECT r.doc_id, r.bm25 FROM ranked r, cur c
+         |WHERE r.bm25 < c.bm25 OR (r.bm25 = c.bm25 AND r.doc_id > c.doc_id)
+         |ORDER BY r.bm25 DESC, r.doc_id LIMIT 10""".stripMargin),
+
+    Q("q110_suggest",
+      // ES completion suggester: dictionary-only prefix match ranked by
+      // docfreq — vocabulary-scale scan, metadata-scale result; the
+      // postings (corpus-scale) are never touched.
+      (s, dir) => graft.index.SearchIndex.suggest(
+        s, indexFor(s, dir), "s", n = 5),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |p AS (SELECT DISTINCT doc_id, unnest(l) AS term FROM toks)
+         |SELECT term, count(*)::BIGINT AS df FROM p
+         |WHERE term LIKE 's%' GROUP BY term
+         |ORDER BY df DESC, term LIMIT 5""".stripMargin),
 
     Q("q99_pq_knn",
       // product-quantized ANN: ADC shortlist over the 8-codes-per-vector

@@ -203,6 +203,110 @@ object SearchIndex {
     bm25(spark, indexDir, terms.mkString(" "))
   }
 
+  /** ES `significant_terms`: terms over-represented in a foreground doc
+    * set — here the docs matching `fgTerm`, found by a partition-pruned
+    * postings probe — relative to the corpus background. The
+    * foreground's term vectors are re-read from `docs` through a
+    * broadcast join on doc_id (cost O(|foreground|), never a corpus
+    * re-scan); background docfreq and corpus size come straight from
+    * the index dictionary and stats (vocabulary-/metadata-scale). JLH
+    * score, as in ES: (fgPct - bgPct) * fgPct / bgPct, keeping only
+    * terms with positive lift. */
+  def significantTerms(spark: SparkSession, indexDir: String,
+      docs: DataFrame, fgTerm: String, topN: Int = 10): DataFrame = {
+    val fgIds = cachedTable(spark, indexDir, "postings")
+      .filter(col("term_bucket") === termBucketOf(fgTerm) &&
+        col("term") === fgTerm)
+      .select("doc_id")
+    val fgToks = docs.join(broadcast(fgIds), "doc_id")
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .distinct()
+    val fgAgg = fgToks.groupBy("term").agg(count(lit(1)).as("fg_df"))
+    val fgN = fgToks.agg(countDistinct("doc_id").as("fg_n"))
+    cachedTable(spark, indexDir, "docfreq").select("term", "df")
+      .join(broadcast(fgAgg), "term")
+      .crossJoin(broadcast(fgN))
+      .crossJoin(broadcast(
+        cachedTable(spark, indexDir, "stats").select("n_docs")))
+      .filter(col("term") =!= fgTerm)
+      .withColumn("fg_pct", col("fg_df") / col("fg_n"))
+      .withColumn("bg_pct", col("df") / col("n_docs"))
+      .filter(col("fg_pct") > col("bg_pct"))
+      .select(col("term"), col("fg_df"), col("df").cast("long").as("bg_df"),
+        round((col("fg_pct") - col("bg_pct")) * col("fg_pct") / col("bg_pct"),
+          6).as("sig"))
+      .orderBy(col("sig").desc, col("term").asc)
+      .limit(topN)
+  }
+
+  /** The `more_like_this` term-mining step: the seed document's top
+    * `maxTerms` terms by tf·idf. Driver-side over ONE document plus a
+    * bucket-pruned dictionary lookup — query planning, not a data pass.
+    * The idf is the same BM25 idf the scorer uses (and the same
+    * expression shape as the oracle SQL), so "interesting" means
+    * exactly what the ranking rewards. */
+  def mltTerms(spark: SparkSession, indexDir: String, docs: DataFrame,
+      seedDocId: Long, maxTerms: Int = 5): Seq[String] = {
+    val seedTf = docs.filter(col("doc_id") === seedDocId)
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(seedTf.nonEmpty, s"seed doc $seedDocId missing or empty")
+    val buckets = seedTf.keys.map(termBucketOf).toSeq.distinct
+    val dfMap = cachedTable(spark, indexDir, "docfreq")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(seedTf.keys.toSeq: _*))
+      .select("term", "df")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val n = cachedTable(spark, indexDir, "stats")
+      .select("n_docs").head().getDouble(0)
+    seedTf.toSeq.map { case (t, tf) =>
+        val df = dfMap.getOrElse(t, 0.0)
+        t -> tf.toDouble * math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      }.sortBy { case (t, s) => (-s, t) }.take(maxTerms).map(_._1)
+  }
+
+  /** ES `more_like_this`: [[mltTerms]] feeds the standard
+    * partition-pruned [[bm25]] path, excluding the seed itself. */
+  def moreLikeThis(spark: SparkSession, indexDir: String, docs: DataFrame,
+      seedDocId: Long, maxTerms: Int = 5): DataFrame =
+    bm25(spark, indexDir,
+        mltTerms(spark, indexDir, docs, seedDocId, maxTerms).mkString(" "))
+      .filter(col("doc_id") =!= seedDocId)
+
+  /** ES `search_after` keyset pagination: the page strictly after the
+    * cursor (afterScore, afterDocId) in the (score DESC, doc_id ASC)
+    * total order. Unlike OFFSET pagination, the cost of page N does not
+    * grow with N: every page is the same pruned index probe plus one
+    * TakeOrdered of `pageSize` — no global sort, no materialization of
+    * the skipped prefix. Scores are rounded to 6 decimals BEFORE the
+    * cursor comparison so a cursor read off one page's output is exact
+    * against the next page's filter. */
+  def searchAfter(spark: SparkSession, indexDir: String, query: String,
+      afterScore: Double, afterDocId: Long, pageSize: Int = 10): DataFrame =
+    bm25(spark, indexDir, query)
+      .select(col("doc_id"), round(col("text_score"), 6).as("bm25"))
+      .filter(col("bm25") < afterScore ||
+        (col("bm25") === afterScore && col("doc_id") > afterDocId))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(pageSize)
+
+  /** ES completion suggester over the index dictionary: terms with the
+    * given prefix, ranked by document frequency. Scans only docfreq —
+    * vocabulary-scale, orders of magnitude smaller than the corpus —
+    * and returns metadata-scale rows. (term_bucket is hash-derived so a
+    * prefix cannot partition-prune; the dictionary being tiny relative
+    * to postings is what makes this cheap — the same trade ES makes
+    * with its in-heap terms index.) */
+  def suggest(spark: SparkSession, indexDir: String, prefix: String,
+      n: Int = 10): DataFrame =
+    cachedTable(spark, indexDir, "docfreq")
+      .filter(col("term").startsWith(prefix))
+      .select(col("term"), col("df").cast("long").as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(n)
+
   /** Shard merge: fold the index at `srcDir` into the index at `dstDir`
     * (disjoint doc sets — the shard-per-partition build pattern, e.g.
     * one index per ingest slice merged into the serving index). Both

@@ -171,6 +171,76 @@ class SearchIndexSpec extends SparkSpec {
       "spark nosuchterm", maxEdits = 0) === Seq("spark"))
   }
 
+  test("significant terms: genuine positive lift, foreground term excluded") {
+    val docs = Tables.documents(spark, SfDir)
+    val rows = SearchIndex.significantTerms(spark, indexDir, docs, "dup",
+      topN = 100).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.map(_.getString(0)).contains("dup"))
+    // every surfaced term genuinely lifts — recomputed from the raw
+    // corpus, independent of the index tables the operator read
+    val fgN = docs.filter(array_contains(
+      graft.functions.TextFunctions.tokens(col("text")), "dup"))
+      .count().toDouble
+    val n = docs.count().toDouble
+    rows.foreach { r =>
+      assert(r.getLong(1) / fgN > r.getLong(2) / n, r.getString(0))
+    }
+    // scores are descending with term tiebreak
+    val sigs = rows.map(_.getDouble(3)).toSeq
+    assert(sigs === sigs.sorted.reverse)
+  }
+
+  test("more-like-this: mined terms from the seed's vocab; mlt ≡ bm25 over them") {
+    val docs = Tables.documents(spark, SfDir)
+    val terms = SearchIndex.mltTerms(spark, indexDir, docs, seedDocId = 1L,
+      maxTerms = 5)
+    assert(terms.size === 5)
+    val seedVocab = docs.filter(col("doc_id") === 1L)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))))
+      .collect().map(_.getString(0)).toSet
+    assert(terms.forall(seedVocab.contains), terms)
+    val mlt = SearchIndex.moreLikeThis(spark, indexDir, docs, 1L, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!mlt.contains(1L)) // seed never recommends itself
+    val plain = SearchIndex.bm25(spark, indexDir, terms.mkString(" "))
+      .filter(col("doc_id") =!= 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mlt === plain)
+  }
+
+  test("search_after pages tile the ranking: page 3 = ranks 21-30, no overlap") {
+    val full = SearchIndex.bm25(spark, indexDir, "spark merge window")
+      .select(col("doc_id"), round(col("text_score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(30).collect()
+    assert(full.length === 30)
+    val cur = full(19)
+    val page3 = SearchIndex.searchAfter(spark, indexDir,
+      "spark merge window", cur.getDouble(1), cur.getLong(0), pageSize = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(page3 === full.slice(20, 30)
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // cursor below every score → empty page, not an error
+    assert(SearchIndex.searchAfter(spark, indexDir, "spark merge window",
+      -1.0, Long.MaxValue, 10).count() === 0)
+  }
+
+  test("suggest: prefix-filtered dictionary ranked by df, df values exact") {
+    val got = SearchIndex.suggest(spark, indexDir, "s", n = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got.forall(_._1.startsWith("s")))
+    assert(got.map(-_._2).toSeq === got.map(-_._2).sorted)
+    // df values match a from-scratch distinct-doc count per term
+    val expect = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .distinct()
+      .filter(col("term").startsWith("s"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.toMap === expect)
+  }
+
   test("indexed phrase equals the scan-path phraseMatch") {
     val viaIndex = SearchIndex.phrase(spark, indexDir, "table scan")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
