@@ -1323,6 +1323,87 @@ object SparkEntry {
          |FROM toks t JOIN lp ON t.term = lp.term
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
 
+    Q("q111_winnow_fingerprints",
+      // robust winnowing (Schleimer et al. SIGMOD'03): per-doc distinct
+      // window-min shingle hashes — any shared substring >= w+k-1 chars
+      // between docs shares a fingerprint. Pure per-row array algebra;
+      // the only shuffle is the output ORDER BY.
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowFingerprints(col("text"))).as("fp"))
+        .orderBy("doc_id", "fp"),
+      s"""WITH nm AS (SELECT doc_id,
+         |  lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |hs AS (SELECT doc_id, CASE WHEN length(norm) < 8
+         |    THEN [${md5LongSql("norm")}]
+         |    ELSE [${md5LongSql("substr(norm, i, 8)")}
+         |          for i in range(1, length(norm) - 6)] END AS h FROM nm),
+         |fp AS (SELECT doc_id, CASE WHEN len(h) < 4 THEN [list_min(h)]
+         |    ELSE [list_min(h[i:i+3]) for i in range(1, len(h) - 2)] END
+         |    AS f FROM hs)
+         |SELECT DISTINCT doc_id, fp FROM
+         |  (SELECT doc_id, unnest(f) AS fp FROM fp)
+         |ORDER BY doc_id, fp""".stripMargin),
+
+    Q("q112_pmi_pairs",
+      // collocation mining: document-level PMI for co-occurring term
+      // pairs. Pairs come from per-doc combinations over sorted distinct
+      // tokens (bounded by doc vocab², never a corpus self-join);
+      // marginals are a vocabulary-scale broadcast. The oracle's
+      // equivalent self-join is fine for DuckDB at oracle scale.
+      (s, dir) => TextAnalysis.pmiPairs(
+        Tables.documents(s, dir), "doc_id", "text", minPairCount = 2L)
+        .orderBy(col("pmi").desc, col("a").asc, col("b").asc).limit(20),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |p AS (SELECT DISTINCT doc_id, unnest(l) AS term FROM toks),
+         |pr AS (SELECT a.term AS a, b.term AS b, count(*) AS c_ab
+         |       FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.term < b.term
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |c AS (SELECT term, count(*) AS c FROM p GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT pr.a, pr.b, c_ab,
+         |  round(ln((c_ab * n.n) / (ca.c * cb.c)), 6) AS pmi
+         |FROM pr JOIN c ca ON pr.a = ca.term
+         |        JOIN c cb ON pr.b = cb.term, n
+         |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin),
+
+    Q("q113_zipf_slope",
+      // corpus health check: least-squares slope of ln(freq) on ln(rank)
+      // over the term-frequency table. The ranking window runs over the
+      // vocabulary — metadata-scale by construction, not a scale bug.
+      (s, dir) => TextAnalysis.zipfSlope(Tables.documents(s, dir),
+        "doc_id", "text"),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |posting AS (SELECT unnest(l) AS t FROM toks),
+         |f AS (SELECT t, count(*) AS freq FROM posting GROUP BY t),
+         |r AS (SELECT freq,
+         |      row_number() OVER (ORDER BY freq DESC, t) AS rank FROM f)
+         |SELECT count(*)::BIGINT AS n_terms,
+         |  round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope
+         |FROM r""".stripMargin),
+
+    Q("q114_char_entropy",
+      // character-level Shannon entropy (nats) per doc: the cheap
+      // repetitive/gibberish quality signal. Per-row array fold over the
+      // doc's distinct chars — codegen'd, shuffle-free.
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id"),
+      s"""WITH nm AS (SELECT doc_id,
+         |  lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |ch AS (SELECT doc_id,
+         |  unnest([substr(norm, i, 1) for i in range(1, length(norm) + 1)])
+         |    AS c FROM nm),
+         |cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS k
+         |        FROM ch GROUP BY doc_id, c),
+         |tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id)
+         |SELECT doc_id, round(-sum((k / n) * ln(k / n)), 6) AS entropy
+         |FROM cnt JOIN tot USING (doc_id)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // Incremental substring dedup: even doc_ids play the indexed
     // corpus, odd ids the incoming batch (the q71 pattern at substring
     // granularity). Only the batch is hashed; the dup test is one

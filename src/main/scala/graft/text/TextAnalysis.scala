@@ -81,6 +81,93 @@ object TextAnalysis {
         .otherwise(array_min(transform(sequence(lit(1), length(norm) - 7),
           i => TextFunctions.md5Long(norm.substr(i, lit(8)))))))
 
+  /** Robust-winnowing fingerprint set (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03): 60-bit hashes of k-char shingles over the normalized
+    * text; every window of w consecutive shingle hashes selects its
+    * minimum; the distinct selected values are the document's
+    * fingerprints. Any shared substring of length >= w + k - 1 between
+    * two documents is guaranteed to share a fingerprint, at expected
+    * density 2/(w+1) — the standard plagiarism/near-dup sketch when a
+    * fixed-size MinHash signature is too coarse. Pure per-row array
+    * algebra: codegen'd, shuffle-free, no UDF. */
+  def winnowFingerprints(textCol: Column, k: Int = 8, w: Int = 4): Column =
+    TextFunctions.bind(lower(regexp_replace(textCol, "\\s+", " ")), norm =>
+      TextFunctions.bind(
+        when(length(norm) < k, array(TextFunctions.md5Long(norm)))
+          .otherwise(transform(sequence(lit(1), length(norm) - (k - 1)),
+            i => TextFunctions.md5Long(norm.substr(i, lit(k))))),
+        hs => when(size(hs) < w, array(array_min(hs)))
+          .otherwise(array_distinct(
+            transform(sequence(lit(1), size(hs) - (w - 1)),
+              i => array_min(slice(hs, i, lit(w))))))))
+
+  /** Character-level Shannon entropy of the normalized text, in nats.
+    * Low entropy flags repetitive / template / gibberish docs — a
+    * standard cheap quality signal next to [[qualityScore]]. The fold
+    * runs over the doc's distinct characters (first-occurrence order,
+    * deterministic), with p from a count over the full char array. */
+  def charEntropy(textCol: Column): Column =
+    TextFunctions.bind(lower(regexp_replace(textCol, "\\s+", " ")), norm =>
+      when(length(norm) === 0, lit(0.0)).otherwise(
+        TextFunctions.bind(transform(sequence(lit(1), length(norm)),
+            i => norm.substr(i, lit(1))), chars =>
+          round(-aggregate(array_distinct(chars), lit(0.0), (acc, ch) =>
+            acc + TextFunctions.bind(
+              size(filter(chars, c => c === ch)).cast("double") /
+                size(chars).cast("double"),
+              p => p * log(p))), 6))))
+
+  /** Pointwise mutual information over in-document term co-occurrence:
+    * pmi(a, b) = ln(c_ab * N / (c_a * c_b)) with document-level counts
+    * (c_x = docs containing x, c_ab = docs containing both, N = docs).
+    * The phrase-/collocation-mining primitive. Pair generation is
+    * per-document combinations over the doc's sorted distinct terms —
+    * work bounded by doc vocabulary squared, never a corpus self-join
+    * (the same shape as the dedup pair generators); marginals are a
+    * vocabulary-scale broadcast. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      minPairCount: Long = 2L): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      array_sort(array_distinct(TextFunctions.tokens(col(textCol))))
+        .as("ts"))
+    val pairs = terms.select(explode(flatten(
+        transform(col("ts"), (x, i) =>
+          transform(slice(col("ts"), i + 2, size(col("ts"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
+    val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+    val marg = terms.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    cab
+      .join(broadcast(marg.select(col("t").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(marg.select(col("t").as("b"), col("c").as("c_b"))), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log((col("c_ab") * col("n")) / (col("c_a") * col("c_b"))), 6)
+          .as("pmi"))
+  }
+
+  /** Zipf rank–frequency fit: least-squares slope of ln(freq) on
+    * ln(rank) over the corpus term-frequency table — the classic corpus
+    * health check (natural text ≈ -1; template/generated text drifts).
+    * The regression runs over the vocabulary (metadata-scale), so the
+    * driver-side window for ranking is deliberate, not a scale bug. */
+  def zipfSlope(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+    freq
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("t").asc)))
+      .agg(count(lit(1)).as("n_terms"),
+        round(covar_pop(log(col("freq")), log(col("rank"))) /
+          var_pop(log(col("rank"))), 6).as("zipf_slope"))
+  }
+
   /** Full per-document stats relation: the one-pass profile a pipeline
     * computes before filtering (tokens, bpe-ish tokens, lang, quality,
     * fingerprint). */

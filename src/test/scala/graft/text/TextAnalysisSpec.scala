@@ -40,6 +40,68 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s.isInstanceOf[Long])
   }
 
+  test("winnowing guarantee: docs sharing a >= w+k-1 substring share a fingerprint") {
+    def fps(t: String): Set[Long] =
+      Seq(t).toDF("text")
+        .select(TextAnalysis.winnowFingerprints(col("text")).as("f"))
+        .head().getSeq[Long](0).toSet
+    // w + k - 1 = 11: an 11-char shared run must collide
+    val shared = "abcdefghijk"
+    val a = fps(s"xxxx $shared yyyy")
+    val b = fps(s"qqqqqqq $shared zzzzz")
+    assert(a.intersect(b).nonEmpty)
+    // unrelated strings of the same alphabet need not (and here do not)
+    val c = fps("totally different content with no overlap at all")
+    assert(a.intersect(c).isEmpty)
+    // density: can't select more fingerprints than windows; always >= 1
+    val t = "the quick brown fox jumps over the lazy dog"
+    val n = fps(t).size
+    assert(n >= 1 && n <= t.length - 8 + 1)
+    // short-doc fallbacks: < k chars hashes whole text; < w windows one min
+    assert(fps("hi").size === 1)
+    assert(fps("abcdefghi").size === 1)
+  }
+
+  test("charEntropy: 0 for uniform char, ln(2) for ab, ln(n) for n distinct") {
+    def h(t: String): Double =
+      one(TextAnalysis.charEntropy(col("text")), t).asInstanceOf[Double]
+    assert(h("aaaa") === 0.0)
+    assert(math.abs(h("ab") - math.log(2)) < 1e-6)
+    assert(math.abs(h("abcd") - math.log(4)) < 1e-6)
+    assert(h("") === 0.0)
+    // repetitive text scores strictly below varied text of the same length
+    assert(h("abababababab") < h("abcdefghijkl"))
+  }
+
+  test("pmiPairs: hand-checked counts and PMI on a tiny corpus") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta gamma"),
+      (4L, "alpha delta"), (5L, "gamma delta")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiPairs(docs, "doc_id", "text", minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // alpha in 4 docs, beta in 3, together in 3 of N=5:
+    // pmi = ln(3*5 / (4*3)) = ln(1.25)
+    assert(got.keySet === Set(("alpha", "beta")))
+    val (cab, pmi) = got(("alpha", "beta"))
+    assert(cab === 3L)
+    assert(math.abs(pmi - math.log(1.25)) < 1e-6)
+    // pairs below minPairCount are dropped, and a >= b never appears
+    val all = TextAnalysis.pmiPairs(docs, "doc_id", "text", 1L).collect()
+    assert(all.forall(r => r.getString(0) < r.getString(1)))
+    assert(all.length === 5) // ab, ad, ag, bg, dg and NOT bd (0 docs)
+  }
+
+  test("zipfSlope: exact -1 on a synthetic 1/rank corpus") {
+    // freq(term_r) = 12/r for r in 1..4 → ln freq = ln 12 - ln rank:
+    // slope exactly -1 (up to float), fit over n_terms = 4
+    val words = (1 to 4).flatMap(r => Seq.fill(12 / r)(s"w$r"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfSlope(docs, "doc_id", "text").head()
+    assert(row.getLong(0) === 4L)
+    assert(math.abs(row.getDouble(1) - (-1.0)) < 1e-6)
+  }
+
   test("profile emits all five stats columns") {
     val df = Seq((1L, "The quick brown fox."), (2L, ""))
       .toDF("doc_id", "text")
