@@ -2214,6 +2214,69 @@ object SparkEntry {
            |ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin
       }),
 
+    Q("q115_search_eval",
+      // offline serving-quality evaluation: NDCG@10 / MRR / recall@10 of
+      // the int8-quantized ANN ranking (q66's path) against exact
+      // brute-force ground truth (q24's path). The metrics run over two
+      // 10-row frames — metadata-scale by construction; the corpus-
+      // scale work is the upstream retrievals being evaluated.
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        VectorSearch.evalRanking(
+          VectorSearch.quantizedTopK(embs, "vec_id", "embedding", QueryVec,
+            10, EmbedDim, numCandidates = 50),
+          VectorSearch.topK(embs, "vec_id", "embedding", QueryVec, 10),
+          k = 10)
+      },
+      {
+        val qd = (i: String) => // same int8 quantizer as q66's oracle
+          s"(CASE WHEN mxs[$i] = mns[$i] THEN 0 ELSE " +
+            s"least(127, greatest(-128, " +
+            s"floor((embedding[$i]::DOUBLE - mns[$i]) * 255.0 / " +
+            s"(mxs[$i] - mns[$i]))::BIGINT - 128)) END)"
+        val idcg = dec((1 to 10)
+          .map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum)
+        s"""WITH pe AS (
+           |  SELECT unnest(embedding)::DOUBLE AS v,
+           |         generate_subscripts(embedding, 1) AS pos
+           |  FROM embeddings),
+           |mm AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM pe GROUP BY pos),
+           |arrs AS (SELECT list(mn ORDER BY pos) AS mns,
+           |                list(mx ORDER BY pos) AS mxs FROM mm),
+           |qq AS (
+           |  SELECT [CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
+           |            least(127, greatest(-128,
+           |              floor((($qvSql)[i] - mns[i]) * 255.0 /
+           |                (mxs[i] - mns[i]))::BIGINT - 128)) END
+           |          for i in range(1, ${EmbedDim + 1})] AS qv FROM arrs),
+           |cand AS (
+           |  SELECT vec_id, embedding,
+           |    list_sum([${qd("i")} * qv[i]
+           |              for i in range(1, ${EmbedDim + 1})])::BIGINT AS qscore
+           |  FROM embeddings, arrs, qq
+           |  ORDER BY qscore DESC, vec_id LIMIT 50),
+           |sysr AS (SELECT doc_id, row_number() OVER
+           |           (ORDER BY vs DESC, doc_id) AS r
+           |  FROM (SELECT vec_id AS doc_id, round($cosSql, 6) AS vs FROM cand
+           |        ORDER BY vs DESC, doc_id LIMIT 10) x),
+           |truthr AS (SELECT doc_id, row_number() OVER
+           |             (ORDER BY vs DESC, doc_id) AS tr
+           |  FROM (SELECT vec_id AS doc_id, round($cosSql, 6) AS vs
+           |        FROM embeddings ORDER BY vs DESC, doc_id LIMIT 10) y)
+           |SELECT
+           |  round(coalesce(sum(1.0 / log2(s.r + 1))
+           |    FILTER (WHERE t.doc_id IS NOT NULL), 0) / $idcg, 6) AS ndcg,
+           |  round(coalesce(1.0 / (min(s.r)
+           |    FILTER (WHERE t.doc_id IS NOT NULL)), 0), 6) AS mrr,
+           |  round(count(t.doc_id) / 10.0, 6) AS recall
+           |FROM sysr s LEFT JOIN truthr t ON s.doc_id = t.doc_id""".stripMargin
+      }),
+
+    // ES match_phrase over positional postings: a doc matches where the
+    // phrase tokens sit at consecutive positions (per-start
+    // count(DISTINCT idx) == m). Both engines run the identical
+    // start = pos - idx algebra (off-by-one in pos base cancels in the
+    // grouping).
     Q("q67_phrase_match",
       (s, dir) => TextSearch.phraseMatch(
         Tables.documents(s, dir), "doc_id", "text", PhraseQuery)

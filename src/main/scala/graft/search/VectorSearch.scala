@@ -158,6 +158,32 @@ object VectorSearch {
     if (n == 0) 1.0 else hit.toDouble / n.toDouble
   }
 
+  /** Offline ranking-quality evaluation: NDCG@k, MRR and recall@k of a
+    * system ranking against a ground-truth ranking. Both inputs are
+    * (doc_id, score) top-k frames; relevance is binary truth
+    * membership. The frames are metadata-scale (k rows), so the rank
+    * windows here are deliberate, not a scale bug — the corpus-scale
+    * work happened upstream in whichever retrieval produced the frames.
+    * Composes as a plan (one broadcast-able join + one agg), so a batch
+    * of query evaluations can union without collecting anything. */
+  def evalRanking(system: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, as: String): DataFrame = {
+      val sc = df.columns.filterNot(_ == "doc_id").head
+      df.limit(k).withColumn(as,
+          row_number().over(Window.orderBy(col(sc).desc, col("doc_id").asc)))
+        .select(col("doc_id"), col(as))
+    }
+    val idcg = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+    ranked(system, "r").join(ranked(truth, "tr"), Seq("doc_id"), "left")
+      .agg(
+        round(coalesce(sum(when(col("tr").isNotNull,
+          lit(1.0) / log2(col("r") + 1))), lit(0.0)) / idcg, 6).as("ndcg"),
+        round(coalesce(lit(1.0) /
+          min(when(col("tr").isNotNull, col("r"))), lit(0.0)), 6).as("mrr"),
+        round(count(col("tr")).cast("double") / k, 6).as("recall"))
+  }
+
   /** Driver-side signature of the query vector (same hyperplanes). */
   def querySignature(v: Array[Float], dim: Int, nBits: Int,
       seed: Long = 42L): Long = {

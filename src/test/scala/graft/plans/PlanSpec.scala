@@ -211,4 +211,31 @@ class PlanSpec extends SparkSpec {
     // the hits side comes off the pruned index probe
     assert(s.contains("term_bucket"), "bucket pruning lost:\n" + s)
   }
+
+  test("q107: foreground read is broadcast off a pruned probe — no corpus SMJ") {
+    val s = fmtOf("q107_significant_terms")
+    assert(s.contains("term_bucket"), "postings probe not pruned:\n" + s)
+    assert(s.contains("BroadcastHashJoin"), "fg join not broadcast:\n" + s)
+    assert(!s.contains("SortMergeJoin"),
+      "a metadata-scale side degraded to a sort-merge join:\n" + s)
+  }
+
+  test("q109/q110: keyset page is TakeOrdered off a pruned probe; suggest reads only the dictionary") {
+    val s9 = fmtOf("q109_search_after")
+    assert(s9.contains("TakeOrderedAndProject"), "page lost top-k plan:\n" + s9)
+    assert(s9.contains("term_bucket"), "bucket pruning lost:\n" + s9)
+    assert(!s9.contains("Window"), "window crept into pagination:\n" + s9)
+    val s10 = fmtOf("q110_suggest")
+    assert(s10.contains("docfreq"), s10)
+    assert(!s10.contains("postings") && !s10.contains("vectors"),
+      "suggest touched a corpus-scale table:\n" + s10)
+  }
+
+  test("q112: PMI pairs are per-doc combinations + broadcast marginals") {
+    val s = fmtOf("q112_pmi_pairs")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"),
+      "pair generation degraded to a corpus join:\n" + s)
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
+      "marginals not broadcast:\n" + s)
+  }
 }

@@ -215,4 +215,24 @@ class SearchSpec extends SparkSpec {
     // rank-based: doc 3 still appears (vector list has no floor) but last
     assert(res.last.getAs[Long]("doc_id") === 3L)
   }
+
+  test("evalRanking: hand-checked NDCG/MRR/recall on tiny frames") {
+    def run(sys: Seq[(Long, Double)], truth: Seq[(Long, Double)], k: Int) = {
+      val r = VectorSearch.evalRanking(
+        sys.toDF("doc_id", "score"), truth.toDF("doc_id", "score"), k).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    val truth = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7))
+    // perfect system: all three metrics 1.0
+    assert(run(truth, truth, 3) === ((1.0, 1.0, 1.0)))
+    // one relevant doc at system rank 2: mrr = 1/2, recall = 1/3,
+    // ndcg = (1/log2(3)) / (1 + 1/log2(3) + 1/2)
+    val (ndcg, mrr, rec) = run(Seq((9L, 0.9), (1L, 0.8), (8L, 0.7)), truth, 3)
+    val l2 = (x: Double) => math.log(x) / math.log(2.0)
+    assert(math.abs(ndcg - (1.0 / l2(3)) / (1.0 + 1.0 / l2(3) + 0.5)) < 1e-6)
+    assert(mrr === 0.5)
+    assert(math.abs(rec - 1.0 / 3.0) < 1e-6)
+    // no overlap: all zeros, no division-by-null errors
+    assert(run(Seq((7L, 0.9)), truth, 3) === ((0.0, 0.0, 0.0)))
+  }
 }
