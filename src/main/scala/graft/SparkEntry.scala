@@ -440,6 +440,95 @@ object SparkEntry {
          |  JOIN sizes sb ON sb.doc_id = b)
          |WHERE jaccard >= 0.05 ORDER BY a, b""".stripMargin),
 
+    Q("q116_minhash_estimator_error",
+      // dedup-quality eval (q115's idea pointed at the dedup stack):
+      // for each LSH candidate pair, the signature Jaccard ESTIMATE
+      // (fraction of equal minhash components — the only similarity an
+      // incremental pipeline ever sees) vs the exact shingle Jaccard,
+      // plus |error|. LEFT join: a band collision without any shared
+      // shingle (hash collision) scores exact = 0.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+        val nh = Dedup.NumHashes
+        val ha = sigs.toDF("a" +: (0 until nh).map(i => s"ha$i"): _*)
+        val hb = sigs.toDF("b" +: (0 until nh).map(i => s"hb$i"): _*)
+        val est = (0 until nh).map(i =>
+            when(col(s"ha$i") === col(s"hb$i"), 1.0).otherwise(0.0))
+          .reduce(_ + _) / nh.toDouble
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+          .join(ha, "a").join(hb, "b")
+          .withColumn("est", round(est, 6))
+          .join(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.0)
+            .withColumnRenamed("jaccard", "exact"), Seq("a", "b"), "left")
+          .select(col("a"), col("b"), col("est"),
+            coalesce(col("exact"), lit(0.0)).as("exact"),
+            round(abs(col("est") - coalesce(col("exact"), lit(0.0))), 6)
+              .as("err"))
+          .orderBy("a", "b")
+      },
+      {
+        val estSum = (0 until Dedup.NumHashes).map(i =>
+          s"(CASE WHEN sa.h$i = sb.h$i THEN 1.0 ELSE 0.0 END)")
+          .mkString(" + ")
+        s"""WITH ${minhashPairCtes()},
+           |sh2 AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS shingle
+           |  FROM (SELECT doc_id, $toksSql AS l FROM documents)),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+           |okst AS (SELECT shingle FROM sh2 GROUP BY shingle
+           |         HAVING count(*) <= ${Dedup.MaxGroupSize}),
+           |common AS (
+           |  SELECT l.doc_id AS a, r.doc_id AS b, count(*)::DOUBLE AS n_common
+           |  FROM sh2 l JOIN sh2 r ON l.shingle = r.shingle
+           |  WHERE l.doc_id < r.doc_id
+           |    AND l.shingle IN (SELECT shingle FROM okst)
+           |  GROUP BY 1, 2),
+           |exact AS (
+           |  SELECT a, b, round(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
+           |    AS exact
+           |  FROM common JOIN sizes sa ON sa.doc_id = a
+           |              JOIN sizes sb ON sb.doc_id = b),
+           |est AS (
+           |  SELECT p.a, p.b,
+           |    round(($estSum) / ${Dedup.NumHashes}.0, 6) AS est
+           |  FROM pairs p JOIN sigs sa ON sa.doc_id = p.a
+           |               JOIN sigs sb ON sb.doc_id = p.b)
+           |SELECT e.a, e.b, e.est, coalesce(x.exact, 0.0) AS exact,
+           |  round(abs(e.est - coalesce(x.exact, 0.0)), 6) AS err
+           |FROM est e LEFT JOIN exact x ON e.a = x.a AND e.b = x.b
+           |ORDER BY e.a, e.b""".stripMargin
+      }),
+
+    Q("q117_winnow_dup_pairs",
+      // the application of q111's fingerprints: near-dup pairs = docs
+      // sharing >= 2 winnowing fingerprints, via groupBy(fp) + in-group
+      // combinations under the hot-key cap — never a self-join. Larger
+      // (k=16, w=8) than q111's display default: over a template-heavy
+      // corpus, 8-char windows make ubiquitous (hot) fingerprints.
+      (s, dir) => Dedup.winnowDupPairs(Tables.documents(s, dir),
+        "doc_id", "text", k = 16, w = 8, minShared = 2L)
+        .orderBy("a", "b"),
+      s"""WITH nm AS (SELECT doc_id,
+         |  lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |hs AS (SELECT doc_id, CASE WHEN length(norm) < 16
+         |    THEN [${md5LongSql("norm")}]
+         |    ELSE [${md5LongSql("substr(norm, i, 16)")}
+         |          for i in range(1, length(norm) - 14)] END AS h FROM nm),
+         |fp AS (SELECT doc_id, CASE WHEN len(h) < 8 THEN [list_min(h)]
+         |    ELSE [list_min(h[i:i+7]) for i in range(1, len(h) - 6)] END
+         |    AS f FROM hs),
+         |e AS (SELECT DISTINCT doc_id, fp FROM
+         |      (SELECT doc_id, unnest(f) AS fp FROM fp)),
+         |ok AS (SELECT fp FROM e GROUP BY fp
+         |       HAVING count(*) <= ${Dedup.MaxGroupSize})
+         |SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS shared
+         |FROM e l JOIN e r ON l.fp = r.fp
+         |WHERE l.doc_id < r.doc_id AND l.fp IN (SELECT fp FROM ok)
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY a, b""".stripMargin),
+
     Q("q22_simhash",
       (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id"),

@@ -196,6 +196,31 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Winnowing-based near-dup pairs — the application of
+    * [[graft.text.TextAnalysis.winnowFingerprints]]: docs sharing at
+    * least `minShared` fingerprints, with the shared count. Same
+    * generation shape as every other generator here: groupBy(fp) +
+    * in-group combinations under the hot-key cap — never a self-join.
+    * Defaults use a LARGER (k, w) than q111's display default: 8-char
+    * windows over a template-heavy corpus make ubiquitous fingerprints
+    * (hot keys by construction); 16/8 keeps fingerprints selective
+    * while the winnowing guarantee still holds (any shared run of
+    * w + k - 1 = 23+ chars collides). */
+  def winnowDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Long = 2L,
+      maxGroupSize: Int = MaxGroupSize): DataFrame = {
+    val fps = docs.select(col(idCol).as("doc_id"),
+      explode(graft.text.TextAnalysis.winnowFingerprints(col(textCol), k, w))
+        .as("fp"))
+    fps.groupBy("fp")
+      .agg(sort_array(boundedSet(col("doc_id"), maxGroupSize)).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(pairsAsc(col("ids"))).as("p"))
+      .select(col("p._1").as("a"), col("p._2").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   // ---- simhash -----------------------------------------------------------
 
   /** 60-bit SimHash per doc: token hashes once (array expression), then

@@ -92,6 +92,14 @@ object TextAnalysis {
     * fixed-size MinHash signature is too coarse. Pure per-row array
     * algebra: codegen'd, shuffle-free, no UDF. */
   def winnowFingerprints(textCol: Column, k: Int = 8, w: Int = 4): Column =
+    org.apache.spark.sql.graftext.WinnowExpr.winnow(
+      lower(regexp_replace(textCol, "\\s+", " ")), k, w)
+
+  /** The HOF formulation [[winnowFingerprints]] replaced (kept for the
+    * equivalence spec): same values, but ~(len·w) interpreted lambda
+    * dispatches per row where the native expression runs one loop. */
+  private[graft] def winnowFingerprintsHof(textCol: Column, k: Int = 8,
+      w: Int = 4): Column =
     TextFunctions.bind(lower(regexp_replace(textCol, "\\s+", " ")), norm =>
       TextFunctions.bind(
         when(length(norm) < k, array(TextFunctions.md5Long(norm)))

@@ -200,6 +200,25 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs.head._2 - 1.0) < 1e-6)
   }
 
+  test("winnowDupPairs: exact/near dups pair with high shared counts; unrelated don't") {
+    val pairs = Dedup.winnowDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // identical docs share EVERY fingerprint; the near-dup shares most;
+    // doc 4 shares nothing with anyone
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(pairs((1L, 2L)) >= pairs((1L, 3L))) // dup >= near-dup overlap
+    // shared counts recompute from the raw fingerprint sets
+    def fpSet(t: String): Set[Long] =
+      Seq(t).toDF("text").select(graft.text.TextAnalysis
+          .winnowFingerprints(col("text"), 16, 8).as("f"))
+        .head().getSeq[Long](0).toSet
+    val t1 = docs.filter(col("doc_id") === 1L).head().getString(1)
+    val t3 = docs.filter(col("doc_id") === 3L).head().getString(1)
+    assert(pairs((1L, 3L)) === (fpSet(t1) intersect fpSet(t3)).size.toLong)
+  }
+
   test("substringDupSpans: maximal shared-window spans, merged and bounded") {
     // docs 1 and 2 share a 10-token passage (→ 3 windows at k=8, one
     // merged span of length 10); doc 3 is unique; doc 4 is too short

@@ -62,6 +62,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps("abcdefghi").size === 1)
   }
 
+  test("native winnow expression ≡ HOF formulation, element for element") {
+    val rnd = new scala.util.Random(7)
+    val texts = Seq("", "hi", "abcdefg", "abcdefgh", "abcdefghi",
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaaaa") ++
+      (1 to 50).map(_ => (1 to rnd.nextInt(120))
+        .map(_ => " abcdefgh".charAt(rnd.nextInt(9))).mkString)
+    for ((kk, ww) <- Seq((8, 4), (16, 8), (3, 2))) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text").filter(length(col("text")) > 0)
+      val both = df.select(
+          TextAnalysis.winnowFingerprints(col("text"), kk, ww).as("native"),
+          TextAnalysis.winnowFingerprintsHof(col("text"), kk, ww).as("hof"))
+        .collect()
+      both.foreach(r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"k=$kk w=$ww"))
+    }
+  }
+
   test("charEntropy: 0 for uniform char, ln(2) for ab, ln(n) for n distinct") {
     def h(t: String): Double =
       one(TextAnalysis.charEntropy(col("text")), t).asInstanceOf[Double]
