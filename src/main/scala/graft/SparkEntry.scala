@@ -2925,6 +2925,109 @@ object SparkEntry {
          |WHERE term LIKE 's%' GROUP BY term
          |ORDER BY df DESC, term LIMIT 5""".stripMargin),
 
+    Q("q118_bool_search",
+      // ES bool DSL on the persisted index: must (required + scored),
+      // should (optional + scored, minimum_should_match), filter
+      // (required, UNscored — filter context), must_not (excluded). ONE
+      // pruned postings probe; score and every clause flag come out of a
+      // single per-doc aggregate, so must_not costs a flag test, never a
+      // second anti-join pass over the index.
+      (s, dir) => graft.index.SearchIndex.boolSearch(s, indexFor(s, dir),
+        must = BoolMust, should = BoolShould, mustNot = BoolNot,
+        filterTerms = BoolFilter, minimumShouldMatch = 2),
+      {
+        def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString(", ")
+        val scoring = inList((BoolMust ++ BoolShould).distinct)
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+           |posting AS (
+           |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+           |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+           |       FROM posting GROUP BY doc_id, term, dl),
+           |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+           |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+           |dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+           |  FROM tf WHERE term IN ($scoring) GROUP BY term),
+           |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+           |  FROM dfreq, stats),
+           |sc AS (SELECT tf.doc_id, sum(
+           |    idf.idf * tf.tf * (1.2 + 1.0) /
+           |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS raw
+           |  FROM tf JOIN idf ON tf.term = idf.term, stats GROUP BY tf.doc_id),
+           |flags AS (SELECT doc_id,
+           |    count(DISTINCT CASE WHEN term IN (${inList(BoolMust)})
+           |      THEN term END) AS n_must,
+           |    count(DISTINCT CASE WHEN term IN (${inList(BoolShould)})
+           |      THEN term END) AS n_should,
+           |    count(DISTINCT CASE WHEN term IN (${inList(BoolFilter)})
+           |      THEN term END) AS n_filter,
+           |    count(DISTINCT CASE WHEN term IN (${inList(BoolNot)})
+           |      THEN term END) AS n_not
+           |  FROM tf GROUP BY doc_id)
+           |SELECT f.doc_id, round(sc.raw, 6) AS score
+           |FROM flags f JOIN sc ON sc.doc_id = f.doc_id
+           |WHERE f.n_must = ${BoolMust.size} AND f.n_filter = ${BoolFilter.size}
+           |  AND f.n_should >= 2 AND f.n_not = 0
+           |ORDER BY score DESC, f.doc_id LIMIT 10""".stripMargin
+      }),
+
+    Q("q119_indexed_proximity",
+      // positional-index twin of q74 (ES match + slop served from the
+      // persisted index): pruned probe over the query terms' position
+      // buckets, then the shared anchor-window algebra — identical
+      // semantics, index-probe cost (q80 : q67 :: q119 : q74).
+      (s, dir) => graft.index.SearchIndex.proximity(s, indexFor(s, dir),
+        ProximityQuery, ProximitySlop)
+        .select(col("doc_id"),
+          col("n_windows").cast("long").as("n_windows"))
+        .orderBy("doc_id"),
+      null), // oracle assigned below: identical to q74's
+
+    Q("q120_function_score",
+      // ES function_score (field_value_factor on n_chars, modifier
+      // log1p-style, boost_mode multiply): BM25 from the pruned index
+      // probe × ln(1 + n_chars/100) from the doc store. The fetch-phase
+      // join touches only the term-pruned candidate set — never a
+      // corpus-scale join.
+      (s, dir) => graft.index.SearchIndex.bm25(s, indexFor(s, dir), QueryText)
+        .join(Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
+        .select(col("doc_id"),
+          round(col("text_score") *
+            log(lit(1.0) + col("n_chars") / lit(100.0)), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |posting AS (
+         |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+         |       FROM posting GROUP BY doc_id, term, dl),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         |  FROM tf WHERE term IN (SELECT unnest($qtermsSql)) GROUP BY term),
+         |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+         |  FROM dfreq, stats),
+         |sc AS (SELECT tf.doc_id, sum(
+         |    idf.idf * tf.tf * (1.2 + 1.0) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS raw
+         |  FROM tf JOIN idf ON tf.term = idf.term, stats GROUP BY tf.doc_id)
+         |SELECT d.doc_id, round(sc.raw * ln(1.0 + d.n_chars / 100.0), 6) AS score
+         |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         |ORDER BY score DESC, d.doc_id LIMIT 10""".stripMargin),
+
+    Q("q121_index_stats",
+      // ES _stats/_count parity: corpus statistics FROM THE INDEX (stats
+      // row + dictionary aggregate — vocabulary-scale, zero postings or
+      // corpus I/O); the oracle recomputes the same numbers from the raw
+      // documents.
+      (s, dir) => graft.index.SearchIndex.indexStats(s, indexFor(s, dir)),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |p AS (SELECT DISTINCT doc_id, unnest(l) AS term FROM toks),
+         |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY term)
+         |SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         |  (SELECT round(avg(len(l)), 6) FROM toks) AS avgdl,
+         |  (SELECT count(*) FROM dfreq)::BIGINT AS n_terms,
+         |  (SELECT sum(df) FROM dfreq)::BIGINT AS n_postings,
+         |  (SELECT max(df) FROM dfreq)::BIGINT AS max_df""".stripMargin),
+
     Q("q99_pq_knn",
       // product-quantized ANN: ADC shortlist over the 8-codes-per-vector
       // column (the fat embedding column is never read in the scan),
@@ -3224,6 +3327,13 @@ object SparkEntry {
   private lazy val ProximityQuery = "table merge"
   private lazy val ProximitySlop  = 3
 
+  /** q118's ES bool clauses (terms chosen from the fixture vocabulary:
+    * `dup` is rare — a genuinely selective must_not). */
+  private lazy val BoolMust   = Seq("spark")
+  private lazy val BoolShould = Seq("window", "join", "merge")
+  private lazy val BoolNot    = Seq("dup")
+  private lazy val BoolFilter = Seq("batch")
+
   /** Curation knobs for q76 — every stage must do real work on the
     * fixture. (lazy: referenced by the registry val declared above it) */
   private lazy val CurationCfg = graft.pipeline.TrainingCorpus.Config(
@@ -3330,10 +3440,12 @@ object SparkEntry {
     val q28Sql = base.find(_.name == "q28_bm25").get.sql
     val q67Sql = base.find(_.name == "q67_phrase_match").get.sql
     val q66Sql = base.find(_.name == "q66_quantized_knn").get.sql
+    val q74Sql = base.find(_.name == "q74_proximity_match").get.sql
     (registry ++ indexedRegistry.map { q =>
       if (q.name == "q35_indexed_bm25") q.copy(sql = q28Sql)
       else if (q.name == "q80_indexed_phrase") q.copy(sql = q67Sql)
       else if (q.name == "q82_ivf_sq8_knn") q.copy(sql = q66Sql)
+      else if (q.name == "q119_indexed_proximity") q.copy(sql = q74Sql)
       else q
     }) :+ q76 :+ q79 :+ q81 :+ q83 :+ q84 :+ q85 :+ q86 :+ q87
   }

@@ -307,6 +307,95 @@ object SearchIndex {
       .orderBy(col("df").desc, col("term").asc)
       .limit(n)
 
+  /** ES `bool` query over the persisted index: `must` terms all required
+    * (and scored), `should` terms optional-but-scored with
+    * `minimumShouldMatch`, `filterTerms` required but unscored (ES
+    * filter context), `mustNot` terms excluded. ONE partition-pruned
+    * postings probe over the union of all clause terms; match flags and
+    * the BM25 sum come out of a single per-doc aggregate, so must_not is
+    * a flag test — never a separate anti-join pass. */
+  def boolSearch(spark: SparkSession, indexDir: String,
+      must: Seq[String], should: Seq[String] = Nil,
+      mustNot: Seq[String] = Nil, filterTerms: Seq[String] = Nil,
+      minimumShouldMatch: Int = 0, size: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val mustD    = must.map(_.toLowerCase).distinct
+    val shouldD  = should.map(_.toLowerCase).distinct
+    val notD     = mustNot.map(_.toLowerCase).distinct
+    val filterD  = filterTerms.map(_.toLowerCase).distinct
+    val scoring  = (mustD ++ shouldD).distinct
+    val allTerms = (scoring ++ notD ++ filterD).distinct
+    require(allTerms.nonEmpty, "bool query needs at least one term")
+    val buckets = allTerms.map(termBucketOf).distinct
+
+    val postings = cachedTable(spark, indexDir, "postings")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(allTerms: _*))
+    // dictionary rows only for the SCORING terms: filter/must_not
+    // clauses never contribute idf (ES filter context)
+    val dfreq = cachedTable(spark, indexDir, "docfreq")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(scoring: _*))
+    val stats = cachedTable(spark, indexDir, "stats")
+
+    def matched(ts: Seq[String]) =
+      if (ts.isEmpty) lit(0L)
+      else countDistinct(when(col("term").isin(ts: _*), col("term")))
+
+    postings
+      .join(broadcast(dfreq.select("term", "df")), Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", when(col("df").isNotNull,
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0)))
+      .groupBy("doc_id")
+      .agg(sum("term_score").as("raw"),
+        matched(mustD).as("n_must"), matched(shouldD).as("n_should"),
+        matched(filterD).as("n_filter"), matched(notD).as("n_not"))
+      .filter(col("n_must") === mustD.size &&
+        col("n_filter") === filterD.size &&
+        col("n_should") >= minimumShouldMatch && col("n_not") === 0)
+      .select(col("doc_id"), round(col("raw"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(size)
+  }
+
+  /** Proximity (ES `match` with slop) over the persisted positional
+    * postings: the scan is pruned to the query terms' buckets, then the
+    * same anchor-window algebra as [[TextSearch.proximityMatch]] —
+    * identical semantics, index-probe cost (the positional twin of
+    * [[phrase]] vs `TextSearch.phraseMatch`). */
+  def proximity(spark: SparkSession, indexDir: String, query: String,
+      slop: Int): DataFrame = {
+    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "proximity needs at least one term")
+    val buckets = terms.map(termBucketOf).distinct.toSeq
+    TextSearch.proximityAlign(
+      cachedTable(spark, indexDir, "positions")
+        .filter(col("term_bucket").isin(buckets: _*) &&
+          col("term").isin(terms.toSeq: _*))
+        .select("doc_id", "pos", "term"),
+      terms, slop)
+  }
+
+  /** ES `_stats`/`_count` parity: corpus statistics read FROM THE INDEX
+    * (stats row + dictionary aggregate) — never a corpus scan. One
+    * metadata-scale row: doc count, avg doc length, vocabulary size,
+    * total postings (distinct (term, doc) pairs) and the max document
+    * frequency. */
+  def indexStats(spark: SparkSession, indexDir: String): DataFrame =
+    cachedTable(spark, indexDir, "stats")
+      .select(col("n_docs").cast("long").as("n_docs"),
+        round(col("avgdl"), 6).as("avgdl"))
+      .crossJoin(broadcast(
+        cachedTable(spark, indexDir, "docfreq")
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("df")).cast("long").as("n_postings"),
+            max(col("df")).cast("long").as("max_df"))))
+
   /** Shard merge: fold the index at `srcDir` into the index at `dstDir`
     * (disjoint doc sets — the shard-per-partition build pattern, e.g.
     * one index per ingest slice merged into the serving index). Both

@@ -136,8 +136,16 @@ object TextSearch {
       query: String, slop: Int): DataFrame = {
     val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "proximityMatch needs at least one term")
-    val pp = positionalPostings(docs, idCol, textCol)
-      .filter(col("term").isin(terms.toSeq: _*))
+    proximityAlign(positionalPostings(docs, idCol, textCol)
+      .filter(col("term").isin(terms.toSeq: _*)), terms, slop)
+  }
+
+  /** The anchor-window algebra of [[proximityMatch]] over any
+    * (doc_id, pos, term) relation — shared by the scan path above and
+    * the persisted-index path ([[graft.index.SearchIndex.proximity]]),
+    * mirroring the [[phraseAlign]] split. */
+  def proximityAlign(pp: DataFrame, terms: Array[String],
+      slop: Int): DataFrame = {
     val anchor = pp.filter(col("term") === terms.head)
       .select(col("doc_id"), col("pos").as("p0"))
     val matched = terms.tail.zipWithIndex.foldLeft(anchor) {

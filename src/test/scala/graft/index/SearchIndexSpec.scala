@@ -580,4 +580,58 @@ class SearchIndexSpec extends SparkSpec {
       .agg(sum("df")).collect()(0).getDouble(0)
     assert(alphaDf >= 1.0)
   }
+
+  test("boolSearch: ES bool semantics (must/should/filter/must_not + msm)") {
+    val docs = Tables.documents(spark, SfDir)
+    val res = SearchIndex.boolSearch(spark, indexDir,
+      must = Seq("spark"), should = Seq("window", "join", "merge"),
+      mustNot = Seq("dup"), filterTerms = Seq("batch"),
+      minimumShouldMatch = 2, size = 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // eligibility recomputed from the raw text, clause by clause
+    val toks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val expect = toks.filter { case (_, t) =>
+      t("spark") && t("batch") && !t("dup") &&
+        Seq("window", "join", "merge").count(t) >= 2
+    }.keySet
+    assert(res.keySet === expect)
+    assert(res.nonEmpty, "fixture should yield bool matches")
+    // filter context: the score is EXACTLY the bm25 of the scoring terms
+    // (filter/must_not clauses contribute no idf)
+    val bm = SearchIndex.bm25(spark, indexDir, "spark window join merge")
+      .select(col("doc_id"), round(col("text_score"), 6).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    res.foreach { case (id, s) => assert(math.abs(s - bm(id)) < 1.1e-6) }
+  }
+
+  test("indexed proximity equals the scan-path proximityMatch") {
+    val docs = Tables.documents(spark, SfDir)
+    val scan = TextSearch.proximityMatch(docs, "doc_id", "text",
+        "table merge", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val idx = SearchIndex.proximity(spark, indexDir, "table merge", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idx === scan)
+    assert(idx.nonEmpty, "fixture should yield proximity matches")
+  }
+
+  test("indexStats matches corpus-derived statistics") {
+    val docs = Tables.documents(spark, SfDir)
+    val row = SearchIndex.indexStats(spark, indexDir).head()
+    val perDoc = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("l"))
+    val nDocs = perDoc.count()
+    val avgdl = perDoc.select(avg(size(col("l")))).head().getDouble(0)
+    val pairs = perDoc
+      .select(col("doc_id"), explode(col("l")).as("t")).distinct()
+    assert(row.getLong(row.fieldIndex("n_docs")) === nDocs)
+    assert(math.abs(row.getDouble(row.fieldIndex("avgdl")) - avgdl) < 1e-6)
+    assert(row.getLong(row.fieldIndex("n_terms")) ===
+      pairs.select("t").distinct().count())
+    assert(row.getLong(row.fieldIndex("n_postings")) === pairs.count())
+    assert(row.getLong(row.fieldIndex("max_df")) ===
+      pairs.groupBy("t").count().agg(max("count")).head().getLong(0))
+  }
 }
