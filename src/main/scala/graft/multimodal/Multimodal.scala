@@ -15,10 +15,14 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled` ships in the JDK (WAV/AIFF/AU, PCM + u-law/
   * a-law), so [[withAudioMeta]] and [[withAudioFeatures]] parse true
   * headers and compute time-domain features over actual PCM samples.
-  * Video codecs are NOT in the JDK, so the video `decode*` stages
-  * remain clearly-marked deterministic STUBS that a production
-  * deployment replaces with a real library call inside the same
-  * `mapPartitions` slot. In all cases the Spark-side design is real
+  * VIDEO is real for MJPEG-in-AVI — a RIFF demux is pure byte algebra
+  * and every demuxed frame is a JPEG the JDK decodes ([[AviMjpeg]]) —
+  * so [[withVideoMeta]] and [[sampleVideoFrames]] run true container
+  * parse / frame decode. Inter-frame codecs (H.264 …) are NOT in the
+  * JDK, so the GENERIC media `decode*` stages remain clearly-marked
+  * deterministic STUBS that a production deployment replaces with a
+  * real library call inside the same `mapPartitions` slot. In all
+  * cases the Spark-side design is real
   * and tested: schema, batch shape (per-partition iterator — decoder
   * state initialized once per partition, rows streamed through),
   * fail-soft error rows, and bounded memory (never materialize a
@@ -403,6 +407,90 @@ object Multimodal {
         bit_count(col("ha").bitwiseXOR(col("hb2"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
+  }
+
+  // ------------------------------------------- real video (MJPEG-AVI) leg
+
+  /** Video metadata struct for [[withVideoMeta]]. */
+  val VideoMetaSchema: StructType = StructType(Seq(
+    StructField("container", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("decode_error", StringType)))
+
+  /** REAL video decode for MJPEG-in-AVI (the one container+codec a bare
+    * JDK fully handles — [[AviMjpeg]]): parses the RIFF tree, reports
+    * true dimensions, the DEMUXED frame count (counted from the movi
+    * list, never trusted from the header) and the duration from the
+    * avih frame interval. Anything else fails soft into `decode_error`
+    * — the production slot for an ffmpeg binding. */
+  def withVideoMeta(df: DataFrame, binCol: String,
+      outCol: String = "video_meta"): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, VideoMetaSchema))
+    val enc    = org.apache.spark.sql.Encoders.row(schema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val meta = AviMjpeg.parseInfo(bytes) match {
+          case Right(info) =>
+            val n = AviMjpeg.frameSlices(bytes).size
+            Row("avi/mjpeg", info.width, info.height, n,
+              info.usPerFrame * n / 1000L, null)
+          case Left(err) => Row(null, null, null, null, null, err)
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** REAL frame sampling for MJPEG-AVI: demuxes the container and emits
+    * up to `n` evenly spaced TRUE JPEG frames — one output row per
+    * (video, frame), each carrying the frame bytes (feedable straight
+    * into the image leg: [[withImageMeta]], [[imageNearDupPairs]]) and
+    * its decoded pixel dimensions. Fail-soft: an unparseable container
+    * emits ONE row with null frame and the error (visible, never
+    * job-fatal). Bounded memory: only kept frames are sliced out of the
+    * container buffer; skipped frames are never copied. */
+  def sampleVideoFrames(df: DataFrame, binCol: String, n: Int): DataFrame = {
+    require(n >= 1, "need n >= 1 frames")
+    val schema = df.schema
+      .add(StructField("frame_no", IntegerType))
+      .add(StructField("src_frame", IntegerType))
+      .add(StructField("frame_bytes", BinaryType))
+      .add(StructField("frame_width", IntegerType))
+      .add(StructField("frame_height", IntegerType))
+      .add(StructField("frame_error", StringType))
+    val enc    = org.apache.spark.sql.Encoders.row(schema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes  = r.getAs[Array[Byte]](binIdx)
+        val slices = AviMjpeg.frameSlices(bytes)
+        if (slices.isEmpty)
+          Iterator.single(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null,
+            null, "no demuxable frames (not MJPEG-AVI?)")))
+        else {
+          val m = slices.size
+          val picks: Seq[Int] =
+            if (m <= n) 0 until m
+            else if (n == 1) Seq(0)
+            else (0 until n).map(i => i * (m - 1) / (n - 1))
+          picks.iterator.zipWithIndex.map { case (src, i) =>
+            val (off, len) = slices(src)
+            val fb = java.util.Arrays.copyOfRange(bytes, off, off + len)
+            val tail = AviMjpeg.decodeFrame(bytes, off, len) match {
+              case Right(img) =>
+                Seq(i, src, fb, img.getWidth, img.getHeight, null)
+              case Left(e) => Seq(i, src, fb, null, null, e)
+            }
+            Row.fromSeq(r.toSeq ++ tail)
+          }
+        }
+      }
+    }(enc)
   }
 
   /** Typed metadata carried next to the opaque media bytes. */

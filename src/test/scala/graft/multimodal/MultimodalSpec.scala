@@ -284,4 +284,90 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3).getStruct(2).getAs[String]("decode_error") != null)
     assert(rows(4).getStruct(2).getAs[String]("decode_error") === "empty media")
   }
+
+  // ---------------------------------------------- real MJPEG-AVI video leg
+
+  /** One solid-color JPEG via the JDK encoder. */
+  private def jpegBytes(rgb: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Assemble a minimal MJPEG-AVI: RIFF('AVI ' LIST('hdrl' avih)
+    * LIST('movi' 00dc…)) — the layout every MJPEG camera writes. */
+  private def mjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+      usPerFrame: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ u32(body.length.toLong) ++ body ++ pad
+    }
+    val avih = u32(usPerFrame) ++ u32(0) ++ u32(0) ++ u32(0) ++
+      u32(frames.size.toLong) ++ u32(0) ++ u32(1) ++ u32(0) ++
+      u32(w.toLong) ++ u32(h.toLong) ++ Array.fill(16)(0.toByte)
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ chunk("avih", avih))
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    out.write("RIFF".getBytes("US-ASCII")); out.write(u32(payload.length.toLong))
+    out.write(payload)
+    out.toByteArray
+  }
+
+  test("withVideoMeta: real MJPEG-AVI header parse + demuxed frame count") {
+    val avi = mjpegAvi((0 until 6).map(i => jpegBytes(0x102030 * i, 32, 24)),
+      32, 24, 40000L) // 25 fps
+    val df = Seq((1L, avi), (2L, "not a video".getBytes("UTF-8")),
+      (3L, Array.empty[Byte])).toDF("vid", "media")
+    val rows = Multimodal.withVideoMeta(df, "media").orderBy("vid").collect()
+    val m1 = rows(0).getStruct(2)
+    assert(m1.getAs[String]("container") === "avi/mjpeg")
+    assert(m1.getAs[Int]("width") === 32 && m1.getAs[Int]("height") === 24)
+    assert(m1.getAs[Int]("n_frames") === 6)
+    assert(m1.getAs[Long]("duration_ms") === 240L) // 6 * 40ms
+    assert(m1.getAs[String]("decode_error") == null)
+    assert(rows(1).getStruct(2).getAs[String]("decode_error") != null)
+    assert(rows(2).getStruct(2).getAs[String]("decode_error") != null)
+  }
+
+  test("sampleVideoFrames: evenly spaced TRUE JPEG frames, fail-soft") {
+    val frames = (0 until 10).map(i => jpegBytes(0x111111 * (i % 8), 20, 10))
+    val avi = mjpegAvi(frames, 20, 10, 33333L)
+    val df = Seq((1L, avi), (2L, "junk".getBytes("UTF-8")))
+      .toDF("vid", "media")
+    val out = Multimodal.sampleVideoFrames(df, "media", 4)
+      .orderBy("vid", "frame_no").collect()
+    val good = out.filter(_.getLong(0) == 1L)
+    assert(good.length === 4)
+    // evenly spaced across the 10 source frames: 0, 3, 6, 9
+    assert(good.map(_.getAs[Int]("src_frame")).toSeq === Seq(0, 3, 6, 9))
+    good.foreach { r =>
+      // the emitted bytes ARE the stored JPEG — byte-identical slice —
+      // and the decoded dims are the true frame geometry
+      val src = r.getAs[Int]("src_frame")
+      assert(r.getAs[Array[Byte]]("frame_bytes").toSeq === frames(src).toSeq)
+      assert(r.getAs[Int]("frame_width") === 20)
+      assert(r.getAs[Int]("frame_height") === 10)
+      assert(r.getAs[String]("frame_error") == null)
+      // and it round-trips through the real image leg
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_bytes")))
+      assert(img.getWidth === 20 && img.getHeight === 10)
+    }
+    val bad = out.filter(_.getLong(0) == 2L)
+    assert(bad.length === 1 && bad(0).getAs[String]("frame_error") != null)
+    // fewer frames than n: all frames come back, none duplicated
+    val short = Multimodal.sampleVideoFrames(
+      Seq((9L, mjpegAvi(frames.take(2), 20, 10, 40000L))).toDF("vid", "media"),
+      "media", 4).collect()
+    assert(short.map(_.getAs[Int]("src_frame")).toSeq === Seq(0, 1))
+  }
 }
