@@ -821,7 +821,7 @@ object SparkEntry {
     * ahead of query timing — the bench warm-up calls this so indexed /
     * model queries measure query latency, not the build/fit. */
   def prepare(s: SparkSession, dir: String): Unit = {
-    indexFor(s, dir); ivfFor(s, dir); pqFor(s, dir)
+    indexFor(s, dir); ivfFor(s, dir); pqFor(s, dir); ivfpqFor(s, dir)
     mlFitted(s, dir); mlFittedMd5(s, dir)
     bucketedFor(s, dir); deletedIndexFor(s, dir); ()
   }
@@ -848,6 +848,15 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_pq_").toString
       graft.index.PqIndex.build(Tables.embeddings(s, d), out,
         m = 8, nCodes = 16)
+      out
+    })
+
+  private val ivfpqCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfpqFor(s: SparkSession, dir: String): String =
+    ivfpqCache.computeIfAbsent(dir, d => {
+      val out = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+      graft.index.IvfPqIndex.build(Tables.embeddings(s, d), out,
+        nCells = 8, m = 8, nCodes = 16)
       out
     })
 
@@ -1223,6 +1232,24 @@ object SparkEntry {
            |SELECT doc_id, rerank, score FROM rr
            |ORDER BY rerank DESC, score DESC, doc_id LIMIT 10""".stripMargin
       }),
+
+    Q("q122_shuffle_shards",
+      // deterministic global shuffle + shard assignment — the last step
+      // before writing training shards. Shard = salted md5 mod n (no
+      // coordination, engine-reproducible; a new salt = a new epoch
+      // ordering); pos = write order within the shard. The only sort is
+      // per-shard (corpus/n rows — the sortWithinPartitions a sharded
+      // write performs anyway), never global.
+      (s, dir) => graft.pipeline.Sampling.shuffleShards(
+        Tables.documents(s, dir), "doc_id", nShards = 8)
+        .orderBy("shard", "pos"),
+      s"""WITH k AS (SELECT doc_id,
+         |  ${md5LongSql("'shuf:' || doc_id::VARCHAR")} AS skey
+         |  FROM documents)
+         |SELECT skey % 8 AS shard, doc_id,
+         |  row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id)
+         |    ::BIGINT AS pos
+         |FROM k ORDER BY shard, pos""".stripMargin),
 
     Q("q95_sequence_packing",
       // training-batch sequence packing: concatenate documents in a
@@ -3027,6 +3054,19 @@ object SparkEntry {
          |  (SELECT count(*) FROM dfreq)::BIGINT AS n_terms,
          |  (SELECT sum(df) FROM dfreq)::BIGINT AS n_postings,
          |  (SELECT max(df) FROM dfreq)::BIGINT AS max_df""".stripMargin),
+
+    Q("q123_ivfpq_knn",
+      // IVF-PQ composite (the FAISS IndexIVFPQ shape): coarse cells
+      // bound the scan, residual-trained PQ codes bound the bytes. Full
+      // probe (nProbe = nCells) + a shortlist that covers the fixture
+      // (512 >= corpus) + exact rerank is exactly brute force — same
+      // oracle discipline as q46/q99; the production knobs (nProbe <
+      // nCells, tight numCandidates) are gated by IvfPqSpec's measured
+      // recall ladder instead.
+      (s, dir) => graft.index.IvfPqIndex.knn(s, ivfpqFor(s, dir), QueryVec,
+        10, nProbe = 8, numCandidates = 512),
+      s"""SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
+         |FROM embeddings ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin),
 
     Q("q99_pq_knn",
       // product-quantized ANN: ADC shortlist over the 8-codes-per-vector

@@ -1,0 +1,288 @@
+package graft.index
+
+import java.nio.file.Paths
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.table.{CommitStore, LocalCommitStore}
+
+/** IVF-PQ composite vector index — the standard billion-scale ANN
+  * layout (FAISS `IndexIVFPQ`): a coarse k-means quantizer bounds the
+  * SCAN ([[IvfIndex]]'s contribution: probe `nProbe` of `nCells`
+  * partition-pruned cell dirs) while product quantization bounds the
+  * BYTES ([[PqIndex]]'s contribution: m small codes per vector, the fat
+  * embedding column untouched in the scan). The PQ codebooks are
+  * trained on RESIDUALS (vector − its cell centroid), the detail that
+  * makes the composite beat flat PQ: after the coarse quantizer
+  * explains the coarse structure, the residual distribution is far
+  * tighter, so the same `m × nCodes` budget spends its resolution where
+  * the data actually varies.
+  *
+  * Query = rank centroids driver-side (metadata) → probe `nProbe` cells
+  * (partition-pruned scan of the codes column only) → ADC shortlist
+  * where approx(v) = q·centroid(cell) + Σᵢ table[i][codeᵢ] (the
+  * residual decomposition q·v ≈ q·c + q·r) → exact-cosine rerank over
+  * `numCandidates` point-looked-up embeddings. At 100 TB the scan is
+  * nProbe/nCells of the corpus at ~32× byte compression, and the two
+  * knobs (nProbe, numCandidates) are independent recall/latency dials.
+  *
+  * All three tables (vectors, centroids, codebooks) are ONE consistent
+  * unit — codes decode only against the codebooks and centroids they
+  * were encoded with — so they live in one versioned dir flipped by a
+  * single CURRENT pointer with a one-cycle vacuum grace window, the
+  * same publish protocol as [[IvfIndex]]/[[PqIndex]].
+  */
+object IvfPqIndex {
+
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[Int, Array[Double]], Array[Array[Array[Double]]])]()
+
+  private def pointer(indexDir: String) = Paths.get(indexDir, "CURRENT")
+
+  /** The live version's directory (all three tables live under it). */
+  def currentDir(indexDir: String,
+      store: CommitStore = LocalCommitStore): String = {
+    val v = store.readPointer(pointer(indexDir)).getOrElse(
+      throw new IllegalStateException(
+        s"no IVF-PQ index at $indexDir (missing CURRENT pointer)"))
+    s"$indexDir/$v"
+  }
+
+  private def nextVersion(indexDir: String, store: CommitStore): String = {
+    val n = store.readPointer(pointer(indexDir))
+      .map(_.stripPrefix("v").toInt + 1).getOrElse(0)
+    f"v$n%05d"
+  }
+
+  private def publish(spark: SparkSession, indexDir: String,
+      store: CommitStore)(stage: String => Unit): Unit = {
+    val v = nextVersion(indexDir, store)
+    stage(s"$indexDir/$v")
+    store.putPointer(pointer(indexDir), v)
+    metaCache.keySet.removeIf(_.startsWith(indexDir + "/"))
+    vacuum(spark, indexDir, keep = 1, store)
+  }
+
+  /** Delete unreachable versions, retaining the pointer target plus the
+    * `keep` newest superseded versions (grace window for in-flight
+    * readers of the old pointer). */
+  def vacuum(spark: SparkSession, indexDir: String, keep: Int = 1,
+      store: CommitStore = LocalCommitStore): Seq[String] = {
+    val current = store.readPointer(pointer(indexDir)).getOrElse(return Nil)
+    val root = Paths.get(indexDir)
+    if (!java.nio.file.Files.isDirectory(root)) return Nil
+    val s = java.nio.file.Files.list(root)
+    val versions = try {
+      val b = Seq.newBuilder[String]
+      val it = s.iterator()
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n != current)
+          b += n
+      }
+      b.result()
+    } finally s.close()
+    val victims = versions.sorted.dropRight(math.max(0, keep))
+    victims.foreach { old =>
+      Seq("vectors", "centroids", "codebooks").foreach(t =>
+        graft.Tables.invalidate(spark, s"$indexDir/$old/$t"))
+      store.deleteRecursive(Paths.get(s"$indexDir/$old"))
+    }
+    victims
+  }
+
+  /** The per-row residual (vector − its cell centroid), as a double
+    * array column, given a broadcast (cell, centroid) relation already
+    * joined in. */
+  private def residual(vecCol: String): org.apache.spark.sql.Column =
+    zip_with(VectorFunctions.asDouble(col(vecCol)), col("centroid"),
+      (a, b) => a - b)
+
+  /** Fit the coarse quantizer, train residual codebooks, encode, and
+    * publish one consistent versioned unit. */
+  def build(embs: DataFrame, indexDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", nCells: Int = 8, m: Int = 8,
+      nCodes: Int = 16, seed: Long = 42L,
+      store: CommitStore = LocalCommitStore): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val dim = embs.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+
+    val withVec = embs.select(col(idCol).as("doc_id"),
+      col(vecCol).as("embedding"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val coarse = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("ivf_cell")
+      .fit(withVec)
+    val centroids = coarse.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("ivf_cell", "centroid")
+
+    // residual subvectors: m rows per vector, reused by every subspace
+    // fit and the encode join — cache once
+    val assigned = coarse.transform(withVec)
+      .select(col("doc_id"), col("embedding"), col("ivf_cell"))
+    val subs = assigned
+      .join(broadcast(centroids), "ivf_cell")
+      .select(col("doc_id"), col("ivf_cell"),
+        posexplode(PqIndex.subVectors(residual("embedding"), m, subDim))
+          .as(Seq("sub_id", "subvec")))
+      .persist()
+    try {
+      val codebooks = PqIndex.trainCodebooks(
+        subs.select("doc_id", "sub_id", "subvec"), m, nCodes, seed)
+      val codes = PqIndex.assignCodes(
+        subs.select("doc_id", "sub_id", "subvec"), codebooks)
+
+      publish(spark, indexDir, store) { vDir =>
+        codes
+          .join(assigned, "doc_id")
+          .select(col("doc_id"), col("embedding"), col("codes"),
+            col("ivf_cell"))
+          .repartition(col("ivf_cell"))
+          .write.mode("overwrite").partitionBy("ivf_cell")
+          .parquet(s"$vDir/vectors")
+        centroids.select(col("ivf_cell").as("cell"), col("centroid"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$vDir/centroids")
+        codebooks.coalesce(1).write.mode("overwrite")
+          .parquet(s"$vDir/codebooks")
+      }
+    } finally subs.unpersist()
+  }
+
+  /** Incremental maintenance: assign NEW vectors to their nearest
+    * EXISTING centroid, encode against the FROZEN residual codebooks,
+    * and append partition-locally — centroids and codebooks stay fixed
+    * (re-training is a rebuild, published as a new version). Touches
+    * |batch| data, never the corpus. */
+  def update(newEmbs: DataFrame, indexDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      store: CommitStore = LocalCommitStore): Unit = {
+    val spark = newEmbs.sparkSession
+    import spark.implicits._
+    val vDir = currentDir(indexDir, store)
+    val (cents, cbs) = metaOf(spark, vDir)
+    val m = cbs.length
+    val subDim = cbs(0)(0).length
+    val centroids = cents.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("ivf_cell", "centroid")
+    val codebooks = (for {
+      i <- 0 until m
+      (cent, code) <- cbs(i).zipWithIndex
+    } yield (i, code, cent.toSeq)).toDF("sub_id", "code", "centroid")
+
+    // nearest existing centroid per new vector (nCells rows per vector,
+    // min_by fold — the same shape as IvfIndex.update)
+    val sqd = aggregate(
+      zip_with(VectorFunctions.asDouble(col(vecCol)), col("centroid"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val assigned = newEmbs
+      .select(col(idCol).as("doc_id"), col(vecCol).as("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", sqd)
+      .groupBy("doc_id")
+      .agg(min_by(struct(col("ivf_cell"), col("centroid")),
+          struct(col("d"), col("ivf_cell"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("doc_id"), col("embedding"),
+        col("best.ivf_cell").as("ivf_cell"),
+        col("best.centroid").as("centroid"))
+
+    val subs = assigned.select(col("doc_id"), col("ivf_cell"),
+      posexplode(PqIndex.subVectors(residual("embedding"), m, subDim))
+        .as(Seq("sub_id", "subvec")))
+    PqIndex.assignCodes(subs.select("doc_id", "sub_id", "subvec"), codebooks)
+      .join(assigned.select("doc_id", "embedding", "ivf_cell"), "doc_id")
+      .select(col("doc_id"), col("embedding"), col("codes"), col("ivf_cell"))
+      .repartition(col("ivf_cell"))
+      .write.mode("append").partitionBy("ivf_cell")
+      .parquet(s"$vDir/vectors")
+    graft.Tables.invalidate(spark, s"$vDir/vectors")
+  }
+
+  /** Centroids + codebooks (index metadata, cached per version dir). */
+  private def metaOf(spark: SparkSession, vDir: String)
+      : (Map[Int, Array[Double]], Array[Array[Array[Double]]]) =
+    metaCache.computeIfAbsent(vDir, _ => {
+      val cents = graft.Tables.loadPath(spark, s"$vDir/centroids")
+        .select("cell", "centroid").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val rows = graft.Tables.loadPath(spark, s"$vDir/codebooks")
+        .select("sub_id", "code", "centroid").collect()
+      val m = rows.map(_.getInt(0)).max + 1
+      val k = rows.map(_.getInt(1)).max + 1
+      val cbs = Array.ofDim[Array[Double]](m, k)
+      rows.foreach(r => cbs(r.getInt(0))(r.getInt(1)) =
+        r.getSeq[Double](2).toArray)
+      (cents, cbs.map(_.map(identity)))
+    })
+
+  /** ADC top-k: probe the `nProbe` nearest cells (partition-pruned),
+    * shortlist `numCandidates` by q·centroid + residual table lookups
+    * over the codes column only, exact-cosine rerank the shortlist. */
+  def knn(spark: SparkSession, indexDir: String, queryVec: Array[Float],
+      k: Int, nProbe: Int = 2, numCandidates: Int = 128,
+      store: CommitStore = LocalCommitStore): DataFrame = {
+    val vDir = currentDir(indexDir, store)
+    val (cents, cbs) = metaOf(spark, vDir)
+    val m = cbs.length
+    val subDim = cbs(0)(0).length
+    require(queryVec.length == m * subDim,
+      s"query dim ${queryVec.length} != index dim ${m * subDim}")
+    val q = queryVec.map(_.toDouble)
+
+    // driver-side centroid ranking — nCells rows of metadata
+    val ranked = cents.toSeq.map { case (cell, c) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val t = c(j) - q(j); d += t * t; j += 1 }
+      (cell, d)
+    }.sortBy { case (cell, d) => (d, cell) }
+    val probes = ranked.take(math.min(nProbe, ranked.size)).map(_._1)
+    // q·centroid per probed cell (the coarse term of the residual
+    // decomposition), inlined as a literal map
+    val cellDot: Map[Int, Double] = probes.map { cell =>
+      val c = cents(cell)
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { d += q(j) * c(j); j += 1 }
+      cell -> d
+    }.toMap
+    // ADC table over the RESIDUAL codebooks: m × nCodes doubles
+    val table: Seq[Seq[Double]] = (0 until m).map { i =>
+      cbs(i).toSeq.map { cent =>
+        var d = 0.0
+        var j = 0
+        while (j < subDim) { d += q(i * subDim + j) * cent(j); j += 1 }
+        d
+      }
+    }
+    val tLit = typedLit(table)
+    val approx = element_at(typedLit(cellDot), col("ivf_cell")) +
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, i) => acc +
+          element_at(element_at(tLit, i + 1),
+            element_at(col("codes"), i + 1) + 1))
+
+    val pqv = graft.Tables.loadPath(spark, s"$vDir/vectors")
+      .filter(col("ivf_cell").isin(probes: _*))
+    // shortlist reads ONLY (doc_id, codes, ivf_cell) in the probed
+    // cells; TakeOrdered keeps it numCandidates-bounded
+    val ids = pqv.select(col("doc_id"), approx.as("approx"))
+      .orderBy(col("approx").desc, col("doc_id").asc)
+      .limit(numCandidates)
+      .collect().map(_.get(0))
+    val cos = VectorFunctions.cosine(col("embedding"), typedLit(queryVec))
+    pqv.filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), round(cos, 6).as("vec_score"))
+      .orderBy(col("vec_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

@@ -105,15 +105,17 @@ object PqIndex {
     victims
   }
 
-  /** Per-row array of the m `dim/m`-dim subvectors of `vec`. */
-  private def subVectors(vec: Column, m: Int, subDim: Int): Column =
+  /** Per-row array of the m `dim/m`-dim subvectors of `vec`.
+    * (private[index]: shared with [[IvfPqIndex]].) */
+  private[index] def subVectors(vec: Column, m: Int, subDim: Int): Column =
     transform(sequence(lit(0), lit(m - 1)),
       i => slice(VectorFunctions.asDouble(vec), i * subDim + 1, lit(subDim)))
 
   /** `(doc_id, sub_id, subvec)` rows → `(doc_id, codes)`: nearest
     * codebook centroid per subspace (squared-L2, code id as tiebreak),
     * codes ordered by sub_id. Worked set m × nCodes rows per vector. */
-  private def assignCodes(subs: DataFrame, codebooks: DataFrame): DataFrame = {
+  private[index] def assignCodes(subs: DataFrame,
+      codebooks: DataFrame): DataFrame = {
     val sqd = aggregate(
       zip_with(col("subvec"), col("centroid"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
@@ -144,15 +146,7 @@ object PqIndex {
         posexplode(subVectors(col(vecCol), m, subDim)).as(Seq("sub_id", "subvec")))
       .persist()
     try {
-      val codebooks = (0 until m).flatMap { i =>
-        val model = new KMeans().setK(nCodes).setSeed(seed + i)
-          .setFeaturesCol("features").setPredictionCol("code")
-          .fit(subs.filter(col("sub_id") === i)
-            .select(array_to_vector(col("subvec")).as("features")))
-        model.clusterCenters.zipWithIndex.map { case (c, code) =>
-          (i, code, c.toArray.toSeq)
-        }
-      }.toDF("sub_id", "code", "centroid")
+      val codebooks = trainCodebooks(subs, m, nCodes, seed)
 
       val codes = assignCodes(subs, codebooks)
 
@@ -193,6 +187,25 @@ object PqIndex {
         col(vecCol).as("embedding")), "doc_id")
       .write.mode("append").parquet(s"$vDir/pq_vectors")
     graft.Tables.invalidate(spark, s"$vDir/pq_vectors")
+  }
+
+  /** Train the m per-subspace codebooks over (doc_id, sub_id, subvec)
+    * rows. (private[index]: shared with [[IvfPqIndex]], which trains on
+    * RESIDUAL subvectors — the composite's codebooks model what remains
+    * after the coarse quantizer, not the raw vectors.) */
+  private[index] def trainCodebooks(subs: DataFrame, m: Int, nCodes: Int,
+      seed: Long): DataFrame = {
+    val spark = subs.sparkSession
+    import spark.implicits._
+    (0 until m).flatMap { i =>
+      val model = new KMeans().setK(nCodes).setSeed(seed + i)
+        .setFeaturesCol("features").setPredictionCol("code")
+        .fit(subs.filter(col("sub_id") === i)
+          .select(array_to_vector(col("subvec")).as("features")))
+      model.clusterCenters.zipWithIndex.map { case (c, code) =>
+        (i, code, c.toArray.toSeq)
+      }
+    }.toDF("sub_id", "code", "centroid")
   }
 
   /** Codebooks as `[sub_id][code] -> centroid` (m × nCodes rows — index

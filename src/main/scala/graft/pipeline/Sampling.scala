@@ -103,6 +103,28 @@ object Sampling {
         round(max(col("__q")), 6).as("max_q"))
   }
 
+  /** Deterministic global shuffle + shard assignment — the last step
+    * before writing training shards. Every doc gets a shuffle key
+    * (md5 of a salted id — engine-reproducible, seed = new epoch
+    * ordering), a shard (key mod nShards: statistically balanced with
+    * no coordination), and its position within the shard (the write
+    * order). The only per-shard sort is the position ranking — exactly
+    * the sortWithinPartitions a sharded write performs anyway, corpus/
+    * nShards rows per task, never a global sort. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shuf"): DataFrame = {
+    require(nShards >= 1, "need nShards >= 1")
+    val key = TextFunctions.md5Long(
+      concat(lit(salt + ":"), col(idCol).cast("string")))
+    df.select(col(idCol), key.as("skey"),
+        pmod(key, lit(nShards)).cast("long").as("shard"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("skey"), col(idCol)))
+        .cast("long"))
+      .select(col("shard"), col(idCol), col("pos"))
+  }
+
   /** Quality-gated corpus: the full curation chain (dedup → quality floor
     * → per-language budget) as one declarative plan. */
   def curate(docs: DataFrame, idCol: String, textCol: String,

@@ -116,4 +116,26 @@ class SamplingSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("shuffleShards: deterministic epoch shuffle, total partition, balanced") {
+    val docs = Tables.documents(spark, SfDir)
+    val a = Sampling.shuffleShards(docs, "doc_id", 8).collect()
+    val b = Sampling.shuffleShards(docs, "doc_id", 8).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq) // reproducible
+    // total: every doc exactly once
+    assert(a.length === docs.count())
+    assert(a.map(_.getLong(1)).distinct.length === a.length)
+    // positions are 1..n_shard within each shard, no gaps
+    a.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // statistically balanced: no shard more than 2x the mean
+    val sizes = a.groupBy(_.getLong(0)).view.mapValues(_.length).values.toSeq
+    assert(sizes.size === 8 && sizes.max <= 2 * (a.length / 8))
+    // a different salt is a DIFFERENT epoch ordering
+    val c = Sampling.shuffleShards(docs, "doc_id", 8, salt = "epoch2")
+      .collect()
+    assert(c.map(r => (r.getLong(0), r.getLong(1))).toSeq !==
+      a.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
 }

@@ -238,4 +238,29 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
       "marginals not broadcast:\n" + s)
   }
+
+  test("q118: bool query is ONE pruned probe — clause flags, never an anti-join") {
+    val s = fmtOf("q118_bool_search")
+    assert(!s.contains("LeftAnti"), "must_not degraded to an anti-join:\n" + s)
+    val pf = s.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("term_bucket"), "postings probe not partition-pruned:\n" + s)
+    // all four clauses share ONE postings scan (flags from one aggregate)
+    assert(s.linesIterator.count(l =>
+      l.contains("Location") && l.contains("postings")) === 1,
+      "bool clauses read postings more than once:\n" + s)
+  }
+
+  test("q122: shard positions rank within shard partitions, never globally") {
+    val s = fmtOf("q122_shuffle_shards")
+    assert(s.contains("windowspecdefinition(shard"),
+      "position window not partitioned by shard:\n" + s)
+  }
+
+  test("q123: ivf-pq rerank stays cell-pruned with point-lookup pushdown") {
+    val s = fmtOf("q123_ivfpq_knn")
+    val pf = s.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("ivf_cell"), "cell pruning lost:\n" + s)
+    assert(s.contains("In(doc_id"), "candidate point-lookup not pushed:\n" + s)
+    assert(s.contains("TakeOrderedAndProject"), "top-k not TakeOrdered:\n" + s)
+  }
 }
