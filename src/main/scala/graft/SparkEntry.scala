@@ -671,6 +671,57 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE source = 'src5' ORDER BY doc_id LIMIT 10000""".stripMargin),
 
+    Q("q124_percolate",
+      // ES percolator — reverse search: standing queries are the
+      // broadcast "index"; each doc of the batch probes it (match with
+      // operator AND). The streaming composition is foreachBatch over
+      // the ingest stream.
+      (s, dir) => graft.search.TextSearch.percolate(
+        Tables.documents(s, dir), "doc_id", "text", PercolateQueries)
+        .orderBy("doc_id", "query_id"),
+      {
+        val vals = PercolateQueries.flatMap { case (qid, text) =>
+          val ts = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+            .distinct
+          ts.map(t => s"($qid::BIGINT, '$t', ${ts.length})")
+        }.mkString(", ")
+        s"""WITH q(query_id, term, n_terms) AS (VALUES $vals),
+           |t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+           |      FROM documents)
+           |SELECT t.doc_id, q.query_id
+           |FROM t JOIN q USING (term)
+           |GROUP BY t.doc_id, q.query_id, q.n_terms
+           |HAVING count(*) = q.n_terms
+           |ORDER BY doc_id, query_id""".stripMargin
+      }),
+
+    Q("q125_retention_cohorts",
+      // classic cohort-retention matrix over the event stream: cohort =
+      // a user's first active week, offset = weeks since; weeks are
+      // epoch-day div 7 (deterministic across engines — no week-start
+      // convention). Two shuffles on user_id (distinct + first-week
+      // join), both AQE-sized; nothing collects.
+      (s, dir) => {
+        val uw = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("week"))
+          .distinct()
+        val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+        uw.join(cohort, "user_id")
+          .groupBy(col("cohort_week"),
+            (col("week") - col("cohort_week")).as("offset_weeks"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_week", "offset_weeks")
+      },
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM uw
+        |      GROUP BY user_id)
+        |SELECT c.cohort_week, uw.week - c.cohort_week AS offset_weeks,
+        |  count(DISTINCT uw.user_id)::BIGINT AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, offset_weeks""".stripMargin),
+
     // ==== path/category scalar ops (reference F5/F8/F9/F13) =============
 
     Q("q30_category_paths",
@@ -3366,6 +3417,10 @@ object SparkEntry {
     * val declared above it) */
   private lazy val ProximityQuery = "table merge"
   private lazy val ProximitySlop  = 3
+
+  /** q124's standing percolator queries (match, operator AND). */
+  private lazy val PercolateQueries = Seq(
+    1L -> "spark window", 2L -> "merge join batch", 3L -> "dup")
 
   /** q118's ES bool clauses (terms chosen from the fixture vocabulary:
     * `dup` is rare — a genuinely selective must_not). */

@@ -161,6 +161,32 @@ object TextSearch {
       .agg(countDistinct("p0").as("n_windows"))
   }
 
+  /** ES percolator — reverse search: the "index" is the REGISTERED
+    * QUERY set (standing filters/alerts; metadata-scale, broadcast) and
+    * each document of a batch probes it. Match semantics: `match` with
+    * operator AND — the doc contains every term of the query. One
+    * exploded-terms join + per-(doc, query) count; at 100 TB the doc
+    * side streams and nothing corpus-scale shuffles (the join key is
+    * the broadcast term). The streaming composition is `foreachBatch`
+    * over an ingest stream — each micro-batch percolates independently. */
+  def percolate(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val qRows = queries.flatMap { case (qid, text) =>
+      val ts = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+      ts.map(t => (qid, t, ts.length))
+    }
+    require(qRows.nonEmpty, "percolate needs at least one non-empty query")
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol))))
+          .as("term"))
+      .join(broadcast(qRows.toDF("query_id", "term", "n_terms")), "term")
+      .groupBy("doc_id", "query_id", "n_terms")
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") === col("n_terms"))
+      .select(col("doc_id"), col("query_id"))
+  }
+
   /** Q4 — exact-match retrieval by key, capped at 10000 hits (all pages of
     * one file, `elasticsearch_index.py:174-211`). */
   def exactMatch(docs: DataFrame, keyCol: String, key: String,

@@ -235,4 +235,17 @@ class SearchSpec extends SparkSpec {
     // no overlap: all zeros, no division-by-null errors
     assert(run(Seq((7L, 0.9)), truth, 3) === ((0.0, 0.0, 0.0)))
   }
+
+  test("percolate: AND semantics per standing query; multi-match docs fan out") {
+    val d = Seq(
+      (1L, "spark join window"),   // matches q1 (spark+window) and q2 (spark)
+      (2L, "spark only here"),     // matches q2
+      (3L, "window merge"),        // matches neither (q1 needs spark too)
+      (4L, "spark window spark")   // duplicate terms count once; q1 + q2
+    ).toDF("doc_id", "text")
+    val qs = Seq(1L -> "spark window", 2L -> "spark", 3L -> "absentterm")
+    val got = TextSearch.percolate(d, "doc_id", "text", qs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (1L, 2L), (2L, 2L), (4L, 1L), (4L, 2L)))
+  }
 }
