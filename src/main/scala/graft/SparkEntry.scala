@@ -722,6 +722,36 @@ object SparkEntry {
         |FROM uw JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, offset_weeks""".stripMargin),
 
+    Q("q126_item_lift",
+      // market-basket association rules over the event stream (basket =
+      // user, item = the payload key): support/confidence/lift per
+      // co-occurring pair. Pair generation is the repo's one pattern —
+      // groupBy(basket) + in-group combinations under the hot-key cap,
+      // never a self-join; marginals broadcast at item-vocabulary scale.
+      (s, dir) => graft.operators.Association.itemPairLift(
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minPairs = 2L)
+        .orderBy(col("lift").desc, col("a").asc, col("b").asc).limit(50),
+      s"""WITH bi AS (SELECT DISTINCT user_id AS basket,
+         |  json_extract_string(props, '$$.k')::BIGINT AS item FROM events),
+         |n AS (SELECT count(DISTINCT basket)::BIGINT AS n_baskets FROM bi),
+         |ic AS (SELECT item, count(*)::BIGINT AS n_item FROM bi GROUP BY item),
+         |ok AS (SELECT basket FROM bi GROUP BY basket
+         |       HAVING count(*) <= 10000),
+         |p AS (SELECT l.item AS a, r.item AS b, count(*)::BIGINT AS n_ab
+         |      FROM bi l JOIN bi r ON l.basket = r.basket AND l.item < r.item
+         |      WHERE l.basket IN (SELECT basket FROM ok)
+         |      GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT a, b, n_ab,
+         |  round(n_ab / n.n_baskets, 6) AS support,
+         |  round(n_ab / ia.n_item, 6) AS conf_a_b,
+         |  round(n_ab / ib.n_item, 6) AS conf_b_a,
+         |  round(n_ab * n.n_baskets / (ia.n_item * ib.n_item), 6) AS lift
+         |FROM p JOIN ic ia ON ia.item = p.a JOIN ic ib ON ib.item = p.b, n
+         |ORDER BY lift DESC, a, b LIMIT 50""".stripMargin),
+
     // ==== path/category scalar ops (reference F5/F8/F9/F13) =============
 
     Q("q30_category_paths",

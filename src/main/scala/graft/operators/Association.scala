@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining: item-pair co-occurrence with
+  * support / confidence / lift — the recommendation-pipeline classic
+  * (and, in a training-data pipeline, the tag/source co-occurrence
+  * audit). Pair generation follows the repo's one pattern for pairs at
+  * scale: groupBy(basket) + in-group combinations under a memory-bounded
+  * cap — NEVER an item×item or basket×basket self-join. Item marginals
+  * are vocabulary-scale and broadcast; the basket total is one row.
+  */
+object Association {
+
+  /** Unordered item pairs (a < b) co-occurring in at least `minPairs`
+    * baskets: `(a, b, n_ab, support, conf_a_b, conf_b_a, lift)`, all
+    * ratios rounded to 6. Baskets larger than `cap` items are dropped
+    * (hot-basket guard, mirrored in oracles as `HAVING count <= cap`). */
+  def itemPairLift(df: DataFrame, basketCol: String, itemCol: String,
+      minPairs: Long = 2L, cap: Int = 10000): DataFrame = {
+    val bi = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val counts = bi.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val total  = bi.select(countDistinct("basket").as("n_baskets"))
+    val pairs = bi.groupBy("basket")
+      .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
+        .boundedCollectSet(col("item"), cap)).as("items"))
+      .filter(col("items").isNotNull && size(col("items")) >= 2)
+      .select(explode(org.apache.spark.sql.graftext.PairsAscExpr
+        .pairsAsc(col("items"))).as("p"))
+      .select(col("p._1").as("a"), col("p._2").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+    pairs
+      // marginals are |items| rows — broadcast; at corpus-scale item
+      // cardinality drop the hints and let AQE pick the join
+      .join(broadcast(counts.select(col("item").as("a"),
+        col("n_item").as("n_a"))), "a")
+      .join(broadcast(counts.select(col("item").as("b"),
+        col("n_item").as("n_b"))), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(col("n_ab") / col("n_baskets"), 6).as("support"),
+        round(col("n_ab") / col("n_a"), 6).as("conf_a_b"),
+        round(col("n_ab") / col("n_b"), 6).as("conf_b_a"),
+        round(col("n_ab") * col("n_baskets") / (col("n_a") * col("n_b")), 6)
+          .as("lift"))
+  }
+}
