@@ -3149,6 +3149,34 @@ object SparkEntry {
       s"""SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
          |FROM embeddings ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin),
 
+    Q("q127_ivfpq_batch_knn",
+      // N queries, ONE pass over the IVF-PQ composite: per-query probe
+      // cells + q·centroid and the N×m×nCodes residual ADC tables ride
+      // in broadcast relations/literals; per-query shortlist and top-k
+      // are k-bounded aggs (no window). Exhaustive knobs (full probe,
+      // shortlist >= corpus) ⇒ the oracle is per-query brute force —
+      // q93's discipline; production knobs are gated by IvfPqSpec.
+      (s, dir) => graft.index.IvfPqIndex.knnBatch(s, ivfpqFor(s, dir),
+        BatchQueries.map { case (qid, t) => qid -> Embedder.embed(t) },
+        10, nProbe = 8, numCandidates = 512)
+        .orderBy("query_id", "rank"),
+      {
+        val branches = BatchQueries.map { case (qid, t) =>
+          val qv = Embedder.embed(t)
+          s"""SELECT $qid::BIGINT AS query_id, vec_id AS doc_id,
+             |    round(${cosSqlFor(qv)}, 6) AS vec_score
+             |  FROM embeddings""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        s"""WITH cands AS (
+           |$branches),
+           |ranked AS (SELECT query_id, doc_id, vec_score,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY vec_score DESC, doc_id) AS rank
+           |  FROM cands)
+           |SELECT query_id, doc_id, vec_score, rank::BIGINT AS rank
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      }),
+
     Q("q99_pq_knn",
       // product-quantized ANN: ADC shortlist over the 8-codes-per-vector
       // column (the fat embedding column is never read in the scan),

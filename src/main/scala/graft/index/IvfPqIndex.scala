@@ -224,6 +224,95 @@ object IvfPqIndex {
       (cents, cbs.map(_.map(identity)))
     })
 
+  /** Batch ADC top-k: N query vectors in ONE pass over the composite —
+    * the IVF-PQ twin of [[IvfIndex.knnBatch]]. Each query ranks
+    * centroids driver-side and probes its own cells; the union of
+    * probed cells is partition-pruned once. The probe relation carries
+    * `(query_id, cell, query index, q·centroid)` and is broadcast; the
+    * per-query residual ADC tables ride in ONE N×m×nCodes literal
+    * indexed by the query index, so the shortlist still reads only the
+    * codes column and never explodes it. Per-query shortlist and final
+    * top-k are the k-bounded [[org.apache.spark.sql.graftext.TopKByScoreAgg]]
+    * — never a window. The exact-cosine rerank joins the broadcast
+    * (knob-bounded) shortlist against the probed cells only. Result ≡
+    * running [[knn]] once per query (IvfPqSpec). */
+  def knnBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int = 2,
+      numCandidates: Int = 128,
+      store: CommitStore = LocalCommitStore): DataFrame = {
+    import spark.implicits._
+    val vDir = currentDir(indexDir, store)
+    val (cents, cbs) = metaOf(spark, vDir)
+    val m = cbs.length
+    val subDim = cbs(0)(0).length
+    queries.foreach { case (_, v) => require(v.length == m * subDim,
+      s"query dim ${v.length} != index dim ${m * subDim}") }
+
+    // (query_id, cell, qidx, q·centroid) — metadata-scale, broadcast
+    val probeRows = queries.zipWithIndex.flatMap { case ((qid, v), qi) =>
+      val q = v.map(_.toDouble)
+      cents.toSeq.map { case (cell, c) =>
+          var d = 0.0
+          var j = 0
+          while (j < c.length) { val t = c(j) - q(j); d += t * t; j += 1 }
+          (cell, d)
+        }
+        .sortBy { case (cell, d) => (d, cell) }
+        .take(math.min(nProbe, cents.size))
+        .map { case (cell, _) =>
+          val c = cents(cell)
+          var d = 0.0
+          var j = 0
+          while (j < c.length) { d += q(j) * c(j); j += 1 }
+          (qid, cell, qi, d)
+        }
+    }
+    val cells = probeRows.map(_._2).distinct
+    // one 3-d ADC literal: [query index][subspace][code] -> dot
+    val tables: Seq[Seq[Seq[Double]]] = queries.map { case (_, v) =>
+      val q = v.map(_.toDouble)
+      (0 until m).map { i =>
+        cbs(i).toSeq.map { cent =>
+          var d = 0.0
+          var j = 0
+          while (j < subDim) { d += q(i * subDim + j) * cent(j); j += 1 }
+          d
+        }
+      }
+    }
+    val tLit = typedLit(tables)
+    val approx = col("cdot") +
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, i) => acc + element_at(
+          element_at(element_at(tLit, col("qidx") + 1), i + 1),
+          element_at(col("codes"), i + 1) + 1))
+
+    val pqv = graft.Tables.loadPath(spark, s"$vDir/vectors")
+      .filter(col("ivf_cell").isin(cells: _*))
+    val shortlist = pqv
+      .join(broadcast(probeRows.toDF("query_id", "ivf_cell", "qidx", "cdot")),
+        "ivf_cell")
+      .select(col("query_id"), col("doc_id"), approx.as("approx"))
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graftext.TopKByScoreAgg.topKByScore(
+        col("approx"), col("doc_id"), numCandidates).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("doc_id"))
+    pqv
+      .join(broadcast(shortlist), "doc_id")
+      .join(broadcast(queries.map { case (qid, v) => (qid, v.toSeq) }
+        .toDF("query_id", "qvec")), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        round(VectorFunctions.cosine(col("embedding"), col("qvec")), 6)
+          .as("vec_score"))
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graftext.TopKByScoreAgg.topKByScore(
+        col("vec_score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rk", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.score").as("vec_score"),
+        (col("rk") + 1).cast("long").as("rank"))
+  }
+
   /** ADC top-k: probe the `nProbe` nearest cells (partition-pruned),
     * shortlist `numCandidates` by q·centroid + residual table lookups
     * over the codes column only, exact-cosine rerank the shortlist. */

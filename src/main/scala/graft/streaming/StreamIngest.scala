@@ -164,6 +164,28 @@ object StreamIngest {
     }
   }
 
+  /** Streaming percolation — standing-query alerting over the ingest
+    * stream (the streaming composition [[graft.search.TextSearch.percolate]]
+    * documents): each micro-batch of documents probes the broadcast
+    * standing-query set independently and appends its matches
+    * `(doc_id, query_id, batch_id)` to the alert sink. Stateless per
+    * batch (the "index" is the query set, not the corpus), so
+    * exactly-once needs nothing beyond the sink's idempotent
+    * batch_id-keyed append. */
+  def percolatePipeline(docs: DataFrame, queries: Seq[(Long, String)],
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        graft.search.TextSearch.percolate(df, "doc_id", "text", queries)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Streaming index retraction/maintenance: a CDC stream (e.g. replayed
     * [[graft.table.SnapshotCatalog.diff]] output) drives the search
     * index through [[applyCdcBatch]] — inserts, updates AND deletes

@@ -85,6 +85,25 @@ class IvfPqSpec extends SparkSpec {
       s"residual ADC ${overlap(ivfpq)}/10 vs flat ${overlap(pq)}/10")
   }
 
+  test("knnBatch equals N single knn calls; no window in the plan") {
+    val qs = Seq(1L -> e.embed("alpha beta gamma"), 2L -> qv,
+      3L -> e.embed("completely different text"))
+    val batch = IvfPqIndex.knnBatch(spark, dir, qs, 5, nProbe = 8,
+      numCandidates = 512)
+    val rows = batch.collect()
+    qs.foreach { case (qid, v) =>
+      val single = IvfPqIndex.knn(spark, dir, v, 5, nProbe = 8,
+          numCandidates = 512)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = rows.filter(_.getLong(0) == qid).sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(got === single, s"query $qid")
+    }
+    val plan = batch.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Window"), "per-query top-k degraded to a window")
+  }
+
   test("incremental update: frozen centroids + codebooks, exact after rerank") {
     val d = Files.createTempDirectory("ivfpq_upd").toString
     val embs = Tables.embeddings(spark, SfDir)

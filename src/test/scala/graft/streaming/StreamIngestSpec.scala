@@ -104,6 +104,27 @@ class StreamIngestSpec extends SparkSpec {
     assert(res.columns.contains("batch_id"))
   }
 
+  test("percolatePipeline: standing queries alert per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val in = Files.createTempDirectory("perc_in").toString
+    Seq((1L, "spark window functions"), (2L, "nothing relevant"),
+      (3L, "spark alone")).toDF("doc_id", "text").write.parquet(in + "/b0")
+    val out = Files.createTempDirectory("perc_out").toString + "/alerts"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val qs = Seq(100L -> "spark window", 200L -> "spark")
+    val q = StreamIngest.percolatePipeline(
+      StreamIngest.parquetStream(spark, in + "/b0", schema), qs, out,
+      Files.createTempDirectory("perc_ckp").toString)
+    q.awaitTermination(60000)
+    val res = spark.read.parquet(out)
+    assert(res.columns.contains("batch_id"))
+    val got = res.select("doc_id", "query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L), (1L, 200L), (3L, 200L)))
+  }
+
   test("cdcIndexPipeline: insert/update/delete exactly-once; index ≡ rebuild per version") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
