@@ -207,6 +207,97 @@ object IvfPqIndex {
     graft.Tables.invalidate(spark, s"$vDir/vectors")
   }
 
+  /** Stage `df` (rows for `cells` only) and swap each cell dir into the
+    * live table — a cell with no staged rows is deleted (it lost every
+    * row). The [[graft.table.CommitStore]] swap keeps readers
+    * consistent per cell and crash-healable. */
+  private def swapCells(df: DataFrame, vectorsDir: String,
+      cells: Seq[Int], store: CommitStore): Unit = {
+    import java.nio.file.Files
+    val tmp = vectorsDir + "__tmp"
+    df.repartition(col("ivf_cell"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp)
+    cells.foreach { c =>
+      val staged = Paths.get(tmp, s"ivf_cell=$c")
+      val live   = Paths.get(vectorsDir, s"ivf_cell=$c")
+      if (Files.exists(staged)) store.swapDir(staged, live)
+      else store.deleteRecursive(live)
+    }
+    store.deleteRecursive(Paths.get(tmp))
+  }
+
+  /** Doc-level retraction (PII/takedown): rewrite ONLY the cells that
+    * hold victims — an anti-filter per touched cell through a staged
+    * swap; untouched cells keep their exact bytes. Centroids and
+    * codebooks are FROZEN training metadata — removing rows never
+    * invalidates the remaining codes — so the deleted index is exactly
+    * the same-metadata index encoded over the surviving corpus: with
+    * exhaustive knobs, queries match brute force over the survivors,
+    * and a victim can never be returned (IvfPqSpec pins both).
+    * Touched-cell discovery is one pruned-column scan; the rewrite
+    * touches |touched cells| data. */
+  def delete(spark: SparkSession, indexDir: String, ids: Seq[Long],
+      store: CommitStore = LocalCommitStore): Unit = {
+    if (ids.isEmpty) return
+    val vDir = currentDir(indexDir, store)
+    val v = graft.Tables.loadPath(spark, s"$vDir/vectors")
+    val touched = v.filter(col("doc_id").isin(ids: _*))
+      .select("ivf_cell").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    swapCells(
+      v.filter(col("ivf_cell").isin(touched: _*) &&
+        !col("doc_id").isin(ids: _*)),
+      s"$vDir/vectors", touched, store)
+    graft.Tables.invalidate(spark, s"$vDir/vectors")
+  }
+
+  /** Collapse the small files [[update]] appends per touched cell per
+    * micro-batch back to one file per cell (same shape as
+    * [[IvfIndex.compact]]/[[SearchIndex.compact]]): rows bit-identical,
+    * untouched cells byte-identical. Returns (filesBefore, filesAfter)
+    * over rewritten cells. */
+  def compact(spark: SparkSession, indexDir: String,
+      store: CommitStore = LocalCommitStore): (Long, Long) = {
+    import java.nio.file.Files
+    val vDir = currentDir(indexDir, store)
+    val root = Paths.get(s"$vDir/vectors")
+    if (!Files.isDirectory(root)) return (0L, 0L)
+    def filesIn(p: java.nio.file.Path): Int = {
+      val s = Files.list(p)
+      try {
+        var n = 0
+        val it = s.iterator()
+        while (it.hasNext)
+          if (it.next().toString.endsWith(".parquet")) n += 1
+        n
+      } finally s.close()
+    }
+    val ls = Files.list(root)
+    var before = 0L
+    val fragmented = try {
+      val b = Seq.newBuilder[Int]
+      val it = ls.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.startsWith("ivf_cell=") && filesIn(p) > 1) {
+          b += name.stripPrefix("ivf_cell=").toInt
+          before += filesIn(p)
+        }
+      }
+      b.result()
+    } finally ls.close()
+    if (fragmented.isEmpty) return (0L, 0L)
+    swapCells(
+      graft.Tables.loadPath(spark, s"$vDir/vectors")
+        .filter(col("ivf_cell").isin(fragmented: _*)),
+      s"$vDir/vectors", fragmented, store)
+    graft.Tables.invalidate(spark, s"$vDir/vectors")
+    var after = 0L
+    fragmented.foreach(c => after += filesIn(root.resolve(s"ivf_cell=$c")))
+    (before, after)
+  }
+
   /** Centroids + codebooks (index metadata, cached per version dir). */
   private def metaOf(spark: SparkSession, vDir: String)
       : (Map[Int, Array[Double]], Array[Array[Array[Double]]]) =

@@ -85,6 +85,69 @@ class IvfPqSpec extends SparkSpec {
       s"residual ADC ${overlap(ivfpq)}/10 vs flat ${overlap(pq)}/10")
   }
 
+  test("delete: survivors match brute force; untouched cells byte-identical") {
+    val d = Files.createTempDirectory("ivfpq_del").toString
+    val embs = Tables.embeddings(spark, SfDir)
+    IvfPqIndex.build(embs, d, nCells = 8, m = 8, nCodes = 16)
+    val victims = embs.filter(col("vec_id") % 37 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(victims.nonEmpty)
+    val vDir = IvfPqIndex.currentDir(d)
+    def fp(): Map[String, Seq[(String, Long)]] = {
+      val root = java.nio.file.Paths.get(vDir, "vectors")
+      Files.list(root).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("ivf_cell="))
+        .map { p =>
+          p.getFileName.toString ->
+            Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
+              .filter(_.toString.endsWith(".parquet"))
+              .map(f => (f.getFileName.toString, Files.size(f))).toSeq.sorted
+        }.toMap
+    }
+    val touched = spark.read.parquet(s"$vDir/vectors")
+      .filter(col("doc_id").isin(victims: _*))
+      .select("ivf_cell").distinct().collect()
+      .map(r => s"ivf_cell=${r.getInt(0)}").toSet
+    val before = fp()
+    IvfPqIndex.delete(spark, d, victims)
+    val after = fp()
+    (before.keySet -- touched).foreach { cell =>
+      assert(after(cell) === before(cell), s"untouched $cell rewritten")
+    }
+    // frozen-metadata contract: exhaustive knobs == brute force over
+    // the SURVIVING corpus, and a victim can never come back
+    val brute = graft.search.VectorSearch.topK(
+      embs.filter(!col("vec_id").isin(victims: _*)),
+      "vec_id", "embedding", qv, 10).collect().toSeq
+    val got = IvfPqIndex.knn(spark, d, qv, 10, nProbe = 8,
+      numCandidates = 1000000).collect().toSeq
+    assert(got === brute)
+    assert(!got.exists(r => victims.contains(r.getLong(0))))
+  }
+
+  test("compact: updates fragment cells; compact restores one file, same results") {
+    val d = Files.createTempDirectory("ivfpq_cpt").toString
+    val embs = Tables.embeddings(spark, SfDir)
+    IvfPqIndex.build(embs.filter(col("vec_id") % 2 === 0), d,
+      nCells = 8, m = 8, nCodes = 16)
+    IvfPqIndex.update(embs.filter(col("vec_id") % 4 === 1), d)
+    IvfPqIndex.update(embs.filter(col("vec_id") % 4 === 3), d)
+    val pre = IvfPqIndex.knn(spark, d, qv, 10, nProbe = 8,
+      numCandidates = 1000000).collect().toSeq
+    val (b, a) = IvfPqIndex.compact(spark, d)
+    assert(b > a, s"nothing compacted (before=$b after=$a)")
+    val vDir = IvfPqIndex.currentDir(d)
+    val maxFiles = Files.list(java.nio.file.Paths.get(vDir, "vectors"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith("ivf_cell="))
+      .map(p => Files.list(p).toArray
+        .count(_.toString.endsWith(".parquet"))).max
+    assert(maxFiles === 1)
+    val post = IvfPqIndex.knn(spark, d, qv, 10, nProbe = 8,
+      numCandidates = 1000000).collect().toSeq
+    assert(post === pre)
+  }
+
   test("knnBatch equals N single knn calls; no window in the plan") {
     val qs = Seq(1L -> e.embed("alpha beta gamma"), 2L -> qv,
       3L -> e.embed("completely different text"))
