@@ -449,14 +449,18 @@ object SparkEntry {
       // shingle (hash collision) scores exact = 0.
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+        // signatures feed THREE consumers (candidate generation + both
+        // sides of the estimate join) — sign the corpus once and cache
+        // (at 100 TB this is a checkpointed signature table; re-signing
+        // per consumer would triple the dominant cost)
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").persist()
         val nh = Dedup.NumHashes
         val ha = sigs.toDF("a" +: (0 until nh).map(i => s"ha$i"): _*)
         val hb = sigs.toDF("b" +: (0 until nh).map(i => s"hb$i"): _*)
         val est = (0 until nh).map(i =>
             when(col(s"ha$i") === col(s"hb$i"), 1.0).otherwise(0.0))
           .reduce(_ + _) / nh.toDouble
-        Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+        Dedup.minhashCandidatePairsFromSigs(sigs)
           .join(ha, "a").join(hb, "b")
           .withColumn("est", round(est, 6))
           .join(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.0)

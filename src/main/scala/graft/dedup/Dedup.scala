@@ -148,9 +148,18 @@ object Dedup {
     * equi-join would never match them, but groupBy would collect them
     * into one spurious group. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String,
-      textCol: String, maxGroupSize: Int = MaxGroupSize): DataFrame = {
+      textCol: String, maxGroupSize: Int = MaxGroupSize): DataFrame =
+    minhashCandidatePairsFromSigs(
+      minhashSignatures(docs, idCol, textCol), maxGroupSize)
+
+  /** [[minhashCandidatePairs]] from an ALREADY-COMPUTED signature frame
+    * (the `minhashSignatures` shape) — callers that also consume the
+    * signatures (q116's estimator eval) compute/cache them ONCE instead
+    * of re-signing the corpus per use. */
+  def minhashCandidatePairsFromSigs(sigs: DataFrame,
+      maxGroupSize: Int = MaxGroupSize): DataFrame = {
     val nBands = NumHashes / BandSize
-    val bands  = minhashBands(minhashSignatures(docs, idCol, textCol))
+    val bands  = minhashBands(sigs)
     val exploded = bands.select(col("doc_id"),
       explode(array((0 until nBands).map(i => col(s"b$i")): _*)).as("band"))
       .filter(col("band").isNotNull)
