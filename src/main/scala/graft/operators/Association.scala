@@ -19,8 +19,11 @@ object Association {
     * (hot-basket guard, mirrored in oracles as `HAVING count <= cap`). */
   def itemPairLift(df: DataFrame, basketCol: String, itemCol: String,
       minPairs: Long = 2L, cap: Int = 10000): DataFrame = {
+    // (basket, item) feeds THREE consumers (marginals, basket total,
+    // pair generation) — materialize the distinct once; re-deriving it
+    // per consumer would triple the dominant scan+shuffle at scale
     val bi = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .distinct()
+      .distinct().persist()
     val counts = bi.groupBy("item").agg(count(lit(1)).as("n_item"))
     val total  = bi.select(countDistinct("basket").as("n_baskets"))
     val pairs = bi.groupBy("basket")

@@ -263,4 +263,26 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("In(doc_id"), "candidate point-lookup not pushed:\n" + s)
     assert(s.contains("TakeOrderedAndProject"), "top-k not TakeOrdered:\n" + s)
   }
+
+  test("q124: standing queries broadcast; the corpus streams through once") {
+    val s = fmtOf("q124_percolate")
+    assert(s.contains("BroadcastHashJoin"),
+      "query relation not broadcast:\n" + s)
+    assert(s.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents")) === 1,
+      "corpus scanned more than once:\n" + s)
+  }
+
+  test("q126: pair generation is in-group combinations over ONE cached basket relation") {
+    val s = fmtOf("q126_item_lift")
+    assert(s.contains("pairs_asc"),
+      "pair generation not the native in-group expression:\n" + s)
+    assert(!s.contains("CartesianProduct"))
+    // the (basket, item) relation is materialized once and re-read from
+    // cache by all three consumers
+    assert(s.contains("InMemoryTableScan"), "basket relation not cached:\n" + s)
+    assert(s.linesIterator.count(l =>
+      l.contains("Location") && l.contains("events")) <= 1,
+      "events scanned per consumer:\n" + s)
+  }
 }
