@@ -706,10 +706,12 @@ object SparkEntry {
       // convention). Two shuffles on user_id (distinct + first-week
       // join), both AQE-sized; nothing collects.
       (s, dir) => {
+        // (user, week) feeds both the cohort derivation and the join —
+        // materialize the distinct once (one events scan, one shuffle)
         val uw = Tables.events(s, dir)
           .select(col("user_id"),
             expr("unix_micros(ts) div 604800000000").as("week"))
-          .distinct()
+          .distinct().persist()
         val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
         uw.join(cohort, "user_id")
           .groupBy(col("cohort_week"),

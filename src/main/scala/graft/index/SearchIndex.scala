@@ -218,10 +218,13 @@ object SearchIndex {
       .filter(col("term_bucket") === termBucketOf(fgTerm) &&
         col("term") === fgTerm)
       .select("doc_id")
+    // fgToks feeds BOTH the per-term counts and the foreground size —
+    // materialize once (it is |foreground|-scale) so the corpus scan
+    // behind it runs once, not per consumer
     val fgToks = docs.join(broadcast(fgIds), "doc_id")
       .select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("term"))
-      .distinct()
+      .distinct().persist()
     val fgAgg = fgToks.groupBy("term").agg(count(lit(1)).as("fg_df"))
     val fgN = fgToks.agg(countDistinct("doc_id").as("fg_n"))
     cachedTable(spark, indexDir, "docfreq").select("term", "df")
