@@ -233,6 +233,37 @@ object IvfIndex {
     (before, after)
   }
 
+  /** Doc-level retraction (PII/takedown): rewrite ONLY the cells that
+    * hold victims — an anti-filter per touched cell through a staged
+    * swap; untouched cells keep their exact bytes. Centroids and the
+    * SQ8 codebook are frozen training metadata, so the deleted index is
+    * the same-metadata index over the surviving corpus: full-probe
+    * queries match brute force over the survivors and a victim can
+    * never be returned (IvfIndexSpec). */
+  def delete(spark: SparkSession, indexDir: String, ids: Seq[Long],
+      store: CommitStore = LocalCommitStore): Unit = {
+    import java.nio.file.Files
+    if (ids.isEmpty) return
+    val vDir = currentDir(indexDir, store)
+    val v = graft.Tables.loadPath(spark, s"$vDir/ivf_vectors")
+    val touched = v.filter(col("doc_id").isin(ids: _*))
+      .select("ivf_cell").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val tmp = s"$vDir/ivf_vectors__tmp"
+    v.filter(col("ivf_cell").isin(touched: _*) &&
+        !col("doc_id").isin(ids: _*))
+      .repartition(col("ivf_cell"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp)
+    touched.foreach { c =>
+      val staged = Paths.get(tmp, s"ivf_cell=$c")
+      val live   = Paths.get(s"$vDir/ivf_vectors", s"ivf_cell=$c")
+      if (Files.exists(staged)) store.swapDir(staged, live)
+      else store.deleteRecursive(live)
+    }
+    store.deleteRecursive(Paths.get(tmp))
+    graft.Tables.invalidate(spark, s"$vDir/ivf_vectors")
+  }
+
   /** Cell-population imbalance: max(|cell|) / mean(|cell|), over the
     * FULL cell grid (an empty cell counts as 0 — assignment never fills
     * it, so it drags the mean down and shows up as drift). 1.0 is

@@ -208,6 +208,27 @@ object PqIndex {
     }.toDF("sub_id", "code", "centroid")
   }
 
+  /** Doc-level retraction (PII/takedown): anti-filter rewrite of the
+    * codes table through one staged [[CommitStore.swapDir]] (pq_vectors
+    * is not cell-partitioned, so the unit of swap is the table — the
+    * cost of the flat-PQ layout; [[IvfPqIndex.delete]] is the
+    * cell-pruned variant). Codebooks are frozen training metadata, so
+    * the deleted index is the same-codebook index over the survivors:
+    * exhaustive-shortlist queries match brute force over them and a
+    * victim can never be returned (PqIndexSpec). Doubles as
+    * compaction: the rewrite folds update-appended files. */
+  def delete(spark: SparkSession, indexDir: String, ids: Seq[Long],
+      store: CommitStore = LocalCommitStore): Unit = {
+    if (ids.isEmpty) return
+    val vDir = currentDir(indexDir, store)
+    val tmp = s"$vDir/pq_vectors__tmp"
+    graft.Tables.loadPath(spark, s"$vDir/pq_vectors")
+      .filter(!col("doc_id").isin(ids: _*))
+      .write.mode("overwrite").parquet(tmp)
+    store.swapDir(Paths.get(tmp), Paths.get(s"$vDir/pq_vectors"))
+    graft.Tables.invalidate(spark, s"$vDir/pq_vectors")
+  }
+
   /** Codebooks as `[sub_id][code] -> centroid` (m × nCodes rows — index
     * metadata; cached per (dir, version)). */
   private def codebooksOf(spark: SparkSession, vDir: String)

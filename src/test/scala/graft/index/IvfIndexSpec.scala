@@ -2,6 +2,8 @@ package graft.index
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+
 import graft.{SparkSpec, Tables}
 import graft.embed.DeterministicEmbedder
 import graft.search.VectorSearch
@@ -216,5 +218,43 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.head.getLong(0) === row.getLong(0)) // itself, cosine 1.0
     assert(math.abs(got.head.getDouble(1) - 1.0) < 1e-5)
+  }
+
+  test("delete: survivors match brute force; untouched cells byte-identical") {
+    val d = Files.createTempDirectory("ivf_del").toString
+    val embs = Tables.embeddings(spark, SfDir)
+    IvfIndex.build(embs, d, nCells = 8)
+    val victims = embs.filter(col("vec_id") % 41 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(victims.nonEmpty)
+    val vDir = IvfIndex.currentDir(d)
+    def fp(): Map[String, Seq[(String, Long)]] = {
+      val root = java.nio.file.Paths.get(vDir, "ivf_vectors")
+      Files.list(root).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("ivf_cell="))
+        .map { pth =>
+          pth.getFileName.toString ->
+            Files.list(pth).toArray.map(_.asInstanceOf[java.nio.file.Path])
+              .filter(_.toString.endsWith(".parquet"))
+              .map(f => (f.getFileName.toString, Files.size(f))).toSeq.sorted
+        }.toMap
+    }
+    val touched = spark.read.parquet(s"$vDir/ivf_vectors")
+      .filter(col("doc_id").isin(victims: _*))
+      .select("ivf_cell").distinct().collect()
+      .map(r => s"ivf_cell=${r.getInt(0)}").toSet
+    val before = fp()
+    IvfIndex.delete(spark, d, victims)
+    val after = fp()
+    (before.keySet -- touched).foreach { cell =>
+      assert(after(cell) === before(cell), s"untouched $cell rewritten")
+    }
+    val qv = graft.embed.DeterministicEmbedder(64)
+      .embed("spark join merge sort window")
+    val brute = graft.search.VectorSearch.topK(
+      embs.filter(!col("vec_id").isin(victims: _*)),
+      "vec_id", "embedding", qv, 10).collect().toSeq
+    val got = IvfIndex.knn(spark, d, qv, 10, nProbe = 8).collect().toSeq
+    assert(got === brute)
   }
 }

@@ -92,4 +92,24 @@ class PqIndexSpec extends SparkSpec {
     assert(!Files.isDirectory(Paths.get(d, "v00001")))
     assert(Files.isDirectory(Paths.get(d, "v00002")))
   }
+
+  test("delete: survivors match brute force; victims never return; files fold") {
+    val d = Files.createTempDirectory("pq_del").toString
+    val embs = Tables.embeddings(spark, SfDir)
+    PqIndex.build(embs.filter(col("vec_id") % 2 === 0), d, m = 8, nCodes = 16)
+    PqIndex.update(embs.filter(col("vec_id") % 2 === 1), d)
+    val victims = embs.filter(col("vec_id") % 41 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(victims.nonEmpty)
+    PqIndex.delete(spark, d, victims)
+    val vDir = PqIndex.currentDir(d)
+    val n = embs.count() - victims.length
+    assert(spark.read.parquet(s"$vDir/pq_vectors").count() === n)
+    val brute = VectorSearch.topK(
+      embs.filter(!col("vec_id").isin(victims: _*)),
+      "vec_id", "embedding", qv, 10).collect().toSeq
+    val got = PqIndex.knn(spark, d, qv, 10, numCandidates = 1000000)
+      .collect().toSeq
+    assert(got === brute)
+  }
 }
