@@ -69,6 +69,30 @@ object Bpe {
     }
   }
 
+  /** Persist a trained model in the standard merges.txt shape (one
+    * "left right" pair per line, priority order — the GPT-2/BPE-paper
+    * interchange format). The model is tokenizer METADATA (kBs): it
+    * ships to executors by broadcast and to other systems as this file.
+    * Symbols never contain whitespace (words are split on non-alnum and
+    * `</w>` is the only marker), so the space separator is unambiguous. */
+  def save(model: Model, path: String): Unit = {
+    val lines = model.merges.map { case (a, b) => s"$a $b" }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+  }
+
+  /** Load a model written by [[save]] (or any merges.txt). */
+  def load(path: String): Model = {
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    Model(lines.map { l =>
+      val i = l.indexOf(' ')
+      require(i > 0 && i < l.length - 1, s"malformed merges line: '$l'")
+      (l.substring(0, i), l.substring(i + 1))
+    })
+  }
+
   /** Initial symbol array for a word column: characters + [[EndOfWord]].
     * Explicit per-index substrings — `split(word, "")` is Java
     * `split("", -1)`, which appends a trailing empty string. */

@@ -73,4 +73,19 @@ class BpeSpec extends SparkSpec {
       .collect()
     assert(counts(0).getAs[Long]("n_bpe") === 6L)
   }
+
+  test("save/load round-trips a trained model bit-for-bit") {
+    val docs = Seq("low lower lowest", "low low newer newest")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 12)
+    val f = java.nio.file.Files.createTempDirectory("bpe").toString +
+      "/merges.txt"
+    Bpe.save(model, f)
+    val back = Bpe.load(f)
+    assert(back.merges === model.merges)
+    // and the reloaded model tokenizes identically
+    Seq("lowest", "newer", "unseen").foreach { w =>
+      assert(back.encodeWord(w) === model.encodeWord(w))
+    }
+  }
 }
