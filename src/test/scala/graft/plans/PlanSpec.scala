@@ -285,4 +285,35 @@ class PlanSpec extends SparkSpec {
       l.contains("Location") && l.contains("events")) <= 1,
       "events scanned per consumer:\n" + s)
   }
+
+  test("q119/q121: proximity probes pruned position buckets; stats never reads postings") {
+    val s119 = fmtOf("q119_indexed_proximity")
+    val pf = s119.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("term_bucket"),
+      "positions probe not partition-pruned:\n" + s119)
+    val s121 = fmtOf("q121_index_stats")
+    assert(!s121.contains("/postings") && !s121.contains("/positions") &&
+      !s121.contains("/vectors"),
+      "index stats touched corpus-scale tables:\n" + s121)
+  }
+
+  test("q120: function_score fetch join touches candidates, not a second corpus agg") {
+    val s = fmtOf("q120_function_score")
+    // one documents scan (the n_chars fetch); the text side reads the
+    // pruned index, never re-tokenizes the corpus
+    assert(s.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents")) === 1,
+      "documents scanned more than once:\n" + s)
+    val pf = s.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("term_bucket"), "postings probe not pruned:\n" + s)
+  }
+
+  test("q125: retention reads events once through the cached user-week relation") {
+    val s = fmtOf("q125_retention_cohorts")
+    assert(s.contains("InMemoryTableScan"),
+      "user-week relation not cached:\n" + s)
+    assert(s.linesIterator.count(l =>
+      l.contains("Location") && l.contains("events")) <= 1,
+      "events scanned per consumer:\n" + s)
+  }
 }
