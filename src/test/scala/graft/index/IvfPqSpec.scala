@@ -183,4 +183,25 @@ class IvfPqSpec extends SparkSpec {
       numCandidates = 1000000).collect().toSeq
     assert(got === brute)
   }
+
+  test("build/delete/compact under the ManifestCommitStore too") {
+    import graft.table.ManifestCommitStore
+    val d = Files.createTempDirectory("ivfpq_manifest").toString
+    val embs = Tables.embeddings(spark, SfDir)
+    IvfPqIndex.build(embs.filter(col("vec_id") % 2 === 0), d,
+      nCells = 8, m = 8, nCodes = 16, store = ManifestCommitStore)
+    IvfPqIndex.update(embs.filter(col("vec_id") % 2 === 1), d,
+      store = ManifestCommitStore)
+    val victims = embs.filter(col("vec_id") % 41 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    IvfPqIndex.delete(spark, d, victims, store = ManifestCommitStore)
+    val (b, a) = IvfPqIndex.compact(spark, d, store = ManifestCommitStore)
+    assert(a <= b)
+    val brute = VectorSearch.topK(
+      embs.filter(!col("vec_id").isin(victims: _*)),
+      "vec_id", "embedding", qv, 10).collect().toSeq
+    val got = IvfPqIndex.knn(spark, d, qv, 10, nProbe = 8,
+      numCandidates = 1000000, store = ManifestCommitStore).collect().toSeq
+    assert(got === brute)
+  }
 }
