@@ -203,6 +203,79 @@ object SearchIndex {
     bm25(spark, indexDir, terms.mkString(" "))
   }
 
+  /** Wildcard query-term expansion (ES `wildcard` query: `*` = any run
+    * of characters, `?` = exactly one): match the pattern against the
+    * index DICTIONARY (docfreq — vocabulary-scale, never the postings),
+    * capped at `maxExpansions` in term order (the ES rewrite cap that
+    * keeps a pathological `*` from exploding the downstream query).
+    * Metadata-scale result, so callers collect it. */
+  def wildcardExpandTerms(spark: SparkSession, indexDir: String,
+      pattern: String, maxExpansions: Int = 50): Seq[String] = {
+    val like = pattern.replace("\\", "\\\\").replace("%", "\\%")
+      .replace("_", "\\_").replace('*', '%').replace('?', '_')
+    cachedTable(spark, indexDir, "docfreq")
+      .select("term").distinct()
+      .filter(col("term").like(like))
+      .orderBy("term").limit(maxExpansions)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** ES `wildcard` query scored like a bool-should over the expansions:
+    * expand against the dictionary, then the standard partition-pruned
+    * [[bm25]] path — reference semantics (`elasticsearch_index.py`
+    * match/term requests generalized to pattern matching), index-probe
+    * cost. */
+  def bm25Wildcard(spark: SparkSession, indexDir: String, pattern: String,
+      maxExpansions: Int = 50): DataFrame = {
+    val terms = wildcardExpandTerms(spark, indexDir, pattern, maxExpansions)
+    if (terms.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"),
+        col("id").cast("double").as("text_score"))
+    else bm25(spark, indexDir, terms.mkString(" "))
+  }
+
+  /** ES `match_phrase_prefix` over the persisted positional postings:
+    * the phrase's leading terms must match exactly and the LAST term is
+    * a prefix — expanded against the dictionary (vocabulary-scale scan,
+    * `maxExpansions` cap in term order, as ES caps it), then one
+    * partition-pruned positions probe over fixed+expanded terms and the
+    * same start-alignment algebra as [[phrase]], with every expansion
+    * sharing the last slot index (a start matches if ANY expansion sits
+    * at it). Returns (doc_id, n_occurrences = distinct matching starts). */
+  def phrasePrefix(spark: SparkSession, indexDir: String,
+      phraseText: String, maxExpansions: Int = 50): DataFrame = {
+    import spark.implicits._
+    val terms = TextSearch.phraseTerms(phraseText)
+    require(terms.nonEmpty, "phrasePrefix needs at least one term")
+    val fixed = terms.init.toSeq
+    val exp = cachedTable(spark, indexDir, "docfreq")
+      .select("term").distinct()
+      .filter(col("term").startsWith(terms.last))
+      .orderBy("term").limit(maxExpansions)
+      .collect().map(_.getString(0)).toSeq
+    if (exp.isEmpty)
+      return spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_occurrences"))
+    // (term, slot) pairs: fixed terms take their phrase position, every
+    // expansion takes the last slot — countDistinct(idx) over a start
+    // then needs all |fixed|+1 slots filled, any expansion satisfying
+    // the last one (exactly ES's per-position term set).
+    val pairs = fixed.zipWithIndex ++ exp.map(t => (t, fixed.length))
+    val allTerms = pairs.map(_._1).distinct
+    val buckets = allTerms.map(termBucketOf).distinct
+    val pp = cachedTable(spark, indexDir, "positions")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(allTerms: _*))
+      .select("doc_id", "pos", "term")
+    val ph = pairs.toDF("term", "idx")
+    pp.join(broadcast(ph), "term")
+      .groupBy(col("doc_id"), (col("pos") - col("idx")).as("start"))
+      .agg(countDistinct("idx").as("m"))
+      .filter(col("m") === (fixed.length + 1))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** ES `significant_terms`: terms over-represented in a foreground doc
     * set — here the docs matching `fgTerm`, found by a partition-pruned
     * postings probe — relative to the corpus background. The

@@ -171,6 +171,46 @@ class SearchIndexSpec extends SparkSpec {
       "spark nosuchterm", maxEdits = 0) === Seq("spark"))
   }
 
+  test("wildcard expansion: pattern-matched dictionary subset; scores via plain bm25") {
+    val terms = SearchIndex.wildcardExpandTerms(spark, indexDir, "s?a*")
+    assert(terms.nonEmpty)
+    // expansion == exactly the regex-equivalent dictionary subset, sorted
+    val dict = spark.read.parquet(s"$indexDir/docfreq")
+      .select("term").distinct().collect().map(_.getString(0))
+    assert(terms === dict.filter(_.matches("s.a.*")).sorted.toSeq)
+    // wildcard scoring IS bm25 over the expanded terms — no separate scorer
+    val viaWild = SearchIndex.bm25Wildcard(spark, indexDir, "s?a*")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaPlain = SearchIndex.bm25(spark, indexDir, terms.mkString(" "))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaWild === viaPlain)
+    // maxExpansions caps deterministically in term order (the ES rewrite cap)
+    assert(SearchIndex.wildcardExpandTerms(spark, indexDir, "*",
+      maxExpansions = 3) === dict.sorted.take(3).toSeq)
+    // no dictionary match → empty frame with the bm25 shape, not an error
+    val none = SearchIndex.bm25Wildcard(spark, indexDir, "zzzz*q")
+    assert(none.columns.toSeq === Seq("doc_id", "text_score"))
+    assert(none.count() === 0)
+  }
+
+  test("match_phrase_prefix: alignment equals brute-force adjacent-token scan") {
+    val got = SearchIndex.phrasePrefix(spark, indexDir, "merge s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "fixture has 'merge s*' bigrams")
+    // independent ground truth from the raw corpus, bypassing the index
+    val expect = Tables.documents(spark, SfDir).select("doc_id", "text")
+      .collect().map { r =>
+        val toks = r.getString(1).toLowerCase
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        r.getLong(0) -> toks.sliding(2).count(w =>
+          w.length == 2 && w(0) == "merge" && w(1).startsWith("s")).toLong
+      }.filter(_._2 > 0).toMap
+    assert(got === expect)
+    // empty expansion (no dictionary term with the prefix) → empty frame
+    assert(SearchIndex.phrasePrefix(spark, indexDir, "merge zzzznope")
+      .count() === 0)
+  }
+
   test("significant terms: genuine positive lift, foreground term excluded") {
     val docs = Tables.documents(spark, SfDir)
     val rows = SearchIndex.significantTerms(spark, indexDir, docs, "dup",
