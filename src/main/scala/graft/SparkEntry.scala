@@ -3183,6 +3183,90 @@ object SparkEntry {
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
       }),
 
+    Q("q128_wildcard_bm25",
+      // ES `wildcard` query: the pattern expands against the index
+      // DICTIONARY (vocabulary-scale scan, never the postings; ES-style
+      // maxExpansions cap in term order), then scores through the
+      // standard partition-pruned BM25 probe. "s?a*" → scan, small,
+      // spark on the fixture vocabulary.
+      (s, dir) => graft.index.SearchIndex.bm25Wildcard(s, indexFor(s, dir),
+        "s?a*")
+        .select(col("doc_id"), round(col("text_score"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(20),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |posting AS (
+         |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+         |       FROM posting GROUP BY doc_id, term, dl),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+         |dict AS (SELECT DISTINCT term FROM posting),
+         |exp AS (SELECT term FROM dict WHERE term LIKE 's_a%'
+         |        ORDER BY term LIMIT 50),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         |  FROM tf WHERE term IN (SELECT term FROM exp) GROUP BY term),
+         |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+         |  FROM dfreq, stats),
+         |scored AS (
+         |  SELECT doc_id, round(sum(
+         |    idf.idf * tf.tf * (1.2 + 1.0) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6)
+         |    AS bm25
+         |  FROM tf JOIN idf ON tf.term = idf.term, stats
+         |  GROUP BY doc_id)
+         |SELECT doc_id, bm25 FROM scored
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
+
+    Q("q129_phrase_prefix",
+      // ES `match_phrase_prefix`: leading terms exact, last term a
+      // dictionary-expanded prefix (maxExpansions cap), one pruned
+      // positions probe + the phrase start-alignment algebra with all
+      // expansions sharing the last slot. "merge s" → merge followed
+      // immediately by any s-term.
+      (s, dir) => graft.index.SearchIndex.phrasePrefix(s, indexFor(s, dir),
+        "merge s")
+        .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |pp AS (SELECT doc_id, unnest(l) AS term,
+         |         generate_subscripts(l, 1) AS pos FROM toks),
+         |dict AS (SELECT DISTINCT term FROM pp),
+         |exp AS (SELECT term FROM dict WHERE term LIKE 's%'
+         |        ORDER BY term LIMIT 50),
+         |ph AS (SELECT 'merge' AS term, 0 AS idx
+         |       UNION ALL SELECT term, 1 FROM exp),
+         |st AS (SELECT pp.doc_id, pp.pos - ph.idx AS start
+         |       FROM pp JOIN ph USING (term)
+         |       GROUP BY pp.doc_id, pp.pos - ph.idx
+         |       HAVING count(DISTINCT ph.idx) = 2)
+         |SELECT doc_id, count(*)::BIGINT AS n_occurrences
+         |FROM st GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    Q("q130_bigram_perplexity",
+      // interpolated bigram LM perplexity — the CCNet/KenLM quality
+      // filter (q102's unigram proxy upgraded to the real conditional
+      // form): both engines fit the identical LM from the corpus (the
+      // counts ARE the model), so the oracle needs no external state.
+      (s, dir) => TextAnalysis.bigramPerplexity(
+        Tables.documents(s, dir), "doc_id", "text", lambda = 0.75)
+        .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |tok AS (SELECT doc_id, unnest(l) AS t FROM toks),
+         |c1 AS (SELECT t, count(*)::DOUBLE AS c1 FROM tok GROUP BY t),
+         |tot AS (SELECT count(*)::DOUBLE AS n FROM tok),
+         |bi AS (SELECT doc_id, l[i] AS u, l[i + 1] AS v
+         |       FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+         |             FROM toks)),
+         |c2 AS (SELECT u, v, count(*)::DOUBLE AS c2 FROM bi GROUP BY u, v),
+         |cctx AS (SELECT u, count(*)::DOUBLE AS cu FROM bi GROUP BY u),
+         |ev AS (SELECT bi.doc_id,
+         |         ln(0.75 * c2.c2 / cctx.cu + 0.25 * c1.c1 / tot.n) AS lp
+         |       FROM bi JOIN c2 USING (u, v) JOIN cctx USING (u)
+         |            JOIN c1 ON c1.t = bi.v, tot)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |  round(avg(lp), 6) AS avg_logprob,
+         |  round(exp(-avg(lp)), 6) AS ppl
+         |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     Q("q99_pq_knn",
       // product-quantized ANN: ADC shortlist over the 8-codes-per-vector
       // column (the fat embedding column is never read in the scan),

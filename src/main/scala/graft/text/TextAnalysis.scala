@@ -176,6 +176,54 @@ object TextAnalysis {
           var_pop(log(col("rank"))), 6).as("zipf_slope"))
   }
 
+  /** Interpolated bigram language-model perplexity — the KenLM/CCNet
+    * quality-filter shape (CCNet, Wenzek et al. 2020 scores every doc
+    * with an LM and drops the high-perplexity tail): fit the LM on the
+    * corpus itself, score every doc by
+    * `ppl = exp(-avg ln p(w_i | w_{i-1}))` over its bigram events, with
+    * `p = λ·c₂(u,v)/c₁ᶜᵗˣ(u) + (1-λ)·c₁(v)/N` (MLE bigram interpolated
+    * with the unigram — the standard smoothing that keeps every event
+    * finite without external model state).
+    *
+    * Scale shape: the MODEL is aggregate state — two partial-aggregated
+    * groupBys (unigram counts: vocabulary-scale; bigram counts: distinct-
+    * bigram-scale, sparse). Bigram events come from per-row array algebra
+    * (no self-join, no window); scoring joins events against the count
+    * relations — AQE broadcasts them when they fit and skew-splits the
+    * hot-term keys when they don't. The corpus is scanned twice (fit,
+    * score); nothing collects. Docs with fewer than 2 tokens have no
+    * bigram events and drop out, as in the SQL formulation. */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("l"))
+    val tok = toks.select(col("doc_id"), explode(col("l")).as("t"))
+    val c1 = tok.groupBy("t").agg(count(lit(1)).cast("double").as("c1"))
+    val n = tok.agg(count(lit(1)).cast("double").as("n"))
+    // bigram events per row: (l[i-1], l[i]) for i in 1..len-1 — pure
+    // array algebra, all subscripts in range (ANSI-safe)
+    val bi = toks.filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(l) - 1), " +
+          "i -> struct(l[i - 1] AS u, l[i] AS v))")).as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
+    val c2 = bi.groupBy("u", "v")
+      .agg(count(lit(1)).cast("double").as("c2"))
+    val cctx = bi.groupBy("u").agg(count(lit(1)).cast("double").as("cu"))
+    val lp = lit(lambda) * col("c2") / col("cu") +
+      lit(1.0 - lambda) * col("c1v") / col("n")
+    bi.join(c2, Seq("u", "v"))
+      .join(cctx, Seq("u"))
+      .join(c1.select(col("t").as("v"), col("c1").as("c1v")), Seq("v"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), log(lp).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg("lp").as("alp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("alp"), 6).as("avg_logprob"),
+        round(exp(-col("alp")), 6).as("ppl"))
+  }
+
   /** Full per-document stats relation: the one-pass profile a pipeline
     * computes before filtering (tokens, bpe-ish tokens, lang, quality,
     * fingerprint). */

@@ -111,6 +111,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all.length === 5) // ab, ad, ag, bg, dg and NOT bd (0 docs)
   }
 
+  test("bigramPerplexity: hand-checked interpolated LM on a tiny corpus") {
+    val docs = Seq((1L, "a b a"), (2L, "b b"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPerplexity(docs, "doc_id", "text", 0.75)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // unigrams: a=3, b=3, N=6; bigrams: (a,b)=1,(b,a)=1,(b,b)=1;
+    // contexts: a=1, b=2
+    // p(b|a) = .75*1/1 + .25*3/6 = .875 ; p(a|b) = p(b|b) = .5
+    val avg1 = (math.log(0.875) + math.log(0.5)) / 2.0
+    assert(got.keySet === Set(1L, 2L)) // 1-token doc 3 has no events
+    assert(got(1L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - avg1) < 1e-6)
+    assert(math.abs(got(1L)._3 - math.exp(-avg1)) < 1e-6)
+    assert(got(2L)._1 === 1L)
+    assert(math.abs(got(2L)._3 - 2.0) < 1e-6) // ppl = 1/p(b|b) = 2
+    // a document that reads like the corpus scores lower ppl than a doc
+    // made of transitions the LM never saw together dominating rarity
+    val big = (1L to 20L).map(i => (i, "x y x y x y")) :+ (99L, "y q x z")
+    val scored = TextAnalysis.bigramPerplexity(
+      big.toDF("doc_id", "text"), "doc_id", "text", 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scored(1L) < scored(99L))
+  }
+
   test("zipfSlope: exact -1 on a synthetic 1/rank corpus") {
     // freq(term_r) = 12/r for r in 1..4 → ln freq = ln 12 - ln rank:
     // slope exactly -1 (up to float), fit over n_terms = 4
