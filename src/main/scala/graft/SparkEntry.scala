@@ -3267,6 +3267,70 @@ object SparkEntry {
          |  round(exp(-avg(lp)), 6) AS ppl
          |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    Q("q131_semdedup",
+      // SemDeDup (Abbas et al. 2023): nearest-anchor cells bound the
+      // pair generation (the paper's k-means clusters), within-cell
+      // cosine >= tau edges, connected-components grouping, keep = min
+      // id per group. The oracled configuration uses deterministic
+      // md5-ordered anchor vectors (8 rows collected — model state,
+      // like q66's codebook); the MLlib-fitted path is the same
+      // operator with learned centroids (SemDedupSpec pins it).
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        val anchors = embs
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(8).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray).toSeq
+        Dedup.semDedup(embs, "vec_id", "embedding", anchors, tau = 0.2)
+          .select(col("id").as("vec_id"), col("cell"),
+            col("cluster_id"), col("keep"))
+          .orderBy("vec_id")
+      },
+      {
+        val cosAB = {
+          val dot = "list_dot_product(va::DOUBLE[], vb::DOUBLE[])"
+          val na  = "sqrt(list_dot_product(va::DOUBLE[], va::DOUBLE[]))"
+          val nb  = "sqrt(list_dot_product(vb::DOUBLE[], vb::DOUBLE[]))"
+          s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END)"
+        }
+        val sq = "(e.embedding[i]::DOUBLE - a.c[i]::DOUBLE)"
+        s"""WITH RECURSIVE
+           |anchors AS (
+           |  SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR),
+           |            vec_id) - 1)::INT AS cell, embedding AS c
+           |  FROM embeddings
+           |  QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR),
+           |            vec_id) <= 8),
+           |assigned AS (
+           |  SELECT vec_id AS id, embedding AS v, cell FROM (
+           |    SELECT e.vec_id, e.embedding, a.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round(list_sum([$sq * $sq
+           |                   for i in range(1, ${EmbedDim + 1})]), 6),
+           |          a.cell) AS rn
+           |    FROM embeddings e, anchors a)
+           |  WHERE rn = 1),
+           |pairs AS (
+           |  SELECT a, b FROM (
+           |    SELECT l.id AS a, r.id AS b, l.v AS va, r.v AS vb
+           |    FROM assigned l JOIN assigned r
+           |      ON l.cell = r.cell AND l.id < r.id)
+           |  WHERE round($cosAB, 6) >= 0.2),
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION SELECT b, a FROM pairs),
+           |cc(node, label) AS (
+           |  SELECT id, id FROM assigned
+           |  UNION
+           |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+           |lab AS (SELECT node AS id, min(label) AS cluster_id
+           |        FROM cc GROUP BY node)
+           |SELECT a2.id AS vec_id, a2.cell,
+           |  lab.cluster_id::BIGINT AS cluster_id,
+           |  (a2.id = lab.cluster_id) AS keep
+           |FROM assigned a2 JOIN lab USING (id)
+           |ORDER BY vec_id""".stripMargin
+      }),
+
     Q("q99_pq_knn",
       // product-quantized ANN: ADC shortlist over the 8-codes-per-vector
       // column (the fat embedding column is never read in the scan),

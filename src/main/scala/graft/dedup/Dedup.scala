@@ -502,4 +502,85 @@ object Dedup {
       .filter(col("cos") >= minCosine)
       .select("a", "b", "cos")
   }
+
+  // ---- semantic dedup (SemDeDup) ------------------------------------------
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    * an embedding column — partition the corpus into cells by nearest-
+    * centroid assignment (the paper's k-means clusters), generate
+    * candidate pairs WITHIN cells only, connect pairs with cosine ≥
+    * `tau`, and keep one representative per connected dup-group (the
+    * min id — deterministic; the paper's keep-farthest-from-centroid is
+    * a policy knob over the same group structure).
+    *
+    * `centroids` is model state (a fitted k-means — [[semDedupKMeans]] —
+    * or any deterministic anchor set): nCentroids rows, broadcast.
+    * Returns one row per input id: (id, cell, cluster_id, keep) with
+    * keep = (id == cluster_id) — `filter(keep)` IS the curation stage.
+    *
+    * Scale shape: assignment is a broadcast crossJoin against the
+    * centroid relation + one partial-aggregated min_by (|corpus| ×
+    * nCentroids worked set, never a shuffle of pairs); pair generation
+    * is the in-group-combination pattern under `maxGroupSize` (cells
+    * bound the candidate set — O(Σ|cell|²), never corpus²); grouping is
+    * the same label-propagation CC as [[nearDupClusters]] (near-dup
+    * graphs are shallow). */
+  def semDedup(embs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Float]], tau: Double,
+      maxGroupSize: Int = MaxGroupSize, maxIter: Int = 20): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toDouble).toSeq) }
+      .toDF("cell", "centroid")
+    val dist = aggregate(
+      zip_with(col("v").cast("array<double>"), col("centroid"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    // dist is rounded to 1e-6 before the argmin (cell-id tiebreak): the
+    // assignment is then deterministic across engines/evaluation orders
+    // — FP re-association can't flip a comparison of rounded values
+    val assigned = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", round(dist, 6))
+      .groupBy("id")
+      .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"),
+        first(col("v")).as("v"))
+    val pairs = assigned.groupBy("cell")
+      .agg(sort_array(boundedList(struct(col("id"), col("v")),
+        maxGroupSize)).as("xs"))
+      .filter(col("xs").isNotNull && size(col("xs")) >= 2)
+      .select(explode(pairsAsc(col("xs"))).as("p"))
+      .select(col("p._1.id").as("a"), col("p._1.v").as("va"),
+        col("p._2.id").as("b"), col("p._2.v").as("vb"))
+      .withColumn("cos",
+        round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= tau)
+      .select("a", "b")
+    val clusters = nearDupClusters(assigned.select("id"), "id", pairs,
+      maxIter)
+    assigned.select("id", "cell")
+      .join(clusters, "id")
+      .select(col("id"), col("cell"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("keep"))
+  }
+
+  /** [[semDedup]] with the cells fitted by seeded MLlib k-means (the
+    * paper's configuration). The fitted centers become frozen model
+    * state — the same centroids-are-metadata contract as
+    * [[graft.index.IvfIndex]]. */
+  def semDedupKMeans(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, tau: Double, seed: Long = 42L,
+      maxGroupSize: Int = MaxGroupSize): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = embs.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(withVec)
+    semDedup(embs, idCol, vecCol,
+      model.clusterCenters.map(_.toArray.map(_.toFloat)).toSeq, tau,
+      maxGroupSize)
+  }
 }

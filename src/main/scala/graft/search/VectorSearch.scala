@@ -127,6 +127,70 @@ object VectorSearch {
     topK(cands, idCol, vecCol, queryVec, k)
   }
 
+  /** Per-dimension decimal-exact corpus means — the 1-bit quantization
+    * codebook (INDEX METADATA, like [[quantizeStats]]): sum of
+    * round(v, 6) as DECIMAL → double divide → round 6, so the value —
+    * and therefore every bit pattern cut against it — is identical in
+    * any engine and any partition order (the q79 centroid discipline). */
+  def meanStats(embs: DataFrame, vecCol: String, dim: Int): Array[Double] = {
+    val mm = embs
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg((sum(round(col("v").cast("double"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1)).cast("double")).as("m0"))
+      .select(col("pos"), round(col("m0"), 6).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    (0 until dim).map(mm).toArray
+  }
+
+  /** One 32-bit word of the binary signature: bit i set iff
+    * `v[word*32 + i] > mean[word*32 + i]`. A 32-term constant-folded
+    * when-chain — codegen'd integer ops, no lambda dispatch. */
+  def binarySignature(vecCol: org.apache.spark.sql.Column,
+      means: Array[Double], word: Int): org.apache.spark.sql.Column = {
+    val lo = word * 32
+    val hi = math.min(lo + 31, means.length - 1)
+    (lo to hi).map { j =>
+      when(element_at(vecCol, j + 1).cast("double") > lit(means(j)),
+        lit(1L << (j - lo))).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Binary (1-bit) quantized ANN with exact rerank — the
+    * bytes-per-vector floor of the quantization ladder (float32 → int8
+    * [[quantizedTopK]] → 1 bit here, the Lucene/ES "BBQ" shape): each
+    * dimension keeps only its side of the corpus mean, 32 dims per
+    * word, and the shortlist metric is Hamming distance —
+    * `bit_count(xor)` over dim/32 BIGINTs, 8 bytes and ~2 integer ops
+    * per 32 dims instead of 128 float bytes. A 100 TB float32 corpus is
+    * ~0.8 TB of signatures. Shortlist = smallest Hamming
+    * (TakeOrderedAndProject, id tiebreak), then exact-cosine rerank of
+    * `numCandidates` rows. The oracle pins the full pipeline
+    * bit-for-bit (signatures are deterministic via [[meanStats]]);
+    * recall-vs-brute-force is the knob spec's job. */
+  def binaryQuantizedTopK(embs: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int, dim: Int,
+      numCandidates: Int): DataFrame = {
+    val means = meanStats(embs, vecCol, dim)
+    val nWords = (dim + 31) / 32
+    def qWord(w: Int): Long = {
+      val lo = w * 32
+      (lo to math.min(lo + 31, dim - 1)).foldLeft(0L) { (acc, j) =>
+        if (queryVec(j).toDouble > means(j)) acc | (1L << (j - lo)) else acc
+      }
+    }
+    val ham = (0 until nWords).map { w =>
+      bit_count(binarySignature(col(vecCol), means, w)
+        .bitwiseXOR(lit(qWord(w))))
+    }.reduce(_ + _)
+    val cands = embs
+      .select(col(idCol), col(vecCol), ham.as("ham"))
+      .orderBy(col("ham").asc, col(idCol).asc)
+      .limit(numCandidates)
+    topK(cands, idCol, vecCol, queryVec, k)
+  }
+
   /** Multi-vector (late-interaction) retrieval: entities are GROUPS of
     * vectors (a doc's passage embeddings, an image's patch embeddings —
     * ColBERT-style), scored by the best-matching member vector

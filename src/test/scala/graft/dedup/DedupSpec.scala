@@ -200,6 +200,70 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs.head._2 - 1.0) < 1e-6)
   }
 
+  test("semDedup: anchor cells bound pairs; dup groups keep min id") {
+    val e = graft.embed.DeterministicEmbedder(64)
+    // two well-separated semantic poles, with near-dups at each
+    val vecs = Seq(
+      (1L, e.embed("alpha beta gamma").toSeq),
+      (2L, e.embed("alpha beta gamma").toSeq),      // dup of 1
+      (3L, e.embed("alpha beta gamma delta").toSeq), // near 1/2
+      (10L, e.embed("totally different thing").toSeq),
+      (11L, e.embed("totally different thing").toSeq), // dup of 10
+      (12L, e.embed("unrelated third topic entirely").toSeq)
+    ).toDF("vec_id", "embedding")
+    val anchors = Seq(e.embed("alpha beta gamma"),
+      e.embed("totally different thing")).map(_.clone)
+    val got = Dedup.semDedup(vecs, "vec_id", "embedding", anchors,
+      tau = 0.99).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // exact dups group to the min id; the rep keeps, the dup drops
+    assert(got(1L)._2 === 1L && got(1L)._3)
+    assert(got(2L)._2 === 1L && !got(2L)._3)
+    assert(got(10L)._2 === 10L && got(10L)._3)
+    assert(got(11L)._2 === 10L && !got(11L)._3)
+    // non-dups are their own cluster and keep
+    assert(got(3L)._3 && got(12L)._3)
+    // cells: the two poles land on their own anchors
+    assert(got(1L)._1 === 0 && got(10L)._1 === 1)
+    assert(got(1L)._1 === got(2L)._1 && got(10L)._1 === got(11L)._1)
+  }
+
+  test("semDedupKMeans: learned cells satisfy the SemDeDup invariants") {
+    val embs = graft.Tables.embeddings(spark, SfDir)
+    val tau = 0.2
+    val got = Dedup.semDedupKMeans(embs, "vec_id", "embedding",
+      k = 8, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val n = embs.count()
+    assert(got.length === n) // one row per vector, cells partition the corpus
+    assert(got.forall { case (id, _, cl, keep) => keep === (id == cl) })
+    // cluster label is the group min: no member sits below its label
+    assert(got.forall { case (id, _, cl, _) => cl <= id })
+    // every dropped doc is genuinely connected: some same-cell groupmate
+    // sits within cos >= tau — recomputed brute-force, independent of
+    // the operator's pair path
+    val vecsById = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val cellOf = got.map(g => g._1 -> g._2).toMap
+    val members = got.groupBy(_._3)
+    val dropped = got.filterNot(_._4)
+    assert(dropped.nonEmpty, "fixture has semantic near-dups at tau 0.2")
+    dropped.foreach { case (id, cell, cl, _) =>
+      val group = members(cl).map(_._1).filterNot(_ == id)
+      assert(group.exists(o => cellOf(o) == cell &&
+        cos(vecsById(id), vecsById(o)) >= tau - 1e-6),
+        s"dropped $id has no same-cell groupmate above tau")
+    }
+  }
+
   test("winnowDupPairs: exact/near dups pair with high shared counts; unrelated don't") {
     val pairs = Dedup.winnowDupPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
