@@ -3331,6 +3331,49 @@ object SparkEntry {
            |ORDER BY vec_id""".stripMargin
       }),
 
+    Q("q132_binary_knn",
+      // 1-bit quantized ANN (the Lucene/ES "BBQ" shape): sign-of-mean
+      // bit signatures packed 32 dims per BIGINT word; ASYMMETRIC
+      // scoring (query stays float against the doc sign words), then
+      // exact-cosine rerank. The oracle replicates the FULL pipeline
+      // (decimal-exact means make the bit patterns engine-identical,
+      // per-word sums associate identically) — q66's discipline; recall
+      // floors are RecallFloorSpec's job.
+      (s, dir) => VectorSearch.binaryQuantizedTopK(Tables.embeddings(s, dir),
+        "vec_id", "embedding", QueryVec, 10, EmbedDim, numCandidates = 50),
+      {
+        def word(v: String, lo: Int) = // 32 bits of v's sign pattern
+          s"""list_sum([CASE WHEN $v > ms[i] THEN
+             |      (1::BIGINT << (i - ${lo + 1})) ELSE 0::BIGINT END
+             |    for i in range(${lo + 1}, ${lo + 33})])::BIGINT""".stripMargin
+        def wsum(b: String, lo: Int) = // asymmetric partial sum of word b
+          s"""list_sum([CASE WHEN (($b >> (i - ${lo + 1})) & 1) = 1
+             |      THEN ($qvSql)[i] - ms[i] ELSE 0.0 END
+             |    for i in range(${lo + 1}, ${lo + 33})])""".stripMargin
+        s"""WITH pe AS (
+           |  SELECT unnest(embedding)::DOUBLE AS v,
+           |         generate_subscripts(embedding, 1) AS pos
+           |  FROM embeddings),
+           |mm AS (SELECT pos,
+           |    round(sum(round(v, 6)::DECIMAL(28,12))::DOUBLE / count(*), 6)
+           |      AS m
+           |  FROM pe GROUP BY pos),
+           |ms AS (SELECT list(m ORDER BY pos) AS ms FROM mm),
+           |bits AS (
+           |  SELECT vec_id, embedding,
+           |    ${word("embedding[i]::DOUBLE", 0)} AS b0,
+           |    ${word("embedding[i]::DOUBLE", 32)} AS b1
+           |  FROM embeddings, ms),
+           |cand AS (
+           |  SELECT vec_id, embedding,
+           |    round(${wsum("b0", 0)} + ${wsum("b1", 32)}, 6) AS bq_score
+           |  FROM bits, ms
+           |  ORDER BY bq_score DESC, vec_id LIMIT 50)
+           |SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
+           |FROM cand
+           |ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
     Q("q99_pq_knn",
       // product-quantized ANN: ADC shortlist over the 8-codes-per-vector
       // column (the fat embedding column is never read in the scan),

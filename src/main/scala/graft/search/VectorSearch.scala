@@ -161,32 +161,40 @@ object VectorSearch {
     * bytes-per-vector floor of the quantization ladder (float32 → int8
     * [[quantizedTopK]] → 1 bit here, the Lucene/ES "BBQ" shape): each
     * dimension keeps only its side of the corpus mean, 32 dims per
-    * word, and the shortlist metric is Hamming distance —
-    * `bit_count(xor)` over dim/32 BIGINTs, 8 bytes and ~2 integer ops
-    * per 32 dims instead of 128 float bytes. A 100 TB float32 corpus is
-    * ~0.8 TB of signatures. Shortlist = smallest Hamming
-    * (TakeOrderedAndProject, id tiebreak), then exact-cosine rerank of
-    * `numCandidates` rows. The oracle pins the full pipeline
-    * bit-for-bit (signatures are deterministic via [[meanStats]]);
-    * recall-vs-brute-force is the knob spec's job. */
+    * word. Scoring is ASYMMETRIC, as in BBQ: the query stays float and
+    * each doc contributes `Σⱼ signⱼ · (qⱼ − meanⱼ)` — computed entirely
+    * from the packed sign words (a 64-branch constant-folded when-chain
+    * over 2 BIGINTs; 16 bytes per vector instead of 256 float bytes; a
+    * 100 TB float32 corpus is ~0.8 TB of signatures). The identical
+    * vector attains the maximum possible score Σ|qⱼ − meanⱼ|, and
+    * asymmetric scoring dominates symmetric Hamming on recall (the
+    * query's magnitude per dimension is never thrown away). Shortlist =
+    * TakeOrderedAndProject on the rounded score (id tiebreak), then
+    * exact-cosine rerank of `numCandidates` rows. The oracle pins the
+    * full pipeline bit-for-bit (means are decimal-exact via
+    * [[meanStats]], per-word sums associate identically);
+    * recall-vs-brute-force floors are the knob spec's job. */
   def binaryQuantizedTopK(embs: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Float], k: Int, dim: Int,
       numCandidates: Int): DataFrame = {
     val means = meanStats(embs, vecCol, dim)
     val nWords = (dim + 31) / 32
-    def qWord(w: Int): Long = {
+    // per-word partial sums, added word-ascending — the same association
+    // as the oracle's list_sum-per-word + word adds
+    val score = (0 until nWords).map { w =>
       val lo = w * 32
-      (lo to math.min(lo + 31, dim - 1)).foldLeft(0L) { (acc, j) =>
-        if (queryVec(j).toDouble > means(j)) acc | (1L << (j - lo)) else acc
-      }
-    }
-    val ham = (0 until nWords).map { w =>
-      bit_count(binarySignature(col(vecCol), means, w)
-        .bitwiseXOR(lit(qWord(w))))
+      // let-bind the packed word so the 32-term sign chain evaluates
+      // once per row, not once per scored bit
+      graft.functions.TextFunctions.bind(
+        binarySignature(col(vecCol), means, w), bits =>
+          (lo to math.min(lo + 31, dim - 1)).map { j =>
+            when(shiftright(bits, j - lo).bitwiseAND(lit(1L)) === 1L,
+              lit(queryVec(j).toDouble - means(j))).otherwise(lit(0.0))
+          }.reduce(_ + _))
     }.reduce(_ + _)
     val cands = embs
-      .select(col(idCol), col(vecCol), ham.as("ham"))
-      .orderBy(col("ham").asc, col(idCol).asc)
+      .select(col(idCol), col(vecCol), round(score, 6).as("bq_score"))
+      .orderBy(col("bq_score").desc, col(idCol).asc)
       .limit(numCandidates)
     topK(cands, idCol, vecCol, queryVec, k)
   }

@@ -131,6 +131,44 @@ class SearchSpec extends SparkSpec {
     assert(math.abs(narrow.head.getDouble(1) - 1.0) < 1e-5)
   }
 
+  test("binaryQuantizedTopK: hand-checked sign bits; full shortlist recovers brute force") {
+    val e = DeterministicEmbedder(64)
+    val q = e.embed("spark join merge")
+    val vecs = ((1 to 100).map(i =>
+      (i.toLong, e.embed(s"doc number $i about topic ${i % 7}").toSeq)) :+
+      (999L, e.embed("spark join merge").toSeq))
+      .toDF("vec_id", "embedding")
+    // signature hand-check: means + packing reproduced in plain Scala
+    val means = VectorSearch.meanStats(vecs, "embedding", 64)
+    val rows = vecs.select(col("vec_id"),
+        VectorSearch.binarySignature(col("embedding"), means, 0).as("b0"),
+        VectorSearch.binarySignature(col("embedding"), means, 1).as("b1"),
+        col("embedding"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](3)
+      def expectWord(lo: Int): Long = (lo to lo + 31).foldLeft(0L) {
+        (acc, j) =>
+          if (v(j).toDouble > means(j)) acc | (1L << (j - lo)) else acc
+      }
+      assert(r.getLong(1) === expectWord(0), s"b0 of ${r.getLong(0)}")
+      assert(r.getLong(2) === expectWord(32), s"b1 of ${r.getLong(0)}")
+    }
+    // numCandidates = corpus size ⇒ rerank over everything ⇒ exact
+    val all = VectorSearch.binaryQuantizedTopK(vecs, "vec_id", "embedding",
+      q, 5, 64, numCandidates = 200)
+    val exact = VectorSearch.topK(vecs, "vec_id", "embedding", q, 5)
+    assert(all.collect().map(_.getLong(0)).toSeq ===
+      exact.collect().map(_.getLong(0)).toSeq)
+    // the identical vector's signature attains the maximum possible
+    // asymmetric score Σ|q_j − mean_j| — it survives ANY shortlist and
+    // reranks to the top with cosine 1
+    val narrow = VectorSearch.binaryQuantizedTopK(vecs, "vec_id",
+      "embedding", q, 5, 64, numCandidates = 10).collect()
+    assert(narrow.head.getLong(0) === 999L)
+    assert(math.abs(narrow.head.getDouble(1) - 1.0) < 1e-5)
+  }
+
   test("maxSimTopK: group scored by its best member vector") {
     val e = DeterministicEmbedder(64)
     val q = e.embed("spark join merge")
