@@ -3374,6 +3374,44 @@ object SparkEntry {
            |ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin
       }),
 
+    Q("q133_quality_classifier",
+      // model-based quality filtering (the fastText-classifier stage of
+      // GPT-3/LLaMA-style pipelines): sigmoid(b + w·f) over portable
+      // text features with FROZEN trained coefficients — model state,
+      // like q24's query embedding. Training is QualityClassifier.train
+      // (MLlib LR, spec-pinned); scoring is one shuffle-free scan that
+      // both engines reproduce bit-for-bit.
+      (s, dir) => graft.pipeline.QualityClassifier.score(
+        Tables.documents(s, dir), "doc_id", "text", QcWeights, QcIntercept)
+        .orderBy("doc_id"),
+      {
+        val mkSql = TextAnalysis.Stopwords.toMap.apply("en")
+          .map(m => s"'$m'").mkString("[", ",", "]")
+        val w = QcWeights.map(dec)
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS l FROM documents),
+           |f AS (SELECT doc_id,
+           |    ln(1.0 + length(text)::DOUBLE) AS f1,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '',
+           |                'g'))::DOUBLE / length(text)::DOUBLE END AS f2,
+           |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+           |      / greatest(len(l)::DOUBLE, 1.0) AS f3,
+           |    CASE WHEN len(l) = 0 THEN 0.0
+           |         ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '',
+           |                'g'))::DOUBLE / len(l)::DOUBLE END AS f4,
+           |    CASE WHEN len(l) = 0 THEN 0.0
+           |         ELSE len(list_intersect(l, $mkSql))::DOUBLE
+           |              / len(list_distinct(l))::DOUBLE END AS f5
+           |  FROM t),
+           |z AS (SELECT doc_id,
+           |    (${dec(QcIntercept)} + ${w(0)} * f1 + ${w(1)} * f2
+           |      + ${w(2)} * f3 + ${w(3)} * f4 + ${w(4)} * f5) AS z FROM f),
+           |p AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6)
+           |        AS quality_p FROM z)
+           |SELECT doc_id, quality_p, (quality_p >= 0.5) AS keep
+           |FROM p ORDER BY doc_id""".stripMargin
+      }),
+
     Q("q99_pq_knn",
       // product-quantized ANN: ADC shortlist over the 8-codes-per-vector
       // column (the fat embedding column is never read in the scan),
@@ -3672,6 +3710,13 @@ object SparkEntry {
     * val declared above it) */
   private lazy val ProximityQuery = "table merge"
   private lazy val ProximitySlop  = 3
+
+  /** q133's frozen classifier model (the shape QualityClassifier.train
+    * emits) — interpretable by construction: en-stopword hits and
+    * alphanumeric density pull a doc up, punctuation-per-token pulls it
+    * down. (lazy: referenced by the registry val above) */
+  private lazy val QcWeights = Seq(0.05, 1.2, -0.8, 0.15, 2.0)
+  private lazy val QcIntercept = -2.5
 
   /** q124's standing percolator queries (match, operator AND). */
   private lazy val PercolateQueries = Seq(
