@@ -3412,6 +3412,85 @@ object SparkEntry {
            |FROM p ORDER BY doc_id""".stripMargin
       }),
 
+    Q("q134_semdedup_incremental",
+      // incremental SemDeDup: the new batch (vec_id % 5 == 0) dedups
+      // against the existing corpus (same-cell cosine >= tau — ONE
+      // cell-key join, the corpus is never re-paired), then survivors
+      // group among themselves — q71's minhash-band shape in embedding
+      // space. Same frozen md5-ordered anchors as q131.
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        val anchors = embs
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(8).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray).toSeq
+        Dedup.semDedupIncremental(
+          embs.filter(col("vec_id") % 5 =!= 0),
+          embs.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", anchors, tau = 0.2)
+          .select(col("id").as("vec_id"), col("cell"),
+            col("dup_of_corpus"), col("cluster_id"), col("keep"))
+          .orderBy("vec_id")
+      },
+      {
+        val cosAB = {
+          val dot = "list_dot_product(va::DOUBLE[], vb::DOUBLE[])"
+          val na  = "sqrt(list_dot_product(va::DOUBLE[], va::DOUBLE[]))"
+          val nb  = "sqrt(list_dot_product(vb::DOUBLE[], vb::DOUBLE[]))"
+          s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END)"
+        }
+        val sq = "(e.embedding[i]::DOUBLE - a.c[i]::DOUBLE)"
+        s"""WITH RECURSIVE
+           |anchors AS (
+           |  SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR),
+           |            vec_id) - 1)::INT AS cell, embedding AS c
+           |  FROM embeddings
+           |  QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR),
+           |            vec_id) <= 8),
+           |asg AS (
+           |  SELECT vec_id AS id, embedding AS v, cell FROM (
+           |    SELECT e.vec_id, e.embedding, a.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round(list_sum([$sq * $sq
+           |                   for i in range(1, ${EmbedDim + 1})]), 6),
+           |          a.cell) AS rn
+           |    FROM embeddings e, anchors a)
+           |  WHERE rn = 1),
+           |ex AS (SELECT * FROM asg WHERE id % 5 != 0),
+           |ba AS (SELECT * FROM asg WHERE id % 5 = 0),
+           |vs AS (
+           |  SELECT id, cell, coalesce(bool_or(hit), false)
+           |           AS dup_of_corpus
+           |  FROM (
+           |    SELECT b.id, b.cell,
+           |      round($cosAB, 6) >= 0.2 AS hit
+           |    FROM (SELECT id, cell, v AS va FROM ba) b
+           |    LEFT JOIN (SELECT cell, v AS vb FROM ex) x USING (cell))
+           |  GROUP BY id, cell),
+           |sur AS (SELECT vs.id, vs.cell, ba.v
+           |        FROM vs JOIN ba ON vs.id = ba.id
+           |        WHERE NOT vs.dup_of_corpus),
+           |pairs AS (
+           |  SELECT a, b FROM (
+           |    SELECT l.id AS a, r.id AS b, l.v AS va, r.v AS vb
+           |    FROM sur l JOIN sur r ON l.cell = r.cell AND l.id < r.id)
+           |  WHERE round($cosAB, 6) >= 0.2),
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION SELECT b, a FROM pairs),
+           |cc(node, label) AS (
+           |  SELECT id, id FROM sur
+           |  UNION
+           |  SELECT e2.dst, cc.label FROM cc JOIN edges e2
+           |    ON cc.node = e2.src),
+           |lab AS (SELECT node AS id, min(label) AS cluster_id
+           |        FROM cc GROUP BY node)
+           |SELECT vs.id AS vec_id, vs.cell, vs.dup_of_corpus,
+           |  coalesce(lab.cluster_id, vs.id)::BIGINT AS cluster_id,
+           |  (NOT vs.dup_of_corpus AND lab.cluster_id = vs.id) AS keep
+           |FROM vs LEFT JOIN lab ON vs.id = lab.id
+           |ORDER BY vec_id""".stripMargin
+      }),
+
     Q("q99_pq_knn",
       // product-quantized ANN: ADC shortlist over the 8-codes-per-vector
       // column (the fat embedding column is never read in the scan),

@@ -565,6 +565,75 @@ object Dedup {
         (col("id") === col("cluster_id")).as("keep"))
   }
 
+  /** Incremental SemDeDup — dedup a NEW batch against an EXISTING
+    * corpus, then within itself (the production ingest shape; q71's
+    * minhash-band twin in embedding space). A batch doc is
+    * `dup_of_corpus` when any same-cell existing doc sits within
+    * cosine ≥ `tau`; the survivors then run the standard [[semDedup]]
+    * group policy among themselves (same frozen centroids), so
+    * `keep = !dup_of_corpus && (id == survivor-group min)`.
+    *
+    * Scale shape: both sides assign against the broadcast centroid
+    * relation; the batch-vs-corpus check is ONE equi-join on the cell
+    * key (|batch| rows against cell-local corpus partitions — AQE
+    * sizes/skew-splits it; the corpus is never self-paired), aggregated
+    * per batch doc with `max(cos >= tau)` (partial-agg friendly).
+    * Survivor grouping touches survivors only. Returns one row per
+    * batch id: (id, cell, dup_of_corpus, cluster_id, keep) — cluster_id
+    * is the id itself for corpus dups (they form no new group). */
+  def semDedupIncremental(existing: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Array[Float]],
+      tau: Double, maxGroupSize: Int = MaxGroupSize): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toDouble).toSeq) }
+      .toDF("cell", "centroid")
+    def assign(df: DataFrame): DataFrame = {
+      val dist = aggregate(
+        zip_with(col("v").cast("array<double>"), col("centroid"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dist", round(dist, 6))
+        .groupBy("id")
+        .agg(min_by(col("cell"), struct(col("dist"), col("cell")))
+          .as("cell"), first(col("v")).as("v"))
+    }
+    val ex = assign(existing)
+    val ba = assign(batch)
+    val vsCorpus = ba
+      .join(ex.select(col("cell"), col("v").as("ev")), Seq("cell"),
+        "left")
+      .withColumn("hit",
+        col("ev").isNotNull &&
+          round(VectorFunctions.cosine(col("v"), col("ev")), 6) >= tau)
+      .groupBy("id")
+      .agg(first("cell").as("cell"), first("v").as("v"),
+        bool_or(col("hit")).as("dup_of_corpus"))
+    val survivors = vsCorpus.filter(!col("dup_of_corpus"))
+      .select("id", "cell", "v")
+    val pairs = survivors.groupBy("cell")
+      .agg(sort_array(boundedList(struct(col("id"), col("v")),
+        maxGroupSize)).as("xs"))
+      .filter(col("xs").isNotNull && size(col("xs")) >= 2)
+      .select(explode(pairsAsc(col("xs"))).as("p"))
+      .select(col("p._1.id").as("a"), col("p._1.v").as("va"),
+        col("p._2.id").as("b"), col("p._2.v").as("vb"))
+      .withColumn("cos",
+        round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= tau)
+      .select("a", "b")
+    val clusters = nearDupClusters(survivors.select("id"), "id", pairs)
+    vsCorpus.select("id", "cell", "dup_of_corpus")
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dup_of_corpus"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"),
+        (!col("dup_of_corpus") && col("cluster_id") === col("id"))
+          .as("keep"))
+  }
+
   /** [[semDedup]] with the cells fitted by seeded MLlib k-means (the
     * paper's configuration). The fitted centers become frozen model
     * state — the same centroids-are-metadata contract as

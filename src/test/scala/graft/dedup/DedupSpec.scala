@@ -230,6 +230,32 @@ class DedupSpec extends SparkSpec {
     assert(got(1L)._1 === got(2L)._1 && got(10L)._1 === got(11L)._1)
   }
 
+  test("semDedupIncremental: corpus dups drop, survivors group among themselves") {
+    val e = graft.embed.DeterministicEmbedder(64)
+    val existing = Seq(
+      (1L, e.embed("alpha beta gamma").toSeq),
+      (2L, e.embed("alpha beta gamma").toSeq),
+      (10L, e.embed("totally different thing").toSeq)
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, e.embed("alpha beta gamma").toSeq),          // dup of corpus
+      (101L, e.embed("third topic entirely new").toSeq),  // new, dup of 102
+      (102L, e.embed("third topic entirely new").toSeq),
+      (103L, e.embed("fourth lonely subject").toSeq)      // new, unique
+    ).toDF("vec_id", "embedding")
+    val anchors = Seq(e.embed("alpha beta gamma"),
+      e.embed("totally different thing"))
+    val got = Dedup.semDedupIncremental(existing, batch, "vec_id",
+      "embedding", anchors, tau = 0.99)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got.keySet === Set(100L, 101L, 102L, 103L)) // batch rows only
+    assert(got(100L) === ((true, 100L, false))) // corpus dup: dropped
+    assert(got(101L) === ((false, 101L, true))) // group rep: kept
+    assert(got(102L) === ((false, 101L, false))) // in-batch dup: dropped
+    assert(got(103L) === ((false, 103L, true))) // unique: kept
+  }
+
   test("semDedupKMeans: learned cells satisfy the SemDeDup invariants") {
     val embs = graft.Tables.embeddings(spark, SfDir)
     val tau = 0.2
