@@ -186,6 +186,58 @@ object StreamIngest {
       }
       .start()
 
+  /** Streaming semantic dedup — [[graft.dedup.Dedup.semDedupIncremental]]
+    * composed over an embedding stream: each micro-batch dedups against
+    * the ACCUMULATED kept corpus (cell-local cosine, frozen centroids),
+    * survivors dedup among themselves, and only `keep` rows append to
+    * `keptDir` — so the kept corpus is semantically unique across the
+    * whole stream, and each batch's cost is |batch| × cell-local-kept,
+    * never a corpus re-pair. Decisions for every batch row (kept or
+    * not) land in `outDir/batch_id=<n>` for audit. Exactly the
+    * ingest-time shape of the SemDeDup curation stage.
+    *
+    * foreachBatch is at-least-once; both sinks are made idempotent:
+    * decisions are skipped when their batch_id partition already exists,
+    * and kept-corpus appends anti-join the ids already present, so a
+    * replayed batch neither double-records nor double-admits. */
+  def semDedupPipeline(embs: DataFrame, centroids: Seq[Array[Float]],
+      tau: Double, keptDir: String, outDir: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    embs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        import java.nio.file.{Files, Paths}
+        val spark = df.sparkSession
+        val existing =
+          if (Files.exists(Paths.get(keptDir)))
+            spark.read.parquet(keptDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            df.select(col(idCol), col(vecCol)).schema)
+        if (!Files.exists(Paths.get(s"$outDir/batch_id=$batchId"))) {
+          graft.dedup.Dedup.semDedupIncremental(
+              existing, df, idCol, vecCol, centroids, tau)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").partitionBy("batch_id").parquet(outDir)
+        }
+        // kept appends derive from the COMMITTED decisions and anti-join
+        // the ids already admitted — replay-safe even if the previous
+        // attempt crashed between the two writes
+        if (Files.exists(Paths.get(s"$outDir/batch_id=$batchId"))) {
+          val keepIds = spark.read.parquet(outDir)
+            .filter(col("batch_id") === batchId && col("keep"))
+            .select(col("id").as(idCol))
+          df.select(col(idCol), col(vecCol))
+            .join(keepIds, Seq(idCol), "left_semi")
+            .join(existing.select(col(idCol)), Seq(idCol), "left_anti")
+            .write.mode("append").parquet(keptDir)
+        }
+      }
+      .start()
+
   /** Streaming index retraction/maintenance: a CDC stream (e.g. replayed
     * [[graft.table.SnapshotCatalog.diff]] output) drives the search
     * index through [[applyCdcBatch]] — inserts, updates AND deletes

@@ -316,4 +316,69 @@ class PlanSpec extends SparkSpec {
       l.contains("Location") && l.contains("events")) <= 1,
       "events scanned per consumer:\n" + s)
   }
+
+  test("q128/q129: wildcard and phrase-prefix probes stay partition-pruned") {
+    val s1 = fmtOf("q128_wildcard_bm25")
+    val pf1 = s1.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString
+    assert(pf1.contains("term_bucket"), "wildcard probe not pruned:\n" + s1)
+    assert(!s1.contains("Window"), "window crept into wildcard bm25:\n" + s1)
+    val s2 = fmtOf("q129_phrase_prefix")
+    val pf2 = s2.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString
+    assert(pf2.contains("term_bucket"),
+      "phrase-prefix positions probe not pruned:\n" + s2)
+    // expansion set joins in as a broadcast, never a dictionary SMJ
+    assert(s2.contains("BroadcastHashJoin"), s2)
+  }
+
+  test("q130: the bigram LM is aggregate state — partial aggs, no window, no cartesian blow-up") {
+    val s = fmtOf("q130_bigram_perplexity")
+    assert(!s.contains("Window"), "window crept into LM scoring:\n" + s)
+    assert(!s.contains("CartesianProduct"),
+      "corpus-side cartesian product:\n" + s)
+    // bigram/unigram counts partial-aggregate map-side
+    assert("HashAggregate".r.findAllIn(s).size >= 4,
+      "count relations lost partial aggregation:\n" + s)
+  }
+
+  test("q131/q134: semdedup assignment is a broadcast against the centroid relation") {
+    for (q <- Seq("q131_semdedup", "q134_semdedup_incremental")) {
+      val s = fmtOf(q)
+      // 8-row centroid relation: broadcast nested-loop, never a shuffle
+      // of the corpus against it
+      assert(s.contains("BroadcastNestedLoopJoin"),
+        s"$q centroid crossJoin not broadcast:\n" + s)
+      assert(!s.contains("CartesianProduct"),
+        s"$q corpus-side cartesian:\n" + s)
+      // pair generation is in-group combinations (explode of grouped
+      // cells) — the embeddings relation is never self-joined: its scan
+      // appears at most twice (corpus + batch side in the incremental
+      // form), not once per pair side
+      assert(s.linesIterator.count(l =>
+        l.contains("Location") && l.contains("embeddings")) <= 2,
+        s"$q embeddings scanned per pair side:\n" + s)
+    }
+  }
+
+  test("q132: binary shortlist is TakeOrdered over one scan; rerank never re-scans") {
+    val s = fmtOf("q132_binary_knn")
+    assert(s.contains("TakeOrderedAndProject"),
+      "shortlist not planned as TakeOrderedAndProject:\n" + s)
+    assert(s.linesIterator.count(l =>
+      l.contains("Location") && l.contains("embeddings")) === 1,
+      "embeddings scanned more than once:\n" + s)
+  }
+
+  test("q133: classifier scoring is one shuffle-free scan") {
+    val s = fmtOf("q133_quality_classifier")
+    assert(!s.contains("Window") && !s.contains("Join"),
+      "scoring is not a pure scan:\n" + s)
+    assert(s.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents")) === 1,
+      "documents scanned more than once:\n" + s)
+    // the only exchange is the output ordering's range partitioning
+    val exchanges = s.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"unexpected shuffles in scoring:\n$s")
+  }
 }

@@ -125,6 +125,56 @@ class StreamIngestSpec extends SparkSpec {
     assert(got === Set((1L, 100L), (1L, 200L), (3L, 200L)))
   }
 
+  test("semDedupPipeline: cross-batch semantic dedup; replay admits nothing twice") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val e = DeterministicEmbedder(64)
+    val in   = Files.createTempDirectory("sem_in").toString
+    val kept = Files.createTempDirectory("sem_kept").toString + "/kept"
+    val out  = Files.createTempDirectory("sem_dec").toString + "/decisions"
+    val ckp  = Files.createTempDirectory("sem_ckp").toString
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val anchors = Seq(e.embed("alpha beta gamma"),
+      e.embed("totally different thing"))
+    def stream() = StreamIngest.parquetStream(spark, in, schema)
+
+    Seq((1L, e.embed("alpha beta gamma").toSeq),
+      (2L, e.embed("alpha beta gamma").toSeq),   // in-batch dup of 1
+      (3L, e.embed("totally different thing").toSeq))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(in)
+    StreamIngest.semDedupPipeline(stream(), anchors, 0.99, kept, out, ckp)
+      .awaitTermination(60000)
+    assert(spark.read.parquet(kept).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L))
+
+    // next batch: 11 duplicates the KEPT corpus, 12/13 are a new group
+    Seq((11L, e.embed("alpha beta gamma").toSeq),
+      (12L, e.embed("third topic entirely new").toSeq),
+      (13L, e.embed("third topic entirely new").toSeq))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(in)
+    StreamIngest.semDedupPipeline(stream(), anchors, 0.99, kept, out, ckp)
+      .awaitTermination(60000)
+    assert(spark.read.parquet(kept).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L, 12L))
+    val dec = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("dup_of_corpus"), r.getAs[Long]("cluster_id"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(dec(11L)._1 && !dec(11L)._3)           // corpus dup
+    assert(dec(13L) === ((false, 12L, false)))    // in-batch dup of 12
+    val nDecisions = spark.read.parquet(out).count()
+
+    // fresh-checkpoint replay over the same inputs: the batch_id guard
+    // skips decisions, the anti-join admits nothing twice
+    StreamIngest.semDedupPipeline(stream(), anchors, 0.99, kept, out,
+      Files.createTempDirectory("sem_ckp2").toString)
+      .awaitTermination(60000)
+    assert(spark.read.parquet(kept).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L, 12L))
+    assert(spark.read.parquet(out).count() === nDecisions)
+  }
+
   test("cdcIndexPipeline: insert/update/delete exactly-once; index ≡ rebuild per version") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
