@@ -3907,6 +3907,104 @@ object SparkEntry {
       "md5|" + org.apache.spark.sql.graftext.SessionUtils.uuid(s) + "|" + dir,
       _ => graft.embed.MlEmbedder.fit(Tables.documents(s, dir), "text", 64,
         hash = "md5"))
+  /** CMS probe set: four in-vocabulary tokens plus one absent ("zebra")
+    * to show the estimate-0-or-collision behavior. */
+  private lazy val CmsProbes = Seq("customer", "merge", "spark", "vector", "zebra")
+  private lazy val CmsD = 4
+  private lazy val CmsW = 64
+
+  // ---- round-5 session-8 additions: sketches & corpus analytics ---------
+
+  private lazy val analyticsRegistry: Seq[Q] = Seq(
+
+    Q("q135_hll_cardinality",
+      // ES `cardinality` aggregation parity: per-source distinct 3-shingle
+      // count via the native HyperLogLog aggregate (64-byte register
+      // buffer, elementwise-max merge — bounded state at ANY cardinality,
+      // the 100 TB distinct-count primitive). The exact countDistinct leg
+      // exists only as the eval harness (q115/q116 pattern): production
+      // runs the sketch INSTEAD of the distinct shuffle. The oracle
+      // rebuilds the registers in SQL — the integer harmonic sum makes
+      // the estimate bit-identical (see HllSketchAgg doc).
+      (s, dir) => {
+        val sh = Tables.documents(s, dir).select(col("source"),
+          explode(TextFunctions.shingles(
+            TextFunctions.tokens(col("text")), 3)).as("v"))
+        val est = graft.functions.Sketches.hllDistinct(sh, "source", "v")
+        val ex = sh.groupBy("source")
+          .agg(countDistinct("v").cast("long").as("n_exact"))
+        ex.join(est, "source")
+          .select(col("source"), col("n_exact"), col("hll_est"),
+            round(abs(col("hll_est") - col("n_exact")) /
+              col("n_exact").cast("double"), 6).as("rel_err"))
+          .orderBy("source")
+      },
+      s"""WITH tk AS (SELECT source, $toksSql AS l FROM documents),
+         |sh AS (SELECT source, unnest($shinglesSql) AS v FROM tk
+         |       WHERE len(l) >= 3),
+         |h AS (SELECT source, v, ${md5LongSql("v")} AS h FROM sh),
+         |r AS (SELECT source, h % 64 AS bucket,
+         |        max(CASE WHEN h // 64 = 0 THEN 55
+         |                 ELSE 55 - length(bin(h // 64)) END) AS rho
+         |      FROM h GROUP BY source, bucket),
+         |a AS (SELECT source,
+         |        (sum(1::BIGINT << (55 - rho))
+         |         + (64 - count(*)) * (1::BIGINT << 55))::BIGINT AS sumint,
+         |        (64 - count(*))::BIGINT AS zeros
+         |      FROM r GROUP BY source),
+         |e AS (SELECT source,
+         |        CASE WHEN 0.709 * 64 * 64 * pow(2.0, 55) / sumint <= 160.0
+         |                  AND zeros > 0
+         |             THEN 64.0 * ln(64.0 / zeros)
+         |             ELSE 0.709 * 64 * 64 * pow(2.0, 55) / sumint END AS est
+         |      FROM a),
+         |ex AS (SELECT source, count(DISTINCT v)::BIGINT AS n_exact
+         |       FROM sh GROUP BY source)
+         |SELECT ex.source, n_exact, round(est, 4) AS hll_est,
+         |  round(abs(round(est, 4) - n_exact) / n_exact::DOUBLE, 6) AS rel_err
+         |FROM ex JOIN e ON ex.source = e.source ORDER BY ex.source""".stripMargin),
+
+    Q("q136_cms_frequency",
+      // Count-Min sketch frequency estimation: the sketch relation is
+      // d·w = 256 rows REGARDLESS of corpus size (one partial-agg
+      // groupBy builds it); probe lookups broadcast-join it. Estimates
+      // over-count only — `overcount` surfaces collision behavior (the
+      // absent probe "zebra" shows it directly). Exact counts are the
+      // eval-harness leg, as in q135.
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val cells = graft.functions.Sketches.cmsCells(toks, "tok", CmsD, CmsW)
+        val est = graft.functions.Sketches.cmsEstimate(
+          cells, CmsProbes.toDF("probe"), CmsD, CmsW)
+        val ex = toks.filter(col("tok").isin(CmsProbes: _*))
+          .groupBy(col("tok").as("probe"))
+          .agg(count(lit(1)).cast("long").as("n_exact"))
+        est.join(ex, Seq("probe"), "left")
+          .select(col("probe"), col("cms_est"),
+            coalesce(col("n_exact"), lit(0L)).cast("long").as("n_exact"),
+            (col("cms_est") - coalesce(col("n_exact"), lit(0L)))
+              .cast("long").as("overcount"))
+          .orderBy("probe")
+      },
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |cells AS (SELECT r, ${md5LongSql("(r::VARCHAR || ':' || tok)")} % $CmsW AS c,
+         |    count(*)::BIGINT AS n
+         |  FROM (SELECT tok, unnest(range(0, $CmsD)) AS r FROM toks)
+         |  GROUP BY r, c),
+         |probes AS (SELECT unnest([${CmsProbes.map(p => s"'$p'").mkString(",")}]) AS probe),
+         |pc AS (SELECT probe, r,
+         |    ${md5LongSql("(r::VARCHAR || ':' || probe)")} % $CmsW AS c
+         |  FROM (SELECT probe, unnest(range(0, $CmsD)) AS r FROM probes)),
+         |est AS (SELECT probe, min(coalesce(n, 0))::BIGINT AS cms_est
+         |  FROM pc LEFT JOIN cells USING (r, c) GROUP BY probe),
+         |ex AS (SELECT tok AS probe, count(*)::BIGINT AS n_exact
+         |  FROM toks GROUP BY tok)
+         |SELECT probe, cms_est, coalesce(n_exact, 0)::BIGINT AS n_exact,
+         |  (cms_est - coalesce(n_exact, 0))::BIGINT AS overcount
+         |FROM est LEFT JOIN ex USING (probe) ORDER BY probe""".stripMargin))
+
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
     // the index is an execution strategy, not a semantics change).
@@ -3921,7 +4019,7 @@ object SparkEntry {
       else if (q.name == "q82_ivf_sq8_knn") q.copy(sql = q66Sql)
       else if (q.name == "q119_indexed_proximity") q.copy(sql = q74Sql)
       else q
-    }) :+ q76 :+ q79 :+ q81 :+ q83 :+ q84 :+ q85 :+ q86 :+ q87
+    }) ++ analyticsRegistry :+ q76 :+ q79 :+ q81 :+ q83 :+ q84 :+ q85 :+ q86 :+ q87
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

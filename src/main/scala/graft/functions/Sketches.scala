@@ -69,4 +69,77 @@ object Sketches {
           .otherwise((col("__k") - 1).cast("double") * HashSpace /
             col("__hk").cast("double")), 4).as("est_distinct"))
   }
+
+  // ---- HyperLogLog ------------------------------------------------------
+
+  /** Per-group HLL distinct-count estimate via the native single-pass
+    * aggregate ([[org.apache.spark.sql.graftext.HllSketchAgg]]): 64-byte
+    * register buffers, elementwise-max merge — the bounded-state
+    * cardinality primitive for 100 TB groupBys. Returns
+    * (groupCol, hll_est). Bit-identical to [[hllDistinctDf]]
+    * (SketchesSpec proves it). */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(groupCol)
+      .agg(round(org.apache.spark.sql.graftext.HllSketchAgg.hllDistinct(
+        col(valueCol).cast("string")), 4).as("hll_est"))
+
+  /** DF-algebra formulation of [[hllDistinct]] — registers as ≤ 64 rows
+    * per group (`groupBy(bucket).max(rho)`), integer harmonic sum, same
+    * estimate formula. Kept as the cross-check reference AND as the
+    * documentation of the exact cross-engine algorithm the DuckDB oracle
+    * mirrors. `bin()` gives the minimal binary string on both engines, so
+    * `rho = 55 - length(bin(w))` is pure integer algebra. */
+  def hllDistinctDf(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.graftext.HllSketchAgg.{Alpha, M, MaxRho}
+    val h = df.select(col(groupCol),
+      TextFunctions.md5Long(col(valueCol).cast("string")).as("__h"))
+    val regs = h
+      .select(col(groupCol), (col("__h") % M).as("__bucket"),
+        when(shiftright(col("__h"), 6) === 0, lit(MaxRho))
+          .otherwise(lit(MaxRho) - length(bin(shiftright(col("__h"), 6))))
+          .as("__rho"))
+      .groupBy(groupCol, "__bucket").agg(max("__rho").as("__rho"))
+    val est = regs.groupBy(groupCol)
+      .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), $MaxRho - __rho)")) +
+        (lit(M) - count(lit(1))) * (1L << MaxRho)).as("__sumint"),
+        (lit(M) - count(lit(1))).as("__zeros"))
+      .select(col(groupCol), col("__zeros"),
+        (lit(Alpha) * M * M * math.pow(2.0, MaxRho.toDouble) /
+          col("__sumint").cast("double")).as("__raw"))
+    est.select(col(groupCol),
+      round(when(col("__raw") <= 2.5 * M && col("__zeros") > 0,
+        lit(M.toDouble) * log(lit(M.toDouble) / col("__zeros")))
+        .otherwise(col("__raw")), 4).as("hll_est"))
+  }
+
+  // ---- Count-Min sketch -------------------------------------------------
+
+  /** Count-Min sketch of the frequency of `valueCol`: `d` hash rows ×
+    * `w` counters. The sketch RELATION is d·w rows total — bounded by
+    * the configuration, not the data — built with one partial-agg
+    * groupBy over the occurrence stream (no distinct, no windows). Point
+    * queries then cost a broadcast join against it. Estimates
+    * over-count only (min over d counters ≥ true count), and the whole
+    * construction is md5-deterministic, so the DuckDB oracle reproduces
+    * every counter exactly. */
+  def cmsCells(df: DataFrame, valueCol: String, d: Int, w: Int): DataFrame =
+    df.select(explode(sequence(lit(0), lit(d - 1))).as("r"),
+        col(valueCol).cast("string").as("__v"))
+      .select(col("r"), pmod(TextFunctions.md5Long(
+        concat(col("r").cast("string"), lit(":"), col("__v"))), lit(w.toLong))
+        .cast("int").as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("n"))
+
+  /** Estimated frequency of each probe value against a [[cmsCells]]
+    * sketch: min over the d matching counters (0 if a counter row is
+    * absent). `probes` must have a string column `probe`. */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, d: Int, w: Int): DataFrame =
+    probes
+      .select(col("probe"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .select(col("probe"), col("r"), pmod(TextFunctions.md5Long(
+        concat(col("r").cast("string"), lit(":"), col("probe"))), lit(w.toLong))
+        .cast("int").as("c"))
+      .join(cells, Seq("r", "c"), "left")
+      .groupBy("probe")
+      .agg(min(coalesce(col("n"), lit(0L))).cast("long").as("cms_est"))
 }

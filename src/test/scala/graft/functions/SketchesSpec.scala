@@ -178,4 +178,81 @@ class SketchesSpec extends SparkSpec {
     assert(r("a") === 2.0)
     assert(r("b") === 10.0)
   }
+
+  // ---- HyperLogLog -------------------------------------------------------
+
+  test("hll: native aggregate is bit-identical to the DF-algebra form") {
+    val li = Tables.lineitem(spark, SfDir)
+    val native = Sketches.hllDistinct(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val algebra = Sketches.hllDistinctDf(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(native === algebra)
+  }
+
+  test("hll: estimate within 40% of exact per group, 20% on average") {
+    // m = 64 -> standard error ~1.04/sqrt(64) = 13%; 40% is ~3 sigma.
+    val li = Tables.lineitem(spark, SfDir)
+    val est = Sketches.hllDistinct(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val errs = exact.map { case (g, n) =>
+      val e = math.abs(est(g) - n) / n.toDouble
+      assert(e < 0.40, s"$g: est ${est(g)} vs exact $n")
+      e
+    }
+    assert(errs.sum / errs.size < 0.20, s"mean err ${errs.sum / errs.size}")
+  }
+
+  test("hll: partitioning-invariant (merge path ≡ single-buffer path)") {
+    val li = Tables.lineitem(spark, SfDir)
+    val one = Sketches.hllDistinct(li.coalesce(1), "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val many = Sketches.hllDistinct(li.repartition(13), "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(one === many)
+  }
+
+  test("hll: sort-based fallback path matches hash path") {
+    val li = Tables.lineitem(spark, SfDir)
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    val hashPath = Sketches.hllDistinct(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    try {
+      spark.conf.set(key, "1")
+      val sortPath = Sketches.hllDistinct(li, "l_returnflag", "l_partkey")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(sortPath === hashPath)
+    } finally spark.conf.set(key, prev)
+  }
+
+  // ---- Count-Min sketch --------------------------------------------------
+
+  test("cms: never under-counts, and is exact for most of a small vocab") {
+    val toks = Tables.documents(spark, SfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("tok"))
+    val exact = toks.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cells = Sketches.cmsCells(toks, "tok", 4, 64)
+    val probes = exact.keys.toSeq.toDF("probe")
+    val est = Sketches.cmsEstimate(cells, probes, 4, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"$t: CMS under-counted ${est(t)} < $n")
+    }
+    val nExact = exact.count { case (t, n) => est(t) == n }
+    assert(nExact >= exact.size * 0.7,
+      s"only $nExact/${exact.size} exact — w=64 should mostly avoid collisions")
+  }
+
+  test("cms: sketch relation is bounded by d*w, not by data size") {
+    val toks = Tables.documents(spark, SfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("tok"))
+    assert(Sketches.cmsCells(toks, "tok", 4, 64).count() <= 4L * 64)
+  }
 }
