@@ -4003,7 +4003,99 @@ object SparkEntry {
          |  FROM toks GROUP BY tok)
          |SELECT probe, cms_est, coalesce(n_exact, 0)::BIGINT AS n_exact,
          |  (cms_est - coalesce(n_exact, 0))::BIGINT AS overcount
-         |FROM est LEFT JOIN ex USING (probe) ORDER BY probe""".stripMargin))
+         |FROM est LEFT JOIN ex USING (probe) ORDER BY probe""".stripMargin),
+
+    Q("q137_gopher_rules",
+      // Gopher document-quality filter (Rae et al. 2021): per-doc rule
+      // metrics + 0/1 flags, pure codegen'd column algebra (free rider
+      // on any corpus scan at 100 TB; the only shuffle is the output
+      // ORDER BY). Flags are derived from the 6-dp-rounded ratios so
+      // every boundary decision is engine-exact.
+      (s, dir) => TextAnalysis.gopherMetrics(
+        Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id"),
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |m AS (SELECT doc_id,
+         |    len(l)::BIGINT AS n_words,
+         |    CASE WHEN len(l) = 0 THEN 0.0 ELSE
+         |      round(list_sum([length(x) for x in l])::DOUBLE / len(l), 6)
+         |    END AS mean_word_len,
+         |    CASE WHEN len(l) = 0 THEN 0.0 ELSE
+         |      round(len(list_filter(l, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+         |            / len(l), 6)
+         |    END AS alpha_frac,
+         |    len(list_intersect(list_distinct(l),
+         |      [${TextAnalysis.GopherStopwords.map(w => s"'$w'").mkString(",")}]))::BIGINT
+         |      AS n_stop
+         |  FROM tk)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+         |  (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END) AS pass_words,
+         |  (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END) AS pass_word_len,
+         |  (CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END) AS pass_alpha,
+         |  (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass_stop,
+         |  (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+         |    * (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
+         |    * (CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END)
+         |    * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass_gopher
+         |FROM m ORDER BY doc_id""".stripMargin),
+
+    Q("q138_containment_pairs",
+      // Asymmetric overlap: containment c(A→B) = |S_A ∩ S_B| / |S_A|
+      // catches a short doc embedded in a long one (quotes, mirrors in
+      // boilerplate) that Jaccard dilutes — the q21 single-pass
+      // shared-shingle core with the containment projection. Bounded
+      // in-group pair generation, hot shingles capped.
+      (s, dir) => Dedup.containmentPairs(
+        Tables.documents(s, dir), "doc_id", "text", 0.2).orderBy("a", "b"),
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS shingle
+         |  FROM (SELECT doc_id, $toksSql AS l FROM documents)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |ok AS (SELECT shingle FROM sh GROUP BY shingle
+         |       HAVING count(*) <= ${Dedup.MaxGroupSize}),
+         |common AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*)::DOUBLE AS n_common
+         |  FROM sh l JOIN sh r ON l.shingle = r.shingle
+         |  WHERE l.doc_id < r.doc_id
+         |    AND l.shingle IN (SELECT shingle FROM ok)
+         |  GROUP BY l.doc_id, r.doc_id)
+         |SELECT a, b, containment_a, containment_b, max_containment FROM (
+         |  SELECT a, b,
+         |    round(n_common / sa.n_sh, 6) AS containment_a,
+         |    round(n_common / sb.n_sh, 6) AS containment_b,
+         |    greatest(round(n_common / sa.n_sh, 6),
+         |             round(n_common / sb.n_sh, 6)) AS max_containment
+         |  FROM common
+         |  JOIN sizes sa ON sa.doc_id = a
+         |  JOIN sizes sb ON sb.doc_id = b)
+         |WHERE max_containment >= 0.2 ORDER BY a, b""".stripMargin),
+
+    Q("q139_block_dedup",
+      // RefinedWeb/CCNet line-level corpus dedup, keep-FIRST policy,
+      // over non-overlapping 16-token blocks (the corpus has no
+      // newlines; on web text the unit is the newline-split line). The
+      // globally first occurrence of each distinct block survives;
+      // later occurrences (cross-doc AND in-doc repeats) are cut and
+      // docs reassembled. Two hash shuffles — block-hash keeper,
+      // doc regroup — no corpus window, no self-join.
+      (s, dir) => Dedup.blockDedup(
+        Tables.documents(s, dir), "doc_id", "text", 16).orderBy("doc"),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |occ AS (SELECT doc_id AS doc, b AS blk,
+         |    array_to_string(l[b*16+1 : least((b+1)*16, len(l))], ' ') AS btxt,
+         |    doc_id * 1000000 + b AS k
+         |  FROM (SELECT doc_id, l, unnest(range(0, ((len(l)-1)//16)+1)) AS b
+         |        FROM t WHERE len(l) > 0)),
+         |h AS (SELECT doc, blk, btxt, k, md5(btxt) AS h FROM occ),
+         |keep AS (SELECT h, min(k) AS kk FROM h GROUP BY h),
+         |surv AS (SELECT doc, blk, btxt FROM h JOIN keep USING (h)
+         |         WHERE k = kk),
+         |agg AS (SELECT doc, string_agg(btxt, ' ' ORDER BY blk) AS clean_text,
+         |        count(*) AS nkeep FROM surv GROUP BY doc),
+         |tot AS (SELECT doc, count(*) AS nb FROM h GROUP BY doc)
+         |SELECT tot.doc, coalesce(agg.clean_text, '') AS clean_text,
+         |  (tot.nb - coalesce(agg.nkeep, 0))::BIGINT AS n_blocks_dropped
+         |FROM tot LEFT JOIN agg USING (doc)
+         |ORDER BY tot.doc""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

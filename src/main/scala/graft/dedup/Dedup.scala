@@ -178,12 +178,24 @@ object Dedup {
     * [[minhashCandidatePairs]] instead of all pairs). Returns (a, b,
     * jaccard) for pairs with at least one shared shingle. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double, maxGroupSize: Int = MaxGroupSize): DataFrame = {
-    // One pass over the corpus: each exploded (shingle, doc) row carries
-    // the doc's distinct-shingle count, so no per-doc sizes relation and
-    // no join back — the old 3-subplan self-join recomputed the shingle
-    // lineage three times. groupBy(shingle) + in-group combinations, then
-    // count shared shingles per pair.
+      minJaccard: Double, maxGroupSize: Int = MaxGroupSize): DataFrame =
+    sharedShingleCounts(docs, idCol, textCol, maxGroupSize)
+      .withColumn("jaccard", round(col("n_common") /
+        (col("na") + col("nb") - col("n_common")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("a", "b", "jaccard")
+
+  /** Shared-shingle pair counts (a, b, na, nb, n_common) — the
+    * single-pass core behind [[ngramJaccardPairs]] and
+    * [[containmentPairs]].
+    *
+    * One pass over the corpus: each exploded (shingle, doc) row carries
+    * the doc's distinct-shingle count, so no per-doc sizes relation and
+    * no join back — the old 3-subplan self-join recomputed the shingle
+    * lineage three times. groupBy(shingle) + in-group combinations, then
+    * count shared shingles per pair. */
+  private def sharedShingleCounts(docs: DataFrame, idCol: String,
+      textCol: String, maxGroupSize: Int): DataFrame = {
     val shd = docs.select(col(idCol).as("doc_id"),
       array_distinct(TextFunctions.shingles(
         TextFunctions.tokens(col(textCol)), ShingleSize)).as("shd"))
@@ -199,10 +211,71 @@ object Dedup {
         col("p._2.doc_id").as("b"), col("p._2.n_sh").as("nb"))
       .groupBy("a", "b", "na", "nb")
       .agg(count(lit(1)).cast("double").as("n_common"))
-      .withColumn("jaccard", round(col("n_common") /
-        (col("na") + col("nb") - col("n_common")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select("a", "b", "jaccard")
+  }
+
+  /** Asymmetric-overlap (containment) scores for shingle-sharing pairs:
+    * `containment_a = |S_A ∩ S_B| / |S_A|` (the fraction of A's distinct
+    * 3-token shingles that also occur in B), and symmetrically for B.
+    * Jaccard DILUTES a short doc fully embedded in a long one (a quote,
+    * a mirror page wrapped in boilerplate — |A∩B|/|A∪B| stays small);
+    * containment flags exactly that case, which is why Broder's original
+    * resemblance work keeps both measures. Same bounded in-group pair
+    * generation as every other generator here — no self-join, hot
+    * shingles capped. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      minContainment: Double, maxGroupSize: Int = MaxGroupSize): DataFrame =
+    sharedShingleCounts(docs, idCol, textCol, maxGroupSize)
+      .withColumn("containment_a", round(col("n_common") / col("na"), 6))
+      .withColumn("containment_b", round(col("n_common") / col("nb"), 6))
+      .withColumn("max_containment",
+        greatest(col("containment_a"), col("containment_b")))
+      .filter(col("max_containment") >= minContainment)
+      .select("a", "b", "containment_a", "containment_b", "max_containment")
+
+  /** Corpus-level exact block dedup with the keep-FIRST policy —
+    * RefinedWeb/CCNet line-level dedup re-expressed over fixed-width
+    * token blocks (the fixture corpus has no newlines, so the dedup unit
+    * is non-overlapping `blockSize`-token blocks; on real web text the
+    * same operator runs over newline-split lines). The globally first
+    * occurrence — min (doc_id, block_index) — of each distinct block
+    * survives; every later occurrence (including in-doc repeats) is cut,
+    * and each doc is reassembled from its surviving blocks in order.
+    *
+    * Scale shape: two hash-partitioned shuffles (block-hash groupBy for
+    * the keeper, doc_id regroup for reassembly) — no corpus-wide window,
+    * no self-join; the per-doc sort inside collect+array_sort is bounded
+    * by the doc's own block count. The incremental form would persist
+    * the block-hash → keeper-key index exactly like
+    * [[substringHashIndex]]. Returns (doc, clean_text,
+    * n_blocks_dropped) for every input doc. */
+  def blockDedup(docs: DataFrame, idCol: String, textCol: String,
+      blockSize: Int = 16): DataFrame = {
+    val b = blockSize
+    val occ = docs.select(col(idCol).as("doc"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("tk")) - 1) / lit(b)).cast("int")),
+          i => array_join(slice(col("tk"), i * lit(b) + lit(1), lit(b)), " ")))
+          .as(Seq("blk", "btxt")))
+      // scalar keeper key: doc ids are < 1e6 blocks apart in practice;
+      // (doc, blk) lexicographic == doc*1e6 + blk for blk < 1e6
+      .withColumn("k", col("doc") * lit(1000000L) + col("blk"))
+      .withColumn("h", md5(col("btxt")))
+    val keep = occ.groupBy("h").agg(min(col("k")).as("kk"))
+    val surv = occ.join(keep, "h").filter(col("k") === col("kk"))
+    val agg = surv.groupBy("doc").agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("blk"), col("btxt")))),
+        x => x.getField("btxt"))).as("clean_text"),
+      count(lit(1)).as("nkeep"))
+    val tot = occ.groupBy("doc").agg(count(lit(1)).as("nb"))
+    tot.join(agg, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("nb") - coalesce(col("nkeep"), lit(0L))).cast("long")
+          .as("n_blocks_dropped"))
   }
 
   /** Winnowing-based near-dup pairs — the application of

@@ -126,6 +126,47 @@ object TextAnalysis {
                 size(chars).cast("double"),
               p => p * log(p))), 6))))
 
+  /** Gopher stopword set (Rae et al. 2021 §A1.1) for the ≥2-stopwords
+    * presence rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document-quality rule metrics (Rae et al. 2021 §A1.1),
+    * the standard pre-training document filter: word count within
+    * [50, 100000], mean word length within [3, 10], fraction of words
+    * containing an alphabetic character ≥ 0.8, and at least 2 of the 8
+    * canonical stopwords present. (The line-shape rules — bullet /
+    * ellipsis line fractions — are meaningless on a corpus with no
+    * newlines and are intentionally omitted; see q53 for the repetition
+    * family.) Returns per-doc metrics plus 0/1 flags per rule and the
+    * conjunction `pass_gopher`. Pure codegen'd column algebra — no
+    * shuffle, so at 100 TB this is a free rider on any corpus scan.
+    * Flags are computed FROM the 6-dp-rounded ratios so the DuckDB
+    * oracle can reproduce every boundary decision exactly. */
+  def gopherMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_words"),
+        when(size(col("__tk")) === 0, 0.0).otherwise(
+          round(aggregate(col("__tk"), lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / size(col("__tk")), 6)).as("mean_word_len"),
+        when(size(col("__tk")) === 0, 0.0).otherwise(
+          round(size(filter(col("__tk"), t => t.rlike("[a-z]")))
+            .cast("double") / size(col("__tk")), 6)).as("alpha_frac"),
+        size(array_intersect(array_distinct(col("__tk")),
+          typedLit(GopherStopwords))).cast("long").as("n_stop"))
+      .select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("alpha_frac"), col("n_stop"),
+        when(col("n_words").between(50L, 100000L), 1).otherwise(0)
+          .as("pass_words"),
+        when(col("mean_word_len").between(3.0, 10.0), 1).otherwise(0)
+          .as("pass_word_len"),
+        when(col("alpha_frac") >= 0.8, 1).otherwise(0).as("pass_alpha"),
+        when(col("n_stop") >= 2L, 1).otherwise(0).as("pass_stop"))
+      .withColumn("pass_gopher",
+        col("pass_words") * col("pass_word_len") *
+          col("pass_alpha") * col("pass_stop"))
+
   /** Pointwise mutual information over in-document term co-occurrence:
     * pmi(a, b) = ln(c_ab * N / (c_a * c_b)) with document-level counts
     * (c_x = docs containing x, c_ab = docs containing both, N = docs).

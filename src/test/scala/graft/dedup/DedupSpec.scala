@@ -365,4 +365,47 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(spans === Array((1L, 10L, 3L), (11L, 20L, 3L)))
   }
+
+  test("containment flags a doc embedded in a longer one where jaccard dilutes") {
+    val core = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val pad = (1 to 40).map(i => s"pad$i").mkString(" ")
+    val d = Seq(
+      (1L, core),                 // short doc
+      (2L, s"$pad $core")         // long doc containing it verbatim
+    ).toDF("doc_id", "text")
+    val row = Dedup.containmentPairs(d, "doc_id", "text", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(row.length === 1)
+    val (a, b, ca, cb, mx) = row.head
+    assert((a, b) === (1L, 2L))
+    assert(ca === 1.0, s"all of doc 1's shingles occur in doc 2: $ca")
+    assert(cb < 0.5, "containment of the long doc must stay low")
+    assert(mx === 1.0)
+    // jaccard on the same pair is diluted well below the containment
+    val j = Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.0)
+      .collect().head.getDouble(2)
+    assert(j < 0.5, s"jaccard should dilute the embedded doc: $j")
+  }
+
+  test("blockDedup keeps the globally first block occurrence and reassembles") {
+    val blk = (1 to 16).map(i => s"w$i").mkString(" ") // one exact block
+    val d = Seq(
+      (1L, s"$blk unique one two"),    // doc 1: block 0 = blk (first)
+      (2L, s"$blk other tail words"),  // doc 2: block 0 = same → dropped
+      (3L, "totally different words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.blockDedup(d, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 === s"$blk unique one two")
+    assert(out(1L)._2 === 0L)
+    assert(out(2L)._1 === "other tail words") // trailing partial block kept
+    assert(out(2L)._2 === 1L)
+    assert(out(3L)._2 === 0L)
+    // in-doc repeat of an identical block is also cut (keep-first)
+    val rep = Seq((9L, s"$blk $blk")).toDF("doc_id", "text")
+    val r9 = Dedup.blockDedup(rep, "doc_id", "text", 16).collect().head
+    assert(r9.getString(1) === blk)
+    assert(r9.getLong(2) === 1L)
+  }
 }

@@ -154,4 +154,38 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("doc_id", "n_tokens", "n_bpeish", "lang_id", "quality", "fp"))
     assert(p.count() === 2)
   }
+
+  test("gopher rules: long stopworded doc passes, short doc fails words rule") {
+    val good = ("the data " * 30).trim        // 60 words, 2 stopword types? "the" only
+    val goodWithStops = s"$good and that have with be to of"
+    val short = "tiny doc of the and"          // 5 words
+    val df = Seq((1L, goodWithStops), (2L, short)).toDF("doc_id", "text")
+    val m = TextAnalysis.gopherMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val g = m(1L)
+    assert(g.getAs[Long]("n_words") === 67L)
+    assert(g.getAs[Int]("pass_words") === 1)
+    assert(g.getAs[Int]("pass_stop") === 1)
+    assert(g.getAs[Int]("pass_alpha") === 1)
+    assert(g.getAs[Int]("pass_gopher") === g.getAs[Int]("pass_word_len"))
+    val s = m(2L)
+    assert(s.getAs[Int]("pass_words") === 0)
+    assert(s.getAs[Int]("pass_gopher") === 0)
+    assert(s.getAs[Long]("n_stop") === 3L) // of, the, and
+  }
+
+  test("gopher rules: mean word length and alpha fraction boundaries") {
+    // 50 one-char words -> mean_word_len 1.0 (fail), all alpha
+    val ones = (1 to 50).map(_ => "a").mkString(" ")
+    // 50 numeric words -> alpha_frac 0.0 (fail)
+    val nums = (1 to 50).map(i => "12345").mkString(" ")
+    val df = Seq((1L, ones), (2L, nums)).toDF("doc_id", "text")
+    val m = TextAnalysis.gopherMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Double]("mean_word_len") === 1.0)
+    assert(m(1L).getAs[Int]("pass_word_len") === 0)
+    assert(m(2L).getAs[Double]("alpha_frac") === 0.0)
+    assert(m(2L).getAs[Int]("pass_alpha") === 0)
+    assert(m(2L).getAs[Int]("pass_words") === 1)
+  }
 }
