@@ -4095,7 +4095,116 @@ object SparkEntry {
          |SELECT tot.doc, coalesce(agg.clean_text, '') AS clean_text,
          |  (tot.nb - coalesce(agg.nkeep, 0))::BIGINT AS n_blocks_dropped
          |FROM tot LEFT JOIN agg USING (doc)
-         |ORDER BY tot.doc""".stripMargin))
+         |ORDER BY tot.doc""".stripMargin),
+
+    Q("q140_textrank",
+      // TextRank keyword extraction: 5 damped PageRank iterations over
+      // the vocabulary-sized co-occurrence graph (Pregel shape — one
+      // join + partial-agg groupBy per iteration, cost independent of
+      // corpus size once edges are counted). Per-iteration round(9)
+      // pins float-sum association cross-engine; ranks are over the
+      // 6-dp value with token tiebreak.
+      (s, dir) => TextAnalysis.textRank(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("pr").desc, col("token")).limit(25),
+      {
+        val iterCtes = (1 to 5).map { k =>
+          s"""p$k AS (SELECT en.dst AS token,
+             |  round((1.0 - 0.85) / (SELECT n FROM nn)
+             |        + 0.85 * sum(en.wn * p${k - 1}.pr), 9) AS pr
+             |  FROM en JOIN p${k - 1} ON en.src = p${k - 1}.token
+             |  GROUP BY en.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH t AS (SELECT $toksSql AS l FROM documents),
+           |adj AS (SELECT l[i] AS src, l[i+1] AS dst
+           |  FROM (SELECT l, unnest(range(1, len(l))) AS i FROM t
+           |        WHERE len(l) >= 2)),
+           |ed AS (SELECT src, dst, count(*)::BIGINT AS w FROM (
+           |    SELECT src, dst FROM adj
+           |    UNION ALL SELECT dst AS src, src AS dst FROM adj)
+           |  GROUP BY src, dst),
+           |outw AS (SELECT src, sum(w)::BIGINT AS ow FROM ed GROUP BY src),
+           |en AS (SELECT ed.src, ed.dst, ed.w::DOUBLE / outw.ow::DOUBLE AS wn
+           |       FROM ed JOIN outw USING (src)),
+           |nn AS (SELECT count(DISTINCT src)::DOUBLE AS n FROM ed),
+           |p0 AS (SELECT token, 1.0 / (SELECT n FROM nn) AS pr
+           |       FROM (SELECT DISTINCT src AS token FROM ed)),
+           |$iterCtes
+           |SELECT token, round(pr, 6) AS pr FROM p5
+           |ORDER BY pr DESC, token LIMIT 25""".stripMargin
+      }),
+
+    Q("q141_date_histogram",
+      // ES date_histogram parity with extended_bounds gap fill: daily
+      // buckets over the high-value event slice (value >= 250 — sparse
+      // by construction, so empty buckets really occur), each with
+      // count, distinct users, sum and a terms/top_hits-style top
+      // event_type (max count, min-type tiebreak via struct-min — no
+      // window). Bucket skeleton = sequence() over the UNFILTERED
+      // min/max day (that is what extended_bounds means); all joined
+      // relations are day-keyed and tiny after partial aggs.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          date_trunc("day", col("ts")).as("d"),
+          col("event_type"), col("user_id"), col("value"))
+        val days = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+        val f = ev.filter(col("value") >= 250)
+        val agg = f.groupBy("d").agg(
+          count(lit(1)).cast("long").as("n_events"),
+          countDistinct("user_id").cast("long").as("n_users"),
+          sum(d184(col("value"))).cast("double").as("sum_value"))
+        val tt = f.groupBy("d", "event_type").agg(count(lit(1)).as("n"))
+          .groupBy("d").agg(min(struct((col("n") * -1).as("nn"),
+            col("event_type").as("t"))).as("m"))
+          .select(col("d"), col("m.t").as("top_type"))
+        days.join(agg, Seq("d"), "left").join(tt, Seq("d"), "left")
+          .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("n_users"), lit(0L)).as("n_users"),
+            coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+            coalesce(col("top_type"), lit("none")).as("top_type"))
+          .orderBy("day")
+      },
+      """WITH ev AS (SELECT date_trunc('day', ts) AS d, event_type,
+        |    user_id, value FROM events),
+        |bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+        |         FROM bounds),
+        |f AS (SELECT * FROM ev WHERE value >= 250),
+        |agg AS (SELECT d, count(*)::BIGINT AS n_events,
+        |    count(DISTINCT user_id)::BIGINT AS n_users,
+        |    sum(CAST(value AS DECIMAL(18,4)))::DOUBLE AS sum_value
+        |  FROM f GROUP BY d),
+        |tc AS (SELECT d, event_type, count(*) AS n FROM f
+        |       GROUP BY d, event_type),
+        |tt AS (SELECT d, event_type AS top_type FROM (
+        |    SELECT d, event_type,
+        |      row_number() OVER (PARTITION BY d ORDER BY n DESC, event_type)
+        |        AS rn FROM tc) WHERE rn = 1)
+        |SELECT strftime(days.d, '%Y-%m-%d') AS day,
+        |  coalesce(n_events, 0)::BIGINT AS n_events,
+        |  coalesce(n_users, 0)::BIGINT AS n_users,
+        |  coalesce(sum_value, 0.0)::DOUBLE AS sum_value,
+        |  coalesce(top_type, 'none') AS top_type
+        |FROM days LEFT JOIN agg USING (d) LEFT JOIN tt USING (d)
+        |ORDER BY day""".stripMargin),
+
+    Q("q142_weighted_sample",
+      // Efraimidis–Spirakis A-ES weighted sampling without replacement:
+      // 20 docs with probability ∝ n_chars, as ONE TakeOrdered over
+      // md5-derived keys (no global sort, no RNG state, replayable).
+      // Keys rounded to 9 dp with id tiebreak so the selection boundary
+      // is engine-exact.
+      (s, dir) => graft.pipeline.Sampling.weightedSample(
+          Tables.documents(s, dir), "doc_id", "n_chars", 20)
+        .select(col("doc_id"), col("n_chars"), col("sample_key"))
+        .orderBy(col("sample_key").desc, col("doc_id")),
+      s"""SELECT doc_id, n_chars,
+         |  round(pow((${md5LongSql("doc_id::VARCHAR")} + 1)::DOUBLE
+         |      / pow(2.0, 60), 1.0 / n_chars), 9) AS sample_key
+         |FROM documents
+         |ORDER BY sample_key DESC, doc_id LIMIT 20""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -32,6 +32,26 @@ object Sampling {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Weighted sampling WITHOUT replacement, Efraimidis–Spirakis A-ES:
+    * each row gets key `u^(1/w)` (u = md5-uniform in (0,1], w = its
+    * weight) and the global top-k by key is the sample — inclusion
+    * probability rises with weight, and the whole draw is one TakeOrdered
+    * (per-partition top-k, single reduce; no global sort, no RNG state,
+    * replayable). THE distributed weighted sampler: works as a bounded
+    * heap on a stream, and k survivors per partition is all that crosses
+    * the wire. Keys are rounded to 9 dp (id tiebreak) so the selection
+    * boundary is engine-exact — the one place a raw libm `pow` ulp could
+    * otherwise flip a rank. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val u = (TextFunctions.md5Long(col(idCol).cast("string")) + 1)
+      .cast("double") / graft.functions.Sketches.HashSpace
+    df.withColumn("sample_key",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9))
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Mixture sampling — the data-MIXING step: per-stratum target counts
     * (e.g. rebalance languages to a prescribed recipe) instead of one
     * uniform cap. Rows are chosen in id-hash order like

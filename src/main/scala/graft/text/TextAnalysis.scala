@@ -265,6 +265,50 @@ object TextAnalysis {
         round(exp(-col("alp")), 6).as("ppl"))
   }
 
+  /** TextRank (Mihalcea & Tarau 2004): PageRank over the corpus word
+    * co-occurrence graph — nodes are tokens, undirected edges are
+    * adjacent-token pairs weighted by corpus-wide count — the classic
+    * unsupervised keyword extractor. Fixed `iters` damped power
+    * iterations; each is one join + one partial-agg groupBy keyed on the
+    * node (the Pregel shape q60's label propagation already uses). The
+    * node/edge relations are VOCABULARY-sized, not corpus-sized, so at
+    * 100 TB the iteration cost is independent of document count once the
+    * edge counts are aggregated. Per-iteration `round(·, 9)` pins the
+    * float-sum association so the DuckDB oracle lands on identical
+    * ranks. Returns (token, pr) rounded to 6 dp; the caller ranks.
+    *
+    * Self-loops ("batch batch") are kept: both engines agree, and the
+    * damped walk still converges. Every node has in-edges because the
+    * edge set is symmetric. */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+      damping: Double = 0.85, iters: Int = 5): DataFrame = {
+    val sh2 = docs
+      .select(explode(TextFunctions.shingles(
+        TextFunctions.tokens(col(textCol)), 2)).as("sh"))
+      .select(split(col("sh"), " ").getItem(0).as("src"),
+        split(col("sh"), " ").getItem(1).as("dst"))
+    val edges = sh2
+      .unionAll(sh2.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("w"))
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    val en = edges.join(outw, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("ow").cast("double")).as("wn"))
+    val nodes = edges.select(col("src").as("token")).distinct()
+    val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var pr = nodes.crossJoin(broadcast(nDf))
+      .select(col("token"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to iters) {
+      pr = en.join(pr.withColumnRenamed("token", "src"), "src")
+        .groupBy("dst").agg(sum(col("wn") * col("pr")).as("s"))
+        .crossJoin(broadcast(nDf))
+        .select(col("dst").as("token"),
+          round(lit(1.0 - damping) / col("n") + lit(damping) * col("s"), 9)
+            .as("pr"))
+    }
+    pr.select(col("token"), round(col("pr"), 6).as("pr"))
+  }
+
   /** Full per-document stats relation: the one-pass profile a pipeline
     * computes before filtering (tokens, bpe-ish tokens, lang, quality,
     * fingerprint). */

@@ -138,4 +138,33 @@ class SamplingSpec extends SparkSpec {
     assert(c.map(r => (r.getLong(0), r.getLong(1))).toSeq !==
       a.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
+
+  test("weightedSample: top-k by key, deterministic, weight-monotone") {
+    val docs = graft.Tables.documents(spark, SfDir)
+    val sel = Sampling.weightedSample(docs, "doc_id", "n_chars", 20)
+      .collect()
+    assert(sel.length === 20)
+    // selected keys dominate every excluded key (true top-k, not a
+    // per-partition artifact)
+    val allKeys = Sampling.weightedSample(docs, "doc_id", "n_chars", 10000)
+      .collect().map(r => r.getAs[Double]("sample_key"))
+    val minSel = sel.map(_.getAs[Double]("sample_key")).min
+    assert(allKeys.count(_ > minSel) < 20)
+    // replay-identical
+    val again = Sampling.weightedSample(docs, "doc_id", "n_chars", 20)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(again === sel.map(_.getAs[Long]("doc_id")).toSeq)
+    // raising a row's weight never lowers its key (A-ES monotonicity)
+    import spark.implicits._
+    val two = Seq((1L, 10L), (2L, 20L)).toDF("id", "w")
+    val k1 = Sampling.weightedSample(two, "id", "w", 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("sample_key"))
+      .toMap
+    val boosted = Seq((1L, 500L), (2L, 20L)).toDF("id", "w")
+    val k2 = Sampling.weightedSample(boosted, "id", "w", 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("sample_key"))
+      .toMap
+    assert(k2(1L) >= k1(1L))
+    assert(k2(2L) === k1(2L))
+  }
 }

@@ -188,4 +188,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(2L).getAs[Int]("pass_alpha") === 0)
     assert(m(2L).getAs[Int]("pass_words") === 1)
   }
+
+  test("textRank: mass conserved, hub outranks leaf, deterministic") {
+    // star graph: "hub" co-occurs with every leaf; leaves only with hub
+    val docs = (1 to 6).map(i => (i.toLong, s"hub leaf$i hub")).toDF("doc_id", "text")
+    val pr = TextAnalysis.textRank(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr.size === 7)
+    // total PageRank mass stays ~1 (rounding loses < 1e-5)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-4, s"mass ${pr.values.sum}")
+    val hub = pr("hub")
+    (1 to 6).foreach(i => assert(hub > pr(s"leaf$i"),
+      s"hub $hub vs leaf$i ${pr(s"leaf$i")}"))
+    val again = TextAnalysis.textRank(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again === pr)
+  }
 }
