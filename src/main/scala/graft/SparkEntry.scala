@@ -4204,7 +4204,89 @@ object SparkEntry {
          |  round(pow((${md5LongSql("doc_id::VARCHAR")} + 1)::DOUBLE
          |      / pow(2.0, 60), 1.0 / n_chars), 9) AS sample_key
          |FROM documents
-         |ORDER BY sample_key DESC, doc_id LIMIT 20""".stripMargin))
+         |ORDER BY sample_key DESC, doc_id LIMIT 20""".stripMargin),
+
+    Q("q143_hll_merge_rollup",
+      // THE sketch-table rollup: sketch each half of the corpus into a
+      // persistable (source, bucket, rho) register table, merge the two
+      // tables (elementwise max — no rescan of either half), and show
+      // the merged estimate ≡ the direct single-pass estimate per
+      // source. At 100 TB this is daily register tables answering
+      // "distinct over any date range" at metadata cost; `agree` is
+      // pinned 1 by construction (HLL merge is lossless).
+      (s, dir) => {
+        import graft.functions.Sketches
+        val sh = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          explode(TextFunctions.shingles(
+            TextFunctions.tokens(col("text")), 3)).as("v"))
+        val ra = Sketches.hllRegisters(sh.filter(col("doc_id") % 2 === 0), "source", "v")
+        val rb = Sketches.hllRegisters(sh.filter(col("doc_id") % 2 === 1), "source", "v")
+        val merged = Sketches.hllFromRegisters(ra.unionByName(rb), "source")
+          .withColumnRenamed("hll_est", "hll_merged")
+        val direct = Sketches.hllDistinct(sh, "source", "v")
+          .withColumnRenamed("hll_est", "hll_direct")
+        merged.join(direct, "source")
+          .select(col("source"), col("hll_merged"), col("hll_direct"),
+            when(col("hll_merged") === col("hll_direct"), 1).otherwise(0)
+              .as("agree"))
+          .orderBy("source")
+      },
+      {
+        val estFrom = (regCte: String, alias: String) =>
+          s"""$alias AS (SELECT source,
+             |  CASE WHEN 0.709 * 64 * 64 * pow(2.0, 55) / sumint <= 160.0
+             |            AND zeros > 0
+             |       THEN 64.0 * ln(64.0 / zeros)
+             |       ELSE 0.709 * 64 * 64 * pow(2.0, 55) / sumint END AS est
+             |  FROM (SELECT source,
+             |      (sum(1::BIGINT << (55 - rho))
+             |       + (64 - count(*)) * (1::BIGINT << 55))::BIGINT AS sumint,
+             |      (64 - count(*))::BIGINT AS zeros
+             |    FROM $regCte GROUP BY source))""".stripMargin
+        s"""WITH tk AS (SELECT doc_id, source, $toksSql AS l FROM documents),
+           |sh AS (SELECT doc_id, source, unnest($shinglesSql) AS v FROM tk
+           |       WHERE len(l) >= 3),
+           |h AS (SELECT doc_id, source, ${md5LongSql("v")} AS h FROM sh),
+           |halves AS (SELECT doc_id % 2 AS half, source, h % 64 AS bucket,
+           |    max(CASE WHEN h // 64 = 0 THEN 55
+           |             ELSE 55 - length(bin(h // 64)) END) AS rho
+           |  FROM h GROUP BY half, source, bucket),
+           |mregs AS (SELECT source, bucket, max(rho) AS rho FROM halves
+           |          GROUP BY source, bucket),
+           |dregs AS (SELECT source, h % 64 AS bucket,
+           |    max(CASE WHEN h // 64 = 0 THEN 55
+           |             ELSE 55 - length(bin(h // 64)) END) AS rho
+           |  FROM h GROUP BY source, bucket),
+           |${estFrom("mregs", "em")},
+           |${estFrom("dregs", "ed")}
+           |SELECT em.source, round(em.est, 4) AS hll_merged,
+           |  round(ed.est, 4) AS hll_direct,
+           |  (CASE WHEN round(em.est, 4) = round(ed.est, 4)
+           |        THEN 1 ELSE 0 END) AS agree
+           |FROM em JOIN ed ON em.source = ed.source
+           |ORDER BY em.source""".stripMargin
+      }),
+
+    Q("q144_composite_agg",
+      // ES composite aggregation pagination: bucket keyset paging over
+      // (source, lang) with after_key = ('src12', 'en'), page size 7.
+      // The after-key predicate applies to the GROUP KEYS, so it pushes
+      // below the aggregate INTO the parquet scan (rows of earlier
+      // buckets are never read past the filter) and the page plans as
+      // TakeOrdered — page cost independent of page depth, the q109
+      // argument for buckets instead of hits.
+      (s, dir) => Tables.documents(s, dir)
+        .filter(col("source") > "src12" ||
+          (col("source") === "src12" && col("lang") > "en"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("source", "lang").limit(7),
+      """SELECT source, lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents
+        |WHERE source > 'src12' OR (source = 'src12' AND lang > 'en')
+        |GROUP BY source, lang ORDER BY source, lang LIMIT 7""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -83,24 +83,33 @@ object Sketches {
       .agg(round(org.apache.spark.sql.graftext.HllSketchAgg.hllDistinct(
         col(valueCol).cast("string")), 4).as("hll_est"))
 
-  /** DF-algebra formulation of [[hllDistinct]] — registers as ≤ 64 rows
-    * per group (`groupBy(bucket).max(rho)`), integer harmonic sum, same
-    * estimate formula. Kept as the cross-check reference AND as the
-    * documentation of the exact cross-engine algorithm the DuckDB oracle
-    * mirrors. `bin()` gives the minimal binary string on both engines, so
+  /** Register-TABLE form of the HLL sketch: (groupCol, bucket, rho),
+    * ≤ 64 rows per group — the PERSISTABLE sketch. At 100 TB the rollup
+    * pattern is: sketch each day/partition into a register table, store
+    * it, and answer "distinct over any union of days" by merging
+    * registers with [[hllFromRegisters]] — no rescan of the data, ever.
+    * `bin()` gives the minimal binary string on both engines, so
     * `rho = 55 - length(bin(w))` is pure integer algebra. */
-  def hllDistinctDf(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.graftext.HllSketchAgg.{Alpha, M, MaxRho}
-    val h = df.select(col(groupCol),
-      TextFunctions.md5Long(col(valueCol).cast("string")).as("__h"))
-    val regs = h
-      .select(col(groupCol), (col("__h") % M).as("__bucket"),
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.graftext.HllSketchAgg.{M, MaxRho}
+    df.select(col(groupCol),
+        TextFunctions.md5Long(col(valueCol).cast("string")).as("__h"))
+      .select(col(groupCol), (col("__h") % M).as("bucket"),
         when(shiftright(col("__h"), 6) === 0, lit(MaxRho))
           .otherwise(lit(MaxRho) - length(bin(shiftright(col("__h"), 6))))
-          .as("__rho"))
-      .groupBy(groupCol, "__bucket").agg(max("__rho").as("__rho"))
-    val est = regs.groupBy(groupCol)
-      .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), $MaxRho - __rho)")) +
+          .as("rho"))
+      .groupBy(groupCol, "bucket").agg(max("rho").as("rho"))
+  }
+
+  /** Merge any union of [[hllRegisters]] tables (elementwise max over
+    * (group, bucket)) and estimate — integer harmonic sum, same formula
+    * as the native aggregate, so merged-estimate ≡ direct-estimate
+    * bit-for-bit (SketchesSpec and q143's oracle both prove it). */
+  def hllFromRegisters(regs: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.graftext.HllSketchAgg.{Alpha, M, MaxRho}
+    val est = regs.groupBy(groupCol, "bucket").agg(max("rho").as("rho"))
+      .groupBy(groupCol)
+      .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), $MaxRho - rho)")) +
         (lit(M) - count(lit(1))) * (1L << MaxRho)).as("__sumint"),
         (lit(M) - count(lit(1))).as("__zeros"))
       .select(col(groupCol), col("__zeros"),
@@ -111,6 +120,13 @@ object Sketches {
         lit(M.toDouble) * log(lit(M.toDouble) / col("__zeros")))
         .otherwise(col("__raw")), 4).as("hll_est"))
   }
+
+  /** DF-algebra formulation of [[hllDistinct]] — registers as rows,
+    * then merge+estimate. Kept as the cross-check reference AND as the
+    * documentation of the exact cross-engine algorithm the DuckDB oracle
+    * mirrors. */
+  def hllDistinctDf(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    hllFromRegisters(hllRegisters(df, groupCol, valueCol), groupCol)
 
   // ---- Count-Min sketch -------------------------------------------------
 

@@ -229,6 +229,22 @@ class SketchesSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("hll: register-table rollup merge ≡ direct estimate, any split") {
+    val li = Tables.lineitem(spark, SfDir)
+    val direct = Sketches.hllDistinct(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (nSplits <- Seq(2, 5)) {
+      val parts = (0 until nSplits).map(i =>
+        Sketches.hllRegisters(
+          li.filter(col("l_orderkey") % nSplits === i),
+          "l_returnflag", "l_partkey"))
+      val merged = Sketches.hllFromRegisters(
+        parts.reduce(_ unionByName _), "l_returnflag")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(merged === direct, s"$nSplits-way split")
+    }
+  }
+
   // ---- Count-Min sketch --------------------------------------------------
 
   test("cms: never under-counts, and is exact for most of a small vocab") {

@@ -381,4 +381,56 @@ class PlanSpec extends SparkSpec {
     val exchanges = s.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 1, s"unexpected shuffles in scoring:\n$s")
   }
+
+  test("q135: HLL runs as the native partial aggregate, no distinct shuffle for the sketch leg") {
+    val s = fmtOf("q135_hll_cardinality")
+    assert(s.contains("hll_distinct"), "native aggregate not in plan:\n" + s)
+    assert("ObjectHashAggregate".r.findAllIn(s).size >= 2,
+      "expected partial+final ObjectHashAggregate:\n" + s)
+    assert(!s.contains("Window"), "window crept into HLL:\n" + s)
+  }
+
+  test("q137: gopher rules are a shuffle-free scan") {
+    val s = fmtOf("q137_gopher_rules")
+    assert(!s.contains("Window") && !s.contains("Join"),
+      "gopher metrics should be pure column algebra:\n" + s)
+    val exchanges = s.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"only the output sort may shuffle:\n$s")
+  }
+
+  test("q139: corpus block dedup never windows over the corpus") {
+    val s = fmtOf("q139_block_dedup")
+    assert(!s.contains("Window"), "corpus-wide window in block dedup:\n" + s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q140: textrank iterations stay partial-agg joins, never cartesian") {
+    val s = fmtOf("q140_textrank")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("TakeOrderedAndProject"),
+      "final top-25 should be TakeOrdered:\n" + s)
+    // 5 iterations + edge/out-weight aggs, each partial+final
+    assert("HashAggregate".r.findAllIn(s).size >= 10,
+      "iteration aggregations lost partial phase:\n" + s)
+  }
+
+  test("q141: date histogram picks top_type without a window") {
+    val s = fmtOf("q141_date_histogram")
+    assert(!s.contains("Window"),
+      "struct-min argmax degraded to a window:\n" + s)
+  }
+
+  test("q142: the weighted draw is TakeOrdered, not a global sort") {
+    val s = fmtOf("q142_weighted_sample")
+    assert(s.contains("TakeOrderedAndProject"),
+      "A-ES draw should plan as per-partition top-k:\n" + s)
+  }
+
+  test("q144: composite-agg after-key filter pushes into the scan") {
+    val s = fmtOf("q144_composite_agg")
+    assert(s.contains("TakeOrderedAndProject"),
+      "bucket page should plan as TakeOrdered:\n" + s)
+    assert(s.contains("PushedFilters:") && s.contains("src12"),
+      "after-key predicate not pushed to parquet:\n" + s)
+  }
 }
