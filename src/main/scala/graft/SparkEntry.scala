@@ -3763,6 +3763,10 @@ object SparkEntry {
   private lazy val ChunkOverlap = 16
   private lazy val FunnelSteps  = Seq("view", "click", "purchase")
 
+  /** DSIR hashed-bigram feature space (q146): bucket count bounds BOTH
+    * model relations regardless of corpus size. */
+  private lazy val DsirBuckets = 1024
+
   /** Per-label centroids (first 3 dims): decimal-exact means — a plain
     * double avg would sum in partition-arrival order and never
     * hash-match. (lazy: referenced by the registry val above) */
@@ -4286,7 +4290,126 @@ object SparkEntry {
         |  sum(n_chars)::BIGINT AS sum_chars
         |FROM documents
         |WHERE source > 'src12' OR (source = 'src12' AND lang > 'en')
-        |GROUP BY source, lang ORDER BY source, lang LIMIT 7""".stripMargin))
+        |GROUP BY source, lang ORDER BY source, lang LIMIT 7""".stripMargin),
+
+    Q("q145_pipeline_aggs",
+      // ES pipeline aggregations over a date_histogram: cumulative_sum,
+      // derivative and moving_fn(avg, window 3) over the gap-filled
+      // daily bucket series. The heavy pass is ONE partial-agg groupBy
+      // over events; every window then runs over the bucket GRID — one
+      // row per day, metadata scale regardless of corpus size (that is
+      // the whole point of pipeline aggs: they post-process buckets,
+      // never documents). First-bucket derivative is 0 by definition
+      // here (ES omits the key; a column must exist on both engines).
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select(date_trunc("day", col("ts")).as("d"))
+        val days = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+        val daily = ev.groupBy("d").agg(count(lit(1)).cast("long").as("n"))
+        val grid = days.join(daily, Seq("d"), "left")
+          .select(col("d"), coalesce(col("n"), lit(0L)).as("n_events"))
+        val w = Window.orderBy("d")
+        grid.select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+            col("n_events"),
+            sum("n_events").over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).cast("long").as("cum_events"),
+            coalesce(col("n_events") - lag("n_events", 1).over(w), lit(0L))
+              .cast("long").as("deriv"),
+            round(avg("n_events").over(w.rowsBetween(-2, 0)), 6)
+              .as("mov_avg3"))
+          .orderBy("day")
+      },
+      """WITH ev AS (SELECT date_trunc('day', ts) AS d FROM events),
+        |bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+        |         FROM bounds),
+        |daily AS (SELECT d, count(*)::BIGINT AS n FROM ev GROUP BY d),
+        |grid AS (SELECT days.d, coalesce(n, 0)::BIGINT AS n_events
+        |         FROM days LEFT JOIN daily USING (d))
+        |SELECT strftime(d, '%Y-%m-%d') AS day, n_events,
+        |  sum(n_events) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)::BIGINT AS cum_events,
+        |  coalesce(n_events - lag(n_events) OVER (ORDER BY d), 0)::BIGINT
+        |    AS deriv,
+        |  round(avg(n_events) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING
+        |    AND CURRENT ROW), 6) AS mov_avg3
+        |FROM grid ORDER BY day""".stripMargin),
+
+    Q("q146_dsir_weights",
+      // DSIR importance resampling (Xie et al. 2023): score the non-'en'
+      // raw pool against the 'en' target domain by hashed-bigram
+      // log-likelihood ratio. The two bag-of-bigrams "models" are
+      // DsirBuckets-row count relations (bounded by configuration, never
+      // by data); scoring joins the raw pool's bigrams against the
+      // BROADCAST log-ratio table. Top 25 raw docs most target-like.
+      (s, dir) => graft.pipeline.Dsir.importanceWeights(
+          Tables.documents(s, dir), "doc_id", "text",
+          col("lang") === "en", DsirBuckets)
+        .orderBy(col("weight").desc, col("doc_id")).limit(25),
+      s"""WITH tk AS (SELECT doc_id, lang = 'en' AS t, $toksSql AS l
+         |           FROM documents),
+         |g AS (SELECT doc_id, t,
+         |    ${md5LongSql("g")} % $DsirBuckets AS b
+         |  FROM (SELECT doc_id, t,
+         |          unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS g
+         |        FROM tk WHERE len(l) >= 2)),
+         |ct AS (SELECT b, count(*)::BIGINT AS c FROM g WHERE t GROUP BY b),
+         |cr AS (SELECT b, count(*)::BIGINT AS c FROM g WHERE NOT t GROUP BY b),
+         |nt AS (SELECT sum(c)::DOUBLE AS n FROM ct),
+         |nr AS (SELECT sum(c)::DOUBLE AS n FROM cr),
+         |model AS (SELECT d.b,
+         |    ln((coalesce(ct.c, 0)::DOUBLE + 1.0) / (nt.n + $DsirBuckets.0))
+         |    - ln((coalesce(cr.c, 0)::DOUBLE + 1.0) / (nr.n + $DsirBuckets.0))
+         |      AS lr
+         |  FROM (SELECT unnest(range(0, $DsirBuckets)) AS b) d
+         |  LEFT JOIN ct ON ct.b = d.b LEFT JOIN cr ON cr.b = d.b, nt, nr)
+         |SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+         |  round(sum(model.lr), 6) AS weight
+         |FROM g JOIN model ON model.b = g.b WHERE NOT g.t
+         |GROUP BY g.doc_id
+         |ORDER BY weight DESC, g.doc_id LIMIT 25""".stripMargin),
+
+    Q("q147_welch_ttest",
+      // A/B experiment readout: Welch's unequal-variance t per
+      // event_type, arms split by user_id parity. The corpus-scale pass
+      // is ONE partial-agg groupBy collecting exact DECIMAL moments
+      // (n, Σx, Σx²); the t/df float math runs on the (type × arm)
+      // metadata frame as one deterministic expression per row, so both
+      // engines compute bit-identical doubles before the 6-dp round.
+      (s, dir) => graft.operators.AbTest.welch(
+          Tables.events(s, dir), "event_type", "value",
+          col("user_id") % 2 === 0)
+        .orderBy("event_type"),
+      """WITH m AS (SELECT event_type, user_id % 2 = 0 AS a,
+        |    count(*)::DOUBLE AS n,
+        |    sum(value::DECIMAL(18,4))::DOUBLE AS s,
+        |    sum(value::DECIMAL(18,4) * value::DECIMAL(18,4))::DOUBLE AS q
+        |  FROM events GROUP BY event_type, a),
+        |w AS (SELECT event_type,
+        |    max(CASE WHEN a THEN n END) AS na,
+        |    max(CASE WHEN a THEN s END) AS sa,
+        |    max(CASE WHEN a THEN q END) AS qa,
+        |    max(CASE WHEN NOT a THEN n END) AS nb,
+        |    max(CASE WHEN NOT a THEN s END) AS sb,
+        |    max(CASE WHEN NOT a THEN q END) AS qb
+        |  FROM m GROUP BY event_type)
+        |SELECT event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
+        |  round((sa / na - sb / nb) / sqrt(
+        |    ((qa - sa * sa / na) / (na - 1.0)) / na +
+        |    ((qb - sb * sb / nb) / (nb - 1.0)) / nb), 6) AS t_stat,
+        |  round((((qa - sa * sa / na) / (na - 1.0)) / na +
+        |         ((qb - sb * sb / nb) / (nb - 1.0)) / nb) *
+        |        (((qa - sa * sa / na) / (na - 1.0)) / na +
+        |         ((qb - sb * sb / nb) / (nb - 1.0)) / nb) /
+        |    ((((qa - sa * sa / na) / (na - 1.0)) / na) *
+        |     (((qa - sa * sa / na) / (na - 1.0)) / na) / (na - 1.0) +
+        |     (((qb - sb * sb / nb) / (nb - 1.0)) / nb) *
+        |     (((qb - sb * sb / nb) / (nb - 1.0)) / nb) / (nb - 1.0)), 6)
+        |    AS df_w
+        |FROM w ORDER BY event_type""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

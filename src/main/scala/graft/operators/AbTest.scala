@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A/B experiment analysis: Welch's unequal-variance t-test per metric
+  * group, computed from EXACT decimal moments (n, Σx, Σx²) so the
+  * heavy pass is one partial-aggregating groupBy over the event stream —
+  * the only cross-engine-fragile float math happens on the final
+  * metadata-scale (group × arm) frame, as a single deterministic
+  * expression per row.
+  *
+  * The fixture's `value` doubles are exact 2-dp quantities, so Σx and
+  * Σx² accumulate exactly in DECIMAL (no FP association drift between
+  * Spark's partial-agg order and DuckDB's single-threaded order); means
+  * and variances are then derived in double from identical exact inputs.
+  */
+object AbTest {
+
+  private def d184(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Welch's t-statistic and Satterthwaite degrees of freedom for each
+    * `groupCol`, arms defined by boolean `armA` (true → arm A).
+    * Returns (groupCol, n_a, n_b, mean_a, mean_b, t_stat, df_w), all
+    * floats rounded to 6 dp. Sample variance (n−1 denominator). */
+  def welch(df: DataFrame, groupCol: String, valueCol: String,
+      armA: Column): DataFrame = {
+    val moments = df
+      .select(col(groupCol), armA.as("__a"), col(valueCol).as("__v"))
+      .groupBy(groupCol, "__a")
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(d184(col("__v"))).cast("double").as("__s"),
+        sum(d184(col("__v")) * d184(col("__v"))).cast("double").as("__q"))
+
+    def arm(a: Boolean, c: String) = max(when(col("__a") === a, col(c)))
+
+    val wide = moments.groupBy(groupCol)
+      .agg(arm(true, "__n").as("na"), arm(true, "__s").as("sa"),
+        arm(true, "__q").as("qa"),
+        arm(false, "__n").as("nb"), arm(false, "__s").as("sb"),
+        arm(false, "__q").as("qb"))
+
+    val va = (col("qa") - col("sa") * col("sa") / col("na")) / (col("na") - 1.0)
+    val vb = (col("qb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1.0)
+    val se2a = va / col("na")
+    val se2b = vb / col("nb")
+    wide.select(col(groupCol),
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      round(col("sa") / col("na"), 6).as("mean_a"),
+      round(col("sb") / col("nb"), 6).as("mean_b"),
+      round((col("sa") / col("na") - col("sb") / col("nb")) /
+        sqrt(se2a + se2b), 6).as("t_stat"),
+      round((se2a + se2b) * (se2a + se2b) /
+        (se2a * se2a / (col("na") - 1.0) +
+         se2b * se2b / (col("nb") - 1.0)), 6).as("df_w"))
+  }
+}
