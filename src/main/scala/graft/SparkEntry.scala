@@ -48,6 +48,12 @@ object SparkEntry {
     2L -> "filter group data stream customer",
     3L -> "table scan part order key")
 
+  /** q150 dis_max second clause + boosting negative term (eager: the
+    * oracle SQL is interpolated at registry construction). */
+  val DisMaxClause2: Seq[String] =
+    "filter group data stream customer".split(" ").toSeq
+  val DisMaxNegative: String = "table"
+
   /** Exact decimal rendering of a double — parses back to the identical
     * double in DuckDB. */
   private def dec(x: Double): String = new java.math.BigDecimal(x).toPlainString
@@ -3500,7 +3506,69 @@ object SparkEntry {
       (s, dir) => graft.index.PqIndex.knn(s, pqFor(s, dir), QueryVec,
         10, numCandidates = 128),
       s"""SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
-         |FROM embeddings ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin)
+         |FROM embeddings ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin),
+
+    Q("q149_rare_terms",
+      // ES `rare_terms` aggregation — the long-tail complement of
+      // `terms`: the rarest dictionary entries, rarest first. Served
+      // entirely from the index DICTIONARY (vocabulary-scale, zero
+      // postings/corpus I/O, the q110 argument); the synthetic
+      // fixture's vocabulary has no absolute-df long tail, so the
+      // registry pins the rank form and SearchIndexSpec pins the
+      // max_doc_count filter semantics.
+      (s, dir) => graft.index.SearchIndex.rareTerms(s, indexFor(s, dir),
+        maxDf = Long.MaxValue, size = 10),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |p AS (SELECT DISTINCT doc_id, unnest(l) AS term FROM toks),
+         |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY term)
+         |SELECT term, df FROM dfreq ORDER BY df, term LIMIT 10""".stripMargin),
+
+    Q("q150_dismax_boosting",
+      // ES `dis_max` + `boosting` composed on the persisted index: two
+      // query clauses each score as their BM25 sum, base =
+      // max + 0.3·(sum − max), and docs containing the negative term
+      // are DEMOTED ×0.5 (boosting's demote-don't-exclude — contrast
+      // q118's must_not). ONE pruned postings probe over all clause +
+      // negative terms; per-clause sums and the negative flag come out
+      // of a single per-doc aggregate.
+      (s, dir) => graft.index.SearchIndex.disMax(s, indexFor(s, dir),
+        clauses = Seq(QueryTerms.toSeq, DisMaxClause2),
+        tieBreaker = 0.3, negative = Seq(DisMaxNegative),
+        negativeBoost = 0.5),
+      {
+        def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString(", ")
+        val scoring = inList((QueryTerms ++ DisMaxClause2).distinct)
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+           |posting AS (
+           |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term FROM toks),
+           |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+           |       FROM posting GROUP BY doc_id, term, dl),
+           |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+           |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl),
+           |dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+           |  FROM tf WHERE term IN ($scoring) GROUP BY term),
+           |idf AS (SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+           |  FROM dfreq, stats),
+           |ts AS (SELECT tf.doc_id, tf.term,
+           |    idf.idf * tf.tf * (1.2 + 1.0) /
+           |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS s
+           |  FROM tf JOIN idf ON tf.term = idf.term, stats),
+           |sc AS (SELECT doc_id,
+           |    coalesce(sum(CASE WHEN term IN (${inList(QueryTerms.toSeq)})
+           |      THEN s END), 0.0) AS s0,
+           |    coalesce(sum(CASE WHEN term IN (${inList(DisMaxClause2)})
+           |      THEN s END), 0.0) AS s1
+           |  FROM ts GROUP BY doc_id),
+           |neg AS (SELECT doc_id,
+           |    max(CASE WHEN term = '$DisMaxNegative' THEN 1 ELSE 0 END) AS ng
+           |  FROM tf GROUP BY doc_id)
+           |SELECT sc.doc_id,
+           |  round((greatest(s0, s1) + 0.3 * (s0 + s1 - greatest(s0, s1))) *
+           |    (CASE WHEN ng = 1 THEN 0.5 ELSE 1.0 END), 6) AS score
+           |FROM sc JOIN neg ON sc.doc_id = neg.doc_id
+           |WHERE s0 > 0 OR s1 > 0
+           |ORDER BY score DESC, sc.doc_id LIMIT 10""".stripMargin
+      })
   )
 
   /** Fuzzy dedup: simhash candidates verified by Levenshtein over the
@@ -3766,6 +3834,9 @@ object SparkEntry {
   /** DSIR hashed-bigram feature space (q146): bucket count bounds BOTH
     * model relations regardless of corpus size. */
   private lazy val DsirBuckets = 1024
+
+  /** KMV set-operation sketch size (q148). */
+  private lazy val KmvSetK = 128
 
   /** Per-label centroids (first 3 dims): decimal-exact means — a plain
     * double avg would sum in partition-arrival order and never
@@ -4409,7 +4480,56 @@ object SparkEntry {
         |     (((qb - sb * sb / nb) / (nb - 1.0)) / nb) *
         |     (((qb - sb * sb / nb) / (nb - 1.0)) / nb) / (nb - 1.0)), 6)
         |    AS df_w
-        |FROM w ORDER BY event_type""".stripMargin))
+        |FROM w ORDER BY event_type""".stripMargin),
+
+    Q("q148_kmv_setops",
+      // Theta-sketch-style SET OPERATIONS on KMV sketches (Beyer et al.
+      // SIGMOD'07): sketch the 'en' and 'de' token sets once (k=128
+      // minimum md5 hashes each — the corpus-touching pass), then
+      // answer |A|, |B|, |A∪B|, Jaccard and |A∩B| entirely from the
+      // ≤2k-row sketches: the union sketch is the k smallest of the
+      // merged hashes (KMV's closure property), J = fraction of union-
+      // sketch members in both inputs, intersection = J·|A∪B|. At
+      // 100 TB the sketches are persisted per partition/day and these
+      // questions never rescan data. Below saturation (this fixture)
+      // every estimate is exact — the oracle proves it.
+      (s, dir) => {
+        import graft.functions.Sketches
+        val toks = Tables.documents(s, dir)
+          .select(col("lang"), explode(TextFunctions.tokens(col("text")))
+            .as("tok"))
+        def side(l: String) =
+          Sketches.kmvMinHashes(toks.filter(col("lang") === l), "tok", KmvSetK)
+        Sketches.kmvSetOps(side("en"), side("de"), KmvSetK)
+          .select(col("est_a"), col("est_b"), col("est_union"),
+            col("jaccard"), col("est_intersect"))
+      },
+      {
+        def sideCte(l: String, a: String) =
+          s"""$a AS (SELECT DISTINCT ${md5LongSql("tok")} AS h
+             |  FROM (SELECT unnest($toksSql) AS tok FROM documents
+             |        WHERE lang = '$l')),
+             |k$a AS (SELECT h FROM $a ORDER BY h LIMIT $KmvSetK)""".stripMargin
+        def est(src: String, name: String) =
+          s"""$name AS (SELECT round(CASE WHEN count(*) < $KmvSetK
+             |    THEN count(*)::DOUBLE
+             |    ELSE ($KmvSetK - 1)::DOUBLE * pow(2.0, 60) / max(h)::DOUBLE
+             |  END, 4) AS $name FROM $src)""".stripMargin
+        s"""WITH ${sideCte("en", "ha")},
+           |${sideCte("de", "hb")},
+           |ku AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+           |       ORDER BY h LIMIT $KmvSetK),
+           |kb AS (SELECT count(*)::DOUBLE AS nb FROM ku
+           |       WHERE h IN (SELECT h FROM kha) AND h IN (SELECT h FROM khb)),
+           |jc AS (SELECT round(nb / (SELECT count(*) FROM ku), 6) AS jaccard
+           |       FROM kb),
+           |${est("kha", "est_a")},
+           |${est("khb", "est_b")},
+           |${est("ku", "est_union")}
+           |SELECT est_a, est_b, est_union, jaccard,
+           |  round(jaccard * est_union, 4) AS est_intersect
+           |FROM est_a, est_b, est_union, jc""".stripMargin
+      }))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -70,6 +70,61 @@ object Sketches {
             col("__hk").cast("double")), 4).as("est_distinct"))
   }
 
+  /** KMV sketch as a PERSISTABLE row relation: the k smallest 60-bit
+    * hashes of `valueCol`'s distinct values, one row each. The
+    * [[kmvDistinctDf]] two-phase top-k (salted local pass, then a global
+    * pass over ≤ 32·k survivors) keeps every sort small. Feed pairs of
+    * these into [[kmvSetOps]] — the sketch, not the data, answers
+    * union/intersection questions later. */
+  def kmvMinHashes(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val hashed = df
+      .select(TextFunctions.md5Long(col(valueCol).cast("string")).as("h"))
+      .distinct()
+    val wLocal = Window.partitionBy(pmod(col("h"), lit(32L)))
+      .orderBy(col("h").asc)
+    val local = hashed.withColumn("__rl", row_number().over(wLocal))
+      .filter(col("__rl") <= k).drop("__rl")
+    val w = Window.partitionBy(lit(0)).orderBy(col("h").asc)
+    local.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Distinct-count estimate from a [[kmvMinHashes]] relation: exact
+    * below saturation, `(k-1)·2^60 / h_k` at it. One output row
+    * (`est` double, 4 dp). */
+  private def kmvEstimate(sketch: DataFrame, k: Int, name: String): DataFrame =
+    sketch.agg(max(col("h")).as("__hk"), count(lit(1)).as("__k"))
+      .select(round(when(col("__k") < k, col("__k").cast("double"))
+        .otherwise((col("__k") - 1).cast("double") * HashSpace /
+          col("__hk").cast("double")), 4).as(name))
+
+  /** Set operations from two KMV sketch relations (columns `h`): the
+    * union sketch is the k smallest of the merged hash sets (a KMV
+    * sketch of A ∪ B — the closure property), the Jaccard estimate is
+    * the fraction of union-sketch members present in BOTH input
+    * sketches (Beyer et al., SIGMOD'07), and the intersection estimate
+    * is J · |A ∪ B|. Everything here runs on ≤ 2k-row frames — the
+    * corpus was only touched when the sketches were built. Derived
+    * numbers compose from the ROUNDED legs so both engines multiply
+    * identical doubles. */
+  def kmvSetOps(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val union = a.select("h").union(b.select("h")).distinct()
+      .orderBy(col("h").asc).limit(k)
+    val inBoth = union
+      .join(a.select(col("h").as("ha")), col("h") === col("ha"), "left_semi")
+      .join(b.select(col("h").as("hb")), col("h") === col("hb"), "left_semi")
+    val jac = union.agg(count(lit(1)).as("__ku"))
+      .crossJoin(inBoth.agg(count(lit(1)).as("__kb")))
+      .select(round(col("__kb").cast("double") /
+        col("__ku").cast("double"), 6).as("jaccard"))
+    kmvEstimate(a, k, "est_a")
+      .crossJoin(kmvEstimate(b, k, "est_b"))
+      .crossJoin(kmvEstimate(union, k, "est_union"))
+      .crossJoin(jac)
+      .withColumn("est_intersect",
+        round(col("jaccard") * col("est_union"), 4))
+  }
+
   // ---- HyperLogLog ------------------------------------------------------
 
   /** Per-group HLL distinct-count estimate via the native single-pass

@@ -439,6 +439,80 @@ object SearchIndex {
       .limit(size)
   }
 
+  /** ES `rare_terms` aggregation: the long-tail complement of `terms`
+    * (which surfaces the most frequent) — terms whose document
+    * frequency is at most `maxDf`, rarest first. Served entirely from
+    * the index DICTIONARY like [[suggest]]: vocabulary-scale scan,
+    * never touches postings or the corpus. */
+  def rareTerms(spark: SparkSession, indexDir: String,
+      maxDf: Long, size: Int = 10): DataFrame =
+    cachedTable(spark, indexDir, "docfreq")
+      .filter(col("df") <= maxDf)
+      .select(col("term"), col("df").cast("long").as("df"))
+      .orderBy(col("df").asc, col("term").asc)
+      .limit(size)
+
+  /** ES `dis_max` + `boosting` composed over the persisted index: each
+    * clause scores as its BM25 term-sum, the doc's base score is
+    * `max(clause) + tieBreaker · (Σclause − max(clause))`, and matching
+    * any `negative` term multiplies by `negativeBoost` (the boosting
+    * query's demote-don't-exclude semantics — contrast must_not in
+    * [[boolSearch]]). ONE partition-pruned postings probe over the
+    * union of all clause + negative terms; per-clause sums and the
+    * negative flag come out of a single per-doc aggregate. */
+  def disMax(spark: SparkSession, indexDir: String,
+      clauses: Seq[Seq[String]], tieBreaker: Double,
+      negative: Seq[String] = Nil, negativeBoost: Double = 1.0,
+      size: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(clauses.nonEmpty, "dis_max needs at least one clause")
+    val cls = clauses.map(_.map(_.toLowerCase).distinct)
+    val negD = negative.map(_.toLowerCase).distinct
+    val scoring = cls.flatten.distinct
+    val allTerms = (scoring ++ negD).distinct
+    val buckets = allTerms.map(termBucketOf).distinct
+
+    val postings = cachedTable(spark, indexDir, "postings")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(allTerms: _*))
+    // negative terms are demotion signals, not scoring terms — no idf
+    val dfreq = cachedTable(spark, indexDir, "docfreq")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(scoring: _*))
+    val stats = cachedTable(spark, indexDir, "stats")
+
+    val scored = postings
+      .join(broadcast(dfreq.select("term", "df")), Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", when(col("df").isNotNull,
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0)))
+
+    val clauseSums = cls.zipWithIndex.map { case (ts, i) =>
+      coalesce(sum(when(col("term").isin(ts: _*), col("term_score"))),
+        lit(0.0)).as(s"__c$i")
+    }
+    val negFlag = (if (negD.isEmpty) lit(0L)
+      else coalesce(max(when(col("term").isin(negD: _*), 1L)), lit(0L)))
+      .as("__neg")
+
+    val agg = scored.groupBy("doc_id")
+      .agg(clauseSums.head, (clauseSums.tail :+ negFlag): _*)
+    val cSums = cls.indices.map(i => col(s"__c$i"))
+    val best = if (cSums.size == 1) cSums.head else greatest(cSums: _*)
+    val total = cSums.reduce(_ + _)
+    agg
+      .filter(cls.indices.map(i => col(s"__c$i") > 0.0).reduce(_ || _))
+      .select(col("doc_id"),
+        round((best + lit(tieBreaker) * (total - best)) *
+          when(col("__neg") === 1L, lit(negativeBoost)).otherwise(lit(1.0)),
+          6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(size)
+  }
+
   /** Proximity (ES `match` with slop) over the persisted positional
     * postings: the scan is pruned to the query terms' buckets, then the
     * same anchor-window algebra as [[TextSearch.proximityMatch]] —

@@ -245,6 +245,48 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  // ---- KMV set operations ------------------------------------------------
+
+  test("kmv set ops: exact below saturation, and union sketch is closed") {
+    val docs = Tables.documents(spark, SfDir)
+    val toks = docs.select(col("lang"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    def tokSet(l: String) = toks.filter(col("lang") === l)
+      .select("tok").distinct().collect().map(_.getString(0)).toSet
+    val (sa, sb) = (tokSet("en"), tokSet("de"))
+    // vocab is far below k → every estimate must be exact
+    val k = 128
+    assert(sa.size < k && sb.size < k, "fixture assumption: unsaturated")
+    val r = Sketches.kmvSetOps(
+      Sketches.kmvMinHashes(toks.filter(col("lang") === "en"), "tok", k),
+      Sketches.kmvMinHashes(toks.filter(col("lang") === "de"), "tok", k),
+      k).collect().head
+    assert(r.getAs[Double]("est_a") === sa.size.toDouble)
+    assert(r.getAs[Double]("est_b") === sb.size.toDouble)
+    assert(r.getAs[Double]("est_union") === (sa ++ sb).size.toDouble)
+    val exactJ = (sa & sb).size.toDouble / (sa ++ sb).size
+    assert(math.abs(r.getAs[Double]("jaccard") - exactJ) < 1e-6)
+    assert(math.abs(r.getAs[Double]("est_intersect") - (sa & sb).size) < 0.01)
+  }
+
+  test("kmv set ops: saturated sketches still estimate within 40%") {
+    // per-key value sets larger than k — the estimation regime
+    val li = Tables.lineitem(spark, SfDir)
+    val k = 32
+    def side(flag: String) = Sketches.kmvMinHashes(
+      li.filter(col("l_returnflag") === flag), "l_partkey", k)
+    val r = Sketches.kmvSetOps(side("A"), side("N"), k).collect().head
+    def exact(flag: String) = li.filter(col("l_returnflag") === flag)
+      .select("l_partkey").distinct().count()
+    val (na, nn) = (exact("A"), exact("N"))
+    assert(Sketches.kmvMinHashes(li.filter(col("l_returnflag") === "A"),
+      "l_partkey", k).count() === k, "fixture assumption: saturated")
+    assert(math.abs(r.getAs[Double]("est_a") - na) / na < 0.4)
+    assert(math.abs(r.getAs[Double]("est_b") - nn) / nn < 0.4)
+    assert(r.getAs[Double]("est_union") >=
+      math.max(r.getAs[Double]("est_a"), r.getAs[Double]("est_b")) * 0.6)
+  }
+
   // ---- Count-Min sketch --------------------------------------------------
 
   test("cms: never under-counts, and is exact for most of a small vocab") {

@@ -674,4 +674,51 @@ class SearchIndexSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("max_df")) ===
       pairs.groupBy("t").count().agg(max("count")).head().getLong(0))
   }
+
+  test("rareTerms: max_doc_count filters, rarest first, dictionary-exact") {
+    val docs = Tables.documents(spark, SfDir)
+    val dfreq = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .distinct().groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cut = dfreq.values.toSeq.sorted.apply(dfreq.size / 2) // median df
+    val got = SearchIndex.rareTerms(spark, indexDir, maxDf = cut, size = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // exactly the sub-threshold dictionary, ordered (df, term)
+    val want = dfreq.filter(_._2 <= cut).toSeq.map(_.swap).sorted.map(_.swap)
+    assert(got.toSeq === want)
+  }
+
+  test("disMax: tie_breaker algebra and boosting demotion vs scan-path BM25") {
+    val c1 = Seq("spark", "join", "merge", "sort", "window")
+    val c2 = Seq("filter", "group", "data", "stream", "customer")
+    def scanScores(ts: Seq[String]) =
+      SearchIndex.bm25(spark, indexDir, ts.mkString(" "))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (s1, s2) = (scanScores(c1), scanScores(c2))
+    val neg = Tables.documents(spark, SfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .filter(col("t") === "table").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    val got = SearchIndex.disMax(spark, indexDir, Seq(c1, c2),
+      tieBreaker = 0.3, negative = Seq("table"), negativeBoost = 0.5,
+      size = 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val docs = (s1.keySet ++ s2.keySet)
+    assert(got.keySet === docs, "every clause-matching doc scored")
+    docs.foreach { d =>
+      val (a, b) = (s1.getOrElse(d, 0.0), s2.getOrElse(d, 0.0))
+      val base = math.max(a, b) + 0.3 * (a + b - math.max(a, b))
+      val want = if (neg(d)) base * 0.5 else base
+      assert(math.abs(got(d) - BigDecimal(want)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6,
+        s"doc $d: got ${got(d)} want ~$want")
+    }
+    // the negative term demotes but does not exclude
+    assert(docs.exists(neg), "fixture has at least one demoted match")
+  }
 }

@@ -433,4 +433,38 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("PushedFilters:") && s.contains("src12"),
       "after-key predicate not pushed to parquet:\n" + s)
   }
+
+  test("q145: pipeline aggs window over the bucket grid, events aggregate partially") {
+    val s = fmtOf("q145_pipeline_aggs")
+    // the corpus-scale pass is a partial-agg groupBy; the windows exist
+    // but run AFTER the daily rollup (bucket grid), so at most one
+    // single-partition exchange feeds them
+    assert(s.contains("HashAggregate"), s)
+    assert(s.contains("Window"), s)
+  }
+
+  test("q146: the DSIR log-ratio model is broadcast to the scoring join") {
+    val s = fmtOf("q146_dsir_weights")
+    assert(s.contains("BroadcastHashJoin"),
+      "bucket-model join must broadcast the B-row model:\n" + s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q147: welch moments partial-aggregate; no window, no join") {
+    val s = fmtOf("q147_welch_ttest")
+    assert(!s.contains("Window"), s)
+    assert(!s.contains("SortMergeJoin"),
+      "t-test should be two stacked aggregates, not a join:\n" + s)
+  }
+
+  test("q149/q150: rare_terms reads only the dictionary; dis_max probe is pruned") {
+    val s = fmtOf("q149_rare_terms")
+    assert(!s.contains("postings") && !s.contains("positions"),
+      "rare_terms must never scan postings:\n" + s)
+    val d = fmtOf("q150_dismax_boosting")
+    assert(d.contains("term_bucket"),
+      "dis_max probe lost its bucket pruning:\n" + d)
+    assert("BroadcastHashJoin".r.findAllIn(d).size >= 1,
+      "docfreq/stats sides must broadcast:\n" + d)
+  }
 }
