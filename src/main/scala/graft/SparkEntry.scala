@@ -3838,6 +3838,13 @@ object SparkEntry {
   /** KMV set-operation sketch size (q148). */
   private lazy val KmvSetK = 128
 
+  /** MMR reranking knobs (q153): shortlist size, picks, relevance-vs-
+    * diversity trade. λ is rendered as "0.7" in the oracle and
+    * `lit(0.7)` in Spark — same literal, same double. */
+  private lazy val MmrN      = 20
+  private lazy val MmrK      = 5
+  private lazy val MmrLambda = 0.7
+
   /** Per-label centroids (first 3 dims): decimal-exact means — a plain
     * double avg would sum in partition-arrival order and never
     * hash-match. (lazy: referenced by the registry val above) */
@@ -4529,6 +4536,151 @@ object SparkEntry {
            |SELECT est_a, est_b, est_union, jaccard,
            |  round(jaccard * est_union, 4) AS est_intersect
            |FROM est_a, est_b, est_union, jc""".stripMargin
+      }),
+
+    Q("q151_time_to_convert",
+      // Funnel latency (q78's missing half): seconds from a user's FIRST
+      // view to their first subsequent purchase, distribution over
+      // converted users. Two min-timestamp aggregates + one join on the
+      // user key (partial-agg friendly, no per-user sort window); the
+      // percentile runs over the per-user latency relation — |users|
+      // scale. At 100 TB the same shape feeds q104's mergeable KLL
+      // sketch instead of the exact percentile; the oracle pins the
+      // exact semantics (integer-second latencies sum exactly in double,
+      // so even mean_sec is engine-exact).
+      (s, dir) => {
+        val sec = unix_timestamp(date_trunc("second", col("ts")))
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), sec.as("s"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("s")).as("t0"))
+        val lat = ev.filter(col("event_type") === "purchase")
+          .join(views, "user_id").filter(col("s") > col("t0"))
+          .groupBy("user_id").agg(min(col("s") - col("t0")).as("lat"))
+        lat.agg(count(lit(1)).cast("long").as("n_converted"),
+            min("lat").cast("long").as("min_sec"),
+            round(expr("percentile(lat, 0.5D)"), 6).as("p50_sec"),
+            round(expr("percentile(lat, 0.9D)"), 6).as("p90_sec"),
+            max("lat").cast("long").as("max_sec"),
+            round(avg("lat"), 6).as("mean_sec"))
+          .crossJoin(broadcast(
+            views.agg(count(lit(1)).cast("long").as("n_viewers"))))
+          .select(col("n_viewers"), col("n_converted"),
+            round(col("n_converted").cast("double") /
+              col("n_viewers").cast("double"), 6).as("conv_rate"),
+            col("min_sec"), col("p50_sec"), col("p90_sec"),
+            col("max_sec"), col("mean_sec"))
+      },
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         epoch(date_trunc('second', ts))::BIGINT AS s
+        |  FROM events),
+        |v AS (SELECT user_id, min(s) AS t0 FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.s - v.t0) AS lat
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND e.s > v.t0
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v)::BIGINT AS n_viewers,
+        |  count(*)::BIGINT AS n_converted,
+        |  round(count(*)::DOUBLE / (SELECT count(*) FROM v)::DOUBLE, 6)
+        |    AS conv_rate,
+        |  min(lat)::BIGINT AS min_sec,
+        |  round(quantile_cont(lat, 0.5), 6) AS p50_sec,
+        |  round(quantile_cont(lat, 0.9), 6) AS p90_sec,
+        |  max(lat)::BIGINT AS max_sec,
+        |  round(avg(lat), 6) AS mean_sec
+        |FROM c""".stripMargin),
+
+    Q("q152_curriculum_order",
+      // Curriculum data ordering (Bengio et al. 2009 applied to corpus
+      // scheduling): stage = FIXED length boundaries (no global stats
+      // pass — the boundaries are configuration), deterministic
+      // md5-shuffle within stage, and the first 30 scheduled docs with
+      // their global training position. The page plans as TakeOrdered
+      // (never a global sort); materializing the FULL schedule is
+      // q122's range-partitioned write — position within a 30-row page
+      // is a metadata-scale window.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val staged = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            when(col("n_chars") < 120, 0)
+              .when(col("n_chars") < 200, 1)
+              .otherwise(2).as("stage"),
+            md5(col("doc_id").cast("string")).as("__k"))
+        val page = staged.orderBy(col("stage"), col("__k"), col("doc_id"))
+          .limit(30)
+        page.withColumn("pos",
+            row_number().over(Window.orderBy(col("stage"), col("__k"),
+              col("doc_id"))).cast("long"))
+          .select(col("pos"), col("doc_id"), col("stage"), col("n_chars"))
+          .orderBy("pos")
+      },
+      """WITH staged AS (SELECT doc_id, n_chars,
+        |    CASE WHEN n_chars < 120 THEN 0
+        |         WHEN n_chars < 200 THEN 1 ELSE 2 END AS stage,
+        |    md5(doc_id::VARCHAR) AS k
+        |  FROM documents),
+        |page AS (SELECT * FROM staged ORDER BY stage, k, doc_id LIMIT 30)
+        |SELECT row_number() OVER (ORDER BY stage, k, doc_id)::BIGINT AS pos,
+        |  doc_id, stage, n_chars
+        |FROM page ORDER BY pos""".stripMargin),
+
+    Q("q153_mmr_rerank",
+      // MMR diversified reranking (Carbonell & Goldstein, SIGIR'98) —
+      // the answer-diversification stage behind a RAG shortlist: greedy
+      // λ·rel − (1−λ)·max-sim-to-picked over the brute-force top-20,
+      // k=5 picks. The selection is DECLARATIVE (k chained
+      // TakeOrdered(1) sub-plans over the cached shortlist — nothing
+      // collected); the oracle unrolls the identical pick sequence, so
+      // every greedy argmax is cross-engine-pinned.
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        val shortlist = VectorSearch.topK(embs, "vec_id", "embedding",
+            QueryVec, MmrN)
+          .join(embs.select(col("vec_id").as("doc_id"), col("embedding")),
+            "doc_id")
+        graft.search.Mmr.rerank(shortlist, "doc_id", "vec_score",
+            "embedding", MmrK, MmrLambda)
+          .select(col("pos").cast("long").as("pos"), col("doc_id"),
+            col("mmr"))
+      },
+      {
+        val cosAB = {
+          val dot = "list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[])"
+          val na  = "sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[]))"
+          val nb  = "sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))"
+          s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END)"
+        }
+        val steps = (2 to MmrK).map { t =>
+          val prev = if (t == 2) "s1" else s"p${t - 1}"
+          s"""s$t AS (
+             |  SELECT $t AS pos, id, mmr FROM (
+             |    SELECT c.id, round($MmrLambda::DOUBLE * c.rel
+             |        - (1.0::DOUBLE - $MmrLambda::DOUBLE) * ms.m, 6) AS mmr
+             |    FROM cand c JOIN (
+             |      SELECT ia AS id, max(sim) AS m FROM sims
+             |      WHERE ib IN (SELECT id FROM $prev) GROUP BY ia) ms
+             |      ON ms.id = c.id
+             |    WHERE c.id NOT IN (SELECT id FROM $prev))
+             |  ORDER BY mmr DESC, id LIMIT 1),
+             |p$t AS (SELECT id FROM $prev UNION ALL SELECT id FROM s$t)"""
+            .stripMargin
+        }.mkString(",\n")
+        val unions = (1 to MmrK).map(t => s"SELECT * FROM s$t")
+          .mkString(" UNION ALL ")
+        s"""WITH cand AS (
+           |  SELECT vec_id AS id, round($cosSql, 6) AS rel, embedding AS v
+           |  FROM embeddings ORDER BY rel DESC, id LIMIT $MmrN),
+           |sims AS (
+           |  SELECT a.id AS ia, b.id AS ib, round($cosAB, 6) AS sim
+           |  FROM cand a JOIN cand b ON a.id <> b.id),
+           |s1 AS (SELECT 1 AS pos, id, rel AS mmr FROM cand
+           |       ORDER BY rel DESC, id LIMIT 1),
+           |$steps
+           |SELECT pos::BIGINT AS pos, id AS doc_id, mmr
+           |FROM ($unions) ORDER BY pos""".stripMargin
       }))
 
   private def allQueries: Seq[Q] = {

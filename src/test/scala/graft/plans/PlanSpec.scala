@@ -457,6 +457,30 @@ class PlanSpec extends SparkSpec {
       "t-test should be two stacked aggregates, not a join:\n" + s)
   }
 
+  test("q151: conversion latency is two min-aggregates on the user key, no window") {
+    val s = fmtOf("q151_time_to_convert")
+    assert(!s.contains("Window"),
+      "latency must come from min-aggs, not per-user sort windows:\n" + s)
+  }
+
+  test("q152: the curriculum page is TakeOrdered, never a global sort") {
+    val s = fmtOf("q152_curriculum_order")
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("q153: MMR is one aggregate over a TakeOrdered shortlist — no chained shuffles") {
+    val s = fmtOf("q153_mmr_rerank")
+    assert(s.contains("TakeOrderedAndProject"),
+      "shortlist must plan as top-k:\n" + s)
+    assert(s.contains("mmr_select"),
+      "selection must run as the native expression:\n" + s)
+    assert(!s.contains("Window"), s)
+    // one shortlist pass: a single partial/final collect pair (each
+    // node appears twice in formatted output — tree + details)
+    assert("ObjectHashAggregate".r.findAllIn(s).size <= 4,
+      "more aggregate passes than the single collect:\n" + s)
+  }
+
   test("q149/q150: rare_terms reads only the dictionary; dis_max probe is pruned") {
     val s = fmtOf("q149_rare_terms")
     assert(!s.contains("postings") && !s.contains("positions"),
