@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fixed-iteration PageRank (Page et al. 1999) as iterative DataFrame
+  * algebra — the Pregel-lite shape: each iteration is ONE partial-agg
+  * groupBy of edge contributions joined back to the rank relation, so
+  * an iteration costs exactly one shuffle on the node key and the edge
+  * relation partitions once and is reused (cached here; at 100 TB,
+  * co-partition edges and ranks on src so the join is shuffle-free and
+  * checkpoint every few iterations to cut the lineage).
+  *
+  * Cross-engine determinism: a node's incoming contribution sum is
+  * order-dependent in doubles, so each contribution is rounded to
+  * 12 dp and summed as DECIMAL(28,12) — exact in ANY order on any
+  * engine — and each new rank is re-rounded to 12 dp. The oracle
+  * (q154) replays the identical integer-decimal algebra.
+  */
+object PageRank {
+
+  /** `edges`: (src: string, dst: string), treated as given (pre-dedup
+    * them if multiplicity is not intended). Every node must have at
+    * least one out-edge (symmetrize bipartite graphs — this keeps the
+    * dangling-mass redistribution term out of the algebra).
+    * Returns (node, rank) after `iters` damped iterations from the
+    * uniform start, rank rounded to 6 dp. */
+  def run(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val e = edges.select(col("src"), col("dst")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count() // metadata-scale action: one long
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+
+    val init = nodes.select(col("node"),
+      round(lit(1.0) / n, 12).cast(DecimalType(28, 12)).as("rank"))
+
+    val ranks = (1 to iters).foldLeft(init) { case (r, _) =>
+      val contrib = e
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          round(col("rank").cast("double") / col("deg").cast("double"), 12)
+            .cast(DecimalType(28, 12)).as("c"))
+      // every node has an out-edge (precondition), hence also appears
+      // as a dst in the symmetrized graph — but keep the left join so
+      // an isolated src-only node degrades to the teleport term
+      nodes
+        .join(contrib.groupBy("node").agg(sum("c").as("s")), Seq("node"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) / n +
+            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12)
+            .cast(DecimalType(28, 12)).as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank").cast("double"), 6).as("rank"))
+  }
+}
