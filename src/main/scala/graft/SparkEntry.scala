@@ -4681,7 +4681,306 @@ object SparkEntry {
            |$steps
            |SELECT pos::BIGINT AS pos, id AS doc_id, mmr
            |FROM ($unions) ORDER BY pos""".stripMargin
-      }))
+      }),
+
+    Q("q154_filtered_knn",
+      // Metadata-filtered exact kNN (ES `knn.filter` semantics,
+      // PRE-filter): predicate BEFORE scoring, so a selective filter
+      // still fills k. The predicate reaches the parquet scan as a
+      // pushed filter (PlanSpec-pinned); at 100 TB a partition-keyed
+      // predicate prunes files before any cosine runs.
+      (s, dir) => VectorSearch.topKFiltered(Tables.embeddings(s, dir),
+        "vec_id", "embedding", QueryVec, 10, col("label") === 3),
+      s"""SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
+         |FROM embeddings WHERE label = 3
+         |ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin),
+
+    Q("q155_ivf_filtered_knn",
+      // Same filter through the persisted IVF index: the allow-set
+      // semi-join is applied INSIDE the pruned probe (FAISS IDSelector
+      // shape). nProbe = nCells ⇒ exact, so the filtered brute-force
+      // oracle pins it bit-for-bit; tighter probes are the production
+      // knob (recall floor in FilteredKnnSpec).
+      (s, dir) => graft.index.IvfIndex.knnFiltered(s, ivfFor(s, dir),
+        QueryVec, 10,
+        Tables.embeddings(s, dir).filter(col("label") === 3)
+          .select(col("vec_id")),
+        nProbe = 8),
+      s"""SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
+         |FROM embeddings WHERE label = 3
+         |ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin),
+
+    Q("q156_sequence_packing",
+      // Training-sequence packing (GPT concat-and-chunk): md5-sharded,
+      // per-shard deterministic order + running token offset, docs
+      // sliced into 64-token sequences. ALL running state is per-shard
+      // (window partitioned by shard — shards pack in parallel, no
+      // global sort); at 100 TB nShards ≈ output-file count, so each
+      // window sorts a file-sized slice. Integer `div` keeps sequence
+      // ids exact past 2^53 tokens.
+      (s, dir) => graft.pipeline.Packing.packStats(
+        Tables.documents(s, dir), "doc_id", "text",
+        nShards = 8, seqLen = 64),
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    ${md5LongSql("'epoch0|' || doc_id::VARCHAR")} % 8 AS shard,
+         |    ${md5LongSql("doc_id::VARCHAR")} AS k,
+         |    len($toksSql)::BIGINT AS n_tokens
+         |  FROM documents),
+         |off AS (
+         |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY k, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS start_off
+         |  FROM base),
+         |lay AS (
+         |  SELECT *, start_off // 64 AS seq_first,
+         |    CASE WHEN n_tokens > 0
+         |         THEN (start_off + n_tokens - 1) // 64
+         |         ELSE start_off // 64 END AS seq_last
+         |  FROM off)
+         |SELECT shard, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS total_tokens,
+         |  ceil(sum(n_tokens)::DOUBLE / 64)::BIGINT AS n_seqs,
+         |  sum(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_split_docs,
+         |  round(sum(n_tokens)::DOUBLE /
+         |    (ceil(sum(n_tokens)::DOUBLE / 64)::BIGINT * 64)::DOUBLE, 6)
+         |    AS efficiency
+         |FROM lay GROUP BY shard ORDER BY shard""".stripMargin),
+
+    Q("q157_entity_resolution",
+      // Record linkage (Fellegi-Sunter/Splink shape): blocking on the
+      // 7-digit name-prefix key bounds pair cost to Σ|block|²; pairs
+      // verified by Levenshtein ≤ 1 + weighted field score; transitive
+      // closure (pregel label propagation) → entities; survivorship
+      // elects a golden record per multi-member entity. The oracle
+      // replays blocking, scoring, a recursive-CTE closure, and the
+      // same survivorship rules.
+      (s, dir) => graft.operators.RecordLinkage.goldenRecords(
+        Tables.customer(s, dir), "c_custkey", "c_name",
+        substring(col("c_name"), 10, 7), "c_acctbal",
+        maxEdit = 1, minScore = 0.6)
+        .orderBy("cluster_id"),
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS nm, c_acctbal AS v,
+        |         substr(c_name, 10, 7) AS blk
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT l.id AS a, r.id AS b,
+        |    levenshtein(l.nm, r.nm)::BIGINT AS d,
+        |    round(0.7 * (1 - levenshtein(l.nm, r.nm)::DOUBLE /
+        |        greatest(len(l.nm), len(r.nm))::DOUBLE)
+        |      + 0.3 / (1 + abs(l.v - r.v)), 6) AS score
+        |  FROM base l JOIN base r ON l.blk = r.blk AND l.id < r.id
+        |  WHERE levenshtein(l.nm, r.nm) <= 1),
+        |acc AS (SELECT a, b FROM pairs WHERE score >= 0.6),
+        |edges AS (SELECT a AS src, b AS dst FROM acc
+        |          UNION SELECT b, a FROM acc),
+        |cc AS (
+        |  WITH RECURSIVE cc0(node, label) AS (
+        |    SELECT id, id FROM base
+        |    UNION
+        |    SELECT e.dst, cc0.label FROM cc0
+        |    JOIN edges e ON cc0.node = e.src)
+        |  SELECT node AS id, min(label) AS cluster_id
+        |  FROM cc0 GROUP BY node)
+        |SELECT cluster_id, min(b.id) AS canonical_id,
+        |  count(*)::BIGINT AS n_members,
+        |  max(b.v) AS survivor_value,
+        |  sum(b.v::DECIMAL(18,4))::DOUBLE AS total_value
+        |FROM base b JOIN cc USING (id)
+        |GROUP BY cluster_id HAVING count(*) > 1
+        |ORDER BY cluster_id""".stripMargin),
+
+    Q("q158_incremental_mv",
+      // Incremental materialized-view maintenance (Gupta-Mumick delta
+      // algebra): MV(v2) = MV(v1) ⊎ Δ where Δ aggregates ONLY the
+      // changed rows of the snapshot diff (insert/delete/update-both-
+      // sides) — the corpus is never re-aggregated. The flow exercises
+      // the real SnapshotCatalog (two committed versions in a temp
+      // table); the oracle recomputes the v2 aggregate from scratch, so
+      // a green row proves incremental ≡ recompute.
+      (s, dir) => {
+        import graft.table.{MaterializedView, SnapshotCatalog}
+        val base =
+          java.nio.file.Files.createTempDirectory("graft_mv_").toString
+        val cat = SnapshotCatalog(s, base)
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        // v1: every tenth key missing; v2: every 13th-mod-1 key deleted,
+        // the tenth keys (re)inserted, every seventh acctbal bumped
+        val v1 = cat.write("t", cust.filter(col("c_custkey") % 10 =!= 0))
+        val v2 = cat.write("t", cust.filter(col("c_custkey") % 13 =!= 1)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+              .otherwise(col("c_acctbal"))))
+        val mv1 = MaterializedView.refresh(cat.readAt("t", v1),
+          "c_mktsegment", "c_acctbal")
+        MaterializedView.maintain(mv1, cat.readAt("t", v1),
+            cat.readAt("t", v2), "c_custkey", "c_mktsegment", "c_acctbal")
+          .select(col("c_mktsegment"), col("n_rows"),
+            col("total").cast("double").as("total_bal"))
+          .orderBy("c_mktsegment")
+      },
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+        |  sum(c_acctbal::DECIMAL(18,4))::DOUBLE AS total_bal
+        |FROM (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 13 <> 1)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    Q("q159_top_hits",
+      // ES terms + top_hits: per-source top-3 documents by length. The
+      // per-bucket shortlist comes from the k-bounded TopKByScoreAgg
+      // (partial-agg friendly, each map task keeps ≤ k rows per bucket)
+      // — NEVER a row_number window over the corpus; the oracle uses the
+      // window formulation, pinning the agg's (score desc, id asc)
+      // order cross-engine.
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(org.apache.spark.sql.graftext.TopKByScoreAgg.topKByScore(
+          col("n_chars").cast("double"), col("doc_id"), 3).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("rk", "t")))
+        .select(col("source"), (col("rk") + 1).cast("long").as("rk"),
+          col("t.id").as("doc_id"),
+          col("t.score").cast("long").as("hit_chars"))
+        .orderBy("source", "rk"),
+      """SELECT source, rk, doc_id, hit_chars FROM (
+        |  SELECT source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk,
+        |    doc_id, n_chars AS hit_chars
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin),
+
+    Q("q160_adjacency_matrix",
+      // ES adjacency_matrix agg: named filters A/B/C and their pairwise
+      // intersections counted in ONE scan of conditional partial aggs —
+      // no self-join, no N passes; at 100 TB this is a single
+      // map-side-combined traversal regardless of filter count.
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val fa = col("lang") === "en"
+        val fb = col("n_chars") >= 150
+        val fc = col("text").contains("data")
+        def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+        d.agg(cnt(fa).as("a"), cnt(fb).as("b"), cnt(fc).as("c"),
+          cnt(fa && fb).as("a_b"), cnt(fa && fc).as("a_c"),
+          cnt(fb && fc).as("b_c"))
+      },
+      """SELECT
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS a,
+        |  sum(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END)::BIGINT AS b,
+        |  sum(CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END)::BIGINT AS c,
+        |  sum(CASE WHEN lang = 'en' AND n_chars >= 150
+        |      THEN 1 ELSE 0 END)::BIGINT AS a_b,
+        |  sum(CASE WHEN lang = 'en' AND text LIKE '%data%'
+        |      THEN 1 ELSE 0 END)::BIGINT AS a_c,
+        |  sum(CASE WHEN n_chars >= 150 AND text LIKE '%data%'
+        |      THEN 1 ELSE 0 END)::BIGINT AS b_c
+        |FROM documents""".stripMargin),
+
+    Q("q161_auto_date_histogram",
+      // ES auto_date_histogram: the engine PICKS the interval — smallest
+      // rung of the {minute, hour, day, week, 30-day} ladder that fits
+      // the data span into ≤ 20 buckets. The span comes from a 1-row
+      // min/max agg broadcast back over the scan (metadata-scale, the
+      // q151 pattern); the choice is a CASE over that row, so the whole
+      // thing is ONE plan — no driver-side branching — and bucket ids
+      // are integer `div` arithmetic (exact at any scale).
+      (s, dir) => {
+        val sec = unix_timestamp(date_trunc("second", col("ts")))
+        val ev = Tables.events(s, dir).select(sec.as("s"), col("value"))
+        val iv = Seq(60L, 3600L, 86400L, 604800L).foldRight(
+          lit(2592000L).cast("long")) { (i, acc) =>
+          when(expr(s"(mx - mn) div $i") + 1 <= 20, lit(i)).otherwise(acc)
+        }
+        val stats = ev.agg(min("s").as("mn"), max("s").as("mx"))
+          .select(iv.as("iv"))
+        ev.crossJoin(broadcast(stats))
+          .groupBy(expr("s div iv").as("bucket"), col("iv"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            sum(d184(col("value"))).cast("double").as("sum_value"))
+          .select((col("bucket") * col("iv")).cast("long")
+              .as("bucket_start_sec"),
+            col("iv").cast("long").as("interval_sec"),
+            col("n_events"), col("sum_value"))
+          .orderBy("bucket_start_sec")
+      },
+      """WITH ev AS (
+        |  SELECT epoch(date_trunc('second', ts))::BIGINT AS s, value
+        |  FROM events),
+        |st AS (SELECT min(s) AS mn, max(s) AS mx FROM ev),
+        |iv AS (SELECT CASE
+        |    WHEN (mx - mn) // 60 + 1 <= 20 THEN 60
+        |    WHEN (mx - mn) // 3600 + 1 <= 20 THEN 3600
+        |    WHEN (mx - mn) // 86400 + 1 <= 20 THEN 86400
+        |    WHEN (mx - mn) // 604800 + 1 <= 20 THEN 604800
+        |    ELSE 2592000 END AS iv FROM st)
+        |SELECT (s // iv * iv)::BIGINT AS bucket_start_sec,
+        |  iv::BIGINT AS interval_sec,
+        |  count(*)::BIGINT AS n_events,
+        |  sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+        |FROM ev, iv
+        |GROUP BY 1, 2 ORDER BY bucket_start_sec""".stripMargin),
+
+    Q("q162_domain_prior",
+      // Per-domain quality prior with empirical-Bayes shrinkage toward
+      // the corpus mean: shrunk = (Σq + m·ḡ)/(n + m), m = 20 — the
+      // weight that stops a lucky 10-doc domain from dominating
+      // curation. Two agg levels; the global mean is a broadcast 1-row
+      // relation (q151 pattern). Domains relation is metadata-scale at
+      // any corpus size.
+      (s, dir) => graft.pipeline.DomainCuration.domainQualityPrior(
+        Tables.documents(s, dir), "source", "text")
+        .orderBy("domain"),
+      s"""WITH scored AS (
+         |  SELECT source AS domain, $qualitySql AS q FROM documents),
+         |per AS (SELECT domain, count(*)::BIGINT AS n_docs,
+         |        sum(q) AS sq FROM scored GROUP BY domain),
+         |g AS (SELECT sum(q) / count(*) AS gmean FROM scored)
+         |SELECT domain, n_docs,
+         |  round(sq / n_docs, 6) AS raw_mean,
+         |  round((sq + 20.0 * gmean) / (n_docs + 20.0), 6) AS shrunk_mean
+         |FROM per, g ORDER BY domain""".stripMargin),
+
+    Q("q163_mixture_temperature",
+      // Temperature mixture (GPT-3/Pile recipe): domain weight
+      // p ∝ tokens^0.5 (sqrt on BOTH engines for bit parity), keep rate
+      // min(1, B·p/T) rounded to ppm, admission by md5 % 1e6 — the
+      // hashSample convention, so the admitted set is integer-exact and
+      // engine-identical. Per-domain rates are a broadcast
+      // metadata-scale relation; the corpus is scanned once.
+      (s, dir) => graft.pipeline.DomainCuration.temperatureMixture(
+        Tables.documents(s, dir), "source", "doc_id", "text", 20000L)
+        .orderBy("domain"),
+      s"""WITH base AS (
+         |  SELECT source AS domain, doc_id,
+         |    len($toksSql)::BIGINT AS t,
+         |    ${md5LongSql("doc_id::VARCHAR")} % 1000000 AS h
+         |  FROM documents),
+         |per AS (SELECT domain, count(*)::BIGINT AS n_docs,
+         |        sum(t)::BIGINT AS n_tokens FROM base GROUP BY domain),
+         |tot AS (SELECT sum(sqrt(n_tokens::DOUBLE)) AS ss FROM per),
+         |rates AS (
+         |  SELECT domain, n_docs, n_tokens,
+         |    round(least(1.0, 20000.0 *
+         |      (sqrt(n_tokens::DOUBLE) / ss) / n_tokens::DOUBLE), 6)
+         |      AS rate,
+         |    round(round(least(1.0, 20000.0 *
+         |      (sqrt(n_tokens::DOUBLE) / ss) / n_tokens::DOUBLE), 6)
+         |      * 1e6)::BIGINT AS ppm
+         |  FROM per, tot)
+         |SELECT r.domain, r.n_docs, r.n_tokens, r.rate,
+         |  sum(CASE WHEN b.h < r.ppm THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  sum(CASE WHEN b.h < r.ppm THEN b.t ELSE 0 END)::BIGINT
+         |    AS kept_tokens
+         |FROM base b JOIN rates r ON b.domain = r.domain
+         |GROUP BY r.domain, r.n_docs, r.n_tokens, r.rate
+         |ORDER BY r.domain""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -78,15 +78,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as raw long nanos and rebuild a microsecond
-    * timestamp with integer arithmetic (a double division at 1e18 ns would
-    * lose precision — 53-bit mantissa). */
+  /** events.parquet has shipped `ts` as TIMESTAMP(NANOS) in some fixture
+    * generations (Spark's vectorized reader rejects it; with
+    * `nanosAsLong` it surfaces as raw long nanos, rebuilt to a
+    * microsecond timestamp with integer arithmetic — a double division
+    * at 1e18 ns would lose precision, 53-bit mantissa) and as plain
+    * TIMESTAMP(MICROS) in others (reads natively). Branch on the loaded
+    * dtype so both generations work. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // rebuilt-nanos generations produced TIMESTAMP_LTZ; align the
+        // native-micros read to the same type (session TZ is pinned UTC,
+        // so the instant is identical) — downstream `unix_micros` etc.
+        // require LTZ
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   /** The text/vector tables ship as one parquet row group, so Spark scans
     * them as ONE partition — and every per-row-heavy operator (minhash,

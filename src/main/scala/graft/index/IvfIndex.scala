@@ -370,6 +370,34 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Filtered IVF kNN — the FAISS `IDSelector` / ES `knn.filter` shape
+    * as a PRE-filter: the allow-set semi-join lands inside the pruned
+    * probe, BEFORE scoring and BEFORE the top-k, so a selective filter
+    * still fills k results (post-filtering an unfiltered top-k
+    * under-fills — that distinction is spec-pinned). `allowedIds` is
+    * broadcast: in production the filter is metadata-scale (a tenant, a
+    * collection, a date slice resolved to ids). When the attribute is
+    * corpus-scale it belongs IN the index partitions as a build-time
+    * column instead — same probe shape, the semi-join becomes a scan
+    * predicate. The probe still partition-prunes on `ivf_cell`; the
+    * semi-join is a broadcast hash join inside the probed partitions
+    * (no shuffle of the index). */
+  def knnFiltered(spark: SparkSession, indexDir: String,
+      queryVec: Array[Float], k: Int, allowedIds: DataFrame,
+      nProbe: Int = 2,
+      store: CommitStore = LocalCommitStore): DataFrame = {
+    val cells = probeCells(spark, indexDir, queryVec, nProbe, store)
+    val allow = allowedIds.toDF("doc_id")
+    graft.Tables.loadPath(spark, s"${currentDir(indexDir, store)}/ivf_vectors")
+      .filter(col("ivf_cell").isin(cells: _*))
+      .join(broadcast(allow), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        round(VectorFunctions.cosine(col("embedding"), typedLit(queryVec)), 6)
+          .as("vec_score"))
+      .orderBy(col("vec_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Batch IVF kNN: N query vectors in ONE pass over the index — the
     * IVF twin of [[SearchIndex.knnBatch]]. Each query ranks centroids
     * driver-side (index metadata) and probes its own nProbe cells; the

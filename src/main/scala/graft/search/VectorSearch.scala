@@ -34,6 +34,20 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Metadata-filtered exact kNN (the ES `knn.filter` / FAISS
+    * `IDSelector` semantics, PRE-filter form): the predicate restricts
+    * the candidate set BEFORE scoring, so the result always carries
+    * min(k, |matching|) rows — a post-filter over an unfiltered top-k
+    * would under-fill whenever the filter is selective. Because the
+    * predicate is applied directly to the scan relation, Catalyst pushes
+    * it into the parquet reader (`PushedFilters`) — at 100 TB a
+    * partition-keyed predicate (tenant, date slice, collection) prunes
+    * whole files before a single cosine is computed. */
+  def topKFiltered(embs: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    topK(embs.filter(pred), idCol, vecCol, queryVec, k)
+
   /** Bucket a vector table by LSH signature (index-build step). */
   def withLshBucket(embs: DataFrame, vecCol: String, dim: Int,
       nBits: Int = 8, seed: Long = 42L): DataFrame =

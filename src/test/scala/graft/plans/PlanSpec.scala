@@ -491,4 +491,44 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(d).size >= 1,
       "docfreq/stats sides must broadcast:\n" + d)
   }
+
+  test("q157: ER blocking is an equi-join on the block key, never cartesian") {
+    val s = fmtOf("q157_entity_resolution")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("Window"),
+      "pairs/survivorship must be joins + aggs, not windows:\n" + s)
+  }
+
+  test("q159: per-bucket top hits run as the k-bounded aggregate, no window") {
+    val s = fmtOf("q159_top_hits")
+    assert(!s.contains("Window"),
+      "top_hits must use TopKByScoreAgg, not row_number:\n" + s)
+    assert(s.contains("ObjectHashAggregate"), s)
+  }
+
+  test("q160: adjacency matrix is ONE scan of conditional aggs — no join, no repeat passes") {
+    val s = fmtOf("q160_adjacency_matrix")
+    assert(!s.contains("Join"), s)
+    // formatted output names each node twice (tree + details)
+    assert("Scan parquet".r.findAllIn(s).size <= 2,
+      "matrix must come from a single scan:\n" + s)
+  }
+
+  test("q161: auto interval choice is a broadcast 1-row relation, buckets partial-aggregate") {
+    val s = fmtOf("q161_auto_date_histogram")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastHashJoin"),
+      "interval stats must broadcast:\n" + s)
+    assert(s.contains("partial_count") || s.contains("HashAggregate"), s)
+  }
+
+  test("q162/q163: domain stats broadcast back over the corpus, no window") {
+    val a = fmtOf("q162_domain_prior")
+    assert(!a.contains("Window") && !a.contains("CartesianProduct"), a)
+    val b = fmtOf("q163_mixture_temperature")
+    assert(!b.contains("Window") && !b.contains("CartesianProduct"), b)
+    assert(b.contains("BroadcastHashJoin"),
+      "per-domain rates must broadcast to the admission scan:\n" + b)
+  }
 }

@@ -457,9 +457,15 @@ class StreamIngestSpec extends SparkSpec {
     val evDir = Files.createTempDirectory("ev_stream")
     Files.copy(Paths.get(s"$SfDir/events.parquet"),
       evDir.resolve("events.parquet"))
-    val evStream = StreamIngest.parquetStream(spark, evDir.toString,
+    val raw = StreamIngest.parquetStream(spark, evDir.toString,
       spark.read.parquet(s"$SfDir/events.parquet").schema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // mirror Tables.events: nanos generations surface ts as LONG (rebuild
+    // micros), micros generations read as TIMESTAMP_NTZ (cast to LTZ)
+    val evStream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val agg = StreamIngest.eventCountsByWindow(evStream)
     val q = agg.writeStream.format("memory").queryName("ev_counts")
       .outputMode("append")
