@@ -4980,7 +4980,177 @@ object SparkEntry {
          |    AS kept_tokens
          |FROM base b JOIN rates r ON b.domain = r.domain
          |GROUP BY r.domain, r.n_docs, r.n_tokens, r.rate
-         |ORDER BY r.domain""".stripMargin))
+         |ORDER BY r.domain""".stripMargin),
+
+    Q("q164_triangle_count",
+      // Compact-forward triangle counting over the ER link graph
+      // (q157's accepted pairs as canonically oriented edges): wedges =
+      // edge-edge join on the middle vertex, a wedge closes iff its
+      // endpoint pair is an edge (semi-join). Two shuffles, nothing
+      // collected; the oracle replays blocking, scoring and both joins.
+      (s, dir) => graft.operators.Triangles.count(
+        graft.operators.RecordLinkage.linkPairs(
+          Tables.customer(s, dir), "c_custkey", "c_name",
+          substring(col("c_name"), 10, 7), "c_acctbal",
+          maxEdit = 1, minScore = 0.6).select("a", "b")),
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS nm, c_acctbal AS v,
+        |         substr(c_name, 10, 7) AS blk
+        |  FROM customer),
+        |e AS (
+        |  SELECT l.id AS a, r.id AS b
+        |  FROM base l JOIN base r ON l.blk = r.blk AND l.id < r.id
+        |  WHERE levenshtein(l.nm, r.nm) <= 1
+        |    AND round(0.7 * (1 - levenshtein(l.nm, r.nm)::DOUBLE /
+        |          greatest(len(l.nm), len(r.nm))::DOUBLE)
+        |        + 0.3 / (1 + abs(l.v - r.v)), 6) >= 0.6),
+        |w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e e1 JOIN e e2 ON e1.b = e2.a),
+        |c AS (SELECT * FROM w WHERE EXISTS (
+        |        SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.z))
+        |SELECT (SELECT count(*) FROM w)::BIGINT AS n_wedges,
+        |  (SELECT count(*) FROM c)::BIGINT AS n_triangles,
+        |  round((SELECT count(*) FROM c)::DOUBLE /
+        |        (SELECT count(*) FROM w)::DOUBLE, 6) AS closure_rate"""
+        .stripMargin),
+
+    Q("q165_doc_keywords",
+      // Per-doc keyword tagging: top-3 tf·idf terms (smoothed sklearn
+      // idf) for the first 20 docs, with document frequencies from the
+      // WHOLE corpus (the df relation is vocabulary-scale and reusable;
+      // the tf side is pruned to the tagged docs). Per-doc top-k is a
+      // collect bounded by the doc's own vocabulary — never a corpus
+      // window; scores round to 6 dp BEFORE ranking so (score desc,
+      // term asc) is engine-exact.
+      (s, dir) => graft.text.Keywords.topTfidfTerms(
+        Tables.documents(s, dir), "doc_id", "text", 3,
+        forDocs = col("doc_id") < 20)
+        .orderBy("doc_id", "rk"),
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+         |       FROM toks GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*)::DOUBLE AS df
+         |          FROM tf GROUP BY term),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+         |      AS score
+         |  FROM tf JOIN dfreq USING (term), n
+         |  WHERE tf.doc_id < 20)
+         |SELECT doc_id, rk, term, score FROM (
+         |  SELECT doc_id, term, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term) AS rk
+         |  FROM scored)
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+
+    Q("q166_bitext_mining",
+      // Bitext mining (the LASER/CCMatrix shape): cross-lingual document
+      // pairs = embedding near-dup candidates from LSH buckets (q26's
+      // bucketed in-group combinations — never corpus²), kept when the
+      // two sides report DIFFERENT languages. The parallel-corpus miner
+      // for translation training data.
+      (s, dir) => {
+        val langs = Tables.documents(s, dir).select("doc_id", "lang")
+        Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir),
+            "vec_id", "embedding", EmbedDim, 0.1)
+          .join(langs.toDF("a", "lang_a"), "a")
+          .join(langs.toDF("b", "lang_b"), "b")
+          .filter(col("lang_a") =!= col("lang_b"))
+          .select("a", "b", "lang_a", "lang_b", "cos")
+          .orderBy("a", "b")
+      },
+      {
+        val cosAB = {
+          val dot = "list_dot_product(va::DOUBLE[], vb::DOUBLE[])"
+          val na  = "sqrt(list_dot_product(va::DOUBLE[], va::DOUBLE[]))"
+          val nb  = "sqrt(list_dot_product(vb::DOUBLE[], vb::DOUBLE[]))"
+          s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END)"
+        }
+        s"""WITH bucketed AS (
+           |  SELECT vec_id AS id, embedding AS v, ${lshBucketSql()} AS bucket
+           |  FROM embeddings),
+           |ok AS (SELECT bucket FROM bucketed GROUP BY bucket
+           |       HAVING count(*) <= ${Dedup.MaxGroupSize}),
+           |pairs AS (
+           |  SELECT a, b, cos FROM (
+           |    SELECT l.id AS a, r.id AS b,
+           |      round($cosAB, 6) AS cos
+           |    FROM (SELECT id, v AS va, bucket FROM bucketed) l
+           |    JOIN (SELECT id, v AS vb, bucket FROM bucketed) r
+           |      ON l.bucket = r.bucket
+           |    WHERE l.id < r.id
+           |      AND l.bucket IN (SELECT bucket FROM ok))
+           |  WHERE cos >= 0.1)
+           |SELECT p.a, p.b, da.lang AS lang_a, db.lang AS lang_b, p.cos
+           |FROM pairs p
+           |JOIN documents da ON da.doc_id = p.a
+           |JOIN documents db ON db.doc_id = p.b
+           |WHERE da.lang <> db.lang
+           |ORDER BY p.a, p.b""".stripMargin
+      }),
+
+    Q("q167_psi_drift",
+      // Population Stability Index between the first and second half of
+      // the event stream (time-split on the midpoint): bins = reference
+      // deciles (ONE percentile agg, 1-row broadcast), Laplace-smoothed
+      // proportions, per-bin PSI contribution. The data-quality drift
+      // gate in front of a training run; everything after the binned
+      // counts is a 10-row grid.
+      (s, dir) => {
+        val sec = unix_timestamp(date_trunc("second", col("ts")))
+        val ev = Tables.events(s, dir).select(sec.as("s"), col("value"))
+        val mid = ev.agg(((min("s") + max("s")) / 2).cast("long").as("m"))
+        graft.operators.Drift.psiBins(
+          ev.crossJoin(broadcast(mid)), "value", col("s") <= col("m"))
+      },
+      """WITH ev AS (
+        |  SELECT epoch(date_trunc('second', ts))::BIGINT AS s, value
+        |  FROM events),
+        |m AS (SELECT (min(s) + max(s)) // 2 AS m FROM ev),
+        |sided AS (SELECT value AS v, s <= m AS is_ref FROM ev, m),
+        |esr AS (
+        |  SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |                           0.6, 0.7, 0.8, 0.9]) AS qs
+        |  FROM sided WHERE is_ref),
+        |es AS (SELECT round(unnest(qs), 6) AS e FROM esr),
+        |binned AS (
+        |  SELECT (SELECT count(*) FROM es WHERE sided.v > es.e) + 1
+        |    AS bin, is_ref FROM sided),
+        |counts AS (
+        |  SELECT bin::BIGINT AS bin,
+        |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS ref_n,
+        |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS cur_n
+        |  FROM binned GROUP BY bin),
+        |tot AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM counts)
+        |SELECT bin, ref_n, cur_n,
+        |  round(((cur_n + 0.5) / (ct + 5.0) - (ref_n + 0.5) / (rt + 5.0))
+        |    * ln(((cur_n + 0.5) / (ct + 5.0)) /
+        |         ((ref_n + 0.5) / (rt + 5.0))), 6) AS psi_bin
+        |FROM counts, tot ORDER BY bin""".stripMargin),
+
+    Q("q168_search_collapse",
+      // ES field collapsing: BM25 top-20 through the persisted index,
+      // collapsed to the best hit per source (min-struct, no window),
+      // top-5 collapsed groups. The dedup-by-site SERP shape; all
+      // collapse algebra runs over the 20-row candidate set.
+      (s, dir) => {
+        val hits = graft.index.SearchIndex.bm25(s, indexFor(s, dir),
+            QueryText)
+          .select(col("doc_id"), round(col("text_score"), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+        hits.join(Tables.documents(s, dir).select("doc_id", "source"),
+            "doc_id")
+          .groupBy("source")
+          .agg(min(struct((col("bm25") * -1).as("nb"),
+            col("doc_id").as("d"))).as("m"))
+          .select(col("source"), col("m.d").as("doc_id"),
+            (col("m.nb") * -1).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id").asc).limit(5)
+      },
+      null)) // oracle assigned in allQueries: q28's BM25 CTE + collapse
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
@@ -4990,13 +5160,25 @@ object SparkEntry {
     val q67Sql = base.find(_.name == "q67_phrase_match").get.sql
     val q66Sql = base.find(_.name == "q66_quantized_knn").get.sql
     val q74Sql = base.find(_.name == "q74_proximity_match").get.sql
+    // q168 = q28's BM25 (as a nested CTE) + the collapse tail
+    val collapseSql =
+      s"""WITH hits AS ($q28Sql)
+         |SELECT source, doc_id, bm25 FROM (
+         |  SELECT d.source, h.doc_id, h.bm25,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY h.bm25 DESC, h.doc_id) AS rn
+         |  FROM hits h JOIN documents d USING (doc_id))
+         |WHERE rn = 1 ORDER BY bm25 DESC, doc_id LIMIT 5""".stripMargin
     (registry ++ indexedRegistry.map { q =>
       if (q.name == "q35_indexed_bm25") q.copy(sql = q28Sql)
       else if (q.name == "q80_indexed_phrase") q.copy(sql = q67Sql)
       else if (q.name == "q82_ivf_sq8_knn") q.copy(sql = q66Sql)
       else if (q.name == "q119_indexed_proximity") q.copy(sql = q74Sql)
       else q
-    }) ++ analyticsRegistry :+ q76 :+ q79 :+ q81 :+ q83 :+ q84 :+ q85 :+ q86 :+ q87
+    }) ++ analyticsRegistry.map { q =>
+      if (q.name == "q168_search_collapse") q.copy(sql = collapseSql)
+      else q
+    } :+ q76 :+ q79 :+ q81 :+ q83 :+ q84 :+ q85 :+ q86 :+ q87
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

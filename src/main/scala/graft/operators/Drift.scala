@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between a reference and a current slice
+  * of a metric column — the Population Stability Index (PSI), the
+  * standard data-quality gate in front of a model-training pipeline
+  * (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+  *
+  * Bins are the reference slice's interior deciles, so the reference
+  * distributes ~uniformly across bins and the index measures how far
+  * the current slice departs. Scale shape: the bin edges are ONE
+  * interpolated-percentile aggregate over the reference (a 1-row
+  * relation, broadcast back — the q151/q161 pattern); binning is a
+  * codegen'd comparison chain; everything after is a 10-row grid.
+  * Laplace smoothing (+0.5 per bin) keeps ln finite when a bin empties.
+  * Edges are rounded to 6 dp BEFORE binning so the bin boundaries are
+  * engine-exact (percentile interpolation is the only non-integer
+  * arithmetic upstream of the counts). */
+object Drift {
+
+  /** PSI of `valueCol` between the rows where `isRef` holds (reference)
+    * and the rest (current). Returns one row per bin:
+    * (bin, ref_n, cur_n, psi_bin), bins 1..nBins on reference deciles,
+    * plus the total as a final row with bin = 0 is NOT emitted — sum
+    * psi_bin for the headline number. */
+  def psiBins(df: DataFrame, valueCol: String, isRef: Column,
+      nBins: Int = 10): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.select(v.as("v"), isRef.as("is_ref"))
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val edges = base.filter(col("is_ref"))
+      .agg(expr(s"percentile(v, array(${qs.mkString(",")}))").as("es"))
+      .select((0 until nBins - 1).map(i =>
+        round(element_at(col("es"), i + 1), 6).as(s"e$i")): _*)
+    val binExpr = (0 until nBins - 1)
+      .map(i => when(col("v") > col(s"e$i"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    val counts = base.crossJoin(broadcast(edges))
+      .select(binExpr.as("bin"), col("is_ref"))
+      .groupBy("bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_n"))
+    val totals = counts.agg(sum("ref_n").as("rt"), sum("cur_n").as("ct"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin").cast("long").as("bin"), col("ref_n"),
+        col("cur_n"),
+        round(((col("cur_n") + 0.5) / (col("ct") + 0.5 * nBins) -
+          (col("ref_n") + 0.5) / (col("rt") + 0.5 * nBins)) *
+          log(((col("cur_n") + 0.5) / (col("ct") + 0.5 * nBins)) /
+            ((col("ref_n") + 0.5) / (col("rt") + 0.5 * nBins))), 6)
+          .as("psi_bin"))
+      .orderBy("bin")
+  }
+}

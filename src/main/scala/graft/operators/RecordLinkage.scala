@@ -10,37 +10,50 @@ import graft.dedup.Dedup
   * scoring, threshold, transitive closure into entities, and a
   * survivorship pass that elects one golden record per entity.
   *
-  * Scale design (100 TB): candidate generation is a self-equi-join on
-  * the blocking key — pair cost is Σ|block|², never |corpus|², so the
-  * blocking key IS the scale knob (standard ER practice). Oversized,
-  * non-discriminative blocks are dropped by `maxBlockSize` BEFORE the
-  * join (a broadcast of the offending keys — block-count stats are
-  * metadata-scale), the same hot-key discipline as the dedup family.
-  * Clustering reuses [[Dedup.nearDupClusters]] (pregel-shape label
-  * propagation); survivorship is one partial-agg-friendly groupBy over
-  * the clustered records. */
+  * Scale design (100 TB): candidate generation groups on the blocking
+  * key — pair cost is Σ|block|², never |corpus|², so the blocking key
+  * IS the scale knob (standard ER practice). Oversized,
+  * non-discriminative blocks are dropped by the `maxBlockSize`
+  * bounded-collect cap, the same hot-key discipline as the dedup
+  * family. Clustering reuses [[Dedup.nearDupClusters]] (pregel-shape
+  * label propagation); survivorship is one partial-agg-friendly groupBy
+  * over the clustered records. */
 object RecordLinkage {
 
   /** Candidate pairs within blocks, verified by Levenshtein distance on
     * `nameCol` ≤ `maxEdit` and scored: 0.7·name similarity (1 − dist /
     * max-len) + 0.3·numeric proximity (1 / (1 + |Δvalue|)). Returns
-    * (a, b, edit_dist, score) with a < b, score ≥ minScore. */
+    * (a, b, edit_dist, score) with a < b, score ≥ minScore.
+    *
+    * Pair generation is the repo's in-group-combination shape (groupBy
+    * block + memory-bounded collect + native pair explode), NOT a
+    * self-join: the input relation is scanned ONCE and only (block,
+    * id, name, value) rows shuffle; `maxBlockSize` doubles as the
+    * hot-key cap (a block larger than the cap is non-discriminative —
+    * dropping it is standard ER practice, and what the cap-exceeded
+    * collect signals with null). */
   def linkPairs(recs: DataFrame, idCol: String, nameCol: String,
       blockKey: Column, valueCol: String, maxEdit: Int,
       minScore: Double, maxBlockSize: Int = 10000): DataFrame = {
     val base = recs.select(col(idCol).as("id"), col(nameCol).as("nm"),
       col(valueCol).cast("double").as("v"), blockKey.as("blk"))
-    val oversized = base.groupBy("blk").count()
-      .filter(col("count") > maxBlockSize).select("blk")
-    val blocked = base.join(broadcast(oversized), Seq("blk"), "left_anti")
-    val l = blocked.select(col("blk"), col("id").as("a"),
-      col("nm").as("nm_a"), col("v").as("v_a"))
-    val r = blocked.select(col("blk"), col("id").as("b"),
-      col("nm").as("nm_b"), col("v").as("v_b"))
-    l.join(r, Seq("blk")).filter(col("a") < col("b"))
+    val grouped = base.groupBy("blk")
+      .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
+        .boundedCollectList(struct(col("id"), col("nm"), col("v")),
+          maxBlockSize)).as("xs"))
+      .filter(col("xs").isNotNull && size(col("xs")) >= 2)
+    grouped
+      .select(explode(org.apache.spark.sql.graftext.PairsAscExpr
+        .pairsAsc(col("xs"))).as("p"))
+      .select(col("p._1.id").as("a"), col("p._1.nm").as("nm_a"),
+        col("p._1.v").as("v_a"), col("p._2.id").as("b"),
+        col("p._2.nm").as("nm_b"), col("p._2.v").as("v_b"))
+      // banded threshold form (Ukkonen): O(len·maxEdit) per pair with
+      // early exit, vs O(len²) for the unbounded DP — the verify step is
+      // the hot loop of the whole operator. Returns -1 past the bound.
       .withColumn("edit_dist",
-        levenshtein(col("nm_a"), col("nm_b")).cast("long"))
-      .filter(col("edit_dist") <= maxEdit)
+        levenshtein(col("nm_a"), col("nm_b"), maxEdit).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxEdit)
       .withColumn("score", round(
         lit(0.7) * (lit(1.0) - col("edit_dist").cast("double") /
           greatest(length(col("nm_a")), length(col("nm_b")))

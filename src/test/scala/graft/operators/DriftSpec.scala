@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class DriftSpec extends SparkSpec {
+
+  test("identical reference and current slices give PSI ≈ 0") {
+    val ev = Tables.events(spark, SfDir).select(col("value"))
+      .withColumn("flip", monotonically_increasing_id() % 2 === 0)
+    // same distribution on both sides (alternating assignment)
+    val psi = Drift.psiBins(ev, "value", col("flip"))
+      .agg(sum("psi_bin")).head().getDouble(0)
+    assert(math.abs(psi) < 0.05, s"psi $psi should be ~0 on a null split")
+  }
+
+  test("a location shift drives PSI far above the 0.25 alarm bar") {
+    val ev = Tables.events(spark, SfDir).select(col("value"))
+      .withColumn("is_ref", monotonically_increasing_id() % 2 === 0)
+      .withColumn("value",
+        when(col("is_ref"), col("value")).otherwise(col("value") * 3 + 500))
+    val psi = Drift.psiBins(ev, "value", col("is_ref"))
+      .agg(sum("psi_bin")).head().getDouble(0)
+    assert(psi > 0.25, s"psi $psi should alarm on a shifted current slice")
+  }
+
+  test("bins partition both slices completely") {
+    val ev = Tables.events(spark, SfDir).select(col("value"))
+      .withColumn("is_ref", col("value") <= 250)
+    val bins = Drift.psiBins(ev, "value", col("is_ref"))
+    val total = bins.agg(sum(col("ref_n") + col("cur_n"))).head().getLong(0)
+    assert(total === ev.count())
+    assert(bins.filter(col("bin") < 1 || col("bin") > 10).count() === 0)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TrianglesSpec extends SparkSpec {
+
+  test("counts a known graph exactly (one triangle + one open wedge)") {
+    import spark.implicits._
+    // 1-2, 1-3, 2-3 form a triangle; 3-4 hangs off it
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = Triangles.count(edges).head()
+    assert(r.getAs[Long]("n_triangles") === 1L)
+    // wedges with ordered endpoints: (1,2,3) closed, (1,3,4) and (2,3,4) open
+    assert(r.getAs[Long]("n_wedges") === 3L)
+    assert(r.getAs[Double]("closure_rate") === 0.333333) // rounded to 6 dp
+  }
+
+  test("a clique of 4 has C(4,3)=4 triangles, every wedge closed") {
+    import spark.implicits._
+    val edges = (for {
+      a <- 1 to 4; b <- (a + 1) to 4
+    } yield (a.toLong, b.toLong)).toDF("a", "b")
+    val r = Triangles.count(edges).head()
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    assert(r.getAs[Double]("closure_rate") === 1.0)
+  }
+
+  test("a triangle-free graph (star) counts zero") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val r = Triangles.count(edges).head()
+    assert(r.getAs[Long]("n_triangles") === 0L)
+  }
+}

@@ -523,6 +523,26 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("partial_count") || s.contains("HashAggregate"), s)
   }
 
+  test("q164: wedge and closure joins are hash joins, never cartesian") {
+    val s = fmtOf("q164_triangle_count")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("Window"), s)
+  }
+
+  test("q165: per-doc top-k is a bounded collect, not a corpus window") {
+    val s = fmtOf("q165_doc_keywords")
+    assert(!s.contains("Window"),
+      "keyword ranking must be the bounded collect, not row_number:\n" + s)
+  }
+
+  test("q168: collapse runs over the pruned index probe without a window") {
+    val s = fmtOf("q168_search_collapse")
+    assert(s.contains("term_bucket"),
+      "collapse lost the probe's bucket pruning:\n" + s)
+    assert(!s.contains("Window"),
+      "best-per-source must be the min-struct agg:\n" + s)
+  }
+
   test("q162/q163: domain stats broadcast back over the corpus, no window") {
     val a = fmtOf("q162_domain_prior")
     assert(!a.contains("Window") && !a.contains("CartesianProduct"), a)

@@ -483,4 +483,39 @@ class StreamIngestSpec extends SparkSpec {
       "SELECT event_type, sum(n_events) n FROM ev_counts GROUP BY event_type")
     assert(perType.count() > 0)
   }
+
+  test("mvMaintainPipeline folds batches into a committed MV; replay is exactly-once") {
+    val src = Files.createTempDirectory("mv_src")
+    Files.copy(Paths.get(s"$SfDir/customer.parquet"),
+      src.resolve("customer.parquet"))
+    val catDir = Files.createTempDirectory("mv_cat").toString
+    val schema = spark.read.parquet(s"$SfDir/customer.parquet").schema
+
+    def run(ckp: String): Unit = {
+      val stream = StreamIngest.parquetStream(spark, src.toString, schema)
+      val q = StreamIngest.mvMaintainPipeline(stream, catDir, "mv",
+        "c_mktsegment", "c_acctbal", ckp)
+      q.awaitTermination(120000)
+    }
+    run(Files.createTempDirectory("mv_ckp1").toString)
+
+    val cat = graft.table.SnapshotCatalog(spark, catDir)
+    def canon = cat.read("mv")
+      .select(col("c_mktsegment"), col("n_rows"),
+        col("total").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val want = graft.table.MaterializedView.refresh(
+        Tables.customer(spark, SfDir), "c_mktsegment", "c_acctbal")
+      .select(col("c_mktsegment"), col("n_rows"),
+        col("total").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(canon === want)
+
+    // replay from a FRESH checkpoint (same batch ids): the tagged commit
+    // re-points to the existing version — nothing double-counts
+    run(Files.createTempDirectory("mv_ckp2").toString)
+    assert(canon === want)
+  }
 }
