@@ -5150,7 +5150,133 @@ object SparkEntry {
             (col("m.nb") * -1).as("bm25"))
           .orderBy(col("bm25").desc, col("doc_id").asc).limit(5)
       },
-      null)) // oracle assigned in allQueries: q28's BM25 CTE + collapse
+      null), // oracle assigned in allQueries: q28's BM25 CTE + collapse
+
+    Q("q169_merge_upsert",
+      // MERGE INTO (lakehouse upsert) against the snapshot catalog: one
+      // batch carrying updates (replace), inserts and tombstone deletes,
+      // applied as ONE full-outer join and committed as a new version.
+      // The oracle replays the merge algebra; the Spark side exercises
+      // the real catalog (write → mergeUpsert → read committed state).
+      (s, dir) => {
+        import graft.table.SnapshotCatalog
+        val base =
+          java.nio.file.Files.createTempDirectory("graft_merge_").toString
+        val cat = SnapshotCatalog(s, base)
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        cat.write("t", cust.filter(col("c_custkey") % 10 =!= 0))
+        val batch = cust
+          .filter(col("c_custkey") % 7 === 0 ||
+            col("c_custkey") % 10 === 0 || col("c_custkey") % 13 === 1)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 500.0)
+              .otherwise(col("c_acctbal")))
+          .withColumn("is_del", col("c_custkey") % 13 === 1)
+        cat.mergeUpsert("t", batch, "c_custkey", Some("is_del"))
+        cat.read("t").groupBy("c_mktsegment")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(d184(col("c_acctbal"))).cast("double").as("total_bal"))
+          .orderBy("c_mktsegment")
+      },
+      """WITH v1 AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey % 10 <> 0),
+        |batch AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 500.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    (c_custkey % 13 = 1) AS is_del
+        |  FROM customer
+        |  WHERE c_custkey % 7 = 0 OR c_custkey % 10 = 0
+        |     OR c_custkey % 13 = 1),
+        |merged AS (
+        |  SELECT
+        |    CASE WHEN b.c_custkey IS NOT NULL THEN b.c_mktsegment
+        |         ELSE t.c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN b.c_custkey IS NOT NULL THEN b.c_acctbal
+        |         ELSE t.c_acctbal END AS bal
+        |  FROM v1 t FULL OUTER JOIN batch b
+        |    ON t.c_custkey = b.c_custkey
+        |  WHERE b.is_del IS NULL OR NOT b.is_del)
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+        |  sum(bal::DECIMAL(18,4))::DOUBLE AS total_bal
+        |FROM merged GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin),
+
+    Q("q170_dataset_card",
+      // Dataset datasheet (the "datasheets for datasets" summary a
+      // curation run publishes): per-language doc/token counts, mean
+      // quality, median length, and exact-duplicate exposure — ONE
+      // composed plan: hash groups decide dup membership (partial-agg
+      // min/max trick — no distinct-count), everything else is a single
+      // scan of partial aggs.
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("lang"),
+          col("doc_id"), col("n_chars"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextFunctions.tokenCount(col("text")).as("t"),
+          md5(col("text")).as("h"))
+        val dup = d.groupBy("h")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).select("h")
+        d.join(dup.withColumn("is_dup", lit(true)), Seq("h"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("t")).as("n_tokens"),
+            round(avg(col("q")), 6).as("mean_quality"),
+            round(expr("percentile(n_chars, 0.5D)"), 6).as("p50_chars"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"))
+          .orderBy("lang")
+      },
+      s"""WITH d AS (
+         |  SELECT lang, doc_id, n_chars, $qualitySql AS q,
+         |    len($toksSql)::BIGINT AS t, md5(text) AS h
+         |  FROM documents),
+         |dup AS (SELECT h FROM d GROUP BY h HAVING count(*) > 1)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(t)::BIGINT AS n_tokens,
+         |  round(avg(q), 6) AS mean_quality,
+         |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+         |  sum(CASE WHEN d.h IN (SELECT h FROM dup)
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q("q171_leakage_safe_split",
+      // Leakage-safe train/eval split: the split unit is the NEAR-DUP
+      // CLUSTER (q60's connected components), so no near-duplicate of
+      // an eval doc can sit in training — the guard a benchmark-honest
+      // pretraining pipeline runs before any eval. Split is md5-ppm on
+      // the cluster id; the oracle replays LSH pairs, the recursive
+      // closure and the same split arithmetic.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clusters = Dedup.nearDupClusters(docs, "doc_id",
+          Dedup.minhashCandidatePairs(docs, "doc_id", "text"))
+        graft.pipeline.Sampling.groupSplit(
+            docs.join(clusters, "doc_id"), col("cluster_id"), 0.8)
+          .groupBy("split")
+          .agg(countDistinct("cluster_id").cast("long").as("n_clusters"),
+            count(lit(1)).cast("long").as("n_docs"),
+            sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+          .orderBy("split")
+      },
+      s"""WITH RECURSIVE ${minhashPairCtes()},
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |cc(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+         |lab AS (SELECT node AS doc_id, min(label) AS cluster_id
+         |        FROM cc GROUP BY node)
+         |SELECT CASE WHEN ${md5LongSql("cluster_id::VARCHAR")} % 1000000
+         |         < 800000 THEN 'train' ELSE 'eval' END AS split,
+         |  count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(len($toksSql))::BIGINT AS n_tokens
+         |FROM documents JOIN lab USING (doc_id)
+         |GROUP BY split ORDER BY split""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -21,6 +21,20 @@ object Sampling {
     df.filter(pmod(TextFunctions.md5Long(col(idCol).cast("string")), lit(M))
       < lit((rate * M).toLong))
 
+  /** Leakage-safe train/eval split: the split UNIT is a GROUP (a
+    * near-dup cluster, a source domain, a content hash) — every member
+    * of a group lands on the same side, so no near-duplicate of an eval
+    * document can leak into training (splitting by doc id, as
+    * [[hashSample]] does, gives ~rate·(1−rate) of every dup-pair a foot
+    * on each side). Deterministic md5 of the group key in ppm space;
+    * adds a `split` column, shuffles nothing (the group key is already
+    * on the row). */
+  def groupSplit(df: DataFrame, groupKey: Column,
+      trainRate: Double): DataFrame =
+    df.withColumn("split",
+      when(pmod(TextFunctions.md5Long(groupKey.cast("string")), lit(M))
+        < lit((trainRate * M).toLong), "train").otherwise("eval"))
+
   /** At most `n` rows per stratum, chosen by id-hash order (deterministic
     * "random" representative set). One shuffle on the stratum key. */
   def stratifiedTake(df: DataFrame, stratumCol: String, idCol: String,

@@ -131,6 +131,50 @@ final case class SnapshotCatalog(spark: SparkSession, baseDir: String,
     inserted.unionByName(deleted).unionByName(updated)
   }
 
+  /** MERGE INTO (the lakehouse upsert): apply a keyed batch to the
+    * current snapshot and commit the result as a new version —
+    * WHEN MATCHED (and not flagged deleted) the batch row REPLACES the
+    * table row (last-writer-wins), WHEN NOT MATCHED it inserts, and
+    * batch rows whose `deleteCol` is true are tombstones that remove
+    * the key. Duplicate keys in one batch are rejected up front (the
+    * SCD2 batch-hygiene rule; silent multi-match is the classic MERGE
+    * footgun).
+    *
+    * Plan shape: ONE full-outer join on the key — no window, no
+    * per-row lookups; at 100 TB the real cost is rewriting untouched
+    * rows, which a production format avoids by file-level copy-on-write
+    * (only files containing matched keys rewrite — the
+    * [[graft.index.SearchIndex]] bucket-swap shape applied to data
+    * files; version-directory granularity here keeps the semantics
+    * identical). Returns the committed version. */
+  def mergeUpsert(name: String, batch: DataFrame, keyCol: String,
+      deleteCol: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions._
+    requireUniqueKeysHere(batch, keyCol)
+    val cur = read(name)
+    val dataCols = cur.columns.filterNot(_ == keyCol).toSeq
+    val b = deleteCol match {
+      case Some(d) => batch.withColumn("__del", col(d).cast("boolean"))
+        .drop(d)
+      case None => batch.withColumn("__del", lit(false))
+    }
+    val merged = cur.as("t").join(b.as("s"), Seq(keyCol), "full_outer")
+      .filter(col("s.__del").isNull || !col("s.__del"))
+      .select(col(keyCol) +: dataCols.map(c =>
+        when(col("s.__del").isNotNull, col(s"s.$c"))
+          .otherwise(col(s"t.$c")).as(c)): _*)
+    write(name, merged)
+  }
+
+  private def requireUniqueKeysHere(batch: DataFrame,
+      keyCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val dups = batch.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dups == 0,
+      s"merge batch has duplicate keys on $keyCol — deduplicate first")
+  }
+
   /** Roll the table back to `version` — a pointer move, no data motion.
     * The abandoned newer versions stay readable until [[vacuum]]. */
   def rollback(name: String, version: Long): Unit = {

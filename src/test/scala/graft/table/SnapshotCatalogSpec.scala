@@ -60,6 +60,46 @@ class SnapshotCatalogSpec extends SparkSpec {
       ("updated", 2L, "B"))) // updated carries the NEW value
   }
 
+  test("mergeUpsert: update replaces, insert adds, tombstone removes — one new version") {
+    val c = fresh()
+    c.write("t", Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v"))
+    val batch = Seq(
+      (2L, "b2", 25.0, false), // update
+      (4L, "d", 40.0, false),  // insert
+      (3L, "c", 30.0, true),   // tombstone
+      (9L, "x", 0.0, true))    // tombstone for absent key: no-op
+      .toDF("k", "s", "v", "del")
+    val v = c.mergeUpsert("t", batch, "k", Some("del"))
+    assert(v === 2L)
+    val got = c.read("t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a", 10.0), (2L, "b2", 25.0), (4L, "d", 40.0)))
+    // history intact: v1 still shows the pre-merge state
+    assert(c.readAt("t", 1L).count() === 3)
+  }
+
+  test("mergeUpsert rejects a batch with duplicate keys") {
+    val c = fresh()
+    c.write("t", Seq((1L, "a", 1.0)).toDF("k", "s", "v"))
+    val dup = Seq((2L, "x", 1.0, false), (2L, "y", 2.0, false))
+      .toDF("k", "s", "v", "del")
+    intercept[IllegalArgumentException] {
+      c.mergeUpsert("t", dup, "k", Some("del"))
+    }
+  }
+
+  test("mergeUpsert without a delete column is pure upsert") {
+    val c = fresh()
+    c.write("t", Seq((1L, "a", 1.0)).toDF("k", "s", "v"))
+    c.mergeUpsert("t", Seq((1L, "a2", 2.0), (5L, "e", 5.0))
+      .toDF("k", "s", "v"), "k")
+    val got = c.read("t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a2"), (5L, "e")))
+  }
+
   test("a new write after rollback branches forward from the newest id") {
     val c = fresh()
     c.write("t", Seq(1L).toDF("id"))
