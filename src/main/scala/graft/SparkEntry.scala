@@ -5276,7 +5276,40 @@ object SparkEntry {
          |  count(*)::BIGINT AS n_docs,
          |  sum(len($toksSql))::BIGINT AS n_tokens
          |FROM documents JOIN lab USING (doc_id)
-         |GROUP BY split ORDER BY split""".stripMargin))
+         |GROUP BY split ORDER BY split""".stripMargin),
+
+    Q("q172_incremental_clusters",
+      // Continuous dedup: the corpus is clustered once (q60's CC), then
+      // a batch arrives — cross pairs from the persisted band index
+      // (q71's discovery, O(|batch|)), batch-internal pairs from the
+      // batch alone, and ONLY the touched clusters re-resolve (old
+      // connectivity collapses to star edges through the label node).
+      // The oracle is a FULL CC over the whole corpus: a green row
+      // proves incremental ≡ recompute, label for label.
+      (s, dir) => {
+        val docs  = Tables.documents(s, dir)
+        val old   = docs.filter(col("doc_id") % 5 =!= 0)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        val oldLabels = Dedup.nearDupClusters(old, "doc_id",
+          Dedup.minhashCandidatePairs(old, "doc_id", "text"))
+        val idx = Dedup.minhashBandIndex(old, "doc_id", "text")
+        val newPairs = Dedup
+          .incrementalCandidatePairs(idx, batch, "doc_id", "text")
+          .unionByName(
+            Dedup.minhashCandidatePairs(batch, "doc_id", "text"))
+        Dedup.incrementalClusters(oldLabels, "doc_id",
+            batch.select("doc_id"), newPairs)
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE ${minhashPairCtes()},
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |cc(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src)
+         |SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
+         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -130,6 +130,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental connected-components maintenance — the continuous-dedup
+    * shape: a NEW batch arrives with its discovered candidate pairs
+    * ([[incrementalCandidatePairs]] batch↔corpus plus
+    * [[minhashCandidatePairs]] batch↔batch) and cluster labels update
+    * WITHOUT re-running CC over the corpus.
+    *
+    * Only the AFFECTED subgraph recomputes: clusters touched by a new
+    * pair are reconstituted through star edges (member ↔ old label —
+    * the label is itself the min member, so old connectivity collapses
+    * to depth-1 edges), unioned with the new pairs and the new batch's
+    * self-labeled nodes, and label propagation runs on that subgraph
+    * alone. Untouched clusters pass through by reference. Per-batch
+    * cost is O(|batch| + |touched clusters|), independent of corpus
+    * size. Labels stay canonical (min member id), so the result is
+    * IDENTICAL to a full recompute over the union — spec- and
+    * oracle-pinned. (Caveat shared with [[incrementalCandidatePairs]]:
+    * the hot-band cap applies to the sizes each discovery pass sees, so
+    * a band crossing the cap only in the union can differ from the
+    * batch-rebuild — the standard incremental-LSH trade.)
+    *
+    * @param oldLabels (idCol, cluster_id) for the existing corpus
+    * @param newIds    batch ids (single column = idCol)
+    * @param newPairs  (a, b) candidate pairs touching the batch */
+  def incrementalClusters(oldLabels: DataFrame, idCol: String,
+      newIds: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val pairs = newPairs.select(col("a"), col("b")).localCheckpoint(true)
+    val touched = pairs.select(col("a").as("id"))
+      .unionByName(pairs.select(col("b").as("id"))).distinct()
+    val affectedClusters = oldLabels
+      .join(touched.withColumnRenamed("id", idCol), Seq(idCol),
+        "left_semi")
+      .select(col("cluster_id")).distinct()
+    val affectedMembers = oldLabels
+      .join(affectedClusters, Seq("cluster_id"), "left_semi")
+    // old connectivity as depth-1 star edges through the label node
+    val starEdges = affectedMembers
+      .filter(col(idCol) =!= col("cluster_id"))
+      .select(col(idCol).as("a"), col("cluster_id").as("b"))
+    val subNodes = affectedMembers.select(col(idCol))
+      .unionByName(newIds.toDF(idCol)).distinct()
+    val sub = nearDupClusters(subNodes, idCol,
+      pairs.unionByName(starEdges), maxIter)
+    oldLabels.join(affectedClusters, Seq("cluster_id"), "left_anti")
+      .select(col(idCol), col("cluster_id"))
+      .unionByName(sub)
+  }
+
   /** All (x, y) pairs with x < y from a sorted array column, as an array
     * of structs `(_1, _2)` — native expression, one primitive loop per
     * group (the HOF formulation dispatched an interpreted lambda per

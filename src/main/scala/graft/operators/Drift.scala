@@ -53,4 +53,54 @@ object Drift {
           .as("psi_bin"))
       .orderBy("bin")
   }
+
+  /** Reference-side artifact for streaming drift checks: rounded decile
+    * edges + smoothed per-bin proportions, computed ONCE over the
+    * reference corpus and then frozen (broadcast literals per
+    * micro-batch — the reference is never rescanned). */
+  def referenceProfile(ref: DataFrame, valueCol: String,
+      nBins: Int = 10): (Seq[Double], Seq[Double]) = {
+    val v = col(valueCol).cast("double")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val base = ref.select(v.as("v"))
+    val edges = base
+      .agg(expr(s"percentile(v, array(${qs.mkString(",")}))").as("es"))
+      .head().getSeq[Double](0).map(e => math.rint(e * 1e6) / 1e6)
+    val binExpr = edges
+      .map(e => when(col("v") > e, 1).otherwise(0))
+      .reduce(_ + _) + 1
+    val counts = base.select(binExpr.as("bin"))
+      .groupBy("bin").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val props = (1 to nBins).map(b =>
+      (counts.getOrElse(b, 0L) + 0.5) / (n + 0.5 * nBins))
+    (edges.toSeq, props)
+  }
+
+  /** PSI of `cur` against a frozen [[referenceProfile]] — one scan of
+    * the current slice, a 10-row grid after. Returns one row:
+    * (n_rows, psi). */
+  def psiAgainstReference(cur: DataFrame, valueCol: String,
+      edges: Seq[Double], refProps: Seq[Double]): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val nBins = refProps.size
+    val binExpr = edges
+      .map(e => when(v > e, 1).otherwise(0))
+      .reduce(_ + _) + 1
+    val counts = cur.select(binExpr.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("t"))
+    import cur.sparkSession.implicits._
+    val refDf = refProps.zipWithIndex.map { case (p, i) => (i + 1, p) }
+      .toDF("bin", "ref_p")
+    counts.join(broadcast(refDf), Seq("bin"), "full_outer")
+      .crossJoin(broadcast(total))
+      .select(coalesce(col("n"), lit(0L)).as("n"), col("ref_p"),
+        ((coalesce(col("n"), lit(0L)) + 0.5) /
+          (col("t") + 0.5 * nBins)).as("cur_p"))
+      .agg(sum(col("n")).as("n_rows"),
+        round(sum((col("cur_p") - col("ref_p")) *
+          log(col("cur_p") / col("ref_p"))), 6).as("psi"))
+  }
 }

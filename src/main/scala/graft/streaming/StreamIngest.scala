@@ -308,6 +308,34 @@ object StreamIngest {
       }
       .start()
 
+  /** Streaming drift gate: every micro-batch's `valueCol` distribution
+    * is scored against a FROZEN [[graft.operators.Drift.referenceProfile]]
+    * (edges + proportions ride along as broadcast literals — the
+    * reference corpus is never rescanned), and one (batch_id, n_rows,
+    * psi, alarm) row is appended per batch. The alerting front of a
+    * training-data pipeline: a shifted upstream feed trips `psiBar`
+    * before the batch reaches curation. Idempotent on replay (output
+    * partitioned by batch_id, first write wins). */
+  def driftAlertPipeline(rows: DataFrame, valueCol: String,
+      edges: Seq[Double], refProps: Seq[Double], psiBar: Double,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$outDir/batch_id=$batchId"))) {
+          graft.operators.Drift
+            .psiAgainstReference(df, valueCol, edges, refProps)
+            .withColumn("alarm", col("psi") > psiBar)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").partitionBy("batch_id").parquet(outDir)
+        }
+      }
+      .start()
+
   /** Windowed event aggregation with a watermark: per (window, type)
     * counts/sums, late data beyond `watermark` dropped. State is bounded
     * by the watermark — the only design that survives an unbounded

@@ -518,4 +518,30 @@ class StreamIngestSpec extends SparkSpec {
     run(Files.createTempDirectory("mv_ckp2").toString)
     assert(canon === want)
   }
+
+  test("driftAlertPipeline: stable feed stays quiet, shifted feed alarms") {
+    import graft.operators.Drift
+    val events = Tables.events(spark, SfDir).select(col("value"))
+    val (edges, props) = Drift.referenceProfile(events, "value")
+
+    def score(df: org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val src = Files.createTempDirectory("drift_src")
+      df.coalesce(1).write.mode("overwrite").parquet(src.toString)
+      val out = Files.createTempDirectory("drift_out").toString
+      val ckp = Files.createTempDirectory("drift_ckp").toString
+      val stream = StreamIngest.parquetStream(spark, src.toString,
+        spark.read.parquet(src.toString).schema)
+      val q = StreamIngest.driftAlertPipeline(stream, "value", edges,
+        props, psiBar = 0.25, out, ckp)
+      q.awaitTermination(120000)
+      val r = spark.read.parquet(out).head()
+      (r.getAs[Double]("psi"), r.getAs[Boolean]("alarm"))
+    }
+
+    val (psiSame, alarmSame) = score(events)
+    assert(!alarmSame && psiSame < 0.05, s"stable feed psi=$psiSame")
+    val (psiShift, alarmShift) =
+      score(events.select((col("value") * 3 + 500).as("value")))
+    assert(alarmShift && psiShift > 0.25, s"shifted feed psi=$psiShift")
+  }
 }
