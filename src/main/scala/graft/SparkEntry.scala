@@ -48,6 +48,13 @@ object SparkEntry {
     2L -> "filter group data stream customer",
     3L -> "table scan part order key")
 
+  /** q173 blocklist: token-level gate terms (C4-badwords stand-ins from
+    * the fixture vocabulary so the gate does real work; both the Spark
+    * literal and the oracle list interpolate from here). */
+  val BlocklistTerms: Seq[String] = Seq("slow", "dup", "error")
+  private def blocklistSql: String =
+    BlocklistTerms.map(t => s"'$t'").mkString("[", ",", "]")
+
   /** q150 dis_max second clause + boosting negative term (eager: the
     * oracle SQL is interpolated at registry construction). */
   val DisMaxClause2: Seq[String] =
@@ -5309,7 +5316,149 @@ object SparkEntry {
          |  UNION
          |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src)
          |SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
-         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin))
+         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin),
+
+    Q("q173_blocklist_filter",
+      // C4-style blocklist gate: token-level matching (list intersect —
+      // word boundaries for free, no regex), per-language flag rates
+      // and the token mass a removal would cost. One codegen'd scan +
+      // one partial agg; the blocklist broadcasts as a literal.
+      (s, dir) => {
+        val toks = TextFunctions.tokens(col("text"))
+        val hit = size(array_intersect(toks,
+          typedLit(BlocklistTerms))) > 0
+        Tables.documents(s, dir)
+          .select(col("lang"), hit.as("flagged"),
+            TextFunctions.tokenCount(col("text")).as("t"))
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+            round(sum(when(col("flagged"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1)).cast("double"), 6)
+              .as("flag_rate"),
+            sum(when(col("flagged"), col("t")).otherwise(0L))
+              .as("flagged_tokens"))
+          .orderBy("lang")
+      },
+      s"""SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+         |  round(sum(CASE WHEN hit THEN 1 ELSE 0 END)::DOUBLE
+         |        / count(*)::DOUBLE, 6) AS flag_rate,
+         |  sum(CASE WHEN hit THEN t ELSE 0 END)::BIGINT AS flagged_tokens
+         |FROM (
+         |  SELECT lang,
+         |    len(list_intersect($toksSql, $blocklistSql)) > 0 AS hit,
+         |    len($toksSql)::BIGINT AS t
+         |  FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q("q174_rouge_eval",
+      // ROUGE-2 over the minhash candidate pairs: distinct-bigram
+      // precision/recall/F1 of doc b against doc a — the summarization/
+      // paraphrase eval harness, run only on LSH candidates (never
+      // corpus²). Top-30 by F1.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = docs.select(col("doc_id"),
+          array_distinct(TextFunctions.shingles(
+            TextFunctions.tokens(col("text")), 2)).as("sh"))
+        val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+        pairs
+          .join(sh.toDF("a", "sh_a"), "a")
+          .join(sh.toDF("b", "sh_b"), "b")
+          .select(col("a"), col("b"),
+            size(array_intersect(col("sh_a"), col("sh_b")))
+              .cast("double").as("inter"),
+            size(col("sh_a")).cast("double").as("na"),
+            size(col("sh_b")).cast("double").as("nb"))
+          .filter(col("na") > 0 && col("nb") > 0)
+          .select(col("a"), col("b"),
+            round(col("inter") / col("nb"), 6).as("rouge2_p"),
+            round(col("inter") / col("na"), 6).as("rouge2_r"),
+            round(when(col("inter") === 0, 0.0)
+              .otherwise(lit(2.0) * (col("inter") / col("nb")) *
+                (col("inter") / col("na")) /
+                ((col("inter") / col("nb")) + (col("inter") / col("na")))),
+              6).as("rouge2_f"))
+          .orderBy(col("rouge2_f").desc, col("a").asc, col("b").asc)
+          .limit(30)
+      },
+      {
+        val sh2 = "[l[i] || ' ' || l[i+1] for i in range(1, len(l))]"
+        s"""WITH ${minhashPairCtes()},
+           |sh AS (
+           |  SELECT doc_id, list_distinct($sh2) AS s
+           |  FROM (SELECT doc_id, $toksSql AS l FROM documents)),
+           |scored AS (
+           |  SELECT p.a, p.b,
+           |    len(list_intersect(sa.s, sb.s))::DOUBLE AS inter,
+           |    len(sa.s)::DOUBLE AS na, len(sb.s)::DOUBLE AS nb
+           |  FROM pairs p
+           |  JOIN sh sa ON sa.doc_id = p.a
+           |  JOIN sh sb ON sb.doc_id = p.b
+           |  WHERE len(sa.s) > 0 AND len(sb.s) > 0)
+           |SELECT a, b, round(inter / nb, 6) AS rouge2_p,
+           |  round(inter / na, 6) AS rouge2_r,
+           |  round(CASE WHEN inter = 0 THEN 0.0
+           |    ELSE 2 * (inter / nb) * (inter / na) /
+           |         ((inter / nb) + (inter / na)) END, 6) AS rouge2_f
+           |FROM scored
+           |ORDER BY rouge2_f DESC, a, b LIMIT 30""".stripMargin
+      }),
+
+    Q("q175_revenue_attribution",
+      // Last-touch revenue attribution: each purchase credits the
+      // user's most recent preceding touch (view/click/signup) via the
+      // engine's as-of join — one shuffle + one ordered carry, no
+      // per-purchase lookup; purchases with no prior touch fall into
+      // 'none'. Shares are decimal-exact sums over a broadcast 1-row
+      // total.
+      (s, dir) => {
+        import graft.operators.AsOfJoin
+        val ev = Tables.events(s, dir)
+          .withColumn("ts", date_trunc("second", col("ts")))
+        val touches = ev
+          .filter(col("event_type").isin("view", "click", "signup"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("touch_type"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        val attributed = AsOfJoin.asOf(purchases, touches,
+            Seq("user_id"), "ts", "ts", Seq("touch_type"),
+            tiebreak = "event_id")
+          .select(coalesce(col("touch_type"), lit("none"))
+            .as("touch_type"), col("value"))
+        val per = attributed.groupBy("touch_type")
+          .agg(count(lit(1)).cast("long").as("n_purchases"),
+            sum(d184(col("value"))).as("rev"))
+        per.crossJoin(broadcast(
+            per.agg(sum(col("rev")).as("tot"))))
+          .select(col("touch_type"), col("n_purchases"),
+            col("rev").cast("double").as("attributed_revenue"),
+            round(col("rev").cast("double") / col("tot").cast("double"),
+              6).as("revenue_share"))
+          .orderBy("touch_type")
+      },
+      """WITH p AS (
+        |  SELECT user_id, date_trunc('second', ts) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |att AS (
+        |  SELECT coalesce(
+        |    (SELECT e.event_type FROM events e
+        |     WHERE e.user_id = p.user_id
+        |       AND e.event_type IN ('view', 'click', 'signup')
+        |       AND date_trunc('second', e.ts) <= p.ts
+        |     ORDER BY date_trunc('second', e.ts) DESC, e.event_id DESC
+        |     LIMIT 1), 'none') AS touch_type, p.value
+        |  FROM p),
+        |per AS (
+        |  SELECT touch_type, count(*)::BIGINT AS n_purchases,
+        |    sum(value::DECIMAL(18,4)) AS rev
+        |  FROM att GROUP BY touch_type)
+        |SELECT touch_type, n_purchases, rev::DOUBLE AS attributed_revenue,
+        |  round(rev::DOUBLE / (SELECT sum(rev) FROM per)::DOUBLE, 6)
+        |    AS revenue_share
+        |FROM per ORDER BY touch_type""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

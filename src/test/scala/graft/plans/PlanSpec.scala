@@ -543,6 +543,25 @@ class PlanSpec extends SparkSpec {
       "best-per-source must be the min-struct agg:\n" + s)
   }
 
+  test("q173: the blocklist gate is ONE scan — no join, no window") {
+    val s = fmtOf("q173_blocklist_filter")
+    assert(!s.contains("Join") && !s.contains("Window"), s)
+    assert("Scan parquet".r.findAllIn(s).size <= 2, s)
+  }
+
+  test("q174: ROUGE eval joins only LSH candidates; final page is TakeOrdered") {
+    val s = fmtOf("q174_rouge_eval")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("q175: attribution is the keyed as-of carry plus a broadcast total") {
+    val s = fmtOf("q175_revenue_attribution")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastHashJoin"), s)
+  }
+
   test("q162/q163: domain stats broadcast back over the corpus, no window") {
     val a = fmtOf("q162_domain_prior")
     assert(!a.contains("Window") && !a.contains("CartesianProduct"), a)
