@@ -5458,7 +5458,82 @@ object SparkEntry {
         |SELECT touch_type, n_purchases, rev::DOUBLE AS attributed_revenue,
         |  round(rev::DOUBLE / (SELECT sum(rev) FROM per)::DOUBLE, 6)
         |    AS revenue_share
-        |FROM per ORDER BY touch_type""".stripMargin))
+        |FROM per ORDER BY touch_type""".stripMargin),
+
+    Q("q176_mv_rewrite",
+      // Transparent MV answering: the user's aggregate targets the BASE
+      // table; the MvRewrite optimizer rule (registered on the session,
+      // MV maintained by MaterializedView.refresh) substitutes the
+      // |groups|-row MV scan with original names and ExprIds.
+      // MvRewriteSpec pins that the rewrite actually fires (scan paths)
+      // and its guardrails; this row pins cross-engine value parity of
+      // the served result.
+      (s, dir) => {
+        import org.apache.spark.sql.graftext.MvRewrite
+        if (!s.experimental.extraOptimizations.contains(MvRewrite))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MvRewrite
+        val basePath = s"$dir/customer.parquet"
+        val mvPath =
+          java.nio.file.Files.createTempDirectory("graft_mvrw_").toString
+        graft.table.MaterializedView.refresh(s.read.parquet(basePath),
+            "c_mktsegment", "c_acctbal")
+          .write.mode("overwrite").parquet(mvPath)
+        MvRewrite.register(s, basePath, mvPath, "c_mktsegment",
+          "c_acctbal")
+        s.read.parquet(basePath).groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(d184(col("c_acctbal"))).as("tot"))
+          .select(col("c_mktsegment"), col("n_rows"),
+            col("tot").cast("double").as("total_bal"))
+          .orderBy("c_mktsegment")
+      },
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+        |  sum(c_acctbal::DECIMAL(18,4))::DOUBLE AS total_bal
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin),
+
+    Q("q177_mad_outliers",
+      // Robust per-group anomaly gate: median + MAD (the outlier test
+      // that survives the outliers it hunts, unlike z-scores), flag =
+      // |v − med| > 3σ̂ with σ̂ = 1.4826·MAD. Two grid-size percentile
+      // aggs broadcast back over the scan (5 event types); medians and
+      // the threshold are rounded to 6 dp so the flag boundary is
+      // engine-exact.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          col("value"))
+        val med = ev.groupBy("event_type")
+          .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("ad", abs(col("value") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(round(expr("percentile(ad, 0.5D)"), 6).as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .withColumn("thr", round(lit(3 * 1.4826) * col("mad"), 6))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            min(col("med")).as("med"), min(col("mad")).as("mad"),
+            sum(when(col("ad") > col("thr"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy("event_type")
+      },
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS ad
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*)::BIGINT AS n,
+        |  min(d.med) AS med, min(m.mad) AS mad,
+        |  sum(CASE WHEN d.ad > round(4.4478 * m.mad, 6)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

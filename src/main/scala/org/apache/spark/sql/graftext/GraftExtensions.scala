@@ -214,9 +214,11 @@ object GraftFunctions {
     all.foreach { case (id, fi, b) =>
       spark.sessionState.functionRegistry.registerFunction(id, fi, b)
     }
-    if (!spark.experimental.extraOptimizations.contains(InferTermBucketFilter))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ InferTermBucketFilter
+    Seq(InferTermBucketFilter, MvRewrite).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
   }
 }
 
@@ -225,5 +227,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => InferTermBucketFilter)
+    ext.injectOptimizerRule(_ => MvRewrite)
   }
 }
