@@ -102,9 +102,16 @@ object Dedup {
     * stores (partitioned by band prefix at scale) so the corpus is
     * signed exactly once, ever. */
   def minhashBandIndex(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    minhashBandIndexFromSigs(minhashSignatures(docs, idCol, textCol))
+
+  /** [[minhashBandIndex]] from an already-computed signature frame —
+    * callers that need BOTH the band relation and the in-batch pairs
+    * (q172's continuous-dedup step) sign the batch ONCE (checkpoint the
+    * signatures) instead of twice. */
+  def minhashBandIndexFromSigs(sigs: DataFrame): DataFrame = {
     val nBands = NumHashes / BandSize
-    minhashBands(minhashSignatures(docs, idCol, textCol))
+    minhashBands(sigs)
       .select(col("doc_id"),
         explode(array((0 until nBands).map(i => col(s"b$i")): _*)).as("band"))
       .filter(col("band").isNotNull)
@@ -119,9 +126,16 @@ object Dedup {
     * Returns distinct (a = corpus id, b = batch id). */
   def incrementalCandidatePairs(bandIndex: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String,
+      maxGroupSize: Int = MaxGroupSize): DataFrame =
+    incrementalCandidatePairsFromBands(bandIndex,
+      minhashBandIndex(newDocs, idCol, textCol), maxGroupSize)
+
+  /** [[incrementalCandidatePairs]] from an already-computed batch band
+    * relation (see [[minhashBandIndexFromSigs]]). */
+  def incrementalCandidatePairsFromBands(bandIndex: DataFrame,
+      newBandRel: DataFrame,
       maxGroupSize: Int = MaxGroupSize): DataFrame = {
-    val newBands = minhashBandIndex(newDocs, idCol, textCol)
-      .withColumnRenamed("doc_id", "new_id")
+    val newBands = newBandRel.withColumnRenamed("doc_id", "new_id")
     val corpusByBand = bandIndex.groupBy("band")
       .agg(sort_array(boundedSet(col("doc_id"), maxGroupSize)).as("ids"))
       .filter(col("ids").isNotNull)
