@@ -5562,7 +5562,74 @@ object SparkEntry {
         |  sum(CASE WHEN d.ad > round(4.4478 * m.mad, 6)
         |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers
         |FROM dev d JOIN mad m USING (event_type)
-        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin))
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin),
+
+    Q("q178_point_in_time_features",
+      // Feature-store point-in-time join (Feast/Tecton): per purchase
+      // label, features from events STRICTLY before the label instant —
+      // same-second events excluded, the leakage guard. Each feature
+      // family is ONE keyed ordered pass (union + per-user window, the
+      // as-of shape); the oracle recomputes every feature with strict
+      // correlated subqueries.
+      (s, dir) => {
+        import graft.operators.PointInTime.strictPriorStats
+        val sec = unix_timestamp(date_trunc("second", col("ts")))
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          sec.as("s"), col("event_type"), col("event_id"), col("value"))
+        val labels = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("s"),
+            col("event_id").as("label_id"))
+        val fv = strictPriorStats(labels,
+          ev.filter(col("event_type") === "view"),
+          "user_id", "s", "s", None, "views")
+        val fc = strictPriorStats(labels,
+          ev.filter(col("event_type") === "click"),
+          "user_id", "s", "s", None, "clicks")
+        val fp = strictPriorStats(labels,
+          ev.filter(col("event_type") === "purchase"),
+          "user_id", "s", "s", Some("value"), "prior")
+        labels
+          .join(fv.select("label_id", "views_n"), "label_id")
+          .join(fc.select("label_id", "clicks_last_s"), "label_id")
+          .join(fp.select("label_id", "prior_n", "prior_sum"), "label_id")
+          .select(col("label_id"), col("user_id"), col("s"),
+            col("views_n").as("n_views_before"),
+            coalesce(col("s") - col("clicks_last_s"), lit(-1L))
+              .as("click_gap_sec"),
+            col("prior_n").as("n_prior_purchases"),
+            when(col("prior_n") === 0, 0.0)
+              .otherwise(round(col("prior_sum") / col("prior_n"), 6))
+              .as("prior_avg_value"))
+          .orderBy("label_id")
+      },
+      """WITH ev AS (
+        |  SELECT user_id, epoch(date_trunc('second', ts))::BIGINT AS s,
+        |         event_type, event_id, value
+        |  FROM events),
+        |p AS (SELECT user_id, s, event_id AS label_id FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT p.label_id, p.user_id, p.s,
+        |  (SELECT count(*) FROM ev e WHERE e.user_id = p.user_id
+        |     AND e.event_type = 'view' AND e.s < p.s)::BIGINT
+        |    AS n_views_before,
+        |  coalesce(p.s - (SELECT max(e.s) FROM ev e
+        |     WHERE e.user_id = p.user_id AND e.event_type = 'click'
+        |       AND e.s < p.s), -1)::BIGINT AS click_gap_sec,
+        |  (SELECT count(*) FROM ev e WHERE e.user_id = p.user_id
+        |     AND e.event_type = 'purchase' AND e.s < p.s)::BIGINT
+        |    AS n_prior_purchases,
+        |  CASE WHEN (SELECT count(*) FROM ev e
+        |        WHERE e.user_id = p.user_id
+        |          AND e.event_type = 'purchase' AND e.s < p.s) = 0
+        |    THEN 0.0
+        |    ELSE round((SELECT sum(e.value) FROM ev e
+        |        WHERE e.user_id = p.user_id
+        |          AND e.event_type = 'purchase' AND e.s < p.s)
+        |      / (SELECT count(*) FROM ev e
+        |        WHERE e.user_id = p.user_id
+        |          AND e.event_type = 'purchase' AND e.s < p.s), 6)
+        |  END AS prior_avg_value
+        |FROM p ORDER BY p.label_id""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
