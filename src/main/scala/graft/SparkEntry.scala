@@ -5629,7 +5629,38 @@ object SparkEntry {
         |        WHERE e.user_id = p.user_id
         |          AND e.event_type = 'purchase' AND e.s < p.s), 6)
         |  END AS prior_avg_value
-        |FROM p ORDER BY p.label_id""".stripMargin))
+        |FROM p ORDER BY p.label_id""".stripMargin),
+
+    Q("q179_bootstrap_ci",
+      // Poisson bootstrap (Chamandy et al. 2012): 32 resampling
+      // replicas of the mean in ONE scan — per-row Poisson(1) weights
+      // from a deterministic md5-ppm inverse CDF, replica means as 32
+      // partial aggregates, CI = percentiles of the (rounded) means.
+      // The uncertainty bar every pipeline metric should carry; B
+      // passes collapse to one.
+      (s, dir) => graft.operators.Bootstrap.meanCi(
+        Tables.events(s, dir), "event_id", "value"),
+      {
+        val ladder = graft.operators.Bootstrap.PoissonCdf15.zipWithIndex
+          .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+        val digest = "md5(event_id::VARCHAR || ':' || (r // 8)::VARCHAR)"
+        s"""WITH reps AS (
+           |  SELECT r, value,
+           |    ((('0x' || CASE WHEN (r % 8) < 4
+           |        THEN substr($digest, 1, 15)
+           |        ELSE substr($digest, 17, 15) END)::UBIGINT
+           |      >> ((r % 4) * 15)) % 32768)::BIGINT AS u
+           |  FROM events, range(0, 32) t(r)),
+           |wtd AS (SELECT r, CASE $ladder ELSE 7 END AS w, value
+           |        FROM reps),
+           |means AS (SELECT r, round(sum(w * value) / sum(w), 6) AS m
+           |          FROM wtd GROUP BY r)
+           |SELECT (SELECT count(*) FROM events)::BIGINT AS n,
+           |  (SELECT round(avg(value), 6) FROM events) AS mean,
+           |  round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           |  round(quantile_cont(m, 0.975), 6) AS ci_hi
+           |FROM means""".stripMargin
+      }))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
