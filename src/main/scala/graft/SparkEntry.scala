@@ -5660,7 +5660,62 @@ object SparkEntry {
            |  round(quantile_cont(m, 0.025), 6) AS ci_lo,
            |  round(quantile_cont(m, 0.975), 6) AS ci_hi
            |FROM means""".stripMargin
-      }))
+      }),
+
+    Q("q180_corpus_export",
+      // The export flagship: quality gate (≥0.9) → exact dedup
+      // (keep-min per content hash) → leakage-safe split (content-hash
+      // groups) → GPT packing into 64-token sequences per (split,
+      // shard) — ONE Catalyst tree from raw docs to shard manifest.
+      // Every stage is an already-oracled operator; this row pins their
+      // COMPOSITION (pruning and partial aggs flow through the whole
+      // tree; the only windows are per-(split, shard)).
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.qualityScore(col("text")).as("q"),
+            md5(col("text")).as("h"))
+          .filter(col("q") >= 0.9)
+        val keep = docs.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+        val kept = docs.join(keep, Seq("h", "doc_id"), "left_semi")
+        val base = graft.pipeline.Sampling.groupSplit(kept, col("h"), 0.8)
+          .select(col("doc_id"), col("split"),
+            pmod(TextFunctions.md5Long(concat(lit("epoch0|"),
+              col("doc_id").cast("string"))), lit(4L)).as("shard"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        base
+          .groupBy("split", "shard")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            ceil(sum(col("n_tokens")).cast("double") / 64).cast("long")
+              .as("n_seqs"),
+            round(sum(col("n_tokens")).cast("double") /
+              (ceil(sum(col("n_tokens")).cast("double") / 64) * 64), 6)
+              .as("efficiency"))
+          .orderBy("split", "shard")
+      },
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, $qualitySql AS q, md5(text) AS h
+         |  FROM documents),
+         |gated AS (SELECT * FROM scored WHERE q >= 0.9),
+         |keep AS (SELECT h, min(doc_id) AS doc_id FROM gated GROUP BY h),
+         |kept AS (SELECT g.* FROM gated g JOIN keep k
+         |         ON g.h = k.h AND g.doc_id = k.doc_id),
+         |base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${md5LongSql("h")} % 1000000 < 800000
+         |         THEN 'train' ELSE 'eval' END AS split,
+         |    ${md5LongSql("'epoch0|' || doc_id::VARCHAR")} % 4 AS shard,
+         |    len($toksSql)::BIGINT AS n_tokens
+         |  FROM kept)
+         |SELECT split, shard, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS total_tokens,
+         |  ceil(sum(n_tokens)::DOUBLE / 64)::BIGINT AS n_seqs,
+         |  round(sum(n_tokens)::DOUBLE /
+         |    (ceil(sum(n_tokens)::DOUBLE / 64)::BIGINT * 64)::DOUBLE, 6)
+         |    AS efficiency
+         |FROM base GROUP BY split, shard
+         |ORDER BY split, shard""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

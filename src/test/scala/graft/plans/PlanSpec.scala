@@ -562,6 +562,11 @@ class PlanSpec extends SparkSpec {
       s.contains("BroadcastHashJoin"), s)
   }
 
+  test("q180: the export flagship is pure scans + aggs — zero windows, no cartesian") {
+    val s = fmtOf("q180_corpus_export")
+    assert(!s.contains("Window") && !s.contains("CartesianProduct"), s)
+  }
+
   test("q162/q163: domain stats broadcast back over the corpus, no window") {
     val a = fmtOf("q162_domain_prior")
     assert(!a.contains("Window") && !a.contains("CartesianProduct"), a)
