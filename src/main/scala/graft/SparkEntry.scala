@@ -5715,7 +5715,41 @@ object SparkEntry {
          |    (ceil(sum(n_tokens)::DOUBLE / 64)::BIGINT * 64)::DOUBLE, 6)
          |    AS efficiency
          |FROM base GROUP BY split, shard
-         |ORDER BY split, shard""".stripMargin))
+         |ORDER BY split, shard""".stripMargin),
+
+    Q("q181_decayed_counts",
+      // Exponentially time-decayed aggregates (half-life 1 day against
+      // the corpus horizon): the freshness/trend weighting behind
+      // recency-aware ranking and decayed counters. ONE scan + a
+      // broadcast 1-row horizon; decay is a closed-form pow per row
+      // (both engines IEEE pow), never a sequential state pass.
+      (s, dir) => {
+        val sec = unix_timestamp(date_trunc("second", col("ts")))
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          sec.as("s"), col("value"))
+        val hz = ev.agg(max("s").as("T"))
+        ev.crossJoin(broadcast(hz))
+          .withColumn("w", pow(lit(0.5),
+            (col("T") - col("s")).cast("double") / 86400.0))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum(col("w")), 6).as("decayed_n"),
+            round(sum(col("w") * col("value")), 6).as("decayed_value"),
+            round(sum(col("w")) / count(lit(1)), 6).as("freshness"))
+          .orderBy("event_type")
+      },
+      """WITH ev AS (
+        |  SELECT event_type, epoch(date_trunc('second', ts))::BIGINT AS s,
+        |         value
+        |  FROM events),
+        |hz AS (SELECT max(s) AS T FROM ev)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  round(sum(pow(0.5, (T - s)::DOUBLE / 86400.0)), 6) AS decayed_n,
+        |  round(sum(pow(0.5, (T - s)::DOUBLE / 86400.0) * value), 6)
+        |    AS decayed_value,
+        |  round(sum(pow(0.5, (T - s)::DOUBLE / 86400.0)) / count(*), 6)
+        |    AS freshness
+        |FROM ev, hz GROUP BY event_type ORDER BY event_type""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

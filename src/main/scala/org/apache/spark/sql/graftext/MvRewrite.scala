@@ -89,7 +89,13 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, g: AttributeReference,
       aggExprs: Seq[NamedExpression], mv: Mv): Option[LogicalPlan] = {
-    val out = mv.plan.output
+    // substitute a FRESH relation instance: if one query aggregates the
+    // base table twice, two rewrites sharing the registered plan would
+    // plant duplicate ExprIds in one tree
+    val freshPlan = mv.plan.transform {
+      case lr: LogicalRelation => lr.newInstance()
+    }
+    val out = freshPlan.output
     val (mvG, mvN, mvT) = (out(0), out(1), out(2))
 
     def mapped(e: NamedExpression): Option[NamedExpression] = e match {
@@ -111,7 +117,7 @@ object MvRewrite extends Rule[LogicalPlan] {
 
     val rewritten = aggExprs.map(mapped)
     if (rewritten.forall(_.isDefined))
-      Some(Project(rewritten.map(_.get), mv.plan))
+      Some(Project(rewritten.map(_.get), freshPlan))
     else None
   }
 }
