@@ -5749,7 +5749,75 @@ object SparkEntry {
         |    AS decayed_value,
         |  round(sum(pow(0.5, (T - s)::DOUBLE / 86400.0)) / count(*), 6)
         |    AS freshness
-        |FROM ev, hz GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM ev, hz GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    Q("q182_data_contract",
+      // Data-contract validation (the Great-Expectations gate in front
+      // of every load): null checks, domain/range checks, composite-key
+      // uniqueness, and referential integrity — each check one row of
+      // (violations, total). Scalar checks share ONE conditional-agg
+      // scan; uniqueness is a partial-agg group count; RI is an
+      // anti-join on the key. At 100 TB nothing here is new I/O — the
+      // contract piggybacks the load's own scan.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val n = li.count()
+        def cnt(violations: Column): Column =
+          sum(when(violations, 1L).otherwise(0L))
+        val scalarChecks = li.agg(
+            cnt(col("l_quantity") < 1 || col("l_quantity") > 50).as("c1"),
+            cnt(col("l_discount") < 0 || col("l_discount") > 0.1).as("c2"),
+            cnt(!col("l_returnflag").isin("A", "N", "R")).as("c3"),
+            cnt(col("l_shipdate").isNull).as("c4"))
+          .select(expr("""stack(4,
+              'c1_quantity_range', c1, 'c2_discount_range', c2,
+              'c3_returnflag_domain', c3, 'c4_shipdate_notnull', c4)
+            AS (check, violations)"""), lit(n).as("total"))
+        val dupKeys = li.groupBy("l_orderkey", "l_linenumber").count()
+          .filter(col("count") > 1)
+          .agg(coalesce(sum(col("count")), lit(0L)).as("violations"))
+          .select(lit("c5_key_unique").as("check"), col("violations"),
+            lit(n).as("total"))
+        val orphan = li.select("l_orderkey")
+          .join(Tables.orders(s, dir).select(
+            col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"),
+            "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("c6_orderkey_ri").as("check"), col("violations"),
+            lit(n).as("total"))
+        scalarChecks.unionByName(dupKeys).unionByName(orphan)
+          .select(col("check"), col("violations"),
+            col("total"), (col("violations") === 0).as("pass"))
+          .orderBy("check")
+      },
+      """WITH n AS (SELECT count(*)::BIGINT AS total FROM lineitem),
+        |checks AS (
+        |  SELECT 'c1_quantity_range' AS check,
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |        THEN 1 ELSE 0 END)::BIGINT AS violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'c2_discount_range',
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |        THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+        |  UNION ALL
+        |  SELECT 'c3_returnflag_domain',
+        |    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+        |        THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+        |  UNION ALL
+        |  SELECT 'c4_shipdate_notnull',
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'c5_key_unique', coalesce(sum(c), 0)::BIGINT FROM (
+        |    SELECT count(*) AS c FROM lineitem
+        |    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'c6_orderkey_ri', count(*)::BIGINT FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT c.check, c.violations, n.total,
+        |  (c.violations = 0) AS pass
+        |FROM checks c, n ORDER BY c.check""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
