@@ -5817,7 +5817,72 @@ object SparkEntry {
         |                    WHERE o.o_orderkey = l.l_orderkey))
         |SELECT c.check, c.violations, n.total,
         |  (c.violations = 0) AS pass
-        |FROM checks c, n ORDER BY c.check""".stripMargin))
+        |FROM checks c, n ORDER BY c.check""".stripMargin),
+
+    Q("q183_source_overlap_matrix",
+      // Cross-source duplication matrix — the provenance/licensing
+      // audit: which sources share near-duplicate content with which
+      // (scraped mirrors, syndication, laundered copies). LSH candidate
+      // pairs joined to their sources, canonicalized (least, greatest),
+      // counted per source pair. Pair generation stays in-group-bounded;
+      // the matrix is |sources|² at most — metadata scale.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+          .join(src.toDF("a", "src_a"), "a")
+          .join(src.toDF("b", "src_b"), "b")
+          .select(least(col("src_a"), col("src_b")).as("s1"),
+            greatest(col("src_a"), col("src_b")).as("s2"))
+          .groupBy("s1", "s2")
+          .agg(count(lit(1)).cast("long").as("n_dup_pairs"))
+          .orderBy(col("n_dup_pairs").desc, col("s1"), col("s2"))
+      },
+      s"""WITH ${minhashPairCtes()}
+         |SELECT least(da.source, db.source) AS s1,
+         |  greatest(da.source, db.source) AS s2,
+         |  count(*)::BIGINT AS n_dup_pairs
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.a
+         |JOIN documents db ON db.doc_id = p.b
+         |GROUP BY 1, 2
+         |ORDER BY n_dup_pairs DESC, s1, s2""".stripMargin),
+
+    Q("q184_dedup_report",
+      // The dedup audit every curation run publishes: cluster-size
+      // histogram over the near-dup components (q60's labels) plus the
+      // removable-doc count per size — "N docs in M clusters of size k;
+      // removing all-but-one keeps R". Pure aggregation over the label
+      // relation; the histogram is at most |distinct sizes| rows.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.nearDupClusters(docs, "doc_id",
+            Dedup.minhashCandidatePairs(docs, "doc_id", "text"))
+          .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+          .groupBy("sz")
+          .agg(count(lit(1)).cast("long").as("n_clusters"),
+            (count(lit(1)) * col("sz")).cast("long").as("n_docs"),
+            (count(lit(1)) * (col("sz") - 1)).cast("long")
+              .as("n_removable"))
+          .select(col("sz").cast("long").as("cluster_size"),
+            col("n_clusters"), col("n_docs"), col("n_removable"))
+          .orderBy("cluster_size")
+      },
+      s"""WITH RECURSIVE ${minhashPairCtes()},
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |cc(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+         |lab AS (SELECT node, min(label) AS cluster_id
+         |        FROM cc GROUP BY node),
+         |sizes AS (SELECT cluster_id, count(*)::BIGINT AS sz
+         |          FROM lab GROUP BY cluster_id)
+         |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+         |  (count(*) * sz)::BIGINT AS n_docs,
+         |  (count(*) * (sz - 1))::BIGINT AS n_removable
+         |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
