@@ -5882,7 +5882,70 @@ object SparkEntry {
          |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
          |  (count(*) * sz)::BIGINT AS n_docs,
          |  (count(*) * (sz - 1))::BIGINT AS n_removable
-         |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin))
+         |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin),
+
+    Q("q185_skew_diagnostics",
+      // The pre-flight that decides q87's salting: per-join-key
+      // frequency profile for the two hot fact keys — key count,
+      // max/p99 frequency, top-10 share, and skew ratio (max/avg). One
+      // partial-agg groupBy per key; everything after is a
+      // |keys|-scale relation reduced to grid aggregates. A skew_ratio
+      // near 1 ⇒ plain shuffle join; large ⇒ salt or AQE skew split.
+      (s, dir) => {
+        def profile(df: DataFrame, key: String,
+            label: String): DataFrame = {
+          val freq = df.groupBy(col(key).as("k"))
+            .agg(count(lit(1)).as("f"))
+          val top10 = freq.orderBy(col("f").desc, col("k")).limit(10)
+            .agg(sum("f").as("top10"))
+          freq.agg(count(lit(1)).cast("long").as("n_keys"),
+              sum("f").as("n_rows"),
+              max("f").as("max_freq"),
+              round(expr("percentile(f, 0.99D)"), 6).as("p99_freq"))
+            .crossJoin(broadcast(top10))
+            .select(lit(label).as("key"), col("n_keys"),
+              col("n_rows").cast("long").as("n_rows"),
+              col("max_freq").cast("long").as("max_freq"),
+              col("p99_freq"),
+              round(col("top10").cast("double") /
+                col("n_rows").cast("double"), 6).as("top10_share"),
+              round(col("max_freq").cast("double") /
+                (col("n_rows").cast("double") /
+                  col("n_keys").cast("double")), 6).as("skew_ratio"))
+        }
+        profile(Tables.lineitem(s, dir), "l_orderkey", "lineitem.l_orderkey")
+          .unionByName(profile(Tables.events(s, dir), "user_id",
+            "events.user_id"))
+          .orderBy("key")
+      },
+      """WITH f1 AS (SELECT l_orderkey AS k, count(*)::BIGINT AS f
+        |            FROM lineitem GROUP BY 1),
+        |f2 AS (SELECT user_id AS k, count(*)::BIGINT AS f
+        |       FROM events GROUP BY 1),
+        |p1 AS (
+        |  SELECT 'lineitem.l_orderkey' AS key,
+        |    count(*)::BIGINT AS n_keys, sum(f)::BIGINT AS n_rows,
+        |    max(f)::BIGINT AS max_freq,
+        |    round(quantile_cont(f, 0.99), 6) AS p99_freq,
+        |    round((SELECT sum(f) FROM (SELECT f FROM f1
+        |        ORDER BY f DESC, k LIMIT 10))::DOUBLE
+        |      / sum(f)::DOUBLE, 6) AS top10_share,
+        |    round(max(f)::DOUBLE /
+        |      (sum(f)::DOUBLE / count(*)::DOUBLE), 6) AS skew_ratio
+        |  FROM f1),
+        |p2 AS (
+        |  SELECT 'events.user_id' AS key,
+        |    count(*)::BIGINT AS n_keys, sum(f)::BIGINT AS n_rows,
+        |    max(f)::BIGINT AS max_freq,
+        |    round(quantile_cont(f, 0.99), 6) AS p99_freq,
+        |    round((SELECT sum(f) FROM (SELECT f FROM f2
+        |        ORDER BY f DESC, k LIMIT 10))::DOUBLE
+        |      / sum(f)::DOUBLE, 6) AS top10_share,
+        |    round(max(f)::DOUBLE /
+        |      (sum(f)::DOUBLE / count(*)::DOUBLE), 6) AS skew_ratio
+        |  FROM f2)
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |ORDER BY key""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
