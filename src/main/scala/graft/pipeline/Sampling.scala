@@ -36,15 +36,11 @@ object Sampling {
         < lit((trainRate * M).toLong), "train").otherwise("eval"))
 
   /** At most `n` rows per stratum, chosen by id-hash order (deterministic
-    * "random" representative set). One shuffle on the stratum key. */
+    * "random" representative set). Bucketed prefix-sum shape — see
+    * [[mixtureTake]]; this is the uniform-quota special case. */
   def stratifiedTake(df: DataFrame, stratumCol: String, idCol: String,
-      n: Int): DataFrame = {
-    val w = Window.partitionBy(stratumCol)
-      .orderBy(TextFunctions.md5Long(col(idCol).cast("string")).asc,
-        col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n).drop("__rn")
-  }
+      n: Int): DataFrame =
+    bucketedRankTake(df, stratumCol, idCol, lit(n))
 
   /** Weighted sampling WITHOUT replacement, Efraimidis–Spirakis A-ES:
     * each row gets key `u^(1/w)` (u = md5-uniform in (0,1], w = its
@@ -75,26 +71,81 @@ object Sampling {
   def mixtureTake(df: DataFrame, stratumCol: String, idCol: String,
       targets: Map[String, Int]): DataFrame = {
     require(targets.nonEmpty, "mixture recipe must not be empty")
-    val w = Window.partitionBy(stratumCol)
-      .orderBy(TextFunctions.md5Long(col(idCol).cast("string")).asc,
-        col(idCol).asc)
     val quota = coalesce(
       element_at(typedLit(targets), col(stratumCol).cast("string")), lit(0))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= quota).drop("__rn")
+    bucketedRankTake(df, stratumCol, idCol, quota)
+  }
+
+  /** Hash-order buckets for the admission operators below. The bucket of
+    * a row is the TOP bits of its 60-bit id hash, so bucket order IS
+    * admission order: every row of bucket b precedes every row of
+    * bucket b+1 in the global (hash, id) ordering of its stratum, and a
+    * hash tie can never straddle a bucket boundary (equal hash ⇒ equal
+    * bucket). 64 buckets × |strata| totals is metadata-sized. */
+  private val AdmitBucketBits = 6
+  private def admitBucket(h: Column): Column =
+    shiftright(h, 60 - AdmitBucketBits)
+
+  /** Scale-safe per-stratum rank admission (row quota). A
+    * `Window.partitionBy(stratum)` row_number serializes each stratum
+    * onto one task — with ~30 languages over 100 TB, one task absorbs a
+    * language's entire corpus. Instead: bucket rows by hash order,
+    * aggregate per-(stratum, bucket) counts (a metadata-sized grid),
+    * window the EXCLUSIVE prefix counts over that grid only, broadcast
+    * them back, and rank locally within each (stratum, bucket). Buckets
+    * whose prefix already meets the quota are pruned BEFORE the sort,
+    * so the admission sort touches ≈ the admitted rows, not the corpus.
+    * Output rows and order semantics are identical to the single-window
+    * form (same global (hash, id) admission order per stratum). */
+  private def bucketedRankTake(df: DataFrame, stratumCol: String,
+      idCol: String, quota: Column): DataFrame = {
+    val withKey = df
+      .withColumn("__h", TextFunctions.md5Long(col(idCol).cast("string")))
+      .withColumn("__b", admitBucket(col("__h")))
+    val wGrid = Window.partitionBy(stratumCol).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = withKey.groupBy(stratumCol, "__b")
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__pre", coalesce(sum("__bn").over(wGrid), lit(0L)))
+      .select(col(stratumCol), col("__b"), col("__pre"))
+    val wLocal = Window.partitionBy(stratumCol, "__b")
+      .orderBy(col("__h").asc, col(idCol).asc)
+    withKey
+      .join(broadcast(prefixes), Seq(stratumCol, "__b"))
+      .filter(col("__pre") < quota) // bucket fully beyond quota → pruned
+      .withColumn("__rn", col("__pre") + row_number().over(wLocal))
+      .filter(col("__rn") <= quota)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Greedy per-stratum token budget: admit rows in id-hash order while
     * the stratum's running token total stays within `budget`. The
-    * standard "N tokens per language" curation step as one window pass. */
+    * standard "N tokens per language" curation step. Same bucketed
+    * prefix-sum shape as [[bucketedRankTake]] (the running total is a
+    * sum of token counts instead of a row count): per-(stratum, bucket)
+    * token totals → exclusive prefix over the metadata grid → broadcast
+    * back → local running sum offset by the bucket prefix. Token counts
+    * must be non-negative (prefix pruning assumes a monotone total). */
   def tokenBudget(df: DataFrame, stratumCol: String, idCol: String,
       tokensCol: String, budget: Long): DataFrame = {
-    val w = Window.partitionBy(stratumCol)
-      .orderBy(TextFunctions.md5Long(col(idCol).cast("string")).asc,
-        col(idCol).asc)
+    val withKey = df
+      .withColumn("__h", TextFunctions.md5Long(col(idCol).cast("string")))
+      .withColumn("__b", admitBucket(col("__h")))
+    val wGrid = Window.partitionBy(stratumCol).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = withKey.groupBy(stratumCol, "__b")
+      .agg(sum(col(tokensCol)).as("__btok"))
+      .withColumn("__pre", coalesce(sum("__btok").over(wGrid), lit(0L)))
+      .select(col(stratumCol), col("__b"), col("__pre"))
+    val wLocal = Window.partitionBy(stratumCol, "__b")
+      .orderBy(col("__h").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokensCol)).over(w))
-      .filter(col("__cum") <= budget).drop("__cum")
+    withKey
+      .join(broadcast(prefixes), Seq(stratumCol, "__b"))
+      .filter(col("__pre") <= budget) // exhausted buckets pruned pre-sort
+      .withColumn("__cum", col("__pre") + sum(col(tokensCol)).over(wLocal))
+      .filter(col("__cum") <= budget)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Rank-based quantile buckets (ntile semantics with tie stability):

@@ -567,6 +567,27 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Window") && !s.contains("CartesianProduct"), s)
   }
 
+  test("q43/q64/q76: admission windows are bucketed — never a bare per-language corpus window") {
+    // the 100 TB killer shape: Window.partitionBy(lang) running-sum over
+    // raw docs serializes each language onto one task. The bucketed
+    // prefix-sum form allows only (a) windows with a composite
+    // (stratum, hash-bucket) partition spec over data rows, or (b)
+    // windows over an already-aggregated metadata grid.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (q <- Seq("q43_token_budget", "q64_mixture_sample",
+        "q76_training_corpus", "q44_stratified_take")) {
+      val plan = SparkEntry.queries(q)(spark, SfDir)
+        .queryExecution.optimizedPlan
+      plan.foreach {
+        case w: LWindow =>
+          val overGrid = w.child.collectFirst { case a: Aggregate => a }.isDefined
+          assert(w.partitionSpec.size >= 2 || overGrid,
+            s"$q windows the corpus on a single key: ${w.partitionSpec}")
+        case _ =>
+      }
+    }
+  }
+
   test("q162/q163: domain stats broadcast back over the corpus, no window") {
     val a = fmtOf("q162_domain_prior")
     assert(!a.contains("Window") && !a.contains("CartesianProduct"), a)
