@@ -3532,11 +3532,16 @@ object SparkEntry {
     Q("q99_pq_knn",
       // product-quantized ANN: ADC shortlist over the 8-codes-per-vector
       // column (the fat embedding column is never read in the scan),
-      // exact-cosine rerank over 128 candidates. With rerank the final
-      // top-10 is exact — same oracle as brute force (q24's shape);
-      // RecallFloorSpec separately gates the shortlist recall.
+      // exact-cosine rerank. Oracled at q123's discipline — shortlist
+      // covers the fixture corpus (512 >= 500), so rerank makes the
+      // top-10 exactly brute force (q24's oracle). A TIGHT shortlist is
+      // NOT oracle-safe: codebook training is partitioning-sensitive
+      // (k-means|| init), and 128-of-500 measurably loses a top-10 row
+      // on this fixture under some codebooks. Production shortlists
+      // (the corpus-scaled auto default) are gated by RecallFloorSpec
+      // floors instead, at two corpus sizes.
       (s, dir) => graft.index.PqIndex.knn(s, pqFor(s, dir), QueryVec,
-        10, numCandidates = 128),
+        10, numCandidates = 512),
       s"""SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
          |FROM embeddings ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin),
 
@@ -5945,7 +5950,32 @@ object SparkEntry {
         |      (sum(f)::DOUBLE / count(*)::DOUBLE), 6) AS skew_ratio
         |  FROM f2)
         |SELECT * FROM p1 UNION ALL SELECT * FROM p2
-        |ORDER BY key""".stripMargin))
+        |ORDER BY key""".stripMargin),
+
+    Q("q186_ann_autotune",
+      // The corpus-scaled ANN shortlist rule
+      // ([[graft.index.PqIndex.scaledCandidates]]): a FIXED
+      // numCandidates decays in recall as the index grows (the ADC
+      // shortlist is a fraction-of-corpus filter), so the default now
+      // derives from index metadata — max(k·10, ceil(n/4)). This row
+      // pins the rule against the index's REAL count (indexedCount =
+      // one parquet metadata read); the recall the rule delivers is
+      // gated by RecallFloorSpec at two corpus sizes.
+      (s, dir) => {
+        import s.implicits._
+        val idx = pqFor(s, dir)
+        val n = graft.index.PqIndex.indexedCount(s, idx)
+        Seq(10, 100)
+          .map(k => (n, k, graft.index.PqIndex.scaledCandidates(n, k)))
+          .toDF("n_vectors", "k", "num_candidates")
+          .orderBy("k")
+      },
+      """WITH n AS (SELECT count(*)::BIGINT AS n_vectors FROM embeddings),
+        |ks AS (SELECT unnest([10, 100]) AS k)
+        |SELECT n_vectors, k,
+        |  greatest(k::BIGINT * 10,
+        |    ceil(n_vectors::DOUBLE / 4)::BIGINT)::INT AS num_candidates
+        |FROM n CROSS JOIN ks ORDER BY k""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -40,6 +40,25 @@ object IvfPqIndex {
 
   private val metaCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Map[Int, Array[Double]], Array[Array[Array[Double]]])]()
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Indexed-vector count of the CURRENT version (cached per version
+    * dir; invalidated by the in-place mutators). */
+  def indexedCount(spark: SparkSession, indexDir: String,
+      store: CommitStore = LocalCommitStore): Long = {
+    val vDir = currentDir(indexDir, store)
+    countCache.computeIfAbsent(vDir,
+      _ => graft.Tables.loadPath(spark, s"$vDir/vectors").count())
+  }
+
+  /** Corpus-scaled shortlist default — same rule and rationale as
+    * [[PqIndex.scaledCandidates]] (the shortlist is a fraction-of-corpus
+    * filter; a fixed 128 decays in recall as the index grows). */
+  private def autoCandidates(spark: SparkSession, indexDir: String,
+      numCandidates: Int, k: Int, store: CommitStore): Int =
+    if (numCandidates > 0) numCandidates
+    else PqIndex.scaledCandidates(indexedCount(spark, indexDir, store), k)
 
   private def pointer(indexDir: String) = Paths.get(indexDir, "CURRENT")
 
@@ -205,6 +224,7 @@ object IvfPqIndex {
       .write.mode("append").partitionBy("ivf_cell")
       .parquet(s"$vDir/vectors")
     graft.Tables.invalidate(spark, s"$vDir/vectors")
+    countCache.remove(vDir)
   }
 
   /** Stage `df` (rows for `cells` only) and swap each cell dir into the
@@ -249,6 +269,7 @@ object IvfPqIndex {
         !col("doc_id").isin(ids: _*)),
       s"$vDir/vectors", touched, store)
     graft.Tables.invalidate(spark, s"$vDir/vectors")
+    countCache.remove(vDir)
   }
 
   /** Collapse the small files [[update]] appends per touched cell per
@@ -329,9 +350,10 @@ object IvfPqIndex {
     * running [[knn]] once per query (IvfPqSpec). */
   def knnBatch(spark: SparkSession, indexDir: String,
       queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int = 2,
-      numCandidates: Int = 128,
+      numCandidates: Int = PqIndex.AutoCandidates,
       store: CommitStore = LocalCommitStore): DataFrame = {
     import spark.implicits._
+    val nCand = autoCandidates(spark, indexDir, numCandidates, k, store)
     val vDir = currentDir(indexDir, store)
     val (cents, cbs) = metaOf(spark, vDir)
     val m = cbs.length
@@ -386,7 +408,7 @@ object IvfPqIndex {
       .select(col("query_id"), col("doc_id"), approx.as("approx"))
       .groupBy("query_id")
       .agg(org.apache.spark.sql.graftext.TopKByScoreAgg.topKByScore(
-        col("approx"), col("doc_id"), numCandidates).as("top"))
+        col("approx"), col("doc_id"), nCand).as("top"))
       .select(col("query_id"), explode(col("top.id")).as("doc_id"))
     pqv
       .join(broadcast(shortlist), "doc_id")
@@ -408,8 +430,10 @@ object IvfPqIndex {
     * shortlist `numCandidates` by q·centroid + residual table lookups
     * over the codes column only, exact-cosine rerank the shortlist. */
   def knn(spark: SparkSession, indexDir: String, queryVec: Array[Float],
-      k: Int, nProbe: Int = 2, numCandidates: Int = 128,
+      k: Int, nProbe: Int = 2,
+      numCandidates: Int = PqIndex.AutoCandidates,
       store: CommitStore = LocalCommitStore): DataFrame = {
+    val nCand = autoCandidates(spark, indexDir, numCandidates, k, store)
     val vDir = currentDir(indexDir, store)
     val (cents, cbs) = metaOf(spark, vDir)
     val m = cbs.length
@@ -457,7 +481,7 @@ object IvfPqIndex {
     // cells; TakeOrdered keeps it numCandidates-bounded
     val ids = pqv.select(col("doc_id"), approx.as("approx"))
       .orderBy(col("approx").desc, col("doc_id").asc)
-      .limit(numCandidates)
+      .limit(nCand)
       .collect().map(_.get(0))
     val cos = VectorFunctions.cosine(col("embedding"), typedLit(queryVec))
     pqv.filter(col("doc_id").isin(ids: _*))

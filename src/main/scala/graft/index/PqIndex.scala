@@ -47,6 +47,32 @@ object PqIndex {
 
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Sentinel for `numCandidates`: derive the shortlist from the index
+    * size via [[scaledCandidates]]. */
+  val AutoCandidates = 0
+
+  /** Corpus-scaled shortlist default: `max(k·10, ceil(n/4))`. A FIXED
+    * shortlist decays in recall as the corpus grows (an ADC shortlist
+    * is a fraction-of-corpus filter: what held 0.9 recall over 500
+    * vectors is 0.25·n, and 128-of-2000 measurably drifts on the
+    * structureless fixture). The default keeps the calibrated fraction;
+    * the knob still overrides for clustered real-world embeddings where
+    * a sublinear shortlist suffices. */
+  def scaledCandidates(n: Long, k: Int): Int =
+    math.min(math.max(k.toLong * 10, (n + 3) / 4), Int.MaxValue.toLong).toInt
+
+  /** Indexed-vector count of the CURRENT version — one parquet
+    * metadata read, cached per version dir (invalidated by [[update]]
+    * and [[delete]], which change the count in place). */
+  def indexedCount(spark: SparkSession, indexDir: String,
+      store: CommitStore = LocalCommitStore): Long = {
+    val vDir = currentDir(indexDir, store)
+    countCache.computeIfAbsent(vDir,
+      _ => graft.Tables.loadPath(spark, s"$vDir/pq_vectors").count())
+  }
 
   private def pointer(indexDir: String) = Paths.get(indexDir, "CURRENT")
 
@@ -187,6 +213,7 @@ object PqIndex {
         col(vecCol).as("embedding")), "doc_id")
       .write.mode("append").parquet(s"$vDir/pq_vectors")
     graft.Tables.invalidate(spark, s"$vDir/pq_vectors")
+    countCache.remove(vDir)
   }
 
   /** Train the m per-subspace codebooks over (doc_id, sub_id, subvec)
@@ -227,6 +254,7 @@ object PqIndex {
       .write.mode("overwrite").parquet(tmp)
     store.swapDir(Paths.get(tmp), Paths.get(s"$vDir/pq_vectors"))
     graft.Tables.invalidate(spark, s"$vDir/pq_vectors")
+    countCache.remove(vDir)
   }
 
   /** Codebooks as `[sub_id][code] -> centroid` (m × nCodes rows — index
@@ -247,11 +275,15 @@ object PqIndex {
   /** ADC top-k: approximate-inner-product shortlist over the codes
     * column only, exact-cosine rerank over the `numCandidates`
     * shortlisted embeddings. Output matches [[graft.search.VectorSearch.topK]]:
-    * `(doc_id, vec_score)` rounded to 6. */
+    * `(doc_id, vec_score)` rounded to 6. `numCandidates <= 0`
+    * ([[AutoCandidates]], the default) derives the shortlist from the
+    * index size via [[scaledCandidates]]. */
   def knn(spark: SparkSession, indexDir: String, queryVec: Array[Float],
-      k: Int, numCandidates: Int = 128,
+      k: Int, numCandidates: Int = AutoCandidates,
       store: CommitStore = LocalCommitStore): DataFrame = {
     val vDir = currentDir(indexDir, store)
+    val nCand = if (numCandidates > 0) numCandidates
+      else scaledCandidates(indexedCount(spark, indexDir, store), k)
     val cbs  = codebooksOf(spark, vDir)
     val m = cbs.length
     val subDim = cbs(0)(0).length
@@ -275,7 +307,7 @@ object PqIndex {
     // shortlist reads ONLY (doc_id, codes); TakeOrdered keeps it k-bounded
     val ids = pqv.select(col("doc_id"), approx.as("approx"))
       .orderBy(col("approx").desc, col("doc_id").asc)
-      .limit(numCandidates)
+      .limit(nCand)
       .collect().map(_.get(0))
     val cos = VectorFunctions.cosine(col("embedding"), typedLit(queryVec))
     pqv.filter(col("doc_id").isin(ids: _*))

@@ -128,4 +128,31 @@ class RecallFloorSpec extends SparkSpec {
     // fixture — a drop means the codebook/encode pipeline regressed
     assert(r32 >= 0.5, f"PQ 32-candidate recall $r32%.3f regressed below 0.5")
   }
+
+  test("PQ auto shortlist holds recall@10 >= 0.9 at BOTH corpus sizes (the fixed-128 decay gate)") {
+    // the round-6 finding: numCandidates=128 was calibrated on the
+    // 500-vector fixture (a 0.25·n fraction) and demonstrably drifted
+    // on the 2000-vector corpus. scaledCandidates keeps the fraction,
+    // so the SAME default must deliver the floor at both sizes — and
+    // the derived shortlist must actually grow with the corpus.
+    def gate(sfDir: String): (Long, Int, Double) = {
+      val e = Tables.embeddings(spark, sfDir)
+      val d = Files.createTempDirectory("recall_pq_auto").toString
+      graft.index.PqIndex.build(e, d, m = 8, nCodes = 16)
+      val n = graft.index.PqIndex.indexedCount(spark, d)
+      val auto = graft.index.PqIndex.scaledCandidates(n, 10)
+      val exactHere = VectorSearch.topK(e, "vec_id", "embedding", qv, 10)
+      val r = VectorSearch.recallAtK(
+        graft.index.PqIndex.knn(spark, d, qv, 10), exactHere)
+      (n, auto, r)
+    }
+    val (nSmall, cSmall, rSmall) = gate(SfDir)
+    val (nBig, cBig, rBig) = gate("/root/testdata/sf0.1")
+    info(f"auto shortlist: n=$nSmall → $cSmall cands, recall $rSmall%.3f; " +
+      f"n=$nBig → $cBig cands, recall $rBig%.3f")
+    assert(nBig > nSmall, "fixture sizes no longer differ; gate is vacuous")
+    assert(cBig > cSmall, "shortlist default did not scale with the corpus")
+    assert(rSmall >= 0.9, f"auto recall $rSmall%.3f below 0.9 at n=$nSmall")
+    assert(rBig >= 0.9, f"auto recall $rBig%.3f below 0.9 at n=$nBig")
+  }
 }
