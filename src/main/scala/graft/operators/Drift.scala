@@ -94,11 +94,14 @@ object Drift {
     import cur.sparkSession.implicits._
     val refDf = refProps.zipWithIndex.map { case (p, i) => (i + 1, p) }
       .toDF("bin", "ref_p")
+    // coalesce the total too: an EMPTY current slice must yield a
+    // defined psi (smoothed uniform vs ref), never a null that a
+    // downstream `psi > bar` gate silently waves through
     counts.join(broadcast(refDf), Seq("bin"), "full_outer")
       .crossJoin(broadcast(total))
       .select(coalesce(col("n"), lit(0L)).as("n"), col("ref_p"),
         ((coalesce(col("n"), lit(0L)) + 0.5) /
-          (col("t") + 0.5 * nBins)).as("cur_p"))
+          (coalesce(col("t"), lit(0L)) + 0.5 * nBins)).as("cur_p"))
       .agg(sum(col("n")).as("n_rows"),
         round(sum((col("cur_p") - col("ref_p")) *
           log(col("cur_p") / col("ref_p"))), 6).as("psi"))

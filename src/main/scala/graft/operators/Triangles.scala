@@ -30,8 +30,10 @@ object Triangles {
     // the edge relation feeds THREE plan legs (both wedge sides + the
     // closure probe); materialize it once so an expensive upstream
     // (e.g. a pairwise-similarity join) isn't re-evaluated per leg —
-    // same rationale as the localCheckpoint in Dedup.nearDupClusters
-    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    // same rationale as the localCheckpoint in Dedup.nearDupClusters.
+    // distinct first: the semi-join probe is naturally idempotent but
+    // duplicate (a,b) rows would multiply wedge AND triangle counts
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
     val wedges = e.toDF("x", "y")
       .join(e.toDF("y", "z"), "y")
       .select(col("x"), col("y"), col("z"))

@@ -329,7 +329,10 @@ object StreamIngest {
             java.nio.file.Paths.get(s"$outDir/batch_id=$batchId"))) {
           graft.operators.Drift
             .psiAgainstReference(df, valueCol, edges, refProps)
-            .withColumn("alarm", col("psi") > psiBar)
+            // fail CLOSED: an empty/failed upstream feed (0 rows) or an
+            // undefined psi is an alarm, not a silent pass
+            .withColumn("alarm", col("n_rows") === 0 ||
+              col("psi").isNull || col("psi") > psiBar)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").partitionBy("batch_id").parquet(outDir)
         }

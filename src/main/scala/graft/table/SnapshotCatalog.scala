@@ -153,9 +153,15 @@ final case class SnapshotCatalog(spark: SparkSession, baseDir: String,
     requireUniqueKeysHere(batch, keyCol)
     val cur = read(name)
     val dataCols = cur.columns.filterNot(_ == keyCol).toSeq
+    // __del doubles as the batch-presence marker after the full outer
+    // join (isNotNull ⇔ a batch row matched), so it must be non-null
+    // for EVERY batch row: a NULL delete flag means "not a tombstone",
+    // not "pretend the batch row isn't there" (which would silently
+    // keep old values on matched keys and insert all-null data rows on
+    // unmatched ones).
     val b = deleteCol match {
-      case Some(d) => batch.withColumn("__del", col(d).cast("boolean"))
-        .drop(d)
+      case Some(d) => batch.withColumn("__del",
+        coalesce(col(d).cast("boolean"), lit(false))).drop(d)
       case None => batch.withColumn("__del", lit(false))
     }
     val merged = cur.as("t").join(b.as("s"), Seq(keyCol), "full_outer")

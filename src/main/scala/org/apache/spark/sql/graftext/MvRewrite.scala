@@ -40,18 +40,23 @@ import org.apache.spark.sql.types.DecimalType
   * twice on the same subtree. */
 object MvRewrite extends Rule[LogicalPlan] {
 
-  /** basePath → (mv analyzed plan, groupCol, valueCol). */
+  /** basePath → (mv analyzed plan, groupCol, valueCol, base-table file
+    * fingerprint at register time). */
   private final case class Mv(plan: LogicalPlan, groupCol: String,
-    valueCol: String)
+    valueCol: String, baseFingerprint: String)
   private val registry = new ConcurrentHashMap[String, Mv]()
 
   /** Register (or replace) the MV serving `basePath`. `mvPath` must hold
     * the [[graft.table.MaterializedView.refresh]] shape
-    * (groupCol, n_rows, total). */
+    * (groupCol, n_rows, total). The base table's current file listing
+    * is fingerprinted so a later rewrite of the base parquet (new file
+    * names) disables the now-stale substitution instead of silently
+    * serving the old snapshot. */
   def register(spark: SparkSession, basePath: String, mvPath: String,
       groupCol: String, valueCol: String): Unit = {
     val plan = spark.read.parquet(mvPath).queryExecution.analyzed
-    registry.put(normalize(basePath), Mv(plan, groupCol, valueCol))
+    val fp = fingerprintOf(spark.read.parquet(basePath).inputFiles)
+    registry.put(normalize(basePath), Mv(plan, groupCol, valueCol, fp))
   }
 
   def clear(): Unit = registry.clear()
@@ -59,16 +64,35 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def normalize(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
 
+  /** Order-insensitive digest of a file listing. Parquet writers stamp
+    * unique part names, so any base-table rewrite/append/delete changes
+    * the listing — file names are the cheap in-memory staleness signal
+    * (the FileIndex already holds them; no extra I/O at rule time). */
+  private def fingerprintOf(files: Array[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.sorted.foreach(f => md.update(f.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** The registered MV for a plan that is a bare scan (or pure column
-    * Project over a scan) of a registered base path. */
+    * Project over a scan) of a registered base path. Requires the scan
+    * to read EXACTLY the registered path (a multi-path scan whose first
+    * root merely happens to be registered must not lose its other
+    * paths' rows) and the base listing to still match the registered
+    * fingerprint (a rewritten base disables the stale MV). */
   private def mvFor(plan: LogicalPlan): Option[Mv] = plan match {
     case Project(projectList, child)
         if projectList.forall(_.isInstanceOf[AttributeReference]) =>
       mvFor(child)
     case l: LogicalRelation =>
       l.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.headOption
-          .flatMap(p => Option(registry.get(normalize(p.toString))))
+        case fs: HadoopFsRelation => fs.location.rootPaths match {
+          case Seq(single) =>
+            Option(registry.get(normalize(single.toString)))
+              .filter(_.baseFingerprint ==
+                fingerprintOf(fs.location.inputFiles))
+          case _ => None
+        }
         case _ => None
       }
     case _ => None

@@ -33,4 +33,14 @@ class DriftSpec extends SparkSpec {
     assert(total === ev.count())
     assert(bins.filter(col("bin") < 1 || col("bin") > 10).count() === 0)
   }
+
+  test("an EMPTY current slice yields a defined psi and n_rows=0 — the gate can fail closed") {
+    val ev = Tables.events(spark, SfDir).select(col("value"))
+    val (edges, props) = Drift.referenceProfile(ev, "value")
+    val r = Drift.psiAgainstReference(
+      ev.filter(lit(false)), "value", edges, props).head()
+    assert(r.getAs[Long]("n_rows") === 0L)
+    assert(!r.isNullAt(r.fieldIndex("psi")),
+      "psi must be defined (smoothed) on an empty slice, not NULL")
+  }
 }

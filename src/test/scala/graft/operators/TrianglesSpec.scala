@@ -31,4 +31,13 @@ class TrianglesSpec extends SparkSpec {
     val r = Triangles.count(edges).head()
     assert(r.getAs[Long]("n_triangles") === 0L)
   }
+
+  test("duplicate edge rows do not multiply wedge or triangle counts") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val dup = (base ++ base ++ base.take(2)).toDF("a", "b")
+    val r = Triangles.count(dup).head()
+    assert(r.getAs[Long]("n_triangles") === 1L)
+    assert(r.getAs[Long]("n_wedges") === 3L)
+  }
 }

@@ -110,4 +110,52 @@ class MvRewriteSpec extends SparkSpec {
       assert(scanPaths(df).exists(_.contains("customer.parquet")))
     }
   }
+
+  test("a multi-path scan whose FIRST root is the registered base is NOT rewritten") {
+    withRule {
+      registerMv()
+      // second path brings extra rows the MV knows nothing about —
+      // substituting the MV would silently drop them
+      val extra = Files.createTempDirectory("mv_rw_extra").toString
+      spark.read.parquet(basePath).limit(5)
+        .write.mode("overwrite").parquet(extra)
+      val df = spark.read.parquet(basePath, extra)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4)))
+            .as("total"))
+      assert(scanPaths(df).exists(_.contains("customer.parquet")),
+        "multi-path aggregate must keep reading its base scans")
+      // and the values include BOTH paths' rows
+      val n = df.agg(sum("n")).head().getLong(0)
+      assert(n === spark.read.parquet(basePath).count() + 5)
+    }
+  }
+
+  test("a rewritten base table disables the stale MV (fingerprint check)") {
+    withRule {
+      // copy the base so the test can rewrite it
+      val baseCopy = Files.createTempDirectory("mv_rw_base").toString
+      spark.read.parquet(basePath).write.mode("overwrite").parquet(baseCopy)
+      val mvPath = Files.createTempDirectory("mv_rw_mv").toString
+      MaterializedView.refresh(spark.read.parquet(baseCopy),
+        "c_mktsegment", "c_acctbal").write.mode("overwrite").parquet(mvPath)
+      MvRewrite.register(spark, baseCopy, mvPath, "c_mktsegment",
+        "c_acctbal")
+      def agg() = spark.read.parquet(baseCopy)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(agg()).exists(_.contains(mvPath)),
+        "fresh registration must rewrite")
+      // rewrite the base in place: different rows, different file names
+      spark.read.parquet(basePath).limit(10)
+        .write.mode("overwrite").parquet(baseCopy)
+      val after = agg()
+      assert(scanPaths(after).exists(_.contains(baseCopy)),
+        "stale MV served after the base was rewritten")
+      assert(after.agg(sum("n")).head().getLong(0) === 10,
+        "results reflect the OLD base snapshot")
+    }
+  }
 }

@@ -90,6 +90,23 @@ class SnapshotCatalogSpec extends SparkSpec {
     }
   }
 
+  test("mergeUpsert: a NULL delete flag means not-a-tombstone, never a phantom row") {
+    val c = fresh()
+    c.write("t", Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v"))
+    // null del on a MATCHED key must still replace values; null del on
+    // an UNMATCHED key must insert the real row (not all-null data)
+    val batch = Seq(
+      (1L, "a2", 11.0, None: Option[Boolean]),
+      (5L, "e", 50.0, None: Option[Boolean]),
+      (2L, "b", 20.0, Some(true)))
+      .toDF("k", "s", "v", "del")
+    c.mergeUpsert("t", batch, "k", Some("del"))
+    val got = c.read("t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a2", 11.0), (5L, "e", 50.0)))
+  }
+
   test("mergeUpsert without a delete column is pure upsert") {
     val c = fresh()
     c.write("t", Seq((1L, "a", 1.0)).toDF("k", "s", "v"))
