@@ -40,12 +40,24 @@ object Bench {
       }
       // a failed query must not silently shrink the total: report -1
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    }
+    def dict(entries: Seq[(String, Double)]): String = entries
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The harness keeps only a ~2 KB TAIL of stdout: a full 186-query
+    // dict on the contract line gets cut mid-JSON and parses as null.
+    // So the complete per-query dict goes to a FILE (committed with the
+    // repo — round-over-round regression checks read it), and the
+    // printed line stays parseable by carrying the slowest queries only.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(results)},"failed":$failedJson,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL_LATEST.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(30)
+      .map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${dict(slowest)},"failed":$failedJson,"times_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
