@@ -1006,10 +1006,14 @@ object SparkEntry {
           java.nio.file.Files.createDirectories(t)
         else java.nio.file.Files.copy(p, t)
       } finally walk.close()
-      val victims = Tables.documents(s, d)
-        .filter(col("doc_id") % 37 === 0)
-        .select("doc_id").collect().map(_.getLong(0)).toSeq
-      graft.index.SearchIndex.delete(s, out, victims)
+      // relation-driven bulk retraction: the victim set stays a
+      // DataFrame end to end (semi/anti joins inside bulkDelete) — no
+      // driver-side id list, so the same registration shape holds when
+      // the victim predicate matches 10^6 docs
+      graft.index.SearchIndex.bulkDelete(s, out,
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 37 === 0)
+          .select("doc_id"))
       out
     })
 

@@ -731,6 +731,95 @@ object SearchIndex {
     invalidateAll(spark, indexDir)
   }
 
+  /** Bulk doc-level retraction driven by a RELATION of ids — the
+    * scale-safe twin of [[delete]]. The Seq form literal-lists the ids
+    * into the plan and collects per-term decrements to the driver: the
+    * right call for a PII micro-batch (its stated contract), unusable
+    * for a 10⁶-id backfill retraction. Here ids stay a DataFrame end to
+    * end: victims are found by semi-join, survivors by anti-join, and
+    * the per-term df decrements are MATERIALIZED TO A STAGING DIR
+    * before the first bucket swap (the durability the Seq form buys
+    * with driver copies — a cached lineage would re-read the already-
+    * rewritten buckets) and merged back as a relation join. The only
+    * driver-side lists are the touched-bucket ids, bounded by the
+    * bucket-space knobs, never by |ids|. The ids relation itself is
+    * caller data, not index lineage, so it stays valid across swaps.
+    * Result ≡ [[delete]] ≡ rebuild without the victims
+    * (SearchIndexSpec pins all three). */
+  def bulkDelete(spark: SparkSession, indexDir: String, ids: DataFrame,
+      store: graft.table.CommitStore = graft.table.LocalCommitStore): Unit = {
+    val idRel = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+    val stage = s"$indexDir/__delete_stage"
+
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    postings.join(idRel, Seq("doc_id"), "left_semi")
+      .select("term_bucket", "term", "doc_id", "dl")
+      .write.mode("overwrite").parquet(s"$stage/victim_postings")
+    val vp = spark.read.parquet(s"$stage/victim_postings")
+    // touched buckets: ≤ TermBuckets rows — a knob, not data-scale
+    val touched = vp.select("term_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+
+    if (touched.nonEmpty) {
+      val positions = spark.read.parquet(s"$indexDir/positions")
+      val touchedPos = positions.join(idRel, Seq("doc_id"), "left_semi")
+        .select("term_bucket").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      // per-term df decrements: relation-sized, staged — never driver-side
+      vp.groupBy("term_bucket", "term")
+        .agg(countDistinct("doc_id").cast("double").as("ddf"))
+        .write.mode("overwrite").parquet(s"$stage/dec")
+      // one-row stats delta (driver scalar, scale-independent)
+      val s0 = vp.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).cast("double").as("d_n"), sum("dl").as("d_sum"))
+        .collect()(0)
+      val dN = s0.getDouble(0)
+      val dSum = if (s0.isNullAt(1)) 0.0 else s0.getDouble(1)
+
+      writeSwapBuckets(
+        postings.filter(col("term_bucket").isin(touched: _*))
+          .join(idRel, Seq("doc_id"), "left_anti")
+          .repartition(col("term_bucket")),
+        s"$indexDir/postings", "term_bucket", touched, store)
+
+      if (touchedPos.nonEmpty) writeSwapBuckets(
+        positions.filter(col("term_bucket").isin(touchedPos: _*))
+          .join(idRel, Seq("doc_id"), "left_anti")
+          .repartition(col("term_bucket")),
+        s"$indexDir/positions", "term_bucket", touchedPos, store)
+
+      val dec = spark.read.parquet(s"$stage/dec")
+      val mergedDf = spark.read.parquet(s"$indexDir/docfreq")
+        .filter(col("term_bucket").isin(touched: _*))
+        .join(dec, Seq("term_bucket", "term"), "left")
+        .select(col("term_bucket"), col("term"),
+          (col("df") - coalesce(col("ddf"), lit(0.0))).as("df"))
+        .filter(col("df") > 0)
+      writeSwapBuckets(mergedDf.repartition(col("term_bucket")),
+        s"$indexDir/docfreq", "term_bucket", touched, store)
+
+      val mergedStats = spark.read.parquet(s"$indexDir/stats")
+        .select((col("n_docs") - lit(dN)).as("n_docs"),
+          ((col("sum_dl") - lit(dSum)) / (col("n_docs") - lit(dN)))
+            .as("avgdl"),
+          (col("sum_dl") - lit(dSum)).as("sum_dl"))
+      writeSwap(mergedStats, s"$indexDir/stats", partitionCol = None,
+        store)
+    }
+
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val touchedV = vectors.join(idRel, Seq("doc_id"), "left_semi")
+      .select(col("lsh_bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (touchedV.nonEmpty) writeSwapBuckets(
+      vectors.filter(col("lsh_bucket").isin(touchedV: _*))
+        .join(idRel, Seq("doc_id"), "left_anti")
+        .repartition(col("lsh_bucket")),
+      s"$indexDir/vectors", "lsh_bucket", touchedV, store)
+    store.deleteRecursive(java.nio.file.Paths.get(stage))
+    invalidateAll(spark, indexDir)
+  }
+
   /** Maintenance — merge the small files that incremental [[update]]s
     * accrete inside each bucket dir back to one file per bucket (the
     * per-bucket form of [[graft.table.ParquetCatalog.compact]]): after

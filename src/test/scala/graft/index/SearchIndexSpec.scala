@@ -491,6 +491,47 @@ class SearchIndexSpec extends SparkSpec {
     assert(delPh === rebPh)
   }
 
+  test("bulkDelete: relation-driven retraction ≡ rebuild, even with a 10^6-row victim relation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+    val embs = Tables.embeddings(spark, SfDir).select("vec_id", "embedding")
+    val vDocs = Seq((910001L, "qqalpha qqbeta qqalpha"),
+      (910002L, "qqbeta qqgamma")).toDF("doc_id", "text")
+    val vEmbs = Seq((910001L, Array.fill(64)(0.1f).toSeq),
+      (910002L, Array.fill(64)(0.2f).toSeq)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val dB = Files.createTempDirectory("index_bdel").toString
+    SearchIndex.build(docs.unionByName(vDocs), embs.unionByName(vEmbs), dB)
+
+    // the victim set is a RELATION: two real victims plus a million
+    // absent ids — nothing here survives as a driver-side list or an
+    // IN-literal, which is the point of the bulk form
+    val victims = Seq(910001L, 910002L).toDF("doc_id")
+      .unionByName(spark.range(2000000L, 3000000L).toDF("doc_id"))
+    SearchIndex.bulkDelete(spark, dB, victims)
+
+    // equals the fixture-only build on every surface
+    val q = "spark join merge sort window"
+    val delBm = SearchIndex.bm25(spark, dB, q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rebBm = SearchIndex.bm25(spark, indexDir, q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(delBm.keySet === rebBm.keySet)
+    delBm.foreach { case (k, v) => assert(math.abs(v - rebBm(k)) < 1e-9) }
+    assert(SearchIndex.bm25(spark, dB, "qqalpha qqbeta").count() === 0)
+    val dfA = spark.read.parquet(s"$dB/docfreq")
+      .select("term", "df").as[(String, Double)].collect().toSet
+    val dfB = spark.read.parquet(s"$indexDir/docfreq")
+      .select("term", "df").as[(String, Double)].collect().toSet
+    assert(dfA === dfB)
+    assert(spark.read.parquet(s"$dB/stats").head() ===
+      spark.read.parquet(s"$indexDir/stats").head())
+    assert(spark.read.parquet(s"$dB/vectors")
+      .filter(col("doc_id").isin(910001L, 910002L)).count() === 0)
+    // the staging dir is cleaned up after the commit
+    assert(!Files.exists(Paths.get(dB, "__delete_stage")))
+  }
+
   test("compact merges fragmented buckets; results and untouched bytes identical") {
     import spark.implicits._
     val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
