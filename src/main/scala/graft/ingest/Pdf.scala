@@ -783,6 +783,31 @@ private[ingest] object Pdf {
         .mkString("\n")
     }
 
+    /** True when the page's resources (or nested Form XObjects, same
+      * depth bound as text extraction) contain a raster Image XObject —
+      * the signal that an empty text layer means a SCANNED page rather
+      * than a blank one. Drives the raster-only fail contract in
+      * [[PdfPageExtractor]]: the reference OCRs such pages
+      * (`parsing.py:38-40`); without the OCR leg they must surface as
+      * `status="fail"`, never as silent empty text. */
+    def hasRasterImage(resources: PDict, depth: Int = 0): Boolean = {
+      if (depth > 8) return false
+      val xs = resolve(resources.get("XObject").getOrElse(PNull)) match {
+        case d: PDict => d.m; case _ => Map.empty[String, Obj]
+      }
+      xs.values.map(resolve).exists {
+        case PStream(d, _) =>
+          val st = d.get("Subtype").map(resolve)
+          st.contains(PName("Image")) ||
+            (st.contains(PName("Form")) &&
+              (resolve(d.get("Resources").getOrElse(PNull)) match {
+                case r: PDict => hasRasterImage(r, depth + 1)
+                case _ => false
+              }))
+        case _ => false
+      }
+    }
+
     private def extractText(content: Array[Byte], resources: PDict,
         sb: StringBuilder, depth: Int): Unit = {
       if (depth > 8) return
@@ -932,8 +957,17 @@ final case class PdfPageExtractor(maxPages: Int = 10000)
       val pages = doc.pages.take(maxPages)
       if (pages.isEmpty) Seq(PageText(0, "", Some("no pages")))
       else pages.zipWithIndex.map { case ((page, res), i) =>
-        try PageText(i + 1, doc.pageText(page, res), None)
-        catch {
+        try {
+          val text = doc.pageText(page, res)
+          // raster-only page (scanned: images, no text layer): the
+          // reference OCRs it; without the OCR leg this is a FAIL row
+          // (`parsing.py:139-154`), never silent empty text — the first
+          // thing a user with scanned PDFs would otherwise hit
+          if (text.isEmpty && doc.hasRasterImage(res))
+            PageText(i + 1, "", Some(s"page ${i + 1}: no text layer " +
+              "(raster-only page; OCR not available)"))
+          else PageText(i + 1, text, None)
+        } catch {
           case FailSoft(msg) =>
             PageText(i + 1, "", Some(s"page ${i + 1}: $msg"))
         }

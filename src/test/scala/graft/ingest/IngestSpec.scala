@@ -94,6 +94,51 @@ class IngestSpec extends SparkSpec {
     assert(b.getAs[String]("lv2_cat") === "")
   }
 
+  test("a scanned (raster-only) PDF page flows through enrich as a FAIL row in the document schema") {
+    // hand-assembled one-page PDF whose only content is an Image
+    // XObject — the shape the reference routes to OCR; here it must
+    // become a status="fail" row that still carries the full enriched
+    // schema (q31's columns), not silent empty success text
+    val header = "%PDF-1.4\n"
+    val objects = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources << /XObject << /Im1 4 0 R >> >> /Contents 5 0 R >>",
+      "<< /Type /XObject /Subtype /Image /Width 2 /Height 2 " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 4 >>\n" +
+        "stream\n \nendstream",
+      "<< /Length 24 >>\nstream\nq 10 0 0 10 0 0 cm /Im1 Do Q\nendstream")
+    val sb = new StringBuilder(header)
+    val offsets = objects.zipWithIndex.map { case (body, i) =>
+      val off = sb.length
+      sb ++= s"${i + 1} 0 obj\n$body\nendobj\n"
+      off
+    }
+    val xrefOff = sb.length
+    sb ++= s"xref\n0 ${objects.length + 1}\n0000000000 65535 f \n"
+    offsets.foreach(o => sb ++= f"$o%010d 00000 n \n")
+    sb ++= s"trailer\n<< /Size ${objects.length + 1} /Root 1 0 R >>\n"
+    sb ++= s"startxref\n$xrefOff\n%%EOF"
+
+    val base = Files.createTempDirectory("ingest_scan").toString
+    Files.createDirectories(Paths.get(base, "scans"))
+    Files.write(Paths.get(base, "scans/scan_doc.pdf"),
+      sb.toString.getBytes("ISO-8859-1"))
+
+    val e = Ingest.enrich(
+      Ingest.explodePages(
+        Ingest.scanBinaryFiles(spark, base, "*.pdf"), PdfPageExtractor()),
+      base)
+    val row = e.head()
+    assert(row.getAs[String]("status") === "fail")
+    assert(row.getAs[String]("error").contains("no text layer"))
+    assert(row.getAs[Int]("page") === 1)
+    // the fail row still carries the full document schema
+    assert(row.getAs[String]("lv1_cat") === "scans")
+    assert(row.getAs[String]("hashed_filepath").length === 32)
+    assert(row.getAs[String]("id").length === 36)
+  }
+
   test("pipeline: end-to-end to partitioned parquet with embeddings (E1)") {
     val base = mkTree()
     val out  = Files.createTempDirectory("ingest_out").toString
