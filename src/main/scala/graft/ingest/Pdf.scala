@@ -18,10 +18,13 @@ import scala.collection.mutable
   * drawn indirectly is not lost. Structure recovered: classic xref
   * tables, xref STREAMS (PDF 1.5 `/W`+`/Index`), hybrid files
   * (`/XRefStm`), object streams (`/ObjStm`), FlateDecode with PNG
-  * predictors. NOT in scope (documented, like the reference's OCR leg):
-  * raster/OCR text, table-structure reconstruction, CID-to-glyph
-  * fallback when a Type0 font ships no ToUnicode map (such codes are
-  * dropped rather than emitted as garbage).
+  * predictors. Type0 fonts WITHOUT a ToUnicode map decode through the
+  * embedded TrueType program's own `cmap` (CID→GID→Unicode inversion)
+  * or, failing that, an Identity-CID heuristic gated to printable
+  * blocks — so CJK documents keep their body text. NOT in scope
+  * (documented, like the reference's OCR leg): raster/OCR text and
+  * full table-structure reconstruction; codes no fallback resolves are
+  * dropped rather than emitted as garbage.
   *
   * Everything here is driver-free and allocation-local: one [[Pdf.Doc]]
   * per file inside a `mapPartitions` iterator — the same executor-side
@@ -629,16 +632,22 @@ private[ingest] object Pdf {
 
     /** Per-font byte→text decoder. */
     final class Font(toUni: Map[Int, String], codeBytes: Int,
-        simpleTable: Array[String]) {
+        simpleTable: Array[String],
+        cidFallback: Int => Option[String] = _ => None) {
       def decode(s: Array[Byte]): String = {
         val sb = new StringBuilder(s.length)
         if (codeBytes == 2) {
           var i = 0
           while (i + 1 < s.length) {
             val code = ((s(i) & 0xff) << 8) | (s(i + 1) & 0xff)
-            // no ToUnicode entry for a CID → drop: emitting the raw glyph
-            // id would be garbage text, worse than a gap
-            toUni.get(code).foreach(sb ++= _)
+            // ToUnicode first; otherwise the Type0 fallback chain
+            // (embedded-cmap inversion or Identity heuristic). A CID
+            // neither resolves is dropped: emitting the raw glyph id
+            // would be garbage text, worse than a gap
+            toUni.get(code) match {
+              case Some(u) => sb ++= u
+              case None    => cidFallback(code).foreach(sb ++= _)
+            }
             i += 2
           }
         } else {
@@ -673,7 +682,8 @@ private[ingest] object Pdf {
         case PStream(d, raw) => parseToUnicode(decodeStream(d, raw))
         case _               => Map.empty[Int, String]
       }
-      if (isType0) new Font(toUni, 2, Array.empty)
+      if (isType0) new Font(toUni, 2, Array.empty,
+        if (toUni.nonEmpty) _ => None else type0Fallback(fd))
       else {
         val table = winAnsiTable()
         resolve(fd.get("Encoding").getOrElse(PNull)) match {
@@ -696,6 +706,55 @@ private[ingest] object Pdf {
         }
         new Font(toUni, 1, table)
       }
+    }
+
+    /** CID→text fallback chain for a Type0 font that ships NO ToUnicode
+      * map (common in CJK PDFs — the reference's own corpus is Korean):
+      *
+      * 1. EMBEDDED-CMAP INVERSION — the correct path when the descendant
+      *    CIDFont embeds its TrueType program (`FontFile2`): CID→GID via
+      *    `CIDToGIDMap` (Identity or the embedded stream), then
+      *    GID→Unicode by inverting the font's own `cmap` table
+      *    ([[TrueTypeCmap.inverse]]). Subset fonts carry exactly the
+      *    glyphs the document uses, so the inverse is effectively 1:1.
+      * 2. IDENTITY HEURISTIC — some producers write Identity-ordered
+      *    CIDs that ARE Unicode code points. Emit the code point itself,
+      *    but ONLY for plausibly-printable blocks (ASCII, Hangul, CJK,
+      *    kana): a subset-font glyph id that happens to be small fails
+      *    the gate and is dropped rather than emitted as garbage. */
+    private def type0Fallback(fd: PDict): Int => Option[String] = {
+      val desc = resolve(fd.get("DescendantFonts").getOrElse(PNull)) match {
+        case PArr(items) if items.nonEmpty => resolve(items.head) match {
+          case d: PDict => Some(d)
+          case _        => None
+        }
+        case _ => None
+      }
+      val cidToGid: Int => Int = desc.flatMap { d =>
+        resolve(d.get("CIDToGIDMap").getOrElse(PNull)) match {
+          case PStream(sd, raw) =>
+            val bytes = decodeStream(sd, raw)
+            Some((cid: Int) =>
+              if (2 * cid + 1 < bytes.length)
+                ((bytes(2 * cid) & 0xff) << 8) | (bytes(2 * cid + 1) & 0xff)
+              else 0)
+          case _ => None // /Identity or absent: CID == GID
+        }
+      }.getOrElse((cid: Int) => cid)
+      val gidToUni: Map[Int, String] = desc.flatMap { d =>
+        resolve(d.get("FontDescriptor").getOrElse(PNull)) match {
+          case fdd: PDict =>
+            resolve(fdd.get("FontFile2").getOrElse(PNull)) match {
+              case PStream(sd, raw) =>
+                TrueTypeCmap.inverse(decodeStream(sd, raw))
+              case _ => None
+            }
+          case _ => None
+        }
+      }.getOrElse(Map.empty)
+      if (gidToUni.nonEmpty) (cid: Int) => gidToUni.get(cidToGid(cid))
+      else (cid: Int) =>
+        if (plausibleCodePoint(cid)) Some(cid.toChar.toString) else None
     }
 
     /** bfchar/bfrange sections of a ToUnicode CMap. */
@@ -775,12 +834,9 @@ private[ingest] object Pdf {
       * decoding; Td, TD, T-star, Tm and ET breaks become newlines; Form
       * XObjects (`Do`) recurse with their own resources. */
     def pageText(page: PDict, resources: PDict): String = {
-      val sb = new StringBuilder
-      extractText(pageContent(page), resources, sb, 0)
-      // normalize: collapse blank runs the line-break heuristic produces
-      sb.toString
-        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-        .mkString("\n")
+      val runs = mutable.ArrayBuffer.empty[Run]
+      extractText(pageContent(page), resources, runs, 0)
+      PdfLayout.render(runs)
     }
 
     /** True when the page's resources (or nested Form XObjects, same
@@ -808,8 +864,15 @@ private[ingest] object Pdf {
       }
     }
 
+    /** Content-stream walk emitting POSITIONED runs: one run per text
+      * anchor (a `Td`/`TD`/`Tm`/`T*` position change flushes the run in
+      * progress), with the text-space (x, y) the run started at. The
+      * line matrix is tracked as a pure translation — scale/rotation are
+      * ignored, which is exact for the horizontal text that makes up
+      * tables and body copy. Positions feed [[PdfLayout]]'s row
+      * clustering and lattice-table detection. */
     private def extractText(content: Array[Byte], resources: PDict,
-        sb: StringBuilder, depth: Int): Unit = {
+        runs: mutable.ArrayBuffer[Run], depth: Int): Unit = {
       if (depth > 8) return
       val fonts = resolve(resources.get("Font").getOrElse(PNull)) match {
         case d: PDict => d.m; case _ => Map.empty[String, Obj]
@@ -820,10 +883,33 @@ private[ingest] object Pdf {
       val lex = new Lex(content, 0, allowRefs = false)
       val operands = mutable.ArrayBuffer.empty[Obj]
       var font: Font = null
+      var x = 0.0
+      var y = 0.0
+      var tl = 0.0 // leading (TL / TD); 0 = never set
+      var lineX = 0.0
+      var lineY = 0.0
+      val cur = new StringBuilder
+      def flush(): Unit = {
+        if (cur.nonEmpty) {
+          runs += Run(lineX, lineY, cur.toString)
+          cur.clear()
+        }
+      }
+      def numAt(i: Int): Double = operands.lift(i) match {
+        case Some(PNum(v)) => v
+        case _             => 0.0
+      }
+      def nextLine(): Unit = {
+        flush()
+        // unset leading: fall back to a nominal line height so `'`/T*
+        // still break lines instead of merging into the previous row
+        y -= (if (tl != 0) tl else 12.0)
+      }
       def show(o: Obj): Unit = o match {
         case PStr(b) =>
-          if (font != null) sb ++= font.decode(b)
-          else sb ++= new String(b, StandardCharsets.ISO_8859_1)
+          if (cur.isEmpty) { lineX = x; lineY = y }
+          if (font != null) cur ++= font.decode(b)
+          else cur ++= new String(b, StandardCharsets.ISO_8859_1)
         case _ =>
       }
       var tok = lex.nextToken()
@@ -838,9 +924,9 @@ private[ingest] object Pdf {
                 }
               case "Tj" => operands.lastOption.foreach(show)
               case "'" =>
-                sb += '\n'; operands.lastOption.foreach(show)
+                nextLine(); operands.lastOption.foreach(show)
               case "\"" =>
-                sb += '\n'; operands.lastOption.foreach(show)
+                nextLine(); operands.lastOption.foreach(show)
               case "TJ" =>
                 operands.lastOption.collect { case PArr(items) =>
                   items.foreach {
@@ -848,11 +934,18 @@ private[ingest] object Pdf {
                     case PNum(v) =>
                       // big negative kern = inter-word gap (thousandths
                       // of an em; -180 is the usual space threshold)
-                      if (v < -180) sb += ' '
+                      if (v < -180 && cur.nonEmpty) cur += ' '
                     case _ =>
                   }
                 }
-              case "Td" | "TD" | "T*" | "Tm" | "ET" => sb += '\n'
+              case "TL" => tl = numAt(0)
+              case "Td" => flush(); x += numAt(0); y += numAt(1)
+              case "TD" =>
+                flush(); tl = -numAt(1); x += numAt(0); y += numAt(1)
+              case "Tm" => flush(); x = numAt(4); y = numAt(5)
+              case "T*" => nextLine()
+              case "BT" => flush(); x = 0; y = 0
+              case "ET" => flush()
               case "Do" =>
                 operands.headOption.collect { case PName(n) =>
                   xobjects.get(n).map(resolve).collect {
@@ -863,8 +956,8 @@ private[ingest] object Pdf {
                         .getOrElse(PNull)) match {
                         case r: PDict => r; case _ => resources
                       }
-                      sb += '\n'
-                      extractText(decodeStream(d, raw), res, sb, depth + 1)
+                      flush()
+                      extractText(decodeStream(d, raw), res, runs, depth + 1)
                   }
                 }
               case "BI" =>
@@ -883,7 +976,198 @@ private[ingest] object Pdf {
         }
         tok = lex.nextToken()
       }
+      flush()
     }
+  }
+
+  /** A positioned text run: the text shown from one anchor point
+    * (text-space translation at the first show operator of the run). */
+  private[ingest] final case class Run(x: Double, y: Double, text: String)
+
+  /** Layout reconstruction over positioned runs — the `do_table_structure`
+    * leg of S4 (`parsing.py:39`): the reference exports detected tables
+    * as markdown pipes inside `page_content`; this recovers the same
+    * output SHAPE from run geometry alone (lattice heuristic), no ML.
+    *
+    * Rows = runs clustered by quantized y. A TABLE BAND opens where two
+    * consecutive rows share ≥2 x-anchors (distinct cell columns at the
+    * same x across lines is the lattice signature; flowing text has one
+    * anchor per row) and extends through rows whose anchors stay inside
+    * the band's columns — which keeps a wrapped cell's continuation
+    * lines (they anchor at their own column) in the band. Band rows
+    * render as `| a | b |` pipes with a `| --- |` separator under the
+    * first row; everything else renders one line per run, row by row.
+    * Known limit, documented: a two-column PAGE layout shares the
+    * lattice signature and would table-ize — the reference's ML layout
+    * model is the production answer there; its corpus (and this one) is
+    * single-column. */
+  private object PdfLayout {
+    private def qy(v: Double): Long = math.round(v / 2.0) // 2pt row snap
+    private def qx(v: Double): Long = math.round(v / 2.0)
+
+    def render(runs: collection.Seq[Run]): String = {
+      val clean = runs.iterator
+        .map(r => Run(r.x, r.y, r.text.trim)).filter(_.text.nonEmpty)
+        .toVector
+      // rows keyed by quantized y, first-appearance order (content order
+      // ≈ reading order for the text itself; geometry only decides
+      // row/cell membership)
+      val byRow = mutable.LinkedHashMap.empty[Long, mutable.ArrayBuffer[Run]]
+      clean.foreach(r =>
+        byRow.getOrElseUpdate(qy(r.y), mutable.ArrayBuffer.empty) += r)
+      val rows: Vector[(Vector[Long], Seq[Run])] = byRow.values.iterator
+        .map(rs => (rs.map(r => qx(r.x)).distinct.sorted.toVector, rs.toSeq))
+        .toVector
+
+      val out = new StringBuilder
+      var i = 0
+      while (i < rows.length) {
+        val (a0, _) = rows(i)
+        val opens = a0.size >= 2 && i + 1 < rows.length &&
+          rows(i + 1)._1.count(a0.contains) >= 2
+        if (opens) {
+          val bandAnchors = (a0 ++ rows(i + 1)._1).distinct.sorted
+          var j = i + 2
+          while (j < rows.length && rows(j)._1.forall(bandAnchors.contains))
+            j += 1
+          val cols = bandAnchors
+          def pipeRow(rs: Seq[Run]): Unit = {
+            out ++= cols.map(c =>
+                rs.filter(r => qx(r.x) == c).map(_.text).mkString(" "))
+              .mkString("| ", " | ", " |\n")
+          }
+          pipeRow(rows(i)._2)
+          out ++= cols.map(_ => "---").mkString("| ", " | ", " |\n")
+          (i + 1 until j).foreach(k => pipeRow(rows(k)._2))
+          i = j
+        } else {
+          rows(i)._2.sortBy(r => qx(r.x)).foreach { r =>
+            out ++= r.text; out += '\n'
+          }
+          i += 1
+        }
+      }
+      out.toString
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .mkString("\n")
+    }
+  }
+
+  /** Printable-block gate for the Identity-CID heuristic: ASCII, Hangul
+    * (syllables + jamo), CJK unified, kana, CJK punctuation. */
+  private def plausibleCodePoint(c: Int): Boolean =
+    (c >= 0x20 && c < 0x7f) ||
+      (c >= 0xAC00 && c <= 0xD7A3) ||
+      (c >= 0x1100 && c <= 0x11FF) ||
+      (c >= 0x3130 && c <= 0x318F) ||
+      (c >= 0x4E00 && c <= 0x9FFF) ||
+      (c >= 0x3040 && c <= 0x30FF) ||
+      (c >= 0x3000 && c <= 0x303F)
+
+  /** Minimal TrueType `cmap` reader: just enough of the public sfnt
+    * format (OpenType spec, `cmap` formats 4 and 12) to INVERT an
+    * embedded font's glyph mapping — gid → unicode — for the Type0
+    * no-ToUnicode fallback. Prefers (3,10) UCS-4, then (3,1) BMP, then
+    * any Unicode-platform subtable; bounded work (entry cap) so a
+    * hostile font can't inflate the map. Fail-soft: any structural
+    * surprise returns None and the caller falls through to the
+    * Identity heuristic. */
+  private object TrueTypeCmap {
+    private val MaxEntries = 300000
+
+    def inverse(font: Array[Byte]): Option[Map[Int, String]] = try {
+      def u16(o: Int): Int = ((font(o) & 0xff) << 8) | (font(o + 1) & 0xff)
+      def u32(o: Int): Int =
+        ((font(o) & 0xff) << 24) | ((font(o + 1) & 0xff) << 16) |
+          ((font(o + 2) & 0xff) << 8) | (font(o + 3) & 0xff)
+      if (font.length < 12) return None
+      val numTables = u16(4)
+      var cmapOff = -1
+      var i = 0
+      while (i < numTables && cmapOff < 0) {
+        val rec = 12 + 16 * i
+        if (rec + 16 <= font.length &&
+            new String(font, rec, 4, "ISO-8859-1") == "cmap")
+          cmapOff = u32(rec + 8)
+        i += 1
+      }
+      if (cmapOff < 0 || cmapOff + 4 > font.length) return None
+      val n = u16(cmapOff + 2)
+      var best = -1
+      var bestScore = 0
+      var j = 0
+      while (j < n) {
+        val rec = cmapOff + 4 + 8 * j
+        if (rec + 8 <= font.length) {
+          val score = (u16(rec), u16(rec + 2)) match {
+            case (3, 10) => 3
+            case (3, 1)  => 2
+            case (0, _)  => 1
+            case _       => 0
+          }
+          if (score > bestScore) {
+            bestScore = score
+            best = cmapOff + u32(rec + 4)
+          }
+        }
+        j += 1
+      }
+      if (best < 0 || best + 2 > font.length) return None
+      val out = Map.newBuilder[Int, String]
+      var added = 0
+      u16(best) match {
+        case 4 =>
+          val segX2 = u16(best + 6)
+          val seg = segX2 / 2
+          val endO = best + 14
+          val startO = endO + segX2 + 2
+          val deltaO = startO + segX2
+          val rangeO = deltaO + segX2
+          var s = 0
+          while (s < seg && added < MaxEntries) {
+            val end = u16(endO + 2 * s)
+            val start = u16(startO + 2 * s)
+            val delta = u16(deltaO + 2 * s)
+            val ro = u16(rangeO + 2 * s)
+            var c = start
+            while (c <= end && c != 0xFFFF && added < MaxEntries) {
+              val gid =
+                if (ro == 0) (c + delta) & 0xffff
+                else {
+                  val addr = rangeO + 2 * s + ro + 2 * (c - start)
+                  if (addr + 1 < font.length) {
+                    val g = u16(addr)
+                    if (g == 0) 0 else (g + delta) & 0xffff
+                  } else 0
+                }
+              if (gid != 0) { out += gid -> c.toChar.toString; added += 1 }
+              c += 1
+            }
+            s += 1
+          }
+        case 12 =>
+          val nGroups = u32(best + 12)
+          var g = 0
+          while (g < nGroups && added < MaxEntries) {
+            val go = best + 16 + 12 * g
+            if (go + 12 <= font.length) {
+              val sc = u32(go)
+              val ec = u32(go + 4)
+              val sg = u32(go + 8)
+              var c = sc
+              while (c <= ec && added < MaxEntries) {
+                out += (sg + (c - sc)) -> new String(Character.toChars(c))
+                added += 1
+                c += 1
+              }
+            }
+            g += 1
+          }
+        case _ => return None
+      }
+      val m = out.result() - 0 // gid 0 is .notdef
+      if (m.isEmpty) None else Some(m)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   // ---------------------------------------------------- encoding tables

@@ -154,6 +154,23 @@ class IngestGoldenSpec extends SparkSpec {
     }
   }
 
+  test("PdfPageExtractor: table-bearing golden pages reconstruct as markdown pipes") {
+    // Docling (do_table_structure=True) renders these pages' tables as
+    // pipe tables in the golden; the lattice heuristic must recover the
+    // same SHAPE (pipe rows + separator) with the table's own cell text
+    // (cell wrap/merge fidelity is the ML layout model's job, not pinned)
+    val file = "whitepaper_Embeddings & vector stores.pdf"
+    val text = extracted(file).find(_.page === 41).map(_.text).getOrElse("")
+    val pipeRows = text.linesIterator.filter(_.startsWith("| ")).toVector
+    assert(pipeRows.size >= 3,
+      "no pipe table reconstructed on the table page:\n" + text.take(600))
+    assert(text.contains("| ---"),
+      "missing markdown separator row:\n" + pipeRows.take(3).mkString("\n"))
+    // golden table's leading column entries appear as cell text
+    assert(pipeRows.exists(r => r.contains("Retrieval")),
+      pipeRows.take(6).mkString("\n"))
+  }
+
   test("E1 pipeline end-to-end on the real PDFs: scan → parse → enrich → embed → write") {
     import graft.embed.DeterministicEmbedder
     val out = java.nio.file.Files.createTempDirectory("pdf_e1").toString
