@@ -420,24 +420,26 @@ object Multimodal {
     StructField("duration_ms", LongType),
     StructField("decode_error", StringType)))
 
-  /** REAL video decode for MJPEG-in-AVI (the one container+codec a bare
-    * JDK fully handles — [[AviMjpeg]]): parses the RIFF tree, reports
-    * true dimensions, the DEMUXED frame count (counted from the movi
-    * list, never trusted from the header) and the duration from the
-    * avih frame interval. Anything else fails soft into `decode_error`
-    * — the production slot for an ffmpeg binding. */
+  /** Video decode through the [[FrameDecoder]] seam (default: the real
+    * MJPEG-in-AVI decoder): probes the container, reports dimensions,
+    * the DEMUXED frame count (counted from the frame slices, never
+    * trusted from the header) and the duration from the frame interval.
+    * Anything the decoder rejects fails soft into `decode_error`. A
+    * production codec binding (ffmpeg) is one more [[FrameDecoder]] —
+    * callers don't change. */
   def withVideoMeta(df: DataFrame, binCol: String,
-      outCol: String = "video_meta"): DataFrame = {
+      outCol: String = "video_meta",
+      decoder: FrameDecoder = MjpegAviFrameDecoder): DataFrame = {
     val schema = df.schema.add(StructField(outCol, VideoMetaSchema))
     val enc    = org.apache.spark.sql.Encoders.row(schema)
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val meta = AviMjpeg.parseInfo(bytes) match {
+        val meta = decoder.probe(bytes) match {
           case Right(info) =>
-            val n = AviMjpeg.frameSlices(bytes).size
-            Row("avi/mjpeg", info.width, info.height, n,
+            val n = decoder.frameSlices(bytes).size
+            Row(decoder.format, info.width, info.height, n,
               info.usPerFrame * n / 1000L, null)
           case Left(err) => Row(null, null, null, null, null, err)
         }
@@ -454,7 +456,8 @@ object Multimodal {
     * emits ONE row with null frame and the error (visible, never
     * job-fatal). Bounded memory: only kept frames are sliced out of the
     * container buffer; skipped frames are never copied. */
-  def sampleVideoFrames(df: DataFrame, binCol: String, n: Int): DataFrame = {
+  def sampleVideoFrames(df: DataFrame, binCol: String, n: Int,
+      decoder: FrameDecoder = MjpegAviFrameDecoder): DataFrame = {
     require(n >= 1, "need n >= 1 frames")
     val schema = df.schema
       .add(StructField("frame_no", IntegerType))
@@ -468,10 +471,10 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes  = r.getAs[Array[Byte]](binIdx)
-        val slices = AviMjpeg.frameSlices(bytes)
+        val slices = decoder.frameSlices(bytes)
         if (slices.isEmpty)
           Iterator.single(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null,
-            null, "no demuxable frames (not MJPEG-AVI?)")))
+            null, s"no demuxable frames (not ${decoder.format}?)")))
         else {
           val m = slices.size
           val picks: Seq[Int] =
@@ -481,10 +484,9 @@ object Multimodal {
           picks.iterator.zipWithIndex.map { case (src, i) =>
             val (off, len) = slices(src)
             val fb = java.util.Arrays.copyOfRange(bytes, off, off + len)
-            val tail = AviMjpeg.decodeFrame(bytes, off, len) match {
-              case Right(img) =>
-                Seq(i, src, fb, img.getWidth, img.getHeight, null)
-              case Left(e) => Seq(i, src, fb, null, null, e)
+            val tail = decoder.decodeDims(bytes, off, len) match {
+              case Right((w, h)) => Seq(i, src, fb, w, h, null)
+              case Left(e)       => Seq(i, src, fb, null, null, e)
             }
             Row.fromSeq(r.toSeq ++ tail)
           }

@@ -129,12 +129,29 @@ object Bpe {
   }
 
   /** Learn `numMerges` merges from the corpus. Stops early when no pair
-    * reaches `minPairCount`. */
+    * reaches `minPairCount`.
+    *
+    * The merge loop is driver-coordinated by nature (one global argmax
+    * per merge — standard BPE), so each merge costs a pass over the
+    * VOCABULARY table. At corpus scale the vocabulary converges long
+    * before the corpus is exhausted, which is why production tokenizers
+    * train on a sample: `sampleRate < 1` keeps a deterministic
+    * content-hash sample of the documents (md5 of the text — stable
+    * across runs/engines/partitionings, no id column needed) before the
+    * single corpus pass. `sampleRate = 1.0` (default) is exact training;
+    * `minPairCount` applies to the sampled counts. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L): Model = {
+      minPairCount: Long = 2L, sampleRate: Double = 1.0): Model = {
+    require(sampleRate > 0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1], got $sampleRate")
     val spark = docs.sparkSession
+    val corpus =
+      if (sampleRate >= 1.0) docs
+      else docs.filter(
+        pmod(TextFunctions.md5Long(col(textCol)), lit(1000000L))
+          < lit((sampleRate * 1000000).toLong))
     // ONE corpus pass; everything after runs on the vocabulary table
-    var words = docs
+    var words = corpus
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(initialSymbols(col("word")).as("syms"), col("freq"))

@@ -338,6 +338,34 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2).getStruct(2).getAs[String]("decode_error") != null)
   }
 
+  test("FrameDecoder seam: stub and MJPEG decoders drive the SAME call sites and schema") {
+    val avi = mjpegAvi((0 until 3).map(i => jpegBytes(0x102030 * i, 16, 8)),
+      16, 8, 40000L)
+    val payload = Array.tabulate(300)(i => (i % 251).toByte) // "h264" bytes
+    val real = Multimodal.withVideoMeta(Seq((1L, avi)).toDF("vid", "media"),
+      "media")
+    val sdf = Seq((1L, payload)).toDF("vid", "media")
+    val stubbed = Multimodal.withVideoMeta(sdf, "media",
+      decoder = StubFrameDecoder)
+    // decoder choice never changes the caller's schema — the seam contract
+    assert(real.schema === stubbed.schema)
+    assert(real.head().getStruct(2).getAs[String]("container") === "avi/mjpeg")
+    val sm = stubbed.head().getStruct(2)
+    assert(sm.getAs[String]("container") === "stub")
+    assert(sm.getAs[Int]("n_frames") === 1 + payload.length % 240)
+    assert(sm.getAs[String]("decode_error") == null)
+    // frame sampling through the same seam: stub slices decode to the
+    // probe geometry, real slices to true JPEG pixels — same columns
+    val sf = Multimodal.sampleVideoFrames(sdf, "media", 2,
+      decoder = StubFrameDecoder).collect()
+    assert(sf.length === 2)
+    sf.foreach { r =>
+      assert(r.getAs[String]("frame_error") == null)
+      assert(r.getAs[Int]("frame_width") === sm.getAs[Int]("width"))
+      assert(r.getAs[Int]("frame_height") === sm.getAs[Int]("height"))
+    }
+  }
+
   test("sampleVideoFrames: evenly spaced TRUE JPEG frames, fail-soft") {
     val frames = (0 until 10).map(i => jpegBytes(0x111111 * (i % 8), 20, 10))
     val avi = mjpegAvi(frames, 20, 10, 33333L)

@@ -39,6 +39,25 @@ class BpeSpec extends SparkSpec {
       Seq(("e", "s"), ("es", "t"), ("est", Bpe.EndOfWord)))
   }
 
+  test("sampleRate=1.0 is exact training; a sampled train is deterministic and valid") {
+    // the sampling knob must be a pure pre-filter: full rate == the
+    // unsampled path, merge for merge
+    val exact = Bpe.train(corpus, "text", numMerges = 5)
+    val full = Bpe.train(corpus, "text", numMerges = 5, sampleRate = 1.0)
+    assert(full.merges === exact.merges)
+    // a real sample: deterministic across runs (content-hash decision),
+    // and its merges are learnable (the fixture rows are identical per
+    // word, so any surviving subset preserves relative frequencies)
+    val s1 = Bpe.train(corpus, "text", numMerges = 3, minPairCount = 1L,
+      sampleRate = 0.7)
+    val s2 = Bpe.train(corpus, "text", numMerges = 3, minPairCount = 1L,
+      sampleRate = 0.7)
+    assert(s1.merges === s2.merges)
+    intercept[IllegalArgumentException] {
+      Bpe.train(corpus, "text", 3, sampleRate = 0.0)
+    }
+  }
+
   test("encodeWord: greedy lowest-rank-first, unseen words fall back to chars") {
     val m = Bpe.train(corpus, "text", numMerges = 5)
     assert(m.encodeWord("lowest") === Seq("low", "est" + Bpe.EndOfWord))
