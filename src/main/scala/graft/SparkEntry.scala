@@ -5979,7 +5979,85 @@ object SparkEntry {
         |SELECT n_vectors, k,
         |  greatest(k::BIGINT * 10,
         |    ceil(n_vectors::DOUBLE / 4)::BIGINT)::INT AS num_candidates
-        |FROM n CROSS JOIN ks ORDER BY k""".stripMargin))
+        |FROM n CROSS JOIN ks ORDER BY k""".stripMargin),
+
+    Q("q187_cluster_keep_policy",
+      // The keep policy that completes the dedup chain: q60's clusters
+      // + q15's quality score → one survivor per near-dup cluster (max
+      // quality, ties to min id). Two partial-agg groupBys on the
+      // cluster key + equi-joins back — no corpus window.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clusters = Dedup.nearDupClusters(docs, "doc_id",
+          Dedup.minhashCandidatePairs(docs, "doc_id", "text"))
+        val scored = docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        Dedup.keepBestPerCluster(scored, "doc_id", clusters, "quality")
+          .select(col("doc_id"), col("cluster_id"), col("quality"),
+            col("keep"))
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE ${minhashPairCtes()},
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |cc(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+         |lab AS (SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
+         |        FROM cc GROUP BY node),
+         |js AS (SELECT s.doc_id, l.cluster_id, s.q
+         |       FROM (SELECT doc_id, $qualitySql AS q FROM documents) s
+         |       JOIN lab l USING (doc_id)),
+         |mx AS (SELECT cluster_id, max(q) AS mq FROM js GROUP BY 1),
+         |keepers AS (SELECT js.cluster_id, min(js.doc_id) AS keep_id
+         |            FROM js JOIN mx ON js.cluster_id = mx.cluster_id
+         |              AND js.q = mx.mq
+         |            GROUP BY js.cluster_id)
+         |SELECT js.doc_id, js.cluster_id, js.q AS quality,
+         |  (js.doc_id = k.keep_id) AS keep
+         |FROM js JOIN keepers k USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin),
+
+    Q("q188_contamination_score",
+      // Graded decontamination: the benchmark-overlap FRACTION per doc
+      // (q62 is the any-hit flag). One scan, zero shuffles — the
+      // benchmark shingle set rides as an array literal and the per-row
+      // work is a hash-set intersect.
+      (s, dir) => graft.pipeline.Decontaminate.contaminationScore(
+        Tables.documents(s, dir), "doc_id", "text", BenchmarkPhrases)
+        .orderBy("doc_id"),
+      {
+        val shingles = graft.pipeline.Decontaminate
+          .phraseShingles(BenchmarkPhrases)
+          .map(sh => s"'$sh'").mkString("[", ", ", "]")
+        s"""SELECT doc_id, len(shl)::BIGINT AS n_shingles,
+           |  len(list_intersect(shl, $shingles))::BIGINT AS n_hit,
+           |  round(CASE WHEN len(shl) = 0 THEN 0.0
+           |    ELSE len(list_intersect(shl, $shingles))::DOUBLE
+           |         / len(shl)::DOUBLE END, 6) AS contamination
+           |FROM (SELECT doc_id, list_distinct($shinglesSql) AS shl
+           |      FROM (SELECT doc_id, $toksSql AS l FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("q189_lsh_planner",
+      // Banding pre-flight for the dedup family (q185's diagnostic
+      // discipline): detection probability 1-(1-s^r)^b over a Jaccard
+      // grid plus the scheme threshold (1/b)^(1/r), for the registry's
+      // own (numHashes=8, bandSize=2) knobs. Metadata-scale algebra, no
+      // corpus access.
+      (s, dir) => Dedup.lshPlanCurve(s).orderBy("jaccard_s"),
+      {
+        val b = Dedup.NumHashes / Dedup.BandSize
+        val r = Dedup.BandSize
+        s"""SELECT round(i::DOUBLE / 20, 6) AS jaccard_s,
+           |  round(1.0 - pow(1.0 - pow(i::DOUBLE / 20, $r), $b), 6)
+           |    AS p_detect,
+           |  round(pow(1.0 / $b, 1.0 / $r), 6) AS s_threshold
+           |FROM generate_series(1, 20) t(i)
+           |ORDER BY jaccard_s""".stripMargin
+      }))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

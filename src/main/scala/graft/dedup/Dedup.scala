@@ -490,6 +490,49 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** The KEEP POLICY that turns near-dup clusters into a curated corpus:
+    * one survivor per cluster — the best `scoreCol` (quality, length,
+    * recency…), ties broken to the smallest id. Returns every input row
+    * with its `cluster_id` and a `keep` flag (filter on it or anti-join
+    * the losers).
+    *
+    * Scale shape: two partial-agg groupBys on the cluster key (per-
+    * cluster max score, then min id among the max-scored) and equi-joins
+    * back — no window over the corpus, no collect; cluster count is
+    * corpus-order, so everything stays a keyed shuffle. */
+  def keepBestPerCluster(scored: DataFrame, idCol: String,
+      clusters: DataFrame, scoreCol: String): DataFrame = {
+    val js = scored.join(clusters, idCol)
+    val mx = js.groupBy("cluster_id").agg(max(col(scoreCol)).as("__mq"))
+    val keepers = js.join(mx, "cluster_id")
+      .filter(col(scoreCol) === col("__mq"))
+      .groupBy("cluster_id").agg(min(col(idCol)).as("__keep_id"))
+    js.join(keepers, "cluster_id")
+      .withColumn("keep", col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
+  }
+
+  /** LSH banding PLANNER — the pre-flight that chooses (numHashes,
+    * bandSize) before a dedup run: for each candidate Jaccard s, the
+    * detection probability of the banded scheme, `1 − (1 − s^r)^b`,
+    * plus the scheme's threshold `s* = (1/b)^(1/r)` (the similarity
+    * where detection hits ~50%). Pure algebra on a generated grid —
+    * metadata-scale, no corpus access; the q185-style diagnostic for
+    * the dedup family. */
+  def lshPlanCurve(spark: org.apache.spark.sql.SparkSession,
+      nHashes: Int = NumHashes, bandSize: Int = BandSize,
+      steps: Int = 20): DataFrame = {
+    require(nHashes % bandSize == 0, "bandSize must divide nHashes")
+    val b = nHashes / bandSize
+    spark.range(1, steps + 1)
+      .select((col("id").cast("double") / steps).as("s"))
+      .select(round(col("s"), 6).as("jaccard_s"),
+        round(lit(1.0) -
+          pow(lit(1.0) - pow(col("s"), lit(bandSize)), lit(b)), 6)
+          .as("p_detect"),
+        round(pow(lit(1.0) / b, lit(1.0) / bandSize), 6).as("s_threshold"))
+  }
+
   // ---- embedding near-dup ------------------------------------------------
 
   /** Embedding-cosine near-dup pairs, restricted to LSH buckets (bucket

@@ -49,4 +49,32 @@ object Decontaminate {
       contaminated(docs, idCol, textCol, phrases, n)
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** GRADED contamination — the overlap FRACTION, not just a hit flag:
+    * per document, its distinct-shingle count, how many of those appear
+    * in the benchmark set, and the ratio. Decision-grade output for
+    * threshold policies ("drop ≥ 0.05 overlap, audit ≥ 0.01") where
+    * [[contaminated]]'s any-hit semantics is too blunt. Every doc gets
+    * a row (clean ⇒ 0.0).
+    *
+    * Scale shape: ONE scan, ZERO shuffles — the benchmark shingles ride
+    * along as an array literal (broadcast-sized by construction: eval
+    * sets, not corpora) and the per-row work is a hash-set
+    * `array_intersect`. Strictly better than the explode+join shape
+    * when only counts are needed. */
+  def contaminationScore(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], n: Int = 3): DataFrame = {
+    val benchArr = typedLit(phraseShingles(phrases, n))
+    docs.select(col(idCol).as("doc_id"),
+        array_distinct(TextFunctions.shingles(
+          TextFunctions.tokens(col(textCol)), n)).as("__sh"))
+      .select(col("doc_id"),
+        size(col("__sh")).cast("long").as("n_shingles"),
+        size(array_intersect(col("__sh"), benchArr)).cast("long")
+          .as("n_hit"))
+      .withColumn("contamination",
+        round(when(col("n_shingles") === 0, 0.0)
+          .otherwise(col("n_hit").cast("double") /
+            col("n_shingles").cast("double")), 6))
+  }
 }

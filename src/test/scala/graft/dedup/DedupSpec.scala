@@ -388,6 +388,41 @@ class DedupSpec extends SparkSpec {
     assert(j < 0.5, s"jaccard should dilute the embedded doc: $j")
   }
 
+  test("keepBestPerCluster: one survivor per cluster — max score, ties to min id") {
+    val scored = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9), // cluster 10: 2 and 3 tie on 0.9
+      (4L, 0.2),                       // singleton cluster 40
+      (5L, 0.1), (6L, 0.7)             // cluster 50: 6 wins
+    ).toDF("doc_id", "score")
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L),
+      (5L, 50L), (6L, 50L)).toDF("doc_id", "cluster_id")
+    val out = Dedup.keepBestPerCluster(scored, "doc_id", clusters, "score")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep"))
+      .toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false, 6L -> true))
+  }
+
+  test("lshPlanCurve: monotone S-curve, proper endpoints, threshold near 50% detection") {
+    val rows = Dedup.lshPlanCurve(spark).orderBy("jaccard_s").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length === 20)
+    // monotone nondecreasing in s; certain detection at s=1
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 >= a._2 })
+    assert(rows.last._2 === 1.0)
+    assert(rows.head._2 < 0.05)
+    // at the scheme threshold s* = (1/b)^(1/r) the curve sits at
+    // 1-(1-1/b)^b (≈ 1-1/e for large b) — pin the identity, not a
+    // mistaken 50% crossing
+    val thr = rows.head._3
+    assert(thr > 0.0 && thr < 1.0)
+    val b = Dedup.NumHashes / Dedup.BandSize
+    val atThr = 1.0 - math.pow(1.0 - 1.0 / b, b)
+    val nearest = rows.minBy(r => math.abs(r._1 - thr))
+    assert(math.abs(nearest._2 - atThr) < 0.05,
+      s"curve at s*=$thr is ${nearest._2}, expected ~$atThr")
+  }
+
   test("blockDedup keeps the globally first block occurrence and reassembles") {
     val blk = (1 to 16).map(i => s"w$i").mkString(" ") // one exact block
     val d = Seq(

@@ -78,6 +78,29 @@ class SamplingSpec extends SparkSpec {
     assert(kept === Set(3L))
   }
 
+  test("contaminationScore: graded overlap fraction, clean docs score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox appears in this training document"),
+      (3L, "nothing in common with any benchmark at all here")
+    ).toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox")
+    val got = Decontaminate.contaminationScore(docs, "doc_id", "text", bench)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: 2 hits; doc 2: 1 hit; doc 3 (9 tokens → 7 shingles): clean
+    assert(got(1L)._2 === 2L)
+    assert(got(2L)._2 === 1L)
+    assert(got(3L) === ((7L, 0L, 0.0)))
+    assert(got(1L)._3 === math.rint(2.0 / got(1L)._1 * 1e6) / 1e6)
+    // a doc too short for any shingle divides safely
+    val tiny = Decontaminate.contaminationScore(
+      Seq((9L, "hi")).toDF("doc_id", "text"), "doc_id", "text", bench)
+      .head()
+    assert(tiny.getLong(1) === 0L && tiny.getDouble(3) === 0.0)
+  }
+
   test("curate: dedup + quality floor + budget compose") {
     val docs = Tables.documents(spark, SfDir)
     val c = Sampling.curate(docs, "doc_id", "text", "lang", 0.1, 2000L)
