@@ -6057,7 +6057,256 @@ object SparkEntry {
            |  round(pow(1.0 / $b, 1.0 / $r), 6) AS s_threshold
            |FROM generate_series(1, 20) t(i)
            |ORDER BY jaccard_s""".stripMargin
-      }))
+      }),
+
+    Q("q190_kanonymity_audit",
+      // Release-gate privacy audit ([[graft.pipeline.Privacy]]):
+      // k-anonymity group sizes + l-diversity of the sensitive band per
+      // quasi-identifier combination — one partial-aggregated groupBy,
+      // no windows, no self-joins (the homogeneity-attack check rides
+      // the same scan as the size check).
+      (s, dir) => graft.pipeline.Privacy.kAnonymityAudit(
+        Tables.customer(s, dir).withColumn("balance_band",
+          floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "balance_band", k = 10, l = 3)
+        .orderBy("c_nationkey", "c_mktsegment"),
+      """SELECT c_nationkey, c_mktsegment,
+        |  count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT floor(c_acctbal / 1000)::BIGINT)::BIGINT
+        |    AS n_sensitive,
+        |  count(*) >= 10 AS k_anonymous,
+        |  count(DISTINCT floor(c_acctbal / 1000)::BIGINT) >= 3 AS l_diverse
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin),
+
+    Q("q191_target_encoding",
+      // Leakage-safe K-fold target encoding
+      // ([[graft.pipeline.FeatureEncoding.kFoldTargetEncode]]): the
+      // out-of-fold m-estimate mean per (category, fold) — one corpus
+      // scan (groupBy cat×fold), then metadata algebra; DECIMAL sums so
+      // both engines produce the identical exact means.
+      (s, dir) => graft.pipeline.FeatureEncoding.kFoldTargetEncode(
+        Tables.events(s, dir)
+          .withColumn("fold", pmod(col("event_id"), lit(5))),
+        "event_type", "value", "fold", smoothing = 10.0)
+        .orderBy("event_type", "fold"),
+      """WITH pf AS (
+        |  SELECT event_type, (event_id % 5)::BIGINT AS fold,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS fold_sum,
+        |    count(value)::BIGINT AS fold_cnt
+        |  FROM events GROUP BY 1, 2),
+        |pc AS (SELECT event_type, sum(fold_sum) AS cat_sum,
+        |         sum(fold_cnt)::BIGINT AS cat_cnt FROM pf GROUP BY 1),
+        |g AS (SELECT sum(CAST(value AS DECIMAL(18,4)))::DOUBLE
+        |        / count(value) AS prior FROM events)
+        |SELECT pf.event_type, pf.fold, pf.fold_cnt AS n_in_fold,
+        |  round(((pc.cat_sum - pf.fold_sum)::DOUBLE + 10.0 * g.prior)
+        |    / ((pc.cat_cnt - pf.fold_cnt)::DOUBLE + 10.0), 6) AS oof_mean
+        |FROM pf JOIN pc USING (event_type) CROSS JOIN g
+        |ORDER BY event_type, fold""".stripMargin),
+
+    Q("q192_gap_fill",
+      // Calendar densify + forward fill ([[graft.operators.GapFill]]):
+      // per-entity daily grid with last-observation-carried-forward.
+      // Every stage partitions by the ENTITY key (hash-agg day pick,
+      // span-bounded sequence explode, per-key window) — millions of
+      // independent partitions at scale, never a corpus window.
+      (s, dir) => graft.operators.GapFill.forwardFillDaily(
+        Tables.events(s, dir).filter(col("user_id") < 40),
+        "user_id", "ts", "event_id", "value")
+        .withColumnRenamed("k", "user_id")
+        .select("user_id", "day", "v", "v_filled", "is_gap")
+        .orderBy("user_id", "day"),
+      """WITH daily AS (
+        |  SELECT user_id AS k, day, v FROM (
+        |    SELECT user_id, ts::DATE AS day, value AS v,
+        |      row_number() OVER (PARTITION BY user_id, ts::DATE
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE user_id < 40)
+        |  WHERE rn = 1),
+        |grid AS (
+        |  SELECT k, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+        |    AS day
+        |  FROM (SELECT k, min(day) AS d0, max(day) AS d1
+        |        FROM daily GROUP BY k)),
+        |j AS (SELECT g.k, g.day, d.v
+        |      FROM grid g LEFT JOIN daily d USING (k, day))
+        |SELECT k AS user_id, day, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |  v IS NULL AS is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin),
+
+    Q("q193_sft_assembly",
+      // SFT-dialogue assembly ([[graft.pipeline.Conversations]]): the
+      // event log rendered as ordered `role: text` conversations — ONE
+      // groupBy on the conversation key, ordering inside the group via
+      // array_sort on a (ts, id) struct (bounded, human-sized groups);
+      // output carries md5 fingerprints so the audit stays metadata-
+      // sized.
+      (s, dir) => graft.pipeline.Conversations.assembleFingerprints(
+        Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type", "props")
+        .withColumnRenamed("conv_id", "user_id")
+        .select(col("user_id"), col("n_turns"),
+          col("n_chars").cast("long").as("n_chars"), col("convo_md5"))
+        .orderBy("user_id"),
+      """WITH r AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_turns,
+        |    string_agg(coalesce(event_type, '') || ': '
+        |        || coalesce(props, ''), chr(10)
+        |      ORDER BY ts, event_id) AS rendered
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_turns, length(rendered)::BIGINT AS n_chars,
+        |  md5(rendered) AS convo_md5
+        |FROM r ORDER BY user_id""".stripMargin),
+
+    Q("q194_embedding_health",
+      // Embedding-matrix health profile: per-label count, mean L2 norm,
+      // and mean cosine to the GLOBAL centroid (the anisotropy /
+      // collapsed-representation diagnostic — Ethayarajh 2019). The
+      // centroid is the exact-decimal mean from
+      // [[VectorFunctions.centroids]] (one posexplode + groupBy) and
+      // rides a broadcast; per-row work is codegen'd array math; the
+      // per-label rollup sums 6-dp-rounded DECIMALs so both engines
+      // agree exactly.
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cent = VectorFunctions.centroids(
+          e.select(lit(1).as("g"), col("embedding")), "g", "embedding")
+          .select(col("centroid"))
+        e.crossJoin(broadcast(cent))
+          .select(col("label"),
+            round(VectorFunctions.l2Norm(col("embedding")), 6).as("nrm"),
+            round(VectorFunctions.cosineHof(col("embedding"),
+              col("centroid")), 6).as("cs"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vectors"),
+            round(sum(col("nrm").cast(DecimalType(18, 10))).cast("double")
+              / count(lit(1)), 6).as("mean_norm"),
+            round(sum(col("cs").cast(DecimalType(18, 10))).cast("double")
+              / count(lit(1)), 6).as("mean_cos_centroid"))
+          .orderBy("label")
+      },
+      """WITH ex AS (
+        |  SELECT unnest(embedding::DOUBLE[]) AS v,
+        |         unnest(range(1, len(embedding) + 1)) AS pos
+        |  FROM embeddings),
+        |comp AS (
+        |  SELECT pos, round(sum(round(v, 6)::DECIMAL(18,10))::DOUBLE
+        |    / count(*), 6) AS c
+        |  FROM ex GROUP BY pos),
+        |cent AS (SELECT list(c ORDER BY pos) AS centroid FROM comp),
+        |per_row AS (
+        |  SELECT label,
+        |    round(sqrt(list_dot_product(embedding::DOUBLE[],
+        |      embedding::DOUBLE[])), 6) AS nrm,
+        |    round(CASE
+        |      WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+        |             embedding::DOUBLE[])) = 0
+        |        OR sqrt(list_dot_product(centroid, centroid)) = 0 THEN 0.0
+        |      ELSE list_dot_product(embedding::DOUBLE[], centroid)
+        |        / (sqrt(list_dot_product(embedding::DOUBLE[],
+        |             embedding::DOUBLE[]))
+        |           * sqrt(list_dot_product(centroid, centroid))) END, 6)
+        |      AS cs
+        |  FROM embeddings CROSS JOIN cent)
+        |SELECT label, count(*)::BIGINT AS n_vectors,
+        |  round(sum(nrm::DECIMAL(18,10))::DOUBLE / count(*), 6)
+        |    AS mean_norm,
+        |  round(sum(cs::DECIMAL(18,10))::DOUBLE / count(*), 6)
+        |    AS mean_cos_centroid
+        |FROM per_row GROUP BY label ORDER BY label""".stripMargin),
+
+    Q("q195_weak_labels",
+      // Snorkel-style weak supervision ([[graft.pipeline.WeakLabels]]):
+      // five deterministic labeling functions vote per doc, per-LF
+      // reliability is estimated from agreement with the unweighted
+      // majority (one 1-row aggregate, broadcast back), and the final
+      // label is the reliability-weighted re-vote — all row-local
+      // codegen except that single stats aggregate.
+      (s, dir) => graft.pipeline.WeakLabels.label(
+        Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id"),
+      """WITH lf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 150 THEN 1
+        |         WHEN length(text) < 30 THEN -1 ELSE 0 END AS lf_len,
+        |    CASE WHEN length(text) = 0 THEN -1
+        |         WHEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+        |              / length(text) >= 0.6 THEN 1
+        |         WHEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+        |              / length(text) < 0.3 THEN -1 ELSE 0 END AS lf_alpha,
+        |    CASE WHEN position('!!' IN text) > 0
+        |           OR position('??' IN text) > 0 THEN -1 ELSE 0 END
+        |      AS lf_shout,
+        |    CASE WHEN length(text) = 0 THEN 0
+        |         WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+        |              / length(text) > 0.3 THEN -1 ELSE 0 END AS lf_digit,
+        |    CASE WHEN position(' the ' IN lower(text)) > 0
+        |           OR position(' and ' IN lower(text)) > 0 THEN 1 ELSE 0 END
+        |      AS lf_stop
+        |  FROM documents),
+        |mj AS (SELECT *, sign(lf_len + lf_alpha + lf_shout + lf_digit
+        |         + lf_stop)::INT AS majority FROM lf),
+        |st AS (SELECT
+        |  sum(CASE WHEN lf_len != 0 AND majority != 0
+        |        AND lf_len = majority THEN 1 ELSE 0 END)::BIGINT AS a1,
+        |  sum(CASE WHEN lf_len != 0 AND majority != 0
+        |        THEN 1 ELSE 0 END)::BIGINT AS t1,
+        |  sum(CASE WHEN lf_alpha != 0 AND majority != 0
+        |        AND lf_alpha = majority THEN 1 ELSE 0 END)::BIGINT AS a2,
+        |  sum(CASE WHEN lf_alpha != 0 AND majority != 0
+        |        THEN 1 ELSE 0 END)::BIGINT AS t2,
+        |  sum(CASE WHEN lf_shout != 0 AND majority != 0
+        |        AND lf_shout = majority THEN 1 ELSE 0 END)::BIGINT AS a3,
+        |  sum(CASE WHEN lf_shout != 0 AND majority != 0
+        |        THEN 1 ELSE 0 END)::BIGINT AS t3,
+        |  sum(CASE WHEN lf_digit != 0 AND majority != 0
+        |        AND lf_digit = majority THEN 1 ELSE 0 END)::BIGINT AS a4,
+        |  sum(CASE WHEN lf_digit != 0 AND majority != 0
+        |        THEN 1 ELSE 0 END)::BIGINT AS t4,
+        |  sum(CASE WHEN lf_stop != 0 AND majority != 0
+        |        AND lf_stop = majority THEN 1 ELSE 0 END)::BIGINT AS a5,
+        |  sum(CASE WHEN lf_stop != 0 AND majority != 0
+        |        THEN 1 ELSE 0 END)::BIGINT AS t5
+        |  FROM mj),
+        |sc AS (SELECT m.doc_id, m.lf_len, m.lf_alpha, m.lf_shout,
+        |  m.lf_digit, m.lf_stop, m.majority,
+        |  round((2.0 * a1 / greatest(t1, 1) - 1.0) * m.lf_len
+        |      + (2.0 * a2 / greatest(t2, 1) - 1.0) * m.lf_alpha
+        |      + (2.0 * a3 / greatest(t3, 1) - 1.0) * m.lf_shout
+        |      + (2.0 * a4 / greatest(t4, 1) - 1.0) * m.lf_digit
+        |      + (2.0 * a5 / greatest(t5, 1) - 1.0) * m.lf_stop, 6)
+        |    AS score
+        |  FROM mj m CROSS JOIN st)
+        |SELECT doc_id, lf_len, lf_alpha, lf_shout, lf_digit, lf_stop,
+        |  majority, score, sign(score)::INT AS label
+        |FROM sc ORDER BY doc_id""".stripMargin),
+
+    Q("q196_ngram_novelty",
+      // Corpus-commonness complement of q188
+      // ([[graft.text.TextAnalysis.ngramNovelty]]): fraction of a doc's
+      // distinct 3-token shingles occurring in NO other document —
+      // boilerplate that slips past pairwise near-dup thresholds.
+      // Explode → shingle-df groupBy → hash-join back, the dedup
+      // family's standard shuffle-by-shingle shape.
+      (s, dir) => TextAnalysis.ngramNovelty(
+        Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id"),
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS l FROM documents)),
+         |dfq AS (SELECT sh, count(*)::BIGINT AS df FROM sh GROUP BY sh),
+         |per AS (SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+         |    sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+         |  FROM sh s JOIN dfq d USING (sh) GROUP BY s.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+         |  coalesce(p.n_unique, 0)::BIGINT AS n_unique,
+         |  round(CASE WHEN coalesce(p.n_shingles, 0) = 0 THEN 0.0
+         |    ELSE p.n_unique::DOUBLE / p.n_shingles::DOUBLE END, 6)
+         |    AS novelty
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

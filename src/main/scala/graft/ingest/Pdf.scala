@@ -864,6 +864,33 @@ private[ingest] object Pdf {
       }
     }
 
+    /** Decoded payloads of the page's raster Image XObjects in
+      * resource-name order (recursing into Form XObjects, same depth
+      * bound as [[hasRasterImage]]). Flate unwraps; other filters pass
+      * through as stored — a DCTDecode image IS its JPEG bytes. This is
+      * the OCR seam's input: [[PdfPageExtractor]] hands these to an
+      * [[OcrEngine]] when the page's text layer is empty
+      * (reference `parsing.py:38-40`). */
+    def rasterImages(resources: PDict, depth: Int = 0): Seq[Array[Byte]] = {
+      if (depth > 8) return Seq.empty
+      val xs = resolve(resources.get("XObject").getOrElse(PNull)) match {
+        case d: PDict => d.m; case _ => Map.empty[String, Obj]
+      }
+      xs.toSeq.sortBy(_._1).map(t => resolve(t._2)).flatMap {
+        case PStream(d, raw) =>
+          d.get("Subtype").map(resolve) match {
+            case Some(PName("Image")) => Seq(decodeStream(d, raw))
+            case Some(PName("Form")) =>
+              resolve(d.get("Resources").getOrElse(PNull)) match {
+                case r: PDict => rasterImages(r, depth + 1)
+                case _        => Seq.empty
+              }
+            case _ => Seq.empty
+          }
+        case _ => Seq.empty
+      }
+    }
+
     /** Content-stream walk emitting POSITIONED runs: one run per text
       * anchor (a `Td`/`TD`/`Tm`/`T*` position change flushes the run in
       * progress), with the text-space (x, y) the run started at. The
@@ -1231,7 +1258,8 @@ private[ingest] object Pdf {
   * for that page, whole-file failures to a single `status="fail"` row —
   * the same fail-soft contract as the other extractors
   * (reference `parsing.py:134-155`). */
-final case class PdfPageExtractor(maxPages: Int = 10000)
+final case class PdfPageExtractor(maxPages: Int = 10000,
+    ocr: OcrEngine = NoOcr)
     extends PageExtractor {
   import PdfPageExtractor.FailSoft
 
@@ -1244,13 +1272,25 @@ final case class PdfPageExtractor(maxPages: Int = 10000)
         try {
           val text = doc.pageText(page, res)
           // raster-only page (scanned: images, no text layer): the
-          // reference OCRs it; without the OCR leg this is a FAIL row
+          // reference OCRs it (`parsing.py:38-40`). With an [[OcrEngine]]
+          // plugged the recognized text becomes the page content (a
+          // SUCCESS row, like the reference); without one — or when
+          // recognition fails on every image — this is a FAIL row
           // (`parsing.py:139-154`), never silent empty text — the first
           // thing a user with scanned PDFs would otherwise hit
-          if (text.isEmpty && doc.hasRasterImage(res))
-            PageText(i + 1, "", Some(s"page ${i + 1}: no text layer " +
-              "(raster-only page; OCR not available)"))
-          else PageText(i + 1, text, None)
+          if (text.isEmpty && doc.hasRasterImage(res)) {
+            val recognized = doc.rasterImages(res).iterator
+              .map(ocr.recognize)
+              .collect { case Right(t) if t.nonEmpty => t }.toSeq
+            if (recognized.nonEmpty)
+              PageText(i + 1, recognized.mkString("\n"), None)
+            else if (ocr eq NoOcr)
+              PageText(i + 1, "", Some(s"page ${i + 1}: no text layer " +
+                "(raster-only page; OCR not available)"))
+            else
+              PageText(i + 1, "", Some(s"page ${i + 1}: no text layer " +
+                s"(raster-only page; OCR '${ocr.name}' recognized nothing)"))
+          } else PageText(i + 1, text, None)
         } catch {
           case FailSoft(msg) =>
             PageText(i + 1, "", Some(s"page ${i + 1}: $msg"))

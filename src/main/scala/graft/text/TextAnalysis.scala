@@ -143,6 +143,37 @@ object TextAnalysis {
     * shuffle, so at 100 TB this is a free rider on any corpus scan.
     * Flags are computed FROM the 6-dp-rounded ratios so the DuckDB
     * oracle can reproduce every boundary decision exactly. */
+  /** Cross-corpus n-gram novelty: the fraction of a document's DISTINCT
+    * n-token shingles that occur in NO other document — the commonness
+    * complement of contamination (q188 scores overlap with a known
+    * benchmark; novelty scores overlap with the rest of the corpus
+    * itself). Low novelty marks boilerplate/templated docs that slip
+    * past exact and near-dup detection because no single pair crosses
+    * the similarity threshold.
+    *
+    * Scale shape: the dedup family's standard — explode distinct
+    * shingles, one partial-aggregated groupBy on the shingle for the
+    * document frequency, hash-join back, per-doc rollup. Shuffles by
+    * shingle hash (uniform), never collects, no windows. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextFunctions.shingles(
+        TextFunctions.tokens(col(textCol)), n))).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val per = sh.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(when(coalesce(col("n_shingles"), lit(0L)) === 0, 0.0)
+          .otherwise(col("n_unique").cast("double") /
+            col("n_shingles").cast("double")), 6).as("novelty"))
+  }
+
   def gopherMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
       .select(col(idCol),
