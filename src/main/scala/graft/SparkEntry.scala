@@ -6306,7 +6306,36 @@ object SparkEntry {
          |    ELSE p.n_unique::DOUBLE / p.n_shingles::DOUBLE END, 6)
          |    AS novelty
          |FROM documents d LEFT JOIN per p USING (doc_id)
-         |ORDER BY doc_id""".stripMargin))
+         |ORDER BY doc_id""".stripMargin),
+
+    Q("q197_rolling_features",
+      // Trailing 7-day feature windows
+      // ([[graft.operators.RollingFeatures.trailingDaily]]): per-entity
+      // RANGE frame over the per-(key, day) grid — the window runs on
+      // the AGGREGATED grid partitioned by the entity key (never raw
+      // events, never a low-cardinality partition), and day sums ride
+      // DECIMAL so the rolling sums are engine-exact.
+      (s, dir) => graft.operators.RollingFeatures.trailingDaily(
+        Tables.events(s, dir).filter(col("user_id") < 40),
+        "user_id", "ts", "value", windowDays = 7)
+        .withColumnRenamed("k", "user_id")
+        .orderBy("user_id", "day"),
+      """WITH daily AS (
+        |  SELECT user_id AS k, ts::DATE AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS day_sum,
+        |    count(value)::BIGINT AS day_n,
+        |    datediff('day', DATE '1970-01-01', ts::DATE) AS day_num
+        |  FROM events WHERE user_id < 40 GROUP BY 1, 2, 5)
+        |SELECT k AS user_id, day,
+        |  day_sum::DOUBLE AS day_sum, day_n,
+        |  sum(day_sum) OVER w::DOUBLE AS roll_sum,
+        |  sum(day_n) OVER w::BIGINT AS roll_n,
+        |  round((sum(day_sum) OVER w)::DOUBLE / (sum(day_n) OVER w), 6)
+        |    AS roll_avg
+        |FROM daily
+        |WINDOW w AS (PARTITION BY k ORDER BY day_num
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -148,11 +148,30 @@ final case class SnapshotCatalog(spark: SparkSession, baseDir: String,
     * files; version-directory granularity here keeps the semantics
     * identical). Returns the committed version. */
   def mergeUpsert(name: String, batch: DataFrame, keyCol: String,
-      deleteCol: Option[String] = None): Long = {
+      deleteCol: Option[String] = None,
+      evolveSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     requireUniqueKeysHere(batch, keyCol)
     val cur = read(name)
-    val dataCols = cur.columns.filterNot(_ == keyCol).toSeq
+    val curCols = cur.columns.filterNot(_ == keyCol).toSeq
+    val batchCols = batch.columns
+      .filterNot(c => c == keyCol || deleteCol.contains(c)).toSeq
+    // Schema evolution (the lakehouse ADD COLUMN path): batch-only
+    // columns append to the table (pre-existing rows read NULL), and
+    // table columns the batch omits KEEP their current value on matched
+    // rows — the batch can't overwrite what it doesn't carry. Without
+    // the flag, a drifted batch schema is an analysis error, not a
+    // silent evolution.
+    if (!evolveSchema) {
+      val missing = curCols.filterNot(batchCols.contains)
+      val extra   = batchCols.filterNot(curCols.contains)
+      require(missing.isEmpty && extra.isEmpty,
+        s"merge batch schema drifted (missing=$missing, new=$extra) — " +
+          "pass evolveSchema=true to evolve instead of erroring")
+    }
+    val dataCols =
+      if (evolveSchema) curCols ++ batchCols.filterNot(curCols.contains)
+      else curCols
     // __del doubles as the batch-presence marker after the full outer
     // join (isNotNull ⇔ a batch row matched), so it must be non-null
     // for EVERY batch row: a NULL delete flag means "not a tombstone",
@@ -166,9 +185,15 @@ final case class SnapshotCatalog(spark: SparkSession, baseDir: String,
     }
     val merged = cur.as("t").join(b.as("s"), Seq(keyCol), "full_outer")
       .filter(col("s.__del").isNull || !col("s.__del"))
-      .select(col(keyCol) +: dataCols.map(c =>
-        when(col("s.__del").isNotNull, col(s"s.$c"))
-          .otherwise(col(s"t.$c")).as(c)): _*)
+      .select(col(keyCol) +: dataCols.map { c =>
+        val inBatch = batchCols.contains(c)
+        val inCur   = curCols.contains(c)
+        if (inBatch && inCur)
+          when(col("s.__del").isNotNull, col(s"s.$c"))
+            .otherwise(col(s"t.$c")).as(c)
+        else if (inBatch) col(s"s.$c").as(c) // new column: NULL on old rows
+        else col(s"t.$c").as(c) // batch omits it: matched rows keep value
+      }: _*)
     write(name, merged)
   }
 

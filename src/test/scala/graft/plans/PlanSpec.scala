@@ -596,4 +596,52 @@ class PlanSpec extends SparkSpec {
     assert(b.contains("BroadcastHashJoin"),
       "per-domain rates must broadcast to the admission scan:\n" + b)
   }
+
+  test("q190/q191: privacy audit and target encoding are pure aggregates — no window, no cartesian") {
+    for (q <- Seq("q190_kanonymity_audit", "q191_target_encoding")) {
+      val s = fmtOf(q)
+      assert(!s.contains("Window"), s"$q grew a window:\n$s")
+      assert(!s.contains("CartesianProduct"), s"$q went cartesian:\n$s")
+      assert("HashAggregate".r.findAllIn(s).size >= 2,
+        s"$q lost partial aggregation:\n$s")
+    }
+    // the 1-row global prior must ride a broadcast, not a shuffle
+    assert(fmtOf("q191_target_encoding").contains("BroadcastNestedLoopJoin"),
+      "q191 prior is not broadcast")
+  }
+
+  test("q192: gap-fill windows partition by the entity key, never globally") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = SparkEntry.queries("q192_gap_fill")(spark, SfDir)
+      .queryExecution.optimizedPlan
+    var sawWindow = false
+    plan.foreach {
+      case w: LWindow =>
+        sawWindow = true
+        assert(w.partitionSpec.nonEmpty,
+          s"q192 window is GLOBAL (one task at any scale): $w")
+      case _ =>
+    }
+    assert(sawWindow, "q192 lost its ffill window entirely")
+  }
+
+  test("q193/q195: assembly and weak labels have no window; LF stats ride a broadcast") {
+    val a = fmtOf("q193_sft_assembly")
+    assert(!a.contains("Window") && !a.contains("CartesianProduct"), a)
+    assert("ObjectHashAggregate".r.findAllIn(a).size >= 2,
+      "q193 collect_list lost partial aggregation:\n" + a)
+    val b = fmtOf("q195_weak_labels")
+    assert(!b.contains("Window") && !b.contains("CartesianProduct"), b)
+    assert(b.contains("BroadcastNestedLoopJoin"),
+      "q195 reliability stats must broadcast back:\n" + b)
+  }
+
+  test("q194/q196: centroid rides a broadcast; novelty never goes cartesian") {
+    val a = fmtOf("q194_embedding_health")
+    assert(a.contains("BroadcastNestedLoopJoin"),
+      "q194 global centroid must broadcast:\n" + a)
+    assert(!a.contains("CartesianProduct"), a)
+    val b = fmtOf("q196_ngram_novelty")
+    assert(!b.contains("CartesianProduct") && !b.contains("Window"), b)
+  }
 }

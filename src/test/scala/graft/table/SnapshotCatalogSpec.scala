@@ -117,6 +117,34 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(got === Seq((1L, "a2"), (5L, "e")))
   }
 
+  test("mergeUpsert evolveSchema: batch-only columns append (old rows NULL); omitted columns keep values") {
+    val c = fresh()
+    c.write("t", Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "v"))
+    // batch adds `tag`, omits `v`
+    val batch = Seq((2L, "b2", "hot"), (3L, "c", "new"))
+      .toDF("k", "s", "tag")
+    c.mergeUpsert("t", batch, "k", evolveSchema = true)
+    val got = c.read("t").collect().map(r => (r.getLong(0),
+      r.getString(1),
+      if (r.isNullAt(2)) null else r.getDouble(2): Any,
+      r.getString(3))).sortBy(_._1).toSeq
+    assert(c.read("t").columns.toSeq === Seq("k", "s", "v", "tag"))
+    assert(got === Seq(
+      (1L, "a", 1.0, null), // untouched row: new column is NULL
+      (2L, "b2", 2.0, "hot"), // matched: keeps omitted v, takes new tag
+      (3L, "c", null, "new"))) // insert: omitted v is NULL
+  }
+
+  test("mergeUpsert without evolveSchema rejects a drifted batch schema") {
+    val c = fresh()
+    c.write("t", Seq((1L, "a", 1.0)).toDF("k", "s", "v"))
+    val drifted = Seq((1L, "a2", "x")).toDF("k", "s", "tag")
+    val e = intercept[IllegalArgumentException] {
+      c.mergeUpsert("t", drifted, "k")
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+  }
+
   test("a new write after rollback branches forward from the newest id") {
     val c = fresh()
     c.write("t", Seq(1L).toDF("id"))
