@@ -66,6 +66,69 @@ final case class SnapshotCatalog(spark: SparkSession, baseDir: String,
     next
   }
 
+  /** Optimistic-concurrency commit (the Delta/Iceberg CAS): stage the
+    * data OUTSIDE the critical section (the expensive part — at 100 TB
+    * staging is minutes, the pointer move is one conditional put), then
+    * commit ONLY IF the table is still at `expectedVersion`. Returns
+    * the committed version, or None on conflict (a concurrent writer
+    * got there first) — the staged data is cleaned and the caller
+    * rebases on the new current and retries ([[transform]] is that
+    * loop). The check-and-move window is serialized by a conditional
+    * CREATE of a lock file — `Files.createFile` locally, an
+    * If-None-Match put on an object store. A writer crashing inside
+    * that sub-second window leaves the lock behind; [[breakLock]] is
+    * the operator override. */
+  def writeIf(name: String, df: DataFrame,
+      expectedVersion: Option[Long]): Option[Long] = {
+    val t = tdir(name)
+    Files.createDirectories(t)
+    val staged = t.resolve(".stage-" + java.util.UUID.randomUUID())
+    df.write.parquet(staged.toString)
+    val lock = t.resolve("_COMMIT_LOCK")
+    val acquired =
+      try { Files.createFile(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!acquired) { store.deleteRecursive(staged); None }
+    else try {
+      if (currentVersion(name) != expectedVersion) {
+        store.deleteRecursive(staged); None
+      } else {
+        val next = versions(name).lastOption.getOrElse(0L) + 1L
+        store.swapDir(staged, vdir(name, next))
+        commitPointer(name, next)
+        Some(next)
+      }
+    } finally Files.deleteIfExists(lock)
+  }
+
+  /** Read-modify-write with optimistic retry: apply `f` to the current
+    * snapshot and CAS-commit the result; on conflict, re-read the NEW
+    * current (f sees the concurrent writer's rows — serializable
+    * behavior for commutative transforms) and retry up to `maxRetries`
+    * times. Throws when retries are exhausted. */
+  def transform(name: String, maxRetries: Int = 5)
+      (f: DataFrame => DataFrame): Long = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val v = currentVersion(name)
+      val base = v.map(readAt(name, _)).getOrElse(
+        sys.error(s"no committed version for table $name"))
+      writeIf(name, f(base), v) match {
+        case Some(committed) => return committed
+        case None => attempt += 1
+      }
+    }
+    sys.error(s"transform of $name lost $maxRetries CAS races — " +
+      "contention too high for optimistic concurrency")
+  }
+
+  /** Remove a lock abandoned by a writer that died inside the
+    * check-and-move window (sub-second; this is the operator's manual
+    * override, deliberately not automatic — a healthy writer may hold
+    * it). */
+  def breakLock(name: String): Boolean =
+    Files.deleteIfExists(tdir(name).resolve("_COMMIT_LOCK"))
+
   /** Read the current snapshot (lazy frame — pushdown applies). */
   def read(name: String): DataFrame =
     readAt(name, currentVersion(name).getOrElse(
@@ -221,6 +284,21 @@ final case class SnapshotCatalog(spark: SparkSession, baseDir: String,
     val cur  = currentVersion(name)
     val drop = all.dropRight(keep).filterNot(cur.contains)
     drop.foreach(v => store.deleteRecursive(vdir(name, v)))
+    // also sweep `.stage-*` dirs orphaned by writers that died before
+    // their CAS window (vacuum's existing contract: no concurrent
+    // writers while it runs)
+    val t = tdir(name)
+    if (Files.exists(t)) {
+      val s = Files.list(t)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith(".stage-"))
+            store.deleteRecursive(p)
+        }
+      } finally s.close()
+    }
     drop
   }
 

@@ -2,6 +2,8 @@ package graft.table
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class SnapshotCatalogSpec extends SparkSpec {
@@ -143,6 +145,45 @@ class SnapshotCatalogSpec extends SparkSpec {
       c.mergeUpsert("t", drifted, "k")
     }
     assert(e.getMessage.contains("evolveSchema"))
+  }
+
+  test("writeIf: CAS commits only at the expected version; conflicts clean their staging") {
+    val c = fresh()
+    val v1 = c.write("t", Seq((1L, "a")).toDF("k", "s"))
+    // stale expectation → conflict, no new version, no staged garbage
+    assert(c.writeIf("t", Seq((9L, "x")).toDF("k", "s"),
+      Some(v1 - 1)) === None)
+    assert(c.versions("t") === Seq(v1))
+    val tdirList = java.nio.file.Files.list(
+      java.nio.file.Paths.get(c.baseDir, "t"))
+    try assert(!tdirList.anyMatch(
+      p => p.getFileName.toString.startsWith(".stage-")))
+    finally tdirList.close()
+    // correct expectation commits
+    val v2 = c.writeIf("t", Seq((2L, "b")).toDF("k", "s"), Some(v1))
+    assert(v2 === Some(v1 + 1))
+    assert(c.currentVersion("t") === v2)
+    // create-if-absent: expected None conflicts once the table exists
+    assert(c.writeIf("t", Seq((3L, "c")).toDF("k", "s"), None) === None)
+  }
+
+  test("transform: loses a CAS race, rebases on the interloper's rows, and wins the retry") {
+    val c = fresh()
+    c.write("t", Seq(("x", 1L)).toDF("k", "n"))
+    var sneaked = false
+    val v = c.transform("t") { base =>
+      if (!sneaked) {
+        sneaked = true
+        // concurrent writer lands AFTER our read, BEFORE our commit
+        c.write("t", Seq(("x", 1L), ("y", 10L)).toDF("k", "n"))
+      }
+      base.withColumn("n", col("n") + 1)
+    }
+    // retry must have seen the interloper's y row
+    val got = c.read("t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got === Seq(("x", 2L), ("y", 11L)))
+    assert(v === c.currentVersion("t").get)
   }
 
   test("a new write after rollback branches forward from the newest id") {
