@@ -137,6 +137,27 @@ object SparkEntry {
   }
   private val cosSql = cosSqlFor(QueryVec)
 
+  /** q198 Matryoshka knobs; the oracle mirrors the full two-stage
+    * pipeline, so any (prefixDim, shortlist) is oracle-exact. */
+  private val MrlPrefixDim = 16
+  private val MrlShortlist = 100
+
+  /** q199 PPJoin similarity threshold. */
+  private val PpJoinTau = 0.6
+
+  /** DuckDB cosine of the first `d` dims of `embedding` against the
+    * matching prefix of the query vector (q198's coarse stage). */
+  private def cosSqlPrefix(d: Int): String = {
+    val pref = QueryVec.take(d)
+    val qn = math.sqrt(pref.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    val arr = pref.map(f => dec(f.toDouble)).mkString("[", ",", "]::DOUBLE[]")
+    val e   = s"(embedding[1:$d])::DOUBLE[]"
+    val dot = s"list_dot_product($e, $arr)"
+    val na  = s"sqrt(list_dot_product($e, $e))"
+    s"(CASE WHEN $na = 0 OR ${dec(qn)} = 0 THEN 0.0 " +
+      s"ELSE $dot / ($na * ${dec(qn)}) END)"
+  }
+
   /** DuckDB LSH bucket expression over column `embedding` — generated from
     * the same hyperplanes as VectorFunctions.lshSignature (left-assoc sum,
     * identical arithmetic order → identical sign decisions). */
@@ -6335,7 +6356,128 @@ object SparkEntry {
         |FROM daily
         |WINDOW w AS (PARTITION BY k ORDER BY day_num
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, day""".stripMargin))
+        |ORDER BY user_id, day""".stripMargin),
+
+    Q("q198_matryoshka_knn",
+      // Matryoshka two-stage retrieval
+      // ([[graft.search.VectorSearch.matryoshkaTopK]]): prefix-dim
+      // coarse shortlist (16 of 64 dims — 4× less float work, and with
+      // the prefix as its own column, 4× less scan), exact full-dim
+      // rerank. The oracle pins the WHOLE pipeline (same shortlist set
+      // via round-6 + id tiebreak), so correctness does not depend on
+      // the MRL recall assumption the knob spec measures.
+      (s, dir) => VectorSearch.matryoshkaTopK(Tables.embeddings(s, dir),
+        "vec_id", "embedding", QueryVec, 10, MrlPrefixDim, MrlShortlist),
+      s"""WITH shortlist AS (
+         |  SELECT vec_id, embedding,
+         |    round(${cosSqlPrefix(MrlPrefixDim)}, 6) AS prefix_score
+         |  FROM embeddings
+         |  ORDER BY prefix_score DESC, vec_id LIMIT $MrlShortlist)
+         |SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
+         |FROM shortlist ORDER BY vec_score DESC, doc_id
+         |LIMIT 10""".stripMargin),
+
+    Q("q199_ppjoin_pairs",
+      // Exact set-similarity self-join via prefix filtering
+      // ([[graft.operators.SetSimJoin]], PPJoin family): EXACTLY the
+      // pairs with shingle-Jaccard ≥ τ, no LSH false negatives, no
+      // hot-band caps — the inverted index holds only each set's
+      // rarest-element prefix. The oracle is the NAIVE exact join:
+      // algorithm differs, answer provably equal.
+      (s, dir) => graft.operators.SetSimJoin.jaccardJoin(
+        Tables.documents(s, dir), "doc_id", "text", PpJoinTau, 3)
+        .orderBy("a", "b"),
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(sh) AS el
+         |  FROM (SELECT doc_id, $shinglesSql AS sh
+         |        FROM (SELECT doc_id, $toksSql AS l FROM documents))),
+         |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+         |inter AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*)::DOUBLE AS i
+         |  FROM toks l JOIN toks r ON l.el = r.el AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, round(i / (la.len + lb.len - i), 6) AS jaccard
+         |FROM inter
+         |JOIN lens la ON la.doc_id = inter.a
+         |JOIN lens lb ON lb.doc_id = inter.b
+         |WHERE i / (la.len + lb.len - i) >= ${dec(PpJoinTau)}
+         |ORDER BY a, b""".stripMargin),
+
+    Q("q200_epoch_mixture",
+      // Fractional-epoch materialization
+      // ([[graft.pipeline.Sampling.epochMixture]], the DoReMi/D4
+      // mixture shape): each source's docs repeat ⌊e⌋ times plus one
+      // md5-admitted fractional epoch — map-only explode, ppm-exact
+      // admission, idempotent across runs/engines.
+      (s, dir) => graft.pipeline.Sampling.epochMixture(
+        Tables.documents(s, dir).select("doc_id", "source"), "doc_id",
+        lit(0.5) + (regexp_replace(col("source"), "src", "")
+          .cast("int") % 4).cast("double"))
+        .orderBy("doc_id", "epoch"),
+      s"""WITH e AS (
+         |  SELECT doc_id, source,
+         |    0.5::DOUBLE + (replace(source, 'src', '')::INT % 4) AS eps
+         |  FROM documents)
+         |SELECT doc_id, source, gs.epoch::INT AS epoch
+         |FROM e, generate_series(1, 4) gs(epoch)
+         |WHERE epoch <= floor(eps)
+         |   OR (epoch = floor(eps)::BIGINT + 1
+         |    AND ${md5LongSql("doc_id::VARCHAR || ':e' || epoch::VARCHAR")}
+         |      % 1000000 < floor((eps - floor(eps)) * 1000000)::BIGINT)
+         |ORDER BY doc_id, epoch""".stripMargin),
+
+    Q("q201_embedding_covariance",
+      // One-pass covariance matrix over the embedding corpus
+      // ([[org.apache.spark.sql.graftext.CovMomentsAgg]] +
+      // [[graft.operators.Pca.covarianceMatrix]]): a single partial-
+      // aggregated scan ships one ~17 KB moment buffer per partition —
+      // never the d²-fold posexplode-pairs blowup the oracle (which
+      // pays it on 500 rows) uses. The d×d result is index metadata;
+      // the PCA/eigen stage on top is driver work (PcaSpec).
+      (s, dir) => graft.operators.Pca.covarianceMatrix(
+        Tables.embeddings(s, dir), "embedding", EmbedDim)
+        .orderBy("i", "j"),
+      s"""WITH x AS (
+         |  SELECT vec_id, gs.i AS i,
+         |    round(embedding[gs.i]::DOUBLE, 6) AS v
+         |  FROM embeddings, generate_series(1, $EmbedDim) gs(i))
+         |SELECT (a.i - 1)::INT AS i, (b.i - 1)::INT AS j,
+         |  round(sum(a.v * b.v) / count(*)
+         |    - (sum(a.v) / count(*)) * (sum(b.v) / count(*)), 6) AS cov
+         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin),
+
+    Q("q202_padding_waste",
+      // Length-bucketed padding-waste profile
+      // ([[graft.pipeline.Packing.paddingWaste]]): one scan, one
+      // fixed-cardinality groupBy; bucket −1 is the naive pad-to-max
+      // strategy, so the result quantifies what bucketing saves.
+      (s, dir) => graft.pipeline.Packing.paddingWaste(
+        Tables.documents(s, dir), "text", 16, 64),
+      s"""WITH base AS (
+         |  SELECT least(len($toksSql), 64)::BIGINT AS n_tok,
+         |    greatest(least(
+         |      ceil(least(len($toksSql), 64)::DOUBLE / 16)::BIGINT * 16,
+         |      64), 16)::BIGINT AS bucket,
+         |    (len($toksSql) > 64)::INT::BIGINT AS truncated
+         |  FROM documents),
+         |pb AS (
+         |  SELECT bucket, count(*)::BIGINT AS n_docs,
+         |    sum(n_tok)::BIGINT AS real_tokens,
+         |    sum(truncated)::BIGINT AS n_truncated,
+         |    (count(*) * bucket)::BIGINT AS padded_tokens
+         |  FROM base GROUP BY 1),
+         |pm AS (
+         |  SELECT (-1)::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+         |    sum(n_tok)::BIGINT AS real_tokens,
+         |    sum(truncated)::BIGINT AS n_truncated,
+         |    (count(*) * 64)::BIGINT AS padded_tokens
+         |  FROM base)
+         |SELECT bucket, n_docs, real_tokens, n_truncated, padded_tokens,
+         |  (((padded_tokens - real_tokens) * 1000000 // padded_tokens)
+         |    / 1000000.0) AS waste
+         |FROM (SELECT * FROM pb UNION ALL SELECT * FROM pm)
+         |ORDER BY bucket""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

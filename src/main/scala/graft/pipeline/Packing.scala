@@ -68,4 +68,54 @@ object Packing {
         round(col("total_tokens").cast("double") /
           (col("n_seqs") * lit(seqLen.toLong)).cast("double"), 6))
       .orderBy("shard")
+
+  /** Padding-waste profile of LENGTH-BUCKETED batching — the inference/
+    * SFT counterpart of [[packStats]] (no concat: each example keeps
+    * its boundary and is padded up to its bucket's length). Buckets
+    * are multiples of `granularity`, capped at `maxLen` (longer docs
+    * truncate, reported separately). Per bucket: example count, real
+    * vs padded token totals, and waste share; plus the whole-corpus
+    * `pad-to-max` strategy as bucket −1, so one result quantifies what
+    * bucketing saves over naive max-length padding. ONE scan, one
+    * fixed-cardinality groupBy (≤ maxLen/granularity + 1 groups) —
+    * partial aggregation does all the work map-side; no windows, no
+    * per-doc state. */
+  def paddingWaste(docs: DataFrame, textCol: String, granularity: Int,
+      maxLen: Int): DataFrame = {
+    require(granularity >= 1 && maxLen >= granularity,
+      s"need 1 <= granularity <= maxLen, got $granularity/$maxLen")
+    val n = TextFunctions.tokenCount(col(textCol))
+    val eff = least(n, lit(maxLen.toLong)) // tokens that survive truncation
+    val bucketLen = least(
+      (ceil(eff.cast("double") / granularity) * granularity).cast("long"),
+      lit(maxLen.toLong))
+    val base = docs.select(
+      eff.as("n_tok"),
+      greatest(bucketLen, lit(granularity.toLong)).as("bucket"),
+      (n > maxLen).cast("long").as("truncated"))
+    val perBucket = base.groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("real_tokens"),
+        sum(col("truncated")).as("n_truncated"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+    val padToMax = base.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("real_tokens"),
+        sum(col("truncated")).as("n_truncated"))
+      .select(lit(-1L).as("bucket"), col("n_docs"), col("real_tokens"),
+        col("n_truncated"),
+        (col("n_docs") * maxLen.toLong).as("padded_tokens"))
+    perBucket.select("bucket", "n_docs", "real_tokens", "n_truncated",
+        "padded_tokens")
+      .unionAll(padToMax)
+      // ppm by LONG division, then one exact double divide — a ratio of
+      // integers can land exactly on a round-6 half-boundary (8078/32000
+      // = .2524375), where HALF_UP vs float-repr rounding diverges
+      // across engines; truncating integer ppm is engine-exact
+      .withColumn("waste",
+        expr("((padded_tokens - real_tokens) * 1000000) div padded_tokens")
+          .cast("double") / lit(1000000.0))
+      .orderBy("bucket")
+  }
 }

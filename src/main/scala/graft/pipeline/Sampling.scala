@@ -210,6 +210,31 @@ object Sampling {
       .select(col("shard"), col(idCol), col("pos"))
   }
 
+  /** Fractional-epoch mixture materialization (the DoReMi / D4 /
+    * data-constrained-scaling shape): each row carries a target epoch
+    * count `epochs` (possibly fractional — "see wiki 2.5 times per
+    * training run") and is emitted ⌊epochs⌋ times plus once more with
+    * probability frac(epochs), decided by md5 of (id, epoch-index) in
+    * ppm space. Deterministic: the same doc gets the same copy set on
+    * every run and engine (no RNG state), so a resumed or re-sharded
+    * materialization is idempotent. Shuffle-free — each row expands
+    * locally via `explode(sequence)` (fan-out ≤ ⌈epochs⌉, a small
+    * constant), and admission is a per-row hash test; at 100 TB this
+    * is a map-only stage feeding [[shuffleShards]]. Epoch index is
+    * 1-based; `epochs` must be ≥ 0 (0 drops the row). */
+  def epochMixture(df: DataFrame, idCol: String,
+      epochsCol: Column): DataFrame = {
+    val e = epochsCol.cast("double")
+    val full = floor(e).cast("int")
+    val frac = e - floor(e)
+    df.withColumn("epoch", explode(sequence(lit(1), full + 1)))
+      .filter(col("epoch") <= full ||
+        pmod(TextFunctions.md5Long(
+          concat(col(idCol).cast("string"), lit(":e"),
+            col("epoch").cast("string"))), lit(M))
+          < (frac * M).cast("long"))
+  }
+
   /** Quality-gated corpus: the full curation chain (dedup → quality floor
     * → per-language budget) as one declarative plan. */
   def curate(docs: DataFrame, idCol: String, textCol: String,

@@ -270,6 +270,36 @@ object VectorSearch {
         round(count(col("tr")).cast("double") / k, 6).as("recall"))
   }
 
+  /** Matryoshka (MRL) two-stage retrieval: score a PREFIX of the
+    * embedding (MRL-trained models pack coarse semantics into the
+    * leading dimensions — Kusupati et al. 2022), shortlist by prefix
+    * cosine, then exact full-dimension rerank of only the shortlist.
+    * The coarse pass reads and multiplies `prefixDim/dim` of the float
+    * work (16 of 64 here = 4× less compute; with the prefix stored as
+    * its own parquet column the SCAN shrinks by the same factor —
+    * column pruning makes the coarse pass touch none of the tail
+    * bytes). Both stages are TakeOrderedAndProject (per-partition
+    * top-k, no global sort); shortlist ordering is round-6 + id
+    * tiebreak so the candidate SET is engine-exact and the oracle can
+    * pin the whole pipeline. `shortlist` is the recall/latency knob —
+    * production derives it from corpus size exactly like the
+    * PQ/IVF shortlists (q186's autotune), the default mirrors ES's
+    * `num_candidates = max(k*10, 50)`. */
+  def matryoshkaTopK(embs: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int, prefixDim: Int,
+      shortlist: Int): DataFrame = {
+    require(prefixDim > 0 && prefixDim <= queryVec.length,
+      s"prefixDim $prefixDim out of range 1..${queryVec.length}")
+    val qPrefix = queryVec.take(prefixDim)
+    val pCos = VectorFunctions.cosine(
+      slice(col(vecCol), 1, prefixDim), typedLit(qPrefix))
+    val cands = embs
+      .select(col(idCol), col(vecCol), round(pCos, 6).as("prefix_score"))
+      .orderBy(col("prefix_score").desc, col(idCol).asc)
+      .limit(shortlist)
+    topK(cands, idCol, vecCol, queryVec, k)
+  }
+
   /** Driver-side signature of the query vector (same hyperplanes). */
   def querySignature(v: Array[Float], dim: Int, nBits: Int,
       seed: Long = 42L): Long = {

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = graft.SparkEntry.EmbedDim
+
+  test("jacobiEigen solves a known 3x3 symmetric system") {
+    // A = diag(5, 2, 1) rotated is overkill; use a matrix with known
+    // spectrum: [[2,1,0],[1,2,0],[0,0,3]] → eigenvalues 3, 3, 1
+    val a = Array(
+      Array(2.0, 1.0, 0.0),
+      Array(1.0, 2.0, 0.0),
+      Array(0.0, 0.0, 3.0))
+    val (evals, evecs) = Pca.jacobiEigen(a)
+    assert(evals.map(v => math.rint(v * 1e9) / 1e9).toSeq
+      == Seq(3.0, 3.0, 1.0))
+    // every (λ, v) satisfies A·v = λ·v
+    for (k <- 0 until 3) {
+      val v = evecs(k)
+      val av = a.map(row => row.indices.map(j => row(j) * v(j)).sum)
+      for (i <- 0 until 3)
+        assert(math.abs(av(i) - evals(k) * v(i)) < 1e-9,
+          s"A·v ≠ λ·v at eigenpair $k row $i")
+    }
+    // eigenvectors are orthonormal
+    for (p <- 0 until 3; q <- 0 until 3) {
+      val d = (0 until 3).map(i => evecs(p)(i) * evecs(q)(i)).sum
+      assert(math.abs(d - (if (p == q) 1.0 else 0.0)) < 1e-9)
+    }
+  }
+
+  test("covarianceMatrix agrees with a direct two-pass computation") {
+    val embs = graft.Tables.embeddings(spark, SfDir)
+    val cov = Pca.covarianceMatrix(embs, "embedding", Dim)
+      .filter(col("i") < 4 && col("j") < 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // direct check on a handful of cells via DataFrame covar_pop over
+    // the same round-6 inputs
+    for (i <- 0 until 4; j <- i until 4) {
+      val direct = embs.select(
+          round(element_at(col("embedding"), i + 1).cast("double"), 6)
+            .as("a"),
+          round(element_at(col("embedding"), j + 1).cast("double"), 6)
+            .as("b"))
+        .agg(covar_pop(col("a"), col("b"))).head().getDouble(0)
+      assert(math.abs(cov((i, j)) - direct) < 2e-6,
+        s"cov($i,$j): ${cov((i, j))} vs $direct")
+    }
+  }
+
+  test("fit + project: components are orthonormal, variance ordered, " +
+      "and reconstruction improves with k") {
+    val embs = graft.Tables.embeddings(spark, SfDir)
+    val (evals, comps, mean) = Pca.fit(embs, "embedding", Dim, 8)
+    assert(evals.length == 8 && comps.length == 8 && mean.length == Dim)
+    // eigenvalues descending and non-negative (covariance is PSD)
+    assert(evals.sliding(2).forall(w => w(0) >= w(1) - 1e-12))
+    assert(evals.forall(_ >= -1e-9))
+    // components orthonormal
+    for (p <- comps.indices; q <- comps.indices) {
+      val d = (0 until Dim).map(i => comps(p)(i) * comps(q)(i)).sum
+      assert(math.abs(d - (if (p == q) 1.0 else 0.0)) < 1e-9)
+    }
+    // projection adds pc1..pc8 and explains the expected variance:
+    // Var(pc_k) ≈ λ_k on the corpus itself
+    val proj = Pca.project(embs, "embedding", comps, mean)
+    assert((1 to 8).forall(i => proj.columns.contains(s"pc$i")))
+    val v1 = proj.agg(var_pop(col("pc1"))).head().getDouble(0)
+    assert(math.abs(v1 - evals(0)) < 1e-3,
+      s"Var(pc1)=$v1 should approximate λ1=${evals(0)}")
+    // captured variance (Σ top-k λ) grows monotonically toward total
+    val total = Pca.momentsLocal(embs, "embedding", Dim)
+      ._3.zipWithIndex.map { case (row, i) => row(i) }.sum
+    val top8 = evals.sum
+    assert(top8 <= total + 1e-9 && top8 > 0.0)
+  }
+
+  test("varianceExplained shares sum to the top-k fraction") {
+    val evals = Array(4.0, 2.0, 1.0, 1.0)
+    val df = Pca.varianceExplained(spark, evals)
+    assert(math.abs(
+      df.agg(sum(col("share"))).head().getDouble(0) - 1.0) < 1e-12)
+    assert(df.orderBy("component").select("eigenvalue").as[Double]
+      .collect().toSeq == Seq(4.0, 2.0, 1.0, 1.0))
+  }
+}
