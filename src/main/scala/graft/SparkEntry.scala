@@ -158,6 +158,102 @@ object SparkEntry {
       s"ELSE $dot / ($na * ${dec(qn)}) END)"
   }
 
+  /** q203 misspelled query terms (typos of fixture vocabulary:
+    * spark / window / merge). */
+  private val SpellQueries = Seq("sparc", "windw", "merg")
+
+  /** DuckDB: single-char deletes of `c` plus `c` itself, deduped —
+    * mirror of SpellCorrect.deletesExpr. */
+  private def deletesSql(c: String): String =
+    s"list_distinct(list_append(" +
+      s"[$c[1:i-1] || $c[i+1:length($c)] for i in range(1, length($c)+1)]" +
+      s", $c))"
+
+  /** q204 knobs. */
+  private val KCenterK = 6
+
+  /** DuckDB left-assoc squared distance of `embedding` to a one-row
+    * vector relation aliased `$a` with list column `e` — term-for-term
+    * the association [[graft.operators.Coreset]] uses. */
+  private def sqDistSql(a: String): String =
+    (0 until EmbedDim).map { i =>
+      val x = s"embedding[${i + 1}]::DOUBLE"
+      val c = s"$a.e[${i + 1}]::DOUBLE"
+      s"($x - $c) * ($x - $c)"
+    }.mkString(" + ")
+
+  /** DuckDB replay of the greedy k-center chain: step J scores every
+    * unselected row by round-6 least distance to the J−1 picks
+    * (argmax, id tiebreak) — the same deterministic selection
+    * [[graft.operators.Coreset.kCenter]] makes. */
+  private def kcenterSql(k: Int): String = {
+    val ctes = new StringBuilder(
+      "WITH c1 AS (SELECT vec_id, 0.0 AS dist FROM embeddings " +
+        "ORDER BY vec_id LIMIT 1),\n" +
+      "c1v AS (SELECT embedding AS e FROM embeddings " +
+        "WHERE vec_id = (SELECT vec_id FROM c1))")
+    for (j <- 2 to k) {
+      val froms = (1 until j).map(i => s"c${i}v v$i").mkString(", ")
+      val dists = (1 until j).map(i => sqDistSql(s"v$i"))
+      val d = if (dists.length == 1) dists.head
+        else s"least(${dists.mkString(", ")})"
+      val notIn = (1 until j).map(i => s"SELECT vec_id FROM c$i")
+        .mkString(" UNION ALL ")
+      ctes.append(
+        s""",
+           |c$j AS (SELECT vec_id, round($d, 6) AS dist
+           |  FROM embeddings, $froms
+           |  WHERE vec_id NOT IN ($notIn)
+           |  ORDER BY dist DESC, vec_id LIMIT 1),
+           |c${j}v AS (SELECT embedding AS e FROM embeddings
+           |  WHERE vec_id = (SELECT vec_id FROM c$j))""".stripMargin)
+    }
+    val sel = (1 to k)
+      .map(j => s"SELECT $j::INT AS rank, vec_id, dist FROM c$j")
+      .mkString("\nUNION ALL ")
+    s"$ctes\n$sel\nORDER BY rank"
+  }
+
+  /** DuckDB replay of the centroid silhouette: q79-exact centroids,
+    * left-assoc round-6 distances, (b−a)/max(a,b), decimal-summed
+    * per-label mean — mirror of
+    * [[graft.operators.ClusterEval.centroidSilhouette]]. */
+  private def silhouetteSql: String = {
+    val dist = (0 until EmbedDim).map { i =>
+      val x = s"e.embedding[${i + 1}]::DOUBLE"
+      val cc = s"c.cv[${i + 1}]"
+      s"($x - $cc) * ($x - $cc)"
+    }.mkString(" + ")
+    s"""WITH comp AS (
+       |  SELECT label, pos,
+       |    round(sum(round(v::DOUBLE, 6)::DECIMAL(18,10))::DOUBLE
+       |      / count(*), 6) AS c
+       |  FROM (SELECT label, unnest(embedding) AS v,
+       |          generate_subscripts(embedding, 1) AS pos
+       |        FROM embeddings)
+       |  GROUP BY 1, 2),
+       |cent AS (SELECT label, list(c ORDER BY pos) AS cv
+       |         FROM comp GROUP BY 1),
+       |d AS (
+       |  SELECT e.vec_id, e.label AS elabel, c.label AS clabel,
+       |    round($dist, 6) AS dist
+       |  FROM embeddings e, cent c),
+       |ab AS (
+       |  SELECT vec_id, elabel,
+       |    max(CASE WHEN clabel = elabel THEN dist END) AS a,
+       |    min(CASE WHEN clabel <> elabel THEN dist END) AS b
+       |  FROM d GROUP BY 1, 2),
+       |sil AS (
+       |  SELECT elabel AS label,
+       |    round(CASE WHEN greatest(a, b) = 0 THEN 0.0
+       |      ELSE (b - a) / greatest(a, b) END, 6) AS s
+       |  FROM ab)
+       |SELECT label, count(*)::BIGINT AS n_vecs,
+       |  round(sum(s::DECIMAL(18,10))::DOUBLE / count(*), 6)
+       |    AS mean_silhouette
+       |FROM sil GROUP BY label ORDER BY label""".stripMargin
+  }
+
   /** DuckDB LSH bucket expression over column `embedding` — generated from
     * the same hyperplanes as VectorFunctions.lshSignature (left-assoc sum,
     * identical arithmetic order → identical sign decisions). */
@@ -6477,7 +6573,104 @@ object SparkEntry {
          |  (((padded_tokens - real_tokens) * 1000000 // padded_tokens)
          |    / 1000000.0) AS waste
          |FROM (SELECT * FROM pb UNION ALL SELECT * FROM pm)
-         |ORDER BY bucket""".stripMargin))
+         |ORDER BY bucket""".stripMargin),
+
+    Q("q203_spell_correct",
+      // Symmetric-delete spelling correction
+      // ([[graft.search.SpellCorrect]], the SymSpell / ES term-suggester
+      // shape): vocabulary-sized delete index, broadcast query probes,
+      // exact Levenshtein ≤ 1 verification — no window, no vocabulary
+      // shuffle.
+      (s, dir) => graft.search.SpellCorrect.correct(
+        Tables.documents(s, dir), "text", SpellQueries),
+      s"""WITH vocab AS (
+         |  SELECT tok AS term, count(*)::BIGINT AS freq
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1),
+         |vd AS (
+         |  SELECT term, freq, unnest(${deletesSql("term")}) AS del
+         |  FROM vocab),
+         |qd AS (
+         |  SELECT query, unnest(${deletesSql("query")}) AS del
+         |  FROM (SELECT unnest([${SpellQueries.map(q => s"'$q'")
+            .mkString(",")}]) AS query)),
+         |cand AS (
+         |  SELECT DISTINCT q.query, v.term, v.freq
+         |  FROM vd v JOIN qd q USING (del))
+         |SELECT query, term, levenshtein(query, term)::INT AS dist, freq
+         |FROM cand WHERE levenshtein(query, term) <= 1
+         |ORDER BY query, dist, freq DESC, term""".stripMargin),
+
+    Q("q204_kcenter_coreset",
+      // Greedy k-center / farthest-point sampling
+      // ([[graft.operators.Coreset.kCenter]]): k map+TakeOrdered(1)
+      // passes, selected vectors ride as broadcast literals, round-6 +
+      // id-tiebreak argmax makes the pick chain engine-exact.
+      (s, dir) => graft.operators.Coreset.kCenter(
+        Tables.embeddings(s, dir), "vec_id", "embedding", EmbedDim,
+        KCenterK),
+      kcenterSql(KCenterK)),
+
+    Q("q205_silhouette",
+      // Centroid silhouette per label
+      // ([[graft.operators.ClusterEval.centroidSilhouette]]): the
+      // O(n·labels) broadcast-literal form of the O(n²) silhouette —
+      // exact-decimal centroids, codegen'd per-row distances, decimal
+      // rollup.
+      (s, dir) => graft.operators.ClusterEval.centroidSilhouette(
+        Tables.embeddings(s, dir), "label", "embedding", EmbedDim),
+      silhouetteSql),
+
+    Q("q206_calibration",
+      // Reliability diagram of the frozen q133 quality model against
+      // the lang=en label (the en-stopword feature is predictive)
+      // ([[graft.pipeline.QualityClassifier.calibration]]): one scan,
+      // 10-bin groupBy, integer-ppm ratios (a positives/count ratio
+      // can land exactly on a round-6 half-boundary).
+      (s, dir) => graft.pipeline.QualityClassifier.calibration(
+        Tables.documents(s, dir), "text", QcWeights, QcIntercept,
+        col("lang") === "en"),
+      {
+        val mkSql = TextAnalysis.Stopwords.toMap.apply("en")
+          .map(m => s"'$m'").mkString("[", ",", "]")
+        val w = QcWeights.map(dec)
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS l FROM documents),
+           |f AS (SELECT doc_id,
+           |    ln(1.0 + length(text)::DOUBLE) AS f1,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '',
+           |                'g'))::DOUBLE / length(text)::DOUBLE END AS f2,
+           |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+           |      / greatest(len(l)::DOUBLE, 1.0) AS f3,
+           |    CASE WHEN len(l) = 0 THEN 0.0
+           |         ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '',
+           |                'g'))::DOUBLE / len(l)::DOUBLE END AS f4,
+           |    CASE WHEN len(l) = 0 THEN 0.0
+           |         ELSE len(list_intersect(l, $mkSql))::DOUBLE
+           |              / len(list_distinct(l))::DOUBLE END AS f5
+           |  FROM t),
+           |z AS (SELECT doc_id,
+           |    (${dec(QcIntercept)} + ${w(0)} * f1 + ${w(1)} * f2
+           |      + ${w(2)} * f3 + ${w(3)} * f4 + ${w(4)} * f5) AS z FROM f),
+           |p AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6)
+           |        AS qp FROM z),
+           |tr AS (SELECT doc_id, (lang = 'en') AS pos
+           |       FROM documents),
+           |base AS (
+           |  SELECT least(floor(qp * 10)::INT, 9) AS bin,
+           |    (qp::DECIMAL(18,6) * 1000000)::BIGINT AS p_ppm,
+           |    pos::INT::BIGINT AS pos
+           |  FROM p JOIN tr USING (doc_id)),
+           |g AS (SELECT bin, count(*)::BIGINT AS n_docs,
+           |        sum(pos)::BIGINT AS n_pos,
+           |        sum(p_ppm)::BIGINT AS sum_p_ppm
+           |      FROM base GROUP BY 1)
+           |SELECT bin, n_docs, n_pos,
+           |  ((sum_p_ppm // n_docs)::DOUBLE / 1000000.0) AS avg_p,
+           |  (((n_pos * 1000000) // n_docs)::DOUBLE / 1000000.0)
+           |    AS pos_rate
+           |FROM g ORDER BY bin""".stripMargin
+      }))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

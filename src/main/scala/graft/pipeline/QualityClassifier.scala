@@ -53,23 +53,65 @@ object QualityClassifier {
           TextAnalysis.langScore(toks, EnMarkers))
       }))
 
+  /** `p = sigmoid(b + w·f)` of one text column, rounded to 1e-6 —
+    * the scoring expression [[score]] and [[calibration]] share. */
+  def probability(textCol: Column, weights: Seq[Double],
+      intercept: Double): Column = {
+    require(weights.length == NumFeatures,
+      s"expected $NumFeatures weights, got ${weights.length}")
+    val z = TextFunctions.bind(features(textCol), f =>
+      weights.zipWithIndex.foldLeft(lit(intercept): Column) {
+        case (acc, (w, i)) => acc + lit(w) * element_at(f, i + 1)
+      })
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** Calibration table of a frozen model against a deterministic truth
+    * column — the reliability diagram a curation pipeline checks
+    * before trusting classifier thresholds (an over-confident quality
+    * model silently skews the kept corpus). `p` is binned into
+    * `nBins` equal-width bins; per bin: document count, positives,
+    * average predicted probability and observed positive rate — a
+    * calibrated model has avg_p ≈ pos_rate per bin.
+    *
+    * ONE scan + one fixed-cardinality groupBy (map-side combined).
+    * All ratios are integer-ppm divisions (LONG `div`, then one exact
+    * double divide) — a ratio of integers can land exactly on a
+    * round-6 half-boundary where engine rounding modes diverge. */
+  def calibration(docs: DataFrame, textCol: String,
+      weights: Seq[Double], intercept: Double, truthCol: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need nBins >= 2")
+    val p = probability(col(textCol), weights, intercept)
+    val base = docs.select(
+      least(floor(p * nBins).cast("int"), lit(nBins - 1)).as("bin"),
+      (p.cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+        .cast("long").as("p_ppm"),
+      truthCol.cast("long").as("pos"))
+    base.groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("pos")).as("n_pos"),
+        sum(col("p_ppm")).as("sum_p_ppm"))
+      .withColumn("avg_p",
+        expr("(sum_p_ppm div n_docs)").cast("double") / lit(1000000.0))
+      .withColumn("pos_rate",
+        expr("((n_pos * 1000000) div n_docs)").cast("double")
+          / lit(1000000.0))
+      .select("bin", "n_docs", "n_pos", "avg_p", "pos_rate")
+      .orderBy("bin")
+  }
+
   /** Apply a FROZEN model: `p = sigmoid(b + w·f)` rounded to 1e-6,
     * `keep = p >= threshold` on the rounded value (engine-portable).
     * Returns (idCol, quality_p, keep). */
   def score(docs: DataFrame, idCol: String, textCol: String,
       weights: Seq[Double], intercept: Double,
-      threshold: Double = 0.5): DataFrame = {
-    require(weights.length == NumFeatures,
-      s"expected $NumFeatures weights, got ${weights.length}")
-    val z = TextFunctions.bind(features(col(textCol)), f =>
-      weights.zipWithIndex.foldLeft(lit(intercept): Column) {
-        case (acc, (w, i)) => acc + lit(w) * element_at(f, i + 1)
-      })
+      threshold: Double = 0.5): DataFrame =
     docs
       .select(col(idCol),
-        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_p"))
+        probability(col(textCol), weights, intercept).as("quality_p"))
       .withColumn("keep", col("quality_p") >= threshold)
-  }
 
   /** Fit the linear model with MLlib LogisticRegression over the SAME
     * feature expression [[score]] applies. Returns (weights, intercept)
