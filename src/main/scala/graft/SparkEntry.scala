@@ -6670,7 +6670,121 @@ object SparkEntry {
            |  (((n_pos * 1000000) // n_docs)::DOUBLE / 1000000.0)
            |    AS pos_rate
            |FROM g ORDER BY bin""".stripMargin
-      }))
+      }),
+
+    Q("q207_postings_compression",
+      // VByte posting-compression profile over the blocked layout
+      // ([[graft.index.Postings.stats]]): gaps computed per
+      // (term, doc-id-range block) — bounded windows, never a hot
+      // term's full list; the real encoder ([[graft.index.Postings]]
+      // codec + VBytePostingsAgg) round-trips in PostingsSpec.
+      (s, dir) => graft.index.Postings.stats(
+        TextSearch.buildPostings(Tables.documents(s, dir), "doc_id",
+          "text").select("term", "doc_id"), 20),
+      {
+        def bl(e: String) =
+          s"CASE WHEN $e < 128 THEN 1 WHEN $e < 16384 THEN 2 " +
+            s"WHEN $e < 2097152 THEN 3 WHEN $e < 268435456 THEN 4 " +
+            s"WHEN $e < 34359738368 THEN 5 ELSE 9 END"
+        s"""WITH p AS (
+           |  SELECT DISTINCT doc_id, unnest($toksSql) AS term
+           |  FROM documents),
+           |b AS (SELECT term, doc_id, doc_id // 4096 AS block FROM p),
+           |d AS (SELECT term, block, doc_id,
+           |        lag(doc_id) OVER (PARTITION BY term, block
+           |          ORDER BY doc_id) AS prev
+           |      FROM b),
+           |s AS (SELECT term, block,
+           |        CASE WHEN prev IS NULL THEN ${bl("doc_id")}
+           |             ELSE ${bl("(doc_id - prev)")} END AS blen
+           |      FROM d)
+           |SELECT term, count(*)::BIGINT AS n_postings,
+           |  count(DISTINCT block)::BIGINT AS n_blocks,
+           |  (count(*) * 8)::BIGINT AS raw_bytes,
+           |  sum(blen)::BIGINT AS vbyte_bytes,
+           |  ((sum(blen) * 1000000) // (count(*) * 8))::BIGINT
+           |    AS ratio_ppm
+           |FROM s GROUP BY term
+           |ORDER BY n_postings DESC, term LIMIT 20""".stripMargin
+      }),
+
+    Q("q208_grouped_kfold",
+      // Group-aware k-fold CV assignment
+      // ([[graft.pipeline.Sampling.groupFolds]]): the fold unit is the
+      // near-dup cluster (q60's components), so no fold evaluates on a
+      // near-duplicate of another fold's training rows — q171's
+      // train/eval guard generalized to cross-validation.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clusters = Dedup.nearDupClusters(docs, "doc_id",
+          Dedup.minhashCandidatePairs(docs, "doc_id", "text"))
+        graft.pipeline.Sampling.groupFolds(
+            docs.join(clusters, "doc_id"), col("cluster_id"), 5)
+          .groupBy("fold")
+          .agg(countDistinct("cluster_id").cast("long").as("n_clusters"),
+            count(lit(1)).cast("long").as("n_docs"),
+            sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+          .orderBy("fold")
+      },
+      s"""WITH RECURSIVE ${minhashPairCtes()},
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |cc(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+         |lab AS (SELECT node AS doc_id, min(label) AS cluster_id
+         |        FROM cc GROUP BY node)
+         |SELECT (${md5LongSql("cluster_id::VARCHAR")} % 5)::INT AS fold,
+         |  count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(len($toksSql))::BIGINT AS n_tokens
+         |FROM documents JOIN lab USING (doc_id)
+         |GROUP BY fold ORDER BY fold""".stripMargin),
+
+    Q("q209_embargo_split",
+      // Purged temporal split with embargo
+      // ([[graft.pipeline.Sampling.embargoSplit]]): rows inside the
+      // gap after the train boundary are quarantined so boundary-
+      // straddling rolling features can't leak; cut points are exact
+      // integer-microsecond arithmetic on broadcast corpus bounds.
+      (s, dir) => graft.pipeline.Sampling.embargoSplit(
+          Tables.events(s, dir), "ts", 70, 5)
+        .groupBy("split")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          countDistinct(col("user_id")).cast("long").as("n_users"))
+        .orderBy("split"),
+      """WITH b AS (SELECT min(epoch_us(ts)) AS tmin,
+        |            max(epoch_us(ts)) AS tmax FROM events),
+        |s AS (SELECT user_id,
+        |  CASE WHEN epoch_us(ts) < tmin + ((tmax - tmin) * 70) // 100
+        |         THEN 'train'
+        |       WHEN epoch_us(ts) < tmin + ((tmax - tmin) * 75) // 100
+        |         THEN 'embargo'
+        |       ELSE 'test' END AS split
+        |  FROM events, b)
+        |SELECT split, count(*)::BIGINT AS n_events,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    Q("q210_dp_counts",
+      // Laplace-mechanism noisy count release
+      // ([[graft.pipeline.Privacy.dpNoisyCounts]]): count + Lap(1/ε)
+      // per group, noise from an md5-seeded inverse-CDF draw (stated
+      // caveat in the scaladoc: seeded = replayable pipeline testing,
+      // production swaps in a secure RNG).
+      (s, dir) => graft.pipeline.Privacy.dpNoisyCounts(
+        Tables.documents(s, dir), "lang", 1.0).orderBy("lang"),
+      s"""WITH g AS (SELECT lang, count(*) AS n FROM documents
+         |           GROUP BY 1),
+         |u AS (SELECT lang, n,
+         |  ((${md5LongSql("lang || ':dp0'")} % 1000000)::DOUBLE + 0.5)
+         |    / 1000000.0 AS u
+         |  FROM g)
+         |SELECT lang,
+         |  round(n + (-(1.0) * sign(u - 0.5)
+         |    * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS noisy_count
+         |FROM u ORDER BY lang""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

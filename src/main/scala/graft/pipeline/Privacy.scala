@@ -49,4 +49,32 @@ object Privacy {
         .as("rows_at_risk"),
       sum(when(!col("l_diverse"), col("n_rows")).otherwise(lit(0L)))
         .as("rows_homogeneous"))
+
+  /** Laplace-mechanism noisy count release: `count + Lap(1/ε)` per
+    * group — the ε-DP shape for a count query (sensitivity 1). The
+    * noise draw inverts the Laplace CDF on a uniform derived from md5
+    * of (group, salt): u = (h%1e6 + 0.5)/1e6, noise =
+    * −(1/ε)·sign(u−½)·ln(1−2|u−½|).
+    *
+    * IMPORTANT CAVEAT (stated, not hidden): SEEDED noise is not
+    * differential privacy — an adversary knowing the salt removes it.
+    * The seeded form exists so the RELEASE PIPELINE is testable and
+    * replayable (oracle-checkable, idempotent re-runs); a production
+    * release swaps the uniform for a secure RNG draw — one line, same
+    * plan. Scale: one groupBy; the noise is per-GROUP arithmetic on
+    * the aggregate row, nothing touches the corpus twice. */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+      salt: String = "dp0"): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val h = graft.functions.TextFunctions.md5Long(
+      concat(col(groupCol).cast("string"), lit(":" + salt)))
+    val u = (pmod(h, lit(1000000L)).cast("double") + lit(0.5)) / 1000000.0
+    val centered = u - lit(0.5)
+    val noise = -lit(1.0 / epsilon) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        round(col("__n") + noise, 6).as("noisy_count"))
+  }
 }

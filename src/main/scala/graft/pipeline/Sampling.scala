@@ -210,6 +210,48 @@ object Sampling {
       .select(col("shard"), col(idCol), col("pos"))
   }
 
+  /** Group-aware k-fold assignment — [[groupSplit]] generalized to
+    * cross-validation: every member of a group (near-dup cluster,
+    * domain, upload batch) lands in the SAME fold, so no fold's eval
+    * slice contains a near-duplicate of another fold's training data.
+    * Deterministic md5 of the group key mod k; shuffle-free. */
+  def groupFolds(df: DataFrame, groupKey: Column, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    df.withColumn("fold",
+      pmod(TextFunctions.md5Long(groupKey.cast("string")), lit(k.toLong))
+        .cast("int"))
+  }
+
+  /** Temporal train/test split with an EMBARGO gap (the leakage guard
+    * for time-series features: a rolling feature computed near the
+    * boundary sees both sides, so rows inside the gap are quarantined
+    * — de Prado's purged split). Boundaries derive from the corpus
+    * time span by INTEGER microsecond arithmetic (broadcast 1-row
+    * bounds; `div` keeps the cut engine-exact): train < t0,
+    * embargo ∈ [t0, t0+gap), test ≥ t0+gap, with t0 at `trainPct`% and
+    * the gap `gapPct`% of the span. Adds a `split` column; one
+    * broadcast join, no shuffle of the fact table. */
+  def embargoSplit(events: DataFrame, tsCol: String, trainPct: Int,
+      gapPct: Int): DataFrame = {
+    require(trainPct > 0 && gapPct >= 0 && trainPct + gapPct < 100,
+      s"bad split percentages: $trainPct/$gapPct")
+    val us = expr(s"unix_micros($tsCol)")
+    val bounds = events
+      .agg(min(us).as("__tmin"), max(us).as("__tmax"))
+      .select(
+        (col("__tmin") +
+          expr(s"((__tmax - __tmin) * $trainPct) div 100")).as("__t0"),
+        (col("__tmin") +
+          expr(s"((__tmax - __tmin) * ${trainPct + gapPct}) div 100"))
+          .as("__t1"))
+    events.join(broadcast(bounds))
+      .withColumn("split",
+        when(us < col("__t0"), "train")
+          .when(us < col("__t1"), "embargo")
+          .otherwise("test"))
+      .drop("__t0", "__t1")
+  }
+
   /** Fractional-epoch mixture materialization (the DoReMi / D4 /
     * data-constrained-scaling shape): each row carries a target epoch
     * count `epochs` (possibly fractional — "see wiki 2.5 times per
