@@ -6784,7 +6784,40 @@ object SparkEntry {
          |SELECT lang,
          |  round(n + (-(1.0) * sign(u - 0.5)
          |    * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS noisy_count
-         |FROM u ORDER BY lang""".stripMargin))
+         |FROM u ORDER BY lang""".stripMargin),
+
+    Q("q211_ohlc_bars",
+      // Hourly OHLC bars per event type ([[graft.operators.Bars]]):
+      // open/close are min/max over (ts, id, value) STRUCTS — the k=1
+      // k-bounded aggregate, algebraic with map-side combine, id-
+      // tiebroken; the oracle pays the row_number window the engine
+      // never does. DECIMAL money math on both sides.
+      (s, dir) => graft.operators.Bars.ohlc(
+          Tables.events(s, dir).filter(col("event_type").isin("click",
+            "purchase")),
+          "event_type", "ts", "event_id", "value", 3600000000L)
+        .orderBy("event_type", "bar"),
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bar,
+        |    ts, event_id, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |o AS (SELECT event_type, bar, v AS open FROM e
+        |      QUALIFY row_number() OVER (PARTITION BY event_type, bar
+        |        ORDER BY ts, event_id) = 1),
+        |c AS (SELECT event_type, bar, v AS close FROM e
+        |      QUALIFY row_number() OVER (PARTITION BY event_type, bar
+        |        ORDER BY ts DESC, event_id DESC) = 1),
+        |a AS (SELECT event_type, bar,
+        |        max(v) AS high, min(v) AS low,
+        |        count(*)::BIGINT AS n_events, sum(v) AS volume
+        |      FROM e GROUP BY 1, 2)
+        |SELECT a.event_type, a.bar,
+        |  o.open::DOUBLE AS open, a.high::DOUBLE AS high,
+        |  a.low::DOUBLE AS low, c.close::DOUBLE AS close,
+        |  a.n_events, a.volume::DOUBLE AS volume
+        |FROM a JOIN o USING (event_type, bar)
+        |JOIN c USING (event_type, bar)
+        |ORDER BY event_type, bar""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -355,6 +355,37 @@ object StreamIngest {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming OHLC bars — [[graft.operators.Bars.ohlc]]'s windowed
+    * twin: per (window, key) open/high/low/close/volume with a
+    * watermark bounding state. The open/close struct-min/max trick is
+    * what makes this STREAMABLE: min/max are algebraic, so the state
+    * per open window is one struct each — a `row_number` formulation
+    * would need the whole window buffered. Batch and stream forms
+    * share the aggregation semantics (BarsSpec pins agreement). */
+  def ohlcStream(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val d = col(valueCol)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    val first = min(struct(col(tsCol).as("t"), col(idCol).as("i"),
+      d.as("v")))
+    val last = max(struct(col(tsCol).as("t"), col(idCol).as("i"),
+      d.as("v")))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(
+        first.getField("v").cast("double").as("open"),
+        max(d).cast("double").as("high"),
+        min(d).cast("double").as("low"),
+        last.getField("v").cast("double").as("close"),
+        count(lit(1)).as("n_events"),
+        sum(d).cast("double").as("volume"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("volume"))
+  }
+
   /** File-source stream over a parquet directory (for replaying the
     * events fixture as a stream in tests and backfills). */
   def parquetStream(spark: SparkSession, dir: String,
