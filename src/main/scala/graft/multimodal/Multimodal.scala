@@ -328,54 +328,60 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val h: java.lang.Long = decodeImage(r.getAs[Array[Byte]](binIdx)) match {
-          case Right((_, img)) =>
-            val (gw, gh) = (9, 8)
-            val w = img.getWidth
-            val hh = img.getHeight
-            val cell = Array.ofDim[Long](gh, gw)
-            var cy = 0
-            while (cy < gh) {
-              val y0 = cy * hh / gh
-              val y1 = math.max((cy + 1) * hh / gh, y0 + 1)
-              var cx = 0
-              while (cx < gw) {
-                val x0 = cx * w / gw
-                val x1 = math.max((cx + 1) * w / gw, x0 + 1)
-                var sum = 0L
-                var y = y0
-                while (y < math.min(y1, hh)) {
-                  var x = x0
-                  while (x < math.min(x1, w)) {
-                    val rgb = img.getRGB(x, y)
-                    sum += (299 * ((rgb >> 16) & 0xff) +
-                      587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
-                    x += 1
-                  }
-                  y += 1
-                }
-                cell(cy)(cx) = sum / ((math.min(y1, hh) - y0).toLong *
-                  math.max(1, math.min(x1, w) - x0))
-                cx += 1
-              }
-              cy += 1
-            }
-            var bits = 0L
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                if (cell(y)(x + 1) > cell(y)(x))
-                  bits |= 1L << (y * 8 + x)
-                x += 1
-              }
-              y += 1
-            }
-            bits
-          case Left(_) => null
+          case Right((_, img)) => dHashOf(img)
+          case Left(_)         => null
         }
         Row.fromSeq(r.toSeq :+ h)
       }
     }(enc)
+  }
+
+  /** 64-bit difference hash of a decoded image: 9×8 grid of luma means,
+    * bit = right cell brighter than left. Shared by [[withImageDHash]]
+    * and the video [[sceneCuts]] leg. */
+  private def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val (gw, gh) = (9, 8)
+    val w = img.getWidth
+    val hh = img.getHeight
+    val cell = Array.ofDim[Long](gh, gw)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = cy * hh / gh
+      val y1 = math.max((cy + 1) * hh / gh, y0 + 1)
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * w / gw
+        val x1 = math.max((cx + 1) * w / gw, x0 + 1)
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, hh)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            sum += (299 * ((rgb >> 16) & 0xff) +
+              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        cell(cy)(cx) = sum / ((math.min(y1, hh) - y0).toLong *
+          math.max(1, math.min(x1, w) - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (cell(y)(x + 1) > cell(y)(x))
+          bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
   }
 
   /** Near-duplicate image pairs by dHash Hamming distance: the 64-bit
@@ -487,6 +493,63 @@ object Multimodal {
             val tail = decoder.decodeDims(bytes, off, len) match {
               case Right((w, h)) => Seq(i, src, fb, w, h, null)
               case Left(e)       => Seq(i, src, fb, null, null, e)
+            }
+            Row.fromSeq(r.toSeq ++ tail)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Scene-cut detection over the real video decode path: every demuxed
+    * frame is dHashed ([[dHashOf]] — the same perceptual hash the image
+    * leg uses) and compared to its predecessor; a Hamming distance ≥
+    * `cutHamming` marks a shot boundary. The keyframe-selection
+    * primitive of video curation: sample one frame per SHOT instead of
+    * one per time slice ([[sampleVideoFrames]]), so a static-camera
+    * hour costs one frame and a cut-heavy trailer keeps its variety.
+    *
+    * Streaming memory: frames decode sequentially, state is ONE 64-bit
+    * hash — a 2-hour video never holds two decoded frames at once. One
+    * output row per frame (frame 0: null distance); undecodable
+    * containers fail soft with a single error row (the S4/raster-page
+    * discipline). */
+  def sceneCuts(df: DataFrame, binCol: String, cutHamming: Int = 16,
+      decoder: FrameDecoder = MjpegAviFrameDecoder): DataFrame = {
+    require(cutHamming >= 1 && cutHamming <= 64,
+      s"cutHamming out of range: $cutHamming")
+    val schema = df.schema
+      .add(StructField("frame_no", IntegerType))
+      .add(StructField("hamming", IntegerType))
+      .add(StructField("is_cut", BooleanType))
+      .add(StructField("cut_error", StringType))
+    val enc    = org.apache.spark.sql.Encoders.row(schema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val bytes  = r.getAs[Array[Byte]](binIdx)
+        val slices = decoder.frameSlices(bytes)
+        if (slices.isEmpty)
+          Iterator.single(Row.fromSeq(r.toSeq ++ Seq(null, null, null,
+            s"no demuxable frames (not ${decoder.format}?)")))
+        else {
+          var prev: java.lang.Long = null
+          slices.iterator.zipWithIndex.map { case ((off, len), i) =>
+            val fb = java.util.Arrays.copyOfRange(bytes, off, off + len)
+            val tail: Seq[Any] = decodeImage(fb) match {
+              case Right((_, img)) =>
+                val h = dHashOf(img)
+                val out = if (prev == null) Seq(i, null, false, null)
+                else {
+                  val d = java.lang.Long.bitCount(prev ^ h)
+                  Seq(i, d, d >= cutHamming, null)
+                }
+                prev = h
+                out
+              case Left(e) =>
+                prev = null // a gap resets the comparison chain
+                Seq(i, null, null, e)
             }
             Row.fromSeq(r.toSeq ++ tail)
           }

@@ -62,8 +62,18 @@ object SetSimJoin {
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
     // verification: bounded per-doc sorted element arrays, in-row
-    // intersection (array size ≤ doc length — never corpus-scale)
-    val sets = elems.groupBy("doc_id")
+    // intersection (array size ≤ doc length — never corpus-scale).
+    // Aggregate sets ONLY for docs that reached the candidate stage —
+    // the semi-join prunes the set-materialization input from corpus
+    // size to candidate size BEFORE the groupBy (at 100 TB candidates
+    // are a sliver of the corpus; without the prune this aggregation
+    // re-shuffles every document's shingles just to be dropped by the
+    // verify joins).
+    val candIds = cands
+      .select(explode(array(col("a"), col("b"))).as("doc_id"))
+      .distinct()
+    val sets = elems.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
       .agg(sort_array(collect_list(col("el"))).as("els"),
         count(lit(1)).as("n"))
     val verified = cands

@@ -398,4 +398,44 @@ class MultimodalSpec extends SparkSpec {
       "media", 4).collect()
     assert(short.map(_.getAs[Int]("src_frame")).toSeq === Seq(0, 1))
   }
+
+  test("sceneCuts: a hard scene change is a cut, a static run is not") {
+    import spark.implicits._
+    // dHash is a LUMA-GRADIENT hash — uniform frames all hash to 0, so
+    // the shots need structure: dark|bright halves, then the inverse
+    def halves(rgbL: Int, rgbR: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(36, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgbL)); g.fillRect(0, 0, 18, 24)
+      g.setColor(new java.awt.Color(rgbR)); g.fillRect(18, 0, 18, 24)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = Seq.fill(3)(halves(0x000000, 0xffffff)) ++
+      Seq.fill(3)(halves(0xffffff, 0x000000))
+    val avi = mjpegAvi(frames, 36, 24, 40000L)
+    val out = Multimodal.sceneCuts(
+        Seq((1L, avi)).toDF("vid", "media"), "media", cutHamming = 8)
+      .orderBy("frame_no").collect()
+    assert(out.length == 6)
+    assert(out.head.getAs[Any]("hamming") == null, "frame 0 has no prev")
+    val cuts = out.filter(r => r.getAs[Boolean]("is_cut"))
+    assert(cuts.map(_.getAs[Int]("frame_no")).toSeq == Seq(3),
+      s"exactly the shot boundary must cut: ${out.map(_.toSeq).toSeq}")
+    // within-shot frames are identical → hamming 0
+    assert(out.filter(r => Seq(1, 2, 4, 5).contains(
+      r.getAs[Int]("frame_no"))).forall(_.getAs[Int]("hamming") == 0))
+  }
+
+  test("sceneCuts fails soft on an unparseable container") {
+    import spark.implicits._
+    val out = Multimodal.sceneCuts(
+      Seq((1L, "junk".getBytes("UTF-8"))).toDF("vid", "media"),
+      "media").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("cut_error") != null)
+  }
 }
