@@ -6817,7 +6817,68 @@ object SparkEntry {
         |  a.n_events, a.volume::DOUBLE AS volume
         |FROM a JOIN o USING (event_type, bar)
         |JOIN c USING (event_type, bar)
-        |ORDER BY event_type, bar""".stripMargin))
+        |ORDER BY event_type, bar""".stripMargin),
+
+    Q("q212_matrix_stats",
+      // ES matrix_stats parity ([[graft.operators.MatrixStats]]):
+      // pairwise covariance + correlation over the lineitem money
+      // columns from ONE moment-aggregation scan (k + k(k+1)/2 plain
+      // sums, all DECIMAL-exact); the pair matrix is rebuilt from the
+      // single moments row — never a per-pair scan.
+      (s, dir) => graft.operators.MatrixStats.correlationMatrix(
+        Tables.lineitem(s, dir),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")),
+      {
+        val cs = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        val prs = for { i <- cs.indices; j <- i until cs.length }
+          yield (cs(i), cs(j))
+        val moments =
+          (Seq("count(*)::DOUBLE AS n") ++
+            cs.map(c =>
+              s"sum(CAST($c AS DECIMAL(18,4)))::DOUBLE AS s_$c") ++
+            prs.map { case (a, b) =>
+              // DECIMAL(19,4) operands force DuckDB's int128 multiply
+              // path (width ≤ 18 runs in int64 and overflows on
+              // price²); the VALUES are identical 2-dp money either
+              // way, so the sums stay exact
+              s"sum((CAST($a AS DECIMAL(19,4)) * CAST($b AS " +
+                s"DECIMAL(19,4)))::DECIMAL(38,8))::DOUBLE AS s_${a}_$b"
+            }).mkString(",\n    ")
+        val rows = prs.map { case (a, b) =>
+          val cov = s"s_${a}_$b / n - (s_$a / n) * (s_$b / n)"
+          def va(c: String) = s"(s_${c}_$c / n - (s_$c / n) * (s_$c / n))"
+          s"SELECT '$a' AS a, '$b' AS b, round($cov, 6) AS cov, " +
+            s"round(($cov) / sqrt(${va(a)} * ${va(b)}), 6) AS corr FROM m"
+        }.mkString("\nUNION ALL ")
+        s"WITH m AS (SELECT\n    $moments\n  FROM lineitem)\n" +
+          s"$rows\nORDER BY a, b"
+      }),
+
+    Q("q213_tokenizer_fertility",
+      // Per-language tokenizer fertility / compression
+      // ([[graft.text.TextAnalysis.tokenizerFertility]]): the
+      // multilingual budget report — subword tokens per word and chars
+      // per subword, integer-ppm exact, one scan.
+      (s, dir) => TextAnalysis.tokenizerFertility(
+        Tables.documents(s, dir), "text", "lang"),
+      s"""WITH base AS (
+         |  SELECT lang, length(text)::BIGINT AS n_chars,
+         |    len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> x <> ''))::BIGINT AS n_words,
+         |    (len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+         |       x -> x <> ''))
+         |     + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')))
+         |      ::BIGINT AS n_subwords
+         |  FROM documents)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS n_chars,
+         |  sum(n_words)::BIGINT AS n_words,
+         |  sum(n_subwords)::BIGINT AS n_subwords,
+         |  (((sum(n_subwords) * 1000000) // sum(n_words))::DOUBLE
+         |    / 1000000.0) AS fertility,
+         |  (((sum(n_chars) * 1000000) // sum(n_subwords))::DOUBLE
+         |    / 1000000.0) AS chars_per_token
+         |FROM base GROUP BY lang ORDER BY lang""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

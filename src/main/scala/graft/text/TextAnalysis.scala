@@ -351,4 +351,33 @@ object TextAnalysis {
       langId(col(textCol)).as("lang_id"),
       qualityScore(col(textCol)).as("quality"),
       fingerprint(col(textCol)).as("fp"))
+
+  /** Tokenizer-fertility profile per language — the multilingual cost
+    * report every tokenizer/budget decision needs (a language whose
+    * subword fertility is 2× pays 2× the context window for the same
+    * words; per-language token budgets that ignore it systematically
+    * under-train high-fertility scripts). Per language: doc count,
+    * character/word/subword totals and the two standard ratios —
+    * fertility (subword tokens per whitespace word) and compression
+    * (chars per subword token). One scan, |langs|-cardinality groupBy,
+    * integer-ppm ratios (engine-exact, no rounding boundary). */
+  def tokenizerFertility(docs: DataFrame, textCol: String,
+      langCol: String): DataFrame = {
+    val words = size(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+      .cast("long")
+    docs
+      .groupBy(col(langCol).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum(words).as("n_words"),
+        sum(TextFunctions.bpeishTokenCount(col(textCol))).as("n_subwords"))
+      .withColumn("fertility",
+        expr("((n_subwords * 1000000) div n_words)").cast("double")
+          / lit(1000000.0))
+      .withColumn("chars_per_token",
+        expr("((n_chars * 1000000) div n_subwords)").cast("double")
+          / lit(1000000.0))
+      .orderBy("lang")
+  }
 }
