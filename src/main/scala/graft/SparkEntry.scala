@@ -3304,13 +3304,15 @@ object SparkEntry {
     Q("q123_ivfpq_knn",
       // IVF-PQ composite (the FAISS IndexIVFPQ shape): coarse cells
       // bound the scan, residual-trained PQ codes bound the bytes. Full
-      // probe (nProbe = nCells) + a shortlist that covers the fixture
-      // (512 >= corpus) + exact rerank is exactly brute force — same
+      // probe (nProbe = nCells) + a CORPUS-SIZED shortlist (derived from
+      // the live count, exhaustive at any sf) + exact rerank is
+      // exactly brute force — same
       // oracle discipline as q46/q99; the production knobs (nProbe <
       // nCells, tight numCandidates) are gated by IvfPqSpec's measured
       // recall ladder instead.
       (s, dir) => graft.index.IvfPqIndex.knn(s, ivfpqFor(s, dir), QueryVec,
-        10, nProbe = 8, numCandidates = 512),
+        10, nProbe = 8,
+        numCandidates = Tables.embeddings(s, dir).count().toInt),
       s"""SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
          |FROM embeddings ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin),
 
@@ -3319,11 +3321,12 @@ object SparkEntry {
       // cells + q·centroid and the N×m×nCodes residual ADC tables ride
       // in broadcast relations/literals; per-query shortlist and top-k
       // are k-bounded aggs (no window). Exhaustive knobs (full probe,
-      // shortlist >= corpus) ⇒ the oracle is per-query brute force —
+      // corpus-sized shortlist from the live count) ⇒ the oracle is per-query brute force —
       // q93's discipline; production knobs are gated by IvfPqSpec.
       (s, dir) => graft.index.IvfPqIndex.knnBatch(s, ivfpqFor(s, dir),
         BatchQueries.map { case (qid, t) => qid -> Embedder.embed(t) },
-        10, nProbe = 8, numCandidates = 512)
+        10, nProbe = 8,
+        numCandidates = Tables.embeddings(s, dir).count().toInt)
         .orderBy("query_id", "rank"),
       {
         val branches = BatchQueries.map { case (qid, t) =>
@@ -3654,15 +3657,15 @@ object SparkEntry {
       // product-quantized ANN: ADC shortlist over the 8-codes-per-vector
       // column (the fat embedding column is never read in the scan),
       // exact-cosine rerank. Oracled at q123's discipline — shortlist
-      // covers the fixture corpus (512 >= 500), so rerank makes the
-      // top-10 exactly brute force (q24's oracle). A TIGHT shortlist is
+      // is CORPUS-SIZED (derived from the live count, exhaustive at any
+      // sf), so rerank makes the top-10 exactly brute force (q24's oracle). A TIGHT shortlist is
       // NOT oracle-safe: codebook training is partitioning-sensitive
       // (k-means|| init), and 128-of-500 measurably loses a top-10 row
       // on this fixture under some codebooks. Production shortlists
       // (the corpus-scaled auto default) are gated by RecallFloorSpec
       // floors instead, at two corpus sizes.
       (s, dir) => graft.index.PqIndex.knn(s, pqFor(s, dir), QueryVec,
-        10, numCandidates = 512),
+        10, numCandidates = Tables.embeddings(s, dir).count().toInt),
       s"""SELECT vec_id AS doc_id, round($cosSql, 6) AS vec_score
          |FROM embeddings ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin),
 
@@ -6878,7 +6881,36 @@ object SparkEntry {
          |    / 1000000.0) AS fertility,
          |  (((sum(n_chars) * 1000000) // sum(n_subwords))::DOUBLE
          |    / 1000000.0) AS chars_per_token
-         |FROM base GROUP BY lang ORDER BY lang""".stripMargin))
+         |FROM base GROUP BY lang ORDER BY lang""".stripMargin),
+
+    Q("q214_zorder_scan",
+      // OPTIMIZE ZORDER ([[graft.table.DataLayout.zorderWrite]]): the
+      // fact table is rewritten Morton-clustered on (l_orderkey,
+      // l_partkey), so a selective predicate on EITHER column prunes
+      // whole files by parquet zone map. The query runs the range scan
+      // AGAINST THE Z-ORDERED COPY; the oracle runs it on the plain
+      // table — layout must never change results. DataLayoutSpec pins
+      // the actual file-pruning behavior; this row pins content
+      // preservation through the rewrite.
+      (s, dir) => {
+        val zdir = java.nio.file.Files
+          .createTempDirectory("graft_zorder_").toString
+        graft.table.DataLayout.zorderWrite(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_partkey",
+            "l_quantity", "l_extendedprice"),
+          zdir, "l_orderkey", "l_partkey", nFiles = 16)
+        s.read.parquet(zdir)
+          .filter(col("l_orderkey") < 600 && col("l_partkey") < 400)
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n"),
+            sum(d184(col("l_quantity"))).cast("double").as("qty"))
+          .orderBy("l_partkey")
+      },
+      """SELECT l_partkey, count(*)::BIGINT AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE AS qty
+        |FROM lineitem
+        |WHERE l_orderkey < 600 AND l_partkey < 400
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
