@@ -301,8 +301,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE AS sum_qty,
         |  sum(CAST(l_extendedprice AS DECIMAL(18,4)))::DOUBLE AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))::DOUBLE AS sum_disc_price,
+        |  (sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))::VARCHAR)::DOUBLE AS sum_disc_price,
         |  count(*) AS count_order,
         |  sum(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE / count(*) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -353,8 +353,8 @@ object SparkEntry {
           .orderBy("r_name", "n_name")
       },
       """SELECT r_name, n_name,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))::DOUBLE AS revenue,
+        |  (sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))::VARCHAR)::DOUBLE AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -371,8 +371,8 @@ object SparkEntry {
           col("l_quantity") < 24)
         .agg(sum(d184(col("l_extendedprice")) * d184(col("l_discount")))
           .cast("double").as("revenue")),
-      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           CAST(l_discount AS DECIMAL(18,4)))::DOUBLE AS revenue
+      """SELECT (sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           CAST(l_discount AS DECIMAL(18,4)))::VARCHAR)::DOUBLE AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -1020,8 +1020,8 @@ object SparkEntry {
           .orderBy("p_brand")
       },
       """SELECT p_brand,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))::DOUBLE AS revenue,
+        |  (sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))::VARCHAR)::DOUBLE AS revenue,
         |  sum(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE AS sum_qty,
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1950,8 +1950,8 @@ object SparkEntry {
           .orderBy("l_returnflag")
       },
       """SELECT l_returnflag,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))::DOUBLE AS revenue,
+        |  (sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))::VARCHAR)::DOUBLE AS revenue,
         |  count(*) AS n_items
         |FROM lineitem SEMI JOIN (
         |  SELECT o_orderkey FROM orders
