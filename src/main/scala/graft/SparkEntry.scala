@@ -6910,7 +6910,60 @@ object SparkEntry {
         |  sum(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE AS qty
         |FROM lineitem
         |WHERE l_orderkey < 600 AND l_partkey < 400
-        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin))
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin),
+
+    Q("q215_global_ranks",
+      // Distributed global row-number ([[graft.operators.Ranks
+      // .globalRowNumber]]): the bucketed-prefix-sum ranking — a plain
+      // `row_number() OVER (ORDER BY v)` (what the oracle runs)
+      // serializes the relation onto ONE task; the engine ranks within
+      // value-monotone buckets (≈ N/1024 rows per task) and offsets by
+      // broadcast bucket prefixes. Same output, no corpus-wide window.
+      (s, dir) => graft.operators.Ranks.globalRowNumber(
+          Tables.events(s, dir).filter(col("user_id") < 20)
+            .select("event_id", "value"),
+          "value", "event_id")
+        .orderBy("rank"),
+      """SELECT event_id, value,
+        |  row_number() OVER (ORDER BY value, event_id) AS rank
+        |FROM events WHERE user_id < 20
+        |ORDER BY rank""".stripMargin),
+
+    Q("q216_mann_whitney",
+      // Tie-corrected Mann–Whitney U ([[graft.operators.Ranks
+      // .mannWhitney]]): rank statistics from VALUE-LEVEL aggregates +
+      // the bucketed prefix for counts-below — one corpus scan, no
+      // global sort; average tie ranks are exact binary halves, so the
+      // sums are association-free on both engines.
+      (s, dir) => graft.operators.Ranks.mannWhitney(
+        Tables.events(s, dir), "value", "event_type",
+        "click", "purchase"),
+      """WITH two AS (
+        |  SELECT value::DOUBLE AS v,
+        |    (event_type = 'click') AS isa
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |rn AS (SELECT v, isa,
+        |         row_number() OVER (ORDER BY v) AS r FROM two),
+        |ranked AS (SELECT v, isa,
+        |             avg(r) OVER (PARTITION BY v) AS avg_rank FROM rn),
+        |ties AS (SELECT sum(n_v * n_v * n_v - n_v)::DOUBLE AS tie3
+        |         FROM (SELECT count(*)::DOUBLE AS n_v
+        |               FROM two GROUP BY v)),
+        |g AS (SELECT
+        |    sum(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN isa THEN 0 ELSE 1 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN isa THEN avg_rank ELSE 0.0 END) AS r_a
+        |  FROM ranked),
+        |u AS (SELECT n_a, n_b,
+        |    r_a - n_a::DOUBLE * (n_a::DOUBLE + 1.0) / 2.0 AS u_a, tie3
+        |  FROM g, ties)
+        |SELECT n_a, n_b, round(u_a, 6) AS u_a,
+        |  round((u_a - n_a::DOUBLE * n_b::DOUBLE / 2.0)
+        |    / sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+        |      * ((n_a::DOUBLE + n_b::DOUBLE + 1.0)
+        |        - tie3 / ((n_a::DOUBLE + n_b::DOUBLE)
+        |          * (n_a::DOUBLE + n_b::DOUBLE - 1.0)))), 6) AS z
+        |FROM u""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

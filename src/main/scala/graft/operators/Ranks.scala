@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking — the primitive behind rank-based
+  * statistics (Mann–Whitney, Spearman, percentile-of-score) that is
+  * usually written as `row_number() OVER (ORDER BY v)` and therefore
+  * serializes the WHOLE relation onto one task. Here the global order
+  * is recovered from a value-monotone bucketing: per-bucket counts
+  * (a metadata-sized grid) → exclusive prefix offsets (window over
+  * ≤ nBuckets rows) → broadcast back → local rank within bucket +
+  * offset. Each task ranks ≈ N/nBuckets rows; no corpus-wide window
+  * ever exists — the same bucketed-prefix-sum shape as
+  * [[graft.pipeline.Sampling]]'s admission operators.
+  *
+  * The bucket function only has to be monotone and deterministic in
+  * the value (equal values → equal bucket); it does NOT need an
+  * engine mirror, because the OUTPUT (ranks) is bucket-agnostic —
+  * oracles check against a plain SQL window. */
+object Ranks {
+
+  /** Global row number of every row by (value, id) ascending — a total
+    * order with the id as deterministic tiebreak. Adds `rank`
+    * (1-based, long). */
+  def globalRowNumber(df: DataFrame, valueCol: String, idCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 2, "need nBuckets >= 2")
+    val v = col(valueCol).cast("double")
+    val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
+    val withB = df.join(broadcast(bounds))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((v - col("__lo")) / (col("__hi") - col("__lo"))
+              * nBuckets).cast("int"))))
+      .drop("__lo", "__hi")
+    val wGrid = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = withB.groupBy("__b").agg(count(lit(1)).as("__bn"))
+      .withColumn("__pre", coalesce(sum("__bn").over(wGrid), lit(0L)))
+      .select(col("__b"), col("__pre"))
+    val wLocal = Window.partitionBy("__b")
+      .orderBy(v.asc, col(idCol).asc)
+    withB.join(broadcast(prefixes), "__b")
+      .withColumn("rank", col("__pre") + row_number().over(wLocal))
+      .select(df.columns.map(col).toIndexedSeq :+ col("rank"): _*)
+  }
+
+  /** Mann–Whitney U (two-sided, normal approximation, tie-corrected):
+    * the nonparametric "are these two groups from the same
+    * distribution" test — the A/B gate when values are skewed and a
+    * Welch t-test's mean is the wrong summary. All rank math runs on
+    * VALUE-LEVEL aggregates (one groupBy to (value, per-group counts),
+    * then the bucketed prefix for count-below), so the corpus is
+    * scanned once and nothing corpus-sized is ever windowed or
+    * sorted. Average ranks for ties are exact halves (binary-exact
+    * doubles — sums are association-free).
+    *
+    * Returns one row: n_a, n_b, u_a, z (rounded 6). |z| ≳ 1.96 ⇒
+    * reject at 5%. */
+  def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, nBuckets: Int = 1024)
+      : DataFrame = {
+    val v = col(valueCol).cast("double")
+    val two = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(v.as("v"), (col(groupCol) === groupA).as("isA"))
+    // value-level aggregation: per distinct value, per-group counts
+    val perValue = two.groupBy("v").agg(
+      sum(when(col("isA"), 1L).otherwise(0L)).as("na_v"),
+      count(lit(1)).as("n_v"))
+    // count of rows strictly below each value: bucketed prefix over the
+    // value-level relation (distinct values can be corpus-scale)
+    val bounds = perValue.agg(min(col("v")).as("__lo"),
+      max(col("v")).as("__hi"))
+    val withB = perValue.join(broadcast(bounds))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((col("v") - col("__lo"))
+              / (col("__hi") - col("__lo")) * nBuckets).cast("int"))))
+      .drop("__lo", "__hi")
+    val wGrid = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = withB.groupBy("__b").agg(sum(col("n_v")).as("__bn"))
+      .withColumn("__pre", coalesce(sum("__bn").over(wGrid), lit(0L)))
+      .select(col("__b"), col("__pre"))
+    val wLocal = Window.partitionBy("__b").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = withB.join(broadcast(prefixes), "__b")
+      .withColumn("below",
+        col("__pre") + coalesce(sum(col("n_v")).over(wLocal), lit(0L)))
+      // average rank of a tie group: below + (n_v + 1)/2 — exact halves
+      .withColumn("avg_rank",
+        col("below").cast("double")
+          + (col("n_v").cast("double") + 1.0) / 2.0)
+    ranked.agg(
+        sum(col("na_v")).as("n_a"),
+        sum(col("n_v") - col("na_v")).as("n_b"),
+        sum(col("na_v").cast("double") * col("avg_rank")).as("r_a"),
+        sum(col("n_v").cast("double") * col("n_v").cast("double")
+          * col("n_v").cast("double") - col("n_v").cast("double"))
+          .as("tie3"))
+      .select(col("n_a"), col("n_b"),
+        (col("r_a") - col("n_a").cast("double")
+          * (col("n_a").cast("double") + 1.0) / 2.0).as("u_a"),
+        col("tie3"))
+      .select(col("n_a"), col("n_b"), round(col("u_a"), 6).as("u_a"),
+        round({
+          val na = col("n_a").cast("double")
+          val nb = col("n_b").cast("double")
+          val n = na + nb
+          val mu = na * nb / 2.0
+          val sigma2 = na * nb / 12.0 *
+            ((n + 1.0) - col("tie3") / (n * (n - 1.0)))
+          (col("u_a") - mu) / sqrt(sigma2)
+        }, 6).as("z"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalRowNumber equals the single-window row_number") {
+    val events = graft.Tables.events(spark, SfDir)
+      .filter(col("user_id") < 20).select("event_id", "value")
+    val fast = Ranks.globalRowNumber(events, "value", "event_id")
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val slow = events.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("value"), col("event_id"))).cast("long"))
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(fast == slow)
+  }
+
+  test("ranking plan has no corpus-wide window: every window " +
+      "partitions by bucket or runs on the metadata grid") {
+    val events = graft.Tables.events(spark, SfDir)
+      .select("event_id", "value")
+    val df = Ranks.globalRowNumber(events, "value", "event_id")
+    // the local window is partitioned by __b; the only unpartitioned
+    // window is the ≤1024-row grid prefix. Pin: the row-level window
+    // node mentions the bucket column.
+    val plan = df.queryExecution.optimizedPlan.toString
+    val windows = plan.split("\n").filter(_.contains("windowspec"))
+    assert(windows.exists(_.contains("__b")),
+      s"local rank window must partition by bucket:\n$plan")
+  }
+
+  test("mannWhitney: identical groups give z ~ 0, shifted groups " +
+      "a large |z|, matching a driver-side reference") {
+    // group a ~ uniform, group b = a + shift
+    val same = ((1 to 500).map(i => (i % 97 * 1.0, "a")) ++
+      (1 to 500).map(i => (i % 97 * 1.0, "b"))).toDF("v", "g")
+    val zSame = Ranks.mannWhitney(same, "v", "g", "a", "b")
+      .head().getDouble(3)
+    assert(math.abs(zSame) < 0.05, s"identical groups z=$zSame")
+
+    val shifted = ((1 to 500).map(i => (i % 97 * 1.0, "a")) ++
+      (1 to 500).map(i => (i % 97 * 1.0 + 50.0, "b"))).toDF("v", "g")
+    val zShift = Ranks.mannWhitney(shifted, "v", "g", "a", "b")
+      .head().getDouble(3)
+    assert(zShift < -5.0, s"a below b must give strongly negative z, got $zShift")
+  }
+
+  test("mannWhitney tie handling matches the textbook small case") {
+    // A = {1, 2, 2}, B = {2, 3}: ranks 1, avg(2,3,4)=3, 3, 3, 5
+    // R_a = 1 + 3 + 3 = 7; U_a = 7 - 3*4/2 = 1
+    val df = Seq((1.0, "a"), (2.0, "a"), (2.0, "a"), (2.0, "b"),
+      (3.0, "b")).toDF("v", "g")
+    val r = Ranks.mannWhitney(df, "v", "g", "a", "b").head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 1.0, s"U_a = ${r.getDouble(2)}")
+  }
+}
