@@ -6963,7 +6963,72 @@ object SparkEntry {
         |      * ((n_a::DOUBLE + n_b::DOUBLE + 1.0)
         |        - tie3 / ((n_a::DOUBLE + n_b::DOUBLE)
         |          * (n_a::DOUBLE + n_b::DOUBLE - 1.0)))), 6) AS z
-        |FROM u""".stripMargin))
+        |FROM u""".stripMargin),
+
+    Q("q217_spearman",
+      // Tie-aware Spearman rank correlation
+      // ([[graft.operators.Ranks.spearman]]): Pearson over VALUE-LEVEL
+      // average ranks (distinct values + bucketed prefix — the oracle
+      // pays the global row_number window, the engine never does);
+      // rank sums are exact binary halves/quarters, so the moment
+      // aggregation is association-free.
+      (s, dir) => graft.operators.Ranks.spearman(
+        Tables.lineitem(s, dir), "l_quantity", "l_extendedprice"),
+      """WITH src AS (SELECT l_quantity::DOUBLE AS v1,
+        |    l_extendedprice::DOUBLE AS v2 FROM lineitem),
+        |rn AS (SELECT v1, v2,
+        |    row_number() OVER (ORDER BY v1) AS rn1,
+        |    row_number() OVER (ORDER BY v2) AS rn2 FROM src),
+        |r AS (SELECT v1, v2,
+        |    avg(rn1) OVER (PARTITION BY v1) AS ra,
+        |    avg(rn2) OVER (PARTITION BY v2) AS rb FROM rn)
+        |SELECT count(*)::BIGINT AS n,
+        |  round((sum(ra * rb) / count(*)
+        |      - (sum(ra) / count(*)) * (sum(rb) / count(*)))
+        |    / sqrt((sum(ra * ra) / count(*)
+        |        - (sum(ra) / count(*)) * (sum(ra) / count(*)))
+        |      * (sum(rb * rb) / count(*)
+        |        - (sum(rb) / count(*)) * (sum(rb) / count(*)))), 6)
+        |    AS spearman
+        |FROM r""".stripMargin),
+
+    Q("q218_label_kappa",
+      // Cohen's κ between two weak labelers
+      // ([[graft.pipeline.WeakLabels.kappa]]): chance-discounted
+      // agreement from ONE confusion-table aggregation (metadata-sized
+      // |labels|² table, margins re-aggregated from it); rates are
+      // integer-ppm exact.
+      (s, dir) => {
+        val lfs = graft.pipeline.WeakLabels.defaultLfs(col("text"))
+          .toMap
+        graft.pipeline.WeakLabels.kappa(
+          Tables.documents(s, dir),
+          lfs("lf_len").cast("int"), lfs("lf_stop").cast("int"))
+      },
+      """WITH lf AS (
+        |  SELECT
+        |    CASE WHEN length(text) >= 150 THEN 1
+        |         WHEN length(text) < 30 THEN -1 ELSE 0 END AS la,
+        |    CASE WHEN position(' the ' IN lower(text)) > 0
+        |           OR position(' and ' IN lower(text)) > 0 THEN 1
+        |         ELSE 0 END AS lb
+        |  FROM documents),
+        |conf AS (SELECT la, lb, count(*)::BIGINT AS c
+        |         FROM lf GROUP BY 1, 2),
+        |nn AS (SELECT sum(c)::BIGINT AS n FROM conf),
+        |ag AS (SELECT coalesce(sum(c), 0)::BIGINT AS agree
+        |       FROM conf WHERE la = lb),
+        |rm AS (SELECT la, sum(c)::BIGINT AS ra FROM conf GROUP BY 1),
+        |cm AS (SELECT lb, sum(c)::BIGINT AS rb FROM conf GROUP BY 1),
+        |ch AS (SELECT coalesce(sum(ra * rb), 0)::BIGINT AS crossm
+        |       FROM rm JOIN cm ON la = lb),
+        |p AS (SELECT n,
+        |    ((agree * 1000000) // n)::DOUBLE / 1000000.0 AS p_o,
+        |    ((crossm * 1000000) // (n * n))::DOUBLE / 1000000.0 AS p_e
+        |  FROM ag, nn, ch)
+        |SELECT n, p_o, p_e,
+        |  round((p_o - p_e) / (1.0 - p_e), 6) AS kappa
+        |FROM p""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

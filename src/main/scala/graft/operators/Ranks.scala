@@ -48,6 +48,75 @@ object Ranks {
       .select(df.columns.map(col).toIndexedSeq :+ col("rank"): _*)
   }
 
+  /** Value-level average ranks with ties — (v, n_v, avg_rank) where
+    * avg_rank is the mean rank a tie group would take under `ORDER BY
+    * v` (= count-below + (n_v+1)/2, exact binary halves). The
+    * corpus-scale input reduces to DISTINCT values in one groupBy;
+    * counts-below come from the bucketed prefix, never a global
+    * window. */
+  def valueAvgRanks(perValue: DataFrame, nBuckets: Int): DataFrame = {
+    val bounds = perValue.agg(min(col("v")).as("__lo"),
+      max(col("v")).as("__hi"))
+    val withB = perValue.join(broadcast(bounds))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((col("v") - col("__lo"))
+              / (col("__hi") - col("__lo")) * nBuckets).cast("int"))))
+      .drop("__lo", "__hi")
+    val wGrid = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = withB.groupBy("__b").agg(sum(col("n_v")).as("__bn"))
+      .withColumn("__pre", coalesce(sum("__bn").over(wGrid), lit(0L)))
+      .select(col("__b"), col("__pre"))
+    val wLocal = Window.partitionBy("__b").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(prefixes), "__b")
+      .withColumn("below",
+        col("__pre") + coalesce(sum(col("n_v")).over(wLocal), lit(0L)))
+      .withColumn("avg_rank",
+        col("below").cast("double")
+          + (col("n_v").cast("double") + 1.0) / 2.0)
+  }
+
+  /** Spearman rank correlation (tie-aware): Pearson over the two
+    * columns' average ranks. Each column's rank table is VALUE-LEVEL
+    * (distinct values + bucketed prefix — no global sort); rows join
+    * their ranks back by value, and the correlation is one moment
+    * aggregation. Rank sums are sums of exact binary halves/quarters
+    * — association-free at fixture scales (≳2^53 rank-products, note,
+    * is where a decimal ladder would take over). */
+  def spearman(df: DataFrame, col1: String, col2: String,
+      nBuckets: Int = 1024): DataFrame = {
+    val src = df.select(col(col1).cast("double").as("v1"),
+      col(col2).cast("double").as("v2"))
+    def ranksOf(c: String): DataFrame =
+      valueAvgRanks(
+        src.groupBy(col(c).as("v")).agg(count(lit(1)).as("n_v")),
+        nBuckets)
+        .select(col("v").as(c), col("avg_rank").as(s"r_$c"))
+    val ranked = src
+      .join(ranksOf("v1"), "v1")
+      .join(ranksOf("v2"), "v2")
+    ranked.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("r_v1")).as("sa"),
+        sum(col("r_v2")).as("sb"),
+        sum(col("r_v1") * col("r_v2")).as("sab"),
+        sum(col("r_v1") * col("r_v1")).as("saa"),
+        sum(col("r_v2") * col("r_v2")).as("sbb"))
+      .select(col("n").cast("long").as("n"),
+        round(
+          (col("sab") / col("n")
+            - (col("sa") / col("n")) * (col("sb") / col("n")))
+          / sqrt(
+            (col("saa") / col("n")
+              - (col("sa") / col("n")) * (col("sa") / col("n")))
+            * (col("sbb") / col("n")
+              - (col("sb") / col("n")) * (col("sb") / col("n")))),
+          6).as("spearman"))
+  }
+
   /** Mann–Whitney U (two-sided, normal approximation, tie-corrected):
     * the nonparametric "are these two groups from the same
     * distribution" test — the A/B gate when values are skewed and a
@@ -72,30 +141,9 @@ object Ranks {
       sum(when(col("isA"), 1L).otherwise(0L)).as("na_v"),
       count(lit(1)).as("n_v"))
     // count of rows strictly below each value: bucketed prefix over the
-    // value-level relation (distinct values can be corpus-scale)
-    val bounds = perValue.agg(min(col("v")).as("__lo"),
-      max(col("v")).as("__hi"))
-    val withB = perValue.join(broadcast(bounds))
-      .withColumn("__b",
-        when(col("__hi") === col("__lo"), lit(0))
-          .otherwise(least(lit(nBuckets - 1),
-            floor((col("v") - col("__lo"))
-              / (col("__hi") - col("__lo")) * nBuckets).cast("int"))))
-      .drop("__lo", "__hi")
-    val wGrid = Window.orderBy(col("__b").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prefixes = withB.groupBy("__b").agg(sum(col("n_v")).as("__bn"))
-      .withColumn("__pre", coalesce(sum("__bn").over(wGrid), lit(0L)))
-      .select(col("__b"), col("__pre"))
-    val wLocal = Window.partitionBy("__b").orderBy(col("v").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = withB.join(broadcast(prefixes), "__b")
-      .withColumn("below",
-        col("__pre") + coalesce(sum(col("n_v")).over(wLocal), lit(0L)))
-      // average rank of a tie group: below + (n_v + 1)/2 — exact halves
-      .withColumn("avg_rank",
-        col("below").cast("double")
-          + (col("n_v").cast("double") + 1.0) / 2.0)
+    // value-level relation (distinct values can be corpus-scale);
+    // average rank of a tie group = below + (n_v + 1)/2 — exact halves
+    val ranked = valueAvgRanks(perValue, nBuckets)
     ranked.agg(
         sum(col("na_v")).as("n_a"),
         sum(col("n_v") - col("na_v")).as("n_b"),

@@ -75,4 +75,38 @@ object WeakLabels {
       .select(col(idCol) +: names.map(col) :+ col("majority") :+
         col("score") :+ signum(col("score")).cast("int").as("label"): _*)
   }
+
+  /** Cohen's κ between two categorical label columns — the
+    * inter-annotator (or inter-labeling-function) agreement measure
+    * that discounts chance: κ = (p_o − p_e)/(1 − p_e), with p_o the
+    * observed agreement rate and p_e the agreement expected from the
+    * two labelers' marginal distributions. κ=1 perfect, κ=0 chance
+    * level — the go-to sanity check before trusting weak labels or a
+    * crowdsourced annotation batch.
+    *
+    * Scale shape: ONE groupBy to the |labels|² confusion table
+    * (metadata-sized), margins by re-aggregating that table, one
+    * broadcast join — the corpus is scanned exactly once. Rates are
+    * integer-ppm divisions, κ itself identical IEEE math from them. */
+  def kappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val conf = df.groupBy(aCol.as("la"), bCol.as("lb"))
+      .agg(count(lit(1)).as("c"))
+    val n = conf.agg(sum(col("c")).as("n"))
+    val rowM = conf.groupBy("la").agg(sum(col("c")).as("ra"))
+    val colM = conf.groupBy("lb").agg(sum(col("c")).as("rb"))
+    val agree = conf.filter(col("la") === col("lb"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("agree"))
+    val chance = rowM
+      .join(colM, col("la") === col("lb")) // matching categories only
+      .agg(coalesce(sum(col("ra") * col("rb")), lit(0L)).as("crossm"))
+    agree.crossJoin(broadcast(n)).crossJoin(broadcast(chance))
+      .select(col("n"),
+        (expr("(agree * 1000000) div n").cast("double") / 1000000.0)
+          .as("p_o"),
+        (expr("(crossm * 1000000) div (n * n)").cast("double")
+          / 1000000.0).as("p_e"))
+      .select(col("n"), col("p_o"), col("p_e"),
+        round((col("p_o") - col("p_e")) / (lit(1.0) - col("p_e")), 6)
+          .as("kappa"))
+  }
 }
