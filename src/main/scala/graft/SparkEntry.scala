@@ -6838,14 +6838,14 @@ object SparkEntry {
         val moments =
           (Seq("count(*)::DOUBLE AS n") ++
             cs.map(c =>
-              s"sum(CAST($c AS DECIMAL(18,4)))::DOUBLE AS s_$c") ++
+              s"(sum(CAST($c AS DECIMAL(18,4)))::VARCHAR)::DOUBLE AS s_$c") ++
             prs.map { case (a, b) =>
               // DECIMAL(19,4) operands force DuckDB's int128 multiply
               // path (width ≤ 18 runs in int64 and overflows on
               // price²); the VALUES are identical 2-dp money either
               // way, so the sums stay exact
-              s"sum((CAST($a AS DECIMAL(19,4)) * CAST($b AS " +
-                s"DECIMAL(19,4)))::DECIMAL(38,8))::DOUBLE AS s_${a}_$b"
+              s"(sum((CAST($a AS DECIMAL(19,4)) * CAST($b AS " +
+                s"DECIMAL(19,4)))::DECIMAL(38,8))::VARCHAR)::DOUBLE AS s_${a}_$b"
             }).mkString(",\n    ")
         val rows = prs.map { case (a, b) =>
           val cov = s"s_${a}_$b / n - (s_$a / n) * (s_$b / n)"
