@@ -7028,7 +7028,42 @@ object SparkEntry {
         |  FROM ag, nn, ch)
         |SELECT n, p_o, p_e,
         |  round((p_o - p_e) / (1.0 - p_e), 6) AS kappa
-        |FROM p""".stripMargin))
+        |FROM p""".stripMargin),
+
+    Q("q219_terms_others",
+      // ES terms aggregation WITH the `sum_other_doc_count` bucket —
+      // the part of the terms response q65 omitted: top-k buckets via
+      // TakeOrderedAndProject plus ONE `__other__` row (total minus
+      // top, two 1-row aggregates) so consumers can see what the top-k
+      // cut hides. No window; the high-cardinality groupBy partial-
+      // aggregates map-side.
+      (s, dir) => {
+        val counts = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey").cast("string").as("term"))
+          .agg(count(lit(1)).as("doc_count"))
+        val top = counts
+          .orderBy(col("doc_count").desc, col("term").asc).limit(10)
+        val total = Tables.lineitem(s, dir)
+          .agg(count(lit(1)).as("__total"))
+        val topSum = top
+          .agg(coalesce(sum("doc_count"), lit(0L)).as("__top"))
+        val others = total.crossJoin(topSum)
+          .select(lit("__other__").as("term"),
+            (col("__total") - col("__top")).as("doc_count"))
+        top.unionAll(others)
+          .orderBy(col("doc_count").desc, col("term"))
+      },
+      """WITH c AS (SELECT l_partkey::VARCHAR AS term,
+        |    count(*)::BIGINT AS doc_count FROM lineitem GROUP BY 1),
+        |top AS (SELECT term, doc_count FROM c
+        |        QUALIFY row_number() OVER (ORDER BY doc_count DESC,
+        |          term) <= 10),
+        |o AS (SELECT '__other__' AS term,
+        |    ((SELECT count(*) FROM lineitem)
+        |      - (SELECT sum(doc_count) FROM top))::BIGINT AS doc_count)
+        |SELECT term, doc_count
+        |FROM (SELECT * FROM top UNION ALL SELECT * FROM o)
+        |ORDER BY doc_count DESC, term""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -49,7 +49,8 @@ object Coreset {
     val first = base.orderBy(col("id").asc).limit(1).head()
     var selected = Vector(
       (first.getLong(0), vecOf(first, 1, dim), 0.0))
-    while (selected.length < k) {
+    var exhausted = false
+    while (selected.length < k && !exhausted) {
       val dists = selected.map { case (_, c, _) => sqDistLit("v", c) }
       val minDist = round(
         if (dists.length == 1) dists.head else least(dists: _*), 6)
@@ -59,9 +60,10 @@ object Coreset {
         .select(col("id"), col("v"), minDist.as("d"))
         .orderBy(col("d").desc, col("id").asc)
         .limit(1)
-        .head()
-      selected :+= ((next.getLong(0), vecOf(next, 1, dim),
-        next.getDouble(2)))
+        .take(1)
+      if (next.isEmpty) exhausted = true // k > corpus: return what exists
+      else selected :+= ((next(0).getLong(0), vecOf(next(0), 1, dim),
+        next(0).getDouble(2)))
     }
     selected.zipWithIndex
       .map { case ((id, _, d), i) => (i + 1, id, d) }

@@ -43,6 +43,9 @@ object SpellCorrect {
     * freq) with Levenshtein dist ≤ 1, deterministic total order. */
   def correct(docs: DataFrame, textCol: String,
       queries: Seq[String]): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_.nonEmpty),
+      "query terms must be non-empty (sequence(1, length) of an empty " +
+        "string is an invalid range)")
     val spark: SparkSession = docs.sparkSession
     import spark.implicits._
     val vd = vocabulary(docs, textCol)

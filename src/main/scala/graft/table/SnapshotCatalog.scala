@@ -101,6 +101,26 @@ final case class SnapshotCatalog(spark: SparkSession, baseDir: String,
     } finally Files.deleteIfExists(lock)
   }
 
+  /** OPTIMIZE (bin-packing compaction): rewrite the current snapshot
+    * into `targetFiles` right-sized files and commit it as a new
+    * version — the small-files cure every log-structured table needs
+    * after streaming/merge writes (thousands of KB-files turn every
+    * scan into an open()-storm; at 100 TB you target ~512 MB files and
+    * run this per partition). Content is IDENTICAL (the CAS commit
+    * loses to any concurrent writer rather than dropping its rows);
+    * readers flip atomically with the pointer; the old version stays
+    * for time travel until [[vacuum]]. Returns the committed version,
+    * or None if a concurrent writer won the race (compaction is
+    * OPTIONAL work — retrying is the caller's call, unlike
+    * [[transform]]'s data-bearing commits). */
+  def compact(name: String, targetFiles: Int): Option[Long] = {
+    require(targetFiles >= 1, "need targetFiles >= 1")
+    val v = currentVersion(name)
+    val cur = v.map(readAt(name, _)).getOrElse(
+      sys.error(s"no committed version for table $name"))
+    writeIf(name, cur.repartition(targetFiles), v)
+  }
+
   /** Read-modify-write with optimistic retry: apply `f` to the current
     * snapshot and CAS-commit the result; on conflict, re-read the NEW
     * current (f sees the concurrent writer's rows — serializable

@@ -366,6 +366,35 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(got === Seq(1L, 2L)) // healed, not FileNotFound
   }
 
+  test("compact: fewer files, identical content, new version, loses " +
+      "CAS races instead of dropping rows") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("compactcat").toString
+    val cat = SnapshotCatalog(spark, base)
+    // many-small-files snapshot (the post-streaming state)
+    val v1 = cat.write("t", (1L to 200L).toDF("id").repartition(32))
+    val beforeFiles = new java.io.File(s"$base/t/v=$v1")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(beforeFiles >= 16, s"fixture must start fragmented: $beforeFiles")
+    val v2 = cat.compact("t", targetFiles = 2)
+    assert(v2.contains(v1 + 1))
+    val afterFiles = new java.io.File(s"$base/t/v=${v2.get}")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(afterFiles <= 2, s"compaction must bin-pack: $afterFiles files")
+    // content identical, old version still time-travels
+    assert(cat.read("t").as[Long].collect().sorted
+      === (1L to 200L).toArray)
+    assert(cat.readAt("t", v1).count() === 200L)
+    // CAS: a concurrent commit between read and commit wins
+    val vNow = cat.currentVersion("t")
+    cat.write("t", (1L to 201L).toDF("id")) // concurrent writer
+    // replay a compaction that believed vNow was current
+    val stale = cat.writeIf("t",
+      cat.readAt("t", vNow.get).repartition(1), vNow)
+    assert(stale.isEmpty, "stale compaction must lose, not clobber")
+    assert(cat.read("t").count() === 201L)
+  }
+
   test("listTables heals crash leftovers and hides staging dirs") {
     val base = Files.createTempDirectory("cat")
     val cat = ParquetCatalog(spark, base.toString)
