@@ -7063,7 +7063,219 @@ object SparkEntry {
         |      - (SELECT sum(doc_count) FROM top))::BIGINT AS doc_count)
         |SELECT term, doc_count
         |FROM (SELECT * FROM top UNION ALL SELECT * FROM o)
-        |ORDER BY doc_count DESC, term""".stripMargin))
+        |ORDER BY doc_count DESC, term""".stripMargin),
+
+    // ==== round-7b: closed-form models & rank statistics ================
+
+    Q("q220_ols_regression",
+      // Distributed OLS without a gradient loop: price ~ 1 + quantity +
+      // discount. ONE partial-agg scan collects the 10 normal-equation
+      // moments in exact DECIMAL (2-dp inputs ⇒ no FP association
+      // drift); the Cramer 3×3 solve is a single expression over the
+      // 1-row moment frame, mirrored verbatim in the oracle so both
+      // engines run identical float ops on identical doubles.
+      (s, dir) => graft.operators.Regression.ols2(
+        Tables.lineitem(s, dir),
+        "l_extendedprice", "l_quantity", "l_discount"),
+      """WITH m AS (SELECT count(*)::DOUBLE AS n,
+        |    sum(l_quantity::DECIMAL(19,4))::DOUBLE AS s1,
+        |    sum(l_discount::DECIMAL(19,4))::DOUBLE AS s2,
+        |    sum(l_quantity::DECIMAL(19,4) * l_quantity::DECIMAL(19,4))::DOUBLE AS s11,
+        |    sum(l_quantity::DECIMAL(19,4) * l_discount::DECIMAL(19,4))::DOUBLE AS s12,
+        |    sum(l_discount::DECIMAL(19,4) * l_discount::DECIMAL(19,4))::DOUBLE AS s22,
+        |    sum(l_extendedprice::DECIMAL(19,4))::DOUBLE AS sy,
+        |    sum(l_quantity::DECIMAL(19,4) * l_extendedprice::DECIMAL(19,4))::DOUBLE AS s1y,
+        |    sum(l_discount::DECIMAL(19,4) * l_extendedprice::DECIMAL(19,4))::DOUBLE AS s2y,
+        |    sum(l_extendedprice::DECIMAL(19,4) * l_extendedprice::DECIMAL(19,4))::DOUBLE AS syy
+        |  FROM lineitem),
+        |d AS (SELECT *,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM m)
+        |SELECT n::BIGINT AS n,
+        |  round(det0 / det, 6) AS b0,
+        |  round(det1 / det, 6) AS b1,
+        |  round(det2 / det, 6) AS b2,
+        |  round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+        |               - (det2 / det) * s2y)
+        |            / (syy - sy * sy / n), 6) AS r2
+        |FROM d""".stripMargin),
+
+    Q("q221_ks_test",
+      // Two-sample Kolmogorov-Smirnov D between purchase and click
+      // value distributions. ECDFs step only at distinct values, so the
+      // sup lives on the value-level grid: bucketed-prefix cumulatives
+      // (no corpus-wide window on the engine side), and the comparison
+      // |cumA*n_b - cumB*n_a| is exact LONG math — D is engine-exact up
+      // to one final rounded division. The oracle pays the plain global
+      // window the engine avoids.
+      (s, dir) => graft.operators.Ranks.ksTest(
+        Tables.events(s, dir), "value", "event_type",
+        "purchase", "click"),
+      """WITH pv AS (SELECT value AS v,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS na_v,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS nb_v
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY value),
+        |c AS (SELECT v,
+        |    sum(na_v) OVER (ORDER BY v) AS cumA,
+        |    sum(nb_v) OVER (ORDER BY v) AS cumB
+        |  FROM pv),
+        |t AS (SELECT sum(na_v) AS n_a, sum(nb_v) AS n_b FROM pv),
+        |m AS (SELECT max(abs(c.cumA * t.n_b - c.cumB * t.n_a)) AS num
+        |      FROM c, t)
+        |SELECT t.n_a::BIGINT AS n_a, t.n_b::BIGINT AS n_b,
+        |  round(m.num::DOUBLE / (t.n_a::DOUBLE * t.n_b::DOUBLE), 6) AS d
+        |FROM t, m""".stripMargin),
+
+    Q("q222_roc_auc",
+      // Exact tie-corrected ROC-AUC: does document length separate
+      // English from the rest? AUC = (R+ - n+(n+1)/2)/(n+ n-) with
+      // average-rank ties — rank math entirely on the value-level grid
+      // (bucketed prefix, no global sort); average ranks are exact
+      // binary halves so the rank sum is association-free.
+      (s, dir) => graft.operators.Ranks.auc(
+        Tables.documents(s, dir), "n_chars", col("lang") === "en"),
+      """WITH pv AS (SELECT n_chars::DOUBLE AS v,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS na_v,
+        |    count(*)::BIGINT AS n_v
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT v, na_v, n_v,
+        |    coalesce(sum(n_v) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM pv),
+        |a AS (SELECT sum(na_v)::BIGINT AS n_pos,
+        |    sum(n_v - na_v)::BIGINT AS n_neg,
+        |    sum(na_v::DOUBLE * (below::DOUBLE
+        |      + (n_v::DOUBLE + 1.0) / 2.0)) AS rp
+        |  FROM r)
+        |SELECT n_pos, n_neg,
+        |  round((rp - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0) / 2.0)
+        |        / (n_pos::DOUBLE * n_neg::DOUBLE), 6) AS auc
+        |FROM a""".stripMargin),
+
+    Q("q223_group_quantiles",
+      // Exact per-group percentile_disc WITHOUT a sort-based percentile
+      // aggregate: (group, value, count) grid → per-group bucketed-
+      // prefix cumulatives → the unique grid row with
+      // below < ceil(p*n) <= below + count. The selection math is all
+      // LONG-exact; q49's sort-based percentile() keeps the semantics
+      // pinned, this is its 100 TB-safe execution shape.
+      (s, dir) => graft.operators.Ranks.quantileDisc(
+        Tables.events(s, dir), "event_type", "value",
+        Seq(0.25, 0.5, 0.75)).orderBy("event_type", "p"),
+      """SELECT event_type, p, value FROM (
+        |  SELECT event_type, 0.25::DOUBLE AS p,
+        |    quantile_disc(value, 0.25) AS value FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT event_type, 0.5::DOUBLE AS p,
+        |    quantile_disc(value, 0.5) AS value FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT event_type, 0.75::DOUBLE AS p,
+        |    quantile_disc(value, 0.75) AS value FROM events GROUP BY 1)
+        |ORDER BY event_type, p""".stripMargin),
+
+    Q("q224_revenue_gini",
+      // Gini coefficient of per-customer revenue — inequality audit via
+      // the sorted-sum identity G = 2*sum(r*x)/(n*sum(x)) - (n+1)/n,
+      // with ranks from the bucketed global row-number (q215's shape):
+      // no single-task global sort, and sum(rank*x) accumulates in
+      // DECIMAL so the heavy sums are engine-exact. The oracle pays the
+      // row_number window.
+      (s, dir) => graft.operators.Ranks.gini(
+        Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("id"))
+          .agg(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("x")),
+        "x", "id"),
+      """WITH x AS (SELECT o_custkey AS id,
+        |    sum(o_totalprice::DECIMAL(18,4))::DECIMAL(18,4) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, id) AS rnk FROM x),
+        |a AS (SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+        |    sum(rnk::DECIMAL(18,0) * x)::DOUBLE AS srx
+        |  FROM r)
+        |SELECT n::BIGINT AS n,
+        |  round(2.0 * srx / (n * sx) - (n + 1.0) / n, 6) AS gini
+        |FROM a""".stripMargin),
+
+    Q("q225_markov_transitions",
+      // First-order Markov transition matrix over per-user event
+      // sequences: the ONLY window partitions by user (high
+      // cardinality — each task sorts one user's short sequence), the
+      // (from, to) matrix is state²-sized, and probabilities are
+      // integer ppm so no float division enters the aggregate.
+      (s, dir) => graft.operators.Markov.transitions(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_state", "to_state"),
+      """WITH p AS (SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        |c AS (SELECT from_state, to_state, count(*)::BIGINT AS n
+        |      FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n,
+        |  (c.n * 1000000) // t.tot AS p_ppm
+        |FROM c JOIN t USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin),
+
+    Q("q226_benford_audit",
+      // Benford first-digit forensic screen on order totals: leading
+      // digit via the DECIMAL string form (log10-free — floor(log10)
+      // misclassifies exact powers of ten), observed rates integer ppm,
+      // expected rates pre-computed ppm literals shared with the oracle.
+      (s, dir) => graft.operators.DigitAudit.benford(
+        Tables.orders(s, dir), "o_totalprice").orderBy("digit"),
+      {
+        val vals = graft.operators.DigitAudit.BenfordPpm
+          .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+        s"""WITH d AS (SELECT
+           |    substr((o_totalprice::DECIMAL(18,4))::VARCHAR, 1, 1)::INT
+           |      AS digit
+           |  FROM orders WHERE o_totalprice >= 1),
+           |c AS (SELECT digit, count(*)::BIGINT AS n_obs
+           |      FROM d GROUP BY 1),
+           |t AS (SELECT sum(n_obs)::BIGINT AS n FROM c),
+           |e AS (SELECT v.digit::INT AS digit, v.exp_ppm::BIGINT AS exp_ppm
+           |      FROM (VALUES $vals) AS v(digit, exp_ppm))
+           |SELECT c.digit, c.n_obs,
+           |  (c.n_obs * 1000000) // t.n AS obs_ppm, e.exp_ppm
+           |FROM c CROSS JOIN t LEFT JOIN e ON c.digit = e.digit
+           |ORDER BY c.digit""".stripMargin
+      }),
+
+    Q("q227_mutual_information",
+      // Does source leak language? MI + normalized MI between two
+      // categorical columns: ONE corpus pass to the contingency cells
+      // (partial-agg groupBy), every log on the |L|x|S| metadata grid,
+      // formula text mirrored so both engines run identical float ops.
+      (s, dir) => graft.operators.Dependence.mutualInformation(
+        Tables.documents(s, dir), "lang", "source"),
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |    count(*)::BIGINT AS nab FROM documents GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(nab)::BIGINT AS na FROM cells GROUP BY 1),
+        |mb AS (SELECT b, sum(nab)::BIGINT AS nb FROM cells GROUP BY 1),
+        |t AS (SELECT sum(nab)::BIGINT AS n FROM cells),
+        |mi AS (SELECT sum((cells.nab::DOUBLE / t.n::DOUBLE)
+        |      * ln(t.n::DOUBLE * cells.nab::DOUBLE
+        |        / (ma.na::DOUBLE * mb.nb::DOUBLE))) AS mi
+        |  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t),
+        |e1 AS (SELECT sum(-1.0 * (na::DOUBLE / t.n::DOUBLE)
+        |      * ln(na::DOUBLE / t.n::DOUBLE)) AS h1 FROM ma CROSS JOIN t),
+        |e2 AS (SELECT sum(-1.0 * (nb::DOUBLE / t.n::DOUBLE)
+        |      * ln(nb::DOUBLE / t.n::DOUBLE)) AS h2 FROM mb CROSS JOIN t)
+        |SELECT t.n AS n, round(mi.mi, 6) AS mi,
+        |  round(e1.h1, 6) AS h1, round(e2.h2, 6) AS h2,
+        |  round(CASE WHEN e1.h1 <= 0.0 OR e2.h2 <= 0.0 THEN 0.0
+        |    ELSE mi.mi / sqrt(e1.h1 * e2.h2) END, 6) AS nmi
+        |FROM t CROSS JOIN mi CROSS JOIN e1 CROSS JOIN e2""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

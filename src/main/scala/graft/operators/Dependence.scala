@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mutual information between two categorical columns — the
+  * dependence audit behind feature selection ("does source leak
+  * language?") and stratification design. One corpus pass builds the
+  * contingency cells; every log runs on the metadata-sized cell grid
+  * (|C1|·|C2| rows), so the expensive scan is a plain partial-agg
+  * groupBy and the float work is bounded by category cardinality. */
+object Dependence {
+
+  /** MI (nats), marginal entropies and normalized MI
+    * = MI/sqrt(H1·H2): one row (n, mi, h1, h2, nmi), rounded 6.
+    * NMI is 0-guarded: a constant column has H=0 and carries no
+    * information, so nmi is 0 rather than a division blow-up. */
+  def mutualInformation(df: DataFrame, c1: String, c2: String)
+      : DataFrame = {
+    // the cell grid feeds FOUR consumers (marginals, total, MI sum) —
+    // materialize the metadata-sized frame once so the corpus groupBy
+    // isn't re-scanned per consumer (the Triangles/Association pattern)
+    val cells = df.groupBy(col(c1).as("a"), col(c2).as("b"))
+      .agg(count(lit(1)).as("nab")).localCheckpoint(true)
+    val ma = cells.groupBy("a").agg(sum("nab").as("na"))
+    val mb = cells.groupBy("b").agg(sum("nab").as("nb"))
+    val n = cells.agg(sum("nab").as("n"))
+    val joined = cells
+      .join(broadcast(ma), "a").join(broadcast(mb), "b")
+      .join(broadcast(n))
+    val nn = col("n").cast("double")
+    val mi = joined.agg(
+      max(col("n")).as("nTot"),
+      sum((col("nab").cast("double") / nn)
+        * log(nn * col("nab").cast("double")
+          / (col("na").cast("double") * col("nb").cast("double"))))
+        .as("mi"))
+    val h1 = ma.join(broadcast(n))
+      .agg(sum(lit(-1.0) * (col("na").cast("double") / nn)
+        * log(col("na").cast("double") / nn)).as("h1"))
+    val h2 = mb.join(broadcast(n))
+      .agg(sum(lit(-1.0) * (col("nb").cast("double") / nn)
+        * log(col("nb").cast("double") / nn)).as("h2"))
+    mi.join(broadcast(h1)).join(broadcast(h2))
+      .select(col("nTot").cast("long").as("n"),
+        round(col("mi"), 6).as("mi"),
+        round(col("h1"), 6).as("h1"),
+        round(col("h2"), 6).as("h2"),
+        round(when(col("h1") <= 0.0 || col("h2") <= 0.0, 0.0)
+          .otherwise(col("mi") / sqrt(col("h1") * col("h2"))), 6)
+          .as("nmi"))
+  }
+}

@@ -166,4 +166,153 @@ object Ranks {
           (col("u_a") - mu) / sqrt(sigma2)
         }, 6).as("z"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic D = sup|F_A − F_B| —
+    * the distribution-level "did this feed drift" gate, complementing
+    * [[mannWhitney]]'s location test. Both ECDFs step only at DISTINCT
+    * values, so the sup is attained at a value-level row: one groupBy
+    * to (v, per-group counts), bucketed-prefix cumulatives (no global
+    * window), and the comparison |cumA·n_b − cumB·n_a| runs in exact
+    * LONG arithmetic — D's rational value is engine-exact, only the
+    * final division is float (rounded 6).
+    *
+    * Returns one row: (n_a, n_b, d). */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, nBuckets: Int = 1024): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val perValue = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(v.as("v"), (col(groupCol) === groupA).as("isA"))
+      .groupBy("v").agg(
+        sum(when(col("isA"), 1L).otherwise(0L)).as("na_v"),
+        sum(when(col("isA"), 0L).otherwise(1L)).as("nb_v"))
+    val bounds = perValue.agg(min(col("v")).as("__lo"),
+      max(col("v")).as("__hi"))
+    val withB = perValue.join(broadcast(bounds))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((col("v") - col("__lo"))
+              / (col("__hi") - col("__lo")) * nBuckets).cast("int"))))
+      .drop("__lo", "__hi")
+    val wGrid = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = withB.groupBy("__b")
+      .agg(sum("na_v").as("__ba"), sum("nb_v").as("__bb"))
+      .withColumn("__pa", coalesce(sum("__ba").over(wGrid), lit(0L)))
+      .withColumn("__pb", coalesce(sum("__bb").over(wGrid), lit(0L)))
+      .select(col("__b"), col("__pa"), col("__pb"))
+    // cumulative INCLUDING the current value: ECDFs are right-continuous,
+    // so the sup over the step functions is attained at some step point
+    val wLocal = Window.partitionBy("__b").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = withB.join(broadcast(prefixes), "__b")
+      .withColumn("cumA", col("__pa") + sum("na_v").over(wLocal))
+      .withColumn("cumB", col("__pb") + sum("nb_v").over(wLocal))
+    val totals = perValue.agg(sum("na_v").as("n_a"), sum("nb_v").as("n_b"))
+    cum.join(broadcast(totals))
+      .agg(max(abs(col("cumA") * col("n_b") - col("cumB") * col("n_a")))
+        .as("__num"), max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__num").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("d"))
+  }
+
+  /** Exact ROC-AUC with tie correction — the probability a random
+    * positive outscores a random negative (ties count ½). Identity
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ is the positives'
+    * rank sum under average-rank ties: all rank math runs on the
+    * value-level grid ([[valueAvgRanks]] — bucketed prefix, no global
+    * sort), and average ranks are exact binary halves, so the rank sum
+    * is association-free across engines. One row: (n_pos, n_neg, auc). */
+  def auc(df: DataFrame, scoreCol: String, labelCol: Column,
+      nBuckets: Int = 1024): DataFrame = {
+    val perValue = df
+      .select(col(scoreCol).cast("double").as("v"), labelCol.as("isP"))
+      .groupBy("v").agg(
+        sum(when(col("isP"), 1L).otherwise(0L)).as("na_v"),
+        count(lit(1)).as("n_v"))
+    val ranked = valueAvgRanks(perValue, nBuckets)
+    ranked.agg(
+        sum(col("na_v")).as("n_pos"),
+        sum(col("n_v") - col("na_v")).as("n_neg"),
+        sum(col("na_v").cast("double") * col("avg_rank")).as("rp"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("rp") - col("n_pos").cast("double")
+            * (col("n_pos").cast("double") + 1.0) / 2.0)
+          / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          .as("auc"))
+  }
+
+  /** Gini coefficient of a non-negative quantity (revenue inequality,
+    * token-budget concentration): G = 2·Σᵢ rᵢxᵢ / (n·Σx) − (n+1)/n
+    * with ranks from [[globalRowNumber]] — the sorted-sum formula
+    * WITHOUT the single-task global sort. rᵢxᵢ accumulates in DECIMAL
+    * (rank is long, x is a 2-dp quantity), so the heavy sums are
+    * engine-exact; the final ratio is one float expression (rounded 6).
+    * Ties take distinct ranks, but Σ r x is tie-order-invariant because
+    * tied values contribute (Σ ranks)·x either way. */
+  def gini(df: DataFrame, valueCol: String, idCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    val ranked = globalRowNumber(
+      df.select(col(idCol).as("__id"),
+        col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          .as("__x")),
+      "__x", "__id", nBuckets)
+    ranked.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("__x")).cast("double").as("sx"),
+        sum(col("rank").cast(
+          org.apache.spark.sql.types.DecimalType(18, 0)) * col("__x"))
+          .cast("double").as("srx"))
+      .select(col("n").cast("long").as("n"),
+        round(lit(2.0) * col("srx") / (col("n") * col("sx"))
+          - (col("n") + 1.0) / col("n"), 6).as("gini"))
+  }
+
+  /** Exact per-group discrete quantiles (percentile_disc: the value at
+    * rank ⌈p·n⌉) WITHOUT a sort-based percentile aggregate — the
+    * 100 TB-safe twin of `percentile()`: one groupBy to the
+    * (group, value, count) grid, per-group bucketed-prefix cumulatives
+    * (grid windows partition by (group, bucket) — never a corpus
+    * column alone), then each requested p selects the unique grid row
+    * with below < ⌈p·n⌉ ≤ below + count. All selection math is exact
+    * LONG/integer arithmetic; ps must be binary-exact fractions (.25,
+    * .5, .75) so ⌈p·n⌉ agrees across engines.
+    *
+    * Returns (groupCol, p, value) — one row per group × p. */
+  def quantileDisc(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], nBuckets: Int = 1024): DataFrame = {
+    val g = col(groupCol)
+    val perValue = df.select(g.as("g"), col(valueCol).cast("double").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("n_v"))
+    val bounds = perValue.groupBy("g")
+      .agg(min("v").as("__lo"), max("v").as("__hi"), sum("n_v").as("n_g"))
+    val withB = perValue.join(broadcast(bounds), "g")
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((col("v") - col("__lo"))
+              / (col("__hi") - col("__lo")) * nBuckets).cast("int"))))
+      .drop("__lo", "__hi")
+    val wGrid = Window.partitionBy("g").orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = withB.groupBy("g", "__b").agg(sum("n_v").as("__bn"))
+      .withColumn("__pre", coalesce(sum("__bn").over(wGrid), lit(0L)))
+      .select(col("g"), col("__b"), col("__pre"))
+    val wLocal = Window.partitionBy("g", "__b").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = withB.join(broadcast(prefixes), Seq("g", "__b"))
+      .withColumn("below",
+        col("__pre") + coalesce(sum("n_v").over(wLocal), lit(0L)))
+    val targets = ps.map(p =>
+      struct(lit(p).as("p"),
+        ceil(lit(p) * col("n_g").cast("double")).cast("long").as("tgt")))
+    cum.withColumn("__t", explode(array(targets: _*)))
+      .filter(col("__t.tgt") > col("below")
+        && col("__t.tgt") <= col("below") + col("n_v"))
+      .select(col("g").as(groupCol), col("__t.p").as("p"),
+        col("v").as("value"))
+  }
 }

@@ -92,4 +92,76 @@ class RanksSpec extends SparkSpec {
     assert(r.getLong(0) == 3 && r.getLong(1) == 2)
     assert(r.getDouble(2) == 1.0, s"U_a = ${r.getDouble(2)}")
   }
+
+  test("ksTest: identical samples D=0, disjoint samples D=1, and the " +
+      "textbook interleaved case") {
+    val same = ((1 to 100).map(i => (i.toDouble, "a")) ++
+      (1 to 100).map(i => (i.toDouble, "b"))).toDF("v", "g")
+    assert(Ranks.ksTest(same, "v", "g", "a", "b").head().getDouble(2) == 0.0)
+    val disj = ((1 to 50).map(i => (i.toDouble, "a")) ++
+      (1 to 50).map(i => (i + 100.0, "b"))).toDF("v", "g")
+    assert(Ranks.ksTest(disj, "v", "g", "a", "b").head().getDouble(2) == 1.0)
+    // A={1,3}, B={2,4}: ECDF diffs at steps 1,2,3,4 are .5,0,.5,0 → D=.5
+    val il = Seq((1.0, "a"), (3.0, "a"), (2.0, "b"), (4.0, "b"))
+      .toDF("v", "g")
+    assert(Ranks.ksTest(il, "v", "g", "a", "b").head().getDouble(2) == 0.5)
+  }
+
+  test("auc: perfect separation 1, reversed 0, random ~0.5, " +
+      "all-tied 0.5 exactly") {
+    val perfect = ((1 to 50).map(i => (i + 100.0, true)) ++
+      (1 to 50).map(i => (i.toDouble, false))).toDF("s", "y")
+    assert(Ranks.auc(perfect, "s", col("y")).head().getDouble(2) == 1.0)
+    assert(Ranks.auc(perfect.withColumn("s", -col("s")), "s", col("y"))
+      .head().getDouble(2) == 0.0)
+    val tied = ((1 to 40).map(_ => (7.0, true)) ++
+      (1 to 60).map(_ => (7.0, false))).toDF("s", "y")
+    assert(Ranks.auc(tied, "s", col("y")).head().getDouble(2) == 0.5)
+    val rand = (1 to 2000).map(i =>
+      ((i * 7919 % 2003).toDouble, i % 2 == 0)).toDF("s", "y")
+    val a = Ranks.auc(rand, "s", col("y")).head().getDouble(2)
+    assert(math.abs(a - 0.5) < 0.05, s"random auc $a")
+  }
+
+  test("gini: equal values 0ish, total concentration -> (n-1)/n") {
+    val eq = (1 to 100).map(i => (i.toLong, 10.0)).toDF("id", "x")
+    assert(math.abs(Ranks.gini(eq, "x", "id").head().getDouble(1)) < 1e-9)
+    // one person owns everything: G = (n-1)/n = 0.9 for n=10
+    val conc = ((1 to 9).map(i => (i.toLong, 0.0)) :+ (10L, 100.0))
+      .toDF("id", "x")
+    assert(Ranks.gini(conc, "x", "id").head().getDouble(1) == 0.9)
+  }
+
+  test("quantileDisc matches Spark's sort-based percentile_disc " +
+      "(ceil(p*n) rank) per group on fixture data") {
+    val ev = graft.Tables.events(spark, SfDir)
+    val fast = Ranks.quantileDisc(ev, "event_type", "value",
+        Seq(0.25, 0.5, 0.75))
+      .orderBy("event_type", "p").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val slow = ev.groupBy("event_type")
+      .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)")
+          .as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+          .as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)")
+          .as("p75"))
+      .collect().flatMap(r => Seq(
+        (r.getString(0), 0.25, r.getDouble(1)),
+        (r.getString(0), 0.5, r.getDouble(2)),
+        (r.getString(0), 0.75, r.getDouble(3))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(fast == slow)
+  }
+
+  test("quantileDisc plan: grid windows partition by (group, bucket), " +
+      "never the group column alone") {
+    val ev = graft.Tables.events(spark, SfDir)
+    val plan = Ranks.quantileDisc(ev, "event_type", "value", Seq(0.5))
+      .queryExecution.optimizedPlan.toString
+    val rowWindows = plan.split("\n").filter(_.contains("windowspec"))
+    assert(rowWindows.forall(w => !w.contains("windowspec(g#")
+        || w.contains("__b")),
+      s"row-level window must include the bucket key:\n$plan")
+  }
 }
