@@ -4158,6 +4158,22 @@ object SparkEntry {
 
   // ---- round-5 session-8 additions: sketches & corpus analytics ---------
 
+  /** Shared co-purchase-graph edge CTEs for q228/q229 — mirrors
+    * [[graft.operators.Graph.basketEdges]] on the 1/4-orders slice
+    * (the HAVING guard mirrors the engine's hot-basket cap, which
+    * never binds at fixture scale). MATERIALIZED: the unrolled peel
+    * references each CTE twice per round — without it DuckDB inlines
+    * the tree exponentially. */
+  private lazy val GraphEdgeCtes: String =
+    """bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS basket,
+      |    l_partkey AS item
+      |  FROM lineitem WHERE l_orderkey % 4 = 0),
+      |okb AS (SELECT basket FROM bi GROUP BY basket
+      |        HAVING count(*) <= 10000),
+      |e0 AS MATERIALIZED (SELECT DISTINCT x.item AS a, y.item AS b
+      |  FROM bi x JOIN bi y ON x.basket = y.basket AND x.item < y.item
+      |  WHERE x.basket IN (SELECT basket FROM okb))""".stripMargin
+
   private lazy val analyticsRegistry: Seq[Q] = Seq(
 
     Q("q135_hll_cardinality",
@@ -7275,7 +7291,67 @@ object SparkEntry {
         |  round(e1.h1, 6) AS h1, round(e2.h2, 6) AS h2,
         |  round(CASE WHEN e1.h1 <= 0.0 OR e2.h2 <= 0.0 THEN 0.0
         |    ELSE mi.mi / sqrt(e1.h1 * e2.h2) END, 6) AS nmi
-        |FROM t CROSS JOIN mi CROSS JOIN e1 CROSS JOIN e2""".stripMargin))
+        |FROM t CROSS JOIN mi CROSS JOIN e1 CROSS JOIN e2""".stripMargin),
+
+    Q("q228_kcore",
+      // k-core decomposition (k=15) of the co-purchase graph: the
+      // community-density peel — drop degree<k vertices, drop incident
+      // edges, repeat to fixpoint (<=8 rounds; a converged peel is
+      // idempotent, so the oracle unrolls exactly 8 MATERIALIZED rounds
+      // and matches the early-stopped engine). Each engine round is one
+      // groupBy + two semi-joins with a localCheckpoint so lineage
+      // stays O(1); the 1/4-orders slice keeps the fixture graph at a
+      // density where the peel is non-trivial at every sf.
+      (s, dir) => graft.operators.Graph.kCore(
+        graft.operators.Graph.basketEdges(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey"),
+        k = 15, maxIters = 8).orderBy("v"),
+      {
+        val rounds = (0 until 8).map { i =>
+          s"""d$i AS MATERIALIZED (SELECT v, count(*) AS deg
+             |  FROM (SELECT a AS v FROM e$i UNION ALL SELECT b AS v FROM e$i)
+             |  GROUP BY v),
+             |k$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= 15),
+             |e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
+             |  JOIN k$i ka ON e.a = ka.v JOIN k$i kb ON e.b = kb.v)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $GraphEdgeCtes,
+           |$rounds
+           |SELECT v, count(*)::BIGINT AS core_degree
+           |FROM (SELECT a AS v FROM e8 UNION ALL SELECT b AS v FROM e8)
+           |GROUP BY v ORDER BY v""".stripMargin
+      }),
+
+    Q("q229_adamic_adar",
+      // Adamic-Adar link prediction on the same graph: candidate
+      // missing links scored Σ 1/ln(deg w) over shared neighbors w.
+      // Wedges come from each middle vertex's bounded neighbor list
+      // (the repo's one pattern for pairs at scale — never an edge
+      // self-join on the raw list in the engine), existing edges
+      // anti-joined away, scores rounded BEFORE the (score desc, u, v)
+      // top-20 so the cut is engine-exact.
+      (s, dir) => graft.operators.Graph.adamicAdar(
+        graft.operators.Graph.basketEdges(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey"),
+        topK = 20),
+      s"""WITH $GraphEdgeCtes,
+         |nb AS MATERIALIZED (SELECT a AS w, b AS n FROM e0
+         |  UNION ALL SELECT b AS w, a AS n FROM e0),
+         |dg AS MATERIALIZED (SELECT w, count(*)::BIGINT AS deg
+         |  FROM nb GROUP BY w),
+         |wg AS (SELECT x.w, x.n AS u, y.n AS v
+         |  FROM nb x JOIN nb y ON x.w = y.w AND x.n < y.n),
+         |sc AS (SELECT u, v,
+         |    round(sum(1.0 / ln(dg.deg::DOUBLE)), 6) AS aa_score
+         |  FROM wg JOIN dg ON wg.w = dg.w GROUP BY u, v),
+         |nf AS (SELECT sc.u, sc.v, sc.aa_score FROM sc
+         |  LEFT JOIN e0 ON sc.u = e0.a AND sc.v = e0.b
+         |  WHERE e0.a IS NULL)
+         |SELECT u, v, aa_score FROM nf
+         |ORDER BY aa_score DESC, u, v LIMIT 20""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

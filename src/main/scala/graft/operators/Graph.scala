@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative and neighborhood graph analytics on an undirected edge
+  * list — k-core decomposition (who survives the "everyone here has ≥ k
+  * connections" peel: the community-density filter) and Adamic–Adar
+  * link prediction (which non-edges are most likely missing links: the
+  * recommender/dedup-candidate score).
+  *
+  * Scale shapes:
+  *  - k-core: degree-filter-repeat; each round is one groupBy + one
+  *    semi-join, the frontier shrinks monotonically, and every round
+  *    `localCheckpoint`s so the lineage stays O(1) instead of
+  *    O(rounds). Convergence is detected by count (an action the loop
+  *    pays anyway at its bounded round count).
+  *  - Adamic–Adar: wedge generation via per-middle-vertex in-group
+  *    pairs under a bounded collect cap (the repo's one pattern for
+  *    pairs at scale — never a self-join on the raw edge list), scores
+  *    from broadcast vocabulary-scale degree tables.
+  */
+object Graph {
+
+  /** Canonical undirected edges (a < b, distinct) from a basket
+    * relation: items co-occurring in a basket are linked. Baskets
+    * larger than `cap` items are dropped (hot-basket guard, mirrored
+    * in oracles as HAVING count <= cap). */
+  def basketEdges(df: DataFrame, basketCol: String, itemCol: String,
+      cap: Int = 10000): DataFrame =
+    df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+      .groupBy("basket")
+      .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
+        .boundedCollectSet(col("item"), cap)).as("items"))
+      .filter(col("items").isNotNull && size(col("items")) >= 2)
+      .select(explode(org.apache.spark.sql.graftext.PairsAscExpr
+        .pairsAsc(col("items"))).as("p"))
+      .select(col("p._1").as("a"), col("p._2").as("b"))
+      .distinct()
+
+  /** Vertices of the k-core (max subgraph where every vertex has
+    * degree ≥ k): (vertex, core_degree). Runs the standard peel —
+    * drop vertices with degree < k, drop incident edges, repeat —
+    * until fixpoint or `maxIters` rounds (a converged peel is
+    * idempotent, so an oracle unrolling exactly `maxIters` rounds
+    * matches the early-stopped engine). */
+  /** Canonicalize to a < b and dedup — both peels and wedge joins
+    * assume one row per undirected edge regardless of input
+    * orientation. */
+  private def canon(edges: DataFrame): DataFrame =
+    edges.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")) // self-loops carry no core/wedge info
+      .distinct()
+
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 8): DataFrame = {
+    require(k >= 1 && maxIters >= 1)
+    var e = canon(edges).localCheckpoint(true)
+    var nEdges = e.count()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged && nEdges > 0) {
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("v")
+      val pruned = e
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val n2 = pruned.count()
+      converged = n2 == nEdges
+      e = pruned
+      nEdges = n2
+      it += 1
+    }
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Adamic–Adar link prediction: for non-adjacent pairs (u, v),
+    * score = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w), top `topK` by
+    * (score desc, u, v). Wedges come from each middle vertex's
+    * neighbor list (bounded by `cap`); existing edges are removed with
+    * an anti-join; scores round to 6 dp BEFORE ranking so the order is
+    * engine-exact. Degree-1 middles contribute nothing and are
+    * excluded (1/ln(1) is a pole, and a degree-1 vertex forms no
+    * wedge anyway). */
+  def adamicAdar(edges: DataFrame, topK: Int, cap: Int = 10000)
+      : DataFrame = {
+    val e = canon(edges).localCheckpoint(true)
+    val nbrs = e.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+    val deg = nbrs.groupBy("w").agg(count(lit(1)).as("deg"))
+    val wedges = nbrs.groupBy("w")
+      .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
+        .boundedCollectSet(col("n"), cap)).as("ns"))
+      .filter(col("ns").isNotNull && size(col("ns")) >= 2)
+      .select(col("w"), explode(org.apache.spark.sql.graftext.PairsAscExpr
+        .pairsAsc(col("ns"))).as("p"))
+      .select(col("w"), col("p._1").as("u"), col("p._2").as("v"))
+    val scored = wedges
+      .join(deg, "w") // vocabulary-scale; at corpus scale AQE broadcasts
+      .groupBy("u", "v")
+      .agg(round(sum(lit(1.0) / log(col("deg").cast("double"))), 6)
+        .as("aa_score"))
+    scored
+      .join(e.withColumnRenamed("a", "u").withColumnRenamed("b", "v"),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_score").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+}

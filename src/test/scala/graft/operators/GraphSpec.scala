@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kCore peels the textbook graph: a triangle with pendant " +
+      "vertices keeps exactly the triangle at k=2") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), // triangle
+      (3L, 4L), (4L, 5L) // pendant chain
+    ).toDF("a", "b")
+    val core = Graph.kCore(edges, 2, maxIters = 8)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCore: k above the densest core empties the graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(Graph.kCore(edges, 3, maxIters = 8).count() == 0)
+  }
+
+  test("kCore converges early: result is a fixpoint (running the peel " +
+      "again changes nothing)") {
+    val edges = Graph.basketEdges(
+      graft.Tables.lineitem(spark, SfDir)
+        .filter(col("l_orderkey") % 4 === 0),
+      "l_orderkey", "l_partkey")
+    val once = Graph.kCore(edges, 15, maxIters = 8)
+    val verts = once.collect().map(_.getLong(0)).toSet
+    // re-peel the surviving subgraph: every vertex must still be there
+    val sub = edges.filter(col("a").isin(verts.toSeq: _*)
+      && col("b").isin(verts.toSeq: _*))
+    val again = Graph.kCore(sub, 15, maxIters = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == verts, "k-core must be a fixpoint of the peel")
+  }
+
+  test("adamicAdar scores the open wedge: path u-w-v predicts (u,v) " +
+      "with score 1/ln(deg w)") {
+    // star around w=10 with 3 leaves → three candidate pairs, each
+    // scored 1/ln(3); plus edge (1,2) already present is excluded
+    val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), (1L, 2L))
+      .toDF("a", "b")
+    val r = Graph.adamicAdar(edges, topK = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    val s3 = BigDecimal(1.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // (1,3) and (2,3) share only w (deg 3); (1,2) is an edge → excluded
+    assert(r.map(t => (t._1, t._2)).toSet == Set((1L, 3L), (2L, 3L)))
+    assert(r.forall(_._3 == s3), s"scores $r")
+  }
+
+  test("adamicAdar never emits an existing edge and respects topK") {
+    val edges = Graph.basketEdges(
+      graft.Tables.lineitem(spark, SfDir)
+        .filter(col("l_orderkey") % 4 === 0),
+      "l_orderkey", "l_partkey").localCheckpoint(true)
+    val top = Graph.adamicAdar(edges, topK = 5)
+    val rows = top.collect()
+    assert(rows.length == 5)
+    val edgeSet = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.forall(r => !edgeSet.contains((r.getLong(0), r.getLong(1)))))
+  }
+}
