@@ -7351,7 +7351,245 @@ object SparkEntry {
          |  LEFT JOIN e0 ON sc.u = e0.a AND sc.v = e0.b
          |  WHERE e0.a IS NULL)
          |SELECT u, v, aa_score FROM nf
-         |ORDER BY aa_score DESC, u, v LIMIT 20""".stripMargin))
+         |ORDER BY aa_score DESC, u, v LIMIT 20""".stripMargin),
+
+    Q("q230_pagerank",
+      // Fixed-point PageRank (5 damped iterations) on the symmetrized
+      // co-purchase graph — influence ranking of items. Contributions
+      // round to 12 dp and sum as DECIMAL(28,12), so each iteration is
+      // associativity-free and the oracle's unrolled replay matches
+      // bit-for-bit; the engine's iteration is one shuffle (groupBy dst
+      // + join back), edges partition once and are reused.
+      (s, dir) => {
+        val e0 = graft.operators.Graph.basketEdges(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey")
+        val sym = e0.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+        graft.operators.PageRank.run(sym, iters = 5, damping = 0.85)
+          .orderBy(col("rank").desc, col("node")).limit(50)
+      },
+      {
+        val iters = (1 to 5).map { i =>
+          s"""r$i AS MATERIALIZED (SELECT nd.node,
+             |    round((1.0 - 0.85) / n.n + 0.85 * coalesce(s.s::DOUBLE, 0.0),
+             |      12)::DECIMAL(28,12) AS rank
+             |  FROM nd CROSS JOIN n LEFT JOIN (
+             |    SELECT sy.dst AS node,
+             |      sum(round(r.rank::DOUBLE / od.deg::DOUBLE, 12)
+             |        ::DECIMAL(28,12)) AS s
+             |    FROM sy JOIN r${i - 1} r ON sy.src = r.node
+             |    JOIN od ON od.src = sy.src
+             |    GROUP BY sy.dst) s ON s.node = nd.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $GraphEdgeCtes,
+           |sy AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+           |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+           |nd AS MATERIALIZED (SELECT DISTINCT src AS node FROM sy),
+           |n AS (SELECT count(*)::DOUBLE AS n FROM nd),
+           |od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg
+           |  FROM sy GROUP BY src),
+           |r0 AS (SELECT node, round(1.0 / n.n, 12)::DECIMAL(28,12) AS rank
+           |  FROM nd CROSS JOIN n),
+           |$iters
+           |SELECT node, round(rank::DOUBLE, 9) AS rank FROM r5
+           |ORDER BY rank DESC, node LIMIT 50""".stripMargin
+      }),
+
+    Q("q231_label_propagation",
+      // Community detection by synchronous label propagation, 4 fixed
+      // rounds: adopt the most frequent neighbour label, ties to the
+      // smallest. Pure integer math (counts + min-struct argmax) makes
+      // the rounds shuffle-order-independent, so the oracle's unrolled
+      // replay is label-for-label identical; output is community sizes.
+      (s, dir) => graft.operators.Graph.labelPropagation(
+        graft.operators.Graph.basketEdges(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey"),
+        rounds = 4).orderBy("label"),
+      {
+        val rounds = (1 to 4).map { i =>
+          s"""c$i AS (SELECT nb.v, l.label, count(*) AS cnt
+             |  FROM nb JOIN l${i - 1} l ON nb.n = l.v GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (SELECT v, label FROM (
+             |    SELECT v, label, row_number() OVER (PARTITION BY v
+             |      ORDER BY cnt DESC, label) AS rn FROM c$i)
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $GraphEdgeCtes,
+           |nb AS MATERIALIZED (SELECT a AS v, b AS n FROM e0
+           |  UNION ALL SELECT b AS v, a AS n FROM e0),
+           |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS label FROM nb),
+           |$rounds
+           |SELECT label, count(*)::BIGINT AS n_members FROM l4
+           |GROUP BY label ORDER BY label""".stripMargin
+      }),
+
+    Q("q232_assortativity",
+      // Degree assortativity (Newman 2002) of the co-purchase graph:
+      // Pearson correlation of endpoint degrees over both orientations
+      // of every edge. All moments are exact BIGINT sums; the one
+      // float division happens on the final 1-row frame in the same
+      // expression order in both engines.
+      (s, dir) => graft.operators.Graph.assortativity(
+        graft.operators.Graph.basketEdges(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey")),
+      s"""WITH $GraphEdgeCtes,
+         |nb AS MATERIALIZED (SELECT a AS v, b AS n FROM e0
+         |  UNION ALL SELECT b AS v, a AS n FROM e0),
+         |dg AS MATERIALIZED (SELECT v, count(*)::BIGINT AS deg
+         |  FROM nb GROUP BY v),
+         |sym AS (SELECT dx.deg AS dx, dy.deg AS dy FROM nb
+         |  JOIN dg dx ON nb.v = dx.v JOIN dg dy ON nb.n = dy.v),
+         |m AS (SELECT count(*)::BIGINT AS m, sum(dx)::BIGINT AS sx,
+         |    sum(dx * dx)::BIGINT AS sxx, sum(dx * dy)::BIGINT AS sxy
+         |  FROM sym)
+         |SELECT (m // 2)::BIGINT AS n_edges,
+         |  round((m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+         |      / (m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+         |    AS r
+         |FROM m""".stripMargin),
+
+    Q("q233_cuped",
+      // CUPED variance-reduced experiment readout (Deng et al. 2013):
+      // arms by customer-key parity, covariate = pre-1998 revenue,
+      // metric = 1998+ revenue. Per-customer sums accumulate in
+      // DECIMAL (exact, any order), the θ/means algebra runs on the
+      // 1-row pivoted moment frame in identical expression order in
+      // both engines; oracle decimal→double casts are varchar-mediated
+      // (the repo's exact int128 conversion path).
+      (s, dir) => {
+        val d = org.apache.spark.sql.types.DecimalType(18, 4)
+        val cut = lit("1998-01-01").cast("timestamp")
+        val per = Tables.orders(s, dir).groupBy(col("o_custkey"))
+          .agg(sum(when(col("o_orderdate") < cut,
+              col("o_totalprice").cast(d)).otherwise(lit(0).cast(d))).as("x"),
+            sum(when(col("o_orderdate") >= cut,
+              col("o_totalprice").cast(d)).otherwise(lit(0).cast(d))).as("y"))
+        graft.operators.AbTest.cuped(per, "x", "y",
+          col("o_custkey") % 2 === 0)
+      },
+      """WITH per AS (SELECT o_custkey,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |        THEN o_totalprice::DECIMAL(18,4)
+        |        ELSE 0::DECIMAL(18,4) END) AS x,
+        |    sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |        THEN o_totalprice::DECIMAL(18,4)
+        |        ELSE 0::DECIMAL(18,4) END) AS y
+        |  FROM orders GROUP BY 1),
+        |mo AS (SELECT (o_custkey % 2 = 0) AS a, count(*)::DOUBLE AS n,
+        |    (sum(x::DECIMAL(19,4))::VARCHAR)::DOUBLE AS sx,
+        |    (sum(y::DECIMAL(19,4))::VARCHAR)::DOUBLE AS sy,
+        |    (sum(x::DECIMAL(19,4) * y::DECIMAL(19,4))::VARCHAR)::DOUBLE AS sxy,
+        |    (sum(x::DECIMAL(19,4) * x::DECIMAL(19,4))::VARCHAR)::DOUBLE AS sxx
+        |  FROM per GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN a THEN n END) AS na,
+        |    max(CASE WHEN a THEN sx END) AS sxa,
+        |    max(CASE WHEN a THEN sy END) AS sya,
+        |    max(CASE WHEN a THEN sxy END) AS pa,
+        |    max(CASE WHEN a THEN sxx END) AS qa,
+        |    max(CASE WHEN NOT a THEN n END) AS nb,
+        |    max(CASE WHEN NOT a THEN sx END) AS sxb,
+        |    max(CASE WHEN NOT a THEN sy END) AS syb,
+        |    max(CASE WHEN NOT a THEN sxy END) AS pb,
+        |    max(CASE WHEN NOT a THEN sxx END) AS qb
+        |  FROM mo),
+        |t AS (SELECT *,
+        |    ((pa + pb) - (sxa + sxb) * (sya + syb) / (na + nb))
+        |      / ((qa + qb) - (sxa + sxb) * (sxa + sxb) / (na + nb)) AS theta,
+        |    (sxa + sxb) / (na + nb) AS mx
+        |  FROM w)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  round(theta, 6) AS theta,
+        |  round(sya / na, 6) AS mean_y_a,
+        |  round(syb / nb, 6) AS mean_y_b,
+        |  round(sya / na - syb / nb, 6) AS lift_raw,
+        |  round((sya / na - theta * (sxa / na - mx))
+        |      - (syb / nb - theta * (sxb / nb - mx)), 6) AS lift_cuped
+        |FROM t""".stripMargin),
+
+    Q("q234_survival_km",
+      // Discrete-time Kaplan-Meier life table for first-view→first-
+      // purchase conversion with right-censoring at the study end —
+      // the latency question q151 answers for CONVERTED users only,
+      // now with never-converters correctly occupying the risk set.
+      // Counts are integer-exact, hazards truncated-integer ppm, and
+      // the survival product is exp(Σ round(ln(1−h), 9)) with the sum
+      // in DECIMAL — associativity-free on both engines; the ordered
+      // prefix runs on the day-offset grid, calendar-bounded at any sf.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cens = ev
+          .select(unix_timestamp(date_trunc("second", col("ts"))).as("s"))
+          .agg(max(col("s")).as("cend"))
+        graft.operators.Survival.kmDaily(
+          graft.operators.Survival.viewToPurchase(ev)
+            .crossJoin(broadcast(cens)),
+          "t0", "tp", col("cend"))
+      },
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch(date_trunc('second', ts))::BIGINT AS s FROM events),
+        |ce AS (SELECT max(s)::BIGINT AS cend FROM ev),
+        |v AS (SELECT user_id, min(s) AS t0 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT user_id, min(s) AS tp_any FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |u AS (SELECT v.t0,
+        |    CASE WHEN b.tp_any > v.t0 THEN b.tp_any END AS tp
+        |  FROM v LEFT JOIN b USING (user_id)),
+        |du AS (SELECT floor((coalesce(tp, ce.cend) - t0) / 86400.0)::BIGINT
+        |    AS dur, tp IS NOT NULL AS ev FROM u, ce),
+        |g AS (SELECT dur,
+        |    sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS n_event,
+        |    count(*)::BIGINT AS n_at FROM du GROUP BY dur),
+        |r AS (SELECT dur, n_event, sum(n_at) OVER (ORDER BY dur DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS n_risk FROM g),
+        |f AS (SELECT dur, n_event, n_risk,
+        |    CASE WHEN n_event < n_risk THEN
+        |      round(ln(1.0 - n_event::DOUBLE / n_risk::DOUBLE), 9)
+        |        ::DECIMAL(28,9) END AS lnt
+        |  FROM r WHERE n_event > 0),
+        |k AS (SELECT dur, n_risk, n_event,
+        |    max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+        |    sum(lnt) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cln
+        |  FROM f)
+        |SELECT dur AS d, n_risk, n_event,
+        |  n_event * 1000000 // n_risk AS hazard_ppm,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |    ELSE round(exp(cln::DOUBLE), 6) END AS survival
+        |FROM k ORDER BY d""".stripMargin),
+
+    Q("q235_daily_acf",
+      // Autocorrelation of daily order revenue at lags 1..7 — the
+      // weekly-seasonality fingerprint. One corpus scan partial-aggs
+      // to the calendar-bounded daily grid; centred cross terms are
+      // bit-identical doubles rounded to integers and summed in
+      // DECIMAL, so both engines reduce the grid exactly.
+      (s, dir) => graft.operators.TimeSeries.dailyAcf(
+        Tables.orders(s, dir), "o_orderdate", "o_totalprice", maxLag = 7),
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    sum(o_totalprice::DECIMAL(18,4)) AS x
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT count(*)::DOUBLE AS n,
+        |    (sum(x)::VARCHAR)::DOUBLE AS sx FROM daily),
+        |c AS (SELECT d, x::DOUBLE - (st.sx / st.n) AS c FROM daily, st),
+        |dn AS (SELECT (sum(round(c * c, 0)::DECIMAL(28,0))::VARCHAR)::DOUBLE
+        |    AS den FROM c),
+        |p AS (SELECT t.lag, count(*)::BIGINT AS n_pairs,
+        |    (sum(round(a.c * b.c, 0)::DECIMAL(28,0))::VARCHAR)::DOUBLE AS num
+        |  FROM generate_series(1, 7) AS t(lag)
+        |  JOIN c a ON true
+        |  JOIN c b ON b.d = a.d + t.lag * INTERVAL 1 DAY
+        |  GROUP BY 1)
+        |SELECT p.lag::INT AS lag, p.n_pairs,
+        |  round(p.num / dn.den, 6) AS acf
+        |FROM p, dn ORDER BY lag""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -55,4 +55,58 @@ object AbTest {
         (se2a * se2a / (col("na") - 1.0) +
          se2b * se2b / (col("nb") - 1.0)), 6).as("df_w"))
   }
+
+  /** CUPED (Deng et al. 2013): variance-reduced experiment readout
+    * using a pre-experiment covariate. For unit-level frame
+    * (unit, x = pre-period metric, y = in-experiment metric, arm):
+    * θ = cov(x, y) / var(x) pooled over BOTH arms (the standard,
+    * assignment-independent estimator), ŷ = y − θ·(x − mean(x)), and
+    * the readout is per-arm means of y and ŷ plus the raw and adjusted
+    * lifts. One partial-agg scan collects per-arm exact decimal
+    * moments (n, Σx, Σy, Σxy, Σxx); every float op happens on the
+    * 1-row pivoted frame in a fixed expression order, so the result is
+    * engine-exact given 2-dp inputs. Returns one row:
+    * (n_a, n_b, theta, mean_y_a, mean_y_b, lift_raw, lift_cuped).
+    * Precondition: the covariate must vary (var(x) > 0) — a constant
+    * pre-period metric makes θ undefined and fails loud under ANSI
+    * rather than emitting a NaN readout. */
+  def cuped(df: DataFrame, xCol: String, yCol: String, armA: Column)
+      : DataFrame = {
+    val moments = df
+      .select(armA.as("__a"), d184(col(xCol)).as("__x"),
+        d184(col(yCol)).as("__y"))
+      .groupBy("__a")
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).cast("double").as("__sx"),
+        sum(col("__y")).cast("double").as("__sy"),
+        sum(col("__x") * col("__y")).cast("double").as("__sxy"),
+        sum(col("__x") * col("__x")).cast("double").as("__sxx"))
+
+    def arm(a: Boolean, c: String) = max(when(col("__a") === a, col(c)))
+
+    val wide = moments.groupBy()
+      .agg(arm(true, "__n").as("na"), arm(true, "__sx").as("sxa"),
+        arm(true, "__sy").as("sya"), arm(true, "__sxy").as("pa"),
+        arm(true, "__sxx").as("qa"),
+        arm(false, "__n").as("nb"), arm(false, "__sx").as("sxb"),
+        arm(false, "__sy").as("syb"), arm(false, "__sxy").as("pb"),
+        arm(false, "__sxx").as("qb"))
+
+    val n = col("na") + col("nb")
+    val sx = col("sxa") + col("sxb")
+    val sy = col("sya") + col("syb")
+    val sxy = col("pa") + col("pb")
+    val sxx = col("qa") + col("qb")
+    val theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val mx = sx / n
+    val adjA = col("sya") / col("na") - theta * (col("sxa") / col("na") - mx)
+    val adjB = col("syb") / col("nb") - theta * (col("sxb") / col("nb") - mx)
+    wide.select(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      round(theta, 6).as("theta"),
+      round(col("sya") / col("na"), 6).as("mean_y_a"),
+      round(col("syb") / col("nb"), 6).as("mean_y_b"),
+      round(col("sya") / col("na") - col("syb") / col("nb"), 6).as("lift_raw"),
+      round(adjA - adjB, 6).as("lift_cuped"))
+  }
 }

@@ -88,6 +88,68 @@ object Graph {
     * engine-exact. Degree-1 middles contribute nothing and are
     * excluded (1/ln(1) is a pole, and a degree-1 vertex forms no
     * wedge anyway). */
+  /** Synchronous label propagation (Raghavan et al. 2007) community
+    * detection, made deterministic: every vertex starts labelled with
+    * its own id, and each round simultaneously adopts the label that is
+    * most frequent among its neighbours, ties broken by smallest label.
+    * All update math is integer (counts + min-struct argmax), so the
+    * result is independent of partitioning and shuffle order — an
+    * oracle unrolling exactly `rounds` rounds matches bit-for-bit.
+    * Runs a FIXED `rounds` (no convergence probe): each round is one
+    * join + two groupBys, `localCheckpoint`ed so lineage stays O(1).
+    * Returns community sizes (label, n_members). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = canon(edges).localCheckpoint(true)
+    val nbrs = e.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+      .localCheckpoint(true) // reused every round
+    var labels = nbrs.select(col("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    for (_ <- 1 to rounds) {
+      labels = nbrs
+        .join(labels.withColumnRenamed("v", "n"), "n") // neighbour labels
+        .groupBy("v", "label").agg(count(lit(1)).as("cnt"))
+        .groupBy("v")
+        // argmax by (cnt desc, label asc) as a min over a struct — a
+        // k=1-bounded aggregate, partial-agg friendly, integer-exact
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("v"), col("m.l").as("label"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+  }
+
+  /** Degree assortativity: the Pearson correlation of the degrees at
+    * the two ends of an edge (Newman 2002) — do hubs link to hubs?
+    * Each undirected edge contributes both orientations (the standard
+    * symmetric estimator). Every moment is a BIGINT sum (degrees are
+    * cap-bounded, products fit a long at any corpus size that fits a
+    * cluster), so the heavy pass is exact in any order; the one
+    * fragile division happens on the final 1-row frame. Returns
+    * (n_edges, r). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = canon(edges).localCheckpoint(true)
+    val nbrs = e.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+    val deg = nbrs.groupBy("v").agg(count(lit(1)).as("deg"))
+    val sym = nbrs
+      .join(deg, "v").withColumnRenamed("deg", "dx")
+      .join(deg.withColumnRenamed("v", "n"), "n").withColumnRenamed("deg", "dy")
+    val num = col("m").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val den = col("m").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    sym.agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select((col("m") / 2).cast("long").as("n_edges"),
+        // a regular graph has zero degree variance: r is undefined —
+        // report null rather than tripping ANSI division or faking 0
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round(num / den, 6)).as("r"))
+  }
+
   def adamicAdar(edges: DataFrame, topK: Int, cap: Int = 10000)
       : DataFrame = {
     val e = canon(edges).localCheckpoint(true)

@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.DecimalType
   * order-dependent in doubles, so each contribution is rounded to
   * 12 dp and summed as DECIMAL(28,12) — exact in ANY order on any
   * engine — and each new rank is re-rounded to 12 dp. The oracle
-  * (q154) replays the identical integer-decimal algebra.
+  * (q230) replays the identical integer-decimal algebra. 12 dp keeps
+  * ~6 significant digits at the fixture's 1/n ≈ 1e-5 rank floor; at
+  * corpus scale raise the scale (or rescale ranks by n) so the fixed
+  * point keeps resolution below 1/n.
   */
 object PageRank {
 
@@ -25,12 +28,13 @@ object PageRank {
     * least one out-edge (symmetrize bipartite graphs — this keeps the
     * dangling-mass redistribution term out of the algebra).
     * Returns (node, rank) after `iters` damped iterations from the
-    * uniform start, rank rounded to 6 dp. */
-  def run(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+    * uniform start, rank rounded to `outDp` dp. */
+  def run(edges: DataFrame, iters: Int, damping: Double,
+      outDp: Int = 9): DataFrame = {
     require(iters >= 1, "iters >= 1")
-    val e = edges.select(col("src"), col("dst")).cache()
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val n = nodes.count() // metadata-scale action: one long
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
 
@@ -53,7 +57,8 @@ object PageRank {
           round(lit(1.0 - damping) / n +
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12)
             .cast(DecimalType(28, 12)).as("rank"))
+        .localCheckpoint(true) // O(1) lineage across iterations
     }
-    ranks.select(col("node"), round(col("rank").cast("double"), 6).as("rank"))
+    ranks.select(col("node"), round(col("rank").cast("double"), outDp).as("rank"))
   }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series diagnostics over an aggregated daily grid. The heavy
+  * pass is one partial-agg groupBy(day) over the raw stream; every
+  * subsequent step (lag joins, moment sums) runs on the DAILY grid,
+  * whose cardinality is bounded by the calendar — a 7-year order
+  * history is ~2.6 k rows no matter whether the corpus is 1 GB or
+  * 100 TB. So the only corpus-sized cost is the first scan, and it is
+  * partial-aggregated.
+  *
+  * Cross-engine determinism: daily sums accumulate in DECIMAL (exact
+  * for 2-dp money in any order); the mean is one double division; each
+  * centred cross term (x_t−μ)(x_{t+l}−μ) is computed in double from
+  * identical operands — hence bit-identical — then rounded to the
+  * nearest INTEGER and summed in DECIMAL, so the grid reductions are
+  * associativity-free too. Integer (not fractional) term rounding is
+  * deliberate: the products sit at ~1e10–1e16 where a double's ulp
+  * already exceeds 1e-4, so sub-integer digits are noise — and scaling
+  * by 10^dp before rounding would make the two engines' rounding
+  * algorithms observable. One rounded division per lag at the end.
+  */
+object TimeSeries {
+
+  /** Sample autocorrelation of the daily `valueCol` sum at lags
+    * 1..`maxLag` — the standard biased estimator
+    * r_l = Σ_{t}(x_t−μ)(x_{t+l}−μ) / Σ_t(x_t−μ)², both sums over the
+    * observed day grid (missing days are skipped, not zero-filled; use
+    * GapFill upstream for a dense grid). Returns (lag, n_pairs, acf)
+    * ordered by lag. */
+  def dailyAcf(df: DataFrame, tsCol: String, valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1)
+    val daily = df
+      .select(date_trunc("day", col(tsCol)).as("d"),
+        col(valueCol).cast(DecimalType(18, 4)).as("v"))
+      .groupBy("d").agg(sum(col("v")).as("x"))
+      .localCheckpoint(true) // calendar-scale; reused by stats + lag legs
+    val stats = daily.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"))
+    val mu = (col("sx") / col("n")).as("mu")
+    val centred = daily.crossJoin(broadcast(stats.select(mu)))
+      .select(col("d"), (col("x").cast("double") - col("mu")).as("c"))
+      .localCheckpoint(true)
+    val den = centred
+      .agg(sum(round(col("c") * col("c"), 0).cast(DecimalType(28, 0)))
+        .cast("double").as("den"))
+    val lags = (1 to maxLag).map(l => lit(l)).toArray
+    val pairs = centred
+      .select(col("d"), col("c"), explode(array(lags: _*)).as("lag"))
+      .withColumn("d2", expr("d + make_interval(0, 0, 0, lag)"))
+      .join(centred.select(col("d").as("d2"), col("c").as("c2")), "d2")
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("c") * col("c2"), 0).cast(DecimalType(28, 0)))
+          .cast("double").as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag").cast("int").as("lag"), col("n_pairs"),
+        round(col("num") / col("den"), 6).as("acf"))
+      .orderBy("lag")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AbTestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // units: (id, x = pre metric, y = in-experiment metric); arm by parity
+  private val units = Seq(
+    (1L, 10.0, 25.0), (3L, 20.0, 41.0), (5L, 30.0, 66.0), (7L, 40.0, 84.0),
+    (2L, 10.0, 22.0), (4L, 20.0, 40.0), (6L, 30.0, 61.0), (8L, 40.0, 79.0))
+    .toDF("id", "x", "y")
+
+  test("cuped: theta and adjusted lift match a direct computation") {
+    val r = AbTest.cuped(units, "x", "y", col("id") % 2 === 1)
+      .collect().head
+    // local replica on plain doubles (inputs are exact decimals)
+    val xs = Seq(10.0, 20.0, 30.0, 40.0, 10.0, 20.0, 30.0, 40.0)
+    val ys = Seq(25.0, 41.0, 66.0, 84.0, 22.0, 40.0, 61.0, 79.0)
+    val n = xs.size.toDouble
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val mx = sx / n
+    val ya = Seq(25.0, 41.0, 66.0, 84.0); val xa = Seq(10.0, 20.0, 30.0, 40.0)
+    val yb = Seq(22.0, 40.0, 61.0, 79.0)
+    val adjA = ya.sum / 4 - theta * (xa.sum / 4 - mx)
+    val adjB = yb.sum / 4 - theta * (xa.sum / 4 - mx)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == r6(theta))
+    assert(r.getDouble(6) == r6(adjA - adjB), s"$r")
+  }
+
+  test("cuped: adjusted lift is invariant to a constant shift of the " +
+      "covariate (raw lift unchanged, theta unchanged)") {
+    val shifted = units.withColumn("x", col("x") + lit(100.0))
+    val a = AbTest.cuped(units, "x", "y", col("id") % 2 === 1)
+      .collect().head
+    val b = AbTest.cuped(shifted, "x", "y", col("id") % 2 === 1)
+      .collect().head
+    assert(a.getDouble(2) == b.getDouble(2)) // theta
+    assert(a.getDouble(5) == b.getDouble(5)) // lift_raw
+    assert(a.getDouble(6) == b.getDouble(6)) // lift_cuped
+  }
+
+  test("cuped: with a perfectly balanced covariate, adjusted and raw " +
+      "lifts coincide") {
+    // both arms see the identical covariate distribution → the
+    // adjustment term cancels exactly
+    val r = AbTest.cuped(units, "x", "y", col("id") % 2 === 1)
+      .collect().head
+    assert(r.getDouble(5) == r.getDouble(6), s"$r")
+  }
+
+  test("cuped reduces readout variance on correlated metrics " +
+      "(the point of the method): |adjusted arm gap| <= |raw gap| " +
+      "when the covariate imbalance inflates the raw lift") {
+    // arm A drew richer pre-period users; y = x + small effect
+    val skew = Seq(
+      (1L, 40.0, 42.0), (3L, 50.0, 53.0), (5L, 60.0, 62.0),
+      (2L, 10.0, 11.0), (4L, 20.0, 22.0), (6L, 30.0, 31.0))
+      .toDF("id", "x", "y")
+    val r = AbTest.cuped(skew, "x", "y", col("id") % 2 === 1)
+      .collect().head
+    assert(math.abs(r.getDouble(6)) < math.abs(r.getDouble(5)), s"$r")
+  }
+}

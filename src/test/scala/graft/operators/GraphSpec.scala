@@ -38,6 +38,45 @@ class GraphSpec extends SparkSpec {
     assert(again == verts, "k-core must be a fixpoint of the peel")
   }
 
+  test("labelPropagation: two disconnected triangles settle on their " +
+      "min-label communities (deterministic sync rounds)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val sizes = Graph.labelPropagation(edges, rounds = 4)
+      .orderBy("label").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // round 1 moves every vertex to its min neighbour label, round 2
+    // floods the component minimum, rounds 3-4 are stable
+    assert(sizes == Seq((1L, 3L), (4L, 3L)))
+  }
+
+  test("labelPropagation is orientation- and duplicate-insensitive " +
+      "(canonicalization pins the input contract)") {
+    val e1 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val e2 = Seq((2L, 1L), (3L, 2L), (1L, 3L), (3L, 1L)).toDF("a", "b")
+    val r1 = Graph.labelPropagation(e1, 3).orderBy("label").collect().toSeq
+    val r2 = Graph.labelPropagation(e2, 3).orderBy("label").collect().toSeq
+    assert(r1.map(r => (r.getLong(0), r.getLong(1)))
+      == r2.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  test("assortativity: a star is perfectly disassortative (r = -1)") {
+    val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("a", "b")
+    val row = Graph.assortativity(edges).collect().head
+    assert(row.getLong(0) == 3L)
+    assert(row.getDouble(1) == -1.0)
+  }
+
+  test("assortativity: a clique has zero degree variance handled as " +
+      "NaN/null rather than a wrong number") {
+    // K3: every endpoint degree is 2 → denominator 0; ANSI double
+    // division yields NULL/NaN semantics, never a fabricated r
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val row = Graph.assortativity(edges).collect().head
+    assert(row.getLong(0) == 3L)
+    assert(row.isNullAt(1) || row.getDouble(1).isNaN)
+  }
+
   test("adamicAdar scores the open wedge: path u-w-v predicts (u,v) " +
       "with score 1/ln(deg w)") {
     // star around w=10 with 3 leaves → three candidate pairs, each

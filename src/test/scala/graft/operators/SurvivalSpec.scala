@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val day = 86400L
+
+  test("kmDaily: textbook life table with censoring between events") {
+    // A,B convert day 1; C converts day 3; D never converts (censored
+    // at day 5). KM: d1 risk 4 events 2 → S=0.5; d3 risk 2 events 1 →
+    // S=0.25. D holds the risk set at d3 — a latency-only histogram
+    // would have said 1/1 converted.
+    val units = Seq(
+      (0L, Some(1L * day)), (0L, Some(1L * day)),
+      (0L, Some(3L * day)), (0L, None)
+    ).toDF("t0", "tp")
+    val out = Survival.kmDaily(units, "t0", "tp", lit(5L * day))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(out == Seq(
+      (1L, 4L, 2L, 500000L, 0.5),
+      (3L, 2L, 1L, 500000L, 0.25)))
+  }
+
+  test("kmDaily: total conversion at the last step drives survival to " +
+      "exactly 0 (ln pole handled, not NaN)") {
+    val units = Seq((0L, Some(1L * day)), (0L, Some(2L * day)))
+      .toDF("t0", "tp")
+    val out = Survival.kmDaily(units, "t0", "tp", lit(9L * day))
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toSeq
+    assert(out == Seq((1L, 0.5), (2L, 0.0)))
+  }
+
+  test("viewToPurchase: purchase at-or-before the first view is " +
+      "censored, not a zero-duration event") {
+    val ev = Seq(
+      (1L, "view", "2024-01-02 00:00:00"),
+      (1L, "purchase", "2024-01-01 00:00:00"), // before first view
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "purchase", "2024-01-03 00:00:00"),
+      (3L, "view", "2024-01-01 00:00:00")      // never purchases
+    ).toDF("user_id", "event_type", "ts_s")
+      .select(col("user_id"), col("event_type"),
+        col("ts_s").cast("timestamp").as("ts"))
+    val u = Survival.viewToPurchase(ev)
+      .collect().map(r => (r.getLong(0), r.isNullAt(2))).toMap
+    assert(u == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
+  test("kmDaily survival equals the directly-multiplied KM product") {
+    // random-ish but fixed durations; compare against a local replica
+    val durs = Seq(1L -> true, 1L -> true, 2L -> false, 2L -> true,
+      4L -> true, 5L -> false, 6L -> true, 6L -> true, 7L -> false)
+    val units = durs.map { case (d, ev) =>
+      (0L, if (ev) Some(d * day) else None, d * day) }
+      .toDF("t0", "tp", "cens")
+    // per-unit censor column: censored units end at their own horizon
+    val out = Survival.kmDaily(units, "t0", "tp", col("cens"))
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+    // local replica of discrete KM on the same convention
+    var atRisk = durs.size
+    var s = 1.0
+    val expected = scala.collection.mutable.Map[Long, Double]()
+    durs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (d, g) =>
+      val ev = g.count(_._2)
+      if (ev > 0) {
+        s *= 1.0 - ev.toDouble / atRisk
+        expected(d) = s
+      }
+      atRisk -= g.size
+    }
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (d, v) =>
+      assert(math.abs(v - expected(d)) < 1e-6, s"d=$d $v vs ${expected(d)}")
+    }
+  }
+}

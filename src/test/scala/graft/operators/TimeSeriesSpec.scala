@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(vals: Seq[Double]) =
+    vals.zipWithIndex.map { case (v, i) =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 10:30:00"), v)
+    }.toDF("ts", "v")
+
+  /** Local replica of the estimator including the integer term
+    * rounding, so the assertion pins the exact published definition. */
+  private def localAcf(vals: Seq[Double], lags: Range): Map[Int, Double] = {
+    val mu = vals.sum / vals.size
+    val c = vals.map(_ - mu)
+    def rint(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val den = c.map(x => rint(x * x)).sum
+    lags.map { l =>
+      val num = c.dropRight(l).zip(c.drop(l)).map { case (a, b) =>
+        rint(a * b) }.sum
+      l -> BigDecimal(num / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  test("dailyAcf matches a direct computation of the estimator") {
+    val vals = Seq(110.0, 230.0, 150.0, 310.0, 170.0, 390.0, 130.0,
+      270.0, 190.0, 350.0)
+    val out = TimeSeries.dailyAcf(series(vals), "ts", "v", 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val exp = localAcf(vals, 1 to 3)
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3))
+    out.foreach { case (l, n, a) =>
+      assert(n == vals.size - l, s"lag $l pairs $n")
+      assert(a == exp(l), s"lag $l: $a vs ${exp(l)}")
+    }
+  }
+
+  test("dailyAcf: alternating series is negatively correlated at lag 1, " +
+      "positively at lag 2") {
+    val vals = Seq.tabulate(14)(i => if (i % 2 == 0) 100.0 else 500.0)
+    val out = TimeSeries.dailyAcf(series(vals), "ts", "v", 2)
+      .collect().map(r => (r.getInt(0), r.getDouble(2))).toMap
+    assert(out(1) < -0.8, s"$out")
+    assert(out(2) > 0.8, s"$out")
+  }
+
+  test("dailyAcf aggregates intra-day rows to the daily grid first") {
+    // two rows per day summing to the single-row series above
+    val half = Seq(55.0, 115.0, 75.0, 155.0)
+    val df = half.zipWithIndex.flatMap { case (v, i) =>
+      Seq((java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 01:00:00"), v),
+        (java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 23:00:00"), v))
+    }.toDF("ts", "v")
+    val a = TimeSeries.dailyAcf(df, "ts", "v", 1).collect()
+    val b = TimeSeries.dailyAcf(series(half.map(_ * 2)), "ts", "v", 1)
+      .collect()
+    assert(a.map(_.getDouble(2)).toSeq == b.map(_.getDouble(2)).toSeq)
+  }
+}
