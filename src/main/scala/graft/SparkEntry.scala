@@ -7589,7 +7589,163 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT p.lag::INT AS lag, p.n_pairs,
         |  round(p.num / dn.den, 6) AS acf
-        |FROM p, dn ORDER BY lag""".stripMargin))
+        |FROM p, dn ORDER BY lag""".stripMargin),
+
+    Q("q236_llr_collocations",
+      // Dunning G² (log-likelihood ratio) collocations over ADJACENT
+      // bigrams — the evidence-weighted complement to q112's PMI
+      // (which over-rewards rare pairs). Contingency cells are exact
+      // bigram counts; G² is one deterministic x·ln x expression per
+      // surviving pair on the vocabulary-scale frame, marginals
+      // broadcast, ties broken lexically under the rounded score.
+      (s, dir) => TextAnalysis.llrBigrams(
+        Tables.documents(s, dir), "text", minCount = 5L)
+        .orderBy(col("g2").desc, col("w1"), col("w2")).limit(30),
+      {
+        def xlx(e: String) =
+          s"(CASE WHEN ($e) > 0 THEN ($e)::DOUBLE * ln(($e)::DOUBLE) ELSE 0.0 END)"
+        s"""WITH toks AS (SELECT $toksSql AS l FROM documents),
+           |bg AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+           |    SELECT unnest([struct_pack(w1 := l[i], w2 := l[i+1])
+           |      for i in range(1, len(l))]) AS p
+           |    FROM toks WHERE len(l) >= 2)),
+           |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg
+           |  GROUP BY 1, 2 HAVING count(*) >= 5),
+           |m1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY 1),
+           |m2 AS (SELECT w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1),
+           |nt AS (SELECT count(*)::BIGINT AS n FROM bg)
+           |SELECT w1, w2, c12, c1, c2,
+           |  round(2.0 * (${xlx("c12")} + ${xlx("c1 - c12")}
+           |    + ${xlx("c2 - c12")} + ${xlx("n - c1 - c2 + c12")}
+           |    - ${xlx("c1")} - ${xlx("n - c1")}
+           |    - ${xlx("c2")} - ${xlx("n - c2")}
+           |    + ${xlx("n")}), 6) AS g2
+           |FROM c12 JOIN m1 USING (w1) JOIN m2 USING (w2), nt
+           |ORDER BY g2 DESC, w1, w2 LIMIT 30""".stripMargin
+      }),
+
+    Q("q237_stratified_ate",
+      // Post-stratified average treatment effect (the exact-propensity
+      // IPW estimator): arms by user-key parity, strata by event type,
+      // outcome = event value. Per-cell decimal moments from one scan;
+      // per-stratum contributions round to 9 dp and sum in DECIMAL so
+      // the ATE reduction is order-free; the '__ate' terminal row
+      // carries the estimate.
+      (s, dir) => graft.operators.Causal.stratifiedEffect(
+        Tables.events(s, dir), "event_type",
+        col("user_id") % 2 === 0, "value").orderBy("stratum"),
+      """WITH cells AS (SELECT event_type::VARCHAR AS stratum,
+        |    (user_id % 2 = 0) AS t, count(*)::BIGINT AS n,
+        |    sum(value::DECIMAL(18,4)) AS s
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT stratum,
+        |    coalesce(max(CASE WHEN t THEN n END), 0)
+        |      + coalesce(max(CASE WHEN NOT t THEN n END), 0) AS n,
+        |    coalesce(max(CASE WHEN t THEN n END), 0) AS n_treat,
+        |    CASE WHEN max(CASE WHEN t THEN n END) IS NOT NULL THEN
+        |      (max(CASE WHEN t THEN s END)::VARCHAR)::DOUBLE
+        |        / max(CASE WHEN t THEN n END)::DOUBLE END AS mt,
+        |    CASE WHEN max(CASE WHEN NOT t THEN n END) IS NOT NULL THEN
+        |      (max(CASE WHEN NOT t THEN s END)::VARCHAR)::DOUBLE
+        |        / max(CASE WHEN NOT t THEN n END)::DOUBLE END AS mc
+        |  FROM cells GROUP BY 1),
+        |w2 AS (SELECT *, mt - mc AS diff FROM w),
+        |tot AS (SELECT sum(n)::BIGINT AS tn, sum(n_treat)::BIGINT AS tt,
+        |    sum(CASE WHEN diff IS NOT NULL THEN n ELSE 0 END)::BIGINT AS idn
+        |  FROM w2),
+        |ps AS (SELECT stratum, n, n_treat, round(mt, 6) AS mean_treat,
+        |    round(mc, 6) AS mean_control, round(diff, 6) AS diff FROM w2),
+        |ate AS (SELECT '__ate' AS stratum, tot.tn AS n, tot.tt AS n_treat,
+        |    NULL::DOUBLE AS mean_treat, NULL::DOUBLE AS mean_control,
+        |    round((sum(round((w2.n::DOUBLE / tot.idn::DOUBLE) * w2.diff, 9)
+        |      ::DECIMAL(28,9))::VARCHAR)::DOUBLE, 6) AS diff
+        |  FROM w2, tot WHERE w2.diff IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT * FROM ps UNION ALL SELECT * FROM ate
+        |ORDER BY stratum""".stripMargin),
+
+    Q("q238_conformal_threshold",
+      // Split-conformal prediction thresholds: per-language mean-chars
+      // predictor fit on even doc_ids, |residual| scores on odd ones,
+      // q̂ = the ⌈(n+1)(1−α)⌉-th smallest score at α = 0.1 — the
+      // distribution-free interval width with finite-sample coverage.
+      // Selection runs on the (lang, score) grid with bucketed-prefix
+      // cumulatives (q223's machinery, conformal rank target); rank
+      // math is exact LONG.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val mean = docs.filter(col("doc_id") % 2 === 0)
+          .groupBy("lang").agg((sum(col("n_chars")).cast("double")
+            / count(lit(1)).cast("double")).as("pred"))
+        val cal = docs.filter(col("doc_id") % 2 === 1)
+          .join(broadcast(mean), "lang")
+          .select(col("lang"),
+            abs(col("n_chars").cast("double") - col("pred")).as("score"))
+        graft.operators.Conformal.thresholds(cal, "lang", "score",
+          alpha = 0.1).orderBy("lang")
+      },
+      """WITH tr AS (SELECT lang, sum(n_chars)::DOUBLE / count(*)::DOUBLE
+        |    AS pred FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cal AS (SELECT d.lang, abs(d.n_chars::DOUBLE - tr.pred) AS v
+        |  FROM documents d JOIN tr USING (lang) WHERE d.doc_id % 2 = 1),
+        |pv AS (SELECT lang, v, count(*)::BIGINT AS n_v FROM cal
+        |  GROUP BY 1, 2),
+        |st AS (SELECT lang, sum(n_v)::BIGINT AS n_g FROM pv GROUP BY 1),
+        |c AS (SELECT pv.lang, pv.v, pv.n_v, st.n_g,
+        |    coalesce(sum(pv.n_v) OVER (PARTITION BY pv.lang ORDER BY pv.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM pv JOIN st USING (lang)),
+        |t AS (SELECT *, ceil((n_g::DOUBLE + 1.0) * (1.0 - 0.1))::BIGINT
+        |    AS tgt FROM c),
+        |hit AS (SELECT lang, v AS qhat FROM t
+        |  WHERE tgt > below AND tgt <= below + n_v)
+        |SELECT st.lang, st.n_g AS n_cal, hit.qhat
+        |FROM st LEFT JOIN hit USING (lang) ORDER BY lang""".stripMargin),
+
+    Q("q239_jl_projection",
+      // Johnson-Lindenstrauss ±1 random projection 64→16 dims with a
+      // HASH-DERIVED sign matrix (md5 nibble parity) — reproducible
+      // across engines and cluster sizes with no RNG state. Sign
+      // matrix is metadata (broadcast); per-cell products round to
+      // 9 dp and sum in DECIMAL, so the projection is engine-exact.
+      // The training-free companion to PCA (q201).
+      (s, dir) => graft.operators.Projection.jlProject(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 20),
+        "vec_id", "embedding", inDim = 64, outDim = 16)
+        .orderBy("vec_id", "j"),
+      """WITH sgn AS (SELECT ii.i, jj.j,
+        |    CASE WHEN substr(md5(ii.i || '_' || jj.j), 1, 1)
+        |      IN ('0','2','4','6','8','a','c','e')
+        |      THEN 1.0 ELSE -1.0 END AS s
+        |  FROM (SELECT unnest(range(0, 64)) AS i) ii,
+        |       (SELECT unnest(range(0, 16)) AS j) jj),
+        |e AS (SELECT em.vec_id, ii.i, em.embedding[ii.i + 1] AS x
+        |  FROM embeddings em, (SELECT unnest(range(0, 64)) AS i) ii
+        |  WHERE em.vec_id < 20),
+        |t AS (SELECT e.vec_id, sgn.j,
+        |    round(e.x::DOUBLE * sgn.s, 9)::DECIMAL(28,9) AS t
+        |  FROM e JOIN sgn ON e.i = sgn.i)
+        |SELECT vec_id, j, round(sum(t)::DOUBLE / sqrt(16.0), 6) AS p
+        |FROM t GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin),
+
+    Q("q240_seasonal_index",
+      // Day-of-week seasonal index of order revenue: mean daily total
+      // per dow over the overall mean daily total — the multiplicative
+      // seasonality profile behind q235's ACF spikes. One scan to the
+      // calendar-bounded daily grid; decimal day sums, two identical
+      // divisions per dow row.
+      (s, dir) => graft.operators.TimeSeries.seasonalIndex(
+        Tables.orders(s, dir), "o_orderdate", "o_totalprice"),
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    sum(o_totalprice::DECIMAL(18,4)) AS x FROM orders GROUP BY 1),
+        |o AS (SELECT count(*)::DOUBLE AS nd,
+        |    (sum(x)::VARCHAR)::DOUBLE AS sx FROM daily),
+        |g AS (SELECT dayofweek(d)::INT AS dow, count(*)::BIGINT AS n_days,
+        |    (sum(x)::VARCHAR)::DOUBLE AS s FROM daily GROUP BY 1)
+        |SELECT g.dow, g.n_days,
+        |  round(g.s / g.n_days::DOUBLE, 6) AS mean_daily,
+        |  round((g.s / g.n_days::DOUBLE) / (o.sx / o.nd), 6)
+        |    AS seasonal_index
+        |FROM g, o ORDER BY dow""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

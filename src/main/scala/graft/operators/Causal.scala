@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Observational causal effect estimation by post-stratification —
+  * the discrete-covariate special case of inverse-propensity
+  * weighting: with exact within-stratum propensities
+  * ê(s) = n_t(s)/n(s), the IPW estimator reduces algebraically to the
+  * stratum-weighted difference of means
+  * ATE = Σ_s (n(s)/N) · (ȳ_t(s) − ȳ_c(s)), which is what this
+  * computes. One partial-agg scan collects per-(stratum, arm) decimal
+  * moments; the weighting runs on the stratum-cardinality frame.
+  *
+  * Cross-engine determinism: decimal Σy per cell; per-stratum doubles
+  * are identical expressions over identical inputs; per-stratum
+  * contributions round to 9 dp and sum in DECIMAL so the final
+  * reduction over strata is order-free too.
+  */
+object Causal {
+
+  private def d184(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Per-stratum readout plus a terminal `__ate` row. Columns:
+    * (stratum, n, n_treat, mean_treat, mean_control, diff); the
+    * `__ate` row carries N, total treated, null means, and the
+    * post-stratified ATE in `diff`. Strata with an empty arm
+    * contribute null diff and are excluded from the ATE sum (their
+    * effect is unidentified — reported, not imputed). */
+  def stratifiedEffect(df: DataFrame, stratumCol: String, treat: Column,
+      yCol: String): DataFrame = {
+    val cells = df
+      .select(col(stratumCol).cast("string").as("stratum"),
+        treat.as("__t"), d184(col(yCol)).as("__y"))
+      .groupBy("stratum", "__t")
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__s"))
+
+    def arm(a: Boolean, c: String) = max(when(col("__t") === a, col(c)))
+
+    val wide = cells.groupBy("stratum")
+      .agg(arm(true, "__n").as("nt"), arm(true, "__s").as("st"),
+        arm(false, "__n").as("nc"), arm(false, "__s").as("sc"))
+      .select(col("stratum"),
+        (coalesce(col("nt"), lit(0L)) + coalesce(col("nc"), lit(0L))).as("n"),
+        coalesce(col("nt"), lit(0L)).as("n_treat"),
+        when(col("nt").isNotNull,
+          col("st").cast("double") / col("nt").cast("double")).as("mt"),
+        when(col("nc").isNotNull,
+          col("sc").cast("double") / col("nc").cast("double")).as("mc"))
+      .withColumn("diff", col("mt") - col("mc"))
+
+    val tot = wide.agg(
+      sum(col("n")).as("tn"), sum(col("n_treat")).as("tt"),
+      sum(when(col("diff").isNotNull, col("n")).otherwise(0L)).as("idN"))
+    val perStratum = wide.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n"), col("n_treat"),
+        round(col("mt"), 6).as("mean_treat"),
+        round(col("mc"), 6).as("mean_control"),
+        round(col("diff"), 6).as("diff"))
+    val ate = wide.crossJoin(broadcast(tot))
+      .filter(col("diff").isNotNull)
+      .select(round((col("n").cast("double") / col("idN").cast("double"))
+          * col("diff"), 9).cast(DecimalType(28, 9)).as("__c"),
+        col("tn"), col("tt"))
+      .groupBy("tn", "tt")
+      .agg(sum(col("__c")).cast("double").as("__ate"))
+      .select(lit("__ate").as("stratum"), col("tn").as("n"),
+        col("tt").as("n_treat"),
+        lit(null).cast("double").as("mean_treat"),
+        lit(null).cast("double").as("mean_control"),
+        round(col("__ate"), 6).as("diff"))
+    perStratum.unionAll(ate)
+  }
+}

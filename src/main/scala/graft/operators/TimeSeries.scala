@@ -31,6 +31,33 @@ object TimeSeries {
     * observed day grid (missing days are skipped, not zero-filled; use
     * GapFill upstream for a dense grid). Returns (lag, n_pairs, acf)
     * ordered by lag. */
+  /** Day-of-week seasonal index: for each dow (0 = Sunday … 6), the
+    * mean DAILY total divided by the overall mean daily total — the
+    * multiplicative seasonality profile (1.0 = flat). Same scale shape
+    * as [[dailyAcf]]: one partial-agg scan to the calendar-bounded
+    * daily grid; daily totals are exact decimals, the two divisions
+    * are identical expressions per dow row. Returns
+    * (dow, n_days, mean_daily, seasonal_index) ordered by dow. */
+  def seasonalIndex(df: DataFrame, tsCol: String, valueCol: String)
+      : DataFrame = {
+    val daily = df
+      .select(date_trunc("day", col(tsCol)).as("d"),
+        col(valueCol).cast(DecimalType(18, 4)).as("v"))
+      .groupBy("d").agg(sum(col("v")).as("x"))
+      .localCheckpoint(true)
+    val overall = daily.agg(count(lit(1)).cast("double").as("nd"),
+      sum(col("x")).cast("double").as("sx"))
+    daily
+      .groupBy((dayofweek(col("d")) - 1).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).cast("double").as("s"))
+      .crossJoin(broadcast(overall))
+      .select(col("dow"), col("n_days"),
+        round(col("s") / col("n_days").cast("double"), 6).as("mean_daily"),
+        round((col("s") / col("n_days").cast("double"))
+          / (col("sx") / col("nd")), 6).as("seasonal_index"))
+      .orderBy("dow")
+  }
+
   def dailyAcf(df: DataFrame, tsCol: String, valueCol: String,
       maxLag: Int): DataFrame = {
     require(maxLag >= 1)

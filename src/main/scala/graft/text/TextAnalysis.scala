@@ -230,6 +230,46 @@ object TextAnalysis {
           .as("pmi"))
   }
 
+  /** Dunning log-likelihood-ratio (G², Dunning 1993) collocations over
+    * ADJACENT bigrams — the statistically-sound complement to [[pmiPairs]]
+    * (PMI over-rewards rare pairs; G² weighs evidence mass, so frequent
+    * genuine collocations rank first). All four contingency cells are
+    * integer-exact bigram counts; G² is one deterministic double
+    * expression per surviving pair (vocabulary-scale frame), marginals
+    * broadcast. Uses the entropy (x·ln x) form, with 0·ln 0 = 0. */
+  def llrBigrams(docs: DataFrame, textCol: String, minCount: Long = 5L)
+      : DataFrame = {
+    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("l"))
+      .filter(size(col("l")) >= 2)
+    val bg = toks.select(explode(zip_with(
+        slice(col("l"), lit(1), size(col("l")) - 1),
+        slice(col("l"), lit(2), size(col("l")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val m1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val m2 = bg.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val nTot = bg.agg(count(lit(1)).as("n"))
+
+    def xlx(k: Column) = when(k > 0L,
+      k.cast("double") * log(k.cast("double"))).otherwise(lit(0.0))
+
+    val k11 = col("c12")
+    val k12 = col("c1") - col("c12")
+    val k21 = col("c2") - col("c12")
+    val k22 = col("n") - col("c1") - col("c2") + col("c12")
+    c12
+      .join(broadcast(m1), "w1")
+      .join(broadcast(m2), "w2")
+      .crossJoin(broadcast(nTot))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(lit(2.0) * (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+          - xlx(col("c1")) - xlx(col("n") - col("c1"))
+          - xlx(col("c2")) - xlx(col("n") - col("c2"))
+          + xlx(col("n"))), 6).as("g2"))
+  }
+
   /** Zipf rank–frequency fit: least-squares slope of ln(freq) on
     * ln(rank) over the corpus term-frequency table — the classic corpus
     * health check (natural text ≈ -1; template/generated text drifts).

@@ -50,6 +50,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(2) > 0.8, s"$out")
   }
 
+  test("seasonalIndex: a flat series indexes every weekday at exactly " +
+      "1.0, and the dow mapping starts at Sunday = 0") {
+    val flat = series(Seq.fill(14)(250.0))
+    val out = TimeSeries.seasonalIndex(flat, "ts", "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length == 7)
+    assert(out.forall(_._2 == 2L)) // 14 days → each dow twice
+    assert(out.forall(_._3 == 1.0), s"${out.toSeq}")
+    // 2024-01-01 is a Monday → dow 1 must exist and carry the Jan 1 row
+    assert(out.map(_._1).toSeq == (0 to 6))
+  }
+
+  test("seasonalIndex: doubling one weekday's revenue moves only that " +
+      "index up, others equally down") {
+    // 14 days, Mondays (dow 1: Jan 1, Jan 8) at 500, others 250
+    val vals = Seq.tabulate(14)(i => if (i % 7 == 0) 500.0 else 250.0)
+    val out = TimeSeries.seasonalIndex(series(vals), "ts", "v")
+      .collect().map(r => (r.getInt(0), r.getDouble(3))).toMap
+    assert(out(1) > 1.5, s"$out")
+    val others = out.filter(_._1 != 1).values.toSeq
+    assert(others.forall(v => v < 1.0 && v == others.head), s"$out")
+  }
+
   test("dailyAcf aggregates intra-day rows to the daily grid first") {
     // two rows per day summing to the single-row series above
     val half = Seq(55.0, 115.0, 75.0, 155.0)

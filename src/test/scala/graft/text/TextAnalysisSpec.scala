@@ -204,4 +204,38 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(again === pr)
   }
+
+  test("llrBigrams: G2 matches the hand-built 2x2 contingency and " +
+      "adjacency (not mere co-occurrence) defines a bigram") {
+    // corpus of 12 bigram tokens: "new york" appears 3x adjacent;
+    // "cold war" words co-occur in one doc but never adjacently
+    val docs = Seq(
+      "new york is big", "new york wins", "in new york",
+      "the war was cold").toDF("text")
+    val out = TextAnalysis.llrBigrams(docs, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(out.contains(("new", "york")))
+    assert(!out.contains(("cold", "war")) && !out.contains(("war", "cold")))
+    val (c12, g2) = out(("new", "york"))
+    assert(c12 == 3L)
+    // hand 2x2: N = total bigrams, c1 = #(w1=new) = 3, c2 = #(w2=york)=3
+    val n = docs.as[String].collect()
+      .map(_.split(" ").length - 1).sum.toDouble
+    def xlx(k: Double) = if (k > 0) k * math.log(k) else 0.0
+    val exp = 2.0 * (xlx(3) + xlx(0) + xlx(0) + xlx(n - 3 - 3 + 3)
+      - xlx(3) - xlx(n - 3) - xlx(3) - xlx(n - 3) + xlx(n))
+    assert(math.abs(g2 - exp) < 1e-6, s"$g2 vs $exp")
+  }
+
+  test("llrBigrams favors frequent genuine collocations over rare " +
+      "flukes PMI would over-reward") {
+    val docs = (Seq.fill(20)("machine learning rocks") ++
+      Seq("weird fluke here")).toDF("text")
+    val top = TextAnalysis.llrBigrams(docs, "text", minCount = 1L)
+      .orderBy(col("g2").desc).collect()
+    val first = (top.head.getString(0), top.head.getString(1))
+    assert(Set(("machine", "learning"), ("learning", "rocks"))
+      .contains(first), s"top = $first")
+  }
 }
