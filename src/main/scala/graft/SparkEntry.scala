@@ -7745,7 +7745,127 @@ object SparkEntry {
         |  round(g.s / g.n_days::DOUBLE, 6) AS mean_daily,
         |  round((g.s / g.n_days::DOUBLE) / (o.sx / o.nd), 6)
         |    AS seasonal_index
-        |FROM g, o ORDER BY dow""".stripMargin))
+        |FROM g, o ORDER BY dow""".stripMargin),
+
+    Q("q241_permutation_test",
+      // Seeded paired permutation test: per-user mean purchase value
+      // vs mean click value, null = random sign flips from md5 nibble
+      // parity of (perm, user) — reproducible on any engine, no RNG
+      // state. 200 replicas are one map + partial-agg pass over the
+      // m×n flip relation; |T_p| ≥ |T_0| compares DECIMALs exactly, so
+      // extremeness is never a float coin-flip. Add-one p-value.
+      (s, dir) => {
+        val d = org.apache.spark.sql.types.DecimalType(18, 4)
+        val per = Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "click"))
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase",
+              col("value").cast(d))).as("sp"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("np"),
+            sum(when(col("event_type") === "click",
+              col("value").cast(d))).as("sc"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("nc"))
+          .filter(col("np") > 0 && col("nc") > 0)
+          .select(col("user_id"),
+            (col("sp").cast("double") / col("np").cast("double")
+              - col("sc").cast("double") / col("nc").cast("double")).as("d"))
+        graft.operators.Resample.permutationTest(per, "user_id", "d",
+          mPerms = 200)
+      },
+      """WITH pu AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN value::DECIMAL(18,4) END) AS sp,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS np,
+        |    sum(CASE WHEN event_type = 'click'
+        |      THEN value::DECIMAL(18,4) END) AS sc,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS nc
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY 1),
+        |d AS (SELECT user_id::VARCHAR AS k,
+        |    round((sp::VARCHAR)::DOUBLE / np::DOUBLE
+        |      - (sc::VARCHAR)::DOUBLE / nc::DOUBLE, 9)::DECIMAL(28,9) AS d
+        |  FROM pu WHERE np > 0 AND nc > 0),
+        |obs AS (SELECT sum(d) AS t0, count(*)::BIGINT AS n FROM d),
+        |reps AS (SELECT pp.p,
+        |    sum(CASE WHEN substr(md5(pp.p || '_' || d.k), 1, 1)
+        |      IN ('0','2','4','6','8','a','c','e')
+        |      THEN d.d ELSE -d.d END) AS tp
+        |  FROM d, (SELECT unnest(range(0, 200)) AS p) pp GROUP BY 1),
+        |e AS (SELECT count(*)::BIGINT AS n_extreme FROM reps, obs
+        |  WHERE abs(tp) >= abs(t0))
+        |SELECT obs.n AS n_pairs,
+        |  round((obs.t0::VARCHAR)::DOUBLE / obs.n::DOUBLE, 6) AS mean_diff,
+        |  200 AS m_perms, e.n_extreme,
+        |  round((1.0 + e.n_extreme::DOUBLE) / (200.0 + 1.0), 6) AS p_value
+        |FROM obs, e""".stripMargin),
+
+    Q("q242_jackknife_ratio",
+      // Delete-one-bucket jackknife SE for a RATIO metric (average
+      // order value = Σ price / Σ orders) — the experimentation-
+      // platform variance estimator where unit variances don't add.
+      // One partial-agg scan to 32 md5-bucket sums (metadata frame);
+      // leave-one-out ratios and Tukey's variance run on it with
+      // decimal-rounded reductions.
+      (s, dir) => graft.operators.Resample.jackknifeRatio(
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_totalprice"),
+            lit(1.0).as("one")),
+        "o_custkey", "o_totalprice", "one", nBuckets = 32),
+      """WITH b AS (SELECT
+        |    ((('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::UBIGINT
+        |      % 32))::BIGINT AS b,
+        |    sum(o_totalprice::DECIMAL(18,4)) AS sy,
+        |    sum((1.0)::DECIMAL(18,4)) AS sx
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(sy) AS ty, sum(sx) AS tx,
+        |    count(*)::BIGINT AS nb FROM b),
+        |loo AS (SELECT tot.ty, tot.tx, tot.nb,
+        |    round(((tot.ty - b.sy)::VARCHAR)::DOUBLE
+        |      / ((tot.tx - b.sx)::VARCHAR)::DOUBLE, 9)::DECIMAL(28,9) AS ri
+        |  FROM b, tot),
+        |m AS (SELECT ty, tx, nb,
+        |    (sum(ri)::VARCHAR)::DOUBLE / nb::DOUBLE AS rbar
+        |  FROM loo GROUP BY 1, 2, 3),
+        |q AS (SELECT loo.ty, loo.tx, loo.nb,
+        |    round(((loo.ri::VARCHAR)::DOUBLE - m.rbar)
+        |      * ((loo.ri::VARCHAR)::DOUBLE - m.rbar), 6)
+        |      ::DECIMAL(38,6) AS q
+        |  FROM loo JOIN m ON loo.ty = m.ty AND loo.tx = m.tx
+        |    AND loo.nb = m.nb),
+        |ss AS (SELECT ty, tx, nb, (sum(q)::VARCHAR)::DOUBLE AS ss
+        |  FROM q GROUP BY 1, 2, 3)
+        |SELECT round((ty::VARCHAR)::DOUBLE / (tx::VARCHAR)::DOUBLE, 6)
+        |    AS r,
+        |  round(sqrt((nb::DOUBLE - 1.0) / nb::DOUBLE * ss), 6) AS se_jack,
+        |  nb::INT AS n_buckets
+        |FROM ss""".stripMargin),
+
+    Q("q243_winsorized_mean",
+      // Winsorized mean per event type: values clamp to the
+      // [1/16, 15/16] discrete quantiles (binary-exact fractions per
+      // the quantileDisc contract) before averaging — the robust
+      // metric for heavy-tailed outcomes. Thresholds from the
+      // no-global-sort grid machinery, broadcast back; clamped values
+      // are existing 2-dp data values so both sums stay decimal-exact.
+      (s, dir) => graft.operators.Ranks.winsorizedMean(
+        Tables.events(s, dir), "event_type", "value",
+        pLo = 0.0625, pHi = 0.9375).orderBy("event_type"),
+      """WITH th AS (SELECT event_type,
+        |    quantile_disc(value, 0.0625) AS lo,
+        |    quantile_disc(value, 0.9375) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*)::BIGINT AS n, th.lo, th.hi,
+        |  round((sum(e.value::DECIMAL(18,4))::VARCHAR)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS mean_raw,
+        |  round((sum(greatest(least(e.value, th.hi), th.lo)
+        |    ::DECIMAL(18,4))::VARCHAR)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS mean_winsor
+        |FROM events e JOIN th USING (event_type)
+        |GROUP BY 1, th.lo, th.hi ORDER BY 1""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

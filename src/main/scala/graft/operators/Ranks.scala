@@ -315,4 +315,34 @@ object Ranks {
       .select(col("g").as(groupCol), col("__t.p").as("p"),
         col("v").as("value"))
   }
+
+  /** Winsorized mean per group — the robust metric that tames heavy
+    * tails without dropping rows: values clamp to the [pLo, pHi]
+    * discrete quantiles (from [[quantileDisc]]'s no-global-sort grid
+    * machinery) before averaging. Clamped values are existing data
+    * values, so for fixed-dp inputs the winsorized sum stays
+    * decimal-exact like the raw one. Two scans: one for thresholds,
+    * one for the clamped aggregate (thresholds broadcast). Returns
+    * (groupCol, n, lo, hi, mean_raw, mean_winsor). */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo > 0.0 && pHi < 1.0 && pLo < pHi)
+    val d184 = org.apache.spark.sql.types.DecimalType(18, 4)
+    val th = quantileDisc(df, groupCol, valueCol, Seq(pLo, pHi))
+      .groupBy(groupCol)
+      .agg(max(when(col("p") === pLo, col("value"))).as("lo"),
+        max(when(col("p") === pHi, col("value"))).as("hi"))
+    df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .join(broadcast(th), groupCol)
+      .groupBy(groupCol, "lo", "hi")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast(d184)).as("__sr"),
+        sum(greatest(least(col("__v"), col("hi")), col("lo")).cast(d184))
+          .as("__sw"))
+      .select(col(groupCol), col("n"), col("lo"), col("hi"),
+        round(col("__sr").cast("double") / col("n").cast("double"), 6)
+          .as("mean_raw"),
+        round(col("__sw").cast("double") / col("n").cast("double"), 6)
+          .as("mean_winsor"))
+  }
 }

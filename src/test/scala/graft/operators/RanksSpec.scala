@@ -164,4 +164,33 @@ class RanksSpec extends SparkSpec {
         || w.contains("__b")),
       s"row-level window must include the bucket key:\n$plan")
   }
+
+  test("winsorizedMean: clamps exactly at the 1/16 and 15/16 discrete " +
+      "quantiles and agrees with a local replay") {
+    val vals = (1 to 32).map(_.toDouble) // per group: 1..32
+    val df = vals.flatMap(v => Seq(("a", v), ("b", v * 10))).toDF("g", "v")
+    val out = Ranks.winsorizedMean(df, "g", "v", 0.0625, 0.9375)
+      .orderBy("g").collect()
+    // ceil(1/16 * 32) = 2nd smallest; ceil(15/16 * 32) = 30th
+    val a = out(0)
+    assert(a.getDouble(2) == 2.0 && a.getDouble(3) == 30.0, s"$a")
+    val clamped = vals.map(v => math.min(math.max(v, 2.0), 30.0))
+    val expW = BigDecimal(clamped.sum / 32).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a.getDouble(5) == expW, s"${a.getDouble(5)} vs $expW")
+    val expR = BigDecimal(vals.sum / 32).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a.getDouble(4) == expR)
+    val b = out(1)
+    assert(b.getDouble(2) == 20.0 && b.getDouble(3) == 300.0)
+  }
+
+  test("winsorizedMean tames a heavy outlier the raw mean absorbs") {
+    val df = ((1 to 99).map(i => ("g", i.toDouble % 10 + 1))
+      :+ ("g", 1e6)).toDF("g", "v")
+    val r = Ranks.winsorizedMean(df, "g", "v", 0.0625, 0.9375)
+      .collect().head
+    assert(r.getDouble(4) > 1000.0, "raw mean dominated by the outlier")
+    assert(r.getDouble(5) < 20.0, s"winsorized mean ${r.getDouble(5)}")
+  }
 }
