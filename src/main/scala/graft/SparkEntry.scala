@@ -7865,7 +7865,167 @@ object SparkEntry {
         |    ::DECIMAL(18,4))::VARCHAR)::DOUBLE
         |    / count(*)::DOUBLE, 6) AS mean_winsor
         |FROM events e JOIN th USING (event_type)
-        |GROUP BY 1, th.lo, th.hi ORDER BY 1""".stripMargin))
+        |GROUP BY 1, th.lo, th.hi ORDER BY 1""".stripMargin),
+
+    Q("q244_theilsen_trend",
+      // Theil-Sen robust trend of daily revenue: median of all
+      // pairwise slopes (breakdown 29%) + companion intercept. The
+      // pairwise relation is CALENDAR² (≈3M pairs for 7 years at any
+      // corpus size); slopes are bit-identical doubles from exact
+      // decimal day sums and integer day distances; both medians are
+      // exact value-grid selections (quantileDisc convention, pinned
+      // equal to DuckDB quantile_disc by q223).
+      (s, dir) => graft.operators.TimeSeries.theilSenDaily(
+        Tables.orders(s, dir), "o_orderdate", "o_totalprice"),
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS dd,
+        |    sum(o_totalprice::DECIMAL(18,4)) AS x FROM orders GROUP BY 1),
+        |g AS (SELECT date_diff('day', DATE '1970-01-01', dd::DATE)::INT
+        |    AS t, (x::VARCHAR)::DOUBLE AS x FROM daily),
+        |p AS (SELECT (b.x - a.x) / (b.t - a.t)::DOUBLE AS s
+        |  FROM g a JOIN g b ON b.t > a.t),
+        |sl AS (SELECT quantile_disc(s, 0.5) AS slope FROM p),
+        |r AS (SELECT (g.x - sl.slope * g.t) AS r FROM g, sl),
+        |ic AS (SELECT quantile_disc(r, 0.5) AS intercept FROM r)
+        |SELECT (SELECT count(*) FROM g)::BIGINT AS n_days,
+        |  (SELECT count(*) FROM p)::BIGINT AS n_pairs,
+        |  round(sl.slope, 6) AS slope_per_day,
+        |  round(ic.intercept, 6) AS intercept
+        |FROM sl, ic""".stripMargin),
+
+    Q("q245_chi2_independence",
+      // Pearson χ² independence test + Cramér's V for event type ×
+      // user-key residue — the classical hypothesis-test companion to
+      // q227's mutual information, same one-scan contingency shape.
+      // Per-cell (O−E)²/E terms round to 9 dp and sum in DECIMAL.
+      (s, dir) => graft.operators.Dependence.chi2(
+        Tables.events(s, dir)
+          .select(col("event_type"), (col("user_id") % 3).as("arm3")),
+        "event_type", "arm3"),
+      """WITH cells AS (SELECT event_type AS a, (user_id % 3)::BIGINT AS b,
+        |    count(*)::BIGINT AS nab FROM events GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(nab)::BIGINT AS na FROM cells GROUP BY 1),
+        |mb AS (SELECT b, sum(nab)::BIGINT AS nb FROM cells GROUP BY 1),
+        |tt AS (SELECT (SELECT sum(na) FROM ma)::BIGINT AS n,
+        |    (SELECT count(*) FROM ma)::BIGINT AS ka,
+        |    (SELECT count(*) FROM mb)::BIGINT AS kb),
+        |grid AS (SELECT ma.a, ma.na, mb.b, mb.nb FROM ma, mb),
+        |t AS (SELECT tt.n, tt.ka, tt.kb,
+        |    round((coalesce(cells.nab, 0)::DOUBLE
+        |        - g.na::DOUBLE * g.nb::DOUBLE / tt.n::DOUBLE)
+        |      * (coalesce(cells.nab, 0)::DOUBLE
+        |        - g.na::DOUBLE * g.nb::DOUBLE / tt.n::DOUBLE)
+        |      / (g.na::DOUBLE * g.nb::DOUBLE / tt.n::DOUBLE), 9)
+        |      ::DECIMAL(28,9) AS t
+        |  FROM grid g LEFT JOIN cells ON g.a = cells.a AND g.b = cells.b,
+        |    tt),
+        |s AS (SELECT n, ka, kb, (sum(t)::VARCHAR)::DOUBLE AS x2 FROM t
+        |  GROUP BY 1, 2, 3)
+        |SELECT n, ((ka - 1) * (kb - 1))::BIGINT AS dof,
+        |  round(x2, 6) AS chi2,
+        |  CASE WHEN (ka - 1) * (kb - 1) = 0 THEN NULL
+        |    ELSE round(sqrt(x2 / (n::DOUBLE
+        |      * least(ka - 1, kb - 1)::DOUBLE)), 6) END AS cramers_v
+        |FROM s""".stripMargin),
+
+    Q("q246_personalized_pagerank",
+      // Personalized PageRank (random walk with restart) on the
+      // co-purchase graph: teleport mass returns only to the seed
+      // items (partkey % 97 = 0), so ranks measure proximity TO THE
+      // SEEDS — the "related items" expansion primitive. Same
+      // fixed-point decimal algebra as q230, unrolled bit-for-bit.
+      (s, dir) => {
+        val e0 = graft.operators.Graph.basketEdges(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey")
+        val sym = e0.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+        val seeds = sym.select(col("src").as("node")).distinct()
+          .filter(col("node") % 97 === 0)
+        graft.operators.PageRank.personalized(sym, seeds,
+          iters = 4, damping = 0.85)
+          .orderBy(col("rank").desc, col("node")).limit(50)
+      },
+      {
+        val iters = (1 to 4).map { i =>
+          s"""r$i AS MATERIALIZED (SELECT nd.node, nd.sd,
+             |    round(nd.sd::DOUBLE * (1.0 - 0.85) / ns.ns
+             |      + 0.85 * coalesce(s.s::DOUBLE, 0.0), 12)
+             |      ::DECIMAL(28,12) AS rank
+             |  FROM nd CROSS JOIN ns LEFT JOIN (
+             |    SELECT sy.dst AS node,
+             |      sum(round(r.rank::DOUBLE / od.deg::DOUBLE, 12)
+             |        ::DECIMAL(28,12)) AS s
+             |    FROM sy JOIN r${i - 1} r ON sy.src = r.node
+             |    JOIN od ON od.src = sy.src
+             |    GROUP BY sy.dst) s ON s.node = nd.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $GraphEdgeCtes,
+           |sy AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+           |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+           |nd AS MATERIALIZED (SELECT node,
+           |    CASE WHEN node % 97 = 0 THEN 1 ELSE 0 END AS sd
+           |  FROM (SELECT DISTINCT src AS node FROM sy)),
+           |ns AS (SELECT sum(sd)::DOUBLE AS ns FROM nd),
+           |od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg
+           |  FROM sy GROUP BY src),
+           |r0 AS (SELECT node, sd,
+           |    round(sd::DOUBLE / ns.ns, 12)::DECIMAL(28,12) AS rank
+           |  FROM nd CROSS JOIN ns),
+           |$iters
+           |SELECT node, round(rank::DOUBLE, 9) AS rank FROM r4
+           |ORDER BY rank DESC, node LIMIT 50""".stripMargin
+      }),
+
+    Q("q247_ucb_allocation",
+      // UCB1 bandit allocation scores per event-type arm, rewards
+      // max-normalized to [0, 1] — the batch-scoring half of a bandit
+      // serving layer. One scan to per-arm decimal reward sums; the
+      // exploration bonus is one fixed expression on the arm frame.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        val vm = broadcast(ev.agg(max(col("value")).as("vmax")))
+        graft.operators.Bandit.ucb1(ev.crossJoin(vm), "event_type",
+          col("value") / col("vmax"))
+      },
+      """WITH vm AS (SELECT max(value) AS vmax FROM events
+        |  WHERE value IS NOT NULL),
+        |c AS (SELECT event_type AS arm, count(*)::BIGINT AS n,
+        |    sum((value / vm.vmax)::DECIMAL(18,6)) AS s
+        |  FROM events, vm WHERE value IS NOT NULL GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS bigN FROM c)
+        |SELECT arm, n, round((s::VARCHAR)::DOUBLE / n::DOUBLE, 6)
+        |    AS mean_reward,
+        |  round((s::VARCHAR)::DOUBLE / n::DOUBLE
+        |    + sqrt(2.0 * ln(t.bigN::DOUBLE) / n::DOUBLE), 6) AS ucb1
+        |FROM c, t ORDER BY ucb1 DESC, arm""".stripMargin),
+
+    Q("q248_hill_tail_index",
+      // Hill estimator of the power-law tail index of per-customer
+      // revenue from the top-101 order statistics — the "does this
+      // metric even have a finite variance?" gate in front of the
+      // mean-based readouts. TakeOrdered pulls k+1 rows; ln terms
+      // round to 9 dp and sum in DECIMAL; boundary ties are harmless
+      // (the top-(k+1) value multiset is tiebreak-independent).
+      (s, dir) => graft.operators.Tail.hill(
+        Tables.orders(s, dir).groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("x")),
+        "x", k = 100),
+      """WITH cust AS (SELECT
+        |    (sum(o_totalprice::DECIMAL(18,4))::VARCHAR)::DOUBLE AS v
+        |  FROM orders GROUP BY o_custkey),
+        |pos AS (SELECT v FROM cust WHERE v > 0),
+        |top AS (SELECT v FROM pos ORDER BY v DESC LIMIT 101),
+        |thr AS (SELECT min(v) AS xk1, count(*)::BIGINT AS m FROM top),
+        |t AS (SELECT thr.xk1, thr.m,
+        |    round(ln(v / thr.xk1), 9)::DECIMAL(28,9) AS t
+        |  FROM top, thr WHERE v > thr.xk1)
+        |SELECT count(*)::BIGINT AS k, xk1 AS x_k1,
+        |  round((sum(t)::VARCHAR)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS hill_h,
+        |  round(count(*)::DOUBLE / (sum(t)::VARCHAR)::DOUBLE, 6) AS alpha
+        |FROM t GROUP BY xk1, m""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -50,4 +50,41 @@ object Dependence {
           .otherwise(col("mi") / sqrt(col("h1") * col("h2"))), 6)
           .as("nmi"))
   }
+
+  /** Pearson χ² test of independence + Cramér's V — the classical
+    * hypothesis-test companion to [[mutualInformation]]. Same scale
+    * shape: one partial-agg scan to the contingency cells, float work
+    * on the metadata grid. Per-cell (O−E)²/E terms round to 9 dp and
+    * sum in DECIMAL, so the statistic is order-free on both engines.
+    * Returns one row (n, dof, chi2, cramers_v); dof 0 (a degenerate
+    * 1×k table) yields null V rather than a division blow-up. */
+  def chi2(df: DataFrame, c1: String, c2: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.groupBy(col(c1).as("a"), col(c2).as("b"))
+      .agg(count(lit(1)).as("nab")).localCheckpoint(true)
+    val ma = cells.groupBy("a").agg(sum("nab").as("na"))
+    val mb = cells.groupBy("b").agg(sum("nab").as("nb"))
+    val tot = broadcast(ma.agg(sum("na").as("n"),
+        count(lit(1)).as("ka"))
+      .crossJoin(mb.agg(count(lit(1)).as("kb"))))
+    // every (a, b) cell including empty ones: χ² charges E for zeros
+    val grid = ma.crossJoin(broadcast(mb))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("nab"), lit(0L)))
+    val e = col("na").cast("double") * col("nb").cast("double") /
+      col("n").cast("double")
+    val stat = grid.crossJoin(tot)
+      .select(col("n"), col("ka"), col("kb"),
+        round((col("o").cast("double") - e) * (col("o").cast("double") - e)
+          / e, 9).cast(DecimalType(28, 9)).as("t"))
+      .groupBy("n", "ka", "kb").agg(sum(col("t")).cast("double").as("x2"))
+    val dof = (col("ka") - 1) * (col("kb") - 1)
+    stat.select(col("n").cast("long").as("n"),
+      dof.cast("long").as("dof"),
+      round(col("x2"), 6).as("chi2"),
+      when(dof === 0, lit(null).cast("double"))
+        .otherwise(round(sqrt(col("x2") / (col("n").cast("double")
+          * least(col("ka") - 1, col("kb") - 1).cast("double"))), 6))
+        .as("cramers_v"))
+  }
 }

@@ -61,4 +61,49 @@ object PageRank {
     }
     ranks.select(col("node"), round(col("rank").cast("double"), outDp).as("rank"))
   }
+
+  /** Personalized PageRank (random walk with restart): teleport mass
+    * returns only to `seeds` instead of everywhere, so ranks measure
+    * proximity TO THE SEED SET — the "related items" / expansion
+    * primitive. Same fixed-point decimal algebra as [[run]] (the
+    * oracle unrolls it bit-for-bit); seeds are broadcast, iteration
+    * cost unchanged. `seeds` must have a `node` column and be a
+    * subset of the graph's nodes. */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+      damping: Double, outDp: Int = 9): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(seeds.select(col("node")).distinct()
+        .withColumn("__seed", lit(1L))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0L)).as("seed"))
+      .localCheckpoint(true)
+    val nSeeds = nodes.filter(col("seed") === 1L).count()
+    require(nSeeds >= 1, "at least one seed must be a graph node")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val teleport = round(col("seed").cast("double") * (1.0 - damping)
+      / nSeeds, 12)
+    val init = nodes.select(col("node"), col("seed"),
+      round(col("seed").cast("double") / nSeeds, 12)
+        .cast(DecimalType(28, 12)).as("rank"))
+    val ranks = (1 to iters).foldLeft(init) { case (r, _) =>
+      val contrib = e
+        .join(r.select(col("node").as("src"), col("rank")), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          round(col("rank").cast("double") / col("deg").cast("double"), 12)
+            .cast(DecimalType(28, 12)).as("c"))
+      nodes
+        .join(contrib.groupBy("node").agg(sum("c").as("s")),
+          Seq("node"), "left")
+        .select(col("node"), col("seed"),
+          round(teleport +
+            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12)
+            .cast(DecimalType(28, 12)).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"),
+      round(col("rank").cast("double"), outDp).as("rank"))
+  }
 }

@@ -31,6 +31,50 @@ object TimeSeries {
     * observed day grid (missing days are skipped, not zero-filled; use
     * GapFill upstream for a dense grid). Returns (lag, n_pairs, acf)
     * ordered by lag. */
+  /** Theil–Sen robust trend of the daily series: the MEDIAN of all
+    * pairwise slopes (x_j − x_i)/(t_j − t_i), breakdown point 29 % —
+    * the outlier-proof answer to "is revenue actually growing?".
+    * Intercept = median(x_i − slope·t_i) (the classic companion).
+    *
+    * The pairwise relation is CALENDAR² — bounded by observation days
+    * squared, independent of corpus size (a 7-year history is ~3 M
+    * pairs) — and both medians run on the exact value-grid selection
+    * (`Ranks.quantileDisc`'s convention: lower median, ceil(n/2)).
+    * Slopes are bit-identical doubles in both engines (exact decimal
+    * daily sums, integer day distances). Returns one row
+    * (n_days, n_pairs, slope_per_day, intercept). */
+  def theilSenDaily(df: DataFrame, tsCol: String, valueCol: String)
+      : DataFrame = {
+    val daily = df
+      .select(date_trunc("day", col(tsCol)).as("d"),
+        col(valueCol).cast(DecimalType(18, 4)).as("v"))
+      .groupBy("d").agg(sum(col("v")).as("x"))
+      .select(datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
+        col("x").cast("double").as("x"))
+      .localCheckpoint(true)
+    val pairs = daily.select(col("t").as("ti"), col("x").as("xi"))
+      .join(daily.select(col("t").as("tj"), col("x").as("xj")),
+        col("tj") > col("ti"))
+      .select(((col("xj") - col("xi"))
+        / (col("tj") - col("ti")).cast("double")).as("s"))
+      .localCheckpoint(true) // calendar²-bounded; reused by count + median
+    val slope = Ranks.quantileDisc(
+      pairs.withColumn("g", lit("all")), "g", "s", Seq(0.5))
+      .select(col("value").as("slope"))
+    val interc = daily.crossJoin(broadcast(slope))
+      .select(col("slope"), (col("x") - col("slope") * col("t")).as("r"))
+    val intercept = Ranks.quantileDisc(
+      interc.withColumn("g", lit("all")), "g", "r", Seq(0.5))
+      .select(col("value").as("intercept"))
+    daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+      .crossJoin(broadcast(slope))
+      .crossJoin(broadcast(intercept))
+      .select(col("n_days"), col("n_pairs"),
+        round(col("slope"), 6).as("slope_per_day"),
+        round(col("intercept"), 6).as("intercept"))
+  }
+
   /** Day-of-week seasonal index: for each dow (0 = Sunday … 6), the
     * mean DAILY total divided by the overall mean daily total — the
     * multiplicative seasonality profile (1.0 = flat). Same scale shape

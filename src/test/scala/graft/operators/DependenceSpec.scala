@@ -32,6 +32,37 @@ class DependenceSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0 && r.getDouble(4) == 0.0)
   }
 
+  test("chi2: perfectly independent balanced table gives chi2 = 0; " +
+      "identical columns give Cramér's V = 1") {
+    val ind = (0 until 900).map(i => (i % 3, (i / 3) % 5)).toDF("a", "b")
+    val r0 = Dependence.chi2(ind, "a", "b").head()
+    assert(r0.getLong(0) == 900 && r0.getLong(1) == 8L)
+    assert(r0.getDouble(2) == 0.0, s"chi2=${r0.getDouble(2)}")
+    val same = (0 until 300).map(i => (i % 4, i % 4)).toDF("a", "b")
+    val r1 = Dependence.chi2(same, "a", "b").head()
+    assert(r1.getDouble(3) == 1.0, s"V=${r1.getDouble(3)}")
+  }
+
+  test("chi2 matches the textbook 2x2 hand computation, including " +
+      "empty-cell E charges") {
+    // table: (x,p)=20 (x,q)=10 (y,p)=10 (y,q)=20; n=60
+    val rows = Seq.fill(20)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(20)(("y", "q"))
+    val r = Dependence.chi2(rows.toDF("a", "b"), "a", "b").head()
+    // E = 15 everywhere; chi2 = 4 * 25/15 = 20/3
+    val exp = BigDecimal(4 * (25.0 / 15.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(2) - exp) < 2e-6, s"$r vs $exp")
+    assert(r.getLong(1) == 1L)
+    // empty-cell charge: drop (y,q) entirely → grid must still charge E
+    val sparse = Seq.fill(6)(("x", "p")) ++ Seq.fill(6)(("x", "q")) ++
+      Seq.fill(6)(("y", "p"))
+    val r2 = Dependence.chi2(sparse.toDF("a", "b"), "a", "b").head()
+    // marginals: x=12, y=6, p=12, q=6, n=18; E(y,q)=2, O=0 → term 2
+    // E(x,p)=8 O=6 → .5; E(x,q)=4 O=6 → 1; E(y,p)=4 O=6 → 1
+    assert(math.abs(r2.getDouble(2) - 4.5) < 1e-6, s"$r2")
+  }
+
   test("markov transitions: deterministic cycle gives ppm-exact rows " +
       "and per-from probabilities sum to ~1e6") {
     // one user, strict a->b->c->a cycle

@@ -26,6 +26,31 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-6, s"sum=${r.values.sum}")
   }
 
+  test("personalized: mass concentrates around the seed; a component " +
+      "with no seed stays at exactly zero") {
+    import org.apache.spark.sql.Row
+    // two disconnected triangles; seed node 1 in the first
+    val edges = sym((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r = PageRank.personalized(edges, seeds, 5, 0.85)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(r(1L) > r(2L) && r(2L) == r(3L), s"$r")
+    Seq(10L, 11L, 12L).foreach(n =>
+      assert(r(n) == 0.0, s"unseeded component leaked mass: $r"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+  }
+
+  test("personalized with ALL nodes as seeds equals plain PageRank") {
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val all = edges.select(col("src").as("node")).distinct()
+    val p = PageRank.personalized(edges, all, 4, 0.85)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    val plain = PageRank.run(edges, 4, 0.85)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(p == plain, s"$p vs $plain")
+  }
+
   test("one iteration matches the hand-computed damped update") {
     // path 1-2-3 symmetrized: deg(1)=deg(3)=1, deg(2)=2; from uniform
     // r=1/3: node1 gets r2/2, node2 gets r1+r3, node3 gets r2/2

@@ -73,6 +73,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(others.forall(v => v < 1.0 && v == others.head), s"$out")
   }
 
+  test("theilSenDaily: exact slope and intercept on a clean line") {
+    // x_t = 100 + 5*t for 12 days; slope 5, intercept = 100 - 5*t0
+    // with t = days since epoch
+    val df = series((0 until 12).map(i => 100.0 + 5.0 * i))
+    val r = TimeSeries.theilSenDaily(df, "ts", "v").collect().head
+    assert(r.getLong(0) == 12L && r.getLong(1) == 66L, s"$r")
+    assert(r.getDouble(2) == 5.0)
+    val t0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toDouble
+    assert(r.getDouble(3) == 100.0 - 5.0 * t0, s"$r")
+  }
+
+  test("theilSenDaily shrugs off an outlier day that wrecks OLS") {
+    // clean slope 2 with one corrupted day (value 1e6)
+    val vals = (0 until 15).map(i => 50.0 + 2.0 * i)
+      .updated(7, 1e6)
+    val r = TimeSeries.theilSenDaily(series(vals), "ts", "v")
+      .collect().head
+    assert(math.abs(r.getDouble(2) - 2.0) < 0.2,
+      s"robust slope ${r.getDouble(2)}")
+  }
+
   test("dailyAcf aggregates intra-day rows to the daily grid first") {
     // two rows per day summing to the single-row series above
     val half = Seq(55.0, 115.0, 75.0, 155.0)
