@@ -8025,7 +8025,178 @@ object SparkEntry {
         |  round((sum(t)::VARCHAR)::DOUBLE / count(*)::DOUBLE, 6)
         |    AS hill_h,
         |  round(count(*)::DOUBLE / (sum(t)::VARCHAR)::DOUBLE, 6) AS alpha
-        |FROM t GROUP BY xk1, m""".stripMargin))
+        |FROM t GROUP BY xk1, m""".stripMargin),
+
+    Q("q249_cusum_changepoint",
+      // CUSUM change-point scan of daily revenue: argmax_t |Σ(x−μ̂)|
+      // localizes the mean shift that per-batch drift monitors (PSI)
+      // can only flag. Centred terms are bit-identical doubles rounded
+      // to 4 dp; prefix sum AND argmax run on DECIMALs over the
+      // calendar grid (ties to the earliest day, compared exactly).
+      (s, dir) => graft.operators.TimeSeries.cusumDaily(
+        Tables.orders(s, dir), "o_orderdate", "o_totalprice"),
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    sum(o_totalprice::DECIMAL(18,4)) AS x FROM orders GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS n,
+        |    (sum(x)::VARCHAR)::DOUBLE AS sx FROM daily),
+        |c AS (SELECT d, st.n,
+        |    (x::DOUBLE - st.sx / st.n::DOUBLE) AS c FROM daily, st),
+        |cum AS (SELECT d, n,
+        |    sum(round(c, 4)::DECIMAL(38,4)) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |    round(c * c, 0)::DECIMAL(38,0) AS q FROM c),
+        |den AS (SELECT (sum(q)::VARCHAR)::DOUBLE AS den FROM cum),
+        |pk AS (SELECT n, d, s FROM cum
+        |  ORDER BY abs(s) DESC, d ASC LIMIT 1)
+        |SELECT pk.n AS n_days, pk.d::TIMESTAMP AS change_date,
+        |  round((pk.s::VARCHAR)::DOUBLE, 6) AS cusum_peak,
+        |  round(abs((pk.s::VARCHAR)::DOUBLE) / sqrt(den.den), 6)
+        |    AS cusum_stat
+        |FROM pk, den""".stripMargin),
+
+    Q("q250_js_divergence",
+      // Jensen-Shannon divergence between the language distributions
+      // of the even and odd corpus halves — the bounded symmetric
+      // categorical-drift measure beside q167's binned PSI; zero
+      // cells are exact limits, no smoothing constant. One scan to
+      // the language grid, 9-dp decimal term sums.
+      (s, dir) => graft.operators.Drift.jsDivergence(
+        Tables.documents(s, dir), "lang", col("doc_id") % 2 === 0),
+      """WITH cells AS (SELECT lang AS k,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+        |  FROM cells),
+        |t AS (SELECT tot.na, tot.nb, round(
+        |    (CASE WHEN ca::DOUBLE / tot.na::DOUBLE > 0.0
+        |      THEN ca::DOUBLE / tot.na::DOUBLE
+        |        * ln((ca::DOUBLE / tot.na::DOUBLE)
+        |          / ((ca::DOUBLE / tot.na::DOUBLE
+        |            + cb::DOUBLE / tot.nb::DOUBLE) / 2.0))
+        |      ELSE 0.0 END) / 2.0
+        |    + (CASE WHEN cb::DOUBLE / tot.nb::DOUBLE > 0.0
+        |      THEN cb::DOUBLE / tot.nb::DOUBLE
+        |        * ln((cb::DOUBLE / tot.nb::DOUBLE)
+        |          / ((ca::DOUBLE / tot.na::DOUBLE
+        |            + cb::DOUBLE / tot.nb::DOUBLE) / 2.0))
+        |      ELSE 0.0 END) / 2.0, 9)::DECIMAL(28,9) AS t
+        |  FROM cells, tot),
+        |s AS (SELECT na, nb, (sum(t)::VARCHAR)::DOUBLE AS js FROM t
+        |  GROUP BY 1, 2)
+        |SELECT na AS n_a, nb AS n_b, round(js, 6) AS js_nats,
+        |  round(js / ln(2.0), 6) AS js_norm
+        |FROM s""".stripMargin),
+
+    Q("q251_clustering_coefficient",
+      // Per-vertex local clustering coefficient of the co-purchase
+      // graph — q164's global closure rate localized (cliques vs
+      // stars). Compact-forward wedges + semi-join closure; each
+      // triangle credits its three corners via one explode; exact
+      // integer counts, one rounded division per vertex.
+      (s, dir) => graft.operators.Triangles.localClustering(
+        graft.operators.Graph.basketEdges(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey")).orderBy("v"),
+      s"""WITH $GraphEdgeCtes,
+         |deg AS (SELECT v, count(*)::BIGINT AS deg FROM (
+         |    SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+         |  GROUP BY v),
+         |tri AS (SELECT v, count(*)::BIGINT AS n_tri FROM (
+         |    SELECT unnest([w.x, w.y, w.z]) AS v FROM (
+         |      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |      FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+         |      WHERE EXISTS (SELECT 1 FROM e0 e3
+         |        WHERE e3.a = e1.a AND e3.b = e2.b)) w)
+         |  GROUP BY v)
+         |SELECT deg.v, deg.deg, coalesce(tri.n_tri, 0)::BIGINT AS n_tri,
+         |  CASE WHEN deg.deg < 2 THEN 0.0
+         |    ELSE round(2.0 * coalesce(tri.n_tri, 0)::DOUBLE
+         |      / (deg.deg::DOUBLE * (deg.deg::DOUBLE - 1.0)), 6)
+         |  END AS lcc
+         |FROM deg LEFT JOIN tri USING (v) ORDER BY v""".stripMargin),
+
+    Q("q252_rfm_segments",
+      // RFM segmentation: recency/frequency/monetary quartile scores
+      // per customer (thresholds from the exact no-global-sort grid at
+      // binary-exact quartiles), reported as the occupied-cell cube
+      // with customer counts and revenue. Scoring is pure integer
+      // comparisons against broadcast thresholds.
+      (s, dir) => graft.operators.Customer.rfmSegments(
+        Tables.orders(s, dir), "o_custkey", "o_orderdate",
+        "o_totalprice"),
+      """WITH mx AS (SELECT max(date_trunc('day', o_orderdate)) AS dmax
+        |  FROM orders),
+        |per AS (SELECT o_custkey,
+        |    date_diff('day', max(date_trunc('day', o_orderdate))::DATE,
+        |      mx.dmax::DATE)::INT AS r,
+        |    count(*)::BIGINT AS f,
+        |    sum(o_totalprice::DECIMAL(18,4)) AS mdec
+        |  FROM orders, mx GROUP BY o_custkey, mx.dmax),
+        |th AS (SELECT
+        |    quantile_disc(r::DOUBLE, 0.25) AS rq1,
+        |    quantile_disc(r::DOUBLE, 0.5) AS rq2,
+        |    quantile_disc(r::DOUBLE, 0.75) AS rq3,
+        |    quantile_disc(f::DOUBLE, 0.25) AS fq1,
+        |    quantile_disc(f::DOUBLE, 0.5) AS fq2,
+        |    quantile_disc(f::DOUBLE, 0.75) AS fq3,
+        |    quantile_disc((mdec::VARCHAR)::DOUBLE, 0.25) AS mq1,
+        |    quantile_disc((mdec::VARCHAR)::DOUBLE, 0.5) AS mq2,
+        |    quantile_disc((mdec::VARCHAR)::DOUBLE, 0.75) AS mq3
+        |  FROM per),
+        |sc AS (SELECT
+        |    1 + (CASE WHEN r::DOUBLE > th.rq1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN r::DOUBLE > th.rq2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN r::DOUBLE > th.rq3 THEN 1 ELSE 0 END)
+        |      AS r_score,
+        |    1 + (CASE WHEN f::DOUBLE > th.fq1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN f::DOUBLE > th.fq2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN f::DOUBLE > th.fq3 THEN 1 ELSE 0 END)
+        |      AS f_score,
+        |    1 + (CASE WHEN (mdec::VARCHAR)::DOUBLE > th.mq1
+        |        THEN 1 ELSE 0 END)
+        |      + (CASE WHEN (mdec::VARCHAR)::DOUBLE > th.mq2
+        |        THEN 1 ELSE 0 END)
+        |      + (CASE WHEN (mdec::VARCHAR)::DOUBLE > th.mq3
+        |        THEN 1 ELSE 0 END)
+        |      AS m_score,
+        |    mdec
+        |  FROM per, th)
+        |SELECT r_score::INT AS r_score, f_score::INT AS f_score,
+        |  m_score::INT AS m_score, count(*)::BIGINT AS n_customers,
+        |  round((sum(mdec)::VARCHAR)::DOUBLE, 2) AS revenue
+        |FROM sc GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin),
+
+    Q("q253_cohort_ltv",
+      // Cohort LTV curves: cumulative revenue per acquisition-month
+      // cohort by month offset, absolute and per customer — the
+      // revenue companion to q125's retention counts. Decimal cumsum
+      // windows per cohort over the calendar-bounded offset grid.
+      (s, dir) => graft.operators.Customer.cohortLtv(
+        Tables.orders(s, dir), "o_custkey", "o_orderdate",
+        "o_totalprice"),
+      """WITH fm AS (SELECT o_custkey AS c,
+        |    min(date_trunc('month', o_orderdate)) AS cohort
+        |  FROM orders GROUP BY 1),
+        |sz AS (SELECT cohort, count(*)::BIGINT AS n_customers FROM fm
+        |  GROUP BY 1),
+        |rv AS (SELECT fm.cohort,
+        |    date_diff('month', fm.cohort,
+        |      date_trunc('month', o.o_orderdate))::INT AS mo,
+        |    sum(o.o_totalprice::DECIMAL(18,4)) AS rev
+        |  FROM orders o JOIN fm ON o.o_custkey = fm.c GROUP BY 1, 2),
+        |cm AS (SELECT cohort, mo,
+        |    sum(rev) OVER (PARTITION BY cohort ORDER BY mo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rv)
+        |SELECT cm.cohort::TIMESTAMP AS cohort, cm.mo AS "offset",
+        |  sz.n_customers,
+        |  round((cm.cum::VARCHAR)::DOUBLE, 2) AS cum_revenue,
+        |  round((cm.cum::VARCHAR)::DOUBLE / sz.n_customers::DOUBLE, 6)
+        |    AS ltv
+        |FROM cm JOIN sz USING (cohort)
+        |ORDER BY cohort, mo""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

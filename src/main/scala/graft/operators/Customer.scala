@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Customer-base analytics: RFM segmentation (the classic
+  * recency/frequency/monetary quartile cube) and cohort LTV curves
+  * (cumulative revenue per acquisition cohort by month offset — the
+  * revenue companion to q125's retention counts).
+  *
+  * Scale shapes: both reduce the order stream to ONE ROW PER CUSTOMER
+  * with partial aggregates, then work on customer- or calendar²-scale
+  * frames. RFM thresholds come from [[Ranks.quantileDisc]]'s exact
+  * no-global-sort grid at binary-exact quartiles; scoring is integer
+  * comparisons against broadcast thresholds. LTV's running sum windows
+  * per cohort over month offsets — a calendar-bounded grid.
+  */
+object Customer {
+
+  private val d184 = DecimalType(18, 4)
+
+  /** RFM quartile segments: r_score/f_score/m_score ∈ 1..4 by the
+    * .25/.5/.75 thresholds (score = 1 + #{thresholds strictly
+    * exceeded}; note recency scores 1 for the MOST recent customers —
+    * the raw quartile index, not a reversed "goodness"). Returns one
+    * row per occupied cell: (r_score, f_score, m_score, n_customers,
+    * revenue), ordered by the three scores. */
+  def rfmSegments(orders: DataFrame, custCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val dmax = broadcast(orders
+      .agg(max(date_trunc("day", col(tsCol))).as("dmax")))
+    val per = orders
+      .groupBy(col(custCol).as("c"))
+      .agg(max(date_trunc("day", col(tsCol))).as("dlast"),
+        count(lit(1)).as("f"),
+        sum(col(valueCol).cast(d184)).as("mdec"))
+      .crossJoin(dmax)
+      .select(col("c"),
+        datediff(col("dmax"), col("dlast")).cast("int").as("r"),
+        col("f"), col("mdec"))
+      .localCheckpoint(true) // customer-scale; feeds thresholds + scoring
+    val labeled = per.select(lit("r").as("metric"),
+        col("r").cast("double").as("mv"))
+      .unionAll(per.select(lit("f").as("metric"),
+        col("f").cast("double").as("mv")))
+      .unionAll(per.select(lit("m").as("metric"),
+        col("mdec").cast("double").as("mv")))
+    val thAggs = Seq("r", "f", "m").flatMap { mName =>
+      Seq(0.25 -> 1, 0.5 -> 2, 0.75 -> 3).map { case (p, i) =>
+        max(when(col("metric") === mName && col("p") === p, col("value")))
+          .as(s"${mName}q$i")
+      }
+    }
+    val th = broadcast(
+      Ranks.quantileDisc(labeled, "metric", "mv", Seq(0.25, 0.5, 0.75))
+        .groupBy().agg(thAggs.head, thAggs.tail: _*))
+
+    def score(v: org.apache.spark.sql.Column, pfx: String) =
+      lit(1) + when(v > col(s"${pfx}q1"), 1).otherwise(0) +
+        when(v > col(s"${pfx}q2"), 1).otherwise(0) +
+        when(v > col(s"${pfx}q3"), 1).otherwise(0)
+
+    per.crossJoin(th)
+      .select(score(col("r").cast("double"), "r").as("r_score"),
+        score(col("f").cast("double"), "f").as("f_score"),
+        score(col("mdec").cast("double"), "m").as("m_score"),
+        col("mdec"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("mdec")).cast("double"), 2).as("revenue"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Cohort LTV: cumulative revenue per acquisition-month cohort by
+    * month offset, absolute and per acquired customer. Returns
+    * (cohort, offset, n_customers, cum_revenue, ltv) ordered by
+    * (cohort, offset). */
+  def cohortLtv(orders: DataFrame, custCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val om = date_trunc("month", col(tsCol))
+    val firstm = orders.groupBy(col(custCol).as("c"))
+      .agg(min(om).as("cohort"))
+    val sizes = firstm.groupBy("cohort")
+      .agg(count(lit(1)).as("n_customers"))
+    val rev = orders
+      .join(firstm.withColumnRenamed("c", custCol), custCol)
+      .groupBy(col("cohort"),
+        months_between(om, col("cohort")).cast("int").as("offset"))
+      .agg(sum(col(valueCol).cast(d184)).as("rev"))
+    val w = Window.partitionBy("cohort").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(broadcast(sizes), "cohort")
+      .withColumn("cum", sum(col("rev")).over(w)) // calendar² grid
+      .select(col("cohort"), col("offset"), col("n_customers"),
+        round(col("cum").cast("double"), 2).as("cum_revenue"),
+        round(col("cum").cast("double")
+          / col("n_customers").cast("double"), 6).as("ltv"))
+      .orderBy("cohort", "offset")
+  }
+}

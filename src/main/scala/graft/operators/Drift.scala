@@ -106,4 +106,36 @@ object Drift {
         round(sum((col("cur_p") - col("ref_p")) *
           log(col("cur_p") / col("ref_p"))), 6).as("psi"))
   }
+
+  /** Jensen–Shannon divergence between the CATEGORY distributions of
+    * two slices — the bounded, symmetric drift measure ([0, ln 2]
+    * nats) that PSI's binned form approximates: JS = ½KL(P‖M) +
+    * ½KL(Q‖M), M = ½(P+Q). Zero-count categories are exact limits
+    * (0·ln 0 = 0), so no smoothing constant to tune — the reason to
+    * prefer JS for categorical drift. One partial-agg scan to the
+    * category grid; per-category terms are identical double
+    * expressions rounded to 9 dp and DECIMAL-summed. Returns one row
+    * (n_a, n_b, js_nats, js_norm) with js_norm = JS/ln 2 ∈ [0, 1]. */
+  def jsDivergence(df: DataFrame, keyCol: String, inA: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df
+      .select(col(keyCol).as("k"), inA.as("__a"))
+      .groupBy("k")
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("cb"))
+    val tot = broadcast(cells.agg(sum("ca").as("na"), sum("cb").as("nb")))
+    val p = col("ca").cast("double") / col("na").cast("double")
+    val q = col("cb").cast("double") / col("nb").cast("double")
+    val m = (p + q) / 2.0
+    def kl(x: Column) = when(x > 0.0, x * log(x / m)).otherwise(lit(0.0))
+    cells.crossJoin(tot)
+      .select(col("na"), col("nb"),
+        round(kl(p) / 2.0 + kl(q) / 2.0, 9)
+          .cast(DecimalType(28, 9)).as("t"))
+      .groupBy("na", "nb").agg(sum(col("t")).cast("double").as("js"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("js"), 6).as("js_nats"),
+        round(col("js") / math.log(2.0), 6).as("js_norm"))
+  }
 }

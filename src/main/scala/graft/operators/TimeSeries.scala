@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -31,6 +32,52 @@ object TimeSeries {
     * observed day grid (missing days are skipped, not zero-filled; use
     * GapFill upstream for a dense grid). Returns (lag, n_pairs, acf)
     * ordered by lag. */
+  /** CUSUM change-point detection on the daily series (Page 1954 /
+    * the Brownian-bridge scan): s_t = Σ_{u≤t}(x_u − μ̂), the change
+    * point is argmax_t |s_t| (earliest day on ties) and the
+    * normalized statistic is max|s_t| / √Σ(x_u − μ̂)² — ≳1.36 rejects
+    * "no change" at 5 % (Kolmogorov). The mean-shift detector for
+    * pipeline regressions that drift monitors binned per-batch (PSI,
+    * q167) can't localize in time.
+    *
+    * Determinism: centred terms are bit-identical doubles rounded to
+    * 4 dp; the prefix sum and the argmax both run on DECIMALs over the
+    * calendar-bounded grid (ties compared exactly, never by float).
+    * Returns one row (n_days, change_date, cusum_peak, cusum_stat). */
+  def cusumDaily(df: DataFrame, tsCol: String, valueCol: String)
+      : DataFrame = {
+    val daily = df
+      .select(date_trunc("day", col(tsCol)).as("d"),
+        col(valueCol).cast(DecimalType(18, 4)).as("v"))
+      .groupBy("d").agg(sum(col("v")).as("x"))
+      .localCheckpoint(true)
+    val stats = broadcast(daily.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx")))
+    val centred = daily.crossJoin(stats)
+      .select(col("d"), col("n"),
+        (col("x").cast("double") - col("sx") / col("n").cast("double"))
+          .as("c"))
+    val w = Window.orderBy("d") // calendar-scale grid
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = centred
+      .withColumn("s", sum(round(col("c"), 4).cast(DecimalType(38, 4)))
+        .over(w))
+      .withColumn("q", round(col("c") * col("c"), 0)
+        .cast(DecimalType(38, 0)))
+    cum.groupBy("n")
+      .agg(max(struct(abs(col("s")).as("a"),
+          (-unix_timestamp(col("d"))).as("nt"), col("d").as("d"),
+          col("s").as("s"))).as("m"),
+        sum(col("q")).cast("double").as("den"))
+      .select(col("n").as("n_days"), col("m.d").as("change_date"),
+        round(col("m.s").cast("double"), 6).as("cusum_peak"),
+        // a constant series has zero variance: no change point exists
+        // and the statistic is undefined — null, not an ANSI error
+        when(col("den") === 0.0, lit(null).cast("double"))
+          .otherwise(round(abs(col("m.s").cast("double"))
+            / sqrt(col("den")), 6)).as("cusum_stat"))
+  }
+
   /** Theil–Sen robust trend of the daily series: the MEDIAN of all
     * pairwise slopes (x_j − x_i)/(t_j − t_i), breakdown point 29 % —
     * the outlier-proof answer to "is revenue actually growing?".

@@ -49,4 +49,35 @@ object Triangles {
           .otherwise(round(col("n_triangles").cast("double") /
             col("n_wedges").cast("double"), 6)).as("closure_rate"))
   }
+
+  /** Per-vertex local clustering coefficient
+    * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — [[count]]'s global closure
+    * rate localized: which vertices sit in cliques vs stars. Same
+    * compact-forward wedge/semi-join shape; each closed triangle
+    * (x < y < z) credits ALL THREE corners via one explode. Degree-1
+    * vertices have an undefined coefficient and report 0 (the
+    * convention that keeps corpus averages finite). Returns
+    * (v, deg, n_tri, lcc) — exact integer counts, one rounded
+    * division. */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    val tri = e.toDF("x", "y")
+      .join(e.toDF("y", "z"), "y")
+      .join(e.toDF("x", "z"), Seq("x", "z"), "left_semi")
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") < 2, 0.0)
+          .otherwise(round(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+              .cast("double") /
+            (col("deg").cast("double") * (col("deg").cast("double") - 1.0)),
+            6)).as("lcc"))
+  }
 }

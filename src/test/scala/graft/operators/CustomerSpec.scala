@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CustomerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int) = java.sql.Timestamp.valueOf(
+    java.time.LocalDate.of(2024, 1, 1).plusDays(day - 1).atStartOfDay)
+
+  test("rfmSegments: every customer lands in exactly one cell and " +
+      "counts/revenue reconcile") {
+    val orders = graft.Tables.orders(spark, SfDir)
+    val out = Customer.rfmSegments(orders, "o_custkey", "o_orderdate",
+      "o_totalprice").collect()
+    val nCust = orders.select("o_custkey").distinct().count()
+    assert(out.map(_.getLong(3)).sum == nCust)
+    out.foreach { r =>
+      Seq(r.getInt(0), r.getInt(1), r.getInt(2)).foreach(s =>
+        assert(s >= 1 && s <= 4, s"score out of range: $r"))
+    }
+  }
+
+  test("rfmSegments: hand fixture — quartile scores follow the " +
+      "strictly-exceeds convention") {
+    // 4 customers: monetary 10/20/30/40 → m thresholds 10/20/30 →
+    // scores 1/2/3/4; all same recency (score 1) and frequency 1
+    val orders = Seq(
+      (1L, ts(5), 10.0), (2L, ts(5), 20.0),
+      (3L, ts(5), 30.0), (4L, ts(5), 40.0)
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Customer.rfmSegments(orders, "o_custkey", "o_orderdate",
+      "o_totalprice").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, 1, 1, 1L), (1, 1, 2, 1L),
+      (1, 1, 3, 1L), (1, 1, 4, 1L)), s"${out.toSeq}")
+  }
+
+  test("cohortLtv: cumulative within cohort is monotone and the tail " +
+      "equals cohort revenue / cohort size") {
+    val orders = Seq(
+      // cohort Jan: cust 1 buys Jan 100, Feb 50; cust 2 buys Jan 30
+      (1L, ts(10), 100.0), (1L, ts(40), 50.0), (2L, ts(20), 30.0),
+      // cohort Feb: cust 3 buys Feb 80, Apr 20
+      (3L, ts(35), 80.0), (3L, ts(100), 20.0)
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Customer.cohortLtv(orders, "o_custkey", "o_orderdate",
+      "o_totalprice").collect()
+      .map(r => (r.getTimestamp(0).toString.take(7), r.getInt(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val jan = out.filter(_._1 == "2024-01")
+    assert(jan.map(_._2).toSeq == Seq(0, 1))
+    assert(jan.map(_._4).toSeq == Seq(130.0, 180.0)) // cumulative
+    assert(jan.last._5 == 90.0) // 180 / 2 customers
+    val feb = out.filter(_._1 == "2024-02")
+    assert(feb.map(_._4).toSeq == Seq(80.0, 100.0))
+    assert(feb.map(_._2).toSeq == Seq(0, 2)) // gap month absent, not 0
+    assert(feb.forall(_._3 == 1L))
+  }
+}

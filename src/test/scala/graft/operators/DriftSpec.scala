@@ -43,4 +43,36 @@ class DriftSpec extends SparkSpec {
     assert(!r.isNullAt(r.fieldIndex("psi")),
       "psi must be defined (smoothed) on an empty slice, not NULL")
   }
+
+  test("jsDivergence: identical category distributions give exactly 0") {
+    import spark.implicits._
+    // both halves see the same lang multiset
+    val rows = Seq("en", "en", "fr", "de").flatMap(l =>
+      Seq((l, 0L), (l, 1L)))
+    val r = Drift.jsDivergence(rows.toDF("lang", "half"),
+      "lang", col("half") === 0L).head()
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0, s"$r")
+  }
+
+  test("jsDivergence: disjoint supports saturate at ln 2 (js_norm = 1) " +
+      "with no smoothing artifacts on the zero cells") {
+    import spark.implicits._
+    val rows = Seq(("en", 0L), ("en", 0L), ("fr", 1L), ("de", 1L))
+    val r = Drift.jsDivergence(rows.toDF("lang", "half"),
+      "lang", col("half") === 0L).head()
+    assert(r.getDouble(3) == 1.0, s"$r")
+    val exp = BigDecimal(math.log(2.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == exp)
+  }
+
+  test("jsDivergence is symmetric in the two slices") {
+    import spark.implicits._
+    val rows = Seq(("a", 0L), ("a", 0L), ("b", 0L), ("a", 1L),
+      ("b", 1L), ("b", 1L), ("c", 1L))
+    val df = rows.toDF("k", "half")
+    val fwd = Drift.jsDivergence(df, "k", col("half") === 0L).head()
+    val rev = Drift.jsDivergence(df, "k", col("half") === 1L).head()
+    assert(fwd.getDouble(2) == rev.getDouble(2), s"$fwd vs $rev")
+  }
 }

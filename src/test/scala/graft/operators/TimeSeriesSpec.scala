@@ -9,7 +9,8 @@ class TimeSeriesSpec extends SparkSpec {
 
   private def series(vals: Seq[Double]) =
     vals.zipWithIndex.map { case (v, i) =>
-      (java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 10:30:00"), v)
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i).atTime(10, 30)), v)
     }.toDF("ts", "v")
 
   /** Local replica of the estimator including the integer term
@@ -71,6 +72,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1) > 1.5, s"$out")
     val others = out.filter(_._1 != 1).values.toSeq
     assert(others.forall(v => v < 1.0 && v == others.head), s"$out")
+  }
+
+  test("cusumDaily pinpoints an injected level shift at its last " +
+      "pre-shift day and clears the 5% Kolmogorov bar") {
+    // 10 days at 100, then 10 days at 300 → |cusum| peaks at day 10
+    val vals = Seq.fill(10)(100.0) ++ Seq.fill(10)(300.0)
+    val r = TimeSeries.cusumDaily(series(vals), "ts", "v")
+      .collect().head
+    assert(r.getLong(0) == 20L)
+    assert(r.getTimestamp(1).toString.startsWith("2024-01-10"), s"$r")
+    assert(math.abs(r.getDouble(2)) == 1000.0, s"peak ${r.getDouble(2)}")
+    assert(r.getDouble(3) > 1.36, s"stat ${r.getDouble(3)}")
+  }
+
+  test("cusumDaily: a trendless stable series stays under the bar, " +
+      "and a constant series reports null (undefined), not an error") {
+    val stable = Seq.tabulate(40)(i =>
+      200.0 + (if (i % 2 == 0) 3.0 else -3.0))
+    val r = TimeSeries.cusumDaily(series(stable), "ts", "v")
+      .collect().head
+    assert(r.getDouble(3) < 1.36, s"stat ${r.getDouble(3)}")
+    val const = TimeSeries.cusumDaily(series(Seq.fill(10)(50.0)),
+      "ts", "v").collect().head
+    assert(const.isNullAt(3))
   }
 
   test("theilSenDaily: exact slope and intercept on a clean line") {

@@ -40,4 +40,20 @@ class TrianglesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_triangles") === 1L)
     assert(r.getAs[Long]("n_wedges") === 3L)
   }
+
+  test("localClustering: clique vertices score 1, star center 0, " +
+      "pendant (deg 1) reports the 0 convention") {
+    import spark.implicits._
+    // triangle {1,2,3} with pendant 4 on vertex 3; star center 10
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (10L, 20L), (10L, 21L), (10L, 22L)).toDF("a", "b")
+    val m = Triangles.localClustering(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(m(1L) == ((2L, 1L, 1.0)) && m(2L) == ((2L, 1L, 1.0)))
+    assert(m(3L) == ((3L, 1L, BigDecimal(1.0 / 3.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(m(4L) == ((1L, 0L, 0.0)))
+    assert(m(10L) == ((3L, 0L, 0.0)))
+  }
 }
