@@ -8196,7 +8196,116 @@ object SparkEntry {
         |  round((cm.cum::VARCHAR)::DOUBLE / sz.n_customers::DOUBLE, 6)
         |    AS ltv
         |FROM cm JOIN sz USING (cohort)
-        |ORDER BY cohort, mo""".stripMargin))
+        |ORDER BY cohort, mo""".stripMargin),
+
+    Q("q254_behavior_entropy",
+      // Behavioral-diversity profile: per-user Shannon entropy of the
+      // event-type histogram, summarized as mean + exact quartiles —
+      // the bot-screening / stratification diagnostic. Each user's
+      // entropy is a 9-dp decimal term sum (order-free); the summary
+      // reuses the exact quantile grid.
+      (s, dir) => graft.operators.Dependence.entropyProfile(
+        Tables.events(s, dir), "user_id", "event_type"),
+      """WITH cells AS (SELECT user_id AS u, event_type AS c,
+        |    count(*)::BIGINT AS nc FROM events GROUP BY 1, 2),
+        |tot AS (SELECT u, sum(nc)::BIGINT AS nu FROM cells GROUP BY 1),
+        |ent AS (SELECT cells.u,
+        |    sum(round(-1.0 * (nc::DOUBLE / nu::DOUBLE)
+        |      * ln(nc::DOUBLE / nu::DOUBLE), 9)::DECIMAL(28,9)) AS hd
+        |  FROM cells JOIN tot USING (u) GROUP BY 1),
+        |h AS (SELECT u, hd, (hd::VARCHAR)::DOUBLE AS h FROM ent),
+        |q AS (SELECT quantile_disc(h, 0.25) AS p25,
+        |    quantile_disc(h, 0.5) AS p50,
+        |    quantile_disc(h, 0.75) AS p75 FROM h),
+        |s AS (SELECT count(*)::BIGINT AS n_entities,
+        |    (sum(hd)::VARCHAR)::DOUBLE AS sh FROM h)
+        |SELECT s.n_entities,
+        |  round(s.sh / s.n_entities::DOUBLE, 6) AS mean_entropy,
+        |  round(q.p25, 6) AS p25, round(q.p50, 6) AS p50,
+        |  round(q.p75, 6) AS p75
+        |FROM s, q""".stripMargin),
+
+    Q("q255_heaps_law",
+      // Heaps'-law vocabulary-growth fit V = k·N^β over md5-nested
+      // corpus subsets (level L keeps hash % 2^L = 0) — q113 Zipf's
+      // companion corpus health check; saturating β flags template/
+      // generated text. Union of all levels costs < 2× one scan;
+      // log-log OLS on the 6-point frame with 9-dp decimal term sums.
+      (s, dir) => TextAnalysis.heapsLaw(
+        Tables.documents(s, dir), "text", "doc_id", levels = 6),
+      {
+        val h = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))" +
+          "::UBIGINT)::BIGINT"
+        def t9(e: String) = s"(sum(round($e, 9)::DECIMAL(28,9))" +
+          "::VARCHAR)::DOUBLE"
+        val beta = "(sxy - sx * sy / np) / (sxx - sx * sx / np)"
+        s"""WITH toks AS (SELECT $h AS h, unnest($toksSql) AS tok
+           |  FROM documents),
+           |lv AS (SELECT l.lev, tok FROM toks,
+           |    (SELECT unnest(range(0, 6)) AS lev) l
+           |  WHERE h % (1::BIGINT << l.lev) = 0),
+           |pts AS (SELECT lev, count(*)::BIGINT AS ntok,
+           |    count(DISTINCT tok)::BIGINT AS ntyp FROM lv GROUP BY 1),
+           |p2 AS (SELECT lev, ntok, ntyp, ln(ntok::DOUBLE) AS x,
+           |    ln(ntyp::DOUBLE) AS y FROM pts),
+           |m AS (SELECT count(*)::DOUBLE AS np,
+           |    ${t9("x")} AS sx, ${t9("y")} AS sy,
+           |    ${t9("x * y")} AS sxy, ${t9("x * x")} AS sxx,
+           |    ${t9("y * y")} AS syy,
+           |    max(CASE WHEN lev = 0 THEN ntok END) AS n_tokens_full,
+           |    max(CASE WHEN lev = 0 THEN ntyp END) AS n_types_full
+           |  FROM p2)
+           |SELECT np::BIGINT AS n_points, n_tokens_full, n_types_full,
+           |  round($beta, 6) AS heaps_beta,
+           |  round(exp(sy / np - $beta * (sx / np)), 6) AS heaps_k,
+           |  round((sxy - sx * sy / np) * (sxy - sx * sy / np)
+           |    / ((sxx - sx * sx / np) * (syy - sy * sy / np)), 6) AS r2
+           |FROM m""".stripMargin
+      }),
+
+    Q("q256_label_noise",
+      // kNN label-noise audit (Confident-Learning-lite): for 30 probe
+      // points, the fraction of their 10 cosine-nearest neighbours
+      // whose label disagrees, plus the neighbourhood majority — the
+      // relabel-candidate list. Probes broadcast; scoring is the
+      // codegen'd cosine map pass; per-probe top-k is a k-bounded
+      // window over probe partitions.
+      (s, dir) => graft.operators.ClusterEval.knnLabelNoise(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+        col("vec_id") < 30, k = 10),
+      {
+        def dot(a: String, b: String) =
+          s"list_dot_product($a::DOUBLE[], $b::DOUBLE[])"
+        val den = s"sqrt(${dot("e.embedding", "e.embedding")})" +
+          s" * sqrt(${dot("pr.qv", "pr.qv")})"
+        s"""WITH pr AS (SELECT vec_id AS qid, embedding AS qv,
+           |    label AS qlabel FROM embeddings WHERE vec_id < 30),
+           |sc AS (SELECT pr.qid, pr.qlabel, e.label AS nlabel,
+           |    e.vec_id AS nid,
+           |    round((CASE WHEN $den = 0.0 THEN 0.0
+           |      ELSE ${dot("e.embedding", "pr.qv")} / ($den) END), 6)
+           |      AS s
+           |  FROM embeddings e, pr WHERE e.vec_id <> pr.qid),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+           |    ORDER BY s DESC, nid) AS r FROM sc),
+           |nb AS (SELECT * FROM rk WHERE r <= 10),
+           |ag AS (SELECT qid, qlabel, count(*)::BIGINT AS n_neighbors,
+           |    sum(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END)::BIGINT
+           |      AS n_disagree
+           |  FROM nb GROUP BY 1, 2),
+           |mj AS (SELECT qid, nlabel AS majority_label FROM (
+           |    SELECT qid, nlabel, count(*) AS c,
+           |      row_number() OVER (PARTITION BY qid
+           |        ORDER BY count(*) DESC, nlabel) AS rr
+           |    FROM nb GROUP BY qid, nlabel) WHERE rr = 1)
+           |SELECT ag.qid AS vec_id, ag.qlabel AS label, ag.n_neighbors,
+           |  ag.n_disagree,
+           |  round(ag.n_disagree::DOUBLE / ag.n_neighbors::DOUBLE, 6)
+           |    AS noise_frac,
+           |  mj.majority_label
+           |FROM ag JOIN mj USING (qid)
+           |ORDER BY noise_frac DESC, vec_id""".stripMargin
+      }))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

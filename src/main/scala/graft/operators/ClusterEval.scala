@@ -69,4 +69,52 @@ object ClusterEval {
           / count(lit(1)), 6).as("mean_silhouette"))
       .orderBy("label")
   }
+
+  /** kNN label-noise audit (Confident-Learning-lite): for each probe
+    * point, the fraction of its k cosine-nearest neighbours that
+    * DISAGREE with its label, plus the neighbourhood's majority label
+    * — the candidate list for relabeling ("this point sits inside
+    * another class's cluster"). The silhouette above scores CLASSES;
+    * this scores POINTS.
+    *
+    * Scale shape: probes are a broadcast slice (audits sample, they
+    * don't sweep); scoring is one map pass over the corpus per
+    * partition with the codegen'd cosine; per-probe top-k is a
+    * k-bounded window over |probes| partitions. At full-corpus audit
+    * scale the same scoring runs through the IVF-pruned path instead
+    * of the brute crossJoin — the join shape is the knob, the
+    * disagreement algebra is unchanged. Returns (vec_id, label,
+    * n_neighbors, n_disagree, noise_frac, majority_label). */
+  def knnLabelNoise(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, probePred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = broadcast(embs.filter(probePred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        col(labelCol).as("qlabel")))
+    val scored = embs.crossJoin(probes)
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col(labelCol).as("nlabel"),
+        col(idCol).as("nid"),
+        round(VectorFunctions.cosine(col(vecCol), col("qv")), 6).as("s"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("s").desc, col("nid").asc)
+    val nb = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .localCheckpoint(true) // |probes|·k rows; feeds two aggregates
+    val ag = nb.groupBy("qid", "qlabel")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("nlabel") =!= col("qlabel"), 1L).otherwise(0L))
+          .as("n_disagree"))
+    val maj = nb.groupBy("qid", "nlabel").agg(count(lit(1)).as("c"))
+      .groupBy("qid")
+      .agg(min(struct((-col("c")).as("nc"), col("nlabel").as("l"))).as("m"))
+      .select(col("qid"), col("m.l").as("majority_label"))
+    ag.join(maj, "qid")
+      .select(col("qid").as(idCol), col("qlabel").as(labelCol),
+        col("n_neighbors"), col("n_disagree"),
+        round(col("n_disagree").cast("double")
+          / col("n_neighbors").cast("double"), 6).as("noise_frac"),
+        col("majority_label"))
+      .orderBy(col("noise_frac").desc, col(idCol))
+  }
 }

@@ -87,4 +87,42 @@ object Dependence {
           * least(col("ka") - 1, col("kb") - 1).cast("double"))), 6))
         .as("cramers_v"))
   }
+
+  /** Per-entity category-entropy distribution: for each `entityCol`
+    * (user, session, source…) the Shannon entropy of its `catCol`
+    * histogram, summarized as mean + exact quartiles — the behavioral-
+    * diversity profile ("do users do one thing or many?") that powers
+    * bot screening and stratification design. Each entity's entropy is
+    * a 9-dp-rounded DECIMAL term sum (order-free); the distribution
+    * summary reuses the exact quantile grid. Returns one row
+    * (n_entities, mean_entropy, p25, p50, p75). */
+  def entropyProfile(df: DataFrame, entityCol: String, catCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.groupBy(col(entityCol).as("u"), col(catCol).as("c"))
+      .agg(count(lit(1)).as("nc"))
+    val tot = cells.groupBy("u").agg(sum("nc").as("nu"))
+    val ent = cells.join(tot, "u") // entity-keyed join, partial-agg both sides
+      .select(col("u"),
+        round(lit(-1.0) * (col("nc").cast("double") / col("nu").cast("double"))
+          * log(col("nc").cast("double") / col("nu").cast("double")), 9)
+          .cast(DecimalType(28, 9)).as("t"))
+      .groupBy("u").agg(sum(col("t")).as("hd"))
+      .select(col("u"), col("hd"), col("hd").cast("double").as("h"))
+      .localCheckpoint(true) // feeds mean + quantile legs
+    val qs = Ranks.quantileDisc(ent.withColumn("g", lit("all")), "g", "h",
+      Seq(0.25, 0.5, 0.75))
+      .groupBy()
+      .agg(max(when(col("p") === 0.25, col("value"))).as("p25"),
+        max(when(col("p") === 0.5, col("value"))).as("p50"),
+        max(when(col("p") === 0.75, col("value"))).as("p75"))
+    ent.agg(count(lit(1)).as("n_entities"),
+        sum(col("hd")).cast("double").as("sh"))
+      .crossJoin(broadcast(qs))
+      .select(col("n_entities"),
+        round(col("sh") / col("n_entities").cast("double"), 6)
+          .as("mean_entropy"),
+        round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
+        round(col("p75"), 6).as("p75"))
+  }
 }

@@ -270,6 +270,62 @@ object TextAnalysis {
           + xlx(col("n"))), 6).as("g2"))
   }
 
+  /** Heaps'-law fit (vocabulary growth V = k·Nᵝ) over nested
+    * hash-defined corpus subsets — [[zipfSlope]]'s companion corpus
+    * health check: natural text grows β ≈ 0.4–0.6; template/generated
+    * corpora saturate (small β), high-noise corpora approach 1.
+    *
+    * Subsets are md5-prefix nested (level L keeps docs with
+    * hash % 2^L = 0, expected fraction 2⁻ᴸ) — deterministic, no RNG,
+    * and the union of all levels costs < 2× one corpus scan. Each
+    * level yields exact (token, type) counts; the log–log OLS runs on
+    * the `levels`-row frame with 9-dp decimal term sums. Returns one
+    * row (n_points, n_tokens_full, n_types_full, heaps_beta, heaps_k,
+    * r2). */
+  def heapsLaw(docs: DataFrame, textCol: String, idCol: String,
+      levels: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(levels >= 2)
+    val hash = conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    val toks = docs
+      .select(hash.as("h"), explode(TextFunctions.tokens(col(textCol)))
+        .as("tok"))
+      .select(col("h"), col("tok"),
+        explode(array((0 until levels).map(l =>
+          struct(lit(l).as("lev"), lit(1L << l).as("m"))): _*)).as("lm"))
+      .filter(col("h") % col("lm.m") === 0L)
+      .select(col("lm.lev").as("lev"), col("tok"))
+    val pts = toks.groupBy("lev")
+      .agg(count(lit(1)).as("nTok"),
+        count_distinct(col("tok")).as("nTyp"))
+      .select(col("lev"), col("nTok"), col("nTyp"),
+        log(col("nTok").cast("double")).as("x"),
+        log(col("nTyp").cast("double")).as("y"))
+    def t9(c: org.apache.spark.sql.Column) =
+      round(c, 9).cast(DecimalType(28, 9))
+    val m = pts.agg(count(lit(1)).cast("double").as("np"),
+      sum(t9(col("x"))).cast("double").as("sx"),
+      sum(t9(col("y"))).cast("double").as("sy"),
+      sum(t9(col("x") * col("y"))).cast("double").as("sxy"),
+      sum(t9(col("x") * col("x"))).cast("double").as("sxx"),
+      sum(t9(col("y") * col("y"))).cast("double").as("syy"),
+      max(when(col("lev") === 0, col("nTok"))).as("n_tokens_full"),
+      max(when(col("lev") === 0, col("nTyp"))).as("n_types_full"))
+    val beta = (col("sxy") - col("sx") * col("sy") / col("np")) /
+      (col("sxx") - col("sx") * col("sx") / col("np"))
+    val r2num = (col("sxy") - col("sx") * col("sy") / col("np")) *
+      (col("sxy") - col("sx") * col("sy") / col("np"))
+    val r2den = (col("sxx") - col("sx") * col("sx") / col("np")) *
+      (col("syy") - col("sy") * col("sy") / col("np"))
+    m.select(col("np").cast("long").as("n_points"),
+      col("n_tokens_full"), col("n_types_full"),
+      round(beta, 6).as("heaps_beta"),
+      round(exp(col("sy") / col("np") - beta * (col("sx") / col("np"))), 6)
+        .as("heaps_k"),
+      round(r2num / r2den, 6).as("r2"))
+  }
+
   /** Zipf rank–frequency fit: least-squares slope of ln(freq) on
     * ln(rank) over the corpus term-frequency table — the classic corpus
     * health check (natural text ≈ -1; template/generated text drifts).

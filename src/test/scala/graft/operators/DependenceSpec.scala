@@ -78,6 +78,23 @@ class DependenceSpec extends SparkSpec {
       Seq(("a", "b"), ("b", "c"), ("c", "a")))
   }
 
+  test("entropyProfile: single-category users score 0, uniform " +
+      "two-category users ln 2; mean and quartiles follow") {
+    // 2 monotone users (entropy 0), 2 uniform binary users (ln 2)
+    val rows = Seq(
+      (1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (4L, "a"), (4L, "b"))
+    val r = Dependence.entropyProfile(rows.toDF("u", "c"), "u", "c")
+      .head()
+    val ln2 = BigDecimal(math.log(2.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) - ln2 / 2) < 1e-6, s"$r")
+    assert(r.getDouble(2) == 0.0) // p25: lower half is the 0s
+    assert(r.getDouble(3) == 0.0) // lower median (ceil(2) = 2nd of 4)
+    assert(r.getDouble(4) == ln2) // p75
+  }
+
   test("benford: exponential-ish data leads with 1s; digits from the " +
       "decimal string form handle exact powers of ten") {
     val pow = Seq(1.0, 10.0, 100.0, 1000.0, 10000.0, 2.0, 3.0)
