@@ -8305,7 +8305,77 @@ object SparkEntry {
            |  mj.majority_label
            |FROM ag JOIN mj USING (qid)
            |ORDER BY noise_frac DESC, vec_id""".stripMargin
-      }))
+      }),
+
+    Q("q257_attribution_models",
+      // Multi-touch attribution model FAMILY beside q175's last-touch:
+      // first-touch, linear, and U-shaped (40/20/40) revenue credit
+      // per channel, side by side — models that disagree flag
+      // budget-decision artifacts. Pairs join purchases to same-user
+      // prior touches (per-user-history bounded); ranks window over
+      // purchase-id partitions, never a corpus window; credit ×
+      // revenue rounds to 6 dp and sums in DECIMAL.
+      (s, dir) => graft.operators.Attribution.models(
+        Tables.events(s, dir), Seq("view", "click", "signup")),
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    date_trunc('second', ts) AS ts, value FROM events),
+        |t AS (SELECT user_id, ts AS tts, event_id AS tid,
+        |    event_type AS touch_type FROM ev
+        |  WHERE event_type IN ('view', 'click', 'signup')),
+        |p AS (SELECT user_id, ts AS pts, event_id AS pid,
+        |    value::DECIMAL(18,4) AS rev FROM ev
+        |  WHERE event_type = 'purchase'),
+        |pr AS (SELECT p.pid, p.rev, t.touch_type, t.tts, t.tid
+        |  FROM p JOIN t USING (user_id) WHERE t.tts < p.pts),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rn,
+        |    count(*) OVER (PARTITION BY pid) AS n FROM pr),
+        |cr AS (SELECT touch_type, pid,
+        |    round((rev::VARCHAR)::DOUBLE
+        |      * (CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END), 6)
+        |      ::DECIMAL(28,6) AS cf,
+        |    round((rev::VARCHAR)::DOUBLE * (1.0 / n::DOUBLE), 6)
+        |      ::DECIMAL(28,6) AS cl,
+        |    round((rev::VARCHAR)::DOUBLE * (CASE WHEN n = 1 THEN 1.0
+        |      WHEN n = 2 THEN 0.5
+        |      WHEN rn = 1 OR rn = n THEN 0.4
+        |      ELSE 0.2 / (n::DOUBLE - 2.0) END), 6)::DECIMAL(28,6) AS cu
+        |  FROM rk)
+        |SELECT touch_type,
+        |  count(DISTINCT pid)::BIGINT AS n_credited_purchases,
+        |  round((sum(cf)::VARCHAR)::DOUBLE, 2) AS rev_first,
+        |  round((sum(cl)::VARCHAR)::DOUBLE, 2) AS rev_linear,
+        |  round((sum(cu)::VARCHAR)::DOUBLE, 2) AS rev_ushaped
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    Q("q258_forecast_backtest",
+      // Naive vs seasonal-naive one-step forecast backtest (MAPE +
+      // RMSE) on daily revenue — the M-competition floor every real
+      // forecaster must beat; seasonal-naive winning confirms q235/
+      // q240's weekly structure. APE terms 9-dp decimal-summed,
+      // squared errors integer-rounded (double-ulp-safe at revenue
+      // magnitudes).
+      (s, dir) => graft.operators.TimeSeries.forecastBacktest(
+        Tables.orders(s, dir), "o_orderdate", "o_totalprice"),
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    sum(o_totalprice::DECIMAL(18,4)) AS xd FROM orders
+        |  GROUP BY 1),
+        |g AS (SELECT d, (xd::VARCHAR)::DOUBLE AS x FROM daily),
+        |lg AS (SELECT m.model, g.x, g2.x AS xh
+        |  FROM (SELECT * FROM (VALUES ('naive1', 1), ('seasonal7', 7))
+        |    v(model, lag)) m
+        |  CROSS JOIN g
+        |  JOIN g g2 ON g2.d = g.d - m.lag * INTERVAL 1 DAY
+        |  WHERE g.x > 0.0),
+        |t AS (SELECT model,
+        |    round(abs(x - xh) / x, 9)::DECIMAL(28,9) AS ape,
+        |    round((x - xh) * (x - xh), 0)::DECIMAL(38,0) AS se FROM lg)
+        |SELECT model, count(*)::BIGINT AS n_days,
+        |  round((sum(ape)::VARCHAR)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS mape,
+        |  round(sqrt((sum(se)::VARCHAR)::DOUBLE / count(*)::DOUBLE), 6)
+        |    AS rmse
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

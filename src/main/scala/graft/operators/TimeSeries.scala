@@ -32,6 +32,52 @@ object TimeSeries {
     * observed day grid (missing days are skipped, not zero-filled; use
     * GapFill upstream for a dense grid). Returns (lag, n_pairs, acf)
     * ordered by lag. */
+  /** Forecast backtest on the daily grid: naive (x̂_t = x_{t−1}) vs
+    * seasonal-naive (x̂_t = x_{t−7}) one-step predictors, scored by
+    * MAPE and RMSE over every day with the needed predecessor — the
+    * benchmark pair every real forecaster must beat (Hyndman's
+    * M-competition floor). If seasonal-naive wins, the series has
+    * weekly structure worth modeling (cf. [[dailyAcf]] /
+    * [[seasonalIndex]]).
+    *
+    * Same determinism discipline as [[dailyAcf]]: exact decimal day
+    * sums; APE terms are identical doubles rounded to 9 dp, squared
+    * errors to integers; both DECIMAL-summed. Returns one row per
+    * model: (model, n_days, mape, rmse) ordered by model. */
+  def forecastBacktest(df: DataFrame, tsCol: String, valueCol: String)
+      : DataFrame = {
+    val daily = df
+      .select(date_trunc("day", col(tsCol)).as("d"),
+        col(valueCol).cast(DecimalType(18, 4)).as("v"))
+      .groupBy("d").agg(sum(col("v")).as("xd"))
+      .select(col("d"), col("xd").cast("double").as("x"))
+      .localCheckpoint(true)
+    val lagged = daily
+      .select(col("d"), col("x"),
+        explode(array(
+          struct(lit("naive1").as("model"), lit(1).as("lag")),
+          struct(lit("seasonal7").as("model"), lit(7).as("lag")))).as("m"))
+      .select(col("d"), col("x"), col("m.model").as("model"),
+        expr("d - make_interval(0, 0, 0, m.lag)").as("dp"))
+      .join(daily.select(col("d").as("dp"), col("x").as("xh")), "dp")
+      .filter(col("x") > 0.0)
+    lagged
+      .select(col("model"),
+        round(abs(col("x") - col("xh")) / col("x"), 9)
+          .cast(DecimalType(28, 9)).as("ape"),
+        round((col("x") - col("xh")) * (col("x") - col("xh")), 0)
+          .cast(DecimalType(38, 0)).as("se"))
+      .groupBy("model")
+      .agg(count(lit(1)).as("n_days"),
+        (sum(col("ape")).cast("double")).as("sape"),
+        (sum(col("se")).cast("double")).as("sse"))
+      .select(col("model"), col("n_days"),
+        round(col("sape") / col("n_days").cast("double"), 6).as("mape"),
+        round(sqrt(col("sse") / col("n_days").cast("double")), 6)
+          .as("rmse"))
+      .orderBy("model")
+  }
+
   /** CUSUM change-point detection on the daily series (Page 1954 /
     * the Brownian-bridge scan): s_t = Σ_{u≤t}(x_u − μ̂), the change
     * point is argmax_t |s_t| (earliest day on ties) and the

@@ -74,6 +74,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(others.forall(v => v < 1.0 && v == others.head), s"$out")
   }
 
+  test("forecastBacktest: a perfectly weekly series gives seasonal7 " +
+      "zero error while naive1 pays for every day-over-day jump") {
+    val vals = Seq.tabulate(28)(i => 100.0 + 50.0 * (i % 7))
+    val out = TimeSeries.forecastBacktest(series(vals), "ts", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val s7 = out("seasonal7")
+    assert(s7._1 == 21L && s7._2 == 0.0 && s7._3 == 0.0, s"$out")
+    val n1 = out("naive1")
+    assert(n1._1 == 27L && n1._2 > 0.1 && n1._3 > 10.0, s"$out")
+  }
+
+  test("forecastBacktest: a random-walk-ish series favors naive1 over " +
+      "seasonal7 — the comparison discriminates") {
+    val vals = Seq.iterate(200.0, 30)(x => x + 10.0)
+    val out = TimeSeries.forecastBacktest(series(vals), "ts", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("naive1") < out("seasonal7"), s"$out")
+    assert(out("naive1") == 10.0) // constant +10 drift: rmse exactly 10
+  }
+
   test("cusumDaily pinpoints an injected level shift at its last " +
       "pre-shift day and clears the 5% Kolmogorov bar") {
     // 10 days at 100, then 10 days at 300 → |cusum| peaks at day 10
