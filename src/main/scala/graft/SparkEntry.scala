@@ -8375,7 +8375,67 @@ object SparkEntry {
         |    AS mape,
         |  round(sqrt((sum(se)::VARCHAR)::DOUBLE / count(*)::DOUBLE), 6)
         |    AS rmse
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    Q("q259_kmeans",
+      // Engine-exact distributed k-means (Lloyd, k=4, 2 iterations):
+      // the clustering TRAINER beside the evaluators (silhouette,
+      // label-noise) and consumers (IVF cells, SemDeDup anchors).
+      // Every drift source is pinned — smallest-id seeds, 6-dp
+      // centroid components, left-fold ‖c‖², HOF dot ≡ C loop,
+      // exact-struct argmin ties, DECIMAL component sums — so the
+      // oracle's unrolled replay matches bit-for-bit. Each iteration
+      // is one literal-centroid map pass + one k·d-row update.
+      (s, dir) => graft.operators.KMeans.lloyd(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 4, iters = 2),
+      {
+        def iter(i: Int): String = {
+          val p = i - 1
+          s"""d$i AS (SELECT e.vec_id, e.embedding, c.j,
+             |    list_dot_product(c.cent, c.cent)
+             |      - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cent)
+             |      AS d
+             |  FROM embeddings e, c$p c),
+             |a$i AS (SELECT vec_id, embedding, j FROM (SELECT *,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY d, j)
+             |      AS rn FROM d$i) WHERE rn = 1),
+             |u$i AS (SELECT j, pos,
+             |    sum(round(v::DOUBLE, 6)::DECIMAL(18,10)) AS s,
+             |    count(*) AS n
+             |  FROM (SELECT j, unnest(embedding) AS v,
+             |      generate_subscripts(embedding, 1) AS pos FROM a$i)
+             |  GROUP BY j, pos),
+             |n$i AS (SELECT j, list(round((s::VARCHAR)::DOUBLE / n, 6)
+             |    ORDER BY pos) AS cent FROM u$i GROUP BY j),
+             |c$i AS (SELECT c$p.j, coalesce(n$i.cent, c$p.cent) AS cent
+             |  FROM c$p LEFT JOIN n$i USING (j))""".stripMargin
+        }
+        s"""WITH c0 AS (SELECT vec_id AS j,
+           |    [round(x, 6) for x in embedding::DOUBLE[]] AS cent
+           |  FROM embeddings WHERE vec_id < 4),
+           |${iter(1)},
+           |${iter(2)},
+           |d3 AS (SELECT e.vec_id, e.embedding, c.j,
+           |    list_dot_product(c.cent, c.cent)
+           |      - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cent)
+           |      AS d
+           |  FROM embeddings e, c2 c),
+           |a3 AS (SELECT vec_id, embedding, j, d FROM (SELECT *,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d, j)
+           |      AS rn FROM d3) WHERE rn = 1),
+           |st AS (SELECT j AS cluster, count(*)::BIGINT AS n_vecs,
+           |    round((sum(round(
+           |      list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+           |        + d, 6)::DECIMAL(28,6))::VARCHAR)::DOUBLE, 6)
+           |      AS inertia
+           |  FROM a3 GROUP BY 1)
+           |SELECT st.cluster, st.n_vecs, st.inertia,
+           |  cc.cent[1] AS c0, cc.cent[2] AS c1,
+           |  cc.cent[3] AS c2, cc.cent[4] AS c3
+           |FROM st JOIN c2 cc ON st.cluster = cc.j
+           |ORDER BY cluster""".stripMargin
+      }))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
