@@ -8435,7 +8435,94 @@ object SparkEntry {
            |  cc.cent[3] AS c2, cc.cent[4] AS c3
            |FROM st JOIN c2 cc ON st.cluster = cc.j
            |ORDER BY cluster""".stripMargin
-      }))
+      }),
+
+    Q("q260_shapley_attribution",
+      // EXACT Shapley-value channel attribution — the game-theoretic
+      // gold standard q175/q257's heuristics approximate: coalition
+      // value v(S) = conversions among users with pre-purchase
+      // exposure ⊆ S, built on a 2³-row frame from one scan; the
+      // factorial sum is exact (no permutation sampling) and
+      // Σφ = v(full) − v(∅) by construction.
+      (s, dir) => graft.operators.Attribution.shapley(
+        Tables.events(s, dir), Seq("click", "signup", "view")),
+      {
+        // channel order matches the engine call: bit 0 = click,
+        // bit 1 = signup, bit 2 = view; weights s!(n-1-s)!/n!, n = 3
+        val w = "(CASE WHEN bit_count(a.s) = 2 THEN (2.0 * 1.0) / 6.0 " +
+          "WHEN bit_count(a.s) = 1 THEN (1.0 * 1.0) / 6.0 " +
+          "ELSE (1.0 * 2.0) / 6.0 END)"
+        def leg(ch: String, bit: Int) =
+          s"""SELECT '$ch' AS channel,
+             |    round((b.v - a.v)::DOUBLE * $w, 9)::DECIMAL(28,9) AS t
+             |  FROM v a JOIN v b ON (a.s & $bit) = 0
+             |    AND b.s = (a.s | $bit)""".stripMargin
+        s"""WITH ev AS (SELECT user_id, event_type,
+           |    date_trunc('second', ts) AS ts FROM events),
+           |fp AS (SELECT user_id, min(ts) AS pts FROM ev
+           |  WHERE event_type = 'purchase' GROUP BY 1),
+           |mk AS (SELECT ev.user_id,
+           |    (max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           |     + max(CASE WHEN event_type = 'signup' THEN 2 ELSE 0 END)
+           |     + max(CASE WHEN event_type = 'view' THEN 4 ELSE 0 END)
+           |    )::BIGINT AS mask
+           |  FROM ev JOIN fp USING (user_id)
+           |  WHERE ev.ts < fp.pts OR ev.event_type = 'purchase'
+           |  GROUP BY ev.user_id),
+           |mh AS (SELECT mask, count(*)::BIGINT AS m FROM mk GROUP BY 1),
+           |ss AS (SELECT unnest(range(0, 8)) AS s),
+           |v AS (SELECT ss.s, sum(coalesce(mh.m, 0))::BIGINT AS v
+           |  FROM ss LEFT JOIN mh ON (mh.mask & ss.s) = mh.mask
+           |  GROUP BY 1),
+           |t AS (${leg("click", 1)}
+           |  UNION ALL ${leg("signup", 2)}
+           |  UNION ALL ${leg("view", 4)})
+           |SELECT channel, round((sum(t)::VARCHAR)::DOUBLE, 6) AS shapley
+           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    Q("q261_naive_bayes",
+      // Engine-exact multinomial Naive Bayes: train (class, token)
+      // counts on even doc_ids in ONE aggregation pass, classify odd
+      // docs, report the integer-exact confusion matrix — the
+      // supervised companion to the heuristic language/quality
+      // scorers. Add-1 smoothed log terms round to 9 dp and DECIMAL-
+      // sum per document; argmax ties break to the smallest label.
+      (s, dir) => graft.text.NaiveBayes.trainEvalConfusion(
+        Tables.documents(s, dir), "doc_id", "text", "lang",
+        col("doc_id") % 2 === 0),
+      s"""WITH base AS (SELECT doc_id, lang AS lab, (doc_id % 2 = 0)
+         |    AS tr, text FROM documents),
+         |toks AS (SELECT doc_id, lab, tr, unnest($toksSql) AS tok
+         |  FROM base),
+         |cls AS (SELECT lab AS c, count(*)::BIGINT AS ndocs FROM base
+         |  WHERE tr GROUP BY 1),
+         |nd AS (SELECT sum(ndocs)::BIGINT AS nd FROM cls),
+         |pri AS (SELECT c, round(ln(ndocs::DOUBLE / nd.nd::DOUBLE), 9)
+         |    ::DECIMAL(28,9) AS pr FROM cls, nd),
+         |cnts AS (SELECT lab AS c, tok, count(*)::BIGINT AS cnt
+         |  FROM toks WHERE tr GROUP BY 1, 2),
+         |ct AS (SELECT c, sum(cnt)::BIGINT AS ctok FROM cnts GROUP BY 1),
+         |vn AS (SELECT count(DISTINCT tok)::BIGINT AS vn FROM cnts),
+         |tt AS (SELECT doc_id, tok FROM toks WHERE NOT tr),
+         |ts AS (SELECT tt.doc_id, cl.c,
+         |    sum(round(ln((coalesce(cnts.cnt, 0) + 1)::DOUBLE
+         |      / (ct.ctok + vn.vn)::DOUBLE), 9)::DECIMAL(28,9)) AS s
+         |  FROM tt CROSS JOIN (SELECT c FROM cls) cl
+         |  LEFT JOIN cnts ON cnts.c = cl.c AND cnts.tok = tt.tok
+         |  JOIN ct ON ct.c = cl.c, vn
+         |  GROUP BY 1, 2),
+         |at AS (SELECT doc_id, lab FROM base WHERE NOT tr),
+         |sc AS (SELECT at.doc_id, at.lab, cl.c,
+         |    coalesce(ts.s, 0::DECIMAL(28,9)) + pri.pr AS score
+         |  FROM at CROSS JOIN (SELECT c FROM cls) cl
+         |  LEFT JOIN ts ON ts.doc_id = at.doc_id AND ts.c = cl.c
+         |  JOIN pri ON pri.c = cl.c),
+         |pd AS (SELECT doc_id, lab, c FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, c) AS rn FROM sc) WHERE rn = 1)
+         |SELECT lab AS lang_true, c AS lang_pred, count(*)::BIGINT AS n
+         |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -63,4 +63,58 @@ object Attribution {
         round(sum(col("cu")).cast("double"), 2).as("rev_ushaped"))
       .orderBy("touch_type")
   }
+
+  /** Exact Shapley-value channel attribution (the game-theoretic
+    * gold standard the heuristic models above approximate): the
+    * coalition value v(S) = conversions among users whose pre-purchase
+    * exposure set ⊆ S, and each channel's Shapley value is its exact
+    * marginal-contribution average. With |channels| = n small (the
+    * real-world case), v lives on a 2ⁿ-row frame built from ONE
+    * corpus scan (per-user exposure bitmask → mask histogram), so the
+    * factorial sum is exact — no permutation sampling. Efficiency
+    * holds by construction: Σ φ_i = v(full) − v(∅).
+    * Returns (channel, shapley) ordered by channel; shapley is in
+    * conversion units, rounded 6. */
+  def shapley(events: DataFrame, channels: Seq[String]): DataFrame = {
+    val n = channels.size
+    require(n >= 1 && n <= 8, "exact Shapley needs a small channel set")
+    val ev = events.withColumn("ts", date_trunc("second", col("ts")))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts")).as("pts"))
+    val bit = channels.zipWithIndex.map { case (c, i) =>
+      max(when(col("event_type") === c, lit(1L << i)).otherwise(0L))
+        .as(s"b$i")
+    }
+    val masks = ev.join(firstP, "user_id")
+      .filter(col("ts") < col("pts")
+        || col("event_type") === "purchase") // keep converters w/o touches
+      .groupBy("user_id")
+      .agg(bit.head, bit.tail: _*)
+      .select(channels.indices.map(i => col(s"b$i"))
+        .reduce(_ + _).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("m"))
+    val spark = events.sparkSession
+    val subsets = spark.range(1L << n).select(col("id").as("s"))
+    val v = subsets.join(broadcast(masks),
+        col("mask").bitwiseAND(col("s")) === col("mask"), "left")
+      .groupBy("s").agg(sum(coalesce(col("m"), lit(0L))).as("v"))
+      .localCheckpoint(true) // 2^n rows; joined against itself per channel
+    // w(s) = s!(n-1-s)!/n! as literals — exact rationals in double
+    def fact(x: Int): Double = (1 to x).foldLeft(1.0)(_ * _)
+    val terms = channels.zipWithIndex.map { case (c, i) =>
+      val bitI = 1L << i
+      v.as("a").join(v.as("b"),
+          col("a.s").bitwiseAND(lit(bitI)) === 0L
+            && col("b.s") === col("a.s").bitwiseOR(lit(bitI)))
+        .select(lit(c).as("channel"),
+          round((col("b.v") - col("a.v")).cast("double") *
+            channels.indices.foldLeft(lit(0.0)) { (acc, sz) =>
+              when(bit_count(col("a.s")) === sz,
+                lit(fact(sz) * fact(n - 1 - sz) / fact(n))).otherwise(acc)
+            }, 9).cast(DecimalType(28, 9)).as("t"))
+    }.reduce(_ unionAll _)
+    terms.groupBy("channel")
+      .agg(round(sum(col("t")).cast("double"), 6).as("shapley"))
+      .orderBy("channel")
+  }
 }

@@ -53,6 +53,37 @@ class AttributionSpec extends SparkSpec {
     assert(out.values.map(_._3).sum == 130.0)
   }
 
+  test("shapley: hand-computed 3-user game — efficiency and the " +
+      "null-player axiom hold exactly") {
+    // u1 exposed {view} converts; u2 {view, click} converts;
+    // u3 converts untouched. By hand: φ_view = 1.5, φ_click = 0.5,
+    // φ_signup = 0 (null player); Σφ = v(full) − v(∅) = 2.
+    val rows = Seq(
+      (1L, "view", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "view", ts(1)), (2L, "click", ts(2)), (2L, "purchase", ts(3)),
+      (3L, "purchase", ts(1)))
+    val out = Attribution.shapley(
+      rows.toDF("user_id", "event_type", "ts"),
+      Seq("click", "signup", "view")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("view" -> 1.5, "click" -> 0.5, "signup" -> 0.0),
+      s"$out")
+  }
+
+  test("shapley: symmetric channels receive identical credit") {
+    // two users, each exposed to exactly one distinct channel
+    val rows = Seq(
+      (1L, "view", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "click", ts(1)), (2L, "purchase", ts(2)))
+    val out = Attribution.shapley(
+      rows.toDF("user_id", "event_type", "ts"),
+      Seq("click", "signup", "view")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("view") == out("click"), s"$out")
+    assert(out("signup") == 0.0)
+    assert(math.abs(out.values.sum - 2.0) < 1e-9) // efficiency
+  }
+
   test("every model conserves attributable revenue (columns sum to " +
       "the same total) on fixture data") {
     val out = Attribution.models(
