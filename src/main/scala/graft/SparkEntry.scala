@@ -8522,7 +8522,89 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY doc_id
          |      ORDER BY score DESC, c) AS rn FROM sc) WHERE rn = 1)
          |SELECT lab AS lang_true, c AS lang_pred, count(*)::BIGINT AS n
-         |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+         |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    Q("q262_logistic_irls",
+      // Engine-exact distributed LOGISTIC regression (3 IRLS / Fisher
+      // scoring steps): is-English ~ σ(w0 + w1·kchars + w2·spaces/100).
+      // Each step is one weighted-moment scan against literal weights
+      // + a 3x3 Cramer solve whose operation order is shared verbatim
+      // between the Scala driver and the oracle SQL, so the oracle's
+      // unrolled replay matches bit-for-bit; 7-dp term rounding
+      // absorbs any last-ulp libm exp() difference. Features scale by
+      // POWERS OF TWO (1024/128), keeping them binary-exact: a /1000
+      // scale puts every 0.25*x1^2 term EXACTLY on a 7-dp half
+      // boundary (n^2*25/1e8 ends in ...25), where the engines'
+      // rounding algorithms systematically disagree — found live by
+      // this query's own cross-check. Completes the exact-trainer set
+      // (OLS q220, k-means q259, NB q261).
+      (s, dir) => {
+        val f = Tables.documents(s, dir).select(
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+          (col("n_chars").cast("double") / 1024.0).as("x1"),
+          ((length(col("text")) - length(expr("replace(text, ' ', '')")))
+            .cast("double") / 128.0).as("x2"))
+        graft.operators.Regression.logisticIrls2(f, "y", "x1", "x2",
+          iters = 3)
+      },
+      {
+        def t7(e: String) =
+          s"(sum(round($e, 7)::DECIMAL(28,9))::VARCHAR)::DOUBLE"
+        def iter(i: Int): String = {
+          val p = i - 1
+          s"""m$i AS (SELECT
+             |    ${t7("s")} AS a00, ${t7("s * x1")} AS a01,
+             |    ${t7("s * x2")} AS a02, ${t7("s * x1 * x1")} AS a11,
+             |    ${t7("s * x1 * x2")} AS a12, ${t7("s * x2 * x2")} AS a22,
+             |    ${t7("s * eta + (y - mu)")} AS b0,
+             |    ${t7("x1 * (s * eta + (y - mu))")} AS b1,
+             |    ${t7("x2 * (s * eta + (y - mu))")} AS b2
+             |  FROM (SELECT y, x1, x2, eta, mu, mu * (1.0 - mu) AS s
+             |    FROM (SELECT f.y, f.x1, f.x2,
+             |        w.w0 + w.w1 * f.x1 + w.w2 * f.x2 AS eta,
+             |        1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
+             |          + w.w2 * f.x2))) AS mu
+             |      FROM f, w$p w))),
+             |w$i AS (SELECT
+             |    (b0 * (a11 * a22 - a12 * a12)
+             |      - a01 * (b1 * a22 - a12 * b2)
+             |      + a02 * (b1 * a12 - a11 * b2))
+             |    / (a00 * (a11 * a22 - a12 * a12)
+             |      - a01 * (a01 * a22 - a12 * a02)
+             |      + a02 * (a01 * a12 - a11 * a02)) AS w0,
+             |    (a00 * (b1 * a22 - a12 * b2)
+             |      - b0 * (a01 * a22 - a12 * a02)
+             |      + a02 * (a01 * b2 - b1 * a02))
+             |    / (a00 * (a11 * a22 - a12 * a12)
+             |      - a01 * (a01 * a22 - a12 * a02)
+             |      + a02 * (a01 * a12 - a11 * a02)) AS w1,
+             |    (a00 * (a11 * b2 - b1 * a12)
+             |      - a01 * (a01 * b2 - b1 * a02)
+             |      + b0 * (a01 * a12 - a11 * a02))
+             |    / (a00 * (a11 * a22 - a12 * a12)
+             |      - a01 * (a01 * a22 - a12 * a02)
+             |      + a02 * (a01 * a12 - a11 * a02)) AS w2
+             |  FROM m$i)""".stripMargin
+        }
+        s"""WITH f AS (SELECT
+           |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           |    n_chars::DOUBLE / 1024.0 AS x1,
+           |    (length(text) - length(replace(text, ' ', '')))::DOUBLE
+           |      / 128.0 AS x2
+           |  FROM documents),
+           |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)},
+           |fin AS (SELECT count(*)::BIGINT AS n,
+           |    sum(CASE WHEN ((w.w0 + w.w1 * f.x1 + w.w2 * f.x2) >= 0.0)
+           |        = (f.y >= 0.5) THEN 1 ELSE 0 END)::BIGINT AS ok
+           |  FROM f, w3 w)
+           |SELECT fin.n, round(w.w0, 6) AS w0, round(w.w1, 6) AS w1,
+           |  round(w.w2, 6) AS w2,
+           |  round(fin.ok::DOUBLE / fin.n::DOUBLE, 6) AS accuracy
+           |FROM fin, w3 w""".stripMargin
+      }))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -69,4 +69,81 @@ object Regression {
       round(b2, 6).as("b2"),
       round(lit(1.0) - sse / sst, 6).as("r2"))
   }
+
+  /** 3×3 Cramer solve — EXACTLY [[ols2]]'s operation order, shared by
+    * the Scala (driver) and SQL (oracle) sides of the IRLS loop so
+    * both run bit-identical float ops. a is the symmetric system
+    * matrix packed (a00,a01,a02,a11,a12,a22), b the rhs. */
+  private[operators] def solve3(a00: Double, a01: Double, a02: Double,
+      a11: Double, a12: Double, a22: Double,
+      b0: Double, b1: Double, b2: Double): (Double, Double, Double) = {
+    val det = a00 * (a11 * a22 - a12 * a12) -
+      a01 * (a01 * a22 - a12 * a02) +
+      a02 * (a01 * a12 - a11 * a02)
+    val det0 = b0 * (a11 * a22 - a12 * a12) -
+      a01 * (b1 * a22 - a12 * b2) +
+      a02 * (b1 * a12 - a11 * b2)
+    val det1 = a00 * (b1 * a22 - a12 * b2) -
+      b0 * (a01 * a22 - a12 * a02) +
+      a02 * (a01 * b2 - b1 * a02)
+    val det2 = a00 * (a11 * b2 - b1 * a12) -
+      a01 * (a01 * b2 - b1 * a02) +
+      b0 * (a01 * a12 - a11 * a02)
+    (det0 / det, det1 / det, det2 / det)
+  }
+
+  /** Engine-exact distributed LOGISTIC regression via IRLS (Fisher
+    * scoring): y ~ σ(w0 + w1·x1 + w2·x2), `iters` Newton steps. Each
+    * step is ONE partial-agg scan collecting the 9 weighted normal-
+    * equation moments against LITERAL current weights (the
+    * [[KMeans]] bounded-iteration discipline — only 3 doubles of
+    * model state ever reach the driver), then a 3×3 Cramer solve
+    * whose operation order is mirrored verbatim in the oracle.
+    *
+    * Determinism: per-row μ/s/z terms are identical double
+    * expressions of literal weights and exact 2-dp-derived features,
+    * rounded to 7 dp and DECIMAL-summed (7 dp leaves ~50 double-ulps
+    * of slack around each rounding boundary, absorbing any last-ulp
+    * libm exp() difference between engines); the b-side terms use the
+    * algebraic form x_j·(s·η + (y−μ)) — bounded even where s → 0, so
+    * no z = η + (y−μ)/s blow-up enters a rounded term. Returns one
+    * row (n, w0, w1, w2, accuracy) — accuracy from exact integer
+    * counts of sign(η) agreement under the final weights. */
+  def logisticIrls2(df: DataFrame, yCol: String, x1Col: String,
+      x2Col: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1)
+    val d289 = DecimalType(28, 9)
+    val base = df.select(col(yCol).cast("double").as("y"),
+      col(x1Col).cast("double").as("x1"),
+      col(x2Col).cast("double").as("x2"))
+
+    var w = (0.0, 0.0, 0.0)
+    for (_ <- 1 to iters) {
+      val eta = lit(w._1) + lit(w._2) * col("x1") + lit(w._3) * col("x2")
+      val mu = lit(1.0) / (lit(1.0) + exp(-eta))
+      val s = mu * (lit(1.0) - mu)
+      val bTerm = s * eta + (col("y") - mu)
+      def t7(c: Column) = sum(round(c, 7).cast(d289))
+      val r = base.agg(
+        t7(s).as("a00"), t7(s * col("x1")).as("a01"),
+        t7(s * col("x2")).as("a02"),
+        t7(s * col("x1") * col("x1")).as("a11"),
+        t7(s * col("x1") * col("x2")).as("a12"),
+        t7(s * col("x2") * col("x2")).as("a22"),
+        t7(bTerm).as("b0"), t7(col("x1") * bTerm).as("b1"),
+        t7(col("x2") * bTerm).as("b2")).collect().head
+      def d(i: Int) = r.getDecimal(i).doubleValue()
+      w = solve3(d(0), d(1), d(2), d(3), d(4), d(5), d(6), d(7), d(8))
+    }
+
+    val etaF = lit(w._1) + lit(w._2) * col("x1") + lit(w._3) * col("x2")
+    base.agg(count(lit(1)).as("n"),
+        sum(when((etaF >= 0.0) === (col("y") >= 0.5), 1L).otherwise(0L))
+          .as("ok"))
+      .select(col("n").cast("long").as("n"),
+        round(lit(w._1), 6).as("w0"), round(lit(w._2), 6).as("w1"),
+        round(lit(w._3), 6).as("w2"),
+        round(col("ok").cast("double") / col("n").cast("double"), 6)
+          .as("accuracy"))
+  }
 }

@@ -45,4 +45,44 @@ class RegressionSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"ols2 must not join:\n$plan")
     assert(!plan.contains("Window"), s"ols2 must not window:\n$plan")
   }
+
+  test("logisticIrls2 separates a linearly separable-ish problem with " +
+      "high accuracy and the right coefficient signs") {
+    import spark.implicits._
+    // y = 1 when x1 + x2 > 1 with a logistic-ish soft boundary
+    val rows = (0 until 400).map { i =>
+      val x1 = (i % 20) / 10.0
+      val x2 = ((i / 20) % 20) / 10.0
+      val y = if (x1 + x2 > 2.0) 1.0 else 0.0
+      (y, x1, x2)
+    }
+    val r = Regression.logisticIrls2(rows.toDF("y", "x1", "x2"),
+      "y", "x1", "x2", iters = 4).collect().head
+    assert(r.getLong(0) == 400L)
+    assert(r.getDouble(2) > 0 && r.getDouble(3) > 0,
+      s"positive effects expected: $r")
+    assert(r.getDouble(4) > 0.9, s"accuracy ${r.getDouble(4)}")
+  }
+
+  test("logisticIrls2 is deterministic and partitioning-independent") {
+    import spark.implicits._
+    val rows = (0 until 300).map(i =>
+      (if (i % 3 == 0) 1.0 else 0.0, (i % 7) / 3.0, (i % 11) / 5.0))
+    val df = rows.toDF("y", "x1", "x2")
+    val a = Regression.logisticIrls2(df, "y", "x1", "x2", 3)
+      .collect().head.toSeq
+    val b = Regression.logisticIrls2(df.repartition(13), "y", "x1", "x2", 3)
+      .collect().head.toSeq
+    assert(a == b)
+  }
+
+  test("logisticIrls2: a constant y = 1 drives the intercept large " +
+      "and positive (prior saturation, no crash)") {
+    import spark.implicits._
+    val rows = (0 until 100).map(i => (1.0, (i % 5) / 2.0, (i % 3) / 2.0))
+    val r = Regression.logisticIrls2(rows.toDF("y", "x1", "x2"),
+      "y", "x1", "x2", iters = 3).collect().head
+    assert(r.getDouble(1) > 1.0, s"$r")
+    assert(r.getDouble(4) == 1.0)
+  }
 }
