@@ -8604,7 +8604,141 @@ object SparkEntry {
            |  round(w.w2, 6) AS w2,
            |  round(fin.ok::DOUBLE / fin.n::DOUBLE, 6) AS accuracy
            |FROM fin, w3 w""".stripMargin
-      }))
+      }),
+
+    Q("q263_decision_stump",
+      // Exact depth-1 CART: the best is-English split of n_chars by
+      // information gain, searched over EVERY distinct value on the
+      // bucketed-prefix grid (no corpus window). Counts exact LONG,
+      // gain one x·ln x expression per grid row, argmax ties to the
+      // smallest split value via exact-decimal struct ordering.
+      (s, dir) => graft.operators.Stump.bestSplit(
+        Tables.documents(s, dir), "n_chars", col("lang") === "en"),
+      {
+        def xlx(e: String) =
+          s"(CASE WHEN ($e) > 0 THEN ($e)::DOUBLE * ln(($e)::DOUBLE) ELSE 0.0 END)"
+        s"""WITH pv AS (SELECT n_chars::DOUBLE AS v,
+           |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS p_v,
+           |    count(*)::BIGINT AS n_v FROM documents GROUP BY 1),
+           |tt AS (SELECT sum(p_v)::BIGINT AS bigp, sum(n_v)::BIGINT AS bign
+           |  FROM pv),
+           |c AS (SELECT v,
+           |    sum(n_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND CURRENT ROW)::BIGINT AS nl,
+           |    sum(p_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND CURRENT ROW)::BIGINT AS pl
+           |  FROM pv),
+           |f AS (SELECT c.v, c.nl, c.pl, tt.bign - c.nl AS nr,
+           |    tt.bigp - c.pl AS pr, tt.bign, tt.bigp
+           |  FROM c, tt WHERE c.nl < tt.bign),
+           |sc AS (SELECT v, nl, pl, nr, pr,
+           |    round(((${xlx("bign")} - ${xlx("bigp")}
+           |        - ${xlx("bign - bigp")})
+           |      - (${xlx("nl")} - ${xlx("pl")} - ${xlx("nl - pl")})
+           |      - (${xlx("nr")} - ${xlx("pr")} - ${xlx("nr - pr")}))
+           |      / bign::DOUBLE, 9)::DECIMAL(28,9) AS ig
+           |  FROM f)
+           |SELECT v AS split_value, nl AS n_left, pl AS pos_left,
+           |  nr AS n_right, pr AS pos_right,
+           |  round((ig::VARCHAR)::DOUBLE, 6) AS info_gain
+           |FROM sc ORDER BY ig DESC, v ASC LIMIT 1""".stripMargin
+      }),
+
+    Q("q264_average_precision",
+      // Average precision (step-rule PR-AUC) of the n_chars ranking
+      // for is-English under the STRICT deterministic order
+      // (score desc, doc_id asc) — q222 AUC's tie-averaged companion.
+      // Global ranks and cumulative positives both ride the bucketed
+      // machinery; per-positive precision terms 9-dp DECIMAL-summed.
+      (s, dir) => graft.operators.Ranks.averagePrecision(
+        Tables.documents(s, dir), "n_chars", "doc_id",
+        col("lang") === "en"),
+      """WITH r AS (SELECT doc_id, (lang = 'en') AS y,
+        |    row_number() OVER (ORDER BY -(n_chars::DOUBLE) ASC,
+        |      doc_id ASC) AS rank
+        |  FROM documents),
+        |c AS (SELECT y, rank,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) OVER (ORDER BY rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum
+        |  FROM r),
+        |t AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    (sum(CASE WHEN y THEN
+        |      round(cum::DOUBLE / rank::DOUBLE, 9)::DECIMAL(28,9) END)
+        |      ::VARCHAR)::DOUBLE AS s
+        |  FROM c)
+        |SELECT n, n_pos, round(s / n_pos::DOUBLE, 6) AS ap
+        |FROM t""".stripMargin),
+
+    Q("q265_logrank_test",
+      // Two-sample log-rank (Mantel-Cox) test: does user-key parity
+      // change time-to-conversion, censoring handled — the hypothesis
+      // test on q234's KM curves (a t-test on censored durations is
+      // wrong). Hypergeometric O-E/V terms on the calendar grid,
+      // 9-dp DECIMAL sums, χ² = (ΣO-E)²/ΣV.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cens = ev
+          .select(unix_timestamp(date_trunc("second", col("ts"))).as("sv"))
+          .agg(max(col("sv")).as("cend"))
+        val u = graft.operators.Survival.viewToPurchase(ev)
+          .crossJoin(broadcast(cens))
+          .select(floor((coalesce(col("tp"), col("cend")) - col("t0"))
+              / 86400L).cast("long").as("dur"),
+            col("tp").isNotNull.as("ev"),
+            (col("user_id") % 2 === 0).as("grp"))
+        graft.operators.Survival.logRank(u)
+      },
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch(date_trunc('second', ts))::BIGINT AS s FROM events),
+        |ce AS (SELECT max(s)::BIGINT AS cend FROM ev),
+        |v AS (SELECT user_id, min(s) AS t0 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT user_id, min(s) AS tp_any FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |u AS (SELECT v.user_id, v.t0,
+        |    CASE WHEN b.tp_any > v.t0 THEN b.tp_any END AS tp
+        |  FROM v LEFT JOIN b USING (user_id)),
+        |du AS (SELECT floor((coalesce(tp, ce.cend) - t0) / 86400.0)
+        |    ::BIGINT AS dur, tp IS NOT NULL AS ev,
+        |    (user_id % 2 = 0) AS grp FROM u, ce),
+        |g AS (SELECT dur,
+        |    sum(CASE WHEN grp AND ev THEN 1 ELSE 0 END)::BIGINT AS d1,
+        |    sum(CASE WHEN (NOT grp) AND ev THEN 1 ELSE 0 END)::BIGINT
+        |      AS d2,
+        |    sum(CASE WHEN grp THEN 1 ELSE 0 END)::BIGINT AS a1,
+        |    sum(CASE WHEN NOT grp THEN 1 ELSE 0 END)::BIGINT AS a2
+        |  FROM du GROUP BY 1),
+        |r AS (SELECT *,
+        |    sum(a1) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW)::BIGINT AS r1,
+        |    sum(a2) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW)::BIGINT AS r2
+        |  FROM g),
+        |f AS (SELECT * FROM r WHERE d1 + d2 > 0),
+        |t AS (SELECT d1,
+        |    round((d1 + d2)::DOUBLE * r1::DOUBLE / (r1 + r2)::DOUBLE, 9)
+        |      ::DECIMAL(28,9) AS te,
+        |    round(d1::DOUBLE - (d1 + d2)::DOUBLE * r1::DOUBLE
+        |      / (r1 + r2)::DOUBLE, 9)::DECIMAL(28,9) AS tu,
+        |    round(CASE WHEN r1 + r2 = 1 THEN 0.0
+        |      ELSE (d1 + d2)::DOUBLE * (r1::DOUBLE / (r1 + r2)::DOUBLE)
+        |        * (r2::DOUBLE / (r1 + r2)::DOUBLE)
+        |        * ((r1 + r2)::DOUBLE - (d1 + d2)::DOUBLE)
+        |        / ((r1 + r2)::DOUBLE - 1.0) END, 9)::DECIMAL(28,9) AS tv
+        |  FROM f),
+        |tt AS (SELECT sum(CASE WHEN grp THEN 1 ELSE 0 END)::BIGINT AS n_1,
+        |    sum(CASE WHEN NOT grp THEN 1 ELSE 0 END)::BIGINT AS n_2
+        |  FROM du),
+        |ag AS (SELECT sum(d1)::BIGINT AS o1,
+        |    (sum(te)::VARCHAR)::DOUBLE AS es,
+        |    (sum(tu)::VARCHAR)::DOUBLE AS us,
+        |    (sum(tv)::VARCHAR)::DOUBLE AS vs FROM t)
+        |SELECT tt.n_1, tt.n_2, ag.o1, round(ag.es, 6) AS e1,
+        |  CASE WHEN ag.vs = 0.0 THEN NULL
+        |    ELSE round(ag.us * ag.us / ag.vs, 6) END AS chi2
+        |FROM tt, ag""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

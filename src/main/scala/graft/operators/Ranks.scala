@@ -316,6 +316,46 @@ object Ranks {
         col("v").as("value"))
   }
 
+  /** Average precision (area under the precision–recall curve by the
+    * step rule) for a STRICT deterministic ranking — score desc, id
+    * asc (ties resolved by id, the reproducible convention; AUC q222
+    * owns the tie-averaged view). AP = (1/P) Σ_{positives} cumPos/rank.
+    * Both the global rank and the cumulative-positive prefix use the
+    * bucketed machinery — no corpus-wide window; per-positive
+    * precision terms round to 9 dp and DECIMAL-sum. Returns one row
+    * (n, n_pos, ap). */
+  def averagePrecision(df: DataFrame, scoreCol: String, idCol: String,
+      isPos: org.apache.spark.sql.Column, nBuckets: Int = 1024)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ranked = globalRowNumber(
+      df.select((-col(scoreCol).cast("double")).as("__negs"),
+        col(idCol).as("__id"), isPos.as("__y")),
+      "__negs", "__id", nBuckets)
+    val withRb = ranked
+      .withColumn("__rb", ((col("rank") - 1L) / 64L).cast("long"))
+    val wGrid = Window.orderBy(col("__rb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = withRb.groupBy("__rb")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pn"))
+      .withColumn("__pp", coalesce(sum("__pn").over(wGrid), lit(0L)))
+      .select(col("__rb"), col("__pp"))
+    val wLocal = Window.partitionBy("__rb").orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withRb.join(broadcast(pre), "__rb")
+      .withColumn("__cum", col("__pp")
+        + sum(when(col("__y"), 1L).otherwise(0L)).over(wLocal))
+      .select(col("__y"),
+        when(col("__y"), round(col("__cum").cast("double")
+          / col("rank").cast("double"), 9).cast(DecimalType(28, 9)))
+          .as("__t"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__t")).cast("double").as("__s"))
+      .select(col("n"), col("n_pos"),
+        round(col("__s") / col("n_pos").cast("double"), 6).as("ap"))
+  }
+
   /** Winsorized mean per group — the robust metric that tames heavy
     * tails without dropping rows: values clamp to the [pLo, pHi]
     * discrete quantiles (from [[quantileDisc]]'s no-global-sort grid

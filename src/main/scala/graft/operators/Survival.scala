@@ -69,6 +69,53 @@ object Survival {
       .orderBy("d")
   }
 
+  /** Two-sample log-rank test (Mantel–Cox): does group membership
+    * change the time-to-event distribution, with censoring handled —
+    * the hypothesis test on top of [[kmDaily]]'s curves (the t-test is
+    * WRONG for censored durations; this is the standard correction).
+    * At each event day, observed group-1 events are compared to the
+    * hypergeometric expectation given the risk sets;
+    * χ² = (Σ(O₁−E₁))² / ΣV. Grid math only (calendar-bounded);
+    * counts exact LONG, per-day terms identical doubles rounded to
+    * 9 dp and DECIMAL-summed. `units` needs (dur, ev, grp). Returns
+    * one row (n_1, n_2, o1, e1, chi2). */
+  def logRank(units: DataFrame): DataFrame = {
+    val g = units.groupBy("dur").agg(
+      sum(when(col("grp") && col("ev"), 1L).otherwise(0L)).as("d1"),
+      sum(when(!col("grp") && col("ev"), 1L).otherwise(0L)).as("d2"),
+      sum(when(col("grp"), 1L).otherwise(0L)).as("a1"),
+      sum(when(!col("grp"), 1L).otherwise(0L)).as("a2"))
+    val w = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = g
+      .withColumn("r1", sum(col("a1")).over(w)) // calendar-scale grid
+      .withColumn("r2", sum(col("a2")).over(w))
+      .filter(col("d1") + col("d2") > 0)
+    val d = (col("d1") + col("d2")).cast("double")
+    val rr = (col("r1") + col("r2")).cast("double")
+    val e1 = d * col("r1").cast("double") / rr
+    val v = when(col("r1") + col("r2") === 1L, lit(0.0))
+      .otherwise(d * (col("r1").cast("double") / rr)
+        * (col("r2").cast("double") / rr) * (rr - d) / (rr - 1.0))
+    val tot = broadcast(units.agg(
+      sum(when(col("grp"), 1L).otherwise(0L)).as("n_1"),
+      sum(when(!col("grp"), 1L).otherwise(0L)).as("n_2")))
+    val d289 = DecimalType(28, 9)
+    r.select(col("d1"),
+        round(e1, 9).cast(d289).as("te"),
+        round(col("d1").cast("double") - e1, 9).cast(d289).as("tu"),
+        round(v, 9).cast(d289).as("tv"))
+      .agg(sum(col("d1")).as("o1"), sum(col("te")).cast("double").as("es"),
+        sum(col("tu")).cast("double").as("us"),
+        sum(col("tv")).cast("double").as("vs"))
+      .crossJoin(tot)
+      .select(col("n_1"), col("n_2"), col("o1"),
+        round(col("es"), 6).as("e1"),
+        when(col("vs") === 0.0, lit(null).cast("double"))
+          .otherwise(round(col("us") * col("us") / col("vs"), 6))
+          .as("chi2"))
+  }
+
   /** First-view→first-purchase survival frame from the events table:
     * one row per user who ever viewed, with epoch-second start and
     * (nullable) conversion timestamps. Exposed separately so the spec

@@ -185,6 +185,35 @@ class RanksSpec extends SparkSpec {
     assert(b.getDouble(2) == 20.0 && b.getDouble(3) == 300.0)
   }
 
+  test("averagePrecision: perfect ranking gives AP = 1, inverted " +
+      "ranking the textbook minimum, and it matches a local replay") {
+    val perfect = (1 to 10).map(i => (i.toLong, 100.0 - i, i <= 3))
+      .toDF("id", "score", "y")
+    val r1 = Ranks.averagePrecision(perfect, "score", "id", col("y"))
+      .collect().head
+    assert(r1.getLong(0) == 10L && r1.getLong(1) == 3L
+      && r1.getDouble(2) == 1.0, s"$r1")
+    // positives at the very bottom: AP = (1/3)(1/8 + 2/9 + 3/10)
+    val worst = (1 to 10).map(i => (i.toLong, 100.0 - i, i >= 8))
+      .toDF("id", "score", "y")
+    val r2 = Ranks.averagePrecision(worst, "score", "id", col("y"))
+      .collect().head.getDouble(2)
+    val exp = BigDecimal((1.0 / 8 + 2.0 / 9 + 3.0 / 10) / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r2 - exp) < 2e-6, s"$r2 vs $exp")
+  }
+
+  test("averagePrecision: score ties resolve by id — deterministic " +
+      "under repartitioning") {
+    val df = (1 to 200).map(i =>
+      (i.toLong, (i % 5).toDouble, i % 3 == 0)).toDF("id", "score", "y")
+    val a = Ranks.averagePrecision(df, "score", "id", col("y"))
+      .collect().head.toSeq
+    val b = Ranks.averagePrecision(df.repartition(11), "score", "id",
+      col("y")).collect().head.toSeq
+    assert(a == b)
+  }
+
   test("winsorizedMean tames a heavy outlier the raw mean absorbs") {
     val df = ((1 to 99).map(i => ("g", i.toDouble % 10 + 1))
       :+ ("g", 1e6)).toDF("g", "v")

@@ -51,6 +51,39 @@ class SurvivalSpec extends SparkSpec {
     assert(u == Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("logRank: identical survival in both groups gives chi2 ~ 0") {
+    val durs = Seq(1L -> true, 2L -> true, 3L -> false, 5L -> true)
+    val units = (durs.map { case (d, e) => (d, e, true) } ++
+      durs.map { case (d, e) => (d, e, false) }).toDF("dur", "ev", "grp")
+    val r = Survival.logRank(units).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(4) < 1e-9, s"chi2 ${r.getDouble(4)}")
+  }
+
+  test("logRank: clearly separated hazards give a large chi2, and O1 " +
+      "vs E1 points the right way (group 1 converts faster)") {
+    val fast = (1 to 12).map(i => ((i % 3 + 1).toLong, true, true))
+    val slow = (1 to 12).map(i => ((i % 3 + 20).toLong, true, false))
+    val r = Survival.logRank((fast ++ slow).toDF("dur", "ev", "grp"))
+      .collect().head
+    assert(r.getLong(2) == 12L) // all group-1 events observed
+    assert(r.getLong(2) > math.round(r.getDouble(3)),
+      s"O1 ${r.getLong(2)} should exceed E1 ${r.getDouble(3)}")
+    assert(r.getDouble(4) > 10.0, s"chi2 ${r.getDouble(4)}")
+  }
+
+  test("logRank: censored units hold the risk set without counting " +
+      "as events (dropping them changes the statistic)") {
+    val base = Seq((1L, true, true), (2L, true, true),
+      (1L, true, false), (3L, true, false))
+    val withCens = base ++ Seq((5L, false, false), (5L, false, false))
+    val a = Survival.logRank(base.toDF("dur", "ev", "grp"))
+      .collect().head.getDouble(4)
+    val b = Survival.logRank(withCens.toDF("dur", "ev", "grp"))
+      .collect().head.getDouble(4)
+    assert(a != b, "censoring must matter")
+  }
+
   test("kmDaily survival equals the directly-multiplied KM product") {
     // random-ish but fixed durations; compare against a local replica
     val durs = Seq(1L -> true, 1L -> true, 2L -> false, 2L -> true,
