@@ -8738,7 +8738,80 @@ object SparkEntry {
         |SELECT tt.n_1, tt.n_2, ag.o1, round(ag.es, 6) AS e1,
         |  CASE WHEN ag.vs = 0.0 THEN NULL
         |    ELSE round(ag.us * ag.us / ag.vs, 6) END AS chi2
-        |FROM tt, ag""".stripMargin))
+        |FROM tt, ag""".stripMargin),
+
+    Q("q266_peak_concurrency",
+      // Peak concurrent users (sweep-line max): the capacity-planning
+      // number. The classic global running sum decomposes over time
+      // buckets — per-bucket delta totals give broadcast prefix
+      // offsets, global running max = max over buckets of (prefix +
+      // local running max) — two shuffles, no corpus-wide window;
+      // expirations apply before same-instant starts so every row
+      // value is a real concurrency count. Intervals = per-user
+      // first→last activity spans, end-inclusive.
+      (s, dir) => {
+        val sec = unix_timestamp(date_trunc("second", col("ts")))
+        val spans = Tables.events(s, dir)
+          .select(col("user_id"), sec.as("sv"))
+          .groupBy("user_id")
+          .agg(min(col("sv")).as("t0"), max(col("sv")).as("t1"))
+        graft.operators.Intervals.peakConcurrency(spans, "t0", "t1")
+      },
+      """WITH sp AS (SELECT user_id,
+        |    min(epoch(date_trunc('second', ts))::BIGINT) AS t0,
+        |    max(epoch(date_trunc('second', ts))::BIGINT) AS t1
+        |  FROM events GROUP BY 1),
+        |pt AS (SELECT t0 AS t, 1::BIGINT AS d FROM sp
+        |  UNION ALL SELECT t1 + 1, (-1)::BIGINT FROM sp),
+        |c AS (SELECT t, d, sum(d) OVER (ORDER BY t, d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS run FROM pt),
+        |pk AS (SELECT run, t FROM c ORDER BY run DESC, t ASC LIMIT 1)
+        |SELECT (SELECT count(*) FROM sp)::BIGINT AS n_intervals,
+        |  pk.run AS peak, pk.t AS t_peak
+        |FROM pk""".stripMargin),
+
+    Q("q267_hits",
+      // HITS hubs/authorities on the bipartite order↔part graph —
+      // mutual reinforcement where PageRank's single-role walk loses
+      // the two-sidedness; top-20 authority parts. Sum-normalized
+      // fixed-point decimal iterations (totals DECIMAL-exact), 3
+      // rounds, unrolled bit-for-bit by the oracle.
+      (s, dir) => graft.operators.PageRank.hits(
+        Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0)
+          .select(col("l_orderkey").as("hub"), col("l_partkey").as("auth")),
+        iters = 3)
+        .orderBy(col("auth").desc, col("node")).limit(20),
+      {
+        def iter(i: Int): String = {
+          val p = i - 1
+          s"""ar$i AS MATERIALIZED (SELECT e.auth, sum(h.hs) AS ar
+             |  FROM e JOIN h$p h USING (hub) GROUP BY 1),
+             |at$i AS (SELECT sum(ar) AS t FROM ar$i),
+             |a$i AS MATERIALIZED (SELECT auth,
+             |    round((ar::VARCHAR)::DOUBLE / (at$i.t::VARCHAR)::DOUBLE,
+             |      12)::DECIMAL(28,12) AS ascore
+             |  FROM ar$i, at$i),
+             |hr$i AS MATERIALIZED (SELECT e.hub, sum(a.ascore) AS hr
+             |  FROM e JOIN a$i a USING (auth) GROUP BY 1),
+             |ht$i AS (SELECT sum(hr) AS t FROM hr$i),
+             |h$i AS MATERIALIZED (SELECT hub,
+             |    round((hr::VARCHAR)::DOUBLE / (ht$i.t::VARCHAR)::DOUBLE,
+             |      12)::DECIMAL(28,12) AS hs
+             |  FROM hr$i, ht$i)""".stripMargin
+        }
+        s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS hub,
+           |    l_partkey AS auth FROM lineitem WHERE l_orderkey % 4 = 0),
+           |hb AS (SELECT DISTINCT hub FROM e),
+           |nh AS (SELECT count(*)::DOUBLE AS nh FROM hb),
+           |h0 AS (SELECT hub, round(1.0 / nh.nh, 12)::DECIMAL(28,12)
+           |    AS hs FROM hb, nh),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT auth AS node, round(ascore::DOUBLE, 9) AS auth
+           |FROM a3 ORDER BY auth DESC, node LIMIT 20""".stripMargin
+      }))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -106,4 +106,45 @@ object PageRank {
     ranks.select(col("node"),
       round(col("rank").cast("double"), outDp).as("rank"))
   }
+
+  /** HITS (Kleinberg 1999) on a BIPARTITE edge list (hub, auth) —
+    * mutual reinforcement: good hubs point at good authorities and
+    * vice versa. The natural ranking for two-sided relations
+    * (buyers↔products, queries↔documents) where PageRank's
+    * single-role walk loses the distinction. Sum-normalized variant
+    * (L1 instead of L2): normalization totals are DECIMAL-exact, so
+    * the same fixed-point rounding discipline as [[run]] applies and
+    * the oracle unrolls bit-for-bit. Each half-iteration is one
+    * shuffle on the receiving side's key. Returns authority scores
+    * (node, auth) rounded to `outDp`. */
+  def hits(edges: DataFrame, iters: Int, outDp: Int = 9): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col("hub"), col("auth")).distinct()
+      .localCheckpoint(true)
+    val hubs = e.select(col("hub")).distinct().localCheckpoint(true)
+    val nh = hubs.count()
+    var h = hubs.select(col("hub"),
+      round(lit(1.0) / nh, 12).cast(DecimalType(28, 12)).as("hs"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(h, "hub")
+        .groupBy("auth").agg(sum(col("hs")).as("ar")) // exact decimal
+      val at = araw.agg(sum(col("ar")).as("t"))
+      a = araw.crossJoin(broadcast(at))
+        .select(col("auth"),
+          round(col("ar").cast("double") / col("t").cast("double"), 12)
+            .cast(DecimalType(28, 12)).as("as"))
+        .localCheckpoint(true)
+      val hraw = e.join(a, "auth")
+        .groupBy("hub").agg(sum(col("as")).as("hr"))
+      val ht = hraw.agg(sum(col("hr")).as("t"))
+      h = hraw.crossJoin(broadcast(ht))
+        .select(col("hub"),
+          round(col("hr").cast("double") / col("t").cast("double"), 12)
+            .cast(DecimalType(28, 12)).as("hs"))
+        .localCheckpoint(true)
+    }
+    a.select(col("auth").as("node"),
+      round(col("as").cast("double"), outDp).as("auth"))
+  }
 }

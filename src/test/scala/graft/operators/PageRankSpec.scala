@@ -51,6 +51,27 @@ class PageRankSpec extends SparkSpec {
     assert(p == plain, s"$p vs $plain")
   }
 
+  test("hits: the authority everyone points at dominates; scores are " +
+      "a distribution (sum 1) and symmetric structures tie") {
+    val edges = Seq((1L, 100L), (2L, 100L), (3L, 100L),
+      (1L, 200L), (2L, 300L)).toDF("hub", "auth")
+    val a = PageRank.hits(edges, 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a(100L) > a(200L) && a(100L) > a(300L), s"$a")
+    assert(math.abs(a.values.sum - 1.0) < 1e-6)
+    assert(a(200L) == a(300L), s"symmetric authorities must tie: $a")
+  }
+
+  test("hits is deterministic under repartitioning") {
+    val e = graft.Tables.lineitem(spark, SfDir)
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey").as("hub"), col("l_partkey").as("auth"))
+    val a = PageRank.hits(e, 2).orderBy("node").collect().map(_.toSeq).toSeq
+    val b = PageRank.hits(e.repartition(9), 2).orderBy("node")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("one iteration matches the hand-computed damped update") {
     // path 1-2-3 symmetrized: deg(1)=deg(3)=1, deg(2)=2; from uniform
     // r=1/3: node1 gets r2/2, node2 gets r1+r3, node3 gets r2/2
