@@ -4174,6 +4174,50 @@ object SparkEntry {
       |  FROM bi x JOIN bi y ON x.basket = y.basket AND x.item < y.item
       |  WHERE x.basket IN (SELECT basket FROM okb))""".stripMargin
 
+  /** q206's full calibration oracle — shared with q268, which
+    * aggregates the same reliability table into ECE. */
+  private lazy val CalibrationOracleSql: String = {
+        val mkSql = TextAnalysis.Stopwords.toMap.apply("en")
+          .map(m => s"'$m'").mkString("[", ",", "]")
+        val w = QcWeights.map(dec)
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS l FROM documents),
+           |f AS (SELECT doc_id,
+           |    ln(1.0 + length(text)::DOUBLE) AS f1,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '',
+           |                'g'))::DOUBLE / length(text)::DOUBLE END AS f2,
+           |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+           |      / greatest(len(l)::DOUBLE, 1.0) AS f3,
+           |    CASE WHEN len(l) = 0 THEN 0.0
+           |         ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '',
+           |                'g'))::DOUBLE / len(l)::DOUBLE END AS f4,
+           |    CASE WHEN len(l) = 0 THEN 0.0
+           |         ELSE len(list_intersect(l, $mkSql))::DOUBLE
+           |              / len(list_distinct(l))::DOUBLE END AS f5
+           |  FROM t),
+           |z AS (SELECT doc_id,
+           |    (${dec(QcIntercept)} + ${w(0)} * f1 + ${w(1)} * f2
+           |      + ${w(2)} * f3 + ${w(3)} * f4 + ${w(4)} * f5) AS z FROM f),
+           |p AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6)
+           |        AS qp FROM z),
+           |tr AS (SELECT doc_id, (lang = 'en') AS pos
+           |       FROM documents),
+           |base AS (
+           |  SELECT least(floor(qp * 10)::INT, 9) AS bin,
+           |    (qp::DECIMAL(18,6) * 1000000)::BIGINT AS p_ppm,
+           |    pos::INT::BIGINT AS pos
+           |  FROM p JOIN tr USING (doc_id)),
+           |g AS (SELECT bin, count(*)::BIGINT AS n_docs,
+           |        sum(pos)::BIGINT AS n_pos,
+           |        sum(p_ppm)::BIGINT AS sum_p_ppm
+           |      FROM base GROUP BY 1)
+           |SELECT bin, n_docs, n_pos,
+           |  ((sum_p_ppm // n_docs)::DOUBLE / 1000000.0) AS avg_p,
+           |  (((n_pos * 1000000) // n_docs)::DOUBLE / 1000000.0)
+           |    AS pos_rate
+           |FROM g ORDER BY bin""".stripMargin
+      }
+
   private lazy val analyticsRegistry: Seq[Q] = Seq(
 
     Q("q135_hll_cardinality",
@@ -6649,47 +6693,7 @@ object SparkEntry {
       (s, dir) => graft.pipeline.QualityClassifier.calibration(
         Tables.documents(s, dir), "text", QcWeights, QcIntercept,
         col("lang") === "en"),
-      {
-        val mkSql = TextAnalysis.Stopwords.toMap.apply("en")
-          .map(m => s"'$m'").mkString("[", ",", "]")
-        val w = QcWeights.map(dec)
-        s"""WITH t AS (SELECT doc_id, text, $toksSql AS l FROM documents),
-           |f AS (SELECT doc_id,
-           |    ln(1.0 + length(text)::DOUBLE) AS f1,
-           |    CASE WHEN length(text) = 0 THEN 0.0
-           |         ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '',
-           |                'g'))::DOUBLE / length(text)::DOUBLE END AS f2,
-           |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
-           |      / greatest(len(l)::DOUBLE, 1.0) AS f3,
-           |    CASE WHEN len(l) = 0 THEN 0.0
-           |         ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '',
-           |                'g'))::DOUBLE / len(l)::DOUBLE END AS f4,
-           |    CASE WHEN len(l) = 0 THEN 0.0
-           |         ELSE len(list_intersect(l, $mkSql))::DOUBLE
-           |              / len(list_distinct(l))::DOUBLE END AS f5
-           |  FROM t),
-           |z AS (SELECT doc_id,
-           |    (${dec(QcIntercept)} + ${w(0)} * f1 + ${w(1)} * f2
-           |      + ${w(2)} * f3 + ${w(3)} * f4 + ${w(4)} * f5) AS z FROM f),
-           |p AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6)
-           |        AS qp FROM z),
-           |tr AS (SELECT doc_id, (lang = 'en') AS pos
-           |       FROM documents),
-           |base AS (
-           |  SELECT least(floor(qp * 10)::INT, 9) AS bin,
-           |    (qp::DECIMAL(18,6) * 1000000)::BIGINT AS p_ppm,
-           |    pos::INT::BIGINT AS pos
-           |  FROM p JOIN tr USING (doc_id)),
-           |g AS (SELECT bin, count(*)::BIGINT AS n_docs,
-           |        sum(pos)::BIGINT AS n_pos,
-           |        sum(p_ppm)::BIGINT AS sum_p_ppm
-           |      FROM base GROUP BY 1)
-           |SELECT bin, n_docs, n_pos,
-           |  ((sum_p_ppm // n_docs)::DOUBLE / 1000000.0) AS avg_p,
-           |  (((n_pos * 1000000) // n_docs)::DOUBLE / 1000000.0)
-           |    AS pos_rate
-           |FROM g ORDER BY bin""".stripMargin
-      }),
+      CalibrationOracleSql),
 
     Q("q207_postings_compression",
       // VByte posting-compression profile over the blocked layout
@@ -8811,7 +8815,103 @@ object SparkEntry {
            |${iter(3)}
            |SELECT auth AS node, round(ascore::DOUBLE, 9) AS auth
            |FROM a3 ORDER BY auth DESC, node LIMIT 20""".stripMargin
-      }))
+      }),
+
+    Q("q268_ece",
+      // Expected calibration error of the frozen quality model: the
+      // ONE-NUMBER summary of q206's reliability diagram,
+      // ECE = Σ (n_b/N)·|pos_rate_b − avg_p_b|. Bin rates are already
+      // truncated-ppm integers, so the only float work is 10 bounded
+      // products, 9-dp DECIMAL-summed. The oracle nests q206's full
+      // calibration SQL (shared string — one definition, two gates).
+      (s, dir) => {
+        val cal = graft.pipeline.QualityClassifier.calibration(
+          Tables.documents(s, dir), "text", QcWeights, QcIntercept,
+          col("lang") === "en")
+        val tot = broadcast(cal.agg(sum(col("n_docs")).as("bigN")))
+        cal.crossJoin(tot)
+          .select(col("bigN"),
+            round((col("n_docs").cast("double")
+                / col("bigN").cast("double"))
+              * abs(col("pos_rate") - col("avg_p")), 9)
+              .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("t"))
+          .groupBy("bigN")
+          .agg(count(lit(1)).as("n_bins"),
+            sum(col("t")).cast("double").as("s"))
+          .select(col("bigN").cast("long").as("n_docs"), col("n_bins"),
+            round(col("s"), 6).as("ece"))
+      },
+      s"""WITH cal AS ($CalibrationOracleSql),
+         |tt AS (SELECT sum(n_docs)::BIGINT AS bign FROM cal),
+         |t AS (SELECT tt.bign,
+         |    round((n_docs::DOUBLE / tt.bign::DOUBLE)
+         |      * abs(pos_rate - avg_p), 9)::DECIMAL(28,9) AS t
+         |  FROM cal, tt)
+         |SELECT bign AS n_docs, count(*)::BIGINT AS n_bins,
+         |  round((sum(t)::VARCHAR)::DOUBLE, 6) AS ece
+         |FROM t GROUP BY 1""".stripMargin),
+
+    Q("q269_mde_power",
+      // Experiment power planning: the minimum detectable effect at
+      // α = .05 (two-sided), power = .80 for a two-sample mean test
+      // per event-type metric with arms split by user parity —
+      // MDE = (z_{.975} + z_{.80})·σ̂·√(2/n_arm), n_arm = min(n_a,n_b).
+      // σ̂ from exact decimal moments; the z constants are shared
+      // literal text, so both engines parse identical doubles.
+      (s, dir) => {
+        val d = org.apache.spark.sql.types.DecimalType(18, 4)
+        val m = Tables.events(s, dir)
+          .select(col("event_type"), (col("user_id") % 2 === 0).as("a"),
+            col("value").cast(d).as("v"))
+          .groupBy("event_type", "a")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            sum(col("v") * col("v")).as("qv"))
+        val wide = m.groupBy("event_type")
+          .agg(max(when(col("a"), col("n"))).as("na"),
+            max(when(!col("a"), col("n"))).as("nb"),
+            (max(when(col("a"), col("sv")))
+              + max(when(!col("a"), col("sv")))).cast("double").as("sv"),
+            (max(when(col("a"), col("qv")))
+              + max(when(!col("a"), col("qv")))).cast("double").as("qv"),
+            (max(when(col("a"), col("n")))
+              + max(when(!col("a"), col("n")))).cast("double").as("nn"))
+        val variance = (col("qv") - col("sv") * col("sv") / col("nn")) /
+          (col("nn") - 1.0)
+        val nArm = least(col("na"), col("nb")).cast("double")
+        val z = lit(1.959963985) + lit(0.841621234)
+        wide.select(col("event_type"), col("na").as("n_a"),
+            col("nb").as("n_b"),
+            round(sqrt(variance), 6).as("sigma"),
+            round(z * sqrt(variance) * sqrt(lit(2.0) / nArm), 6)
+              .as("mde_abs"),
+            round(z * sqrt(variance) * sqrt(lit(2.0) / nArm)
+              / (col("sv") / col("nn")), 6).as("mde_rel"))
+          .orderBy("event_type")
+      },
+      """WITH m AS (SELECT event_type, (user_id % 2 = 0) AS a,
+        |    count(*)::BIGINT AS n, sum(value::DECIMAL(18,4)) AS sv,
+        |    sum(value::DECIMAL(19,4) * value::DECIMAL(19,4)) AS qv
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type,
+        |    max(CASE WHEN a THEN n END) AS na,
+        |    max(CASE WHEN NOT a THEN n END) AS nb,
+        |    ((max(CASE WHEN a THEN sv END)
+        |      + max(CASE WHEN NOT a THEN sv END))::VARCHAR)::DOUBLE AS sv,
+        |    ((max(CASE WHEN a THEN qv END)
+        |      + max(CASE WHEN NOT a THEN qv END))::VARCHAR)::DOUBLE AS qv,
+        |    (max(CASE WHEN a THEN n END)
+        |      + max(CASE WHEN NOT a THEN n END))::DOUBLE AS nn
+        |  FROM m GROUP BY 1)
+        |SELECT event_type, na AS n_a, nb AS n_b,
+        |  round(sqrt((qv - sv * sv / nn) / (nn - 1.0)), 6) AS sigma,
+        |  round((1.959963985 + 0.841621234)
+        |    * sqrt((qv - sv * sv / nn) / (nn - 1.0))
+        |    * sqrt(2.0 / least(na, nb)::DOUBLE), 6) AS mde_abs,
+        |  round((1.959963985 + 0.841621234)
+        |    * sqrt((qv - sv * sv / nn) / (nn - 1.0))
+        |    * sqrt(2.0 / least(na, nb)::DOUBLE) / (sv / nn), 6)
+        |    AS mde_rel
+        |FROM w ORDER BY event_type""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
