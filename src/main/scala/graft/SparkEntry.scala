@@ -8911,7 +8911,598 @@ object SparkEntry {
         |    * sqrt((qv - sv * sv / nn) / (nn - 1.0))
         |    * sqrt(2.0 / least(na, nb)::DOUBLE) / (sv / nn), 6)
         |    AS mde_rel
-        |FROM w ORDER BY event_type""".stripMargin))
+        |FROM w ORDER BY event_type""".stripMargin),
+
+    Q("q270_proportion_ztest",
+      // Two-proportion z-test on the high-value-conversion RATE (did
+      // the user ever purchase above 150?) between parity arms — the
+      // proportion-metric companion to q147's Welch test on means
+      // (plain "ever purchased" saturates at 100% in this fixture —
+      // zero pooled variance, no test). Flags and arm counts are
+      // integer-exact; the pooled-variance z is one identical
+      // expression on the 1-row pivot.
+      (s, dir) => {
+        val per = Tables.events(s, dir).groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase"
+            && col("value") > 150.0, 1L).otherwise(0L)).as("conv"))
+          .select((col("user_id") % 2 === 0).as("a"), col("conv"))
+        val m = per.groupBy("a")
+          .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+        val wide = m.groupBy()
+          .agg(max(when(col("a"), col("n"))).as("n1"),
+            max(when(col("a"), col("x"))).as("x1"),
+            max(when(!col("a"), col("n"))).as("n2"),
+            max(when(!col("a"), col("x"))).as("x2"))
+        val p1 = col("x1").cast("double") / col("n1").cast("double")
+        val p2 = col("x2").cast("double") / col("n2").cast("double")
+        val pp = (col("x1") + col("x2")).cast("double") /
+          (col("n1") + col("n2")).cast("double")
+        wide.select(col("n1"), col("x1"), col("n2"), col("x2"),
+          round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+          round((p1 - p2) / sqrt(pp * (lit(1.0) - pp)
+            * (lit(1.0) / col("n1").cast("double")
+              + lit(1.0) / col("n2").cast("double"))), 6).as("z"))
+      },
+      """WITH per AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |      THEN 1 ELSE 0 END)::BIGINT AS conv
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT (user_id % 2 = 0) AS a, count(*)::BIGINT AS n,
+        |    sum(conv)::BIGINT AS x FROM per GROUP BY 1),
+        |w AS (SELECT max(CASE WHEN a THEN n END) AS n1,
+        |    max(CASE WHEN a THEN x END) AS x1,
+        |    max(CASE WHEN NOT a THEN n END) AS n2,
+        |    max(CASE WHEN NOT a THEN x END) AS x2 FROM m)
+        |SELECT n1, x1, n2, x2,
+        |  round(x1::DOUBLE / n1::DOUBLE, 6) AS p1,
+        |  round(x2::DOUBLE / n2::DOUBLE, 6) AS p2,
+        |  round((x1::DOUBLE / n1::DOUBLE - x2::DOUBLE / n2::DOUBLE)
+        |    / sqrt((x1 + x2)::DOUBLE / (n1 + n2)::DOUBLE
+        |      * (1.0 - (x1 + x2)::DOUBLE / (n1 + n2)::DOUBLE)
+        |      * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE)), 6) AS z
+        |FROM w""".stripMargin),
+
+    Q("q271_modularity",
+      // Newman-Girvan modularity of q231's label-propagation
+      // communities on the co-purchase graph — the "does this
+      // partition mean anything?" score (Q ≳ 0.3 = real structure).
+      // Intra-edge and degree sums are integer-exact per community;
+      // per-community terms 9-dp DECIMAL-summed.
+      (s, dir) => {
+        val edges = graft.operators.Graph.basketEdges(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey")
+        graft.operators.Graph.modularity(edges,
+          graft.operators.Graph.labelPropagationAssignments(edges,
+            rounds = 4))
+      },
+      {
+        val rounds = (1 to 4).map { i =>
+          s"""c$i AS (SELECT nb.v, l.label, count(*) AS cnt
+             |  FROM nb JOIN l${i - 1} l ON nb.n = l.v GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (SELECT v, label FROM (
+             |    SELECT v, label, row_number() OVER (PARTITION BY v
+             |      ORDER BY cnt DESC, label) AS rn FROM c$i)
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $GraphEdgeCtes,
+           |nb AS MATERIALIZED (SELECT a AS v, b AS n FROM e0
+           |  UNION ALL SELECT b AS v, a AS n FROM e0),
+           |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS label FROM nb),
+           |$rounds,
+           |wl AS MATERIALIZED (SELECT e0.a, e0.b, la.label AS la,
+           |    lb.label AS lb
+           |  FROM e0 JOIN l4 la ON e0.a = la.v JOIN l4 lb ON e0.b = lb.v),
+           |m AS (SELECT count(*)::BIGINT AS m FROM e0),
+           |intra AS (SELECT la AS label, count(*)::BIGINT AS mc FROM wl
+           |  WHERE la = lb GROUP BY 1),
+           |deg AS (SELECT label, count(*)::BIGINT AS dc FROM (
+           |    SELECT la AS label FROM wl UNION ALL SELECT lb FROM wl)
+           |  GROUP BY 1),
+           |t AS (SELECT m.m,
+           |    round(coalesce(intra.mc, 0)::DOUBLE / m.m::DOUBLE
+           |      - (deg.dc::DOUBLE / (2.0 * m.m::DOUBLE))
+           |        * (deg.dc::DOUBLE / (2.0 * m.m::DOUBLE)), 9)
+           |      ::DECIMAL(28,9) AS t
+           |  FROM deg LEFT JOIN intra USING (label), m)
+           |SELECT m AS n_edges, count(*)::BIGINT AS n_communities,
+           |  round((sum(t)::VARCHAR)::DOUBLE, 6) AS modularity
+           |FROM t GROUP BY 1""".stripMargin
+      }),
+
+    Q("q272_anova_f",
+      // One-way ANOVA F across ALL event types ([[graft.operators
+      // .AbTest.anovaF]]) — the k-arm generalization of q147's
+      // two-arm Welch. One partial-agg scan to exact per-group decimal
+      // moments; the k-fold cross-group float sums (Σ S_g²/n_g etc.)
+      // are 6-dp DECIMAL-summed so they have no association order;
+      // decimal→double casts are varchar-mediated in the oracle (the
+      // round-6 int128 discipline).
+      (s, dir) => graft.operators.AbTest.anovaF(
+        Tables.events(s, dir), "event_type", "value"),
+      """WITH m AS (SELECT event_type, count(*)::BIGINT AS nn,
+        |    (sum(value::DECIMAL(18,4))::VARCHAR)::DOUBLE AS s,
+        |    (sum(value::DECIMAL(18,4) * value::DECIMAL(18,4))
+        |      ::VARCHAR)::DOUBLE AS q
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT nn,
+        |    round(s, 6)::DECIMAL(38,6) AS sd,
+        |    round(s * s / nn::DOUBLE, 6)::DECIMAL(38,6) AS tt,
+        |    round(q, 6)::DECIMAL(38,6) AS qd
+        |  FROM m),
+        |a AS (SELECT count(*)::BIGINT AS k, sum(nn)::BIGINT AS n,
+        |    (sum(sd)::VARCHAR)::DOUBLE AS s,
+        |    (sum(qd)::VARCHAR)::DOUBLE AS q,
+        |    (sum(tt)::VARCHAR)::DOUBLE AS ssb_part
+        |  FROM t)
+        |SELECT k, n,
+        |  round(((ssb_part - s * s / n::DOUBLE) / (k::DOUBLE - 1.0))
+        |    / ((q - ssb_part) / (n::DOUBLE - k::DOUBLE)), 6) AS f_stat,
+        |  (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2
+        |FROM a""".stripMargin),
+
+    Q("q273_kruskal_wallis",
+      // Tie-corrected Kruskal-Wallis H across all event types
+      // ([[graft.operators.Ranks.kruskalWallis]]) — the k-group rank
+      // ANOVA beside q216's two-group U. Engine: value-level grid +
+      // bucketed prefix (no corpus window); oracle: the plain global
+      // window. Per-group R_g²/n_g terms are bit-identical doubles,
+      // 6-dp DECIMAL-summed.
+      (s, dir) => graft.operators.Ranks.kruskalWallis(
+        Tables.events(s, dir), "value", "event_type"),
+      """WITH src AS (SELECT event_type AS g, value::DOUBLE AS v
+        |  FROM events),
+        |rn AS (SELECT g, v, row_number() OVER (ORDER BY v) AS r
+        |  FROM src),
+        |ranked AS (SELECT g, v, avg(r) OVER (PARTITION BY v)
+        |    AS avg_rank FROM rn),
+        |ties AS (SELECT sum(n_v * n_v * n_v - n_v)::DOUBLE AS tie3
+        |  FROM (SELECT count(*)::DOUBLE AS n_v FROM src GROUP BY v)),
+        |pg AS (SELECT g, count(*)::BIGINT AS n_g, sum(avg_rank) AS r_g
+        |  FROM ranked GROUP BY g),
+        |t AS (SELECT n_g,
+        |    round(r_g * r_g / n_g::DOUBLE, 6)::DECIMAL(38,6) AS tt
+        |  FROM pg),
+        |a AS (SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+        |    (sum(tt)::VARCHAR)::DOUBLE AS rr FROM t)
+        |SELECT k, n,
+        |  round((12.0 / (n::DOUBLE * (n::DOUBLE + 1.0)) * rr
+        |      - 3.0 * (n::DOUBLE + 1.0))
+        |    / (1.0 - tie3
+        |      / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)), 6)
+        |    AS h
+        |FROM a, ties""".stripMargin),
+
+    Q("q274_kendall_tau",
+      // Kendall's tau-b between quantity and discount ([[graft
+      // .operators.Dependence.kendallTau]]): concordant/discordant
+      // pairs counted on the JOINT VALUE GRID (50×11 cells — one
+      // corpus groupBy, then a metadata-sized grid self-join), all in
+      // exact integer arithmetic; only tau's final ratio is float.
+      (s, dir) => graft.operators.Dependence.kendallTau(
+        Tables.lineitem(s, dir), "l_quantity", "l_discount"),
+      """WITH cells AS (SELECT l_quantity::DOUBLE AS x,
+        |    l_discount::DOUBLE AS y, count(*)::BIGINT AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT
+        |    sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+        |      ::BIGINT AS nc,
+        |    sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+        |      ::BIGINT AS nd
+        |  FROM cells a JOIN cells b ON a.x < b.x),
+        |tx AS (SELECT sum(t * (t - 1) // 2)::BIGINT AS n1
+        |  FROM (SELECT sum(c)::BIGINT AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT sum(t * (t - 1) // 2)::BIGINT AS n2
+        |  FROM (SELECT sum(c)::BIGINT AS t FROM cells GROUP BY y)),
+        |nn AS (SELECT sum(c)::BIGINT AS n FROM cells)
+        |SELECT n, nc, nd,
+        |  round((nc - nd)::DOUBLE / sqrt(
+        |    (n::DOUBLE * (n::DOUBLE - 1.0) / 2.0 - n1::DOUBLE)
+        |    * (n::DOUBLE * (n::DOUBLE - 1.0) / 2.0 - n2::DOUBLE)), 6)
+        |    AS tau_b
+        |FROM p, tx, ty, nn""".stripMargin),
+
+    Q("q275_ridge_regression",
+      // Ridge regression price ~ 1 + quantity + discount at λ=1000
+      // ([[graft.operators.Regression.ridge2]]): q220's single moment
+      // scan and Cramer solve with λ on the slope diagonal — the
+      // collinearity-proof variant. Formula text mirrored verbatim.
+      (s, dir) => graft.operators.Regression.ridge2(
+        Tables.lineitem(s, dir),
+        "l_extendedprice", "l_quantity", "l_discount", 1000.0),
+      """WITH m AS (SELECT count(*)::DOUBLE AS n,
+        |    sum(l_quantity::DECIMAL(19,4))::DOUBLE AS s1,
+        |    sum(l_discount::DECIMAL(19,4))::DOUBLE AS s2,
+        |    sum(l_quantity::DECIMAL(19,4) * l_quantity::DECIMAL(19,4))::DOUBLE + 1000.0 AS s11,
+        |    sum(l_quantity::DECIMAL(19,4) * l_discount::DECIMAL(19,4))::DOUBLE AS s12,
+        |    sum(l_discount::DECIMAL(19,4) * l_discount::DECIMAL(19,4))::DOUBLE + 1000.0 AS s22,
+        |    sum(l_extendedprice::DECIMAL(19,4))::DOUBLE AS sy,
+        |    sum(l_quantity::DECIMAL(19,4) * l_extendedprice::DECIMAL(19,4))::DOUBLE AS s1y,
+        |    sum(l_discount::DECIMAL(19,4) * l_extendedprice::DECIMAL(19,4))::DOUBLE AS s2y
+        |  FROM lineitem),
+        |d AS (SELECT *,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM m)
+        |SELECT n::BIGINT AS n, 1000.0 AS lambda,
+        |  round(det0 / det, 6) AS b0,
+        |  round(det1 / det, 6) AS b1,
+        |  round(det2 / det, 6) AS b2
+        |FROM d""".stripMargin),
+
+    Q("q276_isotonic_calibration",
+      // Isotonic (PAV) recalibration of q206's reliability table
+      // ([[graft.operators.Isotonic.pavPpm]]): the monotone fit via
+      // the minimax identity max_{j<=i} min_{k>=i} rate(j..k) — a
+      // bin-grid self-join, no sequential merge loop, all rates
+      // integer-ppm so min/max comparisons are exact. The oracle
+      // nests q206's shared calibration SQL.
+      (s, dir) => {
+        val cal = graft.pipeline.QualityClassifier.calibration(
+          Tables.documents(s, dir), "text", QcWeights, QcIntercept,
+          col("lang") === "en")
+        graft.operators.Isotonic.pavPpm(
+          cal.select(col("bin"), col("n_docs").as("n"),
+            col("n_pos").as("pos")))
+      },
+      s"""WITH cal AS ($CalibrationOracleSql),
+         |t AS (SELECT bin::BIGINT AS bin, n_docs::BIGINT AS n,
+         |    n_pos::BIGINT AS pos FROM cal),
+         |ranges AS (SELECT j.bin AS j, k.bin AS k,
+         |    (sum(x.pos) * 1000000) // sum(x.n) AS rate_ppm
+         |  FROM t j JOIN t k ON j.bin <= k.bin
+         |  JOIN t x ON x.bin >= j.bin AND x.bin <= k.bin
+         |  GROUP BY 1, 2),
+         |mn AS (SELECT t.bin AS i, r.j, min(r.rate_ppm) AS mn
+         |  FROM t JOIN ranges r ON r.j <= t.bin AND r.k >= t.bin
+         |  GROUP BY 1, 2),
+         |fit AS (SELECT i, max(mn)::BIGINT AS iso_rate_ppm FROM mn
+         |  GROUP BY 1)
+         |SELECT t.bin, t.n, t.pos,
+         |  ((t.pos * 1000000) // t.n)::BIGINT AS raw_rate_ppm,
+         |  fit.iso_rate_ppm
+         |FROM t JOIN fit ON t.bin = fit.i ORDER BY t.bin""".stripMargin),
+
+    Q("q277_ewma_control",
+      // EWMA control chart (alpha = 1/2, l = 2 sigma) on daily order
+      // revenue ([[graft.operators.TimeSeries.ewmaControl]]): the
+      // floor-halving recurrence runs in exact integer CENTS, so the
+      // oracle's recursive CTE replays the sequential state
+      // bit-for-bit; sigma comes from exact integer moments through
+      // one identical double expression. The corpus pass is the one
+      // partial-agg groupBy(day); the recurrence is calendar-bounded.
+      (s, dir) => graft.operators.TimeSeries.ewmaControl(
+        Tables.orders(s, dir), "o_orderdate", "o_totalprice", l = 2.0),
+      """WITH RECURSIVE daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS d,
+        |    (sum(o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS u
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS n, sum(u)::BIGINT AS s,
+        |    (sum(u::DECIMAL(38,0) * u)::VARCHAR)::DOUBLE AS q
+        |  FROM daily),
+        |sg AS (SELECT sqrt((q - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+        |    / (n::DOUBLE - 1.0)) AS sigma FROM st),
+        |idx AS (SELECT d, u, row_number() OVER (ORDER BY d) AS i
+        |  FROM daily),
+        |rec AS (
+        |  SELECT i, d, u, u AS e FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.i, idx.d, idx.u, (idx.u + rec.e) // 2
+        |  FROM idx JOIN rec ON idx.i = rec.i + 1),
+        |al AS (SELECT r.d, r.u, r.e,
+        |    CASE WHEN r.i = 1 THEN false
+        |         ELSE abs(r.u - p.e)::DOUBLE > 2.0 * sg.sigma END
+        |      AS alarm
+        |  FROM rec r LEFT JOIN rec p ON p.i = r.i - 1, sg)
+        |SELECT d::TIMESTAMP AS d, u::DOUBLE / 100.0 AS revenue,
+        |  e::DOUBLE / 100.0 AS ewma, alarm
+        |FROM al ORDER BY d""".stripMargin),
+
+    Q("q278_bfs_reach",
+      // Multi-source BFS hop histogram from the co-purchase graph's
+      // minimum vertex ([[graft.operators.Graph.bfsHopHistogram]]):
+      // frontier expansion — each round touches only the frontier ×
+      // adjacency, never the vertex set; all math set-membership.
+      // The oracle unrolls 4 frontier rounds over the shared edge CTEs.
+      (s, dir) => {
+        val edges = graft.operators.Graph.basketEdges(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey").localCheckpoint(true)
+        graft.operators.Graph.bfsHopHistogram(edges,
+          edges.agg(min(col("a")).as("v")), maxHops = 4)
+      },
+      s"""WITH $GraphEdgeCtes,
+         |nb AS MATERIALIZED (SELECT a AS v, b AS n FROM e0
+         |  UNION ALL SELECT b AS v, a AS n FROM e0),
+         |v0 AS MATERIALIZED (SELECT min(a) AS v, 0 AS dist FROM e0),
+         |f1 AS MATERIALIZED (SELECT DISTINCT nb.n AS v FROM nb
+         |  JOIN v0 ON nb.v = v0.v
+         |  WHERE nb.n NOT IN (SELECT v FROM v0)),
+         |v1 AS MATERIALIZED (SELECT v, dist FROM v0
+         |  UNION ALL SELECT v, 1 FROM f1),
+         |f2 AS MATERIALIZED (SELECT DISTINCT nb.n AS v FROM nb
+         |  JOIN f1 ON nb.v = f1.v
+         |  WHERE nb.n NOT IN (SELECT v FROM v1)),
+         |v2 AS MATERIALIZED (SELECT v, dist FROM v1
+         |  UNION ALL SELECT v, 2 FROM f2),
+         |f3 AS MATERIALIZED (SELECT DISTINCT nb.n AS v FROM nb
+         |  JOIN f2 ON nb.v = f2.v
+         |  WHERE nb.n NOT IN (SELECT v FROM v2)),
+         |v3 AS MATERIALIZED (SELECT v, dist FROM v2
+         |  UNION ALL SELECT v, 3 FROM f3),
+         |f4 AS MATERIALIZED (SELECT DISTINCT nb.n AS v FROM nb
+         |  JOIN f3 ON nb.v = f3.v
+         |  WHERE nb.n NOT IN (SELECT v FROM v3)),
+         |v4 AS (SELECT v, dist FROM v3
+         |  UNION ALL SELECT v, 4 FROM f4)
+         |SELECT dist, count(*)::BIGINT AS n_vertices
+         |FROM v4 GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    Q("q279_abc_classes",
+      // ABC/Pareto inventory classes of parts by lineitem revenue
+      // ([[graft.operators.Customer.abcClasses]], 800/950 permille):
+      // global revenue rank via the bucketed row-number machinery,
+      // cumulative revenue on rank blocks of 64 (no corpus window),
+      // class boundaries compared in exact DECIMAL. The oracle pays
+      // the global window the engine avoids.
+      (s, dir) => graft.operators.Customer.abcClasses(
+        Tables.lineitem(s, dir), "l_partkey", "l_extendedprice"),
+      """WITH pe AS (SELECT l_partkey AS id,
+        |    sum(l_extendedprice::DECIMAL(18,4)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(rev) AS t FROM pe),
+        |rk AS (SELECT id, rev,
+        |    row_number() OVER (ORDER BY rev DESC, id) AS r FROM pe),
+        |cum AS (SELECT id, rev, sum(rev) OVER (ORDER BY r
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rk),
+        |cl AS (SELECT CASE WHEN cum * 1000 <= t * 800 THEN 'A'
+        |    WHEN cum * 1000 <= t * 950 THEN 'B' ELSE 'C' END
+        |      AS abc_class, rev
+        |  FROM cum, tot)
+        |SELECT abc_class, count(*)::BIGINT AS n_entities,
+        |  round((sum(rev)::VARCHAR)::DOUBLE, 2) AS revenue,
+        |  (((sum(rev) * 100)::HUGEINT * 1000000)
+        |    // (SELECT (t * 100)::HUGEINT FROM tot))::BIGINT
+        |    AS share_ppm
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    Q("q280_cmh_test",
+      // Cochran-Mantel-Haenszel: does the parity arm move high-value
+      // conversion CONTROLLING for user activity level
+      // ([[graft.operators.Causal.cmhTest]])? Strata = events-per-user
+      // buckets; all counts integer; per-stratum E and V are identical
+      // doubles 9-dp DECIMAL-summed. The stratified companion to
+      // q270's pooled z.
+      (s, dir) => {
+        val per = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("n_ev"),
+            max(when(col("event_type") === "purchase"
+              && col("value") > 150.0, 1L).otherwise(0L)).as("conv"))
+          .select(col("user_id"),
+            expr("least(n_ev div 10, 3)").as("stratum"), col("conv"))
+        graft.operators.Causal.cmhTest(per, "stratum",
+          col("user_id") % 2 === 0, col("conv") === 1L)
+      },
+      """WITH per AS (SELECT user_id, count(*)::BIGINT AS n_ev,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |      THEN 1 ELSE 0 END)::BIGINT AS conv
+        |  FROM events GROUP BY 1),
+        |cells AS (SELECT least(n_ev // 10, 3)::VARCHAR AS stratum,
+        |    count(*)::BIGINT AS n,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n1,
+        |    sum(conv)::BIGINT AS m1,
+        |    sum(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1
+        |      ELSE 0 END)::BIGINT AS a
+        |  FROM per GROUP BY 1),
+        |t AS (SELECT n,
+        |    CASE WHEN n > 1 AND n1 > 0 AND n1 < n AND m1 > 0
+        |      AND m1 < n THEN a ELSE 0 END AS ta,
+        |    CASE WHEN n > 1 AND n1 > 0 AND n1 < n AND m1 > 0
+        |      AND m1 < n THEN round(n1::DOUBLE * m1::DOUBLE
+        |        / n::DOUBLE, 9) ELSE 0.0 END::DECIMAL(28,9) AS te,
+        |    CASE WHEN n > 1 AND n1 > 0 AND n1 < n AND m1 > 0
+        |      AND m1 < n THEN round(n1::DOUBLE
+        |        * (n - n1)::DOUBLE * m1::DOUBLE * (n - m1)::DOUBLE
+        |        / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0)), 9)
+        |      ELSE 0.0 END::DECIMAL(28,9) AS tv
+        |  FROM cells),
+        |a AS (SELECT count(*)::BIGINT AS k_strata, sum(n)::BIGINT AS n,
+        |    sum(ta)::BIGINT AS sum_a,
+        |    (sum(te)::VARCHAR)::DOUBLE AS se,
+        |    (sum(tv)::VARCHAR)::DOUBLE AS sv
+        |  FROM t)
+        |SELECT k_strata, n, sum_a, round(se, 6) AS sum_e,
+        |  round((sum_a::DOUBLE - se) * (sum_a::DOUBLE - se) / sv, 6)
+        |    AS cmh
+        |FROM a""".stripMargin),
+
+    Q("q281_pacf",
+      // Partial autocorrelation of daily revenue at lags 1-3
+      // ([[graft.operators.TimeSeries.pacfDaily]]): Durbin-Levinson
+      // closed forms over the 6-dp-ROUNDED acf values, so both
+      // engines feed bit-identical inputs to mirrored rational
+      // formulas. No new corpus work beyond q235's scan.
+      (s, dir) => graft.operators.TimeSeries.pacfDaily(
+        Tables.orders(s, dir), "o_orderdate", "o_totalprice"),
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    sum(o_totalprice::DECIMAL(18,4)) AS x
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT count(*)::DOUBLE AS n,
+        |    (sum(x)::VARCHAR)::DOUBLE AS sx FROM daily),
+        |c AS (SELECT d, x::DOUBLE - (st.sx / st.n) AS c FROM daily, st),
+        |dn AS (SELECT (sum(round(c * c, 0)::DECIMAL(28,0))::VARCHAR)::DOUBLE
+        |    AS den FROM c),
+        |p AS (SELECT t.lag, count(*)::BIGINT AS n_pairs,
+        |    (sum(round(a.c * b.c, 0)::DECIMAL(28,0))::VARCHAR)::DOUBLE AS num
+        |  FROM generate_series(1, 3) AS t(lag)
+        |  JOIN c a ON true
+        |  JOIN c b ON b.d = a.d + t.lag * INTERVAL 1 DAY
+        |  GROUP BY 1),
+        |acfq AS (SELECT p.lag, round(p.num / dn.den, 6) AS acf
+        |  FROM p, dn),
+        |r AS (SELECT max(CASE WHEN lag = 1 THEN acf END) AS r1,
+        |    max(CASE WHEN lag = 2 THEN acf END) AS r2,
+        |    max(CASE WHEN lag = 3 THEN acf END) AS r3 FROM acfq),
+        |d2 AS (SELECT r1, r2, r3,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2 FROM r),
+        |d3 AS (SELECT r1, r2, r3, p2, r1 - p2 * r1 AS a21 FROM d2)
+        |SELECT round(r1, 6) AS pacf1, round(p2, 6) AS pacf2,
+        |  round((r3 - a21 * r2 - p2 * r1)
+        |    / (1.0 - a21 * r1 - p2 * r2), 6) AS pacf3
+        |FROM d3""".stripMargin),
+
+    Q("q282_brown_forsythe",
+      // Brown-Forsythe variance-homogeneity test across event types
+      // ([[graft.operators.AbTest.brownForsythe]]): ANOVA on absolute
+      // deviations from the exact group medians (the q223 grid) — the
+      // gate before trusting q147/q272's pooled-variance readouts.
+      (s, dir) => graft.operators.AbTest.brownForsythe(
+        Tables.events(s, dir), "event_type", "value"),
+      """WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS m
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type AS g,
+        |    abs(e.value::DOUBLE - med.m) AS z
+        |  FROM events e JOIN med USING (event_type)),
+        |m AS (SELECT g, count(*)::BIGINT AS nn,
+        |    (sum(z::DECIMAL(18,4))::VARCHAR)::DOUBLE AS s,
+        |    (sum(z::DECIMAL(18,4) * z::DECIMAL(18,4))
+        |      ::VARCHAR)::DOUBLE AS q
+        |  FROM dev GROUP BY 1),
+        |t AS (SELECT nn,
+        |    round(s, 6)::DECIMAL(38,6) AS sd,
+        |    round(s * s / nn::DOUBLE, 6)::DECIMAL(38,6) AS tt,
+        |    round(q, 6)::DECIMAL(38,6) AS qd
+        |  FROM m),
+        |a AS (SELECT count(*)::BIGINT AS k, sum(nn)::BIGINT AS n,
+        |    (sum(sd)::VARCHAR)::DOUBLE AS s,
+        |    (sum(qd)::VARCHAR)::DOUBLE AS q,
+        |    (sum(tt)::VARCHAR)::DOUBLE AS ssb_part
+        |  FROM t)
+        |SELECT k, n,
+        |  round(((ssb_part - s * s / n::DOUBLE) / (k::DOUBLE - 1.0))
+        |    / ((q - ssb_part) / (n::DOUBLE - k::DOUBLE)), 6) AS f_stat,
+        |  (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2
+        |FROM a""".stripMargin),
+
+    Q("q283_holt_backtest",
+      // Holt linear-trend one-step backtest vs naive carryover
+      // ([[graft.operators.TimeSeries.holtBacktest]]): the two-state
+      // (level, trend) recurrence runs in exact integer cents with
+      // TRUNCATING halving (Java long `/` ≡ DuckDB `//`), so the
+      // oracle's recursive CTE replays both states bit-for-bit;
+      // MAE/RMSE from exact integer error sums (squares in DECIMAL).
+      (s, dir) => graft.operators.TimeSeries.holtBacktest(
+        Tables.orders(s, dir), "o_orderdate", "o_totalprice"),
+      """WITH RECURSIVE daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS d,
+        |    (sum(o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS u
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT u, row_number() OVER (ORDER BY d) AS i
+        |  FROM daily),
+        |rec AS (
+        |  SELECT i, u, u AS l, 0::BIGINT AS b, NULL::BIGINT AS f
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.i, idx.u,
+        |    (idx.u + (rec.l + rec.b)) // 2,
+        |    (rec.b + ((idx.u + (rec.l + rec.b)) // 2 - rec.l)) // 2,
+        |    rec.l + rec.b
+        |  FROM idx JOIN rec ON idx.i = rec.i + 1),
+        |err AS (SELECT r.i, r.u - r.f AS eh, r.u - p.u AS en
+        |  FROM rec r JOIN rec p ON p.i = r.i - 1),
+        |a AS (SELECT 'holt' AS model, count(*)::BIGINT AS n_days,
+        |    sum(abs(eh))::BIGINT AS sa,
+        |    sum(eh::DECIMAL(38,0) * eh) AS ss FROM err
+        |  UNION ALL
+        |  SELECT 'naive1', count(*)::BIGINT, sum(abs(en))::BIGINT,
+        |    sum(en::DECIMAL(38,0) * en) FROM err)
+        |SELECT model, n_days,
+        |  round(sa::DOUBLE / 100.0 / n_days::DOUBLE, 6) AS mae,
+        |  round(sqrt((ss::VARCHAR)::DOUBLE / 10000.0
+        |    / n_days::DOUBLE), 6) AS rmse
+        |FROM a ORDER BY model""".stripMargin),
+
+    Q("q284_bollinger",
+      // Bollinger bands on daily revenue ([[graft.operators
+      // .TimeSeries.bollingerDaily]]): trailing 7-day mean ± 2σ with
+      // breach flags. Rolling count/Σx/Σx² are DECIMAL window sums
+      // over the CALENDAR grid (exact in any order); band math is one
+      // identical double expression per row; decimal→double casts
+      // varchar-mediated in the oracle (Σx² passes 2^53 at sf0.1).
+      (s, dir) => graft.operators.TimeSeries.bollingerDaily(
+        Tables.orders(s, dir), "o_orderdate", "o_totalprice"),
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    sum(o_totalprice::DECIMAL(18,2)) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT d, x,
+        |    count(*) OVER w AS n7,
+        |    sum(x) OVER w AS s7,
+        |    sum(x * x) OVER w AS q7
+        |  FROM daily WINDOW w AS (ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT d, x::DOUBLE AS revenue,
+        |    (s7::VARCHAR)::DOUBLE AS s, (q7::VARCHAR)::DOUBLE AS q
+        |  FROM r WHERE n7 = 7)
+        |SELECT d::TIMESTAMP AS d, revenue,
+        |  round(s / 7.0, 6) AS ma7,
+        |  round(sqrt((q - s * s / 7.0) / 6.0), 6) AS sd7,
+        |  (revenue > s / 7.0 + 2.0 * sqrt((q - s * s / 7.0) / 6.0)
+        |   OR revenue < s / 7.0 - 2.0 * sqrt((q - s * s / 7.0) / 6.0))
+        |    AS breach
+        |FROM f ORDER BY d""".stripMargin),
+
+    Q("q285_nelson_aalen",
+      // Nelson-Aalen cumulative hazard for first-view→first-purchase
+      // ([[graft.operators.Survival.nelsonAalenDaily]]): the additive
+      // companion to q234's KM product — same unit reduction, same
+      // calendar-bounded risk grid; per-day hazard terms are identical
+      // doubles 9-dp DECIMAL-summed, so the cumulative sum is
+      // associativity-free.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cens = ev
+          .select(unix_timestamp(date_trunc("second", col("ts"))).as("s"))
+          .agg(max(col("s")).as("cend"))
+        graft.operators.Survival.nelsonAalenDaily(
+          graft.operators.Survival.viewToPurchase(ev)
+            .crossJoin(broadcast(cens)),
+          "t0", "tp", col("cend"))
+      },
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch(date_trunc('second', ts))::BIGINT AS s FROM events),
+        |ce AS (SELECT max(s)::BIGINT AS cend FROM ev),
+        |v AS (SELECT user_id, min(s) AS t0 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT user_id, min(s) AS tp_any FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |u AS (SELECT v.t0,
+        |    CASE WHEN b.tp_any > v.t0 THEN b.tp_any END AS tp
+        |  FROM v LEFT JOIN b USING (user_id)),
+        |du AS (SELECT floor((coalesce(tp, ce.cend) - t0) / 86400.0)::BIGINT
+        |    AS dur, tp IS NOT NULL AS ev FROM u, ce),
+        |g AS (SELECT dur,
+        |    sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS n_event,
+        |    count(*)::BIGINT AS n_at FROM du GROUP BY dur),
+        |r AS (SELECT dur, n_event, sum(n_at) OVER (ORDER BY dur DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS n_risk FROM g),
+        |f AS (SELECT dur, n_risk, n_event,
+        |    round(n_event::DOUBLE / n_risk::DOUBLE, 9)::DECIMAL(28,9)
+        |      AS t
+        |  FROM r WHERE n_event > 0)
+        |SELECT dur AS d, n_risk, n_event,
+        |  round((sum(t) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)::VARCHAR)::DOUBLE, 6)
+        |    AS cum_hazard
+        |FROM f ORDER BY d""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

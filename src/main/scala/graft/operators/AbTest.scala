@@ -56,6 +56,69 @@ object AbTest {
          se2b * se2b / (col("nb") - 1.0)), 6).as("df_w"))
   }
 
+  /** One-way ANOVA F-test across ALL levels of `groupCol` — the k-arm
+    * generalization of [[welch]] (equal-variance pooled form): does the
+    * metric mean differ across any group? The corpus pass is ONE
+    * partial-agg groupBy collecting exact decimal moments per group
+    * (n_g, Σx, Σx²); the between/within decomposition runs on the
+    * k-row metadata frame. Cross-group float sums (Σ_g S_g²/n_g) are
+    * made association-free by rounding each group's bit-identical
+    * double term to 6 dp and DECIMAL-summing — for terms ≥ 2^52 the
+    * round is the identity (doubles there are integers), so the
+    * technique holds at any magnitude. Returns one row
+    * (k, n, f_stat, df1, df2). */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val d386 = DecimalType(38, 6)
+    val m = df
+      .select(col(groupCol).as("__g"), d184(col(valueCol)).as("__v"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v")).cast("double").as("__s"),
+        sum(col("__v") * col("__v")).cast("double").as("__q"))
+    // per-group term S_g²/n_g: IEEE ops on exact inputs → bit-identical
+    // doubles in both engines; 6-dp decimal sum kills order sensitivity
+    val terms = m.select(col("__n"), col("__q"),
+      round(col("__s"), 6).cast(d386).as("__sd"),
+      round(col("__s") * col("__s") / col("__n").cast("double"), 6)
+        .cast(d386).as("__t"),
+      round(col("__q"), 6).cast(d386).as("__qd"))
+    terms.agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum(col("__sd")).cast("double").as("s"),
+        sum(col("__qd")).cast("double").as("q"),
+        sum(col("__t")).cast("double").as("ssb_part"))
+      .select(col("k"), col("n"),
+        round({
+          val nD = col("n").cast("double")
+          val ssb = col("ssb_part") - col("s") * col("s") / nD
+          val ssw = col("q") - col("ssb_part")
+          val df1 = col("k").cast("double") - 1.0
+          val df2 = nD - col("k").cast("double")
+          (ssb / df1) / (ssw / df2)
+        }, 6).as("f_stat"),
+        (col("k") - 1L).as("df1"), (col("n") - col("k")).as("df2"))
+  }
+
+  /** Brown–Forsythe test of variance homogeneity across groups — the
+    * robust Levene variant: [[anovaF]] applied to each row's absolute
+    * deviation from its GROUP MEDIAN (medians from
+    * [[Ranks.quantileDisc]]'s exact no-global-sort grid, broadcast
+    * back). The gate before trusting a pooled-variance readout. Two
+    * scans (thresholds + deviations); |x − med| of 2-dp-valued
+    * doubles sits within ~1 ulp of an exact 2-dp point, far from any
+    * 4-dp half boundary, so the decimal moments stay engine-exact.
+    * Returns (k, n, f_stat, df1, df2). */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val med = Ranks.quantileDisc(df, groupCol, valueCol, Seq(0.5))
+      .select(col(groupCol), col("value").as("__med"))
+    val dev = df
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .join(broadcast(med), groupCol)
+      .select(col(groupCol), abs(col("__v") - col("__med")).as("__z"))
+    anovaF(dev, groupCol, "__z")
+  }
+
   /** CUPED (Deng et al. 2013): variance-reduced experiment readout
     * using a pre-experiment covariate. For unit-level frame
     * (unit, x = pre-period metric, y = in-experiment metric, arm):

@@ -72,4 +72,53 @@ object Causal {
         round(col("__ate"), 6).as("diff"))
     perStratum.unionAll(ate)
   }
+
+  /** Cochran–Mantel–Haenszel test of a binary outcome vs a binary
+    * treatment CONTROLLING for strata — the 2×2×K companion to
+    * [[stratifiedEffect]]'s continuous ATE (is the association real,
+    * or a Simpson's-paradox artifact of stratum mix?). Per stratum:
+    * a = treated successes, E[a] = n1·m1/n, Var[a] =
+    * n1·n0·m1·m0/(n²(n−1)); CMH = (Σa − ΣE)² / ΣV (no continuity
+    * correction — the engine-exact convention). One partial-agg scan
+    * to the 2×2×K cells; all counts integer; per-stratum E and V are
+    * identical doubles 9-dp DECIMAL-summed (order-free at any K).
+    * Degenerate strata (n ≤ 1 or an empty margin) contribute 0 to
+    * every sum — stated, not smoothed. Returns one row
+    * (k_strata, n, sum_a, sum_e, cmh). */
+  def cmhTest(df: DataFrame, stratumCol: String, treat: Column,
+      outcome: Column): DataFrame = {
+    val d289 = DecimalType(28, 9)
+    val cells = df
+      .select(col(stratumCol).cast("string").as("stratum"),
+        treat.cast("boolean").as("__t"),
+        outcome.cast("boolean").as("__y"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("m1"),
+        sum(when(col("__t") && col("__y"), 1L).otherwise(0L)).as("a"))
+    val ok = col("n") > 1L && col("n1") > 0L && col("n1") < col("n") &&
+      col("m1") > 0L && col("m1") < col("n")
+    val nD = col("n").cast("double")
+    val e = col("n1").cast("double") * col("m1").cast("double") / nD
+    val v = col("n1").cast("double") *
+      (col("n") - col("n1")).cast("double") *
+      col("m1").cast("double") *
+      (col("n") - col("m1")).cast("double") /
+      (nD * nD * (nD - 1.0))
+    cells
+      .select(col("n"),
+        when(ok, col("a")).otherwise(0L).as("__a"),
+        when(ok, round(e, 9)).otherwise(0.0).cast(d289).as("__e"),
+        when(ok, round(v, 9)).otherwise(0.0).cast(d289).as("__v"))
+      .agg(count(lit(1)).as("k_strata"), sum(col("n")).as("n"),
+        sum(col("__a")).as("sum_a"),
+        sum(col("__e")).cast("double").as("se"),
+        sum(col("__v")).cast("double").as("sv"))
+      .select(col("k_strata"), col("n"), col("sum_a"),
+        round(col("se"), 6).as("sum_e"),
+        round((col("sum_a").cast("double") - col("se"))
+          * (col("sum_a").cast("double") - col("se")) / col("sv"), 6)
+          .as("cmh"))
+  }
 }

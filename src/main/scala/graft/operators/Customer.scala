@@ -99,4 +99,55 @@ object Customer {
           / col("n_customers").cast("double"), 6).as("ltv"))
       .orderBy("cohort", "offset")
   }
+
+  /** ABC / Pareto classification: entities ranked by revenue
+    * descending, classified A while the cumulative share stays ≤
+    * `aCut` (‰), B up to `bCut` (‰), C beyond — the 80/95 inventory
+    * rule. The global rank uses [[Ranks.globalRowNumber]]'s bucketed
+    * machinery (id tiebreak on equal revenue) and the cumulative
+    * revenue prefix rides RANK BLOCKS of 64 (never one task); both
+    * the cumulative sums and the class-boundary comparisons
+    * (cum·1000 ≤ cut·total) are exact DECIMAL arithmetic, so class
+    * membership is engine-exact. Cuts are permille to keep the
+    * boundary test integer. Returns (abc_class, n_entities, revenue,
+    * share_ppm) ordered by class. */
+  def abcClasses(df: DataFrame, entityCol: String, valueCol: String,
+      aCutPermille: Int = 800, bCutPermille: Int = 950): DataFrame = {
+    require(0 < aCutPermille && aCutPermille < bCutPermille
+      && bCutPermille <= 1000)
+    val perE = df.groupBy(col(entityCol).as("__id"))
+      .agg(sum(col(valueCol).cast(d184)).as("__rev"))
+      .localCheckpoint(true)
+    val ranked = Ranks.globalRowNumber(
+      perE.select(col("__id"), col("__rev"),
+        (-col("__rev")).cast("double").as("__neg")),
+      "__neg", "__id")
+    val withRb = ranked
+      .withColumn("__rb", ((col("rank") - 1L) / 64L).cast("long"))
+    val wGrid = Window.orderBy(col("__rb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = withRb.groupBy("__rb").agg(sum(col("__rev")).as("__bn"))
+      .withColumn("__pp", sum("__bn").over(wGrid))
+      .select(col("__rb"), col("__pp"))
+    val wLocal = Window.partitionBy("__rb").orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = broadcast(perE.agg(sum(col("__rev")).as("__tot")))
+    withRb.join(broadcast(pre), "__rb").crossJoin(total)
+      .withColumn("__cum",
+        coalesce(col("__pp"), lit(0)) + sum(col("__rev")).over(wLocal))
+      .withColumn("abc_class",
+        when(col("__cum") * 1000 <= col("__tot") * aCutPermille, "A")
+          .when(col("__cum") * 1000 <= col("__tot") * bCutPermille, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("__rev")).as("__crev"), max(col("__tot")).as("__t"))
+      .select(col("abc_class"), col("n_entities"),
+        round(col("__crev").cast("double"), 2).as("revenue"),
+        // integer ppm on exact cents in DECIMAL(38,0) (cents·1e6
+        // overflows LONG already at ~$100 B class totals)
+        expr("cast(__crev * 100 as decimal(38,0)) * 1000000 div " +
+          "cast(__t * 100 as decimal(38,0))").as("share_ppm"))
+      .orderBy("abc_class")
+  }
 }

@@ -88,6 +88,45 @@ object Dependence {
         .as("cramers_v"))
   }
 
+  /** Kendall's τ-b (tie-corrected) between two LOW-CARDINALITY ordinal
+    * columns — the concordance companion to [[Ranks.spearman]]: of all
+    * row pairs, how many order the same way on both axes? The corpus
+    * pass is ONE groupBy to the joint (x, y) value grid; concordant /
+    * discordant pair counts come from a grid×grid self-join
+    * (|grid|² cell pairs — metadata-sized for discretized inputs, the
+    * documented precondition; corpus-scale-distinct values belong in
+    * [[Ranks.spearman]]). All pair counting is exact integer
+    * arithmetic (C, D, and tie pairs stay < 2^63 up to ~10⁹ rows);
+    * only τ's final ratio is float. Returns one row (n, nc, nd, tau_b). */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val pairs = cells.select(col("x").as("x1"), col("y").as("y1"),
+        col("c").as("c1"))
+      .join(cells.select(col("x").as("x2"), col("y").as("y2"),
+        col("c").as("c2")), col("x1") < col("x2"))
+      .agg(
+        sum(when(col("y1") < col("y2"), col("c1") * col("c2"))
+          .otherwise(0L)).as("nc"),
+        sum(when(col("y1") > col("y2"), col("c1") * col("c2"))
+          .otherwise(0L)).as("nd"))
+    val tx = cells.groupBy("x").agg(sum("c").as("t"))
+      .agg(sum(col("t") * (col("t") - 1L) / 2L).as("n1"))
+    val ty = cells.groupBy("y").agg(sum("c").as("t"))
+      .agg(sum(col("t") * (col("t") - 1L) / 2L).as("n2"))
+    val n = cells.agg(sum("c").as("n"))
+    pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("nc"), col("nd"),
+        round((col("nc") - col("nd")).cast("double")
+          / sqrt((col("n").cast("double") * (col("n").cast("double") - 1.0)
+              / 2.0 - col("n1").cast("double"))
+            * (col("n").cast("double") * (col("n").cast("double") - 1.0)
+              / 2.0 - col("n2").cast("double"))), 6).as("tau_b"))
+  }
+
   /** Per-entity category-entropy distribution: for each `entityCol`
     * (user, session, source…) the Shannon entropy of its `catCol`
     * histogram, summarized as mean + exact quartiles — the behavioral-

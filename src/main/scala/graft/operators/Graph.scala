@@ -98,7 +98,15 @@ object Graph {
     * Runs a FIXED `rounds` (no convergence probe): each round is one
     * join + two groupBys, `localCheckpoint`ed so lineage stays O(1).
     * Returns community sizes (label, n_members). */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
+    labelPropagationAssignments(edges, rounds)
+      .groupBy("label").agg(count(lit(1)).as("n_members"))
+
+  /** Per-vertex community assignments (v, label) after `rounds`
+    * synchronous LPA rounds — the relation [[labelPropagation]]
+    * summarizes and [[modularity]] evaluates. */
+  def labelPropagationAssignments(edges: DataFrame, rounds: Int)
+      : DataFrame = {
     require(rounds >= 1)
     val e = canon(edges).localCheckpoint(true)
     val nbrs = e.select(col("a").as("v"), col("b").as("n"))
@@ -117,7 +125,83 @@ object Graph {
         .select(col("v"), col("m.l").as("label"))
         .localCheckpoint(true)
     }
-    labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    labels
+  }
+
+  /** Newman–Girvan modularity of a community assignment:
+    * Q = Σ_c [m_c/m − (d_c/2m)²] — how much denser communities are
+    * than a degree-preserving random graph (Q ≳ 0.3 = real
+    * structure). The evaluation metric for [[labelPropagation]]'s
+    * output — a partition can always be produced; Q says whether it
+    * means anything. All inputs are exact integer counts (intra-edge
+    * and degree sums per community); per-community terms are
+    * identical doubles rounded to 9 dp and DECIMAL-summed (community
+    * count is data-dependent). Returns one row
+    * (n_edges, n_communities, modularity). */
+  def modularity(edges: DataFrame, assignments: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = canon(edges).localCheckpoint(true)
+    val la = assignments.select(col("v"), col("label"))
+    val withL = e
+      .join(la.withColumnRenamed("v", "a")
+        .withColumnRenamed("label", "la"), "a")
+      .join(la.withColumnRenamed("v", "b")
+        .withColumnRenamed("label", "lb"), "b")
+    val m = broadcast(e.agg(count(lit(1)).as("m")))
+    val intra = withL.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("mc"))
+    val deg = withL.select(col("la").as("label"))
+      .unionAll(withL.select(col("lb").as("label")))
+      .groupBy("label").agg(count(lit(1)).as("dc"))
+    val terms = deg.join(intra, Seq("label"), "left").crossJoin(m)
+      .select(col("m"),
+        round(coalesce(col("mc"), lit(0L)).cast("double")
+            / col("m").cast("double")
+          - (col("dc").cast("double") / (lit(2.0) * col("m").cast("double")))
+            * (col("dc").cast("double") / (lit(2.0) * col("m").cast("double"))),
+          9).cast(DecimalType(28, 9)).as("t"))
+    terms.groupBy("m")
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("t")).cast("double").as("q"))
+      .select(col("m").as("n_edges"), col("n_communities"),
+        round(col("q"), 6).as("modularity"))
+  }
+
+  /** Multi-source BFS hop histogram: how many vertices sit at graph
+    * distance 0, 1, 2, … ≤ `maxHops` from the seed SET — the
+    * reachability profile behind "how local is this catalog?" and
+    * related-item radius checks. Classic frontier expansion: each
+    * round joins ONLY the current frontier against the adjacency list
+    * (frontier-bounded work, never the whole vertex set), anti-joins
+    * the visited set, `localCheckpoint`s so lineage stays O(1).
+    * All math is set-membership — no floats, engine-exact. Vertices
+    * beyond `maxHops` (or disconnected) are absent, not ∞-rows.
+    * Returns (dist, n_vertices) ordered by dist. `seeds` must be a
+    * single-column (v) relation; seeds absent from the graph still
+    * count at dist 0 (they are trivially at distance 0 from
+    * themselves). */
+  def bfsHopHistogram(edges: DataFrame, seeds: DataFrame, maxHops: Int)
+      : DataFrame = {
+    require(maxHops >= 1)
+    val e = canon(edges).localCheckpoint(true)
+    val nbrs = e.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+      .localCheckpoint(true)
+    var visited = seeds.select(col("v")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = visited.select("v")
+    for (d <- 1 to maxHops) {
+      val next = frontier.join(nbrs, "v")
+        .select(col("n").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited
+        .unionAll(next.withColumn("dist", lit(d)))
+        .localCheckpoint(true)
+      frontier = next
+    }
+    visited.groupBy("dist").agg(count(lit(1)).as("n_vertices"))
+      .orderBy("dist")
   }
 
   /** Degree assortativity: the Pearson correlation of the degrees at

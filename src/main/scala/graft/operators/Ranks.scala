@@ -167,6 +167,51 @@ object Ranks {
         }, 6).as("z"))
   }
 
+  /** Kruskal–Wallis H (tie-corrected) across ALL levels of `groupCol`
+    * — the k-group rank ANOVA generalizing [[mannWhitney]]: are the k
+    * distributions stochastically equal? All rank math runs on
+    * VALUE-LEVEL aggregates: one groupBy to the (group, value) grid,
+    * average ranks from [[valueAvgRanks]]'s bucketed prefix (exact
+    * binary halves — rank sums are association-free below ~2^52), and
+    * per-group R_g²/n_g terms — bit-identical IEEE doubles in both
+    * engines — are 6-dp DECIMAL-summed so the k-fold float sum has no
+    * order sensitivity (above 2^52 the round is the identity because
+    * such doubles are integers). H ≳ χ²_{k−1,0.95} ⇒ reject. Returns
+    * one row (k, n, h). */
+  def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d386 = DecimalType(38, 6)
+    val src = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("double").as("v"))
+    val perGV = src.groupBy("g", "v").agg(count(lit(1)).as("n_gv"))
+    val perValue = perGV.groupBy("v").agg(sum(col("n_gv")).as("n_v"))
+    val ranked = valueAvgRanks(perValue, nBuckets)
+      .select(col("v"), col("n_v"), col("avg_rank"))
+    val perGroup = perGV.join(ranked, "v")
+      .groupBy("g")
+      .agg(sum(col("n_gv")).as("n_g"),
+        sum(col("n_gv").cast("double") * col("avg_rank")).as("r_g"))
+    val ties = ranked.agg(
+      sum(col("n_v").cast("double") * col("n_v").cast("double")
+        * col("n_v").cast("double") - col("n_v").cast("double"))
+        .as("tie3"))
+    perGroup
+      .select(col("n_g"),
+        round(col("r_g") * col("r_g") / col("n_g").cast("double"), 6)
+          .cast(d386).as("__t"))
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("__t")).cast("double").as("rr"))
+      .crossJoin(broadcast(ties))
+      .select(col("k"), col("n"),
+        round({
+          val nD = col("n").cast("double")
+          val h = (lit(12.0) / (nD * (nD + 1.0)) * col("rr")) -
+            lit(3.0) * (nD + 1.0)
+          h / (lit(1.0) - col("tie3") / (nD * nD * nD - nD))
+        }, 6).as("h"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic D = sup|F_A − F_B| —
     * the distribution-level "did this feed drift" gate, complementing
     * [[mannWhitney]]'s location test. Both ECDFs step only at DISTINCT

@@ -70,6 +70,48 @@ object Regression {
       round(lit(1.0) - sse / sst, 6).as("r2"))
   }
 
+  /** Ridge (L2-penalized) regression of `y ~ 1 + x1 + x2` — [[ols2]]
+    * with λ added to the slope diagonal of the normal equations (the
+    * intercept is unpenalized, the standard convention), the stabilizer
+    * for collinear features where plain OLS explodes. SAME single
+    * moment scan and Cramer solve; `lambda` must be an exact decimal
+    * literal so both engines add the identical double. Returns one row
+    * (n, lambda, b0, b1, b2) — r2 is omitted deliberately: penalized
+    * residuals don't decompose into the OLS SSE identity. */
+  def ridge2(df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      lambda: Double): DataFrame = {
+    require(lambda >= 0.0)
+    val (y, x1, x2) = (d184(col(yCol)), d184(col(x1Col)), d184(col(x2Col)))
+    val m = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x1).cast("double").as("s1"),
+      sum(x2).cast("double").as("s2"),
+      (sum(x1 * x1).cast("double") + lambda).as("s11"),
+      sum(x1 * x2).cast("double").as("s12"),
+      (sum(x2 * x2).cast("double") + lambda).as("s22"),
+      sum(y).cast("double").as("sy"),
+      sum(x1 * y).cast("double").as("s1y"),
+      sum(x2 * y).cast("double").as("s2y"))
+    val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val det0 = col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+      col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+    val det1 = col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+      col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+    val det2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+      col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+      col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    m.select(
+      col("n").cast("long").as("n"),
+      lit(lambda).as("lambda"),
+      round(det0 / det, 6).as("b0"),
+      round(det1 / det, 6).as("b1"),
+      round(det2 / det, 6).as("b2"))
+  }
+
   /** 3×3 Cramer solve — EXACTLY [[ols2]]'s operation order, shared by
     * the Scala (driver) and SQL (oracle) sides of the IRLS loop so
     * both run bit-identical float ops. a is the symmetric system

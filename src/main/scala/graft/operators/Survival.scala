@@ -69,6 +69,41 @@ object Survival {
       .orderBy("d")
   }
 
+  /** Nelson–Aalen cumulative hazard H(d) = Σ_{d'≤d} n_event/n_risk —
+    * the additive companion to [[kmDaily]]'s product-limit curve
+    * (statistically better-behaved in small risk sets, and the input
+    * to Cox-model diagnostics). Identical grid machinery: one
+    * unit-level reduction, the calendar-bounded day grid, reverse
+    * prefix for risk sets; per-day hazard terms are identical doubles
+    * rounded to 9 dp and DECIMAL-summed, so the cumulative sum is
+    * associativity-free. Returns (d, n_risk, n_event, cum_hazard) for
+    * event days, ordered by d. */
+  def nelsonAalenDaily(df: DataFrame, startCol: String, eventCol: String,
+      censorTs: Column): DataFrame = {
+    val day = 86400L
+    val units = df.select(
+      floor((coalesce(col(eventCol), censorTs) - col(startCol)) / day)
+        .cast("long").as("dur"),
+      col(eventCol).isNotNull.as("ev"))
+    val grid = units.groupBy("dur")
+      .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("n_event"),
+        count(lit(1)).as("n_at"))
+    val w = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = grid
+      .withColumn("n_risk", sum(col("n_at")).over(w))
+      .filter(col("n_event") > 0)
+    val w2 = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withRisk
+      .withColumn("__t", round(col("n_event").cast("double")
+        / col("n_risk").cast("double"), 9).cast(DecimalType(28, 9)))
+      .select(col("dur").as("d"), col("n_risk"), col("n_event"),
+        round(sum(col("__t")).over(w2).cast("double"), 6)
+          .as("cum_hazard"))
+      .orderBy("d")
+  }
+
   /** Two-sample log-rank test (Mantel–Cox): does group membership
     * change the time-to-event distribution, with censoring handled —
     * the hypothesis test on top of [[kmDaily]]'s curves (the t-test is

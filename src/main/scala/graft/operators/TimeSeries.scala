@@ -226,4 +226,145 @@ object TimeSeries {
         round(col("num") / col("den"), 6).as("acf"))
       .orderBy("lag")
   }
+
+  /** Partial autocorrelation at lags 1–3 by the Durbin–Levinson
+    * closed forms over [[dailyAcf]]'s ROUNDED r₁..r₃ — the AR-order
+    * fingerprint (an AR(p) series has pacf ≈ 0 past lag p) beside the
+    * raw ACF. Feeding the 6-dp-rounded acf values is deliberate: both
+    * engines share bit-identical inputs, and the three rational
+    * formulas below are mirrored verbatim in oracles. No new corpus
+    * work — one extra 1-row pivot over the lag frame. Returns one row
+    * (pacf1, pacf2, pacf3). */
+  def pacfDaily(df: DataFrame, tsCol: String, valueCol: String)
+      : DataFrame = {
+    val r = dailyAcf(df, tsCol, valueCol, maxLag = 3)
+      .groupBy()
+      .agg(max(when(col("lag") === 1, col("acf"))).as("r1"),
+        max(when(col("lag") === 2, col("acf"))).as("r2"),
+        max(when(col("lag") === 3, col("acf"))).as("r3"))
+    val p2 = (col("r2") - col("r1") * col("r1")) /
+      (lit(1.0) - col("r1") * col("r1"))
+    val a21 = col("r1") - p2 * col("r1")
+    val p3 = (col("r3") - a21 * col("r2") - p2 * col("r1")) /
+      (lit(1.0) - a21 * col("r1") - p2 * col("r2"))
+    r.select(round(col("r1"), 6).as("pacf1"),
+      round(p2, 6).as("pacf2"), round(p3, 6).as("pacf3"))
+  }
+
+  /** Holt linear-trend one-step backtest vs naive — does modeling a
+    * TREND beat last-value carryover ([[forecastBacktest]]'s naive1)?
+    * α = β = 1/2 with all state in exact integer CENTS: level
+    * l_t = (x_t + (l+b)) quot 2 and trend b_t = (b + (l_t − l)) quot 2
+    * use TRUNCATING division (Java long `/` ≡ DuckDB `//` — floor
+    * would disagree on the negative trend states), so both engines
+    * replay the two-state recurrence bit-for-bit. Forecast errors
+    * x_t − (l+b) are exact integers; MAE/RMSE sums run in
+    * DECIMAL(38,0) (squared cent errors pass 2^63 on ~$10 M misses).
+    * Same driver-side calendar fold as [[ewmaControl]]. Returns
+    * (model, n_days, mae, rmse) for 'holt' and 'naive1', days 2+. */
+  def holtBacktest(df: DataFrame, tsCol: String, valueCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = df
+      .select(date_trunc("day", col(tsCol)).as("d"),
+        col(valueCol).cast(DecimalType(18, 2)).as("v"))
+      .groupBy("d").agg((sum(col("v")) * 100).cast("long").as("u"))
+    val grid = daily.orderBy("d").collect().map(_.getLong(1))
+    require(grid.length >= 2, "need at least 2 days")
+    var l = grid(0); var b = 0L
+    var (nH, saH, ssH) = (0L, BigInt(0), BigInt(0))
+    var (nN, saN, ssN) = (0L, BigInt(0), BigInt(0))
+    grid.zipWithIndex.drop(1).foreach { case (x, i) =>
+      val f = l + b
+      val eH = x - f
+      val eN = x - grid(i - 1)
+      nH += 1; saH += eH.abs; ssH += BigInt(eH) * BigInt(eH)
+      nN += 1; saN += eN.abs; ssN += BigInt(eN) * BigInt(eN)
+      val l2 = (x + (l + b)) / 2
+      b = (b + (l2 - l)) / 2
+      l = l2
+    }
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // cents → dollars: |e|/100 summed exactly, then one double divide;
+    // squared errors /10000 likewise — identical expression in oracles
+    def row(m: String, n: Long, sa: BigInt, ss: BigInt) =
+      (m, n, r6(sa.toDouble / 100.0 / n.toDouble),
+        r6(math.sqrt(ss.toDouble / 10000.0 / n.toDouble)))
+    Seq(row("holt", nH, saH, ssH), row("naive1", nN, saN, ssN))
+      .toDF("model", "n_days", "mae", "rmse").orderBy("model")
+  }
+
+  /** Bollinger bands on the daily grid: trailing 7-day mean ± 2σ with
+    * breach flags — the rolling-window anomaly view beside
+    * [[ewmaControl]]'s recursive one. The rolling count/Σx/Σx² are
+    * DECIMAL window sums over the CALENDAR grid (exact in any order);
+    * mean/σ/band comparisons are identical double expressions per
+    * row. Only full 7-day windows emit rows. Returns
+    * (d, revenue, ma7, sd7, breach) ordered by d. */
+  def bollingerDaily(df: DataFrame, tsCol: String, valueCol: String)
+      : DataFrame = {
+    val daily = df
+      .select(date_trunc("day", col(tsCol)).as("d"),
+        col(valueCol).cast(DecimalType(18, 2)).as("v"))
+      .groupBy("d").agg(sum(col("v")).as("x"))
+      .localCheckpoint(true)
+    val w = Window.orderBy("d").rowsBetween(-6, 0)
+    val roll = daily
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("s7", sum(col("x")).over(w))
+      .withColumn("q7", sum(col("x") * col("x")).over(w))
+      .filter(col("n7") === 7)
+    val mean = col("s7").cast("double") / lit(7.0)
+    val sd = sqrt((col("q7").cast("double")
+      - col("s7").cast("double") * col("s7").cast("double") / lit(7.0))
+      / lit(6.0))
+    roll.select(col("d"), col("x").cast("double").as("revenue"),
+        round(mean, 6).as("ma7"), round(sd, 6).as("sd7"),
+        (col("x").cast("double") > mean + lit(2.0) * sd ||
+          col("x").cast("double") < mean - lit(2.0) * sd).as("breach"))
+      .orderBy("d")
+  }
+
+  /** EWMA control chart on the daily grid (α = 1/2): e_t =
+    * ⌊(x_t + e_{t−1}) / 2⌋ in exact integer cents, alarm when the
+    * one-step surprise |x_t − e_{t−1}| exceeds `l`·σ of the daily
+    * totals — the classic "is today's number believable" monitor
+    * beside [[cusumDaily]]'s offline change-point. The recurrence is
+    * sequential by nature, so it runs DRIVER-SIDE over the collected
+    * calendar grid (~2.6k rows for 7 years — metadata, the
+    * [[Pca]]/[[Coreset]] precedent; the corpus pass is still the one
+    * partial-agg groupBy(day)). Floor-halving in integer cents keeps
+    * every state exact — no float enters the recurrence, so a
+    * recursive-CTE oracle replays it bit-for-bit. Returns
+    * (d, revenue, ewma, alarm) ordered by d; day 1 seeds e_1 = x_1
+    * and never alarms. */
+  def ewmaControl(df: DataFrame, tsCol: String, valueCol: String,
+      l: Double = 2.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = df
+      .select(date_trunc("day", col(tsCol)).as("d"),
+        col(valueCol).cast(DecimalType(18, 2)).as("v"))
+      .groupBy("d").agg((sum(col("v")) * 100).cast("long").as("u"))
+      .localCheckpoint(true)
+    val st = daily.agg(count(lit(1)).as("n"), sum(col("u")).as("s"),
+        sum(col("u").cast(DecimalType(38, 0)) * col("u"))
+          .cast("double").as("q"))
+      .collect().head
+    val (n, s, q) = (st.getLong(0), st.getLong(1), st.getDouble(2))
+    // identical expression text in the oracle: same IEEE ops → same σ
+    val sigma = math.sqrt(
+      (q - s.toDouble * s.toDouble / n.toDouble) / (n.toDouble - 1.0))
+    val grid = daily.orderBy("d").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    var e = 0L
+    val out = grid.zipWithIndex.map { case ((d, x), i) =>
+      val alarm = i > 0 && math.abs(x - e).toDouble > l * sigma
+      e = if (i == 0) x else Math.floorDiv(x + e, 2L)
+      (d, x.toDouble / 100.0, e.toDouble / 100.0, alarm)
+    }
+    out.toSeq.toDF("d", "revenue", "ewma", "alarm").orderBy("d")
+  }
 }

@@ -69,4 +69,43 @@ class AbTestSpec extends SparkSpec {
       .collect().head
     assert(math.abs(r.getDouble(6)) < math.abs(r.getDouble(5)), s"$r")
   }
+
+  test("anovaF: hand-computed two-group F (separated means) and dofs") {
+    // A = {1,2,3} (mean 2), B = {5,6,7} (mean 6): SSB = 24, SSW = 4,
+    // F = (24/1)/(4/4) = 24, df1 = 1, df2 = 4
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 6.0), ("b", 7.0)).toDF("g", "v")
+    val r = AbTest.anovaF(df, "g", "v").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 24.0, s"$r")
+    assert(r.getLong(3) == 1L && r.getLong(4) == 4L)
+  }
+
+  test("anovaF: identical group distributions give F = 0; result is " +
+      "partitioning-independent") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0),
+      ("c", 1.0), ("c", 3.0)).toDF("g", "v")
+    val r = AbTest.anovaF(df, "g", "v").collect().head
+    assert(r.getDouble(2) == 0.0, s"$r")
+    val big = (1 to 500).map(i => (s"g${i % 4}", (i % 13) / 2.0))
+      .toDF("g", "v")
+    val a = AbTest.anovaF(big, "g", "v").collect().head.toSeq
+    val b = AbTest.anovaF(big.repartition(17), "g", "v")
+      .collect().head.toSeq
+    assert(a == b)
+  }
+
+  test("brownForsythe: equal spread around different medians gives " +
+      "F = 0 (location-free); unequal spreads a positive F") {
+    val equal = Seq(("a", 1.0), ("a", 3.0), ("b", 11.0), ("b", 13.0))
+      .toDF("g", "v")
+    val r = AbTest.brownForsythe(equal, "g", "v").collect().head
+    assert(r.getDouble(2) == 0.0, s"$r")
+    val unequal = Seq(("a", 1.0), ("a", 1.0), ("a", 1.2), ("a", 1.2),
+      ("b", 0.0), ("b", 0.0), ("b", 20.0), ("b", 20.0)).toDF("g", "v")
+    val r2 = AbTest.brownForsythe(unequal, "g", "v").collect().head
+    // hand: dev means .1 vs 10, SSB = 196.02, SSW = 400.04, df2 = 6
+    assert(r2.getDouble(2) > 2.5 && r2.getDouble(2) < 3.5, s"$r2")
+    assert(r2.getLong(3) == 1L && r2.getLong(4) == 6L)
+  }
 }

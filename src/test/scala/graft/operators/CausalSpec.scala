@@ -60,4 +60,45 @@ class CausalSpec extends SparkSpec {
     assert(out("C").isEmpty)
     assert(out("__ate").contains(2.0)) // only A identifies: 10-8
   }
+
+  test("cmhTest: no association in either stratum gives CMH = 0; " +
+      "perfect association gives the hand-computed statistic") {
+    // each stratum: (T,Y),(T,N),(C,Y),(C,N) -> a = 1 = E, V = 1/3
+    val indep = Seq(
+      ("s1", true, true), ("s1", true, false),
+      ("s1", false, true), ("s1", false, false),
+      ("s2", true, true), ("s2", true, false),
+      ("s2", false, true), ("s2", false, false))
+      .toDF("s", "t", "y")
+    val r0 = Causal.cmhTest(indep, "s", col("t"), col("y"))
+      .collect().head
+    assert(r0.getLong(0) == 2L && r0.getLong(1) == 8L)
+    assert(r0.getDouble(4) == 0.0, s"$r0")
+    // perfect: (T,Y),(T,Y),(C,N),(C,N) per stratum -> a=2, E=1, V=1/3
+    // CMH = (4-2)^2 / (2/3) = 6
+    val perfect = Seq(
+      ("s1", true, true), ("s1", true, true),
+      ("s1", false, false), ("s1", false, false),
+      ("s2", true, true), ("s2", true, true),
+      ("s2", false, false), ("s2", false, false))
+      .toDF("s", "t", "y")
+    val r1 = Causal.cmhTest(perfect, "s", col("t"), col("y"))
+      .collect().head
+    assert(r1.getLong(2) == 4L && r1.getDouble(3) == 2.0)
+    assert(r1.getDouble(4) == 6.0, s"$r1")
+  }
+
+  test("cmhTest: a degenerate stratum (everyone treated) contributes " +
+      "nothing rather than NaN") {
+    val df = Seq(
+      ("ok", true, true), ("ok", true, true),
+      ("ok", false, false), ("ok", false, false),
+      ("deg", true, true), ("deg", true, false))
+      .toDF("s", "t", "y")
+    val r = Causal.cmhTest(df, "s", col("t"), col("y")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    // only 'ok' contributes: a=2, E=1, V=1/3 -> CMH = 1/(1/3) = 3
+    assert(r.getLong(2) == 2L && r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 3.0, s"$r")
+  }
 }

@@ -59,4 +59,32 @@ class CustomerSpec extends SparkSpec {
     assert(feb.map(_._2).toSeq == Seq(0, 2)) // gap month absent, not 0
     assert(feb.forall(_._3 == 1L))
   }
+
+  test("abcClasses: hand case at 80/95 permille — cumulative-share " +
+      "boundaries are inclusive and exact") {
+    // revenues 50, 30, 15, 5 (total 100): cum shares 50, 80, 95, 100
+    // -> A = {50, 30} (<= 800 permille), B = {15} (<= 950), C = {5}
+    val df = Seq((1L, 50.0), (2L, 30.0), (3L, 15.0), (4L, 5.0))
+      .toDF("id", "rev")
+    val out = Customer.abcClasses(df, "id", "rev").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(("A", 2L, 80.0, 800000L),
+      ("B", 1L, 15.0, 150000L), ("C", 1L, 5.0, 50000L)), s"${out.toSeq}")
+  }
+
+  test("abcClasses aggregates per entity first and ties rank " +
+      "deterministically by id; partitioning-independent") {
+    // entity 1 has two rows summing 60; ties between 2 and 3 (20 each)
+    val df = Seq((1L, 40.0), (1L, 20.0), (2L, 20.0), (3L, 20.0))
+      .toDF("id", "rev")
+    val a = Customer.abcClasses(df, "id", "rev").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // cum: 60 (A, 600 <= 800), 80 (A), 100 (C? 80+20=100 > 95) ->
+    // A = {1, 2}, C = {3}
+    assert(a == Seq(("A", 2L), ("C", 1L)), s"$a")
+    val b = Customer.abcClasses(df.repartition(5), "id", "rev")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
 }

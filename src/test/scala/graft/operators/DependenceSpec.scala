@@ -105,4 +105,35 @@ class DependenceSpec extends SparkSpec {
     // expected ppm literal for digit 1 is floor(log10(2)*1e6)
     assert(d.head.getLong(3) == 301029L)
   }
+
+  test("kendallTau: perfect monotone association is tau = 1; " +
+      "a reversed axis flips it to -1") {
+    val up = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y")
+    val r = Dependence.kendallTau(up, "x", "y").collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 0L)
+    assert(r.getDouble(3) == 1.0, s"$r")
+    val down = Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).toDF("x", "y")
+    assert(Dependence.kendallTau(down, "x", "y").collect().head
+      .getDouble(3) == -1.0)
+  }
+
+  test("kendallTau: hand-computed tie case — the 2x2 balanced grid " +
+      "has one concordant, one discordant pair and tau_b = 0") {
+    // rows (1,1),(1,2),(2,1),(2,2): x<x' pairs: (1,1)-(2,2) conc,
+    // (1,2)-(2,1) disc, two y-ties; n0=6, n1=n2=2 -> tau=0/4
+    val df = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0))
+      .toDF("x", "y")
+    val r = Dependence.kendallTau(df, "x", "y").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 0.0, s"$r")
+  }
+
+  test("kendallTau is duplicate-weighted and partitioning-independent") {
+    val base = (1 to 300).map(i => ((i % 7).toDouble, (i % 5).toDouble))
+    val df = base.toDF("x", "y")
+    val a = Dependence.kendallTau(df, "x", "y").collect().head.toSeq
+    val b = Dependence.kendallTau(df.repartition(11), "x", "y")
+      .collect().head.toSeq
+    assert(a == b)
+  }
 }

@@ -60,6 +60,36 @@ class GraphSpec extends SparkSpec {
       == r2.map(r => (r.getLong(0), r.getLong(1))))
   }
 
+  test("modularity: two clean communities score high; the same graph " +
+      "under a single label scores exactly 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), // triangle A
+      (4L, 5L), (5L, 6L), (4L, 6L), // triangle B
+      (3L, 4L) // one bridge
+    ).toDF("a", "b")
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("v", "label")
+    val q = Graph.modularity(edges, good).collect().head
+    assert(q.getLong(0) == 7L && q.getLong(1) == 2L)
+    // hand computation: m=7, intra A=B=3, degrees A={2,2,3} B same →
+    // Q = 2*(3/7 - (7/14)^2) = 6/7 - 1/2
+    val exp = BigDecimal(2 * (3.0 / 7.0 - 0.25)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(q.getDouble(2) - exp) < 1e-6, s"$q vs $exp")
+    val trivial = (1L to 6L).map(v => (v, 0L)).toDF("v", "label")
+    assert(Graph.modularity(edges, trivial).collect().head
+      .getDouble(2) == 0.0, "one community: Q must be exactly 0")
+  }
+
+  test("modularity of labelPropagation's own assignments is " +
+      "non-negative on the fixture graph (communities beat random)") {
+    val edges = Graph.basketEdges(
+      graft.Tables.lineitem(spark, SfDir)
+        .filter(col("l_orderkey") % 4 === 0), "l_orderkey", "l_partkey")
+    val q = Graph.modularity(edges,
+      Graph.labelPropagationAssignments(edges, 4)).collect().head
+    assert(q.getDouble(2) >= 0.0, s"$q")
+  }
+
   test("assortativity: a star is perfectly disassortative (r = -1)") {
     val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("a", "b")
     val row = Graph.assortativity(edges).collect().head
@@ -102,5 +132,29 @@ class GraphSpec extends SparkSpec {
     assert(rows.length == 5)
     val edgeSet = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows.forall(r => !edgeSet.contains((r.getLong(0), r.getLong(1)))))
+  }
+
+  test("bfsHopHistogram: path graph distances from one and two seeds; " +
+      "vertices beyond maxHops are absent") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    def seeds(vs: Long*) = vs.toDF("v")
+    val one = Graph.bfsHopHistogram(edges, seeds(1L), maxHops = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(one == Seq((0, 1L), (1, 1L), (2, 1L), (3, 1L)),
+      s"vertex 5 (dist 4) must be absent: $one")
+    val two = Graph.bfsHopHistogram(edges, seeds(1L, 5L), maxHops = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(two == Seq((0, 2L), (1, 2L), (2, 1L)), s"$two")
+  }
+
+  test("bfsHopHistogram: a seed absent from the graph still counts " +
+      "at distance 0; orientation of edges is irrelevant") {
+    val edges = Seq((2L, 1L), (1L, 2L), (3L, 2L)).toDF("a", "b")
+    val h = Graph.bfsHopHistogram(edges, Seq(99L).toDF("v"), 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(h == Seq((0, 1L)))
+    val h2 = Graph.bfsHopHistogram(edges, Seq(3L).toDF("v"), 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(h2 == Seq((0, 1L), (1, 1L), (2, 1L)))
   }
 }

@@ -222,4 +222,31 @@ class RanksSpec extends SparkSpec {
     assert(r.getDouble(4) > 1000.0, "raw mean dominated by the outlier")
     assert(r.getDouble(5) < 20.0, s"winsorized mean ${r.getDouble(5)}")
   }
+
+  test("kruskalWallis: hand-computed tie-free H for three separated " +
+      "groups") {
+    // A={1,2}, B={3,4}, C={5,6}: ranks 1..6, R=(3,7,11),
+    // H = 12/42 * (4.5 + 24.5 + 60.5) - 21 = 4.571429 (no ties)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r = Ranks.kruskalWallis(df, "v", "g").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L)
+    val exp = BigDecimal(12.0 / 42.0 * 89.5 - 21.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(2) - exp) < 1e-6, s"$r vs $exp")
+  }
+
+  test("kruskalWallis: identical group distributions give H = 0 " +
+      "under the tie correction; partitioning-independent") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val r = Ranks.kruskalWallis(df, "v", "g").collect().head
+    assert(r.getDouble(2) == 0.0, s"$r")
+    val big = (1 to 400).map(i => (s"g${i % 3}", (i % 17) / 2.0))
+      .toDF("g", "v")
+    val a = Ranks.kruskalWallis(big, "v", "g").collect().head.toSeq
+    val b = Ranks.kruskalWallis(big.repartition(13), "v", "g")
+      .collect().head.toSeq
+    assert(a == b)
+  }
 }

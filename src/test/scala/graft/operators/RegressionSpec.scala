@@ -76,6 +76,25 @@ class RegressionSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ridge2 at lambda = 0 coincides with ols2; a large lambda " +
+      "shrinks the slopes toward zero") {
+    import spark.implicits._
+    val rows = (1 to 60).map { i =>
+      val x1 = (i % 10).toDouble; val x2 = (i % 7).toDouble
+      (3.0 + 2.0 * x1 - 1.5 * x2 + (i % 3 - 1) * 0.25, x1, x2)
+    }
+    val df = rows.toDF("y", "x1", "x2")
+    val o = Regression.ols2(df, "y", "x1", "x2").collect().head
+    val r0 = Regression.ridge2(df, "y", "x1", "x2", 0.0).collect().head
+    // ols2 row is (n, b0, b1, b2, r2); ridge2 row is (n, lambda, b0, b1, b2)
+    assert(Seq(1, 2, 3).forall(i =>
+      o.getDouble(i) == r0.getDouble(i + 1)),
+      s"lambda=0 must reproduce OLS: $o vs $r0")
+    val rBig = Regression.ridge2(df, "y", "x1", "x2", 1e6).collect().head
+    assert(math.abs(rBig.getDouble(3)) < math.abs(o.getDouble(2)), s"$rBig")
+    assert(math.abs(rBig.getDouble(4)) < math.abs(o.getDouble(3)), s"$rBig")
+  }
+
   test("logisticIrls2: a constant y = 1 drives the intercept large " +
       "and positive (prior saturation, no crash)") {
     import spark.implicits._

@@ -111,4 +111,17 @@ class SurvivalSpec extends SparkSpec {
       assert(math.abs(v - expected(d)) < 1e-6, s"d=$d $v vs ${expected(d)}")
     }
   }
+
+  test("nelsonAalenDaily: hand life table — censored units stay in " +
+      "the risk set and the cumulative hazard adds exact terms") {
+    // u1 events day 1 (risk 3), u2 events day 2 (risk 2), u3 censored
+    val units = Seq(
+      (0L, Some(86400L)), (0L, Some(172800L)), (0L, None))
+      .toDF("t0", "tp")
+    val out = Survival.nelsonAalenDaily(units, "t0", "tp", lit(172800L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 3L, 1L, 0.333333),
+      (2L, 2L, 1L, 0.833333)), s"${out.toSeq}")
+  }
 }

@@ -152,4 +152,88 @@ class TimeSeriesSpec extends SparkSpec {
       .collect()
     assert(a.map(_.getDouble(2)).toSeq == b.map(_.getDouble(2)).toSeq)
   }
+
+  test("ewmaControl: hand-replayed floor-halving recurrence in cents " +
+      "and a spike alarm") {
+    // 100, 200, 100 -> e = 100, 150, 125 (integer cents, exact)
+    val df = series(Seq(100.0, 200.0, 100.0))
+    val out = TimeSeries.ewmaControl(df, "ts", "v", l = 100.0)
+      .collect().map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(out.map(_._1).toSeq == Seq(100.0, 150.0, 125.0), s"${out.toSeq}")
+    assert(out.forall(!_._2), "l = 100 sigma must never alarm")
+    // a flat series with one huge spike: only the spike day alarms
+    val spiky = series(Seq.fill(10)(100.0) ++ Seq(10000.0)
+      ++ Seq.fill(10)(100.0))
+    val alarms = TimeSeries.ewmaControl(spiky, "ts", "v", l = 2.0)
+      .collect().map(r => (r.getDouble(1), r.getBoolean(3)))
+    assert(alarms.count(_._2) >= 1)
+    assert(alarms.filter(_._2).exists(_._1 == 10000.0),
+      "the spike day must alarm")
+  }
+
+  test("ewmaControl: day 1 never alarms and the floor keeps every " +
+      "state an exact integer in cents (odd sums truncate)") {
+    // 1.01 then 1.02: e2 = (101 + 102) div 2 = 101 cents = 1.01
+    val df = series(Seq(1.01, 1.02))
+    val out = TimeSeries.ewmaControl(df, "ts", "v", l = 0.0)
+      .collect().map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(out.head._1 == 1.01 && !out.head._2)
+    assert(out(1)._1 == 1.01, s"${out.toSeq}")
+  }
+
+  test("holtBacktest: hand-replayed two-state integer recurrence on " +
+      "a 4-day ramp; naive matches the constant step") {
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hv = TimeSeries.holtBacktest(
+      series(Seq(100.0, 110.0, 120.0, 130.0)), "ts", "v").collect()
+    val holt = hv.find(_.getString(0) == "holt").get
+    val naive = hv.find(_.getString(0) == "naive1").get
+    // hand: l,b = (10000,0)->(10500,250)->(11375,562); errors in
+    // cents: 1000, 1250, 1063
+    val errs = Seq(1000.0, 1250.0, 1063.0)
+    assert(holt.getLong(1) == 3L)
+    assert(holt.getDouble(2) == r6(errs.sum / 100.0 / 3.0), s"$holt")
+    assert(holt.getDouble(3) ==
+      r6(math.sqrt(errs.map(e => e * e).sum / 10000.0 / 3.0)), s"$holt")
+    assert(naive.getDouble(2) == 10.0 && naive.getDouble(3) == 10.0)
+  }
+
+  test("holtBacktest: on a long pure ramp the trend model beats " +
+      "naive carryover") {
+    val ramp = (0 until 40).map(i => 100.0 + 10.0 * i)
+    val out = TimeSeries.holtBacktest(series(ramp), "ts", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("holt") < out("naive1"),
+      s"holt ${out("holt")} vs naive ${out("naive1")}")
+  }
+
+  test("bollingerDaily: only full 7-day windows emit; a flat series " +
+      "has sd 0 and no breach; a spike day breaches") {
+    val flat = TimeSeries.bollingerDaily(series(Seq.fill(9)(50.0)),
+      "ts", "v").collect()
+    assert(flat.length == 3) // days 7, 8, 9
+    assert(flat.forall(r => r.getDouble(2) == 50.0
+      && r.getDouble(3) == 0.0 && !r.getBoolean(4)))
+    val spiky = series(Seq.fill(10)(100.0) ++ Seq(1000.0))
+    val rows = TimeSeries.bollingerDaily(spiky, "ts", "v").collect()
+    val last = rows.last
+    assert(last.getDouble(1) == 1000.0 && last.getBoolean(4),
+      s"spike day must breach: $last")
+    assert(rows.init.forall(!_.getBoolean(4)))
+  }
+
+  test("pacfDaily: lag-1 pacf equals acf(1); lag-2 matches the " +
+      "Durbin-Levinson form on the reported acf values") {
+    val vals = Seq(110.0, 230.0, 150.0, 310.0, 190.0, 260.0, 140.0,
+      330.0, 210.0, 120.0, 280.0, 170.0)
+    val acf = TimeSeries.dailyAcf(series(vals), "ts", "v", 3).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val p = TimeSeries.pacfDaily(series(vals), "ts", "v").collect().head
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p.getDouble(0) == r6(acf(1)))
+    val exp2 = (acf(2) - acf(1) * acf(1)) / (1.0 - acf(1) * acf(1))
+    assert(p.getDouble(1) == r6(exp2), s"$p vs $exp2")
+  }
 }
