@@ -9502,7 +9502,431 @@ object SparkEntry {
         |  round((sum(t) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
         |    PRECEDING AND CURRENT ROW)::VARCHAR)::DOUBLE, 6)
         |    AS cum_hazard
-        |FROM f ORDER BY d""".stripMargin))
+        |FROM f ORDER BY d""".stripMargin),
+
+    Q("q286_mcnemar",
+      // McNemar's paired test on the two weak labelers' FIRING
+      // patterns ([[graft.pipeline.WeakLabels.mcnemar]]): q218's kappa
+      // says whether they agree; this says whether the DISAGREEMENT is
+      // biased (one labeler systematically stricter) — the
+      // model-upgrade gate for paired evals. Exact integer discordant
+      // cells, one float division.
+      (s, dir) => {
+        val lfs = graft.pipeline.WeakLabels.defaultLfs(col("text")).toMap
+        graft.pipeline.WeakLabels.mcnemar(
+          Tables.documents(s, dir),
+          lfs("lf_len").cast("int"), lfs("lf_stop").cast("int"))
+      },
+      """WITH lf AS (
+        |  SELECT
+        |    CASE WHEN length(text) >= 150 THEN 1
+        |         WHEN length(text) < 30 THEN -1 ELSE 0 END AS la,
+        |    CASE WHEN position(' the ' IN lower(text)) > 0
+        |           OR position(' and ' IN lower(text)) > 0 THEN 1
+        |         ELSE 0 END AS lb
+        |  FROM documents)
+        |SELECT count(*)::BIGINT AS n,
+        |  sum(CASE WHEN la <> 0 AND lb = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS b,
+        |  sum(CASE WHEN la = 0 AND lb <> 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS c,
+        |  CASE WHEN sum(CASE WHEN la <> 0 AND lb = 0 THEN 1 ELSE 0 END)
+        |      + sum(CASE WHEN la = 0 AND lb <> 0 THEN 1 ELSE 0 END) = 0
+        |    THEN NULL
+        |    ELSE round(
+        |      (sum(CASE WHEN la <> 0 AND lb = 0 THEN 1 ELSE 0 END)
+        |        - sum(CASE WHEN la = 0 AND lb <> 0 THEN 1 ELSE 0 END))
+        |        ::DOUBLE
+        |      * (sum(CASE WHEN la <> 0 AND lb = 0 THEN 1 ELSE 0 END)
+        |        - sum(CASE WHEN la = 0 AND lb <> 0 THEN 1 ELSE 0 END))
+        |        ::DOUBLE
+        |      / (sum(CASE WHEN la <> 0 AND lb = 0 THEN 1 ELSE 0 END)
+        |        + sum(CASE WHEN la = 0 AND lb <> 0 THEN 1 ELSE 0 END))
+        |        ::DOUBLE, 6) END AS chi2
+        |FROM lf""".stripMargin),
+
+    Q("q287_ipw_ate",
+      // IPW ATE with a MODELED propensity ([[graft.operators.Causal
+      // .ipwAte]]): effect of having clicked on purchase revenue,
+      // deconfounded by activity (views/errors, binary-exact /128
+      // scales — the q262 discipline). The propensity model is q262's
+      // engine-exact IRLS (3 unrolled iterations in the oracle, 6-dp
+      // rounded weights as the frozen model); Horvitz–Thompson terms
+      // are identical doubles 6-dp DECIMAL-summed. Completes the
+      // causal ladder: naive → exact strata (q237) → modeled e(x).
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val per = Tables.events(s, dir).groupBy("user_id").agg(
+          max(when(col("event_type") === "click", 1.0).otherwise(0.0))
+            .as("t"),
+          coalesce(sum(when(col("event_type") === "purchase",
+              col("value").cast(DecimalType(18, 4)))).cast("double"),
+            lit(0.0)).as("y"),
+          (sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("double") / lit(128.0)).as("x1"),
+          (sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast("double") / lit(128.0)).as("x2"))
+        graft.operators.Causal.ipwAte(per, "t", "y", "x1", "x2")
+      },
+      {
+        def t7(e: String) =
+          s"(sum(round($e, 7)::DECIMAL(28,9))::VARCHAR)::DOUBLE"
+        def iter(i: Int): String = {
+          val p = i - 1
+          s"""m$i AS (SELECT
+             |    ${t7("s")} AS a00, ${t7("s * x1")} AS a01,
+             |    ${t7("s * x2")} AS a02, ${t7("s * x1 * x1")} AS a11,
+             |    ${t7("s * x1 * x2")} AS a12, ${t7("s * x2 * x2")} AS a22,
+             |    ${t7("s * eta + (y - mu)")} AS b0,
+             |    ${t7("x1 * (s * eta + (y - mu))")} AS b1,
+             |    ${t7("x2 * (s * eta + (y - mu))")} AS b2
+             |  FROM (SELECT y, x1, x2, eta, mu, mu * (1.0 - mu) AS s
+             |    FROM (SELECT f.y, f.x1, f.x2,
+             |        w.w0 + w.w1 * f.x1 + w.w2 * f.x2 AS eta,
+             |        1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
+             |          + w.w2 * f.x2))) AS mu
+             |      FROM f, w$p w))),
+             |w$i AS (SELECT
+             |    (b0 * (a11 * a22 - a12 * a12)
+             |      - a01 * (b1 * a22 - a12 * b2)
+             |      + a02 * (b1 * a12 - a11 * b2))
+             |    / (a00 * (a11 * a22 - a12 * a12)
+             |      - a01 * (a01 * a22 - a12 * a02)
+             |      + a02 * (a01 * a12 - a11 * a02)) AS w0,
+             |    (a00 * (b1 * a22 - a12 * b2)
+             |      - b0 * (a01 * a22 - a12 * a02)
+             |      + a02 * (a01 * b2 - b1 * a02))
+             |    / (a00 * (a11 * a22 - a12 * a12)
+             |      - a01 * (a01 * a22 - a12 * a02)
+             |      + a02 * (a01 * a12 - a11 * a02)) AS w1,
+             |    (a00 * (a11 * b2 - b1 * a12)
+             |      - a01 * (a01 * b2 - b1 * a02)
+             |      + b0 * (a01 * a12 - a11 * a02))
+             |    / (a00 * (a11 * a22 - a12 * a12)
+             |      - a01 * (a01 * a22 - a12 * a02)
+             |      + a02 * (a01 * a12 - a11 * a02)) AS w2
+             |  FROM m$i)""".stripMargin
+        }
+        s"""WITH per AS (SELECT user_id,
+           |    max(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END)
+           |      AS t,
+           |    coalesce((sum(CASE WHEN event_type = 'purchase'
+           |        THEN value::DECIMAL(18,4) END))::DOUBLE, 0.0) AS y,
+           |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           |      ::DOUBLE / 128.0 AS x1,
+           |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           |      ::DOUBLE / 128.0 AS x2
+           |  FROM events GROUP BY 1),
+           |f AS (SELECT t AS y, x1, x2 FROM per),
+           |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)},
+           |wr AS (SELECT round(w0, 6) AS w0, round(w1, 6) AS w1,
+           |    round(w2, 6) AS w2 FROM w3),
+           |cl AS (SELECT per.t, per.y,
+           |    least(greatest(1.0 / (1.0 + exp(-(wr.w0
+           |        + wr.w1 * per.x1 + wr.w2 * per.x2))), 0.01),
+           |      1.0 - 0.01) AS pc
+           |  FROM per, wr),
+           |ag AS (SELECT count(*)::BIGINT AS n,
+           |    sum(CASE WHEN t = 1.0 THEN 1 ELSE 0 END)::BIGINT
+           |      AS n_treat,
+           |    (sum(CASE WHEN t = 1.0 THEN y::DECIMAL(18,4) END)
+           |      ::VARCHAR)::DOUBLE AS st,
+           |    (sum(CASE WHEN t <> 1.0 THEN y::DECIMAL(18,4) END)
+           |      ::VARCHAR)::DOUBLE AS sc,
+           |    (sum(round(t * y / pc - (1.0 - t) * y / (1.0 - pc), 6)
+           |      ::DECIMAL(28,6))::VARCHAR)::DOUBLE AS ipw
+           |  FROM cl)
+           |SELECT ag.n, ag.n_treat, wr.w0, wr.w1, wr.w2,
+           |  round(ag.st / ag.n_treat::DOUBLE
+           |    - ag.sc / (ag.n - ag.n_treat)::DOUBLE, 6) AS ate_naive,
+           |  round(ag.ipw / ag.n::DOUBLE, 6) AS ate_ipw
+           |FROM ag, wr""".stripMargin
+      }),
+
+    Q("q288_cramer_von_mises",
+      // Two-sample Cramér-von Mises criterion between purchase and
+      // click value distributions ([[graft.operators.Ranks
+      // .cramerVonMises]]) — the integral drift distance beside
+      // q221's KS sup. Every term is exact integer arithmetic in
+      // DECIMAL(38,0); T is engine-exact up to one rounded division.
+      // The oracle pays the plain global window.
+      (s, dir) => graft.operators.Ranks.cramerVonMises(
+        Tables.events(s, dir), "value", "event_type",
+        "purchase", "click"),
+      """WITH two AS (SELECT value::DOUBLE AS v,
+        |    (event_type = 'purchase') AS isa
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |g AS (SELECT v,
+        |    sum(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT AS na_v,
+        |    sum(CASE WHEN isa THEN 0 ELSE 1 END)::BIGINT AS nb_v
+        |  FROM two GROUP BY v),
+        |t AS (SELECT sum(na_v)::BIGINT AS n_a, sum(nb_v)::BIGINT AS n_b
+        |  FROM g),
+        |c AS (SELECT na_v, nb_v,
+        |    sum(na_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(nb_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM g),
+        |s AS (SELECT t.n_a, t.n_b,
+        |    sum((c.na_v + c.nb_v)::DECIMAL(38,0)
+        |      * (c.cuma * t.n_b - c.cumb * t.n_a)
+        |      * (c.cuma * t.n_b - c.cumb * t.n_a)) AS num
+        |  FROM c, t GROUP BY 1, 2)
+        |SELECT n_a, n_b,
+        |  round((num::VARCHAR)::DOUBLE
+        |    / ((n_a::DOUBLE + n_b::DOUBLE) * (n_a::DOUBLE + n_b::DOUBLE)
+        |      * n_a::DOUBLE * n_b::DOUBLE), 6) AS t
+        |FROM s""".stripMargin),
+
+    Q("q289_boosted_stumps",
+      // Two-round gradient boosting with regression stumps under
+      // squared loss ([[graft.operators.Stump.boostedSseStumps]]):
+      // price ~ quantity, each round an exact grid split + 6-dp
+      // frozen leaf literals; residual SSE per round shows the boost.
+      // round(r², 6) is boundary-free by the mod-64 argument in the
+      // scaladoc. The oracle replays both rounds with argmax LIMIT 1.
+      (s, dir) => graft.operators.Stump.boostedSseStumps(
+        Tables.lineitem(s, dir), "l_quantity", "l_extendedprice",
+        rounds = 2),
+      {
+        def round(i: Int, residual: String, from: String): String =
+          s"""g$i AS (SELECT l_quantity::DOUBLE AS v,
+             |    count(*)::BIGINT AS n_v,
+             |    sum(round($residual, 6)::DECIMAL(28,6)) AS s_v,
+             |    sum(round(($residual) * ($residual), 6)::DECIMAL(28,6))
+             |      AS q_v
+             |  FROM $from GROUP BY 1),
+             |t$i AS (SELECT sum(n_v)::BIGINT AS bn, sum(s_v) AS bs,
+             |    (sum(q_v)::VARCHAR)::DOUBLE AS bq FROM g$i),
+             |c$i AS (SELECT v, sum(n_v) OVER w AS nl, sum(s_v) OVER w
+             |    AS sl
+             |  FROM g$i WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |    PRECEDING AND CURRENT ROW)),
+             |s$i AS (SELECT c$i.v, (c$i.sl::VARCHAR)::DOUBLE AS dsl,
+             |    ((t$i.bs - c$i.sl)::VARCHAR)::DOUBLE AS dsr,
+             |    c$i.nl::DOUBLE AS dnl,
+             |    (t$i.bn - c$i.nl)::DOUBLE AS dnr, t$i.bq
+             |  FROM c$i, t$i WHERE c$i.nl < t$i.bn),
+             |p$i AS (SELECT v AS sp, round(dsl / dnl, 6) AS lm,
+             |    round(dsr / dnr, 6) AS rm, round(bq, 6) AS sse
+             |  FROM (SELECT *, round(dsl * dsl / dnl + dsr * dsr / dnr,
+             |      6)::DECIMAL(28,6) AS sc FROM s$i
+             |    ORDER BY sc DESC, v ASC LIMIT 1))""".stripMargin
+        s"""WITH ${round(1, "l_extendedprice::DOUBLE", "lineitem")},
+           |li2 AS (SELECT l_quantity,
+           |    l_extendedprice::DOUBLE
+           |      - (CASE WHEN l_quantity::DOUBLE <= p1.sp THEN p1.lm
+           |         ELSE p1.rm END) AS r2
+           |  FROM lineitem, p1),
+           |${round(2, "r2", "li2")}
+           |SELECT 1 AS round, sp AS split_value, lm AS mean_left,
+           |  rm AS mean_right, sse AS sse_before FROM p1
+           |UNION ALL
+           |SELECT 2, sp, lm, rm, sse FROM p2
+           |ORDER BY round""".stripMargin
+      }),
+
+    Q("q290_seasonal_decompose",
+      // Additive seasonal decomposition of daily revenue
+      // ([[graft.operators.TimeSeries.seasonalDecompose]]): centred
+      // 7-day MA trend, day-of-week seasonal means of the detrended
+      // series, mean |remainder| — all on the calendar grid; 6-dp
+      // rounding of detrended values is boundary-free (denominator-700
+      // rationals never hit a 5e-7 midpoint).
+      (s, dir) => graft.operators.TimeSeries.seasonalDecompose(
+        Tables.orders(s, dir), "o_orderdate", "o_totalprice"),
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    sum(o_totalprice::DECIMAL(18,2)) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT d, x, count(*) OVER w AS n7, sum(x) OVER w AS s7
+        |  FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+        |    AND 3 FOLLOWING)),
+        |det AS (SELECT d,
+        |    round(x::DOUBLE - (s7::VARCHAR)::DOUBLE / 7.0, 6)
+        |      ::DECIMAL(28,6) AS det
+        |  FROM r WHERE n7 = 7),
+        |seas AS (SELECT dayofweek(d)::INT AS dow,
+        |    count(*)::BIGINT AS n_days,
+        |    round((sum(det)::VARCHAR)::DOUBLE / count(*)::DOUBLE, 6)
+        |      AS seasonal
+        |  FROM det GROUP BY 1),
+        |rem AS (SELECT seas.dow, seas.n_days, seas.seasonal,
+        |    round(abs(det.det::DOUBLE - seas.seasonal), 6)
+        |      ::DECIMAL(28,6) AS r
+        |  FROM det JOIN seas ON dayofweek(det.d)::INT = seas.dow)
+        |SELECT dow, n_days, seasonal,
+        |  round((sum(r)::VARCHAR)::DOUBLE / n_days::DOUBLE, 6)
+        |    AS mean_abs_remainder
+        |FROM rem GROUP BY 1, 2, 3 ORDER BY dow""".stripMargin),
+
+    Q("q291_neyman_allocation",
+      // Neyman-optimal eval-budget allocation across event types
+      // ([[graft.pipeline.Sampling.neymanAllocation]], budget 1000):
+      // n_h ∝ N_h·σ_h from one exact-decimal moment scan, integer
+      // floors + largest-remainder on the metadata-sized stratum
+      // frame so allocations sum exactly to the budget — the planner
+      // q44's stratifiedTake executes.
+      (s, dir) => graft.pipeline.Sampling.neymanAllocation(
+        Tables.events(s, dir), "event_type", "value", 1000L),
+      """WITH m AS (SELECT event_type AS stratum,
+        |    count(*)::BIGINT AS n_h,
+        |    (sum(value::DECIMAL(18,4))::VARCHAR)::DOUBLE AS s,
+        |    (sum(value::DECIMAL(18,4) * value::DECIMAL(18,4))
+        |      ::VARCHAR)::DOUBLE AS q
+        |  FROM events GROUP BY 1),
+        |sg AS (SELECT stratum, n_h,
+        |    round(CASE WHEN n_h > 1 THEN
+        |      sqrt((q - s * s / n_h::DOUBLE) / (n_h::DOUBLE - 1.0))
+        |      ELSE 0.0 END, 6) AS sigma
+        |  FROM m),
+        |w AS (SELECT stratum, n_h, sigma,
+        |    n_h::DOUBLE * sigma AS wgt FROM sg),
+        |t AS (SELECT (sum(round(wgt, 6)::DECIMAL(38,6))::VARCHAR)
+        |    ::DOUBLE AS tt FROM w),
+        |sh AS (SELECT stratum, n_h, sigma,
+        |    CASE WHEN t.tt > 0.0 THEN wgt / t.tt ELSE 0.0 END AS share
+        |  FROM w, t),
+        |fl AS (SELECT *, floor(1000.0 * share)::BIGINT AS fl,
+        |    1000.0 * share - floor(1000.0 * share) AS fr FROM sh),
+        |lv AS (SELECT 1000 - sum(fl)::BIGINT AS leftover FROM fl),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY fr DESC,
+        |    stratum ASC) AS rk FROM fl)
+        |SELECT stratum, n_h, sigma,
+        |  (fl + CASE WHEN rk <= lv.leftover THEN 1 ELSE 0 END)::BIGINT
+        |    AS alloc
+        |FROM rk, lv ORDER BY stratum""".stripMargin),
+
+    Q("q292_permutation_fleet_fdr",
+      // A FLEET of per-cell permutation tests + Benjamini-Hochberg
+      // ([[graft.operators.Resample.permutationTestsFdr]]): q241's
+      // purchase-vs-click readout run simultaneously in 4 user cells
+      // (ONE m×n pass keyed (cell, perm)), then BH step-up decided
+      // ENTIRELY in LONG arithmetic — add-one p-values are exact
+      // fractions, so no float ever decides a rejection.
+      (s, dir) => {
+        val d = org.apache.spark.sql.types.DecimalType(18, 4)
+        val per = Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "click"))
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase",
+              col("value").cast(d))).as("sp"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("np"),
+            sum(when(col("event_type") === "click",
+              col("value").cast(d))).as("sc"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("nc"))
+          .filter(col("np") > 0 && col("nc") > 0)
+          .select((col("user_id") % 4).cast("string").as("cell"),
+            col("user_id"),
+            (col("sp").cast("double") / col("np").cast("double")
+              - col("sc").cast("double") / col("nc").cast("double"))
+              .as("d"))
+        graft.operators.Resample.permutationTestsFdr(per, "cell",
+          "user_id", "d", mPerms = 200, alphaPpm = 50000L)
+      },
+      """WITH pu AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN value::DECIMAL(18,4) END) AS sp,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS np,
+        |    sum(CASE WHEN event_type = 'click'
+        |      THEN value::DECIMAL(18,4) END) AS sc,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS nc
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY 1),
+        |d AS (SELECT (user_id % 4)::VARCHAR AS g,
+        |    user_id::VARCHAR AS k,
+        |    round((sp::VARCHAR)::DOUBLE / np::DOUBLE
+        |      - (sc::VARCHAR)::DOUBLE / nc::DOUBLE, 9)::DECIMAL(28,9)
+        |      AS d
+        |  FROM pu WHERE np > 0 AND nc > 0),
+        |obs AS (SELECT g, sum(d) AS t0, count(*)::BIGINT AS n FROM d
+        |  GROUP BY 1),
+        |reps AS (SELECT d.g, pp.p,
+        |    sum(CASE WHEN substr(md5(pp.p || '_' || d.k), 1, 1)
+        |      IN ('0','2','4','6','8','a','c','e')
+        |      THEN d.d ELSE -d.d END) AS tp
+        |  FROM d, (SELECT unnest(range(0, 200)) AS p) pp GROUP BY 1, 2),
+        |e AS (SELECT r.g, count(*)::BIGINT AS e FROM reps r
+        |  JOIN obs o ON r.g = o.g WHERE abs(r.tp) >= abs(o.t0)
+        |  GROUP BY 1),
+        |cells AS (SELECT o.g, o.n, o.t0, coalesce(e.e, 0)::BIGINT AS e
+        |  FROM obs o LEFT JOIN e USING (g)),
+        |kk AS (SELECT count(*)::BIGINT AS k FROM cells),
+        |rk AS (SELECT c.*, row_number() OVER (ORDER BY e ASC, g ASC)
+        |    AS i FROM cells c),
+        |ok AS (SELECT rk.*,
+        |    (e + 1) * kk.k * 1000000 <= i * 50000 * 201 AS ok
+        |  FROM rk, kk),
+        |im AS (SELECT max(CASE WHEN ok THEN i END) AS imax FROM ok)
+        |SELECT g AS cell, n AS n_pairs,
+        |  round((t0::VARCHAR)::DOUBLE / n::DOUBLE, 6) AS mean_diff,
+        |  e AS n_extreme,
+        |  round((1.0 + e::DOUBLE) / (200.0 + 1.0), 6) AS p_value,
+        |  (im.imax IS NOT NULL AND i <= im.imax) AS significant
+        |FROM ok, im ORDER BY cell""".stripMargin),
+
+    Q("q293_lm_backoff_score",
+      // Trigram stupid-backoff scoring on a HOLDOUT (fit even docs,
+      // score odd — [[graft.text.TextAnalysis.stupidBackoffScore]]):
+      // the CCNet-style LM quality filter where backoff actually
+      // fires; per-event chain c3/c2 → 0.4·c2/c1 → 0.16·c1/N → 0.16/N
+      // OOV floor keeps every log finite. Model = three sparse count
+      // relations; 9-dp decimal per-doc log sums.
+      (s, dir) => graft.text.TextAnalysis.stupidBackoffScore(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("doc_id") % 2 === 0),
+      {
+        val tri = "[struct_pack(u := l[i-2], v := l[i-1], w := l[i]) " +
+          "for i in range(3, len(l)+1)]"
+        s"""WITH t AS (SELECT doc_id, doc_id % 2 = 0 AS fit,
+           |    $toksSql AS l FROM documents),
+           |u1 AS (SELECT unnest(l) AS t FROM t WHERE fit),
+           |c1 AS (SELECT t, count(*)::DOUBLE AS c1 FROM u1 GROUP BY 1),
+           |nn AS (SELECT count(*)::DOUBLE AS n FROM u1),
+           |b AS (SELECT p.u, p.v FROM (SELECT
+           |    unnest([struct_pack(u := l[i], v := l[i+1])
+           |      for i in range(1, len(l))]) AS p
+           |  FROM t WHERE fit AND len(l) >= 2)),
+           |c2 AS (SELECT u, v, count(*)::DOUBLE AS c2 FROM b
+           |  GROUP BY 1, 2),
+           |tg AS (SELECT p.u, p.v, p.w FROM (SELECT unnest($tri) AS p
+           |  FROM t WHERE fit AND len(l) >= 3)),
+           |c3 AS (SELECT u, v, w, count(*)::DOUBLE AS c3 FROM tg
+           |  GROUP BY 1, 2, 3),
+           |ev AS (SELECT doc_id, p.u, p.v, p.w FROM (SELECT doc_id,
+           |    unnest($tri) AS p
+           |  FROM t WHERE NOT fit AND len(l) >= 3)),
+           |j AS (SELECT ev.doc_id, c3.c3, a.c2 AS c2uv, bb.c2 AS c2vw,
+           |    cv.c1 AS c1v, cw.c1 AS c1w, nn.n
+           |  FROM ev
+           |  LEFT JOIN c3 ON ev.u = c3.u AND ev.v = c3.v
+           |    AND ev.w = c3.w
+           |  LEFT JOIN c2 a ON ev.u = a.u AND ev.v = a.v
+           |  LEFT JOIN c2 bb ON ev.v = bb.u AND ev.w = bb.v
+           |  LEFT JOIN c1 cv ON ev.v = cv.t
+           |  LEFT JOIN c1 cw ON ev.w = cw.t, nn),
+           |s AS (SELECT doc_id,
+           |    round(ln(CASE WHEN c3 IS NOT NULL THEN c3 / c2uv
+           |      ELSE 0.4 * (CASE WHEN c2vw IS NOT NULL
+           |        THEN c2vw / c1v
+           |        ELSE 0.4 * (CASE WHEN c1w IS NOT NULL THEN c1w / n
+           |          ELSE 1.0 / n END) END) END), 9)::DECIMAL(28,9)
+           |      AS lp,
+           |    CASE WHEN c3 IS NULL THEN 1 ELSE 0 END AS bo
+           |  FROM j)
+           |SELECT doc_id, count(*)::BIGINT AS n_events,
+           |  sum(bo)::BIGINT AS n_backoff,
+           |  round((sum(lp)::VARCHAR)::DOUBLE / count(*)::DOUBLE, 6)
+           |    AS avg_logscore
+           |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin
+      }))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -73,6 +73,54 @@ object Causal {
     perStratum.unionAll(ate)
   }
 
+  /** IPW (inverse-propensity-weighted) ATE with a MODELED propensity
+    * — the continuous-confounder step past [[stratifiedEffect]]'s
+    * exact discrete strata: ê(x) = σ(ŵ·x) from
+    * [[Regression.logisticIrls2]]'s engine-exact IRLS fit (the
+    * 6-dp-ROUNDED weights are the frozen model both engines
+    * reproduce), propensities clipped to [clip, 1−clip], and the
+    * Horvitz–Thompson estimator (1/N)Σ[t·y/ê − (1−t)·y/(1−ê)].
+    * Per-row terms are identical doubles (literal weights, shared
+    * libm slack absorbed by 6-dp rounding — y/ê amplification keeps
+    * exp noise ~10² below the grain) DECIMAL-summed. `df` needs
+    * numeric treatCol (0/1), yCol, and x1/x2 features (keep them
+    * binary-exact-scaled — the q262 discipline). Returns one row
+    * (n, n_treat, w0, w1, w2, ate_naive, ate_ipw). */
+  def ipwAte(df: DataFrame, treatCol: String, yCol: String,
+      x1Col: String, x2Col: String, iters: Int = 3,
+      clip: Double = 0.01): DataFrame = {
+    require(clip > 0.0 && clip < 0.5)
+    val base = df.select(col(treatCol).cast("double").as("t"),
+      col(yCol).cast("double").as("y"),
+      col(x1Col).cast("double").as("x1"),
+      col(x2Col).cast("double").as("x2")).localCheckpoint(true)
+    val fit = Regression.logisticIrls2(
+      base.select(col("t").as("y"), col("x1"), col("x2")),
+      "y", "x1", "x2", iters).collect().head
+    val (w0, w1, w2) =
+      (fit.getDouble(1), fit.getDouble(2), fit.getDouble(3))
+    val p = lit(1.0) / (lit(1.0) +
+      exp(-(lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2"))))
+    val pc = least(greatest(p, lit(clip)), lit(1.0) - lit(clip))
+    val term = col("t") * col("y") / pc -
+      (lit(1.0) - col("t")) * col("y") / (lit(1.0) - pc)
+    base.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("t") === 1.0, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("t") === 1.0, d184(col("y")))).as("__st"),
+        sum(when(col("t") =!= 1.0, d184(col("y")))).as("__sc"),
+        sum(round(term, 6).cast(DecimalType(28, 6))).as("__ipw"))
+      .select(col("n"), col("n_treat"),
+        lit(w0).as("w0"), lit(w1).as("w1"), lit(w2).as("w2"),
+        round(col("__st").cast("double")
+            / col("n_treat").cast("double")
+          - col("__sc").cast("double")
+            / (col("n") - col("n_treat")).cast("double"), 6)
+          .as("ate_naive"),
+        round(col("__ipw").cast("double") / col("n").cast("double"), 6)
+          .as("ate_ipw"))
+  }
+
   /** Cochran–Mantel–Haenszel test of a binary outcome vs a binary
     * treatment CONTROLLING for strata — the 2×2×K companion to
     * [[stratifiedEffect]]'s continuous ATE (is the association real,

@@ -264,6 +264,62 @@ object Ranks {
           .as("d"))
   }
 
+  /** Two-sample Cramér–von Mises criterion T = (nm/N²)·Σ(F_A−F_B)²
+    * over the pooled sample — the INTEGRAL distribution-distance
+    * companion to [[ksTest]]'s sup (T sees diffuse drift a single
+    * sup point misses). Same value-grid + bucketed-prefix machinery;
+    * every numerator term l_v·(cumA·n_b − cumB·n_a)² is exact integer
+    * arithmetic accumulated in DECIMAL(38,0) — T is engine-exact up
+    * to ONE final rounded division (no float terms at all). Returns
+    * one row (n_a, n_b, t). */
+  def cramerVonMises(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, nBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = col(valueCol).cast("double")
+    val perValue = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(v.as("v"), (col(groupCol) === groupA).as("isA"))
+      .groupBy("v").agg(
+        sum(when(col("isA"), 1L).otherwise(0L)).as("na_v"),
+        sum(when(col("isA"), 0L).otherwise(1L)).as("nb_v"))
+    val bounds = perValue.agg(min(col("v")).as("__lo"),
+      max(col("v")).as("__hi"))
+    val withB = perValue.join(broadcast(bounds))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((col("v") - col("__lo"))
+              / (col("__hi") - col("__lo")) * nBuckets).cast("int"))))
+      .drop("__lo", "__hi")
+    val wGrid = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = withB.groupBy("__b")
+      .agg(sum("na_v").as("__ba"), sum("nb_v").as("__bb"))
+      .withColumn("__pa", coalesce(sum("__ba").over(wGrid), lit(0L)))
+      .withColumn("__pb", coalesce(sum("__bb").over(wGrid), lit(0L)))
+      .select(col("__b"), col("__pa"), col("__pb"))
+    val wLocal = Window.partitionBy("__b").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = withB.join(broadcast(prefixes), "__b")
+      .withColumn("cumA", col("__pa") + sum("na_v").over(wLocal))
+      .withColumn("cumB", col("__pb") + sum("nb_v").over(wLocal))
+    val totals = perValue.agg(sum("na_v").as("n_a"), sum("nb_v").as("n_b"))
+    val d = cum.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        ((col("na_v") + col("nb_v")).cast(DecimalType(38, 0))
+          * (col("cumA") * col("n_b") - col("cumB") * col("n_a"))
+          * (col("cumA") * col("n_b") - col("cumB") * col("n_a")))
+          .as("__t"))
+    d.groupBy("n_a", "n_b")
+      .agg(sum(col("__t")).as("__num"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__num").cast("double")
+          / ((col("n_a").cast("double") + col("n_b").cast("double"))
+            * (col("n_a").cast("double") + col("n_b").cast("double"))
+            * col("n_a").cast("double") * col("n_b").cast("double")),
+          6).as("t"))
+  }
+
   /** Exact ROC-AUC with tie correction — the probability a random
     * positive outscores a random negative (ties count ½). Identity
     * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ is the positives'

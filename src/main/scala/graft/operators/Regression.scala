@@ -174,7 +174,13 @@ object Regression {
         t7(s * col("x2") * col("x2")).as("a22"),
         t7(bTerm).as("b0"), t7(col("x1") * bTerm).as("b1"),
         t7(col("x2") * bTerm).as("b2")).collect().head
-      def d(i: Int) = r.getDecimal(i).doubleValue()
+      def d(i: Int) = {
+        val x = r.getDecimal(i)
+        require(x != null, "IRLS moment sum is null — the weights " +
+          "diverged to NaN (singular/degenerate design matrix, e.g. " +
+          "a constant feature). Drop or de-collinearize the features.")
+        x.doubleValue()
+      }
       w = solve3(d(0), d(1), d(2), d(3), d(4), d(5), d(6), d(7), d(8))
     }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -98,5 +99,61 @@ object Resample {
         round(sqrt((col("nb").cast("double") - 1.0)
           / col("nb").cast("double") * col("ss")), 6).as("se_jack"),
         col("nb").cast("int").as("n_buckets"))
+  }
+
+  /** A FLEET of per-group paired permutation tests with
+    * Benjamini–Hochberg FDR control — the experimentation-platform
+    * endgame: run [[permutationTest]] simultaneously in every cell of
+    * `groupCol` (one m×n map + partial-agg pass keyed (group, perm) —
+    * never one job per cell), then BH-adjust ENTIRELY in integer
+    * arithmetic: permutation p-values are exact add-one fractions
+    * (e+1)/(m+1), so the step-up condition p_(i) ≤ i·α/k becomes
+    * (e+1)·k·10⁶ ≤ i·α_ppm·(m+1) on LONGs — no float ever decides a
+    * rejection. Ranks tie-break (extreme-count asc, group asc); all
+    * BH work runs on the k-row metadata frame. Returns
+    * (group, n_pairs, mean_diff, n_extreme, p_value, significant)
+    * ordered by group. */
+  def permutationTestsFdr(df: DataFrame, groupCol: String,
+      keyCol: String, diffCol: String, mPerms: Int = 200,
+      alphaPpm: Long = 50000L): DataFrame = {
+    require(mPerms >= 1 && alphaPpm > 0 && alphaPpm < 1000000L)
+    val d = df.select(col(groupCol).cast("string").as("g"),
+      col(keyCol).cast("string").as("k"),
+      round(col(diffCol).cast("double"), 9).cast(DecimalType(28, 9))
+        .as("d"))
+    val obs = d.groupBy("g")
+      .agg(sum(col("d")).as("t0"), count(lit(1)).as("n"))
+    val reps = d
+      .select(col("g"), col("k"), col("d"),
+        explode(array((0 until mPerms).map(lit(_)): _*)).as("p"))
+      .select(col("g"), col("p"),
+        when(even(concat(col("p"), lit("_"), col("k"))), col("d"))
+          .otherwise(-col("d")).as("t"))
+      .groupBy("g", "p").agg(sum(col("t")).as("tp"))
+    val ext = reps.join(obs, "g")
+      .filter(abs(col("tp")) >= abs(col("t0")))
+      .groupBy("g").agg(count(lit(1)).as("e"))
+    val cells = obs.join(ext, Seq("g"), "left")
+      .withColumn("e", coalesce(col("e"), lit(0L)))
+      .localCheckpoint(true) // k-row metadata frame from here on
+    val k = cells.count()
+    val wRank = Window.orderBy(col("e").asc, col("g").asc)
+    val ranked = cells.withColumn("i", row_number().over(wRank))
+      .withColumn("__ok",
+        (col("e") + 1L) * lit(k) * lit(1000000L) <=
+          col("i") * lit(alphaPpm) * lit(mPerms + 1L))
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked
+      .withColumn("__imax", max(when(col("__ok"), col("i"))).over(wAll))
+      .select(col("g").as(groupCol), col("n").as("n_pairs"),
+        round(col("t0").cast("double") / col("n").cast("double"), 6)
+          .as("mean_diff"),
+        col("e").as("n_extreme"),
+        round((lit(1.0) + col("e").cast("double"))
+          / (lit(mPerms.toDouble) + 1.0), 6).as("p_value"),
+        (col("__imax").isNotNull && col("i") <= col("__imax"))
+          .as("significant"))
+      .orderBy(groupCol)
   }
 }

@@ -76,4 +76,95 @@ object Stump {
         col("m.c").as("n_right"), col("m.d").as("pos_right"),
         round(col("m.ig").cast("double"), 6).as("info_gain"))
   }
+
+  /** Gradient-boosted REGRESSION stumps under squared loss: `rounds`
+    * sequential depth-1 fits, each on the residuals of the additive
+    * model so far — the smallest real boosting machine, engine-exact.
+    * Per round: one grid aggregation (value → n, Σr, Σr²), bucketed
+    * prefix cumulatives, best split by max(S_L²/n_L + S_R²/n_R)
+    * (6-dp-decimal score, value-asc tiebreak), leaf values = 6-dp
+    * ROUNDED residual means (the frozen literals the next round's
+    * residuals subtract — the [[KMeans]]/IRLS bounded-state
+    * discipline: only 3 doubles per round reach the driver).
+    *
+    * Exactness: residuals are exact-decimal y minus 6-dp literal
+    * leaves → bit-identical doubles; round(r, 6) is boundary-free
+    * (r's true value IS a 6-dp decimal), and round(r², 6) is too —
+    * r²·10¹² ≡ 500000 (mod 10⁶) would need a² ≡ 32 (mod 64), which
+    * has no solutions, so no r² sits on a 6-dp half boundary.
+    * Returns one row per round (round, split_value, mean_left,
+    * mean_right, sse_before) — sse_before shrinking across rounds IS
+    * the boosting effect. */
+  def boostedSseStumps(df: DataFrame, xCol: String, yCol: String,
+      rounds: Int = 2, nBuckets: Int = 1024): DataFrame = {
+    require(rounds >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d286 = DecimalType(28, 6)
+    val base = df.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y")).localCheckpoint(true)
+
+    var pred: Column = lit(0.0)
+    val rows = (1 to rounds).map { rd =>
+      val r = col("y") - pred
+      val perValue = base
+        .select(col("x").as("v"), round(r, 6).cast(d286).as("__r"),
+          round(r * r, 6).cast(d286).as("__q"))
+        .groupBy("v")
+        .agg(count(lit(1)).as("n_v"), sum(col("__r")).as("s_v"),
+          sum(col("__q")).as("q_v"))
+      val bounds = broadcast(perValue
+        .agg(min("v").as("__lo"), max("v").as("__hi"),
+          sum("n_v").as("bigN"), sum("s_v").as("bigS"),
+          sum("q_v").as("bigQ")))
+      val withB = perValue.crossJoin(bounds)
+        .withColumn("__b",
+          when(col("__hi") === col("__lo"), lit(0))
+            .otherwise(least(lit(nBuckets - 1),
+              floor((col("v") - col("__lo"))
+                / (col("__hi") - col("__lo")) * nBuckets).cast("int"))))
+      val wGrid = Window.orderBy(col("__b").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefixes = withB.groupBy("__b")
+        .agg(sum("n_v").as("__bn"), sum("s_v").as("__bs"))
+        .withColumn("__pren", coalesce(sum("__bn").over(wGrid), lit(0L)))
+        .withColumn("__pres", sum("__bs").over(wGrid))
+        .select(col("__b"), col("__pren"), col("__pres"))
+      val wLocal = Window.partitionBy("__b").orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = withB.join(broadcast(prefixes), "__b")
+        .withColumn("nL", col("__pren") + sum("n_v").over(wLocal))
+        .withColumn("sL", coalesce(col("__pres"),
+          lit(0).cast(d286)) + sum("s_v").over(wLocal))
+        .filter(col("nL") < col("bigN"))
+      val sL = col("sL").cast("double")
+      val sR = col("bigS").cast("double") - sL
+      val nLd = col("nL").cast("double")
+      val nRd = (col("bigN") - col("nL")).cast("double")
+      val score = sL * sL / nLd + sR * sR / nRd
+      val best = cum
+        .select(col("v"), col("nL"), col("bigN"), col("bigQ"),
+          sL.as("dsL"), sR.as("dsR"), nLd.as("dnL"), nRd.as("dnR"),
+          round(score, 6).cast(d286).as("sc"))
+        .groupBy()
+        .agg(max(struct(col("sc"), (-col("v")).as("nv"),
+          col("v").as("sv"), col("dsL").as("a"), col("dnL").as("b"),
+          col("dsR").as("c"), col("dnR").as("d"),
+          col("bigQ").as("q"))).as("m"))
+        .select(col("m.sv"), col("m.a"), col("m.b"), col("m.c"),
+          col("m.d"), col("m.q").cast("double").as("q"))
+        .collect().head
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val split = best.getDouble(0)
+      val lm = r6(best.getDouble(1) / best.getDouble(2))
+      val rm = r6(best.getDouble(3) / best.getDouble(4))
+      val sseBefore = r6(best.getDouble(5))
+      pred = pred + when(col("x") <= lit(split), lit(lm))
+        .otherwise(lit(rm))
+      (rd, split, lm, rm, sseBefore)
+    }
+    rows.toDF("round", "split_value", "mean_left", "mean_right",
+      "sse_before").orderBy("round")
+  }
 }

@@ -227,6 +227,53 @@ object TimeSeries {
       .orderBy("lag")
   }
 
+  /** Additive seasonal decomposition (classical, not loess): trend =
+    * CENTERED 7-day moving average, seasonal = day-of-week mean of
+    * the detrended series, remainder variance — "how much of the
+    * wiggle is just the weekly cycle?" The grid windows are
+    * calendar-bounded; detrended values are bit-identical doubles
+    * whose 6-dp rounding is boundary-free (true values are rationals
+    * with denominator 700 — never an odd multiple of 5·10⁻⁷), so the
+    * per-dow means reduce over DECIMAL. Returns 7 rows
+    * (dow, n_days, seasonal, mean_abs_remainder) ordered by dow;
+    * only days with a full centered window participate. */
+  def seasonalDecompose(df: DataFrame, tsCol: String, valueCol: String)
+      : DataFrame = {
+    val d286 = DecimalType(28, 6)
+    val daily = df
+      .select(date_trunc("day", col(tsCol)).as("d"),
+        col(valueCol).cast(DecimalType(18, 2)).as("v"))
+      .groupBy("d").agg(sum(col("v")).as("x"))
+      .localCheckpoint(true)
+    val w = Window.orderBy("d").rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("s7", sum(col("x")).over(w))
+      .filter(col("n7") === 7)
+      .select(col("d"),
+        round(col("x").cast("double")
+          - col("s7").cast("double") / lit(7.0), 6).cast(d286)
+          .as("det"))
+      .localCheckpoint(true)
+    val seas = det
+      .groupBy((dayofweek(col("d")) - 1).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("det")).as("sd"))
+      .select(col("dow"), col("n_days"),
+        round(col("sd").cast("double") / col("n_days").cast("double"),
+          6).as("seasonal"))
+    det.join(broadcast(seas),
+        (dayofweek(col("d")) - 1) === seas("dow"))
+      .select(col("dow"), col("n_days"), col("seasonal"),
+        round(abs(col("det").cast("double") - col("seasonal")), 6)
+          .cast(d286).as("__r"))
+      .groupBy("dow", "n_days", "seasonal")
+      .agg(sum(col("__r")).cast("double").as("__sr"))
+      .select(col("dow"), col("n_days"), col("seasonal"),
+        round(col("__sr") / col("n_days").cast("double"), 6)
+          .as("mean_abs_remainder"))
+      .orderBy("dow")
+  }
+
   /** Partial autocorrelation at lags 1–3 by the Durbin–Levinson
     * closed forms over [[dailyAcf]]'s ROUNDED r₁..r₃ — the AR-order
     * fingerprint (an AR(p) series has pacf ≈ 0 past lag p) beside the

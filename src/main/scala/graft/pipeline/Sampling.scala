@@ -277,6 +277,61 @@ object Sampling {
           < (frac * M).cast("long"))
   }
 
+  /** Neyman-optimal stratified-sample allocation: for a labeling /
+    * eval budget of `budget` units, allocate n_h ∝ N_h·σ_h — the
+    * minimum-variance design for estimating a stratified mean (the
+    * "where should the annotators spend their time" planner; q44's
+    * stratifiedTake then EXECUTES the draw). One partial-agg scan to
+    * per-stratum exact decimal moments; σ_h and the weights are
+    * identical doubles (cross-stratum normalizer 6-dp DECIMAL-summed),
+    * integer floors plus largest-remainder so the allocations sum to
+    * exactly `budget` (remainder ranks on the metadata-sized stratum
+    * frame, fraction desc / stratum asc — deterministic). Returns
+    * (stratum, n_h, sigma, alloc) ordered by stratum; single-row
+    * strata carry σ = 0 and only win remainder seats. */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(budget > 0)
+    val d184 = (c: Column) => c.cast(DecimalType(18, 4))
+    val d386 = DecimalType(38, 6)
+    val m = df
+      .select(col(stratumCol).cast("string").as("stratum"),
+        d184(col(valueCol)).as("__v"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("__v")).cast("double").as("__s"),
+        sum(col("__v") * col("__v")).cast("double").as("__q"))
+    val nD = col("n_h").cast("double")
+    val sigma = when(col("n_h") > 1L,
+      sqrt((col("__q") - col("__s") * col("__s") / nD) / (nD - 1.0)))
+      .otherwise(lit(0.0))
+    val scored = m.select(col("stratum"), col("n_h"),
+        round(sigma, 6).as("sigma"))
+      .withColumn("__w", nD * col("sigma"))
+      .localCheckpoint(true)
+    val tot = broadcast(scored.agg(
+      sum(round(col("__w"), 6).cast(d386)).cast("double").as("__t")))
+    val withShare = scored.crossJoin(tot)
+      .withColumn("__share",
+        when(col("__t") > 0.0, col("__w") / col("__t"))
+          .otherwise(lit(0.0)))
+      .withColumn("__fl",
+        floor(lit(budget.toDouble) * col("__share")).cast("long"))
+      .withColumn("__fr", lit(budget.toDouble) * col("__share")
+        - col("__fl").cast("double"))
+    val left = broadcast(withShare.agg(
+      (lit(budget) - sum(col("__fl"))).as("__left")))
+    val wRank = Window.orderBy(col("__fr").desc, col("stratum").asc)
+    withShare.crossJoin(left)
+      .withColumn("__rk", row_number().over(wRank)) // stratum-frame only
+      .select(col("stratum"), col("n_h"), col("sigma"),
+        (col("__fl") + when(col("__rk") <= col("__left"), 1L)
+          .otherwise(0L)).as("alloc"))
+      .orderBy("stratum")
+  }
+
   /** Quality-gated corpus: the full curation chain (dedup → quality floor
     * → per-language budget) as one declarative plan. */
   def curate(docs: DataFrame, idCol: String, textCol: String,

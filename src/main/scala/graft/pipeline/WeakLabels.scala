@@ -109,4 +109,24 @@ object WeakLabels {
         round((col("p_o") - col("p_e")) / (lit(1.0) - col("p_e")), 6)
           .as("kappa"))
   }
+
+  /** McNemar's test on PAIRED binary judgments — do two labelers (or
+    * model versions) disagree SYMMETRICALLY, i.e. is one
+    * systematically stricter? Only the discordant cells matter:
+    * χ² = (b − c)²/(b + c) with b = (a=1, b=0), c = (a=0, b=1) —
+    * exact integer counts from the same one-scan confusion aggregate
+    * as [[kappa]] (κ answers "do they agree"; McNemar answers "is the
+    * disagreement biased"). No discordance (b + c = 0) yields a null
+    * statistic, not a 0/0. Returns one row (n, b, c, chi2). */
+  def mcnemar(df: DataFrame, aCol: Column, bCol: Column): DataFrame =
+    df.select((aCol =!= 0).as("__a"), (bCol =!= 0).as("__b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("c"))
+      .select(col("n"), col("b"), col("c"),
+        when(col("b") + col("c") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            (col("b") - col("c")).cast("double")
+              * (col("b") - col("c")).cast("double")
+              / (col("b") + col("c")).cast("double"), 6)).as("chi2"))
 }

@@ -392,6 +392,78 @@ object TextAnalysis {
         round(exp(-col("alp")), 6).as("ppl"))
   }
 
+  /** Trigram stupid-backoff scoring (Brants et al. 2007) on a
+    * HOLDOUT: fit n-gram counts on the `fitCol` slice, score the
+    * complement — the CCNet quality-filter shape where backoff
+    * actually fires (self-scoring never backs off, every event is in
+    * its own model). Per event:
+    * s = c₃/c₂(u,v), else 0.4·c₂(v,w)/c₁(v), else 0.4²·c₁(w)/N,
+    * else 0.4²/N (OOV floor — keeps every log finite). The model IS
+    * aggregate state (three sparse partial-agg count relations);
+    * scoring is four left joins AQE broadcasts/skew-splits. Per-doc
+    * ln-score terms are identical doubles 9-dp DECIMAL-summed.
+    * Returns (doc_id, n_events, n_backoff, avg_logscore) for scored
+    * docs with ≥ 3 tokens, ordered by doc_id — high backoff rate +
+    * low avg_logscore = out-of-domain text. */
+  def stupidBackoffScore(docs: DataFrame, idCol: String,
+      textCol: String, fitCol: Column): DataFrame = {
+    val d289 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val toks = docs.select(col(idCol).as("doc_id"), fitCol.as("fit"),
+      TextFunctions.tokens(col(textCol)).as("l"))
+    val fit = toks.filter(col("fit"))
+    val c1 = fit.select(explode(col("l")).as("t"))
+      .groupBy("t").agg(count(lit(1)).cast("double").as("c1"))
+    val n = broadcast(fit.select(explode(col("l")).as("t"))
+      .agg(count(lit(1)).cast("double").as("n")))
+    val c2 = fit.filter(size(col("l")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(l) - 1), " +
+        "i -> struct(l[i - 1] AS u, l[i] AS v))")).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).cast("double").as("c2"))
+    val c3 = fit.filter(size(col("l")) >= 3)
+      .select(explode(expr("transform(sequence(2, size(l) - 1), " +
+        "i -> struct(l[i - 2] AS u, l[i - 1] AS v, l[i] AS w))"))
+        .as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"),
+        col("p.w").as("w"))
+      .agg(count(lit(1)).cast("double").as("c3"))
+    val ev = toks.filter(!col("fit") && size(col("l")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(2, size(l) - 1), " +
+          "i -> struct(l[i - 2] AS u, l[i - 1] AS v, l[i] AS w))"))
+          .as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"),
+        col("p.w").as("w"))
+    val joined = ev
+      .join(c3, Seq("u", "v", "w"), "left")
+      .join(c2.select(col("u"), col("v"), col("c2").as("c2uv")),
+        Seq("u", "v"), "left")
+      .join(c2.select(col("u").as("v"), col("v").as("w"),
+        col("c2").as("c2vw")), Seq("v", "w"), "left")
+      .join(c1.select(col("t").as("v"), col("c1").as("c1v")),
+        Seq("v"), "left")
+      .join(c1.select(col("t").as("w"), col("c1").as("c1w")),
+        Seq("w"), "left")
+      .crossJoin(n)
+    val s = when(col("c3").isNotNull, col("c3") / col("c2uv"))
+      .otherwise(lit(0.4) *
+        when(col("c2vw").isNotNull, col("c2vw") / col("c1v"))
+          .otherwise(lit(0.4) *
+            when(col("c1w").isNotNull, col("c1w") / col("n"))
+              .otherwise(lit(1.0) / col("n"))))
+    joined
+      .select(col("doc_id"),
+        round(log(s), 9).cast(d289).as("__lp"),
+        when(col("c3").isNull, 1L).otherwise(0L).as("__bo"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("__bo")).as("n_backoff"),
+        sum(col("__lp")).as("__s"))
+      .select(col("doc_id"), col("n_events"), col("n_backoff"),
+        round(col("__s").cast("double")
+          / col("n_events").cast("double"), 6).as("avg_logscore"))
+      .orderBy("doc_id")
+  }
+
   /** TextRank (Mihalcea & Tarau 2004): PageRank over the corpus word
     * co-occurrence graph — nodes are tokens, undirected edges are
     * adjacent-token pairs weighted by corpus-wide count — the classic

@@ -88,6 +88,24 @@ class CausalSpec extends SparkSpec {
     assert(r1.getDouble(4) == 6.0, s"$r1")
   }
 
+  test("ipwAte: under confounded assignment (treatment probability " +
+      "rising with the confounder, zero true effect) the IPW estimate " +
+      "shrinks the naive bias; deterministic under repartitioning") {
+    // levels l = 0..7: fraction (l+1)/8 treated, y = 10*l, effect 0
+    val units = for {
+      rep <- 0 until 3; l <- 0 until 8; j <- 0 until 8
+    } yield (if (j <= l) 1.0 else 0.0, 10.0 * l, l / 4.0, (j % 4) / 4.0)
+    val df = units.toDF("t", "y", "x1", "x2")
+    val r = Causal.ipwAte(df, "t", "y", "x1", "x2").collect().head
+    val naive = r.getDouble(5); val ipw = r.getDouble(6)
+    assert(naive > 5.0, s"fixture must be confounded: naive=$naive")
+    assert(math.abs(ipw) < math.abs(naive),
+      s"IPW must shrink the bias: naive=$naive ipw=$ipw")
+    val r2 = Causal.ipwAte(df.repartition(13), "t", "y", "x1", "x2")
+      .collect().head
+    assert(r.toSeq == r2.toSeq)
+  }
+
   test("cmhTest: a degenerate stratum (everyone treated) contributes " +
       "nothing rather than NaN") {
     val df = Seq(

@@ -83,6 +83,37 @@ class RanksSpec extends SparkSpec {
     assert(kc.getDouble(1) == (300L * 1000000L / 900L).toDouble / 1e6)
   }
 
+  test("mcnemar: symmetric disagreement gives chi2 = 0, one-sided " +
+      "firing the hand value, no discordance a null") {
+    import graft.pipeline.WeakLabels
+    val sym = Seq((1, 1), (1, 0), (0, 1), (0, 0)).toDF("a", "b")
+    val r0 = WeakLabels.mcnemar(sym, col("a"), col("b")).head()
+    assert(r0.getLong(1) == 1L && r0.getLong(2) == 1L
+      && r0.getDouble(3) == 0.0)
+    val oneSided = Seq((1, 0), (1, 0), (1, 0), (0, 0)).toDF("a", "b")
+    val r1 = WeakLabels.mcnemar(oneSided, col("a"), col("b")).head()
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 0L
+      && r1.getDouble(3) == 3.0) // (3-0)^2/3
+    val agree = Seq((1, 1), (0, 0)).toDF("a", "b")
+    assert(WeakLabels.mcnemar(agree, col("a"), col("b")).head()
+      .isNullAt(3))
+  }
+
+  test("cramerVonMises: identical samples give T = 0; disjoint " +
+      "supports the hand value 0.375") {
+    val same = Seq((1.0, "a"), (2.0, "a"), (1.0, "b"), (2.0, "b"))
+      .toDF("v", "g")
+    assert(Ranks.cramerVonMises(same, "v", "g", "a", "b").head()
+      .getDouble(2) == 0.0)
+    // A={1,2}, B={3,4}: sum l*(cumA*m - cumB*n)^2 = 4+16+4+0 = 24,
+    // T = 24 / (16*2*2) = 0.375
+    val disj = Seq((1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b"))
+      .toDF("v", "g")
+    val r = Ranks.cramerVonMises(disj, "v", "g", "a", "b").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.375, s"$r")
+  }
+
   test("mannWhitney tie handling matches the textbook small case") {
     // A = {1, 2, 2}, B = {2, 3}: ranks 1, avg(2,3,4)=3, 3, 3, 5
     // R_a = 1 + 3 + 3 = 7; U_a = 7 - 3*4/2 = 1

@@ -89,4 +89,38 @@ class ResampleSpec extends SparkSpec {
     assert(out.getDouble(1) == se, s"${out.getDouble(1)} vs $se")
     assert(out.getDouble(0) == d6(ty.toDouble / tx.toDouble).toDouble)
   }
+
+  test("permutationTestsFdr: a strong-effect cell is rejected, a " +
+      "sign-balanced null cell is not; single-cell stats match " +
+      "permutationTest exactly") {
+    import org.apache.spark.sql.functions.col
+    val effect = (1 to 40).map(i => ("x", s"u$i", 5.0))
+    val noise = (1 to 40).map(i =>
+      ("z", s"v$i", if (i % 2 == 0) 1.0 else -1.0))
+    val df = (effect ++ noise).toDF("cell", "k", "d")
+    val out = Resample.permutationTestsFdr(df, "cell", "k", "d",
+      mPerms = 100).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out("x")._3, s"effect cell must be significant: $out")
+    assert(!out("z")._3, s"null cell must not: $out")
+    assert(out("x")._2 < 0.05 && out("z")._2 > 0.2)
+    // the fleet's per-cell counts equal the standalone test's
+    val solo = Resample.permutationTest(
+      effect.toDF("cell", "k", "d"), "k", "d", mPerms = 100)
+      .collect().head
+    assert(solo.getLong(3) == out("x")._1)
+  }
+
+  test("permutationTestsFdr BH step-up: with k cells the smallest " +
+      "p is judged against alpha/k (integer arithmetic, no floats)") {
+    import org.apache.spark.sql.functions.col
+    // two cells, both with the same strong effect: both should pass
+    // even though the threshold for the smaller rank is alpha/2
+    val df = ((1 to 40).map(i => ("a", s"u$i", 3.0)) ++
+      (1 to 40).map(i => ("b", s"w$i", 3.0))).toDF("cell", "k", "d")
+    val out = Resample.permutationTestsFdr(df, "cell", "k", "d",
+      mPerms = 100).collect()
+    assert(out.forall(_.getBoolean(5)), s"${out.toSeq}")
+  }
 }

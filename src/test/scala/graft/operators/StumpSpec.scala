@@ -51,4 +51,30 @@ class StumpSpec extends SparkSpec {
     assert(r.getDouble(0) == best._1, s"$r vs $best")
     assert(math.abs(r.getDouble(5) - best._2) < 1e-6)
   }
+
+  test("boostedSseStumps: a perfectly splittable target is solved in " +
+      "one round — round 2 sees zero residual SSE") {
+    val df = (Seq.fill(4)((0.0, 10.0)) ++ Seq.fill(4)((1.0, 20.0)))
+      .toDF("x", "y")
+    val rows = Stump.boostedSseStumps(df, "x", "y", rounds = 2).collect()
+    val r1 = rows(0); val r2 = rows(1)
+    assert(r1.getDouble(1) == 0.0, s"split at 0: $r1")
+    assert(r1.getDouble(2) == 10.0 && r1.getDouble(3) == 20.0)
+    assert(r1.getDouble(4) == 2000.0) // sum y^2 = 4*100 + 4*400
+    assert(r2.getDouble(4) == 0.0, s"round 2 must see 0 SSE: $r2")
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
+  }
+
+  test("boostedSseStumps: residual SSE strictly decreases across " +
+      "rounds on a 4-level target; partitioning-independent") {
+    val df = (0 until 200).map(i => ((i % 4).toDouble, 5.0 * (i % 4)))
+      .toDF("x", "y")
+    val rows = Stump.boostedSseStumps(df, "x", "y", rounds = 3).collect()
+    val sses = rows.map(_.getDouble(4)).toSeq
+    assert(sses == sses.sorted.reverse && sses(0) > sses(1)
+      && sses(1) > sses(2), s"$sses")
+    val again = Stump.boostedSseStumps(df.repartition(9), "x", "y", 3)
+      .collect().map(_.toSeq).toSeq
+    assert(again == rows.map(_.toSeq).toSeq)
+  }
 }

@@ -223,6 +223,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.init.forall(!_.getBoolean(4)))
   }
 
+  test("seasonalDecompose: a pure weekly pattern has zero remainder " +
+      "and seasonal components equal to the centred pattern") {
+    val pattern = Seq(0.0, 10.0, 20.0, 30.0, 40.0, 50.0, 60.0)
+    val vals = (0 until 28).map(i => 100.0 + pattern(i % 7))
+    val out = TimeSeries.seasonalDecompose(series(vals), "ts", "v")
+      .collect()
+    assert(out.length == 7)
+    assert(out.forall(_.getDouble(3) == 0.0),
+      s"remainder must be 0: ${out.toSeq}")
+    // centred MA of a periodic series is flat -> seasonal = pattern - 30
+    assert(out.map(_.getDouble(2)).sorted.toSeq ==
+      pattern.map(_ - 30.0).sorted)
+  }
+
   test("pacfDaily: lag-1 pacf equals acf(1); lag-2 matches the " +
       "Durbin-Levinson form on the reported acf values") {
     val vals = Seq(110.0, 230.0, 150.0, 310.0, 190.0, 260.0, 140.0,

@@ -190,4 +190,27 @@ class SamplingSpec extends SparkSpec {
     assert(k2(1L) >= k1(1L))
     assert(k2(2L) === k1(2L))
   }
+
+  test("neymanAllocation: allocations sum exactly to the budget, a " +
+      "zero-variance stratum gets nothing, and the high-N*sigma " +
+      "stratum dominates") {
+    import org.apache.spark.sql.functions.col
+    val rows =
+      (0 until 8).map(i => ("a", if (i % 2 == 0) 0.0 else 10.0)) ++
+      (0 until 100).map(_ => ("b", 5.0)) ++
+      (0 until 4).map(i => ("c", if (i % 2 == 0) 0.0 else 100.0))
+    val out = Sampling.neymanAllocation(rows.toDF("s", "v"), "s", "v", 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out.values.map(_._3).sum == 10L)
+    assert(out("b")._2 == 0.0 && out("b")._3 == 0L,
+      s"constant stratum must get 0: $out")
+    assert(out("c")._3 > out("a")._3, s"$out")
+    // determinism under repartitioning
+    val again = Sampling.neymanAllocation(
+      rows.toDF("s", "v").repartition(7), "s", "v", 10L)
+      .collect().map(_.toSeq).toSeq
+    assert(again == Sampling.neymanAllocation(rows.toDF("s", "v"),
+      "s", "v", 10L).collect().map(_.toSeq).toSeq)
+  }
 }

@@ -267,4 +267,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(Set(("machine", "learning"), ("learning", "rocks"))
       .contains(first), s"top = $first")
   }
+
+  test("stupidBackoffScore: in-model trigrams score without backoff; " +
+      "an OOV tail walks the full backoff chain to the 0.16/N floor") {
+    val docs = Seq((0L, "a b c a b c"), (1L, "a b c"), (3L, "a b x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoffScore(docs, "doc_id", "text",
+      col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: one event (a,b,c): c3 = 2, c2(a,b) = 2 -> s = 1, ln = 0
+    assert(out(1L) == ((1L, 0L, 0.0)), s"$out")
+    // doc 3: (a,b,x): no c3, no c2(b,x), x OOV -> 0.4 * 0.4 * (1/6)
+    val exp = BigDecimal(math.log(0.4 * (0.4 * (1.0 / 6.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(3L)._2 == 1L)
+    assert(math.abs(out(3L)._3 - exp) < 2e-6, s"${out(3L)} vs $exp")
+  }
+
+  test("stupidBackoffScore: seen-bigram backoff uses 0.4*c2(v,w)/c1(v)" +
+      " and fit docs are never scored") {
+    val docs = Seq((0L, "a b c d b c"), (1L, "x b c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoffScore(docs, "doc_id", "text",
+      col("doc_id") % 2 === 0).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L), "only doc 1 scored")
+    val r = out.head
+    // (x,b,c): no c3(x,b,c), but c2(b,c) = 2, c1(b) = 2 -> 0.4 * 1
+    val exp = BigDecimal(math.log(0.4 * (2.0 / 2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(math.abs(r.getDouble(3) - exp) < 2e-6, s"$r vs $exp")
+  }
 }
