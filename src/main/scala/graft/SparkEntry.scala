@@ -9926,7 +9926,148 @@ object SparkEntry {
            |  round((sum(lp)::VARCHAR)::DOUBLE / count(*)::DOUBLE, 6)
            |    AS avg_logscore
            |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    Q("q294_markov_attribution",
+      // Markov removal-effect attribution ([[graft.operators
+      // .Attribution.markovRemoval]]) — the chain-based model closing
+      // the attribution family (first/linear/U q257, last q175,
+      // Shapley q260): knock each channel out of the integer-ppm
+      // transition matrix and measure the drop in P(conv | start).
+      // Value iteration runs ENTIRELY in integer ppb with truncating
+      // division, driver-side on the metadata-sized matrix; the
+      // oracle unrolls all 16 rounds x 4 scenarios in CTEs —
+      // bit-for-bit the same longs.
+      (s, dir) => graft.operators.Attribution.markovRemoval(
+        Tables.events(s, dir), Seq("click", "signup", "view"),
+        iters = 16),
+      {
+        val chans = Seq("click", "signup", "view")
+        def scenario(sc: String, rem: Option[String]): String = {
+          val remSql = rem.map(c => s" OR s.state = '$c'").getOrElse("")
+          val init = s"""a_${sc}_0 AS (SELECT state,
+             |  (CASE WHEN state = 'conv' THEN 1000000000
+             |   ELSE 0 END)::BIGINT AS v FROM sts)""".stripMargin
+          val rounds = (1 to 16).map { i =>
+            s"""a_${sc}_$i AS (SELECT s.state,
+               |  (CASE WHEN s.state = 'conv' THEN 1000000000
+               |    WHEN s.state = 'null'$remSql THEN 0
+               |    ELSE coalesce(x.v, 0) END)::BIGINT AS v
+               |  FROM sts s LEFT JOIN (SELECT tr.from_state AS state,
+               |      sum(tr.ppm * a.v) // 1000000 AS v
+               |    FROM tr JOIN a_${sc}_${i - 1} a
+               |      ON tr.to_state = a.state GROUP BY 1) x
+               |    ON s.state = x.state)""".stripMargin
+          }.mkString(",\n")
+          s"$init,\n$rounds"
+        }
+        val effRows = chans.map(c =>
+          s"""SELECT '$c' AS channel, b.v AS base_ppb,
+             |  r.v AS removed_ppb,
+             |  round((b.v - r.v)::DOUBLE / b.v::DOUBLE, 6)
+             |    AS removal_effect
+             |  FROM a_base_16 b, a_${c}_16 r
+             |  WHERE b.state = 'start' AND r.state = 'start'"""
+            .stripMargin).mkString("\nUNION ALL\n")
+        s"""WITH ev AS (SELECT user_id, event_id, event_type,
+           |    date_trunc('second', ts) AS ts FROM events),
+           |cv AS (SELECT DISTINCT user_id FROM ev
+           |  WHERE event_type = 'purchase'),
+           |tc AS (SELECT e.user_id, e.event_type AS st,
+           |    row_number() OVER (PARTITION BY e.user_id
+           |      ORDER BY e.ts, e.event_id) AS rn,
+           |    lead(e.event_type) OVER (PARTITION BY e.user_id
+           |      ORDER BY e.ts, e.event_id) AS nxt,
+           |    CASE WHEN cv.user_id IS NOT NULL THEN 'conv'
+           |      ELSE 'null' END AS absorb
+           |  FROM ev e LEFT JOIN cv ON e.user_id = cv.user_id
+           |  WHERE e.event_type IN ('click', 'signup', 'view')),
+           |pr AS (SELECT 'start' AS f, st AS t FROM tc WHERE rn = 1
+           |  UNION ALL SELECT st, coalesce(nxt, absorb) FROM tc),
+           |cnt AS (SELECT f AS from_state, t AS to_state,
+           |    count(*)::BIGINT AS n FROM pr GROUP BY 1, 2),
+           |tr AS MATERIALIZED (SELECT from_state, to_state,
+           |    (n * 1000000) // (sum(n) OVER (PARTITION BY from_state))
+           |      AS ppm
+           |  FROM cnt),
+           |sts AS MATERIALIZED (SELECT DISTINCT from_state AS state
+           |  FROM tr UNION SELECT DISTINCT to_state FROM tr),
+           |${scenario("base", None)},
+           |${chans.map(c => scenario(c, Some(c))).mkString(",\n")},
+           |eff AS ($effRows),
+           |tt AS (SELECT sum(removal_effect::DECIMAL(18,6)) AS te
+           |  FROM eff)
+           |SELECT channel, base_ppb, removed_ppb, removal_effect,
+           |  CASE WHEN tt.te > 0 THEN
+           |    round(removal_effect / (tt.te::VARCHAR)::DOUBLE, 6)
+           |  END AS share
+           |FROM eff, tt ORDER BY channel""".stripMargin
+      }),
+
+    Q("q295_lorenz_deciles",
+      // Lorenz-curve decile table of per-customer revenue
+      // ([[graft.operators.Customer.lorenzDeciles]]) — the inequality
+      // PROFILE behind q224's Gini number. Ranks ride the bucketed
+      // row-number machinery; decile cuts and cumulative shares are
+      // exact integer/DECIMAL arithmetic (HUGEINT div in the oracle).
+      (s, dir) => graft.operators.Customer.lorenzDeciles(
+        Tables.orders(s, dir), "o_custkey", "o_totalprice"),
+      """WITH pe AS (SELECT o_custkey AS id,
+        |    sum(o_totalprice::DECIMAL(18,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(rev) AS tot, count(*)::BIGINT AS n FROM pe),
+        |rk AS (SELECT id, rev,
+        |    row_number() OVER (ORDER BY rev::DOUBLE, id) AS r FROM pe),
+        |d AS (SELECT least(9, ((r - 1) * 10) // t.n)::BIGINT AS decile,
+        |    rev FROM rk, t),
+        |g AS (SELECT decile, count(*)::BIGINT AS n_entities,
+        |    sum(rev) AS drev FROM d GROUP BY 1),
+        |c AS (SELECT decile, n_entities, drev,
+        |    sum(drev) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g)
+        |SELECT decile, n_entities,
+        |  round((drev::VARCHAR)::DOUBLE, 2) AS revenue,
+        |  (((cum * 100)::HUGEINT * 1000000)
+        |    // (SELECT (tot * 100)::HUGEINT FROM t))::BIGINT
+        |    AS cum_share_ppm
+        |FROM c ORDER BY decile""".stripMargin),
+
+    Q("q296_session_paths",
+      // Top session paths with conversion rates ([[graft.operators
+      // .Sessionize.topPaths]]): q48's sessionization + the first-5
+      // event types per session joined with '>' — path material
+      // bounded BEFORE aggregation (step ≤ 5), conversion counted
+      // over the WHOLE session, ppm rates, TakeOrdered top-20.
+      (s, dir) => graft.operators.Sessionize.topPaths(
+        Tables.events(s, dir),
+        graft.operators.Sessionize.DefaultGapSeconds,
+        maxSteps = 5, topK = 20),
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    epoch(date_trunc('second', ts))::BIGINT AS s FROM events),
+         |m AS (
+         |  SELECT *, CASE WHEN lag(s) OVER w IS NULL
+         |      OR s - lag(s) OVER w > ${graft.operators.Sessionize.DefaultGapSeconds}
+         |    THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+         |x AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY s,
+         |    event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS sidx
+         |  FROM m),
+         |p AS (SELECT user_id, sidx,
+         |    array_to_string(
+         |      (list(event_type ORDER BY s, event_id))[1:5], '>')
+         |      AS path,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      ::BIGINT AS cv
+         |  FROM x GROUP BY 1, 2),
+         |g AS (SELECT path, count(*)::BIGINT AS n_sessions,
+         |    sum(cv)::BIGINT AS nc FROM p GROUP BY 1)
+         |SELECT path, n_sessions,
+         |  (nc * 1000000) // n_sessions AS conv_ppm
+         |FROM g ORDER BY n_sessions DESC, path ASC
+         |LIMIT 20""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

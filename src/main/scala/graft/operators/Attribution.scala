@@ -117,4 +117,95 @@ object Attribution {
       .agg(round(sum(col("t")).cast("double"), 6).as("shapley"))
       .orderBy("channel")
   }
+
+  /** Markov removal-effect attribution (the chain-based model beside
+    * the heuristics and [[shapley]]): journeys are per-user touch
+    * sequences start → t₁ → … → t_k → conv/null (conv iff the user
+    * ever purchased; users with no touches are out of scope), the
+    * first-order transition matrix is integer-ppm exact, and each
+    * channel's value is how much the absorption probability P(conv |
+    * start) drops when that channel is knocked out (its state forced
+    * to 0 — paths through it die). Absorption runs `iters` rounds of
+    * value iteration ENTIRELY in integer parts-per-billion with
+    * truncating division (Java long `/` ≡ DuckDB `//` on
+    * non-negatives), so both engines replay every scenario
+    * bit-for-bit — a fixed-iteration value, not the analytic fixed
+    * point (document: touch chains longer than `iters` contribute no
+    * mass, identically in both engines). The matrix is
+    * metadata-sized, so the iteration is driver-side (the
+    * [[graft.operators.Pca]] precedent); the corpus pays one scan +
+    * one user-keyed window. Returns (channel, base_ppb, removed_ppb,
+    * removal_effect, share) ordered by channel; share is each
+    * effect's fraction of the 6-dp effect total (null if all effects
+    * are 0). */
+  def markovRemoval(events: DataFrame, touchTypes: Seq[String],
+      iters: Int = 16): DataFrame = {
+    require(iters >= 1 && touchTypes.nonEmpty)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.withColumn("ts", date_trunc("second", col("ts")))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+      .withColumn("__c", lit(true))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val seq = ev.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("st"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead("st", 1).over(w))
+      .join(conv, Seq("user_id"), "left")
+      .withColumn("absorb",
+        when(col("__c").isNotNull, "conv").otherwise("null"))
+    val trans = seq
+      .select(when(col("rn") === 1, lit("start")).otherwise(null)
+        .as("f0"), col("st"), col("nxt"), col("absorb"))
+      .select(explode(array(
+        struct(col("f0").as("f"), col("st").as("t")),
+        struct(col("st").as("f"),
+          coalesce(col("nxt"), col("absorb")).as("t")))).as("p"))
+      .filter(col("p.f").isNotNull)
+      .groupBy(col("p.f").as("from_state"), col("p.t").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy("from_state")
+    val tr = trans
+      .withColumn("__tot", sum("n").over(wRow)) // state-grid window
+      .select(col("from_state"), col("to_state"),
+        expr("(n * 1000000) div __tot").as("ppm"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (tr.map(_._1) ++ tr.map(_._2)).distinct.sorted
+
+    def absorb(removed: Option[String]): Long = {
+      var a = states.map(s =>
+        s -> (if (s == "conv") 1000000000L else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val upd = tr.groupBy(_._1).map { case (f, rows) =>
+          f -> rows.map { case (_, t, ppm) => ppm * a(t) }.sum / 1000000L
+        }
+        a = states.map { s =>
+          s -> (if (s == "conv") 1000000000L
+          else if (s == "null" || removed.contains(s)) 0L
+          else upd.getOrElse(s, 0L))
+        }.toMap
+      }
+      a.getOrElse("start", 0L)
+    }
+
+    val base = absorb(None)
+    val effects = touchTypes.sorted.map { c =>
+      val rem = absorb(Some(c))
+      val eff = BigDecimal((base - rem).toDouble / base.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (c, base, rem, eff)
+    }
+    val te = effects.map(_._4).sum
+    effects.map { case (c, b, r, e) =>
+      (c, b, r, e.toDouble,
+        if (te > 0) Some(BigDecimal(e.toDouble / te.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None)
+    }.toDF("channel", "base_ppb", "removed_ppb", "removal_effect",
+      "share").orderBy("channel")
+  }
 }

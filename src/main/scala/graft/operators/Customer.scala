@@ -150,4 +150,41 @@ object Customer {
           "cast(__t * 100 as decimal(38,0))").as("share_ppm"))
       .orderBy("abc_class")
   }
+
+  /** Lorenz-curve decile table — the inequality PROFILE behind
+    * [[Ranks.gini]]'s single number: entities ranked ASCENDING by
+    * value (id tiebreak), cut into 10 rank deciles, each reporting
+    * its exact revenue and the cumulative share in truncated ppm (a
+    * perfectly equal base shows cum_share ≈ decile/10; a concentrated
+    * one hugs 0 until the top decile). Rank via the bucketed
+    * row-number machinery, decile assignment and shares in exact
+    * integer/DECIMAL arithmetic — no float anywhere. Returns
+    * (decile, n_entities, revenue, cum_share_ppm) ordered by decile. */
+  def lorenzDeciles(df: DataFrame, entityCol: String, valueCol: String)
+      : DataFrame = {
+    val perE = df.groupBy(col(entityCol).as("__id"))
+      .agg(sum(col(valueCol).cast(d184)).as("__rev"))
+      .localCheckpoint(true)
+    val ranked = Ranks.globalRowNumber(
+      perE.select(col("__id"), col("__rev"),
+        col("__rev").cast("double").as("__rd")),
+      "__rd", "__id")
+    val total = broadcast(perE.agg(sum(col("__rev")).as("__tot"),
+      count(lit(1)).as("__n")))
+    val byDecile = ranked.crossJoin(total)
+      .withColumn("decile",
+        least(lit(9L), expr("((rank - 1) * 10) div __n")))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("__rev")).as("__drev"), max(col("__tot")).as("__t"))
+    val wCum = Window.orderBy("decile") // 10-row grid
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("__cum", sum(col("__drev")).over(wCum))
+      .select(col("decile"), col("n_entities"),
+        round(col("__drev").cast("double"), 2).as("revenue"),
+        expr("cast(__cum * 100 as decimal(38,0)) * 1000000 div " +
+          "cast(__t * 100 as decimal(38,0))").as("cum_share_ppm"))
+      .orderBy("decile")
+  }
 }

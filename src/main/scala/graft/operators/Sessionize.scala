@@ -30,6 +30,53 @@ object Sessionize {
 
   /** Batch sessions: (user_id, session_idx, start_s, end_s, n_events,
     * sum_value), session_idx 1-based in time order per user. */
+  /** Top session PATHS: the first `maxSteps` event types of each
+    * session joined with '>', with session counts and conversion
+    * rates — the "how do people actually move through the product"
+    * funnel explorer. Path material is bounded BEFORE aggregation
+    * (rows filtered to step ≤ maxSteps, then sort_array over ≤
+    * maxSteps structs — a hot session can't blow the collect);
+    * conversion (any purchase ANYWHERE in the session) aggregates
+    * separately over the full session and joins back on the session
+    * key. All counts integer, rates truncated ppm, top-k by
+    * (n desc, path asc) via TakeOrdered. Returns
+    * (path, n_sessions, conv_ppm). */
+  def topPaths(events: DataFrame, gapSeconds: Long = DefaultGapSeconds,
+      maxSteps: Int = 5, topK: Int = 20): DataFrame = {
+    require(maxSteps >= 1 && topK >= 1)
+    val w = Window.partitionBy("user_id").orderBy(col("s").asc,
+      col("event_id").asc)
+    val sess = events
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("et"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("s"))
+      .withColumn("prev_s", lag(col("s"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_s").isNull ||
+          col("s") - col("prev_s") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true)
+    val wS = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("s").asc, col("event_id").asc)
+    val stepped = sess.withColumn("rn", row_number().over(wS))
+    val paths = stepped.filter(col("rn") <= maxSteps)
+      .groupBy("user_id", "session_idx")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("rn"), col("et")))),
+        x => x.getField("et")), ">").as("path"))
+    val conv = sess.groupBy("user_id", "session_idx")
+      .agg(max(when(col("et") === "purchase", 1L).otherwise(0L))
+        .as("cv"))
+    paths.join(conv, Seq("user_id", "session_idx"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("cv")).as("__nc"))
+      .select(col("path"), col("n_sessions"),
+        expr("(__nc * 1000000) div n_sessions").as("conv_ppm"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
+
   def sessions(events: DataFrame, gapSeconds: Long = DefaultGapSeconds)
       : DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("s").asc,

@@ -95,4 +95,39 @@ class AttributionSpec extends SparkSpec {
     assert(math.abs(tf - tl) < 0.05 && math.abs(tl - tu) < 0.05,
       s"first $tf linear $tl ushaped $tu") // 6-dp credit rounding dust
   }
+
+  test("markovRemoval: on a hand-built chain start->view->click->conv " +
+      "both channels are total bottlenecks (effect 1, share 1/2)") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows =
+      (1 to 10).flatMap(u => Seq(
+        (u.toLong, u * 10L, "view", ts(1)),
+        (u.toLong, u * 10L + 1, "click", ts(2)),
+        (u.toLong, u * 10L + 2, "purchase", ts(3)))) ++
+      (11 to 20).map(u => (u.toLong, u * 10L, "view", ts(1)))
+    val df = rows.toDF("user_id", "event_id", "event_type", "ts")
+    val out = Attribution.markovRemoval(df, Seq("view", "click"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // half the journeys convert; base P = 0.5; removing either state
+    // kills every converting path
+    assert(out("view")._1 == 500000000L, s"$out")
+    assert(out.values.forall(v => v._2 == 0L && v._3 == 1.0
+      && v._4 == 0.5), s"$out")
+  }
+
+  test("markovRemoval: a channel never on a converting path has zero " +
+      "removal effect") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows =
+      (1 to 8).flatMap(u => Seq(
+        (u.toLong, u * 10L, "view", ts(1)),
+        (u.toLong, u * 10L + 1, "purchase", ts(2)))) ++
+      (9 to 16).map(u => (u.toLong, u * 10L, "click", ts(1)))
+    val df = rows.toDF("user_id", "event_id", "event_type", "ts")
+    val out = Attribution.markovRemoval(df, Seq("view", "click"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("click") == 0.0 && out("view") == 1.0, s"$out")
+  }
 }

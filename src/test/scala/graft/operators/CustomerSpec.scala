@@ -73,6 +73,22 @@ class CustomerSpec extends SparkSpec {
       ("B", 1L, 15.0, 150000L), ("C", 1L, 5.0, 50000L)), s"${out.toSeq}")
   }
 
+  test("lorenzDeciles: values 1..20 give exact ascending cumulative " +
+      "shares; a uniform base tracks the diagonal") {
+    val df = (1 to 20).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Customer.lorenzDeciles(df, "id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(out.length == 10 && out.forall(_._2 == 2L))
+    assert(out.head == ((0L, 2L, 3.0, 3L * 1000000L / 210L)))
+    assert(out.last._4 == 1000000L, s"${out.toSeq}")
+    val flat = (1 to 20).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    val fo = Customer.lorenzDeciles(flat, "id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(fo.forall { case (d, ppm) =>
+      ppm == (d + 1) * 2L * 1000000L / 20L }, s"${fo.toSeq}")
+  }
+
   test("abcClasses aggregates per entity first and ties rank " +
       "deterministically by id; partitioning-independent") {
     // entity 1 has two rows summing 60; ties between 2 and 3 (20 each)

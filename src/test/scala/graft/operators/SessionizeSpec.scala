@@ -84,4 +84,29 @@ class SessionizeSpec extends SparkSpec {
 
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("topPaths: paths truncate at maxSteps, conversion counts the " +
+      "WHOLE session, ties order by path") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows =
+      Seq((1L, 10L, "view", ts(1)), (1L, 11L, "click", ts(2)),
+        (1L, 12L, "purchase", ts(3)),
+        (2L, 20L, "view", ts(1)), (2L, 21L, "click", ts(2)),
+        (3L, 30L, "view", ts(1)), (3L, 31L, "click", ts(2)),
+        (3L, 32L, "purchase", ts(3))) ++
+      // user 4: 6 views then a purchase — path truncates to 5 views
+      // but the conversion still counts
+      (0 until 6).map(i => (4L, 40L + i, "view", ts(10 + i))) :+
+      (4L, 46L, "purchase", ts(16))
+    val df = rows.toDF("user_id", "event_id", "event_type", "ts")
+    val out = Sessionize.topPaths(df, gapSeconds = 21600L,
+      maxSteps = 5, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.head == (("view>click>purchase", 2L, 1000000L)),
+      s"${out.toSeq}")
+    assert(out.contains(("view>click", 1L, 0L)))
+    assert(out.contains(("view>view>view>view>view", 1L, 1000000L)),
+      s"truncated path must still convert: ${out.toSeq}")
+  }
 }
