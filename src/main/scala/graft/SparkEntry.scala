@@ -10067,7 +10067,97 @@ object SparkEntry {
          |SELECT path, n_sessions,
          |  (nc * 1000000) // n_sessions AS conv_ppm
          |FROM g ORDER BY n_sessions DESC, path ASC
-         |LIMIT 20""".stripMargin))
+         |LIMIT 20""".stripMargin),
+
+    Q("q297_cheapest_paths",
+      // Min-plus (tropical) cheapest paths on the WEIGHTED co-purchase
+      // graph ([[graft.operators.Graph.cheapestPaths]]): edge cost =
+      // 1e6 div co-basket count (popular links cheap), 4 Bellman-Ford
+      // rounds of ALL-LONG min/plus from the min vertex — the third
+      // distributed-algebra shape beside prefix sums and running max;
+      // the oracle unrolls the same 4 relaxations.
+      (s, dir) => {
+        val ew = graft.operators.Graph.weightedBasketEdges(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey").localCheckpoint(true)
+        graft.operators.Graph.cheapestPaths(ew,
+          ew.agg(min(col("a")).as("v")), rounds = 4, topK = 10)
+      },
+      {
+        val rounds = (1 to 4).map { i =>
+          s"""d$i AS MATERIALIZED (SELECT v, min(cost)::BIGINT AS cost
+             |  FROM (SELECT v, cost FROM d${i - 1}
+             |    UNION ALL
+             |    SELECT arcs.v, d${i - 1}.cost + arcs.cost
+             |    FROM d${i - 1} JOIN arcs ON d${i - 1}.v = arcs.u)
+             |  GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH bi AS MATERIALIZED (SELECT DISTINCT
+           |    l_orderkey AS basket, l_partkey AS item
+           |  FROM lineitem WHERE l_orderkey % 4 = 0),
+           |okb AS (SELECT basket FROM bi GROUP BY basket
+           |        HAVING count(*) <= 10000),
+           |ew AS MATERIALIZED (SELECT x.item AS a, y.item AS b,
+           |    count(*)::BIGINT AS n
+           |  FROM bi x JOIN bi y ON x.basket = y.basket
+           |    AND x.item < y.item
+           |  WHERE x.basket IN (SELECT basket FROM okb)
+           |  GROUP BY 1, 2),
+           |wc AS (SELECT a, b, 1000000 // n AS cost FROM ew),
+           |arcs AS MATERIALIZED (SELECT a AS u, b AS v, cost FROM wc
+           |  UNION ALL SELECT b AS u, a AS v, cost FROM wc),
+           |d0 AS (SELECT min(a) AS v, 0::BIGINT AS cost FROM wc),
+           |$rounds
+           |SELECT v, cost FROM d4 ORDER BY cost, v LIMIT 10"""
+          .stripMargin
+      }),
+
+    Q("q298_also_bought",
+      // "People also bought": for the 10 best-connected parts, the
+      // top-3 co-purchase partners by co-basket count — adjacency
+      // ranking with windows PARTITIONED BY ITEM (high cardinality,
+      // never a corpus window); counts integer, ties by partner id.
+      (s, dir) => {
+        val ew = graft.operators.Graph.weightedBasketEdges(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey").localCheckpoint(true)
+        val sym = ew.select(col("a").as("item"), col("b").as("partner"),
+            col("n"))
+          .unionAll(ew.select(col("b").as("item"), col("a").as("partner"),
+            col("n")))
+        val top = sym.groupBy("item").agg(sum(col("n")).as("tot"))
+          .orderBy(col("tot").desc, col("item").asc).limit(10)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("item")
+          .orderBy(col("n").desc, col("partner").asc)
+        sym.join(top.select("item"), Seq("item"), "left_semi")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("item"), col("rank"), col("partner"),
+            col("n").as("n_baskets"))
+          .orderBy("item", "rank")
+      },
+      s"""WITH bi AS MATERIALIZED (SELECT DISTINCT
+         |    l_orderkey AS basket, l_partkey AS item
+         |  FROM lineitem WHERE l_orderkey % 4 = 0),
+         |okb AS (SELECT basket FROM bi GROUP BY basket
+         |        HAVING count(*) <= 10000),
+         |ew AS MATERIALIZED (SELECT x.item AS a, y.item AS b,
+         |    count(*)::BIGINT AS n
+         |  FROM bi x JOIN bi y ON x.basket = y.basket
+         |    AND x.item < y.item
+         |  WHERE x.basket IN (SELECT basket FROM okb)
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT a AS item, b AS partner, n FROM ew
+         |  UNION ALL SELECT b AS item, a AS partner, n FROM ew),
+         |top AS (SELECT item FROM sym GROUP BY item
+         |  ORDER BY sum(n) DESC, item ASC LIMIT 10),
+         |rk AS (SELECT s.item, s.partner, s.n,
+         |    row_number() OVER (PARTITION BY s.item
+         |      ORDER BY s.n DESC, s.partner ASC) AS rank
+         |  FROM sym s JOIN top ON s.item = top.item)
+         |SELECT item, rank, partner, n AS n_baskets
+         |FROM rk WHERE rank <= 3 ORDER BY item, rank""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

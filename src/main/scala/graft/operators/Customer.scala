@@ -122,8 +122,12 @@ object Customer {
       perE.select(col("__id"), col("__rev"),
         (-col("__rev")).cast("double").as("__neg")),
       "__neg", "__id")
-    val withRb = ranked
-      .withColumn("__rb", ((col("rank") - 1L) / 64L).cast("long"))
+    // adaptive rank blocks: ≤ 1024 blocks at any N (see
+    // [[Ranks.averagePrecision]])
+    val nTotal = broadcast(perE.agg(count(lit(1)).as("__N")))
+    val withRb = ranked.crossJoin(nTotal)
+      .withColumn("__rb", ((col("rank") - 1L) /
+        greatest(lit(1L), expr("(__N + 1023) div 1024"))).cast("long"))
     val wGrid = Window.orderBy(col("__rb").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val pre = withRb.groupBy("__rb").agg(sum(col("__rev")).as("__bn"))

@@ -39,6 +39,25 @@ object Graph {
       .select(col("p._1").as("a"), col("p._2").as("b"))
       .distinct()
 
+  /** Weighted co-occurrence edges: like [[basketEdges]] but keeping
+    * the co-basket COUNT per pair (a < b) plus the min-plus traversal
+    * cost 10⁶ div n (popular links are cheap — the
+    * [[cheapestPaths]] metric). Same hot-basket cap discipline.
+    * Returns (a, b, n, cost). */
+  def weightedBasketEdges(df: DataFrame, basketCol: String,
+      itemCol: String, cap: Int = 10000): DataFrame =
+    df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+      .groupBy("basket")
+      .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
+        .boundedCollectSet(col("item"), cap)).as("items"))
+      .filter(col("items").isNotNull && size(col("items")) >= 2)
+      .select(explode(org.apache.spark.sql.graftext.PairsAscExpr
+        .pairsAsc(col("items"))).as("p"))
+      .groupBy(col("p._1").as("a"), col("p._2").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cost", expr("1000000 div n"))
+
   /** Vertices of the k-core (max subgraph where every vertex has
     * degree ≥ k): (vertex, core_degree). Runs the standard peel —
     * drop vertices with degree < k, drop incident edges, repeat —
@@ -202,6 +221,40 @@ object Graph {
     }
     visited.groupBy("dist").agg(count(lit(1)).as("n_vertices"))
       .orderBy("dist")
+  }
+
+  /** Bounded-round cheapest paths on a WEIGHTED co-occurrence graph —
+    * min-plus (tropical) iteration, the third distributed-algebra
+    * shape beside prefix sums and running max: edge cost is the
+    * exact integer 10⁶ div co_count (popular links are cheap), and
+    * d_i(v) = min(d_{i-1}(v), min_{(u,v)∈E} d_{i-1}(u) + cost) runs
+    * `rounds` times — paths longer than `rounds` hops contribute
+    * nothing, identically in both engines. ALL arithmetic is LONG
+    * min/plus — engine-exact by construction. Edges must carry
+    * (a, b, cost); traversal is undirected. Returns the `topK`
+    * cheapest reachable vertices (cost asc, v asc), seed included at
+    * cost 0. */
+  def cheapestPaths(weighted: DataFrame, seeds: DataFrame, rounds: Int,
+      topK: Int): DataFrame = {
+    require(rounds >= 1 && topK >= 1)
+    val e = weighted.select(col("a"), col("b"), col("cost"))
+      .localCheckpoint(true)
+    val arcs = e.select(col("a").as("u"), col("b").as("v"), col("cost"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v"),
+        col("cost")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("v")).distinct()
+      .withColumn("cost", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.withColumnRenamed("v", "u")
+        .withColumnRenamed("cost", "du")
+        .join(arcs, "u")
+        .select(col("v"), (col("du") + col("cost")).as("cost"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("v").agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+    }
+    dist.orderBy(col("cost").asc, col("v").asc).limit(topK)
   }
 
   /** Degree assortativity: the Pearson correlation of the degrees at

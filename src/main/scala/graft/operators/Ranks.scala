@@ -433,8 +433,13 @@ object Ranks {
       df.select((-col(scoreCol).cast("double")).as("__negs"),
         col(idCol).as("__id"), isPos.as("__y")),
       "__negs", "__id", nBuckets)
-    val withRb = ranked
-      .withColumn("__rb", ((col("rank") - 1L) / 64L).cast("long"))
+    // ADAPTIVE rank blocks: block length ⌈N/1024⌉ keeps the block
+    // GRID ≤ 1024 rows at ANY corpus size (a fixed 64-row block would
+    // put an N/64-row prefix window on one task at 100 TB)
+    val nTot = broadcast(ranked.agg(count(lit(1)).as("__N")))
+    val withRb = ranked.crossJoin(nTot)
+      .withColumn("__rb", ((col("rank") - 1L) /
+        greatest(lit(1L), expr("(__N + 1023) div 1024"))).cast("long"))
     val wGrid = Window.orderBy(col("__rb").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val pre = withRb.groupBy("__rb")

@@ -147,6 +147,28 @@ class GraphSpec extends SparkSpec {
     assert(two == Seq((0, 2L), (1, 2L), (2, 1L)), s"$two")
   }
 
+  test("weightedBasketEdges counts co-baskets and prices links at " +
+      "1e6 div n; cheapestPaths relaxes the cheaper 2-hop route") {
+    val baskets = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L)).toDF("basket", "item")
+    val ew = Graph.weightedBasketEdges(baskets, "basket", "item")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(ew((1L, 2L)) == ((2L, 500000L)))
+    assert(ew((1L, 3L)) == ((1L, 1000000L)))
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 25L))
+      .toDF("a", "b", "cost")
+    val one = Graph.cheapestPaths(edges, Seq(1L).toDF("v"),
+      rounds = 1, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(one == Seq((1L, 0L), (2L, 10L), (3L, 25L)), s"$one")
+    val two = Graph.cheapestPaths(edges, Seq(1L).toDF("v"),
+      rounds = 2, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(two == Seq((1L, 0L), (2L, 10L), (3L, 20L)),
+      s"round 2 must relax via 2: $two")
+  }
+
   test("bfsHopHistogram: a seed absent from the graph still counts " +
       "at distance 0; orientation of edges is irrelevant") {
     val edges = Seq((2L, 1L), (1L, 2L), (3L, 2L)).toDF("a", "b")
