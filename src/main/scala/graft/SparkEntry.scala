@@ -10157,7 +10157,156 @@ object SparkEntry {
          |      ORDER BY s.n DESC, s.partner ASC) AS rank
          |  FROM sym s JOIN top ON s.item = top.item)
          |SELECT item, rank, partner, n AS n_baskets
-         |FROM rk WHERE rank <= 3 ORDER BY item, rank""".stripMargin))
+         |FROM rk WHERE rank <= 3 ORDER BY item, rank""".stripMargin),
+
+    Q("q299_prf_search",
+      // Pseudo-relevance feedback ([[graft.search.TextSearch
+      // .prfSearch]], Rocchio-lite): BM25 top-10 as implicit
+      // judgments, top-3 expansion terms by Σ feedback-tf × corpus
+      // idf (6-dp weight, term tiebreak), rescore with the expanded
+      // query — the recall lever q28's raw query lacks. Only 3 term
+      // strings cross to the driver; feedback docs semi-join the
+      // postings.
+      (s, dir) => graft.search.TextSearch.prfSearch(
+        Tables.documents(s, dir), "doc_id", "text", QueryText,
+        fbDocs = 10, expandK = 3, topK = 10),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |posting AS (
+         |  SELECT doc_id, len(l)::DOUBLE AS dl, unnest(l) AS term
+         |  FROM toks),
+         |tf AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+         |       FROM posting GROUP BY doc_id, term, dl),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         |  (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf))
+         |    AS avgdl),
+         |df1 AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         |  FROM tf WHERE term IN (SELECT unnest($qtermsSql))
+         |  GROUP BY term),
+         |idf1 AS (SELECT term,
+         |    ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+         |  FROM df1, stats),
+         |s1 AS (SELECT doc_id, round(sum(term_score), 6) AS s FROM (
+         |  SELECT tf.doc_id,
+         |    idf1.idf * tf.tf * (1.2 + 1.0) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+         |      AS term_score
+         |  FROM tf JOIN idf1 ON tf.term = idf1.term, stats)
+         |  GROUP BY doc_id),
+         |fb AS (SELECT doc_id FROM s1 ORDER BY s DESC, doc_id
+         |  LIMIT 10),
+         |cand AS (SELECT tf.term, sum(tf.tf) AS fbtf
+         |  FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+         |  WHERE tf.term NOT IN (SELECT unnest($qtermsSql))
+         |  GROUP BY 1),
+         |dfc AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         |  FROM tf WHERE term IN (SELECT term FROM cand)
+         |  GROUP BY term),
+         |exp AS (SELECT cand.term
+         |  FROM cand JOIN dfc ON cand.term = dfc.term, stats
+         |  ORDER BY round(cand.fbtf * ln(1.0 +
+         |      (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)), 6) DESC,
+         |    cand.term ASC LIMIT 3),
+         |q2 AS (SELECT unnest($qtermsSql) AS term
+         |  UNION SELECT term FROM exp),
+         |df2 AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         |  FROM tf WHERE term IN (SELECT term FROM q2)
+         |  GROUP BY term),
+         |idf2 AS (SELECT term,
+         |    ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+         |  FROM df2, stats)
+         |SELECT doc_id, round(sum(term_score), 6) AS bm25_expanded
+         |FROM (
+         |  SELECT tf.doc_id,
+         |    idf2.idf * tf.tf * (1.2 + 1.0) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+         |      AS term_score
+         |  FROM tf JOIN idf2 ON tf.term = idf2.term, stats)
+         |GROUP BY doc_id ORDER BY bm25_expanded DESC, doc_id
+         |LIMIT 10""".stripMargin),
+
+    Q("q300_cv_ridge",
+      // K-fold cross-validated ridge selection IN CLOSED FORM
+      // ([[graft.operators.Regression.cvRidge]]): normal-equation
+      // moments are ADDITIVE, so leave-one-fold-out training moments
+      // are total − fold (exact decimal subtraction) and each
+      // (fold, λ) fit + validation SSE is pure algebra on a k-row
+      // metadata frame — model selection over the λ grid from ONE
+      // moments-per-fold scan, no second data pass, no gradient loop.
+      // Per-fold SSE doubles round to INTEGER (ulp-dominated digits)
+      // and DECIMAL-sum.
+      (s, dir) => graft.operators.Regression.cvRidge(
+        Tables.lineitem(s, dir),
+        "l_extendedprice", "l_quantity", "l_discount",
+        concat(col("l_orderkey"), lit(":"), col("l_linenumber")),
+        Seq(0.0, 1000.0, 1000000.0, 1.0e9), k = 5),
+      """WITH pf AS (SELECT
+        |    ((('0x' || substr(md5(l_orderkey || ':' || l_linenumber),
+        |      1, 15))::UBIGINT % 5))::BIGINT AS fold,
+        |    count(*)::BIGINT AS n,
+        |    sum(l_quantity::DECIMAL(19,4)) AS s1,
+        |    sum(l_discount::DECIMAL(19,4)) AS s2,
+        |    sum(l_quantity::DECIMAL(19,4) * l_quantity::DECIMAL(19,4)) AS s11,
+        |    sum(l_quantity::DECIMAL(19,4) * l_discount::DECIMAL(19,4)) AS s12,
+        |    sum(l_discount::DECIMAL(19,4) * l_discount::DECIMAL(19,4)) AS s22,
+        |    sum(l_extendedprice::DECIMAL(19,4)) AS sy,
+        |    sum(l_quantity::DECIMAL(19,4) * l_extendedprice::DECIMAL(19,4)) AS s1y,
+        |    sum(l_discount::DECIMAL(19,4) * l_extendedprice::DECIMAL(19,4)) AS s2y,
+        |    sum(l_extendedprice::DECIMAL(19,4) * l_extendedprice::DECIMAL(19,4)) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |tt AS (SELECT sum(n) AS t_n, sum(s1) AS t_s1, sum(s2) AS t_s2,
+        |    sum(s11) AS t_s11, sum(s12) AS t_s12, sum(s22) AS t_s22,
+        |    sum(sy) AS t_sy, sum(s1y) AS t_s1y, sum(s2y) AS t_s2y,
+        |    sum(syy) AS t_syy FROM pf),
+        |wl AS (SELECT pf.*, l.lambda FROM pf,
+        |  (SELECT unnest([0.0, 1000.0, 1000000.0, 1.0e9]) AS lambda) l,
+        |  tt),
+        |m AS (SELECT wl.lambda, wl.n AS vn,
+        |    (wl.s1::VARCHAR)::DOUBLE AS vs1,
+        |    (wl.s2::VARCHAR)::DOUBLE AS vs2,
+        |    (wl.s11::VARCHAR)::DOUBLE AS vs11,
+        |    (wl.s12::VARCHAR)::DOUBLE AS vs12,
+        |    (wl.s22::VARCHAR)::DOUBLE AS vs22,
+        |    (wl.sy::VARCHAR)::DOUBLE AS vsy,
+        |    (wl.s1y::VARCHAR)::DOUBLE AS vs1y,
+        |    (wl.s2y::VARCHAR)::DOUBLE AS vs2y,
+        |    (wl.syy::VARCHAR)::DOUBLE AS vsyy,
+        |    (tt.t_n - wl.n)::DOUBLE AS n,
+        |    ((tt.t_s1 - wl.s1)::VARCHAR)::DOUBLE AS s1,
+        |    ((tt.t_s2 - wl.s2)::VARCHAR)::DOUBLE AS s2,
+        |    ((tt.t_s11 - wl.s11)::VARCHAR)::DOUBLE + wl.lambda AS s11,
+        |    ((tt.t_s12 - wl.s12)::VARCHAR)::DOUBLE AS s12,
+        |    ((tt.t_s22 - wl.s22)::VARCHAR)::DOUBLE + wl.lambda AS s22,
+        |    ((tt.t_sy - wl.sy)::VARCHAR)::DOUBLE AS sy,
+        |    ((tt.t_s1y - wl.s1y)::VARCHAR)::DOUBLE AS s1y,
+        |    ((tt.t_s2y - wl.s2y)::VARCHAR)::DOUBLE AS s2y
+        |  FROM wl, tt),
+        |d AS (SELECT *,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM m),
+        |sse AS (SELECT lambda, vn,
+        |    round(vsyy
+        |      + (det0 / det) * (det0 / det) * vn::DOUBLE
+        |      + (det1 / det) * (det1 / det) * vs11
+        |      + (det2 / det) * (det2 / det) * vs22
+        |      - 2.0 * (det0 / det) * vsy
+        |      - 2.0 * (det1 / det) * vs1y
+        |      - 2.0 * (det2 / det) * vs2y
+        |      + 2.0 * (det0 / det) * (det1 / det) * vs1
+        |      + 2.0 * (det0 / det) * (det2 / det) * vs2
+        |      + 2.0 * (det1 / det) * (det2 / det) * vs12,
+        |      0)::DECIMAL(38,0) AS s
+        |  FROM d)
+        |SELECT lambda,
+        |  round(sqrt((sum(s)::VARCHAR)::DOUBLE
+        |    / sum(vn)::DOUBLE), 6) AS cv_rmse
+        |FROM sse GROUP BY 1 ORDER BY lambda""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -112,6 +112,81 @@ object Regression {
       round(det2 / det, 6).as("b2"))
   }
 
+  /** Closed-form K-FOLD CROSS-VALIDATED ridge selection — model
+    * selection over a λ grid from ONE moments-per-fold scan: because
+    * normal-equation moments are ADDITIVE, each fold's training
+    * moments are total − fold (exact decimal subtraction), so every
+    * (fold, λ) fit is a Cramer solve on a metadata frame and the
+    * validation SSE is a quadratic form in the SAME fold moments —
+    * no second pass over data, no gradient loop, nothing collected.
+    * Folds come from the md5-bucket hash (the [[Resample]] mirror);
+    * per-fold SSE terms are bit-identical doubles rounded to INTEGER
+    * (at ~1e14 magnitudes the sub-integer digits sit below double
+    * ulp) and DECIMAL-summed across folds. Returns
+    * (lambda, cv_rmse) ordered by lambda — the arg-min row is the
+    * selected model. */
+  def cvRidge(df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      foldKey: Column, lambdas: Seq[Double], k: Int = 5): DataFrame = {
+    require(k >= 2 && lambdas.nonEmpty)
+    val (y, x1, x2) = (d184(col(yCol)), d184(col(x1Col)), d184(col(x2Col)))
+    val perFold = df
+      .select((conv(substring(md5(foldKey.cast("string")), 1, 15),
+        16, 10).cast("long") % k).as("fold"),
+        y.as("y"), x1.as("x1"), x2.as("x2"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"), sum(col("x1")).as("s1"),
+        sum(col("x2")).as("s2"), sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y")).as("sy"), sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+      .localCheckpoint(true) // k-row metadata frame
+    val names = Seq("n", "s1", "s2", "s11", "s12", "s22", "sy",
+      "s1y", "s2y", "syy")
+    val tot = broadcast(perFold.agg(
+      names.map(c => sum(col(c)).as(s"t_$c")).head,
+      names.map(c => sum(col(c)).as(s"t_$c")).tail: _*))
+    val withL = perFold.crossJoin(tot)
+      .withColumn("lambda",
+        explode(array(lambdas.map(lit(_)): _*)))
+    // training moments = total − fold, all exact-decimal → double
+    def t(c: String) = (col(s"t_$c") - col(c)).cast("double")
+    val (n, s1, s2, sy, s1y, s2y) =
+      (t("n"), t("s1"), t("s2"), t("sy"), t("s1y"), t("s2y"))
+    val s11 = t("s11") + col("lambda")
+    val s12 = t("s12")
+    val s22 = t("s22") + col("lambda")
+    val det = n * (s11 * s22 - s12 * s12) -
+      s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) -
+      s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) -
+      sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) -
+      s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+    val b0 = det0 / det
+    val b1 = det1 / det
+    val b2 = det2 / det
+    // validation SSE on the held-out fold's own moments (quadratic form)
+    def f(c: String) = col(c).cast("double")
+    val sse = f("syy") + b0 * b0 * f("n") + b1 * b1 * f("s11") +
+      b2 * b2 * f("s22") - lit(2.0) * b0 * f("sy") -
+      lit(2.0) * b1 * f("s1y") - lit(2.0) * b2 * f("s2y") +
+      lit(2.0) * b0 * b1 * f("s1") + lit(2.0) * b0 * b2 * f("s2") +
+      lit(2.0) * b1 * b2 * f("s12")
+    withL
+      .select(col("lambda"), col("n"),
+        round(sse, 0).cast(DecimalType(38, 0)).as("__sse"))
+      .groupBy("lambda")
+      .agg(sum(col("n")).as("__nv"),
+        sum(col("__sse")).cast("double").as("__s"))
+      .select(col("lambda"),
+        round(sqrt(col("__s") / col("__nv").cast("double")), 6)
+          .as("cv_rmse"))
+      .orderBy("lambda")
+  }
+
   /** 3×3 Cramer solve — EXACTLY [[ols2]]'s operation order, shared by
     * the Scala (driver) and SQL (oracle) sides of the IRLS loop so
     * both run bit-identical float ops. a is the symmetric system

@@ -65,6 +65,51 @@ object TextSearch {
       .agg(sum("term_score").as("text_score"))
   }
 
+  /** Pseudo-relevance feedback (Rocchio-lite): run [[bm25]], take the
+    * `fbDocs` top documents as implicit relevance judgments, extract
+    * the `expandK` best expansion terms by Σ_feedback tf × corpus idf
+    * (6-dp-rounded weight, term-asc tiebreak — engine-exact ranking),
+    * and rescore with the EXPANDED query. The classic recall lever
+    * when the raw query underspecifies (Rocchio 1971 / RM1-lite).
+    * Only the `expandK` term strings cross to the driver (the
+    * frozen-literal discipline); feedback docs semi-join postings, no
+    * id list collects. Returns the final top-`topK`
+    * (doc_id, bm25_expanded) under (score desc, id asc). */
+  def prfSearch(docs: DataFrame, idCol: String, textCol: String,
+      query: String, fbDocs: Int = 10, expandK: Int = 3,
+      topK: Int = 10): DataFrame = {
+    require(fbDocs >= 1 && expandK >= 1 && topK >= 1)
+    val qTerms = query.toLowerCase.split("[^a-z0-9]+")
+      .filter(_.nonEmpty).distinct
+    val base = bm25(docs, idCol, textCol, query)
+      .select(col("doc_id"), round(col("text_score"), 6).as("s"))
+      .orderBy(col("s").desc, col("doc_id").asc).limit(fbDocs)
+      .select("doc_id")
+    val postings = buildPostings(docs, idCol, textCol)
+      .localCheckpoint(true) // reused: feedback tf + corpus df
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val cand = postings
+      .join(base, Seq("doc_id"), "left_semi")
+      .filter(!col("term").isin(qTerms.toIndexedSeq: _*))
+      .groupBy("term").agg(sum(col("tf")).as("fbtf"))
+    val dfStats = postings
+      .join(cand.select("term"), Seq("term"), "left_semi")
+      .groupBy("term")
+      .agg(countDistinct("doc_id").cast("double").as("df"))
+    val exp = cand.join(dfStats, "term").crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        round(col("fbtf") * log(lit(1.0) +
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6)
+          .as("w"))
+      .orderBy(col("w").desc, col("term").asc).limit(expandK)
+      .collect().map(_.getString(0)) // expandK strings — metadata
+    bm25(docs, idCol, textCol, (qTerms ++ exp).mkString(" "))
+      .select(col("doc_id"),
+        round(col("text_score"), 6).as("bm25_expanded"))
+      .orderBy(col("bm25_expanded").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** Simple token-overlap relevance (v1 of Q1): |distinct doc tokens ∩
     * query tokens| / |query tokens|. Cheap, shuffle-free scoring pass. */
   def tokenOverlapScore(textCol: Column, query: String): Column = {

@@ -95,6 +95,27 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(rBig.getDouble(4)) < math.abs(o.getDouble(3)), s"$rBig")
   }
 
+  test("cvRidge: on a clean planted model the unpenalized lambda " +
+      "wins and a huge lambda pays in validation RMSE; " +
+      "partitioning-independent") {
+    import spark.implicits._
+    val rows = (0 until 400).map { i =>
+      val x1 = (i % 9).toDouble; val x2 = (i % 5).toDouble
+      (i.toLong, 3.0 + 2.0 * x1 - x2 + (i % 3 - 1) * 0.1, x1, x2)
+    }
+    val df = rows.toDF("id", "y", "x1", "x2")
+    val out = Regression.cvRidge(df, "y", "x1", "x2", col("id"),
+      Seq(0.0, 1.0e7)).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out(0.0) < 0.2, s"clean fit expected: $out")
+    assert(out(1.0e7) > 2.0 * out(0.0),
+      s"heavy shrinkage must cost validation error: $out")
+    val again = Regression.cvRidge(df.repartition(11), "y", "x1", "x2",
+      col("id"), Seq(0.0, 1.0e7)).collect().map(_.toSeq).toSeq
+    assert(again == Regression.cvRidge(df, "y", "x1", "x2", col("id"),
+      Seq(0.0, 1.0e7)).collect().map(_.toSeq).toSeq)
+  }
+
   test("logisticIrls2: a constant y = 1 drives the intercept large " +
       "and positive (prior saturation, no crash)") {
     import spark.implicits._

@@ -286,4 +286,21 @@ class SearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 1L), (1L, 2L), (2L, 2L), (4L, 1L), (4L, 2L)))
   }
+
+  test("prfSearch: expansion terms learned from feedback docs recall " +
+      "a document the raw query cannot reach") {
+    import spark.implicits._
+    val d = Seq((1L, "join shuffle"), (2L, "join shuffle"),
+      (3L, "shuffle shuffle"), (4L, "exchange sort"))
+      .toDF("doc_id", "text")
+    val raw = TextSearch.bm25(d, "doc_id", "text", "join")
+      .collect().map(_.getLong(0)).toSet
+    assert(!raw.contains(3L), "raw query must miss doc 3")
+    val prf = TextSearch.prfSearch(d, "doc_id", "text", "join",
+      fbDocs = 2, expandK = 1, topK = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(prf.contains(3L),
+      s"expanded query must recall doc 3 via 'shuffle': $prf")
+    assert(!prf.contains(4L), "unrelated doc stays out")
+  }
 }
