@@ -10306,7 +10306,92 @@ object SparkEntry {
         |SELECT lambda,
         |  round(sqrt((sum(s)::VARCHAR)::DOUBLE
         |    / sum(vn)::DOUBLE), 6) AS cv_rmse
-        |FROM sse GROUP BY 1 ORDER BY lambda""".stripMargin))
+        |FROM sse GROUP BY 1 ORDER BY lambda""".stripMargin),
+
+    Q("q301_price_elasticity",
+      // Log-log price elasticity of demand across parts
+      // ([[graft.operators.Regression.priceElasticity]]): OLS slope of
+      // ln(qty) ~ ln(unit price), unit price = Σrev/Σqty in DOUBLE
+      // from exact decimal sums (decimal division rounding differs
+      // across engines — never used); irrational ln terms ride 7-dp
+      // DECIMAL sums (the IRLS discipline).
+      (s, dir) => graft.operators.Regression.priceElasticity(
+        Tables.lineitem(s, dir), "l_partkey",
+        "l_extendedprice", "l_quantity"),
+      """WITH per AS (SELECT l_partkey,
+        |    sum(l_extendedprice::DECIMAL(19,4)) AS r,
+        |    sum(l_quantity::DECIMAL(19,4)) AS q
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(l_extendedprice::DECIMAL(19,4)) > 0
+        |    AND sum(l_quantity::DECIMAL(19,4)) > 0),
+        |xy AS (SELECT ln((r::VARCHAR)::DOUBLE / (q::VARCHAR)::DOUBLE)
+        |      AS x,
+        |    ln((q::VARCHAR)::DOUBLE) AS y FROM per),
+        |m AS (SELECT count(*)::DOUBLE AS n,
+        |    (sum(round(x, 7)::DECIMAL(28,9))::VARCHAR)::DOUBLE AS sx,
+        |    (sum(round(x * x, 7)::DECIMAL(28,9))::VARCHAR)::DOUBLE
+        |      AS sxx,
+        |    (sum(round(y, 7)::DECIMAL(28,9))::VARCHAR)::DOUBLE AS sy,
+        |    (sum(round(x * y, 7)::DECIMAL(28,9))::VARCHAR)::DOUBLE
+        |      AS sxy,
+        |    (sum(round(y * y, 7)::DECIMAL(28,9))::VARCHAR)::DOUBLE
+        |      AS syy
+        |  FROM xy),
+        |b AS (SELECT n, sy, sxy, syy,
+        |    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS beta,
+        |    sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        |      * (sx / n) AS alpha
+        |  FROM m)
+        |SELECT n::BIGINT AS n_entities,
+        |  round(beta, 6) AS elasticity,
+        |  round(alpha, 6) AS intercept,
+        |  round(1.0 - (syy - alpha * sy - beta * sxy)
+        |    / (syy - sy * sy / n), 6) AS r2
+        |FROM b""".stripMargin),
+
+    Q("q302_uncertainty_sample",
+      // Active-learning batch selection ([[graft.pipeline
+      // .QualityClassifier.uncertaintySample]]): the 20 docs the
+      // frozen q133 model is least sure about (|p − 1/2| smallest,
+      // 6-dp rounded, id tiebreak), ≤ 5 per source so one noisy
+      // source can't absorb the labeling batch — the "what should
+      // humans label next" selector.
+      (s, dir) => graft.pipeline.QualityClassifier.uncertaintySample(
+        Tables.documents(s, dir), "doc_id", "text", "source",
+        QcWeights, QcIntercept, perSourceCap = 5, k = 20),
+      {
+        val mkSql = TextAnalysis.Stopwords.toMap.apply("en")
+          .map(m => s"'$m'").mkString("[", ",", "]")
+        val w = QcWeights.map(dec)
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS l FROM documents),
+           |f AS (SELECT doc_id,
+           |    ln(1.0 + length(text)::DOUBLE) AS f1,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '',
+           |                'g'))::DOUBLE / length(text)::DOUBLE END AS f2,
+           |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+           |      / greatest(len(l)::DOUBLE, 1.0) AS f3,
+           |    CASE WHEN len(l) = 0 THEN 0.0
+           |         ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '',
+           |                'g'))::DOUBLE / len(l)::DOUBLE END AS f4,
+           |    CASE WHEN len(l) = 0 THEN 0.0
+           |         ELSE len(list_intersect(l, $mkSql))::DOUBLE
+           |              / len(list_distinct(l))::DOUBLE END AS f5
+           |  FROM t),
+           |z AS (SELECT doc_id,
+           |    (${dec(QcIntercept)} + ${w(0)} * f1 + ${w(1)} * f2
+           |      + ${w(2)} * f3 + ${w(3)} * f4 + ${w(4)} * f5) AS z FROM f),
+           |p AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6)
+           |        AS quality_p FROM z),
+           |s AS (SELECT p.doc_id, d.source, p.quality_p,
+           |    round(abs(p.quality_p - 0.5), 6) AS uncertainty
+           |  FROM p JOIN documents d USING (doc_id)),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY source
+           |    ORDER BY uncertainty, doc_id) AS rn FROM s)
+           |SELECT doc_id, source, quality_p, uncertainty
+           |FROM r WHERE rn <= 5
+           |ORDER BY uncertainty, doc_id LIMIT 20""".stripMargin
+      }))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

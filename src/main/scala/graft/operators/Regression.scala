@@ -112,6 +112,42 @@ object Regression {
       round(det2 / det, 6).as("b2"))
   }
 
+  /** Log-log price elasticity of demand: OLS slope of
+    * ln(quantity) ~ ln(price) across entities — the classic "what
+    * does a 1 % price move do to volume" readout (slope < −1 =
+    * elastic). Entities reduce to one (price, qty) row by exact
+    * decimal aggregation; ln terms are identical doubles of exact
+    * inputs, rounded to 7 dp and DECIMAL-summed (the IRLS
+    * discipline — irrational lns can't ride exact decimal sums
+    * directly). The unit price is Σrevenue/Σqty computed in DOUBLE
+    * from exact decimal sums (no decimal division — engines disagree
+    * on its rounding); entities with non-positive sums are excluded
+    * (ln pole). Returns one row
+    * (n_entities, elasticity, intercept, r2). */
+  def priceElasticity(df: DataFrame, entityCol: String,
+      revenueCol: String, qtyCol: String): DataFrame = {
+    val d289 = DecimalType(28, 9)
+    val per = df.groupBy(col(entityCol).as("__e"))
+      .agg(sum(col(revenueCol).cast(DecimalType(18, 4))).as("__r"),
+        sum(col(qtyCol).cast(DecimalType(18, 4))).as("__q"))
+      .filter(col("__r") > 0 && col("__q") > 0)
+    val x = log(col("__r").cast("double") / col("__q").cast("double"))
+    val y = log(col("__q").cast("double"))
+    def t7(c: Column) = sum(round(c, 7).cast(d289)).cast("double")
+    val m = per.agg(count(lit(1)).cast("double").as("n"),
+      t7(x).as("sx"), t7(x * x).as("sxx"), t7(y).as("sy"),
+      t7(x * y).as("sxy"), t7(y * y).as("syy"))
+    val beta = (col("sxy") - col("sx") * col("sy") / col("n")) /
+      (col("sxx") - col("sx") * col("sx") / col("n"))
+    val alpha = col("sy") / col("n") - beta * (col("sx") / col("n"))
+    val sse = col("syy") - alpha * col("sy") - beta * col("sxy")
+    val sst = col("syy") - col("sy") * col("sy") / col("n")
+    m.select(col("n").cast("long").as("n_entities"),
+      round(beta, 6).as("elasticity"),
+      round(alpha, 6).as("intercept"),
+      round(lit(1.0) - sse / sst, 6).as("r2"))
+  }
+
   /** Closed-form K-FOLD CROSS-VALIDATED ridge selection — model
     * selection over a λ grid from ONE moments-per-fold scan: because
     * normal-equation moments are ADDITIVE, each fold's training

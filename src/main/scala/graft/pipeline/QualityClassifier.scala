@@ -102,6 +102,32 @@ object QualityClassifier {
       .orderBy("bin")
   }
 
+  /** Uncertainty sampling (active learning): the `k` documents the
+    * frozen model is LEAST sure about (|p − ½| smallest), with a
+    * per-source diversity cap so one noisy source can't absorb the
+    * whole labeling batch — the "what should humans label next"
+    * selector that grows the q133 classifier's training set fastest.
+    * Ranking uses the 6-dp-ROUNDED uncertainty (id tiebreak), so the
+    * batch is engine-exact; the per-source window partitions by
+    * source (bounded), the final cut is TakeOrdered. Returns
+    * (doc_id, source, quality_p, uncertainty). */
+  def uncertaintySample(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, weights: Seq[Double],
+      intercept: Double, perSourceCap: Int, k: Int): DataFrame = {
+    require(perSourceCap >= 1 && k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val p = probability(col(textCol), weights, intercept)
+    val scored = docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source"), p.as("quality_p"))
+      .withColumn("uncertainty",
+        round(abs(col("quality_p") - 0.5), 6))
+    val w = Window.partitionBy("source")
+      .orderBy(col("uncertainty").asc, col("doc_id").asc)
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= perSourceCap).drop("__r")
+      .orderBy(col("uncertainty").asc, col("doc_id").asc).limit(k)
+  }
+
   /** Apply a FROZEN model: `p = sigmoid(b + w·f)` rounded to 1e-6,
     * `keep = p >= threshold` on the rounded value (engine-portable).
     * Returns (idCol, quality_p, keep). */

@@ -95,6 +95,22 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(rBig.getDouble(4)) < math.abs(o.getDouble(3)), s"$rBig")
   }
 
+  test("priceElasticity recovers a planted constant-elasticity " +
+      "demand curve (qty ~ price^-2)") {
+    import spark.implicits._
+    // qty = 10000 / p^2 exactly, revenue = p * qty — slope must be -2
+    val rows = Seq(1.0, 2.0, 4.0, 5.0, 8.0, 10.0).zipWithIndex.map {
+      case (p, i) =>
+        val qty = 10000.0 / (p * p)
+        (i.toLong, p * qty, qty)
+    }
+    val r = Regression.priceElasticity(rows.toDF("pk", "rev", "qty"),
+      "pk", "rev", "qty").collect().head
+    assert(r.getLong(0) == 6L)
+    assert(math.abs(r.getDouble(1) - (-2.0)) < 1e-4, s"$r")
+    assert(r.getDouble(3) > 0.9999, s"$r")
+  }
+
   test("cvRidge: on a clean planted model the unpenalized lambda " +
       "wins and a huge lambda pays in validation RMSE; " +
       "partitioning-independent") {

@@ -67,4 +67,23 @@ class QualityClassifierSpec extends SparkSpec {
       QualityClassifier.score(docs, "doc_id", "text", Seq(1.0), 0.0)
     }
   }
+
+  test("uncertaintySample: per-source cap holds, output is ordered " +
+      "by rounded uncertainty with id tiebreak, and the batch is " +
+      "deterministic under repartitioning") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, SfDir)
+    val w = Seq(0.05, 1.2, -0.8, 0.15, 2.0)
+    val out = QualityClassifier.uncertaintySample(docs, "doc_id",
+      "text", "source", w, -2.5, perSourceCap = 2, k = 6).collect()
+    assert(out.length == 6)
+    val bySource = out.groupBy(_.getString(1)).values.map(_.size)
+    assert(bySource.forall(_ <= 2), s"cap violated: ${out.toSeq}")
+    val keys = out.map(r => (r.getDouble(3), r.getLong(0))).toSeq
+    assert(keys == keys.sorted, s"not ordered: $keys")
+    val again = QualityClassifier.uncertaintySample(
+      docs.repartition(7), "doc_id", "text", "source", w, -2.5, 2, 6)
+      .collect().map(_.toSeq).toSeq
+    assert(again == out.map(_.toSeq).toSeq)
+  }
 }
