@@ -10391,6 +10391,168 @@ object SparkEntry {
            |SELECT doc_id, source, quality_p, uncertainty
            |FROM r WHERE rn <= 5
            |ORDER BY uncertainty, doc_id LIMIT 20""".stripMargin
+      }),
+
+    Q("q303_fk_audit",
+      // Referential-integrity audit: orphan counts along the schema's
+      // FK chain (lineitem→orders→customer→nation) — the data-quality
+      // primitive beside q182's single-table contract. Three anti-join
+      // counts, each a broadcast/shuffle join Catalyst plans freely;
+      // all integers.
+      (s, dir) => {
+        def orphans(name: String, child: org.apache.spark.sql.DataFrame,
+            key: String, parent: org.apache.spark.sql.DataFrame,
+            pkey: String) =
+          child.join(parent.select(col(pkey).as(key)), Seq(key),
+              "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .select(lit(name).as("relation"), col("n_orphans"))
+        orphans("customer->nation", Tables.customer(s, dir),
+            "c_nationkey", Tables.nation(s, dir), "n_nationkey")
+          .unionAll(orphans("lineitem->orders", Tables.lineitem(s, dir),
+            "l_orderkey", Tables.orders(s, dir), "o_orderkey"))
+          .unionAll(orphans("orders->customer", Tables.orders(s, dir),
+            "o_custkey", Tables.customer(s, dir), "c_custkey"))
+          .orderBy("relation")
+      },
+      """SELECT 'customer->nation' AS relation,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n
+        |     WHERE n.n_nationkey = c.c_nationkey))::BIGINT AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o
+        |     WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c
+        |     WHERE c.c_custkey = o.o_custkey))::BIGINT
+        |ORDER BY relation""".stripMargin),
+
+    Q("q304_yoy_quantile_shift",
+      // Year-over-year order-value quantile shift: exact p50/p75 per
+      // order year from the no-global-sort grid machinery
+      // ([[graft.operators.Ranks.quantileDisc]], binary-exact ps),
+      // lag deltas over the YEAR grid (calendar-bounded window).
+      // "Is the typical order growing, and is the tail growing
+      // faster?"
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("yr")
+        graft.operators.Ranks.quantileDisc(
+            Tables.orders(s, dir)
+              .withColumn("yr", year(col("o_orderdate"))),
+            "yr", "o_totalprice", Seq(0.25, 0.5, 0.75))
+          .groupBy("yr")
+          .agg(max(when(col("p") === 0.25, col("value"))).as("p25"),
+            max(when(col("p") === 0.5, col("value"))).as("p50"),
+            max(when(col("p") === 0.75, col("value"))).as("p75"))
+          .withColumn("d50",
+            round(col("p50") - lag("p50", 1).over(w), 2)) // year grid
+          .withColumn("d75",
+            round(col("p75") - lag("p75", 1).over(w), 2))
+          .orderBy("yr")
+      },
+      """WITH q AS (SELECT year(o_orderdate)::INT AS yr,
+        |    quantile_disc(o_totalprice, 0.25) AS p25,
+        |    quantile_disc(o_totalprice, 0.5) AS p50,
+        |    quantile_disc(o_totalprice, 0.75) AS p75
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, p25, p50, p75,
+        |  round(p50 - lag(p50) OVER (ORDER BY yr), 2) AS d50,
+        |  round(p75 - lag(p75) OVER (ORDER BY yr), 2) AS d75
+        |FROM q ORDER BY yr""".stripMargin),
+
+    Q("q305_count_dispersion",
+      // Daily-count dispersion (Fano factor) per event type: var/mean
+      // of events-per-day from exact integer moments — the burstiness
+      // gate (dispersion > 1 = overdispersed, a Poisson rate model
+      // would lie). One scan to the (type, day) grid; the comparison
+      // var > mean is on identical doubles of exact integer inputs.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s"),
+            sum(col("c") * col("c")).as("q"))
+          .select(col("event_type"), col("n_days"),
+            round(col("s").cast("double")
+              / col("n_days").cast("double"), 6).as("mean_daily"),
+            round({
+              val n = col("n_days").cast("double")
+              val m = col("s").cast("double") / n
+              ((col("q").cast("double")
+                - col("s").cast("double") * col("s").cast("double") / n)
+                / (n - 1.0)) / m
+            }, 6).as("dispersion"))
+          .orderBy("event_type")
+      },
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*)::BIGINT AS n_days,
+        |    sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS q
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(s::DOUBLE / n_days::DOUBLE, 6) AS mean_daily,
+        |  round(((q::DOUBLE - s::DOUBLE * s::DOUBLE / n_days::DOUBLE)
+        |      / (n_days::DOUBLE - 1.0))
+        |    / (s::DOUBLE / n_days::DOUBLE), 6) AS dispersion
+        |FROM m ORDER BY event_type""".stripMargin),
+
+    Q("q306_feature_gain_screen",
+      // Single-feature screen: the best stump split + information
+      // gain for EACH candidate feature against the high-value label
+      // ([[graft.operators.Stump.bestSplit]] × 3) — "which feature is
+      // worth anything" before model training; ranked gains are
+      // exact-decimal argmaxes per feature.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        Seq("l_quantity", "l_discount", "l_tax").map { f =>
+          graft.operators.Stump.bestSplit(li, f,
+              col("l_extendedprice") > 30000.0)
+            .select(lit(f).as("feature"), col("split_value"),
+              col("info_gain"))
+        }.reduce(_ unionAll _).orderBy("feature")
+      },
+      {
+        def xlx(e: String) =
+          s"(CASE WHEN ($e) > 0 THEN ($e)::DOUBLE * ln(($e)::DOUBLE) ELSE 0.0 END)"
+        def one(f: String) =
+          s"""(WITH pv AS (SELECT $f::DOUBLE AS v,
+             |    sum(CASE WHEN l_extendedprice > 30000.0 THEN 1
+             |      ELSE 0 END)::BIGINT AS p_v,
+             |    count(*)::BIGINT AS n_v FROM lineitem GROUP BY 1),
+             |tt AS (SELECT sum(p_v)::BIGINT AS bigp,
+             |    sum(n_v)::BIGINT AS bign FROM pv),
+             |c AS (SELECT v,
+             |    sum(n_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW)::BIGINT AS nl,
+             |    sum(p_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW)::BIGINT AS pl
+             |  FROM pv),
+             |f AS (SELECT c.v, c.nl, c.pl, tt.bign - c.nl AS nr,
+             |    tt.bigp - c.pl AS pr, tt.bign, tt.bigp
+             |  FROM c, tt WHERE c.nl < tt.bign),
+             |sc AS (SELECT v,
+             |    round(((${xlx("bign")} - ${xlx("bigp")}
+             |        - ${xlx("bign - bigp")})
+             |      - (${xlx("nl")} - ${xlx("pl")} - ${xlx("nl - pl")})
+             |      - (${xlx("nr")} - ${xlx("pr")} - ${xlx("nr - pr")}))
+             |      / bign::DOUBLE, 9)::DECIMAL(28,9) AS ig
+             |  FROM f)
+             |SELECT '$f' AS feature, v AS split_value,
+             |  round((ig::VARCHAR)::DOUBLE, 6) AS info_gain
+             |FROM sc ORDER BY ig DESC, v ASC LIMIT 1)""".stripMargin
+        s"""SELECT * FROM (
+           |${one("l_quantity")}
+           |UNION ALL
+           |${one("l_discount")}
+           |UNION ALL
+           |${one("l_tax")})
+           |ORDER BY feature""".stripMargin
       }))
 
   private def allQueries: Seq[Q] = {
