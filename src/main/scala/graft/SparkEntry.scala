@@ -10553,7 +10553,128 @@ object SparkEntry {
            |UNION ALL
            |${one("l_tax")})
            |ORDER BY feature""".stripMargin
-      }))
+      }),
+
+    Q("q307_revenue_bridge",
+      // FP&A revenue bridge 1995→1996 by ship year ([[graft.operators
+      // .Customer.revenueBridge]]): the revenue delta decomposed into
+      // per-part price effects, volume effects, new- and lost-part
+      // buckets — exact by p₂q₂−p₁q₁ = (p₂−p₁)q₂ + p₁(q₂−q₁). Unit
+      // prices are DOUBLE ratios of exact decimal sums; per-part
+      // effect terms 4-dp DECIMAL-summed.
+      (s, dir) => graft.operators.Customer.revenueBridge(
+        Tables.lineitem(s, dir)
+          .filter(year(col("l_shipdate")).isin(1995, 1996)),
+        "l_partkey", year(col("l_shipdate")) === 1996,
+        "l_extendedprice", "l_quantity"),
+      """WITH pp AS (SELECT l_partkey AS e,
+        |    year(l_shipdate) = 1996 AS p2,
+        |    sum(l_extendedprice::DECIMAL(19,4)) AS r,
+        |    sum(l_quantity::DECIMAL(19,4)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |w AS (SELECT e,
+        |    max(CASE WHEN NOT p2 THEN r END) AS r1,
+        |    max(CASE WHEN NOT p2 THEN q END) AS q1,
+        |    max(CASE WHEN p2 THEN r END) AS r2,
+        |    max(CASE WHEN p2 THEN q END) AS q2
+        |  FROM pp GROUP BY 1),
+        |b AS (SELECT * FROM w WHERE r1 IS NOT NULL AND r2 IS NOT NULL
+        |  AND q1 > 0 AND q2 > 0),
+        |eff AS (SELECT
+        |    (sum(round(((r2::VARCHAR)::DOUBLE / (q2::VARCHAR)::DOUBLE
+        |        - (r1::VARCHAR)::DOUBLE / (q1::VARCHAR)::DOUBLE)
+        |      * (q2::VARCHAR)::DOUBLE, 4)::DECIMAL(28,4))::VARCHAR)
+        |      ::DOUBLE AS price,
+        |    (sum(round((r1::VARCHAR)::DOUBLE / (q1::VARCHAR)::DOUBLE
+        |      * ((q2::VARCHAR)::DOUBLE - (q1::VARCHAR)::DOUBLE), 4)
+        |      ::DECIMAL(28,4))::VARCHAR)::DOUBLE AS volume
+        |  FROM b),
+        |nl AS (SELECT
+        |    (sum(CASE WHEN r1 IS NULL THEN r2 END)::VARCHAR)::DOUBLE
+        |      AS newr,
+        |    (sum(CASE WHEN r2 IS NULL THEN -r1 END)::VARCHAR)::DOUBLE
+        |      AS lostr,
+        |    ((sum(coalesce(r2, 0)) - sum(coalesce(r1, 0)))::VARCHAR)
+        |      ::DOUBLE AS delta
+        |  FROM w)
+        |SELECT component, amount FROM (
+        |  SELECT '1_price' AS component, round(price, 2) AS amount
+        |  FROM eff
+        |  UNION ALL SELECT '2_volume', round(volume, 2) FROM eff
+        |  UNION ALL SELECT '3_new', round(coalesce(newr, 0.0), 2)
+        |  FROM nl
+        |  UNION ALL SELECT '4_lost', round(coalesce(lostr, 0.0), 2)
+        |  FROM nl
+        |  UNION ALL SELECT '5_delta_total', round(delta, 2) FROM nl)
+        |ORDER BY component""".stripMargin),
+
+    Q("q308_ship_latency",
+      // Order→ship latency quantiles per return flag: exact
+      // p25/p50/p75 of datediff(ship, order) via the no-global-sort
+      // grid machinery — the fulfillment-SLA profile. The
+      // lineitem⋈orders join shuffles once on the order key.
+      (s, dir) => graft.operators.Ranks.quantileDisc(
+          Tables.lineitem(s, dir)
+            .join(Tables.orders(s, dir)
+              .select(col("o_orderkey").as("l_orderkey"),
+                col("o_orderdate")), "l_orderkey")
+            .select(col("l_returnflag"),
+              datediff(col("l_shipdate"), col("o_orderdate"))
+                .as("days")),
+          "l_returnflag", "days", Seq(0.25, 0.5, 0.75))
+        .orderBy("l_returnflag", "p"),
+      """WITH d AS (SELECT l.l_returnflag,
+        |    datediff('day', o.o_orderdate, l.l_shipdate) AS days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT l_returnflag, p, value FROM (
+        |  SELECT l_returnflag, 0.25::DOUBLE AS p,
+        |    quantile_disc(days, 0.25) AS value FROM d GROUP BY 1
+        |  UNION ALL
+        |  SELECT l_returnflag, 0.5::DOUBLE,
+        |    quantile_disc(days, 0.5) FROM d GROUP BY 1
+        |  UNION ALL
+        |  SELECT l_returnflag, 0.75::DOUBLE,
+        |    quantile_disc(days, 0.75) FROM d GROUP BY 1)
+        |ORDER BY l_returnflag, p""".stripMargin),
+
+    Q("q309_ship_lead_trend",
+      // Shipping lead-time trend by ORDER YEAR (calendar grid): mean
+      // lead days from exact integer day sums, slow-shipment ppm
+      // (> 90 days), and the YoY mean delta over the year grid —
+      // the logistics SLA trend q308's distribution view summarizes.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("yr")
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .select(col("o_orderkey").as("l_orderkey"),
+              col("o_orderdate")), "l_orderkey")
+          .select(year(col("o_orderdate")).as("yr"),
+            datediff(col("l_shipdate"), col("o_orderdate")).as("days"))
+          .groupBy("yr")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("days").cast("long")).as("__sd"),
+            sum(when(col("days") > 90, 1L).otherwise(0L)).as("__sl"))
+          .select(col("yr"), col("n_items"),
+            round(col("__sd").cast("double")
+              / col("n_items").cast("double"), 6).as("mean_days"),
+            expr("(__sl * 1000000) div n_items").as("slow_ppm"))
+          .withColumn("d_mean",
+            round(col("mean_days") - lag("mean_days", 1).over(w), 6))
+          .orderBy("yr")
+      },
+      """WITH d AS (SELECT year(o.o_orderdate)::INT AS yr,
+        |    datediff('day', o.o_orderdate, l.l_shipdate) AS days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |g AS (SELECT yr, count(*)::BIGINT AS n_items,
+        |    round(sum(days)::DOUBLE / count(*)::DOUBLE, 6) AS mean_days,
+        |    (sum(CASE WHEN days > 90 THEN 1 ELSE 0 END)::BIGINT
+        |      * 1000000) // count(*) AS slow_ppm
+        |  FROM d GROUP BY 1)
+        |SELECT yr, n_items, mean_days, slow_ppm,
+        |  round(mean_days - lag(mean_days) OVER (ORDER BY yr), 6)
+        |    AS d_mean
+        |FROM g ORDER BY yr""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

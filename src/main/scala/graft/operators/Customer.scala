@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -153,6 +153,67 @@ object Customer {
         expr("cast(__crev * 100 as decimal(38,0)) * 1000000 div " +
           "cast(__t * 100 as decimal(38,0))").as("share_ppm"))
       .orderBy("abc_class")
+  }
+
+  /** Revenue bridge (price/volume/mix decomposition): explains the
+    * revenue change between two periods as Σ price effects
+    * ((p₂−p₁)·q₂), Σ volume effects (p₁·(q₂−q₁)), plus NEW (only in
+    * period 2) and LOST (only in period 1) entity buckets — the FP&A
+    * "why did revenue move" readout, exact by the algebraic identity
+    * p₂q₂ − p₁q₁ = (p₂−p₁)q₂ + p₁(q₂−q₁). One scan to per-(entity,
+    * period) decimal sums; unit prices are DOUBLE ratios of exact
+    * decimal sums (never decimal division); per-entity effect terms
+    * are identical doubles rounded to 4 dp and DECIMAL-summed.
+    * Returns (component, amount) for price/volume/new/lost/
+    * delta_total ordered by component — price+volume+new+lost equals
+    * delta_total up to 4-dp rounding dust. */
+  def revenueBridge(df: DataFrame, entityCol: String, periodCol: Column,
+      revenueCol: String, qtyCol: String): DataFrame = {
+    val d284 = DecimalType(28, 4)
+    val per = df
+      .select(col(entityCol).as("e"), periodCol.as("p2"),
+        col(revenueCol).cast(d184).as("r"),
+        col(qtyCol).cast(d184).as("q"))
+      .groupBy("e", "p2")
+      .agg(sum(col("r")).as("r"), sum(col("q")).as("q"))
+    def side(flag: Boolean, c: String) =
+      max(when(col("p2") === flag, col(c)))
+    val wide = per.groupBy("e")
+      .agg(side(false, "r").as("r1"), side(false, "q").as("q1"),
+        side(true, "r").as("r2"), side(true, "q").as("q2"))
+      .localCheckpoint(true)
+    val both = wide.filter(col("r1").isNotNull && col("r2").isNotNull
+      && col("q1") > 0 && col("q2") > 0)
+    val p1 = col("r1").cast("double") / col("q1").cast("double")
+    val p2 = col("r2").cast("double") / col("q2").cast("double")
+    val eff = both.agg(
+      sum(round((p2 - p1) * col("q2").cast("double"), 4).cast(d284))
+        .as("price"),
+      sum(round(p1 * (col("q2").cast("double")
+        - col("q1").cast("double")), 4).cast(d284)).as("volume"))
+    val newLost = wide.agg(
+      sum(when(col("r1").isNull, col("r2"))).as("newr"),
+      sum(when(col("r2").isNull, -col("r1"))).as("lostr"),
+      (sum(coalesce(col("r2"), lit(0).cast("decimal(18,4)")))
+        - sum(coalesce(col("r1"), lit(0).cast("decimal(18,4)"))))
+        .as("delta"))
+    eff.crossJoin(broadcast(newLost))
+      .select(explode(array(
+        struct(lit("1_price").as("component"),
+          round(col("price").cast("double"), 2).as("amount")),
+        struct(lit("2_volume").as("component"),
+          round(col("volume").cast("double"), 2).as("amount")),
+        struct(lit("3_new").as("component"),
+          round(coalesce(col("newr").cast("double"), lit(0.0)), 2)
+            .as("amount")),
+        struct(lit("4_lost").as("component"),
+          round(coalesce(col("lostr").cast("double"), lit(0.0)), 2)
+            .as("amount")),
+        struct(lit("5_delta_total").as("component"),
+          round(col("delta").cast("double"), 2).as("amount"))))
+        .as("x"))
+      .select(col("x.component").as("component"), col("x.amount"))
+      .orderBy("component")
   }
 
   /** Lorenz-curve decile table — the inequality PROFILE behind

@@ -73,6 +73,27 @@ class CustomerSpec extends SparkSpec {
       ("B", 1L, 15.0, 150000L), ("C", 1L, 5.0, 50000L)), s"${out.toSeq}")
   }
 
+  test("revenueBridge: hand-decomposed price/volume/new/lost effects " +
+      "reconcile to the total revenue delta") {
+    // P1: A (q10 @5 = 50), B (q4 @10 = 40), lost C (7)
+    // P2: A (q12 @6 = 72), B (q2 @10 = 20), new D (9)
+    // price = 12, volume = -10, new = 9, lost = -7, delta = 4
+    val rows = Seq(
+      ("A", false, 50.0, 10.0), ("B", false, 40.0, 4.0),
+      ("C", false, 7.0, 1.0),
+      ("A", true, 72.0, 12.0), ("B", true, 20.0, 2.0),
+      ("D", true, 9.0, 1.0))
+    val df = rows.toDF("e", "isP2", "rev", "qty")
+    val out = Customer.revenueBridge(df, "e", col("isP2"), "rev", "qty")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("1_price") == 12.0, s"$out")
+    assert(out("2_volume") == -10.0, s"$out")
+    assert(out("3_new") == 9.0 && out("4_lost") == -7.0)
+    assert(out("5_delta_total") == 4.0)
+    assert(math.abs(out("1_price") + out("2_volume") + out("3_new")
+      + out("4_lost") - out("5_delta_total")) < 1e-9)
+  }
+
   test("lorenzDeciles: values 1..20 give exact ascending cumulative " +
       "shares; a uniform base tracks the diagonal") {
     val df = (1 to 20).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
