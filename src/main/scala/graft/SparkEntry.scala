@@ -10674,7 +10674,95 @@ object SparkEntry {
         |SELECT yr, n_items, mean_days, slow_ppm,
         |  round(mean_days - lag(mean_days) OVER (ORDER BY yr), 6)
         |    AS d_mean
-        |FROM g ORDER BY yr""".stripMargin))
+        |FROM g ORDER BY yr""".stripMargin),
+
+    Q("q310_churn_scorecard",
+      // Churn-risk scorecard per market segment: recency = days from
+      // each customer's last order to the corpus max date (broadcast
+      // 1-row), at-risk = recency > 400 days, median recency from the
+      // exact grid machinery. Integer day math + ppm rates — the
+      // retention-ops view beside q252's RFM cube.
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val maxD = broadcast(o.agg(max(col("o_orderdate")).as("mx")))
+        val perC = o.groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_o"))
+          .crossJoin(maxD)
+          .select(col("o_custkey"),
+            datediff(col("mx"), col("last_o")).as("rec"))
+          .join(Tables.customer(s, dir)
+            .select(col("c_custkey").as("o_custkey"),
+              col("c_mktsegment")), "o_custkey")
+          .localCheckpoint(true)
+        val med = graft.operators.Ranks.quantileDisc(
+            perC, "c_mktsegment", "rec", Seq(0.5))
+          .select(col("c_mktsegment"),
+            col("value").cast("long").as("median_recency_days"))
+        perC.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(when(col("rec") > 400, 1L).otherwise(0L)).as("__ar"))
+          .join(med, "c_mktsegment")
+          .select(col("c_mktsegment"), col("n_customers"),
+            expr("(__ar * 1000000) div n_customers").as("at_risk_ppm"),
+            col("median_recency_days"))
+          .orderBy("c_mktsegment")
+      },
+      """WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+        |pc AS (SELECT o.o_custkey,
+        |    datediff('day', max(o.o_orderdate), mx.mx) AS rec
+        |  FROM orders o, mx GROUP BY o.o_custkey, mx.mx),
+        |j AS (SELECT c.c_mktsegment, pc.rec FROM pc
+        |  JOIN customer c ON c.c_custkey = pc.o_custkey)
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+        |  (sum(CASE WHEN rec > 400 THEN 1 ELSE 0 END)::BIGINT
+        |    * 1000000) // count(*) AS at_risk_ppm,
+        |  quantile_disc(rec, 0.5)::BIGINT AS median_recency_days
+        |FROM j GROUP BY 1 ORDER BY c_mktsegment""".stripMargin),
+
+    Q("q311_supplier_hhi",
+      // Supplier-concentration audit: Herfindahl–Hirschman index of
+      // supplier revenue shares per nation (sum of squared shares;
+      // 10000-scale — >2500 = highly concentrated). Shares are
+      // identical doubles of exact decimal sums; per-supplier terms
+      // round to 6 dp and DECIMAL-sum per nation. One scan + one
+      // broadcast-joined supplier dimension.
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_extendedprice")
+            .cast(org.apache.spark.sql.types.DecimalType(19, 4)))
+            .as("r"))
+          .join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey").as("l_suppkey"),
+              col("s_nationkey"))), "l_suppkey")
+        val nat = rev.groupBy("s_nationkey")
+          .agg(sum(col("r")).as("nr"))
+        rev.join(nat, "s_nationkey")
+          .select(col("s_nationkey"),
+            round(col("r").cast("double") / col("nr").cast("double")
+                * (col("r").cast("double") / col("nr").cast("double"))
+                * 10000.0, 6)
+              .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+              .as("__t"))
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_suppliers"),
+            round(sum(col("__t")).cast("double"), 2).as("hhi"))
+          .orderBy("s_nationkey")
+      },
+      """WITH rev AS (SELECT l_suppkey,
+        |    sum(l_extendedprice::DECIMAL(19,4)) AS r
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT s.s_nationkey, rev.r FROM rev
+        |  JOIN supplier s ON s.s_suppkey = rev.l_suppkey),
+        |nat AS (SELECT s_nationkey, sum(r) AS nr FROM j GROUP BY 1),
+        |t AS (SELECT j.s_nationkey,
+        |    round((j.r::VARCHAR)::DOUBLE / (nat.nr::VARCHAR)::DOUBLE
+        |      * ((j.r::VARCHAR)::DOUBLE / (nat.nr::VARCHAR)::DOUBLE)
+        |      * 10000.0, 6)::DECIMAL(28,6) AS t
+        |  FROM j JOIN nat USING (s_nationkey))
+        |SELECT s_nationkey, count(*)::BIGINT AS n_suppliers,
+        |  round((sum(t)::VARCHAR)::DOUBLE, 2) AS hhi
+        |FROM t GROUP BY 1 ORDER BY s_nationkey""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
