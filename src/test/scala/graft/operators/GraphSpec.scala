@@ -169,6 +169,21 @@ class GraphSpec extends SparkSpec {
       s"round 2 must relax via 2: $two")
   }
 
+  test("consistency: cheapestPaths with unit costs reproduces " +
+      "bfsHopHistogram distances exactly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val unit = edges.withColumn("cost", lit(1L))
+    val byCost = Graph.cheapestPaths(unit, Seq(1L).toDF("v"),
+      rounds = 4, topK = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byHops = Graph.bfsHopHistogram(edges, Seq(1L).toDF("v"), 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val costHist = byCost.values.groupBy(identity)
+      .map { case (c, vs) => (c.toInt, vs.size.toLong) }
+    assert(costHist == byHops, s"$costHist vs $byHops")
+  }
+
   test("bfsHopHistogram: a seed absent from the graph still counts " +
       "at distance 0; orientation of edges is irrelevant") {
     val edges = Seq((2L, 1L), (1L, 2L), (3L, 2L)).toDF("a", "b")

@@ -29,6 +29,18 @@ class IsotonicSpec extends SparkSpec {
     assert(outW.toSeq == Seq(200000L, 200000L))
   }
 
+  test("pavPpm conserves weighted mass: sum n_i * iso_rate equals " +
+      "total positives up to ppm truncation dust") {
+    val noisy = (0L until 15L).map(b =>
+      (b, 40L, (b * 29 % 17) + 2)).toDF("bin", "n", "pos")
+    val rows = Isotonic.pavPpm(noisy).collect()
+    val mass = rows.map(r => r.getLong(1) * r.getLong(4)).sum
+    val posTotal = rows.map(_.getLong(2)).sum * 1000000L
+    // each pooled block truncates once: dust < n_total per block
+    assert(math.abs(mass - posTotal) < 15L * 40L * 15L,
+      s"$mass vs $posTotal")
+  }
+
   test("pavPpm output is always nondecreasing on a noisy table and " +
       "partitioning-independent") {
     val noisy = (0L until 20L).map(b =>

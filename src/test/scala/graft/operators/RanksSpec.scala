@@ -99,6 +99,17 @@ class RanksSpec extends SparkSpec {
       .isNullAt(3))
   }
 
+  test("consistency: for exactly two groups, tie-corrected " +
+      "Kruskal-Wallis H equals the Mann-Whitney z squared") {
+    val df = (1 to 300).map(i =>
+      (if (i % 2 == 0) "a" else "b",
+        (i % 17) / 2.0 + (if (i % 2 == 0) 1.0 else 0.0)))
+      .toDF("g", "v")
+    val h = Ranks.kruskalWallis(df, "v", "g").head().getDouble(2)
+    val z = Ranks.mannWhitney(df, "v", "g", "a", "b").head().getDouble(3)
+    assert(math.abs(h - z * z) < 1e-3, s"H=$h z^2=${z * z}")
+  }
+
   test("cramerVonMises: identical samples give T = 0; disjoint " +
       "supports the hand value 0.375") {
     val same = Seq((1.0, "a"), (2.0, "a"), (1.0, "b"), (2.0, "b"))
