@@ -10762,7 +10762,57 @@ object SparkEntry {
         |  FROM j JOIN nat USING (s_nationkey))
         |SELECT s_nationkey, count(*)::BIGINT AS n_suppliers,
         |  round((sum(t)::VARCHAR)::DOUBLE, 2) AS hhi
-        |FROM t GROUP BY 1 ORDER BY s_nationkey""".stripMargin))
+        |FROM t GROUP BY 1 ORDER BY s_nationkey""".stripMargin),
+
+    Q("q312_eta_squared",
+      // Which dimension explains order value ([[graft.operators
+      // .AbTest.etaSquared]]): η² = SSB/SST of o_totalprice by market
+      // segment, order priority, and order year — one exact-decimal
+      // moment scan per dimension, cross-group sums 6-dp
+      // DECIMAL-summed (q272's discipline). Dimensional triage before
+      // any modeling.
+      (s, dir) => graft.operators.AbTest.etaSquared(
+        Tables.orders(s, dir)
+          .join(broadcast(Tables.customer(s, dir)
+            .select(col("c_custkey").as("o_custkey"),
+              col("c_mktsegment"))), "o_custkey")
+          .withColumn("order_year",
+            year(col("o_orderdate")).cast("string")),
+        Seq("c_mktsegment", "o_orderpriority", "order_year"),
+        "o_totalprice"),
+      {
+        def one(dim: String, expr0: String) =
+          s"""(WITH m AS (SELECT $expr0 AS g, count(*)::BIGINT AS nn,
+             |    (sum(o_totalprice::DECIMAL(19,4))::VARCHAR)::DOUBLE
+             |      AS s,
+             |    (sum(o_totalprice::DECIMAL(19,4)
+             |      * o_totalprice::DECIMAL(19,4))::VARCHAR)::DOUBLE
+             |      AS q
+             |  FROM orders o JOIN customer c
+             |    ON c.c_custkey = o.o_custkey
+             |  GROUP BY 1),
+             |t AS (SELECT nn,
+             |    round(s, 6)::DECIMAL(38,6) AS sd,
+             |    round(s * s / nn::DOUBLE, 6)::DECIMAL(38,6) AS tt,
+             |    round(q, 6)::DECIMAL(38,6) AS qd
+             |  FROM m),
+             |a AS (SELECT count(*)::BIGINT AS k, sum(nn)::BIGINT AS n,
+             |    (sum(sd)::VARCHAR)::DOUBLE AS s,
+             |    (sum(qd)::VARCHAR)::DOUBLE AS q,
+             |    (sum(tt)::VARCHAR)::DOUBLE AS ssb_part
+             |  FROM a0)
+             |SELECT '$dim' AS dimension, k AS k_levels,
+             |  round((ssb_part - s * s / n::DOUBLE)
+             |    / (q - s * s / n::DOUBLE), 6) AS eta2
+             |FROM a)""".stripMargin.replace("FROM a0)", "FROM t)")
+        s"""SELECT * FROM (
+           |${one("c_mktsegment", "c.c_mktsegment")}
+           |UNION ALL
+           |${one("o_orderpriority", "o.o_orderpriority")}
+           |UNION ALL
+           |${one("order_year", "year(o.o_orderdate)::VARCHAR")})
+           |ORDER BY dimension""".stripMargin
+      }))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -99,6 +99,43 @@ object AbTest {
         (col("k") - 1L).as("df1"), (col("n") - col("k")).as("df2"))
   }
 
+  /** Variance explained (η² = SSB/SST) for each of several candidate
+    * grouping dimensions — "which dimension actually structures this
+    * metric": one exact-decimal moment scan PER dimension (k scans of
+    * the same relation — Catalyst caches nothing here, but each scan
+    * is one partial-agg groupBy), cross-group sums 6-dp DECIMAL-summed
+    * like [[anovaF]]. Returns (dimension, k_levels, eta2) ordered by
+    * dimension — compare magnitudes, not significance (q272 owns the
+    * F-test). */
+  def etaSquared(df: DataFrame, dims: Seq[String], valueCol: String)
+      : DataFrame = {
+    require(dims.nonEmpty)
+    val d386 = DecimalType(38, 6)
+    dims.map { dim =>
+      val m = df
+        .select(col(dim).as("__g"), d184(col(valueCol)).as("__v"))
+        .groupBy("__g")
+        .agg(count(lit(1)).as("__n"),
+          sum(col("__v")).cast("double").as("__s"),
+          sum(col("__v") * col("__v")).cast("double").as("__q"))
+      m.select(col("__n"),
+          round(col("__s"), 6).cast(d386).as("__sd"),
+          round(col("__s") * col("__s") / col("__n").cast("double"), 6)
+            .cast(d386).as("__t"),
+          round(col("__q"), 6).cast(d386).as("__qd"))
+        .agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+          sum(col("__sd")).cast("double").as("s"),
+          sum(col("__qd")).cast("double").as("q"),
+          sum(col("__t")).cast("double").as("ssb_part"))
+        .select(lit(dim).as("dimension"), col("k").as("k_levels"),
+          round({
+            val nD = col("n").cast("double")
+            (col("ssb_part") - col("s") * col("s") / nD) /
+              (col("q") - col("s") * col("s") / nD)
+          }, 6).as("eta2"))
+    }.reduce(_ unionAll _).orderBy("dimension")
+  }
+
   /** Brown–Forsythe test of variance homogeneity across groups — the
     * robust Levene variant: [[anovaF]] applied to each row's absolute
     * deviation from its GROUP MEDIAN (medians from

@@ -95,6 +95,20 @@ class AbTestSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("etaSquared: a dimension that fully determines the value " +
+      "scores 1; an orthogonal dimension scores ~0") {
+    val df = (0 until 240).map { i =>
+      val a = s"a${i % 3}"        // determines v completely
+      val b = s"b${(i / 3) % 4}"  // orthogonal
+      (a, b, 10.0 * (i % 3))
+    }.toDF("dim_a", "dim_b", "v")
+    val out = AbTest.etaSquared(df, Seq("dim_a", "dim_b"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("dim_a") == ((3L, 1.0)), s"$out")
+    assert(out("dim_b")._1 == 4L && out("dim_b")._2 < 0.01, s"$out")
+  }
+
   test("brownForsythe: equal spread around different medians gives " +
       "F = 0 (location-free); unequal spreads a positive F") {
     val equal = Seq(("a", 1.0), ("a", 3.0), ("b", 11.0), ("b", 13.0))
