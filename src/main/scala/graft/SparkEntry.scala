@@ -10812,7 +10812,31 @@ object SparkEntry {
            |UNION ALL
            |${one("order_year", "year(o.o_orderdate)::VARCHAR")})
            |ORDER BY dimension""".stripMargin
-      }))
+      }),
+
+    Q("q313_activity_heatmap",
+      // Weekday × hour activity heatmap of events — the ops-dashboard
+      // staple: one partial-agg groupBy to the fixed 168-cell grid,
+      // exact counts + truncated-ppm share of total (broadcast 1-row).
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select((dayofweek(col("ts")) - 1).as("dow"),
+            hour(col("ts")).as("hr"))
+        val tot = broadcast(ev.agg(count(lit(1)).as("__t")))
+        ev.groupBy("dow", "hr").agg(count(lit(1)).as("n_events"))
+          .crossJoin(tot)
+          .select(col("dow"), col("hr"), col("n_events"),
+            expr("(n_events * 1000000) div __t").as("share_ppm"))
+          .orderBy("dow", "hr")
+      },
+      """WITH e AS (SELECT dayofweek(ts)::INT AS dow,
+        |    hour(ts)::INT AS hr FROM events),
+        |t AS (SELECT count(*)::BIGINT AS t FROM e),
+        |g AS (SELECT dow, hr, count(*)::BIGINT AS n_events FROM e
+        |  GROUP BY 1, 2)
+        |SELECT g.dow, g.hr, g.n_events,
+        |  (g.n_events * 1000000) // t.t AS share_ppm
+        |FROM g, t ORDER BY dow, hr""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
