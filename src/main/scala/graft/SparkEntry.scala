@@ -10836,7 +10836,57 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT g.dow, g.hr, g.n_events,
         |  (g.n_events * 1000000) // t.t AS share_ppm
-        |FROM g, t ORDER BY dow, hr""".stripMargin))
+        |FROM g, t ORDER BY dow, hr""".stripMargin),
+
+    Q("q314_interarrival_check",
+      // Memorylessness audit: per event type, per-user inter-arrival
+      // gaps (user-partitioned lag — never a corpus window), exact
+      // integer-second mean and grid median, and the
+      // median/(mean·ln 2) ratio — ≈ 1 for a Poisson process, ≪ 1
+      // for bursty users. Gap sums are exact longs; the only float
+      // work is three divisions on the per-type frame.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")
+          .orderBy(col("s").asc, col("event_id").asc)
+        val gaps = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_timestamp(date_trunc("second", col("ts"))).as("s"))
+          .withColumn("g", col("s") - lag("s", 1).over(w))
+          .filter(col("g").isNotNull)
+          .select(col("event_type"), col("g"))
+          .localCheckpoint(true)
+        val med = graft.operators.Ranks.quantileDisc(
+            gaps, "event_type", "g", Seq(0.5))
+          .select(col("event_type"),
+            col("value").cast("long").as("median_s"))
+        gaps.groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("__sg"))
+          .join(med, "event_type")
+          .select(col("event_type"), col("n_gaps"),
+            round(col("__sg").cast("double")
+              / col("n_gaps").cast("double"), 6).as("mean_s"),
+            col("median_s"),
+            round(col("median_s").cast("double")
+              / (col("__sg").cast("double")
+                / col("n_gaps").cast("double") * 0.6931471805599453),
+              6).as("memoryless_ratio"))
+          .orderBy("event_type")
+      },
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch(date_trunc('second', ts))::BIGINT AS s FROM events),
+        |g0 AS (SELECT event_type,
+        |    s - lag(s) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY s, event_id) AS g
+        |  FROM e),
+        |g AS (SELECT event_type, g FROM g0 WHERE g IS NOT NULL)
+        |SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |  round(sum(g)::DOUBLE / count(*)::DOUBLE, 6) AS mean_s,
+        |  quantile_disc(g, 0.5)::BIGINT AS median_s,
+        |  round(quantile_disc(g, 0.5)::DOUBLE
+        |    / (sum(g)::DOUBLE / count(*)::DOUBLE
+        |      * 0.6931471805599453), 6) AS memoryless_ratio
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
