@@ -10886,7 +10886,49 @@ object SparkEntry {
         |  round(quantile_disc(g, 0.5)::DOUBLE
         |    / (sum(g)::DOUBLE / count(*)::DOUBLE
         |      * 0.6931471805599453), 6) AS memoryless_ratio
-        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin))
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin),
+
+    Q("q315_revenue_var",
+      // Empirical daily-revenue value-at-risk and expected shortfall
+      // at p = 1/16 (BINARY-EXACT — ⌈p·n⌉ agrees across engines; the
+      // 0.05 convention does not survive float ceil): the worst-tail
+      // risk readout on the calendar grid. VaR from the exact grid
+      // quantile; ES = decimal mean of the days at or below it.
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .select(date_trunc("day", col("o_orderdate")).as("d"),
+            col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              .as("v"))
+          .groupBy("d").agg(sum(col("v")).as("x"))
+          .withColumn("g", lit("all")).localCheckpoint(true)
+        val v = graft.operators.Ranks.quantileDisc(
+            daily.select(col("g"), col("x").cast("double").as("xd")),
+            "g", "xd", Seq(0.0625))
+          .select(col("value").as("var_p"))
+        daily.crossJoin(broadcast(v))
+          .agg(count(lit(1)).as("n_days"), max(col("var_p")).as("vp"),
+            sum(when(col("x").cast("double") <= col("var_p"),
+              col("x"))).as("__st"),
+            sum(when(col("x").cast("double") <= col("var_p"), 1L)
+              .otherwise(0L)).as("__nt"))
+          .select(col("n_days"), round(col("vp"), 2).as("var_6p25"),
+            round(col("__st").cast("double")
+              / col("__nt").cast("double"), 6)
+              .as("expected_shortfall"))
+      },
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    sum(o_totalprice::DECIMAL(18,2)) AS x
+        |  FROM orders GROUP BY 1),
+        |v AS (SELECT quantile_disc(x::DOUBLE, 0.0625) AS vp
+        |  FROM daily)
+        |SELECT count(*)::BIGINT AS n_days,
+        |  round(v.vp, 2) AS var_6p25,
+        |  round((sum(CASE WHEN x::DOUBLE <= v.vp THEN x END)
+        |      ::VARCHAR)::DOUBLE
+        |    / sum(CASE WHEN x::DOUBLE <= v.vp THEN 1 ELSE 0 END)
+        |      ::DOUBLE, 6) AS expected_shortfall
+        |FROM daily, v GROUP BY v.vp""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
