@@ -6598,13 +6598,19 @@ object SparkEntry {
         .orderBy("i", "j"),
       s"""WITH x AS (
          |  SELECT vec_id, gs.i AS i,
-         |    round(embedding[gs.i]::DOUBLE, 6) AS v
-         |  FROM embeddings, generate_series(1, $EmbedDim) gs(i))
-         |SELECT (a.i - 1)::INT AS i, (b.i - 1)::INT AS j,
-         |  round(sum(a.v * b.v) / count(*)
-         |    - (sum(a.v) / count(*)) * (sum(b.v) / count(*)), 6) AS cov
-         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin),
+         |    CAST(round(round(embedding[gs.i]::DOUBLE, 6) * 1000000)
+         |      AS BIGINT) AS k
+         |  FROM embeddings, generate_series(1, $EmbedDim) gs(i)),
+         |m AS (
+         |  SELECT a.i AS ai, b.i AS bi, count(*)::HUGEINT AS n,
+         |    sum(a.k::HUGEINT) AS ska, sum(b.k::HUGEINT) AS skb,
+         |    sum(a.k::HUGEINT * b.k::HUGEINT) AS skk
+         |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY 1, 2)
+         |SELECT (ai - 1)::INT AS i, (bi - 1)::INT AS j,
+         |  round((n * skk - ska * skb)::DOUBLE
+         |    / n::DOUBLE / n::DOUBLE / 1e12, 6) AS cov
+         |FROM m ORDER BY i, j""".stripMargin),
 
     Q("q202_padding_waste",
       // Length-bucketed padding-waste profile
@@ -10629,13 +10635,13 @@ object SparkEntry {
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
         |SELECT l_returnflag, p, value FROM (
         |  SELECT l_returnflag, 0.25::DOUBLE AS p,
-        |    quantile_disc(days, 0.25) AS value FROM d GROUP BY 1
+        |    quantile_disc(days, 0.25)::DOUBLE AS value FROM d GROUP BY 1
         |  UNION ALL
         |  SELECT l_returnflag, 0.5::DOUBLE,
-        |    quantile_disc(days, 0.5) FROM d GROUP BY 1
+        |    quantile_disc(days, 0.5)::DOUBLE FROM d GROUP BY 1
         |  UNION ALL
         |  SELECT l_returnflag, 0.75::DOUBLE,
-        |    quantile_disc(days, 0.75) FROM d GROUP BY 1)
+        |    quantile_disc(days, 0.75)::DOUBLE FROM d GROUP BY 1)
         |ORDER BY l_returnflag, p""".stripMargin),
 
     Q("q309_ship_lead_trend",

@@ -23,8 +23,12 @@ object Pca {
 
   /** Covariance matrix as rows (i, j, cov), i ≤ j, population form,
     * rounded to 6. One scan; inputs pre-rounded to 6 with Spark's
-    * `round` so the moment sums are the same multiset of doubles in
-    * any engine. */
+    * `round` (i.e. exact integers at scale 1e6), moments accumulated
+    * in EXACT integer arithmetic ([[CovMomentsAgg]]), and the
+    * covariance assembled by exact integer algebra — cov(i,j) =
+    * (n·Σkᵢkⱼ − Σkᵢ·Σkⱼ) / n² / 1e12 — with ONE double division at
+    * the end. The result is a pure function of the input multiset:
+    * bit-identical across partitionings and engines. */
   def covarianceMatrix(embs: DataFrame, vecCol: String, dim: Int)
       : DataFrame = {
     val rounded = transform(col(vecCol), x => round(x.cast("double"), 6))
@@ -33,6 +37,10 @@ object Pca {
     // index maps for the flattened upper triangle: k-th entry = (i, j)
     val iIdx = (for { i <- 0 until dim; j <- i until dim } yield i).toArray
     val jIdx = (for { i <- 0 until dim; j <- i until dim } yield j).toArray
+    val ski = element_at(col("sx"),
+      element_at(typedLit(iIdx), col("k") + 1) + 1)
+    val skj = element_at(col("sx"),
+      element_at(typedLit(jIdx), col("k") + 1) + 1)
     moments.select(
         element_at(col("m"), 1).as("n"),
         slice(col("m"), 2, dim).as("sx"),
@@ -42,37 +50,43 @@ object Pca {
       .select(
         element_at(typedLit(iIdx), col("k") + 1).as("i"),
         element_at(typedLit(jIdx), col("k") + 1).as("j"),
+        // exact DECIMAL(38,0) numerator, then double division in a
+        // fixed op order the oracle mirrors token-for-token
         round(
-          col("sxy") / col("n")
-            - (element_at(col("sx"),
-                element_at(typedLit(iIdx), col("k") + 1) + 1) / col("n"))
-            * (element_at(col("sx"),
-                element_at(typedLit(jIdx), col("k") + 1) + 1) / col("n")),
+          (col("n") * col("sxy") - ski * skj).cast("double")
+            / col("n").cast("double") / col("n").cast("double") / 1e12,
           6).as("cov"))
   }
 
-  /** Driver-side moments fetch: (n, mean, full d×d covariance). */
+  /** Driver-side moments fetch: (n, mean, full d×d covariance).
+    * Moments arrive as exact DECIMAL(38,0) scaled integers; covariance
+    * entries use the same exact-numerator-then-one-division rule as
+    * [[covarianceMatrix]]. */
   def momentsLocal(embs: DataFrame, vecCol: String, dim: Int)
       : (Long, Array[Double], Array[Array[Double]]) = {
     val rounded = transform(col(vecCol), x => round(x.cast("double"), 6))
     val m = embs.agg(CovMomentsAgg.covMoments(rounded, dim).as("m"))
-      .head().getSeq[Double](0).toArray
-    val n = m(0)
+      .head().getSeq[java.math.BigDecimal](0)
+      .map(d => d.toBigIntegerExact: BigInt).toArray
+    val n = m(0).longValue
     require(n > 0, "covariance of an empty corpus")
-    val mean = (0 until dim).map(i => m(1 + i) / n).toArray
+    val nD = n.toDouble
+    val sk = (0 until dim).map(i => m(1 + i)).toArray
+    val mean = sk.map(s => s.toDouble / 1e6 / nD)
     val cov = Array.ofDim[Double](dim, dim)
     var k = 1 + dim
     var i = 0
     while (i < dim) {
       var j = i
       while (j < dim) {
-        val c = m(k) / n - mean(i) * mean(j)
+        val num = m(0) * m(k) - sk(i) * sk(j)
+        val c = num.toDouble / nD / nD / 1e12
         cov(i)(j) = c; cov(j)(i) = c
         k += 1; j += 1
       }
       i += 1
     }
-    (n.toLong, mean, cov)
+    (n, mean, cov)
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns

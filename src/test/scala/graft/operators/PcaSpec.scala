@@ -81,6 +81,22 @@ class PcaSpec extends SparkSpec {
     assert(top8 <= total + 1e-9 && top8 > 0.0)
   }
 
+  test("covarianceMatrix is bit-identical across repartitionings " +
+      "(exact integer moments)") {
+    val embs = graft.Tables.embeddings(spark, SfDir)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Int, Int, Double)] =
+      Pca.covarianceMatrix(df, "embedding", Dim)
+        .orderBy("i", "j").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    val a = run(embs.repartition(1))
+    val b = run(embs.repartition(17))
+    val c = run(embs.repartition(32, col("vec_id")))
+    assert(a == b, "1-partition vs 17-partition covariance differs")
+    assert(a == c, "1-partition vs keyed-32 covariance differs")
+    // exactness sanity: every value is a 6-dp decimal exactly
+    assert(a.forall { case (_, _, v) => math.rint(v * 1e6) / 1e6 == v })
+  }
+
   test("varianceExplained shares sum to the top-k fraction") {
     val evals = Array(4.0, 2.0, 1.0, 1.0)
     val df = Pca.varianceExplained(spark, evals)

@@ -196,6 +196,26 @@ class RanksSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("quantileDisc at exact p*n integer boundaries: rank ceil(p*n) " +
+      "(DuckDB quantile_disc parity)") {
+    // n = 4 per group and p = 0.25/0.5/0.75 ⇒ p*n = 1, 2, 3 exactly:
+    // the boundary where ceil(p*n) and floor(p*(n-1))+1 rules diverge.
+    // DuckDB quantile_disc picks the ceil(p*n)-th value (1-indexed),
+    // i.e. 10, 20, 30 — NOT 20, 30, 40.
+    val df = Seq(("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", 40.0))
+      .toDF("grp", "v")
+    val out = Ranks.quantileDisc(df, "grp", "v", Seq(0.25, 0.5, 0.75))
+      .orderBy("p").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0.25, 10.0), (0.5, 20.0), (0.75, 30.0)))
+    // and with duplicated values straddling the boundary (ties)
+    val ties = Seq(1.0, 1.0, 2.0, 2.0, 2.0, 3.0).map(("t", _))
+      .toDF("grp", "v")
+    val o2 = Ranks.quantileDisc(ties, "grp", "v", Seq(0.5, 1.0 / 3))
+      .orderBy("p").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    // n=6: p=1/3 ⇒ rank 2 ⇒ 1.0; p=0.5 ⇒ rank 3 ⇒ 2.0
+    assert(o2.toSeq == Seq((1.0 / 3, 1.0), (0.5, 2.0)))
+  }
+
   test("quantileDisc plan: grid windows partition by (group, bucket), " +
       "never the group column alone") {
     val ev = graft.Tables.events(spark, SfDir)
