@@ -127,22 +127,31 @@ object Graph {
   def labelPropagationAssignments(edges: DataFrame, rounds: Int)
       : DataFrame = {
     require(rounds >= 1)
-    val e = canon(edges).localCheckpoint(true)
+    // static per-round relation: neighbour pairs hash-partitioned ONCE
+    // on the join key (n) — rounds re-shuffle only the nodes-sized
+    // label relation (or broadcast it when metadata-sized), never the
+    // edge corpus. Lazy checkpoints keep lineage O(1) per round while
+    // fusing materialization into the terminal action.
+    val e = canon(edges)
     val nbrs = e.select(col("a").as("v"), col("b").as("n"))
       .unionAll(e.select(col("b").as("v"), col("a").as("n")))
-      .localCheckpoint(true) // reused every round
+      .repartition(col("n"))
+      .localCheckpoint(false) // reused every round
     var labels = nbrs.select(col("v")).distinct()
       .select(col("v"), col("v").as("label"))
+      .localCheckpoint(false)
+    val bc = labels.count() <= PageRank.BroadcastStateUpTo
     for (_ <- 1 to rounds) {
+      val l = labels.withColumnRenamed("v", "n")
       labels = nbrs
-        .join(labels.withColumnRenamed("v", "n"), "n") // neighbour labels
+        .join(if (bc) broadcast(l) else l, "n") // neighbour labels
         .groupBy("v", "label").agg(count(lit(1)).as("cnt"))
         .groupBy("v")
         // argmax by (cnt desc, label asc) as a min over a struct — a
         // k=1-bounded aggregate, partial-agg friendly, integer-exact
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
         .select(col("v"), col("m.l").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     labels
   }
@@ -159,8 +168,13 @@ object Graph {
     * (n_edges, n_communities, modularity). */
   def modularity(edges: DataFrame, assignments: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val e = canon(edges).localCheckpoint(true)
-    val la = assignments.select(col("v"), col("label"))
+    val e = canon(edges).localCheckpoint(false)
+    // the assignment relation is nodes-sized; broadcast it when
+    // metadata-sized so both label joins stay map-side over e
+    val la0 = assignments.select(col("v"), col("label"))
+      .localCheckpoint(false)
+    val la = if (la0.count() <= PageRank.BroadcastStateUpTo)
+      broadcast(la0) else la0
     val withL = e
       .join(la.withColumnRenamed("v", "a")
         .withColumnRenamed("label", "la"), "a")

@@ -5,12 +5,27 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Fixed-iteration PageRank (Page et al. 1999) as iterative DataFrame
-  * algebra — the Pregel-lite shape: each iteration is ONE partial-agg
-  * groupBy of edge contributions joined back to the rank relation, so
-  * an iteration costs exactly one shuffle on the node key and the edge
-  * relation partitions once and is reused (cached here; at 100 TB,
-  * co-partition edges and ranks on src so the join is shuffle-free and
-  * checkpoint every few iterations to cut the lineage).
+  * algebra — the Pregel-lite shape, tuned so an iteration never moves
+  * the edge corpus:
+  *
+  *  - The static relation (edges FUSED with out-degree — one setup
+  *    join, not one per iteration) is hash-partitioned ONCE on the
+  *    join key and `localCheckpoint`ed; the checkpoint's `LogicalRDD`
+  *    keeps the `outputPartitioning`, so every iteration's join reuses
+  *    it with NO edge shuffle. Per iteration only the nodes-sized rank
+  *    relation moves: one shuffle in, one partial-agg'd contribution
+  *    shuffle out.
+  *  - When the node set is metadata-sized (`broadcastStateUpTo`,
+  *    default 4M — a ~100 MB frame), the rank relation BROADCASTS
+  *    instead, making the join map-side: an iteration is then a single
+  *    partial-agg shuffle whose wire size is ~(partitions × nodes),
+  *    independent of edge count. At 1000-executor scale with billions
+  *    of nodes the knob disables itself and the co-partitioned path
+  *    carries.
+  *  - Checkpoints are LAZY: lineage still truncates to O(1) per
+  *    iteration (planning stays constant-cost), but materialization
+  *    fuses into the terminal action instead of paying one scheduled
+  *    job per iteration.
   *
   * Cross-engine determinism: a node's incoming contribution sum is
   * order-dependent in doubles, so each contribution is rounded to
@@ -23,6 +38,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object PageRank {
 
+  /** Ranks small enough to broadcast each iteration (rows). ~4M nodes
+    * × ~25 B ≈ 100 MB — inside a healthy driver/executor budget; past
+    * it the co-partitioned shuffle path takes over automatically. */
+  val BroadcastStateUpTo: Long = 4L * 1000 * 1000
+
+  private def maybeBroadcast(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
+
   /** `edges`: (src: string, dst: string), treated as given (pre-dedup
     * them if multiplicity is not intended). Every node must have at
     * least one out-edge (symmetrize bipartite graphs — this keeps the
@@ -30,21 +53,27 @@ object PageRank {
     * Returns (node, rank) after `iters` damped iterations from the
     * uniform start, rank rounded to `outDp` dp. */
   def run(edges: DataFrame, iters: Int, damping: Double,
-      outDp: Int = 9): DataFrame = {
+      outDp: Int = 9,
+      broadcastStateUpTo: Long = BroadcastStateUpTo): DataFrame = {
     require(iters >= 1, "iters >= 1")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val e0 = edges.select(col("src"), col("dst"))
+    // static: (src, dst, deg) partitioned once on the iteration key
+    val ew = e0
+      .join(e0.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
     val n = nodes.count() // metadata-scale action: one long
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val bc = n <= broadcastStateUpTo
 
     val init = nodes.select(col("node"),
       round(lit(1.0) / n, 12).cast(DecimalType(28, 12)).as("rank"))
 
     val ranks = (1 to iters).foldLeft(init) { case (r, _) =>
-      val contrib = e
-        .join(r.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
+      val contrib = ew
+        .join(maybeBroadcast(r.withColumnRenamed("node", "src"), bc), "src")
         .select(col("dst").as("node"),
           round(col("rank").cast("double") / col("deg").cast("double"), 12)
             .cast(DecimalType(28, 12)).as("c"))
@@ -57,7 +86,7 @@ object PageRank {
           round(lit(1.0 - damping) / n +
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12)
             .cast(DecimalType(28, 12)).as("rank"))
-        .localCheckpoint(true) // O(1) lineage across iterations
+        .localCheckpoint(false) // O(1) lineage, fused materialization
     }
     ranks.select(col("node"), round(col("rank").cast("double"), outDp).as("rank"))
   }
@@ -65,32 +94,39 @@ object PageRank {
   /** Personalized PageRank (random walk with restart): teleport mass
     * returns only to `seeds` instead of everywhere, so ranks measure
     * proximity TO THE SEED SET — the "related items" / expansion
-    * primitive. Same fixed-point decimal algebra as [[run]] (the
-    * oracle unrolls it bit-for-bit); seeds are broadcast, iteration
-    * cost unchanged. `seeds` must have a `node` column and be a
-    * subset of the graph's nodes. */
+    * primitive. Same fixed-point decimal algebra and iteration shape
+    * as [[run]] (the oracle unrolls it bit-for-bit); seeds are
+    * broadcast, iteration cost unchanged. `seeds` must have a `node`
+    * column and be a subset of the graph's nodes. */
   def personalized(edges: DataFrame, seeds: DataFrame, iters: Int,
-      damping: Double, outDp: Int = 9): DataFrame = {
+      damping: Double, outDp: Int = 9,
+      broadcastStateUpTo: Long = BroadcastStateUpTo): DataFrame = {
     require(iters >= 1, "iters >= 1")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val e0 = edges.select(col("src"), col("dst"))
+    val ew = e0
+      .join(e0.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
       .join(broadcast(seeds.select(col("node")).distinct()
         .withColumn("__seed", lit(1L))), Seq("node"), "left")
       .select(col("node"), coalesce(col("__seed"), lit(0L)).as("seed"))
-      .localCheckpoint(true)
-    val nSeeds = nodes.filter(col("seed") === 1L).count()
+      .localCheckpoint(false)
+    val counts = nodes.agg(count(lit(1)), sum(col("seed"))).head()
+    val n = counts.getLong(0)
+    val nSeeds = counts.getLong(1)
     require(nSeeds >= 1, "at least one seed must be a graph node")
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val bc = n <= broadcastStateUpTo
     val teleport = round(col("seed").cast("double") * (1.0 - damping)
       / nSeeds, 12)
     val init = nodes.select(col("node"), col("seed"),
       round(col("seed").cast("double") / nSeeds, 12)
         .cast(DecimalType(28, 12)).as("rank"))
     val ranks = (1 to iters).foldLeft(init) { case (r, _) =>
-      val contrib = e
-        .join(r.select(col("node").as("src"), col("rank")), "src")
-        .join(outdeg, "src")
+      val contrib = ew
+        .join(maybeBroadcast(
+          r.select(col("node").as("src"), col("rank")), bc), "src")
         .select(col("dst").as("node"),
           round(col("rank").cast("double") / col("deg").cast("double"), 12)
             .cast(DecimalType(28, 12)).as("c"))
@@ -101,7 +137,7 @@ object PageRank {
           round(teleport +
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12)
             .cast(DecimalType(28, 12)).as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks.select(col("node"),
       round(col("rank").cast("double"), outDp).as("rank"))
@@ -114,35 +150,45 @@ object PageRank {
     * single-role walk loses the distinction. Sum-normalized variant
     * (L1 instead of L2): normalization totals are DECIMAL-exact, so
     * the same fixed-point rounding discipline as [[run]] applies and
-    * the oracle unrolls bit-for-bit. Each half-iteration is one
-    * shuffle on the receiving side's key. Returns authority scores
+    * the oracle unrolls bit-for-bit. The edge list is partitioned
+    * once per direction (hub-keyed and auth-keyed copies — each
+    * half-iteration joins on a different key); score relations
+    * broadcast below the state threshold. Returns authority scores
     * (node, auth) rounded to `outDp`. */
-  def hits(edges: DataFrame, iters: Int, outDp: Int = 9): DataFrame = {
+  def hits(edges: DataFrame, iters: Int, outDp: Int = 9,
+      broadcastStateUpTo: Long = BroadcastStateUpTo): DataFrame = {
     require(iters >= 1)
+    // eager: the hub- and auth-keyed repartitions below are sibling
+    // stages that would race a lazy checkpoint and compute it twice
     val e = edges.select(col("hub"), col("auth")).distinct()
       .localCheckpoint(true)
-    val hubs = e.select(col("hub")).distinct().localCheckpoint(true)
+    val eByHub = e.repartition(col("hub")).localCheckpoint(false)
+    val eByAuth = e.repartition(col("auth")).localCheckpoint(false)
+    val hubs = e.select(col("hub")).distinct().localCheckpoint(false)
     val nh = hubs.count()
+    val bc = nh <= broadcastStateUpTo
     var h = hubs.select(col("hub"),
       round(lit(1.0) / nh, 12).cast(DecimalType(28, 12)).as("hs"))
     var a: DataFrame = null
     for (_ <- 1 to iters) {
-      val araw = e.join(h, "hub")
+      val araw = eByHub.join(maybeBroadcast(h, bc), "hub")
         .groupBy("auth").agg(sum(col("hs")).as("ar")) // exact decimal
+        .localCheckpoint(true) // reused by the racing total + rescale
       val at = araw.agg(sum(col("ar")).as("t"))
       a = araw.crossJoin(broadcast(at))
         .select(col("auth"),
           round(col("ar").cast("double") / col("t").cast("double"), 12)
             .cast(DecimalType(28, 12)).as("as"))
-        .localCheckpoint(true)
-      val hraw = e.join(a, "auth")
+        .localCheckpoint(false)
+      val hraw = eByAuth.join(maybeBroadcast(a, bc), "auth")
         .groupBy("hub").agg(sum(col("as")).as("hr"))
+        .localCheckpoint(true)
       val ht = hraw.agg(sum(col("hr")).as("t"))
       h = hraw.crossJoin(broadcast(ht))
         .select(col("hub"),
           round(col("hr").cast("double") / col("t").cast("double"), 12)
             .cast(DecimalType(28, 12)).as("hs"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     a.select(col("auth").as("node"),
       round(col("as").cast("double"), outDp).as("auth"))

@@ -374,47 +374,135 @@ object Ranks {
 
   /** Exact per-group discrete quantiles (percentile_disc: the value at
     * rank ⌈p·n⌉) WITHOUT a sort-based percentile aggregate — the
-    * 100 TB-safe twin of `percentile()`: one groupBy to the
-    * (group, value, count) grid, per-group bucketed-prefix cumulatives
-    * (grid windows partition by (group, bucket) — never a corpus
-    * column alone), then each requested p selects the unique grid row
-    * with below < ⌈p·n⌉ ≤ below + count. All selection math is exact
-    * LONG/integer arithmetic; ps must be binary-exact fractions (.25,
-    * .5, .75) so ⌈p·n⌉ agrees across engines.
+    * 100 TB-safe twin of `percentile()`, as distributed selection with
+    * RECURSIVE bucket refinement:
+    *
+    *  1. one partial-agg scan to a per-(group, bucket) COUNT histogram
+    *     (grid-sized: groups × ≤ nBuckets rows) with an exclusive
+    *     prefix over the bucket grid (grid windows partition by group
+    *     and order a ≤ nBuckets domain — never a corpus column); each
+    *     requested p locates the unique bucket holding rank ⌈p·n⌉ and
+    *     keeps only that slice (broadcast-pruned map-side);
+    *  2. value-range bucketing CAN degenerate on skew — a heavy-tailed
+    *     distribution puts nearly every row in the median's bucket —
+    *     so any (group, p) slice still wider than `maxSlice` rows is
+    *     re-bucketed on its ACTUAL min/max and re-located, repeatedly
+    *     (≤ 6 levels; a slice whose range collapses to a single double
+    *     IS the answer). Small slices finish with an in-slice
+    *     row_number — a bounded, never corpus-sized sort.
+    *
+    * No corpus-sized shuffle anywhere: the histogram pass moves
+    * ≤ partitions × nBuckets partial counts and each refinement only
+    * ever rescans the (cached, shrinking) located slice. All selection
+    * math is exact LONG/integer arithmetic; ps must be binary-exact
+    * fractions (.25, .5, .75) so ⌈p·n⌉ agrees across engines. Equal
+    * values always share a bucket, and in-slice row_number ties occur
+    * only between EQUAL values, so the selected VALUE is deterministic
+    * under any partitioning. NULL values are excluded (DuckDB
+    * quantile_disc semantics).
     *
     * Returns (groupCol, p, value) — one row per group × p. */
   def quantileDisc(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[Double], nBuckets: Int = 1024): DataFrame = {
+      ps: Seq[Double], nBuckets: Int = 1024,
+      maxSlice: Long = 65536L, maxLevels: Int = 6): DataFrame = {
+    require(ps.nonEmpty, "at least one quantile")
     val g = col(groupCol)
-    val perValue = df.select(g.as("g"), col(valueCol).cast("double").as("v"))
-      .groupBy("g", "v").agg(count(lit(1)).as("n_v"))
-    val bounds = perValue.groupBy("g")
-      .agg(min("v").as("__lo"), max("v").as("__hi"), sum("n_v").as("n_g"))
-    val withB = perValue.join(broadcast(bounds), "g")
-      .withColumn("__b",
-        when(col("__hi") === col("__lo"), lit(0))
-          .otherwise(least(lit(nBuckets - 1),
-            floor((col("v") - col("__lo"))
-              / (col("__hi") - col("__lo")) * nBuckets).cast("int"))))
-      .drop("__lo", "__hi")
-    val wGrid = Window.partitionBy("g").orderBy(col("__b").asc)
+
+    def bucketCol(lo: Column, hi: Column, v: Column): Column =
+      when(hi === lo, lit(0))
+        .otherwise(greatest(lit(0), least(lit(nBuckets - 1),
+          floor((v - lo) / (hi - lo) * nBuckets).cast("int"))))
+
+    // eager checkpoints throughout: every level's slice feeds several
+    // consumers including broadcast branches, which Spark materializes
+    // concurrently — a lazy checkpoint would race and compute twice
+    val raw = df.select(g.as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint(true)
+    val bounds = raw.groupBy("g")
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+
+    // ---- level 0: one histogram per GROUP (all ps share it) ----
+    val wG = Window.partitionBy("g").orderBy(col("__b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prefixes = withB.groupBy("g", "__b").agg(sum("n_v").as("__bn"))
-      .withColumn("__pre", coalesce(sum("__bn").over(wGrid), lit(0L)))
-      .select(col("g"), col("__b"), col("__pre"))
-    val wLocal = Window.partitionBy("g", "__b").orderBy(col("v").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = withB.join(broadcast(prefixes), Seq("g", "__b"))
-      .withColumn("below",
-        col("__pre") + coalesce(sum("n_v").over(wLocal), lit(0L)))
-    val targets = ps.map(p =>
-      struct(lit(p).as("p"),
-        ceil(lit(p) * col("n_g").cast("double")).cast("long").as("tgt")))
-    cum.withColumn("__t", explode(array(targets: _*)))
-      .filter(col("__t.tgt") > col("below")
-        && col("__t.tgt") <= col("below") + col("n_v"))
-      .select(col("g").as(groupCol), col("__t.p").as("p"),
-        col("v").as("value"))
+    val hist0 = raw.join(broadcast(bounds), "g")
+      .withColumn("__b", bucketCol(col("lo"), col("hi"), col("v")))
+      .groupBy("g", "__b").agg(count(lit(1)).as("bn"))
+      .withColumn("pre", coalesce(sum("bn").over(wG), lit(0L)))
+    val targets = ps.map(p => struct(lit(p).as("p"),
+      ceil(lit(p) * col("n").cast("double")).cast("long").as("tgt")))
+    val loc0 = hist0
+      .join(broadcast(bounds.select(col("g"), col("n"))), "g")
+      .withColumn("__t", explode(array(targets: _*)))
+      .filter(col("__t.tgt") > col("pre")
+        && col("__t.tgt") <= col("pre") + col("bn"))
+      .select(col("g"), col("__t.p").as("p"), col("__b"),
+        (col("__t.tgt") - col("pre")).as("tgt"))
+      .localCheckpoint(true) // grid-sized
+    // initial per-(group, p) slice: the located bucket's rows (ps
+    // sharing a bucket just replicate that ~1/nBuckets slice)
+    var slice = raw.join(broadcast(bounds), "g")
+      .withColumn("__b", bucketCol(col("lo"), col("hi"), col("v")))
+      .join(broadcast(loc0), Seq("g", "__b"))
+      .select(col("g"), col("p"), col("v"), col("tgt"))
+      .localCheckpoint(true)
+
+    val wSel = Window.partitionBy("g", "p").orderBy(col("v").asc)
+    def finalize(s: DataFrame): DataFrame =
+      s.withColumn("__rn", row_number().over(wSel))
+        .filter(col("__rn") === col("tgt"))
+        .select(col("g"), col("p"), col("v").as("value"))
+
+    var results = List.empty[DataFrame]
+    var level = 0
+    var exhausted = false
+    while (level < maxLevels && !exhausted) {
+      val st = slice.groupBy("g", "p")
+        .agg(min("v").as("lo"), max("v").as("hi"),
+          count(lit(1)).as("m"), max("tgt").as("tgt"))
+        .localCheckpoint(true) // grid-sized; consumed by 3 branches
+      // collapsed range: every remaining value is equal — the answer
+      results ::= st.filter(col("hi") === col("lo"))
+        .select(col("g"), col("p"), col("lo").as("value"))
+      // small slice: exact in-slice rank (bounded sort)
+      val small = st.filter(col("hi") =!= col("lo") && col("m") <= maxSlice)
+        .select(col("g"), col("p"))
+      results ::= finalize(slice.join(broadcast(small), Seq("g", "p")))
+      val big = st.filter(col("hi") =!= col("lo") && col("m") > maxSlice)
+      if (big.isEmpty) {
+        exhausted = true
+      } else {
+        // skew refinement: re-bucket the oversized slices on their
+        // ACTUAL bounds and re-locate the target rank inside
+        val wGP = Window.partitionBy("g", "p").orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bs = slice
+          .join(broadcast(big.select(col("g"), col("p"),
+            col("lo"), col("hi"))), Seq("g", "p"))
+          .withColumn("__b", bucketCol(col("lo"), col("hi"), col("v")))
+          .select(col("g"), col("p"), col("v"), col("tgt"), col("__b"))
+          .localCheckpoint(true)
+        val hist = bs.groupBy("g", "p", "__b").agg(count(lit(1)).as("bn"))
+          .withColumn("pre", coalesce(sum("bn").over(wGP), lit(0L)))
+        val loc = hist
+          .join(broadcast(big.select(col("g"), col("p"), col("tgt"))),
+            Seq("g", "p"))
+          .filter(col("tgt") > col("pre")
+            && col("tgt") <= col("pre") + col("bn"))
+          .select(col("g"), col("p"), col("__b"),
+            (col("tgt") - col("pre")).as("__tgt2"))
+        slice = bs.drop("tgt")
+          .join(broadcast(loc), Seq("g", "p", "__b"))
+          .select(col("g"), col("p"), col("v"), col("__tgt2").as("tgt"))
+          .localCheckpoint(true)
+      }
+      level += 1
+    }
+    // pathological doubles can survive maxLevels of refinement: finish
+    // whatever remains with the (correct, possibly large) sort
+    if (!exhausted) results ::= finalize(slice)
+    results.reduce(_ unionAll _)
+      .select(col("g").as(groupCol), col("p"), col("value"))
   }
 
   /** Average precision (area under the precision–recall curve by the

@@ -144,7 +144,7 @@ object TimeSeries {
       .groupBy("d").agg(sum(col("v")).as("x"))
       .select(datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
         col("x").cast("double").as("x"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // eager: consumed by racing broadcast branches
     val pairs = daily.select(col("t").as("ti"), col("x").as("xi"))
       .join(daily.select(col("t").as("tj"), col("x").as("xj")),
         col("tj") > col("ti"))
