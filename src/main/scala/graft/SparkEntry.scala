@@ -10934,7 +10934,119 @@ object SparkEntry {
         |      ::VARCHAR)::DOUBLE
         |    / sum(CASE WHEN x::DOUBLE <= v.vp THEN 1 ELSE 0 END)
         |      ::DOUBLE, 6) AS expected_shortfall
-        |FROM daily, v GROUP BY v.vp""".stripMargin))
+        |FROM daily, v GROUP BY v.vp""".stripMargin),
+
+    Q("q316_csv_roundtrip",
+      // S7 CSV ingest as a driver-gated query (was spec-only): dump
+      // nation to CSV (quoted, whitespace-preserving), ingest through
+      // [[graft.table.ParquetCatalog.insertFromCsv]] (header + string
+      // schema + fillna("") — the reference's pd.read_csv contract,
+      // postgres.py:148-224), read the catalog table back. The oracle
+      // reads the ORIGINAL parquet, so any CSV fidelity loss
+      // (quoting, whitespace, null handling) hash-fails.
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_csvrt_").toString
+        val csvDir = tmp + "/nation_csv"
+        Tables.nation(s, dir).coalesce(1).write
+          .option("header", "true")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .mode("overwrite").csv(csvDir)
+        val cat = graft.table.ParquetCatalog(s, tmp + "/cat")
+        cat.insertFromCsv("nation_rt", csvDir)
+        cat.table("nation_rt")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
+        |  n_regionkey::VARCHAR AS n_regionkey
+        |FROM nation ORDER BY n_nationkey::VARCHAR""".stripMargin),
+
+    Q("q317_catalog_list",
+      // D3/D6/P4 catalog listing as a driver-gated query (was
+      // spec-only): one catalog table per region (names derived from
+      // the data), plus crashed-staging and protocol-dir decoys the
+      // listing must hide (postgres.py ORDER BY table_name parity +
+      // the engine's swap-healing discipline). The 5-row region
+      // collect is metadata by construction.
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_cat_").toString
+        val cat = graft.table.ParquetCatalog(s, tmp)
+        val names = Tables.region(s, dir)
+          .select(lower(col("r_name")).as("n")).orderBy("n")
+          .collect().map(r => "tbl_" + r.getString(0).replace(' ', '_'))
+        names.foreach(n => cat.createTable(n,
+          new org.apache.spark.sql.types.StructType().add("id", "string")))
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(tmp + "/junk__tmp_delete"))
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(tmp + "/.protocol"))
+        cat.listTables().toDF("name").orderBy("name")
+      },
+      """SELECT 'tbl_' || replace(lower(r_name), ' ', '_') AS name
+        |FROM region ORDER BY name""".stripMargin),
+
+    Q("q318_table_lifecycle",
+      // D1/D2/D5 lifecycle as a driver-gated query (was spec-only):
+      // insert-create from the BUILDING customers, drop, recreate
+      // empty from the schema; each step reports (exists, row count).
+      // Counts are the oracle's own aggregates over customer.
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_lc_").toString
+        val cat = graft.table.ParquetCatalog(s, tmp)
+        val sub = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+        cat.insert("cust_building", sub)
+        val r1 = ("created", cat.tableExists("cust_building"),
+          cat.table("cust_building").count())
+        cat.dropTable("cust_building")
+        val r2 = ("dropped", cat.tableExists("cust_building"), 0L)
+        cat.createTable("cust_building", sub.schema)
+        val r3 = ("recreated", cat.tableExists("cust_building"),
+          cat.table("cust_building").count())
+        Seq(r1, r2, r3).toDF("step", "table_exists", "n_rows")
+          .orderBy("step")
+      },
+      """SELECT * FROM (
+        |  SELECT 'created' AS step, CAST(1 AS BOOLEAN) AS table_exists,
+        |    (SELECT count(*) FROM customer
+        |     WHERE c_mktsegment = 'BUILDING')::BIGINT AS n_rows
+        |  UNION ALL SELECT 'dropped', CAST(0 AS BOOLEAN), 0::BIGINT
+        |  UNION ALL SELECT 'recreated', CAST(1 AS BOOLEAN), 0::BIGINT)
+        |ORDER BY step""".stripMargin),
+
+    Q("q319_select_by_key",
+      // S9/P1 keyed lookup through the catalog as a driver-gated query
+      // (was spec-only): orders subset stored with a STRING key (the
+      // reference's RDB keys are text), selectByKey's equality filter
+      // reaches the parquet scan. Key = min qualifying orderkey —
+      // data-derived, one-scalar metadata action.
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sbk_").toString
+        val cat = graft.table.ParquetCatalog(s, tmp)
+        val sub = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 32 === 0)
+          .select(col("o_orderkey").cast("string").as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+        cat.insert("orders_k", sub)
+        val key = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 32 === 0)
+          .agg(min("o_orderkey")).head().getLong(0).toString
+        cat.selectByKey("orders_k", "o_orderkey", key)
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey::VARCHAR AS o_orderkey, o_custkey,
+        |  o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders
+        |                    WHERE o_orderkey % 32 = 0)
+        |ORDER BY o_orderkey""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
