@@ -11046,7 +11046,43 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders
         |                    WHERE o_orderkey % 32 = 0)
-        |ORDER BY o_orderkey""".stripMargin))
+        |ORDER BY o_orderkey""".stripMargin),
+
+    Q("q320_es_bulk_export",
+      // S8 interop leg as a driver-gated roundtrip: export the English
+      // documents through the `es-bulk` DSv2 sink ([[graft.sources
+      // .EsBulkDataSource]] — the reference's helpers.bulk NDJSON
+      // protocol, elasticsearch_index.py:122-172, against the
+      // filesystem transport double), then parse the landed bulk
+      // payloads back: any action-line, chunking, or JSON-fidelity
+      // defect hash-fails against the plain relational oracle.
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_esx_").toString
+        val sub = Tables.documents(s, dir)
+          .filter(col("lang") === "en")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        sub.write.format("es-bulk")
+          .option("es.resource", "documents")
+          .option("es.nodes", out)
+          .option("es.mapping.id", "doc_id")
+          .mode("append").save()
+        s.read.text(s"$out/*.ndjson")
+          .filter(!col("value").startsWith("{\"index\":{\"_index\":"))
+          .select(from_json(col("value"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("lang",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("n_chars",
+                org.apache.spark.sql.types.LongType)))).as("d"))
+          .select(col("d.doc_id").as("doc_id"), col("d.lang").as("lang"),
+            col("d.n_chars").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
