@@ -1,0 +1,371 @@
+package graft.embed
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** A minimal, dependency-free ONNX loader + executor for the
+  * feed-forward model class embedding pipelines actually ship
+  * (projection / MLP / pooling heads): enough to run a real `.onnx`
+  * file — protobuf wire format parsed directly, no protobuf library,
+  * no native runtime — inside executor JVMs with zero egress.
+  *
+  * This is the production leg of the [[Embedder]] seam (reference
+  * embeds with bge-m3 via Ollama, `parsing.py:49`): [[OnnxEmbedder]]
+  * featurizes text deterministically and runs the graph per call. The
+  * op set is the dense-inference subset (MatMul/Gemm, elementwise
+  * arithmetic with scalar-or-vector broadcast, Relu/Tanh/Sigmoid/Sqrt,
+  * ReduceMean/ReduceSum, LpNormalization, Identity) — a transformer
+  * tokenizer+attention stack is out of scope and would ride the same
+  * trait through a real runtime binding instead.
+  *
+  * Scale shape: the model BYTES are what ships into closures
+  * (broadcast-friendly); the parsed graph is rebuilt lazily
+  * per-executor ([[OnnxEmbedder]] is Serializable with a @transient
+  * parsed form — the [[BatchEmbed]] one-instance-per-partition
+  * discipline).
+  */
+object Onnx {
+
+  // ------------------------------------------------------ protobuf wire
+  /** Cursor over one length-delimited scope of protobuf wire format. */
+  final class Pb(val bytes: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      var b = 0
+      do {
+        b = bytes(pos) & 0xff; pos += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      v
+    }
+    def tag(): (Int, Int) = { val t = varint(); ((t >>> 3).toInt, (t & 7).toInt) }
+    def fixed32(): Int = {
+      val v = ByteBuffer.wrap(bytes, pos, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      pos += 4; v
+    }
+    def fixed64(): Long = {
+      val v = ByteBuffer.wrap(bytes, pos, 8)
+        .order(ByteOrder.LITTLE_ENDIAN).getLong
+      pos += 8; v
+    }
+    def lenDelim(): Pb = {
+      val n = varint().toInt
+      val r = new Pb(bytes, pos, pos + n)
+      pos += n; r
+    }
+    def bytesOut(): Array[Byte] = {
+      val n = varint().toInt
+      val r = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+      pos += n; r
+    }
+    def str(): String = new String(bytesOut(), "UTF-8")
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 =>
+        // NB: `pos += varint()` reads pos BEFORE varint() advances it
+        val n = varint().toInt
+        pos += n
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"wire type $w")
+    }
+  }
+
+  // ------------------------------------------------------------- model
+  final case class Tensor(dims: Array[Int], data: Array[Float]) {
+    def rows: Int = if (dims.length >= 2) dims(dims.length - 2) else 1
+    def cols: Int = dims.last
+  }
+  final case class Node(opType: String, inputs: Seq[String],
+      outputs: Seq[String], attrI: Map[String, Long],
+      attrF: Map[String, Float], attrInts: Map[String, Seq[Long]])
+  final case class Graph(nodes: Seq[Node],
+      initializers: Map[String, Tensor],
+      inputs: Seq[String], outputs: Seq[String])
+
+  /** Parse a serialized ModelProto. Unknown fields are skipped, so
+    * files with opset imports / docs / metadata load fine. */
+  def load(modelBytes: Array[Byte]): Graph = {
+    val m = new Pb(modelBytes, 0, modelBytes.length)
+    var graph: Graph = null
+    while (m.hasMore) {
+      val (f, w) = m.tag()
+      if (f == 7 && w == 2) graph = parseGraph(m.lenDelim())
+      else m.skip(w)
+    }
+    require(graph != null, "no GraphProto in model")
+    graph
+  }
+
+  private def parseGraph(p: Pb): Graph = {
+    val nodes = Seq.newBuilder[Node]
+    val inits = Map.newBuilder[String, Tensor]
+    val ins = Seq.newBuilder[String]
+    val outs = Seq.newBuilder[String]
+    while (p.hasMore) {
+      val (f, w) = p.tag()
+      (f, w) match {
+        case (1, 2)  => nodes += parseNode(p.lenDelim())
+        case (5, 2)  => inits += parseTensor(p.lenDelim())
+        case (11, 2) => ins += valueInfoName(p.lenDelim())
+        case (12, 2) => outs += valueInfoName(p.lenDelim())
+        case _       => p.skip(w)
+      }
+    }
+    val initMap = inits.result()
+    // graph "inputs" include initializers in some exporters; the FEED
+    // inputs are those without initializer entries
+    Graph(nodes.result(), initMap,
+      ins.result().filterNot(initMap.contains), outs.result())
+  }
+
+  private def valueInfoName(p: Pb): String = {
+    var name = ""
+    while (p.hasMore) {
+      val (f, w) = p.tag()
+      if (f == 1 && w == 2) name = p.str() else p.skip(w)
+    }
+    name
+  }
+
+  private def parseNode(p: Pb): Node = {
+    val in = Seq.newBuilder[String]; val out = Seq.newBuilder[String]
+    var op = ""
+    val ai = Map.newBuilder[String, Long]
+    val af = Map.newBuilder[String, Float]
+    val aints = Map.newBuilder[String, Seq[Long]]
+    while (p.hasMore) {
+      val (f, w) = p.tag()
+      (f, w) match {
+        case (1, 2) => in += p.str()
+        case (2, 2) => out += p.str()
+        case (4, 2) => op = p.str()
+        case (5, 2) =>
+          val a = p.lenDelim()
+          var name = ""; var iv: Option[Long] = None
+          var fv: Option[Float] = None
+          val ints = Seq.newBuilder[Long]
+          while (a.hasMore) {
+            val (af2, aw) = a.tag()
+            (af2, aw) match {
+              case (1, 2) => name = a.str()
+              case (2, 5) => fv = Some(java.lang.Float
+                .intBitsToFloat(a.fixed32()))
+              case (3, 0) => iv = Some(a.varint())
+              case (8, 0) => ints += a.varint()
+              case (8, 2) => // packed ints
+                val q = a.lenDelim()
+                while (q.hasMore) ints += q.varint()
+              case _ => a.skip(aw)
+            }
+          }
+          iv.foreach(v => ai += name -> v)
+          fv.foreach(v => af += name -> v)
+          val is = ints.result()
+          if (is.nonEmpty) aints += name -> is
+        case _ => p.skip(w)
+      }
+    }
+    Node(op, in.result(), out.result(), ai.result(), af.result(),
+      aints.result())
+  }
+
+  private def parseTensor(p: Pb): (String, Tensor) = {
+    val dims = Seq.newBuilder[Long]
+    var name = ""
+    var raw: Array[Byte] = null
+    val floats = Seq.newBuilder[Float]
+    var dtype = 1L
+    while (p.hasMore) {
+      val (f, w) = p.tag()
+      (f, w) match {
+        case (1, 0) => dims += p.varint()
+        case (1, 2) => // packed dims
+          val q = p.lenDelim(); while (q.hasMore) dims += q.varint()
+        case (2, 0) => dtype = p.varint()
+        case (4, 5) => floats += java.lang.Float.intBitsToFloat(p.fixed32())
+        case (4, 2) => // packed float_data
+          val q = p.lenDelim()
+          while (q.hasMore) floats += java.lang.Float.intBitsToFloat(q.fixed32())
+        case (8, 2) => name = p.str()
+        case (9, 2) => raw = p.bytesOut()
+        case _ => p.skip(w)
+      }
+    }
+    require(dtype == 1L, s"tensor $name: only FLOAT supported, got $dtype")
+    val data =
+      if (raw != null) {
+        val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        Array.fill(raw.length / 4)(bb.getFloat)
+      } else floats.result().toArray
+    name -> Tensor(dims.result().map(_.toInt).toArray, data)
+  }
+
+  // ---------------------------------------------------------- executor
+  /** Execute the graph (nodes are topologically ordered per the ONNX
+    * spec) on the given feeds; returns the requested outputs. */
+  def run(g: Graph, feeds: Map[String, Tensor]): Map[String, Tensor] = {
+    val env = scala.collection.mutable.Map[String, Tensor]()
+    env ++= g.initializers
+    env ++= feeds
+    g.nodes.foreach { n =>
+      def in(i: Int): Tensor = env.getOrElse(n.inputs(i),
+        throw new IllegalStateException(
+          s"${n.opType}: missing input ${n.inputs(i)}"))
+      val out: Tensor = n.opType match {
+        case "MatMul" => matmul(in(0), in(1))
+        case "Gemm" =>
+          val alpha = n.attrF.getOrElse("alpha", 1.0f)
+          val beta = n.attrF.getOrElse("beta", 1.0f)
+          val tA = n.attrI.getOrElse("transA", 0L) == 1L
+          val tB = n.attrI.getOrElse("transB", 0L) == 1L
+          val a = if (tA) transpose(in(0)) else in(0)
+          val b = if (tB) transpose(in(1)) else in(1)
+          val ab = matmul(a, b)
+          val scaled = Tensor(ab.dims, ab.data.map(_ * alpha))
+          if (n.inputs.length > 2)
+            broadcastBin(scaled, Tensor(in(2).dims,
+              in(2).data.map(_ * beta)), _ + _)
+          else scaled
+        case "Add" => broadcastBin(in(0), in(1), _ + _)
+        case "Sub" => broadcastBin(in(0), in(1), _ - _)
+        case "Mul" => broadcastBin(in(0), in(1), _ * _)
+        case "Div" => broadcastBin(in(0), in(1), _ / _)
+        case "Relu" => unary(in(0), x => math.max(x, 0.0f))
+        case "Tanh" => unary(in(0), x => math.tanh(x).toFloat)
+        case "Sigmoid" =>
+          unary(in(0), x => (1.0 / (1.0 + math.exp(-x))).toFloat)
+        case "Sqrt" => unary(in(0), x => math.sqrt(x).toFloat)
+        case "Identity" => in(0)
+        case "ReduceMean" => reduce(in(0), mean = true)
+        case "ReduceSum" => reduce(in(0), mean = false)
+        case "LpNormalization" =>
+          require(n.attrI.getOrElse("p", 2L) == 2L, "only L2")
+          val t = in(0)
+          val norm = math.sqrt(t.data.map(x => x.toDouble * x).sum)
+          if (norm == 0.0) t
+          else Tensor(t.dims, t.data.map(x => (x / norm).toFloat))
+        case op => throw new UnsupportedOperationException(
+          s"ONNX op $op outside the dense-inference subset")
+      }
+      env += n.outputs.head -> out
+    }
+    g.outputs.map(o => o -> env.getOrElse(o,
+      throw new IllegalStateException(s"graph output $o not produced")))
+      .toMap
+  }
+
+  private def unary(t: Tensor, f: Float => Float): Tensor =
+    Tensor(t.dims, t.data.map(f))
+
+  /** Elementwise with trailing-dimension broadcast: equal sizes, or the
+    * smaller side a scalar / last-dim vector. */
+  private def broadcastBin(a: Tensor, b: Tensor,
+      f: (Float, Float) => Float): Tensor = {
+    if (a.data.length == b.data.length)
+      Tensor(a.dims, Array.tabulate(a.data.length)(i =>
+        f(a.data(i), b.data(i))))
+    else if (b.data.length == 1)
+      Tensor(a.dims, a.data.map(f(_, b.data(0))))
+    else if (a.data.length == 1)
+      Tensor(b.dims, b.data.map(f(a.data(0), _)))
+    else if (a.data.length % b.data.length == 0 && a.cols == b.data.length)
+      Tensor(a.dims, Array.tabulate(a.data.length)(i =>
+        f(a.data(i), b.data(i % b.data.length))))
+    else throw new IllegalArgumentException(
+      s"broadcast ${a.dims.mkString("x")} vs ${b.dims.mkString("x")}")
+  }
+
+  private def transpose(t: Tensor): Tensor = {
+    require(t.dims.length == 2, "transpose needs a matrix")
+    val (r, c) = (t.dims(0), t.dims(1))
+    val out = new Array[Float](t.data.length)
+    var i = 0
+    while (i < r) {
+      var j = 0
+      while (j < c) { out(j * r + i) = t.data(i * c + j); j += 1 }
+      i += 1
+    }
+    Tensor(Array(c, r), out)
+  }
+
+  /** [k]×[k,n]→[n]; [m,k]×[k,n]→[m,n]. */
+  private def matmul(a: Tensor, b: Tensor): Tensor = {
+    require(b.dims.length == 2, "matmul rhs must be a matrix")
+    val k = b.dims(0); val nOut = b.dims(1)
+    require(a.cols == k,
+      s"matmul shape: ${a.dims.mkString("x")} × ${b.dims.mkString("x")}")
+    val m = a.data.length / k
+    val out = new Array[Float](m * nOut)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < nOut) {
+        var s = 0.0
+        var t = 0
+        while (t < k) { s += a.data(i * k + t) * b.data(t * nOut + j); t += 1 }
+        out(i * nOut + j) = s.toFloat
+        j += 1
+      }
+      i += 1
+    }
+    if (a.dims.length == 1) Tensor(Array(nOut), out)
+    else Tensor(Array(m, nOut), out)
+  }
+
+  private def reduce(t: Tensor, mean: Boolean): Tensor = {
+    // last-axis reduce (the pooling shape); keepdims collapses to [1]
+    val n = t.cols
+    val m = t.data.length / n
+    val out = new Array[Float](m)
+    var i = 0
+    while (i < m) {
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += t.data(i * n + j); j += 1 }
+      out(i) = (if (mean) s / n else s).toFloat
+      i += 1
+    }
+    Tensor(if (t.dims.length == 1) Array(1) else Array(m), out)
+  }
+}
+
+/** The [[Embedder]] production leg: deterministic feature hashing (the
+  * same md5 bag-of-tokens front end as [[DeterministicEmbedder]] — a
+  * tokenizer stack would slot in here) followed by a REAL ONNX forward
+  * pass through [[Onnx]]. `modelBytes` is what serializes into task
+  * closures; the parsed graph rebuilds lazily per executor. */
+final case class OnnxEmbedder(modelBytes: Array[Byte],
+    featureDim: Int, seed: Long = 42L) extends Embedder {
+
+  @transient private lazy val graph = Onnx.load(modelBytes)
+  @transient private lazy val inputName = graph.inputs.headOption
+    .getOrElse(throw new IllegalArgumentException("model has no input"))
+
+  lazy val dim: Int = embedFeatures(new Array[Float](featureDim)).length
+
+  private def features(text: String): Array[Float] = {
+    val v = new Array[Float](featureDim)
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    toks.foreach { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$t".getBytes("UTF-8"))
+      val h = java.nio.ByteBuffer.wrap(d).getInt(0)
+      val idx = math.floorMod(h, featureDim)
+      val sign = if (math.floorMod(h >> 16, 2) == 0) 1.0f else -1.0f
+      v(idx) += sign
+    }
+    v
+  }
+
+  private def embedFeatures(x: Array[Float]): Array[Float] = {
+    val out = Onnx.run(graph,
+      Map(inputName -> Onnx.Tensor(Array(featureDim), x)))
+    val raw = out(graph.outputs.head).data
+    val norm = math.sqrt(raw.map(v => v.toDouble * v).sum)
+    if (norm == 0.0) raw else raw.map(v => (v / norm).toFloat)
+  }
+
+  def embed(text: String): Array[Float] = embedFeatures(features(text))
+}
