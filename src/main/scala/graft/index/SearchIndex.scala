@@ -159,8 +159,9 @@ object SearchIndex {
       val mergedStats = spark.read.parquet(s"$indexDir/stats")
         .crossJoin(deltaStats)
         .select((col("n_docs") + col("d_n")).as("n_docs"),
-          ((col("sum_dl") + col("d_sum")) / (col("n_docs") + col("d_n")))
-            .as("avgdl"),
+          // 0/0 guard (ANSI): an empty update onto an emptied index
+          coalesce(try_divide(col("sum_dl") + col("d_sum"),
+            col("n_docs") + col("d_n")), lit(0.0)).as("avgdl"),
           (col("sum_dl") + col("d_sum")).as("sum_dl"))
       writeSwap(mergedStats, s"$indexDir/stats", partitionCol = None, store)
     } finally delta.unpersist()
@@ -617,13 +618,40 @@ object SearchIndex {
     * files, same bytes). Each subdirectory swap goes through the same
     * [[graft.table.CommitStore]] primitive as [[writeSwap]]. A bucket
     * the rewrite emptied (no staged dir) is deleted from the live
-    * table — that's what a rebuild without its rows would produce. */
+    * table — that's what a rebuild without its rows would produce.
+    *
+    * Invariant kept for readers: the dir is ALWAYS a readable parquet
+    * table. A rewrite that empties EVERY bucket would otherwise leave a
+    * footer-less dir (schema inference fails on the next read), so the
+    * emptied table is published as a FLAT 0-row parquet file carrying
+    * the full schema — `bucketCol` as a regular column. The inverse
+    * transition (first rows arriving into an emptied table) clears that
+    * marker before bucket dirs go live, or partition discovery would
+    * see a mixed flat/partitioned layout. */
   private def writeSwapBuckets(df: DataFrame, dir: String,
       bucketCol: String, buckets: Seq[Any],
       store: graft.table.CommitStore = graft.table.LocalCommitStore): Unit = {
     import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dirP = Paths.get(dir)
+    def bucketDirs(): Seq[java.nio.file.Path] =
+      if (!Files.isDirectory(dirP)) Nil
+      else Files.list(dirP).iterator.asScala
+        .filter(_.getFileName.toString.startsWith(s"$bucketCol="))
+        .toSeq
+    def markerFiles(): Seq[java.nio.file.Path] =
+      if (!Files.isDirectory(dirP)) Nil
+      else Files.list(dirP).iterator.asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) &&
+          (n.startsWith("part-") || n == "_SUCCESS" || n.endsWith(".crc"))
+      }.toSeq
     val tmp = dir + "__tmp"
     df.write.mode("overwrite").partitionBy(bucketCol).parquet(tmp)
+    val anyStaged = buckets.exists(b =>
+      Files.exists(Paths.get(tmp, s"$bucketCol=$b")))
+    if (anyStaged && bucketDirs().isEmpty)
+      markerFiles().foreach(store.deleteRecursive) // revive from marker
     buckets.foreach { b =>
       val staged = Paths.get(tmp, s"$bucketCol=$b")
       val live   = Paths.get(dir, s"$bucketCol=$b")
@@ -631,6 +659,8 @@ object SearchIndex {
       else store.deleteRecursive(live)
     }
     store.deleteRecursive(Paths.get(tmp))
+    if (bucketDirs().isEmpty) // every bucket emptied: publish the marker
+      writeSwap(df.limit(0), dir, partitionCol = None, store)
   }
 
   /** Doc-level retraction (PII / takedown): remove `ids` from postings,
@@ -709,10 +739,13 @@ object SearchIndex {
         s"$indexDir/docfreq", "term_bucket", touched, store)
 
       // stats: subtract the pre-swap scalar delta
+      // retracting the LAST doc empties the index: n_docs hits 0 and
+      // avgdl is 0/0 — define it as 0.0 (bm25 never reads avgdl from an
+      // empty index, but the stats row must still write)
       val mergedStats = spark.read.parquet(s"$indexDir/stats")
         .select((col("n_docs") - lit(dN)).as("n_docs"),
-          ((col("sum_dl") - lit(dSum)) / (col("n_docs") - lit(dN)))
-            .as("avgdl"),
+          coalesce(try_divide(col("sum_dl") - lit(dSum),
+            col("n_docs") - lit(dN)), lit(0.0)).as("avgdl"),
           (col("sum_dl") - lit(dSum)).as("sum_dl"))
       writeSwap(mergedStats, s"$indexDir/stats", partitionCol = None,
         store)
@@ -798,10 +831,13 @@ object SearchIndex {
       writeSwapBuckets(mergedDf.repartition(col("term_bucket")),
         s"$indexDir/docfreq", "term_bucket", touched, store)
 
+      // retracting the LAST doc empties the index: n_docs hits 0 and
+      // avgdl is 0/0 — define it as 0.0 (bm25 never reads avgdl from an
+      // empty index, but the stats row must still write)
       val mergedStats = spark.read.parquet(s"$indexDir/stats")
         .select((col("n_docs") - lit(dN)).as("n_docs"),
-          ((col("sum_dl") - lit(dSum)) / (col("n_docs") - lit(dN)))
-            .as("avgdl"),
+          coalesce(try_divide(col("sum_dl") - lit(dSum),
+            col("n_docs") - lit(dN)), lit(0.0)).as("avgdl"),
           (col("sum_dl") - lit(dSum)).as("sum_dl"))
       writeSwap(mergedStats, s"$indexDir/stats", partitionCol = None,
         store)

@@ -762,4 +762,29 @@ class SearchIndexSpec extends SparkSpec {
     // the negative term demotes but does not exclude
     assert(docs.exists(neg), "fixture has at least one demoted match")
   }
+
+  test("bulkDelete of EVERY doc empties the index cleanly; update revives it") {
+    import spark.implicits._
+    // regression: retracting the last doc sent n_docs to 0 and avgdl to
+    // 0/0 — ANSI mode turned the stats rewrite into DIVIDE_BY_ZERO
+    // (found through the serving layer's single-file index lifecycle)
+    val docs = Seq((1L, "solo qqdoc alpha"), (2L, "solo qqdoc beta"))
+      .toDF("doc_id", "text")
+    val embs = Seq((1L, Array.fill(64)(0.1f).toSeq),
+      (2L, Array.fill(64)(0.2f).toSeq)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val d = Files.createTempDirectory("index_empty").toString
+    SearchIndex.build(docs, embs, d)
+
+    SearchIndex.bulkDelete(spark, d, Seq(1L, 2L).toDF("doc_id"))
+    val stats = spark.read.parquet(s"$d/stats").head()
+    assert(stats.getDouble(0) === 0.0) // n_docs
+    assert(stats.getDouble(1) === 0.0) // avgdl: defined, not NaN/error
+    assert(SearchIndex.bm25(spark, d, "solo qqdoc").count() === 0)
+
+    // the emptied index accepts a fresh update and answers again
+    SearchIndex.update(docs, embs, d)
+    assert(SearchIndex.bm25(spark, d, "solo qqdoc").count() === 2)
+    assert(spark.read.parquet(s"$d/stats").head().getDouble(0) === 2.0)
+  }
 }
