@@ -401,24 +401,42 @@ object Ranks {
     * under any partitioning. NULL values are excluded (DuckDB
     * quantile_disc semantics).
     *
+    * SCHEDULING: per refinement level the only user-blocking job is a
+    * collect of the per-(group, p) slice STATE — grid-sized by design
+    * (groups × ps rows, same bound as the result itself) and guarded
+    * by `maxDriverGrid` with a fully-distributed fallback, so a
+    * high-cardinality group column can never flood the driver. The
+    * driver routes each (group, p) to its collapsed / small / refine
+    * branch as broadcast LITERALS; everything else (the corpus scan,
+    * histograms, located slices) sits behind LAZY localCheckpoints —
+    * lazy so materialization fuses into the state collect instead of
+    * paying one scheduled job each (6+ blocking jobs → 1 per level),
+    * but still checkpoints so every downstream plan sees a LogicalRDD
+    * leaf: with plain persists the nested union/window trees re-enter
+    * Catalyst whole at every level and analysis time EXPLODES (a
+    * measured 2-call composition spent ~40 s in the optimizer).
+    *
     * Returns (groupCol, p, value) — one row per group × p. */
   def quantileDisc(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], nBuckets: Int = 1024,
-      maxSlice: Long = 65536L, maxLevels: Int = 6): DataFrame = {
+      maxSlice: Long = 65536L, maxLevels: Int = 6,
+      maxDriverGrid: Int = 65536): DataFrame = {
     require(ps.nonEmpty, "at least one quantile")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
     val g = col(groupCol)
+    val spark = df.sparkSession
 
     def bucketCol(lo: Column, hi: Column, v: Column): Column =
       when(hi === lo, lit(0))
         .otherwise(greatest(lit(0), least(lit(nBuckets - 1),
           floor((v - lo) / (hi - lo) * nBuckets).cast("int"))))
 
-    // eager checkpoints throughout: every level's slice feeds several
-    // consumers including broadcast branches, which Spark materializes
-    // concurrently — a lazy checkpoint would race and compute twice
     val raw = df.select(g.as("g"), col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    val gType = raw.schema("g").dataType
     val bounds = raw.groupBy("g")
       .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
 
@@ -438,20 +456,24 @@ object Ranks {
         && col("__t.tgt") <= col("pre") + col("bn"))
       .select(col("g"), col("__t.p").as("p"), col("__b"),
         (col("__t.tgt") - col("pre")).as("tgt"))
-      .localCheckpoint(true) // grid-sized
     // initial per-(group, p) slice: the located bucket's rows (ps
     // sharing a bucket just replicate that ~1/nBuckets slice)
     var slice = raw.join(broadcast(bounds), "g")
       .withColumn("__b", bucketCol(col("lo"), col("hi"), col("v")))
       .join(broadcast(loc0), Seq("g", "__b"))
       .select(col("g"), col("p"), col("v"), col("tgt"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     val wSel = Window.partitionBy("g", "p").orderBy(col("v").asc)
     def finalize(s: DataFrame): DataFrame =
       s.withColumn("__rn", row_number().over(wSel))
         .filter(col("__rn") === col("tgt"))
         .select(col("g"), col("p"), col("v").as("value"))
+
+    // literal-frame builders for the driver-routed state
+    def gpFrame(rows: Seq[Row]): DataFrame = spark.createDataFrame(
+      rows.asJava, StructType(Seq(StructField("g", gType),
+        StructField("p", DoubleType, nullable = false))))
 
     var results = List.empty[DataFrame]
     var level = 0
@@ -460,11 +482,104 @@ object Ranks {
       val st = slice.groupBy("g", "p")
         .agg(min("v").as("lo"), max("v").as("hi"),
           count(lit(1)).as("m"), max("tgt").as("tgt"))
+      // the ONE blocking job this level: grid-sized slice state
+      val stRows = st.limit(maxDriverGrid + 1).collect()
+      if (stRows.length > maxDriverGrid) {
+        // guard tripped (≥64k open (group, p) cells): finish with the
+        // fully-distributed refinement — never flood the driver
+        results :::= refineDistributed(slice, bucketCol, finalize,
+          maxSlice, maxLevels - level)
+        exhausted = true
+      } else {
+        // collapsed range: every remaining value is equal — the answer.
+        // java.lang.Double.compare mirrors Spark SQL's `===` (NaN equals
+        // NaN), unlike Scala's primitive ==
+        def deq(a: Double, b: Double) = java.lang.Double.compare(a, b) == 0
+        val collapsed = stRows.filter(r => deq(r.getDouble(2), r.getDouble(3)))
+        if (collapsed.nonEmpty) results ::= spark.createDataFrame(
+          collapsed.map(r => Row(r.get(0), r.getDouble(1), r.getDouble(2)))
+            .toSeq.asJava,
+          StructType(Seq(StructField("g", gType),
+            StructField("p", DoubleType, nullable = false),
+            StructField("value", DoubleType, nullable = false))))
+        // small slice: exact in-slice rank (bounded sort)
+        val small = stRows.filter(r =>
+          !deq(r.getDouble(2), r.getDouble(3)) && r.getLong(4) <= maxSlice)
+        if (small.nonEmpty) results ::= finalize(slice.join(
+          broadcast(gpFrame(small.map(r => Row(r.get(0), r.getDouble(1)))
+            .toSeq)), Seq("g", "p")))
+        val big = stRows.filter(r =>
+          !deq(r.getDouble(2), r.getDouble(3)) && r.getLong(4) > maxSlice)
+        if (big.isEmpty) {
+          exhausted = true
+        } else {
+          // skew refinement: re-bucket the oversized slices on their
+          // ACTUAL bounds (driver literals) and re-locate the target
+          val bigDf = broadcast(spark.createDataFrame(
+            big.map(r => Row(r.get(0), r.getDouble(1), r.getDouble(2),
+              r.getDouble(3), r.getLong(5))).toSeq.asJava,
+            StructType(Seq(StructField("g", gType),
+              StructField("p", DoubleType, nullable = false),
+              StructField("lo", DoubleType, nullable = false),
+              StructField("hi", DoubleType, nullable = false),
+              StructField("tgt", LongType, nullable = false)))))
+          val wGP = Window.partitionBy("g", "p").orderBy(col("__b").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val bs = slice
+            .join(bigDf.select(col("g"), col("p"), col("lo"), col("hi")),
+              Seq("g", "p"))
+            .withColumn("__b", bucketCol(col("lo"), col("hi"), col("v")))
+            .select(col("g"), col("p"), col("v"), col("tgt"), col("__b"))
+            .localCheckpoint(false)
+          val hist = bs.groupBy("g", "p", "__b").agg(count(lit(1)).as("bn"))
+            .withColumn("pre", coalesce(sum("bn").over(wGP), lit(0L)))
+          val loc = hist
+            .join(bigDf.select(col("g"), col("p"), col("tgt")),
+              Seq("g", "p"))
+            .filter(col("tgt") > col("pre")
+              && col("tgt") <= col("pre") + col("bn"))
+            .select(col("g"), col("p"), col("__b"),
+              (col("tgt") - col("pre")).as("__tgt2"))
+          slice = bs.drop("tgt")
+            .join(broadcast(loc), Seq("g", "p", "__b"))
+            .select(col("g"), col("p"), col("v"), col("__tgt2").as("tgt"))
+            .localCheckpoint(false)
+        }
+      }
+      level += 1
+    }
+    // pathological doubles can survive maxLevels of refinement: finish
+    // whatever remains with the (correct, possibly large) sort
+    if (!exhausted) results ::= finalize(slice)
+    if (results.isEmpty) results ::= spark.createDataFrame(
+      java.util.Collections.emptyList[Row](),
+      StructType(Seq(StructField("g", gType),
+        StructField("p", DoubleType, nullable = false),
+        StructField("value", DoubleType, nullable = false))))
+    results.reduce(_ unionAll _)
+      .select(col("g").as(groupCol), col("p"), col("value"))
+  }
+
+  /** The fully-distributed refinement loop `quantileDisc` falls back
+    * to when the open (group, p) grid outgrows the driver guard —
+    * identical selection algebra, eager checkpoints per level (each
+    * level's slice feeds several concurrently-materialized broadcast
+    * branches). Returns the finished per-branch result frames. */
+  private def refineDistributed(slice0: DataFrame,
+      bucketCol: (Column, Column, Column) => Column,
+      finalize: DataFrame => DataFrame,
+      maxSlice: Long, maxLevels: Int): List[DataFrame] = {
+    var slice = slice0
+    var results = List.empty[DataFrame]
+    var level = 0
+    var exhausted = false
+    while (level < maxLevels && !exhausted) {
+      val st = slice.groupBy("g", "p")
+        .agg(min("v").as("lo"), max("v").as("hi"),
+          count(lit(1)).as("m"), max("tgt").as("tgt"))
         .localCheckpoint(true) // grid-sized; consumed by 3 branches
-      // collapsed range: every remaining value is equal — the answer
       results ::= st.filter(col("hi") === col("lo"))
         .select(col("g"), col("p"), col("lo").as("value"))
-      // small slice: exact in-slice rank (bounded sort)
       val small = st.filter(col("hi") =!= col("lo") && col("m") <= maxSlice)
         .select(col("g"), col("p"))
       results ::= finalize(slice.join(broadcast(small), Seq("g", "p")))
@@ -472,8 +587,6 @@ object Ranks {
       if (big.isEmpty) {
         exhausted = true
       } else {
-        // skew refinement: re-bucket the oversized slices on their
-        // ACTUAL bounds and re-locate the target rank inside
         val wGP = Window.partitionBy("g", "p").orderBy(col("__b").asc)
           .rowsBetween(Window.unboundedPreceding, -1)
         val bs = slice
@@ -498,11 +611,8 @@ object Ranks {
       }
       level += 1
     }
-    // pathological doubles can survive maxLevels of refinement: finish
-    // whatever remains with the (correct, possibly large) sort
     if (!exhausted) results ::= finalize(slice)
-    results.reduce(_ unionAll _)
-      .select(col("g").as(groupCol), col("p"), col("value"))
+    results
   }
 
   /** Average precision (area under the precision–recall curve by the

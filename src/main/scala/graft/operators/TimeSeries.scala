@@ -138,19 +138,24 @@ object TimeSeries {
     * (n_days, n_pairs, slope_per_day, intercept). */
   def theilSenDaily(df: DataFrame, tsCol: String, valueCol: String)
       : DataFrame = {
+    // LAZY localCheckpoints (not eager): materialization fuses into
+    // quantileDisc's internal state collect instead of paying a
+    // scheduled job each, while downstream plans still see LogicalRDD
+    // leaves — plain persists would feed the whole calendar² join tree
+    // back into Catalyst at every consumer and planning time explodes
     val daily = df
       .select(date_trunc("day", col(tsCol)).as("d"),
         col(valueCol).cast(DecimalType(18, 4)).as("v"))
       .groupBy("d").agg(sum(col("v")).as("x"))
       .select(datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
         col("x").cast("double").as("x"))
-      .localCheckpoint(true) // eager: consumed by racing broadcast branches
+      .localCheckpoint(false)
     val pairs = daily.select(col("t").as("ti"), col("x").as("xi"))
       .join(daily.select(col("t").as("tj"), col("x").as("xj")),
         col("tj") > col("ti"))
       .select(((col("xj") - col("xi"))
         / (col("tj") - col("ti")).cast("double")).as("s"))
-      .localCheckpoint(true) // calendar²-bounded; reused by count + median
+      .localCheckpoint(false)
     val slope = Ranks.quantileDisc(
       pairs.withColumn("g", lit("all")), "g", "s", Seq(0.5))
       .select(col("value").as("slope"))
