@@ -141,9 +141,9 @@ object Graph {
       .select(col("v"), col("v").as("label"))
       .localCheckpoint(false)
     val bc = labels.count() <= PageRank.BroadcastStateUpTo
-    for (_ <- 1 to rounds) {
-      val l = labels.withColumnRenamed("v", "n")
-      labels = nbrs
+    def step(labels0: DataFrame): DataFrame = {
+      val l = labels0.withColumnRenamed("v", "n")
+      nbrs
         .join(if (bc) broadcast(l) else l, "n") // neighbour labels
         .groupBy("v", "label").agg(count(lit(1)).as("cnt"))
         .groupBy("v")
@@ -151,9 +151,13 @@ object Graph {
         // k=1-bounded aggregate, partial-agg friendly, integer-exact
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
         .select(col("v"), col("m.l").as("label"))
-        .localCheckpoint(false)
     }
-    labels
+    // node-sized state: driver-carried literal rounds under the same
+    // bound the broadcast build collects at anyway (1 job per round)
+    if (bc) IterState.iterate(labels, rounds)(step)
+    else (1 to rounds).foldLeft(labels) { case (l, _) =>
+      step(l).localCheckpoint(false)
+    }
   }
 
   /** Newman–Girvan modularity of a community assignment:
@@ -213,28 +217,76 @@ object Graph {
     * single-column (v) relation; seeds absent from the graph still
     * count at dist 0 (they are trivially at distance 0 from
     * themselves). */
-  def bfsHopHistogram(edges: DataFrame, seeds: DataFrame, maxHops: Int)
-      : DataFrame = {
+  def bfsHopHistogram(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      stateUpTo: Long = PageRank.BroadcastStateUpTo): DataFrame = {
     require(maxHops >= 1)
-    val e = canon(edges).localCheckpoint(true)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField,
+      IntegerType, LongType}
+    val spark = edges.sparkSession
+    val e = canon(edges).localCheckpoint(false)
     val nbrs = e.select(col("a").as("v"), col("b").as("n"))
       .unionAll(e.select(col("b").as("v"), col("a").as("n")))
-      .localCheckpoint(true)
-    var visited = seeds.select(col("v")).distinct()
-      .withColumn("dist", lit(0)).localCheckpoint(true)
-    var frontier = visited.select("v")
-    for (d <- 1 to maxHops) {
-      val next = frontier.join(nbrs, "v")
-        .select(col("n").as("v")).distinct()
-        .join(visited, Seq("v"), "left_anti")
-        .localCheckpoint(true)
-      visited = visited
-        .unionAll(next.withColumn("dist", lit(d)))
-        .localCheckpoint(true)
-      frontier = next
+      .localCheckpoint(false)
+    val seed0 = seeds.select(col("v")).distinct()
+    // Driver-carried visited/frontier while the VISITED set fits the
+    // broadcast-state bound — a frontier expansion broadcasts the
+    // frontier every round anyway, so the driver already held it; a
+    // round is then ONE job (the neighbour-distinct collect) instead
+    // of four eager checkpoints. The moment the visited set outgrows
+    // the bound, state spills back to the distributed frontier loop
+    // (literal frames seed it) and the checkpoint discipline resumes.
+    val vSchema = seed0.schema
+    def litFrame(vs: Iterable[Any]): DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(vs.map(Row(_)).toSeq: _*), vSchema)
+    val visited = scala.collection.mutable.HashMap.empty[Any, Int]
+    var frontier: Iterable[Any] =
+      seed0.collect().iterator.map(_.get(0)).toSeq
+    frontier.foreach(v => visited(v) = 0)
+    var d = 1
+    var spilled = false
+    while (d <= maxHops && frontier.nonEmpty && !spilled) {
+      val cand = nbrs.join(broadcast(litFrame(frontier)), "v")
+        .select(col("n")).distinct().collect().map(_.get(0))
+      val next = cand.filterNot(visited.contains)
+      if (visited.size.toLong + next.length > stateUpTo) {
+        spilled = true // resume distributed below; round d not consumed
+      } else {
+        next.foreach(v => visited(v) = d)
+        frontier = next
+        d += 1
+      }
     }
-    visited.groupBy("dist").agg(count(lit(1)).as("n_vertices"))
-      .orderBy("dist")
+    if (spilled) {
+      var visitedDf = spark.createDataFrame(
+        java.util.Arrays.asList(visited.iterator
+          .map { case (v, dd) => Row(v, dd) }.toSeq: _*),
+        StructType(vSchema.fields :+
+          StructField("dist", IntegerType, nullable = false)))
+        .localCheckpoint(true)
+      var frontierDf = litFrame(frontier)
+      for (dd <- d to maxHops) {
+        val next = frontierDf.join(nbrs, "v")
+          .select(col("n").as("v")).distinct()
+          .join(visitedDf, Seq("v"), "left_anti")
+          .localCheckpoint(true)
+        visitedDf = visitedDf
+          .unionAll(next.withColumn("dist", lit(dd)))
+          .localCheckpoint(true)
+        frontierDf = next
+      }
+      visitedDf.groupBy("dist").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("dist")
+    } else {
+      // metadata-sized result: build the histogram as a literal
+      val hist = visited.valuesIterator.toSeq.groupBy(identity)
+        .map { case (dd, vs) => Row(dd, vs.size.toLong) }
+        .toSeq.sortBy(_.getInt(0))
+      spark.createDataFrame(java.util.Arrays.asList(hist: _*),
+        StructType(Seq(StructField("dist", IntegerType, nullable = false),
+          StructField("n_vertices", LongType, nullable = false))))
+        .orderBy("dist")
+    }
   }
 
   /** Bounded-round cheapest paths on a WEIGHTED co-occurrence graph —
@@ -249,26 +301,62 @@ object Graph {
     * cheapest reachable vertices (cost asc, v asc), seed included at
     * cost 0. */
   def cheapestPaths(weighted: DataFrame, seeds: DataFrame, rounds: Int,
-      topK: Int): DataFrame = {
+      topK: Int, stateUpTo: Long = PageRank.BroadcastStateUpTo)
+      : DataFrame = {
     require(rounds >= 1 && topK >= 1)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val spark = weighted.sparkSession
     val e = weighted.select(col("a"), col("b"), col("cost"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val arcs = e.select(col("a").as("u"), col("b").as("v"), col("cost"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v"),
         col("cost")))
-      .localCheckpoint(true)
-    var dist = seeds.select(col("v")).distinct()
-      .withColumn("cost", lit(0L)).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val relaxed = dist.withColumnRenamed("v", "u")
+      .localCheckpoint(false)
+    val seed0 = seeds.select(col("v")).distinct()
+    val distSchema = StructType(seed0.schema.fields :+
+      StructField("cost", LongType, nullable = false))
+    // driver-carried tropical state (v → cost) under the broadcast
+    // bound (the relaxation broadcasts it anyway — see bfsHopHistogram
+    // for the rationale); a round is ONE min-plus aggregation job.
+    // LONG min merges on the driver are the same exact algebra.
+    val dist = scala.collection.mutable.HashMap.empty[Any, Long]
+    seed0.collect().foreach(r => dist(r.get(0)) = 0L)
+    def distLit(): DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(dist.iterator
+        .map { case (v, c) => Row(v, c) }.toSeq: _*), distSchema)
+    var r = 1
+    var spilled = false
+    while (r <= rounds && !spilled) {
+      val relaxed = arcs
+        .join(broadcast(distLit().withColumnRenamed("v", "u")
+          .withColumnRenamed("cost", "du")), "u")
+        .select(col("v"), (col("du") + col("cost")).as("cost"))
+        .groupBy("v").agg(min(col("cost")).as("cost"))
+        .collect()
+      val fresh = relaxed.count(row =>
+        !dist.contains(row.get(0)))
+      if (dist.size.toLong + fresh > stateUpTo) {
+        spilled = true // round r not consumed; distributed loop resumes
+      } else {
+        relaxed.foreach { row =>
+          val v = row.get(0); val c = row.getLong(1)
+          if (dist.get(v).forall(c < _)) dist(v) = c
+        }
+        r += 1
+      }
+    }
+    var distDf = distLit().localCheckpoint(true)
+    if (spilled) for (_ <- r to rounds) {
+      val relaxed = distDf.withColumnRenamed("v", "u")
         .withColumnRenamed("cost", "du")
         .join(arcs, "u")
         .select(col("v"), (col("du") + col("cost")).as("cost"))
-      dist = dist.unionAll(relaxed)
+      distDf = distDf.unionAll(relaxed)
         .groupBy("v").agg(min(col("cost")).as("cost"))
         .localCheckpoint(true)
     }
-    dist.orderBy(col("cost").asc, col("v").asc).limit(topK)
+    distDf.orderBy(col("cost").asc, col("v").asc).limit(topK)
   }
 
   /** Degree assortativity: the Pearson correlation of the degrees at

@@ -71,7 +71,8 @@ object PageRank {
     val init = nodes.select(col("node"),
       round(lit(1.0) / n, 12).cast(DecimalType(28, 12)).as("rank"))
 
-    val ranks = (1 to iters).foldLeft(init) { case (r, _) =>
+    // identical expression algebra on either path — results bit-equal
+    def step(r: DataFrame): DataFrame = {
       val contrib = ew
         .join(maybeBroadcast(r.withColumnRenamed("node", "src"), bc), "src")
         .select(col("dst").as("node"),
@@ -86,8 +87,12 @@ object PageRank {
           round(lit(1.0 - damping) / n +
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12)
             .cast(DecimalType(28, 12)).as("rank"))
-        .localCheckpoint(false) // O(1) lineage, fused materialization
     }
+    val ranks =
+      if (bc) IterState.iterate(init, iters)(step) // 1 job per iteration
+      else (1 to iters).foldLeft(init) { case (r, _) =>
+        step(r).localCheckpoint(false) // O(1) lineage, fused
+      }
     ranks.select(col("node"), round(col("rank").cast("double"), outDp).as("rank"))
   }
 
@@ -123,7 +128,7 @@ object PageRank {
     val init = nodes.select(col("node"), col("seed"),
       round(col("seed").cast("double") / nSeeds, 12)
         .cast(DecimalType(28, 12)).as("rank"))
-    val ranks = (1 to iters).foldLeft(init) { case (r, _) =>
+    def step(r: DataFrame): DataFrame = {
       val contrib = ew
         .join(maybeBroadcast(
           r.select(col("node").as("src"), col("rank")), bc), "src")
@@ -137,8 +142,12 @@ object PageRank {
           round(teleport +
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12)
             .cast(DecimalType(28, 12)).as("rank"))
-        .localCheckpoint(false)
     }
+    val ranks =
+      if (bc) IterState.iterate(init, iters)(step) // 1 job per iteration
+      else (1 to iters).foldLeft(init) { case (r, _) =>
+        step(r).localCheckpoint(false)
+      }
     ranks.select(col("node"),
       round(col("rank").cast("double"), outDp).as("rank"))
   }
@@ -167,28 +176,37 @@ object PageRank {
     val hubs = e.select(col("hub")).distinct().localCheckpoint(false)
     val nh = hubs.count()
     val bc = nh <= broadcastStateUpTo
+    // under bc, carry each half-iteration's score state as a collected
+    // literal (IterState rationale: the broadcast build collects it
+    // anyway) — ONE job per half-iteration; beyond the bound keep the
+    // distributed loop with its checkpoint discipline
+    def carry(df: DataFrame): DataFrame =
+      if (bc) df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      else df.localCheckpoint(false)
+    // under bc a LAZY score-sum checkpoint suffices (the collect's
+    // broadcast-total subtree materializes it before the rescale stage
+    // reads the cache); distributed path keeps EAGER — its total and
+    // rescale are racing sibling consumers
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(!bc)
     var h = hubs.select(col("hub"),
       round(lit(1.0) / nh, 12).cast(DecimalType(28, 12)).as("hs"))
     var a: DataFrame = null
     for (_ <- 1 to iters) {
-      val araw = eByHub.join(maybeBroadcast(h, bc), "hub")
-        .groupBy("auth").agg(sum(col("hs")).as("ar")) // exact decimal
-        .localCheckpoint(true) // reused by the racing total + rescale
+      val araw = ckpt(eByHub.join(maybeBroadcast(h, bc), "hub")
+        .groupBy("auth").agg(sum(col("hs")).as("ar"))) // exact decimal
       val at = araw.agg(sum(col("ar")).as("t"))
-      a = araw.crossJoin(broadcast(at))
+      a = carry(araw.crossJoin(broadcast(at))
         .select(col("auth"),
           round(col("ar").cast("double") / col("t").cast("double"), 12)
-            .cast(DecimalType(28, 12)).as("as"))
-        .localCheckpoint(false)
-      val hraw = eByAuth.join(maybeBroadcast(a, bc), "auth")
-        .groupBy("hub").agg(sum(col("as")).as("hr"))
-        .localCheckpoint(true)
+            .cast(DecimalType(28, 12)).as("as")))
+      val hraw = ckpt(eByAuth.join(maybeBroadcast(a, bc), "auth")
+        .groupBy("hub").agg(sum(col("as")).as("hr")))
       val ht = hraw.agg(sum(col("hr")).as("t"))
-      h = hraw.crossJoin(broadcast(ht))
+      h = carry(hraw.crossJoin(broadcast(ht))
         .select(col("hub"),
           round(col("hr").cast("double") / col("t").cast("double"), 12)
-            .cast(DecimalType(28, 12)).as("hs"))
-        .localCheckpoint(false)
+            .cast(DecimalType(28, 12)).as("hs")))
     }
     a.select(col("auth").as("node"),
       round(col("as").cast("double"), outDp).as("auth"))
