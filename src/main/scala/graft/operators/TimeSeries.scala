@@ -136,13 +136,10 @@ object TimeSeries {
     * Slopes are bit-identical doubles in both engines (exact decimal
     * daily sums, integer day distances). Returns one row
     * (n_days, n_pairs, slope_per_day, intercept). */
-  def theilSenDaily(df: DataFrame, tsCol: String, valueCol: String)
-      : DataFrame = {
-    // LAZY localCheckpoints (not eager): materialization fuses into
-    // quantileDisc's internal state collect instead of paying a
-    // scheduled job each, while downstream plans still see LogicalRDD
-    // leaves — plain persists would feed the whole calendar² join tree
-    // back into Catalyst at every consumer and planning time explodes
+  def theilSenDaily(df: DataFrame, tsCol: String, valueCol: String,
+      driverDaysUpTo: Int = 8192): DataFrame = {
+    // ONE corpus pass reduces to the calendar-grid daily series;
+    // everything after is calendar-bounded, not corpus-bounded
     val daily = df
       .select(date_trunc("day", col(tsCol)).as("d"),
         col(valueCol).cast(DecimalType(18, 4)).as("v"))
@@ -150,27 +147,77 @@ object TimeSeries {
       .select(datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
         col("x").cast("double").as("x"))
       .localCheckpoint(false)
-    val pairs = daily.select(col("t").as("ti"), col("x").as("xi"))
-      .join(daily.select(col("t").as("tj"), col("x").as("xj")),
-        col("tj") > col("ti"))
-      .select(((col("xj") - col("xi"))
-        / (col("tj") - col("ti")).cast("double")).as("s"))
-      .localCheckpoint(false)
-    val slope = Ranks.quantileDisc(
-      pairs.withColumn("g", lit("all")), "g", "s", Seq(0.5))
-      .select(col("value").as("slope"))
-    val interc = daily.crossJoin(broadcast(slope))
-      .select(col("slope"), (col("x") - col("slope") * col("t")).as("r"))
-    val intercept = Ranks.quantileDisc(
-      interc.withColumn("g", lit("all")), "g", "r", Seq(0.5))
-      .select(col("value").as("intercept"))
-    daily.agg(count(lit(1)).as("n_days"))
-      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
-      .crossJoin(broadcast(slope))
-      .crossJoin(broadcast(intercept))
-      .select(col("n_days"), col("n_pairs"),
-        round(col("slope"), 6).as("slope_per_day"),
-        round(col("intercept"), 6).as("intercept"))
+    // Up to `driverDaysUpTo` observation days (8192 days ≈ 22 years ≈
+    // 33M pairs ≈ 270 MB of driver doubles), the whole pairwise stage
+    // is METADATA-sized: collect the daily grid once and run both
+    // exact medians on the driver — identical IEEE double algebra
+    // ((xj−xi)/(tj−ti), x−slope·t) and the same ceil(p·n) grid
+    // selection rule as Ranks.quantileDisc, so values are bit-equal to
+    // the distributed path's. One scheduled job instead of ~20.
+    val dRows = daily.limit(driverDaysUpTo + 1).collect()
+    if (dRows.length <= driverDaysUpTo) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ts = dRows.map(_.getInt(0))
+      val xs = dRows.map(_.getDouble(1))
+      val n = dRows.length
+      val slopes = new Array[Double](n * (n - 1) / 2)
+      var k = 0
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) {
+          // mirror the engine predicate tj > ti exactly (distinct
+          // days, so this is i != j with the larger t as j)
+          if (ts(j) > ts(i)) { slopes(k) = (xs(j) - xs(i)) / (ts(j) - ts(i)).toDouble; k += 1 }
+          j += 1
+        }
+        i += 1
+      }
+      def medianDisc(a: Array[Double]): Double = {
+        java.util.Arrays.sort(a) // quantile_disc: value at rank ⌈p·n⌉
+        a(math.ceil(0.5 * a.length).toInt - 1)
+      }
+      val slope = medianDisc(slopes)
+      val resid = Array.tabulate(n)(i => xs(i) - slope * ts(i))
+      val intercept = medianDisc(resid)
+      def r6(v: Double): Double = // Spark round(_, 6): HALF_UP on the
+        java.math.BigDecimal.valueOf(v) // shortest-repr decimal
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      daily.sparkSession.createDataFrame(
+        java.util.Arrays.asList(
+          Row(n.toLong, slopes.length.toLong, r6(slope), r6(intercept))),
+        StructType(Seq(
+          StructField("n_days", LongType, nullable = false),
+          StructField("n_pairs", LongType, nullable = false),
+          StructField("slope_per_day", DoubleType, nullable = false),
+          StructField("intercept", DoubleType, nullable = false))))
+    } else {
+      // distributed fallback: the calendar² pair relation + the
+      // no-global-sort quantile machinery (lazy checkpoints — see
+      // Ranks.quantileDisc on why not persists)
+      val pairs = daily.select(col("t").as("ti"), col("x").as("xi"))
+        .join(daily.select(col("t").as("tj"), col("x").as("xj")),
+          col("tj") > col("ti"))
+        .select(((col("xj") - col("xi"))
+          / (col("tj") - col("ti")).cast("double")).as("s"))
+        .localCheckpoint(false)
+      val slope = Ranks.quantileDisc(
+        pairs.withColumn("g", lit("all")), "g", "s", Seq(0.5))
+        .select(col("value").as("slope"))
+      val interc = daily.crossJoin(broadcast(slope))
+        .select(col("slope"), (col("x") - col("slope") * col("t")).as("r"))
+      val intercept = Ranks.quantileDisc(
+        interc.withColumn("g", lit("all")), "g", "r", Seq(0.5))
+        .select(col("value").as("intercept"))
+      daily.agg(count(lit(1)).as("n_days"))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+        .crossJoin(broadcast(slope))
+        .crossJoin(broadcast(intercept))
+        .select(col("n_days"), col("n_pairs"),
+          round(col("slope"), 6).as("slope_per_day"),
+          round(col("intercept"), 6).as("intercept"))
+    }
   }
 
   /** Day-of-week seasonal index: for each dow (0 = Sunday … 6), the

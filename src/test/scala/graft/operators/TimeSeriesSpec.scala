@@ -130,6 +130,18 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getDouble(3) == 100.0 - 5.0 * t0, s"$r")
   }
 
+  test("theilSenDaily: driver fast path is bit-equal to the " +
+      "distributed quantile machinery") {
+    // jagged series (ties, negatives, an outlier) across both paths
+    val vals = Seq(10.0, -3.5, 10.0, 88.8, 0.0, 7.25, -3.5, 42.0,
+      13.13, 99.9, 7.25, 1e5, 6.0, 6.0, -77.0)
+    val df = series(vals)
+    val fast = TimeSeries.theilSenDaily(df, "ts", "v").collect().head
+    val dist = TimeSeries.theilSenDaily(df, "ts", "v",
+      driverDaysUpTo = 0).collect().head
+    assert(fast == dist, s"fast=$fast dist=$dist")
+  }
+
   test("theilSenDaily shrugs off an outlier day that wrecks OLS") {
     // clean slope 2 with one corrupted day (value 1e6)
     val vals = (0 until 15).map(i => 50.0 + 2.0 * i)
