@@ -35,15 +35,24 @@ object TextSearch {
     * (doc_id, text_score). k1/b are the standard defaults.
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String, query: String,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val postings = buildPostings(docs, idCol, textCol)
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromPostings(buildPostings(docs, idCol, textCol),
+      docs.agg(count(lit(1)).cast("double").as("n_docs")), query, k1, b)
+
+  /** [[bm25]] over a PREBUILT postings relation — the reuse seam for
+    * operators that score the same corpus more than once (PRF, batch
+    * query sets) or read a persisted index: the tokenizer pass runs
+    * once, every scoring pass shares it. `nDocs` is the 1-row
+    * corpus-count relation (N counts ALL docs, not just those with
+    * postings — matching the oracle). */
+  def bm25FromPostings(postings: DataFrame, nDocs: DataFrame,
+      query: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTerms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
 
     // Corpus stats stay INSIDE the plan as broadcast 1-row relations —
     // no count()/head() driver actions at query time, so composing bm25
-    // into a larger plan stays fully lazy. N counts all docs (matching
-    // the oracle); avgdl averages docs that produced postings.
-    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    // into a larger plan stays fully lazy. avgdl averages docs that
+    // produced postings.
     val avgDl = postings.select(col("doc_id"), col("dl")).distinct()
       .agg(avg("dl").as("avgdl"))
 
@@ -81,13 +90,16 @@ object TextSearch {
     require(fbDocs >= 1 && expandK >= 1 && topK >= 1)
     val qTerms = query.toLowerCase.split("[^a-z0-9]+")
       .filter(_.nonEmpty).distinct
-    val base = bm25(docs, idCol, textCol, query)
+    // ONE tokenizer pass serves all three posting consumers (base
+    // scoring, feedback tf, corpus df) AND the expanded rescore; lazy
+    // checkpoint — the expansion-term collect below materializes it
+    val postings = buildPostings(docs, idCol, textCol)
+      .localCheckpoint(false)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val base = bm25FromPostings(postings, nDocs, query)
       .select(col("doc_id"), round(col("text_score"), 6).as("s"))
       .orderBy(col("s").desc, col("doc_id").asc).limit(fbDocs)
       .select("doc_id")
-    val postings = buildPostings(docs, idCol, textCol)
-      .localCheckpoint(true) // reused: feedback tf + corpus df
-    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val cand = postings
       .join(base, Seq("doc_id"), "left_semi")
       .filter(!col("term").isin(qTerms.toIndexedSeq: _*))
@@ -103,7 +115,7 @@ object TextSearch {
           .as("w"))
       .orderBy(col("w").desc, col("term").asc).limit(expandK)
       .collect().map(_.getString(0)) // expandK strings — metadata
-    bm25(docs, idCol, textCol, (qTerms ++ exp).mkString(" "))
+    bm25FromPostings(postings, nDocs, (qTerms ++ exp).mkString(" "))
       .select(col("doc_id"),
         round(col("text_score"), 6).as("bm25_expanded"))
       .orderBy(col("bm25_expanded").desc, col("doc_id").asc)
