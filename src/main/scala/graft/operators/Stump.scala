@@ -96,13 +96,16 @@ object Stump {
     * mean_right, sse_before) — sse_before shrinking across rounds IS
     * the boosting effect. */
   def boostedSseStumps(df: DataFrame, xCol: String, yCol: String,
-      rounds: Int = 2, nBuckets: Int = 1024): DataFrame = {
+      rounds: Int = 2, nBuckets: Int = 1024,
+      maxDriverGrid: Int = 65536): DataFrame = {
     require(rounds >= 1)
     val spark = df.sparkSession
     import spark.implicits._
     val d286 = DecimalType(28, 6)
+    // lazy: the first round's grid collect materializes it; rounds are
+    // sequential, so nothing races the checkpoint
     val base = df.select(col(xCol).cast("double").as("x"),
-      col(yCol).cast("double").as("y")).localCheckpoint(true)
+      col(yCol).cast("double").as("y")).localCheckpoint(false)
 
     var pred: Column = lit(0.0)
     val rows = (1 to rounds).map { rd =>
@@ -113,53 +116,101 @@ object Stump {
         .groupBy("v")
         .agg(count(lit(1)).as("n_v"), sum(col("__r")).as("s_v"),
           sum(col("__q")).as("q_v"))
-      val bounds = broadcast(perValue
-        .agg(min("v").as("__lo"), max("v").as("__hi"),
-          sum("n_v").as("bigN"), sum("s_v").as("bigS"),
-          sum("q_v").as("bigQ")))
-      val withB = perValue.crossJoin(bounds)
-        .withColumn("__b",
-          when(col("__hi") === col("__lo"), lit(0))
-            .otherwise(least(lit(nBuckets - 1),
-              floor((col("v") - col("__lo"))
-                / (col("__hi") - col("__lo")) * nBuckets).cast("int"))))
-      val wGrid = Window.orderBy(col("__b").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val prefixes = withB.groupBy("__b")
-        .agg(sum("n_v").as("__bn"), sum("s_v").as("__bs"))
-        .withColumn("__pren", coalesce(sum("__bn").over(wGrid), lit(0L)))
-        .withColumn("__pres", sum("__bs").over(wGrid))
-        .select(col("__b"), col("__pren"), col("__pres"))
-      val wLocal = Window.partitionBy("__b").orderBy(col("v").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = withB.join(broadcast(prefixes), "__b")
-        .withColumn("nL", col("__pren") + sum("n_v").over(wLocal))
-        .withColumn("sL", coalesce(col("__pres"),
-          lit(0).cast(d286)) + sum("s_v").over(wLocal))
-        .filter(col("nL") < col("bigN"))
-      val sL = col("sL").cast("double")
-      val sR = col("bigS").cast("double") - sL
-      val nLd = col("nL").cast("double")
-      val nRd = (col("bigN") - col("nL")).cast("double")
-      val score = sL * sL / nLd + sR * sR / nRd
-      val best = cum
-        .select(col("v"), col("nL"), col("bigN"), col("bigQ"),
-          sL.as("dsL"), sR.as("dsR"), nLd.as("dnL"), nRd.as("dnR"),
-          round(score, 6).cast(d286).as("sc"))
-        .groupBy()
-        .agg(max(struct(col("sc"), (-col("v")).as("nv"),
-          col("v").as("sv"), col("dsL").as("a"), col("dnL").as("b"),
-          col("dsR").as("c"), col("dnR").as("d"),
-          col("bigQ").as("q"))).as("m"))
-        .select(col("m.sv"), col("m.a"), col("m.b"), col("m.c"),
-          col("m.d"), col("m.q").cast("double").as("q"))
-        .collect().head
+      // the per-VALUE grid is the whole remaining state; when it fits
+      // the driver guard, split selection is exact local algebra on
+      // the collected grid — one scheduled job per round. Identical
+      // decimal/double ops as the distributed branch below (sums are
+      // BigDecimal-exact in any order, score ops replayed in the same
+      // IEEE order), so the selected split is bit-equal.
+      val gridRows = perValue.limit(maxDriverGrid + 1).collect()
+      val best: (Double, Double, Double, Double, Double, Double) =
+        if (gridRows.length <= maxDriverGrid) {
+          val g = gridRows.map(row => (row.getDouble(0), row.getLong(1),
+            row.getDecimal(2), row.getDecimal(3))).sortBy(_._1)
+          val bigN = g.iterator.map(_._2).sum
+          val bigS = g.iterator.map(_._3)
+            .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+          val bigQ = g.iterator.map(_._4)
+            .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+          var nL = 0L
+          var sL = java.math.BigDecimal.ZERO
+          var bestKey: (java.math.BigDecimal, Double) = null
+          var bestVal: (Double, Double, Double, Double, Double, Double) = null
+          g.foreach { case (v, nv, sv, _) =>
+            nL += nv; sL = sL.add(sv)
+            if (nL < bigN) {
+              val sLd = sL.doubleValue
+              val sRd = bigS.doubleValue - sLd
+              val nLd = nL.toDouble
+              val nRd = (bigN - nL).toDouble
+              val score = sLd * sLd / nLd + sRd * sRd / nRd
+              val sc = java.math.BigDecimal.valueOf(score)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+              val key = (sc, -v)
+              val better = bestKey == null || {
+                val c = sc.compareTo(bestKey._1)
+                c > 0 || (c == 0 && -v > bestKey._2)
+              }
+              if (better) {
+                bestKey = key
+                bestVal = (v, sLd, nLd, sRd, nRd, bigQ.doubleValue)
+              }
+            }
+          }
+          require(bestVal != null, "no splittable value grid")
+          bestVal
+        } else {
+          // distributed fallback: bucketed prefix over the value grid
+          val bounds = broadcast(perValue
+            .agg(min("v").as("__lo"), max("v").as("__hi"),
+              sum("n_v").as("bigN"), sum("s_v").as("bigS"),
+              sum("q_v").as("bigQ")))
+          val withB = perValue.crossJoin(bounds)
+            .withColumn("__b",
+              when(col("__hi") === col("__lo"), lit(0))
+                .otherwise(least(lit(nBuckets - 1),
+                  floor((col("v") - col("__lo"))
+                    / (col("__hi") - col("__lo")) * nBuckets).cast("int"))))
+          val wGrid = Window.orderBy(col("__b").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val prefixes = withB.groupBy("__b")
+            .agg(sum("n_v").as("__bn"), sum("s_v").as("__bs"))
+            .withColumn("__pren", coalesce(sum("__bn").over(wGrid), lit(0L)))
+            .withColumn("__pres", sum("__bs").over(wGrid))
+            .select(col("__b"), col("__pren"), col("__pres"))
+          val wLocal = Window.partitionBy("__b").orderBy(col("v").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val cum = withB.join(broadcast(prefixes), "__b")
+            .withColumn("nL", col("__pren") + sum("n_v").over(wLocal))
+            .withColumn("sL", coalesce(col("__pres"),
+              lit(0).cast(d286)) + sum("s_v").over(wLocal))
+            .filter(col("nL") < col("bigN"))
+          val sL = col("sL").cast("double")
+          val sR = col("bigS").cast("double") - sL
+          val nLd = col("nL").cast("double")
+          val nRd = (col("bigN") - col("nL")).cast("double")
+          val score = sL * sL / nLd + sR * sR / nRd
+          val b = cum
+            .select(col("v"), col("nL"), col("bigN"), col("bigQ"),
+              sL.as("dsL"), sR.as("dsR"), nLd.as("dnL"), nRd.as("dnR"),
+              round(score, 6).cast(d286).as("sc"))
+            .groupBy()
+            .agg(max(struct(col("sc"), (-col("v")).as("nv"),
+              col("v").as("sv"), col("dsL").as("a"), col("dnL").as("b"),
+              col("dsR").as("c"), col("dnR").as("d"),
+              col("bigQ").as("q"))).as("m"))
+            .select(col("m.sv"), col("m.a"), col("m.b"), col("m.c"),
+              col("m.d"), col("m.q").cast("double").as("q"))
+            .collect().head
+          (b.getDouble(0), b.getDouble(1), b.getDouble(2),
+            b.getDouble(3), b.getDouble(4), b.getDouble(5))
+        }
       def r6(v: Double) = BigDecimal(v)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val split = best.getDouble(0)
-      val lm = r6(best.getDouble(1) / best.getDouble(2))
-      val rm = r6(best.getDouble(3) / best.getDouble(4))
-      val sseBefore = r6(best.getDouble(5))
+      val (split, dsL, dnL, dsR, dnR, q) = best
+      val lm = r6(dsL / dnL)
+      val rm = r6(dsR / dnR)
+      val sseBefore = r6(q)
       pred = pred + when(col("x") <= lit(split), lit(lm))
         .otherwise(lit(rm))
       (rd, split, lm, rm, sseBefore)
