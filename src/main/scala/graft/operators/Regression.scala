@@ -165,10 +165,20 @@ object Regression {
       foldKey: Column, lambdas: Seq[Double], k: Int = 5): DataFrame = {
     require(k >= 2 && lambdas.nonEmpty)
     val (y, x1, x2) = (d184(col(yCol)), d184(col(x1Col)), d184(col(x2Col)))
-    val perFold = df
-      .select((conv(substring(md5(foldKey.cast("string")), 1, 15),
+    // the md5 fold hash + 10 decimal products are the op's only
+    // corpus-sized CPU; a single-row-group local fixture scans as ONE
+    // task, so spread the (4-column) input first when the scan has
+    // fewer partitions than cores — on a real multi-split table this
+    // is a no-op (same guard as Tables.spread)
+    val raw0 = df.select(foldKey.cast("string").as("__fk"),
+      y.as("y"), x1.as("x1"), x2.as("x2"))
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val raw = if (raw0.rdd.getNumPartitions < p) raw0.repartition(p)
+      else raw0
+    val perFold = raw
+      .select((conv(substring(md5(col("__fk")), 1, 15),
         16, 10).cast("long") % k).as("fold"),
-        y.as("y"), x1.as("x1"), x2.as("x2"))
+        col("y"), col("x1"), col("x2"))
       .groupBy("fold")
       .agg(count(lit(1)).as("n"), sum(col("x1")).as("s1"),
         sum(col("x2")).as("s2"), sum(col("x1") * col("x1")).as("s11"),
