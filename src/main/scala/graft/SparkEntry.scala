@@ -11082,7 +11082,152 @@ object SparkEntry {
           .orderBy("doc_id")
       },
       """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin))
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin),
+
+    Q("q321_rmst",
+      // Restricted mean survival time at an 8-week horizon
+      // ([[graft.operators.Survival.rmstDaily]]): area under q234's KM
+      // step curve — "average days to conversion within 56" with
+      // censoring handled; the scalar the KM table summarizes to.
+      // Segment areas are 6-dp survival × integer clamped lengths,
+      // DECIMAL-summed; grid math only past the one unit reduction.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cens = ev
+          .select(unix_timestamp(date_trunc("second", col("ts"))).as("sv"))
+          .agg(max(col("sv")).as("cend"))
+        graft.operators.Survival.rmstDaily(
+          graft.operators.Survival.viewToPurchase(ev)
+            .crossJoin(broadcast(cens)),
+          "t0", "tp", col("cend"), tauDays = 56L)
+      },
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch(date_trunc('second', ts))::BIGINT AS s FROM events),
+        |ce AS (SELECT max(s)::BIGINT AS cend FROM ev),
+        |v AS (SELECT user_id, min(s) AS t0 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT user_id, min(s) AS tp_any FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |u AS (SELECT v.t0,
+        |    CASE WHEN b.tp_any > v.t0 THEN b.tp_any END AS tp
+        |  FROM v LEFT JOIN b USING (user_id)),
+        |du AS (SELECT floor((coalesce(tp, ce.cend) - t0) / 86400.0)::BIGINT
+        |    AS dur, tp IS NOT NULL AS ev FROM u, ce),
+        |g AS (SELECT dur,
+        |    sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS n_event,
+        |    count(*)::BIGINT AS n_at FROM du GROUP BY dur),
+        |r AS (SELECT dur, n_event, sum(n_at) OVER (ORDER BY dur DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS n_risk FROM g),
+        |f AS (SELECT dur, n_event, n_risk,
+        |    CASE WHEN n_event < n_risk THEN
+        |      round(ln(1.0 - n_event::DOUBLE / n_risk::DOUBLE), 9)
+        |        ::DECIMAL(28,9) END AS lnt
+        |  FROM r WHERE n_event > 0),
+        |k AS (SELECT dur,
+        |    max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+        |    sum(lnt) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cln
+        |  FROM f),
+        |km AS (SELECT dur AS d, CASE WHEN dead = 1 THEN 0.0
+        |    ELSE round(exp(cln::DOUBLE), 6) END AS survival FROM k),
+        |seg AS (SELECT round(
+        |    coalesce(lag(survival) OVER (ORDER BY d), 1.0) *
+        |    (least(d, 56) - least(coalesce(lag(d) OVER (ORDER BY d), 0),
+        |      56))::DOUBLE, 6)::DECIMAL(28,6) AS a FROM km),
+        |tl AS (SELECT round(survival * (56 - least(d, 56))::DOUBLE, 6)
+        |    ::DECIMAL(28,6) AS t FROM km ORDER BY d DESC LIMIT 1)
+        |SELECT 56::BIGINT AS horizon_days,
+        |  (SELECT count(*) FROM km)::BIGINT AS n_event_days,
+        |  round(((SELECT coalesce(sum(a), 0::DECIMAL(28,6)) FROM seg)
+        |    + coalesce((SELECT t FROM tl),
+        |        round(56.0, 6)::DECIMAL(28,6)))::DOUBLE, 6)
+        |    AS rmst_days""".stripMargin),
+
+    Q("q322_did",
+      // Difference-in-differences ([[graft.operators.Causal
+      // .diffInDiffs]]): BUILDING-segment customers "treated" from
+      // 1996-01-01, order value as outcome — the 2x2 panel causal
+      // readout with the unpooled delta-method SE. One partial-agg
+      // scan to the 4-cell moment grid, then 1-row algebra.
+      (s, dir) => graft.operators.Causal.diffInDiffs(
+        Tables.orders(s, dir)
+          .join(broadcast(Tables.customer(s, dir)
+            .select(col("c_custkey").as("o_custkey"),
+              col("c_mktsegment"))), "o_custkey"),
+        col("c_mktsegment") === "BUILDING",
+        col("o_orderdate") >= lit("1996-01-01").cast("date"),
+        "o_totalprice"),
+      """WITH j AS (SELECT (c.c_mktsegment = 'BUILDING') AS t,
+        |    (o.o_orderdate >= DATE '1996-01-01') AS p,
+        |    o.o_totalprice::DECIMAL(18,4) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cells AS (SELECT t, p, count(*)::BIGINT AS n, sum(y) AS s,
+        |    sum(y::DECIMAL(28,4) * y) AS q FROM j GROUP BY 1, 2),
+        |w AS (SELECT
+        |    max(CASE WHEN t AND p THEN n END) AS ntp,
+        |    max(CASE WHEN t AND p THEN (s::VARCHAR)::DOUBLE END) AS stp,
+        |    max(CASE WHEN t AND p THEN (q::VARCHAR)::DOUBLE END) AS qtp,
+        |    max(CASE WHEN t AND NOT p THEN n END) AS nt0,
+        |    max(CASE WHEN t AND NOT p THEN (s::VARCHAR)::DOUBLE END) AS st0,
+        |    max(CASE WHEN t AND NOT p THEN (q::VARCHAR)::DOUBLE END) AS qt0,
+        |    max(CASE WHEN NOT t AND p THEN n END) AS ncp,
+        |    max(CASE WHEN NOT t AND p THEN (s::VARCHAR)::DOUBLE END) AS scp,
+        |    max(CASE WHEN NOT t AND p THEN (q::VARCHAR)::DOUBLE END) AS qcp,
+        |    max(CASE WHEN NOT t AND NOT p THEN n END) AS nc0,
+        |    max(CASE WHEN NOT t AND NOT p THEN (s::VARCHAR)::DOUBLE END)
+        |      AS sc0,
+        |    max(CASE WHEN NOT t AND NOT p THEN (q::VARCHAR)::DOUBLE END)
+        |      AS qc0
+        |  FROM cells),
+        |e AS (SELECT ntp, nt0, ncp, nc0,
+        |    (stp / ntp::DOUBLE - st0 / nt0::DOUBLE)
+        |      - (scp / ncp::DOUBLE - sc0 / nc0::DOUBLE) AS did,
+        |    sqrt(
+        |      ((qtp - stp * stp / ntp::DOUBLE) / (ntp::DOUBLE - 1.0))
+        |        / ntp::DOUBLE
+        |      + ((qt0 - st0 * st0 / nt0::DOUBLE) / (nt0::DOUBLE - 1.0))
+        |        / nt0::DOUBLE
+        |      + ((qcp - scp * scp / ncp::DOUBLE) / (ncp::DOUBLE - 1.0))
+        |        / ncp::DOUBLE
+        |      + ((qc0 - sc0 * sc0 / nc0::DOUBLE) / (nc0::DOUBLE - 1.0))
+        |        / nc0::DOUBLE) AS se
+        |  FROM w)
+        |SELECT ntp AS n_t_post, nt0 AS n_t_pre, ncp AS n_c_post,
+        |  nc0 AS n_c_pre, round(did, 6) AS did, round(se, 6) AS se,
+        |  round(did / se, 6) AS t_stat FROM e""".stripMargin),
+
+    Q("q323_vocab_coverage",
+      // Train-vocabulary OOV profile of the held-out split per
+      // language ([[graft.text.TextAnalysis.vocabCoverage]]): token
+      // instances and distinct types absent from the even-doc
+      // training vocabulary, integer-ppm rates — the distribution-
+      // shift smoke test before freezing a tokenizer or split. One
+      // tokenizer pass; vocabulary membership is a linear hash join.
+      (s, dir) => graft.text.TextAnalysis.vocabCoverage(
+        Tables.documents(s, dir), "text", "lang",
+        col("doc_id") % 2 === 0),
+      s"""WITH toks AS (SELECT lang, (doc_id % 2 = 0) AS tr,
+         |    unnest($toksSql) AS tok FROM documents),
+         |v AS (SELECT DISTINCT tok FROM toks WHERE tr),
+         |t AS (SELECT lang, tk.tok, (v.tok IS NOT NULL) AS inv
+         |  FROM (SELECT lang, tok FROM toks WHERE NOT tr) tk
+         |  LEFT JOIN v ON tk.tok = v.tok),
+         |inst AS (SELECT lang, count(*)::BIGINT AS n_tokens,
+         |    sum(CASE WHEN NOT inv THEN 1 ELSE 0 END)::BIGINT
+         |      AS oov_tokens
+         |  FROM t GROUP BY 1),
+         |ty AS (SELECT lang, count(*)::BIGINT AS n_types,
+         |    sum(CASE WHEN NOT inv THEN 1 ELSE 0 END)::BIGINT
+         |      AS oov_types
+         |  FROM (SELECT DISTINCT lang, tok, inv FROM t) GROUP BY 1)
+         |SELECT lang, n_tokens, oov_tokens,
+         |  (oov_tokens * 1000000) // n_tokens AS oov_ppm,
+         |  n_types, oov_types,
+         |  (oov_types * 1000000) // n_types AS oov_type_ppm
+         |FROM inst JOIN ty USING (lang) ORDER BY lang""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -73,6 +73,58 @@ object Causal {
     perStratum.unionAll(ate)
   }
 
+  /** Difference-in-differences on the classic 2×2 (treated × post)
+    * design: DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) —
+    * the panel-data causal readout when treatment lands at a known
+    * date and a control group carries the common trend. Reported with
+    * the four cell sizes, the unpooled standard error
+    * √(Σ s²_cell/n_cell) (the 2×2 design's delta-method SE), and the
+    * t statistic DiD/SE.
+    *
+    * Scale shape: ONE partial-agg corpus scan to the 4-cell grid
+    * (n, Σy, Σy² per cell as exact decimals); everything after is
+    * 1-row algebra. Cell means/variances are identical doubles on any
+    * engine (exact decimal sums, same cast/divide order), so the
+    * 6-dp-rounded outputs agree bit-for-bit. Returns one row
+    * (n_t_post, n_t_pre, n_c_post, n_c_pre, did, se, t_stat). */
+  def diffInDiffs(df: DataFrame, treat: Column, post: Column,
+      yCol: String): DataFrame = {
+    val cells = df
+      .select(treat.as("__t"), post.as("__p"), d184(col(yCol)).as("__y"))
+      .groupBy("__t", "__p")
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__s"),
+        sum(col("__y") * col("__y")).as("__q"))
+    def cell(t: Boolean, p: Boolean, c: String) =
+      max(when(col("__t") === t && col("__p") === p, col(c)))
+    val wide = cells.groupBy()
+      .agg(cell(true, true, "__n").as("ntp"), cell(true, true, "__s").as("stp"),
+        cell(true, true, "__q").as("qtp"),
+        cell(true, false, "__n").as("nt0"), cell(true, false, "__s").as("st0"),
+        cell(true, false, "__q").as("qt0"),
+        cell(false, true, "__n").as("ncp"), cell(false, true, "__s").as("scp"),
+        cell(false, true, "__q").as("qcp"),
+        cell(false, false, "__n").as("nc0"), cell(false, false, "__s").as("sc0"),
+        cell(false, false, "__q").as("qc0"))
+    def m(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    // unbiased cell variance from the moment pair
+    def v(q: String, s: String, n: String) = {
+      val nd = col(n).cast("double")
+      (col(q).cast("double") - col(s).cast("double")
+        * col(s).cast("double") / nd) / (nd - 1.0)
+    }
+    val did = (m("stp", "ntp") - m("st0", "nt0")) -
+      (m("scp", "ncp") - m("sc0", "nc0"))
+    val se = sqrt(v("qtp", "stp", "ntp") / col("ntp").cast("double")
+      + v("qt0", "st0", "nt0") / col("nt0").cast("double")
+      + v("qcp", "scp", "ncp") / col("ncp").cast("double")
+      + v("qc0", "sc0", "nc0") / col("nc0").cast("double"))
+    wide.select(col("ntp").as("n_t_post"), col("nt0").as("n_t_pre"),
+      col("ncp").as("n_c_post"), col("nc0").as("n_c_pre"),
+      round(did, 6).as("did"), round(se, 6).as("se"),
+      round(did / se, 6).as("t_stat"))
+  }
+
   /** IPW (inverse-propensity-weighted) ATE with a MODELED propensity
     * — the continuous-confounder step past [[stratifiedEffect]]'s
     * exact discrete strata: ê(x) = σ(ŵ·x) from

@@ -151,6 +151,48 @@ object Survival {
           .as("chi2"))
   }
 
+  /** Restricted mean survival time RMST(τ) = ∫₀^τ S(t) dt — the
+    * clinically/operationally interpretable scalar on top of
+    * [[kmDaily]]'s curve ("average days survived within the first τ"),
+    * robust where the median is undefined (S never crosses 0.5) and
+    * the hazard ratio is unreadable. Area of the step function:
+    * Σ segments' entering-survival × clamped length, plus the tail
+    * segment from the last event day to τ.
+    *
+    * Scale shape: everything after [[kmDaily]]'s one unit-level
+    * reduction is grid math on the calendar-bounded event-day relation
+    * (the blessed post-aggregate grid window). Per-segment areas are
+    * identical doubles (6-dp survival × integer length) rounded to
+    * 6 dp and DECIMAL-summed — associativity-free on both engines.
+    * Returns one row (horizon_days, n_event_days, rmst_days). */
+  def rmstDaily(df: DataFrame, startCol: String, eventCol: String,
+      censorTs: Column, tauDays: Long): DataFrame = {
+    require(tauDays >= 1, "horizon must be >= 1 day")
+    val d286 = DecimalType(28, 6)
+    val km = kmDaily(df, startCol, eventCol, censorTs)
+      .select(col("d"), col("survival"))
+    val w = Window.orderBy("d")
+    val segs = km
+      .withColumn("__ps", lag(col("survival"), 1, 1.0).over(w))
+      .withColumn("__pd", coalesce(lag(col("d"), 1).over(w), lit(0L)))
+      .select(round(col("__ps") *
+          (least(col("d"), lit(tauDays))
+            - least(col("__pd"), lit(tauDays))).cast("double"), 6)
+        .cast(d286).as("__a"))
+      .agg(coalesce(sum(col("__a")), lit(0).cast(d286)).as("__area"),
+        count(lit(1)).as("n_event_days"))
+    // tail: survival after the LAST event day carries to the horizon
+    val tail = km
+      .agg(max(struct(col("d"), col("survival"))).as("m"))
+      .select(round(coalesce(col("m.survival"), lit(1.0)) *
+          (lit(tauDays) - least(coalesce(col("m.d"), lit(0L)),
+            lit(tauDays))).cast("double"), 6).cast(d286).as("__t"))
+    segs.crossJoin(broadcast(tail))
+      .select(lit(tauDays).as("horizon_days"), col("n_event_days"),
+        round((col("__area") + col("__t")).cast("double"), 6)
+          .as("rmst_days"))
+  }
+
   /** First-view→first-purchase survival frame from the events table:
     * one row per user who ever viewed, with epoch-second start and
     * (nullable) conversion timestamps. Exposed separately so the spec

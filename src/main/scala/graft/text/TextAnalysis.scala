@@ -548,4 +548,42 @@ object TextAnalysis {
           / lit(1000000.0))
       .orderBy("lang")
   }
+
+  /** Train-vocabulary coverage of a held-out split, per language: the
+    * fraction of held-out token INSTANCES absent from the training
+    * split's token vocabulary (OOV rate) plus the distinct-type view —
+    * the distribution-shift smoke test run before committing a
+    * tokenizer or a train/eval split (a high OOV language is
+    * under-represented in training data).
+    *
+    * Scale shape: one tokenizer pass feeds both sides; the vocabulary
+    * is the training side's DISTINCT tokens (token-type-scale, not
+    * corpus-scale) and the membership test is a hash left-join on the
+    * token — linear, no windows, no driver state. OOV rates are
+    * integer ppm (exact div). Returns per-lang
+    * (lang, n_tokens, oov_tokens, oov_ppm, n_types, oov_types,
+    * oov_type_ppm) ordered by lang. */
+  def vocabCoverage(docs: DataFrame, textCol: String, langCol: String,
+      isTrain: Column): DataFrame = {
+    val toks = docs
+      .select(col(langCol).as("lang"), isTrain.as("__tr"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val vocab = toks.filter(col("__tr")).select(col("tok")).distinct()
+      .withColumn("__in", lit(1L))
+    val test = toks.filter(!col("__tr"))
+      .join(vocab, Seq("tok"), "left")
+    val inst = test.groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+    val types = test.select(col("lang"), col("tok"), col("__in")).distinct()
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_types"))
+    inst.join(types, "lang")
+      .select(col("lang"), col("n_tokens"), col("oov_tokens"),
+        expr("(oov_tokens * 1000000) div n_tokens").as("oov_ppm"),
+        col("n_types"), col("oov_types"),
+        expr("(oov_types * 1000000) div n_types").as("oov_type_ppm"))
+      .orderBy("lang")
+  }
 }

@@ -27,6 +27,28 @@ class CausalSpec extends SparkSpec {
     assert(byName("B").getDouble(5) == 2.0)
   }
 
+  test("diffInDiffs: hand-computed 2x2 cells, SE, and t") {
+    // T-pre {10,12} m=11 s2=2; T-post {20,26} m=23 s2=18;
+    // C-pre {1,3} m=2 s2=2; C-post {5,7} m=6 s2=2.
+    // DiD = (23-11) - (6-2) = 8; SE = sqrt(18/2 + 2/2 + 2/2 + 2/2)
+    // = sqrt(12); t = 8/sqrt(12)
+    val df = Seq(
+      (true, false, 10.0), (true, false, 12.0),
+      (true, true, 20.0), (true, true, 26.0),
+      (false, false, 1.0), (false, false, 3.0),
+      (false, true, 5.0), (false, true, 7.0)
+    ).toDF("t", "p", "y")
+    val out = Causal.diffInDiffs(df, col("t"), col("p"), "y")
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3)) == ((2L, 2L, 2L, 2L)), s"$out")
+    assert(out.getDouble(4) == 8.0, s"$out")
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(5) == r6(math.sqrt(12.0)), s"$out")
+    assert(out.getDouble(6) == r6(8.0 / math.sqrt(12.0)), s"$out")
+  }
+
   test("stratifiedEffect undoes Simpson's paradox: raw pooled diff has " +
       "the opposite sign of every within-stratum diff") {
     // classic construction: treatment concentrates in the low-outcome

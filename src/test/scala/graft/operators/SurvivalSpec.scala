@@ -26,6 +26,25 @@ class SurvivalSpec extends SparkSpec {
       (3L, 2L, 1L, 500000L, 0.25)))
   }
 
+  test("rmstDaily: step-curve area with tail carry to the horizon") {
+    // A,B convert day 1; C,D censored at day 3. KM: d1 risk 4 ev 2 →
+    // S=0.5 (the only event day). RMST(5) = 1·(1−0) entering segment
+    // + 0.5·(5−1) tail = 3.0; one event day.
+    val units = Seq(
+      (0L, Some(1L * day)), (0L, Some(1L * day)),
+      (0L, None), (0L, None)
+    ).toDF("t0", "tp")
+    val out = Survival.rmstDaily(units, "t0", "tp", lit(3L * day), 5L)
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getDouble(2))
+      == ((5L, 1L, 3.0)), s"$out")
+    // horizon BEFORE the first event day: the whole area is the
+    // S=1 entering segment clamped at tau — tail contributes 0.5·0
+    val early = Survival.rmstDaily(units, "t0", "tp", lit(3L * day), 1L)
+      .collect().head
+    assert(early.getDouble(2) == 1.0, s"$early")
+  }
+
   test("kmDaily: total conversion at the last step drives survival to " +
       "exactly 0 (ln pole handled, not NaN)") {
     val units = Seq((0L, Some(1L * day)), (0L, Some(2L * day)))

@@ -299,4 +299,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(1) == 1L && r.getLong(2) == 1L)
     assert(math.abs(r.getDouble(3) - exp) < 2e-6, s"$r vs $exp")
   }
+
+  test("vocabCoverage: instance and type OOV against the train vocab") {
+    // train (even ids): vocab {a, b, c}. test doc 1 (en): "a b x x" →
+    // 4 instances, 2 OOV (x twice); types {a, b, x} → 1 OOV type.
+    // test doc 3 (de): "c c" → fully covered.
+    val docs = Seq(
+      (0L, "en", "a b c"), (2L, "de", "b c"),
+      (1L, "en", "a b x x"), (3L, "de", "c c")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "text", "lang",
+      col("doc_id") % 2 === 0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(out == Seq(
+      ("de", 2L, 0L, 0L, 1L, 0L, 0L),
+      ("en", 4L, 2L, 500000L, 3L, 1L, 333333L)), s"$out")
+  }
 }
