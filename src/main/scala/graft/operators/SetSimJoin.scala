@@ -39,15 +39,19 @@ object SetSimJoin {
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
       tau: Double, shingleN: Int = 3): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    // set length rides the pre-explode array (no per-doc window needed)
     val elems = docs
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(
-          TextFunctions.shingles(TextFunctions.tokens(col(textCol)),
-            shingleN))).as("el"))
-    // global document frequency per element — the prefix ordering key
+        array_distinct(TextFunctions.shingles(
+          TextFunctions.tokens(col(textCol)), shingleN)).as("els0"))
+      .select(col("doc_id"), size(col("els0")).as("len"),
+        explode(col("els0")).as("el"))
+    // global document frequency per element — the prefix ordering key.
+    // Deliberately a partial-agg groupBy + join-back, NOT a window over
+    // the el partition: a hot element (stop-shingle) would serialize
+    // its whole posting list onto one window task.
     val df = elems.groupBy("el").agg(count(lit(1)).as("df"))
     val ranked = elems.join(df, "el")
-      .withColumn("len", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("r", row_number().over(Window.partitionBy("doc_id")
         .orderBy(col("df").asc, col("el").asc)))
     // prefix length p = |x| − ⌈τ|x|⌉ + 1
