@@ -28,8 +28,12 @@ object Graph {
     * in oracles as HAVING count <= cap). */
   def basketEdges(df: DataFrame, basketCol: String, itemCol: String,
       cap: Int = 10000): DataFrame =
+    // no pre-distinct: boundedCollectSet has SET semantics (dedup in
+    // the partial buffers), so a separate (basket, item) distinct
+    // would only add a corpus shuffle. The hot-key cap still holds —
+    // any partial with cap+1 DISTINCT elements forces the merged
+    // distinct count past the cap whatever the partials' overlap.
     df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .distinct()
       .groupBy("basket")
       .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
         .boundedCollectSet(col("item"), cap)).as("items"))
@@ -46,8 +50,8 @@ object Graph {
     * Returns (a, b, n, cost). */
   def weightedBasketEdges(df: DataFrame, basketCol: String,
       itemCol: String, cap: Int = 10000): DataFrame =
+    // no pre-distinct — see [[basketEdges]]
     df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .distinct()
       .groupBy("basket")
       .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
         .boundedCollectSet(col("item"), cap)).as("items"))
