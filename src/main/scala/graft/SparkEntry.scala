@@ -11227,7 +11227,53 @@ object SparkEntry {
          |  (oov_tokens * 1000000) // n_tokens AS oov_ppm,
          |  n_types, oov_types,
          |  (oov_types * 1000000) // n_types AS oov_type_ppm
-         |FROM inst JOIN ty USING (lang) ORDER BY lang""".stripMargin))
+         |FROM inst JOIN ty USING (lang) ORDER BY lang""".stripMargin),
+
+    Q("q324_code_detection",
+      // Code-likeness audit per source ([[graft.text.TextAnalysis
+      // .codeDetection]]): integer code-symbol density + distinct
+      // keyword hits, flag rule symbol_ppm >= 2% OR >= 2 keywords —
+      // the code/prose separator a pretraining mixture audit needs.
+      // One scan, one partial-agg groupBy; all-integer math.
+      (s, dir) => graft.text.TextAnalysis.codeDetection(
+        Tables.documents(s, dir), "text", "source"),
+      s"""WITH f AS (SELECT source, length(text)::BIGINT AS n,
+         |    (length(text) - length(regexp_replace(text,
+         |      '[{}();=<>\\[\\]]', '', 'g')))::BIGINT AS sym,
+         |    len(list_intersect($toksSql,
+         |      ['def','return','import','class','if','else','for',
+         |       'while','var','val','function']))::BIGINT AS kw
+         |  FROM documents),
+         |s AS (SELECT source,
+         |    CASE WHEN n > 0 THEN (sym * 1000000) // n ELSE 0 END AS sp,
+         |    kw FROM f),
+         |c AS (SELECT source, sp,
+         |    CASE WHEN sp >= 20000 OR kw >= 2 THEN 1 ELSE 0 END AS c
+         |  FROM s)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(c)::BIGINT AS n_code,
+         |  (sum(c)::BIGINT * 1000000) // count(*) AS code_ppm,
+         |  sum(sp)::BIGINT // count(*) AS mean_symbol_ppm
+         |FROM c GROUP BY source ORDER BY source""".stripMargin),
+
+    Q("q325_freq_of_freqs",
+      // Good-Turing frequency-of-frequencies profile
+      // ([[graft.text.TextAnalysis.freqOfFreqs]]): n_r 3-GRAM types
+      // at count r and the Turing-adjusted r* = (r+1) n_{r+1}/n_r for
+      // r <= 8 — the raw material of count-based LM smoothing and the
+      // unseen-mass diagnostic (~n_1/N). Two partial-agg groupBys to
+      // a grid; r* is one double division rounded to 6 dp.
+      (s, dir) => graft.text.TextAnalysis.freqOfFreqs(
+        Tables.documents(s, dir), "text"),
+      s"""WITH t AS (SELECT $toksSql AS l FROM documents),
+         |toks AS (SELECT unnest($shinglesSql) AS tok FROM t),
+         |cnt AS (SELECT tok, count(*)::BIGINT AS r FROM toks GROUP BY 1),
+         |nr AS (SELECT r, count(*)::BIGINT AS n_r FROM cnt GROUP BY 1)
+         |SELECT a.r, a.n_r,
+         |  round((a.r + 1)::DOUBLE * b.n_r::DOUBLE / a.n_r::DOUBLE, 6)
+         |    AS r_star
+         |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+         |WHERE a.r <= 8 ORDER BY a.r""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -549,6 +549,71 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Code-likeness detection — the code/prose separator every
+    * pretraining mixture needs (code is either gold or poison
+    * depending on the corpus being built). Pure integer per-row
+    * features, no model: code-symbol density (`{}();=<>[]` chars per
+    * char, ppm), distinct code-keyword hits among the tokens, and the
+    * flag rule symbol_ppm ≥ 20000 (2 %) OR ≥ 2 keyword hits. Per
+    * source: doc counts, flagged counts/ppm, and the mean symbol
+    * density (exact integer div) — the mixture-audit readout.
+    * One scan, one partial-agg groupBy; everything engine-exact. */
+  val CodeKeywords: Seq[String] = Seq("def", "return", "import",
+    "class", "if", "else", "for", "while", "var", "val", "function")
+
+  def codeDetection(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    docs
+      .select(col(sourceCol).as("source"),
+        length(col(textCol)).cast("long").as("__n"),
+        (length(col(textCol)) - length(regexp_replace(col(textCol),
+          "[{}();=<>\\[\\]]", ""))).cast("long").as("__sym"),
+        size(array_intersect(TextFunctions.tokens(col(textCol)),
+          typedLit(CodeKeywords))).cast("long").as("__kw"))
+      .select(col("source"),
+        expr("case when __n > 0 then (__sym * 1000000) div __n " +
+          "else 0 end").as("__sp"), col("__kw"))
+      .select(col("source"), col("__sp"),
+        when(col("__sp") >= 20000L || col("__kw") >= 2L, 1L)
+          .otherwise(0L).as("__c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("n_code"),
+        sum(col("__sp")).as("__sps"))
+      .select(col("source"), col("n_docs"), col("n_code"),
+        expr("(n_code * 1000000) div n_docs").as("code_ppm"),
+        expr("__sps div n_docs").as("mean_symbol_ppm"))
+      .orderBy("source")
+  }
+
+  /** Good–Turing frequency-of-frequencies profile of the corpus
+    * vocabulary: n_r = how many token types occur exactly r times,
+    * and the Turing-discounted adjusted count
+    * r* = (r+1)·n_{r+1}/n_r — the raw material of every count-based
+    * LM smoother and the standard "how much probability mass do
+    * unseen types deserve" diagnostic (mass ≈ n_1/N). Types are
+    * `shingleN`-gram shingles — the n-gram-LM view GT smoothing is
+    * built for (and the regime where singletons actually exist; a
+    * unigram vocabulary saturates). Two partial-agg groupBys (type
+    * counts → counts of counts), grid output bounded by `maxR`. r* is
+    * a single double division rounded to 6 dp — an identical
+    * expression on both engines; null where n_{r+1} is absent.
+    * Returns (r, n_r, r_star) for r ≤ maxR, ordered by r. */
+  def freqOfFreqs(docs: DataFrame, textCol: String, maxR: Int = 8,
+      shingleN: Int = 3): DataFrame = {
+    val counts = docs
+      .select(explode(TextFunctions.shingles(
+        TextFunctions.tokens(col(textCol)), shingleN)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("r"))
+    val nr = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
+    nr.filter(col("r") <= maxR)
+      .join(nr.select((col("r") - 1L).as("r"), col("n_r").as("__n1")),
+        Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        round((col("r") + 1L).cast("double") * col("__n1").cast("double")
+          / col("n_r").cast("double"), 6).as("r_star"))
+      .orderBy("r")
+  }
+
   /** Train-vocabulary coverage of a held-out split, per language: the
     * fraction of held-out token INSTANCES absent from the training
     * split's token vocabulary (OOV rate) plus the distinct-type view —

@@ -300,6 +300,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - exp) < 2e-6, s"$r vs $exp")
   }
 
+  test("codeDetection: symbol density and keyword rules flag code, " +
+      "prose stays clean") {
+    val docs = Seq(
+      // code: braces/semicolons push symbol ppm way past 2%
+      ("gh", "def f(x) { return x; } class A { var y = 1; }"),
+      // code by keywords alone (2 hits: def, return), low symbols
+      ("gh", "def run then return value and stop now yes ok fine"),
+      // prose: no symbols, at most one keyword
+      ("web", "the quick brown fox jumps over the lazy dog again"),
+      ("web", "plain sentences with no markers at all here today")
+    ).toDF("source", "text")
+    val out = TextAnalysis.codeDetection(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(out == Seq(("gh", 2L, 2L), ("web", 2L, 0L)), s"$out")
+  }
+
+  test("freqOfFreqs: hand-counted 3-gram profile with GT discounts") {
+    // doc A "a b c d" → shingles {a b c, b c d}; doc B "a b c" →
+    // {a b c}. Counts: "a b c"=2, "b c d"=1 → n_1=1, n_2=1;
+    // r*(1) = 2*1/1 = 2.0; r*(2) null (no n_3).
+    val docs = Seq((1L, "a b c d"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.freqOfFreqs(docs, "text").collect()
+    assert(out.length == 2, s"${out.toSeq}")
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 1L
+      && out(0).getDouble(2) == 2.0, s"${out(0)}")
+    assert(out(1).getLong(0) == 2L && out(1).getLong(1) == 1L
+      && out(1).isNullAt(2), s"${out(1)}")
+  }
+
   test("vocabCoverage: instance and type OOV against the train vocab") {
     // train (even ids): vocab {a, b, c}. test doc 1 (en): "a b x x" →
     // 4 instances, 2 OOV (x twice); types {a, b, x} → 1 OOV type.
