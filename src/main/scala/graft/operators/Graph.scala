@@ -137,14 +137,17 @@ object Graph {
     // edge corpus. Lazy checkpoints keep lineage O(1) per round while
     // fusing materialization into the terminal action.
     val e = canon(edges)
-    val nbrs = e.select(col("a").as("v"), col("b").as("n"))
+    val nbrs0 = e.select(col("a").as("v"), col("b").as("n"))
       .unionAll(e.select(col("b").as("v"), col("a").as("n")))
-      .repartition(col("n"))
       .localCheckpoint(false) // reused every round
-    var labels = nbrs.select(col("v")).distinct()
+    var labels = nbrs0.select(col("v")).distinct()
       .select(col("v"), col("v").as("label"))
       .localCheckpoint(false)
     val bc = labels.count() <= PageRank.BroadcastStateUpTo
+    // the n-keyed repartition only pays on the co-partitioned path;
+    // broadcast-state rounds join map-side off the cached relation
+    val nbrs = if (bc) nbrs0
+      else nbrs0.repartition(col("n")).localCheckpoint(false)
     def step(labels0: DataFrame): DataFrame = {
       val l = labels0.withColumnRenamed("v", "n")
       nbrs

@@ -57,16 +57,21 @@ object PageRank {
       broadcastStateUpTo: Long = BroadcastStateUpTo): DataFrame = {
     require(iters >= 1, "iters >= 1")
     val e0 = edges.select(col("src"), col("dst"))
-    // static: (src, dst, deg) partitioned once on the iteration key
-    val ew = e0
-      .join(e0.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .repartition(col("src"))
+    // Every node has an out-edge (the documented precondition — which
+    // the oracle's `DISTINCT src` node set assumes too), so the degree
+    // relation IS the node set: no separate src∪dst distinct pass.
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(false)
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(false)
-    val n = nodes.count() // metadata-scale action: one long
+    val n = deg.count() // metadata-scale action: one long
     val bc = n <= broadcastStateUpTo
+    // static (src, dst, deg): under the broadcast-state bound the
+    // iteration join is map-side, so skip the edge repartition (a full
+    // corpus shuffle that only pays off on the co-partitioned path)
+    val ew = {
+      val j = e0.join(maybeBroadcast(deg, bc), "src")
+      (if (bc) j else j.repartition(col("src"))).localCheckpoint(false)
+    }
+    val nodes = deg.select(col("src").as("node"))
 
     val init = nodes.select(col("node"),
       round(lit(1.0) / n, 12).cast(DecimalType(28, 12)).as("rank"))
@@ -108,12 +113,12 @@ object PageRank {
       broadcastStateUpTo: Long = BroadcastStateUpTo): DataFrame = {
     require(iters >= 1, "iters >= 1")
     val e0 = edges.select(col("src"), col("dst"))
-    val ew = e0
-      .join(e0.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .repartition(col("src"))
+    // degree relation = node set under the out-edge precondition, and
+    // the edge repartition is skipped on the broadcast path — see
+    // [[run]] for both arguments
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(false)
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
+    val nodes = deg.select(col("src").as("node"))
       .join(broadcast(seeds.select(col("node")).distinct()
         .withColumn("__seed", lit(1L))), Seq("node"), "left")
       .select(col("node"), coalesce(col("__seed"), lit(0L)).as("seed"))
@@ -123,6 +128,10 @@ object PageRank {
     val nSeeds = counts.getLong(1)
     require(nSeeds >= 1, "at least one seed must be a graph node")
     val bc = n <= broadcastStateUpTo
+    val ew = {
+      val j = e0.join(maybeBroadcast(deg, bc), "src")
+      (if (bc) j else j.repartition(col("src"))).localCheckpoint(false)
+    }
     val teleport = round(col("seed").cast("double") * (1.0 - damping)
       / nSeeds, 12)
     val init = nodes.select(col("node"), col("seed"),
@@ -167,15 +176,20 @@ object PageRank {
   def hits(edges: DataFrame, iters: Int, outDp: Int = 9,
       broadcastStateUpTo: Long = BroadcastStateUpTo): DataFrame = {
     require(iters >= 1)
-    // eager: the hub- and auth-keyed repartitions below are sibling
-    // stages that would race a lazy checkpoint and compute it twice
+    // lazy: the hubs count below materializes e BEFORE the per-
+    // direction copies (if any) consume it, so nothing races
     val e = edges.select(col("hub"), col("auth")).distinct()
-      .localCheckpoint(true)
-    val eByHub = e.repartition(col("hub")).localCheckpoint(false)
-    val eByAuth = e.repartition(col("auth")).localCheckpoint(false)
+      .localCheckpoint(false)
     val hubs = e.select(col("hub")).distinct().localCheckpoint(false)
     val nh = hubs.count()
     val bc = nh <= broadcastStateUpTo
+    // per-direction edge copies only pay on the co-partitioned path;
+    // with broadcast state both half-iterations join map-side off the
+    // one cached edge relation
+    val eByHub =
+      if (bc) e else e.repartition(col("hub")).localCheckpoint(false)
+    val eByAuth =
+      if (bc) e else e.repartition(col("auth")).localCheckpoint(false)
     // under bc, carry each half-iteration's score state as a collected
     // literal (IterState rationale: the broadcast build collects it
     // anyway) — ONE job per half-iteration; beyond the bound keep the
