@@ -128,8 +128,8 @@ object Graph {
   /** Per-vertex community assignments (v, label) after `rounds`
     * synchronous LPA rounds — the relation [[labelPropagation]]
     * summarizes and [[modularity]] evaluates. */
-  def labelPropagationAssignments(edges: DataFrame, rounds: Int)
-      : DataFrame = {
+  def labelPropagationAssignments(edges: DataFrame, rounds: Int,
+      stateUpTo: Long = PageRank.BroadcastStateUpTo): DataFrame = {
     require(rounds >= 1)
     // static per-round relation: neighbour pairs hash-partitioned ONCE
     // on the join key (n) — rounds re-shuffle only the nodes-sized
@@ -143,7 +143,7 @@ object Graph {
     var labels = nbrs0.select(col("v")).distinct()
       .select(col("v"), col("v").as("label"))
       .localCheckpoint(false)
-    val bc = labels.count() <= PageRank.BroadcastStateUpTo
+    val bc = labels.count() <= stateUpTo
     // the n-keyed repartition only pays on the co-partitioned path;
     // broadcast-state rounds join map-side off the cached relation
     val nbrs = if (bc) nbrs0

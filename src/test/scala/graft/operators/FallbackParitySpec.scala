@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Every driver-state fast path ships with a distributed fallback that
+  * takes over past its size guard — at fixture scale the guard never
+  * trips, so these specs FORCE the fallback (bound = 0) and pin the
+  * two paths bit-equal on jagged fixtures. A fallback that silently
+  * diverged would otherwise only surface at cluster scale. */
+class FallbackParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def edges = Seq(
+    ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"),
+    ("a", "c"), ("c", "d"), ("d", "c"), ("d", "a"), ("a", "d"),
+    ("e", "a"), ("a", "e")
+  ).toDF("src", "dst") // symmetrized: every node has an out-edge
+
+  test("PageRank.run: driver-iterated state ≡ co-partitioned loop") {
+    val fast = PageRank.run(edges, iters = 3, damping = 0.85)
+    val dist = PageRank.run(edges, iters = 3, damping = 0.85,
+      broadcastStateUpTo = 0L)
+    assert(rowsOf(fast) == rowsOf(dist))
+  }
+
+  test("PageRank.personalized: both paths agree") {
+    val seeds = Seq("a").toDF("node")
+    val fast = PageRank.personalized(edges, seeds, iters = 3,
+      damping = 0.85)
+    val dist = PageRank.personalized(edges, seeds, iters = 3,
+      damping = 0.85, broadcastStateUpTo = 0L)
+    assert(rowsOf(fast) == rowsOf(dist))
+  }
+
+  test("PageRank.hits: both paths agree") {
+    val bip = Seq(("h1", "x"), ("h1", "y"), ("h2", "y"), ("h3", "y"),
+      ("h3", "z")).toDF("hub", "auth")
+    val fast = PageRank.hits(bip, iters = 3)
+    val dist = PageRank.hits(bip, iters = 3, broadcastStateUpTo = 0L)
+    assert(rowsOf(fast) == rowsOf(dist))
+  }
+
+  test("labelPropagationAssignments: both paths agree") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val fast = Graph.labelPropagationAssignments(und, rounds = 3)
+    val dist = Graph.labelPropagationAssignments(und, rounds = 3,
+      stateUpTo = 0L)
+    assert(rowsOf(fast) == rowsOf(dist))
+  }
+
+  test("bfsHopHistogram: driver frontier ≡ spilled distributed loop") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+      .toDF("a", "b")
+    val seeds = Seq(1L, 9L).toDF("v")
+    val fast = Graph.bfsHopHistogram(und, seeds, maxHops = 3)
+    val dist = Graph.bfsHopHistogram(und, seeds, maxHops = 3,
+      stateUpTo = 0L)
+    assert(rowsOf(fast) == rowsOf(dist))
+  }
+
+  test("cheapestPaths: driver min-plus ≡ spilled distributed loop") {
+    val w = Seq((1L, 2L, 5L), (2L, 3L, 7L), (1L, 3L, 20L),
+      (3L, 4L, 1L), (2L, 4L, 100L)).toDF("a", "b", "cost")
+    val seeds = Seq(1L).toDF("v")
+    val fast = Graph.cheapestPaths(w, seeds, rounds = 3, topK = 10)
+    val dist = Graph.cheapestPaths(w, seeds, rounds = 3, topK = 10,
+      stateUpTo = 0L)
+    assert(rowsOf(fast) == rowsOf(dist))
+  }
+
+  test("quantileDisc: driver-routed grid ≡ distributed refinement") {
+    // jagged values with ties, negatives, a heavy repeat
+    val vals = Seq(5.0, -1.5, 5.0, 5.0, 2.25, 99.0, -1.5, 0.0, 7.0,
+      7.0, 3.0, 3.0, 3.0, 42.0, 8.5)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (if (i % 2 == 0) "g1" else "g2", v) }
+      .toDF("g", "v")
+    val ps = Seq(0.25, 0.5, 0.75)
+    val fast = Ranks.quantileDisc(df, "g", "v", ps)
+    val dist = Ranks.quantileDisc(df, "g", "v", ps, maxDriverGrid = 0)
+    assert(rowsOf(fast) == rowsOf(dist))
+  }
+
+  test("boostedSseStumps: driver grid selection ≡ distributed search") {
+    val df = Seq((1.0, 10.0), (1.0, 12.0), (2.0, 30.0), (2.0, 31.0),
+      (3.0, 5.0), (4.0, 50.0), (4.0, 55.0), (5.0, 6.0))
+      .toDF("x", "y")
+    val fast = Stump.boostedSseStumps(df, "x", "y", rounds = 2)
+    val dist = Stump.boostedSseStumps(df, "x", "y", rounds = 2,
+      maxDriverGrid = 0)
+    assert(rowsOf(fast) == rowsOf(dist))
+  }
+}
