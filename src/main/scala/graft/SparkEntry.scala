@@ -11273,7 +11273,47 @@ object SparkEntry {
          |  round((a.r + 1)::DOUBLE * b.n_r::DOUBLE / a.n_r::DOUBLE, 6)
          |    AS r_star
          |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
-         |WHERE a.r <= 8 ORDER BY a.r""".stripMargin))
+         |WHERE a.r <= 8 ORDER BY a.r""".stripMargin),
+
+    Q("q326_sequential_monitor",
+      // Sequential two-proportion A/B monitor ([[graft.operators
+      // .AbTest.sequentialZ]]): cumulative pooled z on the day grid
+      // with the first |z| >= 2.5 crossing day — "when could this
+      // experiment have stopped" (peeking-aware, constant Pocock-ish
+      // boundary). One partial-agg scan; exact-integer cumulative
+      // counts on the calendar grid make every z engine-identical.
+      (s, dir) => graft.operators.AbTest.sequentialZ(
+        Tables.orders(s, dir), "o_orderdate",
+        col("o_custkey") % 2 === 1,
+        col("o_totalprice") > 150000.0, zBound = 2.5),
+      """WITH daily AS (SELECT o_orderdate AS d,
+        |    sum(CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS nt,
+        |    sum(CASE WHEN o_custkey % 2 = 1 AND o_totalprice > 150000
+        |      THEN 1 ELSE 0 END)::BIGINT AS st,
+        |    sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS nc,
+        |    sum(CASE WHEN o_custkey % 2 = 0 AND o_totalprice > 150000
+        |      THEN 1 ELSE 0 END)::BIGINT AS sc
+        |  FROM orders GROUP BY 1),
+        |cum AS (SELECT d, sum(nt) OVER w AS NT, sum(st) OVER w AS ST,
+        |    sum(nc) OVER w AS NC, sum(sc) OVER w AS SC
+        |  FROM daily WINDOW w AS (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT d, NT, NC,
+        |    (ST::DOUBLE / NT::DOUBLE - SC::DOUBLE / NC::DOUBLE) /
+        |    sqrt(((ST + SC)::DOUBLE / (NT::DOUBLE + NC::DOUBLE))
+        |      * (1.0 - (ST + SC)::DOUBLE / (NT::DOUBLE + NC::DOUBLE))
+        |      * (1.0 / NT::DOUBLE + 1.0 / NC::DOUBLE)) AS z
+        |  FROM cum WHERE NT > 0 AND NC > 0),
+        |zz AS (SELECT * FROM z WHERE z IS NOT NULL AND NOT isnan(z))
+        |SELECT (SELECT count(*) FROM zz)::BIGINT AS n_days,
+        |  (SELECT min(d) FROM zz WHERE abs(z) >= 2.5)
+        |    AS first_cross_day,
+        |  (SELECT round(z, 6) FROM zz ORDER BY d DESC LIMIT 1)
+        |    AS z_final,
+        |  (SELECT (NT + NC)::BIGINT FROM zz ORDER BY d DESC LIMIT 1)
+        |    AS n_final""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

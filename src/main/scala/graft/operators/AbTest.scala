@@ -209,4 +209,56 @@ object AbTest {
       round(col("sya") / col("na") - col("syb") / col("nb"), 6).as("lift_raw"),
       round(adjA - adjB, 6).as("lift_cuped"))
   }
+
+  /** Sequential two-proportion monitoring — "when could this A/B have
+    * stopped?": the cumulative pooled z statistic on the calendar day
+    * grid, with the first boundary crossing |z| ≥ `zBound` reported
+    * (the peeking-aware view a fixed-horizon test forbids; constant
+    * boundaries à la Pocock). One partial-agg corpus scan to daily
+    * 2×2 counts; cumulative counts are exact integers on the
+    * calendar-bounded grid (post-aggregate grid window — the blessed
+    * shape), so every z is an identical double on both engines and
+    * the crossing day is engine-exact. Returns one row (n_days,
+    * first_cross_day [null = never], z_final, n_final). */
+  def sequentialZ(df: DataFrame, dateCol: String, treat: Column,
+      success: Column, zBound: Double): DataFrame = {
+    val daily = df
+      .select(date_trunc("day", col(dateCol)).cast("date").as("d"),
+        treat.as("__t"), success.as("__s"))
+      .groupBy("d").agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("__t") && col("__s"), 1L).otherwise(0L)).as("st"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("nc"),
+        sum(when(!col("__t") && col("__s"), 1L).otherwise(0L)).as("sc"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val cum = daily
+      .select(col("d"), sum(col("nt")).over(w).as("NT"),
+        sum(col("st")).over(w).as("ST"),
+        sum(col("nc")).over(w).as("NC"),
+        sum(col("sc")).over(w).as("SC"))
+    val nT = col("NT").cast("double")
+    val nC = col("NC").cast("double")
+    val p = (col("ST") + col("SC")).cast("double") / (nT + nC)
+    val z = (col("ST").cast("double") / nT
+      - col("SC").cast("double") / nC) /
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / nT + lit(1.0) / nC))
+    val withZ = cum
+      .filter(col("NT") > 0L && col("NC") > 0L)
+      .select(col("d"), col("NT"), col("NC"), z.as("z"))
+      .filter(col("z").isNotNull && !isnan(col("z")))
+    val firstCross = withZ.filter(abs(col("z")) >= zBound)
+      .agg(min(col("d")).as("first_cross_day"))
+    val fin = withZ
+      .agg(count(lit(1)).as("n_days"),
+        max(struct(col("d"), col("z"),
+          (col("NT") + col("NC")).as("n"))).as("m"))
+      .select(col("n_days"), round(col("m.z"), 6).as("z_final"),
+        col("m.n").as("n_final"))
+    fin.crossJoin(broadcast(firstCross))
+      .select(col("n_days"), col("first_cross_day"), col("z_final"),
+        col("n_final"))
+  }
 }

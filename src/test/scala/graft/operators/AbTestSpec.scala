@@ -122,4 +122,32 @@ class AbTestSpec extends SparkSpec {
     assert(r2.getDouble(2) > 2.5 && r2.getDouble(2) < 3.5, s"$r2")
     assert(r2.getLong(3) == 1L && r2.getLong(4) == 6L)
   }
+
+  test("sequentialZ: a strong effect crosses on the day the pooled z " +
+      "first clears the boundary; an A/A never crosses") {
+    import java.sql.Date
+    // day 1: 10 per arm, T 6/10 vs C 4/10 → |z| small; day 2 adds
+    // 40 per arm at T 90% vs C 10% → cumulative z blows past 2.5
+    def day(d: String, t: Boolean, s: Boolean, n: Int) =
+      Seq.fill(n)((Date.valueOf(d), t, s))
+    val rows =
+      day("2024-01-01", true, true, 6) ++ day("2024-01-01", true, false, 4) ++
+      day("2024-01-01", false, true, 4) ++ day("2024-01-01", false, false, 6) ++
+      day("2024-01-02", true, true, 36) ++ day("2024-01-02", true, false, 4) ++
+      day("2024-01-02", false, true, 4) ++ day("2024-01-02", false, false, 36)
+    val df = rows.toDF("ts", "t", "s")
+    val out = AbTest.sequentialZ(df, "ts", col("t"), col("s"), 2.5)
+      .collect().head
+    assert(out.getLong(0) == 2L, s"$out")
+    assert(out.getDate(1) == Date.valueOf("2024-01-02"), s"$out")
+    assert(out.getDouble(2) > 2.5 && out.getLong(3) == 100L, s"$out")
+    // A/A: identical arms → z = 0 everywhere, never crosses
+    val aa = day("2024-01-01", true, true, 5) ++
+      day("2024-01-01", true, false, 5) ++
+      day("2024-01-01", false, true, 5) ++
+      day("2024-01-01", false, false, 5)
+    val r0 = AbTest.sequentialZ(aa.toDF("ts", "t", "s"), "ts",
+      col("t"), col("s"), 2.5).collect().head
+    assert(r0.isNullAt(1) && r0.getDouble(2) == 0.0, s"$r0")
+  }
 }
