@@ -11313,7 +11313,66 @@ object SparkEntry {
         |  (SELECT round(z, 6) FROM zz ORDER BY d DESC LIMIT 1)
         |    AS z_final,
         |  (SELECT (NT + NC)::BIGINT FROM zz ORDER BY d DESC LIMIT 1)
-        |    AS n_final""".stripMargin))
+        |    AS n_final""".stripMargin),
+
+    Q("q327_cem_att",
+      // Coarsened exact matching ATT ([[graft.operators.Causal
+      // .cemAtt]]): heavy-clicker (>= 14 clicks) → purchase-revenue
+      // effect with activity
+      // coarsened into exact cells (views div 4, errors div 2, capped
+      // at 8) — the matching rung of the causal ladder between q237's
+      // exact strata and q287's modeled propensity, with common-
+      // support pruning reported. One partial-agg scan to the cell
+      // grid; 9-dp DECIMAL-summed weighted terms.
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val per = Tables.events(s, dir).groupBy("user_id").agg(
+          (sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            >= 14L).as("t"),
+          coalesce(sum(when(col("event_type") === "purchase",
+              col("value").cast(DecimalType(18, 4)))).cast("double"),
+            lit(0.0)).as("y"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("v"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("e"))
+        graft.operators.Causal.cemAtt(per, col("t"), "y",
+          least(expr("v div 4"), lit(8L)), least(expr("e div 2"), lit(8L)))
+      },
+      """WITH per AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 14
+        |      AS t,
+        |    (coalesce(sum(CASE WHEN event_type = 'purchase'
+        |        THEN value::DECIMAL(18,4) END),
+        |      0::DECIMAL(18,4))::VARCHAR)::DOUBLE AS y,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS v,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS e
+        |  FROM events GROUP BY 1),
+        |cc AS (SELECT least(v // 4, 8) AS c1, least(e // 2, 8) AS c2,
+        |    t, y::DECIMAL(18,4) AS yd FROM per),
+        |cells AS (SELECT c1, c2,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |    sum(CASE WHEN t THEN yd END) AS st,
+        |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS nc,
+        |    sum(CASE WHEN NOT t THEN yd END) AS sc
+        |  FROM cc GROUP BY 1, 2),
+        |m AS (SELECT count(*)::BIGINT AS n_cells_matched,
+        |    sum(nt)::BIGINT AS n_treat_matched,
+        |    sum(round(((st::VARCHAR)::DOUBLE / nt::DOUBLE
+        |      - (sc::VARCHAR)::DOUBLE / nc::DOUBLE) * nt::DOUBLE, 9)
+        |      ::DECIMAL(28,9)) AS ws
+        |  FROM cells WHERE nt > 0 AND nc > 0),
+        |nv AS (SELECT sum(nt)::BIGINT AS n_treat,
+        |    ((sum(st)::VARCHAR)::DOUBLE / sum(nt)::DOUBLE
+        |      - (sum(sc)::VARCHAR)::DOUBLE / sum(nc)::DOUBLE) AS naive
+        |  FROM cells)
+        |SELECT n_treat, n_treat_matched, n_cells_matched,
+        |  round((ws::VARCHAR)::DOUBLE / n_treat_matched::DOUBLE, 6)
+        |    AS att_cem,
+        |  round(naive, 6) AS att_naive
+        |FROM nv, m""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

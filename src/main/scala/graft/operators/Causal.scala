@@ -73,6 +73,55 @@ object Causal {
     perStratum.unionAll(ate)
   }
 
+  /** Coarsened exact matching ATT (Iacus–King–Porro 2012): coarsen
+    * the covariates into discrete cells, keep only cells with BOTH a
+    * treated and a control unit (common support), and weight each
+    * cell's treated-minus-control mean difference by its treated
+    * count — the matching-estimator rung of the causal ladder
+    * (exact strata → CEM → modeled propensity), with the pruning
+    * (units outside common support are DROPPED, not extrapolated)
+    * reported explicitly.
+    *
+    * Scale shape: ONE partial-agg corpus scan to the cell grid
+    * (coarsening bounds the cell count by construction), then grid
+    * algebra. Means are identical doubles from exact decimal sums;
+    * per-cell weighted terms round to 9 dp and DECIMAL-sum, so the
+    * ATT is associativity-free on both engines. `cell1`/`cell2` must
+    * be integer-valued coarsening expressions. Returns one row
+    * (n_treat, n_treat_matched, n_cells_matched, att_cem,
+    * att_naive). */
+  def cemAtt(df: DataFrame, treat: Column, yCol: String,
+      cell1: Column, cell2: Column): DataFrame = {
+    val cells = df
+      .select(cell1.cast("long").as("c1"), cell2.cast("long").as("c2"),
+        treat.as("__t"), d184(col(yCol)).as("__y"))
+      .groupBy("c1", "c2")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("__t"), col("__y"))).as("st"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("nc"),
+        sum(when(!col("__t"), col("__y"))).as("sc"))
+      .localCheckpoint(false) // grid-sized; feeds matched + naive aggs
+    val matched = cells.filter(col("nt") > 0L && col("nc") > 0L)
+      .select(col("nt"),
+        round((col("st").cast("double") / col("nt").cast("double")
+          - col("sc").cast("double") / col("nc").cast("double"))
+          * col("nt").cast("double"), 9)
+          .cast(DecimalType(28, 9)).as("__w"))
+      .agg(count(lit(1)).as("n_cells_matched"),
+        sum(col("nt")).as("n_treat_matched"),
+        sum(col("__w")).cast("double").as("__ws"))
+    val naive = cells.agg(sum(col("nt")).as("n_treat"),
+      (sum(col("st")).cast("double") / sum(col("nt")).cast("double")
+        - sum(col("sc")).cast("double") / sum(col("nc")).cast("double"))
+        .as("__naive"))
+    naive.crossJoin(broadcast(matched))
+      .select(col("n_treat"), col("n_treat_matched"),
+        col("n_cells_matched"),
+        round(col("__ws") / col("n_treat_matched").cast("double"), 6)
+          .as("att_cem"),
+        round(col("__naive"), 6).as("att_naive"))
+  }
+
   /** Difference-in-differences on the classic 2×2 (treated × post)
     * design: DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) —
     * the panel-data causal readout when treatment lands at a known

@@ -27,6 +27,30 @@ class CausalSpec extends SparkSpec {
     assert(byName("B").getDouble(5) == 2.0)
   }
 
+  test("cemAtt: common-support pruning and hand-computed weighted ATT") {
+    // cell (0,0): T {10, 14} m=12, C {8} m=8 → diff 4, weight 2
+    // cell (1,0): T {20},     C {10, 14} m=12 → diff 8, weight 1
+    // cell (2,0): T {99} only — OUTSIDE common support, pruned
+    // cell (0,1): C {5} only — pruned
+    // ATT = (2·4 + 1·8) / 3 = 16/3; naive uses ALL units
+    val df = Seq(
+      (0L, 0L, true, 10.0), (0L, 0L, true, 14.0), (0L, 0L, false, 8.0),
+      (1L, 0L, true, 20.0), (1L, 0L, false, 10.0), (1L, 0L, false, 14.0),
+      (2L, 0L, true, 99.0), (0L, 1L, false, 5.0)
+    ).toDF("c1", "c2", "t", "y")
+    val out = Causal.cemAtt(df, col("t"), "y", col("c1"), col("c2"))
+      .collect().head
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((out.getLong(0), out.getLong(1), out.getLong(2))
+      == ((4L, 3L, 2L)), s"$out")
+    assert(out.getDouble(3) == r6(16.0 / 3.0), s"$out")
+    // naive: mean(T) - mean(C) over everyone incl. pruned units
+    val naive = (10.0 + 14.0 + 20.0 + 99.0) / 4.0 -
+      (8.0 + 10.0 + 14.0 + 5.0) / 4.0
+    assert(out.getDouble(4) == r6(naive), s"$out")
+  }
+
   test("diffInDiffs: hand-computed 2x2 cells, SE, and t") {
     // T-pre {10,12} m=11 s2=2; T-post {20,26} m=23 s2=18;
     // C-pre {1,3} m=2 s2=2; C-post {5,7} m=6 s2=2.
