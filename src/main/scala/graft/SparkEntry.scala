@@ -6606,11 +6606,17 @@ object SparkEntry {
          |    sum(a.k::HUGEINT) AS ska, sum(b.k::HUGEINT) AS skb,
          |    sum(a.k::HUGEINT * b.k::HUGEINT) AS skk
          |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-         |  GROUP BY 1, 2)
+         |  GROUP BY 1, 2),
+         |mm AS (
+         |  SELECT ai, bi, n * skk - ska * skb AS num,
+         |    n * n * 1000000::HUGEINT AS den
+         |  FROM m)
          |SELECT (ai - 1)::INT AS i, (bi - 1)::INT AS j,
-         |  round((n * skk - ska * skb)::DOUBLE
-         |    / n::DOUBLE / n::DOUBLE / 1e12, 6) AS cov
-         |FROM m ORDER BY i, j""".stripMargin),
+         |  (CASE WHEN num < 0
+         |    THEN -((2 * (-num) + den) // (2 * den))
+         |    ELSE  ((2 *   num  + den) // (2 * den)) END)::DOUBLE
+         |    / 1e6 AS cov
+         |FROM mm ORDER BY i, j""".stripMargin),
 
     Q("q202_padding_waste",
       // Length-bucketed padding-waste profile

@@ -26,9 +26,18 @@ object Pca {
     * `round` (i.e. exact integers at scale 1e6), moments accumulated
     * in EXACT integer arithmetic ([[CovMomentsAgg]]), and the
     * covariance assembled by exact integer algebra — cov(i,j) =
-    * (n·Σkᵢkⱼ − Σkᵢ·Σkⱼ) / n² / 1e12 — with ONE double division at
-    * the end. The result is a pure function of the input multiset:
-    * bit-identical across partitionings and engines. */
+    * (n·Σkᵢkⱼ − Σkᵢ·Σkⱼ) / n² / 1e12, rounded to 6 dp by INTEGER
+    * half-away-from-zero rounding of the exact numerator (micro =
+    * ±⌊(2·|num| + den) / (2·den)⌋ with den = n²·1e6, all DECIMAL(38,0))
+    * and ONE double division (micro / 1e6) at the very end. Integer
+    * algebra everywhere means a zero cell is the integer 0 → +0.0 in
+    * every IEEE engine — a `round(double)` path instead lets a tiny
+    * negative covariance round to the SIGNED zero −0.0 in engines whose
+    * `round` preserves the sign bit (DuckDB) but not in Spark (whose
+    * `round` goes through BigDecimal, which has no signed zero); that
+    * one-bit divergence cost a round of hash mismatches. The result is
+    * a pure function of the input multiset: bit-identical across
+    * partitionings and engines. */
   def covarianceMatrix(embs: DataFrame, vecCol: String, dim: Int)
       : DataFrame = {
     val rounded = transform(col(vecCol), x => round(x.cast("double"), 6))
@@ -50,12 +59,17 @@ object Pca {
       .select(
         element_at(typedLit(iIdx), col("k") + 1).as("i"),
         element_at(typedLit(jIdx), col("k") + 1).as("j"),
-        // exact DECIMAL(38,0) numerator, then double division in a
-        // fixed op order the oracle mirrors token-for-token
-        round(
-          (col("n") * col("sxy") - ski * skj).cast("double")
-            / col("n").cast("double") / col("n").cast("double") / 1e12,
-          6).as("cov"))
+        (col("n") * col("sxy") - ski * skj).as("num"),
+        (col("n") * col("n") * lit(1000000L).cast("decimal(38,0)"))
+          .as("den"))
+      .select(col("i"), col("j"),
+        // exact integer half-away rounding (den > 0, DIV truncates
+        // toward zero = floor on the non-negative operands used here),
+        // mirrored token-for-token by the HUGEINT oracle
+        (expr("""CASE WHEN num < 0
+                 THEN -((2 * (-num) + den) DIV (2 * den))
+                 ELSE  ((2 *   num  + den) DIV (2 * den)) END""")
+          .cast("double") / 1e6).as("cov"))
   }
 
   /** Driver-side moments fetch: (n, mean, full d×d covariance).

@@ -97,6 +97,37 @@ class PcaSpec extends SparkSpec {
     assert(a.forall { case (_, _, v) => math.rint(v * 1e6) / 1e6 == v })
   }
 
+  test("covarianceMatrix never emits a signed zero, and rounds ties " +
+      "half-away (the q201 driver-hash divergence, round 8)") {
+    // Tiny negative covariance that rounds to zero at 6 dp: a round()
+    // over the double quotient yields −0.0 in sign-preserving engines
+    // (DuckDB) but +0.0 via BigDecimal (Spark) — one bit, one failed
+    // round. The integer half-away path must produce the integer 0 →
+    // POSITIVE zero, always.
+    val negTiny = Seq(
+      ("a", Seq(0.0, 1e-6)), ("b", Seq(1e-6, 0.0))
+    ).toDF("vec_id", "embedding")
+    val r = Pca.covarianceMatrix(negTiny, "embedding", 2)
+      .orderBy("i", "j").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // exact numerator for (0,1): n·Σxy − Σx·Σy = 2·0 − 1·1 = −1 < 0
+    val z = r((0, 1))
+    assert(z == 0.0, s"cov(0,1) should round to zero, got $z")
+    assert(java.lang.Double.doubleToRawLongBits(z) == 0L,
+      "cov(0,1) is the NEGATIVE zero — sign bit must not survive")
+    // ties round half away from zero, both signs: quotient ±0.5 µ
+    val tiePos = Seq(("a", Seq(0.0, 0.0)), ("b", Seq(0.001, 0.002)))
+      .toDF("vec_id", "embedding")
+    val tp = Pca.covarianceMatrix(tiePos, "embedding", 2)
+      .filter(col("i") === 0 && col("j") === 1).head().getDouble(2)
+    assert(tp == 1e-6, s"+0.5µ tie should round to 1µ, got $tp")
+    val tieNeg = Seq(("a", Seq(0.0, 0.0)), ("b", Seq(0.001, -0.002)))
+      .toDF("vec_id", "embedding")
+    val tn = Pca.covarianceMatrix(tieNeg, "embedding", 2)
+      .filter(col("i") === 0 && col("j") === 1).head().getDouble(2)
+    assert(tn == -1e-6, s"-0.5µ tie should round to -1µ, got $tn")
+  }
+
   test("varianceExplained shares sum to the top-k fraction") {
     val evals = Array(4.0, 2.0, 1.0, 1.0)
     val df = Pca.varianceExplained(spark, evals)

@@ -8,17 +8,22 @@ sfDir, runs each oracle, reads the Spark result parquet, sorts columns
 by name (the driver does this before hashing), and compares cell values
 exactly (floats: exact equality first, else reports max abs diff).
 """
-import json, sys, math
+import json, sys, math, struct
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    # Sign-of-zero / bit-strict float compare: the driver hashes the raw
+    # IEEE bits, so -0.0 != +0.0 there. Python's == treats them equal,
+    # which let q201 pass locally while failing the driver (round 8).
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        return struct.pack(">d", v)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
     return v
 
 def main(sf_dir, out_dir):
@@ -70,8 +75,10 @@ def main(sf_dir, out_dir):
                     if first is None:
                         first = (i, er, gr)
                     for a, b in zip(er, gr):
-                        if isinstance(a, float) and isinstance(b, float):
-                            maxd = max(maxd, abs(a - b))
+                        if isinstance(a, bytes) and isinstance(b, bytes):
+                            fa = struct.unpack(">d", a)[0]
+                            fb = struct.unpack(">d", b)[0]
+                            maxd = max(maxd, abs(fa - fb))
             print(f"FAIL {name}: {bad}/{exp.num_rows} rows differ, maxfloatdiff={maxd:.3g}")
             i, er, gr = first
             print(f"  row {i} cols {ecols}\n   oracle: {er}\n   spark:  {gr}")
