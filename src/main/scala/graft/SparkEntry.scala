@@ -9142,7 +9142,7 @@ object SparkEntry {
         |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
         |      + sy * (s1 * s12 - s11 * s2) AS det2
         |  FROM m)
-        |SELECT n::BIGINT AS n, 1000.0 AS lambda,
+        |SELECT n::BIGINT AS n, 1000.0::DOUBLE AS lambda,
         |  round(det0 / det, 6) AS b0,
         |  round(det1 / det, 6) AS b1,
         |  round(det2 / det, 6) AS b2

@@ -253,10 +253,19 @@ object Graph {
     var d = 1
     var spilled = false
     while (d <= maxHops && frontier.nonEmpty && !spilled) {
+      // the collect itself is bounded at stateUpTo+1 (the quantileDisc /
+      // boostedSseStumps discipline): one hub round's expansion can be
+      // unbounded relative to the state bound, and the driver must never
+      // hold it. Hitting the limit spills conservatively (the distinct
+      // neighbour set alone outgrew the bound) — the distributed loop
+      // recomputes round d exactly.
       val cand = nbrs.join(broadcast(litFrame(frontier)), "v")
-        .select(col("n")).distinct().collect().map(_.get(0))
+        .select(col("n")).distinct()
+        .limit((stateUpTo + 1).min(Int.MaxValue).toInt)
+        .collect().map(_.get(0))
       val next = cand.filterNot(visited.contains)
-      if (visited.size.toLong + next.length > stateUpTo) {
+      if (cand.length > stateUpTo ||
+          visited.size.toLong + next.length > stateUpTo) {
         spilled = true // resume distributed below; round d not consumed
       } else {
         next.foreach(v => visited(v) = d)
@@ -335,15 +344,21 @@ object Graph {
     var r = 1
     var spilled = false
     while (r <= rounds && !spilled) {
+      // bounded collect (see bfsHopHistogram): a hub round can relax an
+      // unbounded vertex set; cap the fetch at stateUpTo+1 and spill on
+      // overflow — a truncated min-plus frame must never be merged, and
+      // under the limit the result is provably complete.
       val relaxed = arcs
         .join(broadcast(distLit().withColumnRenamed("v", "u")
           .withColumnRenamed("cost", "du")), "u")
         .select(col("v"), (col("du") + col("cost")).as("cost"))
         .groupBy("v").agg(min(col("cost")).as("cost"))
+        .limit((stateUpTo + 1).min(Int.MaxValue).toInt)
         .collect()
       val fresh = relaxed.count(row =>
         !dist.contains(row.get(0)))
-      if (dist.size.toLong + fresh > stateUpTo) {
+      if (relaxed.length > stateUpTo ||
+          dist.size.toLong + fresh > stateUpTo) {
         spilled = true // round r not consumed; distributed loop resumes
       } else {
         relaxed.foreach { row =>

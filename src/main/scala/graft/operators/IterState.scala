@@ -26,19 +26,34 @@ object IterState {
   /** Run `iters` rounds of `step`, carrying the state between rounds
     * as a collected row array re-emitted as a literal frame. `step`
     * receives the current state as a DataFrame (schema = `init`'s) and
-    * must return the next state; its plan executes once per round via
-    * the collect. Returns the final state as a literal frame. */
-  def iterate(init: DataFrame, iters: Int)(step: DataFrame => DataFrame)
-      : DataFrame = {
+    * must return the next state. Returns the final state as a literal
+    * frame.
+    *
+    * `stepsPerJob` composes k rounds into ONE submitted plan —
+    * `step(step(…))` — before collecting: function composition, so the
+    * algebra (and every hash) is identical, but the fixed per-action
+    * cost (collect round-trip, literal re-plan, full Catalyst
+    * optimization) is paid once per k rounds instead of per round. At
+    * local[32] that fixed cost (~0.3–0.5 s) DOMINATES the 10-iteration
+    * graph operators; on a 1000-executor cluster the same composition
+    * halves driver scheduling pressure. Kept small (default 3) so the
+    * composed plan stays well inside codegen/optimizer comfort. */
+  def iterate(init: DataFrame, iters: Int, stepsPerJob: Int = 3)
+      (step: DataFrame => DataFrame): DataFrame = {
+    require(stepsPerJob >= 1)
     val spark = init.sparkSession
     val schema = init.schema
     def lit0(rows: Array[Row]): DataFrame =
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     var cur = init.collect()
-    var i = 0
-    while (i < iters) {
-      cur = step(lit0(cur)).collect()
-      i += 1
+    var done = 0
+    while (done < iters) {
+      val k = math.min(stepsPerJob, iters - done)
+      var df = lit0(cur)
+      var j = 0
+      while (j < k) { df = step(df); j += 1 }
+      cur = df.collect()
+      done += k
     }
     lit0(cur)
   }

@@ -46,10 +46,33 @@ object PageRank {
   private def maybeBroadcast(df: DataFrame, small: Boolean): DataFrame =
     if (small) broadcast(df) else df
 
+  /** Loud guard for the every-node-has-an-out-edge precondition of
+    * [[run]]/[[personalized]]: fails if any node appears only as a dst.
+    * One distinct anti-join pass over the edge relation — deliberately
+    * NOT run inside the operators (it would add a corpus shuffle per
+    * call for inputs that are in-contract by construction, e.g. the
+    * symmetrized graphs every caller in this repo builds); call it once
+    * at ingest/spec time when the input's provenance is uncertain. */
+  def requireOutEdgeClosed(edges: DataFrame): Unit = {
+    val e0 = edges.select(col("src"), col("dst"))
+    val dstOnly = e0.select(col("dst").as("v")).distinct()
+      .join(e0.select(col("src").as("v")).distinct(), Seq("v"), "left_anti")
+      .limit(5).collect().map(_.get(0))
+    require(dstOnly.isEmpty,
+      s"PageRank precondition violated: ${dstOnly.mkString(", ")}... " +
+        "appear only as dst (no out-edge); such nodes would be silently " +
+        "DROPPED from the ranking (the node set is DISTINCT src). " +
+        "Symmetrize the graph or add self-loops first.")
+  }
+
   /** `edges`: (src: string, dst: string), treated as given (pre-dedup
     * them if multiplicity is not intended). Every node must have at
     * least one out-edge (symmetrize bipartite graphs — this keeps the
-    * dangling-mass redistribution term out of the algebra).
+    * dangling-mass redistribution term out of the algebra). OUT OF
+    * CONTRACT the failure is silent: the node set is `DISTINCT src`,
+    * so a dst-only node is dropped from the output (and its teleport
+    * mass never minted) rather than ranked — callers with uncertain
+    * inputs should gate on [[requireOutEdgeClosed]] once at ingest.
     * Returns (node, rank) after `iters` damped iterations from the
     * uniform start, rank rounded to `outDp` dp. */
   def run(edges: DataFrame, iters: Int, damping: Double,
@@ -107,7 +130,10 @@ object PageRank {
     * primitive. Same fixed-point decimal algebra and iteration shape
     * as [[run]] (the oracle unrolls it bit-for-bit); seeds are
     * broadcast, iteration cost unchanged. `seeds` must have a `node`
-    * column and be a subset of the graph's nodes. */
+    * column and be a subset of the graph's nodes — "node" meaning a
+    * DISTINCT src ([[run]]'s out-edge contract): a dst-only seed is
+    * out of contract and fails the ≥1-seed require loudly rather than
+    * being ranked; gate uncertain inputs on [[requireOutEdgeClosed]]. */
   def personalized(edges: DataFrame, seeds: DataFrame, iters: Int,
       damping: Double, outDp: Int = 9,
       broadcastStateUpTo: Long = BroadcastStateUpTo): DataFrame = {
@@ -190,14 +216,19 @@ object PageRank {
       if (bc) e else e.repartition(col("hub")).localCheckpoint(false)
     val eByAuth =
       if (bc) e else e.repartition(col("auth")).localCheckpoint(false)
-    // under bc, carry each half-iteration's score state as a collected
-    // literal (IterState rationale: the broadcast build collects it
-    // anyway) — ONE job per half-iteration; beyond the bound keep the
-    // distributed loop with its checkpoint discipline
+    // under bc, carry the HUB score state as a collected literal
+    // (IterState rationale: the broadcast build collects it anyway)
+    // — ONE job per FULL iteration: the authority half stays a subplan
+    // whose lazy checkpoint materializes (and caches) inside the hub
+    // collect, so nothing is computed twice and half the per-job
+    // scheduler latency disappears. Beyond the bound keep the
+    // distributed loop with its checkpoint discipline.
     def carry(df: DataFrame): DataFrame =
       if (bc) df.sparkSession.createDataFrame(
         java.util.Arrays.asList(df.collect(): _*), df.schema)
       else df.localCheckpoint(false)
+    def carryMid(df: DataFrame): DataFrame =
+      if (bc) df else df.localCheckpoint(false)
     // under bc a LAZY score-sum checkpoint suffices (the collect's
     // broadcast-total subtree materializes it before the rescale stage
     // reads the cache); distributed path keeps EAGER — its total and
@@ -210,7 +241,7 @@ object PageRank {
       val araw = ckpt(eByHub.join(maybeBroadcast(h, bc), "hub")
         .groupBy("auth").agg(sum(col("hs")).as("ar"))) // exact decimal
       val at = araw.agg(sum(col("ar")).as("t"))
-      a = carry(araw.crossJoin(broadcast(at))
+      a = carryMid(araw.crossJoin(broadcast(at))
         .select(col("auth"),
           round(col("ar").cast("double") / col("t").cast("double"), 12)
             .cast(DecimalType(28, 12)).as("as")))

@@ -158,6 +158,17 @@ object TimeSeries {
     if (dRows.length <= driverDaysUpTo) {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
+      // < 2 observation days ⇒ no pairs, both medians undefined: the
+      // distributed branch yields the EMPTY frame (quantileDisc of an
+      // empty pair relation), so the fast path must too — not an
+      // ArrayIndexOutOfBounds from medianDisc on an empty slope array.
+      if (dRows.length < 2) return daily.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        StructType(Seq(
+          StructField("n_days", LongType, nullable = false),
+          StructField("n_pairs", LongType, nullable = false),
+          StructField("slope_per_day", DoubleType, nullable = false),
+          StructField("intercept", DoubleType, nullable = false))))
       val ts = dRows.map(_.getInt(0))
       val xs = dRows.map(_.getDouble(1))
       val n = dRows.length

@@ -175,18 +175,79 @@ trait BulkTransport extends Serializable {
 
 object BulkTransport {
   /** `file:`/plain paths → filesystem double; `http(s)` → the
-    * production ES client leg (not constructible here: zero egress). */
+    * production leg: [[HttpBulkTransport]] POSTing each payload to
+    * `<es.nodes>/_bulk`. */
   def forNodes(nodes: String): BulkTransport =
     if (nodes.startsWith("http://") || nodes.startsWith("https://"))
-      throw new UnsupportedOperationException(
-        "es-bulk HTTP transport is the production wiring (POST each " +
-          "payload to <es.nodes>/_bulk with the reference's " +
-          "raise_on_error=False accounting); this build is zero-egress " +
-          "- use a file: es.nodes for the test double")
+      new HttpBulkTransport(nodes)
     else new FileBulkTransport(
       if (nodes.startsWith("file:"))
         Paths.get(java.net.URI.create(nodes)).toString
       else nodes)
+}
+
+/** Production transport: POST each chunk to `<nodes>/_bulk` as
+  * `application/x-ndjson`, with the reference's `helpers.bulk(...,
+  * raise_on_error=False)` accounting (`backend/process/
+  * elasticsearch_index.py:160-165`): per-ITEM rejections (the response
+  * body's `"errors": true` + item statuses ≥ 300) are counted and
+  * logged, never thrown — the caller's write completes and the
+  * success/error split is the log line, exactly as `successes, errors =
+  * helpers.bulk(...)` behaves. TRANSPORT-level failures (non-2xx HTTP
+  * status, connect/IO errors) DO throw, as `helpers.bulk` raises
+  * `TransportError` — a retried Spark task then re-sends the same
+  * deterministic chunk ids and ES's index-by-_id upsert deduplicates.
+  *
+  * Scale notes: one `HttpClient` per executor JVM (lazily built — the
+  * transport ships serialized inside the writer factory and
+  * `HttpClient` is not `Serializable`); requests are synchronous per
+  * task, so cluster-wide concurrency = task parallelism, the same
+  * back-pressure shape as elasticsearch-hadoop's rest layer. */
+final class HttpBulkTransport(nodes: String) extends BulkTransport {
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+  import java.time.Duration
+
+  private val base = if (nodes.endsWith("/")) nodes.dropRight(1) else nodes
+
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(30)).build()
+
+  override def send(resource: String, chunkId: String,
+      payload: Array[Byte]): Unit = {
+    val req = HttpRequest.newBuilder(java.net.URI.create(s"$base/_bulk"))
+      .header("Content-Type", "application/x-ndjson")
+      .timeout(Duration.ofMinutes(2))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"es-bulk POST $base/_bulk chunk $chunkId: HTTP ${
+          resp.statusCode()} ${resp.body().take(500)}")
+    // raise_on_error=False: item failures are counted + warned, never
+    // thrown — only the transport itself may fail the task
+    val (ok, failed) = HttpBulkTransport.tally(resp.body())
+    HttpBulkTransport.log(resource, chunkId, ok, failed)
+  }
+}
+
+object HttpBulkTransport {
+  /** Minimal `_bulk` response accounting: (successes, failures) from
+    * the per-item `"status": <n>` fields (< 300 = success — the same
+    * test `elasticsearch.helpers` applies). A body without items (or a
+    * non-JSON body from a permissive proxy) counts as all-success with
+    * `"errors":true` absent, matching the lenient reference flow. */
+  def tally(body: String): (Int, Int) = {
+    val status = """"status"\s*:\s*(\d+)""".r
+    val codes = status.findAllMatchIn(body).map(_.group(1).toInt).toSeq
+    (codes.count(_ < 300), codes.count(_ >= 300))
+  }
+
+  private[sources] def log(resource: String, chunkId: String,
+      ok: Int, failed: Int): Unit =
+    if (failed > 0)
+      System.err.println(s"[es-bulk] $resource/$chunkId: $failed " +
+        s"document(s) failed to index, $ok succeeded")
 }
 
 /** Test double: each payload lands as `<dir>/part-<p>-<seq>.ndjson`,

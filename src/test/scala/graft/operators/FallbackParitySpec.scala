@@ -75,6 +75,25 @@ class FallbackParitySpec extends SparkSpec {
     assert(rowsOf(fast) == rowsOf(dist))
   }
 
+  test("bfsHopHistogram / cheapestPaths: MID-RUN spill (bounded collect " +
+      "overflows after absorbing rounds) ≡ unbounded driver path") {
+    // a star hub makes round 2's expansion outgrow a bound that round 1
+    // fit under — the exact hazard the limit(stateUpTo+1) collect guards
+    val star = (Seq((1L, 2L)) ++ (10L to 20L).map(v => (2L, v)))
+      .toDF("a", "b")
+    val seeds = Seq(1L).toDF("v")
+    val fast = Graph.bfsHopHistogram(star, seeds, maxHops = 3)
+    val mid = Graph.bfsHopHistogram(star, seeds, maxHops = 3,
+      stateUpTo = 3L) // fits {1} + {2}, spills on the 11-node fan-out
+    assert(rowsOf(fast) == rowsOf(mid))
+    val w = (Seq((1L, 2L, 5L)) ++ (10L to 20L).map(v => (2L, v, 3L)))
+      .toDF("a", "b", "cost")
+    val fastW = Graph.cheapestPaths(w, seeds, rounds = 3, topK = 20)
+    val midW = Graph.cheapestPaths(w, seeds, rounds = 3, topK = 20,
+      stateUpTo = 3L)
+    assert(rowsOf(fastW) == rowsOf(midW))
+  }
+
   test("quantileDisc: driver-routed grid ≡ distributed refinement") {
     // jagged values with ties, negatives, a heavy repeat
     val vals = Seq(5.0, -1.5, 5.0, 5.0, 2.25, 99.0, -1.5, 0.0, 7.0,

@@ -142,6 +142,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(fast == dist, s"fast=$fast dist=$dist")
   }
 
+  test("theilSenDaily: fewer than 2 observation days yields the empty " +
+      "frame on BOTH paths (no pairs, medians undefined)") {
+    for (vals <- Seq(Seq.empty[Double], Seq(42.0))) {
+      val df = series(vals)
+      assert(TimeSeries.theilSenDaily(df, "ts", "v").count() == 0L,
+        s"fast path, ${vals.length} days")
+      assert(TimeSeries.theilSenDaily(df, "ts", "v", driverDaysUpTo = 0)
+        .count() == 0L, s"distributed path, ${vals.length} days")
+    }
+  }
+
   test("theilSenDaily shrugs off an outlier day that wrecks OLS") {
     // clean slope 2 with one corrupted day (value 1e6)
     val vals = (0 until 15).map(i => 50.0 + 2.0 * i)

@@ -72,7 +72,7 @@ class EsBulkSinkSpec extends SparkSpec {
     assert(first == second)
   }
 
-  test("missing es.resource fails; http nodes name the production leg") {
+  test("missing es.resource fails") {
     val df = graft.Tables.region(spark, SfDir)
     val e1 = intercept[Exception] {
       df.write.format("es-bulk").option("es.nodes", "/tmp/x")
@@ -80,14 +80,107 @@ class EsBulkSinkSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("es.resource")
       || e1.getCause != null)
-    val e2 = intercept[Exception] {
-      df.write.format("es-bulk")
-        .option("es.resource", "r")
-        .option("es.nodes", "http://es.example:9200")
+  }
+
+  // ---- live HTTP transport against a loopback JDK HttpServer (the
+  // zero-egress stand-in for a real ES node; GraftServer proves the
+  // same pattern on the serving side) ----
+
+  /** (server, received-bodies, base-url); handler thread-safe — tasks
+    * POST concurrently. Responds per `respond(nLines)`. */
+  private def bulkServer(respond: Int => (Int, String))
+      : (com.sun.net.httpserver.HttpServer,
+         java.util.concurrent.ConcurrentLinkedQueue[(String, String)],
+         String) = {
+    import com.sun.net.httpserver.{HttpServer, HttpExchange}
+    val recv = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val srv = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/_bulk", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      recv.add(ex.getRequestHeaders.getFirst("Content-Type") -> body)
+      val n = body.split("\n").count(_.nonEmpty) / 2
+      val (code, resp) = respond(n)
+      val bytes = resp.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    srv.start()
+    (srv, recv, s"http://127.0.0.1:${srv.getAddress.getPort}")
+  }
+
+  private def okItems(n: Int): (Int, String) = (200,
+    s"""{"took":1,"errors":false,"items":[${
+      Seq.fill(n)("""{"index":{"status":201}}""").mkString(",")}]}""")
+
+  test("HTTP transport: POSTs NDJSON chunks to <nodes>/_bulk and all " +
+      "rows arrive exactly once") {
+    val (srv, recv, base) = bulkServer(okItems)
+    try {
+      graft.Tables.nation(spark, SfDir)
+        .select(col("n_nationkey"), col("n_name")).repartition(3)
+        .write.format("es-bulk")
+        .option("es.resource", "nations").option("es.nodes", base)
+        .option("es.mapping.id", "n_nationkey")
+        .option("es.batch.size.entries", "7")
         .mode("append").save()
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e2).exists(_.contains("zero-egress")))
+      import scala.jdk.CollectionConverters._
+      val got = recv.asScala.toSeq
+      assert(got.nonEmpty)
+      assert(got.forall(_._1 == "application/x-ndjson"))
+      val lines = got.flatMap(_._2.split("\n").toSeq.filter(_.nonEmpty))
+      val actions = lines.filter(_.contains("\"_index\":\"nations\""))
+      assert(actions.length * 2 == lines.length,
+        "every chunk is action/source line pairs")
+      val ids = actions.map(a =>
+        a.split("\"_id\":\"")(1).stripSuffix("\"}}")).sorted
+      assert(ids == (0 until 25).map(_.toString).sorted,
+        "all 25 nations indexed exactly once")
+      // chunking honored over HTTP too
+      assert(got.forall(_._2.split("\n").count(_.nonEmpty) <= 14))
+    } finally srv.stop(0)
+  }
+
+  test("HTTP transport: per-item rejections are raise_on_error=False " +
+      "(write succeeds); transport-level 5xx fails the write") {
+    // every chunk reports one 429-rejected item -> write must succeed
+    val (srv1, _, base1) = bulkServer(n => (200,
+      s"""{"took":1,"errors":true,"items":[${
+        (Seq("""{"index":{"status":429,"error":{"type":"circuit"}}}""") ++
+          Seq.fill(n - 1)("""{"index":{"status":201}}""")).mkString(",")}]}"""))
+    try {
+      graft.Tables.region(spark, SfDir).select(col("r_regionkey"))
+        .coalesce(1).write.format("es-bulk")
+        .option("es.resource", "r").option("es.nodes", base1)
+        .mode("append").save()
+    } finally srv1.stop(0)
+    // a 503 from the node is a TRANSPORT failure -> task (and write) fail
+    val (srv2, _, base2) = bulkServer(_ => (503, """{"error":"down"}"""))
+    try {
+      val e = intercept[Exception] {
+        graft.Tables.region(spark, SfDir).select(col("r_regionkey"))
+          .coalesce(1).write.format("es-bulk")
+          .option("es.resource", "r").option("es.nodes", base2)
+          .mode("append").save()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("503") || m.contains("_bulk")))
+    } finally srv2.stop(0)
+  }
+
+  test("HttpBulkTransport.tally counts item statuses the helpers.bulk " +
+      "way (<300 success, >=300 failure; empty body lenient)") {
+    assert(HttpBulkTransport.tally(
+      """{"errors":false,"items":[{"index":{"status":201}},
+        |{"index":{"status":200}}]}""".stripMargin) == (2, 0))
+    assert(HttpBulkTransport.tally(
+      """{"errors":true,"items":[{"index":{"status":201}},
+        |{"index":{"status":429}},{"index":{"status":500}}]}"""
+        .stripMargin) == (1, 2))
+    assert(HttpBulkTransport.tally("") == (0, 0))
   }
 }

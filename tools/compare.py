@@ -8,7 +8,7 @@ sfDir, runs each oracle, reads the Spark result parquet, sorts columns
 by name (the driver does this before hashing), and compares cell values
 exactly (floats: exact equality first, else reports max abs diff).
 """
-import json, sys, math, struct
+import decimal, json, sys, math, struct
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -18,6 +18,11 @@ def norm(v):
     # Sign-of-zero / bit-strict float compare: the driver hashes the raw
     # IEEE bits, so -0.0 != +0.0 there. Python's == treats them equal,
     # which let q201 pass locally while failing the driver (round 8).
+    # DECIMAL columns coerce to float64 first (the driver's pandas-style
+    # load does the same — a DECIMAL oracle column vs a DOUBLE Spark
+    # column of equal value passed the round-8 driver gate).
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
