@@ -36,9 +36,10 @@ object IterState {
     * optimization) is paid once per k rounds instead of per round. At
     * local[32] that fixed cost (~0.3–0.5 s) DOMINATES the 10-iteration
     * graph operators; on a 1000-executor cluster the same composition
-    * halves driver scheduling pressure. Kept small (default 3) so the
+    * halves driver scheduling pressure. Kept small (default 2 — A/B-measured best at local[32]; 6 lost to
+    * optimizer cost on the bigger plans) so the
     * composed plan stays well inside codegen/optimizer comfort. */
-  def iterate(init: DataFrame, iters: Int, stepsPerJob: Int = 3)
+  def iterate(init: DataFrame, iters: Int, stepsPerJob: Int = 2)
       (step: DataFrame => DataFrame): DataFrame = {
     require(stepsPerJob >= 1)
     val spark = init.sparkSession
