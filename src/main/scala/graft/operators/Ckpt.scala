@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** One knob for the iterative operators' plan-truncation checkpoints.
+  *
+  * Default is `localCheckpoint` — blocks live on executor storage, no
+  * checkpoint directory needed, and materialization can stay LAZY
+  * (fused into the next action), which the bench discipline depends
+  * on. Its documented 100×-scale fragility: lose an executor mid-run
+  * and its local blocks are gone, failing the job (Spark cannot
+  * recompute past a truncated lineage).
+  *
+  * Setting `spark.graft.reliableCheckpoint=true` (plus
+  * `sparkContext.setCheckpointDir` on reliable storage — HDFS/S3)
+  * switches every site routed through here to a RELIABLE
+  * `Dataset.checkpoint`: same lineage truncation, blocks on
+  * fault-tolerant storage, executor loss survivable. The eager flag is
+  * preserved — Spark supports lazy reliable checkpoints — so the job
+  * structure (what fuses into which action) is identical and so are
+  * all results: checkpointing is plan-level, never value-level.
+  *
+  * Cluster guidance: leave the default for local / single-node runs
+  * and short pipelines; set the knob for long multi-iteration jobs on
+  * preemptible / autoscaled executors, where the re-run cost of a lost
+  * block exceeds the write-through cost of the checkpoint files.
+  */
+object Ckpt {
+
+  val Key = "spark.graft.reliableCheckpoint"
+
+  def apply(df: DataFrame, eager: Boolean): DataFrame =
+    if (reliable(df)) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
+  private def reliable(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(Key).exists(_.toBoolean)
+
+  /** `df.graftCheckpoint(eager)` — chainable form of [[Ckpt.apply]]. */
+  implicit final class CkptOps(private val df: DataFrame) extends AnyVal {
+    def graftCheckpoint(eager: Boolean): DataFrame = Ckpt(df, eager)
+  }
+}

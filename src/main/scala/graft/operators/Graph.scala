@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import Ckpt.CkptOps
+
 /** Iterative and neighborhood graph analytics on an undirected edge
   * list — k-core decomposition (who survives the "everyone here has ≥ k
   * connections" peel: the community-density filter) and Adamic–Adar
@@ -79,7 +81,7 @@ object Graph {
 
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 8): DataFrame = {
     require(k >= 1 && maxIters >= 1)
-    var e = canon(edges).localCheckpoint(true)
+    var e = canon(edges).graftCheckpoint(true)
     var nEdges = e.count()
     var it = 0
     var converged = false
@@ -92,7 +94,7 @@ object Graph {
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
       val n2 = pruned.count()
       converged = n2 == nEdges
       e = pruned
@@ -139,15 +141,15 @@ object Graph {
     val e = canon(edges)
     val nbrs0 = e.select(col("a").as("v"), col("b").as("n"))
       .unionAll(e.select(col("b").as("v"), col("a").as("n")))
-      .localCheckpoint(false) // reused every round
+      .graftCheckpoint(false) // reused every round
     var labels = nbrs0.select(col("v")).distinct()
       .select(col("v"), col("v").as("label"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val bc = labels.count() <= stateUpTo
     // the n-keyed repartition only pays on the co-partitioned path;
     // broadcast-state rounds join map-side off the cached relation
     val nbrs = if (bc) nbrs0
-      else nbrs0.repartition(col("n")).localCheckpoint(false)
+      else nbrs0.repartition(col("n")).graftCheckpoint(false)
     def step(labels0: DataFrame): DataFrame = {
       val l = labels0.withColumnRenamed("v", "n")
       nbrs
@@ -163,7 +165,7 @@ object Graph {
     // bound the broadcast build collects at anyway (1 job per round)
     if (bc) IterState.iterate(labels, rounds)(step)
     else (1 to rounds).foldLeft(labels) { case (l, _) =>
-      step(l).localCheckpoint(false)
+      step(l).graftCheckpoint(false)
     }
   }
 
@@ -179,11 +181,11 @@ object Graph {
     * (n_edges, n_communities, modularity). */
   def modularity(edges: DataFrame, assignments: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val e = canon(edges).localCheckpoint(false)
+    val e = canon(edges).graftCheckpoint(false)
     // the assignment relation is nodes-sized; broadcast it when
     // metadata-sized so both label joins stay map-side over e
     val la0 = assignments.select(col("v"), col("label"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val la = if (la0.count() <= PageRank.BroadcastStateUpTo)
       broadcast(la0) else la0
     val withL = e
@@ -231,10 +233,10 @@ object Graph {
     import org.apache.spark.sql.types.{StructType, StructField,
       IntegerType, LongType}
     val spark = edges.sparkSession
-    val e = canon(edges).localCheckpoint(false)
+    val e = canon(edges).graftCheckpoint(false)
     val nbrs = e.select(col("a").as("v"), col("b").as("n"))
       .unionAll(e.select(col("b").as("v"), col("a").as("n")))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val seed0 = seeds.select(col("v")).distinct()
     // Driver-carried visited/frontier while the VISITED set fits the
     // broadcast-state bound — a frontier expansion broadcasts the
@@ -279,16 +281,16 @@ object Graph {
           .map { case (v, dd) => Row(v, dd) }.toSeq: _*),
         StructType(vSchema.fields :+
           StructField("dist", IntegerType, nullable = false)))
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
       var frontierDf = litFrame(frontier)
       for (dd <- d to maxHops) {
         val next = frontierDf.join(nbrs, "v")
           .select(col("n").as("v")).distinct()
           .join(visitedDf, Seq("v"), "left_anti")
-          .localCheckpoint(true)
+          .graftCheckpoint(true)
         visitedDf = visitedDf
           .unionAll(next.withColumn("dist", lit(dd)))
-          .localCheckpoint(true)
+          .graftCheckpoint(true)
         frontierDf = next
       }
       visitedDf.groupBy("dist").agg(count(lit(1)).as("n_vertices"))
@@ -324,11 +326,11 @@ object Graph {
     import org.apache.spark.sql.types.{StructType, StructField, LongType}
     val spark = weighted.sparkSession
     val e = weighted.select(col("a"), col("b"), col("cost"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val arcs = e.select(col("a").as("u"), col("b").as("v"), col("cost"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v"),
         col("cost")))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val seed0 = seeds.select(col("v")).distinct()
     val distSchema = StructType(seed0.schema.fields :+
       StructField("cost", LongType, nullable = false))
@@ -368,7 +370,7 @@ object Graph {
         r += 1
       }
     }
-    var distDf = distLit().localCheckpoint(true)
+    var distDf = distLit().graftCheckpoint(true)
     if (spilled) for (_ <- r to rounds) {
       val relaxed = distDf.withColumnRenamed("v", "u")
         .withColumnRenamed("cost", "du")
@@ -376,7 +378,7 @@ object Graph {
         .select(col("v"), (col("du") + col("cost")).as("cost"))
       distDf = distDf.unionAll(relaxed)
         .groupBy("v").agg(min(col("cost")).as("cost"))
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
     }
     distDf.orderBy(col("cost").asc, col("v").asc).limit(topK)
   }
@@ -390,7 +392,7 @@ object Graph {
     * fragile division happens on the final 1-row frame. Returns
     * (n_edges, r). */
   def assortativity(edges: DataFrame): DataFrame = {
-    val e = canon(edges).localCheckpoint(true)
+    val e = canon(edges).graftCheckpoint(true)
     val nbrs = e.select(col("a").as("v"), col("b").as("n"))
       .unionAll(e.select(col("b").as("v"), col("a").as("n")))
     val deg = nbrs.groupBy("v").agg(count(lit(1)).as("deg"))
@@ -413,7 +415,7 @@ object Graph {
 
   def adamicAdar(edges: DataFrame, topK: Int, cap: Int = 10000)
       : DataFrame = {
-    val e = canon(edges).localCheckpoint(true)
+    val e = canon(edges).graftCheckpoint(true)
     val nbrs = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
     val deg = nbrs.groupBy("w").agg(count(lit(1)).as("deg"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import Ckpt.CkptOps
+
 /** Fixed-iteration PageRank (Page et al. 1999) as iterative DataFrame
   * algebra — the Pregel-lite shape, tuned so an iteration never moves
   * the edge corpus:
@@ -84,7 +86,7 @@ object PageRank {
     // the oracle's `DISTINCT src` node set assumes too), so the degree
     // relation IS the node set: no separate src∪dst distinct pass.
     val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val n = deg.count() // metadata-scale action: one long
     val bc = n <= broadcastStateUpTo
     // static (src, dst, deg): under the broadcast-state bound the
@@ -92,7 +94,7 @@ object PageRank {
     // corpus shuffle that only pays off on the co-partitioned path)
     val ew = {
       val j = e0.join(maybeBroadcast(deg, bc), "src")
-      (if (bc) j else j.repartition(col("src"))).localCheckpoint(false)
+      (if (bc) j else j.repartition(col("src"))).graftCheckpoint(false)
     }
     val nodes = deg.select(col("src").as("node"))
 
@@ -119,7 +121,7 @@ object PageRank {
     val ranks =
       if (bc) IterState.iterate(init, iters)(step) // 1 job per iteration
       else (1 to iters).foldLeft(init) { case (r, _) =>
-        step(r).localCheckpoint(false) // O(1) lineage, fused
+        step(r).graftCheckpoint(false) // O(1) lineage, fused
       }
     ranks.select(col("node"), round(col("rank").cast("double"), outDp).as("rank"))
   }
@@ -143,12 +145,12 @@ object PageRank {
     // the edge repartition is skipped on the broadcast path — see
     // [[run]] for both arguments
     val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val nodes = deg.select(col("src").as("node"))
       .join(broadcast(seeds.select(col("node")).distinct()
         .withColumn("__seed", lit(1L))), Seq("node"), "left")
       .select(col("node"), coalesce(col("__seed"), lit(0L)).as("seed"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val counts = nodes.agg(count(lit(1)), sum(col("seed"))).head()
     val n = counts.getLong(0)
     val nSeeds = counts.getLong(1)
@@ -156,7 +158,7 @@ object PageRank {
     val bc = n <= broadcastStateUpTo
     val ew = {
       val j = e0.join(maybeBroadcast(deg, bc), "src")
-      (if (bc) j else j.repartition(col("src"))).localCheckpoint(false)
+      (if (bc) j else j.repartition(col("src"))).graftCheckpoint(false)
     }
     val teleport = round(col("seed").cast("double") * (1.0 - damping)
       / nSeeds, 12)
@@ -181,7 +183,7 @@ object PageRank {
     val ranks =
       if (bc) IterState.iterate(init, iters)(step) // 1 job per iteration
       else (1 to iters).foldLeft(init) { case (r, _) =>
-        step(r).localCheckpoint(false)
+        step(r).graftCheckpoint(false)
       }
     ranks.select(col("node"),
       round(col("rank").cast("double"), outDp).as("rank"))
@@ -205,17 +207,17 @@ object PageRank {
     // lazy: the hubs count below materializes e BEFORE the per-
     // direction copies (if any) consume it, so nothing races
     val e = edges.select(col("hub"), col("auth")).distinct()
-      .localCheckpoint(false)
-    val hubs = e.select(col("hub")).distinct().localCheckpoint(false)
+      .graftCheckpoint(false)
+    val hubs = e.select(col("hub")).distinct().graftCheckpoint(false)
     val nh = hubs.count()
     val bc = nh <= broadcastStateUpTo
     // per-direction edge copies only pay on the co-partitioned path;
     // with broadcast state both half-iterations join map-side off the
     // one cached edge relation
     val eByHub =
-      if (bc) e else e.repartition(col("hub")).localCheckpoint(false)
+      if (bc) e else e.repartition(col("hub")).graftCheckpoint(false)
     val eByAuth =
-      if (bc) e else e.repartition(col("auth")).localCheckpoint(false)
+      if (bc) e else e.repartition(col("auth")).graftCheckpoint(false)
     // under bc, carry the HUB score state as a collected literal
     // (IterState rationale: the broadcast build collects it anyway)
     // — ONE job per FULL iteration: the authority half stays a subplan
@@ -226,14 +228,14 @@ object PageRank {
     def carry(df: DataFrame): DataFrame =
       if (bc) df.sparkSession.createDataFrame(
         java.util.Arrays.asList(df.collect(): _*), df.schema)
-      else df.localCheckpoint(false)
+      else df.graftCheckpoint(false)
     def carryMid(df: DataFrame): DataFrame =
-      if (bc) df else df.localCheckpoint(false)
+      if (bc) df else df.graftCheckpoint(false)
     // under bc a LAZY score-sum checkpoint suffices (the collect's
     // broadcast-total subtree materializes it before the rescale stage
     // reads the cache); distributed path keeps EAGER — its total and
     // rescale are racing sibling consumers
-    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(!bc)
+    def ckpt(df: DataFrame): DataFrame = df.graftCheckpoint(!bc)
     var h = hubs.select(col("hub"),
       round(lit(1.0) / nh, 12).cast(DecimalType(28, 12)).as("hs"))
     var a: DataFrame = null

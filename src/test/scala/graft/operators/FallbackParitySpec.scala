@@ -29,6 +29,33 @@ class FallbackParitySpec extends SparkSpec {
     assert(rowsOf(fast) == rowsOf(dist))
   }
 
+  test("reliable-checkpoint knob: the distributed PageRank path " +
+      "survives spark.graft.reliableCheckpoint=true with identical " +
+      "ranks (and writes real checkpoint files)") {
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_").toString
+    val base = PageRank.run(edges, iters = 3, damping = 0.85,
+      broadcastStateUpTo = 0L)
+    val baseRows = rowsOf(base)
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    spark.conf.set(Ckpt.Key, "true")
+    try {
+      val reliable = PageRank.run(edges, iters = 3, damping = 0.85,
+        broadcastStateUpTo = 0L)
+      assert(rowsOf(reliable) == baseRows,
+        "reliable checkpointing must not change a single rank bit")
+      // the knob actually engaged: checkpoint files exist on the
+      // reliable store (here a temp dir standing in for HDFS/S3)
+      def anyFile(p: java.io.File): Boolean =
+        p.isFile || Option(p.listFiles).exists(_.exists(anyFile))
+      assert(anyFile(new java.io.File(ckptDir)),
+        "no reliable checkpoint files were written")
+      // the broadcast/driver fast path is also unaffected
+      assert(rowsOf(PageRank.run(edges, iters = 3, damping = 0.85))
+        == baseRows)
+    } finally spark.conf.unset(Ckpt.Key)
+  }
+
   test("PageRank.personalized: both paths agree") {
     val seeds = Seq("a").toDF("node")
     val fast = PageRank.personalized(edges, seeds, iters = 3,
