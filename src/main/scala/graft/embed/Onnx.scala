@@ -11,11 +11,22 @@ import java.nio.{ByteBuffer, ByteOrder}
   * This is the production leg of the [[Embedder]] seam (reference
   * embeds with bge-m3 via Ollama, `parsing.py:49`): [[OnnxEmbedder]]
   * featurizes text deterministically and runs the graph per call. The
-  * op set is the dense-inference subset (MatMul/Gemm, elementwise
-  * arithmetic with scalar-or-vector broadcast, Relu/Tanh/Sigmoid/Sqrt,
-  * ReduceMean/ReduceSum, LpNormalization, Identity) — a transformer
-  * tokenizer+attention stack is out of scope and would ride the same
-  * trait through a real runtime binding instead.
+  * op set is the dense-inference subset up to the ENCODER class:
+  * MatMul (incl. batched)/Gemm, elementwise arithmetic with
+  * scalar-or-vector broadcast, Relu/Tanh/Sigmoid/Sqrt/Erf/Neg/Pow,
+  * ReduceMean/ReduceSum, LpNormalization, Identity, Gather (embedding
+  * lookup), Transpose (arbitrary perm), Softmax,
+  * LayerNormalization, Reshape/Squeeze/Unsqueeze — enough to execute
+  * a real single-head attention block (pinned against hand
+  * computation in OnnxSpec). Still out: multi-head Split/Concat
+  * plumbing, Where/masking, quantized tensors — a full production
+  * sentence-encoder would ride the same trait through a real runtime
+  * binding instead.
+  *
+  * Integer tensors (INT32/INT64 — Gather indices, Reshape shapes) are
+  * stored as floats: exact up to 2^24, far beyond any vocab or shape
+  * this subset targets; larger ids fail loudly at the Gather bound
+  * check rather than silently truncating.
   *
   * Scale shape: the model BYTES are what ships into closures
   * (broadcast-friendly); the parsed graph is rebuilt lazily
@@ -188,18 +199,38 @@ object Onnx {
         case (4, 2) => // packed float_data
           val q = p.lenDelim()
           while (q.hasMore) floats += java.lang.Float.intBitsToFloat(q.fixed32())
+        case (5, 0) => floats += p.varint().toInt.toFloat // int32_data
+        case (5, 2) =>
+          val q = p.lenDelim()
+          while (q.hasMore) floats += q.varint().toInt.toFloat
+        case (7, 0) => floats += int64ToFloat(p.varint()) // int64_data
+        case (7, 2) =>
+          val q = p.lenDelim()
+          while (q.hasMore) floats += int64ToFloat(q.varint())
         case (8, 2) => name = p.str()
         case (9, 2) => raw = p.bytesOut()
         case _ => p.skip(w)
       }
     }
-    require(dtype == 1L, s"tensor $name: only FLOAT supported, got $dtype")
+    require(dtype == 1L || dtype == 6L || dtype == 7L,
+      s"tensor $name: only FLOAT/INT32/INT64 supported, got $dtype")
     val data =
       if (raw != null) {
         val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-        Array.fill(raw.length / 4)(bb.getFloat)
+        dtype match {
+          case 1L => Array.fill(raw.length / 4)(bb.getFloat)
+          case 6L => Array.fill(raw.length / 4)(bb.getInt.toFloat)
+          case 7L => Array.fill(raw.length / 8)(int64ToFloat(bb.getLong))
+        }
       } else floats.result().toArray
     name -> Tensor(dims.result().map(_.toInt).toArray, data)
+  }
+
+  /** INT64 → float with a loud exactness bound (see class doc). */
+  private def int64ToFloat(v: Long): Float = {
+    require(math.abs(v) <= (1L << 24),
+      s"int tensor value $v exceeds the float-exact range 2^24")
+    v.toFloat
   }
 
   // ---------------------------------------------------------- executor
@@ -237,7 +268,54 @@ object Onnx {
         case "Sigmoid" =>
           unary(in(0), x => (1.0 / (1.0 + math.exp(-x))).toFloat)
         case "Sqrt" => unary(in(0), x => math.sqrt(x).toFloat)
+        case "Erf" => unary(in(0), x => erf(x.toDouble).toFloat)
+        case "Neg" => unary(in(0), x => -x)
+        case "Pow" => broadcastBin(in(0), in(1),
+          (a, b) => math.pow(a, b).toFloat)
         case "Identity" => in(0)
+        case "Gather" =>
+          require(n.attrI.getOrElse("axis", 0L) == 0L,
+            "Gather: only axis 0 (embedding-lookup shape)")
+          gather(in(0), in(1))
+        case "Transpose" =>
+          val t = in(0)
+          val perm = n.attrInts.get("perm").map(_.map(_.toInt))
+            .getOrElse(t.dims.indices.reverse.toSeq)
+          permute(t, perm)
+        case "Softmax" =>
+          val t = in(0)
+          val ax = n.attrI.getOrElse("axis", -1L)
+          require(ax == -1L || ax == t.dims.length - 1L,
+            "Softmax: only the last axis")
+          softmaxLast(t)
+        case "LayerNormalization" =>
+          val t = in(0)
+          val ax = n.attrI.getOrElse("axis", -1L)
+          require(ax == -1L || ax == t.dims.length - 1L,
+            "LayerNormalization: only the last axis")
+          layerNorm(t, in(1),
+            if (n.inputs.length > 2) Some(in(2)) else None,
+            n.attrF.getOrElse("epsilon", 1e-5f))
+        case "Reshape" =>
+          reshape(in(0), in(1).data.map(_.toLong))
+        case "Squeeze" | "Unsqueeze" =>
+          // pure dims bookkeeping on a row-major buffer; the executor's
+          // ops are all last-axis/flat, so dropping or adding size-1
+          // axes never moves data
+          val t = in(0)
+          if (n.opType == "Squeeze") {
+            val d = t.dims.filter(_ != 1)
+            Tensor(if (d.isEmpty) Array(1) else d, t.data)
+          }
+          else {
+            val axes = n.attrInts.getOrElse("axes",
+              if (n.inputs.length > 1) in(1).data.map(_.toLong).toSeq
+              else Seq(0L)).map(_.toInt)
+            val out = t.dims.toBuffer
+            axes.sorted.foreach(a => out.insert(
+              if (a < 0) out.length + 1 + a else a, 1))
+            Tensor(out.toArray, t.data)
+          }
         case "ReduceMean" => reduce(in(0), mean = true)
         case "ReduceSum" => reduce(in(0), mean = false)
         case "LpNormalization" =>
@@ -258,6 +336,142 @@ object Onnx {
 
   private def unary(t: Tensor, f: Float => Float): Tensor =
     Tensor(t.dims, t.data.map(f))
+
+  /** erf via the Numerical-Recipes Chebyshev erfc fit — |err| ≤ 1.2e-7,
+    * below float32 resolution across the range (GELU's operand). */
+  private def erf(x: Double): Double = {
+    val t = 1.0 / (1.0 + 0.5 * math.abs(x))
+    val tau = t * math.exp(-x * x - 1.26551223 + t * (1.00002368 +
+      t * (0.37409196 + t * (0.09678418 + t * (-0.18628806 +
+      t * (0.27886807 + t * (-1.13520398 + t * (1.48851587 +
+      t * (-0.82215223 + t * 0.17087277)))))))))
+    if (x >= 0) 1.0 - tau else tau - 1.0
+  }
+
+  /** Gather on axis 0: data [V, …rest], indices any shape (row ids) →
+    * [indices.dims…, …rest] — the embedding-lookup shape. */
+  private def gather(data: Tensor, idx: Tensor): Tensor = {
+    val v = data.dims(0)
+    val slice = if (data.dims.length == 1) 1 else data.dims.drop(1).product
+    val out = new Array[Float](idx.data.length * slice)
+    var i = 0
+    while (i < idx.data.length) {
+      val id = idx.data(i).toInt
+      require(id >= 0 && id < v, s"Gather: index $id out of [0, $v)")
+      System.arraycopy(data.data, id * slice, out, i * slice, slice)
+      i += 1
+    }
+    val dims = idx.dims ++ data.dims.drop(1)
+    Tensor(if (dims.isEmpty) Array(1) else dims, out)
+  }
+
+  /** General axis permutation (row-major strides both sides). */
+  private def permute(t: Tensor, perm: Seq[Int]): Tensor = {
+    require(perm.length == t.dims.length && perm.sorted == t.dims.indices,
+      s"Transpose perm ${perm.mkString(",")} vs rank ${t.dims.length}")
+    val inDims = t.dims
+    val outDims = perm.map(inDims(_)).toArray
+    val inStride = new Array[Int](inDims.length)
+    var s = 1
+    var i = inDims.length - 1
+    while (i >= 0) { inStride(i) = s; s *= inDims(i); i -= 1 }
+    val out = new Array[Float](t.data.length)
+    val outIdx = new Array[Int](outDims.length)
+    var o = 0
+    while (o < out.length) {
+      var inPos = 0
+      var d = 0
+      while (d < outDims.length) {
+        inPos += outIdx(d) * inStride(perm(d)); d += 1
+      }
+      out(o) = t.data(inPos)
+      // odometer over outIdx
+      d = outDims.length - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        outIdx(d) += 1
+        if (outIdx(d) == outDims(d)) { outIdx(d) = 0; d -= 1 }
+        else carry = false
+      }
+      o += 1
+    }
+    Tensor(outDims, out)
+  }
+
+  /** Numerically stable last-axis softmax. */
+  private def softmaxLast(t: Tensor): Tensor = {
+    val n = t.cols
+    val m = t.data.length / n
+    val out = new Array[Float](t.data.length)
+    var i = 0
+    while (i < m) {
+      var mx = Double.NegativeInfinity
+      var j = 0
+      while (j < n) { mx = math.max(mx, t.data(i * n + j)); j += 1 }
+      var sum = 0.0
+      j = 0
+      while (j < n) {
+        val e = math.exp(t.data(i * n + j) - mx)
+        out(i * n + j) = e.toFloat; sum += e; j += 1
+      }
+      j = 0
+      while (j < n) { out(i * n + j) = (out(i * n + j) / sum).toFloat; j += 1 }
+      i += 1
+    }
+    Tensor(t.dims, out)
+  }
+
+  /** Last-axis LayerNormalization (biased variance, per the ONNX op). */
+  private def layerNorm(t: Tensor, scale: Tensor, bias: Option[Tensor],
+      eps: Float): Tensor = {
+    val n = t.cols
+    require(scale.data.length == n, "LayerNormalization scale size")
+    bias.foreach(b => require(b.data.length == n,
+      "LayerNormalization bias size"))
+    val m = t.data.length / n
+    val out = new Array[Float](t.data.length)
+    var i = 0
+    while (i < m) {
+      var mu = 0.0
+      var j = 0
+      while (j < n) { mu += t.data(i * n + j); j += 1 }
+      mu /= n
+      var va = 0.0
+      j = 0
+      while (j < n) {
+        val d = t.data(i * n + j) - mu; va += d * d; j += 1
+      }
+      va /= n
+      val inv = 1.0 / math.sqrt(va + eps)
+      j = 0
+      while (j < n) {
+        val y = (t.data(i * n + j) - mu) * inv * scale.data(j) +
+          bias.map(_.data(j).toDouble).getOrElse(0.0)
+        out(i * n + j) = y.toFloat; j += 1
+      }
+      i += 1
+    }
+    Tensor(t.dims, out)
+  }
+
+  /** Reshape with a single -1 inferred dim and 0 = copy-input-dim. */
+  private def reshape(t: Tensor, shape: Array[Long]): Tensor = {
+    val resolved = shape.zipWithIndex.map {
+      case (0L, i) => t.dims(i).toLong
+      case (d, _) => d
+    }
+    val known = resolved.filter(_ > 0).product
+    val dims = resolved.map {
+      case -1L =>
+        require(known > 0 && t.data.length % known == 0,
+          s"Reshape: cannot infer -1 for ${shape.mkString(",")}")
+        (t.data.length / known).toInt
+      case d => d.toInt
+    }
+    require(dims.product == t.data.length,
+      s"Reshape ${t.dims.mkString("x")} -> ${dims.mkString("x")}")
+    Tensor(dims, t.data)
+  }
 
   /** Elementwise with trailing-dimension broadcast: equal sizes, or the
     * smaller side a scalar / last-dim vector. */
@@ -290,8 +504,29 @@ object Onnx {
     Tensor(Array(c, r), out)
   }
 
-  /** [k]×[k,n]→[n]; [m,k]×[k,n]→[m,n]. */
+  /** [k]×[k,n]→[n]; [m,k]×[k,n]→[m,n] (leading dims of `a` flatten —
+    * the [B,L,k]×[k,n] projection case rides this); batched
+    * [B,m,k]×[B,k,n]→[B,m,n]. */
   private def matmul(a: Tensor, b: Tensor): Tensor = {
+    if (b.dims.length == 3) {
+      require(a.dims.length == 3 && a.dims(0) == b.dims(0),
+        s"batched matmul: ${a.dims.mkString("x")} × ${b.dims.mkString("x")}")
+      val batch = a.dims(0)
+      val (m, k, n2) = (a.dims(1), a.dims(2), b.dims(2))
+      require(b.dims(1) == k, "batched matmul inner dim")
+      val out = new Array[Float](batch * m * n2)
+      var bi = 0
+      while (bi < batch) {
+        val r = matmul(
+          Tensor(Array(m, k), java.util.Arrays.copyOfRange(
+            a.data, bi * m * k, (bi + 1) * m * k)),
+          Tensor(Array(k, n2), java.util.Arrays.copyOfRange(
+            b.data, bi * k * n2, (bi + 1) * k * n2)))
+        System.arraycopy(r.data, 0, out, bi * m * n2, m * n2)
+        bi += 1
+      }
+      return Tensor(Array(batch, m, n2), out)
+    }
     require(b.dims.length == 2, "matmul rhs must be a matrix")
     val k = b.dims(0); val nOut = b.dims(1)
     require(a.cols == k,
@@ -311,7 +546,7 @@ object Onnx {
       i += 1
     }
     if (a.dims.length == 1) Tensor(Array(nOut), out)
-    else Tensor(Array(m, nOut), out)
+    else Tensor(a.dims.dropRight(1) :+ nOut, out)
   }
 
   private def reduce(t: Tensor, mean: Boolean): Tensor = {

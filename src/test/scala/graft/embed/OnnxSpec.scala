@@ -57,11 +57,31 @@ class OnnxSpec extends SparkSpec {
   }
   private def valueInfo(name: String)(w: PbW): Unit = w.str(1, name)
   private def node(op: String, ins: Seq[String], outs: Seq[String],
-      attrs: Map[String, Long] = Map.empty)(w: PbW): Unit = {
+      attrs: Map[String, Long] = Map.empty,
+      attrsF: Map[String, Float] = Map.empty,
+      attrsInts: Map[String, Seq[Long]] = Map.empty)(w: PbW): Unit = {
     ins.foreach(w.str(1, _)); outs.foreach(w.str(2, _)); w.str(4, op)
     attrs.foreach { case (n, v) =>
       w.msg(5) { a => a.str(1, n); a.int(3, v) }
     }
+    attrsF.foreach { case (n, v) =>
+      w.msg(5) { a => a.str(1, n); a.float(2, v) }
+    }
+    attrsInts.foreach { case (n, vs) =>
+      w.msg(5) { a => a.str(1, n); vs.foreach(a.int(8, _)) }
+    }
+  }
+  /** INT64 tensor via raw_data — the dtype Gather indices and Reshape
+    * shapes ship as in real exports. */
+  private def tensorInt64(name: String, dims: Seq[Int],
+      data: Array[Long])(w: PbW): Unit = {
+    dims.foreach(d => w.int(1, d))
+    w.int(2, 7) // INT64
+    w.str(8, name)
+    val bb = ByteBuffer.allocate(data.length * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    data.foreach(bb.putLong)
+    w.bytes(9, bb.array())
   }
 
   /** x[4] → h = tanh(W1ᵀ? no: Gemm(x, W1, b1, transB=1) → relu? tanh
@@ -161,6 +181,158 @@ class OnnxSpec extends SparkSpec {
     val rows = out.collect()
     assert(rows.length == 50)
     assert(rows.forall(_.getSeq[Float](2).length == 2))
+  }
+
+  // ---- encoder-class ops: a REAL single-head attention block --------
+  // token ids --Gather--> x[L,d] --Wq/Wk/Wv--> Q,K,V
+  //   scores = softmax(Q·Kᵀ / √d); ctx = scores·V
+  //   out = GELU(LayerNorm(ctx + x))         (exact-erf GELU)
+  private val D = 4; private val L = 3; private val V = 5
+  private def wgen(rows: Int, cols: Int, salt: Int): Array[Float] =
+    Array.tabulate(rows * cols)(i =>
+      (((i * 7 + salt * 3) % 5) - 2) * 0.1f)
+  private val Emb = wgen(V, D, 1)
+  private val Wq = wgen(D, D, 2); private val Wk = wgen(D, D, 3)
+  private val Wv = wgen(D, D, 4)
+  private val Gamma = Array(1.0f, 0.9f, 1.1f, 1.0f)
+  private val Beta = Array(0.01f, -0.02f, 0.0f, 0.03f)
+  private val Ids = Array(2L, 0L, 4L)
+
+  private def attentionModel: Array[Byte] = {
+    val m = new PbW
+    m.int(1, 8)
+    m.msg(7) { g =>
+      g.str(2, "attn")
+      g.msg(1)(node("Gather", Seq("emb", "ids"), Seq("x")))
+      g.msg(1)(node("MatMul", Seq("x", "wq"), Seq("q")))
+      g.msg(1)(node("MatMul", Seq("x", "wk"), Seq("k")))
+      g.msg(1)(node("MatMul", Seq("x", "wv"), Seq("v")))
+      g.msg(1)(node("Transpose", Seq("k"), Seq("kt"),
+        attrsInts = Map("perm" -> Seq(1L, 0L))))
+      g.msg(1)(node("MatMul", Seq("q", "kt"), Seq("scores")))
+      g.msg(1)(node("Div", Seq("scores", "sqrtd"), Seq("scaled")))
+      g.msg(1)(node("Softmax", Seq("scaled"), Seq("attnw"),
+        Map("axis" -> -1L)))
+      g.msg(1)(node("MatMul", Seq("attnw", "v"), Seq("ctx")))
+      g.msg(1)(node("Add", Seq("ctx", "x"), Seq("res")))
+      g.msg(1)(node("LayerNormalization", Seq("res", "gamma", "beta"),
+        Seq("ln"), Map("axis" -> -1L), Map("epsilon" -> 1e-5f)))
+      // GELU(x) = 0.5 · x · (1 + erf(x/√2))
+      g.msg(1)(node("Div", Seq("ln", "sqrt2"), Seq("lns")))
+      g.msg(1)(node("Erf", Seq("lns"), Seq("lerf")))
+      g.msg(1)(node("Add", Seq("lerf", "one"), Seq("l1")))
+      g.msg(1)(node("Mul", Seq("ln", "l1"), Seq("lh")))
+      g.msg(1)(node("Mul", Seq("lh", "half"), Seq("y")))
+      g.msg(5)(tensorRaw("emb", Seq(V, D), Emb))
+      g.msg(5)(tensorRaw("wq", Seq(D, D), Wq))
+      g.msg(5)(tensorRaw("wk", Seq(D, D), Wk))
+      g.msg(5)(tensorRaw("wv", Seq(D, D), Wv))
+      g.msg(5)(tensorRaw("gamma", Seq(D), Gamma))
+      g.msg(5)(tensorRaw("beta", Seq(D), Beta))
+      g.msg(5)(tensorRaw("sqrtd", Seq(1),
+        Array(math.sqrt(D).toFloat)))
+      g.msg(5)(tensorRaw("sqrt2", Seq(1),
+        Array(math.sqrt(2.0).toFloat)))
+      g.msg(5)(tensorRaw("one", Seq(1), Array(1.0f)))
+      g.msg(5)(tensorRaw("half", Seq(1), Array(0.5f)))
+      g.msg(5)(tensorInt64("ids", Seq(L), Ids))
+      g.msg(12)(valueInfo("y"))
+    }
+    m.toBytes
+  }
+
+  /** Independent double-precision replay of the whole block. */
+  private def attentionByHand(): Array[Array[Double]] = {
+    def mm(a: Array[Array[Double]], b: Array[Float], bc: Int)
+        : Array[Array[Double]] =
+      a.map(row => Array.tabulate(bc)(j =>
+        row.indices.map(t => row(t) * b(t * bc + j)).sum))
+    val x = Ids.map(id => Array.tabulate(D)(j =>
+      Emb(id.toInt * D + j).toDouble))
+    val q = mm(x, Wq, D); val k = mm(x, Wk, D); val v = mm(x, Wv, D)
+    val sc = q.map(qi => k.map(kj =>
+      qi.indices.map(t => qi(t) * kj(t)).sum /
+        math.sqrt(D).toFloat.toDouble))
+    val aw = sc.map { row =>
+      val mx = row.max
+      val es = row.map(s => math.exp(s - mx))
+      es.map(_ / es.sum)
+    }
+    val ctx = aw.map(row => Array.tabulate(D)(j =>
+      row.indices.map(t => row(t) * v(t)(j)).sum))
+    val res = ctx.zip(x).map { case (c, xi) =>
+      c.zip(xi).map { case (a, b) => a + b } }
+    val ln = res.map { row =>
+      val mu = row.sum / D
+      val va = row.map(r => (r - mu) * (r - mu)).sum / D
+      val inv = 1.0 / math.sqrt(va + 1e-5f.toDouble)
+      row.zipWithIndex.map { case (r, j) =>
+        (r - mu) * inv * Gamma(j) + Beta(j) }
+    }
+    // exact-erf GELU; commons-free erf via the complementary series
+    def erf(z: Double): Double = {
+      // Maclaurin with enough terms at |z| ≤ ~4 (our values are ≤ 2)
+      var term = z; var sum = z; var n = 0
+      while (math.abs(term) > 1e-17 && n < 200) {
+        n += 1
+        term *= -z * z / n
+        sum += term / (2 * n + 1)
+      }
+      sum * 2.0 / math.sqrt(math.Pi)
+    }
+    ln.map(_.map(h => 0.5 * h * (1.0 + erf(
+      h / math.sqrt(2.0).toFloat.toDouble))))
+  }
+
+  test("single-head attention block: Gather/Transpose/Softmax/" +
+      "LayerNormalization/Erf against an independent hand replay") {
+    val g = Onnx.load(attentionModel)
+    assert(g.inputs.isEmpty, "all feeds are initializers here")
+    val y = Onnx.run(g, Map.empty)("y")
+    assert(y.dims.toSeq == Seq(L, D))
+    val exp = attentionByHand()
+    for (i <- 0 until L; j <- 0 until D)
+      assert(math.abs(y.data(i * D + j) - exp(i)(j)) < 1e-5,
+        s"y($i,$j): ${y.data(i * D + j)} vs ${exp(i)(j)}")
+    // the block actually attends: attention weights are a proper
+    // distribution (row sums 1) — checked indirectly by re-running with
+    // a uniform-score model? No: pin instead that ctx ≠ x (the mix
+    // moved mass across positions)
+    val xFlat = Ids.flatMap(id =>
+      (0 until D).map(j => Emb(id.toInt * D + j)))
+    assert((0 until L * D).exists(i =>
+      math.abs(y.data(i) - xFlat(i)) > 1e-3))
+  }
+
+  test("batched MatMul, Reshape and Squeeze/Unsqueeze: [2,2,3]x[2,3,2] " +
+      "against hand products; dims bookkeeping") {
+    val m = new PbW
+    m.int(1, 8)
+    m.msg(7) { g =>
+      g.str(2, "bmm")
+      g.msg(1)(node("MatMul", Seq("a", "b"), Seq("ab")))
+      g.msg(1)(node("Reshape", Seq("ab", "shp"), Seq("r")))
+      g.msg(1)(node("Unsqueeze", Seq("r"), Seq("u"),
+        attrsInts = Map("axes" -> Seq(0L))))
+      g.msg(1)(node("Squeeze", Seq("u"), Seq("y")))
+      g.msg(5)(tensorInt64("shp", Seq(2), Array(2L, -1L)))
+      g.msg(11)(valueInfo("a")); g.msg(11)(valueInfo("b"))
+      g.msg(12)(valueInfo("y"))
+    }
+    val g = Onnx.load(m.toBytes)
+    val a = Onnx.Tensor(Array(2, 2, 3),
+      Array.tabulate(12)(i => (i + 1).toFloat))
+    val b = Onnx.Tensor(Array(2, 3, 2),
+      Array.tabulate(12)(i => ((i % 5) - 2).toFloat))
+    val y = Onnx.run(g, Map("a" -> a, "b" -> b))("y")
+    assert(y.dims.toSeq == Seq(2, 4))
+    // hand product, batch 0 row 0: [1,2,3]x[[-2,-1],[0,1],[2,-2]]
+    assert(y.data(0) == (1 * -2 + 2 * 0 + 3 * 2).toFloat)
+    assert(y.data(1) == (1 * -1 + 2 * 1 + 3 * -2).toFloat)
+    // batch 1 row 1: a=[10,11,12], b col pattern continues (i%5)-2
+    val b1 = Array.tabulate(6)(i => (((i + 6) % 5) - 2).toFloat)
+    val exp10 = 10 * b1(0) + 11 * b1(2) + 12 * b1(4)
+    assert(y.data(6) == exp10)
   }
 
   test("unsupported ops and non-float tensors fail loudly") {
