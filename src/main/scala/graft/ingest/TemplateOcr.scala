@@ -5,29 +5,44 @@ import java.io.ByteArrayInputStream
 
 /** A REAL, pure-JVM OCR engine (the third [[OcrEngine]] implementation
   * the seam was built for): binarize → segment lines and glyph boxes by
-  * ink projection → normalize each glyph to the 5×7 template grid →
-  * nearest-template match under a Hamming tolerance. Self-contained
+  * ink projection → area-weighted resample of each glyph box onto the
+  * 5×7 template grid as GRAY coverage (scale-normalized — fractional
+  * pixel/cell boundaries weighted exactly, so non-integer scales and
+  * anti-aliased edges land as partial coverage rather than vote flips)
+  * → nearest-template match in squared-L2 over coverage. Self-contained
   * (javax.imageio only — no model runtime, zero egress), deterministic,
   * and honest about scope: it recognizes machine-set text in its
   * 38-glyph alphabet (A–Z, 0–9, '.', '-', space) at any scale/margins,
-  * tolerating mild raster noise (JPEG ringing survives the 35%-ink cell
-  * vote + distance-≤2 accept). A neural engine (EasyOCR parity,
-  * reference `parsing.py:37-41`) replaces it behind the same trait for
+  * through JPEG ringing, bilinear-resampled ANTI-ALIASED rasters, and
+  * non-integer scaling. A neural engine (EasyOCR parity, reference
+  * `parsing.py:37-41`) replaces it behind the same trait for
   * open-vocabulary scans.
   *
   * Recognition guarantees: the template alphabet has MINIMUM pairwise
-  * Hamming distance 5 (pinned in OcrSpec), and matches are accepted
-  * only at distance ≤ 2 — strictly below half the code distance, so an
-  * accepted glyph is the unique nearest template. Unrecognized glyphs
-  * become '?' rather than a wrong letter; a blank or contrast-free
-  * image fails soft (Left), keeping the reference's fail-row contract.
+  * Hamming distance 5 (pinned in TemplateOcrSpec). In the coverage
+  * metric, templates are binary, so ‖A − B‖² = Hamming(A, B) ≥ 5; a
+  * coverage vector within √[[SoftAccept]] < √5 / 2 of a template is
+  * therefore nearer to it than to ANY other — the unconditional-accept
+  * region. Noisier glyphs (heavier anti-aliasing) are accepted up to
+  * [[SoftAcceptMargin]]'s distance only when the SECOND-best template
+  * is at least [[MinMargin]] further — a confidence rule; otherwise
+  * the glyph becomes '?' rather than a wrong letter, and a blank or
+  * contrast-free image fails soft (Left), keeping the reference's
+  * fail-row contract (`parsing.py:139-154`).
   */
 object TemplateOcrEngine extends OcrEngine {
 
   val GlyphW = 5
   val GlyphH = 7
-  /** Accept a match only at Hamming ≤ 2 (< minPairwise/2 = 2.5). */
+  /** Legacy Hamming bound (binary-vote era), kept as the documented
+    * relation to the code distance: 2·MaxDist < minPairwise (5). */
   val MaxDist = 2
+  /** Unconditional accept: squared-L2 coverage distance strictly below
+    * minPairwise/4 = 1.25 ⇒ the nearest template is unique. */
+  val SoftAccept = 1.2
+  /** Margin-gated accept for noisier (anti-aliased) glyphs. */
+  val SoftAcceptMargin = 3.5
+  val MinMargin = 1.0
 
   /** 5×7 bitmaps, one string row per scanline, '1' = ink. */
   val Font: Map[Char, Seq[String]] = Map(
@@ -129,7 +144,7 @@ object TemplateOcrEngine extends OcrEngine {
         val gw = x1 - x0 + 1
         val c =
           if (gh * 100 <= bandH * 45) { if (gw * 2 >= gh * 4) '-' else '.' }
-          else matchGlyph(lum, thr, x0, x1, glyphTop, glyphBot)
+          else matchGlyph(lum, lo, hi, thr, x0, x1, glyphTop, glyphBot)
         sb.append(c)
         prevEnd = x1
       }
@@ -153,53 +168,78 @@ object TemplateOcrEngine extends OcrEngine {
     out.result()
   }
 
-  /** Resample the glyph box onto the 5×7 grid (a cell is ink when
-    * ≥ 35% of its pixels are — robust to JPEG ringing), then pick the
-    * nearest template within [[MaxDist]]. */
-  private def matchGlyph(lum: Array[Array[Int]], thr: Int,
-      x0: Int, x1: Int, y0: Int, y1: Int): Char = {
-    val cells = Array.ofDim[Boolean](GlyphH, GlyphW)
-    val bw = x1 - x0 + 1; val bh = y1 - y0 + 1
+  /** Scale-normalized soft matching: resample the glyph box onto the
+    * 5×7 grid as GRAY coverage with exact fractional-area weights
+    * (cell boundaries rarely align with pixel boundaries at arbitrary
+    * scales — the overlap of each pixel with each cell is weighted
+    * precisely, so anti-aliased edge pixels contribute their partial
+    * darkness instead of flipping a binary vote), then pick the
+    * nearest template by squared-L2 under the accept/margin rules
+    * (see class doc). */
+  private def matchGlyph(lum: Array[Array[Int]], lo: Int, hi: Int,
+      thr: Int, x0: Int, x1: Int, y0: Int, y1: Int): Char = {
+    // soft binarization: full ink below thr−band, none above thr+band,
+    // linear between — anti-aliased edge grays land proportionally
+    val band = math.max(1, ((hi - lo) * 15) / 100)
+    @inline def inkness(y: Int, x: Int): Double = {
+      val v = lum(y)(x)
+      if (v <= thr - band) 1.0
+      else if (v >= thr + band) 0.0
+      else (thr + band - v).toDouble / (2.0 * band)
+    }
+    val bw = (x1 - x0 + 1).toDouble
+    val bh = (y1 - y0 + 1).toDouble
+    val cov = Array.ofDim[Double](GlyphH, GlyphW)
     var gy = 0
     while (gy < GlyphH) {
-      val ys = y0 + gy * bh / GlyphH
-      val ye = y0 + math.max(gy * bh / GlyphH, (gy + 1) * bh / GlyphH - 1)
+      val ys = gy * bh / GlyphH; val ye = (gy + 1) * bh / GlyphH
       var gx = 0
       while (gx < GlyphW) {
-        val xs = x0 + gx * bw / GlyphW
-        val xe = x0 + math.max(gx * bw / GlyphW, (gx + 1) * bw / GlyphW - 1)
-        var inkN = 0; var tot = 0
-        var y = ys
-        while (y <= ye) {
-          var x = xs
-          while (x <= xe) {
-            if (lum(y)(x) < thr) inkN += 1
-            tot += 1
-            x += 1
+        val xs = gx * bw / GlyphW; val xe = (gx + 1) * bw / GlyphW
+        var s = 0.0; var wsum = 0.0
+        var py = math.floor(ys).toInt
+        while (py < ye) {
+          val wy = math.min(ye, py + 1.0) - math.max(ys, py.toDouble)
+          if (wy > 0) {
+            var px = math.floor(xs).toInt
+            while (px < xe) {
+              val wx = math.min(xe, px + 1.0) - math.max(xs, px.toDouble)
+              if (wx > 0) {
+                s += wy * wx * inkness(y0 + py, x0 + px)
+                wsum += wy * wx
+              }
+              px += 1
+            }
           }
-          y += 1
+          py += 1
         }
-        cells(gy)(gx) = inkN * 100 >= tot * 35
+        cov(gy)(gx) = if (wsum == 0) 0.0 else s / wsum
         gx += 1
       }
       gy += 1
     }
     var best = '?'
-    var bestD = Int.MaxValue
+    var bestD = Double.MaxValue
+    var secondD = Double.MaxValue
     Templates.foreach { case (ch, rows) =>
-      var d = 0
+      var d = 0.0
       var r = 0
-      while (r < GlyphH && d < bestD) {
+      while (r < GlyphH && d < secondD) {
         var c = 0
         while (c < GlyphW) {
-          if ((rows(r)(c) == '1') != cells(r)(c)) d += 1
+          val t = if (rows(r)(c) == '1') 1.0 else 0.0
+          val e = cov(r)(c) - t
+          d += e * e
           c += 1
         }
         r += 1
       }
-      if (d < bestD) { bestD = d; best = ch }
+      if (d < bestD) { secondD = bestD; bestD = d; best = ch }
+      else if (d < secondD) secondD = d
     }
-    if (bestD <= MaxDist) best else '?'
+    if (bestD <= SoftAccept ||
+        (bestD <= SoftAcceptMargin && secondD - bestD >= MinMargin)) best
+    else '?'
   }
 
   /** Companion rasterizer (fixture builder): stamp `text` with the

@@ -36,6 +36,56 @@ class TemplateOcrSpec extends SparkSpec {
     val min = dists.minBy(_._3)
     assert(min._3 >= 5, s"glyphs ${min._1}/${min._2} too close: ${min._3}")
     assert(TemplateOcrEngine.MaxDist * 2 < min._3)
+    // soft-coverage accept region stays inside the unique-nearest ball:
+    // ||A-B||² = Hamming ≥ 5 for binary templates ⇒ accept < 5/4
+    assert(TemplateOcrEngine.SoftAccept < min._3 / 4.0)
+  }
+
+  /** Anti-aliased fixture: hard-edge render downscaled by a NON-INTEGER
+    * factor with bilinear interpolation — every glyph edge becomes gray
+    * pixels and no cell boundary aligns with the pixel grid. */
+  private def antialiased(img: java.awt.image.BufferedImage,
+      factor: Double): java.awt.image.BufferedImage = {
+    val w = math.max(1, math.round(img.getWidth * factor).toInt)
+    val h = math.max(1, math.round(img.getHeight * factor).toInt)
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.setRenderingHint(java.awt.RenderingHints.KEY_ANTIALIASING,
+      java.awt.RenderingHints.VALUE_ANTIALIAS_ON)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    out
+  }
+
+  test("anti-aliased raster (bilinear non-integer downscale) still " +
+      "recognizes every glyph exactly") {
+    for (factor <- Seq(0.72, 0.56)) {
+      val img = antialiased(
+        TemplateOcrEngine.renderText(AllGlyphs, 5), factor)
+      val got = TemplateOcrEngine.recognize(png(img))
+      assert(got == Right(AllGlyphs), s"factor $factor: $got")
+    }
+  }
+
+  test("low-confidence glyphs degrade to '?', never a wrong letter: " +
+      "an inkblot square inside a line of text") {
+    val img = TemplateOcrEngine.renderText("AB C", 4)
+    // overwrite the 'C' box area with a solid square (matches no
+    // template closely; nearest few are equidistant-ish -> no margin)
+    val g = img.createGraphics()
+    g.setColor(java.awt.Color.BLACK)
+    // the 'C' starts after "AB " = 2 + (5+1)*2 + 4 cells; stamp over it
+    val cx = (2 + 6 * 2 + 4) * 4
+    g.fillRect(cx, 2 * 4, 5 * 4, 7 * 4)
+    g.dispose()
+    val got = TemplateOcrEngine.recognize(png(img))
+    assert(got.isRight)
+    val txt = got.toOption.get
+    assert(txt.startsWith("AB "), s"got: $txt")
+    assert(txt.endsWith("?"), s"solid inkblot must be '?', got: $txt")
   }
 
   test("rasterize -> recognize roundtrip: every glyph, several scales") {
@@ -105,5 +155,17 @@ class TemplateOcrSpec extends SparkSpec {
       s"got: ${recognized.map(_.text)}")
     val failRows = PdfPageExtractor(ocr = NoOcr).extract("scan.pdf", pdf)
     assert(failRows.forall(_.error.isDefined))
+  }
+
+  test("golden ANTI-ALIASED scan: a bilinear-softened JPEG raster PDF " +
+      "still recovers the pinned text") {
+    val hard = TemplateOcrEngine.renderText("INVOICE 2026-08 TOTAL 137.50", 5)
+    val soft = antialiased(hard, 0.64)
+    val pdf = rasterJpegPdf(jpeg(soft), soft.getWidth, soft.getHeight)
+    val recognized = PdfPageExtractor(ocr = TemplateOcrEngine)
+      .extract("scan_aa.pdf", pdf)
+    assert(recognized.exists(p =>
+      p.text.contains("INVOICE 2026-08 TOTAL 137.50")),
+      s"got: ${recognized.map(_.text)}")
   }
 }
