@@ -604,3 +604,68 @@ final case class OnnxEmbedder(modelBytes: Array[Byte],
 
   def embed(text: String): Array[Float] = embedFeatures(features(text))
 }
+
+/** The SEQUENCE-model production leg of the [[Embedder]] seam — the
+  * transformer-encoder shape ([[Onnx]] now executes Gather + attention
+  * + LayerNormalization + GELU end-to-end; OnnxSpec pins a real block
+  * against hand computation). Where [[OnnxEmbedder]] feeds one
+  * bag-of-tokens feature VECTOR, this feeds a token-ID SEQUENCE:
+  *
+  *   text → tokenize → md5-hash ids (deterministic, vocab-bounded,
+  *   id 0 reserved) → `ids` tensor [L] → the model (embedding Gather,
+  *   attention blocks, …) → [L, d] token states or [d] pooled —
+  *   [L, d] outputs are mean-pooled here; either way L2-normalized.
+  *
+  * A REAL trained encoder exported to ONNX runs through this class
+  * unchanged as long as it stays inside the documented op subset; the
+  * md5 front end stands in for its tokenizer (a WordPiece/BPE vocab
+  * file would slot in at [[tokenIds]]). Same closure-shipping shape as
+  * [[OnnxEmbedder]]: bytes serialize, the graph rebuilds lazily
+  * per executor. */
+final case class OnnxSequenceEmbedder(modelBytes: Array[Byte],
+    vocab: Int, maxLen: Int, seed: Long = 42L) extends Embedder {
+  require(vocab >= 2 && maxLen >= 1)
+
+  @transient private lazy val graph = Onnx.load(modelBytes)
+  @transient private lazy val inputName = graph.inputs.headOption
+    .getOrElse(throw new IllegalArgumentException("model has no input"))
+
+  lazy val dim: Int = embedIds(Array(1.0f)).length
+
+  /** Deterministic hash-tokenizer: ids in [1, vocab) — 0 is reserved
+    * (PAD/UNK conventions), so a real vocab can adopt it. */
+  private[embed] def tokenIds(text: String): Array[Float] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .take(maxLen)
+    toks.map { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$t".getBytes("UTF-8"))
+      (math.floorMod(java.nio.ByteBuffer.wrap(d).getInt(0),
+        vocab - 1) + 1).toFloat
+    }
+  }
+
+  private def embedIds(ids: Array[Float]): Array[Float] = {
+    val out = Onnx.run(graph,
+      Map(inputName -> Onnx.Tensor(Array(ids.length), ids)))
+    val t = out(graph.outputs.head)
+    val d = t.cols
+    val pooled =
+      if (t.data.length == d) t.data
+      else { // [L, d] token states → mean pool
+        val l = t.data.length / d
+        Array.tabulate(d) { j =>
+          var s = 0.0; var i = 0
+          while (i < l) { s += t.data(i * d + j); i += 1 }
+          (s / l).toFloat
+        }
+      }
+    val norm = math.sqrt(pooled.map(v => v.toDouble * v).sum)
+    if (norm == 0.0) pooled else pooled.map(v => (v / norm).toFloat)
+  }
+
+  def embed(text: String): Array[Float] = {
+    val ids = tokenIds(text)
+    if (ids.isEmpty) new Array[Float](dim) else embedIds(ids)
+  }
+}

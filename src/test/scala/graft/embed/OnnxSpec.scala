@@ -335,6 +335,83 @@ class OnnxSpec extends SparkSpec {
     assert(y.data(6) == exp10)
   }
 
+  /** The attention model re-plumbed as an ENCODER: `ids` is a FEED
+    * (variable-length token sequence) instead of an initializer, and
+    * the output keeps the [L, D] token states for the embedder's mean
+    * pool — the transformer-encoder serving shape. */
+  private def encoderModel: Array[Byte] = {
+    val m = new PbW
+    m.int(1, 8)
+    m.msg(7) { g =>
+      g.str(2, "encoder")
+      g.msg(1)(node("Gather", Seq("emb", "ids"), Seq("x")))
+      g.msg(1)(node("MatMul", Seq("x", "wq"), Seq("q")))
+      g.msg(1)(node("MatMul", Seq("x", "wk"), Seq("k")))
+      g.msg(1)(node("MatMul", Seq("x", "wv"), Seq("v")))
+      g.msg(1)(node("Transpose", Seq("k"), Seq("kt"),
+        attrsInts = Map("perm" -> Seq(1L, 0L))))
+      g.msg(1)(node("MatMul", Seq("q", "kt"), Seq("scores")))
+      g.msg(1)(node("Div", Seq("scores", "sqrtd"), Seq("scaled")))
+      g.msg(1)(node("Softmax", Seq("scaled"), Seq("attnw"),
+        Map("axis" -> -1L)))
+      g.msg(1)(node("MatMul", Seq("attnw", "v"), Seq("ctx")))
+      g.msg(1)(node("Add", Seq("ctx", "x"), Seq("res")))
+      g.msg(1)(node("LayerNormalization", Seq("res", "gamma", "beta"),
+        Seq("y"), Map("axis" -> -1L), Map("epsilon" -> 1e-5f)))
+      g.msg(5)(tensorRaw("emb", Seq(V, D), Emb))
+      g.msg(5)(tensorRaw("wq", Seq(D, D), Wq))
+      g.msg(5)(tensorRaw("wk", Seq(D, D), Wk))
+      g.msg(5)(tensorRaw("wv", Seq(D, D), Wv))
+      g.msg(5)(tensorRaw("gamma", Seq(D), Gamma))
+      g.msg(5)(tensorRaw("beta", Seq(D), Beta))
+      g.msg(5)(tensorRaw("sqrtd", Seq(1), Array(math.sqrt(D).toFloat)))
+      g.msg(11)(valueInfo("ids"))
+      g.msg(12)(valueInfo("y"))
+    }
+    m.toBytes
+  }
+
+  test("OnnxSequenceEmbedder: a token-ID attention encoder as a " +
+      "drop-in Embedder — deterministic, unit-norm, length-robust, " +
+      "token overlap raises cosine") {
+    val e = OnnxSequenceEmbedder(encoderModel, vocab = V, maxLen = 8)
+    assert(e.dim == D)
+    val a = e.embed("catalyst optimizer pushes filters")
+    assert(a.toSeq == e.embed("catalyst optimizer pushes filters").toSeq)
+    assert(math.abs(a.map(v => v.toDouble * v).sum - 1.0) < 1e-6)
+    // variable sequence lengths execute (1 token to beyond maxLen)
+    assert(e.embed("spark").length == D)
+    assert(e.embed(Seq.fill(20)("tok").mkString(" ")).length == D)
+    assert(e.embed("").forall(_ == 0.0f), "empty text → zero vector")
+    // overlap structure: shared tokens → higher cosine than disjoint
+    def cos(x: Array[Float], y: Array[Float]): Double =
+      x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+    val base = e.embed("catalyst optimizer filter pushdown")
+    val near = e.embed("catalyst optimizer filter pruning")
+    val far = e.embed("seven red zebras dancing")
+    assert(cos(base, near) > cos(base, far),
+      s"near=${cos(base, near)} far=${cos(base, far)}")
+    // serialization round-trip (closure shipping)
+    val bos = new ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(e); oos.close()
+    val e2 = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[OnnxSequenceEmbedder]
+    assert(e2.embed("catalyst optimizer pushes filters").toSeq == a.toSeq)
+  }
+
+  test("OnnxSequenceEmbedder rides BatchEmbed over documents") {
+    val docs = graft.Tables.documents(spark, SfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .limit(20)
+    val e = OnnxSequenceEmbedder(encoderModel, vocab = V, maxLen = 16)
+    val rows = BatchEmbed.withEmbedding(docs, "text", "emb", e).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getSeq[Float](2).length == D))
+  }
+
   test("unsupported ops and non-float tensors fail loudly") {
     val m = new PbW
     m.msg(7) { g =>
