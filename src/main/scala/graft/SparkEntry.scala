@@ -7377,9 +7377,11 @@ object SparkEntry {
       // bit-for-bit; the engine's iteration is one shuffle (groupBy dst
       // + join back), edges partition once and are reused.
       (s, dir) => {
-        val e0 = graft.operators.Graph.basketEdges(
+        // lazy-checkpoint the edge build BEFORE the symmetrizing union:
+        // one build total (each union branch reads the cache)
+        val e0 = graft.operators.Ckpt(graft.operators.Graph.basketEdges(
           Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
-          "l_orderkey", "l_partkey")
+          "l_orderkey", "l_partkey"), eager = false)
         val sym = e0.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
         graft.operators.PageRank.run(sym, iters = 5, damping = 0.85)
@@ -7950,9 +7952,10 @@ object SparkEntry {
       // SEEDS — the "related items" expansion primitive. Same
       // fixed-point decimal algebra as q230, unrolled bit-for-bit.
       (s, dir) => {
-        val e0 = graft.operators.Graph.basketEdges(
+        // one edge build under a lazy checkpoint — see q230
+        val e0 = graft.operators.Ckpt(graft.operators.Graph.basketEdges(
           Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
-          "l_orderkey", "l_partkey")
+          "l_orderkey", "l_partkey"), eager = false)
         val sym = e0.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
         val seeds = sym.select(col("src").as("node")).distinct()
@@ -8981,9 +8984,11 @@ object SparkEntry {
       // Intra-edge and degree sums are integer-exact per community;
       // per-community terms 9-dp DECIMAL-summed.
       (s, dir) => {
-        val edges = graft.operators.Graph.basketEdges(
+        // shared edge build: LPA and modularity both consume it — one
+        // lazy checkpoint instead of two independent rebuilds
+        val edges = graft.operators.Ckpt(graft.operators.Graph.basketEdges(
           Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
-          "l_orderkey", "l_partkey")
+          "l_orderkey", "l_partkey"), eager = false)
         graft.operators.Graph.modularity(edges,
           graft.operators.Graph.labelPropagationAssignments(edges,
             rounds = 4))

@@ -81,7 +81,10 @@ object Graph {
 
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 8): DataFrame = {
     require(k >= 1 && maxIters >= 1)
-    var e = canon(edges).graftCheckpoint(true)
+    // LAZY checkpoints: the per-round count() is the only consumer and
+    // materializes the truncated plan itself — eager would schedule a
+    // separate job per round for the same work
+    var e = canon(edges).graftCheckpoint(false)
     var nEdges = e.count()
     var it = 0
     var converged = false
@@ -94,7 +97,7 @@ object Graph {
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
         .select("a", "b")
-        .graftCheckpoint(true)
+        .graftCheckpoint(false)
       val n2 = pruned.count()
       converged = n2 == nEdges
       e = pruned
@@ -138,7 +141,10 @@ object Graph {
     // label relation (or broadcast it when metadata-sized), never the
     // edge corpus. Lazy checkpoints keep lineage O(1) per round while
     // fusing materialization into the terminal action.
-    val e = canon(edges)
+    // checkpoint canon BEFORE the symmetrizing union: without it the
+    // canonicalization (and the caller's whole edge build under it)
+    // executes once per union branch when nbrs0 materializes
+    val e = canon(edges).graftCheckpoint(false)
     val nbrs0 = e.select(col("a").as("v"), col("b").as("n"))
       .unionAll(e.select(col("b").as("v"), col("a").as("n")))
       .graftCheckpoint(false) // reused every round

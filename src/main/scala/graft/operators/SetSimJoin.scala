@@ -39,11 +39,20 @@ object SetSimJoin {
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
       tau: Double, shingleN: Int = 3): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
-    // set length rides the pre-explode array (no per-doc window needed)
-    val elems = docs
+    // Tokenize+shingle ONCE: three consumers need the element relation
+    // (global df, the ranked prefix build, and the verify-set semi-join)
+    // and their exchanges differ, so without truncation the regex/
+    // shingle CPU runs three times. Checkpoint the COMPACT pre-explode
+    // arrays (one row per doc — an A/B showed checkpointing the
+    // EXPLODED relation loses 2× on block size); each consumer re-pays
+    // only the cheap explode.
+    val arrs = docs
       .select(col(idCol).as("doc_id"),
         array_distinct(TextFunctions.shingles(
           TextFunctions.tokens(col(textCol)), shingleN)).as("els0"))
+      .localCheckpoint(false)
+    // set length rides the pre-explode array (no per-doc window needed)
+    val elems = arrs
       .select(col("doc_id"), size(col("els0")).as("len"),
         explode(col("els0")).as("el"))
     // global document frequency per element — the prefix ordering key.
