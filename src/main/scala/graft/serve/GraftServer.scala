@@ -88,6 +88,17 @@ final class GraftServer(
     val path   = ex.getRequestURI.getPath.stripSuffix("/") match {
       case "" => "/"; case p => p
     }
+    // browser front door (frontend/app.py counterpart): the ONLY
+    // non-JSON route — everything it does is fetch() against the
+    // JSON routes below
+    if (method == "GET" && (path == "/" || path == "/ui")) {
+      val bytes = WebUi.html.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+      return
+    }
     val query = Forms.parseQuery(ex.getRequestURI.getRawQuery)
     val body  = ex.getRequestBody.readAllBytes()
     val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
