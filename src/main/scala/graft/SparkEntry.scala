@@ -11383,7 +11383,121 @@ object SparkEntry {
         |  round((ws::VARCHAR)::DOUBLE / n_treat_matched::DOUBLE, 6)
         |    AS att_cem,
         |  round(naive, 6) AS att_naive
-        |FROM nv, m""".stripMargin))
+        |FROM nv, m""".stripMargin),
+
+    Q("q328_frequent_itemsets",
+      // Distributed A-priori frequent itemsets k ≤ 3
+      // ([[graft.operators.Association.frequentItemsets]]): level-1
+      // survivors broadcast-prune the basket relation (results exactly
+      // unchanged by anti-monotonicity), pairs ride the in-group
+      // combinations-under-cap pattern, triples extend each pair with
+      // the basket's larger items — never an item×item or
+      // basket×basket self-join.
+      (s, dir) => graft.operators.Association.frequentItemsets(
+        Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+        "l_orderkey", "l_partkey", minSupport = 2L),
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |    FROM lineitem WHERE l_orderkey % 4 = 0),
+        |f1 AS (SELECT i, count(*)::BIGINT AS n FROM bi
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |bif AS (SELECT bi.b, bi.i FROM bi JOIN f1 ON bi.i = f1.i),
+        |p AS (SELECT a.i AS x, b.i AS y, count(*)::BIGINT AS n
+        |  FROM bif a JOIN bif b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |t AS (SELECT a.i AS x, b.i AS y, c.i AS z, count(*)::BIGINT AS n
+        |  FROM bif a JOIN bif b ON a.b = b.b AND a.i < b.i
+        |  JOIN bif c ON a.b = c.b AND b.i < c.i
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        |u AS (
+        |  SELECT 1 AS k, [i::VARCHAR] AS items, n FROM f1
+        |  UNION ALL
+        |  SELECT 2, [x::VARCHAR, y::VARCHAR], n FROM p
+        |  UNION ALL
+        |  SELECT 3, [x::VARCHAR, y::VARCHAR, z::VARCHAR], n FROM t)
+        |SELECT k, items, n FROM u
+        |ORDER BY k, array_to_string(items, '|')""".stripMargin),
+
+    Q("q329_rendezvous_sharding",
+      // Rendezvous (HRW) sharding rebalance audit
+      // ([[graft.pipeline.Sharding.rendezvousRebalance]]): growing the
+      // document layout 8 → 9 shards moves only the keys whose new
+      // shard wins the md5 argmax (expected 1/9 of the corpus, vs
+      // ~8/9 under mod-N) — map-only per row, the shard list rides as
+      // a literal sequence, no shuffle beyond the fixed-cardinality
+      // summary groupBy.
+      (s, dir) => graft.pipeline.Sharding.rendezvousRebalance(
+        Tables.documents(s, dir), "doc_id", from = 8, to = 9),
+      s"""WITH keys AS (SELECT doc_id::VARCHAR AS key FROM documents),
+         |w AS (SELECT key, s,
+         |    ${md5LongSql("key || ':' || s::VARCHAR")} AS h
+         |  FROM keys, generate_series(0, 8) gs(s)),
+         |a AS (SELECT key,
+         |    arg_max(s, h::HUGEINT * 16 + s) FILTER (WHERE s < 8)
+         |      AS s_from,
+         |    arg_max(s, h::HUGEINT * 16 + s) AS s_to
+         |  FROM w GROUP BY key)
+         |SELECT s_to::INT AS shard, count(*)::BIGINT AS n_keys,
+         |  sum(CASE WHEN s_from <> s_to THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_moved
+         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin),
+
+    Q("q330_embedding_drift",
+      // Centroid drift between two snapshots of the labelled embedding
+      // space ([[graft.operators.EmbeddingAudit.centroidShift]], split
+      // by vec_id parity): ‖Δmean‖² per label via cross-multiplied
+      // exact integer numerators and ONE final integer-rounded
+      // division — the pre-reindex "did the embedder move a class?"
+      // audit.
+      (s, dir) => graft.operators.EmbeddingAudit.centroidShift(
+        Tables.embeddings(s, dir), "embedding", EmbedDim,
+        "label", col("vec_id") % 2 === 0)
+        .withColumnRenamed("grp", "label"),
+      s"""WITH x AS (
+         |  SELECT label, vec_id % 2 = 0 AS is_old, gs.k AS k,
+         |    CAST(round(round(embedding[gs.k]::DOUBLE, 6) * 1000000)
+         |      AS HUGEINT) AS kv
+         |  FROM embeddings, generate_series(1, $EmbedDim) gs(k)),
+         |pd AS (SELECT label, k,
+         |    sum(CASE WHEN is_old THEN kv ELSE 0::HUGEINT END) AS ska,
+         |    sum(CASE WHEN NOT is_old THEN kv ELSE 0::HUGEINT END) AS skb,
+         |    sum(CASE WHEN is_old THEN 1 ELSE 0 END)::HUGEINT AS na,
+         |    sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END)::HUGEINT AS nb
+         |  FROM x GROUP BY 1, 2),
+         |g AS (SELECT label, max(na) AS na, max(nb) AS nb,
+         |    sum((ska * nb - skb * na) * (ska * nb - skb * na)) AS num
+         |  FROM pd GROUP BY 1)
+         |SELECT label, na::BIGINT AS n_old, nb::BIGINT AS n_new,
+         |  ((2 * num + na*na*nb*nb*1000) // (2 * na*na*nb*nb*1000))::DOUBLE
+         |    / 1e9 AS l2_shift_sq
+         |FROM g WHERE na > 0 AND nb > 0 ORDER BY label""".stripMargin),
+
+    Q("q331_sq8_reconstruction",
+      // Per-dimension SQ8 quantization reconstruction audit
+      // ([[graft.operators.EmbeddingAudit.sq8ReconstructionError]]):
+      // which dimensions does the int8 ANN compression (q66/q82)
+      // actually hurt? Exact integer micro-algebra end to end —
+      // quantize, dequantize, and the MSE's final division all by
+      // integer half-away rounding.
+      (s, dir) => graft.operators.EmbeddingAudit.sq8ReconstructionError(
+        Tables.embeddings(s, dir), "embedding"),
+      """WITH ks AS (
+        |  SELECT gs.k - 1 AS dim,
+        |    CAST(round(round(embedding[gs.k]::DOUBLE, 6) * 1000000)
+        |      AS HUGEINT) AS kv
+        |  FROM embeddings, generate_series(1, 64) gs(k)),
+        |b AS (SELECT dim, min(kv) AS lo, max(kv) AS hi,
+        |    count(*)::HUGEINT AS n FROM ks GROUP BY 1),
+        |e AS (SELECT ks.dim, b.n, b.lo, b.hi,
+        |    ks.kv - (b.lo + (2 * (CASE WHEN b.hi = b.lo THEN 0::HUGEINT
+        |      ELSE (2 * (ks.kv - b.lo) * 255 + (b.hi - b.lo))
+        |        // (2 * (b.hi - b.lo)) END) * (b.hi - b.lo) + 255)
+        |      // (2 * 255)) AS errm
+        |  FROM ks JOIN b ON ks.dim = b.dim)
+        |SELECT dim::INT AS dim, max(n)::BIGINT AS n,
+        |  max(lo)::DOUBLE / 1e6 AS lo, max(hi)::DOUBLE / 1e6 AS hi,
+        |  ((2 * sum(errm * errm) + max(n)) // (2 * max(n)))::DOUBLE / 1e12
+        |    AS mse
+        |FROM e GROUP BY 1 ORDER BY dim""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

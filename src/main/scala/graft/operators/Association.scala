@@ -13,6 +13,58 @@ import org.apache.spark.sql.functions._
   */
 object Association {
 
+  /** Frequent itemsets up to size 3 (distributed A-priori, Agrawal &
+    * Srikant VLDB'94): `(k, items, n)` for every itemset of 1–3 items
+    * co-occurring in ≥ `minSupport` baskets. Scale shape: the level-1
+    * pass is a vocabulary-scale groupBy; its survivors PRUNE the
+    * basket relation via a broadcast semi-join before any pair/triple
+    * is generated (anti-monotonicity: a set containing an infrequent
+    * item cannot be frequent — results are EXACTLY unchanged, the
+    * candidate space collapses); pairs ride the in-group
+    * combinations-under-cap pattern and triples extend each pair with
+    * the basket's remaining larger items — never a basket×basket or
+    * item×item self-join. `items` is sorted ascending; output ordered
+    * (k, items). */
+  def frequentItemsets(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, cap: Int = 10000): DataFrame = {
+    require(minSupport >= 1)
+    val bi = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct().persist()
+    val f1 = bi.groupBy("item").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .persist()
+    // prune to frequent items, then one bounded in-group array per basket
+    val sets = bi.join(broadcast(f1.select("item")), Seq("item"), "left_semi")
+      .groupBy("basket")
+      .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
+        .boundedCollectSet(col("item"), cap)).as("items"))
+      .filter(col("items").isNotNull && size(col("items")) >= 2)
+    val pairsRaw = sets
+      .select(col("items"),
+        explode(org.apache.spark.sql.graftext.PairsAscExpr
+          .pairsAsc(col("items"))).as("p"))
+    val pairs = pairsRaw
+      .groupBy(col("p._1").as("a"), col("p._2").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+    // triple = pair + any of the basket's items beyond the pair's max
+    val triples = pairsRaw
+      .select(col("p._1").as("a"), col("p._2").as("b"),
+        explode(filter(col("items"), x => x > col("p._2"))).as("c"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+    val k1 = f1.select(lit(1).as("k"),
+      array(col("item").cast("string")).as("items"), col("n"))
+    val k2 = pairs.select(lit(2).as("k"),
+      array(col("a").cast("string"), col("b").cast("string")).as("items"),
+      col("n"))
+    val k3 = triples.select(lit(3).as("k"),
+      array(col("a").cast("string"), col("b").cast("string"),
+        col("c").cast("string")).as("items"), col("n"))
+    k1.unionAll(k2).unionAll(k3)
+      .orderBy(col("k"), concat_ws("|", col("items")))
+  }
+
   /** Unordered item pairs (a < b) co-occurring in at least `minPairs`
     * baskets: `(a, b, n_ab, support, conf_a_b, conf_b_a, lift)`, all
     * ratios rounded to 6. Baskets larger than `cap` items are dropped

@@ -36,6 +36,40 @@ class AssociationSpec extends SparkSpec {
     assert(got((1L, 3L)) < 1.0)    // 1*5/(3*2) = 0.833333
   }
 
+  test("frequentItemsets: hand-checked A-priori lattice on the fixture") {
+    // baskets (deduped): {1,2,3}, {1,2}, {1,2}, {3,4}, {4}
+    val got = Association.frequentItemsets(baskets, "user_id", "item",
+      minSupport = 2L).collect()
+      .map(r => (r.getInt(0), r.getSeq[String](1).toList, r.getLong(2)))
+    val byK = got.groupBy(_._1)
+    assert(byK(1).map(t => t._2.head -> t._3).toMap ==
+      Map("1" -> 3L, "2" -> 3L, "3" -> 2L, "4" -> 2L))
+    assert(byK(2).map(t => t._2 -> t._3).toMap ==
+      Map(List("1", "2") -> 3L))
+    assert(!byK.contains(3), "no triple reaches support 2")
+    // anti-monotonicity holds: every frequent pair's members are
+    // frequent singletons
+    val f1 = byK(1).map(_._2.head).toSet
+    assert(byK(2).forall(_._2.forall(f1)))
+    // output is totally ordered by (k, items-joined)
+    assert(got.map(t => (t._1, t._2.mkString("|"))).toSeq ==
+      got.map(t => (t._1, t._2.mkString("|"))).sorted.toSeq)
+  }
+
+  test("frequentItemsets finds a triple when one exists, and pruning " +
+      "by frequent-1 does not lose it") {
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 30L),
+      (3L, 10L), (3L, 20L), (3L, 30L), (3L, 99L) // 99 infrequent
+    ).toDF("b", "i")
+    val got = Association.frequentItemsets(df, "b", "i", minSupport = 3L)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[String](1).toList, r.getLong(2)))
+    assert(got.contains((3, List("10", "20", "30"), 3L)))
+    assert(!got.exists(_._2.contains("99")))
+  }
+
   test("itemPairLift: over-cap baskets are dropped, not truncated-arbitrarily") {
     val wide = (1L to 30L).map(i => (1L, i)) ++ Seq((2L, 1L), (2L, 2L),
       (3L, 1L), (3L, 2L))
