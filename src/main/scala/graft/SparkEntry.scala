@@ -11401,13 +11401,21 @@ object SparkEntry {
         |f1 AS (SELECT i, count(*)::BIGINT AS n FROM bi
         |  GROUP BY 1 HAVING count(*) >= 2),
         |bif AS (SELECT bi.b, bi.i FROM bi JOIN f1 ON bi.i = f1.i),
-        |p AS (SELECT a.i AS x, b.i AS y, count(*)::BIGINT AS n
-        |  FROM bif a JOIN bif b ON a.b = b.b AND a.i < b.i
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |t AS (SELECT a.i AS x, b.i AS y, c.i AS z, count(*)::BIGINT AS n
-        |  FROM bif a JOIN bif b ON a.b = b.b AND a.i < b.i
-        |  JOIN bif c ON a.b = c.b AND b.i < c.i
-        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        |sets AS (SELECT b, list_sort(list(i)) AS items FROM bif
+        |  GROUP BY b),
+        |s2 AS (SELECT items FROM sets
+        |  WHERE len(items) BETWEEN 2 AND 10000),
+        |pi AS (SELECT items,
+        |    unnest(generate_series(1, len(items))) AS i FROM s2),
+        |pj AS (SELECT items, i,
+        |    unnest(generate_series(i + 1, len(items))) AS j FROM pi),
+        |p AS (SELECT items[i] AS x, items[j] AS y, count(*)::BIGINT AS n
+        |  FROM pj GROUP BY 1, 2 HAVING count(*) >= 2),
+        |pk AS (SELECT items, i, j,
+        |    unnest(generate_series(j + 1, len(items))) AS k FROM pj),
+        |t AS (SELECT items[i] AS x, items[j] AS y, items[k] AS z,
+        |    count(*)::BIGINT AS n
+        |  FROM pk GROUP BY 1, 2, 3 HAVING count(*) >= 2),
         |u AS (
         |  SELECT 1 AS k, [i::VARCHAR] AS items, n FROM f1
         |  UNION ALL

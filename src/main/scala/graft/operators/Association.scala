@@ -28,11 +28,14 @@ object Association {
   def frequentItemsets(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2L, cap: Int = 10000): DataFrame = {
     require(minSupport >= 1)
+    // no pre-distinct pass: level 1 counts DISTINCT baskets per item
+    // directly (one partial-agg shuffle) and the per-basket arrays
+    // dedup inside boundedCollectSet — a (basket, item) distinct would
+    // only add a corpus shuffle (the basketEdges argument)
     val bi = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .distinct().persist()
-    val f1 = bi.groupBy("item").agg(count(lit(1)).as("n"))
+    val f1 = bi.groupBy("item").agg(countDistinct("basket").as("n"))
       .filter(col("n") >= minSupport)
-      .persist()
+      .localCheckpoint(false) // consumed by k1 output AND the prune
     // prune to frequent items, then one bounded in-group array per basket
     val sets = bi.join(broadcast(f1.select("item")), Seq("item"), "left_semi")
       .groupBy("basket")
