@@ -565,19 +565,32 @@ object Dedup {
     * Window start positions run 1 .. len-k+1; docs shorter than k
     * windows vanish (explode of the empty array drops the row). The
     * guard matters: Spark's sequence(1, 0) yields a DESCENDING [1, 0]. */
-  private def windowHashes(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+  /** (doc, hs) — the per-doc ARRAY of k-window md5s, one row per doc.
+    * The compact pre-explode form, so a consumer that needs the
+    * window relation twice (dup-hash groupBy + semi-join back) can
+    * checkpoint ONE doc-sized row per document and re-pay only the
+    * explode, not the tokenize+md5 CPU. */
+  private def windowHashArrays(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
     docs
       .select(col(idCol).as("doc"), toks.as("l"))
       .select(col("doc"),
-        explode(when(size(col("l")) >= k,
-          sequence(lit(1), size(col("l")) - (k - 1)))
-          .otherwise(typedLit(Array.empty[Int]))).as("pos"),
-        col("l"))
-      .select(col("doc"), col("pos"),
-        md5(array_join(slice(col("l"), col("pos"), lit(k)), " ")).as("h"))
+        when(size(col("l")) >= k,
+          transform(sequence(lit(1), size(col("l")) - (k - 1)),
+            p => md5(array_join(slice(col("l"), p, lit(k)), " "))))
+          .otherwise(typedLit(Array.empty[String])).as("hs"))
   }
+
+  /** Explode (doc, hs) to (doc, pos, h); pos is 1-based (window start
+    * position in tokens), matching the span algebra and oracles. */
+  private def explodeWins(arrs: DataFrame): DataFrame =
+    arrs.select(col("doc"), posexplode(col("hs")).as(Seq("p", "h")))
+      .select(col("doc"), (col("p") + 1).as("pos"), col("h"))
+
+  private def windowHashes(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    explodeWins(windowHashArrays(docs, idCol, textCol, k))
 
   /** Merge `(doc, pos)` duplicated-window rows into maximal spans via a
     * per-doc islands-and-gaps window (bounded by doc length). */
@@ -601,7 +614,11 @@ object Dedup {
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     require(k >= 2, s"window size must be >= 2, got $k")
-    val wins = windowHashes(docs, idCol, textCol, k)
+    // the window relation feeds the dup-hash groupBy AND the semi-join
+    // back, and their exchanges differ — checkpoint the compact
+    // per-doc hash arrays so tokenize+md5 runs once
+    val wins = explodeWins(
+      windowHashArrays(docs, idCol, textCol, k).localCheckpoint(false))
     val dupHashes = wins.groupBy("h")
       .agg(min("doc").as("mn"), max("doc").as("mx"))
       .filter(col("mn") =!= col("mx"))
