@@ -11505,7 +11505,76 @@ object SparkEntry {
         |  max(lo)::DOUBLE / 1e6 AS lo, max(hi)::DOUBLE / 1e6 AS hi,
         |  ((2 * sum(errm * errm) + max(n)) // (2 * max(n)))::DOUBLE / 1e12
         |    AS mse
-        |FROM e GROUP BY 1 ORDER BY dim""".stripMargin))
+        |FROM e GROUP BY 1 ORDER BY dim""".stripMargin),
+
+    Q("q332_kn_continuation",
+      // Kneser–Ney continuation counts
+      // ([[graft.text.TextAnalysis.knContinuationCounts]]): distinct
+      // left contexts per word over the bigram-TYPE relation — the
+      // unigram statistic LM smoothing (and smarter vocab pruning)
+      // uses where raw frequency misleads. One explode scan, one
+      // distinct, vocabulary-scale groupBy; p_cont integer-ppm exact.
+      (s, dir) => graft.text.TextAnalysis.knContinuationCounts(
+        Tables.documents(s, dir), "doc_id", "text", topK = 50),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |bt AS (SELECT DISTINCT l[i] AS u, l[i + 1] AS v FROM (
+         |  SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+         |  FROM t WHERE len(l) >= 2)),
+         |tt AS (SELECT count(*)::BIGINT AS tt FROM bt),
+         |c AS (SELECT v AS token, count(*)::BIGINT AS cont_count
+         |  FROM bt GROUP BY 1)
+         |SELECT token, cont_count,
+         |  ((2 * cont_count * 1000000 + tt) // (2 * tt))::DOUBLE / 1e6
+         |    AS p_cont
+         |FROM c, tt ORDER BY cont_count DESC, token LIMIT 50"""
+        .stripMargin),
+
+    Q("q333_distinct_ngram_diversity",
+      // Distinct-1 / distinct-2 diversity per source
+      // ([[graft.text.TextAnalysis.distinctNgramDiversity]], Li et
+      // al. 2016): the mode-collapse audit for synthetic slices — low
+      // unique-bigram fraction at normal unique-unigram fraction means
+      // repeated phrasing. Integer-ppm exact; per-source fixed
+      // cardinality.
+      (s, dir) => graft.text.TextAnalysis.distinctNgramDiversity(
+        Tables.documents(s, dir), "text", "source"),
+      s"""WITH t AS (SELECT source, $toksSql AS l FROM documents),
+         |u AS (SELECT source, count(*)::BIGINT AS n_tokens,
+         |    count(DISTINCT tok)::BIGINT AS n_distinct1
+         |  FROM (SELECT source, unnest(l) AS tok FROM t) GROUP BY 1),
+         |b AS (SELECT source, count(*)::BIGINT AS n_bigrams,
+         |    count(DISTINCT (u2, v2))::BIGINT AS n_distinct2
+         |  FROM (SELECT source, l[i] AS u2, l[i + 1] AS v2 FROM (
+         |    SELECT source, l,
+         |      unnest(generate_series(1, len(l) - 1)) AS i
+         |    FROM t WHERE len(l) >= 2)) GROUP BY 1)
+         |SELECT u.source, n_tokens, n_distinct1,
+         |  (n_distinct1 * 1000000) // n_tokens AS distinct1_ppm,
+         |  coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  coalesce(n_distinct2, 0)::BIGINT AS n_distinct2,
+         |  coalesce((n_distinct2 * 1000000) // n_bigrams, 0)::BIGINT
+         |    AS distinct2_ppm
+         |FROM u LEFT JOIN b USING (source) ORDER BY source"""
+        .stripMargin),
+
+    Q("q334_term_burstiness",
+      // Term burstiness cf/df (Church & Gale 1995,
+      // [[graft.text.TextAnalysis.termBurstiness]]): occurrences per
+      // CONTAINING document — splits topical terms from background
+      // vocabulary at equal raw frequency; integer-micro exact ratio.
+      (s, dir) => graft.text.TextAnalysis.termBurstiness(
+        Tables.documents(s, dir), "doc_id", "text",
+        minDf = 5L, topK = 50),
+      s"""WITH tok AS (SELECT doc_id AS doc, unnest($toksSql) AS t
+         |  FROM documents),
+         |cf AS (SELECT t, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
+         |df AS (SELECT t, count(*)::BIGINT AS df
+         |  FROM (SELECT DISTINCT doc, t FROM tok) GROUP BY 1)
+         |SELECT cf.t AS term, df, cf,
+         |  ((2 * cf * 1000000 + df) // (2 * df))::DOUBLE / 1e6
+         |    AS burstiness
+         |FROM cf JOIN df ON cf.t = df.t WHERE df >= 5
+         |ORDER BY burstiness DESC, term LIMIT 50""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

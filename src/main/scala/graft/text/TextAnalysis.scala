@@ -651,4 +651,95 @@ object TextAnalysis {
         expr("(oov_types * 1000000) div n_types").as("oov_type_ppm"))
       .orderBy("lang")
   }
+
+  /** Kneser–Ney CONTINUATION counts (Kneser & Ney 1995) — the unigram
+    * statistic modern LM smoothing is built on: for each word w, the
+    * number of DISTINCT left contexts it follows (bigram types ·w),
+    * and p_cont(w) = N₁₊(·w) / N₁₊(··). A word frequent only inside
+    * one collocation ("Francisco") gets a tiny continuation weight
+    * however high its raw count — the signal raw-frequency vocabulary
+    * pruning misses. One explode scan → one distinct bigram-type
+    * relation (partial-agg'd) → a vocabulary-scale groupBy; the ratio
+    * is integer-ppm half-away rounded. Returns the `topK` words by
+    * (cont_count desc, token) with (token, cont_count, p_cont). */
+  def knContinuationCounts(docs: DataFrame, idCol: String,
+      textCol: String, topK: Int = 50): DataFrame = {
+    val toks = docs.select(
+      TextFunctions.tokens(col(textCol)).as("l"))
+    val biTypes = toks.filter(size(col("l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(l) - 1), " +
+          "i -> struct(l[i - 1] AS u, l[i] AS v))")).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .distinct()
+      .localCheckpoint(false) // feeds the total AND the per-word counts
+    val total = broadcast(biTypes.agg(count(lit(1)).as("tt")))
+    biTypes.groupBy(col("v").as("token"))
+      .agg(count(lit(1)).as("cont_count"))
+      .crossJoin(total)
+      .select(col("token"), col("cont_count"),
+        (expr("""(2 * cont_count * 1000000 + tt) DIV (2 * tt)""")
+          .cast("double") / 1e6).as("p_cont"))
+      .orderBy(col("cont_count").desc, col("token"))
+      .limit(topK)
+  }
+
+  /** Distinct-n diversity per source (the distinct-1/distinct-2 of
+    * the text-generation literature, Li et al. 2016) — the "is this
+    * synthetic slice mode-collapsed?" audit: unique-unigram and
+    * unique-bigram fractions, integer-ppm exact. Low distinct-2 with
+    * normal distinct-1 = repeated phrasing. One explode scan per
+    * n-gram order, fixed-cardinality groupBys. Returns per source
+    * (source, n_tokens, n_distinct1, distinct1_ppm, n_bigrams,
+    * n_distinct2, distinct2_ppm) ordered by source. */
+  def distinctNgramDiversity(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("source"),
+      TextFunctions.tokens(col(textCol)).as("l"))
+      .localCheckpoint(false) // unigram + bigram consumers
+    val uni = toks.select(col("source"), explode(col("l")).as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("t")).as("n_distinct1"))
+    val bi = toks.filter(size(col("l")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(l) - 1), " +
+          "i -> struct(l[i - 1] AS u, l[i] AS v))")).as("p"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("p")).as("n_distinct2"))
+    uni.join(bi, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("n_distinct1"),
+        expr("(n_distinct1 * 1000000) div n_tokens").as("distinct1_ppm"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct2"), lit(0L)).as("n_distinct2"),
+        coalesce(expr("(n_distinct2 * 1000000) div n_bigrams"), lit(0L))
+          .as("distinct2_ppm"))
+      .orderBy("source")
+  }
+
+  /** Term burstiness (Church & Gale 1995): cf/df — mean occurrences
+    * per document CONTAINING the term. A term with cf 1000 spread
+    * over 1000 docs is background vocabulary; the same cf packed into
+    * 20 docs (burstiness 50) is topical — the split behind
+    * significant-terms scoring and topical stop-lists. Both counts
+    * from one explode scan (df via distinct (term, doc) partial agg);
+    * the ratio is integer-micro half-away rounded. Returns the `topK`
+    * terms with df ≥ `minDf` by (burstiness desc, term). */
+  def termBurstiness(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 5L, topK: Int = 50): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .localCheckpoint(false) // cf + df consumers
+    val cf = tok.groupBy("t").agg(count(lit(1)).as("cf"))
+    val df = tok.select("doc", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    cf.join(df, "t")
+      .filter(col("df") >= minDf)
+      .select(col("t").as("term"), col("df"), col("cf"),
+        (expr("(2 * cf * 1000000 + df) DIV (2 * df)").cast("double")
+          / 1e6).as("burstiness"))
+      .orderBy(col("burstiness").desc, col("term"))
+      .limit(topK)
+  }
 }

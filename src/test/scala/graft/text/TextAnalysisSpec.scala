@@ -346,4 +346,59 @@ class TextAnalysisSpec extends SparkSpec {
       ("de", 2L, 0L, 0L, 1L, 0L, 0L),
       ("en", 4L, 2L, 500000L, 3L, 1L, 333333L)), s"$out")
   }
+
+  test("knContinuationCounts: hand-checked continuation lattice — a " +
+      "one-collocation word scores below a versatile word of equal cf") {
+    // 'francisco' appears 3x, always after 'san' (1 context);
+    // 'walk' appears 3x after 3 different words
+    val docs = Seq(
+      (1L, "san francisco dogs walk"),
+      (2L, "san francisco cats walk"),
+      (3L, "san francisco birds walk")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.knContinuationCounts(docs, "doc_id", "text",
+      topK = 50).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // bigram types: (san,francisco), (francisco,dogs/cats/birds),
+    // (dogs/cats/birds,walk) -> 7 types total
+    assert(got("walk")._1 == 3L && got("francisco")._1 == 1L)
+    assert(got("walk")._2 > got("francisco")._2)
+    assert(got("francisco")._2 == 0.142857) // half-away ppm of 1/7
+  }
+
+  test("distinctNgramDiversity: a mode-collapsed source scores lower " +
+      "distinct-2 than a varied one; ppm exact") {
+    val docs = Seq(
+      ("rep", "the cat sat the cat sat the cat sat"),
+      ("var", "one two three four five six seven eight nine")
+    ).toDF("source", "text")
+    val got = TextAnalysis.distinctNgramDiversity(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // rep: 9 tokens, 3 distinct, 8 bigrams, 3 distinct bigrams
+    assert(got("rep") == ((9L, 3L, 333333L, 8L, 3L, 375000L)))
+    // var: 9 tokens all distinct, 8 distinct bigrams
+    assert(got("var") == ((9L, 9L, 1000000L, 8L, 8L, 1000000L)))
+  }
+
+  test("termBurstiness: equal cf, different df — the packed term " +
+      "scores higher; minDf filters") {
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "common")) ++          // cf 6, df 6
+      (7 to 11).map(i =>
+        (i.toLong, "bursty bursty bursty")) ++            // cf 15, df 5
+      (1 to 4).map(i => (100L + i, "rare"))               // df 4 < minDf
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.termBurstiness(docs, "doc_id", "text",
+      minDf = 5L, topK = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSet == Set("common", "bursty"),
+      s"rare must be df-filtered: ${got.toSeq}")
+    val m = got.toMap
+    assert(m("bursty") == ((5L, 15L, 3.0))) // 15 occurrences in 5 docs
+    assert(m("common") == ((6L, 6L, 1.0)))
+    assert(got.head._1 == "bursty", "ordered by burstiness desc")
+  }
 }
