@@ -11574,7 +11574,139 @@ object SparkEntry {
          |  ((2 * cf * 1000000 + df) // (2 * df))::DOUBLE / 1e6
          |    AS burstiness
          |FROM cf JOIN df ON cf.t = df.t WHERE df >= 5
-         |ORDER BY burstiness DESC, term LIMIT 50""".stripMargin))
+         |ORDER BY burstiness DESC, term LIMIT 50""".stripMargin),
+
+    Q("q335_path_centrality",
+      // Pivot-sampled shortest-path traffic centrality
+      // ([[graft.operators.Graph.pathCentrality]]): Brandes' sampled-
+      // source betweenness with the rational dependency replaced by an
+      // exact integer path COUNT (sigma · suffix-count) — which hubs
+      // carry the co-purchase graph's shortest-path traffic. Pivots =
+      // the 4 smallest vertices; 3 hops; all-integer algebra (the
+      // oracle unrolls the same 3 forward levels + 2 backward sweeps).
+      (s, dir) => {
+        val edges = graft.operators.Graph.basketEdges(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey").localCheckpoint(true)
+        val pivots = edges.select(col("a").as("v"))
+          .unionAll(edges.select(col("b").as("v")))
+          .distinct().orderBy("v").limit(4)
+        graft.operators.Graph.pathCentrality(edges, pivots,
+          maxHops = 3, topK = 20)
+      },
+      s"""WITH $GraphEdgeCtes,
+         |nb AS MATERIALIZED (SELECT a AS v, b AS n FROM e0
+         |  UNION ALL SELECT b AS v, a AS n FROM e0),
+         |pv AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM e0
+         |    UNION SELECT b AS v FROM e0) vs ORDER BY v LIMIT 4),
+         |l0 AS MATERIALIZED (SELECT v AS s, v, 1::HUGEINT AS sigma
+         |  FROM pv),
+         |l1 AS MATERIALIZED (SELECT l0.s, nb.n AS v,
+         |    sum(l0.sigma) AS sigma
+         |  FROM l0 JOIN nb ON nb.v = l0.v WHERE nb.n <> l0.s
+         |  GROUP BY 1, 2),
+         |l2 AS MATERIALIZED (SELECT l1.s, nb.n AS v,
+         |    sum(l1.sigma) AS sigma
+         |  FROM l1 JOIN nb ON nb.v = l1.v
+         |  WHERE NOT EXISTS (SELECT 1 FROM l0
+         |      WHERE l0.s = l1.s AND l0.v = nb.n)
+         |    AND NOT EXISTS (SELECT 1 FROM l1 x
+         |      WHERE x.s = l1.s AND x.v = nb.n)
+         |  GROUP BY 1, 2),
+         |l3 AS MATERIALIZED (SELECT l2.s, nb.n AS v,
+         |    sum(l2.sigma) AS sigma
+         |  FROM l2 JOIN nb ON nb.v = l2.v
+         |  WHERE NOT EXISTS (SELECT 1 FROM l0
+         |      WHERE l0.s = l2.s AND l0.v = nb.n)
+         |    AND NOT EXISTS (SELECT 1 FROM l1
+         |      WHERE l1.s = l2.s AND l1.v = nb.n)
+         |    AND NOT EXISTS (SELECT 1 FROM l2 x
+         |      WHERE x.s = l2.s AND x.v = nb.n)
+         |  GROUP BY 1, 2),
+         |g3 AS MATERIALIZED (SELECT s, v, sigma, 1::HUGEINT AS g
+         |  FROM l3),
+         |c2 AS (SELECT l2.s, l2.v, sum(g3.g) AS cg
+         |  FROM l2 JOIN nb ON nb.v = l2.v
+         |  JOIN g3 ON g3.s = l2.s AND g3.v = nb.n GROUP BY 1, 2),
+         |g2 AS MATERIALIZED (SELECT l2.s, l2.v, l2.sigma,
+         |    1 + coalesce(c2.cg, 0) AS g
+         |  FROM l2 LEFT JOIN c2 ON c2.s = l2.s AND c2.v = l2.v),
+         |c1 AS (SELECT l1.s, l1.v, sum(g2.g) AS cg
+         |  FROM l1 JOIN nb ON nb.v = l1.v
+         |  JOIN g2 ON g2.s = l1.s AND g2.v = nb.n GROUP BY 1, 2),
+         |g1 AS MATERIALIZED (SELECT l1.s, l1.v, l1.sigma,
+         |    1 + coalesce(c1.cg, 0) AS g
+         |  FROM l1 LEFT JOIN c1 ON c1.s = l1.s AND c1.v = l1.v)
+         |SELECT v, sum(sigma * g)::BIGINT AS traffic
+         |FROM (SELECT v, sigma, g FROM g1
+         |  UNION ALL SELECT v, sigma, g FROM g2
+         |  UNION ALL SELECT v, sigma, g FROM g3) allg
+         |GROUP BY v ORDER BY traffic DESC, v LIMIT 20""".stripMargin),
+
+    Q("q336_kneser_ney_score",
+      // Interpolated Kneser–Ney bigram scoring
+      // ([[graft.text.TextAnalysis.knBigramScore]]) — the benchmark
+      // smoother (Chen & Goodman 1998) beside q130's MLE interpolation
+      // and q293's stupid backoff: absolute discounting + continuation
+      // probability (q332's statistic doing its actual LM job).
+      // Per-event ln terms 9-dp DECIMAL-summed, order-free.
+      (s, dir) => graft.text.TextAnalysis.knBigramScore(
+        Tables.documents(s, dir), "doc_id", "text", discount = 0.75),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |bi AS (SELECT doc_id, p.u, p.v FROM (SELECT doc_id,
+         |    unnest([struct_pack(u := l[i], v := l[i+1])
+         |      for i in range(1, len(l))]) AS p
+         |  FROM t WHERE len(l) >= 2)),
+         |c2 AS (SELECT u, v, count(*)::DOUBLE AS c2 FROM bi
+         |  GROUP BY 1, 2),
+         |ctx AS (SELECT u, count(*)::DOUBLE AS cu,
+         |    count(DISTINCT v)::DOUBLE AS n1u FROM bi GROUP BY 1),
+         |ty AS (SELECT DISTINCT u, v FROM bi),
+         |cont AS (SELECT v, count(*)::DOUBLE AS cv FROM ty GROUP BY 1),
+         |tt AS (SELECT count(*)::DOUBLE AS tt FROM ty),
+         |s AS (SELECT doc_id,
+         |    round(ln((c2 - 0.75) / cu
+         |      + 0.75 * n1u / cu * (cv / tt)), 9)::DECIMAL(28,9) AS lp
+         |  FROM bi JOIN c2 USING (u, v) JOIN ctx USING (u)
+         |    JOIN cont USING (v), tt)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |  round((sum(lp)::VARCHAR)::DOUBLE / count(*)::DOUBLE, 6)
+         |    AS avg_logprob,
+         |  round(exp(-((sum(lp)::VARCHAR)::DOUBLE
+         |    / count(*)::DOUBLE)), 6) AS ppl
+         |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    Q("q337_friedman_test",
+      // Friedman repeated-measures rank test
+      // ([[graft.operators.Ranks.friedman]]): do users (blocked into
+      // 200 buckets) interact with the event types at consistently
+      // different rates? Doubled average ranks keep the tie algebra
+      // integer; Q ≥ 0 exactly, one unsigned integer-micro rounding.
+      (s, dir) => {
+        val cells = Tables.events(s, dir)
+          .groupBy((col("user_id") % 200).as("block"), col("event_type"))
+          .agg(count(lit(1)).as("v"))
+        graft.operators.Ranks.friedman(cells, "block", "event_type", "v")
+      },
+      """WITH cells AS (SELECT user_id % 200 AS b, event_type AS t,
+        |    count(*)::BIGINT AS v FROM events GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT t) AS k FROM cells),
+        |ok AS (SELECT b FROM cells GROUP BY b
+        |  HAVING count(*) = (SELECT k FROM kk)),
+        |r AS (SELECT t,
+        |    2 * rank() OVER (PARTITION BY b ORDER BY v)
+        |      + count(*) OVER (PARTITION BY b, v) - 1 AS r2
+        |  FROM cells WHERE b IN (SELECT b FROM ok)),
+        |pt AS (SELECT t, sum(r2)::HUGEINT AS rs2, count(*)::BIGINT AS n
+        |  FROM r GROUP BY t),
+        |a AS (SELECT count(*)::BIGINT AS k, max(n) AS n_blocks,
+        |    sum(rs2 * rs2)::HUGEINT AS ss FROM pt)
+        |SELECT k, n_blocks,
+        |  ((2 * (3 * ss - 3 * n_blocks * n_blocks * k
+        |          * (k + 1) * (k + 1)) * 1000000
+        |    + n_blocks * k * (k + 1))
+        |   // (2 * n_blocks * k * (k + 1)))::DOUBLE / 1e6 AS q_stat
+        |FROM a""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

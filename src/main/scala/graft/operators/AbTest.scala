@@ -242,9 +242,15 @@ object AbTest {
     val nT = col("NT").cast("double")
     val nC = col("NC").cast("double")
     val p = (col("ST") + col("SC")).cast("double") / (nT + nC)
-    val z = (col("ST").cast("double") / nT
-      - col("SC").cast("double") / nC) /
-      sqrt(p * (lit(1.0) - p) * (lit(1.0) / nT + lit(1.0) / nC))
+    // a degenerate prefix (no successes yet, or all successes) has
+    // p ∈ {0, 1} → zero pooled variance: DuckDB's float division
+    // yields NULL there (filtered below); ANSI Spark would THROW, so
+    // guard the division — identical row set in both engines. Seen
+    // live at sf0.001 (day-1 prefix with zero conversions).
+    val den = sqrt(p * (lit(1.0) - p) * (lit(1.0) / nT + lit(1.0) / nC))
+    val z = when(den === 0.0, lit(null).cast("double"))
+      .otherwise((col("ST").cast("double") / nT
+        - col("SC").cast("double") / nC) / den)
     val withZ = cum
       .filter(col("NT") > 0L && col("NC") > 0L)
       .select(col("d"), col("NT"), col("NC"), z.as("z"))

@@ -443,4 +443,83 @@ object Graph {
       .orderBy(col("aa_score").desc, col("u"), col("v"))
       .limit(topK)
   }
+
+  /** Pivot-sampled shortest-path traffic centrality — an INTEGER
+    * betweenness surrogate (Brandes 2001's sampled-source scheme with
+    * the rational dependency replaced by an exact path COUNT, so the
+    * double-summation ulp/sign hazards of real-valued betweenness
+    * never arise). For each pivot s, a level-synchronous forward BFS
+    * computes sigma(s,v) = #shortest s→v paths (each level's sigma is
+    * the sum of its BFS-DAG predecessors'); a backward sweep computes
+    * g(s,v) = 1 + Σ_{w ∈ DAG-succ(v)} g(s,w) — the number of
+    * shortest-path SUFFIXES starting at v, i.e. each endpoint t with
+    * dist(s,t) ≤ maxHops counts once. sigma·g is then the number of
+    * shortest s→t paths (t within maxHops) that CONTAIN v, as an
+    * interior vertex or as t itself, and
+    *
+    *   traffic(v) = Σ_{s ∈ pivots, v ≠ s} sigma(s,v) · g(s,v).
+    *
+    * All arithmetic is integer (DECIMAL(38,0) sums — sigma is
+    * combinatorial and can outgrow a long on dense graphs), exact in
+    * any aggregation order. Scale shape: state is |pivots| × reachable
+    * rows keyed (s,v); every round is ONE shuffle on that key against
+    * the once-checkpointed adjacency, both forward and backward;
+    * nothing collects to the driver. maxHops bounds the unroll in both
+    * engines identically. Returns topK (v, traffic) by traffic desc,
+    * v asc; traffic is cast to long for the result frame. */
+  def pathCentrality(edges: DataFrame, pivots: DataFrame, maxHops: Int,
+      topK: Int): DataFrame = {
+    require(maxHops >= 1 && topK >= 1)
+    val dec = "decimal(38,0)"
+    val e = canon(edges).graftCheckpoint(false)
+    val nbrs = e.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+      .graftCheckpoint(false)
+    val lvl0 = pivots.select(col("v")).distinct()
+      .select(col("v").as("s"), col("v"), lit(1).cast(dec).as("sigma"))
+      .graftCheckpoint(false)
+    // forward: levels(d) = (s, v, sigma); visited = union of levels,
+    // checkpointed per round so lineage stays O(1), not O(maxHops)
+    val levels = scala.collection.mutable.ArrayBuffer(lvl0)
+    var visited = lvl0.select("s", "v")
+    for (_ <- 1 to maxHops) {
+      val next = levels.last.join(nbrs, "v")
+        .groupBy(col("s"), col("n"))
+        .agg(sum(col("sigma")).cast(dec).as("sigma"))
+        .withColumnRenamed("n", "v")
+        .join(visited, Seq("s", "v"), "left_anti")
+        .graftCheckpoint(false)
+      levels += next
+      visited = visited.unionAll(next.select("s", "v"))
+        .graftCheckpoint(false)
+    }
+    // backward: g(maxHops) = 1; g(d) = 1 + Σ g(d+1) over DAG edges.
+    // An edge between a dist-d and a dist-(d+1) vertex IS a DAG edge
+    // (BFS level property), so joining level(d) preds against the
+    // level-(d+1) g-frame needs no explicit dist bookkeeping.
+    var g = levels(maxHops)
+      .select(col("s"), col("v"), col("sigma"), lit(1).cast(dec).as("g"))
+      .graftCheckpoint(false)
+    val contribs = scala.collection.mutable.ArrayBuffer(
+      g.select(col("v"), (col("sigma") * col("g")).cast(dec).as("t")))
+    for (d <- (maxHops - 1) to 1 by -1) {
+      val sums = g.select(col("s"), col("v").as("w"), col("g"))
+        .join(nbrs.select(col("v").as("p"), col("n").as("w")), "w")
+        .groupBy(col("s"), col("p"))
+        .agg(sum(col("g")).cast(dec).as("cg"))
+        .withColumnRenamed("p", "v")
+      g = levels(d).join(sums, Seq("s", "v"), "left_outer")
+        .select(col("s"), col("v"), col("sigma"),
+          (coalesce(col("cg"), lit(0).cast(dec)) + lit(1).cast(dec))
+            .cast(dec).as("g"))
+        .graftCheckpoint(false)
+      contribs += g.select(col("v"),
+        (col("sigma") * col("g")).cast(dec).as("t"))
+    }
+    contribs.reduce(_ unionAll _)
+      .groupBy("v")
+      .agg(sum(col("t")).cast(dec).cast("long").as("traffic"))
+      .orderBy(col("traffic").desc, col("v").asc)
+      .limit(topK)
+  }
 }

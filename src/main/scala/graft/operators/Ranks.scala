@@ -689,4 +689,55 @@ object Ranks {
         round(col("__sw").cast("double") / col("n").cast("double"), 6)
           .as("mean_winsor"))
   }
+
+  /** Friedman test (1937) — the k-treatment REPEATED-MEASURES rank
+    * test beside [[kruskalWallis]]'s independent-groups one: each
+    * block ranks its k treatment values 1..k (ties get the average
+    * rank), and Q = 12/(n·k·(k+1)) · Σ_j R_j² − 3·n·(k+1) asks whether
+    * any treatment consistently out-ranks the others across blocks.
+    *
+    * Input is the CELL relation (blockCol, treatmentCol, valueCol) —
+    * one value per block × treatment, integer-comparable (LONG).
+    * Blocks missing any treatment are dropped (the test needs complete
+    * blocks). All algebra is integer-exact: doubled average ranks
+    * r2 = 2·#less + #eq + 1 come from a window PARTITIONED by block
+    * (k rows per partition — never a corpus-wide window), rank sums
+    * R2_j = Σ r2 are BIGINTs, and since Σ_j R_j is the constant
+    * n·k·(k+1)/2 even under ties, Q ≥ 0 exactly, so the final value is
+    * one unsigned integer-micro rounding of
+    * (3·ΣR2² − 3·n²·k·(k+1)²) / (n·k·(k+1)) — engine-exact, no
+    * double summation order anywhere. Ties are NOT variance-corrected
+    * (the classic statistic); heavy ties make Q conservative.
+    * Returns one row (k, n_blocks, q_stat). */
+  def friedman(cells: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val src = cells.select(col(blockCol).as("b"),
+      col(treatmentCol).as("t"), col(valueCol).cast("long").as("v"))
+    val kRow = broadcast(src.agg(
+      countDistinct(col("t")).as("kk")))
+    val complete = src
+      .join(broadcast(src.groupBy("b").agg(count(lit(1)).as("nt"))
+        .crossJoin(kRow).filter(col("nt") === col("kk")).select("b")),
+        "b")
+    val wB = Window.partitionBy("b").orderBy("v")
+    val wBV = Window.partitionBy("b", "v")
+    val r2 = complete
+      .withColumn("r2", lit(2) * rank().over(wB)
+        + count(lit(1)).over(wBV) - lit(1))
+    val perT = r2.groupBy("t")
+      .agg(sum(col("r2")).cast("long").as("rs2"),
+        count(lit(1)).as("n"))
+    perT.agg(count(lit(1)).as("k"), max(col("n")).as("n_blocks"),
+        sum(col("rs2").cast("decimal(38,0)") * col("rs2")).as("ss"))
+      .select(col("k"), col("n_blocks"),
+        // num = 3·ΣR2² − 3·n²·k·(k+1)²; den = n·k·(k+1); Q = num/den ≥ 0
+        when(col("k") === 0 || col("n_blocks").isNull,
+          lit(null).cast("double"))
+          .otherwise(
+            expr("""(2 * (3 * ss - 3 * n_blocks * n_blocks * k
+                          * (k + 1) * (k + 1)) * 1000000
+                   + n_blocks * k * (k + 1))
+                  DIV (2 * n_blocks * k * (k + 1))""")
+              .cast("double") / 1e6).as("q_stat"))
+  }
 }

@@ -392,6 +392,66 @@ object TextAnalysis {
         round(exp(-col("alp")), 6).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen
+    * & Goodman 1998's benchmark smoother) — the third LM
+    * quality-filter flavor beside [[bigramPerplexity]]'s MLE
+    * interpolation and [[stupidBackoffScore]]'s backoff: absolute
+    * discounting of the observed bigram plus the CONTINUATION
+    * probability, which scores a word by how many distinct contexts
+    * it follows rather than how often it occurs —
+    *
+    *   p(v|u) = (c(u,v) − D)/c(u·) + D·N1+(u·)/c(u·) · N1+(·v)/N1+(··)
+    *
+    * Fit on the corpus itself, every scored event is observed
+    * (c(u,v) ≥ 1), so the max(·−D, 0) never clips and every log is
+    * finite. The model is aggregate state: sparse bigram counts, one
+    * per-context groupBy (token total + distinct successors), and the
+    * bigram-TYPE relation (distinct-predecessor counts + type total —
+    * q332's continuation statistic, here doing its actual LM job).
+    * Scoring joins are vocabulary-scale — AQE broadcasts them when
+    * they fit and skew-splits hot terms when they don't. Per-event ln
+    * terms are identical doubles 9-dp DECIMAL-summed (order-free);
+    * docs under 2 tokens drop, as in the SQL formulation.
+    * Returns (doc_id, n_bigrams, avg_logprob, ppl) by doc_id. */
+  def knBigramScore(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0)
+    val d289 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("l"))
+    val bi = toks.filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(l) - 1), " +
+          "i -> struct(l[i - 1] AS u, l[i] AS v))")).as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
+      .localCheckpoint(false) // model fit and scoring share the events
+    val c2 = bi.groupBy("u", "v")
+      .agg(count(lit(1)).cast("double").as("c2"))
+    val ctx = bi.groupBy("u")
+      .agg(count(lit(1)).cast("double").as("cu"),
+        countDistinct(col("v")).cast("double").as("n1u"))
+    val types = bi.select("u", "v").distinct()
+      .localCheckpoint(false) // per-word counts AND the type total
+    val cont = types.groupBy("v")
+      .agg(count(lit(1)).cast("double").as("cv"))
+    val tt = broadcast(types.agg(count(lit(1)).cast("double").as("tt")))
+    val p = (col("c2") - lit(discount)) / col("cu") +
+      lit(discount) * col("n1u") / col("cu") * (col("cv") / col("tt"))
+    bi.join(c2, Seq("u", "v"))
+      .join(ctx, Seq("u"))
+      .join(cont, Seq("v"))
+      .crossJoin(tt)
+      .select(col("doc_id"), round(log(p), 9).cast(d289).as("__lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__s").cast("double")
+          / col("n_bigrams").cast("double"), 6).as("avg_logprob"),
+        round(exp(-(col("__s").cast("double")
+          / col("n_bigrams").cast("double"))), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** Trigram stupid-backoff scoring (Brants et al. 2007) on a
     * HOLDOUT: fit n-gram counts on the `fitCol` slice, score the
     * complement — the CCNet quality-filter shape where backoff

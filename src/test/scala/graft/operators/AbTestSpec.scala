@@ -150,4 +150,23 @@ class AbTestSpec extends SparkSpec {
       col("t"), col("s"), 2.5).collect().head
     assert(r0.isNullAt(1) && r0.getDouble(2) == 0.0, s"$r0")
   }
+
+  test("sequentialZ: a zero-conversion prefix (pooled p = 0) is a " +
+      "null-z day in both engines, not an ANSI divide-by-zero") {
+    import java.sql.Date
+    def day(d: String, t: Boolean, s: Boolean, n: Int) =
+      Seq.fill(n)((Date.valueOf(d), t, s))
+    // day 1 has arms but NO successes → pooled variance 0 → z null
+    // (DuckDB float x/0 is NULL; ANSI Spark would throw unguarded —
+    // the sf0.001 q326 regression). day 2 brings real conversions.
+    val rows =
+      day("2024-01-01", true, false, 10) ++
+      day("2024-01-01", false, false, 10) ++
+      day("2024-01-02", true, true, 9) ++ day("2024-01-02", true, false, 1) ++
+      day("2024-01-02", false, true, 1) ++ day("2024-01-02", false, false, 9)
+    val out = AbTest.sequentialZ(rows.toDF("ts", "t", "s"), "ts",
+      col("t"), col("s"), 2.5).collect().head
+    assert(out.getLong(0) == 1L, s"day 1 must drop as null-z: $out")
+    assert(out.getDate(1) == Date.valueOf("2024-01-02"), s"$out")
+  }
 }

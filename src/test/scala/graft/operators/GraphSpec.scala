@@ -184,6 +184,47 @@ class GraphSpec extends SparkSpec {
     assert(costHist == byHops, s"$costHist vs $byHops")
   }
 
+  test("pathCentrality: path graph — hand-counted sigma·suffix traffic " +
+      "from one pivot") {
+    // 1-2-3-4: pivot 1, 3 hops. sigma = 1 everywhere; suffix counts
+    // g(4)=1, g(3)=2, g(2)=3 → traffic v2=3, v3=2, v4=1.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val t = Graph.pathCentrality(edges, Seq(1L).toDF("v"),
+        maxHops = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(t == Seq((2L, 3L), (3L, 2L), (4L, 1L)), s"$t")
+  }
+
+  test("pathCentrality: diamond — sigma sums over BFS-DAG " +
+      "predecessors, both middles carry equal traffic") {
+    // 1-2, 1-3, 2-4, 3-4: pivot 1, 2 hops. sigma(4)=2 (two shortest
+    // paths), g(2)=g(3)=2 (self + suffix to 4) → traffic
+    // v2 = v3 = 1·2 = 2, v4 = 2·1 = 2.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val t = Graph.pathCentrality(edges, Seq(1L).toDF("v"),
+        maxHops = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(t == Seq((2L, 2L), (3L, 2L), (4L, 2L)), s"$t")
+  }
+
+  test("pathCentrality: multiple pivots sum; pivot rows themselves are " +
+      "excluded; maxHops truncates identically to a shorter unroll") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    // pivots 1 and 5 on the path: by symmetry every interior vertex
+    // gets traffic from both ends. From 1 (3 hops): v2=3,v3=2,v4=1.
+    // From 5 (3 hops): v4=3,v3=2,v2=1. Totals: v2=4,v3=4,v4=4,
+    // v1(from 5, dist 4) absent, v5(from 1) absent.
+    val t = Graph.pathCentrality(edges, Seq(1L, 5L).toDF("v"),
+        maxHops = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(t == Seq((2L, 4L), (3L, 4L), (4L, 4L)), s"$t")
+    // maxHops = 1: only direct neighbours, traffic = 1 each side
+    val t1 = Graph.pathCentrality(edges, Seq(1L, 5L).toDF("v"),
+        maxHops = 1, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(t1 == Seq((2L, 1L), (4L, 1L)), s"$t1")
+  }
+
   test("bfsHopHistogram: a seed absent from the graph still counts " +
       "at distance 0; orientation of edges is irrelevant") {
     val edges = Seq((2L, 1L), (1L, 2L), (3L, 2L)).toDF("a", "b")

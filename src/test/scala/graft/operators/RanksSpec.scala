@@ -311,4 +311,45 @@ class RanksSpec extends SparkSpec {
       .collect().head.toSeq
     assert(a == b)
   }
+
+  test("friedman: textbook maximum — one treatment always ranks top " +
+      "across 3 blocks gives Q = 6 at k = 3") {
+    // ranks per block: A=1, B=2, C=3 → R = (3, 6, 9),
+    // Q = 12/(3·3·4)·126 − 3·3·4 = 42 − 36 = 6 (the k=3 n=3 maximum)
+    val cells = Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      (2L, "A", 11L), (2L, "B", 21L), (2L, "C", 31L),
+      (3L, "A", 12L), (3L, "B", 22L), (3L, "C", 32L))
+      .toDF("b", "t", "v")
+    val r = Ranks.friedman(cells, "b", "t", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((3L, 3L, 6.0)))
+  }
+
+  test("friedman: ties take average ranks; incomplete blocks drop") {
+    // blocks 1, 2 rank A=1 B=2 C=3; block 3 has A = B (ranks 1.5, 1.5)
+    // → doubled rank sums R2 = (7, 11, 18), ΣR2² = 494,
+    // Q = (3·494 − 3·9·3·16)/36 = 186/36 = 5.166667 (micro-rounded).
+    // Block 9 misses treatment C → dropped entirely.
+    val cells = Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      (2L, "A", 11L), (2L, "B", 21L), (2L, "C", 31L),
+      (3L, "A", 5L), (3L, "B", 5L), (3L, "C", 7L),
+      (9L, "A", 1L), (9L, "B", 2L))
+      .toDF("b", "t", "v")
+    val r = Ranks.friedman(cells, "b", "t", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) ==
+      ((3L, 3L, 5.166667)))
+  }
+
+  test("friedman: identical values in every block (all ties) gives " +
+      "Q = 0 exactly; partitioning-independent") {
+    val flat = (1L to 40L).flatMap(b =>
+      Seq((b, "x", 7L), (b, "y", 7L), (b, "z", 7L))).toDF("b", "t", "v")
+    val r = Ranks.friedman(flat, "b", "t", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) ==
+      ((3L, 40L, 0.0)))
+    val r2 = Ranks.friedman(flat.repartition(13), "b", "t", "v")
+      .collect().head
+    assert(r.toSeq == r2.toSeq)
+  }
 }

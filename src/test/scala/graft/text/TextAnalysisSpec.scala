@@ -401,4 +401,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m("common") == ((6L, 6L, 1.0)))
     assert(got.head._1 == "bursty", "ordered by burstiness desc")
   }
+
+  test("knBigramScore: hand-computed Kneser–Ney probabilities on a " +
+      "one-doc corpus") {
+    // "a b a c a b": bigrams ab ba ac ca ab.
+    // c2: ab=2 ba=1 ac=1 ca=1; c(a·)=3 c(b·)=1 c(c·)=1;
+    // N1+(a·)=2 N1+(b·)=N1+(c·)=1; types {ab,ba,ac,ca} → tt=4;
+    // N1+(·a)=2, N1+(·b)=N1+(·c)=1.
+    // p(b|a)=(2−.75)/3+.75·2/3·(1/4)=.5416667
+    // p(a|b)=(1−.75)/1+.75·1·(2/4)=.625     p(a|c)=.625
+    // p(c|a)=(1−.75)/3+.75·2/3·(1/4)=.2083333
+    val docs = Seq((1L, "a b a c a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.knBigramScore(docs, "doc_id", "text")
+      .collect().head
+    assert(r.getLong(1) == 5L, "five bigram events")
+    val expAvg = (math.log(2.5 / 3 / 2 + 0.125) * 2 + // p(b|a) twice
+      math.log(0.625) * 2 + math.log(0.25 / 3 + 0.125)) / 5
+    assert(math.abs(r.getDouble(2) - expAvg) < 1e-5, s"$r vs $expAvg")
+    assert(math.abs(r.getDouble(3) - math.exp(-expAvg)) < 1e-4)
+  }
+
+  test("knBigramScore: the continuation term scores TYPE diversity — " +
+      "equal bigram counts, but the many-context successor wins") {
+    // 6 docs "wᵢ the" + 1 doc "x y": every bigram has count 1 and
+    // context total 1, so the ML term is (1−D)/1 = 0.25 for all.
+    // Types tt = 7; p_cont(the) = 6/7, p_cont(y) = 1/7 →
+    // p(the|w1) = .25 + .75·6/7 ≈ .893 > p(y|x) = .25 + .75/7 ≈ .357.
+    val docs = ((1 to 6).map(i => (100L + i, s"w$i the")) :+
+      ((200L, "x y"))).toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(101L) > out(200L),
+      s"diverse-context successor must outscore the one-context one: $out")
+    assert(math.abs(out(101L) - math.log(0.25 + 0.75 * 6.0 / 7.0)) < 1e-5)
+    assert(math.abs(out(200L) - math.log(0.25 + 0.75 / 7.0)) < 1e-5)
+    val again = TextAnalysis.knBigramScore(
+      docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == again, "partitioning-independent")
+  }
 }
