@@ -11706,7 +11706,127 @@ object SparkEntry {
         |          * (k + 1) * (k + 1)) * 1000000
         |    + n_blocks * k * (k + 1))
         |   // (2 * n_blocks * k * (k + 1)))::DOUBLE / 1e6 AS q_stat
-        |FROM a""".stripMargin))
+        |FROM a""".stripMargin),
+
+    Q("q338_bleu_pairs",
+      // Clipped-count BLEU-2 with brevity penalty (Papineni et al.
+      // 2002) over the minhash candidate pairs — the MULTISET
+      // precision eval beside q174's set-based ROUGE-2: a repeated
+      // n-gram only counts up to its multiplicity in the reference,
+      // and short candidates pay exp(1 − r/c). Runs only on LSH
+      // candidates (never corpus²); the n-gram count relations are
+      // (doc, gram)-keyed partial aggregates. Candidate = b scored
+      // against reference = a; pairs where either side has < 2 tokens
+      // drop (no bigram leg).
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("l"))
+          .filter(size(col("l")) >= 2)
+          .localCheckpoint(false) // lens + unigram + bigram consumers
+        val lens = toks.select(col("doc_id"), size(col("l")).as("n"))
+        val uni = toks.select(col("doc_id"), explode(col("l")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        val big = toks.select(col("doc_id"),
+          explode(TextFunctions.shingles(col("l"), 2)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+          .join(lens.toDF("a", "rn"), "a")
+          .join(lens.toDF("b", "cn"), "b")
+          .localCheckpoint(false) // two clipped-count consumers
+        def clipped(grams: DataFrame, out: String) = pairs
+          .select("a", "b")
+          .join(grams.toDF("b", "g", "cc"), "b")
+          .join(grams.toDF("a", "g", "rc"), Seq("a", "g"), "left")
+          .groupBy("a", "b")
+          .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L))))
+            .as(out))
+        pairs
+          .join(clipped(uni, "m1"), Seq("a", "b"))
+          .join(clipped(big, "m2"), Seq("a", "b"))
+          .select(col("a"), col("b"), col("cn").as("c_len"),
+            col("rn").as("r_len"), col("m1"), col("m2"),
+            round(when(col("m1") === 0 || col("m2") === 0, 0.0)
+              .otherwise(exp(
+                least(lit(0.0), lit(1.0) - col("rn").cast("double")
+                  / col("cn").cast("double"))
+                  + lit(0.5) * (log(col("m1").cast("double")
+                    / col("cn").cast("double"))
+                  + log(col("m2").cast("double")
+                    / (col("cn") - 1).cast("double"))))), 6)
+              .as("bleu2"))
+          .orderBy(col("bleu2").desc, col("a"), col("b"))
+          .limit(30)
+      },
+      {
+        val sh2 = "[l[i] || ' ' || l[i+1] for i in range(1, len(l))]"
+        s"""WITH ${minhashPairCtes()},
+           |tk AS (SELECT doc_id, $toksSql AS l FROM documents),
+           |ln2 AS (SELECT doc_id, len(l)::BIGINT AS n FROM tk
+           |  WHERE len(l) >= 2),
+           |uni AS (SELECT doc_id, t AS g, count(*)::BIGINT AS c
+           |  FROM (SELECT doc_id, unnest(l) AS t FROM tk
+           |    WHERE len(l) >= 2) u GROUP BY 1, 2),
+           |bi AS (SELECT doc_id, t AS g, count(*)::BIGINT AS c
+           |  FROM (SELECT doc_id, unnest($sh2) AS t FROM tk
+           |    WHERE len(l) >= 2) u GROUP BY 1, 2),
+           |pp AS (SELECT p.a, p.b, ra.n AS rn, cb.n AS cn
+           |  FROM pairs p JOIN ln2 ra ON ra.doc_id = p.a
+           |  JOIN ln2 cb ON cb.doc_id = p.b),
+           |m1 AS (SELECT pp.a, pp.b,
+           |    sum(least(cu.c, coalesce(ru.c, 0)))::BIGINT AS m1
+           |  FROM pp JOIN uni cu ON cu.doc_id = pp.b
+           |  LEFT JOIN uni ru ON ru.doc_id = pp.a AND ru.g = cu.g
+           |  GROUP BY 1, 2),
+           |m2 AS (SELECT pp.a, pp.b,
+           |    sum(least(cu.c, coalesce(ru.c, 0)))::BIGINT AS m2
+           |  FROM pp JOIN bi cu ON cu.doc_id = pp.b
+           |  LEFT JOIN bi ru ON ru.doc_id = pp.a AND ru.g = cu.g
+           |  GROUP BY 1, 2)
+           |SELECT a, b, cn AS c_len, rn AS r_len, m1, m2,
+           |  round(CASE WHEN m1 = 0 OR m2 = 0 THEN 0.0
+           |    ELSE exp(least(0.0, 1.0 - rn::DOUBLE / cn::DOUBLE)
+           |      + 0.5 * (ln(m1::DOUBLE / cn::DOUBLE)
+           |        + ln(m2::DOUBLE / (cn - 1)::DOUBLE))) END, 6)
+           |    AS bleu2
+           |FROM pp JOIN m1 USING (a, b) JOIN m2 USING (a, b)
+           |ORDER BY bleu2 DESC, a, b LIMIT 30""".stripMargin
+      }),
+
+    Q("q339_cochran_q",
+      // Cochran's Q ([[graft.pipeline.WeakLabels.cochranQ]]): McNemar
+      // generalized to k paired binary judgments — do the five event
+      // types hit a high-value max (≥ 180) at consistently different
+      // rates across user buckets? Integer num/den, one unsigned
+      // micro-rounded division.
+      (s, dir) => {
+        val cells = Tables.events(s, dir)
+          .groupBy((col("user_id") % 200).as("block"), col("event_type"))
+          .agg((max(col("value")) >= 180.0).as("x"))
+        graft.pipeline.WeakLabels.cochranQ(
+          cells, "block", "event_type", col("x"))
+      },
+      """WITH cells AS (SELECT user_id % 200 AS b, event_type AS t,
+        |    max(value) >= 180.0 AS x FROM events GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT t) AS k FROM cells),
+        |ok AS (SELECT b FROM cells GROUP BY b
+        |  HAVING count(*) = (SELECT k FROM kk)),
+        |cc AS (SELECT * FROM cells WHERE b IN (SELECT b FROM ok)),
+        |ca AS (SELECT count(*)::BIGINT AS k, sum(tj)::HUGEINT AS nn,
+        |    sum(tj::HUGEINT * tj)::HUGEINT AS st2
+        |  FROM (SELECT t, sum(CASE WHEN x THEN 1 ELSE 0 END)::BIGINT
+        |      AS tj FROM cc GROUP BY t) tt),
+        |ra AS (SELECT count(*)::BIGINT AS n_blocks,
+        |    sum(u::HUGEINT * u)::HUGEINT AS su2
+        |  FROM (SELECT b, sum(CASE WHEN x THEN 1 ELSE 0 END)::BIGINT
+        |      AS u FROM cc GROUP BY b) uu)
+        |SELECT k, n_blocks,
+        |  CASE WHEN k < 2 OR n_blocks = 0 OR k * nn - su2 = 0
+        |    THEN NULL
+        |    ELSE ((2 * ((k - 1) * (k * st2 - nn * nn)) * 1000000
+        |        + (k * nn - su2))
+        |      // (2 * (k * nn - su2)))::DOUBLE / 1e6 END AS q_stat
+        |FROM ca, ra""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

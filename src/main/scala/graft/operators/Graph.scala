@@ -478,20 +478,25 @@ object Graph {
     val lvl0 = pivots.select(col("v")).distinct()
       .select(col("v").as("s"), col("v"), lit(1).cast(dec).as("sigma"))
       .graftCheckpoint(false)
-    // forward: levels(d) = (s, v, sigma); visited = union of levels,
-    // checkpointed per round so lineage stays O(1), not O(maxHops)
+    // forward: levels(d) = (s, v, sigma). No running visited set: in
+    // an undirected BFS (per pivot s) a neighbour of a level-d vertex
+    // sits at distance d−1, d, or d+1, so excluding just the LAST TWO
+    // levels leaves exactly level d+1 — the anti-join input stays two
+    // frontier-sized frames instead of an O(reachable) union chain
+    // (one fewer checkpoint per round).
     val levels = scala.collection.mutable.ArrayBuffer(lvl0)
-    var visited = lvl0.select("s", "v")
-    for (_ <- 1 to maxHops) {
+    for (d <- 1 to maxHops) {
+      val seen =
+        if (d == 1) lvl0.select("s", "v")
+        else levels(d - 1).select("s", "v")
+          .unionAll(levels(d - 2).select("s", "v"))
       val next = levels.last.join(nbrs, "v")
         .groupBy(col("s"), col("n"))
         .agg(sum(col("sigma")).cast(dec).as("sigma"))
         .withColumnRenamed("n", "v")
-        .join(visited, Seq("s", "v"), "left_anti")
+        .join(seen, Seq("s", "v"), "left_anti")
         .graftCheckpoint(false)
       levels += next
-      visited = visited.unionAll(next.select("s", "v"))
-        .graftCheckpoint(false)
     }
     // backward: g(maxHops) = 1; g(d) = 1 + Σ g(d+1) over DAG edges.
     // An edge between a dist-d and a dist-(d+1) vertex IS a DAG edge

@@ -129,4 +129,51 @@ object WeakLabels {
             (col("b") - col("c")).cast("double")
               * (col("b") - col("c")).cast("double")
               / (col("b") + col("c")).cast("double"), 6)).as("chi2"))
+
+  /** Cochran's Q (1950) — [[mcnemar]] generalized to k paired binary
+    * judgments (k labelers / model versions / treatments over the same
+    * blocks): with column totals T_j, row totals u_i, N = Σu_i,
+    *
+    *   Q = (k−1) · (k·ΣT_j² − N²) / (k·N − Σu_i²)
+    *
+    * asks whether any judge says "yes" at a consistently different
+    * rate. At k = 2 it reduces exactly to McNemar's (b−c)²/(b+c).
+    * Input is the CELL relation (blockCol, treatmentCol, successCol) —
+    * one binary value per block × treatment; blocks missing any
+    * treatment drop (the test needs complete blocks). Both numerator
+    * and denominator are exact non-negative integers (Cauchy–Schwarz
+    * gives k·ΣT² ≥ N² and k·N ≥ Σu², u_i ≤ k), DECIMAL(38,0)-summed,
+    * so the one division is an unsigned integer-micro rounding —
+    * engine-exact in any aggregation order. A degenerate table (every
+    * block all-0 or all-1 → zero denominator) yields a null statistic,
+    * not a 0/0. Returns one row (k, n_blocks, q_stat). */
+  def cochranQ(cells: DataFrame, blockCol: String, treatmentCol: String,
+      successCol: Column): DataFrame = {
+    val src = cells.select(col(blockCol).as("b"),
+      col(treatmentCol).as("t"), successCol.cast("boolean").as("x"))
+    val kRow = broadcast(src.agg(countDistinct(col("t")).as("kk")))
+    val complete = src.join(broadcast(
+      src.groupBy("b").agg(count(lit(1)).as("nt"))
+        .crossJoin(kRow).filter(col("nt") === col("kk")).select("b")),
+      "b")
+      .localCheckpoint(false) // column-total AND row-total consumers
+    val dec = "decimal(38,0)"
+    val colAgg = complete.groupBy("t")
+      .agg(sum(when(col("x"), 1L).otherwise(0L)).as("tj"))
+      .agg(count(lit(1)).as("k"), sum(col("tj")).cast(dec).as("nn"),
+        sum(col("tj").cast(dec) * col("tj")).as("st2"))
+    val rowAgg = complete.groupBy("b")
+      .agg(sum(when(col("x"), 1L).otherwise(0L)).as("u"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("u").cast(dec) * col("u")).as("su2"))
+    colAgg.crossJoin(broadcast(rowAgg))
+      .select(col("k"), col("n_blocks"),
+        when(col("k") < 2 || col("n_blocks") === 0
+            || expr("k * nn - su2") === 0, lit(null).cast("double"))
+          .otherwise(
+            expr("""(2 * ((k - 1) * (k * st2 - nn * nn)) * 1000000
+                    + (k * nn - su2))
+                   DIV (2 * (k * nn - su2))""").cast("double") / 1e6)
+          .as("q_stat"))
+  }
 }

@@ -99,6 +99,31 @@ class RanksSpec extends SparkSpec {
       .isNullAt(3))
   }
 
+  test("cochranQ at k = 2 reduces exactly to McNemar's (b-c)²/(b+c); " +
+      "a fully-concordant table yields null") {
+    import graft.pipeline.WeakLabels
+    // 10 blocks: 3× (1,0), 1× (0,1), 3× (1,1), 3× (0,0).
+    // T = (6, 4), N = 10, Σu² = 3 + 1 + 12 = 16:
+    // Q = (2·(36+16) − 100)/(20 − 16) = 4/4 = 1 = (3−1)²/(3+1).
+    val pairs = Seq.fill(3)((1, 0)) ++ Seq((0, 1)) ++
+      Seq.fill(3)((1, 1)) ++ Seq.fill(3)((0, 0))
+    val cells = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i.toLong, "A", a), (i.toLong, "B", b)) }.toDF("blk", "t", "x")
+    val r = WeakLabels.cochranQ(cells, "blk", "t", col("x") === 1).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) ==
+      ((2L, 10L, 1.0)), s"$r")
+    // all blocks concordant (all-0 or all-1) → zero denominator → null
+    val conc = (0L until 4L).flatMap(i =>
+      Seq((i, "A", (i % 2).toInt), (i, "B", (i % 2).toInt)))
+      .toDF("blk", "t", "x")
+    assert(WeakLabels.cochranQ(conc, "blk", "t", col("x") === 1)
+      .head().isNullAt(2))
+    // incomplete blocks drop: adding a one-judge block changes nothing
+    val plus = cells.unionAll(Seq((99L, "A", 1)).toDF("blk", "t", "x"))
+    val r2 = WeakLabels.cochranQ(plus, "blk", "t", col("x") === 1).head()
+    assert(r2.toSeq == r.toSeq)
+  }
+
   test("consistency: for exactly two groups, tie-corrected " +
       "Kruskal-Wallis H equals the Mann-Whitney z squared") {
     val df = (1 to 300).map(i =>
