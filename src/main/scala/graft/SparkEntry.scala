@@ -4787,8 +4787,9 @@ object SparkEntry {
           .crossJoin(broadcast(
             views.agg(count(lit(1)).cast("long").as("n_viewers"))))
           .select(col("n_viewers"), col("n_converted"),
-            round(col("n_converted").cast("double") /
-              col("n_viewers").cast("double"), 6).as("conv_rate"),
+            when(col("n_viewers") === 0, lit(null).cast("double"))
+              .otherwise(round(col("n_converted").cast("double") /
+                col("n_viewers").cast("double"), 6)).as("conv_rate"),
             col("min_sec"), col("p50_sec"), col("p90_sec"),
             col("max_sec"), col("mean_sec"))
       },

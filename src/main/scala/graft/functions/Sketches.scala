@@ -115,8 +115,11 @@ object Sketches {
       .join(b.select(col("h").as("hb")), col("h") === col("hb"), "left_semi")
     val jac = union.agg(count(lit(1)).as("__ku"))
       .crossJoin(inBoth.agg(count(lit(1)).as("__kb")))
-      .select(round(col("__kb").cast("double") /
-        col("__ku").cast("double"), 6).as("jaccard"))
+      // both sketches empty → J is 0/0: null (DuckDB float-division
+      // semantics), not an ANSI error
+      .select(when(col("__ku") === 0, lit(null).cast("double"))
+        .otherwise(round(col("__kb").cast("double") /
+          col("__ku").cast("double"), 6)).as("jaccard"))
     kmvEstimate(a, k, "est_a")
       .crossJoin(kmvEstimate(b, k, "est_b"))
       .crossJoin(kmvEstimate(union, k, "est_union"))

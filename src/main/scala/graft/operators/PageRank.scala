@@ -93,6 +93,12 @@ object PageRank {
     val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
       .graftCheckpoint(false)
     val n = deg.count() // metadata-scale action: one long
+    // an empty edge relation has no fixed point to iterate: return the
+    // empty (node, rank) frame — the SQL formulation's answer — rather
+    // than tripping ANSI division on the 1/n teleport term
+    if (n == 0)
+      return deg.select(col("src").as("node"),
+        lit(0.0).cast("double").as("rank"))
     val bc = n <= broadcastStateUpTo
     // static (src, dst, deg): under the broadcast-state bound the
     // iteration join is map-side, so skip the edge repartition (a full
@@ -159,7 +165,9 @@ object PageRank {
       .graftCheckpoint(false)
     val counts = nodes.agg(count(lit(1)), sum(col("seed"))).head()
     val n = counts.getLong(0)
-    val nSeeds = counts.getLong(1)
+    // an empty graph sums seed over zero rows → null: surface the
+    // contract violation loudly instead of a NULL-row accessor error
+    val nSeeds = if (counts.isNullAt(1)) 0L else counts.getLong(1)
     require(nSeeds >= 1, "at least one seed must be a graph node")
     val bc = n <= broadcastStateUpTo
     val ew = {
@@ -216,6 +224,11 @@ object PageRank {
       .graftCheckpoint(false)
     val hubs = e.select(col("hub")).distinct().graftCheckpoint(false)
     val nh = hubs.count()
+    // empty edge relation: no hubs to normalize over — return the
+    // empty (node, auth) frame like the SQL formulation would
+    if (nh == 0)
+      return e.select(col("auth").as("node"),
+        lit(0.0).cast("double").as("auth"))
     val bc = nh <= broadcastStateUpTo
     // per-direction edge copies only pay on the co-partitioned path;
     // with broadcast state both half-iterations join map-side off the

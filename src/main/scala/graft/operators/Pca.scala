@@ -62,6 +62,8 @@ object Pca {
         (col("n") * col("sxy") - ski * skj).as("num"),
         (col("n") * col("n") * lit(1000000L).cast("decimal(38,0)"))
           .as("den"))
+      .filter(col("den") > 0) // empty corpus: n = 0 → den = n²·10⁶ = 0;
+      // return the empty frame, not an ANSI division error
       .select(col("i"), col("j"),
         // exact integer half-away rounding (den > 0, DIV truncates
         // toward zero = floor on the non-negative operands used here),

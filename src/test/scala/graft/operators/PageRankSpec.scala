@@ -89,4 +89,20 @@ class PageRankSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble, s"$r")
     assert(r(1L) == r(3L))
   }
+
+  test("empty edge relation: run and hits return empty frames (the " +
+      "SQL answer), personalized fails its seed contract loudly — " +
+      "never an ANSI division or null-accessor error") {
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val pr = PageRank.run(none, iters = 3, damping = 0.85)
+    assert(pr.columns.toSeq == Seq("node", "rank") && pr.count() == 0)
+    val ht = PageRank.hits(
+      Seq.empty[(Long, Long)].toDF("hub", "auth"), iters = 2)
+    assert(ht.columns.toSeq == Seq("node", "auth") && ht.count() == 0)
+    val ex = intercept[IllegalArgumentException] {
+      PageRank.personalized(none, Seq(1L).toDF("node"),
+        iters = 2, damping = 0.85).collect()
+    }
+    assert(ex.getMessage.contains("at least one seed"), ex.getMessage)
+  }
 }
