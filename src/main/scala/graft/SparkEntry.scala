@@ -11827,7 +11827,45 @@ object SparkEntry {
         |    ELSE ((2 * ((k - 1) * (k * st2 - nn * nn)) * 1000000
         |        + (k * nn - su2))
         |      // (2 * (k * nn - su2)))::DOUBLE / 1e6 END AS q_stat
-        |FROM ca, ra""".stripMargin))
+        |FROM ca, ra""".stripMargin),
+
+    Q("q340_page_trend",
+      // Page's trend test ([[graft.operators.Ranks.pageTrend]]):
+      // q337's Friedman with an ORDERED alternative — do per-bucket
+      // event-type interaction counts rise along the alphabetical
+      // type order? Doubled ranks keep L integer; the one float step
+      // (z) is token-identical in both engines, +0.0-normalized.
+      (s, dir) => {
+        val cells = Tables.events(s, dir)
+          .groupBy((col("user_id") % 200).as("block"), col("event_type"))
+          .agg(count(lit(1)).as("v"))
+        graft.operators.Ranks.pageTrend(
+          cells, "block", "event_type", "v")
+      },
+      """WITH cells AS (SELECT user_id % 200 AS b, event_type AS t,
+        |    count(*)::BIGINT AS v FROM events GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT t) AS k FROM cells),
+        |ok AS (SELECT b FROM cells GROUP BY b
+        |  HAVING count(*) = (SELECT k FROM kk)),
+        |r AS (SELECT t,
+        |    2 * rank() OVER (PARTITION BY b ORDER BY v)
+        |      + count(*) OVER (PARTITION BY b, v) - 1 AS r2
+        |  FROM cells WHERE b IN (SELECT b FROM ok)),
+        |pt AS (SELECT t, sum(r2)::BIGINT AS rs2, count(*)::BIGINT AS n
+        |  FROM r GROUP BY t),
+        |pc AS (SELECT t, rs2, n, row_number() OVER (ORDER BY t) AS cj
+        |  FROM pt),
+        |a AS (SELECT count(*)::BIGINT AS k, max(n) AS n_blocks,
+        |    sum(cj * rs2)::BIGINT AS l2 FROM pc)
+        |SELECT k, n_blocks, l2 AS l2_stat,
+        |  CASE WHEN k < 2 OR n_blocks IS NULL OR n_blocks = 0
+        |    THEN NULL
+        |    ELSE round((2 * l2 - n_blocks * k * (k + 1) * (k + 1))
+        |        ::DOUBLE * 3.0
+        |      / ((k * (k + 1))::DOUBLE
+        |        * sqrt((n_blocks * (k - 1))::DOUBLE)), 6) + 0.0
+        |  END AS z
+        |FROM a""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -740,4 +740,55 @@ object Ranks {
                   DIV (2 * n_blocks * k * (k + 1))""")
               .cast("double") / 1e6).as("q_stat"))
   }
+
+  /** Page's trend test (Page 1963) — [[friedman]]'s ORDERED
+    * alternative: does the response rise monotonically along a
+    * hypothesized treatment ordering (here: the treatments sorted
+    * ascending — map treatment labels beforehand to encode any other
+    * hypothesis)? L = Σ_j c_j·R_j with c_j the hypothesized position,
+    * standardized under H0 by μ_L = n·k(k+1)²/4 and
+    * σ²_L = n·k²(k+1)²(k−1)/144 (no tie correction — the classic
+    * statistic; ties make |z| conservative).
+    *
+    * Same cell-relation input and complete-block discipline as
+    * [[friedman]]; the same doubled average ranks keep every sum
+    * integer: l2_stat = 2L is a BIGINT and the z numerator
+    * 2·(L2 − μ2) = 2·L2 − n·k(k+1)² is exact. The one float step is
+    * the final z division + sqrt, identical token-for-token in both
+    * engines, with `+ 0.0` normalizing a −0.0 away (a z that rounds
+    * to the zero boundary must hash identically — the q201 lesson).
+    * Returns one row (k, n_blocks, l2_stat, z). */
+  def pageTrend(cells: DataFrame, blockCol: String,
+      treatmentCol: String, valueCol: String): DataFrame = {
+    val src = cells.select(col(blockCol).as("b"),
+      col(treatmentCol).as("t"), col(valueCol).cast("long").as("v"))
+    val kRow = broadcast(src.agg(countDistinct(col("t")).as("kk")))
+    val complete = src
+      .join(broadcast(src.groupBy("b").agg(count(lit(1)).as("nt"))
+        .crossJoin(kRow).filter(col("nt") === col("kk")).select("b")),
+        "b")
+    val wB = Window.partitionBy("b").orderBy("v")
+    val wBV = Window.partitionBy("b", "v")
+    val r2 = complete
+      .withColumn("r2", lit(2) * rank().over(wB)
+        + count(lit(1)).over(wBV) - lit(1))
+    val perT = r2.groupBy("t")
+      .agg(sum(col("r2")).cast("long").as("rs2"),
+        count(lit(1)).as("n"))
+      // hypothesized position: the k-row aggregate frame is metadata-
+      // scale, so the unpartitioned ordering window is bounded
+      .withColumn("cj", row_number().over(Window.orderBy("t")))
+    perT.agg(count(lit(1)).as("k"), max(col("n")).as("n_blocks"),
+        sum(col("cj") * col("rs2")).cast("long").as("l2"))
+      .select(col("k"), col("n_blocks"), col("l2").as("l2_stat"),
+        when(col("k") < 2 || col("n_blocks").isNull
+            || col("n_blocks") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (lit(2) * col("l2")
+              - expr("n_blocks * k * (k + 1) * (k + 1)"))
+              .cast("double") * 3.0
+              / (expr("k * (k + 1)").cast("double")
+                * sqrt(expr("n_blocks * (k - 1)").cast("double"))), 6)
+            + lit(0.0)).as("z"))
+  }
 }

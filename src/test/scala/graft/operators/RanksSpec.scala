@@ -99,6 +99,28 @@ class RanksSpec extends SparkSpec {
       .isNullAt(3))
   }
 
+  test("pageTrend: perfectly increasing blocks hit the hand z; the " +
+      "reversed order negates it; all-ties give exactly +0.0") {
+    // k = 3, n = 3, values rising along A < B < C: L = 42, μ = 36,
+    // σ² = 6 → z = 6/√6 = 2.449490. Reversed: L = 30 → z = −2.449490.
+    val up = (1L to 3L).flatMap(b =>
+      Seq((b, "A", 10L + b), (b, "B", 20L + b), (b, "C", 30L + b)))
+      .toDF("b", "t", "v")
+    val r = Ranks.pageTrend(up, "b", "t", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 84L)))
+    assert(r.getDouble(3) == 2.449490, s"$r")
+    val down = up.withColumn("v", lit(100L) - col("v"))
+    val r2 = Ranks.pageTrend(down, "b", "t", "v").collect().head
+    assert(r2.getLong(2) == 60L && r2.getDouble(3) == -2.449490, s"$r2")
+    // flat: every block all-tied → L2 = 24n, z numerator exactly 0,
+    // and the +0.0 normalizer pins the POSITIVE zero (the hash bit)
+    val flat = (1L to 5L).flatMap(b =>
+      Seq((b, "A", 7L), (b, "B", 7L), (b, "C", 7L))).toDF("b", "t", "v")
+    val r3 = Ranks.pageTrend(flat, "b", "t", "v").collect().head
+    assert(r3.getDouble(3) == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(r3.getDouble(3)) == 0L, s"$r3")
+  }
+
   test("cochranQ at k = 2 reduces exactly to McNemar's (b-c)²/(b+c); " +
       "a fully-concordant table yields null") {
     import graft.pipeline.WeakLabels
