@@ -11865,7 +11865,67 @@ object SparkEntry {
         |      / ((k * (k + 1))::DOUBLE
         |        * sqrt((n_blocks * (k - 1))::DOUBLE)), 6) + 0.0
         |  END AS z
-        |FROM a""".stripMargin))
+        |FROM a""".stripMargin),
+
+    Q("q341_weighted_pagerank",
+      // Weighted PageRank ([[graft.operators.PageRank.runWeighted]]):
+      // q230 with edge-proportional mass split — rank flows along
+      // co-purchase edges in proportion to the co-basket COUNT, the
+      // recsys-standard refinement when tie strength matters. Same
+      // 12-dp fixed-point decimal discipline; the oracle unrolls the
+      // 5 weighted iterations bit-for-bit.
+      (s, dir) => {
+        val ew = graft.operators.Ckpt(
+          graft.operators.Graph.weightedBasketEdges(
+            Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+            "l_orderkey", "l_partkey"), eager = false)
+        val sym = ew.select(col("a").as("src"), col("b").as("dst"),
+            col("n").as("w"))
+          .unionAll(ew.select(col("b").as("src"), col("a").as("dst"),
+            col("n").as("w")))
+        graft.operators.PageRank.runWeighted(sym, iters = 5,
+            damping = 0.85)
+          .orderBy(col("rank").desc, col("node")).limit(50)
+      },
+      {
+        val iters = (1 to 5).map { i =>
+          s"""r$i AS MATERIALIZED (SELECT nd.node,
+             |    round((1.0 - 0.85) / nn.n
+             |        + 0.85 * coalesce(s.s::DOUBLE, 0.0),
+             |      12)::DECIMAL(28,12) AS rank
+             |  FROM nd CROSS JOIN nn LEFT JOIN (
+             |    SELECT sy.dst AS node,
+             |      sum(round(r.rank::DOUBLE * sy.w::DOUBLE
+             |          / od.wsum::DOUBLE, 12)::DECIMAL(28,12)) AS s
+             |    FROM sy JOIN r${i - 1} r ON sy.src = r.node
+             |    JOIN od ON od.src = sy.src
+             |    GROUP BY sy.dst) s ON s.node = nd.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH bi AS MATERIALIZED (SELECT DISTINCT
+           |    l_orderkey AS basket, l_partkey AS item
+           |  FROM lineitem WHERE l_orderkey % 4 = 0),
+           |okb AS (SELECT basket FROM bi GROUP BY basket
+           |        HAVING count(*) <= 10000),
+           |ew AS MATERIALIZED (SELECT x.item AS a, y.item AS b,
+           |    count(*)::BIGINT AS n
+           |  FROM bi x JOIN bi y ON x.basket = y.basket
+           |    AND x.item < y.item
+           |  WHERE x.basket IN (SELECT basket FROM okb)
+           |  GROUP BY 1, 2),
+           |sy AS MATERIALIZED (SELECT a AS src, b AS dst, n AS w
+           |  FROM ew UNION ALL SELECT b AS src, a AS dst, n AS w
+           |  FROM ew),
+           |nd AS MATERIALIZED (SELECT DISTINCT src AS node FROM sy),
+           |nn AS (SELECT count(*)::DOUBLE AS n FROM nd),
+           |od AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS wsum
+           |  FROM sy GROUP BY src),
+           |r0 AS (SELECT node,
+           |    round(1.0 / nn.n, 12)::DECIMAL(28,12) AS rank
+           |  FROM nd CROSS JOIN nn),
+           |$iters
+           |SELECT node, round(rank::DOUBLE, 9) AS rank FROM r5
+           |ORDER BY rank DESC, node LIMIT 50""".stripMargin
+      }))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

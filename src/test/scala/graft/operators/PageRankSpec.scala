@@ -90,6 +90,32 @@ class PageRankSpec extends SparkSpec {
     assert(r(1L) == r(3L))
   }
 
+  test("runWeighted with uniform weights is bit-identical to run; " +
+      "skewed weights pull rank toward the heavy edge's endpoint") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 1L))
+    val sym = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    // uniform w = 7: contribution rank·7/(7·deg) = rank/deg exactly
+    val uw = sym.map { case (s, d) => (s, d, 7L) }.toDF("src", "dst", "w")
+    val a = PageRank.runWeighted(uw, iters = 4, damping = 0.85)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = PageRank.run(sym.toDF("src", "dst"), iters = 4,
+      damping = 0.85)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a == b, s"uniform weights must reduce to the unweighted\n$a\n$b")
+    // triangle 1-2-3 with one heavy edge 2→3: node 3 must outrank its
+    // uniform-weight score (it now receives most of 2's mass)
+    val tri = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 99L),
+      (3L, 2L, 1L), (3L, 1L, 1L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val w = PageRank.runWeighted(tri, iters = 6, damping = 0.85)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(w(3L) > w(1L) && w(3L) > w(2L),
+      s"the heavy in-edge must dominate: $w")
+    // empty weighted graph → empty frame (the run() discipline)
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(PageRank.runWeighted(none, 3, 0.85).count() == 0)
+  }
+
   test("empty edge relation: run and hits return empty frames (the " +
       "SQL answer), personalized fails its seed contract loudly — " +
       "never an ANSI division or null-accessor error") {
