@@ -468,13 +468,116 @@ object Graph {
     * engines identically. Returns topK (v, traffic) by traffic desc,
     * v asc; traffic is cast to long for the result frame. */
   def pathCentrality(edges: DataFrame, pivots: DataFrame, maxHops: Int,
-      topK: Int): DataFrame = {
+      topK: Int, stateUpTo: Long = PageRank.BroadcastStateUpTo)
+      : DataFrame = {
     require(maxHops >= 1 && topK >= 1)
-    val dec = "decimal(38,0)"
     val e = canon(edges).graftCheckpoint(false)
     val nbrs = e.select(col("a").as("v"), col("b").as("n"))
       .unionAll(e.select(col("b").as("v"), col("a").as("n")))
       .graftCheckpoint(false)
+    // Driver-carried (pivot, vertex) state while it fits the broadcast
+    // bound — the bfsHopHistogram rationale: each round broadcasts the
+    // frontier anyway, so carrying (s, v, sigma/g) as literal frames
+    // makes a round ONE partial-agg collect job instead of a
+    // shuffle-join-shuffle chain. Every collect is bounded at
+    // stateUpTo + 1; on overflow the DISTRIBUTED implementation below
+    // reruns from the pivots (unlike the mid-run spills of
+    // bfsHopHistogram there are two interleaved sweeps of per-level
+    // state to hand over; restarting re-pays at most maxHops bounded
+    // rounds and keeps the handover trivially correct).
+    pathCentralityDriver(nbrs, pivots, maxHops, topK, stateUpTo)
+      .getOrElse(pathCentralityDist(nbrs, pivots, maxHops, topK))
+  }
+
+  /** Bounded driver-state fast path; None = state outgrew the bound. */
+  private def pathCentralityDriver(nbrs: DataFrame, pivots: DataFrame,
+      maxHops: Int, topK: Int, stateUpTo: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField,
+      LongType, DecimalType}
+    val spark = nbrs.sparkSession
+    // the literal-frame schema below is LONG-keyed; non-long vertex
+    // types take the generic distributed path
+    if (nbrs.schema("v").dataType != LongType) return None
+    val d380 = DecimalType(38, 0)
+    val lim = (stateUpTo + 1).min(Int.MaxValue).toInt
+    val svSchema = StructType(Seq(
+      StructField("s", LongType, nullable = false),
+      StructField("v", LongType, nullable = false),
+      StructField("x", d380, nullable = false)))
+    def lit380(rows: Iterable[(Long, Long, BigInt)]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows.map { case
+        (s, v, x) => Row(s, v, new java.math.BigDecimal(x.bigInteger))
+      }.toSeq: _*), svSchema)
+    val p0 = pivots.select(col("v").cast("long"))
+      .distinct().limit(lim).collect().map(_.getLong(0))
+    if (p0.length > stateUpTo) return None
+    // forward: levels(d) = Map[(s,v) -> sigma]
+    val levels = scala.collection.mutable.ArrayBuffer(
+      p0.map(v => (v, v) -> BigInt(1)).toMap)
+    val seen = scala.collection.mutable.HashSet[(Long, Long)](
+      p0.map(v => (v, v)): _*)
+    var total = p0.length.toLong
+    for (_ <- 1 to maxHops) {
+      val cand = nbrs
+        .join(broadcast(lit380(levels.last.map { case ((s, v), sg) =>
+          (s, v, sg) })), "v")
+        .groupBy(col("s"), col("n"))
+        .agg(sum(col("x")).cast(d380).as("x"))
+        .limit(lim).collect()
+      if (cand.length > stateUpTo) return None
+      val next = cand.iterator.map(r => (r.getLong(0), r.getLong(1),
+          BigInt(r.getDecimal(2).toBigInteger)))
+        .filter(t => !seen.contains((t._1, t._2)))
+        .map(t => (t._1, t._2) -> t._3).toMap
+      total += next.size
+      if (total > stateUpTo) return None
+      next.keysIterator.foreach(seen += _)
+      levels += next
+    }
+    // backward: g(maxHops) = 1; g(d) = 1 + Σ g(d+1) over edges — the
+    // adjacency is corpus-scale, so each sweep is one bounded collect
+    // of the per-predecessor partial sums; everything else is driver
+    // arithmetic on the already-bounded level maps.
+    val traffic = scala.collection.mutable.HashMap.empty[Long, BigInt]
+    var g: Map[(Long, Long), BigInt] =
+      levels(maxHops).map { case (k, _) => k -> BigInt(1) }
+    def addContrib(d: Int, gd: Map[(Long, Long), BigInt]): Unit =
+      gd.foreach { case ((s, v), gv) =>
+        val t = levels(d)((s, v)) * gv
+        traffic(v) = traffic.getOrElse(v, BigInt(0)) + t
+      }
+    addContrib(maxHops, g)
+    for (d <- (maxHops - 1) to 1 by -1) {
+      val sums =
+        if (g.isEmpty) Map.empty[(Long, Long), BigInt]
+        else nbrs
+          .join(broadcast(lit380(g.map { case ((s, w), gv) =>
+            (s, w, gv) }).withColumnRenamed("v", "n")), "n")
+          .groupBy(col("s"), col("v"))
+          .agg(sum(col("x")).cast(d380).as("x"))
+          .limit(lim).collect()
+          .iterator.map(r => (r.getLong(0), r.getLong(1)) ->
+            BigInt(r.getDecimal(2).toBigInteger)).toMap
+      g = levels(d).map { case (k, _) =>
+        k -> (sums.getOrElse(k, BigInt(0)) + 1) }
+      addContrib(d, g)
+    }
+    val outSchema = StructType(Seq(
+      StructField("v", LongType, nullable = false),
+      StructField("traffic", LongType, nullable = false)))
+    val top = traffic.toSeq
+      .map { case (v, t) => (v, t.toLong) }
+      .sortBy { case (v, t) => (-t, v) }.take(topK)
+      .map { case (v, t) => Row(v, t) }
+    Some(spark.createDataFrame(
+      java.util.Arrays.asList(top: _*), outSchema))
+  }
+
+  /** Fully distributed path — identical algebra, any state size. */
+  private def pathCentralityDist(nbrs: DataFrame, pivots: DataFrame,
+      maxHops: Int, topK: Int): DataFrame = {
+    val dec = "decimal(38,0)"
     val lvl0 = pivots.select(col("v")).distinct()
       .select(col("v").as("s"), col("v"), lit(1).cast(dec).as("sigma"))
       .graftCheckpoint(false)

@@ -121,6 +121,24 @@ class FallbackParitySpec extends SparkSpec {
     assert(rowsOf(fastW) == rowsOf(midW))
   }
 
+  test("pathCentrality: driver-carried levels ≡ forced-distributed " +
+      "(stateUpTo = 0) on the path, diamond, and a star mid-graph") {
+    def rowsOf2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val graphs = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)),
+      Seq((1L, 2L)) ++ (10L to 20L).map(v => (2L, v)))
+    for (es <- graphs; hops <- Seq(1, 2, 3)) {
+      val edges = es.toDF("a", "b")
+      val pv = Seq(1L, 5L).toDF("v")
+      val fast = Graph.pathCentrality(edges, pv, hops, topK = 30)
+      val dist = Graph.pathCentrality(edges, pv, hops, topK = 30,
+        stateUpTo = 0L)
+      assert(rowsOf2(fast) == rowsOf2(dist), s"graph=$es hops=$hops")
+    }
+  }
+
   test("quantileDisc: driver-routed grid ≡ distributed refinement") {
     // jagged values with ties, negatives, a heavy repeat
     val vals = Seq(5.0, -1.5, 5.0, 5.0, 2.25, 99.0, -1.5, 0.0, 7.0,
