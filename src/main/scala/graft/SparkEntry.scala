@@ -11925,7 +11925,74 @@ object SparkEntry {
            |$iters
            |SELECT node, round(rank::DOUBLE, 9) AS rank FROM r5
            |ORDER BY rank DESC, node LIMIT 50""".stripMargin
-      }))
+      }),
+
+    Q("q342_cochran_armitage",
+      // Cochran–Armitage trend test
+      // ([[graft.operators.Dependence.cochranArmitage]]): does return
+      // probability trend with order quantity? q245's chi² would only
+      // say "associated"; the trend z is signed and uses the dose
+      // ORDER. One scan to the 50-level dose grid; all moments exact
+      // DECIMAL integers, two sqrts + one division on a 1-row frame.
+      (s, dir) => graft.operators.Dependence.cochranArmitage(
+        Tables.lineitem(s, dir), "l_quantity",
+        col("l_returnflag") === "R"),
+      """WITH cells AS (SELECT l_quantity::BIGINT AS t,
+        |    count(*)::BIGINT AS ni,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS ri
+        |  FROM lineitem GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS k, sum(ni)::HUGEINT AS n,
+        |    sum(ri)::HUGEINT AS r,
+        |    sum(t::HUGEINT * ni)::HUGEINT AS stn,
+        |    sum(t::HUGEINT * ri)::HUGEINT AS str,
+        |    sum(t::HUGEINT * t * ni)::HUGEINT AS st2n FROM cells)
+        |SELECT k, n::BIGINT AS n, r::BIGINT AS r,
+        |  CASE WHEN k < 2 OR r = 0 OR r = n
+        |      OR n * st2n - stn * stn = 0 THEN NULL
+        |    ELSE round((n * str - r * stn)::DOUBLE * sqrt(n::DOUBLE)
+        |      / sqrt((r * (n - r) * (n * st2n - stn * stn))::DOUBLE),
+        |      6) + 0.0
+        |  END AS z
+        |FROM a""".stripMargin),
+
+    Q("q343_cross_moment_grid",
+      // Paired-snapshot cross second-moment grid
+      // ([[graft.operators.EmbeddingAudit.crossSecondMoment]]):
+      // M[i][j] = mean(a_i·b_j) over sibling-id embedding pairs — the
+      // sufficient statistic for the Procrustes space-alignment solve
+      // ([[graft.operators.Pca.procrustesAlign]], driver math on this
+      // grid, PcaSpec pins permutation recovery). q201's integer
+      // discipline: micro products, DECIMAL sums, one signed
+      // half-away rounding per cell.
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val pairs = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding").as("a"))
+          .join(e.select((col("vec_id") - 1).as("vec_id"),
+            col("embedding").as("b")), "vec_id")
+        graft.operators.EmbeddingAudit.crossSecondMoment(
+          pairs, "a", "b", EmbedDim)
+      },
+      s"""WITH pr AS (SELECT e.embedding AS a, o.embedding AS b
+         |  FROM embeddings e JOIN embeddings o
+         |    ON o.vec_id = e.vec_id + 1
+         |  WHERE e.vec_id % 2 = 0),
+         |x AS (SELECT gi.i AS i, gj.j AS j,
+         |    CAST(round(round(a[gi.i + 1]::DOUBLE, 6) * 1000000)
+         |      AS HUGEINT)
+         |    * CAST(round(round(b[gj.j + 1]::DOUBLE, 6) * 1000000)
+         |      AS HUGEINT) AS p
+         |  FROM pr, generate_series(0, ${EmbedDim - 1}) gi(i),
+         |    generate_series(0, ${EmbedDim - 1}) gj(j)),
+         |g AS (SELECT i, j, count(*)::BIGINT AS n, sum(p) AS num
+         |  FROM x GROUP BY 1, 2)
+         |SELECT i::INT AS i, j::INT AS j, n,
+         |  (CASE WHEN num < 0
+         |    THEN -((2 * (-num) + n * 1000000) // (2 * n * 1000000))
+         |    ELSE  ((2 *  num   + n * 1000000) // (2 * n * 1000000))
+         |   END)::DOUBLE / 1e6 AS xmom
+         |FROM g ORDER BY i, j""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

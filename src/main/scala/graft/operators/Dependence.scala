@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mutual information between two categorical columns — the
@@ -86,6 +86,47 @@ object Dependence {
         .otherwise(round(sqrt(col("x2") / (col("n").cast("double")
           * least(col("ka") - 1, col("kb") - 1).cast("double"))), 6))
         .as("cramers_v"))
+  }
+
+  /** Cochran–Armitage trend test (1954/1955) — [[chi2]]'s ORDERED
+    * companion for a binary outcome across ordinal dose levels: is
+    * success probability monotonically associated with the dose
+    * score? With per-dose totals nᵢ and successes rᵢ (scores tᵢ = the
+    * dose value), T = Σtᵢrᵢ − R·Σtᵢnᵢ/N and
+    * Var(T) = (R/N)(1−R/N)·(Σtᵢ²nᵢ − (Σtᵢnᵢ)²/N); clearing
+    * denominators gives
+    *
+    *   z = (N·Σtr − R·Σtn) · √N / √(R·(N−R)·(N·Σt²n − (Σtn)²))
+    *
+    * where every radicand/numerator factor is an exact DECIMAL(38,0)
+    * integer from ONE partial-agg scan to the dose grid — the float
+    * work is two square roots and a division on a 1-row frame,
+    * token-identical in both engines and +0.0-normalized. Degenerate
+    * inputs (one dose level, all/no successes) yield a null z.
+    * Returns one row (k, n, r, z). */
+  def cochranArmitage(df: DataFrame, doseCol: String,
+      successCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(col(doseCol).cast("long").as("t"),
+        successCol.cast("boolean").as("x"))
+      .groupBy("t").agg(count(lit(1)).as("ni"),
+        sum(when(col("x"), 1L).otherwise(0L)).as("ri"))
+    cells.agg(count(lit(1)).as("k"),
+        sum(col("ni")).cast(dec).as("n"),
+        sum(col("ri")).cast(dec).as("r"),
+        sum(col("t").cast(dec) * col("ni")).as("stn"),
+        sum(col("t").cast(dec) * col("ri")).as("str"),
+        sum(col("t").cast(dec) * col("t") * col("ni")).as("st2n"))
+      .select(col("k"), col("n").cast("long").as("n"),
+        col("r").cast("long").as("r"),
+        when(col("k") < 2 || col("r") === 0 || col("r") === col("n")
+            || expr("n * st2n - stn * stn") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            expr("n * str - r * stn").cast("double")
+              * sqrt(col("n").cast("double"))
+              / sqrt(expr("r * (n - r) * (n * st2n - stn * stn)")
+                .cast("double")), 6) + lit(0.0)).as("z"))
   }
 
   /** Kendall's τ-b (tie-corrected) between two LOW-CARDINALITY ordinal

@@ -62,6 +62,41 @@ object EmbeddingAudit {
       .orderBy("grp")
   }
 
+  /** d×d cross second-moment grid between PAIRED embedding snapshots
+    * — M[i][j] = mean(a_i · b_j) over the pair relation: the
+    * sufficient statistic for aligning two embedding spaces (the
+    * orthogonal-Procrustes solve in [[Pca.procrustesAlign]] is pure
+    * driver math on this grid), and the asymmetric companion to
+    * q201's covariance. Same exactness discipline: micro-scaled
+    * integer products, DECIMAL(38,0) sums in any order, ONE signed
+    * integer half-away rounding per cell. One explode scan
+    * (pairs × d² product terms) into a d²-key partial aggregate —
+    * no joins, no windows; at corpus scale the d²-cell shuffle is
+    * metadata-sized. Returns (i, j, n, xmom) ordered by (i, j). */
+  def crossSecondMoment(pairs: DataFrame, aCol: String, bCol: String,
+      dim: Int): DataFrame = {
+    def micro(v: String) =
+      s"CAST(round(round(CAST($v AS DOUBLE), 6) * 1000000, 0) " +
+        "AS DECIMAL(38,0))"
+    val prods = pairs.select(explode(expr(
+      s"flatten(transform($aCol, (x, i) -> transform($bCol, (y, j) " +
+        s"-> struct(i * $dim + j AS k, " +
+        s"${micro("x")} * ${micro("y")} AS p))))")).as("e"))
+    prods.select(col("e.k").as("k"), col("e.p").as("p"))
+      .groupBy("k").agg(count(lit(1)).as("n"),
+        sum(col("p")).cast("decimal(38,0)").as("num"))
+      .select(expr(s"CAST(k DIV $dim AS INT)").as("i"),
+        expr(s"CAST(k % $dim AS INT)").as("j"),
+        col("n"),
+        (expr("""CASE WHEN num < 0
+                 THEN -((2 * (-num) + n * 1000000)
+                        DIV (2 * n * 1000000))
+                 ELSE  ((2 *  num   + n * 1000000)
+                        DIV (2 * n * 1000000)) END""")
+          .cast("double") / 1e6).as("xmom"))
+      .orderBy("i", "j")
+  }
+
   /** Per-dimension SQ8 reconstruction audit: quantize each coordinate
     * to 255 levels over its corpus [min, max] (the q66/q82 scheme) and
     * report (dim, n, lo, hi, mse) — MSE of x − dequant(quant(x)) in

@@ -174,6 +174,48 @@ object Pca {
     s
   }
 
+  /** Orthogonal Procrustes alignment between two embedding spaces
+    * (Schönemann 1966): the rotation R minimizing ‖A·R − B‖ over the
+    * PAIRED snapshots — the index-migration operator ("the embedder
+    * was retrained; rotate the old vectors instead of re-embedding
+    * 100 TB"). R = U·Vᵀ from the SVD of M = AᵀB; here the SVD rides
+    * the existing symmetric machinery: MᵀM = V·Σ²·Vᵀ via
+    * [[jacobiEigen]], u_j = M·v_j/σ_j. M comes from ONE distributed
+    * scan ([[EmbeddingAudit.crossSecondMoment]], the same grid the
+    * oracle checks) collected as a d²-cell metadata frame; the O(d³)
+    * solve is driver math like [[fit]]. Near-zero singular values
+    * (rank-deficient pairing) contribute nothing — the returned R is
+    * then the minimizer over the spanned subspace. */
+  def procrustesAlign(pairs: DataFrame, aCol: String, bCol: String,
+      dim: Int): Array[Array[Double]] = {
+    val cells = graft.operators.EmbeddingAudit
+      .crossSecondMoment(pairs, aCol, bCol, dim)
+      .select("i", "j", "xmom").collect()
+    require(cells.nonEmpty, "procrustes of an empty pair relation")
+    val m = Array.ofDim[Double](dim, dim)
+    cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val mtm = Array.tabulate(dim, dim)((i, j) =>
+      (0 until dim).map(k => m(k)(i) * m(k)(j)).sum)
+    val (ev, vrows) = jacobiEigen(mtm)
+    val r = Array.ofDim[Double](dim, dim)
+    val sMax = math.sqrt(math.max(ev.headOption.getOrElse(0.0), 0.0))
+    for (jj <- 0 until dim) {
+      val sigma = math.sqrt(math.max(ev(jj), 0.0))
+      if (sigma > 1e-9 * math.max(sMax, 1.0)) {
+        val vj = vrows(jj)
+        val uj = Array.tabulate(dim)(i =>
+          (0 until dim).map(k => m(i)(k) * vj(k)).sum / sigma)
+        var i = 0
+        while (i < dim) {
+          var l = 0
+          while (l < dim) { r(i)(l) += uj(i) * vj(l); l += 1 }
+          i += 1
+        }
+      }
+    }
+    r
+  }
+
   /** Fit top-k principal components: (eigenvalues desc, components as
     * k rows of d, corpus mean). */
   def fit(embs: DataFrame, vecCol: String, dim: Int, k: Int)

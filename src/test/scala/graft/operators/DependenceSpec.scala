@@ -136,4 +136,34 @@ class DependenceSpec extends SparkSpec {
       .collect().head.toSeq
     assert(a == b)
   }
+
+  test("cochranArmitage: hand-computed trend z; proportional rates " +
+      "give exactly +0.0; reversed trend negates; one dose level null") {
+    def cells(rs: Seq[Int]): org.apache.spark.sql.DataFrame =
+      rs.zipWithIndex.flatMap { case (r, i) =>
+        Seq.fill(r)((i + 1L, true)) ++ Seq.fill(10 - r)((i + 1L, false))
+      }.toDF("dose", "s")
+    // doses 1,2,3 with n=10 each, r=(1,5,9): N=30, R=15, Σtn=60,
+    // Σtr=38, Σt²n=140 → z = 240·√30 / √(15·15·600)
+    val up = Dependence.cochranArmitage(cells(Seq(1, 5, 9)), "dose",
+      col("s")).collect().head
+    val expZ = BigDecimal(240.0 * math.sqrt(30.0) / math.sqrt(135000.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((up.getLong(0), up.getLong(1), up.getLong(2)) ==
+      ((3L, 30L, 15L)))
+    assert(up.getDouble(3) == expZ, s"$up vs $expZ")
+    val down = Dependence.cochranArmitage(cells(Seq(9, 5, 1)), "dose",
+      col("s")).collect().head
+    assert(down.getDouble(3) == -expZ, s"$down")
+    // equal per-dose rates: numerator exactly 0 → POSITIVE zero
+    val flat = Dependence.cochranArmitage(cells(Seq(2, 2, 2)), "dose",
+      col("s")).collect().head
+    assert(flat.getDouble(3) == 0.0 && java.lang.Double
+      .doubleToRawLongBits(flat.getDouble(3)) == 0L, s"$flat")
+    // a single dose level cannot carry a trend
+    val one = Dependence.cochranArmitage(
+      Seq((1L, true), (1L, false)).toDF("dose", "s"), "dose",
+      col("s")).collect().head
+    assert(one.isNullAt(3), s"$one")
+  }
 }

@@ -136,4 +136,35 @@ class PcaSpec extends SparkSpec {
     assert(df.orderBy("component").select("eigenvalue").as[Double]
       .collect().toSeq == Seq(4.0, 2.0, 1.0, 1.0))
   }
+
+  test("procrustesAlign recovers a pure dimension permutation: R is " +
+      "orthogonal and A·R reproduces B") {
+    // a_i: deterministic full-rank-ish 6-dim vectors (exact at 6 dp);
+    // b_i = a_i with dimensions REVERSED, i.e. B = A·P for the
+    // reversal permutation P — the Procrustes optimum is exactly P.
+    val d = 6
+    val as = (0 until 9).map(i =>
+      Array.tabulate(d)(k => (((i * 7 + k * 3) % 11) - 5) / 4.0f))
+    val pairs = as.map(a => (a.toSeq, a.reverse.toSeq))
+      .toDF("a", "b")
+    val r = Pca.procrustesAlign(pairs, "a", "b", d)
+    for (i <- 0 until d; j <- 0 until d) {
+      val expect = if (j == d - 1 - i) 1.0 else 0.0
+      assert(math.abs(r(i)(j) - expect) < 1e-4,
+        s"R($i,$j) = ${r(i)(j)}, want $expect")
+    }
+    // orthogonality: RᵀR = I
+    for (i <- 0 until d; j <- 0 until d) {
+      val dotv = (0 until d).map(k => r(k)(i) * r(k)(j)).sum
+      assert(math.abs(dotv - (if (i == j) 1.0 else 0.0)) < 1e-6)
+    }
+    // alignment: ‖a·R − b‖ ≈ 0 for every pair
+    for (a <- as) {
+      val b = a.reverse
+      for (j <- 0 until d) {
+        val got = (0 until d).map(k => a(k) * r(k)(j)).sum
+        assert(math.abs(got - b(j)) < 1e-4, s"dim $j: $got vs ${b(j)}")
+      }
+    }
+  }
 }
