@@ -11992,7 +11992,52 @@ object SparkEntry {
          |    THEN -((2 * (-num) + n * 1000000) // (2 * n * 1000000))
          |    ELSE  ((2 *  num   + n * 1000000) // (2 * n * 1000000))
          |   END)::DOUBLE / 1e6 AS xmom
-         |FROM g ORDER BY i, j""".stripMargin))
+         |FROM g ORDER BY i, j""".stripMargin),
+
+    Q("q344_jonckheere_terpstra",
+      // Jonckheere–Terpstra ordered-alternative k-group test
+      // ([[graft.operators.Ranks.jonckheereTerpstra]]): does extended
+      // price shift upward along the quantity-decile order? Completes
+      // the rank-test matrix (KW q273 / Friedman q337 / Page q340 /
+      // JT). Pairwise Mann–Whitney counts over ordered group pairs —
+      // exact doubled-integer U2 via per-group bucketed prefixes on
+      // the pooled value grid; the z is token-identical float,
+      // +0.0-normalized.
+      (s, dir) => graft.operators.Ranks.jonckheereTerpstra(
+        Tables.lineitem(s, dir)
+          .withColumn("qbucket", floor(col("l_quantity") / 10)
+            .cast("long")),
+        "qbucket", "l_extendedprice"),
+      """WITH src AS (SELECT floor(l_quantity / 10)::BIGINT AS g,
+        |    l_extendedprice::DOUBLE AS v FROM lineitem),
+        |cells AS (SELECT g, v, count(*)::BIGINT AS c FROM src
+        |  GROUP BY 1, 2),
+        |gix AS (SELECT g, sum(c)::BIGINT AS ng,
+        |    row_number() OVER (ORDER BY g) AS gi
+        |  FROM cells GROUP BY g),
+        |pooled AS (SELECT DISTINCT v FROM cells),
+        |grid AS (SELECT p.v, x.g, x.gi, coalesce(c.c, 0)::BIGINT AS c
+        |  FROM pooled p CROSS JOIN gix x
+        |  LEFT JOIN cells c ON c.g = x.g AND c.v = p.v),
+        |bel AS (SELECT gi, v, c,
+        |    (sum(c) OVER (PARTITION BY g ORDER BY v
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     - c)::BIGINT AS below
+        |  FROM grid),
+        |uu AS (SELECT coalesce(sum(2 * h.c * g2.below + g2.c * h.c),
+        |    0)::BIGINT AS u2
+        |  FROM bel h JOIN bel g2 ON g2.v = h.v AND g2.gi < h.gi),
+        |m AS (SELECT count(*)::BIGINT AS k, sum(ng)::HUGEINT AS n,
+        |    sum(ng::HUGEINT * ng)::HUGEINT AS sn2,
+        |    sum(ng::HUGEINT * ng * (2 * ng + 3))::HUGEINT AS sn23
+        |  FROM gix)
+        |SELECT k, n::BIGINT AS n, u2 AS u2_stat,
+        |  CASE WHEN k < 2 OR n * n * (2 * n + 3) - sn23 = 0 THEN NULL
+        |    ELSE round((2 * u2 - (n * n - sn2))::DOUBLE * 3.0
+        |      / sqrt((2 * (n * n * (2 * n + 3) - sn23))::DOUBLE), 6)
+        |      + 0.0
+        |  END AS z
+        |FROM uu, m""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -791,4 +791,93 @@ object Ranks {
                 * sqrt(expr("n_blocks * (k - 1)").cast("double"))), 6)
             + lit(0.0)).as("z"))
   }
+
+  /** Jonckheere–Terpstra test (1954) — [[kruskalWallis]]'s ORDERED
+    * alternative, completing the rank-test matrix (unordered/ordered ×
+    * independent/paired = KW / JT / Friedman / Page): does the value
+    * distribution shift upward along the ordinal GROUP order (groups
+    * sorted ascending by their key)? The statistic is the sum of
+    * pairwise Mann–Whitney counts over ordered group pairs,
+    * U = Σ_{g<h} [#(x_g < x_h) + ½·#(x_g = x_h)], standardized under
+    * H0 by μ = (N² − Σn_g²)/4 and the NO-TIE variance
+    * σ² = [N²(2N+3) − Σn_g²(2n_g+3)]/72 (the classic form; heavy ties
+    * make |z| conservative).
+    *
+    * Scale shape: the corpus reduces to the (group, value) count grid;
+    * per-group counts-below come from [[valueAvgRanks]]-style bucketed
+    * prefixes PARTITIONED by group (never a corpus-wide window), the
+    * dense pooled grid is |distinct values| × k rows, and the ordered
+    * pair sum is a per-value k²-cell combination — exact BIGINT
+    * throughout, with doubled counts (U2 = 2U) keeping ½-ties integer.
+    * The one float step (z) is token-identical in both engines and
+    * +0.0-normalized. Returns one row (k, n, u2_stat, z). */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+      valueCol: String, nBuckets: Int = 1024): DataFrame = {
+    val src = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("double").as("v"))
+    val cells = src.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // grid + group-index + pooled consumers
+    // ordinal group index: the group frame is metadata-scale (k rows),
+    // so the unpartitioned ordering window is bounded
+    val gIdx = broadcast(cells.groupBy("g")
+      .agg(sum(col("c")).as("ng"))
+      .withColumn("gi", row_number().over(Window.orderBy("g"))))
+    // dense pooled grid: every (value, group) cell incl. zeros, so the
+    // per-group cumulative is defined at every pooled value
+    val pooled = cells.select("v").distinct()
+    val grid = pooled.crossJoin(gIdx.select("g", "gi"))
+      .join(cells, Seq("g", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    // per-group counts STRICTLY BELOW each pooled value: bucketed
+    // prefix partitioned by (g, bucket) — the valueAvgRanks shape
+    val bounds = pooled.agg(min(col("v")).as("__lo"),
+      max(col("v")).as("__hi"))
+    val withB = grid.join(broadcast(bounds))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((col("v") - col("__lo"))
+              / (col("__hi") - col("__lo")) * nBuckets).cast("int"))))
+      .drop("__lo", "__hi")
+    val wGrid = Window.partitionBy("g").orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = withB.groupBy("g", "__b")
+      .agg(sum(col("c")).as("__bn"))
+      .withColumn("__pre", coalesce(sum("__bn").over(wGrid), lit(0L)))
+      .select(col("g"), col("__b"), col("__pre"))
+    val wLocal = Window.partitionBy("g", "__b").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val below = withB.join(prefixes, Seq("g", "__b"))
+      .withColumn("below",
+        col("__pre") + coalesce(sum(col("c")).over(wLocal), lit(0L)))
+      .select(col("gi"), col("v"), col("c"), col("below"))
+      .localCheckpoint(false) // both sides of the ordered-pair join
+    // U2 contribution at value v for ordered pair (g < h): each pair
+    // (x ∈ g, y ∈ h) with y = v contributes 2·[x < v] + [x = v], i.e.
+    // 2·c_h(v)·below_g(v) + c_g(v)·c_h(v)
+    val u2fixed = below.select(col("gi").as("hIdx"), col("v"),
+        col("c").as("ch"))
+      .join(below.select(col("gi").as("gIdx"), col("v"),
+        col("c").as("cg"), col("below").as("belowg")), Seq("v"))
+      .filter(col("gIdx") < col("hIdx"))
+      .agg(coalesce(sum(lit(2) * col("ch") * col("belowg")
+        + col("cg") * col("ch")), lit(0L)).as("u2"))
+    // decimal moments: Σn²(2n+3) outgrows a long around 10⁹ rows
+    val moms = broadcast(gIdx.agg(count(lit(1)).as("k"),
+      sum(col("ng")).cast("decimal(38,0)").as("n"),
+      sum(col("ng").cast("decimal(38,0)") * col("ng")).as("sn2"),
+      sum(col("ng").cast("decimal(38,0)") * col("ng")
+        * (lit(2) * col("ng") + lit(3))).as("sn23")))
+    u2fixed.crossJoin(moms)
+      .select(col("k"), col("n").cast("long").as("n"),
+        col("u2").as("u2_stat"),
+        when(col("k") < 2 || expr(
+            "n * n * (2 * n + 3) - sn23") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (lit(2) * col("u2") - (col("n") * col("n") - col("sn2")))
+              .cast("double") * 3.0
+              / sqrt(expr("""2 * (n * n * (2 * n + 3) - sn23)""")
+                .cast("double")), 6) + lit(0.0)).as("z"))
+  }
 }

@@ -121,6 +121,54 @@ class RanksSpec extends SparkSpec {
       java.lang.Double.doubleToRawLongBits(r3.getDouble(3)) == 0L, s"$r3")
   }
 
+  test("jonckheereTerpstra: k = 2 reduces to Mann–Whitney — hand U " +
+      "and z, tie halves stay integer in U2, reversal negates") {
+    // A = {1, 3}, B = {2, 4}: U = 3, U2 = 6; N = 4, Σn² = 8,
+    // μ2 = 8, A = 16·11 − 2·(4·7) = 120 → z = (12−8)·3/√240
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = Ranks.jonckheereTerpstra(df, "g", "v").collect().head
+    val expZ = BigDecimal(4.0 * 3.0 / math.sqrt(240.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 4L, 6L)))
+    assert(r.getDouble(3) == expZ, s"$r vs $expZ")
+    // with a cross-group tie: A = {1, 2}, B = {2, 3} → U = 3.5, U2 = 7
+    val t = Ranks.jonckheereTerpstra(
+      Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v"),
+      "g", "v").collect().head
+    assert(t.getLong(2) == 7L, s"$t")
+    // reversing the group order flips the trend's sign
+    val rev = Ranks.jonckheereTerpstra(
+      Seq(("b", 1.0), ("b", 3.0), ("a", 2.0), ("a", 4.0)).toDF("g", "v"),
+      "g", "v").collect().head
+    assert(rev.getDouble(3) == -expZ, s"$rev")
+    // three increasing groups: strictly positive z; repartition-stable
+    val up = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r3 = Ranks.jonckheereTerpstra(up, "g", "v").collect().head
+    assert(r3.getLong(2) == 24L && r3.getDouble(3) > 2.0, s"$r3")
+    val r3b = Ranks.jonckheereTerpstra(up.repartition(7), "g", "v")
+      .collect().head
+    assert(r3.toSeq == r3b.toSeq)
+  }
+
+  test("jonckheereTerpstra: U2 equals the all-pairs brute force on a " +
+      "dense deterministic fixture (many ties, many values)") {
+    val rows = (0 until 240).map { i =>
+      val g = i % 4
+      (g.toLong, ((i * 13 + g * 7) % 37).toDouble / 2.0)
+    }
+    val u2Brute = (for {
+      (ga, va) <- rows; (gb, vb) <- rows if ga < gb
+    } yield if (va < vb) 2L else if (va == vb) 1L else 0L).sum
+    val r = Ranks.jonckheereTerpstra(rows.toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(r.getLong(2) == u2Brute, s"got ${r.getLong(2)}, want $u2Brute")
+    val r2 = Ranks.jonckheereTerpstra(rows.toDF("g", "v"), "g", "v",
+      nBuckets = 7).collect().head
+    assert(r2.toSeq == r.toSeq, "bucket count must not change the stat")
+  }
+
   test("cochranQ at k = 2 reduces exactly to McNemar's (b-c)²/(b+c); " +
       "a fully-concordant table yields null") {
     import graft.pipeline.WeakLabels
