@@ -11937,7 +11937,10 @@ object SparkEntry {
       (s, dir) => graft.operators.Dependence.cochranArmitage(
         Tables.lineitem(s, dir), "l_quantity",
         col("l_returnflag") === "R"),
-      """WITH cells AS (SELECT l_quantity::BIGINT AS t,
+      // floor() before the BIGINT cast: DuckDB's double→int cast
+      // rounds half-even where Spark's truncates (q344's lesson);
+      // quantities are integral so both agree, but keep it explicit
+      """WITH cells AS (SELECT floor(l_quantity)::BIGINT AS t,
         |    count(*)::BIGINT AS ni,
         |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
         |      ::BIGINT AS ri
