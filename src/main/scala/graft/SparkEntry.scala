@@ -12040,7 +12040,43 @@ object SparkEntry {
         |      / sqrt((2 * (n * n * (2 * n + 3) - sn23))::DOUBLE), 6)
         |      + 0.0
         |  END AS z
-        |FROM uu, m""".stripMargin))
+        |FROM uu, m""".stripMargin),
+
+    Q("q345_mann_kendall",
+      // Mann–Kendall daily-revenue trend test
+      // ([[graft.operators.TimeSeries.mannKendallDaily]]): the
+      // significance companion to q244's Theil–Sen slope — S over
+      // exact-decimal day sums, tie-corrected variance, ±1 continuity
+      // correction. Calendar² pairwise stage (q244's bound); z is the
+      // only float, token-identical and +0.0-normalized.
+      (s, dir) => graft.operators.TimeSeries.mannKendallDaily(
+        Tables.orders(s, dir), "o_orderdate", "o_totalprice"),
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS dd,
+        |    sum(o_totalprice::DECIMAL(18,4)) AS x FROM orders
+        |  GROUP BY 1),
+        |g AS (SELECT date_diff('day', DATE '1970-01-01', dd::DATE)
+        |    ::INT AS t, x FROM daily),
+        |sx AS (SELECT coalesce(sum(CASE WHEN b.x > a.x THEN 1
+        |    WHEN b.x < a.x THEN -1 ELSE 0 END), 0)::BIGINT AS s
+        |  FROM g a JOIN g b ON a.t < b.t),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM g),
+        |tg AS (SELECT coalesce(sum(tp * (tp - 1) * (2 * tp + 5)), 0)
+        |    ::BIGINT AS tsum
+        |  FROM (SELECT count(*)::BIGINT AS tp FROM g GROUP BY x) q),
+        |v AS (SELECT nn.n,
+        |    (nn.n * (nn.n - 1) * (2 * nn.n + 5) - tg.tsum)::BIGINT
+        |      AS v18
+        |  FROM nn, tg)
+        |SELECT v.n AS n_days, sx.s AS s_stat,
+        |  CASE WHEN v18 = 0 THEN 0.0
+        |    WHEN sx.s > 0 THEN
+        |      round((sx.s - 1)::DOUBLE / sqrt(v18::DOUBLE / 18.0), 6)
+        |        + 0.0
+        |    WHEN sx.s < 0 THEN
+        |      round((sx.s + 1)::DOUBLE / sqrt(v18::DOUBLE / 18.0), 6)
+        |        + 0.0
+        |    ELSE 0.0 END AS z
+        |FROM sx, v""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

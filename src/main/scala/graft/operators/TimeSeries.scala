@@ -477,4 +477,52 @@ object TimeSeries {
     }
     out.toSeq.toDF("d", "revenue", "ewma", "alarm").orderBy("d")
   }
+
+  /** Mann–Kendall trend test (Mann 1945 / Kendall 1975) on the daily
+    * series — the SIGNIFICANCE companion to [[theilSenDaily]]'s slope
+    * (the standard monitoring pairing: Sen estimates the trend, MK
+    * tests it): S = Σ_{i<j} sign(x_j − x_i) over the calendar-ordered
+    * days, tie-corrected variance
+    * 18·Var = n(n−1)(2n+5) − Σ_p t_p(t_p−1)(2t_p+5), and the
+    * ±1-continuity-corrected z. One corpus pass reduces to the
+    * calendar grid of exact DECIMAL day sums, so every sign and every
+    * tie group is engine-exact; the pairwise stage is calendar²
+    * (q244's bound), and the one float step (z) is token-identical +
+    * +0.0-normalized. A constant series (v18 = 0 forces S = 0) is
+    * z = 0, not a division blow-up. Returns (n_days, s_stat, z). */
+  def mannKendallDaily(df: DataFrame, tsCol: String, valueCol: String)
+      : DataFrame = {
+    val daily = df
+      .select(date_trunc("day", col(tsCol)).as("d"),
+        col(valueCol).cast(DecimalType(18, 4)).as("v"))
+      .groupBy("d").agg(sum(col("v")).as("x"))
+      .select(datediff(col("d"), lit("1970-01-01").cast("date"))
+        .as("t"), col("x"))
+      .localCheckpoint(false) // pair join (both sides) + tie groups
+    val s = broadcast(daily.select(col("t").as("t1"), col("x").as("x1"))
+      .join(broadcast(daily.select(col("t").as("t2"),
+        col("x").as("x2"))), col("t1") < col("t2"))
+      .agg(coalesce(sum(when(col("x2") > col("x1"), 1L)
+        .when(col("x2") < col("x1"), -1L).otherwise(0L)), lit(0L))
+        .as("s")))
+    val ties = broadcast(daily.groupBy("x")
+      .agg(count(lit(1)).as("tp"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("tp") * (col("tp") - 1)
+          * (lit(2) * col("tp") + lit(5))), lit(0L)).as("tsum")))
+    // n here counts tie GROUPS; recover day count from the grid
+    val nDays = broadcast(daily.agg(count(lit(1)).as("n")))
+    s.crossJoin(nDays).crossJoin(ties.select(col("tsum")))
+      .select(col("n").as("n_days"), col("s").as("s_stat"),
+        expr("n * (n - 1) * (2 * n + 5) - tsum").as("v18"))
+      .select(col("n_days"), col("s_stat"),
+        when(col("v18") === 0, lit(0.0))
+          .otherwise(when(col("s_stat") > 0,
+            round((col("s_stat") - 1).cast("double")
+              / sqrt(col("v18").cast("double") / 18.0), 6) + lit(0.0))
+          .otherwise(when(col("s_stat") < 0,
+            round((col("s_stat") + 1).cast("double")
+              / sqrt(col("v18").cast("double") / 18.0), 6) + lit(0.0))
+          .otherwise(lit(0.0)))).as("z"))
+  }
 }

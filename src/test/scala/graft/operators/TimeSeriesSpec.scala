@@ -273,4 +273,32 @@ class TimeSeriesSpec extends SparkSpec {
     val exp2 = (acf(2) - acf(1) * acf(1)) / (1.0 - acf(1) * acf(1))
     assert(p.getDouble(1) == r6(exp2), s"$p vs $exp2")
   }
+
+  test("mannKendallDaily: hand S/variance/continuity on monotone, " +
+      "tied, and constant series") {
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // strictly rising 5 days: S = 10, no ties, 18·Var = 5·4·15 = 300,
+    // z = (10−1)/√(300/18)
+    val up = TimeSeries.mannKendallDaily(
+      series(Seq(1.0, 2.0, 3.0, 4.0, 5.0)), "ts", "v").collect().head
+    assert((up.getLong(0), up.getLong(1)) == ((5L, 10L)))
+    assert(up.getDouble(2) == r6(9.0 / math.sqrt(300.0 / 18.0)), s"$up")
+    // strictly falling mirrors with the +1 correction
+    val dn = TimeSeries.mannKendallDaily(
+      series(Seq(5.0, 4.0, 3.0, 2.0, 1.0)), "ts", "v").collect().head
+    assert(dn.getLong(1) == -10L)
+    assert(dn.getDouble(2) == r6(-9.0 / math.sqrt(300.0 / 18.0)), s"$dn")
+    // a tie: [1, 1, 2] → S = 2, 18·Var = 3·2·11 − 2·1·9 = 48
+    val tied = TimeSeries.mannKendallDaily(
+      series(Seq(1.0, 1.0, 2.0)), "ts", "v").collect().head
+    assert(tied.getLong(1) == 2L)
+    assert(tied.getDouble(2) == r6(1.0 / math.sqrt(48.0 / 18.0)),
+      s"$tied")
+    // constant series: v18 = 0 forces S = 0 → z exactly +0.0
+    val flat = TimeSeries.mannKendallDaily(
+      series(Seq(7.0, 7.0, 7.0, 7.0)), "ts", "v").collect().head
+    assert(flat.getLong(1) == 0L && flat.getDouble(2) == 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(flat.getDouble(2)) == 0L)
+  }
 }
