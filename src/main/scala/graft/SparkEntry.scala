@@ -12076,7 +12076,55 @@ object SparkEntry {
         |      round((sx.s + 1)::DOUBLE / sqrt(v18::DOUBLE / 18.0), 6)
         |        + 0.0
         |    ELSE 0.0 END AS z
-        |FROM sx, v""".stripMargin))
+        |FROM sx, v""".stripMargin),
+
+    Q("q346_fairness_audit",
+      // Group-fairness release audit ([[graft.pipeline.Fairness
+      // .audit]]): per user-segment selection rate / TPR / FPR of a
+      // targeting rule (≥3 high-value views) against the conversion
+      // label (≥14 purchases), plus demographic-parity and
+      // equalized-odds max−min gaps — the responsible-release gate
+      // beside q190's k-anonymity. One groupBy to the per-group
+      // confusion counts; integer-micro rates; gaps subtract
+      // identical 6-dp doubles.
+      (s, dir) => {
+        val users = Tables.events(s, dir).groupBy("user_id")
+          .agg((sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 14).as("y"),
+            (sum(when(col("event_type") === "view"
+              && col("value") > 100.0, 1L).otherwise(0L)) >= 3).as("p"))
+          .withColumn("seg", col("user_id") % 4)
+        graft.pipeline.Fairness.audit(users, "seg", col("y"), col("p"))
+          .withColumnRenamed("grp", "seg")
+      },
+      """WITH u AS (SELECT user_id % 4 AS grp,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14 AS y,
+        |    sum(CASE WHEN event_type = 'view' AND value > 100.0
+        |      THEN 1 ELSE 0 END) >= 3 AS p
+        |  FROM events GROUP BY user_id),
+        |per AS (SELECT grp, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    sum(CASE WHEN p THEN 1 ELSE 0 END)::BIGINT AS n_sel,
+        |    sum(CASE WHEN p AND y THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END)::BIGINT AS fp
+        |  FROM u GROUP BY grp),
+        |r AS (SELECT grp, n, n_pos, n_sel,
+        |    ((2 * n_sel * 1000000 + n) // (2 * n))::DOUBLE / 1e6
+        |      AS sel_rate,
+        |    CASE WHEN n_pos = 0 THEN NULL
+        |      ELSE ((2 * tp * 1000000 + n_pos) // (2 * n_pos))
+        |        ::DOUBLE / 1e6 END AS tpr,
+        |    CASE WHEN n = n_pos THEN NULL
+        |      ELSE ((2 * fp * 1000000 + (n - n_pos))
+        |        // (2 * (n - n_pos)))::DOUBLE / 1e6 END AS fpr
+        |  FROM per),
+        |g AS (SELECT max(sel_rate) - min(sel_rate) AS dp_gap,
+        |    max(tpr) - min(tpr) AS tpr_gap,
+        |    max(fpr) - min(fpr) AS fpr_gap FROM r)
+        |SELECT r.grp AS seg, r.n, r.n_pos, r.n_sel, r.sel_rate,
+        |  r.tpr, r.fpr, g.dp_gap, g.tpr_gap, g.fpr_gap
+        |FROM r, g ORDER BY seg""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —
