@@ -4176,11 +4176,15 @@ object SparkEntry {
 
   /** q206's full calibration oracle — shared with q268, which
     * aggregates the same reliability table into ECE. */
-  private lazy val CalibrationOracleSql: String = {
+  /** Shared t→g CTE prefix of the q206/q268 calibration oracles —
+    * also the q347 Brier-decomposition front end (which needs the
+    * per-doc qp and the exact per-bin sums, not the truncated
+    * ratios). */
+  private lazy val CalibPrefixSql: String = {
         val mkSql = TextAnalysis.Stopwords.toMap.apply("en")
           .map(m => s"'$m'").mkString("[", ",", "]")
         val w = QcWeights.map(dec)
-        s"""WITH t AS (SELECT doc_id, text, $toksSql AS l FROM documents),
+        s"""t AS (SELECT doc_id, text, $toksSql AS l FROM documents),
            |f AS (SELECT doc_id,
            |    ln(1.0 + length(text)::DOUBLE) AS f1,
            |    CASE WHEN length(text) = 0 THEN 0.0
@@ -4203,20 +4207,23 @@ object SparkEntry {
            |tr AS (SELECT doc_id, (lang = 'en') AS pos
            |       FROM documents),
            |base AS (
-           |  SELECT least(floor(qp * 10)::INT, 9) AS bin,
+           |  SELECT least(floor(qp * 10)::INT, 9) AS bin, qp,
            |    (qp::DECIMAL(18,6) * 1000000)::BIGINT AS p_ppm,
            |    pos::INT::BIGINT AS pos
            |  FROM p JOIN tr USING (doc_id)),
            |g AS (SELECT bin, count(*)::BIGINT AS n_docs,
            |        sum(pos)::BIGINT AS n_pos,
            |        sum(p_ppm)::BIGINT AS sum_p_ppm
-           |      FROM base GROUP BY 1)
-           |SELECT bin, n_docs, n_pos,
-           |  ((sum_p_ppm // n_docs)::DOUBLE / 1000000.0) AS avg_p,
-           |  (((n_pos * 1000000) // n_docs)::DOUBLE / 1000000.0)
-           |    AS pos_rate
-           |FROM g ORDER BY bin""".stripMargin
+           |      FROM base GROUP BY 1)""".stripMargin
       }
+
+  private lazy val CalibrationOracleSql: String =
+    s"""WITH $CalibPrefixSql
+       |SELECT bin, n_docs, n_pos,
+       |  ((sum_p_ppm // n_docs)::DOUBLE / 1000000.0) AS avg_p,
+       |  (((n_pos * 1000000) // n_docs)::DOUBLE / 1000000.0)
+       |    AS pos_rate
+       |FROM g ORDER BY bin""".stripMargin
 
   private lazy val analyticsRegistry: Seq[Q] = Seq(
 
@@ -12124,7 +12131,55 @@ object SparkEntry {
         |    max(fpr) - min(fpr) AS fpr_gap FROM r)
         |SELECT r.grp AS seg, r.n, r.n_pos, r.n_sel, r.sel_rate,
         |  r.tpr, r.fpr, g.dp_gap, g.tpr_gap, g.fpr_gap
-        |FROM r, g ORDER BY seg""".stripMargin))
+        |FROM r, g ORDER BY seg""".stripMargin),
+
+    Q("q347_brier_decomposition",
+      // Murphy decomposition of the frozen quality model's Brier score
+      // ([[graft.pipeline.QualityClassifier.brierDecomposition]]):
+      // brier = rel − res + unc + wbv — what q206's reliability
+      // diagram and q268's ECE pay (rel), earn (res), can never beat
+      // (unc), and leave within bins (wbv). Per-term doubles 9-dp
+      // DECIMAL-summed; the res numerator is an exact integer.
+      (s, dir) => graft.pipeline.QualityClassifier.brierDecomposition(
+        Tables.documents(s, dir), "text", QcWeights, QcIntercept,
+        col("lang") === "en"),
+      s"""WITH $CalibPrefixSql,
+         |g2 AS (SELECT bin, count(*)::BIGINT AS n_k,
+         |    sum(pos)::BIGINT AS pos_k, sum(qp::DECIMAL(28,9)) AS sum_p
+         |  FROM base GROUP BY 1),
+         |tt AS (SELECT sum(n_k)::BIGINT AS n, sum(pos_k)::BIGINT AS np
+         |  FROM g2),
+         |pd AS (SELECT
+         |    round((b.qp - b.pos::DOUBLE) * (b.qp - b.pos::DOUBLE), 9)
+         |      ::DECIMAL(28,9) AS bt,
+         |    round((b.qp - (g2.sum_p::VARCHAR)::DOUBLE / g2.n_k::DOUBLE)
+         |      * (b.qp - (g2.sum_p::VARCHAR)::DOUBLE / g2.n_k::DOUBLE),
+         |      9)::DECIMAL(28,9) AS wt,
+         |    round((b.qp - (g2.sum_p::VARCHAR)::DOUBLE / g2.n_k::DOUBLE)
+         |      * (b.pos::DOUBLE - g2.pos_k::DOUBLE / g2.n_k::DOUBLE),
+         |      9)::DECIMAL(28,9) AS ct
+         |  FROM base b JOIN g2 USING (bin)),
+         |ps AS (SELECT sum(bt) AS bsum, sum(wt) AS wsum,
+         |  sum(ct) AS csum FROM pd),
+         |bt2 AS (SELECT
+         |    sum(round(((g2.sum_p::VARCHAR)::DOUBLE - pos_k::DOUBLE)
+         |      * ((g2.sum_p::VARCHAR)::DOUBLE - pos_k::DOUBLE)
+         |      / n_k::DOUBLE, 9)::DECIMAL(28,9)) AS rsum,
+         |    sum(round((pos_k * tt.n - tt.np * n_k)::DOUBLE
+         |      * (pos_k * tt.n - tt.np * n_k)::DOUBLE
+         |      / (n_k::DOUBLE * tt.n::DOUBLE * tt.n::DOUBLE), 9)
+         |      ::DECIMAL(28,9)) AS ssum
+         |  FROM g2, tt)
+         |SELECT tt.n AS n,
+         |  round((ps.bsum::VARCHAR)::DOUBLE / tt.n::DOUBLE, 6)
+         |    AS brier,
+         |  round((bt2.rsum::VARCHAR)::DOUBLE / tt.n::DOUBLE, 6) AS rel,
+         |  round((bt2.ssum::VARCHAR)::DOUBLE / tt.n::DOUBLE, 6) AS res,
+         |  round(tt.np::DOUBLE / tt.n::DOUBLE
+         |    * (1.0 - tt.np::DOUBLE / tt.n::DOUBLE), 6) AS unc,
+         |  round((ps.wsum::VARCHAR)::DOUBLE / tt.n::DOUBLE, 6) AS wbv,
+         |  round((ps.csum::VARCHAR)::DOUBLE / tt.n::DOUBLE, 6) AS wbc
+         |FROM ps, bt2, tt""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -102,6 +102,91 @@ object QualityClassifier {
       .orderBy("bin")
   }
 
+  /** Murphy decomposition of the Brier score (Murphy 1973; the
+    * generalized form of Stephenson et al. 2008 for UNBINNED
+    * forecasts) over the frozen model — [[calibration]]'s reliability
+    * diagram and q268's ECE reduced to the standard accounting:
+    *
+    *   brier = rel − res + unc + wbv − 2·wbc
+    *
+    * rel (reliability): how far bin forecasts sit from bin outcomes —
+    * the calibration error being paid; res (resolution): how far bin
+    * outcomes spread from the base rate — the signal the forecasts DO
+    * carry; unc: the base rate's own variance ō(1−ō) — the floor no
+    * forecaster beats; wbv/wbc: within-bin forecast variance and
+    * forecast–outcome covariance, the residuals the binned
+    * decomposition leaves for a continuous forecaster (both zero iff
+    * forecasts are constant per bin — the classic three-term case).
+    *
+    * One scan to the bin aggregates + one broadcast-join scan for the
+    * per-doc terms. Per-term doubles are 9-dp DECIMAL-summed (the χ²
+    * discipline), so every figure is engine-exact; the res numerator
+    * d = pos_k·N − P·n_k is an exact integer. Returns one row
+    * (n, brier, rel, res, unc, wbv, wbc). */
+  def brierDecomposition(docs: DataFrame, textCol: String,
+      weights: Seq[Double], intercept: Double, truthCol: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need nBins >= 2")
+    val d289 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val p = probability(col(textCol), weights, intercept)
+    val base = docs.select(
+      least(floor(p * nBins).cast("int"), lit(nBins - 1)).as("bin"),
+      p.as("qp"), truthCol.cast("long").as("pos"))
+      .localCheckpoint(false) // bin aggregate + per-doc term consumers
+    val bins = base.groupBy("bin")
+      .agg(count(lit(1)).as("n_k"), sum(col("pos")).as("pos_k"),
+        sum(round(col("qp"), 9).cast(d289)).as("sum_p"))
+      .localCheckpoint(false) // bin terms + totals + per-doc join
+    val tot = broadcast(bins.agg(sum(col("n_k")).as("n"),
+      sum(col("pos_k")).as("np")))
+    val binMean = bins.select(col("bin"),
+      (col("sum_p").cast("double") / col("n_k").cast("double"))
+        .as("pbar"),
+      (col("pos_k").cast("double") / col("n_k").cast("double"))
+        .as("obar"))
+    val perDoc = base.join(broadcast(binMean), "bin")
+      .select(
+        round((col("qp") - col("pos").cast("double"))
+          * (col("qp") - col("pos").cast("double")), 9).cast(d289)
+          .as("bt"),
+        round((col("qp") - col("pbar")) * (col("qp") - col("pbar")), 9)
+          .cast(d289).as("wt"),
+        round((col("qp") - col("pbar"))
+          * (col("pos").cast("double") - col("obar")), 9).cast(d289)
+          .as("ct"))
+      .agg(sum(col("bt")).as("bsum"), sum(col("wt")).as("wsum"),
+        sum(col("ct")).as("csum"))
+    val binTerms = bins.crossJoin(tot)
+      .select(
+        // rel: n_k·(p̄−ō)² = (Σp − pos_k)²/n_k
+        round((col("sum_p").cast("double") - col("pos_k").cast("double"))
+          * (col("sum_p").cast("double") - col("pos_k").cast("double"))
+          / col("n_k").cast("double"), 9).cast(d289).as("rt"),
+        // res: n_k·(ō_k−ō)² = d²/(n_k·N²), d = pos_k·N − P·n_k exact
+        round((col("pos_k") * col("n") - col("np") * col("n_k"))
+          .cast("double")
+          * (col("pos_k") * col("n") - col("np") * col("n_k"))
+            .cast("double")
+          / (col("n_k").cast("double") * col("n").cast("double")
+            * col("n").cast("double")), 9).cast(d289).as("st"))
+      .agg(sum(col("rt")).as("rsum"), sum(col("st")).as("ssum"))
+    perDoc.crossJoin(binTerms).crossJoin(tot)
+      .select(col("n"),
+        round(col("bsum").cast("double") / col("n").cast("double"), 6)
+          .as("brier"),
+        round(col("rsum").cast("double") / col("n").cast("double"), 6)
+          .as("rel"),
+        round(col("ssum").cast("double") / col("n").cast("double"), 6)
+          .as("res"),
+        round(col("np").cast("double") / col("n").cast("double")
+          * (lit(1.0) - col("np").cast("double")
+            / col("n").cast("double")), 6).as("unc"),
+        round(col("wsum").cast("double") / col("n").cast("double"), 6)
+          .as("wbv"),
+        round(col("csum").cast("double") / col("n").cast("double"), 6)
+          .as("wbc"))
+  }
+
   /** Uncertainty sampling (active learning): the `k` documents the
     * frozen model is LEAST sure about (|p − ½| smallest), with a
     * per-source diversity cap so one noisy source can't absorb the

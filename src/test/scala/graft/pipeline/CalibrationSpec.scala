@@ -55,4 +55,27 @@ class CalibrationSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Window"),
       s"calibration must be one scan + one agg:\n$plan")
   }
+
+  test("brierDecomposition: the Murphy identity holds to rounding, " +
+      "every term is in range, and a constant label zeroes res/unc") {
+    val docs = graft.Tables.documents(spark, SfDir)
+    val r = QualityClassifier.brierDecomposition(docs, "text", W, B,
+      col("lang") === "en").collect().head
+    val (brier, rel, res, unc, wbv, wbc) = (r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+      r.getDouble(6))
+    // brier = rel − res + unc + wbv − 2·wbc, up to the per-term 9-dp
+    // roundings and the 6-dp output roundings
+    assert(math.abs(brier - (rel - res + unc + wbv - 2 * wbc)) < 5e-6,
+      s"identity: $brier vs ${rel - res + unc + wbv - 2 * wbc} ($r)")
+    assert(brier >= 0 && rel >= 0 && res >= 0 && unc >= 0 && wbv >= 0)
+    assert(unc <= 0.25 + 1e-9, "ō(1−ō) is bounded by 1/4")
+    assert(res <= unc + 5e-6, "resolution can never beat the base-rate" +
+      s" variance: $res vs $unc")
+    // constant label: base rate 1 → unc = 0 and res = 0 exactly
+    val const = QualityClassifier.brierDecomposition(docs, "text", W, B,
+      lit(true)).collect().head
+    assert(const.getDouble(3) == 0.0 && const.getDouble(4) == 0.0,
+      s"$const")
+  }
 }
