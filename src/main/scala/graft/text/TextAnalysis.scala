@@ -425,16 +425,19 @@ object TextAnalysis {
           "i -> struct(l[i - 1] AS u, l[i] AS v))")).as("p"))
       .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
       .localCheckpoint(false) // model fit and scoring share the events
+    // ONE corpus-scale aggregation; every other model relation derives
+    // from the sparse bigram-count table (cu = Σc2 is a double sum of
+    // exact small integers — identical to recounting the corpus; n1u,
+    // cont and tt are row counts of c2, i.e. the TYPE statistics)
     val c2 = bi.groupBy("u", "v")
       .agg(count(lit(1)).cast("double").as("c2"))
-    val ctx = bi.groupBy("u")
-      .agg(count(lit(1)).cast("double").as("cu"),
-        countDistinct(col("v")).cast("double").as("n1u"))
-    val types = bi.select("u", "v").distinct()
-      .localCheckpoint(false) // per-word counts AND the type total
-    val cont = types.groupBy("v")
+      .localCheckpoint(false) // ctx, cont, tt and the scoring join
+    val ctx = c2.groupBy("u")
+      .agg(sum(col("c2")).as("cu"),
+        count(lit(1)).cast("double").as("n1u"))
+    val cont = c2.groupBy("v")
       .agg(count(lit(1)).cast("double").as("cv"))
-    val tt = broadcast(types.agg(count(lit(1)).cast("double").as("tt")))
+    val tt = broadcast(c2.agg(count(lit(1)).cast("double").as("tt")))
     val p = (col("c2") - lit(discount)) / col("cu") +
       lit(discount) * col("n1u") / col("cu") * (col("cv") / col("tt"))
     bi.join(c2, Seq("u", "v"))
