@@ -12179,7 +12179,44 @@ object SparkEntry {
          |    * (1.0 - tt.np::DOUBLE / tt.n::DOUBLE), 6) AS unc,
          |  round((ps.wsum::VARCHAR)::DOUBLE / tt.n::DOUBLE, 6) AS wbv,
          |  round((ps.csum::VARCHAR)::DOUBLE / tt.n::DOUBLE, 6) AS wbc
-         |FROM ps, bt2, tt""".stripMargin))
+         |FROM ps, bt2, tt""".stripMargin),
+
+    Q("q348_runs_test",
+      // Wald–Wolfowitz runs test on daily revenue moves
+      // ([[graft.operators.TimeSeries.runsTestDaily]]): the RANDOMNESS
+      // companion to q345's monotone trend — too few runs = momentum,
+      // too many = oscillation. Exact-decimal day sums make every
+      // up/down sign and tie engine-identical; R, n₊, n₋ integers;
+      // z token-identical, +0.0-normalized.
+      (s, dir) => graft.operators.TimeSeries.runsTestDaily(
+        Tables.orders(s, dir), "o_orderdate", "o_totalprice"),
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS dd,
+        |    sum(o_totalprice::DECIMAL(18,4)) AS x FROM orders
+        |  GROUP BY 1),
+        |g AS (SELECT date_diff('day', DATE '1970-01-01', dd::DATE)
+        |    ::INT AS t, x FROM daily),
+        |mv AS (SELECT t, CASE WHEN x > lag(x) OVER (ORDER BY t) THEN 1
+        |    WHEN x < lag(x) OVER (ORDER BY t) THEN -1
+        |    ELSE NULL END AS s FROM g),
+        |m2 AS (SELECT t, s FROM mv WHERE s IS NOT NULL),
+        |rb AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY t) IS NULL
+        |    OR lag(s) OVER (ORDER BY t) <> s THEN 1 ELSE 0 END AS brk
+        |  FROM m2),
+        |a AS (SELECT count(*)::BIGINT AS n_moves,
+        |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+        |    sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)::BIGINT AS n_down,
+        |    coalesce(sum(brk), 0)::BIGINT AS runs FROM rb)
+        |SELECT n_moves, n_up, n_down, runs,
+        |  CASE WHEN 2 * n_up * n_down * (2 * n_up * n_down - n_moves)
+        |      <= 0 OR n_moves < 2 THEN NULL
+        |    ELSE round((runs::DOUBLE
+        |        - (2.0 * n_up * n_down / n_moves::DOUBLE + 1.0))
+        |      / sqrt(2.0 * n_up * n_down
+        |        * (2.0 * n_up * n_down - n_moves::DOUBLE)
+        |        / (n_moves::DOUBLE * n_moves::DOUBLE
+        |          * (n_moves::DOUBLE - 1.0))), 6) + 0.0
+        |  END AS z
+        |FROM a""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

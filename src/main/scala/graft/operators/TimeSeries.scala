@@ -478,6 +478,57 @@ object TimeSeries {
     out.toSeq.toDF("d", "revenue", "ewma", "alarm").orderBy("d")
   }
 
+  /** Wald–Wolfowitz runs test on the daily up/down moves — the
+    * RANDOMNESS companion to [[mannKendallDaily]]'s monotone trend:
+    * too FEW runs of consecutive same-sign day-over-day changes means
+    * momentum/trending, too MANY means oscillation, and a fair
+    * sequence of n₊ ups and n₋ downs has
+    * μ_R = 2n₊n₋/N + 1, σ²_R = 2n₊n₋(2n₊n₋ − N)/(N²(N−1)).
+    * Flat days (exact-decimal tie) drop, the standard treatment. The
+    * corpus reduces to the calendar day grid; both windows (lag for
+    * the signs, lag for the run breaks) run over that
+    * calendar-bounded frame. R, n₊, n₋ are exact integers; z is the
+    * one token-identical float, +0.0-normalized; a degenerate
+    * sequence (σ² ≤ 0: fewer than 2 of either sign) reports null.
+    * Returns (n_moves, n_up, n_down, runs, z). */
+  def runsTestDaily(df: DataFrame, tsCol: String, valueCol: String)
+      : DataFrame = {
+    val daily = df
+      .select(date_trunc("day", col(tsCol)).as("d"),
+        col(valueCol).cast(DecimalType(18, 4)).as("v"))
+      .groupBy("d").agg(sum(col("v")).as("x"))
+      .select(datediff(col("d"), lit("1970-01-01").cast("date"))
+        .as("t"), col("x"))
+    val w = Window.orderBy("t")
+    val moves = daily
+      .select(col("t"), when(col("x") > lag(col("x"), 1).over(w), 1)
+        .when(col("x") < lag(col("x"), 1).over(w), -1)
+        .otherwise(lit(null)).as("s"))
+      .filter(col("s").isNotNull)
+    val runsMarked = moves
+      .select(col("s"), when(lag(col("s"), 1).over(w).isNull
+        || lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L)
+        .as("brk"))
+    runsMarked.agg(count(lit(1)).as("n_moves"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("s") === -1, 1L).otherwise(0L)).as("n_down"),
+        coalesce(sum(col("brk")), lit(0L)).as("runs"))
+      .select(col("n_moves"), col("n_up"), col("n_down"), col("runs"),
+        when(expr("2 * n_up * n_down * (2 * n_up * n_down - n_moves)")
+            <= 0 || col("n_moves") < 2, lit(null).cast("double"))
+          .otherwise(round(
+            (col("runs").cast("double")
+              - (lit(2.0) * col("n_up") * col("n_down")
+                / col("n_moves").cast("double") + lit(1.0)))
+              / sqrt(lit(2.0) * col("n_up") * col("n_down")
+                * (lit(2.0) * col("n_up") * col("n_down")
+                  - col("n_moves").cast("double"))
+                / (col("n_moves").cast("double")
+                  * col("n_moves").cast("double")
+                  * (col("n_moves").cast("double") - lit(1.0)))), 6)
+            + lit(0.0)).as("z"))
+  }
+
   /** Mann–Kendall trend test (Mann 1945 / Kendall 1975) on the daily
     * series — the SIGNIFICANCE companion to [[theilSenDaily]]'s slope
     * (the standard monitoring pairing: Sen estimates the trend, MK

@@ -301,4 +301,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(flat.getLong(1) == 0L && flat.getDouble(2) == 0.0)
     assert(java.lang.Double.doubleToRawLongBits(flat.getDouble(2)) == 0L)
   }
+
+  test("runsTestDaily: alternating moves hit the hand z, flat days " +
+      "drop as ties, monotone and degenerate sequences report null") {
+    // 1,2,1,2,1,2,1 → six alternating moves, R = 6, n₊ = n₋ = 3:
+    // μ = 2·9/6 + 1 = 4, σ² = 18·12/(36·5) = 1.2 → z = 2/√1.2
+    val alt = TimeSeries.runsTestDaily(
+      series(Seq(1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0)), "ts", "v")
+      .collect().head
+    assert((alt.getLong(0), alt.getLong(1), alt.getLong(2),
+      alt.getLong(3)) == ((6L, 3L, 3L, 6L)))
+    val expZ = BigDecimal(2.0 / math.sqrt(1.2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(alt.getDouble(4) == expZ, s"$alt vs $expZ")
+    // a flat day inside the sequence is a dropped tie, not a move
+    val tied = TimeSeries.runsTestDaily(
+      series(Seq(1.0, 2.0, 2.0, 1.0, 2.0)), "ts", "v").collect().head
+    assert((tied.getLong(0), tied.getLong(3)) == ((3L, 3L)), s"$tied")
+    // strictly rising: n₋ = 0 → zero variance → null z (R = 1)
+    val mono = TimeSeries.runsTestDaily(
+      series(Seq(1.0, 2.0, 3.0, 4.0)), "ts", "v").collect().head
+    assert(mono.getLong(3) == 1L && mono.isNullAt(4), s"$mono")
+    // one up one down: 2n₊n₋ − N = 0 → σ² = 0 → null
+    val two = TimeSeries.runsTestDaily(
+      series(Seq(1.0, 2.0, 1.0)), "ts", "v").collect().head
+    assert(two.isNullAt(4), s"$two")
+  }
 }
