@@ -12216,7 +12216,46 @@ object SparkEntry {
         |        / (n_moves::DOUBLE * n_moves::DOUBLE
         |          * (n_moves::DOUBLE - 1.0))), 6) + 0.0
         |  END AS z
-        |FROM a""".stripMargin))
+        |FROM a""".stripMargin),
+
+    Q("q349_seasonal_mann_kendall",
+      // Seasonal Mann–Kendall ([[graft.operators.TimeSeries
+      // .seasonalMannKendallDaily]], Hirsch & Slack 1984): q345
+      // restricted to within-weekday pairs (stratum = t mod 7), so a
+      // weekly cycle can't mask or fake the trend. S and 18·Var sum
+      // over strata; same exact-decimal/continuity discipline.
+      (s, dir) => graft.operators.TimeSeries.seasonalMannKendallDaily(
+        Tables.orders(s, dir), "o_orderdate", "o_totalprice",
+        period = 7),
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS dd,
+        |    sum(o_totalprice::DECIMAL(18,4)) AS x FROM orders
+        |  GROUP BY 1),
+        |g AS (SELECT
+        |    (date_diff('day', DATE '1970-01-01', dd::DATE) % 7)::INT
+        |      AS h,
+        |    date_diff('day', DATE '1970-01-01', dd::DATE)::INT AS t,
+        |    x FROM daily),
+        |sx AS (SELECT coalesce(sum(CASE WHEN b.x > a.x THEN 1
+        |    WHEN b.x < a.x THEN -1 ELSE 0 END), 0)::BIGINT AS s
+        |  FROM g a JOIN g b ON a.h = b.h AND a.t < b.t),
+        |ps AS (SELECT h, sum(tp)::BIGINT AS nh,
+        |    coalesce(sum(tp * (tp - 1) * (2 * tp + 5)), 0)::BIGINT
+        |      AS tsum
+        |  FROM (SELECT h, x, count(*)::BIGINT AS tp FROM g
+        |    GROUP BY h, x) q GROUP BY h),
+        |v AS (SELECT sum(nh)::BIGINT AS n,
+        |    coalesce(sum(nh * (nh - 1) * (2 * nh + 5) - tsum), 0)
+        |      ::BIGINT AS v18 FROM ps)
+        |SELECT v.n AS n_days, sx.s AS s_stat,
+        |  CASE WHEN v18 = 0 THEN 0.0
+        |    WHEN sx.s > 0 THEN
+        |      round((sx.s - 1)::DOUBLE / sqrt(v18::DOUBLE / 18.0), 6)
+        |        + 0.0
+        |    WHEN sx.s < 0 THEN
+        |      round((sx.s + 1)::DOUBLE / sqrt(v18::DOUBLE / 18.0), 6)
+        |        + 0.0
+        |    ELSE 0.0 END AS z
+        |FROM sx, v""".stripMargin))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

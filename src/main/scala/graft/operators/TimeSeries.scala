@@ -478,6 +478,55 @@ object TimeSeries {
     out.toSeq.toDF("d", "revenue", "ewma", "alarm").orderBy("d")
   }
 
+  /** Seasonal Mann–Kendall (Hirsch & Slack 1984, the
+    * independent-seasons form) — [[mannKendallDaily]] restricted to
+    * WITHIN-stratum pairs (stratum = t mod `period`, the pure-integer
+    * weekday/season key both engines compute identically): a strong
+    * weekly cycle no longer masks or fakes a trend, because Mondays
+    * only ever compare with Mondays. S and the tie-corrected 18·Var
+    * sum over strata; the same ±1 continuity correction and exactness
+    * discipline as the unstratified test. Pairs are Σ_h n_h² ≤
+    * calendar²/period. Returns (n_days, s_stat, z). */
+  def seasonalMannKendallDaily(df: DataFrame, tsCol: String,
+      valueCol: String, period: Int = 7): DataFrame = {
+    require(period >= 1, "period >= 1")
+    val daily = df
+      .select(date_trunc("day", col(tsCol)).as("d"),
+        col(valueCol).cast(DecimalType(18, 4)).as("v"))
+      .groupBy("d").agg(sum(col("v")).as("x"))
+      .select((datediff(col("d"), lit("1970-01-01").cast("date"))
+        % period).as("h"),
+        datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
+        col("x"))
+      .localCheckpoint(false) // pair join sides + stratum tie groups
+    val s = broadcast(daily
+      .select(col("h"), col("t").as("t1"), col("x").as("x1"))
+      .join(broadcast(daily.select(col("h"), col("t").as("t2"),
+        col("x").as("x2"))), Seq("h"))
+      .filter(col("t1") < col("t2"))
+      .agg(coalesce(sum(when(col("x2") > col("x1"), 1L)
+        .when(col("x2") < col("x1"), -1L).otherwise(0L)), lit(0L))
+        .as("s")))
+    val perStrat = daily.groupBy("h", "x").agg(count(lit(1)).as("tp"))
+      .groupBy("h").agg(sum(col("tp")).as("nh"),
+        coalesce(sum(col("tp") * (col("tp") - 1)
+          * (lit(2) * col("tp") + lit(5))), lit(0L)).as("tsum"))
+    val v = broadcast(perStrat.agg(sum(col("nh")).as("n"),
+      coalesce(sum(col("nh") * (col("nh") - 1)
+        * (lit(2) * col("nh") + lit(5)) - col("tsum")), lit(0L))
+        .as("v18")))
+    s.crossJoin(v)
+      .select(col("n").as("n_days"), col("s").as("s_stat"),
+        when(col("v18") === 0, lit(0.0))
+          .otherwise(when(col("s") > 0,
+            round((col("s") - 1).cast("double")
+              / sqrt(col("v18").cast("double") / 18.0), 6) + lit(0.0))
+          .otherwise(when(col("s") < 0,
+            round((col("s") + 1).cast("double")
+              / sqrt(col("v18").cast("double") / 18.0), 6) + lit(0.0))
+          .otherwise(lit(0.0)))).as("z"))
+  }
+
   /** Wald–Wolfowitz runs test on the daily up/down moves — the
     * RANDOMNESS companion to [[mannKendallDaily]]'s monotone trend:
     * too FEW runs of consecutive same-sign day-over-day changes means

@@ -302,6 +302,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(java.lang.Double.doubleToRawLongBits(flat.getDouble(2)) == 0L)
   }
 
+  test("seasonalMannKendallDaily: within-stratum pairs only — a pure " +
+      "period-2 cycle is NO trend seasonally while rising strata are; " +
+      "period = 1 reduces to the unstratified test") {
+    // alternating 1,9,1,9,...: raw MK sees a sawtooth; with period = 2
+    // each stratum is CONSTANT → S = 0, v18 = 0 → z exactly +0.0
+    val saw = series(Seq(1.0, 9.0, 1.0, 9.0, 1.0, 9.0))
+    val s2 = TimeSeries.seasonalMannKendallDaily(saw, "ts", "v", 2)
+      .collect().head
+    assert((s2.getLong(0), s2.getLong(1), s2.getDouble(2)) ==
+      ((6L, 0L, 0.0)), s"$s2")
+    // rising strata under the cycle: 1,9,2,10,3,11 → each stratum
+    // strictly rises: per stratum S = 3, v18 = 3·2·11 = 66 →
+    // S = 6, v18 = 132, z = 5/√(132/18)
+    val up = TimeSeries.seasonalMannKendallDaily(
+      series(Seq(1.0, 9.0, 2.0, 10.0, 3.0, 11.0)), "ts", "v", 2)
+      .collect().head
+    val expZ = BigDecimal(5.0 / math.sqrt(132.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(up.getLong(1) == 6L && up.getDouble(2) == expZ, s"$up")
+    // period = 1 ≡ the unstratified Mann–Kendall, cell for cell
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0)
+    val a = TimeSeries.seasonalMannKendallDaily(series(vals), "ts",
+      "v", 1).collect().head
+    val b = TimeSeries.mannKendallDaily(series(vals), "ts", "v")
+      .collect().head
+    assert(a.toSeq == b.toSeq, s"$a vs $b")
+  }
+
   test("runsTestDaily: alternating moves hit the hand z, flat days " +
       "drop as ties, monotone and degenerate sequences report null") {
     // 1,2,1,2,1,2,1 → six alternating moves, R = 6, n₊ = n₋ = 3:
