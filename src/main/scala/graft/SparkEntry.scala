@@ -12255,7 +12255,52 @@ object SparkEntry {
         |      round((sx.s + 1)::DOUBLE / sqrt(v18::DOUBLE / 18.0), 6)
         |        + 0.0
         |    ELSE 0.0 END AS z
-        |FROM sx, v""".stripMargin))
+        |FROM sx, v""".stripMargin),
+
+    Q("q350_partial_correlation",
+      // First-order partial correlation ([[graft.operators
+      // .MatrixStats.partialCorrelation]]): does price correlate with
+      // discount once QUANTITY is held fixed? The raw r(price,
+      // discount) mostly relays quantity (extended price is qty ×
+      // unit price); the partial strips the confounder. Same one-pass
+      // decimal moments as q212; float work on the 1-row frame only.
+      (s, dir) => graft.operators.MatrixStats.partialCorrelation(
+        Tables.lineitem(s, dir),
+        "l_extendedprice", "l_discount", "l_quantity"),
+      {
+        val cs = Seq("l_extendedprice", "l_discount", "l_quantity")
+        val prs = for { i <- cs.indices; j <- i until cs.length }
+          yield (cs(i), cs(j))
+        val moments =
+          (Seq("count(*)::DOUBLE AS n") ++
+            cs.map(c =>
+              s"(sum(CAST($c AS DECIMAL(18,4)))::VARCHAR)::DOUBLE" +
+                s" AS s_$c") ++
+            prs.map { case (a, b) =>
+              s"(sum((CAST($a AS DECIMAL(19,4)) * CAST($b AS " +
+                s"DECIMAL(19,4)))::DECIMAL(38,8))::VARCHAR)::DOUBLE" +
+                s" AS s_${a}_$b"
+            }).mkString(",\n    ")
+        def sab(a: String, b: String) =
+          if (cs.indexOf(a) <= cs.indexOf(b)) s"s_${a}_$b"
+          else s"s_${b}_$a"
+        def cov(a: String, b: String) =
+          s"(${sab(a, b)} / n - (s_$a / n) * (s_$b / n))"
+        def r(a: String, b: String) =
+          s"(${cov(a, b)} / sqrt(${cov(a, a)} * ${cov(b, b)}))"
+        val Seq(x, y, z) = cs
+        val den = s"((1.0 - ${r(x, z)} * ${r(x, z)})" +
+          s" * (1.0 - ${r(y, z)} * ${r(y, z)}))"
+        s"""WITH m AS (SELECT
+           |    $moments
+           |  FROM lineitem)
+           |SELECT n::BIGINT AS n, round(${r(x, y)}, 6) AS r_xy,
+           |  CASE WHEN $den <= 0.0 THEN NULL
+           |    ELSE round((${r(x, y)} - ${r(x, z)} * ${r(y, z)})
+           |      / sqrt($den), 6) + 0.0
+           |  END AS r_xy_given_z
+           |FROM m""".stripMargin
+      }))
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -48,4 +48,54 @@ object MatrixStats {
       .select(col("p.a"), col("p.b"), col("p.cov"), col("p.corr"))
       .orderBy("a", "b")
   }
+
+  /** First-order partial correlation — the [[correlationMatrix]]
+    * follow-up question: how much of r(x,y) survives once z is held
+    * fixed?  r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) —
+    * the confounder screen (a raw price↔anything correlation mostly
+    * relays quantity; the partial strips it). Same ONE-pass decimal
+    * moment discipline as the matrix: 3 + 6 exact sums, all the float
+    * work on the single moments row, token-identical in both engines
+    * and +0.0-normalized. Perfect collinearity with z (either
+    * 1−r² ≤ 0) reports null. Returns (n, r_xy, r_xy_given_z). */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val cs = Seq(xCol, yCol, zCol)
+    require(cs.distinct.length == 3, "three distinct columns")
+    def d(c: String): Column = col(c).cast(DecimalType(18, 4))
+    val pairs = for { i <- cs.indices; j <- i until cs.length }
+      yield (cs(i), cs(j))
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+      cs.map(c => sum(d(c)).cast("double").as(s"s_$c")) ++
+      pairs.map { case (a, b) =>
+        sum((d(a) * d(b)).cast(DecimalType(38, 8))).cast("double")
+          .as(s"s_${a}_$b")
+      }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    def sab(a: String, b: String): Column =
+      if (cs.indexOf(a) <= cs.indexOf(b)) col(s"s_${a}_$b")
+      else col(s"s_${b}_$a")
+    def cov(a: String, b: String): Column =
+      sab(a, b) / col("n") -
+        (col(s"s_$a") / col("n")) * (col(s"s_$b") / col("n"))
+    def r(a: String, b: String): Column =
+      cov(a, b) / sqrt(cov(a, a) * cov(b, b))
+    val den = (lit(1.0) - r(xCol, zCol) * r(xCol, zCol)) *
+      (lit(1.0) - r(yCol, zCol) * r(yCol, zCol))
+    // a zero variance means the r's divide by zero: DuckDB's float
+    // division nulls through, ANSI Spark would throw — guard FIRST
+    // (CaseWhen evaluates branches lazily, so den never runs there)
+    val degenerate = cov(xCol, xCol) <= 0.0 || cov(yCol, yCol) <= 0.0 ||
+      cov(zCol, zCol) <= 0.0
+    m.select(col("n").cast("long").as("n"),
+      when(cov(xCol, xCol) <= 0.0 || cov(yCol, yCol) <= 0.0,
+        lit(null).cast("double"))
+        .otherwise(round(r(xCol, yCol), 6)).as("r_xy"),
+      when(degenerate || col("n") < 2, lit(null).cast("double"))
+        .when(den <= 0.0, lit(null).cast("double"))
+        .otherwise(round(
+          (r(xCol, yCol) - r(xCol, zCol) * r(yCol, zCol)) / sqrt(den),
+          6) + lit(0.0)).as("r_xy_given_z"))
+  }
 }
