@@ -85,10 +85,12 @@ object SetSimJoin {
     val candIds = cands
       .select(explode(array(col("a"), col("b"))).as("doc_id"))
       .distinct()
-    val sets = elems.join(candIds, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("el"))).as("els"),
-        count(lit(1)).as("n"))
+    // the checkpointed per-doc arrays ARE the verify sets already —
+    // a semi-join + map-side sort, not a re-explode + collect_list
+    // shuffle of every candidate's shingles
+    val sets = arrs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), sort_array(col("els0")).as("els"),
+        size(col("els0")).cast("long").as("n"))
     val verified = cands
       .join(sets.select(col("doc_id").as("a"), col("els").as("ea"),
         col("n").as("na")), "a")
