@@ -11403,7 +11403,12 @@ object SparkEntry {
       // basket×basket self-join.
       (s, dir) => graft.operators.Association.frequentItemsets(
         Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
-        "l_orderkey", "l_partkey", minSupport = 2L),
+        "l_orderkey", "l_partkey", minSupport = 2L)
+        // itemset rides as a canonical '|'-joined string in the OUTPUT
+        // (the oracle harness loads results through pandas, which
+        // cannot sort raw array cells); the typed Array[String] shape
+        // stays the operator's return type
+        .withColumn("items", concat_ws("|", col("items"))),
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |    FROM lineitem WHERE l_orderkey % 4 = 0),
         |f1 AS (SELECT i, count(*)::BIGINT AS n FROM bi
@@ -11430,7 +11435,7 @@ object SparkEntry {
         |  SELECT 2, [x::VARCHAR, y::VARCHAR], n FROM p
         |  UNION ALL
         |  SELECT 3, [x::VARCHAR, y::VARCHAR, z::VARCHAR], n FROM t)
-        |SELECT k, items, n FROM u
+        |SELECT k, array_to_string(items, '|') AS items, n FROM u
         |ORDER BY k, array_to_string(items, '|')""".stripMargin),
 
     Q("q329_rendezvous_sharding",
@@ -12291,16 +12296,99 @@ object SparkEntry {
         val Seq(x, y, z) = cs
         val den = s"((1.0 - ${r(x, z)} * ${r(x, z)})" +
           s" * (1.0 - ${r(y, z)} * ${r(y, z)}))"
+        // guards mirror MatrixStats.partialCorrelation exactly: on a
+        // degenerate (constant) column float cancellation can leave a
+        // tiny negative cov, where unguarded DuckDB yields
+        // sqrt(negative) = NaN while Spark reports NULL
+        val degen =
+          s"(${cov(x, x)} <= 0.0 OR ${cov(y, y)} <= 0.0" +
+            s" OR ${cov(z, z)} <= 0.0)"
         s"""WITH m AS (SELECT
            |    $moments
            |  FROM lineitem)
-           |SELECT n::BIGINT AS n, round(${r(x, y)}, 6) AS r_xy,
-           |  CASE WHEN $den <= 0.0 THEN NULL
+           |SELECT n::BIGINT AS n,
+           |  CASE WHEN ${cov(x, x)} <= 0.0 OR ${cov(y, y)} <= 0.0
+           |    THEN NULL ELSE round(${r(x, y)}, 6) END AS r_xy,
+           |  CASE WHEN $degen OR n < 2 OR $den <= 0.0 THEN NULL
            |    ELSE round((${r(x, y)} - ${r(x, z)} * ${r(y, z)})
            |      / sqrt($den), 6) + 0.0
            |  END AS r_xy_given_z
            |FROM m""".stripMargin
+      }),
+
+    Q("q351_colbert_retrieval",
+      // ColBERT-style late-interaction retrieval scored by a REAL
+      // transformer encoder TRAINED IN-REPO by analytic backprop
+      // ([[graft.embed.TinyEncoderTrain]], fixture committed at
+      // resources/graft/tiny_encoder.onnx, executed by
+      // [[graft.embed.Onnx.run]] — the zero-egress stand-in for the
+      // reference's pretrained bge-m3, `backend/process/parsing.py:49`).
+      // The query's CONTEXTUAL token states and the 63-row
+      // context-free doc-token table are driver-side constants
+      // (64 + 1 tiny graph executions); their dot products ship as an
+      // integer score matrix, so the distributed side is one scan →
+      // explode → BROADCAST join against 63 rows → partial max-agg →
+      // all-integer sum. MaxSim per query token, exact in both engines.
+      (s, dir) => {
+        val m = colbertScoreTable
+        val lq = m(1).length
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StructField,
+          StructType}
+        val schema = StructType(
+          StructField("tok_id", LongType, nullable = false) +:
+            (0 until lq).map(j =>
+              StructField(s"m$j", LongType, nullable = false)))
+        val st = s.createDataFrame(java.util.Arrays.asList(
+          (1 until m.length).map(id =>
+            Row.fromSeq(id.toLong +: m(id).toSeq)): _*), schema)
+        val ids = Tables.documents(s, dir).select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"),
+            (pmod(TextFunctions.md5Long(col("tok")), lit(63L)) + lit(1L))
+              .as("tok_id"))
+        val aggs = (0 until lq).map(j => max(col(s"m$j")).as(s"x$j"))
+        ids.join(broadcast(st), "tok_id")
+          .groupBy("doc_id")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("doc_id"),
+            ((0 until lq).map(j => col(s"x$j")).reduce(_ + _)
+              .cast("double") / lit(1e6)).as("colbert_score"))
+          .orderBy(col("colbert_score").desc, col("doc_id"))
+          .limit(10)
+      },
+      {
+        val m = colbertScoreTable
+        val lq = m(1).length
+        val vals = (1 until m.length).map(id =>
+          s"($id, ${m(id).mkString(", ")})").mkString(",\n      |    ")
+        val cols = (0 until lq).map(j => s"m$j").mkString(", ")
+        val maxes = (0 until lq).map(j => s"max(m$j) AS x$j")
+          .mkString(", ")
+        val total = (0 until lq).map(j => s"x$j").mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok
+           |    FROM documents),
+           |ids AS (SELECT doc_id, ${md5LongSql("tok")} % 63 + 1
+           |    AS tok_id FROM toks),
+           |st AS (SELECT * FROM (VALUES $vals)
+           |  AS t(tok_id, $cols)),
+           |mx AS (SELECT doc_id, $maxes
+           |  FROM ids JOIN st USING (tok_id) GROUP BY doc_id)
+           |SELECT doc_id, ($total)::DOUBLE / 1000000.0
+           |    AS colbert_score
+           |FROM mx ORDER BY colbert_score DESC, doc_id
+           |LIMIT 10""".stripMargin
       }))
+
+  /** Fixed retrieval question for q351 — drawn from the encoder's
+    * training themes so the learned geometry is exercised. */
+  val ColbertQuery = "broadcast shuffle partition filter pushdown"
+
+  /** Integer MaxSim score matrix (63 ids × query tokens), from the
+    * committed trained encoder — the single source both the Spark plan
+    * and the oracle VALUES table are generated from. */
+  private lazy val colbertScoreTable: Array[Array[Long]] =
+    graft.embed.ColbertEncoder.trained.scoreTable(ColbertQuery)
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

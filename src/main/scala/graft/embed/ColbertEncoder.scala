@@ -1,0 +1,117 @@
+package graft.embed
+
+/** Deployment wrapper for the in-repo-trained transformer encoder
+  * ([[TinyEncoderTrain]]) — ColBERT-style late interaction (Khattab &
+  * Zaharia, SIGIR'20) shaped for Spark + an exact SQL oracle:
+  *
+  *   - [[contextualStates]]: the full token-id sequence through the
+  *     trained graph via [[Onnx.run]] → per-token CONTEXTUAL states,
+  *     each L2-normalized (the query tower — attention genuinely mixes
+  *     positions here);
+  *   - [[tokenTable]]: every live id 1..vocab-1 through the SAME graph
+  *     with L = 1 → the context-free document-token table. 63 rows of
+  *     corpus-independent constants — small enough to broadcast to
+  *     every executor AND to inline as a SQL VALUES table, which is
+  *     what makes a transformer-scored retrieval query hash-checkable
+  *     against DuckDB;
+  *   - [[scoreTable]]: the two combined into the integer MaxSim score
+  *     matrix `m(id)(j) = round(1e6 · q̂_j · d̂_id)` — per-document
+  *     scoring downstream is ALL integer algebra (join + max + sum),
+  *     immune to float summation-order divergence between engines.
+  *
+  * Tokenization is the repo's cross-engine id map
+  * (`Md5HashingTF.bucket(tok, 63) + 1` ↔ SQL `md5Long(tok) % 63 + 1`),
+  * the same map the encoder was TRAINED with.
+  *
+  * Scale shape: the encoder runs a fixed 64 + 1 times on the driver
+  * (microseconds); the corpus side is one scan → explode → broadcast
+  * hash join against 63 rows → partial max-agg. No shuffle carries
+  * anything wider than (doc_id, Lq longs).
+  */
+final case class ColbertEncoder(modelBytes: Array[Byte], vocab: Int)
+    extends Embedder {
+
+  @transient private lazy val graph = Onnx.load(modelBytes)
+
+  lazy val dim: Int = tokenTable()(1).length
+
+  private def l2(row: Array[Float]): Array[Float] = {
+    val n = math.sqrt(row.map(v => v.toDouble * v).sum)
+    if (n == 0.0) row else row.map(v => (v / n).toFloat)
+  }
+
+  private def runIds(ids: Array[Float]): Array[Array[Float]] = {
+    val t = Onnx.run(graph, Map("ids" -> Onnx.Tensor(
+      Array(ids.length), ids)))(graph.outputs.head)
+    val d = t.cols
+    Array.tabulate(t.data.length / d)(i =>
+      l2(java.util.Arrays.copyOfRange(t.data, i * d, (i + 1) * d)))
+  }
+
+  def tokenIds(text: String): Array[Int] =
+    TinyEncoderTrain.tokenIds(text)
+
+  /** L2-normalized contextual state per token of `text`. */
+  def contextualStates(text: String): Array[Array[Float]] = {
+    val ids = tokenIds(text)
+    if (ids.isEmpty) Array.empty else runIds(ids.map(_.toFloat))
+  }
+
+  /** id → L2-normalized context-free state, for ids 1..vocab-1
+    * (index 0 unused — the reserved PAD id). */
+  def tokenTable(): Array[Array[Float]] = {
+    val out = new Array[Array[Float]](vocab)
+    var id = 1
+    while (id < vocab) {
+      out(id) = runIds(Array(id.toFloat))(0)
+      id += 1
+    }
+    out
+  }
+
+  /** Integer MaxSim score matrix for a query: row id ∈ [1, vocab),
+    * column j ∈ [0, Lq): `round(1e6 · q̂_j · d̂_id)` half-away-from-zero
+    * — the exact-integer currency both Spark and the oracle sum. */
+  def scoreTable(queryText: String): Array[Array[Long]] = {
+    val qs = contextualStates(queryText)
+    require(qs.nonEmpty, "empty query")
+    val tt = tokenTable()
+    Array.tabulate(vocab) { id =>
+      if (id == 0) new Array[Long](qs.length)
+      else Array.tabulate(qs.length) { j =>
+        var d = 0.0; var t = 0
+        while (t < qs(j).length) {
+          d += qs(j)(t).toDouble * tt(id)(t).toDouble; t += 1
+        }
+        math.round(d * 1e6) // half-up on positives, |d| ≤ 1 so exact
+      }
+    }
+  }
+
+  /** Pooled single-vector embedding (mean of contextual states, L2) —
+    * the [[Embedder]] face, so the trained encoder rides BatchEmbed
+    * like every other leg of the seam. */
+  def embed(text: String): Array[Float] = {
+    val states = contextualStates(text)
+    if (states.isEmpty) return new Array[Float](dim)
+    val d = states(0).length
+    val pooled = Array.tabulate(d) { j =>
+      var s = 0.0; var i = 0
+      while (i < states.length) { s += states(i)(j); i += 1 }
+      (s / states.length).toFloat
+    }
+    l2(pooled)
+  }
+}
+
+object ColbertEncoder {
+  /** The committed trained fixture (see [[TinyEncoderTrain]] — the
+    * spec pins byte-identical retraining). */
+  lazy val trained: ColbertEncoder = {
+    val in = getClass.getResourceAsStream("/graft/tiny_encoder.onnx")
+    require(in != null, "fixture /graft/tiny_encoder.onnx missing")
+    val bytes = in.readAllBytes()
+    in.close()
+    ColbertEncoder(bytes, TinyEncoderTrain.V)
+  }
+}

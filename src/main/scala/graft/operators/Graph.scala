@@ -549,16 +549,26 @@ object Graph {
       }
     addContrib(maxHops, g)
     for (d <- (maxHops - 1) to 1 by -1) {
+      // the aggregate is keyed by (s, predecessor-of-a-level-(d+1)
+      // vertex), which can include distance-(d+2) vertices the forward
+      // sweep never counted against stateUpTo — so this collect can
+      // exceed the bound even when the forward state fit. Mirror the
+      // forward check: a full-to-the-limit fetch means possible
+      // truncation, and limit() drops rows non-deterministically, so
+      // bail to the distributed path instead of silently undercounting.
       val sums =
         if (g.isEmpty) Map.empty[(Long, Long), BigInt]
-        else nbrs
-          .join(broadcast(lit380(g.map { case ((s, w), gv) =>
-            (s, w, gv) }).withColumnRenamed("v", "n")), "n")
-          .groupBy(col("s"), col("v"))
-          .agg(sum(col("x")).cast(d380).as("x"))
-          .limit(lim).collect()
-          .iterator.map(r => (r.getLong(0), r.getLong(1)) ->
+        else {
+          val fetched = nbrs
+            .join(broadcast(lit380(g.map { case ((s, w), gv) =>
+              (s, w, gv) }).withColumnRenamed("v", "n")), "n")
+            .groupBy(col("s"), col("v"))
+            .agg(sum(col("x")).cast(d380).as("x"))
+            .limit(lim).collect()
+          if (fetched.length > stateUpTo) return None
+          fetched.iterator.map(r => (r.getLong(0), r.getLong(1)) ->
             BigInt(r.getDecimal(2).toBigInteger)).toMap
+        }
       g = levels(d).map { case (k, _) =>
         k -> (sums.getOrElse(k, BigInt(0)) + 1) }
       addContrib(d, g)
@@ -566,6 +576,11 @@ object Graph {
     val outSchema = StructType(Seq(
       StructField("v", LongType, nullable = false),
       StructField("traffic", LongType, nullable = false)))
+    // sigma is combinatorial and can outgrow a long; toLong would wrap
+    // silently where the distributed path's DECIMAL(38,0)→long cast
+    // fails loudly under ANSI. Bail to the distributed path so both
+    // agree on overflow behavior (loud, never wrapped garbage).
+    if (traffic.valuesIterator.exists(t => !t.isValidLong)) return None
     val top = traffic.toSeq
       .map { case (v, t) => (v, t.toLong) }
       .sortBy { case (v, t) => (-t, v) }.take(topK)

@@ -10,6 +10,7 @@ exactly (floats: exact equality first, else reports max abs diff).
 """
 import decimal, json, sys, math, struct
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -61,6 +62,18 @@ def main(sf_dir, out_dir):
             continue
         if exp.num_rows != got.num_rows:
             print(f"FAIL {name}: rows oracle={exp.num_rows} spark={got.num_rows}")
+            n_fail += 1
+            continue
+        # Replicate the driver's pandas path EXACTLY: to_pandas, select
+        # sorted columns, sort_values over every column. An output
+        # column pandas cannot sort (list/struct -> ndarray cells raise
+        # "unhashable type" inside lexsort) must FAIL here, the way it
+        # fails the driver gate (q201 round 8, q328 round 9).
+        try:
+            epd = exp.to_pandas()[ecols].sort_values(by=ecols).reset_index(drop=True)
+            gpd = got.to_pandas()[gcols].sort_values(by=gcols).reset_index(drop=True)
+        except Exception as e:
+            print(f"FAIL {name}: driver-unsortable output (pandas sort_values): {e!r}")
             n_fail += 1
             continue
         erows = [[norm(exp.column(c)[i].as_py()) for c in ecols]
