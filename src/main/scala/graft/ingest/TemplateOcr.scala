@@ -93,131 +93,30 @@ object TemplateOcrEngine extends OcrEngine {
 
   def name = "template5x7"
 
-  private def luminance(img: BufferedImage, x: Int, y: Int): Int = {
-    val rgb = img.getRGB(x, y)
-    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
-    (r * 299 + g * 587 + b * 114) / 1000
-  }
-
-  def recognize(imageBytes: Array[Byte]): Either[String, String] = {
-    if (imageBytes == null || imageBytes.isEmpty) return Left("empty image")
-    val img =
-      try javax.imageio.ImageIO.read(new ByteArrayInputStream(imageBytes))
-      catch { case e: Exception => null }
-    if (img == null) return Left("undecodable image payload")
-    val w = img.getWidth; val h = img.getHeight
-    if (w < GlyphW || h < GlyphH) return Left("image smaller than a glyph")
-    // global binarization at the mid-range threshold; a flat image has
-    // no text to find
-    val lum = Array.tabulate(h, w)((y, x) => luminance(img, x, y))
-    var lo = 255; var hi = 0
-    lum.foreach(_.foreach { v =>
-      if (v < lo) lo = v; if (v > hi) hi = v
-    })
-    if (hi - lo < 32) return Left("no contrast (blank page)")
-    val thr = (lo + hi) / 2
-    @inline def ink(y: Int, x: Int): Boolean = lum(y)(x) < thr
-
-    // line bands: maximal row runs containing ink
-    val rowHasInk = Array.tabulate(h)(y => (0 until w).exists(ink(y, _)))
-    val bands = runs(rowHasInk)
-    val lines = bands.map { case (y0, y1) =>
-      val bandH = y1 - y0 + 1
-      // glyph boxes: maximal column runs containing ink within the band
-      val colHasInk = Array.tabulate(w)(x =>
-        (y0 to y1).exists(y => ink(y, x)))
-      val boxes = runs(colHasInk)
-      // a gap wider than 30% of the band height separates WORDS (the
-      // renderer's inter-glyph gap is ~bandH/7, a space ~4·bandH/7)
-      val spaceGap = math.max(1, (bandH * 3) / 10)
-      val sb = new StringBuilder
-      var prevEnd = -1
-      boxes.foreach { case (x0, x1) =>
-        if (prevEnd >= 0 && x0 - prevEnd - 1 > spaceGap) sb.append(' ')
-        // sub-height marks classify geometrically ('.' vs '-' by
-        // aspect) — they carry too few cells for template distances
-        val glyphTop = (y0 to y1).find(y =>
-          (x0 to x1).exists(x => lum(y)(x) < thr)).getOrElse(y0)
-        val glyphBot = (y0 to y1).reverse.find(y =>
-          (x0 to x1).exists(x => lum(y)(x) < thr)).getOrElse(y1)
-        val gh = glyphBot - glyphTop + 1
-        val gw = x1 - x0 + 1
-        val c =
-          if (gh * 100 <= bandH * 45) { if (gw * 2 >= gh * 4) '-' else '.' }
-          else matchGlyph(lum, lo, hi, thr, x0, x1, glyphTop, glyphBot)
-        sb.append(c)
-        prevEnd = x1
-      }
-      sb.toString
-    }
-    val text = lines.mkString("\n").trim
-    if (text.isEmpty) Left("no glyphs found") else Right(text)
-  }
-
-  /** Maximal true-runs of a boolean projection as (start, end). */
-  private def runs(p: Array[Boolean]): Seq[(Int, Int)] = {
-    val out = Seq.newBuilder[(Int, Int)]
-    var s = -1
-    var i = 0
-    while (i < p.length) {
-      if (p(i) && s < 0) s = i
-      if (!p(i) && s >= 0) { out += ((s, i - 1)); s = -1 }
-      i += 1
-    }
-    if (s >= 0) out += ((s, p.length - 1))
-    out.result()
-  }
-
-  /** Scale-normalized soft matching: resample the glyph box onto the
-    * 5×7 grid as GRAY coverage with exact fractional-area weights
-    * (cell boundaries rarely align with pixel boundaries at arbitrary
-    * scales — the overlap of each pixel with each cell is weighted
-    * precisely, so anti-aliased edge pixels contribute their partial
-    * darkness instead of flipping a binary vote), then pick the
-    * nearest template by squared-L2 under the accept/margin rules
-    * (see class doc). */
-  private def matchGlyph(lum: Array[Array[Int]], lo: Int, hi: Int,
-      thr: Int, x0: Int, x1: Int, y0: Int, y1: Int): Char = {
-    // soft binarization: full ink below thr−band, none above thr+band,
-    // linear between — anti-aliased edge grays land proportionally
-    val band = math.max(1, ((hi - lo) * 15) / 100)
-    @inline def inkness(y: Int, x: Int): Double = {
-      val v = lum(y)(x)
-      if (v <= thr - band) 1.0
-      else if (v >= thr + band) 0.0
-      else (thr + band - v).toDouble / (2.0 * band)
-    }
-    val bw = (x1 - x0 + 1).toDouble
-    val bh = (y1 - y0 + 1).toDouble
-    val cov = Array.ofDim[Double](GlyphH, GlyphW)
-    var gy = 0
-    while (gy < GlyphH) {
-      val ys = gy * bh / GlyphH; val ye = (gy + 1) * bh / GlyphH
-      var gx = 0
-      while (gx < GlyphW) {
-        val xs = gx * bw / GlyphW; val xe = (gx + 1) * bw / GlyphW
-        var s = 0.0; var wsum = 0.0
-        var py = math.floor(ys).toInt
-        while (py < ye) {
-          val wy = math.min(ye, py + 1.0) - math.max(ys, py.toDouble)
-          if (wy > 0) {
-            var px = math.floor(xs).toInt
-            while (px < xe) {
-              val wx = math.min(xe, px + 1.0) - math.max(xs, px.toDouble)
-              if (wx > 0) {
-                s += wy * wx * inkness(y0 + py, x0 + px)
-                wsum += wy * wx
-              }
-              px += 1
-            }
+  /** Segment via the shared front end ([[GlyphSegmenter]] — identical
+    * binarize/band/box/coverage machinery, extracted verbatim), then
+    * classify: sub-height marks geometrically ('.' vs '-' by aspect —
+    * too few cells for template distances), full-height glyphs by
+    * nearest template over 5×7 gray coverage. */
+  def recognize(imageBytes: Array[Byte]): Either[String, String] =
+    GlyphSegmenter.segment(imageBytes, GlyphW, GlyphH, GlyphW, GlyphH)
+      .flatMap { lines =>
+        val text = lines.map { glyphs =>
+          val sb = new StringBuilder
+          glyphs.foreach { g =>
+            if (g.spaceBefore) sb.append(' ')
+            sb.append(
+              if (g.subHeight) { if (g.wide) '-' else '.' }
+              else matchGlyph(g.cov))
           }
-          py += 1
-        }
-        cov(gy)(gx) = if (wsum == 0) 0.0 else s / wsum
-        gx += 1
+          sb.toString
+        }.mkString("\n").trim
+        if (text.isEmpty) Left("no glyphs found") else Right(text)
       }
-      gy += 1
-    }
+
+  /** Nearest template by squared-L2 over the gray coverage under the
+    * accept/margin rules (see class doc). */
+  private def matchGlyph(cov: Array[Array[Double]]): Char = {
     var best = '?'
     var bestD = Double.MaxValue
     var secondD = Double.MaxValue
