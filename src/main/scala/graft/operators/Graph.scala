@@ -168,8 +168,12 @@ object Graph {
         .select(col("v"), col("m.l").as("label"))
     }
     // node-sized state: driver-carried literal rounds under the same
-    // bound the broadcast build collects at anyway (1 job per round)
-    if (bc) IterState.iterate(labels, rounds)(step)
+    // bound the broadcast build collects at anyway (1 job per round).
+    // stepsPerJob=1: composing 2 LPA rounds per job A/B-measured WORSE
+    // (round 10: k=1 best-of 4.28 s vs k=2 4.99 s isolated, steal ≤ 2)
+    // — the doubled join+double-groupBy plan costs the optimizer more
+    // than the saved job latency, unlike the lighter PageRank rounds
+    if (bc) IterState.iterate(labels, rounds, stepsPerJob = 1)(step)
     else (1 to rounds).foldLeft(labels) { case (l, _) =>
       step(l).graftCheckpoint(false)
     }

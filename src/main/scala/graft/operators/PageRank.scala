@@ -310,26 +310,43 @@ object PageRank {
     // reads the cache); distributed path keeps EAGER — its total and
     // rescale are racing sibling consumers
     def ckpt(df: DataFrame): DataFrame = df.graftCheckpoint(!bc)
-    var h = hubs.select(col("hub"),
+    val h0 = hubs.select(col("hub"),
       round(lit(1.0) / nh, 12).cast(DecimalType(28, 12)).as("hs"))
-    var a: DataFrame = null
-    for (_ <- 1 to iters) {
+    /** First half-iteration: authority scores from hub scores. */
+    def authHalf(h: DataFrame): DataFrame = {
       val araw = ckpt(eByHub.join(maybeBroadcast(h, bc), "hub")
         .groupBy("auth").agg(sum(col("hs")).as("ar"))) // exact decimal
       val at = araw.agg(sum(col("ar")).as("t"))
-      a = carryMid(araw.crossJoin(broadcast(at))
+      carryMid(araw.crossJoin(broadcast(at))
         .select(col("auth"),
           round(col("ar").cast("double") / col("t").cast("double"), 12)
             .cast(DecimalType(28, 12)).as("as")))
+    }
+    /** Full iteration h → h (auth half then hub half) — the unit
+      * IterState composes k-per-job on the broadcast path. */
+    def fullRound(h: DataFrame): DataFrame = {
+      val a = authHalf(h)
       val hraw = ckpt(eByAuth.join(maybeBroadcast(a, bc), "auth")
         .groupBy("hub").agg(sum(col("as")).as("hr")))
       val ht = hraw.agg(sum(col("hr")).as("t"))
-      h = carry(hraw.crossJoin(broadcast(ht))
+      hraw.crossJoin(broadcast(ht))
         .select(col("hub"),
           round(col("hr").cast("double") / col("t").cast("double"), 12)
-            .cast(DecimalType(28, 12)).as("hs")))
+            .cast(DecimalType(28, 12)).as("hs"))
     }
-    a.select(col("auth").as("node"),
+    // a_iters = authHalf(h_{iters-1}): iterate the HUB state iters-1
+    // full rounds, then one final authority half-step. stepsPerJob=1:
+    // composing 2 full HITS rounds per job A/B-measured WORSE (round
+    // 10 same-window: k=1 3.91 s at steal 0 vs k=2 4.48 s at steal 5)
+    // — each round already carries two aggs + two broadcast rescales,
+    // and doubling that plan costs more in optimization than one
+    // collect round-trip saves
+    val hFinal =
+      if (bc) IterState.iterate(h0, iters - 1, stepsPerJob = 1)(fullRound)
+      else (1 to iters - 1).foldLeft(h0) { case (h, _) =>
+        carry(fullRound(h))
+      }
+    authHalf(hFinal).select(col("auth").as("node"),
       round(col("as").cast("double"), outDp).as("auth"))
   }
 }
