@@ -12378,6 +12378,55 @@ object SparkEntry {
            |    AS colbert_score
            |FROM mx ORDER BY colbert_score DESC, doc_id
            |LIMIT 10""".stripMargin
+      }),
+
+    Q("q352_encoder_semantic_neardup",
+      // Semantic near-dup: the banded MinHash-LSH candidates (q20's
+      // pair generator — never corpus²) re-scored by the TRAINED
+      // encoder's bag embedding
+      // ([[graft.embed.ColbertEncoder.bagCosinePairs]]): per-doc
+      // integer vector sums (order-free exact BIGINTs via one
+      // broadcast join against the 63-row scaled token table), cosine
+      // as one fixed-order dot expression with a single double
+      // division. The trained-model twin of q26's LSH-bucketed
+      // embedding near-dup.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.embed.ColbertEncoder.trained.bagCosinePairs(
+          docs, "doc_id", "text",
+          Dedup.minhashCandidatePairs(docs, "doc_id", "text"), 0.5)
+          .orderBy("a", "b")
+      },
+      {
+        val tt = graft.embed.ColbertEncoder.trained.tokenTable()
+        val d = graft.embed.ColbertEncoder.trained.dim
+        val tvRows = (1 until tt.length).map(id =>
+          s"($id, ${(0 until d).map(k =>
+            math.round(tt(id)(k).toDouble * 1e4)).mkString(", ")})")
+          .mkString(",\n           |    ")
+        val wCols = (0 until d).map(k => s"w$k").mkString(", ")
+        val sCols = (0 until d).map(k => s"sum(w$k)::BIGINT AS s$k")
+          .mkString(", ")
+        def dot(x: String, y: String) = (0 until d).map(k =>
+          s"$x.s$k * $y.s$k").mkString(" + ")
+        s"""WITH ${minhashPairCtes()},
+           |tok AS (SELECT doc_id, ${md5LongSql("tok")} % 63 + 1
+           |    AS tok_id
+           |  FROM (SELECT doc_id, unnest($toksSql) AS tok
+           |        FROM documents)),
+           |tv AS (SELECT * FROM (VALUES $tvRows)
+           |  AS t(tok_id, $wCols)),
+           |sums AS (SELECT doc_id, $sCols
+           |  FROM tok JOIN tv USING (tok_id) GROUP BY doc_id)
+           |SELECT a, b, cos FROM (
+           |  SELECT p.a, p.b,
+           |    round((${dot("x", "y")})::DOUBLE /
+           |      (sqrt((${dot("x", "x")})::DOUBLE)
+           |        * sqrt((${dot("y", "y")})::DOUBLE)), 6) AS cos
+           |  FROM pairs p
+           |  JOIN sums x ON p.a = x.doc_id
+           |  JOIN sums y ON p.b = y.doc_id)
+           |WHERE cos >= 0.5 ORDER BY a, b""".stripMargin
       }))
 
   /** Fixed retrieval question for q351 — drawn from the encoder's

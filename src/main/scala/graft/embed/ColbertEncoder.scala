@@ -88,6 +88,64 @@ final case class ColbertEncoder(modelBytes: Array[Byte], vocab: Int)
     }
   }
 
+  /** Semantic near-dup scoring over CANDIDATE pairs with the trained
+    * encoder — the dedup-family leg of the deployment (beside
+    * MinHash/SimHash/TF-IDF): each document's bag embedding is the SUM
+    * of its tokens' integer-scaled encoder vectors (exact BIGINTs —
+    * order-free, so Spark and a SQL oracle agree bit-for-bit), and the
+    * pair score is the cosine of those sums, computed as one
+    * fixed-order 16-term dot expression over exact integers with a
+    * single double division at the end.
+    *
+    * Scale shape: one corpus scan → broadcast join against the 63-row
+    * integer token table → 16-column partial-agg sums; the pair join
+    * touches only the candidate relation (banded LSH output — never
+    * corpus²). Returns (a, b, cos) for candidates with cos ≥ minCos. */
+  def bagCosinePairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, pairs: org.apache.spark.sql.DataFrame,
+      minCos: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val spark = docs.sparkSession
+    val tt = tokenTable()
+    val d = dim
+    val schema = StructType(
+      StructField("tok_id", LongType, nullable = false) +:
+        (0 until d).map(k => StructField(s"w$k", LongType, nullable = false)))
+    // 1e4 scaling (not 1e6): the dot terms are (Σ w)² and must stay
+    // inside BIGINT under ANSI — at 1e4 a document may carry ~76k
+    // tokens before the 16-term dot can overflow, far beyond any
+    // chunked-ingest page; parity is unaffected (both engines consume
+    // the SAME integers, scaling only sets fidelity to the float model)
+    val tv = spark.createDataFrame(java.util.Arrays.asList(
+      (1 until vocab).map(id => Row.fromSeq(id.toLong +:
+        (0 until d).map(k => math.round(tt(id)(k).toDouble * 1e4)))): _*),
+      schema)
+    val sums = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("tok"))
+      .select(col("doc_id"),
+        (pmod(graft.functions.TextFunctions.md5Long(col("tok")),
+          lit((vocab - 1).toLong)) + lit(1L)).as("tok_id"))
+      .join(broadcast(tv), "tok_id")
+      .groupBy("doc_id")
+      .agg(sum(col("w0")).as("s0"),
+        (1 until d).map(k => sum(col(s"w$k")).as(s"s$k")): _*)
+    def pref(p: String) = sums.select(col("doc_id") +:
+      (0 until d).map(k => col(s"s$k").as(s"$p$k")): _*)
+    def dot(x: String, y: String) =
+      (0 until d).map(k => col(s"$x$k") * col(s"$y$k")).reduce(_ + _)
+    pairs
+      .join(pref("x").withColumnRenamed("doc_id", "a"), "a")
+      .join(pref("y").withColumnRenamed("doc_id", "b"), "b")
+      .select(col("a"), col("b"),
+        round(dot("x", "y").cast("double") /
+          (sqrt(dot("x", "x").cast("double")) *
+            sqrt(dot("y", "y").cast("double"))), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Pooled single-vector embedding (mean of contextual states, L2) —
     * the [[Embedder]] face, so the trained encoder rides BatchEmbed
     * like every other leg of the seam. */

@@ -63,6 +63,27 @@ class ColbertEncoderSpec extends SparkSpec {
       rows.forall(_.getSeq[Float](2).length == enc.dim))
   }
 
+  test("bagCosinePairs: duplicate text scores exactly 1.0, same-theme " +
+      "beats cross-theme, and sub-threshold pairs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "whale coral tide reef shark"),
+      (2L, "whale coral tide reef shark"),    // exact dup of 1
+      (3L, "coral reef shark wave kelp"),     // same theme
+      (4L, "statute appeal clause verdict plaintiff") // other theme
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = enc.bagCosinePairs(docs, "doc_id", "text", pairs, -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got((1L, 2L)) == 1.0, s"exact dup: ${got((1L, 2L))}")
+    assert(got((1L, 3L)) > got((1L, 4L)),
+      s"theme order: ${got((1L, 3L))} vs ${got((1L, 4L))}")
+    val gated = enc.bagCosinePairs(docs, "doc_id", "text", pairs,
+      minCos = got((1L, 3L)) - 1e-9).collect()
+    assert(gated.length == 2) // the dup and the same-theme pair survive
+  }
+
   test("q351's integer discipline: Spark-side join+max+sum over the " +
       "score table reproduces a driver-side MaxSim replay exactly") {
     val st = enc.scoreTable(graft.SparkEntry.ColbertQuery)
