@@ -107,6 +107,7 @@ final case class ColbertEncoder(modelBytes: Array[Byte], vocab: Int)
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import org.apache.spark.sql.Row
+    import graft.operators.Ckpt.CkptOps
     val spark = docs.sparkSession
     val tt = tokenTable()
     val d = dim
@@ -132,6 +133,9 @@ final case class ColbertEncoder(modelBytes: Array[Byte], vocab: Int)
       .groupBy("doc_id")
       .agg(sum(col("w0")).as("s0"),
         (1 until d).map(k => sum(col(s"w$k")).as(s"s$k")): _*)
+      // TWO consumers (the a-side and b-side joins) — without the
+      // checkpoint the corpus scan + explode + 16-col agg runs twice
+      .graftCheckpoint(false)
     def pref(p: String) = sums.select(col("doc_id") +:
       (0 until d).map(k => col(s"s$k").as(s"$p$k")): _*)
     def dot(x: String, y: String) =
