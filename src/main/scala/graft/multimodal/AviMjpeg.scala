@@ -22,16 +22,16 @@ object AviMjpeg {
   final case class Info(width: Int, height: Int, nFrames: Int,
       usPerFrame: Long)
 
-  private def u32(b: Array[Byte], off: Int): Long =
+  private[multimodal] def u32(b: Array[Byte], off: Int): Long =
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
 
-  private def fourcc(b: Array[Byte], off: Int): String =
+  private[multimodal] def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
 
   /** Depth-first chunk walk over [start, end); `f(id, bodyOff, size)`
     * per leaf chunk. LISTs recurse; truncated tails are dropped. */
-  private def walk(bytes: Array[Byte], start: Int, end: Int,
+  private[multimodal] def walk(bytes: Array[Byte], start: Int, end: Int,
       f: (String, Int, Int) => Unit): Unit = {
     var off = start
     var done = false
@@ -49,7 +49,7 @@ object AviMjpeg {
     }
   }
 
-  private def isRiffAvi(bytes: Array[Byte]): Boolean =
+  private[multimodal] def isRiffAvi(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length >= 12 &&
       fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI "
 

@@ -30,6 +30,21 @@ trait FrameDecoder extends Serializable {
   /** Decode one frame slice to its pixel (width, height). */
   def decodeDims(bytes: Array[Byte], off: Int,
       len: Int): Either[String, (Int, Int)]
+
+  /** SEQUENTIAL pixel decode of every demuxed frame, in stream order —
+    * the API an INTER-FRAME codec needs (its frames are not
+    * independently decodable; see [[RleAviFrameDecoder]]). Default:
+    * decode each slice standalone (correct for intra-frame codecs). */
+  def decodeFrames(bytes: Array[Byte])
+      : Iterator[Either[String, java.awt.image.BufferedImage]] =
+    frameSlices(bytes).iterator.map { case (off, len) =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off, len))
+        if (img == null) Left("frame is not decodable image data")
+        else Right(img)
+      } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+    }
 }
 
 object FrameDecoder {

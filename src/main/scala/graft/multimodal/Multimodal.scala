@@ -529,16 +529,17 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         val bytes  = r.getAs[Array[Byte]](binIdx)
-        val slices = decoder.frameSlices(bytes)
-        if (slices.isEmpty)
+        if (decoder.frameSlices(bytes).isEmpty)
           Iterator.single(Row.fromSeq(r.toSeq ++ Seq(null, null, null,
             s"no demuxable frames (not ${decoder.format}?)")))
         else {
+          // pixel decode through the SEAM's sequential iterator, so
+          // inter-frame codecs (RLE8 delta frames) hash correctly —
+          // intra-frame decoders produce the same per-slice decode
           var prev: java.lang.Long = null
-          slices.iterator.zipWithIndex.map { case ((off, len), i) =>
-            val fb = java.util.Arrays.copyOfRange(bytes, off, off + len)
-            val tail: Seq[Any] = decodeImage(fb) match {
-              case Right((_, img)) =>
+          decoder.decodeFrames(bytes).zipWithIndex.map { case (fr, i) =>
+            val tail: Seq[Any] = fr match {
+              case Right(img) =>
                 val h = dHashOf(img)
                 val out = if (prev == null) Seq(i, null, false, null)
                 else {
