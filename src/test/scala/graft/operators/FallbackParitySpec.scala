@@ -139,6 +139,31 @@ class FallbackParitySpec extends SparkSpec {
     }
   }
 
+  test("pathCentrality: a BACKWARD-sweep overflow (fan-out just beyond " +
+      "the horizon) bails to the distributed path instead of a " +
+      "non-deterministic limit() undercount") {
+    // path 1–2–3 plus a 61-vertex fan on 3. Pivot 1, maxHops 2: the
+    // forward state is 3 rows (levels {1},{2},{3}) and every forward
+    // fetch is ≤ 2 rows — well inside stateUpTo = 40. But the backward
+    // sweep at d = 1 aggregates over the PREDECESSORS of level-2
+    // vertices, which includes the distance-3 fan the forward bound
+    // never counted: 62 rows > 40. The old code limit(41)-collected
+    // and silently dropped rows; the fix must fall back and still
+    // produce the exact answer: traffic(2) = σ·g = 1·(1+1) = 2,
+    // traffic(3) = 1·1 = 1, fan vertices beyond the horizon = absent.
+    val es = Seq((1L, 2L), (2L, 3L)) ++ (100L to 160L).map(f => (3L, f))
+    val edges = es.toDF("a", "b")
+    val pv = Seq(1L).toDF("v")
+    val got = Graph.pathCentrality(edges, pv, maxHops = 2, topK = 10,
+      stateUpTo = 40L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 2L), (3L, 1L)), got.toString)
+    val dist = Graph.pathCentrality(edges, pv, maxHops = 2, topK = 10,
+      stateUpTo = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == dist)
+  }
+
   test("quantileDisc: driver-routed grid ≡ distributed refinement") {
     // jagged values with ties, negatives, a heavy repeat
     val vals = Seq(5.0, -1.5, 5.0, 5.0, 2.25, 99.0, -1.5, 0.0, 7.0,
