@@ -12456,6 +12456,40 @@ object SparkEntry {
          |      ORDER BY h.bm25 DESC, h.doc_id) AS rn
          |  FROM hits h JOIN documents d USING (doc_id))
          |WHERE rn = 1 ORDER BY bm25 DESC, doc_id LIMIT 5""".stripMargin
+    // q353 = ranker A/B before an index migration: the trained-encoder
+    // ranking (q351) against the TF-IDF ranking (q58) as aligned rank
+    // rows — both systems' full oracle SQL rides as nested CTEs (the
+    // q168 pattern), so the comparison itself is hash-checked. Spark
+    // side recomposes the two registered query plans at run time;
+    // ranks are row_number over each system's own (score desc, doc_id)
+    // order on ≤ 10 rows (the single-partition window is 10 rows).
+    val q58Sql = (base ++ analyticsRegistry)
+      .find(_.name == "q58_mllib_knn").get.sql
+    val q351Sql = analyticsRegistry
+      .find(_.name == "q351_colbert_retrieval").get.sql
+    val q353 = Q("q353_ranker_overlap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cb = queries("q351_colbert_retrieval")(s, dir)
+          .select(col("doc_id"), row_number().over(Window.orderBy(
+            col("colbert_score").desc, col("doc_id")))
+            .as("rank_colbert"))
+        val tf = queries("q58_mllib_knn")(s, dir)
+          .select(col("doc_id"), row_number().over(Window.orderBy(
+            col("vec_score").desc, col("doc_id"))).as("rank_tfidf"))
+        cb.join(tf, Seq("doc_id"), "full_outer").orderBy("doc_id")
+      },
+      s"""WITH cb AS ($q351Sql),
+         |tf AS ($q58Sql),
+         |cr AS (SELECT doc_id, row_number() OVER (
+         |    ORDER BY colbert_score DESC, doc_id)::INT AS rank_colbert
+         |  FROM cb),
+         |tr AS (SELECT doc_id, row_number() OVER (
+         |    ORDER BY vec_score DESC, doc_id)::INT AS rank_tfidf
+         |  FROM tf)
+         |SELECT doc_id, rank_colbert, rank_tfidf
+         |FROM cr FULL OUTER JOIN tr USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)
     (registry ++ indexedRegistry.map { q =>
       if (q.name == "q35_indexed_bm25") q.copy(sql = q28Sql)
       else if (q.name == "q80_indexed_phrase") q.copy(sql = q67Sql)
@@ -12465,7 +12499,7 @@ object SparkEntry {
     }) ++ analyticsRegistry.map { q =>
       if (q.name == "q168_search_collapse") q.copy(sql = collapseSql)
       else q
-    } :+ q76 :+ q79 :+ q81 :+ q83 :+ q84 :+ q85 :+ q86 :+ q87
+    } :+ q76 :+ q79 :+ q81 :+ q83 :+ q84 :+ q85 :+ q86 :+ q87 :+ q353
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
