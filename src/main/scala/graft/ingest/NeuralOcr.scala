@@ -241,7 +241,8 @@ object HangulFont {
 }
 
 /** Deterministic in-repo trainer for [[NeuralOcrEngine]]'s glyph MLP
-  * (144 gray-coverage inputs → 96 ReLU → |Labels| softmax):
+  * (145 inputs — 12×12 gray coverage + the box-aspect feature that
+  * separates 'O' from '0' — → 128 ReLU → |Labels| softmax):
   * cross-entropy SGD over glyphs rendered with the container's real
   * DejaVu families at several sizes (via java.awt, anti-aliased) plus
   * the [[HangulFont]] raster set, with seeded noise/contrast

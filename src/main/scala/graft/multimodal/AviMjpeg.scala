@@ -76,13 +76,22 @@ object AviMjpeg {
 
   /** (offset, length) of every frame chunk body, in stream order.
     * Offsets point INTO the original array — zero copying here; callers
-    * slice only the frames they keep. */
+    * slice only the frames they keep.
+    *
+    * `keepEmpty`: a zero-byte `##dc` chunk conventionally means
+    * "repeat the previous frame" in inter-frame codecs (BI_RLE8), so
+    * the RLE leg must keep them to stay aligned with the container
+    * timeline; for MJPEG (intra-frame) an empty chunk carries no image
+    * and is dropped (the default). */
   def frameSlices(bytes: Array[Byte]): Seq[(Int, Int)] =
+    frameSlices(bytes, keepEmpty = false)
+
+  def frameSlices(bytes: Array[Byte], keepEmpty: Boolean): Seq[(Int, Int)] =
     if (!isRiffAvi(bytes)) Nil
     else {
       val out = Seq.newBuilder[(Int, Int)]
       walk(bytes, 12, bytes.length, (id, body, sz) =>
-        if (isFrameChunk(id) && sz > 0) out += ((body, sz)))
+        if (isFrameChunk(id) && (keepEmpty || sz > 0)) out += ((body, sz)))
       out.result()
     }
 

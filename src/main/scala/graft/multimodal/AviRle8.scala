@@ -43,8 +43,11 @@ object AviRle8 {
       var fmt: Option[Format] = None
       var inVideo = false
       walk(bytes, 12, bytes.length, (id, body, sz) => id match {
-        case "strh" if sz >= 8 =>
-          inVideo = fourcc(bytes, body) == "vids"
+        case "strh" =>
+          // reset on EVERY strh: a malformed/short strh for a following
+          // stream must not leave inVideo stale from the prior video
+          // stream (its strf would be misparsed as the video format)
+          inVideo = sz >= 8 && fourcc(bytes, body) == "vids"
         case "strf" if inVideo && sz >= 40 && fmt.isEmpty =>
           val w = u32(bytes, body + 4).toInt
           val h = u32(bytes, body + 8).toInt
@@ -125,19 +128,25 @@ object AviRle8 {
           Iterator.single(Left(s"implausible dimensions ${w}x$h"))
         else {
           val canvas = new Array[Byte](w * h)
-          AviMjpeg.frameSlices(bytes).iterator.map { case (off, len) =>
-            decodeChunk(bytes, off, len, canvas, w, h) match {
-              case Some(err) => Left(err)
-              case None =>
-                val img = new BufferedImage(w, h,
-                  BufferedImage.TYPE_INT_RGB)
-                var i = 0
-                while (i < w * h) {
-                  img.setRGB(i % w, i / w, f.palette(canvas(i) & 0xff))
-                  i += 1
-                }
-                Right(img)
+          def paint(): BufferedImage = {
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            var i = 0
+            while (i < w * h) {
+              img.setRGB(i % w, i / w, f.palette(canvas(i) & 0xff))
+              i += 1
             }
+            img
+          }
+          // keepEmpty: a zero-byte ##dc chunk means "repeat previous
+          // frame" — emit the carried canvas so frame numbering stays
+          // aligned with the container timeline (and header nFrames)
+          AviMjpeg.frameSlices(bytes, keepEmpty = true).iterator.map {
+            case (_, 0) => Right(paint())
+            case (off, len) =>
+              decodeChunk(bytes, off, len, canvas, w, h) match {
+                case Some(err) => Left(err)
+                case None      => Right(paint())
+              }
           }
         }
     }
@@ -158,7 +167,9 @@ object RleAviFrameDecoder extends FrameDecoder {
     }
 
   def frameSlices(bytes: Array[Byte]): Seq[(Int, Int)] =
-    if (AviRle8.isRle8(bytes)) AviMjpeg.frameSlices(bytes) else Nil
+    if (AviRle8.isRle8(bytes))
+      AviMjpeg.frameSlices(bytes, keepEmpty = true)
+    else Nil
 
   def decodeDims(bytes: Array[Byte], off: Int,
       len: Int): Either[String, (Int, Int)] =

@@ -529,15 +529,19 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         val bytes  = r.getAs[Array[Byte]](binIdx)
-        if (decoder.frameSlices(bytes).isEmpty)
+        // pixel decode through the SEAM's sequential iterator, so
+        // inter-frame codecs (RLE8 delta frames) hash correctly —
+        // intra-frame decoders produce the same per-slice decode.
+        // Emptiness comes from the SAME iterator (hasNext is lazy on a
+        // mapped iterator) — never a second frameSlices/parseFormat
+        // walk over the container bytes.
+        val frames = decoder.decodeFrames(bytes)
+        if (!frames.hasNext)
           Iterator.single(Row.fromSeq(r.toSeq ++ Seq(null, null, null,
             s"no demuxable frames (not ${decoder.format}?)")))
         else {
-          // pixel decode through the SEAM's sequential iterator, so
-          // inter-frame codecs (RLE8 delta frames) hash correctly —
-          // intra-frame decoders produce the same per-slice decode
           var prev: java.lang.Long = null
-          decoder.decodeFrames(bytes).zipWithIndex.map { case (fr, i) =>
+          frames.zipWithIndex.map { case (fr, i) =>
             val tail: Seq[Any] = fr match {
               case Right(img) =>
                 val h = dHashOf(img)

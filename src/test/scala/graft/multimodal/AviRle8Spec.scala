@@ -115,6 +115,32 @@ class AviRle8Spec extends SparkSpec {
     assert((i3.getRGB(5, Ht - 1 - 3) & 0xffffff) == 0xff0000)
   }
 
+  test("a zero-byte ##dc chunk is 'repeat previous frame': the slice " +
+      "is KEPT, the carried canvas is emitted, frame numbering stays " +
+      "aligned with the header count") {
+    val withRepeat = rleAvi(Seq(f1, Array.emptyByteArray, f2))
+    assert(RleAviFrameDecoder.frameSlices(withRepeat).length == 3)
+    assert(RleAviFrameDecoder.probe(withRepeat).toOption.get.nFrames == 3)
+    val fs = AviRle8.decodeFrames(withRepeat).toSeq
+    assert(fs.length == 3 && fs.forall(_.isRight), fs.toString)
+    val Seq(i1, i2, i3) = fs.map(_.toOption.get)
+    // repeat frame is pixel-identical to frame 1 (solid red)
+    for (y <- 0 until Ht; x <- 0 until Wd)
+      assert((i2.getRGB(x, y) & 0xffffff) == (i1.getRGB(x, y) & 0xffffff))
+    // ...and f2's green corner lands on frame index 2, not 1
+    assert((i3.getRGB(0, Ht - 1) & 0xffffff) == 0x00ff00)
+    // sceneCuts over the repeat frame: hamming 0, never a cut
+    import spark.implicits._
+    val cuts = Multimodal.sceneCuts(
+      Seq((1L, withRepeat)).toDF("id", "v"), "v", cutHamming = 1,
+      decoder = RleAviFrameDecoder)
+      .select("frame_no", "hamming", "is_cut").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    assert(cuts.length == 3 && cuts(1) == ((1, 0)))
+    // the MJPEG (intra-frame) leg still DROPS empty chunks
+    assert(AviMjpeg.frameSlices(withRepeat).length == 2)
+  }
+
   test("fail-soft: truncated frames error per-frame, garbage bytes " +
       "error once, and decode continues on the carried canvas") {
     val bad = rleAvi(Seq(f1, bytes(0, 2, 2), f2)) // truncated DELTA

@@ -69,9 +69,12 @@ def main(sf_dir, out_dir):
         # column pandas cannot sort (list/struct -> ndarray cells raise
         # "unhashable type" inside lexsort) must FAIL here, the way it
         # fails the driver gate (q201 round 8, q328 round 9).
+        # Run purely for the exception side effect (the driver-shape
+        # gate): the actual value comparison below stays on the Arrow
+        # row path, which normalizes floats the way the gate expects.
         try:
-            epd = exp.to_pandas()[ecols].sort_values(by=ecols).reset_index(drop=True)
-            gpd = got.to_pandas()[gcols].sort_values(by=gcols).reset_index(drop=True)
+            exp.to_pandas()[ecols].sort_values(by=ecols)
+            got.to_pandas()[gcols].sort_values(by=gcols)
         except Exception as e:
             print(f"FAIL {name}: driver-unsortable output (pandas sort_values): {e!r}")
             n_fail += 1
