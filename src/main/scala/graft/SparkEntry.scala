@@ -12427,6 +12427,83 @@ object SparkEntry {
            |  JOIN sums x ON p.a = x.doc_id
            |  JOIN sums y ON p.b = y.doc_id)
            |WHERE cos >= 0.5 ORDER BY a, b""".stripMargin
+      }),
+
+    Q("q354_bpe_colbert_retrieval",
+      // Late-interaction retrieval under the CORPUS-TRAINED encoder
+      // ([[graft.embed.CorpusEncoderTrain]]: real BPE tokenization +
+      // contextual-tower ColBERT training on the fixture corpus, d 32
+      // — the proof-of-quality lift of q351's proof-of-mechanism; its
+      // held-out recall@10 A/B vs TF-IDF is pinned in
+      // CorpusEncoderTrainSpec). The distributed side runs the REAL
+      // tokenizer — greedy BPE merges per partition
+      // ([[graft.text.Bpe.encode]]) — then a broadcast join against
+      // the committed symbol vocab and the integer score table; the
+      // oracle replays tokenization as word split + vocab VALUES join,
+      // exact because the merge table fully merges every corpus word
+      // to one `word</w>` symbol (spec-pinned). Same scale shape as
+      // q351: scan → encode → two broadcast joins → partial max-agg →
+      // integer sum.
+      (s, dir) => {
+        val enc = graft.embed.CorpusColbert.trained
+        val m = corpusColbertScoreTable
+        val lq = m(1).length
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType,
+          StructField, StructType}
+        val stSchema = StructType(
+          StructField("tok_id", LongType, nullable = false) +:
+            (0 until lq).map(j =>
+              StructField(s"m$j", LongType, nullable = false)))
+        val st = s.createDataFrame(java.util.Arrays.asList(
+          (1 until m.length).map(id =>
+            Row.fromSeq(id.toLong +: m(id).toSeq)): _*), stSchema)
+        val vocSchema = StructType(Seq(
+          StructField("sym", StringType, nullable = false),
+          StructField("tok_id", LongType, nullable = false)))
+        val voc = s.createDataFrame(java.util.Arrays.asList(
+          enc.syms.zipWithIndex.map { case (sym, i) =>
+            Row(sym, (i + 1).toLong) }: _*), vocSchema)
+        val ids = graft.text.Bpe.encode(
+          Tables.documents(s, dir).select("doc_id", "text"), "text",
+          enc.bpe, "syms")
+          .select(col("doc_id"), explode(col("syms")).as("sym"))
+          .join(broadcast(voc), "sym")
+        val aggs = (0 until lq).map(j => max(col(s"m$j")).as(s"x$j"))
+        ids.join(broadcast(st), "tok_id")
+          .groupBy("doc_id")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("doc_id"),
+            ((0 until lq).map(j => col(s"x$j")).reduce(_ + _)
+              .cast("double") / lit(1e6)).as("colbert_score"))
+          .orderBy(col("colbert_score").desc, col("doc_id"))
+          .limit(10)
+      },
+      {
+        val enc = graft.embed.CorpusColbert.trained
+        val m = corpusColbertScoreTable
+        val lq = m(1).length
+        val eow = graft.text.Bpe.EndOfWord
+        val vocVals = enc.syms.zipWithIndex.map { case (sym, i) =>
+          s"('${sym.stripSuffix(eow)}', ${i + 1})" }.mkString(", ")
+        val stVals = (1 until m.length).map(id =>
+          s"($id, ${m(id).mkString(", ")})").mkString(",\n      |    ")
+        val cols = (0 until lq).map(j => s"m$j").mkString(", ")
+        val maxes = (0 until lq).map(j => s"max(m$j) AS x$j")
+          .mkString(", ")
+        val total = (0 until lq).map(j => s"x$j").mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok
+           |    FROM documents),
+           |voc AS (SELECT * FROM (VALUES $vocVals) AS v(tok, tok_id)),
+           |ids AS (SELECT doc_id, tok_id FROM toks JOIN voc USING (tok)),
+           |st AS (SELECT * FROM (VALUES $stVals)
+           |  AS t(tok_id, $cols)),
+           |mx AS (SELECT doc_id, $maxes
+           |  FROM ids JOIN st USING (tok_id) GROUP BY doc_id)
+           |SELECT doc_id, ($total)::DOUBLE / 1000000.0
+           |    AS colbert_score
+           |FROM mx ORDER BY colbert_score DESC, doc_id
+           |LIMIT 10""".stripMargin
       }))
 
   /** Fixed retrieval question for q351 — drawn from the encoder's
@@ -12438,6 +12515,17 @@ object SparkEntry {
     * and the oracle VALUES table are generated from. */
   private lazy val colbertScoreTable: Array[Array[Long]] =
     graft.embed.ColbertEncoder.trained.scoreTable(ColbertQuery)
+
+  /** Fixed retrieval question for q354 — in-vocab corpus words, so the
+    * BPE tokenizer and the oracle's word→id join see every token. */
+  val CorpusColbertQuery = "spark join fast group key"
+
+  /** Integer MaxSim score matrix (BPE-vocab ids × query tokens) from
+    * the committed CORPUS-trained encoder ([[graft.embed.CorpusColbert]])
+    * — the single source both the q354 Spark plan and its oracle VALUES
+    * table are generated from. */
+  private lazy val corpusColbertScoreTable: Array[Array[Long]] =
+    graft.embed.CorpusColbert.trained.scoreTable(CorpusColbertQuery)
 
   private def allQueries: Seq[Q] = {
     // q35's oracle is exactly q28's (same BM25 definition, same shape —

@@ -28,32 +28,46 @@ package graft.embed
   * hash join against 63 rows → partial max-agg. No shuffle carries
   * anything wider than (doc_id, Lq longs).
   */
-final case class ColbertEncoder(modelBytes: Array[Byte], vocab: Int)
-    extends Embedder {
+trait LateInteractionEncoder extends Serializable {
+
+  /** Serialized ONNX encoder graph (see [[OnnxWrite.encoderModel]]). */
+  def modelBytes: Array[Byte]
+
+  /** Vocab size; ids 1..vocab-1 live, 0 reserved (PAD). */
+  def vocab: Int
+
+  /** Text → token ids in [1, vocab). Implementation-specific: the tiny
+    * encoder uses the md5-bucket map, the corpus encoder real BPE. */
+  def tokenIds(text: String): Array[Int]
 
   @transient private lazy val graph = Onnx.load(modelBytes)
 
   lazy val dim: Int = tokenTable()(1).length
 
-  private def l2(row: Array[Float]): Array[Float] = {
+  protected def l2(row: Array[Float]): Array[Float] = {
     val n = math.sqrt(row.map(v => v.toDouble * v).sum)
     if (n == 0.0) row else row.map(v => (v / n).toFloat)
   }
 
   private def runIds(ids: Array[Float]): Array[Array[Float]] = {
-    val t = Onnx.run(graph, Map("ids" -> Onnx.Tensor(
-      Array(ids.length), ids)))(graph.outputs.head)
+    val feed = Map("ids" -> Onnx.Tensor(Array(ids.length), ids)) ++
+      // graphs with relative-position attention take position_ids too
+      (if (graph.inputs.contains("pos"))
+        Map("pos" -> Onnx.Tensor(Array(ids.length),
+          Array.tabulate(ids.length)(_.toFloat)))
+      else Map.empty)
+    val t = Onnx.run(graph, feed)(graph.outputs.head)
     val d = t.cols
     Array.tabulate(t.data.length / d)(i =>
       l2(java.util.Arrays.copyOfRange(t.data, i * d, (i + 1) * d)))
   }
 
-  def tokenIds(text: String): Array[Int] =
-    TinyEncoderTrain.tokenIds(text)
-
-  /** L2-normalized contextual state per token of `text`. */
-  def contextualStates(text: String): Array[Array[Float]] = {
-    val ids = tokenIds(text)
+  /** L2-normalized contextual state per token of `text`. `maxTokens`
+    * truncates the sequence first (the ColBERT document-side cap —
+    * real deployments encode a bounded passage, not unbounded text). */
+  def contextualStates(text: String,
+      maxTokens: Int = Int.MaxValue): Array[Array[Float]] = {
+    val ids = tokenIds(text).take(maxTokens)
     if (ids.isEmpty) Array.empty else runIds(ids.map(_.toFloat))
   }
 
@@ -87,6 +101,13 @@ final case class ColbertEncoder(modelBytes: Array[Byte], vocab: Int)
       }
     }
   }
+}
+
+final case class ColbertEncoder(modelBytes: Array[Byte], vocab: Int)
+    extends LateInteractionEncoder with Embedder {
+
+  def tokenIds(text: String): Array[Int] =
+    TinyEncoderTrain.tokenIds(text)
 
   /** Semantic near-dup scoring over CANDIDATE pairs with the trained
     * encoder — the dedup-family leg of the deployment (beside

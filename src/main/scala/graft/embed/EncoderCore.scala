@@ -27,10 +27,16 @@ package graft.embed
 object EncoderCore {
   type M = Array[Array[Double]]
 
+  /** `rb`: learned RELATIVE-POSITION attention bias weights, one per
+    * RBF bucket (empty when the instance runs content-only attention).
+    * Initialized to ZEROS — no RNG draws, so enabling buckets never
+    * shifts the init sequence of the other parameter groups (the tiny
+    * encoder's byte-determinism pin depends on that). */
   final case class LW(wq: M, wk: M, wv: M, wo: M,
       w1: M, b1: Array[Double], w2: M, b2: Array[Double],
       g1: Array[Double], be1: Array[Double],
-      g2: Array[Double], be2: Array[Double])
+      g2: Array[Double], be2: Array[Double],
+      rb: Array[Double] = Array.emptyDoubleArray)
   final case class W(emb: M, layers: Array[LW])
 
   final case class Triple(q: Array[Int], pos: Array[Int], neg: Array[Int])
@@ -42,7 +48,7 @@ object EncoderCore {
 }
 
 final class EncoderCore(val V: Int, val D: Int, val F: Int,
-    val NLayers: Int) {
+    val NLayers: Int, val NB: Int = 0) {
 
   import EncoderCore._
 
@@ -51,6 +57,40 @@ final class EncoderCore(val V: Int, val D: Int, val F: Int,
   private val InvS = 1.0 / math.sqrt(D).toFloat.toDouble
   private val C2 = math.sqrt(2.0).toFloat.toDouble
   private val Eps = 1e-5f.toDouble
+
+  /** RELATIVE-POSITION attention bias (T5-style in role, RBF in form),
+    * present when `NB > 0` (NB odd): attention logits become
+    * `q_i·k_j/√d + Σ_b rb_b · φ_b(j−i)` with the fixed basis
+    * `φ_b(d) = exp(−2 (d − μ_b)²)`, μ_b = b − NB/2 (so μ spans
+    * −NB/2..NB/2 around the diagonal; |d| ≥ μ_max+2 decays to ~0 and
+    * far pairs keep pure content attention). Shift-INVARIANT by
+    * construction — the same window of text produces the same states
+    * at any document offset, which is what lets ColBERT span retrieval
+    * learn local context. (Absolute sinusoidal encodings were tried
+    * first and measured WORSE than no positions here: the query tower
+    * and the document tower see the same span at different absolute
+    * offsets, so absolute-position residue in the states is pure
+    * cross-tower noise.) The basis is smooth, so the whole bias is
+    * differentiable and rides the exported graph with stock ONNX ops
+    * (Sub/Mul/Pow/Add over a position-ids input). `rb` starts at ZERO:
+    * bias off ⇒ exactly the content-only encoder, and no RNG draws are
+    * added to the init sequence. */
+  val Mus: Array[Double] =
+    if (NB <= 0) Array.emptyDoubleArray
+    else Array.tabulate(NB)(b => (b - NB / 2).toDouble)
+
+  /** φ_b matrices for sequence length L (cached per L — fixture docs
+    * cap at 64 tokens, so this is a handful of small tables). */
+  private val phiCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[M]]()
+  private def phiFor(n: Int): Array[M] =
+    phiCache.computeIfAbsent(n, len =>
+      Array.tabulate(NB) { b =>
+        Array.tabulate(len, len) { (i, j) =>
+          val d = (j - i).toDouble - Mus(b)
+          math.exp(-2.0 * d * d).toFloat.toDouble
+        }
+      })
 
   // ------------------------------------------------------------ algebra
   private def zeros(n: Int, m: Int): M = Array.fill(n)(new Array[Double](m))
@@ -165,8 +205,16 @@ final class EncoderCore(val V: Int, val D: Int, val F: Int,
   private def layerFwd(x: M, lw: LW): (M, LC) = {
     val q = mm(x, lw.wq); val k = mm(x, lw.wk); val v = mm(x, lw.wv)
     val sc = mmNT(q, k)
-    val a = sc.map { row =>
-      val scaled = row.map(_ * InvS)
+    val phi = if (NB > 0) phiFor(x.length) else null
+    val a = sc.zipWithIndex.map { case (row, i) =>
+      val scaled = row.zipWithIndex.map { case (s, j) =>
+        var t = s * InvS
+        if (phi != null) {
+          var b = 0
+          while (b < NB) { t += lw.rb(b) * phi(b)(i)(j); b += 1 }
+        }
+        t
+      }
       val mx = scaled.max
       val es = scaled.map(s => math.exp(s - mx))
       val sum = es.sum
@@ -248,12 +296,28 @@ final class EncoderCore(val V: Int, val D: Int, val F: Int,
     val da = mmNT(dc, lc.v)
     val dv = zeros(lc.v.length, lc.v(0).length)
     mmTNInto(lc.a, dc, dv)
-    // softmax rows (includes the 1/√d scale folded into sc)
-    val dsc = da.zip(lc.a).map { case (dai, ai) =>
+    // softmax rows: dTotal is the gradient at the LOGITS (content·1/√d
+    // + relative bias); the bias weights take it directly, the content
+    // path folds in the 1/√d scale as before
+    val dTotal = da.zip(lc.a).map { case (dai, ai) =>
       var dot = 0.0; var j = 0
       while (j < ai.length) { dot += dai(j) * ai(j); j += 1 }
-      Array.tabulate(ai.length)(t => ai(t) * (dai(t) - dot) * InvS)
+      Array.tabulate(ai.length)(t => ai(t) * (dai(t) - dot))
     }
+    if (NB > 0) {
+      val phi = phiFor(lc.x.length)
+      var b = 0
+      while (b < NB) {
+        var s = 0.0; var i = 0
+        while (i < dTotal.length) {
+          val di = dTotal(i); val pi = phi(b)(i); var j = 0
+          while (j < di.length) { s += di(j) * pi(j); j += 1 }
+          i += 1
+        }
+        gl.rb(b) += s; b += 1
+      }
+    }
+    val dsc = dTotal.map(_.map(_ * InvS))
     val dq = mm(dsc, lc.k)
     val dk = zeros(lc.k.length, lc.k(0).length)
     mmTNInto(dsc, lc.q, dk)
@@ -419,7 +483,8 @@ final class EncoderCore(val V: Int, val D: Int, val F: Int,
       w1 = mat(D, F, 0.25), b1 = new Array[Double](F),
       w2 = mat(F, D, 0.2), b2 = new Array[Double](D),
       g1 = Array.fill(D)(1.0), be1 = new Array[Double](D),
-      g2 = Array.fill(D)(1.0), be2 = new Array[Double](D))
+      g2 = Array.fill(D)(1.0), be2 = new Array[Double](D),
+      rb = new Array[Double](NB)) // zero init, no RNG draw
     W(emb = mat(V, D, 0.5), layers = Array.fill(NLayers)(lw()))
   }
 
@@ -429,7 +494,8 @@ final class EncoderCore(val V: Int, val D: Int, val F: Int,
       zeros(D, D), zeros(D, D), zeros(D, D), zeros(D, D),
       zeros(D, F), new Array[Double](F), zeros(F, D),
       new Array[Double](D), new Array[Double](D), new Array[Double](D),
-      new Array[Double](D), new Array[Double](D))))
+      new Array[Double](D), new Array[Double](D),
+      new Array[Double](NB))))
 
   def sgd(w: W, g: W, lr: Double): Unit = {
     def upM(a: M, b: M): Unit = {
@@ -451,6 +517,7 @@ final class EncoderCore(val V: Int, val D: Int, val F: Int,
       upM(lw.w2, gl.w2); upV(lw.b2, gl.b2)
       upV(lw.g1, gl.g1); upV(lw.be1, gl.be1)
       upV(lw.g2, gl.g2); upV(lw.be2, gl.be2)
+      upV(lw.rb, gl.rb)
     }
   }
 
@@ -461,6 +528,6 @@ final class EncoderCore(val V: Int, val D: Int, val F: Int,
     OnnxWrite.EncoderW(V, D, F, flat(w.emb), w.layers.toSeq.map(l =>
       OnnxWrite.LayerW(flat(l.wq), flat(l.wk), flat(l.wv), flat(l.wo),
         flat(l.w1), vf(l.b1), flat(l.w2), vf(l.b2),
-        vf(l.g1), vf(l.be1), vf(l.g2), vf(l.be2))))
+        vf(l.g1), vf(l.be1), vf(l.g2), vf(l.be2), vf(l.rb))))
   }
 }

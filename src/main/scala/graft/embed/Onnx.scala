@@ -477,7 +477,23 @@ object Onnx {
     * smaller side a scalar / last-dim vector. */
   private def broadcastBin(a: Tensor, b: Tensor,
       f: (Float, Float) => Float): Tensor = {
-    if (a.data.length == b.data.length)
+    // outer broadcast first: [1,n] ∘ [m,1] has EQUAL flat lengths when
+    // m == n, so the elementwise fast path below would silently zero a
+    // position-difference matrix (caught live by the relative-bias
+    // parity check)
+    if (a.dims.length == 2 && b.dims.length == 2 &&
+        a.dims(0) == 1 && b.dims(1) == 1 &&
+        (a.dims(1) > 1 || b.dims(0) > 1))
+      Tensor(Array(b.dims(0), a.dims(1)),
+        Array.tabulate(b.dims(0) * a.dims(1))(i =>
+          f(a.data(i % a.dims(1)), b.data(i / a.dims(1)))))
+    else if (a.dims.length == 2 && b.dims.length == 2 &&
+        a.dims(1) == 1 && b.dims(0) == 1 &&
+        (a.dims(0) > 1 || b.dims(1) > 1))
+      Tensor(Array(a.dims(0), b.dims(1)),
+        Array.tabulate(a.dims(0) * b.dims(1))(i =>
+          f(a.data(i / b.dims(1)), b.data(i % b.dims(1)))))
+    else if (a.data.length == b.data.length)
       Tensor(a.dims, Array.tabulate(a.data.length)(i =>
         f(a.data(i), b.data(i))))
     else if (b.data.length == 1)

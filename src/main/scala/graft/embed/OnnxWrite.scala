@@ -78,14 +78,17 @@ object OnnxWrite {
   }
 
   /** One encoder layer's weights, float, row-major ([in, out] for the
-    * right-multiplied MatMul convention `x · W`). */
+    * right-multiplied MatMul convention `x · W`). `rb`: learned
+    * relative-position attention bias weights (RBF buckets around the
+    * diagonal, [[EncoderCore]]); empty = content-only attention. */
   final case class LayerW(
       wq: Array[Float], wk: Array[Float], wv: Array[Float],
       wo: Array[Float],
       w1: Array[Float], b1: Array[Float],
       w2: Array[Float], b2: Array[Float],
       g1: Array[Float], be1: Array[Float],
-      g2: Array[Float], be2: Array[Float])
+      g2: Array[Float], be2: Array[Float],
+      rb: Array[Float] = Array.emptyFloatArray)
 
   final case class EncoderW(vocab: Int, dim: Int, ffn: Int,
       emb: Array[Float], layers: Seq[LayerW])
@@ -97,11 +100,35 @@ object OnnxWrite {
   def encoderModel(w: EncoderW): Array[Byte] = {
     val d = w.dim; val f = w.ffn
     require(w.emb.length == w.vocab * d)
+    val nb = w.layers.headOption.map(_.rb.length).getOrElse(0)
+    require(w.layers.forall(_.rb.length == nb), "uneven rb buckets")
     val m = new PbW
     m.int(1, 8) // ir_version
     m.msg(7) { g =>
       g.str(2, "tiny_encoder")
       g.msg(1)(node("Gather", Seq("emb", "ids"), Seq("x0")))
+      if (nb > 0) {
+        // relative-position RBF basis, shared by every layer: the
+        // caller supplies `pos` = [0..L-1] (the position_ids input of
+        // HuggingFace-style exports); φ_b = exp(−2 (posⱼ−posᵢ−μ_b)²)
+        // via stock Sub/Mul/Pow over an outer broadcast — no
+        // length-dependent constant, so the graph stays L-agnostic.
+        g.msg(1)(node("Unsqueeze", Seq("pos"), Seq("p_i"),
+          attrsInts = Map("axes" -> Seq(1L))))
+        g.msg(1)(node("Unsqueeze", Seq("pos"), Seq("p_j"),
+          attrsInts = Map("axes" -> Seq(0L))))
+        g.msg(1)(node("Sub", Seq("p_j", "p_i"), Seq("drel")))
+        for (b <- 0 until nb) {
+          g.msg(1)(node("Sub", Seq("drel", s"mu$b"), Seq(s"rd$b")))
+          g.msg(1)(node("Mul", Seq(s"rd$b", s"rd$b"), Seq(s"rd2_$b")))
+          g.msg(1)(node("Mul", Seq(s"rd2_$b", "negtwo"), Seq(s"rde$b")))
+          g.msg(1)(node("Pow", Seq("econst", s"rde$b"), Seq(s"phi$b")))
+          g.msg(5)(tensorRaw(s"mu$b", Seq(1),
+            Array((b - nb / 2).toFloat)))
+        }
+        g.msg(5)(tensorRaw("negtwo", Seq(1), Array(-2.0f)))
+        g.msg(5)(tensorRaw("econst", Seq(1), Array(math.E.toFloat)))
+      }
       for ((lw, l) <- w.layers.zipWithIndex) {
         val p = s"l$l"
         val xin = if (l == 0) "x0" else s"l${l - 1}out"
@@ -116,7 +143,17 @@ object OnnxWrite {
         n("Transpose", Seq(s"${p}k"), Seq(s"${p}kt"))
         n("MatMul", Seq(s"${p}q", s"${p}kt"), Seq(s"${p}sc"))
         n("Div", Seq(s"${p}sc", "sqrtd"), Seq(s"${p}scd"))
-        n("Softmax", Seq(s"${p}scd"), Seq(s"${p}aw"), Map("axis" -> -1L))
+        val logits = if (nb == 0) s"${p}scd" else {
+          // logits += Σ_b rb_b · φ_b — the layer's learned relative bias
+          for (b <- 0 until nb) {
+            n("Mul", Seq(s"phi$b", s"${p}rb$b"), Seq(s"${p}bt$b"))
+            g.msg(5)(tensorRaw(s"${p}rb$b", Seq(1), Array(lw.rb(b))))
+            val prev = if (b == 0) s"${p}scd" else s"${p}bs${b - 1}"
+            n("Add", Seq(prev, s"${p}bt$b"), Seq(s"${p}bs$b"))
+          }
+          s"${p}bs${nb - 1}"
+        }
+        n("Softmax", Seq(logits), Seq(s"${p}aw"), Map("axis" -> -1L))
         n("MatMul", Seq(s"${p}aw", s"${p}v"), Seq(s"${p}ctx"))
         n("MatMul", Seq(s"${p}ctx", s"${p}wo"), Seq(s"${p}proj"))
         n("Add", Seq(s"${p}proj", xin), Seq(s"${p}res1"))
@@ -154,6 +191,7 @@ object OnnxWrite {
       g.msg(5)(tensorRaw("one", Seq(1), Array(1.0f)))
       g.msg(5)(tensorRaw("half", Seq(1), Array(0.5f)))
       g.msg(11)(OnnxWrite.valueInfo("ids"))
+      if (nb > 0) g.msg(11)(OnnxWrite.valueInfo("pos"))
       g.msg(12)(OnnxWrite.valueInfo("y"))
     }
     m.toBytes

@@ -178,10 +178,18 @@ object Bpe {
           val (a, b) = (r.getString(0), r.getString(1))
           merges += ((a, b))
           learned += 1
+          // localCheckpoint, not persist: the applyMerge fold is a deep
+          // nested expression, and persist keeps the LOGICAL plan — after
+          // N merges Catalyst would re-analyze an N-deep fold tower per
+          // iteration (measured: the driver, not the executors, dominates
+          // a few hundred merges). Checkpointing truncates the plan to
+          // the materialized vocabulary table, keeping each iteration's
+          // analysis O(1). The table is vocabulary-scale and regenerable
+          // from the corpus pass, so the reliability note on
+          // localCheckpoint does not apply at this size.
           val next = words
             .select(applyMerge(col("syms"), a, b).as("syms"), col("freq"))
-            .persist()
-          next.count()
+            .localCheckpoint(true)
           words.unpersist()
           words = next
       }
