@@ -573,7 +573,19 @@ object Dedup {
   private def windowHashArrays(docs: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    docs
+    // CPU-bound per-row stage (k-token md5 per window position, a
+    // higher-order transform outside codegen): its parallelism must
+    // not be bound to the INPUT SPLIT count. A fixture-sized corpus
+    // arrives as one parquet row group → one task → every window
+    // hashed on one core (measured at sf1: 42 s single-threaded vs
+    // ~4 s spread; at 100 TB a compacted shard has the same problem).
+    // One narrow shuffle of the raw text is noise against the k×
+    // window blowup it parallelizes.
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val in =
+      if (docs.rdd.getNumPartitions >= parts) docs
+      else docs.repartition(parts)
+    in
       .select(col(idCol).as("doc"), toks.as("l"))
       .select(col("doc"),
         when(size(col("l")) >= k,
@@ -587,10 +599,6 @@ object Dedup {
   private def explodeWins(arrs: DataFrame): DataFrame =
     arrs.select(col("doc"), posexplode(col("hs")).as(Seq("p", "h")))
       .select(col("doc"), (col("p") + 1).as("pos"), col("h"))
-
-  private def windowHashes(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame =
-    explodeWins(windowHashArrays(docs, idCol, textCol, k))
 
   /** Merge `(doc, pos)` duplicated-window rows into maximal spans via a
     * per-doc islands-and-gaps window (bounded by doc length). */
@@ -632,7 +640,12 @@ object Dedup {
     * index of [[minhashBandIndex]]). */
   def substringHashIndex(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame =
-    windowHashes(docs, idCol, textCol, k).select("h").distinct()
+    // checkpoint BEFORE the explode, like substringDupSpans: Generate
+    // re-evaluates its (collapsed) input expression per emitted row, so
+    // an un-materialized window transform turns O(len·k) per doc into
+    // O(len²·k) — measured 30× on the sf1 fixture corpus
+    explodeWins(windowHashArrays(docs, idCol, textCol, k)
+      .localCheckpoint(false)).select("h").distinct()
 
   /** Incremental twin of [[substringDupSpans]]: spans of BATCH documents
     * whose windows occur verbatim in the INDEXED corpus. Only the batch
@@ -643,8 +656,11 @@ object Dedup {
   def incrementalSubstringSpans(index: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, k: Int = 8): DataFrame = {
     require(k >= 2, s"window size must be >= 2, got $k")
+    // same pre-explode checkpoint as substringHashIndex (Generate
+    // re-evaluation hazard)
     mergeSpans(
-      windowHashes(batch, idCol, textCol, k)
+      explodeWins(windowHashArrays(batch, idCol, textCol, k)
+        .localCheckpoint(false))
         .join(index, Seq("h"), "left_semi"), k)
   }
 
