@@ -12504,7 +12504,150 @@ object SparkEntry {
            |    AS colbert_score
            |FROM mx ORDER BY colbert_score DESC, doc_id
            |LIMIT 10""".stripMargin
-      }))
+      }),
+
+    Q("q356_rle8_scene_cuts",
+      // Scene-cut detection over REAL INTER-FRAME video decode: each
+      // selected document gets a synthetic BI_RLE8 AVI
+      // ([[graft.multimodal.AviRle8Write]] — the writer mirror of the
+      // RLE8 decoder) whose per-frame content is an md5-scheduled
+      // two-tone pattern (split left vs split right), with kind 2 a
+      // ZERO-BYTE repeat chunk (the carried-canvas no-op). The engine
+      // runs the full real path — RIFF demux, sequential RLE8 pixel
+      // decode onto the carried canvas, dHash per frame, Hamming vs
+      // predecessor ([[graft.multimodal.Multimodal.sceneCuts]] with
+      // [[graft.multimodal.RleAviFrameDecoder]]); the oracle replays
+      // the cut schedule in closed form (a pattern switch is a cut;
+      // repeats and same-pattern frames are not — identical canvases
+      // hash identically, so hamming is exactly 0 there and ≥ the
+      // threshold only on a switch). Streaming shape: one pass, one
+      // 64-bit hash of state per clip, no shuffle before the final
+      // order.
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{BinaryType, IntegerType,
+          LongType, StructField, StructType}
+        val sel = Tables.documents(s, dir)
+          .filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"),
+            transform(
+              // clip length varies 6..10 by selection INDEX (doc_id/20
+              // — every selected id is ≡ 0 mod 20, so doc_id % 5 would
+              // be constant)
+              sequence(lit(0), (lit(5) + pmod((col("doc_id") / 20)
+                .cast("long"), lit(5))).cast("int")),
+              i => pmod(TextFunctions.md5Long(
+                concat(col("doc_id").cast("string"), lit(":vf"),
+                  i.cast("string"))), lit(3L)).cast("int"))
+              .as("kinds"))
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("v", BinaryType)))
+        val enc = org.apache.spark.sql.Encoders.row(schema)
+        val clips = sel.mapPartitions { rows =>
+          rows.map { r =>
+            val kinds = r.getSeq[Int](1)
+            val frames = kinds.zipWithIndex.map { case (k, i) =>
+              // frame 0 must paint (a repeat there would hash the
+              // empty canvas); later repeats carry the canvas
+              if (i == 0) Some(if (k % 2 == 0) 16 else 48)
+              else if (k == 2) None
+              else Some(if (k == 0) 16 else 48)
+            }
+            Row(r.getLong(0),
+              graft.multimodal.AviRle8Write.avi(64, 48, frames))
+          }
+        }(enc)
+        graft.multimodal.Multimodal.sceneCuts(clips, "v",
+            cutHamming = 4,
+            decoder = graft.multimodal.RleAviFrameDecoder)
+          .select(col("doc_id"), col("frame_no"), col("is_cut"))
+          .orderBy("doc_id", "frame_no")
+      },
+      s"""WITH sel AS (
+         |  SELECT doc_id, (6 + (doc_id // 20) % 5)::INT AS n
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |fr AS (SELECT doc_id, unnest(range(0, n)) AS i FROM sel),
+         |k AS (SELECT doc_id, i,
+         |    (CASE WHEN i = 0
+         |       THEN ${md5LongSql("doc_id::VARCHAR || ':vf' || i::VARCHAR")}
+         |         % 3 % 2
+         |       ELSE ${md5LongSql("doc_id::VARCHAR || ':vf' || i::VARCHAR")}
+         |         % 3 END)::INT AS kind
+         |  FROM fr),
+         |eff AS (SELECT doc_id, i,
+         |    last_value(CASE WHEN kind <= 1 THEN kind END IGNORE NULLS)
+         |      OVER (PARTITION BY doc_id ORDER BY i) AS pat
+         |  FROM k)
+         |SELECT doc_id, i::INT AS frame_no,
+         |  (i > 0 AND pat <> lag(pat) OVER (PARTITION BY doc_id ORDER BY i))
+         |    AS is_cut
+         |FROM eff ORDER BY doc_id, frame_no""".stripMargin),
+
+    Q("q355_neural_ocr_ingest",
+      // The flagship ingest path driven end-to-end by the NEURAL OCR
+      // engine: every selected document becomes a real scanned page —
+      // text rendered with a real DejaVu typeface (or the composed
+      // jamo [[graft.ingest.HangulFont]] for the Korean rows — the
+      // reference's EasyOCR en+ko pair, `parsing.py:37-41`),
+      // JPEG-compressed into a DCTDecode PDF
+      // ([[graft.ingest.RasterScan]]) — then parsed by
+      // [[graft.ingest.PdfPageExtractor]], whose empty text layer
+      // routes the raster to [[graft.ingest.NeuralOcrEngine]] (the
+      // trained MLP), and enriched by the standard metadata pass. The
+      // oracle reconstructs the EXPECTED recognition in SQL — exact
+      // because the full A-Z0-9 alphabet and the Hangul fixture string
+      // round-trip verbatim at this typeface/size (probed per
+      // character in six neighbor contexts; fail-row semantics stay
+      // live — a majority-rejected page would surface as status
+      // 'fail' and break the hash). Scale shape: one scan,
+      // per-partition render+OCR, no shuffle before the final order.
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{BinaryType, StringType,
+          StructField, StructType}
+        val sel = Tables.documents(s, dir)
+          .filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "source", "lang")
+        val schema = StructType(Seq(
+          StructField("path", StringType),
+          StructField("content", BinaryType)))
+        val enc = org.apache.spark.sql.Encoders.row(schema)
+        val files = sel.mapPartitions { rows =>
+          rows.map { r =>
+            val (id, src, lang) =
+              (r.getLong(0), r.getString(1), r.getString(2))
+            val pdf =
+              if (id % 100 == 0)
+                graft.ingest.RasterScan.hangulScanPdf(HangulScanText, 4)
+              else graft.ingest.RasterScan.latinScanPdf(
+                s"PAGE $id ${lang.toUpperCase}", "DejaVu Serif", 28)
+            Row(s"/scan/$src/$lang/doc_$id.pdf", pdf)
+          }
+        }(enc)
+        graft.ingest.Ingest.enrich(
+          graft.ingest.Ingest.explodePages(files,
+            graft.ingest.PdfPageExtractor(
+              ocr = graft.ingest.NeuralOcrEngine)), "/scan")
+          .select("filepath", "filename", "page", "lv1_cat", "lv2_cat",
+            "lv3_cat", "status", "hashed_filepath",
+            "hashed_page_content")
+          .orderBy("filepath", "page")
+      },
+      s"""SELECT path AS filepath,
+         |  'doc_' || doc_id || '.pdf' AS filename, 1 AS page,
+         |  source AS lv1_cat, lang AS lv2_cat, '' AS lv3_cat,
+         |  'success' AS status, md5(path) AS hashed_filepath,
+         |  md5('This page explains doc_' || doc_id
+         |      || ' that belongs to ' || source || ',' || lang
+         |      || ' categories.' || chr(10) ||
+         |      CASE WHEN doc_id % 100 = 0 THEN '$HangulScanText'
+         |           ELSE 'PAGE ' || doc_id || ' ' || upper(lang) END)
+         |    AS hashed_page_content
+         |FROM (SELECT *, '/scan/' || source || '/' || lang || '/doc_'
+         |        || doc_id || '.pdf' AS path FROM documents
+         |      WHERE doc_id % 10 = 0)
+         |ORDER BY filepath, page""".stripMargin))
 
   /** Fixed retrieval question for q351 — drawn from the encoder's
     * training themes so the learned geometry is exercised. */
@@ -12519,6 +12662,10 @@ object SparkEntry {
   /** Fixed retrieval question for q354 — in-vocab corpus words, so the
     * BPE tokenizer and the oracle's word→id join see every token. */
   val CorpusColbertQuery = "spark join fast group key"
+
+  /** Korean page text for q355 — [[graft.ingest.HangulFont]] glyphs;
+    * round-trips the neural OCR exactly (probed). */
+  val HangulScanText = "한국어 스파크"
 
   /** Integer MaxSim score matrix (BPE-vocab ids × query tokens) from
     * the committed CORPUS-trained encoder ([[graft.embed.CorpusColbert]])

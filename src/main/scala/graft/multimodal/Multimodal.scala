@@ -339,7 +339,7 @@ object Multimodal {
   /** 64-bit difference hash of a decoded image: 9×8 grid of luma means,
     * bit = right cell brighter than left. Shared by [[withImageDHash]]
     * and the video [[sceneCuts]] leg. */
-  private def dHashOf(img: java.awt.image.BufferedImage): Long = {
+  private[multimodal] def dHashOf(img: java.awt.image.BufferedImage): Long = {
     val (gw, gh) = (9, 8)
     val w = img.getWidth
     val hh = img.getHeight
