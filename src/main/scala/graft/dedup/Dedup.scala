@@ -78,6 +78,14 @@ object Dedup {
       org.apache.spark.sql.graftext.MinHashExpr.minhash(
         TextFunctions.shingles(TextFunctions.tokens(col(textCol)),
           ShingleSize), NumHashes).as("mh"))
+      // barrier BEFORE the per-seed split: the split references `mh`
+      // NumHashes times and the minhash expression runs interpreted
+      // (codegen fallback), so without materialization the collapsed
+      // projection re-evaluates the full shingle pass per reference
+      // (measured 4-5× at sf1 — the q103 Generate hazard's projection
+      // twin). The checkpoint holds one compact (id, 8 longs) row per
+      // doc.
+      .localCheckpoint(false)
     val hashes = (0 until NumHashes).map(i =>
       element_at(col("mh"), i + 1).as(s"h$i"))
     sh.select((col("doc_id") +: hashes): _*)
@@ -378,6 +386,13 @@ object Dedup {
     hashed.select(col("doc_id"),
       org.apache.spark.sql.graftext.SimHashExpr.simhash(col("hs"),
         SimHashBits).as("simhash"))
+      // barrier: the banding consumers reference `simhash` 4-5 times
+      // (quarter split + the carried signature) and the whole
+      // tokenize→md5→simhash chain runs interpreted — without
+      // materialization the collapsed projection re-evaluates it per
+      // reference (the minhashSignatures hazard; one compact
+      // (id, long) row per doc held instead)
+      .localCheckpoint(false)
   }
 
   /** SimHash near-dup candidates: equal 15-bit quarter (Hamming ≤ 3 over

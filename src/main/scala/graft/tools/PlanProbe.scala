@@ -1,6 +1,7 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
 
 /** Scratch stage-timing probe (GraphProbe discipline). */
 object PlanProbe {
@@ -17,15 +18,24 @@ object PlanProbe {
       r
     }
     val docs = graft.Tables.documents(spark, dir)
-    val corpus = docs.filter(col("doc_id") % 2 === 0)
-    val batch  = docs.filter(col("doc_id") % 2 === 1)
-    val idx = graft.dedup.Dedup.substringHashIndex(corpus, "doc_id", "text", 8)
-    t("index build")(println("  idx " + idx.count()))
-    val spans = graft.dedup.Dedup.incrementalSubstringSpans(idx, batch,
-      "doc_id", "text", 8)
-    t("spans noop")(
-      spans.orderBy("doc", "span_start").write.mode("overwrite")
-        .format("noop").save())
+    val nh = graft.dedup.Dedup.NumHashes
+    // current operator
+    val sigs = graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text")
+    t("minhashSignatures (current)")(
+      sigs.write.mode("overwrite").format("noop").save())
+    // raw minhash array, no per-seed split
+    val mh = docs.select(col("doc_id"),
+      org.apache.spark.sql.graftext.MinHashExpr.minhash(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3),
+        nh).as("mh"))
+    t("minhash array only")(
+      mh.write.mode("overwrite").format("noop").save())
+    // split AFTER a checkpoint barrier
+    val ck = mh.localCheckpoint(true)
+    val split = ck.select((col("doc_id") +: (0 until nh).map(i =>
+      element_at(col("mh"), i + 1).as(s"h$i"))): _*)
+    t("split after barrier")(
+      split.write.mode("overwrite").format("noop").save())
     spark.stop()
   }
 }
