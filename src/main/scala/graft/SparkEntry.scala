@@ -35,6 +35,18 @@ object SparkEntry {
 
   val QueryText  = "spark join merge sort window"
   val EmbedDim   = 64
+
+  /** The reference's hard vector width (`elasticsearch_index.py:41-42`)
+    * — q357 exercises the quantization/guard path at this dim over a
+    * generated lattice table; the fixture corpus stays dim 64. */
+  val Dim1024 = 1024
+
+  /** q357 query vector: same exact-in-float lattice law as the
+    * generated table ((i·29 + 7) mod 97, shifted/scaled by powers of
+    * two), so the oracle computes it in SQL instead of shipping 1024
+    * literals. */
+  val Dim1024QueryVec: Array[Float] = Array.tabulate(Dim1024)(j =>
+    ((((j + 1) * 29 + 7) % 97) - 48).toFloat / 16.0f)
   val Embedder   = DeterministicEmbedder(EmbedDim)
   val QueryVec: Array[Float] = Embedder.embed(QueryText)
   val QueryTerms: Array[String] =
@@ -12444,6 +12456,12 @@ object SparkEntry {
       // to one `word</w>` symbol (spec-pinned). Same scale shape as
       // q351: scan → encode → two broadcast joins → partial max-agg →
       // integer sum.
+      // Realism bound (COVERAGE.md §Round 12): this encoder proves the
+      // mechanism chain + a measured quality win at fixture scale; it
+      // does NOT stand in for bge-m3's vocab (106 merges vs ~250k),
+      // dim (32 vs the reference's 1024 contract — exercised by q357),
+      // or training corpus. Swapping a real checkpoint is an asset
+      // change, not an operator change.
       (s, dir) => {
         val enc = graft.embed.CorpusColbert.trained
         val m = corpusColbertScoreTable
@@ -12584,6 +12602,78 @@ object SparkEntry {
          |    AS is_cut
          |FROM eff ORDER BY doc_id, frame_no""".stripMargin),
 
+    Q("q357_dim1024_sq8_knn",
+      // The reference's HARD vector contract is dim 1024
+      // (`elasticsearch_index.py:41-42,263-265`) while the fixtures
+      // carry dim 64 — this query runs the full quantization ladder AT
+      // THE CONTRACT WIDTH over a generated dim-1024 table: a
+      // deterministic integer lattice per (vec_id, dim) — k = (vec_id·31
+      // + i·17) mod 97, v = (k − 48)/16 — exact in float AND double, so
+      // both engines see identical bits with no literal table shipped.
+      // Pipeline: dim-1024 guard (the reference's index/query check) →
+      // per-dim min/max codebook → affine int8 quantization → integer
+      // dot-product candidate scan (HOF transform/zip_with — size-
+      // independent expressions, nothing assumes dim 64) → exact-cosine
+      // rerank. Scale shape identical to q66: one codebook collect
+      // (2 × dim doubles), TakeOrderedAndProject shortlist, k-row
+      // rerank.
+      (s, dir) => {
+        val d = Dim1024
+        val gen = Tables.embeddings(s, dir).select("vec_id")
+          .withColumn("embedding",
+            transform(sequence(lit(1), lit(d)),
+              i => (((col("vec_id") * 31 + i.cast("long") * 17) % 97)
+                .cast("double") - lit(48.0)) / lit(16.0))
+              .cast("array<float>"))
+        val guarded = gen.filter(
+          graft.functions.VectorFunctions.hasDim(col("embedding"), d))
+        VectorSearch.quantizedTopK(guarded, "vec_id", "embedding",
+          Dim1024QueryVec, 10, d, numCandidates = 50)
+      },
+      {
+        val qd = (i: String) => // q66's int8 quantizer at dim 1024
+          s"(CASE WHEN mxs[$i] = mns[$i] THEN 0 ELSE " +
+            s"least(127, greatest(-128, " +
+            s"floor((embedding[$i] - mns[$i]) * 255.0 / " +
+            s"(mxs[$i] - mns[$i]))::BIGINT - 128)) END)"
+        s"""WITH gen AS (
+           |  SELECT vec_id,
+           |    [((vec_id * 31 + i * 17) % 97 - 48) / 16.0
+           |     for i in range(1, ${Dim1024 + 1})] AS embedding
+           |  FROM embeddings),
+           |qvec AS (SELECT [((i * 29 + 7) % 97 - 48) / 16.0
+           |                 for i in range(1, ${Dim1024 + 1})] AS qv),
+           |pe AS (
+           |  SELECT unnest(embedding) AS v,
+           |         generate_subscripts(embedding, 1) AS pos
+           |  FROM gen),
+           |mm AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM pe GROUP BY pos),
+           |arrs AS (SELECT list(mn ORDER BY pos) AS mns,
+           |                list(mx ORDER BY pos) AS mxs FROM mm),
+           |qq AS (
+           |  SELECT [CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
+           |            least(127, greatest(-128,
+           |              floor((qv[i] - mns[i]) * 255.0 /
+           |                (mxs[i] - mns[i]))::BIGINT - 128)) END
+           |          for i in range(1, ${Dim1024 + 1})] AS qiv
+           |  FROM arrs, qvec),
+           |cand AS (
+           |  SELECT vec_id, embedding,
+           |    list_sum([${qd("i")} * qiv[i]
+           |              for i in range(1, ${Dim1024 + 1})])::BIGINT AS qscore
+           |  FROM gen, arrs, qq
+           |  ORDER BY qscore DESC, vec_id LIMIT 50)
+           |SELECT vec_id AS doc_id,
+           |  round(CASE WHEN nrm = 0 OR qn = 0 THEN 0.0
+           |        ELSE dot / (nrm * qn) END, 6) AS vec_score
+           |FROM (SELECT vec_id,
+           |        list_dot_product(embedding, qv) AS dot,
+           |        sqrt(list_dot_product(embedding, embedding)) AS nrm,
+           |        sqrt(list_dot_product(qv, qv)) AS qn
+           |      FROM cand, qvec)
+           |ORDER BY vec_score DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
     Q("q355_neural_ocr_ingest",
       // The flagship ingest path driven end-to-end by the NEURAL OCR
       // engine: every selected document becomes a real scanned page —
@@ -12621,7 +12711,7 @@ object SparkEntry {
               if (id % 100 == 0)
                 graft.ingest.RasterScan.hangulScanPdf(HangulScanText, 4)
               else graft.ingest.RasterScan.latinScanPdf(
-                s"PAGE $id ${lang.toUpperCase}", "DejaVu Serif", 28)
+                s"PAGE $id ${lang.toUpperCase(java.util.Locale.ROOT)}", "DejaVu Serif", 28)
             Row(s"/scan/$src/$lang/doc_$id.pdf", pdf)
           }
         }(enc)

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -84,8 +85,10 @@ object Dedup {
       // projection re-evaluates the full shingle pass per reference
       // (measured 4-5× at sf1 — the q103 Generate hazard's projection
       // twin). The checkpoint holds one compact (id, 8 longs) row per
-      // doc.
-      .localCheckpoint(false)
+      // doc. Routed through Ckpt: scale deployments set
+      // spark.graft.reliableCheckpoint for executor-loss-survivable
+      // materialization instead of session-pinned local blocks.
+      .graftCheckpoint(false)
     val hashes = (0 until NumHashes).map(i =>
       element_at(col("mh"), i + 1).as(s"h$i"))
     sh.select((col("doc_id") +: hashes): _*)
@@ -178,7 +181,7 @@ object Dedup {
   def incrementalClusters(oldLabels: DataFrame, idCol: String,
       newIds: DataFrame, newPairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val pairs = newPairs.select(col("a"), col("b")).localCheckpoint(true)
+    val pairs = newPairs.select(col("a"), col("b")).graftCheckpoint(true)
     val touched = pairs.select(col("a").as("id"))
       .unionByName(pairs.select(col("b").as("id"))).distinct()
     val affectedClusters = oldLabels
@@ -392,7 +395,7 @@ object Dedup {
       // materialization the collapsed projection re-evaluates it per
       // reference (the minhashSignatures hazard; one compact
       // (id, long) row per doc held instead)
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
   }
 
   /** SimHash near-dup candidates: equal 15-bit quarter (Hamming ≤ 3 over
@@ -481,9 +484,9 @@ object Dedup {
       pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().graftCheckpoint(true)
     var labels = allDocs.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -497,7 +500,7 @@ object Dedup {
           least(col("label"), coalesce(col("n_min"), col("label")))
             .as("label"),
           (col("n_min") < col("label")).as("chg"))
-      val step = next.localCheckpoint(true)
+      val step = next.graftCheckpoint(true)
       changed = step.filter(col("chg")).count()
       labels = step.select("id", "label")
       i += 1
@@ -641,7 +644,7 @@ object Dedup {
     // back, and their exchanges differ — checkpoint the compact
     // per-doc hash arrays so tokenize+md5 runs once
     val wins = explodeWins(
-      windowHashArrays(docs, idCol, textCol, k).localCheckpoint(false))
+      windowHashArrays(docs, idCol, textCol, k).graftCheckpoint(false))
     val dupHashes = wins.groupBy("h")
       .agg(min("doc").as("mn"), max("doc").as("mx"))
       .filter(col("mn") =!= col("mx"))
@@ -660,7 +663,7 @@ object Dedup {
     // an un-materialized window transform turns O(len·k) per doc into
     // O(len²·k) — measured 30× on the sf1 fixture corpus
     explodeWins(windowHashArrays(docs, idCol, textCol, k)
-      .localCheckpoint(false)).select("h").distinct()
+      .graftCheckpoint(false)).select("h").distinct()
 
   /** Incremental twin of [[substringDupSpans]]: spans of BATCH documents
     * whose windows occur verbatim in the INDEXED corpus. Only the batch
@@ -675,7 +678,7 @@ object Dedup {
     // re-evaluation hazard)
     mergeSpans(
       explodeWins(windowHashArrays(batch, idCol, textCol, k)
-        .localCheckpoint(false))
+        .graftCheckpoint(false))
         .join(index, Seq("h"), "left_semi"), k)
   }
 

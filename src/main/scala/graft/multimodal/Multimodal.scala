@@ -489,11 +489,22 @@ object Multimodal {
             else (0 until n).map(i => i * (m - 1) / (n - 1))
           picks.iterator.zipWithIndex.map { case (src, i) =>
             val (off, len) = slices(src)
-            val fb = java.util.Arrays.copyOfRange(bytes, off, off + len)
-            val tail = decoder.decodeDims(bytes, off, len) match {
-              case Right((w, h)) => Seq(i, src, fb, w, h, null)
-              case Left(e)       => Seq(i, src, fb, null, null, e)
-            }
+            // zero-length slice = inter-frame "repeat previous" chunk
+            // (RLE8 ##dc with no payload): NOT standalone-decodable, so
+            // never ship empty bytes with plausible dims — error-flag it
+            // (downstream image legs skip error rows; sceneCuts is the
+            // surface that decodes repeats correctly via decodeFrames).
+            val tail =
+              if (len == 0)
+                Seq(i, src, null, null, null,
+                  "inter-frame repeat chunk: not standalone-decodable")
+              else {
+                val fb = java.util.Arrays.copyOfRange(bytes, off, off + len)
+                decoder.decodeDims(bytes, off, len) match {
+                  case Right((w, h)) => Seq(i, src, fb, w, h, null)
+                  case Left(e)       => Seq(i, src, fb, null, null, e)
+                }
+              }
             Row.fromSeq(r.toSeq ++ tail)
           }
         }
@@ -529,16 +540,21 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         val bytes  = r.getAs[Array[Byte]](binIdx)
-        // pixel decode through the SEAM's sequential iterator, so
-        // inter-frame codecs (RLE8 delta frames) hash correctly —
-        // intra-frame decoders produce the same per-slice decode.
-        // Emptiness comes from the SAME iterator (hasNext is lazy on a
-        // mapped iterator) — never a second frameSlices/parseFormat
-        // walk over the container bytes.
-        val frames = decoder.decodeFrames(bytes)
+        // Container-level vs per-frame failure is classified by `probe`
+        // (a header walk, negligible next to pixel decode): a container
+        // the decoder rejects outright gets ONE null-frame_no row with
+        // the probe error — so consumers keep distinguishing container
+        // errors (frame_no null) from per-frame errors (frame_no set),
+        // even for decoders like RLE8 whose decodeFrames surfaces the
+        // container failure as a single leading Left.
+        val containerErr = decoder.probe(bytes).left.toOption
+        val frames =
+          if (containerErr.isDefined) Iterator.empty
+          else decoder.decodeFrames(bytes)
         if (!frames.hasNext)
           Iterator.single(Row.fromSeq(r.toSeq ++ Seq(null, null, null,
-            s"no demuxable frames (not ${decoder.format}?)")))
+            containerErr.getOrElse(
+              s"no demuxable frames (not ${decoder.format}?)"))))
         else {
           var prev: java.lang.Long = null
           frames.zipWithIndex.map { case (fr, i) =>

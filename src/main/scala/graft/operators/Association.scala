@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -35,7 +36,7 @@ object Association {
     val bi = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
     val f1 = bi.groupBy("item").agg(countDistinct("basket").as("n"))
       .filter(col("n") >= minSupport)
-      .localCheckpoint(false) // consumed by k1 output AND the prune
+      .graftCheckpoint(false) // consumed by k1 output AND the prune
     // prune to frequent items, then one bounded in-group array per basket
     val sets = bi.join(broadcast(f1.select("item")), Seq("item"), "left_semi")
       .groupBy("basket")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -98,7 +99,7 @@ object Attribution {
     val v = subsets.join(broadcast(masks),
         col("mask").bitwiseAND(col("s")) === col("mask"), "left")
       .groupBy("s").agg(sum(coalesce(col("m"), lit(0L))).as("v"))
-      .localCheckpoint(true) // 2^n rows; joined against itself per channel
+      .graftCheckpoint(true) // 2^n rows; joined against itself per channel
     // w(s) = s!(n-1-s)!/n! as literals — exact rationals in double
     def fact(x: Int): Double = (1 to x).foldLeft(1.0)(_ * _)
     val terms = channels.zipWithIndex.map { case (c, i) =>

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -100,7 +101,7 @@ object Causal {
         sum(when(col("__t"), col("__y"))).as("st"),
         sum(when(!col("__t"), 1L).otherwise(0L)).as("nc"),
         sum(when(!col("__t"), col("__y"))).as("sc"))
-      .localCheckpoint(false) // grid-sized; feeds matched + naive aggs
+      .graftCheckpoint(false) // grid-sized; feeds matched + naive aggs
     val matched = cells.filter(col("nt") > 0L && col("nc") > 0L)
       .select(col("nt"),
         round((col("st").cast("double") / col("nt").cast("double")
@@ -194,7 +195,7 @@ object Causal {
     val base = df.select(col(treatCol).cast("double").as("t"),
       col(yCol).cast("double").as("y"),
       col(x1Col).cast("double").as("x1"),
-      col(x2Col).cast("double").as("x2")).localCheckpoint(true)
+      col(x2Col).cast("double").as("x2")).graftCheckpoint(true)
     val fit = Regression.logisticIrls2(
       base.select(col("t").as("y"), col("x1"), col("x2")),
       "y", "x1", "x2", iters).collect().head

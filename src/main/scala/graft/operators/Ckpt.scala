@@ -36,6 +36,22 @@ object Ckpt {
   private def reliable(df: DataFrame): Boolean =
     df.sparkSession.conf.getOption(Key).exists(_.toBoolean)
 
+  /** Free the storage blocks behind an (already superseded) checkpointed
+    * frame. `Dataset.unpersist` is a NO-OP for checkpoint blocks — the
+    * cache manager never tracked them — so iterative loops that retire a
+    * generation per step (BPE merge training, frontier expansion) would
+    * otherwise hold every generation until RDD GC. This walks the plan's
+    * `LogicalRDD` leaves (exactly what `localCheckpoint` returns) and
+    * unpersists the underlying RDD directly. ONLY call on a frame whose
+    * successor is already eagerly materialized: a locally-checkpointed
+    * RDD has no lineage to recompute from once its blocks are dropped. */
+  def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** `df.graftCheckpoint(eager)` — chainable form of [[Ckpt.apply]]. */
   implicit final class CkptOps(private val df: DataFrame) extends AnyVal {
     def graftCheckpoint(eager: Boolean): DataFrame = Ckpt(df, eager)

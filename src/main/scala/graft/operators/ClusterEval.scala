@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -100,7 +101,7 @@ object ClusterEval {
       .orderBy(col("s").desc, col("nid").asc)
     val nb = scored.withColumn("r", row_number().over(w))
       .filter(col("r") <= k)
-      .localCheckpoint(true) // |probes|·k rows; feeds two aggregates
+      .graftCheckpoint(true) // |probes|·k rows; feeds two aggregates
     val ag = nb.groupBy("qid", "qlabel")
       .agg(count(lit(1)).as("n_neighbors"),
         sum(when(col("nlabel") =!= col("qlabel"), 1L).otherwise(0L))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,7 +41,7 @@ object Customer {
       .select(col("c"),
         datediff(col("dmax"), col("dlast")).cast("int").as("r"),
         col("f"), col("mdec"))
-      .localCheckpoint(true) // customer-scale; feeds thresholds + scoring
+      .graftCheckpoint(true) // customer-scale; feeds thresholds + scoring
     val labeled = per.select(lit("r").as("metric"),
         col("r").cast("double").as("mv"))
       .unionAll(per.select(lit("f").as("metric"),
@@ -117,7 +118,7 @@ object Customer {
       && bCutPermille <= 1000)
     val perE = df.groupBy(col(entityCol).as("__id"))
       .agg(sum(col(valueCol).cast(d184)).as("__rev"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val ranked = Ranks.globalRowNumber(
       perE.select(col("__id"), col("__rev"),
         (-col("__rev")).cast("double").as("__neg")),
@@ -181,7 +182,7 @@ object Customer {
     val wide = per.groupBy("e")
       .agg(side(false, "r").as("r1"), side(false, "q").as("q1"),
         side(true, "r").as("r2"), side(true, "q").as("q2"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val both = wide.filter(col("r1").isNotNull && col("r2").isNotNull
       && col("q1") > 0 && col("q2") > 0)
     val p1 = col("r1").cast("double") / col("q1").cast("double")
@@ -229,7 +230,7 @@ object Customer {
       : DataFrame = {
     val perE = df.groupBy(col(entityCol).as("__id"))
       .agg(sum(col(valueCol).cast(d184)).as("__rev"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val ranked = Ranks.globalRowNumber(
       perE.select(col("__id"), col("__rev"),
         col("__rev").cast("double").as("__rd")),

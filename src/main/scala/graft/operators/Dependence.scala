@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -21,7 +22,7 @@ object Dependence {
     // materialize the metadata-sized frame once so the corpus groupBy
     // isn't re-scanned per consumer (the Triangles/Association pattern)
     val cells = df.groupBy(col(c1).as("a"), col(c2).as("b"))
-      .agg(count(lit(1)).as("nab")).localCheckpoint(true)
+      .agg(count(lit(1)).as("nab")).graftCheckpoint(true)
     val ma = cells.groupBy("a").agg(sum("nab").as("na"))
     val mb = cells.groupBy("b").agg(sum("nab").as("nb"))
     val n = cells.agg(sum("nab").as("n"))
@@ -61,7 +62,7 @@ object Dependence {
   def chi2(df: DataFrame, c1: String, c2: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val cells = df.groupBy(col(c1).as("a"), col(c2).as("b"))
-      .agg(count(lit(1)).as("nab")).localCheckpoint(true)
+      .agg(count(lit(1)).as("nab")).graftCheckpoint(true)
     val ma = cells.groupBy("a").agg(sum("nab").as("na"))
     val mb = cells.groupBy("b").agg(sum("nab").as("nb"))
     val tot = broadcast(ma.agg(sum("na").as("n"),
@@ -143,7 +144,7 @@ object Dependence {
     val cells = df
       .groupBy(col(xCol).cast("double").as("x"),
         col(yCol).cast("double").as("y"))
-      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      .agg(count(lit(1)).as("c")).graftCheckpoint(true)
     val pairs = cells.select(col("x").as("x1"), col("y").as("y1"),
         col("c").as("c1"))
       .join(cells.select(col("x").as("x2"), col("y").as("y2"),
@@ -189,7 +190,7 @@ object Dependence {
           .cast(DecimalType(28, 9)).as("t"))
       .groupBy("u").agg(sum(col("t")).as("hd"))
       .select(col("u"), col("hd"), col("hd").cast("double").as("h"))
-      .localCheckpoint(true) // feeds mean + quantile legs
+      .graftCheckpoint(true) // feeds mean + quantile legs
     val qs = Ranks.quantileDisc(ent.withColumn("g", lit("all")), "g", "h",
       Seq(0.25, 0.5, 0.75))
       .groupBy()

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,7 +28,7 @@ object Isotonic {
   def pavPpm(binned: DataFrame): DataFrame = {
     val t = binned.select(col("bin").cast("long").as("bin"),
       col("n").cast("long").as("n"), col("pos").cast("long").as("pos"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     // range aggregates over every contiguous [j, k]: a triangular
     // self-join on the bin grid (≤ nBins² rows)
     val ranges = t.select(col("bin").as("j")).crossJoin(

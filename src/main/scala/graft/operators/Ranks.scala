@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -435,7 +436,7 @@ object Ranks {
 
     val raw = df.select(g.as("g"), col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val gType = raw.schema("g").dataType
     val bounds = raw.groupBy("g")
       .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
@@ -462,7 +463,7 @@ object Ranks {
       .withColumn("__b", bucketCol(col("lo"), col("hi"), col("v")))
       .join(broadcast(loc0), Seq("g", "__b"))
       .select(col("g"), col("p"), col("v"), col("tgt"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
 
     val wSel = Window.partitionBy("g", "p").orderBy(col("v").asc)
     def finalize(s: DataFrame): DataFrame =
@@ -530,7 +531,7 @@ object Ranks {
               Seq("g", "p"))
             .withColumn("__b", bucketCol(col("lo"), col("hi"), col("v")))
             .select(col("g"), col("p"), col("v"), col("tgt"), col("__b"))
-            .localCheckpoint(false)
+            .graftCheckpoint(false)
           val hist = bs.groupBy("g", "p", "__b").agg(count(lit(1)).as("bn"))
             .withColumn("pre", coalesce(sum("bn").over(wGP), lit(0L)))
           val loc = hist
@@ -543,7 +544,7 @@ object Ranks {
           slice = bs.drop("tgt")
             .join(broadcast(loc), Seq("g", "p", "__b"))
             .select(col("g"), col("p"), col("v"), col("__tgt2").as("tgt"))
-            .localCheckpoint(false)
+            .graftCheckpoint(false)
         }
       }
       level += 1
@@ -577,7 +578,7 @@ object Ranks {
       val st = slice.groupBy("g", "p")
         .agg(min("v").as("lo"), max("v").as("hi"),
           count(lit(1)).as("m"), max("tgt").as("tgt"))
-        .localCheckpoint(true) // grid-sized; consumed by 3 branches
+        .graftCheckpoint(true) // grid-sized; consumed by 3 branches
       results ::= st.filter(col("hi") === col("lo"))
         .select(col("g"), col("p"), col("lo").as("value"))
       val small = st.filter(col("hi") =!= col("lo") && col("m") <= maxSlice)
@@ -594,7 +595,7 @@ object Ranks {
             col("lo"), col("hi"))), Seq("g", "p"))
           .withColumn("__b", bucketCol(col("lo"), col("hi"), col("v")))
           .select(col("g"), col("p"), col("v"), col("tgt"), col("__b"))
-          .localCheckpoint(true)
+          .graftCheckpoint(true)
         val hist = bs.groupBy("g", "p", "__b").agg(count(lit(1)).as("bn"))
           .withColumn("pre", coalesce(sum("bn").over(wGP), lit(0L)))
         val loc = hist
@@ -607,7 +608,7 @@ object Ranks {
         slice = bs.drop("tgt")
           .join(broadcast(loc), Seq("g", "p", "__b"))
           .select(col("g"), col("p"), col("v"), col("__tgt2").as("tgt"))
-          .localCheckpoint(true)
+          .graftCheckpoint(true)
       }
       level += 1
     }
@@ -816,7 +817,7 @@ object Ranks {
     val src = df.select(col(groupCol).as("g"),
       col(valueCol).cast("double").as("v"))
     val cells = src.groupBy("g", "v").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false) // grid + group-index + pooled consumers
+      .graftCheckpoint(false) // grid + group-index + pooled consumers
     // ordinal group index: the group frame is metadata-scale (k rows),
     // so the unpartitioned ordering window is bounded
     val gIdx = broadcast(cells.groupBy("g")
@@ -851,7 +852,7 @@ object Ranks {
       .withColumn("below",
         col("__pre") + coalesce(sum(col("c")).over(wLocal), lit(0L)))
       .select(col("gi"), col("v"), col("c"), col("below"))
-      .localCheckpoint(false) // both sides of the ordered-pair join
+      .graftCheckpoint(false) // both sides of the ordered-pair join
     // U2 contribution at value v for ordered pair (g < h): each pair
     // (x ∈ g, y ∈ h) with y = v contributes 2·[x < v] + [x = v], i.e.
     // 2·c_h(v)·below_g(v) + c_g(v)·c_h(v)

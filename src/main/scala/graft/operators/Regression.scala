@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -187,7 +188,7 @@ object Regression {
         sum(col("y")).as("sy"), sum(col("x1") * col("y")).as("s1y"),
         sum(col("x2") * col("y")).as("s2y"),
         sum(col("y") * col("y")).as("syy"))
-      .localCheckpoint(true) // k-row metadata frame
+      .graftCheckpoint(true) // k-row metadata frame
     val names = Seq("n", "s1", "s2", "s11", "s12", "s22", "sy",
       "s1y", "s2y", "syy")
     val tot = broadcast(perFold.agg(

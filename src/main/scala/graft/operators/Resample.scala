@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -135,7 +136,7 @@ object Resample {
       .groupBy("g").agg(count(lit(1)).as("e"))
     val cells = obs.join(ext, Seq("g"), "left")
       .withColumn("e", coalesce(col("e"), lit(0L)))
-      .localCheckpoint(true) // k-row metadata frame from here on
+      .graftCheckpoint(true) // k-row metadata frame from here on
     val k = cells.count()
     val wRank = Window.orderBy(col("e").asc, col("g").asc)
     val ranked = cells.withColumn("i", row_number().over(wRank))

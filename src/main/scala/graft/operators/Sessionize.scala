@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -56,7 +57,7 @@ object Sessionize {
           col("s") - col("prev_s") > gapSeconds, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("new_s")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val wS = Window.partitionBy("user_id", "session_idx")
       .orderBy(col("s").asc, col("event_id").asc)
     val stepped = sess.withColumn("rn", row_number().over(wS))

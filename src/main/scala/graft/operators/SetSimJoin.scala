@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -50,7 +51,7 @@ object SetSimJoin {
       .select(col(idCol).as("doc_id"),
         array_distinct(TextFunctions.shingles(
           TextFunctions.tokens(col(textCol)), shingleN)).as("els0"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     // set length rides the pre-explode array (no per-doc window needed)
     val elems = arrs
       .select(col("doc_id"), size(col("els0")).as("len"),

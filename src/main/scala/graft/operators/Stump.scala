@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -105,7 +106,7 @@ object Stump {
     // lazy: the first round's grid collect materializes it; rounds are
     // sequential, so nothing races the checkpoint
     val base = df.select(col(xCol).cast("double").as("x"),
-      col(yCol).cast("double").as("y")).localCheckpoint(false)
+      col(yCol).cast("double").as("y")).graftCheckpoint(false)
 
     var pred: Column = lit(0.0)
     val rows = (1 to rounds).map { rd =>

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -27,7 +28,7 @@ object Tail {
     val top = df.select(col(valueCol).cast("double").as("v"))
       .filter(col("v") > 0.0)
       .orderBy(col("v").desc).limit(k + 1)
-      .localCheckpoint(true) // k+1 rows; reused for threshold + terms
+      .graftCheckpoint(true) // k+1 rows; reused for threshold + terms
     val thr = broadcast(top.agg(min(col("v")).as("xk1"),
       count(lit(1)).as("m")))
     top.crossJoin(thr)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,7 +52,7 @@ object TimeSeries {
         col(valueCol).cast(DecimalType(18, 4)).as("v"))
       .groupBy("d").agg(sum(col("v")).as("xd"))
       .select(col("d"), col("xd").cast("double").as("x"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val lagged = daily
       .select(col("d"), col("x"),
         explode(array(
@@ -96,7 +97,7 @@ object TimeSeries {
       .select(date_trunc("day", col(tsCol)).as("d"),
         col(valueCol).cast(DecimalType(18, 4)).as("v"))
       .groupBy("d").agg(sum(col("v")).as("x"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val stats = broadcast(daily.agg(count(lit(1)).as("n"),
       sum(col("x")).cast("double").as("sx")))
     val centred = daily.crossJoin(stats)
@@ -146,7 +147,7 @@ object TimeSeries {
       .groupBy("d").agg(sum(col("v")).as("x"))
       .select(datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
         col("x").cast("double").as("x"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     // Up to `driverDaysUpTo` observation days (8192 days ≈ 22 years ≈
     // 33M pairs ≈ 270 MB of driver doubles), the whole pairwise stage
     // is METADATA-sized: collect the daily grid once and run both
@@ -212,7 +213,7 @@ object TimeSeries {
           col("tj") > col("ti"))
         .select(((col("xj") - col("xi"))
           / (col("tj") - col("ti")).cast("double")).as("s"))
-        .localCheckpoint(false)
+        .graftCheckpoint(false)
       val slope = Ranks.quantileDisc(
         pairs.withColumn("g", lit("all")), "g", "s", Seq(0.5))
         .select(col("value").as("slope"))
@@ -244,7 +245,7 @@ object TimeSeries {
       .select(date_trunc("day", col(tsCol)).as("d"),
         col(valueCol).cast(DecimalType(18, 4)).as("v"))
       .groupBy("d").agg(sum(col("v")).as("x"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val overall = daily.agg(count(lit(1)).cast("double").as("nd"),
       sum(col("x")).cast("double").as("sx"))
     daily
@@ -265,13 +266,13 @@ object TimeSeries {
       .select(date_trunc("day", col(tsCol)).as("d"),
         col(valueCol).cast(DecimalType(18, 4)).as("v"))
       .groupBy("d").agg(sum(col("v")).as("x"))
-      .localCheckpoint(true) // calendar-scale; reused by stats + lag legs
+      .graftCheckpoint(true) // calendar-scale; reused by stats + lag legs
     val stats = daily.agg(count(lit(1)).cast("double").as("n"),
       sum(col("x")).cast("double").as("sx"))
     val mu = (col("sx") / col("n")).as("mu")
     val centred = daily.crossJoin(broadcast(stats.select(mu)))
       .select(col("d"), (col("x").cast("double") - col("mu")).as("c"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val den = centred
       .agg(sum(round(col("c") * col("c"), 0).cast(DecimalType(28, 0)))
         .cast("double").as("den"))
@@ -307,7 +308,7 @@ object TimeSeries {
       .select(date_trunc("day", col(tsCol)).as("d"),
         col(valueCol).cast(DecimalType(18, 2)).as("v"))
       .groupBy("d").agg(sum(col("v")).as("x"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val w = Window.orderBy("d").rowsBetween(-3, 3)
     val det = daily
       .withColumn("n7", count(lit(1)).over(w))
@@ -317,7 +318,7 @@ object TimeSeries {
         round(col("x").cast("double")
           - col("s7").cast("double") / lit(7.0), 6).cast(d286)
           .as("det"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val seas = det
       .groupBy((dayofweek(col("d")) - 1).as("dow"))
       .agg(count(lit(1)).as("n_days"), sum(col("det")).as("sd"))
@@ -419,7 +420,7 @@ object TimeSeries {
       .select(date_trunc("day", col(tsCol)).as("d"),
         col(valueCol).cast(DecimalType(18, 2)).as("v"))
       .groupBy("d").agg(sum(col("v")).as("x"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val w = Window.orderBy("d").rowsBetween(-6, 0)
     val roll = daily
       .withColumn("n7", count(lit(1)).over(w))
@@ -458,7 +459,7 @@ object TimeSeries {
       .select(date_trunc("day", col(tsCol)).as("d"),
         col(valueCol).cast(DecimalType(18, 2)).as("v"))
       .groupBy("d").agg((sum(col("v")) * 100).cast("long").as("u"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val st = daily.agg(count(lit(1)).as("n"), sum(col("u")).as("s"),
         sum(col("u").cast(DecimalType(38, 0)) * col("u"))
           .cast("double").as("q"))
@@ -498,7 +499,7 @@ object TimeSeries {
         % period).as("h"),
         datediff(col("d"), lit("1970-01-01").cast("date")).as("t"),
         col("x"))
-      .localCheckpoint(false) // pair join sides + stratum tie groups
+      .graftCheckpoint(false) // pair join sides + stratum tie groups
     val s = broadcast(daily
       .select(col("h"), col("t").as("t1"), col("x").as("x1"))
       .join(broadcast(daily.select(col("h"), col("t").as("t2"),
@@ -598,7 +599,7 @@ object TimeSeries {
       .groupBy("d").agg(sum(col("v")).as("x"))
       .select(datediff(col("d"), lit("1970-01-01").cast("date"))
         .as("t"), col("x"))
-      .localCheckpoint(false) // pair join (both sides) + tie groups
+      .graftCheckpoint(false) // pair join (both sides) + tie groups
     val s = broadcast(daily.select(col("t").as("t1"), col("x").as("x1"))
       .join(broadcast(daily.select(col("t").as("t2"),
         col("x").as("x2"))), col("t1") < col("t2"))

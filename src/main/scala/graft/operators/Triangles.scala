@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -33,7 +34,7 @@ object Triangles {
     // same rationale as the localCheckpoint in Dedup.nearDupClusters.
     // distinct first: the semi-join probe is naturally idempotent but
     // duplicate (a,b) rows would multiply wedge AND triangle counts
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    val e = edges.select(col("a"), col("b")).distinct().graftCheckpoint(true)
     val wedges = e.toDF("x", "y")
       .join(e.toDF("y", "z"), "y")
       .select(col("x"), col("y"), col("z"))
@@ -60,7 +61,7 @@ object Triangles {
     * (v, deg, n_tri, lcc) — exact integer counts, one rounded
     * division. */
   def localClustering(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    val e = edges.select(col("a"), col("b")).distinct().graftCheckpoint(true)
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
       .groupBy("v")

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -44,7 +45,7 @@ object Fairness {
           .otherwise(expr(
             "(2 * fp * 1000000 + (n - n_pos)) DIV (2 * (n - n_pos))")
             .cast("double") / 1e6).as("fpr"))
-      .localCheckpoint(false) // rate rows + the gap aggregate
+      .graftCheckpoint(false) // rate rows + the gap aggregate
     val gaps = broadcast(per.agg(
       (max(col("sel_rate")) - min(col("sel_rate"))).as("dp_gap"),
       (max(col("tpr")) - min(col("tpr"))).as("tpr_gap"),

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -132,11 +133,11 @@ object QualityClassifier {
     val base = docs.select(
       least(floor(p * nBins).cast("int"), lit(nBins - 1)).as("bin"),
       p.as("qp"), truthCol.cast("long").as("pos"))
-      .localCheckpoint(false) // bin aggregate + per-doc term consumers
+      .graftCheckpoint(false) // bin aggregate + per-doc term consumers
     val bins = base.groupBy("bin")
       .agg(count(lit(1)).as("n_k"), sum(col("pos")).as("pos_k"),
         sum(round(col("qp"), 9).cast(d289)).as("sum_p"))
-      .localCheckpoint(false) // bin terms + totals + per-doc join
+      .graftCheckpoint(false) // bin terms + totals + per-doc join
     val tot = broadcast(bins.agg(sum(col("n_k")).as("n"),
       sum(col("pos_k")).as("np")))
     val binMean = bins.select(col("bin"),

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -310,7 +311,7 @@ object Sampling {
     val scored = m.select(col("stratum"), col("n_h"),
         round(sigma, 6).as("sigma"))
       .withColumn("__w", nD * col("sigma"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val tot = broadcast(scored.agg(
       sum(round(col("__w"), 6).cast(d386)).cast("double").as("__t")))
     val withShare = scored.crossJoin(tot)

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -156,7 +157,7 @@ object WeakLabels {
       src.groupBy("b").agg(count(lit(1)).as("nt"))
         .crossJoin(kRow).filter(col("nt") === col("kk")).select("b")),
       "b")
-      .localCheckpoint(false) // column-total AND row-total consumers
+      .graftCheckpoint(false) // column-total AND row-total consumers
     val dec = "decimal(38,0)"
     val colAgg = complete.groupBy("t")
       .agg(sum(when(col("x"), 1L).otherwise(0L)).as("tj"))

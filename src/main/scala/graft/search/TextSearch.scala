@@ -1,5 +1,6 @@
 package graft.search
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -94,7 +95,7 @@ object TextSearch {
     // scoring, feedback tf, corpus df) AND the expanded rescore; lazy
     // checkpoint — the expansion-term collect below materializes it
     val postings = buildPostings(docs, idCol, textCol)
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val base = bm25FromPostings(postings, nDocs, query)
       .select(col("doc_id"), round(col("text_score"), 6).as("s"))

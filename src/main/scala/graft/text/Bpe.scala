@@ -190,11 +190,19 @@ object Bpe {
           val next = words
             .select(applyMerge(col("syms"), a, b).as("syms"), col("freq"))
             .localCheckpoint(true)
+          // Retire the previous generation's storage NOW, not at GC:
+          // unpersist() covers the persisted gen-0 corpus table but is a
+          // NO-OP for checkpoint blocks (the cache manager never tracked
+          // them), so later generations also need Ckpt.free — which drops
+          // the LogicalRDD's blocks directly. Safe: `next` is already
+          // eagerly materialized, nothing reads `words` again.
           words.unpersist()
+          graft.operators.Ckpt.free(words)
           words = next
       }
     }
     words.unpersist()
+    graft.operators.Ckpt.free(words)
     Model(merges.result())
   }
 

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -34,7 +35,7 @@ object NaiveBayes {
 
     val classes = base.filter(col("tr"))
       .groupBy(col("lab").as("c")).agg(count(lit(1)).as("ndocs"))
-      .localCheckpoint(true) // |classes| rows, feeds prior + grid legs
+      .graftCheckpoint(true) // |classes| rows, feeds prior + grid legs
     val nd = broadcast(classes.agg(sum(col("ndocs")).as("nd")))
     val prior = broadcast(classes.crossJoin(nd)
       .select(col("c"),
@@ -44,7 +45,7 @@ object NaiveBayes {
     val counts = toks.filter(col("tr"))
       .groupBy(col("lab").as("c"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // vocabulary × classes — feeds two legs
+      .graftCheckpoint(true) // vocabulary × classes — feeds two legs
     val classTok = broadcast(counts.groupBy("c")
       .agg(sum(col("cnt")).as("ctok")))
     val vocabN = broadcast(counts.agg(countDistinct(col("tok")).as("vn")))

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.operators.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -424,14 +425,14 @@ object TextAnalysis {
         "transform(sequence(1, size(l) - 1), " +
           "i -> struct(l[i - 1] AS u, l[i] AS v))")).as("p"))
       .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
-      .localCheckpoint(false) // model fit and scoring share the events
+      .graftCheckpoint(false) // model fit and scoring share the events
     // ONE corpus-scale aggregation; every other model relation derives
     // from the sparse bigram-count table (cu = Σc2 is a double sum of
     // exact small integers — identical to recounting the corpus; n1u,
     // cont and tt are row counts of c2, i.e. the TYPE statistics)
     val c2 = bi.groupBy("u", "v")
       .agg(count(lit(1)).cast("double").as("c2"))
-      .localCheckpoint(false) // ctx, cont, tt and the scoring join
+      .graftCheckpoint(false) // ctx, cont, tt and the scoring join
     val ctx = c2.groupBy("u")
       .agg(sum(col("c2")).as("cu"),
         count(lit(1)).cast("double").as("n1u"))
@@ -735,7 +736,7 @@ object TextAnalysis {
           "i -> struct(l[i - 1] AS u, l[i] AS v))")).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .distinct()
-      .localCheckpoint(false) // feeds the total AND the per-word counts
+      .graftCheckpoint(false) // feeds the total AND the per-word counts
     val total = broadcast(biTypes.agg(count(lit(1)).as("tt")))
     biTypes.groupBy(col("v").as("token"))
       .agg(count(lit(1)).as("cont_count"))
@@ -759,7 +760,7 @@ object TextAnalysis {
       sourceCol: String): DataFrame = {
     val toks = docs.select(col(sourceCol).as("source"),
       TextFunctions.tokens(col(textCol)).as("l"))
-      .localCheckpoint(false) // unigram + bigram consumers
+      .graftCheckpoint(false) // unigram + bigram consumers
     val uni = toks.select(col("source"), explode(col("l")).as("t"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_tokens"),
@@ -793,7 +794,7 @@ object TextAnalysis {
       minDf: Long = 5L, topK: Int = 50): DataFrame = {
     val tok = docs.select(col(idCol).as("doc"),
       explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .localCheckpoint(false) // cf + df consumers
+      .graftCheckpoint(false) // cf + df consumers
     val cf = tok.groupBy("t").agg(count(lit(1)).as("cf"))
     val df = tok.select("doc", "t").distinct()
       .groupBy("t").agg(count(lit(1)).as("df"))

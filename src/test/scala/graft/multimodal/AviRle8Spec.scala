@@ -141,6 +141,46 @@ class AviRle8Spec extends SparkSpec {
     assert(AviMjpeg.frameSlices(withRepeat).length == 2)
   }
 
+  test("sampleVideoFrames never ships a repeat chunk as a standalone " +
+      "frame: zero-length picks are error-flagged, not empty bytes " +
+      "with plausible dims") {
+    import spark.implicits._
+    val withRepeat = rleAvi(Seq(f1, Array.emptyByteArray, f2))
+    val out = Multimodal.sampleVideoFrames(
+      Seq((1L, withRepeat)).toDF("id", "v"), "v", 3,
+      decoder = RleAviFrameDecoder)
+      .select("src_frame", "frame_bytes", "frame_width", "frame_error")
+      .orderBy("src_frame").collect()
+    assert(out.length == 3)
+    // frames 0 and 2 are real standalone chunks
+    assert(out(0).isNullAt(3) && !out(0).isNullAt(1) && !out(0).isNullAt(2))
+    assert(out(2).isNullAt(3) && !out(2).isNullAt(1))
+    // frame 1 is the inter-frame repeat: error row, NO bytes, NO dims
+    assert(!out(1).isNullAt(3) &&
+      out(1).getString(3).contains("repeat"), out(1).toString)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
+
+  test("sceneCuts classifies container-level failure as a null-frame_no " +
+      "row even when decodeFrames surfaces it as a single Left") {
+    import spark.implicits._
+    val out = Multimodal.sceneCuts(
+      Seq((1L, Array[Byte](9, 9, 9))).toDF("id", "v"), "v",
+      decoder = RleAviFrameDecoder)
+      .select("frame_no", "cut_error").collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(0), "container error must keep frame_no null")
+    assert(out(0).getString(1) != null)
+    // ...while a PARSEABLE container with a malformed frame keeps
+    // per-frame semantics: frame_no set, error in cut_error
+    val bad = rleAvi(Seq(f1, bytes(0, 2, 2), f2))
+    val pf = Multimodal.sceneCuts(
+      Seq((1L, bad)).toDF("id", "v"), "v", decoder = RleAviFrameDecoder)
+      .select("frame_no", "cut_error").collect()
+    assert(pf.length == 3 && pf.forall(!_.isNullAt(0)))
+    assert(pf.count(!_.isNullAt(1)) == 1)
+  }
+
   test("fail-soft: truncated frames error per-frame, garbage bytes " +
       "error once, and decode continues on the carried canvas") {
     val bad = rleAvi(Seq(f1, bytes(0, 2, 2), f2)) // truncated DELTA
