@@ -79,8 +79,11 @@ object Bench {
     // printed line stays parseable by carrying the slowest queries only.
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(timed)},"steal_ticks":$stealJson,"steal_total":$totalSteal,"failed":$failedJson,"sf":"$sfDir"}"""
+    // filtered profiling runs must NOT clobber the committed full-sweep
+    // artifact (a 1-query file would poison round-over-round checks)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_FULL_LATEST.json")
+      if (only.isDefined) "/tmp/BENCH_FILTERED_LATEST.json"
+      else "BENCH_FULL_LATEST.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson)
     val slowest = timed.filter(_._2 >= 0).sortBy(-_._2).take(30)
       .map { case (k, v) => k -> math.rint(v * 1000) / 1000 }

@@ -152,10 +152,15 @@ object Graph {
       .select(col("v"), col("v").as("label"))
       .graftCheckpoint(false)
     val bc = labels.count() <= stateUpTo
-    // the n-keyed repartition only pays on the co-partitioned path;
-    // broadcast-state rounds join map-side off the cached relation
-    val nbrs = if (bc) nbrs0
-      else nbrs0.repartition(col("n")).graftCheckpoint(false)
+    // cached PARTITIONED copy: by the GROUP key (v) under the
+    // broadcast bound (the join is map-side there, and v-partitioning
+    // makes BOTH per-round groupBys plan exchange-free — v satisfies
+    // the (v,label) clustering); by the JOIN key (n) on the
+    // co-partitioned path. persist(), not checkpoint: a checkpoint's
+    // LogicalRDD surfaces as UnknownPartitioning under AQE and the
+    // planner re-shuffles every round (measured on hits, round 12).
+    val nbrs =
+      nbrs0.repartition(col(if (bc) "v" else "n")).persist()
     def step(labels0: DataFrame): DataFrame = {
       val l = labels0.withColumnRenamed("v", "n")
       nbrs

@@ -100,12 +100,17 @@ object PageRank {
       return deg.select(col("src").as("node"),
         lit(0.0).cast("double").as("rank"))
     val bc = n <= broadcastStateUpTo
-    // static (src, dst, deg): under the broadcast-state bound the
-    // iteration join is map-side, so skip the edge repartition (a full
-    // corpus shuffle that only pays off on the co-partitioned path)
+    // static (src, dst, deg), cached PARTITIONED: by the GROUP key
+    // (dst) under the broadcast bound — the iteration join is map-side
+    // there, so dst-partitioning makes the per-iteration contribution
+    // aggregation plan with NO exchange (one upfront edge shuffle buys
+    // `iters` saved ones); by the JOIN key (src) on the co-partitioned
+    // path. persist(), not checkpoint: a checkpoint's LogicalRDD
+    // surfaces as UnknownPartitioning under AQE and the planner
+    // re-shuffles every iteration (measured on hits, round 12).
     val ew = {
       val j = e0.join(maybeBroadcast(deg, bc), "src")
-      (if (bc) j else j.repartition(col("src"))).graftCheckpoint(false)
+      j.repartition(col(if (bc) "dst" else "src")).persist()
     }
     val nodes = deg.select(col("src").as("node"))
 
@@ -161,9 +166,9 @@ object PageRank {
       return wsum.select(col("src").as("node"),
         lit(0.0).cast("double").as("rank"))
     val bc = n <= broadcastStateUpTo
-    val ew = {
+    val ew = { // group-key/join-key partitioned cache — see [[run]]
       val j = e0.join(maybeBroadcast(wsum, bc), "src")
-      (if (bc) j else j.repartition(col("src"))).graftCheckpoint(false)
+      j.repartition(col(if (bc) "dst" else "src")).persist()
     }
     val nodes = wsum.select(col("src").as("node"))
     val init = nodes.select(col("node"),
@@ -225,9 +230,9 @@ object PageRank {
     val nSeeds = if (counts.isNullAt(1)) 0L else counts.getLong(1)
     require(nSeeds >= 1, "at least one seed must be a graph node")
     val bc = n <= broadcastStateUpTo
-    val ew = {
+    val ew = { // group-key/join-key partitioned cache — see [[run]]
       val j = e0.join(maybeBroadcast(deg, bc), "src")
-      (if (bc) j else j.repartition(col("src"))).graftCheckpoint(false)
+      j.repartition(col(if (bc) "dst" else "src")).persist()
     }
     val teleport = round(col("seed").cast("double") * (1.0 - damping)
       / nSeeds, 12)
@@ -273,11 +278,29 @@ object PageRank {
   def hits(edges: DataFrame, iters: Int, outDp: Int = 9,
       broadcastStateUpTo: Long = BroadcastStateUpTo): DataFrame = {
     require(iters >= 1)
-    // lazy: the hubs count below materializes e BEFORE the per-
-    // direction copies (if any) consume it, so nothing races
     val e = edges.select(col("hub"), col("auth")).distinct()
       .graftCheckpoint(false)
-    val hubs = e.select(col("hub")).distinct().graftCheckpoint(false)
+    // Both paths keep TWO partitioned edge copies, but keyed for
+    // different reasons: the broadcast path partitions each copy by
+    // its half-iteration's GROUP BY key (the join is map-side, so the
+    // per-round aggregation becomes shuffle-free — 2 one-time shuffles
+    // buy 2·iters saved ones); the distributed path keys by the JOIN
+    // column (state is corpus-sized there, the join is the shuffle
+    // that matters). Same copies serve both: group-by-auth == join-on-
+    // auth partitioning.
+    //
+    // persist(), NOT localCheckpoint: a checkpoint's LogicalRDD
+    // surfaces as UnknownPartitioning under AQE (measured: the
+    // downstream groupBy re-inserted `Exchange hashpartitioning` —
+    // the whole point of the copies, silently lost), while
+    // InMemoryRelation keeps the cached plan's partitioning and the
+    // per-round aggregation plans with NO exchange. Lineage stays
+    // shallow (one Exchange over e's checkpoint) and recoverable.
+    val eByHub = e.repartition(col("hub")).persist()
+    val eByAuth = e.repartition(col("auth")).persist()
+    // hub relation off the hub-partitioned copy: distinct needs no
+    // further exchange
+    val hubs = eByHub.select(col("hub")).distinct().graftCheckpoint(false)
     val nh = hubs.count()
     // empty edge relation: no hubs to normalize over — return the
     // empty (node, auth) frame like the SQL formulation would
@@ -285,67 +308,112 @@ object PageRank {
       return e.select(col("auth").as("node"),
         lit(0.0).cast("double").as("auth"))
     val bc = nh <= broadcastStateUpTo
-    // per-direction edge copies only pay on the co-partitioned path;
-    // with broadcast state both half-iterations join map-side off the
-    // one cached edge relation
-    val eByHub =
-      if (bc) e else e.repartition(col("hub")).graftCheckpoint(false)
-    val eByAuth =
-      if (bc) e else e.repartition(col("auth")).graftCheckpoint(false)
-    // under bc, carry the HUB score state as a collected literal
-    // (IterState rationale: the broadcast build collects it anyway)
-    // — ONE job per FULL iteration: the authority half stays a subplan
-    // whose lazy checkpoint materializes (and caches) inside the hub
-    // collect, so nothing is computed twice and half the per-job
-    // scheduler latency disappears. Beyond the bound keep the
-    // distributed loop with its checkpoint discipline.
-    def carry(df: DataFrame): DataFrame =
-      if (bc) df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(df.collect(): _*), df.schema)
-      else df.graftCheckpoint(false)
-    def carryMid(df: DataFrame): DataFrame =
-      if (bc) df else df.graftCheckpoint(false)
-    // under bc a LAZY score-sum checkpoint suffices (the collect's
-    // broadcast-total subtree materializes it before the rescale stage
-    // reads the cache); distributed path keeps EAGER — its total and
-    // rescale are racing sibling consumers
-    def ckpt(df: DataFrame): DataFrame = df.graftCheckpoint(!bc)
-    val h0 = hubs.select(col("hub"),
-      round(lit(1.0) / nh, 12).cast(DecimalType(28, 12)).as("hs"))
-    /** First half-iteration: authority scores from hub scores. */
-    def authHalf(h: DataFrame): DataFrame = {
-      val araw = ckpt(eByHub.join(maybeBroadcast(h, bc), "hub")
-        .groupBy("auth").agg(sum(col("hs")).as("ar"))) // exact decimal
-      val at = araw.agg(sum(col("ar")).as("t"))
-      carryMid(araw.crossJoin(broadcast(at))
-        .select(col("auth"),
-          round(col("ar").cast("double") / col("t").cast("double"), 12)
-            .cast(DecimalType(28, 12)).as("as")))
+    if (bc) hitsBroadcast(eByHub, eByAuth, hubs, nh, iters, outDp)
+    else hitsDistributed(eByHub, eByAuth, hubs, nh, iters, outDp)
+  }
+
+  /** Broadcast-state HITS: state carried as SCALED LONGS (micro =
+    * score × 1e12) so the per-EDGE sums are codegen'd long sums
+    * instead of per-row BigDecimal; the decimal round-trip is confined
+    * to the per-NODE rescale boundary. Bit-parity with the decimal
+    * path (pinned by FallbackParitySpec):
+    *  - a per-node sum of 12-dp decimals k·1e-12 IS (Σk)·1e-12 — the
+    *    identical integer, in any order;
+    *  - per-node score sums never exceed the normalized total 1e12 <
+    *    2^53, so long→double / 1e12 is the correctly-rounded double of
+    *    k/1e12 — the same value DECIMAL::DOUBLE produces;
+    *  - the rescale TOTAL can exceed 2^53 (it is bounded by max hub
+    *    degree × 1e12), so it converts through its exact decimal
+    *    STRING — the oracle's own ::VARCHAR::DOUBLE move — which is
+    *    correctly rounded at any magnitude. The long total overflows
+    *    only past a ~9.2M-degree hub carrying ~all score mass; such
+    *    graphs exceed the broadcast bound in practice (and the
+    *    distributed decimal path is the documented tool there). */
+  private def hitsBroadcast(eByHub: DataFrame, eByAuth: DataFrame,
+      hubs: DataFrame, nh: Long, iters: Int, outDp: Int): DataFrame = {
+    val micro = 1000000000000L
+    def toMicro(dec12: org.apache.spark.sql.Column) =
+      (dec12 * lit(micro)).cast("long")
+    def microToDouble(c: org.apache.spark.sql.Column) =
+      c.cast("double") / lit(micro.toDouble)
+    def microTotalToDouble(c: org.apache.spark.sql.Column) = {
+      // exact decimal string of k·1e-12, then one correctly-rounded
+      // parse — built by POSITION (Spark's `/` on longs is double
+      // division, which would lose exactness past 2^53)
+      val s = lpad(c.cast("string"), 13, "0")
+      val n = length(s)
+      concat(s.substr(lit(1), n - 12), lit("."), s.substr(n - 11, lit(12)))
+        .cast("double")
     }
-    /** Full iteration h → h (auth half then hub half) — the unit
-      * IterState composes k-per-job on the broadcast path. */
+    def rescale(s12: org.apache.spark.sql.Column,
+        t12: org.apache.spark.sql.Column) =
+      toMicro(round(microToDouble(s12) / microTotalToDouble(t12), 12)
+        .cast(DecimalType(28, 12)))
+    val h0 = hubs.select(col("hub"),
+      toMicro(round(lit(1.0) / nh, 12).cast(DecimalType(28, 12)))
+        .as("hs12"))
+    /** First half-iteration: authority scores from hub scores. The
+      * group-by runs on the auth-partitioned copy — no exchange. */
+    def authHalf(h: DataFrame): DataFrame = {
+      val araw = eByAuth.join(broadcast(h), "hub")
+        .groupBy("auth").agg(sum(col("hs12")).as("ar12"))
+        .graftCheckpoint(false) // lazy: total + rescale share it
+      val at = araw.agg(sum(col("ar12")).as("t12"))
+      araw.crossJoin(broadcast(at))
+        .select(col("auth"), rescale(col("ar12"), col("t12")).as("as12"))
+    }
+    /** Full iteration h → h: ONE job per round (the authority half
+      * rides as a broadcast subplan inside the hub collect). */
     def fullRound(h: DataFrame): DataFrame = {
       val a = authHalf(h)
-      val hraw = ckpt(eByAuth.join(maybeBroadcast(a, bc), "auth")
-        .groupBy("hub").agg(sum(col("as")).as("hr")))
+      val hraw = eByHub.join(broadcast(a), "auth")
+        .groupBy("hub").agg(sum(col("as12")).as("hr12"))
+        .graftCheckpoint(false)
+      val ht = hraw.agg(sum(col("hr12")).as("t12"))
+      hraw.crossJoin(broadcast(ht))
+        .select(col("hub"), rescale(col("hr12"), col("t12")).as("hs12"))
+    }
+    // a_iters = authHalf(h_{iters-1}). stepsPerJob=1: composing 2 full
+    // HITS rounds per job A/B-measured WORSE (round 10 same-window:
+    // k=1 3.91 s vs k=2 4.48 s) — each round already carries two aggs
+    // + two broadcast rescales.
+    val hFinal = IterState.iterate(h0, iters - 1, stepsPerJob = 1)(fullRound)
+    authHalf(hFinal).select(col("auth").as("node"),
+      round(microToDouble(col("as12")), outDp).as("auth"))
+  }
+
+  /** Co-partitioned decimal HITS for node sets past the broadcast
+    * bound: state stays distributed, sums are exact DECIMAL(28,12),
+    * eager checkpoints fence the total/rescale sibling consumers. */
+  private def hitsDistributed(eByHub: DataFrame, eByAuth: DataFrame,
+      hubs: DataFrame, nh: Long, iters: Int, outDp: Int): DataFrame = {
+    val h0 = hubs.select(col("hub"),
+      round(lit(1.0) / nh, 12).cast(DecimalType(28, 12)).as("hs"))
+    def authHalf(h: DataFrame): DataFrame = {
+      val araw = eByHub.join(h, "hub")
+        .groupBy("auth").agg(sum(col("hs")).as("ar")) // exact decimal
+        .graftCheckpoint(true)
+      val at = araw.agg(sum(col("ar")).as("t"))
+      araw.crossJoin(broadcast(at))
+        .select(col("auth"),
+          round(col("ar").cast("double") / col("t").cast("double"), 12)
+            .cast(DecimalType(28, 12)).as("as"))
+        .graftCheckpoint(false)
+    }
+    def fullRound(h: DataFrame): DataFrame = {
+      val a = authHalf(h)
+      val hraw = eByAuth.join(a, "auth")
+        .groupBy("hub").agg(sum(col("as")).as("hr"))
+        .graftCheckpoint(true)
       val ht = hraw.agg(sum(col("hr")).as("t"))
       hraw.crossJoin(broadcast(ht))
         .select(col("hub"),
           round(col("hr").cast("double") / col("t").cast("double"), 12)
             .cast(DecimalType(28, 12)).as("hs"))
     }
-    // a_iters = authHalf(h_{iters-1}): iterate the HUB state iters-1
-    // full rounds, then one final authority half-step. stepsPerJob=1:
-    // composing 2 full HITS rounds per job A/B-measured WORSE (round
-    // 10 same-window: k=1 3.91 s at steal 0 vs k=2 4.48 s at steal 5)
-    // — each round already carries two aggs + two broadcast rescales,
-    // and doubling that plan costs more in optimization than one
-    // collect round-trip saves
-    val hFinal =
-      if (bc) IterState.iterate(h0, iters - 1, stepsPerJob = 1)(fullRound)
-      else (1 to iters - 1).foldLeft(h0) { case (h, _) =>
-        carry(fullRound(h))
-      }
+    val hFinal = (1 to iters - 1).foldLeft(h0) { case (h, _) =>
+      fullRound(h).graftCheckpoint(false)
+    }
     authHalf(hFinal).select(col("auth").as("node"),
       round(col("as").cast("double"), outDp).as("auth"))
   }
