@@ -278,16 +278,19 @@ object PageRank {
   def hits(edges: DataFrame, iters: Int, outDp: Int = 9,
       broadcastStateUpTo: Long = BroadcastStateUpTo): DataFrame = {
     require(iters >= 1)
-    val e = edges.select(col("hub"), col("auth")).distinct()
-      .graftCheckpoint(false)
-    // Both paths keep TWO partitioned edge copies, but keyed for
+    // raw (pre-distinct) edge projection, checkpointed once so the
+    // caller's edge build runs once, not once per copy
+    val e0 = edges.select(col("hub"), col("auth")).graftCheckpoint(false)
+    // Both paths keep TWO partitioned DEDUPED edge copies, keyed for
     // different reasons: the broadcast path partitions each copy by
     // its half-iteration's GROUP BY key (the join is map-side, so the
     // per-round aggregation becomes shuffle-free — 2 one-time shuffles
     // buy 2·iters saved ones); the distributed path keys by the JOIN
     // column (state is corpus-sized there, the join is the shuffle
-    // that matters). Same copies serve both: group-by-auth == join-on-
-    // auth partitioning.
+    // that matters). The DISTINCT rides inside each copy's shuffle:
+    // hashpartitioning(hub) satisfies the (hub, auth) dedup
+    // clustering, so dropDuplicates is a local pass — no standalone
+    // distinct stage, no third materialization.
     //
     // persist(), NOT localCheckpoint: a checkpoint's LogicalRDD
     // surfaces as UnknownPartitioning under AQE (measured: the
@@ -295,9 +298,11 @@ object PageRank {
     // the whole point of the copies, silently lost), while
     // InMemoryRelation keeps the cached plan's partitioning and the
     // per-round aggregation plans with NO exchange. Lineage stays
-    // shallow (one Exchange over e's checkpoint) and recoverable.
-    val eByHub = e.repartition(col("hub")).persist()
-    val eByAuth = e.repartition(col("auth")).persist()
+    // shallow (one Exchange over e0's checkpoint) and recoverable.
+    val eByHub = e0.repartition(col("hub"))
+      .dropDuplicates("hub", "auth").persist()
+    val eByAuth = e0.repartition(col("auth"))
+      .dropDuplicates("hub", "auth").persist()
     // hub relation off the hub-partitioned copy: distinct needs no
     // further exchange
     val hubs = eByHub.select(col("hub")).distinct().graftCheckpoint(false)
@@ -305,7 +310,7 @@ object PageRank {
     // empty edge relation: no hubs to normalize over — return the
     // empty (node, auth) frame like the SQL formulation would
     if (nh == 0)
-      return e.select(col("auth").as("node"),
+      return eByAuth.select(col("auth").as("node"),
         lit(0.0).cast("double").as("auth"))
     val bc = nh <= broadcastStateUpTo
     if (bc) hitsBroadcast(eByHub, eByAuth, hubs, nh, iters, outDp)
@@ -373,11 +378,14 @@ object PageRank {
       hraw.crossJoin(broadcast(ht))
         .select(col("hub"), rescale(col("hr12"), col("t12")).as("hs12"))
     }
-    // a_iters = authHalf(h_{iters-1}). stepsPerJob=1: composing 2 full
-    // HITS rounds per job A/B-measured WORSE (round 10 same-window:
-    // k=1 3.91 s vs k=2 4.48 s) — each round already carries two aggs
-    // + two broadcast rescales.
-    val hFinal = IterState.iterate(h0, iters - 1, stepsPerJob = 1)(fullRound)
+    // a_iters = authHalf(h_{iters-1}). Fully-fused fold: state never
+    // round-trips the driver as external rows — each broadcast build
+    // collects INTERNAL rows and materializes the previous round's
+    // lazy checkpoint in the same pass (A/B at sf1: fold 9.95 s vs
+    // IterState k=2 10.56 s vs k=1 11.41 s, clean steal brackets).
+    val hFinal = (1 to iters - 1).foldLeft(h0) { case (h, _) =>
+      fullRound(h).graftCheckpoint(false)
+    }
     authHalf(hFinal).select(col("auth").as("node"),
       round(microToDouble(col("as12")), outDp).as("auth"))
   }

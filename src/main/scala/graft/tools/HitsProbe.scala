@@ -77,16 +77,24 @@ object HitsProbe {
         .select(col("auth"), rescale(col("ar12"), col("t12")).as("as12"))
     }
     for (i <- 1 to 2) {
-      h = t(s"round $i (auth+hub halves, collect)") {
-        val a = authHalf(h)
-        val hraw = eByHub.join(broadcast(a), "auth")
+      // sub-step attribution for round i
+      val a = t(s"r$i.a authHalf build+materialize(count)") {
+        val x = authHalf(h); x.count(); x
+      }
+      val hraw = t(s"r$i.b hub agg materialize") {
+        val x = eByHub.join(broadcast(a), "auth")
           .groupBy("hub").agg(sum(col("as12")).as("hr12"))
           .graftCheckpoint(false)
+        x.count(); x
+      }
+      val rows = t(s"r$i.c total+rescale+collect") {
         val ht = hraw.agg(sum(col("hr12")).as("t12"))
-        val next = hraw.crossJoin(broadcast(ht))
+        hraw.crossJoin(broadcast(ht))
           .select(col("hub"), rescale(col("hr12"), col("t12")).as("hs12"))
-        spark.createDataFrame(
-          java.util.Arrays.asList(next.collect(): _*), next.schema)
+          .collect()
+      }
+      h = t(s"r$i.d literal rebuild") {
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), h.schema)
       }
     }
     t("final auth half + noop write") {

@@ -644,4 +644,54 @@ class PlanSpec extends SparkSpec {
     val b = fmtOf("q196_ngram_novelty")
     assert(!b.contains("CartesianProduct") && !b.contains("Window"), b)
   }
+
+  test("HITS round: the per-iteration aggregation is exchange-free on " +
+      "the group-key-partitioned cached edge copy") {
+    // the round-12 find: a localCheckpoint's LogicalRDD surfaces as
+    // UnknownPartitioning under AQE, silently re-inserting an edge-
+    // scale Exchange into EVERY iteration of the graph operators. The
+    // copies are persist()ed and keyed by the GROUP BY column now;
+    // this pins the resulting plan shape so a refactor that loses it
+    // fails here, not on the 100 TB run.
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val edges = (0L until 2000L).map(i => (i % 97, i % 53))
+      .toDF("hub", "auth")
+    import graft.operators.Ckpt.CkptOps
+    val e = edges.distinct().graftCheckpoint(false)
+    val eByAuth = e.repartition(col("auth")).persist()
+    eByAuth.count() // materialize the cache (as hits() does via hubs)
+    val state = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 97L).map(h =>
+        org.apache.spark.sql.Row(h, 1000000L)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("hub",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("hs12",
+          org.apache.spark.sql.types.LongType))))
+    val agg = eByAuth.join(broadcast(state), "hub")
+      .groupBy("auth").agg(sum(col("hs12")).as("ar12"))
+    val s = agg.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // partial+final aggregate ADJACENT in the outer tree = no exchange
+    // between them (the one hashpartitioning Exchange in the output is
+    // the cache-BUILD shuffle rendered inside the InMemoryRelation)
+    assert("""HashAggregate \(\d+\)\s*\n\s*\+- HashAggregate""".r
+      .findFirstIn(s).isDefined,
+      "group-by re-shuffled the partitioned cache:\n" + s)
+    assert(s.contains("InMemoryTableScan"),
+      "cached copy not used:\n" + s)
+    // and the checkpointed form really does lose the partitioning —
+    // the hazard this guard exists for (if Spark ever starts
+    // preserving it, the persist() workaround can be retired)
+    val eCk = e.repartition(col("auth")).graftCheckpoint(true)
+    val s2 = eCk.join(broadcast(state), "hub")
+      .groupBy("auth").agg(sum(col("hs12")).as("ar12"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("""HashAggregate \(\d+\)\s*\n\s*\+- Exchange""".r
+      .findFirstIn(s2).isDefined,
+      "checkpoint now preserves partitioning — retire the workaround:\n" + s2)
+  }
 }
