@@ -592,10 +592,13 @@ object SparkEntry {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         // signatures feed THREE consumers (candidate generation + both
-        // sides of the estimate join) — sign the corpus once and cache
-        // (at 100 TB this is a checkpointed signature table; re-signing
-        // per consumer would triple the dominant cost)
-        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").persist()
+        // sides of the estimate join) — sign the corpus once and
+        // checkpoint (lazy): one materialization shared by all three,
+        // blocks ContextCleaner-collected once the query finishes —
+        // a persist() would pin a corpus-sized cache in the session
+        // CacheManager across the driver's hundreds of queries
+        val sigs = graft.operators.Ckpt(
+          Dedup.minhashSignatures(docs, "doc_id", "text"), eager = false)
         val nh = Dedup.NumHashes
         val ha = sigs.toDF("a" +: (0 until nh).map(i => s"ha$i"): _*)
         val hb = sigs.toDF("b" +: (0 until nh).map(i => s"hb$i"): _*)
@@ -849,11 +852,13 @@ object SparkEntry {
       // join), both AQE-sized; nothing collects.
       (s, dir) => {
         // (user, week) feeds both the cohort derivation and the join —
-        // materialize the distinct once (one events scan, one shuffle)
-        val uw = Tables.events(s, dir)
+        // materialize the distinct once (one events scan, one shuffle);
+        // lazy checkpoint, not persist: same sharing, but the blocks
+        // free with the query instead of pinning the CacheManager
+        val uw = graft.operators.Ckpt(Tables.events(s, dir)
           .select(col("user_id"),
             expr("unix_micros(ts) div 604800000000").as("week"))
-          .distinct().persist()
+          .distinct(), eager = false)
         val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
         uw.join(cohort, "user_id")
           .groupBy(col("cohort_week"),

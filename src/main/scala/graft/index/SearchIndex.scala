@@ -294,11 +294,14 @@ object SearchIndex {
       .select("doc_id")
     // fgToks feeds BOTH the per-term counts and the foreground size —
     // materialize once (it is |foreground|-scale) so the corpus scan
-    // behind it runs once, not per consumer
-    val fgToks = docs.join(broadcast(fgIds), "doc_id")
+    // behind it runs once, not per consumer. Lazy checkpoint, not
+    // persist: the blocks are ContextCleaner-collected with the query
+    // (a persist here leaked one cache per significantTerms call into
+    // the session CacheManager)
+    val fgToks = graft.operators.Ckpt(docs.join(broadcast(fgIds), "doc_id")
       .select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("term"))
-      .distinct().persist()
+      .distinct(), eager = false)
     val fgAgg = fgToks.groupBy("term").agg(count(lit(1)).as("fg_df"))
     val fgN = fgToks.agg(countDistinct("doc_id").as("fg_n"))
     cachedTable(spark, indexDir, "docfreq").select("term", "df")

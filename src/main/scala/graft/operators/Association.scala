@@ -77,9 +77,14 @@ object Association {
       minPairs: Long = 2L, cap: Int = 10000): DataFrame = {
     // (basket, item) feeds THREE consumers (marginals, basket total,
     // pair generation) — materialize the distinct once; re-deriving it
-    // per consumer would triple the dominant scan+shuffle at scale
+    // per consumer would triple the dominant scan+shuffle at scale.
+    // Lazy checkpoint, not persist: no consumer relies on bi's
+    // partitioning (each groupBy re-keys anyway), and checkpoint blocks
+    // are ContextCleaner-collected once the frame is unreferenced,
+    // where a persist() would pin a corpus-sized cache in the
+    // CacheManager for the session lifetime.
     val bi = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .distinct().persist()
+      .distinct().graftCheckpoint(false)
     val counts = bi.groupBy("item").agg(count(lit(1)).as("n_item"))
     val total  = bi.select(countDistinct("basket").as("n_baskets"))
     val pairs = bi.groupBy("basket")

@@ -40,13 +40,21 @@ object Ckpt {
     * frame. `Dataset.unpersist` is a NO-OP for checkpoint blocks — the
     * cache manager never tracked them — so iterative loops that retire a
     * generation per step (BPE merge training, frontier expansion) would
-    * otherwise hold every generation until RDD GC. This walks the plan's
-    * `LogicalRDD` leaves (exactly what `localCheckpoint` returns) and
-    * unpersists the underlying RDD directly. ONLY call on a frame whose
-    * successor is already eagerly materialized: a locally-checkpointed
-    * RDD has no lineage to recompute from once its blocks are dropped. */
+    * otherwise hold every generation until RDD GC.
+    *
+    * Matches ONLY the plan ROOT: a checkpoint returns a frame whose
+    * analyzed plan IS a `LogicalRDD`, so the root is exactly "the
+    * checkpoint that created this frame". Walking ALL `LogicalRDD`
+    * leaves (the previous behavior) reached into upstream lineage and
+    * dropped CALLERS' checkpoint blocks — a caller-provided input whose
+    * plan embeds its own `localCheckpoint` (pervasive here via
+    * `graftCheckpoint`) would lose blocks it still holds, and a
+    * truncated lineage cannot recompute them. On a non-checkpoint root
+    * this is a deliberate no-op (e.g. a persist-managed gen-0 frame —
+    * `unpersist()` owns that cleanup). ONLY call on a frame whose
+    * successor is already eagerly materialized. */
   def free(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ =>

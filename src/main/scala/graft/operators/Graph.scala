@@ -178,10 +178,20 @@ object Graph {
     // (round 10: k=1 best-of 4.28 s vs k=2 4.99 s isolated, steal ≤ 2)
     // — the doubled join+double-groupBy plan costs the optimizer more
     // than the saved job latency, unlike the lighter PageRank rounds
-    if (bc) IterState.iterate(labels, rounds, stepsPerJob = 1)(step)
-    else (1 to rounds).foldLeft(labels) { case (l, _) =>
-      step(l).graftCheckpoint(false)
-    }
+    val out =
+      if (bc) IterState.iterate(labels, rounds, stepsPerJob = 1)(step)
+      else (1 to rounds).foldLeft(labels) { case (l, _) =>
+        step(l).graftCheckpoint(false)
+      // eager: materialize the nodes-sized assignment past nbrs before
+      // releasing the cache (an unpersisted InMemoryRelation recomputes
+      // its child per consumer)
+      }.graftCheckpoint(true)
+    // cache-leak guard: persisted plans are CacheManager-pinned for the
+    // session lifetime — release the corpus-sized copy once iterated.
+    // Safe: the bc path's IterState result is a driver literal, the
+    // distributed path is eagerly checkpointed above.
+    nbrs.unpersist(blocking = false)
+    out
   }
 
   /** Newman–Girvan modularity of a community assignment:

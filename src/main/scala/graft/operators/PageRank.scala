@@ -11,12 +11,20 @@ import Ckpt.CkptOps
   * the edge corpus:
   *
   *  - The static relation (edges FUSED with out-degree — one setup
-  *    join, not one per iteration) is hash-partitioned ONCE on the
-  *    join key and `localCheckpoint`ed; the checkpoint's `LogicalRDD`
-  *    keeps the `outputPartitioning`, so every iteration's join reuses
-  *    it with NO edge shuffle. Per iteration only the nodes-sized rank
-  *    relation moves: one shuffle in, one partial-agg'd contribution
-  *    shuffle out.
+  *    join, not one per iteration) is hash-partitioned ONCE and cached
+  *    with `persist()`, NOT checkpointed: a checkpoint's `LogicalRDD`
+  *    surfaces as UnknownPartitioning under AQE, so the planner
+  *    silently re-inserts an edge-scale Exchange into EVERY iteration
+  *    (measured round 12; the hazard and the fixed shape are both
+  *    pinned by PlanSpec "HITS round: the per-iteration aggregation is
+  *    exchange-free"). `persist()`'s InMemoryRelation keeps the cached
+  *    plan's partitioning, so every iteration reuses the copy with NO
+  *    edge shuffle — see the cache-build sites at run/runWeighted/
+  *    personalized. The copy is keyed by the GROUP BY column on the
+  *    broadcast-state path (the join is map-side there) and by the
+  *    JOIN key on the co-partitioned path. Per iteration only the
+  *    nodes-sized rank relation moves: one shuffle in, one partial-
+  *    agg'd contribution shuffle out.
   *  - When the node set is metadata-sized (`broadcastStateUpTo`,
   *    default 4M — a ~100 MB frame), the rank relation BROADCASTS
   *    instead, making the join map-side: an iteration is then a single
@@ -138,7 +146,18 @@ object PageRank {
       if (bc) IterState.iterate(init, iters)(step) // 1 job per iteration
       else (1 to iters).foldLeft(init) { case (r, _) =>
         step(r).graftCheckpoint(false) // O(1) lineage, fused
-      }
+      // eager: materialize the (nodes-sized) fixed point past ew
+      // before releasing the cache — unpersisted InMemoryRelations
+      // recompute their child per consumer on access
+      }.graftCheckpoint(true)
+    // Release the cached edge copy NOW: persisted plans are pinned in
+    // the session CacheManager (never ContextCleaner-collected), so
+    // without this every call leaks a corpus-sized cache for the
+    // session lifetime — and the bench/verify drivers run hundreds of
+    // operator calls per session. Safe: the bc path's IterState result
+    // is a driver literal, the distributed path is eagerly
+    // checkpointed above — neither re-reads ew.
+    ew.unpersist(blocking = false)
     ranks.select(col("node"), round(col("rank").cast("double"), outDp).as("rank"))
   }
 
@@ -192,7 +211,8 @@ object PageRank {
       if (bc) IterState.iterate(init, iters)(step)
       else (1 to iters).foldLeft(init) { case (r, _) =>
         step(r).graftCheckpoint(false)
-      }
+      }.graftCheckpoint(true) // eager past ew — see [[run]]
+    ew.unpersist(blocking = false) // cache-leak guard — see [[run]]
     ranks.select(col("node"),
       round(col("rank").cast("double"), outDp).as("rank"))
   }
@@ -258,7 +278,8 @@ object PageRank {
       if (bc) IterState.iterate(init, iters)(step) // 1 job per iteration
       else (1 to iters).foldLeft(init) { case (r, _) =>
         step(r).graftCheckpoint(false)
-      }
+      }.graftCheckpoint(true) // eager past ew — see [[run]]
+    ew.unpersist(blocking = false) // cache-leak guard — see [[run]]
     ranks.select(col("node"),
       round(col("rank").cast("double"), outDp).as("rank"))
   }
@@ -309,12 +330,23 @@ object PageRank {
     val nh = hubs.count()
     // empty edge relation: no hubs to normalize over — return the
     // empty (node, auth) frame like the SQL formulation would
-    if (nh == 0)
+    if (nh == 0) {
+      // correctness-safe early release: persist keeps full lineage,
+      // and the empty frame recomputes for free
+      eByHub.unpersist(blocking = false)
+      eByAuth.unpersist(blocking = false)
       return eByAuth.select(col("auth").as("node"),
         lit(0.0).cast("double").as("auth"))
+    }
     val bc = nh <= broadcastStateUpTo
-    if (bc) hitsBroadcast(eByHub, eByAuth, hubs, nh, iters, outDp)
-    else hitsDistributed(eByHub, eByAuth, hubs, nh, iters, outDp)
+    val res = (if (bc) hitsBroadcast(eByHub, eByAuth, hubs, nh, iters, outDp)
+      else hitsDistributed(eByHub, eByAuth, hubs, nh, iters, outDp))
+      // eager: the (nodes-sized) result materializes past the cached
+      // copies before they are released — see [[run]]'s leak note
+      .graftCheckpoint(true)
+    eByHub.unpersist(blocking = false)
+    eByAuth.unpersist(blocking = false)
+    res
   }
 
   /** Broadcast-state HITS: state carried as SCALED LONGS (micro =
@@ -344,8 +376,13 @@ object PageRank {
     def microTotalToDouble(c: org.apache.spark.sql.Column) = {
       // exact decimal string of k·1e-12, then one correctly-rounded
       // parse — built by POSITION (Spark's `/` on longs is double
-      // division, which would lose exactness past 2^53)
-      val s = lpad(c.cast("string"), 13, "0")
+      // division, which would lose exactness past 2^53). Pad ONLY
+      // when shorter than 13: Spark's lpad TRUNCATES longer strings
+      // to len, which would corrupt any total ≥ 1e13 (raw score
+      // total ≥ 10 — in-domain whenever the score-weighted mean hub
+      // out-degree reaches 10; parity-pinned in FallbackParitySpec).
+      val s0 = c.cast("string")
+      val s = when(length(s0) < 13, lpad(s0, 13, "0")).otherwise(s0)
       val n = length(s)
       concat(s.substr(lit(1), n - 12), lit("."), s.substr(n - 11, lit(12)))
         .cast("double")

@@ -150,6 +150,9 @@ object Dialect {
       textCols: Set[String] = Set.empty): String =
     schema.fields.toSeq.collect {
       case StructField(n, StringType, _, _) if !textCols.contains(n) =>
-        s"$n VARCHAR(300)"
+        // backquote the identifier (escaping embedded backticks the
+        // Spark way — doubling) so reserved words / spaces / symbols
+        // in column names survive Spark's column-types DDL parser
+        s"`${n.replace("`", "``")}` VARCHAR(300)"
     }.mkString(", ")
 }

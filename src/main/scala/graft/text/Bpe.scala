@@ -194,8 +194,11 @@ object Bpe {
           // unpersist() covers the persisted gen-0 corpus table but is a
           // NO-OP for checkpoint blocks (the cache manager never tracked
           // them), so later generations also need Ckpt.free — which drops
-          // the LogicalRDD's blocks directly. Safe: `next` is already
-          // eagerly materialized, nothing reads `words` again.
+          // the root LogicalRDD's blocks directly (root-matched: on the
+          // persist-managed gen-0, and on any upstream checkpoint inside
+          // the CALLER's docs lineage, it is deliberately a no-op).
+          // Safe: `next` is already eagerly materialized, nothing reads
+          // `words` again.
           words.unpersist()
           graft.operators.Ckpt.free(words)
           words = next

@@ -52,7 +52,10 @@ object HitsProbe {
     def microToDouble(c: org.apache.spark.sql.Column) =
       c.cast("double") / lit(micro.toDouble)
     def microTotalToDouble(c: org.apache.spark.sql.Column) = {
-      val s = lpad(c.cast("string"), 13, "0")
+      // pad only when SHORTER (lpad truncates longer strings) — keep
+      // in lockstep with PageRank.hitsBroadcast
+      val s0 = c.cast("string")
+      val s = when(length(s0) < 13, lpad(s0, 13, "0")).otherwise(s0)
       val n = length(s)
       concat(s.substr(lit(1), n - 12), lit("."), s.substr(n - 11, lit(12)))
         .cast("double")

@@ -73,6 +73,21 @@ class FallbackParitySpec extends SparkSpec {
     assert(rowsOf(fast) == rowsOf(dist))
   }
 
+  test("PageRank.hits: broadcast long-state path is exact when the " +
+      "rescale total passes 1e13 (lpad-truncation regression)") {
+    // a 25-out-edge hub over 2 hubs pushes the first-round raw total to
+    // (25+1)·0.5 = 13, i.e. 1.3e13 micro — a 14-digit string. Spark's
+    // lpad TRUNCATES strings longer than len, so a naive
+    // lpad(total, 13) would silently shrink the total ~10× and blow up
+    // every rescaled score; parity with the decimal distributed path
+    // pins the exact shorter-only padding in microTotalToDouble.
+    val dense = ((1 to 25).map(i => ("h1", s"x$i")) :+ ("h2", "x1"))
+      .toDF("hub", "auth")
+    val fast = PageRank.hits(dense, iters = 3)
+    val dist = PageRank.hits(dense, iters = 3, broadcastStateUpTo = 0L)
+    assert(rowsOf(fast) == rowsOf(dist))
+  }
+
   test("labelPropagationAssignments: both paths agree") {
     val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
       (4L, 6L), (3L, 4L)).toDF("a", "b")

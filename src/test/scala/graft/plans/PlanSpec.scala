@@ -278,9 +278,11 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("pairs_asc"),
       "pair generation not the native in-group expression:\n" + s)
     assert(!s.contains("CartesianProduct"))
-    // the (basket, item) relation is materialized once and re-read from
-    // cache by all three consumers
-    assert(s.contains("InMemoryTableScan"), "basket relation not cached:\n" + s)
+    // the (basket, item) relation is materialized once (checkpointed)
+    // and re-read as a shared RDD scan by all three consumers — the
+    // events source must never appear per-consumer
+    assert(s.contains("Scan ExistingRDD"),
+      "basket relation not materialized once:\n" + s)
     assert(s.linesIterator.count(l =>
       l.contains("Location") && l.contains("events")) <= 1,
       "events scanned per consumer:\n" + s)
@@ -308,10 +310,10 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("term_bucket"), "postings probe not pruned:\n" + s)
   }
 
-  test("q125: retention reads events once through the cached user-week relation") {
+  test("q125: retention reads events once through the materialized user-week relation") {
     val s = fmtOf("q125_retention_cohorts")
-    assert(s.contains("InMemoryTableScan"),
-      "user-week relation not cached:\n" + s)
+    assert(s.contains("Scan ExistingRDD"),
+      "user-week relation not materialized once:\n" + s)
     assert(s.linesIterator.count(l =>
       l.contains("Location") && l.contains("events")) <= 1,
       "events scanned per consumer:\n" + s)

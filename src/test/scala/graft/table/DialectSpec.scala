@@ -68,9 +68,14 @@ class DialectSpec extends SparkSpec {
     // parser, so dialect LOB names (LONG VARCHAR / TEXT) can't appear;
     // omission = the dialect's default string LOB = the reference's TEXT
     assert(sparkColumnTypes(schema, textCols = Set("page_content")) ===
-      "id VARCHAR(300)")
+      "`id` VARCHAR(300)")
     assert(sparkColumnTypes(schema) ===
-      "id VARCHAR(300), page_content VARCHAR(300)")
+      "`id` VARCHAR(300), `page_content` VARCHAR(300)")
+    // non-identifier column names survive: backquoted, backticks doubled
+    val odd = StructType(Seq(StructField("order by", StringType),
+      StructField("we`ird", StringType)))
+    assert(sparkColumnTypes(odd) ===
+      "`order by` VARCHAR(300), `we``ird` VARCHAR(300)")
   }
 
   test("LIVE: sparkColumnTypes drives a real engine and the catalog " +
