@@ -12607,6 +12607,91 @@ object SparkEntry {
          |    AS is_cut
          |FROM eff ORDER BY doc_id, frame_no""".stripMargin),
 
+    Q("q358_gif_scene_cuts",
+      // Scene-cut detection over REAL animated-GIF decode — the second
+      // inter-frame codec leg beside q356's RLE8, exercising the seams
+      // RLE8 cannot: LZW decompression (real dictionary growth),
+      // PARTIAL-frame composition at an offset, and per-pixel
+      // TRANSPARENCY. Each selected document gets a synthetic GIF89a
+      // ([[graft.multimodal.GifWrite]] — the writer mirror of the
+      // [[graft.multimodal.Gif]] decoder) whose per-frame content is
+      // an md5-scheduled two-tone pattern; kind 2 is a CARRY frame — a
+      // center half-rect that repaints the carried canvas with a
+      // transparent checkerboard punched through it, so its pixels are
+      // unchanged ONLY if offset composition + transparency + the
+      // carried canvas are all decoded correctly. The engine runs the
+      // full real path (GIF parse, LZW decode, canvas composition,
+      // dHash per frame, Hamming vs predecessor —
+      // [[graft.multimodal.Multimodal.sceneCuts]] with
+      // [[graft.multimodal.GifFrameDecoder]]); the oracle replays the
+      // cut schedule in closed form (a pattern switch is a cut; carry
+      // and same-pattern frames hash identically, hamming exactly 0).
+      // Streaming shape: one pass, one 64-bit hash of state per clip,
+      // no shuffle before the final order.
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{BinaryType, LongType,
+          StructField, StructType}
+        val sel = Tables.documents(s, dir)
+          .filter(col("doc_id") % 20 === 10)
+          .select(col("doc_id"),
+            transform(
+              // clip length varies 6..10 by selection index (doc_id/20
+              // truncates identically for the ≡10 mod 20 slice)
+              sequence(lit(0), (lit(5) + pmod((col("doc_id") / 20)
+                .cast("long"), lit(5))).cast("int")),
+              i => pmod(TextFunctions.md5Long(
+                concat(col("doc_id").cast("string"), lit(":gf"),
+                  i.cast("string"))), lit(3L)).cast("int"))
+              .as("kinds"))
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("v", BinaryType)))
+        val enc = org.apache.spark.sql.Encoders.row(schema)
+        val clips = sel.mapPartitions { rows =>
+          rows.map { r =>
+            val kinds = r.getSeq[Int](1)
+            // frame 0 must paint (a carry there would hash the bare
+            // background); later carries repaint the carried pattern
+            var pat = 16
+            val gw = graft.multimodal.GifWrite
+            val frames = kinds.zipWithIndex.map { case (k, i) =>
+              val eff = if (i == 0) k % 2 else k
+              if (eff == 2) gw.Carry(pat)
+              else {
+                pat = if (eff == 0) 16 else 48
+                gw.Full(pat)
+              }
+            }
+            Row(r.getLong(0), gw.gif(64, 48, frames))
+          }
+        }(enc)
+        graft.multimodal.Multimodal.sceneCuts(clips, "v",
+            cutHamming = 4,
+            decoder = graft.multimodal.GifFrameDecoder)
+          .select(col("doc_id"), col("frame_no"), col("is_cut"))
+          .orderBy("doc_id", "frame_no")
+      },
+      s"""WITH sel AS (
+         |  SELECT doc_id, (6 + (doc_id // 20) % 5)::INT AS n
+         |  FROM documents WHERE doc_id % 20 = 10),
+         |fr AS (SELECT doc_id, unnest(range(0, n)) AS i FROM sel),
+         |k AS (SELECT doc_id, i,
+         |    (CASE WHEN i = 0
+         |       THEN ${md5LongSql("doc_id::VARCHAR || ':gf' || i::VARCHAR")}
+         |         % 3 % 2
+         |       ELSE ${md5LongSql("doc_id::VARCHAR || ':gf' || i::VARCHAR")}
+         |         % 3 END)::INT AS kind
+         |  FROM fr),
+         |eff AS (SELECT doc_id, i,
+         |    last_value(CASE WHEN kind <= 1 THEN kind END IGNORE NULLS)
+         |      OVER (PARTITION BY doc_id ORDER BY i) AS pat
+         |  FROM k)
+         |SELECT doc_id, i::INT AS frame_no,
+         |  (i > 0 AND pat <> lag(pat) OVER (PARTITION BY doc_id ORDER BY i))
+         |    AS is_cut
+         |FROM eff ORDER BY doc_id, frame_no""".stripMargin),
+
     Q("q357_dim1024_sq8_knn",
       // The reference's HARD vector contract is dim 1024
       // (`elasticsearch_index.py:41-42,263-265`) while the fixtures

@@ -482,9 +482,20 @@ object Dedup {
     * costs at 100 TB. */
   def nearDupClusters(allDocs: DataFrame, idCol: String,
       pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().graftCheckpoint(true)
+    // checkpoint the raw pairs BEFORE the symmetrizing union so the
+    // caller's candidate build runs once, not once per union branch
+    val p0 = pairs.select(col("a"), col("b")).graftCheckpoint(false)
+    // cached PARTITIONED edge copy keyed by the iteration JOIN column
+    // (dst) — the HITS shape: a checkpointed edge relation surfaces as
+    // UnknownPartitioning under AQE, so every label-propagation round
+    // would re-shuffle the candidate-pair corpus; persist() keeps the
+    // cached plan's partitioning and the per-round join only exchanges
+    // the nodes-sized label relation. The DISTINCT rides inside the
+    // copy's shuffle (hashpartitioning(dst) satisfies the (src, dst)
+    // dedup clustering — a local pass, no standalone distinct stage).
+    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p0.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("dst")).dropDuplicates("src", "dst").persist()
     var labels = allDocs.select(col(idCol).as("id"), col(idCol).as("label"))
       .graftCheckpoint(true)
     var changed = 1L
@@ -505,6 +516,10 @@ object Dedup {
       labels = step.select("id", "label")
       i += 1
     }
+    // cache-leak guard: labels is eagerly checkpointed past the cache
+    // every round (and at init), so the copy can be released before the
+    // result frame escapes
+    edges.unpersist(blocking = false)
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

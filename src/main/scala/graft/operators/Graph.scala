@@ -83,7 +83,12 @@ object Graph {
     require(k >= 1 && maxIters >= 1)
     // LAZY checkpoints: the per-round count() is the only consumer and
     // materializes the truncated plan itself — eager would schedule a
-    // separate job per round for the same work
+    // separate job per round for the same work.
+    // AQE/checkpoint-partitioning audit (round 13): NO partitioning is
+    // load-bearing here — the edge relation is PRUNED every round, so a
+    // static partitioned copy (the HITS/LPA shape) has nothing to
+    // amortize; each round's degree groupBy and semi-joins shuffle the
+    // current (shrinking) edge set, which is the algorithm's cost.
     var e = canon(edges).graftCheckpoint(false)
     var nEdges = e.count()
     var it = 0
@@ -301,6 +306,11 @@ object Graph {
       }
     }
     if (spilled) {
+      // cached v-partitioned adjacency copy for the distributed rounds
+      // (the HITS shape — a checkpointed nbrs is UnknownPartitioning
+      // under AQE and would re-shuffle the corpus every round); the
+      // frontier is the only per-round exchange
+      val nbrsByV = nbrs.repartition(col("v")).persist()
       var visitedDf = spark.createDataFrame(
         java.util.Arrays.asList(visited.iterator
           .map { case (v, dd) => Row(v, dd) }.toSeq: _*),
@@ -309,7 +319,7 @@ object Graph {
         .graftCheckpoint(true)
       var frontierDf = litFrame(frontier)
       for (dd <- d to maxHops) {
-        val next = frontierDf.join(nbrs, "v")
+        val next = frontierDf.join(nbrsByV, "v")
           .select(col("n").as("v")).distinct()
           .join(visitedDf, Seq("v"), "left_anti")
           .graftCheckpoint(true)
@@ -318,6 +328,9 @@ object Graph {
           .graftCheckpoint(true)
         frontierDf = next
       }
+      // visitedDf is eagerly checkpointed past the cache each round —
+      // safe to release the corpus copy before the final aggregate
+      nbrsByV.unpersist(blocking = false)
       visitedDf.groupBy("dist").agg(count(lit(1)).as("n_vertices"))
         .orderBy("dist")
     } else {
@@ -396,14 +409,23 @@ object Graph {
       }
     }
     var distDf = distLit().graftCheckpoint(true)
-    if (spilled) for (_ <- r to rounds) {
-      val relaxed = distDf.withColumnRenamed("v", "u")
-        .withColumnRenamed("cost", "du")
-        .join(arcs, "u")
-        .select(col("v"), (col("du") + col("cost")).as("cost"))
-      distDf = distDf.unionAll(relaxed)
-        .groupBy("v").agg(min(col("cost")).as("cost"))
-        .graftCheckpoint(true)
+    if (spilled) {
+      // cached u-partitioned arc copy for the distributed rounds (the
+      // HITS shape — a checkpointed arcs relation is
+      // UnknownPartitioning under AQE and would re-shuffle the corpus
+      // every relaxation); the tropical state is the per-round exchange
+      val arcsByU = arcs.repartition(col("u")).persist()
+      for (_ <- r to rounds) {
+        val relaxed = distDf.withColumnRenamed("v", "u")
+          .withColumnRenamed("cost", "du")
+          .join(arcsByU, "u")
+          .select(col("v"), (col("du") + col("cost")).as("cost"))
+        distDf = distDf.unionAll(relaxed)
+          .groupBy("v").agg(min(col("cost")).as("cost"))
+          .graftCheckpoint(true)
+      }
+      // distDf is eagerly checkpointed past the cache each round
+      arcsByU.unpersist(blocking = false)
     }
     distDf.orderBy(col("cost").asc, col("v").asc).limit(topK)
   }
@@ -612,6 +634,16 @@ object Graph {
   private def pathCentralityDist(nbrs: DataFrame, pivots: DataFrame,
       maxHops: Int, topK: Int): DataFrame = {
     val dec = "decimal(38,0)"
+    // Cached PARTITIONED adjacency copies, one per sweep's join key
+    // (the HITS shape): a checkpointed nbrs surfaces as
+    // UnknownPartitioning under AQE, so every forward/backward round
+    // would re-shuffle the adjacency CORPUS — the round-12 hazard.
+    // persist() keeps the cached plan's partitioning (PlanSpec
+    // "iterative corpus joins" pin); the state relation is then the
+    // only per-round exchange, which is the irreducible pregel cost.
+    val nbrsByV = nbrs.repartition(col("v")).persist()
+    val nbrsByN = nbrs.select(col("v").as("p"), col("n").as("w"))
+      .repartition(col("w")).persist()
     val lvl0 = pivots.select(col("v")).distinct()
       .select(col("v").as("s"), col("v"), lit(1).cast(dec).as("sigma"))
       .graftCheckpoint(false)
@@ -627,7 +659,7 @@ object Graph {
         if (d == 1) lvl0.select("s", "v")
         else levels(d - 1).select("s", "v")
           .unionAll(levels(d - 2).select("s", "v"))
-      val next = levels.last.join(nbrs, "v")
+      val next = levels.last.join(nbrsByV, "v")
         .groupBy(col("s"), col("n"))
         .agg(sum(col("sigma")).cast(dec).as("sigma"))
         .withColumnRenamed("n", "v")
@@ -646,7 +678,7 @@ object Graph {
       g.select(col("v"), (col("sigma") * col("g")).cast(dec).as("t")))
     for (d <- (maxHops - 1) to 1 by -1) {
       val sums = g.select(col("s"), col("v").as("w"), col("g"))
-        .join(nbrs.select(col("v").as("p"), col("n").as("w")), "w")
+        .join(nbrsByN, "w")
         .groupBy(col("s"), col("p"))
         .agg(sum(col("g")).cast(dec).as("cg"))
         .withColumnRenamed("p", "v")
@@ -658,10 +690,17 @@ object Graph {
       contribs += g.select(col("v"),
         (col("sigma") * col("g")).cast(dec).as("t"))
     }
-    contribs.reduce(_ unionAll _)
+    // eager: the topK-sized result materializes past the cached copies
+    // before they are released (cache-leak guard — persisted plans are
+    // CacheManager-pinned for the session lifetime otherwise)
+    val res = contribs.reduce(_ unionAll _)
       .groupBy("v")
       .agg(sum(col("t")).cast(dec).cast("long").as("traffic"))
       .orderBy(col("traffic").desc, col("v").asc)
       .limit(topK)
+      .graftCheckpoint(true)
+    nbrsByV.unpersist(blocking = false)
+    nbrsByN.unpersist(blocking = false)
+    res
   }
 }

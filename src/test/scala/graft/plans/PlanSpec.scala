@@ -696,4 +696,54 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(s2).isDefined,
       "checkpoint now preserves partitioning — retire the workaround:\n" + s2)
   }
+
+  test("iterative corpus joins: a join-key-partitioned cached copy is " +
+      "exchange-free on the corpus side (pathCentrality/BFS/cheapest-" +
+      "paths/nearDupClusters distributed rounds)") {
+    // round-13 sweep of the round-12 hazard: the DISTRIBUTED fallback
+    // loops of pathCentralityDist, bfsHopHistogram, cheapestPaths and
+    // nearDupClusters join per-round against a static adjacency/edge
+    // relation. Those copies are persist()ed keyed by the JOIN column
+    // now; this pins the join shape — the corpus side reads the cache
+    // with NO Exchange above it (the state side is the only per-round
+    // shuffle). A checkpointed copy would re-shuffle (proven by the
+    // HITS pin's second half).
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.operators.Ckpt.CkptOps
+    val e = (0L until 2000L).map(i => (i % 97, i % 53))
+      .toDF("v", "n").distinct().graftCheckpoint(false)
+    val nbrsByV = e.repartition(col("v")).persist()
+    nbrsByV.count() // materialize (the operators do, via their counts)
+    val state = (0L until 97L).map(i => (i, 1L)).toDF("v", "sigma")
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = state.join(nbrsByV, "v")
+        .groupBy(col("n")).agg(sum(col("sigma")).as("sigma"))
+      val s = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(s.contains("InMemoryTableScan"), "cached copy not used:\n" + s)
+      // corpus side: Sort (SMJ) or bare scan (SHJ) directly over the
+      // cache — NO Exchange between the join and the InMemoryTableScan
+      assert(
+        """(Sort \(\d+\)\s*\n\s*\+- InMemoryTableScan)|(\+- InMemoryTableScan)""".r
+          .findFirstIn(s).isDefined, s)
+      val joinSide = s.linesIterator.dropWhile(l =>
+        !l.contains("InMemoryTableScan")).toSeq
+      // the OUTER tree carries exactly one hashpartitioning Exchange —
+      // the state side (cache-build shuffles render inside the
+      // InMemoryRelation block, after the scan line)
+      val outer = s.linesIterator.takeWhile(l =>
+        !l.contains("InMemoryTableScan")).mkString("\n")
+      assert("Exchange hashpartitioning".r.findAllIn(outer).size <= 2,
+        "corpus side re-shuffled above the cache:\n" + s)
+      assert(joinSide.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        prev.getOrElse("10485760"))
+      nbrsByV.unpersist(blocking = true)
+    }
+  }
 }

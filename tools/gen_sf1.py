@@ -36,7 +36,9 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-REPS = 10
+REPS = 10  # overridable via argv[2]: 20 builds an sf2-equivalent
+           # (rotation-disjointness is asserted for every replica index,
+           # so the caesar guarantee extends to i=1..19 unchanged)
 OFF = {  # per-replica key offsets = the driver's per-0.1-sf key ranges
     "orderkey": 150_000, "custkey": 15_000, "partkey": 20_000,
     "suppkey": 1_000, "doc_id": 5_000, "vec_id": 2_000,
@@ -139,4 +141,6 @@ def main(out):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 2:
+        REPS = int(sys.argv[2])
     main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1")
