@@ -37,10 +37,23 @@ object Bench {
     // driver never sets it, so the contract run covers every query
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // GC-time telemetry (diagnostic, additive): cumulative collector
+    // wall across all beans. A query whose (after - before) is large is
+    // paying collection debt — often debris from PRIOR queries (the
+    // measured sweep-vs-isolated gap of round 13), so per-query GC
+    // brackets separate "this query's plan is slow" from "the suite's
+    // heap was churning here", the same way the steal brackets separate
+    // hypervisor noise.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val steal0 = stealTicks()
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets Catalyst prune the projected
       // columns, so scalar-heavy queries would measure a near-empty plan.
@@ -53,6 +66,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       val stealQ = { val s1 = stealTicks()
         if (steal0 < 0 || s1 < 0) -1L else s1 - steal0 }
+      val gcQ = gcMillis() - gc0
       // localCheckpoint/cache blocks from THIS query are dead once the
       // sink write returned (cross-query state is disk parquet / driver
       // objects, never cached RDDs) — drop them now instead of letting
@@ -62,15 +76,18 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       // a failed query must not silently shrink the total: report -1
-      (name, if (ok) dt else -1.0, stealQ)
+      (name, if (ok) dt else -1.0, stealQ, gcQ)
     }
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalSteal = results.map(_._3).filter(_ >= 0).sum
-    val stealJson = results.map { case (k, _, s) => s"\"$k\":$s" }
+    val stealJson = results.map { case (k, _, s, _) => s"\"$k\":$s" }
       .mkString("{", ",", "}")
-    val timed = results.map { case (k, v, _) => k -> v }
+    val totalGc = results.map(_._4).sum
+    val gcJson = results.map { case (k, _, _, g) => s"\"$k\":$g" }
+      .mkString("{", ",", "}")
+    val timed = results.map { case (k, v, _, _) => k -> v }
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The harness keeps only a ~2 KB TAIL of stdout: a full 186-query
     // dict on the contract line gets cut mid-JSON and parses as null.
@@ -78,7 +95,7 @@ object Bench {
     // repo — round-over-round regression checks read it), and the
     // printed line stays parseable by carrying the slowest queries only.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(timed)},"steal_ticks":$stealJson,"steal_total":$totalSteal,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(timed)},"steal_ticks":$stealJson,"steal_total":$totalSteal,"gc_ms":$gcJson,"gc_total_ms":$totalGc,"failed":$failedJson,"sf":"$sfDir"}"""
     // filtered profiling runs must NOT clobber the committed full-sweep
     // artifact (a 1-query file would poison round-over-round checks)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

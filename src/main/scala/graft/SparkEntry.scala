@@ -7377,7 +7377,10 @@ object SparkEntry {
         graft.operators.Graph.basketEdges(
           Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
           "l_orderkey", "l_partkey"),
-        topK = 20),
+        topK = 20,
+        // basketEdges output is already (a < b, distinct, loop-free):
+        // skip the canon re-distinct (one edge-relation shuffle saved)
+        edgesCanonical = true),
       s"""WITH $GraphEdgeCtes,
          |nb AS MATERIALIZED (SELECT a AS w, b AS n FROM e0
          |  UNION ALL SELECT b AS w, a AS n FROM e0),
@@ -7409,7 +7412,10 @@ object SparkEntry {
           "l_orderkey", "l_partkey"), eager = false)
         val sym = e0.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
-        graft.operators.PageRank.run(sym, iters = 5, damping = 0.85)
+        // symmetrized union ⇒ every node has an in-edge: the per-round
+        // nodes-join is an identity and run() may skip it
+        graft.operators.PageRank.run(sym, iters = 5, damping = 0.85,
+            inEdgeClosed = true)
           .orderBy(col("rank").desc, col("node")).limit(50)
       },
       {
@@ -11912,8 +11918,9 @@ object SparkEntry {
             col("n").as("w"))
           .unionAll(ew.select(col("b").as("src"), col("a").as("dst"),
             col("n").as("w")))
+        // symmetrized union ⇒ in-edge-closed: identity nodes-join skipped
         graft.operators.PageRank.runWeighted(sym, iters = 5,
-            damping = 0.85)
+            damping = 0.85, inEdgeClosed = true)
           .orderBy(col("rank").desc, col("node")).limit(50)
       },
       {

@@ -460,24 +460,35 @@ object Graph {
           .otherwise(round(num / den, 6)).as("r"))
   }
 
-  def adamicAdar(edges: DataFrame, topK: Int, cap: Int = 10000)
-      : DataFrame = {
-    val e = canon(edges).graftCheckpoint(true)
+  def adamicAdar(edges: DataFrame, topK: Int, cap: Int = 10000,
+      edgesCanonical: Boolean = false): DataFrame = {
+    // edgesCanonical: caller guarantees (a < b, distinct, no loops) —
+    // e.g. [[basketEdges]] output — so the canon re-shuffle (a full
+    // extra distinct over the edge relation) is skipped (round-13
+    // optimization; parity pinned in GraphSpec).
+    val e = (if (edgesCanonical) edges.select(col("a"), col("b"))
+      else canon(edges)).graftCheckpoint(true)
     val nbrs = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
-    val deg = nbrs.groupBy("w").agg(count(lit(1)).as("deg"))
+    // deg(w) is FUSED into the wedge aggregate (round-13 optimization:
+    // one groupBy replaces groupBy + groupBy + join — a 2|E|-row
+    // shuffle and a broadcast join removed from the plan). Exact, not
+    // approximate: e is distinct canonical pairs, so each neighbor of
+    // w appears exactly once in w's group and deg(w) = size(ns)
+    // whenever ns materializes; on cap overflow boundedCollectSet
+    // nulls the list and the filter drops w's wedges entirely — the
+    // identical rows the old deg join never reached.
     val wedges = nbrs.groupBy("w")
       .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
         .boundedCollectSet(col("n"), cap)).as("ns"))
       .filter(col("ns").isNotNull && size(col("ns")) >= 2)
-      .select(col("w"), explode(org.apache.spark.sql.graftext.PairsAscExpr
-        .pairsAsc(col("ns"))).as("p"))
-      .select(col("w"), col("p._1").as("u"), col("p._2").as("v"))
+      .select((lit(1.0) / log(size(col("ns")).cast("double"))).as("wt"),
+        explode(org.apache.spark.sql.graftext.PairsAscExpr
+          .pairsAsc(col("ns"))).as("p"))
+      .select(col("wt"), col("p._1").as("u"), col("p._2").as("v"))
     val scored = wedges
-      .join(deg, "w") // vocabulary-scale; at corpus scale AQE broadcasts
       .groupBy("u", "v")
-      .agg(round(sum(lit(1.0) / log(col("deg").cast("double"))), 6)
-        .as("aa_score"))
+      .agg(round(sum(col("wt")), 6).as("aa_score"))
     scored
       .join(e.withColumnRenamed("a", "u").withColumnRenamed("b", "v"),
         Seq("u", "v"), "left_anti")

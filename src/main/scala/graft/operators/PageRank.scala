@@ -87,7 +87,8 @@ object PageRank {
     * uniform start, rank rounded to `outDp` dp. */
   def run(edges: DataFrame, iters: Int, damping: Double,
       outDp: Int = 9,
-      broadcastStateUpTo: Long = BroadcastStateUpTo): DataFrame = {
+      broadcastStateUpTo: Long = BroadcastStateUpTo,
+      inEdgeClosed: Boolean = false): DataFrame = {
     require(iters >= 1, "iters >= 1")
     // ONE lazy checkpoint on the (narrow, two-column) edge relation:
     // callers hand symmetrized UNIONS of derived edge builds, and
@@ -132,11 +133,17 @@ object PageRank {
         .select(col("dst").as("node"),
           round(col("rank").cast("double") / col("deg").cast("double"), 12)
             .cast(DecimalType(28, 12)).as("c"))
-      // every node has an out-edge (precondition), hence also appears
-      // as a dst in the symmetrized graph — but keep the left join so
-      // an isolated src-only node degrades to the teleport term
-      nodes
-        .join(contrib.groupBy("node").agg(sum("c").as("s")), Seq("node"), "left")
+      val agg = contrib.groupBy("node").agg(sum("c").as("s"))
+      // `inEdgeClosed`: the caller guarantees every node also has an
+      // IN-edge (true by construction for the symmetrized unions every
+      // caller in this repo builds) — then the aggregate's key set IS
+      // the node set and the nodes-join is an identity: skip it
+      // (round-13 optimization: one join fewer per iteration plan —
+      // smaller codegen, fewer per-round operators; parity pinned in
+      // FallbackParitySpec). Without the guarantee keep the left join
+      // so an isolated src-only node degrades to the teleport term.
+      (if (inEdgeClosed) agg
+       else nodes.join(agg, Seq("node"), "left"))
         .select(col("node"),
           round(lit(1.0 - damping) / n +
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12)
@@ -174,7 +181,8 @@ object PageRank {
     * (node, rank). */
   def runWeighted(edges: DataFrame, iters: Int, damping: Double,
       outDp: Int = 9,
-      broadcastStateUpTo: Long = BroadcastStateUpTo): DataFrame = {
+      broadcastStateUpTo: Long = BroadcastStateUpTo,
+      inEdgeClosed: Boolean = false): DataFrame = {
     require(iters >= 1, "iters >= 1")
     val e0 = edges.select(col("src"), col("dst"), col("w"))
       .graftCheckpoint(false) // one edge build — see [[run]]
@@ -199,9 +207,11 @@ object PageRank {
           round(col("rank").cast("double") * col("w").cast("double")
             / col("wsum").cast("double"), 12)
             .cast(DecimalType(28, 12)).as("c"))
-      nodes
-        .join(contrib.groupBy("node").agg(sum("c").as("s")),
-          Seq("node"), "left")
+      val agg = contrib.groupBy("node").agg(sum("c").as("s"))
+      // inEdgeClosed: aggregate key set == node set → skip the
+      // identity nodes-join (see [[run]])
+      (if (inEdgeClosed) agg
+       else nodes.join(agg, Seq("node"), "left"))
         .select(col("node"),
           round(lit(1.0 - damping) / n +
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12)

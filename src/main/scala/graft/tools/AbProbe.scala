@@ -1,0 +1,219 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch same-JVM A/B timer (not part of the driver contract):
+  * alternates two plan shapes in ONE session so JIT warmth, page
+  * cache, and steal bursts hit both sides symmetrically; prints
+  * per-rep seconds + steal brackets and the per-side best-of. The
+  * honest way to claim "shape B beats shape A" on this noisy VM. */
+object AbProbe {
+  def stealTicks(): Long = try {
+    val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+    cpu(8).toLong
+  } catch { case _: Throwable => -1L }
+
+  def time(label: String, df: => DataFrame): Double = {
+    val s0 = stealTicks(); val t0 = System.nanoTime()
+    df.write.mode("overwrite").format("noop").save()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"[ab] $label%-10s $dt%7.3f s  steal ${stealTicks() - s0}")
+    dt
+  }
+
+  /** args: reps (default 3). Edit the shapes below per experiment. */
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import graft.operators.Graph
+    def edges = Graph.basketEdges(
+      graft.Tables.lineitem(spark, dir).filter(col("l_orderkey") % 4 === 0),
+      "l_orderkey", "l_partkey")
+
+    // per-round step-plan dump for the bc-path iterative operators
+    // (their terminal frame is an IterState literal, so the full-query
+    // explain is just a LocalTableScan — the round plan is the
+    // evidence; "old"/"new" = with/without the identity nodes-join)
+    if (args.length > 1 && args(1) == "prstep") {
+      import org.apache.spark.sql.types.DecimalType
+      import graft.operators.Ckpt
+      import Ckpt.CkptOps
+      def fmt(df: DataFrame): String = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val e0 = Ckpt(edges, eager = false)
+      val sym = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+        .graftCheckpoint(false)
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .graftCheckpoint(false)
+      val n = deg.count()
+      val ew = sym.join(broadcast(deg), "src")
+        .repartition(col("dst")).persist()
+      ew.count()
+      val nodes = deg.select(col("src").as("node"))
+      val r = nodes.select(col("node"),
+        round(lit(1.0) / n, 12).cast(DecimalType(28, 12)).as("rank"))
+        .localCheckpoint(true)
+      val contrib = ew
+        .join(broadcast(r.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"),
+          round(col("rank").cast("double") / col("deg").cast("double"), 12)
+            .cast(DecimalType(28, 12)).as("c"))
+      val agg = contrib.groupBy("node").agg(sum("c").as("s"))
+      def finish(df: DataFrame) = df.select(col("node"),
+        round(lit(0.15) / n +
+          lit(0.85) * coalesce(col("s").cast("double"), lit(0.0)), 12)
+          .cast(DecimalType(28, 12)).as("rank"))
+      println("===== PageRank round plan, OLD (nodes left-join) =====")
+      println(fmt(finish(nodes.join(agg, Seq("node"), "left"))))
+      println("===== PageRank round plan, NEW (inEdgeClosed=true) =====")
+      println(fmt(finish(agg)))
+      ew.unpersist(blocking = false)
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "pr") {
+      import org.apache.spark.sql.types.DecimalType
+      import graft.operators.{IterState, Ckpt}
+      import Ckpt.CkptOps
+      def sym = {
+        val e0 = Ckpt(edges, eager = false)
+        e0.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+      }
+      // B/C: no nodes-join variant (inner identity on symmetric input)
+      def prNoJoin(edgesIn: DataFrame, iters: Int, damping: Double,
+          stepsPerJob: Int): DataFrame = {
+        val e0 = edgesIn.select(col("src"), col("dst")).graftCheckpoint(false)
+        val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+          .graftCheckpoint(false)
+        val n = deg.count()
+        val ew = e0.join(broadcast(deg), "src")
+          .repartition(col("dst")).persist()
+        val nodes = deg.select(col("src").as("node"))
+        val init = nodes.select(col("node"),
+          round(lit(1.0) / n, 12).cast(DecimalType(28, 12)).as("rank"))
+        def step(r: DataFrame): DataFrame = {
+          val contrib = ew
+            .join(broadcast(r.withColumnRenamed("node", "src")), "src")
+            .select(col("dst").as("node"),
+              round(col("rank").cast("double") / col("deg").cast("double"), 12)
+                .cast(DecimalType(28, 12)).as("c"))
+          contrib.groupBy("node").agg(sum("c").as("s"))
+            .select(col("node"),
+              round(lit(1.0 - damping) / n +
+                lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12)
+                .cast(DecimalType(28, 12)).as("rank"))
+        }
+        val ranks = IterState.iterate(init, iters, stepsPerJob)(step)
+        ew.unpersist(blocking = false)
+        ranks.select(col("node"),
+          round(col("rank").cast("double"), 9).as("rank"))
+      }
+      def q(df: DataFrame) =
+        df.orderBy(col("rank").desc, col("node")).limit(50)
+      for (_ <- 1 to reps) {
+        time("A:cur", q(graft.operators.PageRank.run(sym, 5, 0.85)))
+        time("B:nojoin2", q(prNoJoin(sym, 5, 0.85, 2)))
+        time("C:nojoin5", q(prNoJoin(sym, 5, 0.85, 5)))
+        time("D:cur", q(graft.operators.PageRank.run(sym, 5, 0.85)))
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "counts") {
+      val e = edges.localCheckpoint(true)
+      println("edges=" + e.count())
+      val nbrs = e.select(col("a").as("w"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+      val grp = nbrs.groupBy("w")
+        .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
+          .boundedCollectSet(col("n"), 10000)).as("ns"))
+        .filter(col("ns").isNotNull && size(col("ns")) >= 2)
+      println("middles=" + grp.count())
+      val wedges = grp.select(explode(org.apache.spark.sql.graftext
+        .PairsAscExpr.pairsAsc(col("ns"))).as("p"))
+      println("wedges=" + wedges.count())
+      println("distinct_uv=" +
+        wedges.select(col("p._1"), col("p._2")).distinct().count())
+      spark.stop(); return
+    }
+
+    // stage decomposition when args(1) == "stages"
+    if (args.length > 1 && args(1) == "stages") {
+      import graft.operators.Ckpt.CkptOps
+      for (_ <- 1 to reps) {
+        time("edges", edges)
+        val e = edges.graftCheckpoint(true)
+        time("grp", {
+          val nbrs = e.select(col("a").as("w"), col("b").as("n"))
+            .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+          nbrs.groupBy("w")
+            .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
+              .boundedCollectSet(col("n"), 10000)).as("ns"))
+            .filter(col("ns").isNotNull && size(col("ns")) >= 2)
+        })
+        time("explode", {
+          val nbrs = e.select(col("a").as("w"), col("b").as("n"))
+            .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+          nbrs.groupBy("w")
+            .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
+              .boundedCollectSet(col("n"), 10000)).as("ns"))
+            .filter(col("ns").isNotNull && size(col("ns")) >= 2)
+            .select((lit(1.0) / log(size(col("ns")).cast("double"))).as("wt"),
+              explode(org.apache.spark.sql.graftext.PairsAscExpr
+                .pairsAsc(col("ns"))).as("p"))
+        })
+        time("full", Graph.adamicAdar(e, topK = 20, edgesCanonical = true))
+      }
+      spark.stop(); return
+    }
+
+    // A: pre-round-13 adamicAdar shape (canon + separate deg + join)
+    def shapeA: DataFrame = {
+      import graft.operators.Ckpt.CkptOps
+      val e = edges.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().graftCheckpoint(true)
+      val nbrs = e.select(col("a").as("w"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+      val deg = nbrs.groupBy("w").agg(count(lit(1)).as("deg"))
+      val wedges = nbrs.groupBy("w")
+        .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
+          .boundedCollectSet(col("n"), 10000)).as("ns"))
+        .filter(col("ns").isNotNull && size(col("ns")) >= 2)
+        .select(col("w"), explode(org.apache.spark.sql.graftext.PairsAscExpr
+          .pairsAsc(col("ns"))).as("p"))
+        .select(col("w"), col("p._1").as("u"), col("p._2").as("v"))
+      val scored = wedges.join(deg, "w").groupBy("u", "v")
+        .agg(round(sum(lit(1.0) / log(col("deg").cast("double"))), 6)
+          .as("aa_score"))
+      scored.join(e.withColumnRenamed("a", "u").withColumnRenamed("b", "v"),
+          Seq("u", "v"), "left_anti")
+        .orderBy(col("aa_score").desc, col("u"), col("v")).limit(20)
+    }
+    // B: current adamicAdar (fused deg, canon skipped)
+    def shapeB: DataFrame =
+      Graph.adamicAdar(edges, topK = 20, edgesCanonical = true)
+
+    val as = (1 to reps).map { i =>
+      if (i % 2 == 1) {
+        val a = time("A:old", shapeA); val b = time("B:new", shapeB); (a, b)
+      } else {
+        val b = time("B:new", shapeB); val a = time("A:old", shapeA); (a, b)
+      }
+    }
+    println(f"[ab] best A ${as.map(_._1).min}%.3f  best B ${as.map(_._2).min}%.3f")
+    spark.stop()
+  }
+}

@@ -46,6 +46,46 @@ object GraphProbe {
     val e0 = graft.operators.Graph.basketEdges(li, "l_orderkey", "l_partkey")
     t("basketEdges count")(e0.count())
     t("basketEdges count again")(e0.count())
+    // setup decomposition of the run() chain (bc path)
+    locally {
+      import graft.operators.Ckpt.CkptOps
+      val ec = graft.operators.Ckpt(e0, eager = false)
+      val sym = ec.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(ec.select(col("b").as("src"), col("a").as("dst")))
+      val es = t("s1 sym ckpt") {
+        sym.select(col("src"), col("dst")).graftCheckpoint(false) }
+      val deg = t("s2 deg ckpt") {
+        es.groupBy("src").agg(count(lit(1)).as("deg")).graftCheckpoint(false) }
+      val n = t("s3 deg.count")(deg.count())
+      val ew = t("s4 ew persist") {
+        val j = es.join(broadcast(deg), "src")
+        val p = j.repartition(col("dst")).persist()
+        p.write.mode("overwrite").format("noop").save() // force materialize
+        p
+      }
+      t("s5 iterate 5") {
+        import org.apache.spark.sql.types.DecimalType
+        val nodes = deg.select(col("src").as("node"))
+        val init = nodes.select(col("node"),
+          round(lit(1.0) / n, 12).cast(DecimalType(28, 12)).as("rank"))
+        def step(r: org.apache.spark.sql.DataFrame) = {
+          val contrib = ew
+            .join(broadcast(r.withColumnRenamed("node", "src")), "src")
+            .select(col("dst").as("node"),
+              round(col("rank").cast("double") / col("deg").cast("double"), 12)
+                .cast(DecimalType(28, 12)).as("c"))
+          nodes.join(contrib.groupBy("node").agg(sum("c").as("s")),
+              Seq("node"), "left")
+            .select(col("node"),
+              round(lit(0.15) / n +
+                lit(0.85) * coalesce(col("s").cast("double"), lit(0.0)), 12)
+                .cast(DecimalType(28, 12)).as("rank"))
+        }
+        graft.operators.IterState.iterate(init, 5)(step)
+          .write.mode("overwrite").format("noop").save()
+      }
+      ew.unpersist(blocking = false)
+    }
     val sym = e0.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
     t("pagerank 1 iter") {

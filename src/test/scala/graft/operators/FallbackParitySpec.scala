@@ -29,6 +29,25 @@ class FallbackParitySpec extends SparkSpec {
     assert(rowsOf(fast) == rowsOf(dist))
   }
 
+  test("PageRank.run/runWeighted inEdgeClosed=true ≡ default on a " +
+      "symmetrized graph, both state paths (round-13 identity-join " +
+      "elision parity)") {
+    // the fixture IS symmetrized (every node appears as src and dst)
+    val base = rowsOf(PageRank.run(edges, iters = 3, damping = 0.85))
+    assert(rowsOf(PageRank.run(edges, iters = 3, damping = 0.85,
+      inEdgeClosed = true)) == base)
+    assert(rowsOf(PageRank.run(edges, iters = 3, damping = 0.85,
+      broadcastStateUpTo = 0L, inEdgeClosed = true)) == base)
+    val wEdges = edges.withColumn("w",
+      (length(col("src")) + length(col("dst"))).cast("long"))
+    val wBase = rowsOf(PageRank.runWeighted(wEdges, iters = 3,
+      damping = 0.85))
+    assert(rowsOf(PageRank.runWeighted(wEdges, iters = 3, damping = 0.85,
+      inEdgeClosed = true)) == wBase)
+    assert(rowsOf(PageRank.runWeighted(wEdges, iters = 3, damping = 0.85,
+      broadcastStateUpTo = 0L, inEdgeClosed = true)) == wBase)
+  }
+
   test("reliable-checkpoint knob: the distributed PageRank path " +
       "survives spark.graft.reliableCheckpoint=true with identical " +
       "ranks (and writes real checkpoint files)") {

@@ -134,6 +134,38 @@ class GraphSpec extends SparkSpec {
     assert(rows.forall(r => !edgeSet.contains((r.getLong(0), r.getLong(1)))))
   }
 
+  test("adamicAdar edgesCanonical=true matches the canon path exactly " +
+      "(round-13 fused-deg + skip-canon optimization parity)") {
+    // basketEdges output is canonical (a < b, distinct, loop-free) —
+    // the q229 call shape. Full-result equality, not just topK.
+    val edges = Graph.basketEdges(
+      graft.Tables.lineitem(spark, SfDir)
+        .filter(col("l_orderkey") % 4 === 0),
+      "l_orderkey", "l_partkey").localCheckpoint(true)
+    val k = 50
+    val viaCanon = Graph.adamicAdar(edges, topK = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val direct = Graph.adamicAdar(edges, topK = k, edgesCanonical = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaCanon == direct)
+  }
+
+  test("adamicAdar fused deg equals an explicit deg-join replay " +
+      "(cap binding drops a hub's wedges on both paths)") {
+    // hub 100 has 4 neighbors; cap=3 nulls its list → its wedges
+    // vanish entirely (not truncated) exactly like the old deg-join
+    // path; the unc capped star w=10 keeps score 1/ln(3)
+    val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L),
+      (100L, 21L), (100L, 22L), (100L, 23L), (100L, 24L)).toDF("a", "b")
+    val r = Graph.adamicAdar(edges, topK = 100, cap = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val s3 = BigDecimal(1.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == Set((1L, 2L, s3), (1L, 3L, s3), (2L, 3L, s3)),
+      s"got $r")
+  }
+
   test("bfsHopHistogram: path graph distances from one and two seeds; " +
       "vertices beyond maxHops are absent") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
