@@ -466,61 +466,116 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
-  /** Near-dup CLUSTERS from candidate pairs: connected components by
-    * iterative min-label propagation — each doc's cluster id converges
-    * to the minimum doc id reachable through the pair graph, singletons
-    * label themselves. This is the canonicalization step after
-    * candidates+verify: keep `cluster_id`, drop the rest.
+  /** Near-dup CLUSTERS from candidate pairs: connected components —
+    * each doc's cluster id is the minimum doc id reachable through the
+    * pair graph, singletons label themselves. This is the
+    * canonicalization step after candidates+verify: keep `cluster_id`,
+    * drop the rest. `pairs` must reference `allDocs` ids (every caller
+    * in this repo derives pairs from the same docs relation).
     *
-    * Shape: the pregel/GraphFrames loop — per iteration one equi-join of
-    * (edges × labels) + a min-aggregate, labels localCheckpointed so the
-    * plan lineage stays flat. Iterations ≤ graph diameter (near-dup
-    * clusters are shallow; `maxIter` guards pathological chains — docs
-    * still unconverged after it keep a non-minimal but consistent
-    * label... none at any tested scale). Convergence is detected by a
-    * changed-count action per iteration, exactly what a pregel step
-    * costs at 100 TB. */
+    * Round-13 shape: only vertices TOUCHED BY A PAIR can ever leave
+    * their own label, so the closure runs over the pair-vertex set —
+    * never the corpus — and the corpus-sized result is one broadcast
+    * left-join at the end (`coalesce(label, id)` labels singletons).
+    * While the pair relation fits the driver-state bound (`stateUpTo`
+    * rows — the PageRank/IterState discipline), components come from
+    * one collected union-find pass (exact, fully converged — the same
+    * answer the oracle's recursive CTE computes). Past the bound, the
+    * pregel loop takes over: per round one equi-join of
+    * (edges × labels) + a min-aggregate against the dst-partitioned
+    * persist()ed edge copy (the HITS shape — a checkpointed relation
+    * surfaces as UnknownPartitioning under AQE and would re-shuffle
+    * the pair corpus every round; the DISTINCT rides inside the copy's
+    * shuffle). Iterations ≤ pair-graph diameter, `maxIter` guards
+    * pathological chains; convergence is a changed-count action per
+    * round — exactly what a pregel step costs at 100 TB. Parity of the
+    * two paths is pinned in FallbackParitySpec. */
   def nearDupClusters(allDocs: DataFrame, idCol: String,
-      pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+      pairs: DataFrame, maxIter: Int = 20,
+      stateUpTo: Long = graft.operators.PageRank.BroadcastStateUpTo)
+      : DataFrame = {
     // checkpoint the raw pairs BEFORE the symmetrizing union so the
     // caller's candidate build runs once, not once per union branch
     val p0 = pairs.select(col("a"), col("b")).graftCheckpoint(false)
-    // cached PARTITIONED edge copy keyed by the iteration JOIN column
-    // (dst) — the HITS shape: a checkpointed edge relation surfaces as
-    // UnknownPartitioning under AQE, so every label-propagation round
-    // would re-shuffle the candidate-pair corpus; persist() keeps the
-    // cached plan's partitioning and the per-round join only exchanges
-    // the nodes-sized label relation. The DISTINCT rides inside the
-    // copy's shuffle (hashpartitioning(dst) satisfies the (src, dst)
-    // dedup clustering — a local pass, no standalone distinct stage).
-    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(p0.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("dst")).dropDuplicates("src", "dst").persist()
-    var labels = allDocs.select(col(idCol).as("id"), col(idCol).as("label"))
-      .graftCheckpoint(true)
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("label", "n_label"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("n_label")).as("n_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("n_min"), col("label")))
-            .as("label"),
-          (col("n_min") < col("label")).as("chg"))
-      val step = next.graftCheckpoint(true)
-      changed = step.filter(col("chg")).count()
-      labels = step.select("id", "label")
-      i += 1
+    val idType = allDocs.schema(idCol).dataType
+    val nPairs = p0.count()
+    val labels: DataFrame = if (nPairs <= stateUpTo) {
+      // driver union-find fast path: one collect of the (bounded) pair
+      // relation, path-compressed components, min id per component by
+      // the id type's natural order (numeric for numbers, lexicographic
+      // for strings — the same order Spark's `min`/`least` use)
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while ({ val p = parent.get(r); p != null && p != r }) r = parent.get(r)
+        var c = x
+        while ({ val p = parent.get(c); p != null && p != c }) {
+          val nx = parent.get(c); parent.put(c, r); c = nx
+        }
+        if (parent.get(r) == null) parent.put(r, r)
+        r
+      }
+      p0.collect().foreach { row =>
+        val ra = find(row.get(0)); val rb = find(row.get(1))
+        if (ra != rb) parent.put(ra, rb)
+      }
+      val minOf = new java.util.HashMap[Any, Any]()
+      parent.keySet().forEach { k =>
+        val r = find(k)
+        val cur = minOf.get(r)
+        if (cur == null
+            || k.asInstanceOf[Comparable[Any]].compareTo(cur) < 0)
+          minOf.put(r, k)
+      }
+      val lrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      parent.keySet().forEach { k =>
+        lrows.add(org.apache.spark.sql.Row(k, minOf.get(find(k))))
+      }
+      allDocs.sparkSession.createDataFrame(lrows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("label", idType))))
+    } else {
+      // distributed pregel fallback, restricted to the pair-vertex set
+      val edges = p0.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p0.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("dst")).dropDuplicates("src", "dst").persist()
+      // symmetrized ⇒ the dst set IS the vertex set
+      var lab = edges.select(col("dst").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+        .graftCheckpoint(true)
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIter) {
+        val neighborMin = edges
+          .join(lab.withColumnRenamed("id", "dst")
+            .withColumnRenamed("label", "n_label"), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("n_label")).as("n_min"))
+        val next = lab.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("n_min"), col("label")))
+              .as("label"),
+            (col("n_min") < col("label")).as("chg"))
+        val step = next.graftCheckpoint(true)
+        changed = step.filter(col("chg")).count()
+        lab = step.select("id", "label")
+        i += 1
+      }
+      // cache-leak guard: lab is eagerly checkpointed past the cache
+      // every round (and at init), so the copy can be released before
+      // the result frame escapes
+      edges.unpersist(blocking = false)
+      lab
     }
-    // cache-leak guard: labels is eagerly checkpointed past the cache
-    // every round (and at init), so the copy can be released before the
-    // result frame escapes
-    edges.unpersist(blocking = false)
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    // corpus pass: singletons (no pair) keep their own id as label.
+    // The label relation is pair-vertex-sized — broadcast it so the
+    // corpus side never shuffles.
+    allDocs.select(col(idCol))
+      .join(broadcast(labels).withColumnRenamed("id", idCol),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
   }
 
   /** The KEEP POLICY that turns near-dup clusters into a curated corpus:

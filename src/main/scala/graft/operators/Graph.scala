@@ -224,12 +224,21 @@ object Graph {
       .join(la.withColumnRenamed("v", "b")
         .withColumnRenamed("label", "lb"), "b")
     val m = broadcast(e.agg(count(lit(1)).as("m")))
-    val intra = withL.filter(col("la") === col("lb"))
-      .groupBy(col("la").as("label")).agg(count(lit(1)).as("mc"))
-    val deg = withL.select(col("la").as("label"))
-      .unionAll(withL.select(col("lb").as("label")))
-      .groupBy("label").agg(count(lit(1)).as("dc"))
-    val terms = deg.join(intra, Seq("label"), "left").crossJoin(m)
+    // ONE aggregation over the exploded endpoint relation (round-13
+    // optimization): the old shape scanned the label-joined edges
+    // THREE times (intra filter + two deg union branches) and paid a
+    // deg⋈intra join. Each edge explodes into its two endpoint labels;
+    // the intra flag rides only the FIRST endpoint so mc stays a plain
+    // integer sum (each intra edge counted exactly once). dc = endpoint
+    // count and mc = intra count per label are bit-identical to the
+    // old relations, including labels with mc = 0.
+    val stats = withL.select(explode(array(
+        struct(col("la").as("label"),
+          (col("la") === col("lb")).cast("long").as("ii")),
+        struct(col("lb").as("label"), lit(0L).as("ii")))).as("ep"))
+      .groupBy(col("ep.label").as("label"))
+      .agg(count(lit(1)).as("dc"), sum(col("ep.ii")).as("mc"))
+    val terms = stats.crossJoin(m)
       .select(col("m"),
         round(coalesce(col("mc"), lit(0L)).cast("double")
             / col("m").cast("double")
