@@ -84,7 +84,11 @@ object Bench {
     val totalSteal = results.map(_._3).filter(_ >= 0).sum
     val stealJson = results.map { case (k, _, s, _) => s"\"$k\":$s" }
       .mkString("{", ",", "}")
-    val totalGc = results.map(_._4).sum
+    // match the wall-clock total's query set: failed queries report -1
+    // wall and are excluded there, so exclude their GC brackets too —
+    // otherwise the two totals cover different sets and GC attribution
+    // looks inflated relative to value
+    val totalGc = results.filter(_._2 >= 0).map(_._4).sum
     val gcJson = results.map { case (k, _, _, g) => s"\"$k\":$g" }
       .mkString("{", ",", "}")
     val timed = results.map { case (k, v, _, _) => k -> v }

@@ -45,6 +45,19 @@ object Dedup {
     * filter for shingles. */
   val MaxGroupSize = 10000
 
+  /** Driver-state bound for the union-find fast path in
+    * [[nearDupClusters]]: collect the pair relation while it has at most
+    * this many rows. Deliberately LOWER than
+    * [[graft.operators.PageRank.BroadcastStateUpTo]] (4M), which was
+    * calibrated for ~100 MB of compact numeric rows — the pair collect
+    * holds BOXED external ids (strings in every call site here) in java
+    * HashMaps, several times heavier per row. Measured (AbProbe ufheap,
+    * 14-char string ids, worst-case single component): 1M pairs peak at
+    * 223 MB of driver heap (collected Row[] + parent map live
+    * together); 4M would peak at 836 MB. Past the bound the distributed
+    * pregel fallback takes over (parity pinned in FallbackParitySpec). */
+  val NearDupStateUpTo: Long = 1L * 1000 * 1000
+
   private def boundedSet(c: Column, cap: Int): Column =
     org.apache.spark.sql.graftext.BoundedCollectAgg.boundedCollectSet(c, cap)
   private def boundedList(c: Column, cap: Int): Column =
@@ -473,15 +486,20 @@ object Dedup {
     * drop the rest. `pairs` must reference `allDocs` ids (every caller
     * in this repo derives pairs from the same docs relation).
     *
-    * Round-13 shape: only vertices TOUCHED BY A PAIR can ever leave
-    * their own label, so the closure runs over the pair-vertex set —
-    * never the corpus — and the corpus-sized result is one broadcast
-    * left-join at the end (`coalesce(label, id)` labels singletons).
-    * While the pair relation fits the driver-state bound (`stateUpTo`
-    * rows — the PageRank/IterState discipline), components come from
-    * one collected union-find pass (exact, fully converged — the same
-    * answer the oracle's recursive CTE computes). Past the bound, the
-    * pregel loop takes over: per round one equi-join of
+    * Shape: only vertices TOUCHED BY A PAIR can ever leave their own
+    * label, so the closure runs over the pair-vertex set — never the
+    * corpus — and the corpus-sized result is one left-join at the end
+    * (`coalesce(label, id)` labels singletons; broadcast on the fast
+    * path where labels are bounded, planner-chosen on the fallback
+    * where they are not). The corpus id projection is checkpointed so
+    * consumers that re-join the result against the same lineage don't
+    * duplicate the upstream scans (q131/q134 plan pin). While the pair
+    * relation fits the driver-state bound (`stateUpTo` rows — the
+    * PageRank/IterState discipline, with a lower dedup-specific default
+    * [[NearDupStateUpTo]]), components come from one collected
+    * union-find pass (exact, fully converged — the same answer the
+    * oracle's recursive CTE computes). Past the bound, the pregel loop
+    * takes over: per round one equi-join of
     * (edges × labels) + a min-aggregate against the dst-partitioned
     * persist()ed edge copy (the HITS shape — a checkpointed relation
     * surfaces as UnknownPartitioning under AQE and would re-shuffle
@@ -492,18 +510,29 @@ object Dedup {
     * two paths is pinned in FallbackParitySpec. */
   def nearDupClusters(allDocs: DataFrame, idCol: String,
       pairs: DataFrame, maxIter: Int = 20,
-      stateUpTo: Long = graft.operators.PageRank.BroadcastStateUpTo)
+      stateUpTo: Long = NearDupStateUpTo)
       : DataFrame = {
     // checkpoint the raw pairs BEFORE the symmetrizing union so the
     // caller's candidate build runs once, not once per union branch
     val p0 = pairs.select(col("a"), col("b")).graftCheckpoint(false)
     val idType = allDocs.schema(idCol).dataType
     val nPairs = p0.count()
-    val labels: DataFrame = if (nPairs <= stateUpTo) {
+    val fastPath = nPairs <= stateUpTo
+    val labels: DataFrame = if (fastPath) {
       // driver union-find fast path: one collect of the (bounded) pair
       // relation, path-compressed components, min id per component by
-      // the id type's natural order (numeric for numbers, lexicographic
-      // for strings — the same order Spark's `min`/`least` use)
+      // the id type's natural order (numeric for numbers; strings
+      // compare as UTF-8 bytes via UTF8String — java.lang.String's
+      // compareTo is UTF-16 code-unit order, which diverges from
+      // Spark's `min`/`least` on supplementary-plane characters, and
+      // the fallback path / SQL oracle must agree with this path)
+      def idLt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(
+              org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+        case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      }
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {
         var r = x
@@ -523,9 +552,7 @@ object Dedup {
       parent.keySet().forEach { k =>
         val r = find(k)
         val cur = minOf.get(r)
-        if (cur == null
-            || k.asInstanceOf[Comparable[Any]].compareTo(cur) < 0)
-          minOf.put(r, k)
+        if (cur == null || idLt(k, cur)) minOf.put(r, k)
       }
       val lrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       parent.keySet().forEach { k =>
@@ -568,12 +595,20 @@ object Dedup {
       edges.unpersist(blocking = false)
       lab
     }
-    // corpus pass: singletons (no pair) keep their own id as label.
-    // The label relation is pair-vertex-sized — broadcast it so the
-    // corpus side never shuffles.
-    allDocs.select(col(idCol))
-      .join(broadcast(labels).withColumnRenamed("id", idCol),
-        Seq(idCol), "left")
+    // corpus pass: singletons (no pair) keep their own id as label. The
+    // id projection is checkpointed (lineage truncated) so a consumer
+    // that joins the result back against the same allDocs lineage
+    // (semDedup/semDedupIncremental join vsCorpus/assigned again) does
+    // not duplicate the upstream embedding scans in its final plan.
+    val docIds = allDocs.select(col(idCol)).graftCheckpoint(false)
+    // broadcast ONLY on the fast path (labels are bounded local rows
+    // there); the fallback's labels are pair-vertex-sized and unbounded
+    // — a forced broadcast would hit Spark's 8GB/512M-row hard caps at
+    // scale, so leave that join to the planner (plain shuffled left
+    // join when big).
+    val labRel0 = labels.withColumnRenamed("id", idCol)
+    val labRel = if (fastPath) broadcast(labRel0) else labRel0
+    docIds.join(labRel, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))
   }

@@ -131,6 +131,118 @@ object AbProbe {
       spark.stop(); return
     }
 
+    // q199 SetSimJoin stage decomposition: where do the 5.8 s go —
+    // shingle pass, df rank, prefix build, candidate join, or verify?
+    if (args.length > 1 && args(1) == "ppjoin") {
+      import graft.operators.Ckpt.CkptOps
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions
+      val tau = 0.6
+      def docs = graft.Tables.documents(spark, dir)
+      def arrs = docs.select(col("doc_id"),
+        array_distinct(TextFunctions.shingles(
+          TextFunctions.tokens(col("text")), 3)).as("els0"))
+        .graftCheckpoint(false)
+      def stagesOf(a: DataFrame) = {
+        val elems = a.select(col("doc_id"), size(col("els0")).as("len"),
+          explode(col("els0")).as("el"))
+        val dfr = elems.groupBy("el").agg(count(lit(1)).as("df"))
+        val ranked = elems.join(dfr, "el")
+          .withColumn("r", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("df").asc, col("el").asc)))
+        val prefix = ranked.filter(
+          col("r") <= col("len") - ceil(lit(tau) * col("len")) + 1)
+        val cands = prefix.as("l").join(prefix.as("r"),
+            col("l.el") === col("r.el") &&
+              col("l.doc_id") < col("r.doc_id") &&
+              ceil(lit(tau) * greatest(col("l.len"), col("r.len")))
+                <= least(col("l.len"), col("r.len")))
+          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+          .distinct()
+        (elems, dfr, prefix, cands)
+      }
+      // one-time row counts
+      locally {
+        val (elems, dfr, prefix, cands) = stagesOf(arrs)
+        println(s"[ppjoin] elems=${elems.count()} df=${dfr.count()} " +
+          s"prefix=${prefix.count()} cands=${cands.count()} " +
+          s"out=${graft.operators.SetSimJoin.jaccardJoin(
+            docs, "doc_id", "text", tau, 3).count()}")
+      }
+      for (_ <- 1 to reps) {
+        val a = arrs
+        val (elems, dfr, prefix, cands) = stagesOf(a)
+        time("arrs", a)
+        time("elems", elems)
+        time("df", dfr)
+        time("prefix", prefix)
+        time("cands", cands)
+        time("full", graft.operators.SetSimJoin.jaccardJoin(
+          docs, "doc_id", "text", tau, 3))
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
+    // driver-heap audit for Dedup.nearDupClusters' union-find fast
+    // path: how much heap do the collected Row[] + the boxed HashMaps
+    // actually hold at N string pairs? (Sizes the NearDupStateUpTo
+    // bound honestly instead of inheriting PageRank's 4M.)
+    if (args.length > 1 && args(1) == "ufheap") {
+      def used(): Long = {
+        System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(300)
+        val r = Runtime.getRuntime; r.totalMemory - r.freeMemory
+      }
+      for (n <- Seq(1000000L, 4000000L)) {
+        val base = used()
+        // realistic ids: 14-char doc keys, chain pairs (worst-case one
+        // giant component for the parent map)
+        var rows = spark.range(n).select(
+          concat(lit("doc_"), lpad(col("id").cast("string"), 10, "0"))
+            .as("a"),
+          concat(lit("doc_"),
+            lpad(((col("id") + 1) % n).cast("string"), 10, "0")).as("b"))
+          .collect()
+        val mRows = used() - base
+        val parent = new java.util.HashMap[Any, Any]()
+        def find(x: Any): Any = {
+          var r0 = x
+          while ({ val p = parent.get(r0); p != null && p != r0 })
+            r0 = parent.get(r0)
+          var c = x
+          while ({ val p = parent.get(c); p != null && p != c }) {
+            val nx = parent.get(c); parent.put(c, r0); c = nx
+          }
+          if (parent.get(r0) == null) parent.put(r0, r0)
+          r0
+        }
+        rows.foreach { row =>
+          val ra = find(row.get(0)); val rb = find(row.get(1))
+          if (ra != rb) parent.put(ra, rb)
+        }
+        val mPeak = used() - base // rows AND parent live together here
+        rows = null
+        val minOf = new java.util.HashMap[Any, Any]()
+        parent.keySet().forEach { k =>
+          val r0 = find(k)
+          val cur = minOf.get(r0)
+          if (cur == null
+              || k.asInstanceOf[Comparable[Any]].compareTo(cur) < 0)
+            minOf.put(r0, k)
+        }
+        val lrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        parent.keySet().forEach { k =>
+          lrows.add(org.apache.spark.sql.Row(k, minOf.get(find(k))))
+        }
+        val mMaps = used() - base
+        println(f"[ufheap] n=$n%,d  collect=${mRows / 1e6}%.0f MB  " +
+          f"peak(rows+parent)=${mPeak / 1e6}%.0f MB  " +
+          f"maps+label-rows=${mMaps / 1e6}%.0f MB  (${lrows.size}%,d labels)")
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "counts") {
       val e = edges.localCheckpoint(true)
       println("edges=" + e.count())

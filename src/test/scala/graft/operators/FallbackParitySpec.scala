@@ -116,6 +116,28 @@ class FallbackParitySpec extends SparkSpec {
     assert(rowsOf(fast) == rowsOf(dist))
   }
 
+  test("nearDupClusters: driver union-find ≡ forced-distributed pregel, " +
+      "including supplementary-plane string ids where UTF-16 and UTF-8 " +
+      "orders diverge") {
+    // U+FF61 sorts BELOW U+10000 in UTF-8 byte order (EF BD A1 < F0 90
+    // 80 80 — what Spark's UTF8String min/least and the SQL oracle use)
+    // but ABOVE it in java.lang.String order (code unit FF61 > surrogate
+    // D800) — the exact divergence the fast path's min-per-component
+    // comparison must avoid.
+    val bmp = "z｡"
+    val supp = "z𐀀" // U+10000
+    val docs = Seq("a", "b", "c", "d", bmp, supp).toDF("doc_id")
+    val pairs = Seq(("a", "b"), ("b", "c"), (bmp, supp)).toDF("a", "b")
+    val fast = graft.dedup.Dedup.nearDupClusters(docs, "doc_id", pairs)
+    val dist = graft.dedup.Dedup.nearDupClusters(docs, "doc_id", pairs,
+      stateUpTo = 0L)
+    assert(rowsOf(fast) == rowsOf(dist))
+    // and the shared answer is Spark's order: U+FF61 is the cluster min
+    val m = fast.filter(col("doc_id") === lit(supp))
+      .collect()(0).getString(1)
+    assert(m == bmp, s"fast path picked $m — UTF-16 order leaked in")
+  }
+
   test("bfsHopHistogram: driver frontier ≡ spilled distributed loop") {
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
       .toDF("a", "b")
