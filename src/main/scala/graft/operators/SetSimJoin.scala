@@ -27,8 +27,9 @@ import graft.functions.TextFunctions
   *
   * Scale shape: one scan builds (doc, element) with df ranks (window
   * partitioned by doc — per-document state only, high-cardinality
-  * key); the candidate join shuffles only prefix postings (the
-  * df-rank ordering makes these the corpus's rare tail); verification
+  * key); the candidate stage shuffles only prefix postings ONCE into
+  * per-element groups (the df-rank ordering makes these the corpus's
+  * rare tail) and emits in-group pairs; verification
   * joins the bounded per-doc element arrays back and intersects
   * in-row. No window over the corpus, no driver state, no caps — and
   * the output is oracle-checkable against a naive exact join.
@@ -67,14 +68,38 @@ object SetSimJoin {
     // prefix length p = |x| − ⌈τ|x|⌉ + 1
     val prefix = ranked.filter(
       col("r") <= col("len") - ceil(lit(tau) * col("len")) + 1)
-    val cands = prefix.as("l").join(prefix.as("r"),
-        col("l.el") === col("r.el") &&
-          col("l.doc_id") < col("r.doc_id") &&
-          // J ≤ min/max ⇒ require ⌈τ·max⌉ ≤ min
-          ceil(lit(tau) * greatest(col("l.len"), col("r.len")))
-            <= least(col("l.len"), col("r.len")))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+    // Candidate generation: group the inverted index's postings per
+    // element and emit in-group pairs — the LSH-band pattern, NOT a
+    // prefix ⋈ prefix self-join. The self-join consumed the prefix
+    // subtree twice (df-join + per-doc window once per side: 6 Window
+    // nodes / 14 scans in the round-13 q199 plan) and shuffled the
+    // postings twice; one groupBy(el) shuffles them once and the
+    // length filter runs in-row on the generated pairs. UNCAPPED
+    // collect (exactness forbids the hot-band cap): safe because
+    // postings here are PREFIX postings — df-ascending ordering puts
+    // only each set's rarest elements in the index, so a list is long
+    // only for genuinely-shared rare shingles (the candidates we must
+    // emit anyway; the join shape had the identical quadratic output).
+    // A/B (AbProbe ppjoin2, 4 alternating reps, steal ≤ 11): group
+    // 1.79 s vs self-join 2.80 s best-of at sf0.1.
+    val cands = prefix
+      .groupBy("el")
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("len")))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(org.apache.spark.sql.graftext.PairsAscExpr
+        .pairsAsc(col("ps"))).as("p"))
+      .select(col("p._1.doc_id").as("a"), col("p._1.len").as("la"),
+        col("p._2.doc_id").as("b"), col("p._2.len").as("lb"))
+      // J ≤ min/max ⇒ require ⌈τ·max⌉ ≤ min
+      .filter(ceil(lit(tau) * greatest(col("la"), col("lb")))
+        <= least(col("la"), col("lb")))
+      .select("a", "b")
       .distinct()
+      // two consumers (candIds and the verify join) — materialize the
+      // candidate pairs once instead of re-running the candidate build
+      // per consumer
+      .graftCheckpoint(false)
     // verification: bounded per-doc sorted element arrays, in-row
     // intersection (array size ≤ doc length — never corpus-scale).
     // Aggregate sets ONLY for docs that reached the candidate stage —
@@ -89,9 +114,12 @@ object SetSimJoin {
     // the checkpointed per-doc arrays ARE the verify sets already —
     // a semi-join + map-side sort, not a re-explode + collect_list
     // shuffle of every candidate's shingles
+    // checkpointed: the a-side and b-side verify joins BOTH consume
+    // sets — one materialization instead of two semi-join rebuilds
     val sets = arrs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), sort_array(col("els0")).as("els"),
         size(col("els0")).cast("long").as("n"))
+      .graftCheckpoint(false)
     val verified = cands
       .join(sets.select(col("doc_id").as("a"), col("els").as("ea"),
         col("n").as("na")), "a")

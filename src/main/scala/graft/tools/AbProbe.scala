@@ -131,6 +131,54 @@ object AbProbe {
       spark.stop(); return
     }
 
+    // q229 key-packing A/B: the (u,v) 9M-distinct-key wedge aggregate
+    // with the two long key columns packed into ONE long (u<<32 | v) —
+    // half the shuffle key bytes, single-column hash. Valid only while
+    // ids < 2^32 (true at every test SF; a production guard would need
+    // a max-id check), so this is a MEASUREMENT, not a shipped shape,
+    // unless the win is large.
+    if (args.length > 1 && args(1) == "aapack") {
+      import graft.operators.Ckpt.CkptOps
+      def packed: DataFrame = {
+        val e = edges.select(col("a"), col("b")).graftCheckpoint(true)
+        val nbrs = e.select(col("a").as("w"), col("b").as("n"))
+          .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+        val wedges = nbrs.groupBy("w")
+          .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
+            .boundedCollectSet(col("n"), 10000)).as("ns"))
+          .filter(col("ns").isNotNull && size(col("ns")) >= 2)
+          .select((lit(1.0) / log(size(col("ns")).cast("double"))).as("wt"),
+            explode(org.apache.spark.sql.graftext.PairsAscExpr
+              .pairsAsc(col("ns"))).as("p"))
+          .select(col("wt"),
+            shiftleft(col("p._1"), 32).bitwiseOR(col("p._2")).as("uv"))
+        val scored = wedges.groupBy("uv")
+          .agg(round(sum(col("wt")), 6).as("aa_score"))
+          .select(shiftright(col("uv"), 32).as("u"),
+            col("uv").bitwiseAND(lit((1L << 32) - 1)).as("v"),
+            col("aa_score"))
+        scored
+          .join(e.withColumnRenamed("a", "u").withColumnRenamed("b", "v"),
+            Seq("u", "v"), "left_anti")
+          .orderBy(col("aa_score").desc, col("u"), col("v"))
+          .limit(20)
+      }
+      def current: DataFrame =
+        Graph.adamicAdar(edges, topK = 20, edgesCanonical = true)
+      locally {
+        val a = current.collect().map(_.toString).sorted.toSeq
+        val b = packed.collect().map(_.toString).sorted.toSeq
+        println(s"[aapack] parity=${a == b} n=${a.size}")
+      }
+      for (i <- 1 to reps) {
+        if (i % 2 == 1) { time("A:cur", current); time("B:pack", packed) }
+        else { time("B:pack", packed); time("A:cur", current) }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // q199 SetSimJoin stage decomposition: where do the 5.8 s go —
     // shingle pass, df rank, prefix build, candidate join, or verify?
     if (args.length > 1 && args(1) == "ppjoin") {
@@ -179,6 +227,78 @@ object AbProbe {
         time("cands", cands)
         time("full", graft.operators.SetSimJoin.jaccardJoin(
           docs, "doc_id", "text", tau, 3))
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
+    // q199 candidate-stage A/B: prefix self-join (current) vs
+    // groupBy(el) + in-group pairsAsc (the repo's LSH-band pattern,
+    // exact here because postings are uncapped)
+    if (args.length > 1 && args(1) == "ppjoin2") {
+      import graft.operators.Ckpt.CkptOps
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions
+      val tau = 0.6
+      def docs = graft.Tables.documents(spark, dir)
+      def joinVariant = graft.operators.SetSimJoin.jaccardJoin(
+        docs, "doc_id", "text", tau, 3)
+      def groupVariant: DataFrame = {
+        val arrs = docs.select(col("doc_id"),
+          array_distinct(TextFunctions.shingles(
+            TextFunctions.tokens(col("text")), 3)).as("els0"))
+          .graftCheckpoint(false)
+        val elems = arrs.select(col("doc_id"), size(col("els0")).as("len"),
+          explode(col("els0")).as("el"))
+        val dfr = elems.groupBy("el").agg(count(lit(1)).as("df"))
+        val ranked = elems.join(dfr, "el")
+          .withColumn("r", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("df").asc, col("el").asc)))
+        val prefix = ranked.filter(
+          col("r") <= col("len") - ceil(lit(tau) * col("len")) + 1)
+        val cands = prefix
+          .groupBy("el")
+          .agg(sort_array(collect_list(
+            struct(col("doc_id"), col("len")))).as("ps"))
+          .filter(size(col("ps")) >= 2)
+          .select(explode(org.apache.spark.sql.graftext.PairsAscExpr
+            .pairsAsc(col("ps"))).as("p"))
+          .select(col("p._1.doc_id").as("a"), col("p._1.len").as("la"),
+            col("p._2.doc_id").as("b"), col("p._2.len").as("lb"))
+          .filter(ceil(lit(tau) * greatest(col("la"), col("lb")))
+            <= least(col("la"), col("lb")))
+          .select("a", "b").distinct()
+          .graftCheckpoint(false)
+        val candIds = cands
+          .select(explode(array(col("a"), col("b"))).as("doc_id"))
+          .distinct()
+        val sets = arrs.join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), sort_array(col("els0")).as("els"),
+            size(col("els0")).cast("long").as("n"))
+          .graftCheckpoint(false)
+        cands
+          .join(sets.select(col("doc_id").as("a"), col("els").as("ea"),
+            col("n").as("na")), "a")
+          .join(sets.select(col("doc_id").as("b"), col("els").as("eb"),
+            col("n").as("nb")), "b")
+          .withColumn("inter",
+            size(array_intersect(col("ea"), col("eb"))).cast("double"))
+          .withColumn("jaccard",
+            round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+          .filter(col("inter") / (col("na") + col("nb") - col("inter"))
+            >= tau)
+          .select(col("a"), col("b"), col("jaccard"))
+      }
+      // parity first (cheap sanity; the oracle is the real gate)
+      locally {
+        val a = joinVariant.collect().map(_.toString).sorted.toSeq
+        val c = groupVariant.collect().map(_.toString).sorted.toSeq
+        println(s"[ppjoin2] parity=${a == c} n=${a.size}")
+      }
+      for (i <- 1 to reps) {
+        if (i % 2 == 1) { time("A:join", joinVariant); time("C:group", groupVariant) }
+        else { time("C:group", groupVariant); time("A:join", joinVariant) }
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
