@@ -34,7 +34,13 @@ object TrainingCorpus {
     * the admitted documents. */
   def build(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, cfg: Config): DataFrame = {
-    // 1. exact dedup (min-id representative per content hash)
+    // 1. exact dedup (min-id representative per content hash).
+    // Deliberately NOT checkpointed despite three consumers (16
+    // document scans in the composed q76 plan): runtime exchange reuse
+    // already dedupes the repeated subtrees, and an A/B (round 14)
+    // showed a lazy checkpoint REGRESSES 4.60 → 4.96 s best-of — the
+    // LogicalRDD leaf loses size statistics, degrading downstream
+    // broadcast planning (same negative result as SetSimJoin's prefix).
     val d1 = Dedup.exactDedup(docs, idCol, textCol)
     // 2. near-dup canonicalization: keep only cluster representatives
     //    (label == own id ⇒ the cluster's min id)
