@@ -38,13 +38,21 @@ object Triangles {
     val wedges = e.toDF("x", "y")
       .join(e.toDF("y", "z"), "y")
       .select(col("x"), col("y"), col("z"))
-    val closed = wedges
-      .join(e.toDF("x", "z"), Seq("x", "z"), "left_semi")
-    wedges.agg(org.apache.spark.sql.functions.count(lit(1))
-      .cast("long").as("n_wedges"))
-      .crossJoin(broadcast(
-        closed.agg(org.apache.spark.sql.functions.count(lit(1))
-          .cast("long").as("n_triangles"))))
+    // ONE wedge pass for both counts: the closure probe rides as a
+    // left-join match flag instead of a separate semi-joined leg (e is
+    // distinct, so a (x,z) left join matches at most once and the
+    // flag-sum ≡ the semi-join count). The old two-leg shape ran the
+    // wedge join twice — exchange reuse shares the join INPUTS but not
+    // the join compute itself.
+    wedges
+      .join(e.toDF("x", "z").withColumn("__hit", lit(1L)),
+        Seq("x", "z"), "left")
+      .agg(org.apache.spark.sql.functions.count(lit(1))
+          .cast("long").as("n_wedges"),
+        // outer coalesce: sum over ZERO wedges is null, the old
+        // two-leg shape's count was 0
+        coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L))
+          .cast("long").as("n_triangles"))
       .select(col("n_wedges"), col("n_triangles"),
         when(col("n_wedges") === 0, 0.0)
           .otherwise(round(col("n_triangles").cast("double") /

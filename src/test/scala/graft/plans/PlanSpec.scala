@@ -406,14 +406,45 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
-  test("q140: textrank iterations stay partial-agg joins, never cartesian") {
+  test("q140: textrank terminal plan is TakeOrdered over the " +
+      "checkpointed ranks; the round joins the partitioned cache " +
+      "exchange-free") {
+    // round-14 shape: the iterations run against ONE src-partitioned
+    // persisted edge copy and the result is eagerly checkpointed, so
+    // the terminal plan is a 2-node scan (compare the 324-operator /
+    // 34-scan unrolled plan it replaced, plans/r14). The round shape
+    // itself is pinned like the LPA round below: edge cache partitioned
+    // by the join key ⇒ the per-round join is exchange-free on the
+    // corpus side.
     val s = fmtOf("q140_textrank")
     assert(!s.contains("CartesianProduct"), s)
     assert(s.contains("TakeOrderedAndProject"),
       "final top-25 should be TakeOrdered:\n" + s)
-    // 5 iterations + edge/out-weight aggs, each partial+final
-    assert("HashAggregate".r.findAllIn(s).size >= 10,
-      "iteration aggregations lost partial phase:\n" + s)
+    assert(s.contains("ExistingRDD"),
+      "ranks should be checkpoint-materialized (2-node terminal plan):\n"
+        + s)
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val en = (0L until 2000L).map(i => (s"t${i % 97}", s"t${i % 53}", 0.1))
+      .toDF("src", "dst", "wn").repartition(col("src")).persist()
+    en.count()
+    try {
+      val pr = (0 until 97).map(i => (s"t$i", 0.01)).toDF("src", "pr")
+      val round = en.join(pr, "src")
+        .groupBy("dst").agg(sum(col("wn") * col("pr")).as("s"))
+      val rs = round.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(rs.contains("InMemoryTableScan"), rs)
+      // partial+final agg pair present; the only hashpartitioning
+      // exchanges are the rank side + the groupBy — the cached edge
+      // side must not re-shuffle
+      assert("HashAggregate".r.findAllIn(rs).size >= 2, rs)
+      val outer = rs.linesIterator.takeWhile(l0 =>
+        !l0.contains("InMemoryTableScan")).mkString("\n")
+      assert("Exchange hashpartitioning".r.findAllIn(outer).size <= 2,
+        "edge cache re-shuffled above the per-round join:\n" + rs)
+    } finally en.unpersist(blocking = true)
   }
 
   test("q141: date histogram picks top_type without a window") {
@@ -695,6 +726,41 @@ class PlanSpec extends SparkSpec {
     assert("""HashAggregate \(\d+\)\s*\n\s*\+- Exchange""".r
       .findFirstIn(s2).isDefined,
       "checkpoint now preserves partitioning — retire the workaround:\n" + s2)
+  }
+
+  test("q231 LPA broadcast-path round: the v-partitioned cached copy " +
+      "makes the neighbour join AND both groupBys exchange-free") {
+    // mirrors Graph.labelPropagationAssignments' bc-path round step:
+    // nbrs is repartition(v).persist()ed, labels broadcast on n, and
+    // v-hash-partitioning satisfies BOTH groupBy clusterings (v,label)
+    // and (v) — the round plan must carry ZERO shuffles.
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val nbrs0 = (0L until 2000L).map(i => (i % 97, i % 53))
+      .toDF("v", "n")
+    val nbrs = nbrs0.repartition(col("v")).persist()
+    nbrs.count()
+    try {
+      val l = (0L until 53L).map(i => (i, i)).toDF("n", "label")
+      val round = nbrs.join(broadcast(l), "n")
+        .groupBy("v", "label").agg(count(lit(1)).as("cnt"))
+        .groupBy("v")
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .as("m"))
+        .select(col("v"), col("m.l").as("label"))
+      val s = round.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(s.contains("BroadcastHashJoin"),
+        "label relation not broadcast:\n" + s)
+      assert(s.contains("InMemoryTableScan"), "cached copy not used:\n" + s)
+      // no shuffle anywhere above the cache: the only Exchange allowed
+      // in the tree is the broadcast build
+      val outer = s.linesIterator.takeWhile(l0 =>
+        !l0.contains("InMemoryTableScan")).mkString("\n")
+      assert(!"Exchange hashpartitioning".r.findFirstIn(outer).isDefined,
+        "LPA round re-shuffles above the v-partitioned cache:\n" + s)
+    } finally nbrs.unpersist(blocking = true)
   }
 
   test("iterative corpus joins: a join-key-partitioned cached copy is " +
