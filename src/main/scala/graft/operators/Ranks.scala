@@ -851,18 +851,31 @@ object Ranks {
     val below = withB.join(prefixes, Seq("g", "__b"))
       .withColumn("below",
         col("__pre") + coalesce(sum(col("c")).over(wLocal), lit(0L)))
-      .select(col("gi"), col("v"), col("c"), col("below"))
-      .graftCheckpoint(false) // both sides of the ordered-pair join
+      .select(col("gi"), col("v"), col("below"))
     // U2 contribution at value v for ordered pair (g < h): each pair
     // (x ∈ g, y ∈ h) with y = v contributes 2·[x < v] + [x = v], i.e.
-    // 2·c_h(v)·below_g(v) + c_g(v)·c_h(v)
-    val u2fixed = below.select(col("gi").as("hIdx"), col("v"),
-        col("c").as("ch"))
+    // 2·c_h(v)·below_g(v) + c_g(v)·c_h(v). Dense rows with c_h(v) = 0
+    // contribute NOTHING, so the h side is the REAL cell relation
+    // (corpus-sparse), not the dense grid — the ordered-pair join
+    // output shrinks k-fold (round-14: the dense⋈dense self-join
+    // emitted |pooled|·k(k−1)/2 rows; real⋈dense emits |cells|·(k−1)).
+    // Split exactly: term1 = 2·c_h·below_g (real h × dense g),
+    // term2 = c_g·c_h (real × real) — integer sums, order-free.
+    val hCells = cells.join(gIdx.select("g", "gi"), "g")
+      .select(col("gi").as("hIdx"), col("v"), col("c").as("ch"))
+    val term1 = hCells
       .join(below.select(col("gi").as("gIdx"), col("v"),
-        col("c").as("cg"), col("below").as("belowg")), Seq("v"))
+        col("below").as("belowg")), Seq("v"))
       .filter(col("gIdx") < col("hIdx"))
-      .agg(coalesce(sum(lit(2) * col("ch") * col("belowg")
-        + col("cg") * col("ch")), lit(0L)).as("u2"))
+      .agg(coalesce(sum(lit(2) * col("ch") * col("belowg")), lit(0L))
+        .as("t1"))
+    val term2 = hCells
+      .join(hCells.select(col("hIdx").as("gIdx"), col("v"),
+        col("ch").as("cg")), Seq("v"))
+      .filter(col("gIdx") < col("hIdx"))
+      .agg(coalesce(sum(col("cg") * col("ch")), lit(0L)).as("t2"))
+    val u2fixed = term1.crossJoin(broadcast(term2))
+      .select((col("t1") + col("t2")).as("u2"))
     // decimal moments: Σn²(2n+3) outgrows a long around 10⁹ rows
     val moms = broadcast(gIdx.agg(count(lit(1)).as("k"),
       sum(col("ng")).cast("decimal(38,0)").as("n"),

@@ -131,6 +131,41 @@ object AbProbe {
       spark.stop(); return
     }
 
+    // q344 Jonckheere–Terpstra stage decomposition
+    if (args.length > 1 && args(1) == "jt") {
+      import graft.operators.Ckpt.CkptOps
+      import org.apache.spark.sql.expressions.Window
+      val src = graft.Tables.lineitem(spark, dir)
+        .withColumn("qbucket", floor(col("l_quantity") / 10).cast("long"))
+        .select(col("qbucket").as("g"),
+          col("l_extendedprice").cast("double").as("v"))
+      def cells = src.groupBy("g", "v").agg(count(lit(1)).as("c"))
+        .graftCheckpoint(false)
+      locally {
+        val c = cells
+        println(s"[jt] cells=${c.count()} pooled=${c.select("v").distinct().count()}")
+      }
+      for (_ <- 1 to reps) {
+        val c = cells
+        time("cells", c)
+        val gIdx = broadcast(c.groupBy("g").agg(sum(col("c")).as("ng"))
+          .withColumn("gi", row_number().over(Window.orderBy("g"))))
+        val pooled = c.select("v").distinct()
+        val grid = pooled.crossJoin(gIdx.select("g", "gi"))
+          .join(c, Seq("g", "v"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+        time("grid", grid)
+        time("full", graft.operators.Ranks.jonckheereTerpstra(
+          graft.Tables.lineitem(spark, dir)
+            .withColumn("qbucket", floor(col("l_quantity") / 10)
+              .cast("long")),
+          "qbucket", "l_extendedprice"))
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // q229 key-packing A/B: the (u,v) 9M-distinct-key wedge aggregate
     // with the two long key columns packed into ONE long (u<<32 | v) —
     // half the shuffle key bytes, single-column hash. Valid only while
