@@ -131,6 +131,46 @@ object AbProbe {
       spark.stop(); return
     }
 
+    // q229 anti-join strategy A/B: SortMergeJoin (planner default —
+    // sorts the 9M-row scored side) vs SHUFFLE_HASH hint on the edge
+    // side (no sorts; build = per-partition edge hash table)
+    if (args.length > 1 && args(1) == "aahint") {
+      import graft.operators.Ckpt.CkptOps
+      def variant(hint: Boolean): DataFrame = {
+        val e = edges.select(col("a"), col("b")).graftCheckpoint(true)
+        val nbrs = e.select(col("a").as("w"), col("b").as("n"))
+          .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+        val wedges = nbrs.groupBy("w")
+          .agg(sort_array(org.apache.spark.sql.graftext.BoundedCollectAgg
+            .boundedCollectSet(col("n"), 10000)).as("ns"))
+          .filter(col("ns").isNotNull && size(col("ns")) >= 2)
+          .select((lit(1.0) / log(size(col("ns")).cast("double"))).as("wt"),
+            explode(org.apache.spark.sql.graftext.PairsAscExpr
+              .pairsAsc(col("ns"))).as("p"))
+          .select(col("wt"), col("p._1").as("u"), col("p._2").as("v"))
+        val scored = wedges.groupBy("u", "v")
+          .agg(round(sum(col("wt")), 6).as("aa_score"))
+        val eUV = e.withColumnRenamed("a", "u").withColumnRenamed("b", "v")
+        scored
+          .join(if (hint) eUV.hint("shuffle_hash") else eUV,
+            Seq("u", "v"), "left_anti")
+          .orderBy(col("aa_score").desc, col("u"), col("v"))
+          .limit(20)
+      }
+      locally {
+        val a = variant(false).collect().map(_.toString).toSeq
+        val b = variant(true).collect().map(_.toString).toSeq
+        println(s"[aahint] parity=${a == b} n=${a.size}")
+      }
+      for (i <- 1 to reps) {
+        if (i % 2 == 1) { time("A:smj", variant(false)); time("B:shj", variant(true)) }
+        else { time("B:shj", variant(true)); time("A:smj", variant(false)) }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // q344 Jonckheere–Terpstra stage decomposition
     if (args.length > 1 && args(1) == "jt") {
       import graft.operators.Ckpt.CkptOps
